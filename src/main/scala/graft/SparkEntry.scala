@@ -1,13 +1,523 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.etl.{GoldMarts, Scd2, StarSchema}
+import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every `queries` entry is a library operator exercised on the benchmark
+  * star schema; every `oracleSql` entry is the equivalent DuckDB SQL. All
+  * money/quantity aggregates run in exact decimal arithmetic and are cast to
+  * double only in the final projection, so results are bit-identical across
+  * engines regardless of aggregation order.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+  private def dbl(c: String): Column = col(c).cast("double")
+
+  // SCD2 simulation timestamps (pinned; the reference drifts current_timestamp)
+  private val T0 = Timestamp.valueOf("2026-01-01 00:00:00")
+  private val T1 = Timestamp.valueOf("2026-02-01 00:00:00")
+
+  /** Simulated incremental batch against `customer` (SURVEY §2.4): 80% of
+    * keys re-arrive, every 3rd of those with a changed segment, and every 7th
+    * key also arrives as a brand-new (shifted-key) record. */
+  private def scd2Source(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val existing = c.where(col("c_custkey") % 10 < 8)
+      .withColumn("c_mktsegment",
+        when(col("c_custkey") % 3 === 0, lit("CHANGED")).otherwise(col("c_mktsegment")))
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val fresh = c.where(col("c_custkey") % 7 === 0)
+      .select((col("c_custkey") + 1000000).as("c_custkey"),
+        concat(lit("NEW "), col("c_name")).as("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+    existing.unionByName(fresh)
+  }
+
+  private def staged(s: SparkSession, dir: String): DataFrame =
+    Scd2.stage(scd2Source(s, dir), t(s, dir, "customer"), "c_custkey")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def entry(spark: SparkSession): DataFrame = {
+    val fact = StarSchema.factOrderDetails(spark, "/root/testdata/sf0.001")
+    GoldMarts.sellerPerformanceDaily(GoldMarts.withDateParts(fact))
+      .withColumn("total_revenue", dbl("total_revenue"))
+      .withColumn("total_quantity_sold", dbl("total_quantity_sold"))
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ §7.6 extensions). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- aggregations / scans (SURVEY §2.5, §2.1) ----
+    "q01_pricing_summary" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupBy("l_returnflag", "l_linestatus").agg(
+        sum(col("l_quantity").cast("decimal(12,2)")).as("sum_qty_d"),
+        sum(col("l_extendedprice").cast("decimal(12,2)")).as("sum_base_price_d"),
+        sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)"))).as("sum_disc_price_d"),
+        count(lit(1)).as("count_order"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          dbl("sum_qty_d").as("sum_qty"),
+          dbl("sum_base_price_d").as("sum_base_price"),
+          dbl("sum_disc_price_d").as("sum_disc_price"),
+          col("count_order"))
+    }),
+    // ---- star join (SURVEY §2.3 J2, wide projection P5) ----
+    "q02_star_fact" -> ((s, dir) =>
+      StarSchema.factOrderDetails(s, dir)
+        .withColumn("Quantity", dbl("Quantity"))
+        .withColumn("CurrentPrice", dbl("CurrentPrice"))
+        .withColumn("TotalAmount", dbl("TotalAmount"))),
+    // ---- gold marts (SURVEY §2.5 A2-A7) ----
+    "q03_seller_perf_daily" -> ((s, dir) =>
+      GoldMarts.sellerPerformanceDaily(
+        GoldMarts.withDateParts(StarSchema.factOrderDetails(s, dir)))
+        .withColumn("total_revenue", dbl("total_revenue"))
+        .withColumn("total_quantity_sold", dbl("total_quantity_sold"))),
+    "q04_seller_perf_monthly" -> ((s, dir) =>
+      GoldMarts.sellerPerformanceMonthly(
+        GoldMarts.sellerPerformanceDaily(
+          GoldMarts.withDateParts(StarSchema.factOrderDetails(s, dir))))
+        .withColumn("total_revenue", dbl("total_revenue"))
+        .withColumn("total_quantity_sold", dbl("total_quantity_sold"))),
+    "q05_seller_perf_quarterly" -> ((s, dir) =>
+      GoldMarts.sellerPerformanceQuarterly(
+        GoldMarts.sellerPerformanceDaily(
+          GoldMarts.withDateParts(StarSchema.factOrderDetails(s, dir))))
+        .withColumn("total_revenue", dbl("total_revenue"))
+        .withColumn("total_quantity_sold", dbl("total_quantity_sold"))),
+    "q06_order_rates" -> ((s, dir) =>
+      GoldMarts.orderRates(StarSchema.factOrderDetails(s, dir))),
+    "q07_seller_segmentation" -> ((s, dir) => {
+      val fact = StarSchema.factOrderDetails(s, dir)
+      val daily = GoldMarts.sellerPerformanceDaily(GoldMarts.withDateParts(fact))
+      GoldMarts.sellerSegmentation(daily, GoldMarts.orderRates(fact))
+        .withColumn("total_revenue", dbl("total_revenue"))
+    }),
+    "q08_customer_analytics" -> ((s, dir) =>
+      GoldMarts.customerAnalytics(StarSchema.factOrderDetails(s, dir))
+        .withColumn("total_spend", dbl("total_spend"))),
+    // ---- SCD2 engine (SURVEY §2.4, J1, P9, F1/F2) ----
+    "q09_scd2_fingerprint" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      c.select(col("c_custkey"),
+        Scd2.fingerprint(Scd2.trackedColumns(c, "c_custkey")).as("scd2_hash"))
+    }),
+    "q10_watermark_filter" -> ((s, dir) =>
+      t(s, dir, "events").where(
+        col("ts") > lit("2024-01-10 00:00:00").cast("timestamp") &&
+        col("ts") <= lit("2024-01-20 00:00:00").cast("timestamp"))),
+    "q11_batch_watermark" -> ((s, dir) =>
+      t(s, dir, "events").agg(max(col("ts")).as("new_watermark"))),
+    "q12_scd2_classify" -> ((s, dir) =>
+      staged(s, dir).select("c_custkey", "action")),
+    "q13_scd2_new_records" -> ((s, dir) =>
+      Scd2.insertedRecords(staged(s, dir), Seq("c_custkey", "c_name", "c_mktsegment"))),
+    "q14_scd2_expire_keys" -> ((s, dir) =>
+      Scd2.expireKeys(staged(s, dir), "c_custkey")),
+    "q15_scd2_apply" -> ((s, dir) => {
+      val target = Scd2.initialLoad(t(s, dir, "customer"), T0)
+      Scd2.applyMerge(target, staged(s, dir), "c_custkey", T1)
+    }),
+    // ---- event-time aggregation (batch shape of the streaming path) ----
+    "q16_event_hourly" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(12,2)")).as("sum_value_d"))
+        .select(col("hour"), col("event_type"), col("n_events"),
+          dbl("sum_value_d").as("sum_value"))),
+    // ---- window / top-k (beyond reference; standard analytics surface) ----
+    "q17_top_customers_by_nation" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val fact = StarSchema.factOrderDetails(s, dir)
+      val spend = fact.groupBy("NationName", "CustomerID")
+        .agg(sum(col("TotalAmount")).as("spend_d"))
+      val w = Window.partitionBy("NationName")
+        .orderBy(col("spend_d").desc, col("CustomerID").asc)
+      spend.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("NationName"), col("CustomerID"), dbl("spend_d").as("spend"), col("rank"))
+    }),
+    // ---- dedup suite (§7.6) ----
+    "q20_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents").select(md5(col("text")).as("text_md5"),
+        col("doc_id")), Seq("text_md5"), "doc_id")),
+    "q21_dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.5)),
+    "q22_dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text", 3, 4, 3, 0.5)),
+    "q23_dedup_simhash" -> ((s, dir) =>
+      Dedup.simHash16(t(s, dir, "documents"), "doc_id", "text")),
+    // ---- similarity search (§7.6) ----
+    "q24_cosine_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 5)),
+    "q25_ann_lsh_topk" -> ((s, dir) =>
+      Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 3, 8)),
+    "q26_embed_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)),
+    // ---- text analysis (§7.6) ----
+    "q27_lang_id" -> ((s, dir) =>
+      TextStats.langId(t(s, dir, "documents"), "doc_id", "text")),
+    "q28_text_quality" -> ((s, dir) =>
+      TextStats.qualityFeatures(t(s, dir, "documents"), "doc_id", "text")),
+    "q29_token_counts" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextStats.tokenCount(col("text")).as("n_ws_tokens"),
+        TextStats.bpeishTokenCount(col("text")).as("n_bpeish_tokens"))),
+    "q30_fingerprints" -> ((s, dir) =>
+      TextStats.fingerprints(t(s, dir, "documents"), "doc_id", "text")),
+    // ---- multimodal plumbing (§7.6; decode is a stub, metadata is real) ----
+    "q31_multimodal_meta" -> ((s, dir) =>
+      Multimodal.metadataOnly(
+        Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text", "text"))),
+    "q32_multimodal_decode" -> ((s, dir) =>
+      Multimodal.fakeDecode(s, Multimodal.asMediaTable(
+        t(s, dir, "documents"), "doc_id", "text", "text")).toDF())
+  )
+
+  // ---------------------------------------------------------------------
+  // Oracle SQL (DuckDB dialect-compatible ANSI SQL over the same tables)
+  // ---------------------------------------------------------------------
+
+  /** fact_order_details as a SQL CTE body (mirrors StarSchema). */
+  private val factSql: String =
+    """SELECT l.l_orderkey AS OrderID, l.l_linenumber AS OrderItemID,
+      |  o.o_custkey AS CustomerID, c.c_name AS CustomerName,
+      |  l.l_partkey AS ProductID, p.p_name AS ProductName, p.p_brand AS CategoryName,
+      |  l.l_suppkey AS SellerID, s.s_name AS SellerName,
+      |  n.n_name AS NationName, r.r_name AS RegionName,
+      |  CASE WHEN l.l_returnflag = 'N' THEN 'Delivered'
+      |       WHEN l.l_returnflag = 'A' THEN 'Cancelled'
+      |       ELSE 'Returned' END AS StatusName,
+      |  CAST(l.l_quantity AS DECIMAL(12,2)) AS Quantity,
+      |  CAST(l.l_extendedprice AS DECIMAL(12,2)) AS CurrentPrice,
+      |  CAST(l.l_quantity AS DECIMAL(12,2)) * CAST(l.l_extendedprice AS DECIMAL(12,2)) AS TotalAmount,
+      |  o.o_orderdate AS OrderDate
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN part p ON l.l_partkey = p.p_partkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey""".stripMargin
+
+  private val dailySql: String =
+    """SELECT SellerID, SellerName, ProductID, ProductName, CategoryName,
+      |  CAST(year(CAST(OrderDate AS DATE)) AS INTEGER) AS year,
+      |  CAST(quarter(CAST(OrderDate AS DATE)) AS INTEGER) AS quarter,
+      |  CAST(month(CAST(OrderDate AS DATE)) AS INTEGER) AS month,
+      |  CAST(OrderDate AS DATE) AS order_date,
+      |  SUM(TotalAmount) AS total_revenue,
+      |  SUM(Quantity) AS total_quantity_sold,
+      |  COUNT(DISTINCT OrderID) AS distinct_orders
+      |FROM fact GROUP BY 1,2,3,4,5,6,7,8,9""".stripMargin
+
+  private val scd2SourceSql: String =
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+      |  CASE WHEN c_custkey % 3 = 0 THEN 'CHANGED' ELSE c_mktsegment END AS c_mktsegment
+      |FROM customer WHERE c_custkey % 10 < 8
+      |UNION ALL
+      |SELECT c_custkey + 1000000, 'NEW ' || c_name, c_nationkey, c_acctbal, c_mktsegment
+      |FROM customer WHERE c_custkey % 7 = 0""".stripMargin
+
+  private def fpSql(alias: String = ""): String = {
+    val p = if (alias.isEmpty) "" else alias + "."
+    s"sha256(concat_ws('||', ${p}c_name, CAST(${p}c_nationkey AS VARCHAR), " +
+      s"CAST(${p}c_acctbal AS VARCHAR), ${p}c_mktsegment))"
+  }
+
+  private val stagedSql: String =
+    s"""WITH src AS ($scd2SourceSql),
+       |sh AS (SELECT *, ${fpSql()} AS hash FROM src),
+       |th AS (SELECT c_custkey, ${fpSql()} AS hash FROM customer),
+       |j AS (SELECT sh.c_custkey AS s_key, sh.c_name, sh.c_nationkey, sh.c_acctbal,
+       |        sh.c_mktsegment, th.c_custkey AS t_key, sh.hash AS s_hash, th.hash AS t_hash
+       |      FROM sh FULL OUTER JOIN th ON sh.c_custkey = th.c_custkey),
+       |staged AS (
+       |  SELECT s_key AS c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+       |    CASE WHEN t_key IS NULL THEN 'INSERT'
+       |         WHEN s_key IS NULL THEN 'NO CHANGE'
+       |         WHEN s_hash <> t_hash THEN 'UPDATE'
+       |         ELSE 'NO CHANGE' END AS action
+       |  FROM j)
+       |""".stripMargin
+
+  /** Word 3-gram distinct-shingle table as SQL (DuckDB list ops). */
+  private def shingleSql(n: Int): String =
+    s"""SELECT doc_id, unnest(list_distinct(list_transform(
+       |  generate_series(1, len(ts) - ${n - 1}),
+       |  i -> array_to_string(ts[i:i+${n - 1}], ' ')))) AS shingle
+       |FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)""".stripMargin
+
+  private val jaccardTailSql: String =
+    """pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)
+      |SELECT p.id_a, p.id_b,
+      |  CAST(p.n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE) AS jaccard
+      |FROM pairs p JOIN sizes sa ON p.id_a = sa.doc_id JOIN sizes sb ON p.id_b = sb.doc_id
+      |WHERE CAST(p.n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE) >= 0.5""".stripMargin
+
+  /** MinHash+LSH oracle: md5-based signatures, banded, verified. */
+  private def minhashSql(n: Int, bands: Int, rows: Int): String = {
+    val h = bands * rows
+    val sigCols = (0 until h)
+      .map(i => s"min(md5('$i:' || shingle)) AS sig_$i").mkString(",\n    ")
+    val bandRows = (0 until bands).map { b =>
+      val slots = (b * rows until b * rows + rows).map(r => s"sig_$r").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws('|', $slots)) AS bh FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH sh AS (${shingleSql(n)}),
+       |sigs AS (SELECT doc_id,
+       |    $sigCols
+       |  FROM sh GROUP BY doc_id),
+       |banded AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM banded x JOIN banded y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+       |pairs AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS n_common
+       |  FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)
+       |SELECT p.id_a, p.id_b,
+       |  CAST(p.n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE) AS jaccard
+       |FROM pairs p JOIN sizes sa ON p.id_a = sa.doc_id JOIN sizes sb ON p.id_b = sb.doc_id
+       |WHERE CAST(p.n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE) >= 0.5""".stripMargin
+  }
+
+  /** 16-bit md5-nibble SimHash oracle. */
+  private val simhashSql: String = {
+    val votes = (0 until 16).map(i =>
+      s"sum(CASE WHEN substr(h, ${i + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v_$i")
+      .mkString(",\n    ")
+    val sig = (0 until 16).map(i =>
+      s"CASE WHEN v_$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents),
+       |votes AS (SELECT doc_id,
+       |    $votes
+       |  FROM tok GROUP BY doc_id)
+       |SELECT doc_id, $sig AS simhash16 FROM votes""".stripMargin
+  }
+
+  private val cosineSql: String =
+    """SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+      |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos
+      |FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id""".stripMargin
+
+  private val langScoreSql: String = TextStats.langMarkers.map { case (lang, ms) =>
+    val set = ms.map(m => s"'$m'").mkString(", ")
+    s"CAST(len(list_filter(string_split(text, ' '), w -> w IN ($set))) AS INTEGER) AS score_$lang"
+  }.mkString(",\n  ")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. q32 omitted: its decode stub is JVM-side
+    * (rows-only check). */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q02_star_fact" ->
+      s"""WITH fact AS ($factSql)
+         |SELECT OrderID, OrderItemID, CustomerID, CustomerName, ProductID, ProductName,
+         |  CategoryName, SellerID, SellerName, NationName, RegionName, StatusName,
+         |  CAST(Quantity AS DOUBLE) AS Quantity, CAST(CurrentPrice AS DOUBLE) AS CurrentPrice,
+         |  CAST(TotalAmount AS DOUBLE) AS TotalAmount, OrderDate
+         |FROM fact""".stripMargin,
+    "q03_seller_perf_daily" ->
+      s"""WITH fact AS ($factSql), daily AS ($dailySql)
+         |SELECT SellerID, SellerName, ProductID, ProductName, CategoryName, year, quarter,
+         |  month, order_date, CAST(total_revenue AS DOUBLE) AS total_revenue,
+         |  CAST(total_quantity_sold AS DOUBLE) AS total_quantity_sold, distinct_orders
+         |FROM daily""".stripMargin,
+    "q04_seller_perf_monthly" ->
+      s"""WITH fact AS ($factSql), daily AS ($dailySql)
+         |SELECT SellerID, SellerName, ProductID, ProductName, CategoryName, year, month,
+         |  CAST(SUM(total_revenue) AS DOUBLE) AS total_revenue,
+         |  CAST(SUM(total_quantity_sold) AS DOUBLE) AS total_quantity_sold,
+         |  CAST(SUM(distinct_orders) AS BIGINT) AS distinct_orders
+         |FROM daily GROUP BY 1,2,3,4,5,6,7""".stripMargin,
+    "q05_seller_perf_quarterly" ->
+      s"""WITH fact AS ($factSql), daily AS ($dailySql)
+         |SELECT SellerID, SellerName, ProductID, ProductName, CategoryName, year, quarter,
+         |  CAST(SUM(total_revenue) AS DOUBLE) AS total_revenue,
+         |  CAST(SUM(total_quantity_sold) AS DOUBLE) AS total_quantity_sold,
+         |  CAST(SUM(distinct_orders) AS BIGINT) AS distinct_orders
+         |FROM daily GROUP BY 1,2,3,4,5,6,7""".stripMargin,
+    "q06_order_rates" ->
+      s"""WITH fact AS ($factSql)
+         |SELECT SellerID, SellerName,
+         |  COUNT(DISTINCT OrderID) AS total_orders_placed,
+         |  COUNT(DISTINCT CASE WHEN StatusName = 'Delivered' THEN OrderID END) AS delivered_orders,
+         |  COUNT(DISTINCT CASE WHEN StatusName = 'Cancelled' THEN OrderID END) AS cancelled_orders,
+         |  COUNT(DISTINCT CASE WHEN StatusName = 'Returned' THEN OrderID END) AS returned_orders,
+         |  CAST(COUNT(DISTINCT CASE WHEN StatusName = 'Cancelled' THEN OrderID END) AS DOUBLE)
+         |    / CAST(COUNT(DISTINCT OrderID) AS DOUBLE) AS cancellation_rate,
+         |  CAST(COUNT(DISTINCT CASE WHEN StatusName = 'Returned' THEN OrderID END) AS DOUBLE)
+         |    / CAST(CASE WHEN COUNT(DISTINCT CASE WHEN StatusName = 'Delivered' THEN OrderID END) > 0
+         |           THEN COUNT(DISTINCT CASE WHEN StatusName = 'Delivered' THEN OrderID END) ELSE 1 END AS DOUBLE) AS return_rate
+         |FROM fact GROUP BY 1, 2""".stripMargin,
+    "q07_seller_segmentation" ->
+      s"""WITH fact AS ($factSql), daily AS ($dailySql),
+         |revenue AS (SELECT SellerID, SellerName, SUM(total_revenue) AS total_revenue
+         |            FROM daily GROUP BY 1, 2),
+         |rates AS (
+         |  SELECT SellerID,
+         |    COUNT(DISTINCT OrderID) AS total_orders_placed,
+         |    COUNT(DISTINCT CASE WHEN StatusName = 'Delivered' THEN OrderID END) AS delivered_orders,
+         |    COUNT(DISTINCT CASE WHEN StatusName = 'Cancelled' THEN OrderID END) AS cancelled_orders,
+         |    COUNT(DISTINCT CASE WHEN StatusName = 'Returned' THEN OrderID END) AS returned_orders,
+         |    CAST(COUNT(DISTINCT CASE WHEN StatusName = 'Cancelled' THEN OrderID END) AS DOUBLE)
+         |      / CAST(COUNT(DISTINCT OrderID) AS DOUBLE) AS cancellation_rate,
+         |    CAST(COUNT(DISTINCT CASE WHEN StatusName = 'Returned' THEN OrderID END) AS DOUBLE)
+         |      / CAST(CASE WHEN COUNT(DISTINCT CASE WHEN StatusName = 'Delivered' THEN OrderID END) > 0
+         |             THEN COUNT(DISTINCT CASE WHEN StatusName = 'Delivered' THEN OrderID END) ELSE 1 END AS DOUBLE) AS return_rate
+         |  FROM fact GROUP BY 1)
+         |SELECT r.SellerID, r.SellerName, CAST(r.total_revenue AS DOUBLE) AS total_revenue,
+         |  t.total_orders_placed, t.delivered_orders, t.cancelled_orders, t.returned_orders,
+         |  t.cancellation_rate, t.return_rate,
+         |  CASE WHEN r.total_revenue > 10000 AND t.return_rate < 0.015 THEN 'Top Seller'
+         |       WHEN r.total_revenue > 2000 AND t.return_rate < 0.03 THEN 'Premium Seller'
+         |       ELSE 'Risk Seller' END AS seller_segment
+         |FROM revenue r JOIN rates t ON r.SellerID = t.SellerID""".stripMargin,
+    "q08_customer_analytics" ->
+      s"""WITH fact AS ($factSql)
+         |SELECT CustomerID, CustomerName,
+         |  COUNT(DISTINCT OrderID) AS total_orders,
+         |  CAST(SUM(TotalAmount) AS DOUBLE) AS total_spend,
+         |  MIN(OrderDate) AS first_purchase_date,
+         |  MAX(OrderDate) AS last_purchase_date,
+         |  CASE WHEN COUNT(DISTINCT OrderID) > 1 THEN 'Returning Customer'
+         |       ELSE 'New Customer' END AS customer_type
+         |FROM fact GROUP BY 1, 2""".stripMargin,
+    "q09_scd2_fingerprint" ->
+      s"SELECT c_custkey, ${fpSql()} AS scd2_hash FROM customer",
+    "q10_watermark_filter" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+        |FROM events
+        |WHERE ts > TIMESTAMP '2024-01-10 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
+    "q11_batch_watermark" ->
+      "SELECT CAST(MAX(ts) AS TIMESTAMP) AS new_watermark FROM events",
+    "q12_scd2_classify" ->
+      s"""${stagedSql}SELECT c_custkey, action FROM staged WHERE action IN ('INSERT', 'UPDATE')""",
+    "q13_scd2_new_records" ->
+      s"""${stagedSql}SELECT c_custkey, c_name, c_mktsegment FROM staged WHERE action = 'INSERT'""",
+    "q14_scd2_expire_keys" ->
+      s"""${stagedSql}SELECT DISTINCT c_custkey FROM staged WHERE action = 'UPDATE'""",
+    "q15_scd2_apply" ->
+      s"""${stagedSql},
+         |ins AS (SELECT * FROM staged WHERE action IN ('INSERT', 'UPDATE')),
+         |keys AS (SELECT DISTINCT c_custkey FROM staged WHERE action = 'UPDATE')
+         |SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment,
+         |  CASE WHEN k.c_custkey IS NOT NULL THEN FALSE ELSE TRUE END AS is_current,
+         |  TIMESTAMP '2026-01-01 00:00:00' AS effective_date,
+         |  CASE WHEN k.c_custkey IS NOT NULL THEN TIMESTAMP '2026-02-01 00:00:00' END AS end_date
+         |FROM customer c LEFT JOIN keys k ON c.c_custkey = k.c_custkey
+         |UNION ALL
+         |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+         |  TRUE, TIMESTAMP '2026-02-01 00:00:00', NULL
+         |FROM ins""".stripMargin,
+    "q16_event_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q17_top_customers_by_nation" ->
+      s"""WITH fact AS ($factSql),
+         |spend AS (SELECT NationName, CustomerID, SUM(TotalAmount) AS spend_d
+         |          FROM fact GROUP BY 1, 2)
+         |SELECT NationName, CustomerID, CAST(spend_d AS DOUBLE) AS spend,
+         |  CAST(row_number() OVER (PARTITION BY NationName ORDER BY spend_d DESC, CustomerID ASC) AS INTEGER) AS rank
+         |FROM spend
+         |QUALIFY row_number() OVER (PARTITION BY NationName ORDER BY spend_d DESC, CustomerID ASC) <= 3""".stripMargin,
+    "q20_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, MIN(doc_id) AS kept_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q21_dedup_ngram_jaccard" ->
+      s"""WITH sh AS (${shingleSql(3)}),
+         |$jaccardTailSql""".stripMargin,
+    "q22_dedup_minhash_lsh" -> minhashSql(3, 4, 3),
+    "q23_dedup_simhash" -> simhashSql,
+    "q24_cosine_topk" ->
+      s"""WITH pc AS ($cosineSql)
+         |SELECT query_id, cand_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS INTEGER) AS rank
+         |FROM pc
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) <= 5""".stripMargin,
+    "q25_ann_lsh_topk" -> {
+      val bucket = (1 to 8).map(i =>
+        s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+      s"""WITH bucketed AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+         |pc AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos
+         |  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+         |SELECT query_id, cand_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS INTEGER) AS rank
+         |FROM pc
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) <= 3""".stripMargin
+    },
+    "q26_embed_neardup" ->
+      s"""WITH pc AS ($cosineSql)
+         |SELECT query_id AS id_a, cand_id AS id_b, cos
+         |FROM pc WHERE query_id < cand_id AND cos >= 0.4""".stripMargin,
+    "q27_lang_id" ->
+      s"""SELECT doc_id,
+         |  $langScoreSql,
+         |  CASE
+         |    WHEN score_en >= greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'en'
+         |    WHEN score_de >= greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'de'
+         |    WHEN score_es >= greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'es'
+         |    WHEN score_fr >= greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'fr'
+         |    ELSE 'zh' END AS detected_lang
+         |FROM documents""".stripMargin,
+    "q28_text_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INTEGER) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len,
+        |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+        |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+        |  CASE WHEN len(string_split(text, ' ')) >= 50
+        |         AND CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) < 0.1
+        |         AND CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 3
+        |         AND CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) <= 10 THEN 'high'
+        |       WHEN len(string_split(text, ' ')) >= 10 THEN 'medium'
+        |       ELSE 'low' END AS quality
+        |FROM documents""".stripMargin,
+    "q29_token_counts" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]')) AS INTEGER) AS n_bpeish_tokens
+        |FROM documents""".stripMargin,
+    "q30_fingerprints" ->
+      """SELECT doc_id, md5(text) AS content_md5,
+        |  CASE WHEN length(text) < 8 THEN md5(text)
+        |       ELSE list_min(list_transform(generate_series(1, length(text) - 7),
+        |                     i -> md5(text[i:i+7]))) END AS min_gram_md5
+        |FROM documents""".stripMargin,
+    "q31_multimodal_meta" ->
+      """SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  md5(text) AS content_hash, 'text' AS kind
+        |FROM documents""".stripMargin
+  )
 }

@@ -1,0 +1,44 @@
+package graft.actions
+
+import org.apache.spark.sql.DataFrame
+
+/** Data-driven side-effect boundary — the reference's new-customer email
+  * fan-out (/root/reference/adf/pipeline.json:396-441: per-row HTTP POST of
+  * `{name, email}` to a Logic App, fed by the `new_customers_for_emailing`
+  * table written at 2_Bronze_to_Silver.py:108-119).
+  *
+  * The engine computes the record set; delivery is pluggable. A production
+  * impl would batch rows per partition and POST (never per-row from the
+  * driver); tests use [[CollectingSink]].
+  */
+trait ActionSink {
+  /** Deliver one batch of action records. Called after the Silver commit. */
+  def deliver(records: DataFrame): Unit
+}
+
+/** Test/dev sink: materializes the records on the driver. */
+class CollectingSink extends ActionSink {
+  @volatile var batches: List[Seq[Map[String, Any]]] = Nil
+  override def deliver(records: DataFrame): Unit = {
+    val cols = records.columns
+    val rows = records.collect().toSeq
+      .map(r => cols.map(c => c -> r.getAs[Any](c)).toMap)
+    batches = batches :+ rows
+  }
+}
+
+/** No-op sink for pipelines without side effects. */
+object NullSink extends ActionSink {
+  override def deliver(records: DataFrame): Unit = ()
+}
+
+/** Metastore sink — the reference's `saveAsTable("default.
+  * new_customers_for_emailing")` overwrite (2_Bronze_to_Silver.py:114-116),
+  * including the CREATE DATABASE IF NOT EXISTS DDL (:11). The written table
+  * is what the downstream fan-out reads (adf/pipeline.json:396-441). */
+class MetastoreSink(database: String, table: String) extends ActionSink {
+  override def deliver(records: DataFrame): Unit = {
+    records.sparkSession.sql(s"CREATE DATABASE IF NOT EXISTS $database")
+    records.write.mode("overwrite").saveAsTable(s"$database.$table")
+  }
+}

@@ -1,0 +1,60 @@
+package graft.etl
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.{LandingSource, TableStore}
+
+/** Landing → Bronze stage (/root/reference/databricks_notebooks/
+  * 1_Landing_to_Bronze.py): per discovered table — schema pin or infer,
+  * empty-batch short-circuit, audit columns, append with schema evolution.
+  *
+  * Audit columns (1_Landing_to_Bronze.py:54-55): `ingestion_timestamp` is the
+  * pinned per-run timestamp (the reference drifts current_timestamp();
+  * SURVEY.md §7.4), `source_file` is the scan-provenance column.
+  *
+  * Scale notes: the ingest is embarrassingly parallel per file — no shuffle
+  * anywhere in the stage; the only full-pass costs are first-run schema
+  * inference (one extra scan, amortized away by pinning) and the parquet
+  * encode. Bronze appends are O(batch) in [[TableStore]].
+  */
+object BronzeIngest {
+
+  val auditCols: Set[String] = Set("ingestion_timestamp", "source_file")
+
+  final case class Report(table: String, rows: Long, action: String)
+
+  def withAuditCols(df: DataFrame, runTs: Timestamp): DataFrame =
+    df.withColumn("ingestion_timestamp", lit(runTs))
+      .withColumn("source_file", input_file_name())
+
+  /** Ingest one table: pin-or-infer read → skip-if-empty → audit cols →
+    * append (schema evolves on write; 1_Landing_to_Bronze.py:36-67). */
+  def ingestTable(landing: LandingSource, store: TableStore, bronzeRoot: String,
+                  table: String, runTs: Timestamp): Report = {
+    val target = s"$bronzeRoot/$table"
+    val raw =
+      if (store.exists(target))
+        landing.readPinned(table, store.schemaOf(target), auditCols)
+      else landing.readInferred(table)
+    if (raw.isEmpty) Report(table, 0, "skipped-empty")
+    else {
+      val withAudit = withAuditCols(raw, runTs)
+      val action = if (store.exists(target)) "appended" else "created"
+      store.append(target, withAudit)
+      Report(table, withAudit.count(), action)
+    }
+  }
+
+  /** Ingest every landed table (the reference's discovery loop,
+    * 1_Landing_to_Bronze.py:27-73): a bad table is reported and skipped, the
+    * rest of the run continues. */
+  def run(landing: LandingSource, store: TableStore, bronzeRoot: String,
+          runTs: Timestamp): Seq[Report] =
+    landing.listTables().map { t =>
+      try ingestTable(landing, store, bronzeRoot, t, runTs)
+      catch { case e: Exception => Report(t, -1, s"failed: ${e.getMessage}") }
+    }
+}

@@ -1,0 +1,57 @@
+package graft.etl
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.actions.{ActionSink, NullSink}
+import graft.sources.{LandingSource, TableConfig, TableStore, WatermarkStore}
+
+/** End-to-end medallion pipeline driver, replacing the reference's ADF
+  * orchestration (/root/reference/adf/pipeline.json:89-362: ForEach copy →
+  * LandingToBronze → BronzeToSilver → SilverToGold, with the new-customer
+  * fan-out hanging off BronzeToSilver at :364-441).
+  *
+  * Error routing mirrors the reference's skip-vs-fail matrix: a missing
+  * landing/Bronze table skips that table (1_Landing_to_Bronze.py:71-73,
+  * 2_Bronze_to_Silver.py:152-158); anything else propagates and fails the
+  * run (README.MD:232).
+  */
+final case class PipelineConfig(
+    landingRoot: String,
+    bronzeRoot: String,
+    silverRoot: String,
+    goldRoot: String,
+    stateRoot: String,
+    tables: Seq[TableConfig],
+    sideChannelTable: String = "Customers",
+    sideChannelCols: Seq[String] = Seq("Name", "Email"))
+
+final case class RunReport(
+    bronze: Seq[BronzeIngest.Report],
+    silver: Seq[SilverScd2.Report],
+    gold: Option[GoldBuild.Report])
+
+class Pipeline(spark: SparkSession, conf: PipelineConfig,
+               sink: ActionSink = NullSink) {
+
+  val store = new TableStore(spark)
+  val watermarks = new WatermarkStore(spark, conf.stateRoot)
+  private val landing = new LandingSource(spark, conf.landingRoot)
+
+  /** One incremental run: Bronze ingest → SCD2 merge per active table →
+    * optional Gold rebuild from a caller-supplied fact builder. */
+  def run(runTs: Timestamp,
+          goldFact: Option[SparkSession => DataFrame] = None): RunReport = {
+    val bronze = BronzeIngest.run(landing, store, conf.bronzeRoot, runTs)
+    val silver = conf.tables.filter(_.active).map { tc =>
+      SilverScd2.run(store, watermarks, conf.bronzeRoot, conf.silverRoot,
+        tc, runTs, sink, conf.sideChannelTable, conf.sideChannelCols)
+    }
+    val gold = goldFact.map(f => GoldBuild.run(spark, store, conf.goldRoot, f(spark)))
+    RunReport(bronze, silver, gold)
+  }
+
+  def silverTable(name: String): DataFrame = store.read(s"${conf.silverRoot}/$name")
+  def goldTable(name: String): DataFrame = store.read(s"${conf.goldRoot}/$name")
+}

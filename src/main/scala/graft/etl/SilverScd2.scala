@@ -1,0 +1,74 @@
+package graft.etl
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.actions.ActionSink
+import graft.sources.{TableConfig, TableStore, WatermarkStore}
+
+/** Bronze → Silver SCD2 stage (/root/reference/databricks_notebooks/
+  * 2_Bronze_to_Silver.py:35-158): watermark-incremental read, hash-diff
+  * staging, the new-record side channel, the merge rewrite, and the
+  * commit-then-watermark ordering.
+  *
+  * Order of effects per table (the reference's transactional contract):
+  *   1. read watermark; filter Bronze by `ingestion_timestamp > wm`;
+  *   2. stage INSERT/UPDATE rows against the current Silver slice;
+  *   3. deliver the new-record side channel (Customers feed);
+  *   4. atomically swap the merged Silver state;
+  *   5. only then commit the new watermark — a crash before 5 re-processes
+  *      the batch (idempotent: replay stages nothing, see Scd2Spec).
+  */
+object SilverScd2 {
+
+  final case class Report(table: String, staged: Long, action: String)
+
+  /** The reference's new-customer feed is keyed on the Customers table
+    * (2_Bronze_to_Silver.py:108-111). */
+  def run(store: TableStore, watermarks: WatermarkStore,
+          bronzeRoot: String, silverRoot: String,
+          config: TableConfig, runTs: Timestamp,
+          sink: ActionSink, sideChannelTable: String = "Customers",
+          sideChannelCols: Seq[String] = Seq("Name", "Email")): Report = {
+    val table = config.name
+    val bronze = s"$bronzeRoot/$table"
+    val silver = s"$silverRoot/$table"
+    if (!store.exists(bronze)) return Report(table, 0, "skipped-no-bronze")
+
+    val wm = watermarks.read(table)
+    val batch = store.read(bronze)
+      .where(col("ingestion_timestamp") > lit(wm).cast("timestamp"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds ≥3 actions below
+    try {
+      if (batch.isEmpty) return Report(table, 0, "skipped-empty")
+      val newWm = batch.agg(max("ingestion_timestamp")).head.getTimestamp(0)
+
+      if (!store.exists(silver)) {
+        // first-run branch (2_Bronze_to_Silver.py:76-81)
+        store.overwrite(silver, Scd2.initialLoad(batch, runTs))
+        watermarks.commit(table, newWm.toString)
+        return Report(table, batch.count(), "initial-load")
+      }
+
+      val target = store.read(silver)
+      val staged = Scd2.stage(batch, target.where(col("is_current")), config.pk)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (staged.isEmpty) {
+          watermarks.commit(table, newWm.toString)
+          return Report(table, 0, "no-changes")
+        }
+        if (table == sideChannelTable) {
+          val inserts = Scd2.insertedRecords(staged, sideChannelCols)
+          if (!inserts.isEmpty) sink.deliver(inserts)
+        }
+        val next = Scd2.applyMerge(target, staged, config.pk, runTs)
+        store.replaceWith(silver, next)
+        watermarks.commit(table, newWm.toString) // only after the swap
+        Report(table, staged.count(), "merged")
+      } finally staged.unpersist()
+    } finally batch.unpersist()
+  }
+}

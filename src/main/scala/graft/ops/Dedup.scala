@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for large-scale training-data pipelines:
+  * exact, n-gram Jaccard, MinHash+LSH, and SimHash. (Embedding-cosine
+  * near-dup lives in [[Similarity.nearDupPairs]].)
+  *
+  * Scale notes:
+  *  - exact dedup is a single hash-aggregate shuffle on the dedup key.
+  *  - the pairwise-Jaccard path shuffles on the shingle, so its cost is
+  *    Σ df(shingle)² — quadratic in per-shingle document frequency. It is the
+  *    exact baseline; at 100 TB use [[minHashLshPairs]], whose shuffle is on
+  *    (band index, band hash) and whose candidate set is bounded by the LSH
+  *    collision probability, then verify only candidates.
+  *  - hashes: the oracle-checkable variants use md5 (same algorithm available
+  *    in DuckDB); the hot path at scale should use xxhash64 (codegen'd, 8-byte
+  *    output) — [[simHash64]] is that variant.
+  */
+object Dedup {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles (with multiplicity). Guarded so documents shorter
+    * than n yield an empty array — Spark's `sequence(1, k)` for k < 1 would
+    * otherwise count *down*. */
+  def shingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    when(size(ts) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(ts) - lit(n - 1)),
+        i => concat_ws(" ", slice(ts, i, lit(n)))))
+  }
+
+  /** Exploded table of DISTINCT shingles: (id, shingle). */
+  def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), explode(array_distinct(shingles(col(textCol), n))).as("shingle"))
+
+  /** Exact dedup: one surviving row (min id) per identical key. */
+  def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_copies"))
+
+  /** All document pairs with n-gram Jaccard ≥ minJaccard (exact, pairwise).
+    * Jaccard = |A∩B| / (|A|+|B|−|A∩B|) over distinct shingle sets. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, minJaccard: Double): DataFrame = {
+    val sh = shingleTable(df, idCol, textCol, n)
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val a = sh.toDF("id_a", "shingle")
+    val b = sh.toDF("id_b", "shingle")
+    val common = a.join(b, Seq("shingle"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.toDF("id_a", "na"), Seq("id_a"))
+      .join(sizes.toDF("id_b", "nb"), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")).cast("double"))
+      .where(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signature columns sig_0..sig_{h-1}: sig_i = min over distinct
+    * shingles of md5(i || ':' || shingle). Using the hex string as the hash
+    * value keeps ordering identical across engines. */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, numHashes: Int): DataFrame = {
+    val sh = shingleTable(df, idCol, textCol, n)
+    val aggs = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"sig_$i"))
+    sh.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash + LSH banding: candidate pairs = documents sharing at least one
+    * band hash (band j = md5 of its `rowsPerBand` signature slots), then
+    * verified with exact Jaccard. numHashes = bands × rowsPerBand. */
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+                      bands: Int, rowsPerBand: Int, minJaccard: Double): DataFrame = {
+    val h = bands * rowsPerBand
+    val sigs = minHashSignatures(df, idCol, textCol, n, h)
+    val bandCols = (0 until bands).map { b =>
+      val slots = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws("|", slots: _*)).as("bh"))
+    }
+    val banded = sigs.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val x = banded.toDF("id_a", "band", "bh")
+    val y = banded.toDF("id_b", "band", "bh")
+    val candidates = x.join(y, Seq("band", "bh"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // verify candidates with exact Jaccard (cheap: candidate set is small)
+    val sh = shingleTable(df, idCol, textCol, n)
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val common = candidates
+      .join(sh.toDF("id_a", "shingle"), Seq("id_a"))
+      .join(sh.toDF("id_b", "shingle2").withColumnRenamed("shingle2", "shingle"),
+        Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.toDF("id_a", "na"), Seq("id_a"))
+      .join(sizes.toDF("id_b", "nb"), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")).cast("double"))
+      .where(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 16-bit SimHash from the first 16 hex nibbles of each token's md5:
+    * bit i votes +1 if nibble i ≥ 8 else −1; signature bit i = (Σ votes > 0).
+    * Returned as an int in [0, 65535]. Oracle-checkable (md5 + set membership
+    * only); see [[simHash64]] for the scale variant. */
+  def simHash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val hi = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val votes = (0 until 16).map { i =>
+      sum(when(substring(col("h"), i + 1, 1).isin(hi: _*), 1).otherwise(-1)).as(s"v_$i")
+    }
+    val voted = tok.groupBy(idCol).agg(votes.head, votes.tail: _*)
+    val sig = (0 until 16).map { i =>
+      when(col(s"v_$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    voted.select(col(idCol), sig.as("simhash16"))
+  }
+
+  /** 64-bit SimHash on xxhash64 tokens — the codegen-friendly scale variant
+    * (no md5 string churn; one 8-byte hash per token). */
+  def simHash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v_$i")
+    }
+    val voted = tok.groupBy(idCol).agg(votes.head, votes.tail: _*)
+    val sig = (0 until 64).map { i =>
+      when(col(s"v_$i") > 0, lit(1L) * lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    voted.select(col(idCol), sig.as("simhash64"))
+  }
+}

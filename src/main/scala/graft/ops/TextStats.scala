@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, n-gram-heuristic language ID, and document
+  * fingerprinting. All expressions are built-in-function compositions
+  * (codegen-friendly; no UDFs) and RE2-compatible regexes so the same logic
+  * runs on any engine.
+  */
+object TextStats {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(split(text, " "))
+
+  /** BPE-ish subword count: alpha runs split from digit/punctuation singles —
+    * a cheap, deterministic proxy for tokenizer cost estimation. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"), lit(0)))
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Per-document quality features + a bucketed score. */
+  def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nTok = tokenCount(t)
+    val nonSpace = length(regexp_replace(t, " ", ""))
+    val stopHits = size(filter(split(t, " "), w => w.isin(stopwords.map(lit): _*)))
+    df.select(
+      col(idCol),
+      length(t).as("n_chars"),
+      nTok.as("n_tokens"),
+      (nonSpace.cast("double") / nTok.cast("double")).as("avg_token_len"),
+      (size(regexp_extract_all(t, lit("[^a-zA-Z0-9 ]"), lit(0))).cast("double")
+        / length(t).cast("double")).as("punct_ratio"),
+      (stopHits.cast("double") / nTok.cast("double")).as("stopword_ratio"))
+      .withColumn("quality",
+        when(col("n_tokens") >= 50 && col("punct_ratio") < 0.1
+          && col("avg_token_len") >= 3 && col("avg_token_len") <= 10, "high")
+          .when(col("n_tokens") >= 10, "medium")
+          .otherwise("low"))
+  }
+
+  /** Marker words per language for the n-gram language-ID heuristic. Order
+    * matters: ties resolve to the earlier entry. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "of"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "los", "las", "que"),
+    "fr" -> Seq("le", "la", "les", "et"),
+    "zh" -> Seq("的", "是", "在", "了"))
+
+  /** Language-ID heuristic: count marker-word hits per language, take the
+    * argmax (first language in [[langMarkers]] order wins ties). */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val scores = langMarkers.map { case (lang, ms) =>
+      lang -> size(filter(toks, w => w.isin(ms.map(lit): _*)))
+    }
+    val withScores = df.select(
+      (col(idCol) +: scores.map { case (l, c) => c.as(s"score_$l") }): _*)
+    val best = scores.map(_._1).map(l => col(s"score_$l"))
+    val detected = scores.map(_._1).zip(best).foldLeft(lit(null).cast("string")) {
+      case (acc, (lang, sc)) =>
+        when(acc.isNull && sc === greatest(best: _*), lang).otherwise(acc)
+    }
+    withScores.withColumn("detected_lang", detected)
+  }
+
+  /** Document fingerprints: full-content md5 plus a winnowing-style minimum
+    * over character 8-gram hashes (robust to small edits at the ends). */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      md5(t).as("content_md5"),
+      array_min(when(length(t) < 8, array(md5(t)))
+        .otherwise(transform(sequence(lit(1), length(t) - lit(7)),
+          i => md5(t.substr(i, lit(8)))))).as("min_gram_md5"))
+  }
+}

@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** CSV landing-zone discovery and reads — the reference's table-discovery
+  * loop (/root/reference/databricks_notebooks/1_Landing_to_Bronze.py:12-24)
+  * re-expressed over the Hadoop FileSystem API.
+  *
+  * A landing entry is either `<Table>.csv` or a directory `<Table>/` of csv
+  * parts; entries prefixed `_` (checkpoints, markers) are skipped, matching
+  * the reference's normalization.
+  */
+class LandingSource(spark: SparkSession, landingRoot: String) {
+
+  private def fs(p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Discover landed tables: strip `.csv`, skip `_`-prefixed entries. */
+  def listTables(): Seq[String] = {
+    val root = new Path(landingRoot)
+    val f = fs(root)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq
+      .map(_.getPath.getName)
+      .filterNot(_.startsWith("_"))
+      .map(n => if (n.endsWith(".csv")) n.dropRight(4) else n)
+      .distinct.sorted
+  }
+
+  private def tablePath(table: String): String = {
+    val asFile = new Path(landingRoot, s"$table.csv")
+    if (fs(asFile).exists(asFile)) asFile.toString
+    else new Path(landingRoot, table).toString
+  }
+
+  /** First-sight read: header + schema inference
+    * (1_Landing_to_Bronze.py:37,44-46). */
+  def readInferred(table: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(tablePath(table))
+
+  /** Subsequent reads pin the existing Bronze schema so inference never
+    * flips types between runs (1_Landing_to_Bronze.py:41-42). Audit columns
+    * in the pinned schema are dropped — they are re-derived at ingest. */
+  def readPinned(table: String, schema: StructType,
+                 auditCols: Set[String]): DataFrame = {
+    val pinned = StructType(schema.fields.filterNot(f => auditCols.contains(f.name)))
+    spark.read.schema(pinned).option("header", "true").csv(tablePath(table))
+  }
+}

@@ -1,0 +1,130 @@
+package graft.sources
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned-Parquet table layout — the engine's replacement for the Delta
+  * tables the reference relies on (append / overwrite / MERGE-rewrite /
+  * existence probe / schema evolution; SURVEY.md §4.4, reference
+  * /root/reference/README.MD:206).
+  *
+  * Layout:
+  * {{{
+  *   table/
+  *     data-<uuid>/part-*.parquet     immutable data directories
+  *     _v<N>                          manifest: newline-separated data dirs
+  *     _current                       pointer: the committed version number
+  * }}}
+  *
+  * Commits are atomic by pointer swap: data dirs are written first, then the
+  * manifest, then `_current` is overwritten last — a reader always resolves a
+  * fully-written version. Appends are O(batch), not O(table): a new data dir
+  * is added to the manifest instead of rewriting existing files (the same
+  * idea as the Delta log, minimal single-writer form).
+  *
+  * Schema evolution (reference `mergeSchema=true`,
+  * 1_Landing_to_Bronze.py:60): reads merge schemas across data dirs, so a
+  * batch with new columns widens the table and old rows read as NULL.
+  */
+class TableStore(spark: SparkSession) {
+
+  private def fs(p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Existence probe (reference `DeltaTable.isDeltaTable`,
+    * 1_Landing_to_Bronze.py:36, 2_Bronze_to_Silver.py:74). */
+  def exists(table: String): Boolean = {
+    val cur = new Path(table, "_current")
+    fs(cur).exists(cur)
+  }
+
+  def currentVersion(table: String): Option[Long] = {
+    val cur = new Path(table, "_current")
+    val f = fs(cur)
+    if (!f.exists(cur)) None
+    else {
+      val in = f.open(cur)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
+      finally in.close()
+    }
+  }
+
+  private def manifest(table: String, v: Long): Seq[String] = {
+    val mp = new Path(table, s"_v$v")
+    val f = fs(mp)
+    val in = f.open(mp)
+    try new String(in.readAllBytes(), "UTF-8").split("\n").toSeq
+      .map(_.trim).filter(_.nonEmpty)
+    finally in.close()
+  }
+
+  private def writeFile(p: Path, content: String): Unit = {
+    val f = fs(p)
+    val out = f.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def writeDataDir(table: String, df: DataFrame): String = {
+    val dir = s"data-${UUID.randomUUID().toString.take(8)}"
+    df.write.parquet(new Path(table, dir).toString)
+    dir
+  }
+
+  private def commit(table: String, dirs: Seq[String]): Long = {
+    val v = currentVersion(table).getOrElse(-1L) + 1L
+    writeFile(new Path(table, s"_v$v"), dirs.mkString("\n"))
+    writeFile(new Path(table, "_current"), v.toString) // pointer last = commit
+    v
+  }
+
+  /** Read the current committed snapshot, merging schemas across data dirs. */
+  def read(table: String): DataFrame = {
+    val v = currentVersion(table).getOrElse(
+      throw new IllegalStateException(s"no committed version at $table"))
+    val dirs = manifest(table, v).map(d => new Path(table, d).toString)
+    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+  }
+
+  /** Atomic overwrite: the new state becomes visible in one pointer swap
+    * (reference Delta `mode("overwrite")`, 3_Silver_to_Gold.py:60). */
+  def overwrite(table: String, df: DataFrame): Long =
+    commit(table, Seq(writeDataDir(table, df)))
+
+  /** Append with schema evolution: adds a data dir to the manifest without
+    * touching existing files (reference Delta append + `mergeSchema`,
+    * 1_Landing_to_Bronze.py:59-67). */
+  def append(table: String, df: DataFrame): Long = {
+    val prev = currentVersion(table) match {
+      case Some(v) => manifest(table, v)
+      case None => Seq.empty
+    }
+    commit(table, prev :+ writeDataDir(table, df))
+  }
+
+  /** The MERGE-rewrite commit (reference Delta MERGE,
+    * 2_Bronze_to_Silver.py:127-133): callers compute the complete next state
+    * (e.g. [[graft.etl.Scd2.applyMerge]]) and swap it in atomically. */
+  def replaceWith(table: String, nextState: DataFrame): Long =
+    overwrite(table, nextState)
+
+  /** Current committed schema (used to pin CSV re-reads,
+    * 1_Landing_to_Bronze.py:41-42). */
+  def schemaOf(table: String): org.apache.spark.sql.types.StructType =
+    read(table).schema
+
+  /** Drop data dirs no longer referenced by the current manifest (vacuum). */
+  def vacuum(table: String): Unit = {
+    val tp = new Path(table)
+    val f = fs(tp)
+    currentVersion(table).foreach { v =>
+      val live = manifest(table, v).toSet
+      f.listStatus(tp).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("data-") && !live.contains(n))
+          f.delete(st.getPath, true)
+      }
+    }
+  }
+}

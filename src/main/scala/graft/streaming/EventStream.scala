@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming upgrade path for the reference's micro-batch ingest
+  * loop (SURVEY.md §2.8): the ADF-scheduled watermark scan
+  * (/root/reference/adf/pipeline.json:129) is the batch shape of a file
+  * stream + event-time watermark; `Trigger.AvailableNow` reproduces the
+  * scheduled-batch semantics exactly (process everything available, then
+  * stop) while keeping exactly-once file tracking in the checkpoint instead
+  * of a hand-rolled watermark file.
+  *
+  * The transforms are written against plain DataFrames so the SAME function
+  * runs in batch (tested against the DuckDB oracle via q16) and as a
+  * streaming query — the Spark-native way to keep the two paths consistent.
+  */
+object EventStream {
+
+  /** Event-time hourly aggregate (shared batch/streaming shape; q16). */
+  def hourlyAggregate(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).as("sum_value_d"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value_d").cast("double").as("sum_value"))
+
+  /** File-source stream over a landing directory of csv drops — the
+    * streaming form of the reference's landing scan. `maxFilesPerTrigger`
+    * bounds micro-batch size at scale. */
+  def readCsvStream(spark: SparkSession, dir: String, schema: StructType,
+                    maxFilesPerTrigger: Int = 100): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("header", "true")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .csv(dir)
+
+  /** Run a streaming aggregate with a 1-hour event-time watermark (late data
+    * beyond it is dropped and state is evicted — bounded state at scale),
+    * draining everything available then stopping (scheduled-batch parity). */
+  def runAvailableNow(events: DataFrame, checkpoint: String, outPath: String): StreamingQuery =
+    hourlyAggregate(events.withWatermark("ts", "1 hour"))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  // -------------------------------------------------------------------
+  // Stateful processing: sessionization via mapGroupsWithState — the
+  // custom-state primitive the reference lacks but a streaming engine needs.
+  // -------------------------------------------------------------------
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  final case class SessionState(start: Long, lastSeen: Long, nEvents: Long)
+  final case class SessionUpdate(user_id: Long, sessionStartMs: Long,
+                                 nEvents: Long, durationMs: Long, closed: Boolean)
+
+  /** Per-user session aggregation with a processing-time gap timeout.
+    * Works on both `Dataset[Event]` groups in streaming and (for tests) via
+    * [[sessionizeBatch]], which applies the same fold deterministically.
+    * `timeout = NoTimeout` disables idle-session closing (deterministic
+    * drain-and-stop runs; registered processing-time timeouts otherwise keep
+    * the micro-batch loop alive). */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+                 timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
+      : Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    val useTimeout = timeout != GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionUpdate](timeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionUpdate(user, s.start, s.nEvents, s.lastSeen - s.start, closed = true)
+          } else {
+            val times = batch.map(_.ts.getTime).toSeq.sorted
+            val prev = state.getOption
+            val merged = prev match {
+              case Some(s) if times.nonEmpty && times.head - s.lastSeen <= gapMs =>
+                SessionState(s.start, times.last, s.nEvents + times.size)
+              case Some(_) if times.nonEmpty => // gap exceeded: new session
+                SessionState(times.head, times.last, times.size)
+              case Some(s) => s
+              case None => SessionState(times.head, times.last, times.size)
+            }
+            state.update(merged)
+            if (useTimeout) state.setTimeoutDuration(gapMs)
+            SessionUpdate(user, merged.start, merged.nEvents,
+              merged.lastSeen - merged.start, closed = false)
+          }
+      }
+  }
+
+  /** Batch-deterministic sessionization (same gap semantics, expressed as a
+    * window fold) — the oracle for [[sessionize]] and a batch operator in its
+    * own right: session boundaries = gaps > gapMs between consecutive events
+    * per user. */
+  def sessionizeBatch(events: DataFrame, gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val marked = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        (col("prev_ts").isNull ||
+          (col("ts").cast("double") - col("prev_ts").cast("double")) * 1000 > gapMs)
+          .cast("int"))
+      .withColumn("session_id", sum("new_session").over(byUser))
+    marked.groupBy("user_id", "session_id")
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .withColumn("duration_ms",
+        ((col("session_end").cast("double") - col("session_start").cast("double")) * 1000).cast("long"))
+  }
+}

@@ -1,0 +1,138 @@
+package graft.etl
+
+import java.nio.file.{Files, Path => JPath, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.actions.CollectingSink
+import graft.sources.TableConfig
+
+/** End-to-end golden test (SURVEY.md §5.2): CSV drops driven through
+  * Bronze → Silver → Gold across three incremental runs — initial load, an
+  * attribute change, then a new+changed mix — asserting Silver version
+  * history, the new-customer side channel, and a Gold mart. */
+class PipelineE2ESpec extends SparkSpec {
+  import spark.implicits._
+
+  private val t1 = Timestamp.valueOf("2026-01-01 00:00:00")
+  private val t2 = Timestamp.valueOf("2026-02-01 00:00:00")
+  private val t3 = Timestamp.valueOf("2026-03-01 00:00:00")
+
+  /** Replaces the table's landing file, like the reference's per-run ADF
+    * copy overwriting `<Table>.csv` (adf/pipeline.json:178). */
+  private def writeCsv(dir: JPath, table: String, header: String, rows: Seq[String]): Unit = {
+    val d = dir.resolve(table)
+    Files.createDirectories(d)
+    d.toFile.listFiles().foreach(_.delete())
+    Files.writeString(d.resolve("part-0.csv"), (header +: rows).mkString("\n"))
+  }
+
+  test("three incremental runs: history, side channel, gold marts") {
+    val root = Files.createTempDirectory("graft-e2e")
+    val landing = root.resolve("landing")
+    val sink = new CollectingSink
+    val conf = PipelineConfig(
+      landingRoot = landing.toString,
+      bronzeRoot = root.resolve("bronze").toString,
+      silverRoot = root.resolve("silver").toString,
+      goldRoot = root.resolve("gold").toString,
+      stateRoot = root.resolve("state").toString,
+      tables = Seq(TableConfig("Customers", "CustomerID")))
+    val pipe = new Pipeline(spark, conf, sink)
+
+    // -- run 1: initial load ------------------------------------------------
+    writeCsv(landing, "Customers", "CustomerID,Name,Email,Segment", Seq(
+      "1,Alice,alice@x.com,retail",
+      "2,Bob,bob@x.com,retail"))
+    val r1 = pipe.run(t1)
+    r1.bronze.map(_.action) shouldBe Seq("created")
+    r1.silver.map(_.action) shouldBe Seq("initial-load")
+    val s1 = pipe.silverTable("Customers")
+    s1.count() shouldBe 2
+    s1.where($"is_current").count() shouldBe 2
+    sink.batches shouldBe Nil // initial load is not an incremental INSERT
+
+    // -- run 2: attribute change for Bob -----------------------------------
+    writeCsv(landing, "Customers", "CustomerID,Name,Email,Segment", Seq(
+      "1,Alice,alice@x.com,retail",      // unchanged -> NO CHANGE
+      "2,Bob,bob@x.com,wholesale"))      // changed segment -> UPDATE
+    val r2 = pipe.run(t2)
+    r2.silver.map(_.action) shouldBe Seq("merged")
+    val s2 = pipe.silverTable("Customers").cache()
+    s2.count() shouldBe 3 // 2 current + 1 expired Bob
+    s2.where($"CustomerID" === 2 && !$"is_current")
+      .select("Segment").as[String].collect() shouldBe Array("retail")
+    s2.where($"CustomerID" === 2 && $"is_current")
+      .select("Segment", "effective_date").as[(String, Timestamp)]
+      .collect() shouldBe Array(("wholesale", t2))
+    s2.unpersist()
+    sink.batches shouldBe Nil // update, not insert
+
+    // -- run 3: new customer + another change ------------------------------
+    writeCsv(landing, "Customers", "CustomerID,Name,Email,Segment", Seq(
+      "2,Bob,bob2@x.com,wholesale",      // email changed -> UPDATE
+      "3,Carol,carol@x.com,retail"))     // new -> INSERT (side channel!)
+    val r3 = pipe.run(t3)
+    r3.silver.map(_.action) shouldBe Seq("merged")
+    val s3 = pipe.silverTable("Customers").cache()
+    s3.count() shouldBe 5 // 3 current + 2 expired Bob versions
+    s3.where($"is_current").count() shouldBe 3
+    // full Bob history, ordered
+    val bob = s3.where($"CustomerID" === 2)
+      .orderBy("effective_date")
+      .select($"Email", $"is_current", $"end_date".isNull)
+      .as[(String, Boolean, Boolean)].collect().toSeq
+    bob shouldBe Seq(
+      ("bob@x.com", false, false),
+      ("bob@x.com", false, false),
+      ("bob2@x.com", true, true))
+    s3.unpersist()
+    // side channel delivered exactly Carol
+    sink.batches.map(_.map(m => (m("Name"), m("Email")))) shouldBe
+      List(Seq(("Carol", "carol@x.com")))
+
+    // -- gold: customer_analytics over a toy fact --------------------------
+    val fact = Seq(
+      (1, 10, "Alice", 5.0), (2, 10, "Alice", 7.0), (3, 11, "Bob", 3.0)
+    ).toDF("OrderID", "CustomerID", "CustomerName", "amt")
+      .withColumn("TotalAmount", $"amt".cast("decimal(12,2)"))
+      .withColumn("OrderDate", lit("2024-01-01").cast("date"))
+      .drop("amt")
+    val g = GoldBuild.run(spark, pipe.store, conf.goldRoot,
+      fact.select($"OrderID", $"CustomerID", $"CustomerName",
+        lit(1).as("SellerID"), lit("s").as("SellerName"),
+        lit(1).as("ProductID"), lit("p").as("ProductName"),
+        lit("c").as("CategoryName"), lit("Delivered").as("StatusName"),
+        lit(java.math.BigDecimal.ONE).cast("decimal(12,2)").as("Quantity"),
+        lit(java.math.BigDecimal.ONE).cast("decimal(12,2)").as("CurrentPrice"),
+        $"TotalAmount", $"OrderDate"))
+    g.marts("customer_analytics") shouldBe 2
+    val ca = pipe.goldTable("customer_analytics")
+      .select($"CustomerID", $"total_orders", $"customer_type")
+      .as[(Int, Long, String)].collect().toSet
+    ca shouldBe Set((10, 2L, "Returning Customer"), (11, 1L, "New Customer"))
+  }
+
+  test("re-running the same batch is idempotent (watermark no-change path)") {
+    val root = Files.createTempDirectory("graft-idem")
+    val landing = root.resolve("landing")
+    val conf = PipelineConfig(
+      landingRoot = landing.toString,
+      bronzeRoot = root.resolve("bronze").toString,
+      silverRoot = root.resolve("silver").toString,
+      goldRoot = root.resolve("gold").toString,
+      stateRoot = root.resolve("state").toString,
+      tables = Seq(TableConfig("Customers", "CustomerID")))
+    val pipe = new Pipeline(spark, conf)
+    writeCsv(landing, "Customers", "CustomerID,Name", Seq("1,Alice"))
+    pipe.run(t1)
+    // no new files landed: bronze appends the same file again (same content),
+    // but the SCD2 stage detects no changes and current rows stay put
+    val r2 = pipe.run(t2)
+    r2.silver.map(_.action) shouldBe Seq("no-changes")
+    val s = pipe.silverTable("Customers")
+    s.where($"is_current").count() shouldBe 1
+  }
+}

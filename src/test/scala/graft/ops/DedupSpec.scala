@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps"),
+    (2L, "the quick brown fox leaps"), // 2 of 3 trigrams shared with doc 1
+    (3L, "completely different text here now"),
+    (4L, "the quick brown fox jumps") // exact dup of doc 1
+  ).toDF("doc_id", "text")
+
+  test("shingles: n-grams with guard for short documents") {
+    val r = docs.select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
+      .where($"doc_id" === 1).as[(Long, Seq[String])].head()
+    r._2 shouldBe Seq("the quick brown", "quick brown fox", "brown fox jumps")
+    // shorter than n -> empty array, not a descending sequence
+    val short = Seq((9L, "one two")).toDF("doc_id", "text")
+      .select(Dedup.shingles($"text", 3).as("sh")).as[Seq[String]].head()
+    short shouldBe Seq.empty
+  }
+
+  test("exact dedup keeps min id and counts copies") {
+    val r = Dedup.exact(docs.select(md5($"text").as("k"), $"doc_id"), Seq("k"), "doc_id")
+      .select("kept_id", "n_copies").as[(Long, Long)].collect().toSet
+    r shouldBe Set((1L, 2L), (2L, 1L), (3L, 1L))
+  }
+
+  test("ngramJaccardPairs computes exact jaccard over distinct shingles") {
+    val r = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    // docs 1&2 share 2 of 4 distinct trigrams -> jaccard 0.5
+    // docs 1&4 identical -> 1.0 (and 2&4 same as 1&2)
+    r shouldBe Set((1L, 2L, 0.5), (1L, 4L, 1.0), (2L, 4L, 0.5))
+  }
+
+  test("minHashLshPairs finds exact duplicates and verifies candidates") {
+    val r = Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 4, 3, 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    // identical docs collide in every band and survive verification
+    r shouldBe Set((1L, 4L, 1.0))
+  }
+
+  test("LSH candidates are a superset filter: verified pairs ⊆ exact pairs") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 4, 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    lsh.subsetOf(exact) shouldBe true
+  }
+
+  test("simHash16: identical docs get identical signatures, in [0, 65535]") {
+    val sig = Dedup.simHash16(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    sig(1L) shouldBe sig(4L)
+    all(sig.values) should (be >= 0L and be <= 65535L)
+    // near-dup docs differ in few bits
+    val xor = sig(1L) ^ sig(2L)
+    java.lang.Long.bitCount(xor) should be <= 8
+  }
+
+  test("simHash64 mirrors simHash16 semantics on xxhash64") {
+    val sig = Dedup.simHash64(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    sig(1L) shouldBe sig(4L)
+    java.lang.Long.bitCount(sig(1L) ^ sig(2L)) should be <= 24
+  }
+}

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = Seq(
+    (1L, Seq(1f, 0f, 0f)),
+    (2L, Seq(0.9f, 0.1f, 0f)), // close to 1
+    (3L, Seq(0f, 1f, 0f)),     // orthogonal to 1
+    (4L, Seq(-1f, 0f, 0f))     // opposite of 1
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: known geometry") {
+    val pairs = Seq(
+      (Seq(1f, 0f, 0f), Seq(1f, 0f, 0f)),
+      (Seq(1f, 0f, 0f), Seq(0f, 1f, 0f)),
+      (Seq(1f, 0f, 0f), Seq(-1f, 0f, 0f))
+    ).toDF("a", "b")
+    val r = pairs.select(round(Similarity.cosine($"a", $"b"), 6).as("c"))
+      .as[Double].collect().toSeq
+    r shouldBe Seq(1.0, 0.0, -1.0)
+  }
+
+  test("bruteForceTopK ranks by cosine desc with id tiebreak") {
+    val r = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 2)
+      .where($"query_id" === 1)
+      .select("cand_id", "rank").as[(Long, Int)].collect().toSeq.sortBy(_._2)
+    r shouldBe Seq((2L, 1), (3L, 2))
+  }
+
+  test("signBucket separates opposite-sign vectors") {
+    val b = emb.select($"vec_id", Similarity.signBucket($"embedding", 3).as("b"))
+      .as[(Long, String)].collect().toMap
+    b(1L) shouldBe b(2L) // same orthant
+    b(1L) should not be b(4L)
+  }
+
+  test("lshTopK only pairs within a bucket (recall<1 by design)") {
+    val r = Similarity.lshTopK(emb, "vec_id", "embedding", 5, 3)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    // zeros count as non-negative: 1,2,3 share bucket "111"; 4 ("011") is alone
+    r shouldBe Set((1L, 2L), (1L, 3L), (2L, 1L), (2L, 3L), (3L, 1L), (3L, 2L))
+    r.flatMap(p => Seq(p._1, p._2)) should not contain 4L
+  }
+
+  test("nearDupPairs: symmetric threshold filter, a<b") {
+    val r = Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    r shouldBe Set((1L, 2L))
+  }
+}

@@ -1,0 +1,63 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TableStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-store").toString
+
+  test("exists is false before the first commit, true after") {
+    val store = new TableStore(spark)
+    val t = tmp() + "/t"
+    store.exists(t) shouldBe false
+    store.overwrite(t, Seq((1, "a")).toDF("id", "v"))
+    store.exists(t) shouldBe true
+    store.currentVersion(t) shouldBe Some(0L)
+  }
+
+  test("append adds data without rewriting, read sees the union") {
+    val store = new TableStore(spark)
+    val t = tmp() + "/t"
+    store.append(t, Seq((1, "a")).toDF("id", "v"))
+    store.append(t, Seq((2, "b")).toDF("id", "v"))
+    store.currentVersion(t) shouldBe Some(1L)
+    store.read(t).as[(Int, String)].collect().toSet shouldBe Set((1, "a"), (2, "b"))
+  }
+
+  test("append with a new column evolves the schema (old rows read NULL)") {
+    val store = new TableStore(spark)
+    val t = tmp() + "/t"
+    store.append(t, Seq((1, "a")).toDF("id", "v"))
+    store.append(t, Seq((2, "b", "x")).toDF("id", "v", "extra"))
+    val r = store.read(t)
+    r.columns.toSet shouldBe Set("id", "v", "extra")
+    r.where($"id" === 1).select("extra").as[Option[String]].head() shouldBe None
+    r.where($"id" === 2).select("extra").as[Option[String]].head() shouldBe Some("x")
+  }
+
+  test("overwrite swaps the visible state atomically; vacuum drops orphans") {
+    val store = new TableStore(spark)
+    val t = tmp() + "/t"
+    store.append(t, Seq((1, "a")).toDF("id", "v"))
+    store.overwrite(t, Seq((9, "z")).toDF("id", "v"))
+    store.read(t).as[(Int, String)].collect().toSeq shouldBe Seq((9, "z"))
+    // the old data dir still exists until vacuum, but is invisible
+    store.vacuum(t)
+    store.read(t).as[(Int, String)].collect().toSeq shouldBe Seq((9, "z"))
+    val dirs = new java.io.File(t).listFiles().map(_.getName).filter(_.startsWith("data-"))
+    dirs.length shouldBe 1
+  }
+
+  test("schemaOf pins the committed schema") {
+    val store = new TableStore(spark)
+    val t = tmp() + "/t"
+    store.overwrite(t, Seq((1, "a")).toDF("id", "v"))
+    store.schemaOf(t).fieldNames.toSeq shouldBe Seq("id", "v")
+  }
+}

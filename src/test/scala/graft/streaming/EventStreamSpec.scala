@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hourlyAggregate: streaming over file drops equals the batch result") {
+    val root = Files.createTempDirectory("graft-stream")
+    val in = root.resolve("in").toString
+    val events = Tables.table(spark, sf0001, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    events.repartition(4).write.mode("overwrite").option("header", "true").csv(in)
+
+    // complete-mode memory sink: deterministic full-aggregate comparison
+    val stream = EventStream.readCsvStream(spark, in, events.schema, maxFilesPerTrigger = 2)
+    val q = EventStream.hourlyAggregate(stream)
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hourly")
+      val batch = EventStream.hourlyAggregate(events)
+      streamed.exceptAll(batch).count() shouldBe 0
+      batch.exceptAll(streamed).count() shouldBe 0
+    } finally q.stop()
+  }
+
+  test("runAvailableNow: watermarked append-mode parquet sink terminates, output ⊆ batch") {
+    val root = Files.createTempDirectory("graft-stream-an")
+    val in = root.resolve("in")
+    Files.createDirectories(in)
+    val events = Tables.table(spark, sf0001, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    // time-ordered file drops (range-split on ts, lexicographic file order =
+    // time order) so the event-time watermark never drops late data
+    val rows = events.orderBy("ts").collect()
+    val header = "event_id,ts,user_id,event_type,value"
+    rows.grouped(math.max(1, rows.length / 4)).zipWithIndex.foreach { case (chunk, i) =>
+      val lines = chunk.map(r => s"${r.getLong(0)},${r.getTimestamp(1)},${r.getLong(2)},${r.getString(3)},${r.getDouble(4)}")
+      Files.writeString(in.resolve(f"drop-$i%03d.csv"), (header +: lines).mkString("\n"))
+    }
+
+    val stream = EventStream.readCsvStream(spark, in.toString, events.schema, maxFilesPerTrigger = 1)
+    val q = EventStream.runAvailableNow(stream,
+      root.resolve("ckpt").toString, root.resolve("out").toString)
+    q.awaitTermination(120000) shouldBe true
+    val streamed = spark.read.parquet(root.resolve("out").toString)
+    val batch = EventStream.hourlyAggregate(events)
+    // append mode emits exactly the closed windows: all emitted rows match
+    // the batch aggregate; only windows past the final watermark are held
+    streamed.exceptAll(batch).count() shouldBe 0
+    streamed.count() should be > (batch.count() / 2)
+  }
+
+  test("sessionizeBatch: gap splits sessions, counts and durations") {
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      (1L, ts(0)), (1L, ts(5)), (1L, ts(40)), // gap 35min > 30 -> 2 sessions
+      (2L, ts(10))
+    ).toDF("user_id", "ts")
+    val r = EventStream.sessionizeBatch(ev, gapMs = 30 * 60 * 1000)
+      .select($"user_id", $"n_events", $"duration_ms")
+      .as[(Long, Long, Long)].collect().toSet
+    r shouldBe Set((1L, 2L, 5 * 60 * 1000L), (1L, 1L, 0L), (2L, 1L, 0L))
+  }
+
+  test("sessionize (mapGroupsWithState) matches batch sessionization on a drained stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val input = MemoryStream[EventStream.Event]
+    input.addData(
+      EventStream.Event(1L, ts(0), "a"), EventStream.Event(1L, ts(5), "a"),
+      EventStream.Event(2L, ts(10), "b"))
+    val q = EventStream.sessionize(input.toDS(), gapMs = 30 * 60 * 1000,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val r = spark.table("sessions")
+        .select($"user_id", $"nEvents", $"durationMs")
+        .as[(Long, Long, Long)].collect().toSet
+      r shouldBe Set((1L, 2L, 5 * 60 * 1000L), (2L, 1L, 0L))
+    } finally q.stop()
+  }
+}
