@@ -17,6 +17,7 @@ object GraftSession {
     SparkSession.builder()
       .appName(appName)
       .master(master)
+      .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

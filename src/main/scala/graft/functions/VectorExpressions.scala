@@ -1,0 +1,21 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.sqrt
+import org.apache.spark.sql.graft.{ColumnBridge, FloatVectorDot}
+
+/** Column-level API over the native vector expressions (implementation in
+  * `org.apache.spark.sql.graft.VectorExpressions` — the expression-authoring
+  * surface is `private[sql]`). */
+object VectorFunctions {
+
+  /** Σ aᵢ·bᵢ in double, codegen'd (see
+    * [[org.apache.spark.sql.graft.FloatVectorDot]]). */
+  def dotF(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      FloatVectorDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** L2 norm — dot with itself; compute ONCE per row before any pairwise
+    * join so the N² stage only pays one dot product per pair. */
+  def normF(a: Column): Column = sqrt(dotF(a, a))
+}

@@ -79,8 +79,16 @@ object Dedup {
     * verified with exact Jaccard. numHashes = bands × rowsPerBand. */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
                       bands: Int, rowsPerBand: Int, minJaccard: Double): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val h = bands * rowsPerBand
-    val sigs = minHashSignatures(df, idCol, textCol, n, h)
+    // the shingle table feeds the signatures AND the verification joins (×3);
+    // without persisting it, every consumer re-runs the tokenize/shingle/
+    // explode subtree (the reference caches multi-action lineage the same
+    // way, 2_Bronze_to_Silver.py:58)
+    val sh = shingleTable(df, idCol, textCol, n).persist(StorageLevel.MEMORY_AND_DISK)
+    val sigAggs = (0 until h).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"sig_$i"))
+    val sigs = sh.groupBy(idCol).agg(sigAggs.head, sigAggs.tail: _*)
     val bandCols = (0 until bands).map { b =>
       val slots = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), md5(concat_ws("|", slots: _*)).as("bh"))
@@ -92,8 +100,8 @@ object Dedup {
     val candidates = x.join(y, Seq("band", "bh"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK) // reused on both verify joins
     // verify candidates with exact Jaccard (cheap: candidate set is small)
-    val sh = shingleTable(df, idCol, textCol, n)
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
     val common = candidates
       .join(sh.toDF("id_a", "shingle"), Seq("id_a"))

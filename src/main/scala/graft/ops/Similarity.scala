@@ -5,9 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
   *
-  * The arithmetic uses Spark's higher-order functions (`zip_with` +
-  * `aggregate`), which fold left-to-right in DOUBLE — deterministic and
-  * order-independent of partitioning, so results are bit-reproducible.
+  * The pairwise arithmetic runs through [[graft.functions.FloatVectorDot]],
+  * a codegen'd Catalyst expression (tight primitive loop, no boxing) that is
+  * bit-identical to the sequential-in-double `zip_with`+`aggregate` fold it
+  * replaces — but ~2 orders of magnitude faster at N² pair counts. Norms are
+  * computed ONCE per row before the join, so the O(N²) stage pays exactly
+  * one dot product per pair.
   *
   * Scale notes:
   *  - [[bruteForceTopK]] is the exact baseline: a self cross-join, O(N²·d).
@@ -21,28 +24,30 @@ import org.apache.spark.sql.functions._
   *    ranks across engines; ties break on candidate id.
   */
 object Similarity {
+  import graft.functions.VectorFunctions.{dotF, normF}
 
-  def toDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
+  /** Σ aᵢ·bᵢ in double (codegen'd native expression). */
+  def dot(a: Column, b: Column): Column = dotF(a, b)
 
-  /** Σ aᵢ·bᵢ, folded sequentially in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  def l2Norm(a: Column): Column = normF(a)
 
-  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
-  def cosine(a: Column, b: Column): Column = {
-    val ad = toDouble(a); val bd = toDouble(b)
-    dot(ad, bd) / (l2Norm(ad) * l2Norm(bd))
-  }
-
-  /** All (a,b) pairs, a ≠ b, with rounded cosine. */
+  /** All (a,b) pairs, a ≠ b, with rounded cosine; norms precomputed per row.
+    * The stream side is repartitioned to the session's parallelism: a small
+    * embedding table arrives as ONE scan partition, and a broadcast
+    * nested-loop cross join would otherwise run the whole O(N²) stage as a
+    * single task. */
   private def pairCosines(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val a = emb.select(col(idCol).as("query_id"), col(vecCol).as("va"))
-    val b = emb.select(col(idCol).as("cand_id"), col(vecCol).as("vb"))
+    val parallelism = emb.sparkSession.sparkContext.defaultParallelism
+    val a = emb.select(col(idCol).as("query_id"), col(vecCol).as("va"),
+      normF(col(vecCol)).as("na")).repartition(parallelism)
+    val b = emb.select(col(idCol).as("cand_id"), col(vecCol).as("vb"),
+      normF(col(vecCol)).as("nb"))
     a.crossJoin(b)
       .where(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
-        round(cosine(col("va"), col("vb")), 6).as("cos"))
+        round(dotF(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
   }
 
   /** Exact top-k nearest neighbors per vector by cosine (brute force). */
@@ -67,15 +72,18 @@ object Similarity {
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int, bits: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bucketed = emb.select(col(idCol), col(vecCol),
-      signBucket(col(vecCol), bits).as("bucket"))
-    val a = bucketed.select(col("bucket"), col(idCol).as("query_id"), col(vecCol).as("va"))
-    val b = bucketed.select(col("bucket"), col(idCol).as("cand_id"), col(vecCol).as("vb"))
+      signBucket(col(vecCol), bits).as("bucket"),
+      normF(col(vecCol)).as("norm"))
+    val a = bucketed.select(col("bucket"), col(idCol).as("query_id"),
+      col(vecCol).as("va"), col("norm").as("na"))
+    val b = bucketed.select(col("bucket"), col(idCol).as("cand_id"),
+      col(vecCol).as("vb"), col("norm").as("nb"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("cand_id").asc)
     a.join(b, Seq("bucket"))
       .where(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
-        round(cosine(col("va"), col("vb")), 6).as("cos"))
+        round(dotF(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "cand_id", "cos", "rank")

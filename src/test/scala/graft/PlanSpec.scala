@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.execution.WholeStageCodegenExec
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Physical-plan hygiene checks — the properties that keep these operators
+  * viable at 100 TB: predicate pushdown into the scan, column pruning,
+  * broadcast of small dimensions, and map-side partial aggregation. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("watermark filter is pushed down to the parquet scan (q10)") {
+    // the NanosWatermarkPushdown rule rewrites the micros-conversion
+    // comparison into raw-nanos space so it reaches the scan
+    val plan = planOf(SparkEntry.queries("q10_watermark_filter")(spark, sf0001))
+    plan should include("GreaterThan(ts")
+    plan should include regex "PushedFilters: \\[[^\\]]*GreaterThan\\(ts"
+  }
+
+  test("nanos pushdown rewrite preserves exact boundary semantics") {
+    import spark.implicits._
+    val ev = Tables.table(spark, sf0001, "events")
+    val lo = "2024-01-10 00:00:00"
+    val hi = "2024-01-20 00:00:00"
+    val filtered = ev.where(
+      col("ts") > lit(lo).cast("timestamp") && col("ts") <= lit(hi).cast("timestamp"))
+    // oracle: same interval evaluated driver-side on the rendered timestamps
+    // (ISO strings compare lexicographically)
+    val expected = ev.select(col("ts").cast("string")).as[String].collect()
+      .count(s => s > lo && (s == hi || s <= hi))
+    filtered.count() shouldBe expected
+  }
+
+  test("column pruning: metadata-only projection reads no payload (q31)") {
+    val df = graft.ops.Multimodal.metadataOnly(
+      graft.ops.Multimodal.asMediaTable(
+        Tables.table(spark, sf0001, "documents"), "doc_id", "text", "text"))
+    // the physical scan must read only doc_id + text (no other columns)
+    val plan = planOf(df)
+    plan should include("ReadSchema: struct<doc_id:bigint,text:string>")
+  }
+
+  test("star join broadcasts every dimension (q02)") {
+    val plan = planOf(graft.etl.StarSchema.buildFactOrderDetails(spark, sf0001))
+    // 6 of the 7 tables are dims; at least 5 broadcast joins expected
+    "BroadcastHashJoin".r.findAllIn(plan).size should be >= 5
+  }
+
+  test("marts aggregate with map-side partial aggregation (q03)") {
+    val daily = graft.etl.GoldMarts.sellerPerformanceDaily(
+      graft.etl.GoldMarts.withDateParts(
+        graft.etl.StarSchema.buildFactOrderDetails(spark, sf0001)))
+    val plan = planOf(daily)
+    // partial + final pair: two HashAggregate nodes per aggregation
+    "HashAggregate".r.findAllIn(plan).size should be >= 2
+  }
+
+  test("orderRates avoids the multi-countDistinct Expand blow-up (q06)") {
+    val plan = planOf(graft.etl.GoldMarts.orderRates(
+      graft.etl.StarSchema.buildFactOrderDetails(spark, sf0001)))
+    // the naive 4-way countDistinct(when(...)) formulation plans an Expand
+    // (4x row multiplication before the shuffle); ours must not
+    plan should not include "Expand"
+  }
+
+  test("scd2 expiry join broadcasts the changed-key set (q15)") {
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    import spark.implicits._
+    val tgt = graft.etl.Scd2.initialLoad(
+      Seq((1, "a"), (2, "b")).toDF("id", "v"), t0)
+    val staged = Seq((2, "b2", "UPDATE")).toDF("id", "v", "action")
+    val plan = planOf(graft.etl.Scd2.applyMerge(tgt, staged, "id", t0))
+    plan should include("BroadcastHashJoin")
+  }
+
+  test("queries stay inside whole-stage codegen (q01)") {
+    // AQE hides the physical plan until execution — and count() runs a
+    // CLONED QueryExecution, so collect() this one, then read the final plan
+    // (codegen stages print with the `*(n)` marker)
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sf0001)
+    df.collect()
+    planOf(df) should include("*(")
+  }
+}

@@ -10,6 +10,7 @@ object SparkSpec {
     val s = SparkSession.builder()
       .appName("graft-test")
       .master("local[4]")
+      .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
