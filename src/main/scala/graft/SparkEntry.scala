@@ -165,6 +165,11 @@ object SparkEntry {
       Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text", 3, 4, 3, 0.5)),
     "q23_dedup_simhash" -> ((s, dir) =>
       Dedup.simHash16(t(s, dir, "documents"), "doc_id", "text")),
+    "q33_dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.clusters(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5),
+        "id_a", "id_b", docs.select("doc_id"), "doc_id")
+    }),
     // ---- similarity search (§7.6) ----
     "q24_cosine_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 5)),
@@ -463,6 +468,27 @@ object SparkEntry {
          |$jaccardTailSql""".stripMargin,
     "q22_dedup_minhash_lsh" -> minhashSql(3, 4, 3),
     "q23_dedup_simhash" -> simhashSql,
+    "q33_dedup_clusters" ->
+      s"""WITH RECURSIVE sh AS (${shingleSql(3)}),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |jpairs AS (
+         |  SELECT p.id_a, p.id_b
+         |  FROM pairs p JOIN sizes sa ON p.id_a = sa.doc_id JOIN sizes sb ON p.id_b = sb.doc_id
+         |  WHERE CAST(p.n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE) >= 0.5),
+         |sym AS (SELECT id_a AS a, id_b AS b FROM jpairs
+         |        UNION SELECT id_b, id_a FROM jpairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM sym
+         |  UNION
+         |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+         |SELECT d.doc_id,
+         |  least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+         |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+         |GROUP BY d.doc_id""".stripMargin,
     "q24_cosine_topk" ->
       s"""WITH pc AS ($cosineSql)
          |SELECT query_id, cand_id, cos,

@@ -23,10 +23,18 @@ object Dedup {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Word n-gram shingles (with multiplicity). Guarded so documents shorter
-    * than n yield an empty array — Spark's `sequence(1, k)` for k < 1 would
-    * otherwise count *down*. */
-  def shingles(text: Column, n: Int): Column = {
+  /** Word n-gram shingles (with multiplicity) — a native one-pass expression
+    * (org.apache.spark.sql.graft.WordShingles); see [[shinglesHof]] for the
+    * equivalent built-in formulation it replaced (interpreted per element,
+    * ~5× slower over millions of documents). */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.TextFunctions.wordShingles(text, n)
+
+  /** Built-in-function formulation of [[shingles]], kept as the equivalence
+    * oracle for the native kernel. Guarded so documents shorter than n yield
+    * an empty array — Spark's `sequence(1, k)` for k < 1 would otherwise
+    * count *down*. */
+  def shinglesHof(text: Column, n: Int): Column = {
     val ts = tokens(text)
     when(size(ts) < n, array().cast("array<string>"))
       .otherwise(transform(
@@ -63,15 +71,19 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash signature columns sig_0..sig_{h-1}: sig_i = min over distinct
-    * shingles of md5(i || ':' || shingle). Using the hex string as the hash
-    * value keeps ordering identical across engines. */
+  /** MinHash signature columns sig_0..sig_{h-1}: sig_i = min over shingles
+    * of md5(i || ':' || shingle) (duplicates cannot change a min, so
+    * distinctness is not required). Computed per document in ONE pass by a
+    * native expression — no explode, no shuffle: the group-by-doc
+    * aggregation the built-in formulation needs disappears entirely. The
+    * hex-string hash keeps ordering identical across engines. */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int, numHashes: Int): DataFrame = {
-    val sh = shingleTable(df, idCol, textCol, n)
-    val aggs = (0 until numHashes).map(i =>
-      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"sig_$i"))
-    sh.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+    val sig = graft.functions.TextFunctions.minHashSig(
+      shingles(col(textCol), n), numHashes)
+    df.select(col(idCol), sig.as("sig")).where(col("sig").isNotNull)
+      .select((col(idCol) +: (0 until numHashes).map(i =>
+        element_at(col("sig"), i + 1).as(s"sig_$i"))): _*)
   }
 
   /** MinHash + LSH banding: candidate pairs = documents sharing at least one
@@ -133,6 +145,56 @@ object Dedup {
       when(col(s"v_$i") > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
     voted.select(col(idCol), sig.as("simhash16"))
+  }
+
+  /** Connected components over near-duplicate pairs: assigns every document
+    * the MINIMUM id reachable through the pair graph (its cluster id /
+    * canonical representative) — the step that turns pairwise dedup output
+    * into keep/drop decisions.
+    *
+    * Algorithm: iterative min-label propagation (the standard large-graph
+    * formulation — alternating small-star/large-star joins). Each round
+    * every node adopts the smallest label among itself and its neighbors;
+    * rounds needed = graph diameter in the worst case, O(log n) for the
+    * star-shaped clusters dedup produces. Each round is one shuffle on the
+    * edge key, so the cost is rounds × |edges| — no driver-side state, scales
+    * to any edge count.
+    *
+    * @param pairs    edges (idA, idB) — undirected, any orientation
+    * @param ids      one row per document id (nodes with no edges become
+    *                 singleton clusters)
+    * @param maxIters propagation rounds (ceil(log2(longest chain)) suffices;
+    *                 dedup chains are short)
+    */
+  def clusters(pairs: DataFrame, pairACol: String, pairBCol: String,
+               ids: DataFrame, idCol: String, maxIters: Int = 10): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // symmetric edge list
+    val edges = pairs.select(col(pairACol).as("src"), col(pairBCol).as("dst"))
+      .union(pairs.select(col(pairBCol).as("src"), col(pairACol).as("dst")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("label"))
+    var converged = false
+    var it = 0
+    while (it < maxIters && !converged) {
+      // neighbor minimum: for each node, the smallest label among neighbors
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min("label").as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // materializes `next`, so the previous round's cache can be dropped
+      val noChange = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .where(col("label") =!= col("old")).isEmpty
+      if (it > 0) labels.unpersist()
+      labels = next
+      converged = noChange
+      it += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
 
   /** 64-bit SimHash on xxhash64 tokens — the codegen-friendly scale variant

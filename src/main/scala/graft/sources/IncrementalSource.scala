@@ -35,12 +35,14 @@ class JdbcIncrementalSource(spark: SparkSession, url: String,
 }
 
 /** Test/file impl: the same interval predicate over a parquet-backed table —
-  * lets the full extract → land → ingest path run without a database. */
+  * lets the full extract → land → ingest path run without a database. Reads
+  * via [[graft.core.Tables]] so type normalization (e.g. the events table's
+  * nanosecond timestamps) matches the rest of the engine. */
 class FileIncrementalSource(spark: SparkSession, dir: String) extends IncrementalSource {
   import org.apache.spark.sql.functions._
   override def extract(table: String, watermarkCol: String,
                        fromWm: String, toWm: String): DataFrame =
-    spark.read.parquet(s"$dir/$table.parquet")
+    graft.core.Tables.table(spark, dir, table)
       .where(col(watermarkCol) > lit(fromWm).cast("timestamp") &&
         col(watermarkCol) <= lit(toWm).cast("timestamp"))
 }

@@ -1,0 +1,32 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class DedupClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("clusters: chains collapse to the minimum id; singletons keep their own") {
+    // components: {1,2,3,4} (chain), {5,6}, {7} (no edges)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val ids = (1L to 7L).toDF("doc_id")
+    val r = Dedup.clusters(pairs, "id_a", "id_b", ids, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    r shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L)
+  }
+
+  test("clusters over real near-dup pairs: every pair lands in one cluster") {
+    val docs = graft.core.Tables.table(spark, sf0001, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5).cache()
+    val assign = Dedup.clusters(pairs, "id_a", "id_b", docs.select("doc_id"), "doc_id")
+    val joined = pairs
+      .join(assign.toDF("id_a", "ca"), Seq("id_a"))
+      .join(assign.toDF("id_b", "cb"), Seq("id_b"))
+    joined.where($"ca" =!= $"cb").count() shouldBe 0
+    // cluster count = docs - collapsed duplicates
+    val nDocs = docs.count()
+    val nClusters = assign.select("cluster_id").distinct().count()
+    nClusters should be < nDocs
+    pairs.unpersist()
+  }
+}
