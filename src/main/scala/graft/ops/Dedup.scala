@@ -55,7 +55,9 @@ object Dedup {
     * Jaccard = |A∩B| / (|A|+|B|−|A∩B|) over distinct shingle sets. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, minJaccard: Double): DataFrame = {
-    val sh = shingleTable(df, idCol, textCol, n)
+    import org.apache.spark.storage.StorageLevel
+    // feeds the pair join twice plus the size aggregate
+    val sh = shingleTable(df, idCol, textCol, n).persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
     val a = sh.toDF("id_a", "shingle")
     val b = sh.toDF("id_b", "shingle")

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sketch-based variants of the exact marts — the 100 TB path.
+  *
+  * Exact `countDistinct` shuffles every distinct (group, value) pair; at
+  * scale the distinct sets themselves dominate the shuffle. HyperLogLog++
+  * (`approx_count_distinct`) replaces them with fixed-size mergeable
+  * registers: the shuffle per group becomes O(sketch) regardless of
+  * cardinality, and partial aggregation stays map-side. Same story for
+  * medians/percentiles: `percentile_approx` (KLL-style) instead of a global
+  * sort.
+  *
+  * These are alternates, not replacements — the exact operators in
+  * [[graft.etl.GoldMarts]] remain the correctness oracle; specs pin the
+  * sketch error against them.
+  */
+object Sketches {
+
+  /** order_rates with HLL++ distinct-order counts (default rsd 5%). */
+  def orderRatesApprox(fact: DataFrame, rsd: Double = 0.05): DataFrame = {
+    def acd(c: Column) = approx_count_distinct(c, rsd)
+    fact.groupBy("SellerID", "SellerName")
+      .agg(
+        acd(col("OrderID")).as("total_orders_placed"),
+        acd(when(col("StatusName") === "Delivered", col("OrderID"))).as("delivered_orders"),
+        acd(when(col("StatusName") === "Cancelled", col("OrderID"))).as("cancelled_orders"),
+        acd(when(col("StatusName") === "Returned", col("OrderID"))).as("returned_orders"))
+      .withColumn("cancellation_rate",
+        col("cancelled_orders").cast("double") / col("total_orders_placed").cast("double"))
+      .withColumn("return_rate",
+        col("returned_orders").cast("double") /
+          when(col("delivered_orders") > 0, col("delivered_orders")).otherwise(lit(1L)).cast("double"))
+  }
+
+  /** customer_analytics with an HLL++ order count. */
+  def customerAnalyticsApprox(fact: DataFrame, rsd: Double = 0.05): DataFrame =
+    fact.groupBy("CustomerID", "CustomerName")
+      .agg(
+        approx_count_distinct(col("OrderID"), rsd).as("total_orders"),
+        sum("TotalAmount").as("total_spend"),
+        min("OrderDate").as("first_purchase_date"),
+        max("OrderDate").as("last_purchase_date"))
+      .withColumn("customer_type",
+        when(col("total_orders") > 1, "Returning Customer").otherwise("New Customer"))
+
+  /** Distribution sketch of a numeric column per group: approximate
+    * p50/p90/p99 without a global sort (document-length QA at corpus scale). */
+  def percentiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  accuracy: Int = 10000): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        avg(col(valueCol)).as("mean"),
+        percentile_approx(col(valueCol), lit(0.5), lit(accuracy)).as("p50"),
+        percentile_approx(col(valueCol), lit(0.9), lit(accuracy)).as("p90"),
+        percentile_approx(col(valueCol), lit(0.99), lit(accuracy)).as("p99"))
+}
