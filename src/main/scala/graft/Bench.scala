@@ -1,20 +1,34 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Prints a cumulative result line in the driver's JSON
+  * shape to stdout after EVERY query, so a crash mid-suite still leaves a
+  * parseable line with a per-query breakdown (round 1 lost its whole perf
+  * gate to one executor-heartbeat death near the end of the suite). Every
+  * emitted line is complete and self-contained; the last one covers the
+  * full run. Failed queries report -1 seconds and log the error to stderr.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // shuffle/spill scratch: tmpfs avoids the bench box's multi-second
+    // virtio dirty-page-flush stalls, but competes with the JVM heap for
+    // RAM — only use it with real headroom, and drain caches per query
+    val shm = new java.io.File("/dev/shm")
+    val localDir =
+      if (shm.isDirectory && shm.getUsableSpace > (16L << 30)) "/dev/shm/graft-spark-local"
+      else System.getProperty("java.io.tmpdir")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      // shuffle/spill to tmpfs: the bench box's virtio disk stalls multi-
-      // second on dirty-page flushes, which showed up as random 10-60 s
-      // query-time spikes (on a real cluster this is the local-SSD scratch)
-      .config("spark.local.dir",
-        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark-local"
-        else System.getProperty("java.io.tmpdir"))
+      .config("spark.local.dir", localDir)
+      // a multi-second full-VM stall must not kill the executor (round 1:
+      // heartbeat death ×60 at default 10s interval / 120s timeout)
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_QUERIES=q24,q26 restricts the run (local profiling only;
@@ -23,15 +37,30 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(f => f.exists(name.startsWith)) }
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def emit(): Unit = {
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val total = results.values.filter(_ >= 0).sum
+      // one complete JSON line per finished query; stdout flushed so the
+      // driver sees it even if a later query kills the JVM
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      Console.out.flush()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    selected.foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          false
+        }
+      // release this query's operator-internal caches before the next one
+      graft.core.CacheRegistry.drain()
+      results(name) = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      emit()
+    }
+    SparkEntry.clearCaches(spark)
     spark.stop()
   }
 }

@@ -53,6 +53,16 @@ object SparkEntry {
       Scd2.stage(scd2Source(s, dir), t(s, dir, "customer"), "c_custkey")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Release every cross-query memoized cache held for `s` — the harness
+    * calls this at suite end (per-query ephemeral persists are drained via
+    * [[graft.core.CacheRegistry]] instead). */
+  def clearCaches(s: SparkSession): Unit = {
+    stagedCache.keys.filter(_._1 eq s).foreach { k =>
+      stagedCache.remove(k).foreach(_.unpersist())
+    }
+    StarSchema.clearCache(s)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     val fact = StarSchema.factOrderDetails(spark, "/root/testdata/sf0.001")
@@ -177,6 +187,8 @@ object SparkEntry {
       Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 3, 8)),
     "q26_embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)),
+    "q34_ann_multiband" -> ((s, dir) =>
+      Similarity.multiBandLshTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 3, 8, 3)),
     // ---- text analysis (§7.6) ----
     "q27_lang_id" -> ((s, dir) =>
       TextStats.langId(t(s, dir, "documents"), "doc_id", "text")),
@@ -337,9 +349,28 @@ object SparkEntry {
     s"CAST(len(list_filter(string_split(text, ' '), w -> w IN ($set))) AS INTEGER) AS score_$lang"
   }.mkString(",\n  ")
 
+  /** q32 oracle: the fake-decode features are pure functions of md5(text),
+    * so DuckDB reproduces them with nibble arithmetic. `nib(k)` = value of
+    * 1-based hex digit k of the digest. */
+  private val decodeSql: String = {
+    def nib(k: Int): String = s"(strpos('0123456789abcdef', substr(hx, $k, 1)) - 1)"
+    def nibs(from: Int, n: Int): String =
+      (0 until n).map(i => s"${nib(from + i)} * ${math.pow(16, n - 1 - i).toLong}")
+        .mkString(" + ")
+    s"""WITH h AS (
+       |  SELECT doc_id, md5(text) AS hx,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS bl
+       |  FROM documents)
+       |SELECT doc_id AS id, bl AS byteLen,
+       |  CAST(16 + ((${nibs(1, 4)}) % 240) AS INTEGER) AS width,
+       |  CAST(16 + ((${nibs(5, 4)}) % 240) AS INTEGER) AS height,
+       |  CAST(3 AS INTEGER) AS channels,
+       |  CAST(${nibs(9, 8)} AS DOUBLE) / 4294967296.0 AS meanLuma
+       |FROM h""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. q32 omitted: its decode stub is JVM-side
-    * (rows-only check). */
+    * the same parquet tables. */
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -512,6 +543,29 @@ object SparkEntry {
       s"""WITH pc AS ($cosineSql)
          |SELECT query_id AS id_a, cand_id AS id_b, cos
          |FROM pc WHERE query_id < cand_id AND cos >= 0.4""".stripMargin,
+    "q34_ann_multiband" -> {
+      def bucket(b: Int) = (b * 8 + 1 to b * 8 + 8).map(i =>
+        s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+      val bandRows = (0 until 3).map(b =>
+        s"SELECT vec_id, $b AS band, ${bucket(b)} AS bucket FROM embeddings")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH banded AS (
+         |  $bandRows),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS cand_id
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |pc AS (
+         |  SELECT c.query_id, c.cand_id,
+         |    round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), 6) AS cos
+         |  FROM cand c
+         |  JOIN embeddings x ON x.vec_id = c.query_id
+         |  JOIN embeddings y ON y.vec_id = c.cand_id)
+         |SELECT query_id, cand_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS INTEGER) AS rank
+         |FROM pc
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) <= 3""".stripMargin
+    },
     "q27_lang_id" ->
       s"""SELECT doc_id,
          |  $langScoreSql,
@@ -551,6 +605,7 @@ object SparkEntry {
     "q31_multimodal_meta" ->
       """SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  md5(text) AS content_hash, 'text' AS kind
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q32_multimodal_decode" -> decodeSql
   )
 }

@@ -32,6 +32,42 @@ object NullSink extends ActionSink {
   override def deliver(records: DataFrame): Unit = ()
 }
 
+/** Production-shaped HTTP fan-out: batches rows per executor partition and
+  * POSTs one JSON-array payload per batch with bounded retry + exponential
+  * backoff — the scale-safe form of the reference's per-row Logic-App POST
+  * loop (adf/pipeline.json:416-438), which fans out from the orchestrator
+  * one record at a time. The transport is injected (`payload => HTTP
+  * status`) so tests run an in-JVM recorder and production supplies a
+  * java.net.http client initialized per partition; delivery is
+  * at-least-once per batch (a failed batch retries its whole payload),
+  * matching the pipeline's replay semantics.
+  */
+class HttpBatchSink(post: String => Int, batchSize: Int = 500,
+                    maxRetries: Int = 3, backoffMs: Long = 100)
+    extends ActionSink with Serializable {
+  override def deliver(records: DataFrame): Unit = {
+    val (bs, mr, bo, p) = (batchSize, maxRetries, backoffMs, post)
+    records.toJSON.foreachPartition { (it: Iterator[String]) =>
+      it.grouped(bs).foreach { batch =>
+        val payload = batch.mkString("[", ",", "]")
+        var attempt = 0
+        var done = false
+        while (!done) {
+          val status = try p(payload) catch { case _: Exception => 599 }
+          if (status >= 200 && status < 300) done = true
+          else {
+            attempt += 1
+            if (attempt > mr)
+              throw new IllegalStateException(
+                s"HTTP sink: batch failed after $mr retries (last status $status)")
+            Thread.sleep(bo << (attempt - 1))
+          }
+        }
+      }
+    }
+  }
+}
+
 /** Metastore sink — the reference's `saveAsTable("default.
   * new_customers_for_emailing")` overwrite (2_Bronze_to_Silver.py:114-116),
   * including the CREATE DATABASE IF NOT EXISTS DDL (:11). The written table

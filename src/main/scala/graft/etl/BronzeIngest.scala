@@ -22,13 +22,18 @@ import graft.sources.{LandingSource, TableStore}
   */
 object BronzeIngest {
 
-  val auditCols: Set[String] = Set("ingestion_timestamp", "source_file")
+  val auditCols: Set[String] = Set("ingestion_timestamp", "source_file", "ingest_date")
 
   final case class Report(table: String, rows: Long, action: String)
 
+  /** `ingest_date` doubles as the Bronze partition column (reference
+    * README.MD:120: Bronze "often partitioned by ingestion date") — at scale
+    * the Silver watermark filter prunes whole date partitions instead of
+    * scanning all history. */
   def withAuditCols(df: DataFrame, runTs: Timestamp): DataFrame =
     df.withColumn("ingestion_timestamp", lit(runTs))
       .withColumn("source_file", input_file_name())
+      .withColumn("ingest_date", to_date(lit(runTs)))
 
   /** Ingest one table: pin-or-infer read → skip-if-empty → audit cols →
     * append (schema evolves on write; 1_Landing_to_Bronze.py:36-67). */
@@ -43,7 +48,7 @@ object BronzeIngest {
     else {
       val withAudit = withAuditCols(raw, runTs)
       val action = if (store.exists(target)) "appended" else "created"
-      store.append(target, withAudit)
+      store.append(target, withAudit, Seq("ingest_date"))
       Report(table, withAudit.count(), action)
     }
   }

@@ -46,9 +46,11 @@ object SilverScd2 {
       val newWm = batch.agg(max("ingestion_timestamp")).head.getTimestamp(0)
 
       if (!store.exists(silver)) {
-        // first-run branch (2_Bronze_to_Silver.py:76-81)
-        store.overwrite(silver, Scd2.initialLoad(batch, runTs))
-        watermarks.commit(table, newWm.toString)
+        // first-run branch (2_Bronze_to_Silver.py:76-81); partitioned by
+        // is_current so the Gold current-slice read prunes instead of
+        // scanning full history
+        store.overwrite(silver, Scd2.initialLoad(batch, runTs), Seq("is_current"))
+        watermarks.commit(table, WatermarkStore.format(newWm))
         return Report(table, batch.count(), "initial-load")
       }
 
@@ -57,7 +59,7 @@ object SilverScd2 {
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
         if (staged.isEmpty) {
-          watermarks.commit(table, newWm.toString)
+          watermarks.commit(table, WatermarkStore.format(newWm))
           return Report(table, 0, "no-changes")
         }
         if (table == sideChannelTable) {
@@ -65,8 +67,8 @@ object SilverScd2 {
           if (!inserts.isEmpty) sink.deliver(inserts)
         }
         val next = Scd2.applyMerge(target, staged, config.pk, runTs)
-        store.replaceWith(silver, next)
-        watermarks.commit(table, newWm.toString) // only after the swap
+        store.replaceWith(silver, next, Seq("is_current"))
+        watermarks.commit(table, WatermarkStore.format(newWm)) // only after the swap
         Report(table, staged.count(), "merged")
       } finally staged.unpersist()
     } finally batch.unpersist()

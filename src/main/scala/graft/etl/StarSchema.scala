@@ -38,6 +38,12 @@ object StarSchema {
       buildFactOrderDetails(spark, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Release the memoized fact cache for `spark` (harness suite-end hook). */
+  def clearCache(spark: SparkSession): Unit =
+    factCache.keys.filter(_._1 eq spark).foreach { k =>
+      factCache.remove(k).foreach(_.unpersist())
+    }
+
   /** lineitem ⋈ orders ⋈ customer ⋈ part ⋈ supplier ⋈ nation ⋈ region,
     * projected into the reference's fact_order_details vocabulary. */
   def buildFactOrderDetails(spark: SparkSession, dir: String): DataFrame = {

@@ -55,9 +55,9 @@ object Dedup {
     * Jaccard = |A∩B| / (|A|+|B|−|A∩B|) over distinct shingle sets. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, minJaccard: Double): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    // feeds the pair join twice plus the size aggregate
-    val sh = shingleTable(df, idCol, textCol, n).persist(StorageLevel.MEMORY_AND_DISK)
+    // feeds the pair join twice plus the size aggregate; registered for
+    // harness drain after the query completes
+    val sh = graft.core.CacheRegistry.persist(shingleTable(df, idCol, textCol, n))
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
     val a = sh.toDF("id_a", "shingle")
     val b = sh.toDF("id_b", "shingle")
@@ -93,16 +93,16 @@ object Dedup {
     * verified with exact Jaccard. numHashes = bands × rowsPerBand. */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
                       bands: Int, rowsPerBand: Int, minJaccard: Double): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     val h = bands * rowsPerBand
-    // the shingle table feeds the signatures AND the verification joins (×3);
-    // without persisting it, every consumer re-runs the tokenize/shingle/
-    // explode subtree (the reference caches multi-action lineage the same
-    // way, 2_Bronze_to_Silver.py:58)
-    val sh = shingleTable(df, idCol, textCol, n).persist(StorageLevel.MEMORY_AND_DISK)
-    val sigAggs = (0 until h).map(i =>
-      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"sig_$i"))
-    val sigs = sh.groupBy(idCol).agg(sigAggs.head, sigAggs.tail: _*)
+    // the shingle table feeds the verification joins (×2) and the size
+    // aggregate; without persisting it, every consumer re-runs the tokenize/
+    // shingle/explode subtree (the reference caches multi-action lineage the
+    // same way, 2_Bronze_to_Silver.py:58)
+    val sh = graft.core.CacheRegistry.persist(shingleTable(df, idCol, textCol, n))
+    // signatures come from the native one-pass kernel (MinHashSig): no
+    // explode, no h-way min groupBy — byte-identical to the min-over-
+    // exploded-shingles formulation (TextFunctionsSpec pins the equivalence)
+    val sigs = minHashSignatures(df, idCol, textCol, n, h)
     val bandCols = (0 until bands).map { b =>
       val slots = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), md5(concat_ws("|", slots: _*)).as("bh"))
@@ -111,10 +111,10 @@ object Dedup {
       .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val x = banded.toDF("id_a", "band", "bh")
     val y = banded.toDF("id_b", "band", "bh")
-    val candidates = x.join(y, Seq("band", "bh"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK) // reused on both verify joins
+    val candidates = graft.core.CacheRegistry.persist(
+      x.join(y, Seq("band", "bh"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()) // reused on both verify joins
     // verify candidates with exact Jaccard (cheap: candidate set is small)
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
     val common = candidates
@@ -165,17 +165,21 @@ object Dedup {
     * @param pairs    edges (idA, idB) — undirected, any orientation
     * @param ids      one row per document id (nodes with no edges become
     *                 singleton clusters)
-    * @param maxIters propagation rounds (ceil(log2(longest chain)) suffices;
-    *                 dedup chains are short)
+    * @param maxIters cap on propagation rounds — the loop exits as soon as a
+    *                 round changes nothing, so a generous cap costs nothing
+    *                 when clusters are shallow; non-convergence throws
+    *                 (silent wrong labels are worse than a failed job)
     */
   def clusters(pairs: DataFrame, pairACol: String, pairBCol: String,
-               ids: DataFrame, idCol: String, maxIters: Int = 10): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
+               ids: DataFrame, idCol: String, maxIters: Int = 20): DataFrame = {
+    import graft.core.CacheRegistry
     // symmetric edge list
-    val edges = pairs.select(col(pairACol).as("src"), col(pairBCol).as("dst"))
-      .union(pairs.select(col(pairBCol).as("src"), col(pairACol).as("dst")))
-      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = CacheRegistry.persist(
+      pairs.select(col(pairACol).as("src"), col(pairBCol).as("dst"))
+        .union(pairs.select(col(pairBCol).as("src"), col(pairACol).as("dst")))
+        .distinct())
     var labels = ids.select(col(idCol).as("id"), col(idCol).as("label"))
+    var cached: Option[DataFrame] = None
     var converged = false
     var it = 0
     while (it < maxIters && !converged) {
@@ -183,19 +187,28 @@ object Dedup {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min("label").as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // materializes `next`, so the previous round's cache can be dropped
-      val noChange = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .where(col("label") =!= col("old")).isEmpty
-      if (it > 0) labels.unpersist()
-      labels = next
-      converged = noChange
+      // carry a per-row changed flag so convergence is a filter over the
+      // round's own cache — no second join against the previous labels
+      val next = CacheRegistry.persist(
+        labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+            (col("nmin").isNotNull && col("nmin") < col("label")).as("__changed")))
+      // ONE action per round: materializes the full cache (count cannot
+      // short-circuit, unlike isEmpty's limit) and answers convergence
+      converged = next.where(col("__changed")).count() == 0L
+      cached.foreach(_.unpersist())
+      cached = Some(next)
+      labels = next.drop("__changed")
       it += 1
     }
     edges.unpersist()
+    // min-label propagation needs diameter rounds: a chain longer than
+    // maxIters hops would silently return WRONG (non-converged) cluster ids
+    if (!converged)
+      throw new IllegalStateException(
+        s"Dedup.clusters did not converge in $maxIters rounds - " +
+          "the pair graph has a component of diameter > maxIters; raise maxIters")
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
 

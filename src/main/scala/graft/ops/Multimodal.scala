@@ -47,22 +47,34 @@ object Multimodal {
         lit(kind).as("kind")).as("meta"))
 
   /** Deterministic stand-in for a real media decoder: derives width/height/
-    * channels/meanLuma from the payload bytes. Replace the body with a real
-    * decoder; the partition-wise batch contract stays identical. */
+    * meanLuma from the md5 of the payload bytes, so the fake features are
+    * reproducible by ANY engine with md5 + nibble arithmetic (the DuckDB
+    * oracle recomputes them exactly — see SparkEntry q32). Replace the body
+    * with a real decoder; the partition-wise batch contract stays identical. */
   def fakeDecode(spark: SparkSession, media: DataFrame): Dataset[DecodedFeatures] = {
     import spark.implicits._
     media.select(col("id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         // per-partition setup happens here (decoder init, buffers, …)
+        val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { case (id, payload) =>
           val bytes = if (payload == null) Array.empty[Byte] else payload
           val len = bytes.length.toLong
-          // ??? — real decode goes here; deterministic fake below
-          val w = 16 + (math.abs(java.util.Arrays.hashCode(bytes)) % 240)
-          val h = 16 + (math.abs(java.util.Arrays.hashCode(bytes) / 7) % 240)
-          val luma = if (len == 0) 0.0
-            else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / len
-          DecodedFeatures(id, len, w, h, 3, luma)
+          // ??? — real decode goes here; md5-derived deterministic fake below
+          md.reset()
+          val h = md.digest(bytes)
+          // nibble k of the hex digest, as an integer 0-15
+          def nib(k: Int): Long = {
+            val b = h(k / 2) & 0xff
+            if (k % 2 == 0) (b >> 4).toLong else (b & 0xf).toLong
+          }
+          def nibs(from: Int, n: Int): Long =
+            (from until from + n).foldLeft(0L)((a, k) => a * 16 + nib(k))
+          val w = 16 + (nibs(0, 4) % 240).toInt
+          val ht = 16 + (nibs(4, 4) % 240).toInt
+          // 32-bit value / 2^32: exact in double on every engine
+          val luma = nibs(8, 8).toDouble / 4294967296.0
+          DecodedFeatures(id, len, w, ht, 3, luma)
         }
       }
   }

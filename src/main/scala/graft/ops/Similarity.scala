@@ -61,11 +61,11 @@ object Similarity {
       .select("query_id", "cand_id", "cos", "rank")
   }
 
-  /** Sign pattern of the first `bits` dimensions — a deterministic
-    * hyperplane-LSH bucket key. */
-  def signBucket(vec: Column, bits: Int): Column =
+  /** Sign pattern of `bits` dimensions starting at `offset` — a
+    * deterministic hyperplane-LSH bucket key. */
+  def signBucket(vec: Column, bits: Int, offset: Int = 0): Column =
     concat_ws("", (0 until bits).map(i =>
-      when(element_at(vec, i + 1) >= 0f, "1").otherwise("0")): _*)
+      when(element_at(vec, offset + i + 1) >= 0f, "1").otherwise("0")): _*)
 
   /** Approximate top-k: candidates restricted to the same sign-LSH bucket.
     * Recall < 1 by design; the bucket join replaces the N² cross join. */
@@ -82,6 +82,40 @@ object Similarity {
       .orderBy(col("cos").desc, col("cand_id").asc)
     a.join(b, Seq("bucket"))
       .where(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(dotF(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "cand_id", "cos", "rank")
+  }
+
+  /** Multi-band sign-LSH top-k: band b buckets on the sign pattern of
+    * dimensions [b·bits, (b+1)·bits); candidates are pairs sharing at least
+    * ONE band bucket (union over bands, deduped), then ranked by exact
+    * cosine. B independent bands fix the recall and bucket-skew fragility
+    * of a single sign prefix: a near neighbor is missed only if it
+    * disagrees in EVERY band (miss probability (1-p^bits)^bands vs
+    * 1-p^bits), and no single skewed bucket dominates the join. Shuffle
+    * keys are (band, bucket); the candidate dedup is one exchange on the
+    * pair — still no N² stage anywhere. */
+  def multiBandLshTopK(emb: DataFrame, idCol: String, vecCol: String,
+                       k: Int, bits: Int, bands: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"), signBucket(col(vecCol), bits, b * bits).as("bucket"))
+    }
+    val banded = emb.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val candidates = banded.toDF("query_id", "band", "bucket")
+      .join(banded.toDF("cand_id", "band", "bucket"), Seq("band", "bucket"))
+      .where(col("query_id") =!= col("cand_id"))
+      .select("query_id", "cand_id").distinct()
+    val vecs = emb.select(col(idCol), col(vecCol), normF(col(vecCol)).as("norm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    candidates
+      .join(vecs.toDF("query_id", "va", "na"), Seq("query_id"))
+      .join(vecs.toDF("cand_id", "vb", "nb"), Seq("cand_id"))
       .select(col("query_id"), col("cand_id"),
         round(dotF(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
       .withColumn("rank", row_number().over(w))

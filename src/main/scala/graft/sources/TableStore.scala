@@ -51,7 +51,12 @@ class TableStore(spark: SparkSession) {
     }
   }
 
-  private def manifest(table: String, v: Long): Seq[String] = {
+  /** Manifest = data-dir lines plus optional `#p <name> <ddl-type>` lines
+    * recording the physical partition columns. The type is load-bearing:
+    * Spark's partition-value inference has no boolean (an
+    * `is_current=true` dir would read back as string), so [[read]] casts
+    * each recorded partition column back to its declared type. */
+  private def manifestLines(table: String, v: Long): Seq[String] = {
     val mp = new Path(table, s"_v$v")
     val f = fs(mp)
     val in = f.open(mp)
@@ -60,54 +65,104 @@ class TableStore(spark: SparkSession) {
     finally in.close()
   }
 
+  private def manifest(table: String, v: Long): Seq[String] =
+    manifestLines(table, v).filterNot(_.startsWith("#"))
+
+  private def partitionMeta(table: String, v: Long): Seq[(String, org.apache.spark.sql.types.DataType)] =
+    manifestLines(table, v).filter(_.startsWith("#p ")).map { l =>
+      val Array(_, name, ddl) = l.split(" ", 3)
+      name -> org.apache.spark.sql.types.DataType.fromDDL(ddl)
+    }
+
   private def writeFile(p: Path, content: String): Unit = {
     val f = fs(p)
     val out = f.create(p, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
-  private def writeDataDir(table: String, df: DataFrame): String = {
+  private def writeDataDir(table: String, df: DataFrame,
+                           partitionBy: Seq[String]): String = {
     val dir = s"data-${UUID.randomUUID().toString.take(8)}"
-    df.write.parquet(new Path(table, dir).toString)
+    val w = df.write
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(new Path(table, dir).toString)
     dir
   }
 
-  private def commit(table: String, dirs: Seq[String]): Long = {
+  private def commit(table: String, dirs: Seq[String],
+                     partitionMeta: Seq[String]): Long = {
     val v = currentVersion(table).getOrElse(-1L) + 1L
-    writeFile(new Path(table, s"_v$v"), dirs.mkString("\n"))
+    writeFile(new Path(table, s"_v$v"), (partitionMeta ++ dirs).mkString("\n"))
     writeFile(new Path(table, "_current"), v.toString) // pointer last = commit
     v
   }
 
-  /** Read the current committed snapshot, merging schemas across data dirs. */
+  private def partitionMetaFor(df: DataFrame, partitionBy: Seq[String]): Seq[String] =
+    partitionBy.map { c =>
+      val f = df.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"partition column $c not in schema"))
+      s"#p $c ${f.dataType.catalogString}"
+    }
+
+  /** Read the current committed snapshot, merging schemas across data dirs.
+    * Partition columns are cast back to their recorded types (inference
+    * covers no boolean) and appear LAST in the schema, as with any
+    * partitioned parquet layout. */
   def read(table: String): DataFrame = {
     val v = currentVersion(table).getOrElse(
       throw new IllegalStateException(s"no committed version at $table"))
     val dirs = manifest(table, v).map(d => new Path(table, d).toString)
-    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    val parts = partitionMeta(table, v)
+    val base =
+      if (parts.isEmpty)
+        spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+      else
+        // partition discovery needs ONE root per scan: sibling partitioned
+        // data dirs in a single multi-path read are rejected (conflicting
+        // directory structures). Per-dir scans unioned by name keep
+        // predicate pushdown AND partition pruning — Catalyst pushes the
+        // filter into every Union child scan.
+        dirs.map(d => spark.read.option("mergeSchema", "true").parquet(d))
+          .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    parts.foldLeft(base) { case (df, (name, typ)) =>
+      if (df.columns.contains(name))
+        df.withColumn(name, org.apache.spark.sql.functions.col(name).cast(typ))
+      else df
+    }
   }
 
   /** Atomic overwrite: the new state becomes visible in one pointer swap
-    * (reference Delta `mode("overwrite")`, 3_Silver_to_Gold.py:60). */
-  def overwrite(table: String, df: DataFrame): Long =
-    commit(table, Seq(writeDataDir(table, df)))
+    * (reference Delta `mode("overwrite")`, 3_Silver_to_Gold.py:60).
+    * `partitionBy` lays the data out hive-style (e.g. Silver by
+    * `is_current` so the current-slice scan is partition pruning;
+    * Bronze by ingest date, reference README.MD:120). */
+  def overwrite(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Long =
+    commit(table, Seq(writeDataDir(table, df, partitionBy)),
+      partitionMetaFor(df, partitionBy))
 
   /** Append with schema evolution: adds a data dir to the manifest without
     * touching existing files (reference Delta append + `mergeSchema`,
-    * 1_Landing_to_Bronze.py:59-67). */
-  def append(table: String, df: DataFrame): Long = {
-    val prev = currentVersion(table) match {
-      case Some(v) => manifest(table, v)
-      case None => Seq.empty
+    * 1_Landing_to_Bronze.py:59-67). The table's existing partition layout
+    * carries forward; pass `partitionBy` on first append to establish it. */
+  def append(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Long = {
+    val (prev, prevMeta) = currentVersion(table) match {
+      case Some(v) => (manifest(table, v),
+        manifestLines(table, v).filter(_.startsWith("#p ")))
+      case None => (Seq.empty, Seq.empty)
     }
-    commit(table, prev :+ writeDataDir(table, df))
+    val spec =
+      if (prevMeta.nonEmpty) prevMeta.map(_.split(" ", 3)(1)).toSeq
+      else partitionBy
+    val meta = if (prevMeta.nonEmpty) prevMeta else partitionMetaFor(df, partitionBy)
+    commit(table, prev :+ writeDataDir(table, df, spec), meta)
   }
 
   /** The MERGE-rewrite commit (reference Delta MERGE,
     * 2_Bronze_to_Silver.py:127-133): callers compute the complete next state
     * (e.g. [[graft.etl.Scd2.applyMerge]]) and swap it in atomically. */
-  def replaceWith(table: String, nextState: DataFrame): Long =
-    overwrite(table, nextState)
+  def replaceWith(table: String, nextState: DataFrame,
+                  partitionBy: Seq[String] = Nil): Long =
+    overwrite(table, nextState, partitionBy)
 
   /** Current committed schema (used to pin CSV re-reads,
     * 1_Landing_to_Bronze.py:41-42). */

@@ -20,6 +20,15 @@ import org.apache.spark.sql.SparkSession
   * read/written with plain filesystem I/O — one row of state does not need a
   * Spark job.
   */
+object WatermarkStore {
+  /** Timezone-safe watermark serialization: the instant rendered as UTC
+    * ISO-8601 (e.g. `2024-01-15T10:00:00Z`). `Timestamp.toString` renders in
+    * the JVM default timezone but is read back under the UTC session — on a
+    * JVM ahead of UTC the committed watermark would overshoot and silently
+    * skip rows ingested in the gap. */
+  def format(ts: java.sql.Timestamp): String = ts.toInstant.toString
+}
+
 class WatermarkStore(spark: SparkSession, root: String) {
 
   val default = "1900-01-01T00:00:00.000+0000"

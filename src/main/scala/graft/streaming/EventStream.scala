@@ -65,6 +65,14 @@ object EventStream {
   /** Per-user session aggregation with a processing-time gap timeout.
     * Works on both `Dataset[Event]` groups in streaming and (for tests) via
     * [[sessionizeBatch]], which applies the same fold deterministically.
+    *
+    * Gap semantics match [[sessionizeBatch]] exactly: the sorted batch is
+    * split wherever consecutive events are more than `gapMs` apart; the
+    * first segment merges into the carried-over open session when within the
+    * gap. Every segment superseded within the batch is emitted as a
+    * `closed = true` update (flatMap — one input batch can close several
+    * sessions); only the last segment stays in state as the open session.
+    *
     * `timeout = NoTimeout` disables idle-session closing (deterministic
     * drain-and-stop runs; registered processing-time timeouts otherwise keep
     * the micro-batch loop alive). */
@@ -72,29 +80,46 @@ object EventStream {
                  timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
       : Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
     val useTimeout = timeout != GroupStateTimeout.NoTimeout
     events.groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, SessionUpdate](timeout) {
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Update, timeout) {
         (user: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            SessionUpdate(user, s.start, s.nEvents, s.lastSeen - s.start, closed = true)
+            Iterator.single(
+              SessionUpdate(user, s.start, s.nEvents, s.lastSeen - s.start, closed = true))
           } else {
             val times = batch.map(_.ts.getTime).toSeq.sorted
-            val prev = state.getOption
-            val merged = prev match {
-              case Some(s) if times.nonEmpty && times.head - s.lastSeen <= gapMs =>
-                SessionState(s.start, times.last, s.nEvents + times.size)
-              case Some(_) if times.nonEmpty => // gap exceeded: new session
-                SessionState(times.head, times.last, times.size)
-              case Some(s) => s
-              case None => SessionState(times.head, times.last, times.size)
+            if (times.isEmpty) Iterator.empty
+            else {
+              // fold the batch into gap-delimited segments, seeded with the
+              // carried-over open session (merged iff within the gap; a
+              // superseded open session closes)
+              val prev = state.getOption
+              val mergesPrev = prev.exists(s => times.head - s.lastSeen <= gapMs)
+              val closed = Seq.newBuilder[SessionState]
+              if (!mergesPrev) prev.foreach(closed += _)
+              var open =
+                if (mergesPrev) prev.get
+                else SessionState(times.head, times.head, 0)
+              times.foreach { t =>
+                if (t - open.lastSeen <= gapMs)
+                  open = SessionState(open.start, t, open.nEvents + 1)
+                else {
+                  closed += open
+                  open = SessionState(t, t, 1)
+                }
+              }
+              state.update(open)
+              if (useTimeout) state.setTimeoutDuration(gapMs)
+              (closed.result().map(s =>
+                SessionUpdate(user, s.start, s.nEvents, s.lastSeen - s.start, closed = true)) :+
+                SessionUpdate(user, open.start, open.nEvents,
+                  open.lastSeen - open.start, closed = false)).iterator
             }
-            state.update(merged)
-            if (useTimeout) state.setTimeoutDuration(gapMs)
-            SessionUpdate(user, merged.start, merged.nEvents,
-              merged.lastSeen - merged.start, closed = false)
           }
       }
   }

@@ -78,6 +78,24 @@ class PlanSpec extends SparkSpec {
     plan should include("BroadcastHashJoin")
   }
 
+  test("silver current-slice scan prunes on the is_current partition") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-plan-silver").toString
+    val store = new graft.sources.TableStore(spark)
+    // a merged silver state: history (is_current=false) + current slice
+    val state = Seq(
+      (1, "a", false), (1, "a2", true), (2, "b", true)
+    ).toDF("id", "v", "is_current")
+    store.overwrite(s"$root/Customers", state, Seq("is_current"))
+    val slice = graft.etl.GoldBuild.currentSlice(store, root, "Customers")
+    // the filter must reach the scan as a PARTITION filter (pruning), not a
+    // post-scan data filter over full history
+    planOf(slice) should include regex "PartitionFilters: \\[[^\\]]*is_current"
+    slice.select("id", "v").as[(Int, String)].collect().toSet shouldBe
+      Set((1, "a2"), (2, "b"))
+  }
+
   test("queries stay inside whole-stage codegen (q01)") {
     // AQE hides the physical plan until execution — and count() runs a
     // CLONED QueryExecution, so collect() this one, then read the final plan

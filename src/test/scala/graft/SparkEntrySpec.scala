@@ -9,11 +9,11 @@ class SparkEntrySpec extends SparkSpec {
     df.count() should be > 0L
   }
 
-  test("every oracle key has a query; q32 is the only rows-only check") {
+  test("queries and oracles cover each other exactly") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     (o -- q) shouldBe empty
-    (q -- o) shouldBe Set("q32_multimodal_decode")
+    (q -- o) shouldBe empty
   }
 
   test("all queries run and return rows at sf0.001") {

@@ -33,6 +33,30 @@ class Scd2Spec extends SparkSpec {
     actions shouldBe Map(2 -> "UPDATE", 4 -> "INSERT")
   }
 
+  test("stage reduces a multi-row-per-pk batch to the latest version (replay safety)") {
+    // id=2 arrives twice across two bronze appends: older B2 then newer B3;
+    // id=4 is a replayed duplicate (identical rows). Only the latest/one row
+    // per pk may stage, else applyMerge inserts >1 is_current version.
+    val batch = Seq(
+      (2, "bob", "B2", Timestamp.valueOf("2026-01-05 00:00:00")),
+      (2, "bob", "B3", Timestamp.valueOf("2026-01-06 00:00:00")),
+      (4, "dave", "D", Timestamp.valueOf("2026-01-05 00:00:00")),
+      (4, "dave", "D", Timestamp.valueOf("2026-01-05 00:00:00"))
+    ).toDF("id", "name", "seg", "ingestion_timestamp")
+    val staged = Scd2.stage(batch, target0, "id")
+    staged.groupBy("id").count().where($"count" > 1).count() shouldBe 0
+    val rows = staged.select("id", "seg", "action").as[(Int, String, String)]
+      .collect().toSet
+    rows shouldBe Set((2, "B3", "UPDATE"), (4, "D", "INSERT"))
+
+    // and the merge invariant holds end-to-end with the multi-row batch
+    val tgt = Scd2.initialLoad(target0, t0)
+    val merged = Scd2.applyMerge(tgt,
+      Scd2.stage(batch, tgt.where($"is_current"), "id"), "id", t1)
+    merged.where($"is_current").groupBy("id").count()
+      .where($"count" > 1).count() shouldBe 0
+  }
+
   test("fingerprint replicates the concat_ws NULL-skip collision; nullSafe mode does not") {
     val df = Seq(
       (1, Some("a"), None: Option[String]),

@@ -15,6 +15,16 @@ class DedupClustersSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 7L)
   }
 
+  test("clusters throws instead of returning non-converged labels") {
+    // a chain of diameter 7 cannot converge in 2 one-hop rounds; silent
+    // wrong cluster ids would poison every downstream keep/drop decision
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ids = (1L to 8L).toDF("doc_id")
+    intercept[IllegalStateException] {
+      Dedup.clusters(chain, "id_a", "id_b", ids, "doc_id", maxIters = 2)
+    }
+  }
+
   test("clusters over real near-dup pairs: every pair lands in one cluster") {
     val docs = graft.core.Tables.table(spark, sf0001, "documents")
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5).cache()

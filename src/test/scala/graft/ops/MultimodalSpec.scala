@@ -23,7 +23,7 @@ class MultimodalSpec extends SparkSpec {
     plan.output.map(_.name) should not contain "payload"
   }
 
-  test("fakeDecode: deterministic features, partition-wise contract") {
+  test("fakeDecode: md5-derived features, partition-wise contract") {
     val d1 = Multimodal.fakeDecode(spark, media).collect().sortBy(_.id)
     val d2 = Multimodal.fakeDecode(spark, media.repartition(3)).collect().sortBy(_.id)
     d1 shouldBe d2 // partitioning must not change results
@@ -31,8 +31,15 @@ class MultimodalSpec extends SparkSpec {
     val f = d1.head
     f.byteLen shouldBe 5L
     f.channels shouldBe 3
-    f.meanLuma shouldBe ("hello".getBytes.map(_ & 0xff).sum.toDouble / 5) +- 1e-9
-    // empty payload decodes to zeroed features, not a crash
-    d1(1).meanLuma shouldBe 0.0
+    // md5("hello") = 5d41402abc4b2a76b9719d911017c592; features are pinned
+    // nibble arithmetic over it (what the DuckDB oracle recomputes)
+    val hx = "5d41402abc4b2a76b9719d911017c592"
+    f.width shouldBe 16 + (java.lang.Long.parseLong(hx.substring(0, 4), 16) % 240).toInt
+    f.height shouldBe 16 + (java.lang.Long.parseLong(hx.substring(4, 8), 16) % 240).toInt
+    f.meanLuma shouldBe java.lang.Long.parseLong(hx.substring(8, 16), 16).toDouble / 4294967296.0
+    // empty payload decodes from md5("") — no crash, still deterministic
+    d1(1).byteLen shouldBe 0L
+    val he = "d41d8cd98f00b204e9800998ecf8427e"
+    d1(1).width shouldBe 16 + (java.lang.Long.parseLong(he.substring(0, 4), 16) % 240).toInt
   }
 }

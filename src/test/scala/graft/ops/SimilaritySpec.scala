@@ -47,6 +47,39 @@ class SimilaritySpec extends SparkSpec {
     r.flatMap(p => Seq(p._1, p._2)) should not contain 4L
   }
 
+  test("multiBandLshTopK recalls across bands and never loses to single-band") {
+    // real testdata: recall measured against the brute-force ground truth
+    val e = graft.core.Tables.table(spark, sf0001, "embeddings")
+    val truth = Similarity.bruteForceTopK(e, "vec_id", "embedding", 3)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val single = recall(Similarity.lshTopK(e, "vec_id", "embedding", 3, 4))
+    val multi = recall(Similarity.multiBandLshTopK(e, "vec_id", "embedding", 3, 4, 4))
+    info(f"recall: single-band $single%.3f, 4-band $multi%.3f")
+    // measured on the fixed testdata: 0.146 vs 0.453 — the ~3x lift
+    // independent bands are supposed to buy (1-(1-r)^B ≈ B·r for small r)
+    multi should be > single * 2
+    multi should be > 0.4
+  }
+
+  test("multiBandLshTopK: a pair agreeing in ANY band is a candidate") {
+    // 5 disagrees with 1 in band 0 (dim 0 sign) but agrees in band 1
+    // (dims 2-3): multi-band must see it, single-band (bits=2) must not
+    val e2 = Seq(
+      (1L, Seq(1f, 1f, 1f, 1f)),
+      (5L, Seq(-1f, 1f, 1f, 1f))
+    ).toDF("vec_id", "embedding")
+    val multi = Similarity.multiBandLshTopK(e2, "vec_id", "embedding", 1, 2, 2)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    multi shouldBe Set((1L, 5L), (5L, 1L))
+    val single = Similarity.lshTopK(e2, "vec_id", "embedding", 1, 2)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    single shouldBe empty
+  }
+
   test("nearDupPairs: symmetric threshold filter, a<b") {
     val r = Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

@@ -54,6 +54,40 @@ class TableStoreSpec extends SparkSpec {
     dirs.length shouldBe 1
   }
 
+  test("partitioned overwrite: hive-style dirs, boolean partition type round-trips") {
+    val store = new TableStore(spark)
+    val t = tmp() + "/t"
+    val df = Seq((1, true), (2, false), (3, true)).toDF("id", "is_current")
+    store.overwrite(t, df, Seq("is_current"))
+    // hive-style partition dirs inside the data dir
+    val dataDir = new java.io.File(t).listFiles()
+      .filter(_.getName.startsWith("data-")).head
+    dataDir.listFiles().map(_.getName).filter(_.startsWith("is_current=")).toSet shouldBe
+      Set("is_current=true", "is_current=false")
+    // the partition column reads back as BOOLEAN — partition-value inference
+    // alone would return string, breaking every where(col("is_current"))
+    val r = store.read(t)
+    r.schema("is_current").dataType shouldBe org.apache.spark.sql.types.BooleanType
+    r.where($"is_current").select("id").as[Int].collect().toSet shouldBe Set(1, 3)
+  }
+
+  test("append carries the partition layout forward without restating it") {
+    val store = new TableStore(spark)
+    val t = tmp() + "/t"
+    def batch(id: Int, d: String) =
+      Seq((id, d)).toDF("id", "d").withColumn("d", $"d".cast("date"))
+    store.append(t, batch(1, "2026-01-01"), Seq("d"))
+    store.append(t, batch(2, "2026-01-02")) // layout inherited
+    val r = store.read(t)
+    r.schema("d").dataType shouldBe org.apache.spark.sql.types.DateType
+    r.count() shouldBe 2
+    // every data dir is laid out by the established partition column
+    new java.io.File(t).listFiles().filter(_.getName.startsWith("data-"))
+      .foreach { dd =>
+        dd.listFiles().map(_.getName).count(_.startsWith("d=")) shouldBe 1
+      }
+  }
+
   test("schemaOf pins the committed schema") {
     val store = new TableStore(spark)
     val t = tmp() + "/t"

@@ -71,6 +71,48 @@ class EventStreamSpec extends SparkSpec {
     r shouldBe Set((1L, 2L, 5 * 60 * 1000L), (1L, 1L, 0L), (2L, 1L, 0L))
   }
 
+  test("sessionize splits intra-batch gaps and emits closed sessions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    def ts(m: Int) = new Timestamp(base + m * 60000L)
+    def ev(m: Int) = EventStream.Event(1L, ts(m), "a")
+    val gap = 30 * 60 * 1000L
+    val input = MemoryStream[EventStream.Event]
+    // ONE micro-batch containing an internal 35-min gap: the first segment
+    // must close within the batch, not fold into a single session
+    input.addData(ev(0), ev(5), ev(40), ev(45))
+    val q = EventStream.sessionize(input.toDS(), gap,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("gap_sessions")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // a later batch past the gap closes the carried-over open session too
+      input.addData(ev(80))
+      q.processAllAvailable()
+      val r = spark.table("gap_sessions")
+        .select($"sessionStartMs", $"nEvents", $"durationMs", $"closed")
+        .as[(Long, Long, Long, Boolean)].collect().toSet
+      r shouldBe Set(
+        (ts(0).getTime, 2L, 5 * 60000L, true),   // closed inside batch 1
+        (ts(40).getTime, 2L, 5 * 60000L, false), // open at end of batch 1
+        (ts(40).getTime, 2L, 5 * 60000L, true),  // closed by batch 2's gap
+        (ts(80).getTime, 1L, 0L, false))         // open at end of batch 2
+      // closed sessions + final open session == the batch oracle's sessions
+      val streamSessions = r.collect {
+        case (s, n, d, true) => (s, n, d)
+        case (s, n, d, false) if s == ts(80).getTime => (s, n, d)
+      }
+      val batchSessions = EventStream.sessionizeBatch(
+        Seq(0, 5, 40, 45, 80).map(m => (1L, ts(m))).toDF("user_id", "ts"), gap)
+        .select($"session_start", $"n_events", $"duration_ms")
+        .as[(Timestamp, Long, Long)].collect()
+        .map { case (s, n, d) => (s.getTime, n, d) }.toSet
+      streamSessions shouldBe batchSessions
+    } finally q.stop()
+  }
+
   test("sessionize (mapGroupsWithState) matches batch sessionization on a drained stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
