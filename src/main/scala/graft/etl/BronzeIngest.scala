@@ -36,14 +36,18 @@ object BronzeIngest {
       .withColumn("ingest_date", to_date(lit(runTs)))
 
   /** Ingest one table: pin-or-infer read → skip-if-empty → audit cols →
-    * append (schema evolves on write; 1_Landing_to_Bronze.py:36-67). */
+    * append (schema evolves on write; 1_Landing_to_Bronze.py:36-67).
+    * `typeOverrides` applies decimal-strict types on the FIRST read only —
+    * later runs pin the committed Bronze schema, which already carries
+    * them. */
   def ingestTable(landing: LandingSource, store: TableStore, bronzeRoot: String,
-                  table: String, runTs: Timestamp): Report = {
+                  table: String, runTs: Timestamp,
+                  typeOverrides: Map[String, String] = Map.empty): Report = {
     val target = s"$bronzeRoot/$table"
     val raw =
       if (store.exists(target))
         landing.readPinned(table, store.schemaOf(target), auditCols)
-      else landing.readInferred(table)
+      else landing.readInferred(table, typeOverrides)
     if (raw.isEmpty) Report(table, 0, "skipped-empty")
     else {
       val withAudit = withAuditCols(raw, runTs)
@@ -57,9 +61,10 @@ object BronzeIngest {
     * 1_Landing_to_Bronze.py:27-73): a bad table is reported and skipped, the
     * rest of the run continues. */
   def run(landing: LandingSource, store: TableStore, bronzeRoot: String,
-          runTs: Timestamp): Seq[Report] =
+          runTs: Timestamp,
+          typeOverrides: String => Map[String, String] = _ => Map.empty): Seq[Report] =
     landing.listTables().map { t =>
-      try ingestTable(landing, store, bronzeRoot, t, runTs)
+      try ingestTable(landing, store, bronzeRoot, t, runTs, typeOverrides(t))
       catch { case e: Exception => Report(t, -1, s"failed: ${e.getMessage}") }
     }
 }

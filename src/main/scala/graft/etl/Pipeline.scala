@@ -43,7 +43,9 @@ class Pipeline(spark: SparkSession, conf: PipelineConfig,
     * optional Gold rebuild from a caller-supplied fact builder. */
   def run(runTs: Timestamp,
           goldFact: Option[SparkSession => DataFrame] = None): RunReport = {
-    val bronze = BronzeIngest.run(landing, store, conf.bronzeRoot, runTs)
+    val overrides = conf.tables.map(t => t.name -> t.typeOverrides).toMap
+    val bronze = BronzeIngest.run(landing, store, conf.bronzeRoot, runTs,
+      overrides.getOrElse(_, Map.empty))
     val silver = conf.tables.filter(_.active).map { tc =>
       SilverScd2.run(store, watermarks, conf.bronzeRoot, conf.silverRoot,
         tc, runTs, sink, conf.sideChannelTable, conf.sideChannelCols)

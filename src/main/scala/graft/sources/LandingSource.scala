@@ -36,10 +36,27 @@ class LandingSource(spark: SparkSession, landingRoot: String) {
   }
 
   /** First-sight read: header + schema inference
-    * (1_Landing_to_Bronze.py:37,44-46). */
-  def readInferred(table: String): DataFrame =
-    spark.read.option("header", "true").option("inferSchema", "true")
+    * (1_Landing_to_Bronze.py:37,44-46).
+    *
+    * `typeOverrides` (column → DDL type) is the decimal-strict mode
+    * (SURVEY §7.4): CSV inference degrades the reference's DECIMAL money
+    * columns to double; an override re-reads the text with the declared
+    * type pinned in the schema, so values parse exactly instead of
+    * round-tripping through binary floating point. Subsequent runs inherit
+    * strictness automatically — [[readPinned]] reuses the Bronze schema. */
+  def readInferred(table: String,
+                   typeOverrides: Map[String, String] = Map.empty): DataFrame = {
+    val inferred = spark.read.option("header", "true").option("inferSchema", "true")
       .csv(tablePath(table))
+    if (typeOverrides.isEmpty) inferred
+    else {
+      val strict = StructType(inferred.schema.fields.map(f =>
+        typeOverrides.get(f.name)
+          .map(t => f.copy(dataType = org.apache.spark.sql.types.DataType.fromDDL(t)))
+          .getOrElse(f)))
+      spark.read.schema(strict).option("header", "true").csv(tablePath(table))
+    }
+  }
 
   /** Subsequent reads pin the existing Bronze schema so inference never
     * flips types between runs (1_Landing_to_Bronze.py:41-42). Audit columns

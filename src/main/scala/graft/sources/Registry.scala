@@ -6,7 +6,11 @@ package graft.sources
   * (adf/pipeline.json:63-87; README.MD:51-62). Tables with `active = false`
   * are skipped by the pipeline loop (the README's IsActive=1 filter,
   * README.MD:55). */
-final case class TableConfig(name: String, pk: String, active: Boolean = true)
+/** `typeOverrides` (column → DDL type, e.g. `"Price" -> "decimal(12,2)"`)
+  * pins source-declared types that CSV inference degrades — see
+  * [[LandingSource.readInferred]]. */
+final case class TableConfig(name: String, pk: String, active: Boolean = true,
+                             typeOverrides: Map[String, String] = Map.empty)
 
 object Registry {
 

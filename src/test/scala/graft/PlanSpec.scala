@@ -78,6 +78,18 @@ class PlanSpec extends SparkSpec {
     plan should include("BroadcastHashJoin")
   }
 
+  test("ANN paths never plan a cartesian product (q25/q34)") {
+    // the entire point of LSH bucketing is replacing the N² cross join with
+    // bucket equi-joins; a cartesian anywhere means the scale path regressed
+    for (q <- Seq("q25_ann_lsh_topk", "q34_ann_multiband")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, sf0001))
+      withClue(s"$q: ") {
+        plan should not include "CartesianProduct"
+        plan should not include "BroadcastNestedLoopJoin"
+      }
+    }
+  }
+
   test("silver current-slice scan prunes on the is_current partition") {
     import java.sql.Timestamp
     import spark.implicits._
