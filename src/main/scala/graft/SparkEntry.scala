@@ -180,6 +180,12 @@ object SparkEntry {
       Dedup.clusters(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5),
         "id_a", "id_b", docs.select("doc_id"), "doc_id")
     }),
+    "q35_dedup_drop" -> ((s, dir) =>
+      Dedup.dropNearDuplicates(t(s, dir, "documents"), "doc_id", "text", 3, 0.5)),
+    "q36_repetition" -> ((s, dir) =>
+      TextStats.repetitionScore(t(s, dir, "documents"), "doc_id", "text", 3)),
+    "q37_pii_scrub" -> ((s, dir) =>
+      TextStats.scrubPii(t(s, dir, "documents"), "doc_id", "text")),
     // ---- similarity search (§7.6) ----
     "q24_cosine_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 5)),
@@ -322,6 +328,32 @@ object SparkEntry {
        |FROM pairs p JOIN sizes sa ON p.id_a = sa.doc_id JOIN sizes sb ON p.id_b = sb.doc_id
        |WHERE CAST(p.n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE) >= 0.5""".stripMargin
   }
+
+  /** Shared recursive-CTE chain: near-dup pairs → transitive closure →
+    * per-doc min-reachable cluster id, as CTE `assign(doc_id, cluster_id)`.
+    * q33 selects the assignment; q35 the surviving representatives. */
+  private val clusterChainSql: String =
+    s"""WITH RECURSIVE sh AS (${shingleSql(3)}),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |jpairs AS (
+       |  SELECT p.id_a, p.id_b
+       |  FROM pairs p JOIN sizes sa ON p.id_a = sa.doc_id JOIN sizes sb ON p.id_b = sb.doc_id
+       |  WHERE CAST(p.n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE) >= 0.5),
+       |sym AS (SELECT id_a AS a, id_b AS b FROM jpairs
+       |        UNION SELECT id_b, id_a FROM jpairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+       |assign AS (
+       |  SELECT d.doc_id,
+       |    least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+       |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+       |  GROUP BY d.doc_id)""".stripMargin
 
   /** 16-bit md5-nibble SimHash oracle. */
   private val simhashSql: String = {
@@ -500,26 +532,33 @@ object SparkEntry {
     "q22_dedup_minhash_lsh" -> minhashSql(3, 4, 3),
     "q23_dedup_simhash" -> simhashSql,
     "q33_dedup_clusters" ->
-      s"""WITH RECURSIVE sh AS (${shingleSql(3)}),
-         |pairs AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-         |jpairs AS (
-         |  SELECT p.id_a, p.id_b
-         |  FROM pairs p JOIN sizes sa ON p.id_a = sa.doc_id JOIN sizes sb ON p.id_b = sb.doc_id
-         |  WHERE CAST(p.n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE) >= 0.5),
-         |sym AS (SELECT id_a AS a, id_b AS b FROM jpairs
-         |        UNION SELECT id_b, id_a FROM jpairs),
-         |reach(a, b) AS (
-         |  SELECT a, b FROM sym
-         |  UNION
-         |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
-         |SELECT d.doc_id,
-         |  least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
-         |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
-         |GROUP BY d.doc_id""".stripMargin,
+      s"""$clusterChainSql
+         |SELECT doc_id, cluster_id FROM assign""".stripMargin,
+    "q35_dedup_drop" ->
+      s"""$clusterChainSql
+         |SELECT doc_id FROM assign WHERE cluster_id = doc_id""".stripMargin,
+    "q36_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_transform(generate_series(1, len(ts) - 2),
+        |    i -> array_to_string(ts[i:i+2], ' ')) AS grams
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents))
+        |SELECT doc_id,
+        |  CASE WHEN len(grams) <= 0 THEN 1.0
+        |       ELSE CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE)
+        |  END AS distinct_ngram_ratio
+        |FROM g""".stripMargin,
+    "q37_pii_scrub" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val url = "https?://[^ ]+"
+      val digits = "[0-9]{7,}"
+      s"""SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$url', '<URL>', 'g'), '$email', '<EMAIL>', 'g'), '$digits', '<NUM>', 'g') AS clean_text,
+         |  CAST(len(regexp_extract_all(text, '$email')) AS INTEGER) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$url')) AS INTEGER) AS n_urls,
+         |  CAST(len(regexp_extract_all(text, '$digits')) AS INTEGER) AS n_digit_runs
+         |FROM documents""".stripMargin
+    },
     "q24_cosine_topk" ->
       s"""WITH pc AS ($cosineSql)
          |SELECT query_id, cand_id, cos,

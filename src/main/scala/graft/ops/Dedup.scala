@@ -212,6 +212,23 @@ object Dedup {
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
 
+  /** The full dedup decision, composed end-to-end: near-dup pairs →
+    * connected components → keep the minimum id of every cluster. Returns
+    * the SURVIVING ids (singletons included). This is the operator a
+    * training-data pipeline actually runs; the pieces stay public for
+    * pipelines that need the intermediate tables.
+    *
+    * At 100 TB swap the exact pair generator for [[minHashLshPairs]] via
+    * `pairGen` — the composition is agnostic to how pairs were found. */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, minJaccard: Double,
+                         pairGen: Option[DataFrame] = None): DataFrame = {
+    val pairs = pairGen.getOrElse(ngramJaccardPairs(df, idCol, textCol, n, minJaccard))
+    val assign = clusters(pairs, "id_a", "id_b", df.select(idCol), idCol)
+    // survivor = the cluster representative (min id == its own id)
+    assign.where(col(idCol) === col("cluster_id")).select(col(idCol))
+  }
+
   /** 64-bit SimHash on xxhash64 tokens — the codegen-friendly scale variant
     * (no md5 string churn; one 8-byte hash per token). */
   def simHash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -68,6 +68,39 @@ object TextStats {
     withScores.withColumn("detected_lang", detected)
   }
 
+  /** Repetition score: distinct word n-grams / total word n-grams, the
+    * standard boilerplate/looping-text detector (a doc that repeats itself
+    * has far fewer distinct n-grams than slots). 1.0 = no repetition; docs
+    * shorter than n words score 1.0 by convention. One narrow projection,
+    * no shuffle — runs in the scan stage at any scale. */
+  def repetitionScore(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3): DataFrame = {
+    val sh = Dedup.shingles(col(textCol), n)
+    df.select(col(idCol),
+      when(size(sh) <= 0, lit(1.0))
+        .otherwise(size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
+        .as("distinct_ngram_ratio"))
+  }
+
+  /** PII scrubbing: masks emails, URLs, and long (7+) digit runs — the
+    * redaction pass a training-data pipeline runs before tokenization.
+    * RE2-compatible patterns, so any engine reproduces the masking
+    * byte-for-byte. Returns the scrubbed text plus per-kind hit counts
+    * (the usual audit/reporting columns). */
+  def scrubPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val url = "https?://[^ ]+"
+    val digits = "[0-9]{7,}"
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      regexp_replace(regexp_replace(regexp_replace(t,
+        url, "<URL>"), email, "<EMAIL>"), digits, "<NUM>").as("clean_text"),
+      size(regexp_extract_all(t, lit(email), lit(0))).as("n_emails"),
+      size(regexp_extract_all(t, lit(url), lit(0))).as("n_urls"),
+      size(regexp_extract_all(t, lit(digits), lit(0))).as("n_digit_runs"))
+  }
+
   /** Document fingerprints: full-content md5 plus a winnowing-style minimum
     * over character 8-gram hashes (robust to small edits at the ends). */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {

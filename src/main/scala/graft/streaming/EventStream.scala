@@ -52,6 +52,16 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming exact dedup with bounded state — the streaming form of
+    * [[graft.ops.Dedup.exact]] for at-least-once sources: duplicate keys
+    * arriving within the watermark horizon are dropped, and per-key state is
+    * evicted once the event-time watermark passes it, so state size is
+    * O(keys per horizon), not O(all keys ever). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermarkCol: String, horizon: String): DataFrame =
+    events.withWatermark(watermarkCol, horizon)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   // -------------------------------------------------------------------
   // Stateful processing: sessionization via mapGroupsWithState — the
   // custom-state primitive the reference lacks but a streaming engine needs.

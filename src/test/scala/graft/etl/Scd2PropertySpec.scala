@@ -30,6 +30,34 @@ class Scd2PropertySpec extends SparkSpec {
   private def sample(seed: Long): List[(Int, String)] =
     batchGen.pureApply(Gen.Parameters.default.withSize(12), Seed(seed))
 
+  test("merge invariants hold when the batch carries multiple versions per pk") {
+    // at-least-once ingestion: a batch may hold several rows for one key
+    // (ordered by ingestion_timestamp); the LATEST version must win and the
+    // one-current-per-pk invariant must survive
+    val dupBatchGen: Gen[List[(Int, String)]] = Gen.nonEmptyListOf(rowGen)
+    for (seed <- 1L to 10L) {
+      val initial = sample(seed)
+      val rows = dupBatchGen.pureApply(Gen.Parameters.default.withSize(16), Seed(seed + 2000))
+      val batchDf = rows.zipWithIndex.map { case ((id, v), i) =>
+        (id, v, new Timestamp(t1.getTime + i * 1000L))
+      }.toDF("id", "v", "ingestion_timestamp")
+      val lastPerId = rows.zipWithIndex
+        .groupBy(_._1._1).view.mapValues(_.maxBy(_._2)._1._2).toMap
+      val tgt = Scd2.initialLoad(initial.toDF("id", "v"), t0)
+      val staged = Scd2.stage(batchDf, tgt.where($"is_current"), "id")
+      val merged = Scd2.applyMerge(tgt, staged, "id", t1).cache()
+      try {
+        withClue(s"seed=$seed initial=$initial rows=$rows: ") {
+          merged.where($"is_current").groupBy("id").count()
+            .where($"count" > 1).count() shouldBe 0
+          val cur = merged.where($"is_current").select("id", "v")
+            .as[(Int, String)].collect().toMap
+          lastPerId.foreach { case (id, v) => cur.get(id) shouldBe Some(v) }
+        }
+      } finally merged.unpersist()
+    }
+  }
+
   test("merge invariants hold for arbitrary targets and batches") {
     for (seed <- 1L to 10L) {
       val initial = sample(seed)

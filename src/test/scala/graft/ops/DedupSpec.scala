@@ -53,6 +53,14 @@ class DedupSpec extends SparkSpec {
     lsh.subsetOf(exact) shouldBe true
   }
 
+  test("dropNearDuplicates keeps one representative per near-dup cluster") {
+    // docs 1,2,4 form one cluster (Jaccard >= 0.5 chain); 3 is a singleton
+    val survivors = Dedup.dropNearDuplicates(docs, "doc_id", "text", 3, 0.5)
+      .as[Long].collect().toSet
+    survivors shouldBe Set(1L, 3L)
+    graft.core.CacheRegistry.drain()
+  }
+
   test("simHash16: identical docs get identical signatures, in [0, 65535]") {
     val sig = Dedup.simHash16(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap

@@ -41,6 +41,31 @@ class TextStatsSpec extends SparkSpec {
     r shouldBe Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "en")
   }
 
+  test("repetitionScore: looping text scores low, varied text 1.0, short text 1.0") {
+    val df = Seq(
+      (1L, "a b c a b c a b c"),          // 7 trigram slots, 3 distinct
+      (2L, "one two three four five six"), // all distinct
+      (3L, "too short")                    // < n words
+    ).toDF("doc_id", "text")
+    val r = TextStats.repetitionScore(df, "doc_id", "text", 3)
+      .as[(Long, Double)].collect().toMap
+    r(1L) shouldBe (3.0 / 7.0) +- 1e-12
+    r(2L) shouldBe 1.0
+    r(3L) shouldBe 1.0
+  }
+
+  test("scrubPii masks urls, emails, and digit runs with audit counts") {
+    val df = Seq(
+      (1L, "mail me at a.b@x-corp.io or visit https://x.io/p?q=1 ref 12345678 ok")
+    ).toDF("doc_id", "text")
+    val r = TextStats.scrubPii(df, "doc_id", "text").collect().head
+    r.getAs[String]("clean_text") shouldBe
+      "mail me at <EMAIL> or visit <URL> ref <NUM> ok"
+    r.getAs[Int]("n_emails") shouldBe 1
+    r.getAs[Int]("n_urls") shouldBe 1
+    r.getAs[Int]("n_digit_runs") shouldBe 1
+  }
+
   test("fingerprints: min-gram is stable under suffix edits, md5 is not") {
     val df = Seq(
       (1L, "abcdefghijklmnop"),

@@ -71,6 +71,25 @@ class EventStreamSpec extends SparkSpec {
     r shouldBe Set((1L, 2L, 5 * 60 * 1000L), (1L, 1L, 0L), (2L, 1L, 0L))
   }
 
+  test("dedupStream drops duplicate keys within the watermark horizon") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val input = MemoryStream[(Long, Timestamp)]
+    input.addData((1L, ts(0)), (1L, ts(1)), (2L, ts(2))) // dup key 1
+    val q = EventStream.dedupStream(
+        input.toDF().toDF("event_id", "ts"), Seq("event_id"), "ts", "1 hour")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      input.addData((1L, ts(5)), (3L, ts(6))) // replayed key 1 in a later batch
+      q.processAllAvailable()
+      spark.table("dedup_stream").select($"event_id").as[Long]
+        .collect().sorted.toSeq shouldBe Seq(1L, 2L, 3L)
+    } finally q.stop()
+  }
+
   test("sessionize splits intra-batch gaps and emits closed sessions") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
