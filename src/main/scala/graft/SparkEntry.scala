@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.etl.{GoldMarts, Scd2, StarSchema}
-import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -195,6 +195,11 @@ object SparkEntry {
       Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)),
     "q34_ann_multiband" -> ((s, dir) =>
       Similarity.multiBandLshTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 3, 8, 3)),
+    "q38_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 3, 8, 2)),
+    "q39_deterministic_split" -> ((s, dir) =>
+      Sampling.deterministicSplit(t(s, dir, "documents").select("doc_id"), "doc_id",
+        Seq("train" -> 90, "val" -> 5, "test" -> 5))),
     // ---- text analysis (§7.6) ----
     "q27_lang_id" -> ((s, dir) =>
       TextStats.langId(t(s, dir, "documents"), "doc_id", "text")),
@@ -547,6 +552,42 @@ object SparkEntry {
         |       ELSE CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE)
         |  END AS distinct_ngram_ratio
         |FROM g""".stripMargin,
+    "q38_ivf_topk" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cvec
+        |  FROM embeddings ORDER BY vec_id LIMIT 8),
+        |sim AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])), 6) AS csim
+        |  FROM embeddings e CROSS JOIN cents c),
+        |ranked AS (
+        |  SELECT vec_id, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id ASC) AS r
+        |  FROM sim),
+        |assigned AS (SELECT vec_id AS cand_id, cent_id AS cell FROM ranked WHERE r = 1),
+        |probes AS (SELECT vec_id AS query_id, cent_id AS cell FROM ranked WHERE r <= 2),
+        |pc AS (
+        |  SELECT p.query_id, a.cand_id,
+        |    round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), 6) AS cos
+        |  FROM probes p
+        |  JOIN assigned a ON a.cell = p.cell AND a.cand_id <> p.query_id
+        |  JOIN embeddings x ON x.vec_id = p.query_id
+        |  JOIN embeddings y ON y.vec_id = a.cand_id)
+        |SELECT query_id, cand_id, cos,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS INTEGER) AS rank
+        |FROM pc
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) <= 3""".stripMargin,
+    "q39_deterministic_split" -> {
+      // md5Bucket in SQL: first 8 hex nibbles of md5(id) as an integer, mod 100
+      val nib = (k: Int) =>
+        s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $k, 1)) - 1)"
+      val v = (1 to 8).map(k => s"${nib(k)} * ${math.pow(16, 8 - k).toLong}").mkString(" + ")
+      s"""SELECT doc_id,
+         |  CASE WHEN ($v) % 100 < 90 THEN 'train'
+         |       WHEN ($v) % 100 < 95 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin
+    },
     "q37_pii_scrub" -> {
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
       val url = "https?://[^ ]+"

@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling/splitting for training-data
+  * pipelines.
+  *
+  * `sample(fraction)` / `rand()` are neither stable across runs nor across
+  * engines; a reproducible pipeline derives split membership from the ROW
+  * ITSELF. Bucket = md5 of the id, first 8 hex digits as an integer,
+  * mod 100 — any engine with md5 reproduces the exact same split, so the
+  * train/val boundary survives re-runs, re-partitioning, backfills, and
+  * engine migrations. Pure per-row projection: no shuffle at any scale.
+  */
+object Sampling {
+
+  /** Stable bucket 0-99 from the id's md5 (nibble arithmetic, not a
+    * native hash fn, so external engines can reproduce it). */
+  def md5Bucket(id: Column): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"), lit(100L))
+
+  /** Assign each row a named split by cumulative percentage. Weights are
+    * integer percents summing to ≤ 100 (a remainder falls into the last
+    * split). E.g. `Seq("train" -> 90, "val" -> 5, "test" -> 5)`. */
+  def deterministicSplit(df: DataFrame, idCol: String,
+                         splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum <= 100,
+      "split percents must sum to <= 100")
+    val b = md5Bucket(col(idCol))
+    val bounds = splits.scanLeft(0) { case (acc, (_, p)) => acc + p }.tail
+    val assignment = splits.map(_._1).zip(bounds).init
+      .foldRight(lit(splits.last._1)) { case ((name, hi), fallback) =>
+        when(b < hi, name).otherwise(fallback)
+      }
+    df.withColumn("split", assignment)
+  }
+
+  /** Deterministic p-percent sample (membership stable across runs). */
+  def deterministicSample(df: DataFrame, idCol: String, percent: Int): DataFrame =
+    df.where(md5Bucket(col(idCol)) < percent)
+}

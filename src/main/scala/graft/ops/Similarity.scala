@@ -123,6 +123,47 @@ object Similarity {
       .select("query_id", "cand_id", "cos", "rank")
   }
 
+  /** IVF-style ANN with deterministically seeded centroids: the `nCells`
+    * vectors with the smallest ids act as coarse centroids (a k-means pass
+    * would re-estimate them; fixed seeds keep the operator deterministic
+    * and engine-portable). Every vector joins its nearest centroid's cell
+    * (the inverted file); a query probes only its `nProbe` nearest cells,
+    * so the candidate set is ≈ N·nProbe/nCells per query instead of N.
+    *
+    * Scale shape: the centroid table is tiny and broadcast — the N×C
+    * assignment runs map-side in one pass; the candidate join shuffles on
+    * the cell id. At 100 TB the seed centroids come from a sample and
+    * nCells grows to √N; the operator shape is unchanged. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              k: Int, nCells: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = emb.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cvec"),
+        normF(col(vecCol)).as("cnorm"))
+    val vecs = emb.select(col(idCol), col(vecCol), normF(col(vecCol)).as("norm"))
+    // N×C centroid similarities, rounded so assignment ties break the same
+    // way on every engine (by cent_id)
+    val simToCent = vecs.crossJoin(broadcast(cents))
+      .select(col(idCol), col("cent_id"),
+        round(dotF(col(vecCol), col("cvec")) / (col("norm") * col("cnorm")), 6).as("csim"))
+    val byVec = Window.partitionBy(idCol).orderBy(col("csim").desc, col("cent_id").asc)
+    val ranked = simToCent.withColumn("r", row_number().over(byVec))
+    val assigned = ranked.where(col("r") === 1)
+      .select(col(idCol).as("cand_id"), col("cent_id").as("cell"))
+    val probes = ranked.where(col("r") <= nProbe)
+      .select(col(idCol).as("query_id"), col("cent_id").as("cell"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id").asc)
+    probes
+      .join(vecs.toDF("query_id", "va", "na"), Seq("query_id"))
+      .join(assigned.join(vecs.toDF("cand_id", "vb", "nb"), Seq("cand_id")), Seq("cell"))
+      .where(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(dotF(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "cand_id", "cos", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold). */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                    threshold: Double): DataFrame =

@@ -86,6 +86,43 @@ object EventStream {
     * `timeout = NoTimeout` disables idle-session closing (deterministic
     * drain-and-stop runs; registered processing-time timeouts otherwise keep
     * the micro-batch loop alive). */
+  /** Fold a sorted batch of event times into gap-delimited segments, seeded
+    * with the carried-over open session (merged iff within the gap; a
+    * superseded open session closes). Returns (closed segments, open). */
+  private def foldSessions(prev: Option[SessionState], times: Seq[Long],
+                           gapMs: Long): (Seq[SessionState], SessionState) = {
+    val mergesPrev = prev.exists(s => times.head - s.lastSeen <= gapMs)
+    val closed = Seq.newBuilder[SessionState]
+    if (!mergesPrev) prev.foreach(closed += _)
+    var open =
+      if (mergesPrev) prev.get
+      else SessionState(times.head, times.head, 0)
+    times.foreach { t =>
+      if (t - open.lastSeen <= gapMs)
+        open = SessionState(open.start, t, open.nEvents + 1)
+      else {
+        closed += open
+        open = SessionState(t, t, 1)
+      }
+    }
+    (closed.result(), open)
+  }
+
+  private def updates(user: Long, closed: Seq[SessionState],
+                      open: SessionState): Iterator[SessionUpdate] =
+    (closed.map(s =>
+      SessionUpdate(user, s.start, s.nEvents, s.lastSeen - s.start, closed = true)) :+
+      SessionUpdate(user, open.start, open.nEvents,
+        open.lastSeen - open.start, closed = false)).iterator
+
+  private def closeTimedOut(user: Long,
+                            state: GroupState[SessionState]): Iterator[SessionUpdate] = {
+    val s = state.get
+    state.remove()
+    Iterator.single(
+      SessionUpdate(user, s.start, s.nEvents, s.lastSeen - s.start, closed = true))
+  }
+
   def sessionize(events: Dataset[Event], gapMs: Long,
                  timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
       : Dataset[SessionUpdate] = {
@@ -96,39 +133,40 @@ object EventStream {
       .flatMapGroupsWithState[SessionState, SessionUpdate](
         OutputMode.Update, timeout) {
         (user: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(
-              SessionUpdate(user, s.start, s.nEvents, s.lastSeen - s.start, closed = true))
-          } else {
+          if (state.hasTimedOut) closeTimedOut(user, state)
+          else {
             val times = batch.map(_.ts.getTime).toSeq.sorted
             if (times.isEmpty) Iterator.empty
             else {
-              // fold the batch into gap-delimited segments, seeded with the
-              // carried-over open session (merged iff within the gap; a
-              // superseded open session closes)
-              val prev = state.getOption
-              val mergesPrev = prev.exists(s => times.head - s.lastSeen <= gapMs)
-              val closed = Seq.newBuilder[SessionState]
-              if (!mergesPrev) prev.foreach(closed += _)
-              var open =
-                if (mergesPrev) prev.get
-                else SessionState(times.head, times.head, 0)
-              times.foreach { t =>
-                if (t - open.lastSeen <= gapMs)
-                  open = SessionState(open.start, t, open.nEvents + 1)
-                else {
-                  closed += open
-                  open = SessionState(t, t, 1)
-                }
-              }
+              val (closed, open) = foldSessions(state.getOption, times, gapMs)
               state.update(open)
               if (useTimeout) state.setTimeoutDuration(gapMs)
-              (closed.result().map(s =>
-                SessionUpdate(user, s.start, s.nEvents, s.lastSeen - s.start, closed = true)) :+
-                SessionUpdate(user, open.start, open.nEvents,
-                  open.lastSeen - open.start, closed = false)).iterator
+              updates(user, closed, open)
+            }
+          }
+      }
+  }
+
+  /** Event-time variant of [[sessionize]]: idle sessions close when the
+    * WATERMARK passes `lastSeen + gap`, not when wall-clock does — replays
+    * and backfills produce byte-identical output, which processing-time
+    * timeouts cannot guarantee. Input must carry `withWatermark` on `ts`. */
+  def sessionizeEventTime(events: Dataset[Event], gapMs: Long): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) closeTimedOut(user, state)
+          else {
+            val times = batch.map(_.ts.getTime).toSeq.sorted
+            if (times.isEmpty) Iterator.empty
+            else {
+              val (closed, open) = foldSessions(state.getOption, times, gapMs)
+              state.update(open)
+              state.setTimeoutTimestamp(open.lastSeen + gapMs)
+              updates(user, closed, open)
             }
           }
       }

@@ -90,6 +90,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ivf assignment broadcasts the centroid table; no cartesian (q38)") {
+    val plan = planOf(SparkEntry.queries("q38_ivf_topk")(spark, sf0001))
+    plan should not include "CartesianProduct"
+    // the N×C assignment IS a broadcast nested loop against the tiny
+    // centroid table — that is the IVF design (map-side, no shuffle);
+    // the candidate join itself stays an equi join on the cell
+    plan should include("BroadcastNestedLoopJoin")
+  }
+
   test("silver current-slice scan prunes on the is_current partition") {
     import java.sql.Timestamp
     import spark.implicits._

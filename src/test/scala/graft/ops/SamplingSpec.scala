@@ -1,0 +1,34 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = graft.core.Tables.table(spark, sf0001, "documents")
+
+  test("deterministicSplit partitions every row, stable across runs and partitioning") {
+    val splits = Seq("train" -> 90, "val" -> 5, "test" -> 5)
+    val a = Sampling.deterministicSplit(docs, "doc_id", splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val b = Sampling.deterministicSplit(docs.repartition(7), "doc_id", splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    a shouldBe b                     // membership is a pure function of the id
+    a.size shouldBe docs.count()     // every row assigned exactly once
+    // ratios approximate the weights (md5 spreads uniformly)
+    val n = a.size.toDouble
+    a.values.count(_ == "train") / n shouldBe 0.90 +- 0.05
+    (a.values.count(_ == "val") + a.values.count(_ == "test")) / n shouldBe 0.10 +- 0.05
+  }
+
+  test("deterministicSample is the prefix of the same bucketing") {
+    val sampled = Sampling.deterministicSample(docs, "doc_id", 10)
+      .select("doc_id").as[Long].collect().toSet
+    val buckets = docs.select(col("doc_id"),
+      Sampling.md5Bucket(col("doc_id")).as("b")).as[(Long, Long)].collect()
+    sampled shouldBe buckets.filter(_._2 < 10).map(_._1).toSet
+    sampled.size.toDouble / buckets.length shouldBe 0.10 +- 0.04
+  }
+}

@@ -80,6 +80,30 @@ class SimilaritySpec extends SparkSpec {
     single shouldBe empty
   }
 
+  test("ivfTopK: probing more cells than the home cell recovers cross-cell neighbors") {
+    // centroids = vecs 1,2. Cells: {1} and {2,3,4}. With nProbe=1 query 1
+    // sees no candidates (alone in its cell); probing 2 cells finds them.
+    val r1 = Similarity.ivfTopK(emb, "vec_id", "embedding", 2, 2, 1)
+      .where($"query_id" === 1).count()
+    r1 shouldBe 0
+    val r2 = Similarity.ivfTopK(emb, "vec_id", "embedding", 2, 2, 2)
+      .where($"query_id" === 1)
+      .select("cand_id", "rank").as[(Long, Int)].collect().toSeq.sortBy(_._2)
+    r2 shouldBe Seq((2L, 1), (3L, 2))
+  }
+
+  test("ivfTopK recall on real embeddings beats its candidate-budget share") {
+    val e = graft.core.Tables.table(spark, sf0001, "embeddings")
+    val truth = Similarity.bruteForceTopK(e, "vec_id", "embedding", 3)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val got = Similarity.ivfTopK(e, "vec_id", "embedding", 3, 8, 2)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    info(f"ivf recall (8 cells, 2 probes): $recall%.3f")
+    // probing 2/8 cells examines ~25% of candidates; locality must beat that
+    recall should be > 0.25
+  }
+
   test("nearDupPairs: symmetric threshold filter, a<b") {
     val r = Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

@@ -132,6 +132,32 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeEventTime closes idle sessions when the watermark passes the gap") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val input = MemoryStream[EventStream.Event]
+    val q = EventStream.sessionizeEventTime(
+        input.toDS().withWatermark("ts", "0 seconds"), gapMs = 30 * 60 * 1000)
+      .writeStream.format("memory").queryName("et_sessions")
+      .outputMode("update").start()
+    try {
+      input.addData(EventStream.Event(1L, ts(10, 0), "a"),
+        EventStream.Event(1L, ts(10, 5), "a"))
+      q.processAllAvailable()
+      // a later event for ANOTHER user advances the watermark past
+      // 10:05 + 30min; user 1's open session must close by event time
+      input.addData(EventStream.Event(2L, ts(11, 0), "b"))
+      q.processAllAvailable()
+      input.addData(EventStream.Event(2L, ts(11, 1), "b"))
+      q.processAllAvailable()
+      val closed = spark.table("et_sessions").where($"closed")
+        .select($"user_id", $"nEvents", $"durationMs")
+        .as[(Long, Long, Long)].collect().toSet
+      closed shouldBe Set((1L, 2L, 5 * 60000L))
+    } finally q.stop()
+  }
+
   test("sessionize (mapGroupsWithState) matches batch sessionization on a drained stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
