@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.etl.{GoldMarts, Scd2, StarSchema}
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextStats}
+import graft.ops.{Dedup, Joins, Multimodal, Sampling, Similarity, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -200,6 +200,17 @@ object SparkEntry {
     "q39_deterministic_split" -> ((s, dir) =>
       Sampling.deterministicSplit(t(s, dir, "documents").select("doc_id"), "doc_id",
         Seq("train" -> 90, "val" -> 5, "test" -> 5))),
+    // point-in-time lookup: each event joined to the customer's latest
+    // order at-or-before the event (orders deduped to one per (key, date))
+    "q40_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select("event_id", "ts", "user_id")
+      val ord = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("user_id"),
+          col("o_orderdate").cast("timestamp").as("order_ts"))
+        .agg(max("o_orderkey").as("last_orderkey"))
+        .withColumn("last_order_date", col("order_ts"))
+      Joins.asOfJoin(ev, ord, "user_id", "ts", "order_ts")
+    }),
     // ---- text analysis (§7.6) ----
     "q27_lang_id" -> ((s, dir) =>
       TextStats.langId(t(s, dir, "documents"), "doc_id", "text")),
@@ -552,6 +563,15 @@ object SparkEntry {
         |       ELSE CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE)
         |  END AS distinct_ngram_ratio
         |FROM g""".stripMargin,
+    "q40_asof_join" ->
+      """WITH r AS (
+        |  SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS order_ts,
+        |    max(o_orderkey) AS last_orderkey
+        |  FROM orders GROUP BY 1, 2),
+        |l AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id FROM events)
+        |SELECT l.user_id, l.event_id, l.ts,
+        |  r.last_orderkey, r.order_ts AS last_order_date
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.order_ts""".stripMargin,
     "q38_ivf_topk" ->
       """WITH cents AS (
         |  SELECT vec_id AS cent_id, embedding AS cvec

@@ -53,17 +53,37 @@ object Dedup {
 
   /** All document pairs with n-gram Jaccard ≥ minJaccard (exact, pairwise).
     * Jaccard = |A∩B| / (|A|+|B|−|A∩B|) over distinct shingle sets. */
+  /** Per-document DISTINCT shingle arrays — computed in the scan stage by
+    * the native kernel: no explode, no shuffle. */
+  def shingleArrays(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), array_distinct(shingles(col(textCol), n)).as("sh"))
+      .where(size(col("sh")) > 0)
+
+  private def jaccardFromArrays(pairs: DataFrame, arrays: DataFrame,
+                                minJaccard: Double): DataFrame = {
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    pairs
+      .join(arrays.toDF("id_a", "sh_a"), Seq("id_a"))
+      .join(arrays.toDF("id_b", "sh_b"), Seq("id_b"))
+      .withColumn("jaccard", inter.cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - inter).cast("double"))
+      .where(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, minJaccard: Double): DataFrame = {
-    // feeds the pair join twice plus the size aggregate; registered for
-    // harness drain after the query completes
+    // the exploded table feeds the pair-generation join twice; registered
+    // for harness drain after the query completes
     val sh = graft.core.CacheRegistry.persist(shingleTable(df, idCol, textCol, n))
-    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
     val a = sh.toDF("id_a", "shingle")
     val b = sh.toDF("id_b", "shingle")
     val common = a.join(b, Seq("shingle"))
       .where(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    // sizes come from the scan-stage arrays — no aggregation shuffle
+    val sizes = shingleArrays(df, idCol, textCol, n)
+      .select(col(idCol), size(col("sh")).as("n_sh"))
     common
       .join(sizes.toDF("id_a", "na"), Seq("id_a"))
       .join(sizes.toDF("id_b", "nb"), Seq("id_b"))
@@ -94,11 +114,6 @@ object Dedup {
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
                       bands: Int, rowsPerBand: Int, minJaccard: Double): DataFrame = {
     val h = bands * rowsPerBand
-    // the shingle table feeds the verification joins (×2) and the size
-    // aggregate; without persisting it, every consumer re-runs the tokenize/
-    // shingle/explode subtree (the reference caches multi-action lineage the
-    // same way, 2_Bronze_to_Silver.py:58)
-    val sh = graft.core.CacheRegistry.persist(shingleTable(df, idCol, textCol, n))
     // signatures come from the native one-pass kernel (MinHashSig): no
     // explode, no h-way min groupBy — byte-identical to the min-over-
     // exploded-shingles formulation (TextFunctionsSpec pins the equivalence)
@@ -111,24 +126,16 @@ object Dedup {
       .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val x = banded.toDF("id_a", "band", "bh")
     val y = banded.toDF("id_b", "band", "bh")
-    val candidates = graft.core.CacheRegistry.persist(
-      x.join(y, Seq("band", "bh"))
-        .where(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()) // reused on both verify joins
-    // verify candidates with exact Jaccard (cheap: candidate set is small)
-    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
-    val common = candidates
-      .join(sh.toDF("id_a", "shingle"), Seq("id_a"))
-      .join(sh.toDF("id_b", "shingle2").withColumnRenamed("shingle2", "shingle"),
-        Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.toDF("id_a", "na"), Seq("id_a"))
-      .join(sizes.toDF("id_b", "nb"), Seq("id_b"))
-      .withColumn("jaccard",
-        col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")).cast("double"))
-      .where(col("jaccard") >= minJaccard)
-      .select("id_a", "id_b", "jaccard")
+    val candidates = x.join(y, Seq("band", "bh"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // verify candidates with exact Jaccard over per-doc shingle ARRAYS
+    // (array_intersect on scan-stage arrays) — no exploded shingle table,
+    // no per-shingle shuffle; the whole verify stage shuffles only the
+    // (small) candidate set against one row per document
+    val arrays = graft.core.CacheRegistry.persist(
+      shingleArrays(df, idCol, textCol, n))
+    jaccardFromArrays(candidates, arrays, minJaccard)
   }
 
   /** 16-bit SimHash from the first 16 hex nibbles of each token's md5:

@@ -12,6 +12,42 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
+  /** As-of join: for every left row, attach the single latest right row
+    * whose `rightTime` ≤ the left row's `leftTime`, per `key` — the
+    * point-in-time lookup (trades⋈quotes, events⋈latest-prior-order) that
+    * Spark has no built-in operator for.
+    *
+    * Composed Spark-first instead of an inequality join: both sides union
+    * into one tagged stream, shuffle+sort ONCE on (key, time, side), and a
+    * running last-non-null window carries the latest right payload forward
+    * into each left row. An inequality join would plan a per-key range
+    * join — quadratic on a hot key; this is the sort-once linear shape a
+    * native as-of physical operator uses, and it scales with the shuffle.
+    *
+    * Left rows with no prior right row keep null right columns (left-outer
+    * semantics). A right row AT the left timestamp matches (≤). Right rows
+    * must be unique per (key, time) — pre-aggregate if they are not, or
+    * the winner among equal timestamps is undefined. */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTime: String, rightTime: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rPayload = right.columns.filterNot(c => c == key || c == rightTime).toSeq
+    val lCols = left.columns.filterNot(_ == key).toSeq
+    val r = right.select(col(key), col(rightTime).as("__t"),
+      struct(rPayload.map(col): _*).as("__rv"), lit(0).as("__side"))
+    val l = left.select(col(key), col(leftTime).as("__t"),
+      struct(lCols.map(col): _*).as("__lv"), lit(1).as("__side"))
+    // side 0 (right) sorts before side 1 (left) at equal times → "≤" match
+    val w = Window.partitionBy(key).orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionByName(l, allowMissingColumns = true)
+      .withColumn("__r", last(col("__rv"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(col(key) +:
+        (lCols.map(c => col(s"__lv.$c").as(c)) ++
+          rPayload.map(c => col(s"__r.$c").as(c))): _*)
+  }
+
   /** Deterministically salted inner equi-join on `key`, equal to
     * `big.join(small, key)` row-for-row: the big side takes a salt derived
     * from its full row content (no rand() — replays and retries stay

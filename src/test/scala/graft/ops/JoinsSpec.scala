@@ -25,6 +25,33 @@ class JoinsSpec extends SparkSpec {
     hotSalts should be > 4L
   }
 
+  test("asOfJoin picks the latest right row at-or-before each left time, per key") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val right = Seq(
+      (1L, ts(10), "a"), (1L, ts(20), "b"), (2L, ts(15), "z")
+    ).toDF("k", "rt", "v")
+    val left = Seq(
+      (1L, 100L, ts(5)),  // before any right row -> null
+      (1L, 101L, ts(10)), // exactly at a right row -> matches it (<=)
+      (1L, 102L, ts(15)), // between -> latest prior
+      (1L, 103L, ts(25)), // after all -> latest
+      (2L, 104L, ts(16)), // keys do not leak across
+      (3L, 105L, ts(30))  // key with no right rows at all
+    ).toDF("k", "id", "lt")
+    val r = Joins.asOfJoin(left, right, "k", "lt", "rt")
+      .select($"id", $"v").as[(Long, Option[String])].collect().toMap
+    r shouldBe Map(100L -> None, 101L -> Some("a"), 102L -> Some("a"),
+      103L -> Some("b"), 104L -> Some("z"), 105L -> None)
+  }
+
+  test("asOfJoin output keeps all left columns plus right payload") {
+    val right = Seq((1L, 10L, "x", 9.5)).toDF("k", "rt", "v", "w")
+    val left = Seq((1L, 11L, "L")).toDF("k", "lt", "tag")
+    val out = Joins.asOfJoin(left, right, "k", "lt", "rt")
+    out.columns.toSeq shouldBe Seq("k", "lt", "tag", "v", "w")
+    out.count() shouldBe 1
+  }
+
   test("saltedEquiJoin is deterministic across runs (no rand salting)") {
     val big = (1 to 50).map(i => (1L, s"v$i")).toDF("k", "v")
     val small = Seq((1L, "d")).toDF("k", "d")
