@@ -88,6 +88,20 @@ class TableStoreSpec extends SparkSpec {
       }
   }
 
+  test("vacuum removes orphaned partitioned data dirs recursively") {
+    val store = new TableStore(spark)
+    val t = tmp() + "/t"
+    store.overwrite(t, Seq((1, true), (2, false)).toDF("id", "is_current"),
+      Seq("is_current"))
+    store.overwrite(t, Seq((3, true)).toDF("id", "is_current"), Seq("is_current"))
+    new java.io.File(t).listFiles().count(_.getName.startsWith("data-")) shouldBe 2
+    store.vacuum(t)
+    val left = new java.io.File(t).listFiles().filter(_.getName.startsWith("data-"))
+    left.length shouldBe 1
+    // the survivor is the live dir and still reads fine
+    store.read(t).select("id").as[Int].collect().toSeq shouldBe Seq(3)
+  }
+
   test("schemaOf pins the committed schema") {
     val store = new TableStore(spark)
     val t = tmp() + "/t"
