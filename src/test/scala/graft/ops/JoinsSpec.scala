@@ -52,6 +52,33 @@ class JoinsSpec extends SparkSpec {
     out.count() shouldBe 1
   }
 
+  test("asOfJoin matches the naive inequality join on randomized data") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val rowGen = for {
+      k <- Gen.choose(1, 4); t <- Gen.choose(0, 20)
+    } yield (k.toLong, t.toLong)
+    val listGen = Gen.listOfN(30, rowGen)
+    for (seed <- 1L to 5L) {
+      val rRows = listGen.pureApply(Gen.Parameters.default, Seed(seed))
+        .distinct // unique per (key, time) — the operator's contract
+        .map { case (k, t) => (k, t, s"v$k-$t") }
+      val lRows = listGen.pureApply(Gen.Parameters.default, Seed(seed + 99))
+        .zipWithIndex.map { case ((k, t), i) => (k, i.toLong, t) }
+      val right = rRows.toDF("k", "rt", "v")
+      val left = lRows.toDF("k", "id", "lt")
+      val got = Joins.asOfJoin(left, right, "k", "lt", "rt")
+        .select($"id", $"v").as[(Long, Option[String])].collect().toMap
+      // naive oracle: inequality left-join, latest right row per left row
+      val naive = lRows.map { case (k, id, lt) =>
+        val best = rRows.filter(r => r._1 == k && r._2 <= lt)
+          .sortBy(_._2).lastOption.map(_._3)
+        id -> best
+      }.toMap
+      withClue(s"seed=$seed: ") { got shouldBe naive }
+    }
+  }
+
   test("saltedEquiJoin is deterministic across runs (no rand salting)") {
     val big = (1 to 50).map(i => (1L, s"v$i")).toDF("k", "v")
     val small = Seq((1L, "d")).toDF("k", "d")
