@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout must reach the caller UNPREFIXED: the default logger
+// wraps every line in "[info] ", which breaks the bench driver's JSON
+// parse (rounds 1-2: parsed=null despite valid per-query lines in the
+// tail). Project-level so run/runMain/test all delegate to it.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

