@@ -62,18 +62,19 @@ object Bench {
       try w.println(line) finally w.close()
     }
     selected.foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-          false
-        }
-      // elapsed captured BEFORE the drain: unpersist time is harness
-      // bookkeeping, not query cost
-      results(name) = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      // release this query's operator-internal caches before the next one
+      // elapsed measured around build+consume only: the scope's unpersist
+      // and the safety-net drain are harness bookkeeping, not query cost
+      var secs = -1.0
+      try graft.core.CacheRegistry.scoped {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        secs = (System.nanoTime() - t0) / 1e9
+      }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+      }
       graft.core.CacheRegistry.drain()
+      results(name) = secs
       emit()
     }
     SparkEntry.clearCaches(spark)

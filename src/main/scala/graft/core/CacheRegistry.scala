@@ -1,5 +1,7 @@
 package graft.core
 
+import scala.collection.mutable.ArrayBuffer
+
 import org.apache.spark.sql.Dataset
 import org.apache.spark.storage.StorageLevel
 
@@ -12,11 +14,24 @@ import org.apache.spark.storage.StorageLevel
   * long-lived JVM running a whole suite accumulates storage across queries,
   * causing eviction churn and memory pressure (round 1's bench death).
   *
-  * Operators therefore route such persists through [[persist]]; the harness
-  * (Bench / Verify / specs) calls [[drain]] after it has fully consumed each
-  * query's result. Unpersisting an already-released frame is a no-op, so
-  * operators that release eagerly mid-query (e.g. per-round caches in
-  * [[graft.ops.Dedup.clusters]]) can still register every frame.
+  * Two release mechanisms, safe to combine:
+  *
+  *   - [[scoped]] — the preferred form. The harness (and any library
+  *     caller) wraps one query's build-and-consume in `scoped { ... }`;
+  *     every frame the calling thread registers inside the block is
+  *     unpersisted when the block exits. Scopes are per-thread, so two
+  *     queries in flight on different threads cannot release each other's
+  *     frames, and a global [[drain]] issued elsewhere never touches an
+  *     open scope's frames.
+  *   - [[drain]] — the legacy global release. Only frames registered
+  *     OUTSIDE any scope land in the global queue; `drain()` releases
+  *     exactly those. Callers that never drain and never scope leak
+  *     storage — that is the documented cost of ignoring both.
+  *
+  * Frames registered on a thread the caller spawned inside `scoped` (not
+  * the scope's own thread) fall through to the global queue: scope
+  * membership is thread-confined by design, matching how these operators
+  * build their plans (driver-side, single-threaded per query).
   *
   * Cross-query memoized caches (the star-schema fact, the staged SCD2 diff)
   * are deliberately NOT registered here — they are bounded (one per source
@@ -25,27 +40,53 @@ import org.apache.spark.storage.StorageLevel
   */
 object CacheRegistry {
 
-  private val frames = new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]
+  private val global = new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]
 
-  /** Persist `ds` and register it for a later [[drain]]. */
+  private val scopes = new ThreadLocal[List[ArrayBuffer[Dataset[_]]]] {
+    override def initialValue(): List[ArrayBuffer[Dataset[_]]] = Nil
+  }
+
+  /** Persist `ds` and register it for release — with the calling thread's
+    * innermost open [[scoped]] block if one is active, else globally for a
+    * later [[drain]]. */
   def persist[T](ds: Dataset[T],
                  level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Dataset[T] = {
     ds.persist(level)
-    frames.add(ds)
+    scopes.get() match {
+      case head :: _ => head += ds
+      case Nil       => global.add(ds)
+    }
     ds
   }
 
-  /** Unpersist every registered frame; returns how many were released. */
+  /** Run `body` in a fresh cache scope: frames the calling thread registers
+    * inside it are unpersisted when the block exits (normally or not).
+    * Nests; inner scopes release first. Unpersisting an already-released
+    * frame is a no-op, so operators that release eagerly mid-query can
+    * still register every frame. */
+  def scoped[A](body: => A): A = {
+    val buf = ArrayBuffer.empty[Dataset[_]]
+    scopes.set(buf :: scopes.get())
+    try body
+    finally {
+      scopes.set(scopes.get().tail)
+      buf.foreach(_.unpersist())
+    }
+  }
+
+  /** Unpersist every globally-registered frame (frames inside open scopes
+    * are untouched); returns how many were released. */
   def drain(): Int = {
     var n = 0
-    var d = frames.poll()
+    var d = global.poll()
     while (d != null) {
       d.unpersist()
       n += 1
-      d = frames.poll()
+      d = global.poll()
     }
     n
   }
 
-  def size: Int = frames.size
+  /** Globally-registered frames awaiting a [[drain]] (excludes open scopes). */
+  def size: Int = global.size
 }

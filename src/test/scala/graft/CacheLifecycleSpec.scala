@@ -34,4 +34,41 @@ class CacheLifecycleSpec extends SparkSpec {
     SparkEntry.clearCaches(spark)
     spark.sparkContext.getPersistentRDDs.size shouldBe baseline
   }
+
+  test("a global drain does not release frames inside an open scope") {
+    CacheRegistry.drain()
+    val baseline = spark.sparkContext.getPersistentRDDs.size
+    import spark.implicits._
+    CacheRegistry.scoped {
+      val mine = CacheRegistry.persist(Seq(1, 2, 3).toDF("x"))
+      mine.count()
+      // simulate another query's harness draining mid-flight: our frame
+      // must survive (the round-2 advisory scenario)
+      CacheRegistry.drain() shouldBe 0
+      mine.storageLevel.useMemory shouldBe true
+      spark.sparkContext.getPersistentRDDs.size shouldBe baseline + 1
+    }
+    // scope exit released it
+    spark.sparkContext.getPersistentRDDs.size shouldBe baseline
+  }
+
+  test("scopes nest and are thread-confined") {
+    CacheRegistry.drain()
+    import spark.implicits._
+    CacheRegistry.scoped {
+      val outer = CacheRegistry.persist(Seq(1).toDF("x"))
+      CacheRegistry.scoped {
+        val inner = CacheRegistry.persist(Seq(2).toDF("y"))
+        inner.count()
+      }
+      // inner scope released its frame; outer's is still live
+      outer.storageLevel.useMemory shouldBe true
+      // a frame registered from a DIFFERENT thread goes to the global
+      // queue, not this scope
+      val t = new Thread(() => CacheRegistry.persist(Seq(3).toDF("z")).count())
+      t.start(); t.join()
+      CacheRegistry.size shouldBe 1
+      CacheRegistry.drain() shouldBe 1
+    }
+  }
 }
