@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{ColumnBridge, MinHashSig, WordShingles}
+import org.apache.spark.sql.graft.{ColumnBridge, MinGramMd5, MinHashSig, SimHash16, SimHash64, WordShingles}
 
 /** Column-level API over the native text expressions (implementation in
   * `org.apache.spark.sql.graft.TextExpressions`). */
@@ -16,4 +16,16 @@ object TextFunctions {
     * empty shingle arrays. */
   def minHashSig(shingles: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), numHashes))
+
+  /** 16-bit md5-nibble SimHash, one pass per row (zero shuffle). */
+  def simHash16(text: Column): Column =
+    ColumnBridge.column(SimHash16(ColumnBridge.expression(text)))
+
+  /** 64-bit xxhash64 SimHash, one pass per row (zero shuffle). */
+  def simHash64(text: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(text)))
+
+  /** Winnowing-style minimum over character 8-gram md5s, one pass per row. */
+  def minGramMd5(text: Column): Column =
+    ColumnBridge.column(MinGramMd5(ColumnBridge.expression(text)))
 }

@@ -140,9 +140,22 @@ object Dedup {
 
   /** 16-bit SimHash from the first 16 hex nibbles of each token's md5:
     * bit i votes +1 if nibble i ≥ 8 else −1; signature bit i = (Σ votes > 0).
-    * Returned as an int in [0, 65535]. Oracle-checkable (md5 + set membership
-    * only); see [[simHash64]] for the scale variant. */
-  def simHash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * Returned as a bigint in [0, 65535]. Oracle-checkable (md5 + set
+    * membership only); see [[simHash64]] for the scale variant.
+    *
+    * Computed per document in ONE scan-stage pass by a native expression
+    * (org.apache.spark.sql.graft.SimHash16) — SimHash is a pure per-row
+    * function, so the explode-tokens → 16 vote-sums → groupBy formulation
+    * ([[simHash16Agg]], kept as the equivalence oracle) shuffles the entire
+    * token stream to compute what a kernel computes moving nothing. */
+  def simHash16(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      graft.functions.TextFunctions.simHash16(col(textCol)).as("simhash16"))
+
+  /** Aggregation formulation of [[simHash16]] — the equivalence oracle for
+    * the native kernel (TextFunctionsSpec pins kernel == this). Shuffles
+    * O(total tokens); do not use at scale. */
+  def simHash16Agg(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .withColumn("h", md5(col("tok")))
     val hi = Seq("8", "9", "a", "b", "c", "d", "e", "f")
@@ -237,8 +250,15 @@ object Dedup {
   }
 
   /** 64-bit SimHash on xxhash64 tokens — the codegen-friendly scale variant
-    * (no md5 string churn; one 8-byte hash per token). */
-  def simHash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * (no md5 string churn; one 8-byte hash per token). One scan-stage pass
+    * per document (org.apache.spark.sql.graft.SimHash64), zero shuffle. */
+  def simHash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      graft.functions.TextFunctions.simHash64(col(textCol)).as("simhash64"))
+
+  /** Aggregation formulation of [[simHash64]] — the equivalence oracle for
+    * the native kernel. Shuffles O(total tokens); do not use at scale. */
+  def simHash64Agg(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val votes = (0 until 64).map { i =>

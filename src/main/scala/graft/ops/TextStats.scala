@@ -102,8 +102,20 @@ object TextStats {
   }
 
   /** Document fingerprints: full-content md5 plus a winnowing-style minimum
-    * over character 8-gram hashes (robust to small edits at the ends). */
-  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * over character 8-gram hashes (robust to small edits at the ends). The
+    * min-gram is a native one-pass kernel
+    * (org.apache.spark.sql.graft.MinGramMd5); see [[fingerprintsHof]] for
+    * the built-in formulation it replaced (a lambda frame + md5 string per
+    * character position, interpreted per element). */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      md5(col(textCol)).as("content_md5"),
+      graft.functions.TextFunctions.minGramMd5(col(textCol)).as("min_gram_md5"))
+
+  /** Higher-order-function formulation of [[fingerprints]], kept as the
+    * equivalence oracle for the native kernel. */
+  def fingerprintsHof(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     df.select(
       col(idCol),

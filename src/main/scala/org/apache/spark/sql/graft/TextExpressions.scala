@@ -2,10 +2,10 @@ package org.apache.spark.sql.graft
 
 import java.nio.charset.StandardCharsets
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native text expressions for the dedup hot path.
@@ -25,10 +25,15 @@ object TextKernels {
 
   private val HEX = "0123456789abcdef".toCharArray
 
-  def md5Hex(s: String): String = {
+  def md5Hex(s: String): String =
+    md5HexBytes(s.getBytes(StandardCharsets.UTF_8), 0, -1)
+
+  /** md5 hex of `bytes[from, from+len)`; len < 0 = to end. */
+  private def md5HexBytes(b: Array[Byte], from: Int, len: Int): String = {
     val d = md5TL.get()
     d.reset()
-    val bytes = d.digest(s.getBytes(StandardCharsets.UTF_8))
+    d.update(b, from, if (len < 0) b.length - from else len)
+    val bytes = d.digest()
     val out = new Array[Char](32)
     var i = 0
     while (i < 16) {
@@ -85,6 +90,91 @@ object TextKernels {
     }
     new GenericArrayData(mins.map(s => UTF8String.fromString(s): Any))
   }
+
+  /** 16-bit md5-nibble SimHash, one pass per document. Identical to the
+    * explode-tokens → md5 → 16 vote-sums → groupBy formulation (which
+    * shuffles the entire token stream; this moves nothing): bit i votes +1
+    * when hex nibble i of md5(token) ≥ 8 else −1, signature bit i = (Σ > 0).
+    * Tokens are `split(" ", -1)` — empty tokens from repeated/trailing
+    * separators vote too, matching `explode(split(text, ' '))`. */
+  def simHash16(text: UTF8String): Long = {
+    val toks = text.toString.split(" ", -1)
+    val votes = new Array[Int](16)
+    var t = 0
+    while (t < toks.length) {
+      val h = md5Hex(toks(t))
+      var i = 0
+      while (i < 16) {
+        val c = h.charAt(i)
+        votes(i) += (if (c >= '8') 1 else -1) // hex chars: '8'..'9','a'..'f' ≥ '8'
+        i += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 16) {
+      if (votes(i) > 0) sig |= 1L << i
+      i += 1
+    }
+    sig
+  }
+
+  /** 64-bit SimHash over xxhash64(token) (Spark's seed 42) — the scale
+    * variant: one 8-byte hash per token, no md5 string churn, zero shuffle.
+    * Bit semantics match the explode+groupBy formulation bit-for-bit
+    * (vote +1 when hash bit i is set, signature bit i = votes > 0). */
+  def simHash64(text: UTF8String): Long = {
+    val toks = text.toString.split(" ", -1)
+    val votes = new Array[Int](64)
+    var t = 0
+    while (t < toks.length) {
+      val h = XxHash64Function.hash(UTF8String.fromString(toks(t)), StringType, 42L)
+      var i = 0
+      while (i < 64) {
+        votes(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1)
+        i += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) {
+      if (votes(i) > 0) sig |= 1L << i
+      i += 1
+    }
+    sig
+  }
+
+  /** Winnowing-style minimum over character 8-gram md5s; full-doc md5 for
+    * texts shorter than 8 chars. Identical to the
+    * `array_min(transform(sequence(1, len-7), i -> md5(substr(text, i, 8))))`
+    * higher-order formulation, which allocates a lambda frame and an md5
+    * string per character position — this is one tight loop over the UTF-8
+    * bytes, hashing each gram's byte range in place (characters = code
+    * points, exactly `substr`'s semantics; the only allocation kept is the
+    * winning hex string). */
+  def minGramMd5(text: UTF8String): UTF8String = {
+    val bytes = text.getBytes
+    // char-start byte offsets (UTF-8 continuation bytes are 10xxxxxx)
+    val offs = new Array[Int](text.numChars() + 1)
+    var nc = 0
+    var b = 0
+    while (b < bytes.length) {
+      if ((bytes(b) & 0xc0) != 0x80) { offs(nc) = b; nc += 1 }
+      b += 1
+    }
+    offs(nc) = bytes.length
+    if (nc < 8) return UTF8String.fromString(md5HexBytes(bytes, 0, -1))
+    var best: String = null
+    var i = 0
+    while (i <= nc - 8) {
+      val h = md5HexBytes(bytes, offs(i), offs(i + 8) - offs(i))
+      if (best == null || h.compareTo(best) < 0) best = h
+      i += 1
+    }
+    UTF8String.fromString(best)
+  }
 }
 
 /** `word_shingles(text, n)` → array<string> (see [[TextKernels.shingles]]). */
@@ -126,5 +216,53 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** `simhash16(text)` → bigint in [0, 65535] (see [[TextKernels.simHash16]]). */
+case class SimHash16(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash16"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.simHash16(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.TextKernels.simHash16($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash16 =
+    copy(child = newChild)
+}
+
+/** `simhash64(text)` → bigint (see [[TextKernels.simHash64]]). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.simHash64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.TextKernels.simHash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** `min_gram_md5(text)` → string (see [[TextKernels.minGramMd5]]). */
+case class MinGramMd5(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "min_gram_md5"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.minGramMd5(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.TextKernels.minGramMd5($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinGramMd5 =
     copy(child = newChild)
 }

@@ -48,4 +48,56 @@ class TextFunctionsSpec extends SparkSpec {
       .select($"sig".isNull).as[Boolean].head()
     r shouldBe true
   }
+
+  test("simHash16 kernel equals the explode/groupBy vote aggregation") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    val fast = Dedup.simHash16(docs, "doc_id", "text")
+    val ref = Dedup.simHash16Agg(docs, "doc_id", "text")
+    fast.exceptAll(ref).count() shouldBe 0
+    ref.exceptAll(fast).count() shouldBe 0
+  }
+
+  test("simHash64 kernel equals the explode/groupBy vote aggregation") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    val fast = Dedup.simHash64(docs, "doc_id", "text")
+    val ref = Dedup.simHash64Agg(docs, "doc_id", "text")
+    fast.exceptAll(ref).count() shouldBe 0
+    ref.exceptAll(fast).count() shouldBe 0
+  }
+
+  test("simHash kernels handle edge-case texts like the agg formulation") {
+    // empty text (one empty token), repeated separators, unicode, single tok
+    val docs = Seq((1L, ""), (2L, "a  b"), (3L, "的 是 在"), (4L, "x"),
+      (5L, " trailing "), (6L, "naïve café résumé"))
+      .toDF("doc_id", "text")
+    Dedup.simHash16(docs, "doc_id", "text")
+      .exceptAll(Dedup.simHash16Agg(docs, "doc_id", "text")).count() shouldBe 0
+    Dedup.simHash64(docs, "doc_id", "text")
+      .exceptAll(Dedup.simHash64Agg(docs, "doc_id", "text")).count() shouldBe 0
+  }
+
+  test("minGramMd5 kernel equals the higher-order formulation") {
+    import graft.ops.TextStats
+    val real = Tables.table(spark, sf0001, "documents")
+    TextStats.fingerprints(real, "doc_id", "text")
+      .exceptAll(TextStats.fingerprintsHof(real, "doc_id", "text"))
+      .count() shouldBe 0
+    // edge cases: short (<8 chars), exactly 8, multi-byte chars (substr
+    // counts code points — the kernel must slice UTF-8 byte ranges, not
+    // UTF-16 units)
+    val edge = Seq((1L, "short"), (2L, "exactly8"), (3L, "的是在了的是在了的"),
+      (4L, "naïve café résumé x"), (5L, ""))
+      .toDF("doc_id", "text")
+    TextStats.fingerprints(edge, "doc_id", "text")
+      .exceptAll(TextStats.fingerprintsHof(edge, "doc_id", "text"))
+      .count() shouldBe 0
+  }
+
+  test("simHash16 plan is shuffle-free (single scan-stage project)") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    val df = Dedup.simHash16(docs, "doc_id", "text")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+  }
 }
