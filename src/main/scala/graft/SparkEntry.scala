@@ -575,7 +575,7 @@ object SparkEntry {
     "q38_ivf_topk" ->
       """WITH cents AS (
         |  SELECT vec_id AS cent_id, embedding AS cvec
-        |  FROM embeddings ORDER BY vec_id LIMIT 8),
+        |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
         |sim AS (
         |  SELECT e.vec_id, c.cent_id,
         |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])), 6) AS csim

@@ -123,21 +123,32 @@ object Similarity {
       .select("query_id", "cand_id", "cos", "rank")
   }
 
-  /** IVF-style ANN with deterministically seeded centroids: the `nCells`
-    * vectors with the smallest ids act as coarse centroids (a k-means pass
-    * would re-estimate them; fixed seeds keep the operator deterministic
-    * and engine-portable). Every vector joins its nearest centroid's cell
-    * (the inverted file); a query probes only its `nProbe` nearest cells,
-    * so the candidate set is ≈ N·nProbe/nCells per query instead of N.
+  /** IVF-style ANN with deterministically SAMPLED centroids: the `nCells`
+    * vectors whose ids hash lowest (md5 of the id — the same engine-portable
+    * device as [[Sampling.md5Bucket]]) act as coarse centroids. Hashing
+    * decorrelates the seed set from id order: ids usually track crawl/shard
+    * order and therefore content, so first-N-by-id seeds would cluster in
+    * one content region and starve the rest (poor recall at scale); a hashed
+    * sample is uniform regardless of how ids were assigned, while staying
+    * deterministic and reproducible on any engine with md5. Callers with a
+    * trained coarse quantizer (e.g. a k-means pass) supply `centroids`
+    * explicitly (same id/vec column names).
     *
-    * Scale shape: the centroid table is tiny and broadcast — the N×C
-    * assignment runs map-side in one pass; the candidate join shuffles on
-    * the cell id. At 100 TB the seed centroids come from a sample and
-    * nCells grows to √N; the operator shape is unchanged. */
+    * Every vector joins its nearest centroid's cell (the inverted file); a
+    * query probes only its `nProbe` nearest cells, so the candidate set is
+    * ≈ N·nProbe/nCells per query instead of N.
+    *
+    * Scale shape: the centroid seed is a TakeOrdered over the hash (per-
+    * partition top-N heaps — no full sort); the centroid table is tiny and
+    * broadcast, so the N×C assignment runs map-side in one pass; the
+    * candidate join shuffles on the cell id. At 100 TB nCells grows to √N;
+    * the operator shape is unchanged. */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
-              k: Int, nCells: Int, nProbe: Int): DataFrame = {
+              k: Int, nCells: Int, nProbe: Int,
+              centroids: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = emb.orderBy(col(idCol)).limit(nCells)
+    val cents = centroids
+      .getOrElse(emb.orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(nCells))
       .select(col(idCol).as("cent_id"), col(vecCol).as("cvec"),
         normF(col(vecCol)).as("cnorm"))
     val vecs = emb.select(col(idCol), col(vecCol), normF(col(vecCol)).as("norm"))

@@ -81,15 +81,28 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("ivfTopK: probing more cells than the home cell recovers cross-cell neighbors") {
-    // centroids = vecs 1,2. Cells: {1} and {2,3,4}. With nProbe=1 query 1
-    // sees no candidates (alone in its cell); probing 2 cells finds them.
-    val r1 = Similarity.ivfTopK(emb, "vec_id", "embedding", 2, 2, 1)
+    // explicit centroids = vecs 1,2. Cells: {1} and {2,3,4}. With nProbe=1
+    // query 1 sees no candidates (alone in its cell); probing 2 cells finds
+    // them.
+    val cents = Some(emb.where($"vec_id".isin(1L, 2L)))
+    val r1 = Similarity.ivfTopK(emb, "vec_id", "embedding", 2, 2, 1, cents)
       .where($"query_id" === 1).count()
     r1 shouldBe 0
-    val r2 = Similarity.ivfTopK(emb, "vec_id", "embedding", 2, 2, 2)
+    val r2 = Similarity.ivfTopK(emb, "vec_id", "embedding", 2, 2, 2, cents)
       .where($"query_id" === 1)
       .select("cand_id", "rank").as[(Long, Int)].collect().toSeq.sortBy(_._2)
     r2 shouldBe Seq((2L, 1), (3L, 2))
+  }
+
+  test("ivfTopK seeds centroids by id-hash sample, not id order") {
+    val e = graft.core.Tables.table(spark, sf0001, "embeddings")
+    // the sampled seed set must differ from the first-N-by-id set it
+    // replaced (ids track insertion order, which can track content)
+    val sampled = e.orderBy(md5($"vec_id".cast("string")), $"vec_id").limit(8)
+      .select("vec_id").as[Long].collect().toSet
+    val firstN = e.orderBy($"vec_id").limit(8)
+      .select("vec_id").as[Long].collect().toSet
+    sampled should not be firstN
   }
 
   test("ivfTopK recall on real embeddings beats its candidate-budget share") {
