@@ -211,6 +211,20 @@ object SparkEntry {
         .withColumn("last_order_date", col("order_ts"))
       Joins.asOfJoin(ev, ord, "user_id", "ts", "order_ts")
     }),
+    // batch sessionization (gap = 30 min) — the window-fold oracle twin of
+    // the streaming flatMapGroupsWithState operator
+    "q41_sessionize" -> ((s, dir) =>
+      graft.streaming.EventStream.sessionizeBatch(
+        t(s, dir, "events").select("user_id", "ts"), 1800000L)),
+    // salted skew join == plain join row-for-row (oracle is the unsalted SQL)
+    "q42_salted_join" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem").select(
+        col("l_suppkey").as("suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("double").as("quantity"))
+      val small = t(s, dir, "supplier").select(
+        col("s_suppkey").as("suppkey"), col("s_name"), col("s_nationkey"))
+      Joins.saltedEquiJoin(big, small, "suppkey", 8)
+    }),
     // ---- text analysis (§7.6) ----
     "q27_lang_id" -> ((s, dir) =>
       TextStats.langId(t(s, dir, "documents"), "doc_id", "text")),
@@ -572,6 +586,27 @@ object SparkEntry {
         |SELECT l.user_id, l.event_id, l.ts,
         |  r.last_orderkey, r.order_ts AS last_order_date
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.order_ts""".stripMargin,
+    // same default RANGE-to-current-row window frame as the Spark side;
+    // gaps in exact integer microseconds (epoch_us ↔ unix_micros)
+    "q41_sessionize" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |s AS (SELECT user_id, ts,
+        |        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+        |      FROM marked)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events,
+        |  CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000 AS BIGINT) AS duration_ms
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    "q42_salted_join" ->
+      """SELECT l.l_suppkey AS suppkey, l.l_orderkey, l.l_linenumber,
+        |  CAST(l.l_quantity AS DOUBLE) AS quantity, s.s_name, s.s_nationkey
+        |FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey""".stripMargin,
     "q38_ivf_topk" ->
       """WITH cents AS (
         |  SELECT vec_id AS cent_id, embedding AS cvec

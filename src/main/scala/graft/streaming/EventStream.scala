@@ -179,17 +179,23 @@ object EventStream {
   def sessionizeBatch(events: DataFrame, gapMs: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy("user_id").orderBy("ts")
+    // gaps in exact integer microseconds (unix_micros ↔ DuckDB epoch_us) —
+    // double-epoch arithmetic rounds, and a boundary gap that rounds
+    // differently across engines silently shifts every later session id
     val marked = events
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
         (col("prev_ts").isNull ||
-          (col("ts").cast("double") - col("prev_ts").cast("double")) * 1000 > gapMs)
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMs * 1000L)
           .cast("int"))
       .withColumn("session_id", sum("new_session").over(byUser))
     marked.groupBy("user_id", "session_id")
       .agg(min("ts").as("session_start"), max("ts").as("session_end"),
         count(lit(1)).as("n_events"))
       .withColumn("duration_ms",
-        ((col("session_end").cast("double") - col("session_start").cast("double")) * 1000).cast("long"))
+        // µs diff < 2^53, so the double division is exact at every integer
+        // boundary and the cast truncates like DuckDB's // on non-negatives
+        ((unix_micros(col("session_end")) - unix_micros(col("session_start")))
+          / lit(1000L)).cast("long"))
   }
 }
