@@ -54,7 +54,15 @@ class HttpBatchSink(post: String => Int, batchSize: Int = 500,
         var done = false
         while (!done) {
           val status = try p(payload) catch { case _: Exception => 599 }
+          // 4xx (minus 408 request-timeout / 429 throttled) is a permanent
+          // client error: retrying burns the backoff budget on the task
+          // thread to fail identically — fail the task immediately
+          val permanent = status >= 400 && status < 500 &&
+            status != 408 && status != 429
           if (status >= 200 && status < 300) done = true
+          else if (permanent)
+            throw new IllegalStateException(
+              s"HTTP sink: batch rejected with client error $status - not retried")
           else {
             attempt += 1
             if (attempt > mr)

@@ -27,12 +27,24 @@ object Joins {
     * Left rows with no prior right row keep null right columns (left-outer
     * semantics). A right row AT the left timestamp matches (≤). Right rows
     * must be unique per (key, time) — pre-aggregate if they are not, or
-    * the winner among equal timestamps is undefined. */
+    * the winner among equal timestamps is undefined.
+    *
+    * Contract (enforced): the right side must carry at least one payload
+    * column beyond (key, rightTime), and payload names must not collide
+    * with left column names — a silent duplicate output column would make
+    * every downstream select ambiguous. */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val rPayload = right.columns.filterNot(c => c == key || c == rightTime).toSeq
     val lCols = left.columns.filterNot(_ == key).toSeq
+    require(rPayload.nonEmpty,
+      s"asOfJoin: right side has no payload columns beyond ('$key', '$rightTime') - " +
+        "nothing to attach; add the columns the join should carry")
+    val dup = rPayload.intersect(lCols)
+    require(dup.isEmpty,
+      s"asOfJoin: right payload column(s) ${dup.mkString("'", "', '", "'")} collide " +
+        "with left column names - rename one side before joining")
     val r = right.select(col(key), col(rightTime).as("__t"),
       struct(rPayload.map(col): _*).as("__rv"), lit(0).as("__side"))
     val l = left.select(col(key), col(leftTime).as("__t"),
@@ -56,10 +68,19 @@ object Joins {
     *
     * The replication multiplies the small side ×salt — use for genuinely
     * asymmetric joins (big skewed fact ⋈ modest dimension too large to
-    * broadcast). `key` must be the only column name the two sides share. */
+    * broadcast). `key` must be the only column name the two sides share
+    * (enforced — a violated contract would silently produce a wrong join). */
   def saltedEquiJoin(big: DataFrame, small: DataFrame, key: String,
                      salt: Int): DataFrame = {
     require(salt > 0, s"salt must be positive, got $salt")
+    val shared = big.columns.intersect(small.columns).filterNot(_ == key)
+    require(shared.isEmpty,
+      s"saltedEquiJoin: sides share non-key column(s) ${shared.mkString("'", "', '", "'")} - " +
+        "rename them before joining (only the join key may be shared)")
+    require(big.columns.contains(key) && small.columns.contains(key),
+      s"saltedEquiJoin: both sides must carry join key '$key'")
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "saltedEquiJoin: '__salt' is reserved for the internal salt column")
     val bigS = big.withColumn("__salt",
       pmod(xxhash64(big.columns.map(col): _*), lit(salt.toLong)).cast("int"))
     val smallS = small.withColumn("__salt",

@@ -27,6 +27,21 @@ object WatermarkStore {
     * JVM ahead of UTC the committed watermark would overshoot and silently
     * skip rows ingested in the gap. */
   def format(ts: java.sql.Timestamp): String = ts.toInstant.toString
+
+  /** `Timestamp.toString`'s shape: `yyyy-MM-dd HH:mm:ss[.f…]`, no zone. */
+  private val LegacyFormat = """\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}(\.\d+)?""".r
+
+  /** Migrate a stored watermark string written by the pre-[[format]] code
+    * path: the legacy `Timestamp.toString` rendering carried no zone and was
+    * produced in the JVM default zone, so trusting it as UTC leaves an
+    * already-overshot watermark skewed until the next successful run (on a
+    * JVM ahead of UTC, rows in the offset window stay silently skipped).
+    * Reinterpret it in the JVM default zone and return the UTC ISO form;
+    * current-format (and default) values pass through untouched. */
+  def normalize(raw: String): String = raw match {
+    case LegacyFormat(_) => format(java.sql.Timestamp.valueOf(raw))
+    case other           => other
+  }
 }
 
 class WatermarkStore(spark: SparkSession, root: String) {
@@ -37,14 +52,19 @@ class WatermarkStore(spark: SparkSession, root: String) {
   private def fs(p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Read the committed watermark, or the epoch default when absent. */
+  /** Read the committed watermark, or the epoch default when absent.
+    * Legacy zone-less values are reinterpreted in the JVM default zone
+    * ([[WatermarkStore.normalize]]) so a file written by the old
+    * `Timestamp.toString` path cannot keep skipping rows until the next
+    * commit overwrites it. */
   def read(table: String): String = {
     val p = pathFor(table)
     val f = fs(p)
     if (!f.exists(p)) default
     else {
       val in = f.open(p)
-      try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+      val raw = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+      WatermarkStore.normalize(raw)
     }
   }
 

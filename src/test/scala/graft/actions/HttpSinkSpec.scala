@@ -10,6 +10,7 @@ import graft.SparkSpec
 object HttpSinkSpecState {
   val posts = new ConcurrentLinkedQueue[String]
   val failuresLeft = new AtomicInteger(0)
+  val attempts = new AtomicInteger(0)
 }
 
 class HttpSinkSpec extends SparkSpec {
@@ -44,5 +45,31 @@ class HttpSinkSpec extends SparkSpec {
       sink.deliver(Seq(("a", "1")).toDF("Name", "Email").coalesce(1))
     }
     e.getMessage should include("retries")
+  }
+
+  test("a 4xx client error fails immediately instead of burning retries") {
+    HttpSinkSpecState.attempts.set(0)
+    val reject400: String => Int = _ => {
+      HttpSinkSpecState.attempts.incrementAndGet(); 400
+    }
+    val sink = new HttpBatchSink(reject400, batchSize = 10, maxRetries = 5, backoffMs = 1)
+    val e = intercept[Exception] {
+      sink.deliver(Seq(("a", "1")).toDF("Name", "Email").coalesce(1))
+    }
+    e.getMessage should include("400")
+    HttpSinkSpecState.attempts.get() shouldBe 1 // no retry on permanent failure
+  }
+
+  test("408 and 429 stay retryable (timeout/throttle are transient)") {
+    HttpSinkSpecState.posts.clear()
+    HttpSinkSpecState.attempts.set(0)
+    val throttleOnce: String => Int = payload => {
+      if (HttpSinkSpecState.attempts.incrementAndGet() <= 2) {
+        if (HttpSinkSpecState.attempts.get() == 1) 429 else 408
+      } else { HttpSinkSpecState.posts.add(payload); 200 }
+    }
+    val sink = new HttpBatchSink(throttleOnce, batchSize = 10, maxRetries = 3, backoffMs = 1)
+    sink.deliver(Seq(("a", "1")).toDF("Name", "Email").coalesce(1))
+    HttpSinkSpecState.posts.size shouldBe 1 // delivered after the transients
   }
 }

@@ -86,4 +86,29 @@ class JoinsSpec extends SparkSpec {
     val b = Joins.saltedEquiJoin(big, small, "k", 4).collect().sortBy(_.toString)
     a shouldBe b
   }
+
+  test("saltedEquiJoin rejects shared non-key columns instead of mis-joining") {
+    val big = Seq((1L, "x")).toDF("k", "v")
+    val small = Seq((1L, "y")).toDF("k", "v") // 'v' on both sides
+    val e = intercept[IllegalArgumentException] {
+      Joins.saltedEquiJoin(big, small, "k", 4)
+    }
+    e.getMessage should include("'v'")
+    intercept[IllegalArgumentException] {
+      Joins.saltedEquiJoin(Seq((1L, 2)).toDF("k", "__salt"), small.drop("v"), "k", 4)
+    }
+  }
+
+  test("asOfJoin rejects colliding payload names and empty right payload") {
+    val left = Seq((1L, 10L, "a")).toDF("k", "lt", "v")
+    val clash = Seq((1L, 5L, "b")).toDF("k", "rt", "v") // 'v' collides
+    val e = intercept[IllegalArgumentException] {
+      Joins.asOfJoin(left, clash, "k", "lt", "rt")
+    }
+    e.getMessage should include("'v'")
+    val empty = Seq((1L, 5L)).toDF("k", "rt") // nothing to attach
+    intercept[IllegalArgumentException] {
+      Joins.asOfJoin(left, empty, "k", "lt", "rt")
+    }
+  }
 }
