@@ -67,27 +67,16 @@ object Similarity {
     concat_ws("", (0 until bits).map(i =>
       when(element_at(vec, offset + i + 1) >= 0f, "1").otherwise("0")): _*)
 
-  /** Approximate top-k: candidates restricted to the same sign-LSH bucket.
-    * Recall < 1 by design; the bucket join replaces the N² cross join. */
-  def lshTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int, bits: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val bucketed = emb.select(col(idCol), col(vecCol),
-      signBucket(col(vecCol), bits).as("bucket"),
-      normF(col(vecCol)).as("norm"))
-    val a = bucketed.select(col("bucket"), col(idCol).as("query_id"),
-      col(vecCol).as("va"), col("norm").as("na"))
-    val b = bucketed.select(col("bucket"), col(idCol).as("cand_id"),
-      col(vecCol).as("vb"), col("norm").as("nb"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("cand_id").asc)
-    a.join(b, Seq("bucket"))
-      .where(col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"),
-        round(dotF(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "cand_id", "cos", "rank")
-  }
+  /** Approximate top-k restricted to ONE sign-LSH bucket — exactly
+    * [[multiBandLshTopK]] with `bands = 1`, and implemented as that call so
+    * the fragile single-prefix form cannot drift from the banded path. A
+    * single sign prefix is recall- and skew-fragile (a near neighbor
+    * disagreeing in any of the `bits` leading dimensions is lost forever,
+    * and one dense bucket dominates the join): prefer
+    * [[multiBandLshTopK]] with several bands everywhere beyond didactic
+    * use. */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int, bits: Int): DataFrame =
+    multiBandLshTopK(emb, idCol, vecCol, k, bits, bands = 1)
 
   /** Multi-band sign-LSH top-k: band b buckets on the sign pattern of
     * dimensions [b·bits, (b+1)·bits); candidates are pairs sharing at least
