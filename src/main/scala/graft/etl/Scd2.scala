@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
   *    (2_Bronze_to_Silver.py:72,84), so the diff join compares one column
   *    instead of N and stays stable under schema evolution.
   *  - the diff is a full-outer equi-join on the pk: both sides shuffle on the
-  *    pk once (sort-merge; full outer cannot broadcast). At 100 TB the target
-  *    side should be bucketed by pk so only the (incremental, much smaller)
-  *    source side shuffles.
+  *    pk once (sort-merge; full outer cannot broadcast). At 100 TB keep the
+  *    target in [[graft.sources.BucketedTableStore]] (pk-bucketed catalog
+  *    layout): the target scan arrives pre-partitioned and only the
+  *    (incremental, much smaller) source batch shuffles —
+  *    BucketedTableStoreSpec pins that plan shape.
   *  - the expiry rewrite joins the target against the *distinct changed keys*
   *    (2_Bronze_to_Silver.py:123), a set bounded by the batch size — Spark
   *    broadcasts it, so expiring never shuffles the big target.
