@@ -35,8 +35,8 @@ object Bench {
     // the driver always runs the full set)
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = SparkEntry.queries.filter { case (name, _) =>
-      only.forall(f => f.exists(name.startsWith)) }
+    val selected = (SparkEntry.queries ++ SparkEntry.benchExtras)
+      .filter { case (name, _) => only.forall(f => f.exists(name.startsWith)) }
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def jsonStr(s: String): String =
       "\"" + s.flatMap {

@@ -433,6 +433,34 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
+  /** Bench-only queries (no DuckDB oracle; excluded from Verify): end-to-end
+    * STREAMING runs whose correctness twin is already oracle-checked in
+    * batch form. q90 drains the events table through an event-time
+    * sessionization stream (file source → watermark →
+    * flatMapGroupsWithState → AvailableNow) so the bench exercises the
+    * stateful streaming path, not just its batch shape (q41). The memory
+    * sink is bench plumbing; production writes parquet/kafka. */
+  def benchExtras: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_stream_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.EventStream
+      val name = "bench_stream_sessions"
+      val ev = EventStream.readEventsStream(s, dir)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .withWatermark("ts", "1 hour")
+        .as[EventStream.Event]
+      val q = EventStream.sessionizeEventTime(ev, 1800000L)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("bench-sess-ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+    })
+  )
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

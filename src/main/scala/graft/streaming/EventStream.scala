@@ -39,6 +39,23 @@ object EventStream {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .csv(dir)
 
+  /** Streaming scan of the benchmark `events` table — the readStream twin of
+    * [[graft.core.Tables.table]]'s nanos handling (file sources need an
+    * explicit schema, and `ts` arrives as TIMESTAMP(NANOS), which the
+    * vectorized reader rejects: read nanos-as-long, truncate to micros). */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(path).schema
+    // the benchmark table is a single FILE: FileStreamSource force-sets
+    // basePath to the path itself unless the path is a glob, and a file
+    // basePath fails partition inference — so glob the filename and anchor
+    // basePath at the table directory explicitly
+    spark.readStream.schema(schema).option("basePath", dir)
+      .parquet(s"$dir/events.parquet*")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Run a streaming aggregate with a 1-hour event-time watermark (late data
     * beyond it is dropped and state is evicted — bounded state at scale),
     * draining everything available then stopping (scheduled-batch parity). */
