@@ -182,6 +182,13 @@ object SparkEntry {
     }),
     "q35_dedup_drop" -> ((s, dir) =>
       Dedup.dropNearDuplicates(t(s, dir, "documents"), "doc_id", "text", 3, 0.5)),
+    // the 100 TB dedup path end-to-end: LSH candidate pairs (no all-pairs
+    // stage) -> components -> representatives, oracle-checked as a whole
+    "q43_dedup_drop_lsh" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.dropNearDuplicates(docs, "doc_id", "text", 3, 0.5,
+        pairGen = Some(Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 4, 3, 0.5)))
+    }),
     "q36_repetition" -> ((s, dir) =>
       TextStats.repetitionScore(t(s, dir, "documents"), "doc_id", "text", 3)),
     "q37_pii_scrub" -> ((s, dir) =>
@@ -330,8 +337,9 @@ object SparkEntry {
       |FROM pairs p JOIN sizes sa ON p.id_a = sa.doc_id JOIN sizes sb ON p.id_b = sb.doc_id
       |WHERE CAST(p.n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE) >= 0.5""".stripMargin
 
-  /** MinHash+LSH oracle: md5-based signatures, banded, verified. */
-  private def minhashSql(n: Int, bands: Int, rows: Int): String = {
+  /** MinHash+LSH CTE chain — `sh`/`sigs`/`banded`/`cand`/`pairs`/`sizes`,
+    * shared by the pair oracle (q22) and the LSH end-to-end drop (q43). */
+  private def minhashCtes(n: Int, bands: Int, rows: Int): String = {
     val h = bands * rows
     val sigCols = (0 until h)
       .map(i => s"min(md5('$i:' || shingle)) AS sig_$i").mkString(",\n    ")
@@ -339,7 +347,7 @@ object SparkEntry {
       val slots = (b * rows until b * rows + rows).map(r => s"sig_$r").mkString(", ")
       s"SELECT doc_id, $b AS band, md5(concat_ws('|', $slots)) AS bh FROM sigs"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH sh AS (${shingleSql(n)}),
+    s"""sh AS (${shingleSql(n)}),
        |sigs AS (SELECT doc_id,
        |    $sigCols
        |  FROM sh GROUP BY doc_id),
@@ -352,12 +360,32 @@ object SparkEntry {
        |  SELECT c.id_a, c.id_b, count(*) AS n_common
        |  FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
        |  GROUP BY 1, 2),
-       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)""".stripMargin
+  }
+
+  /** MinHash+LSH oracle: md5-based signatures, banded, verified. */
+  private def minhashSql(n: Int, bands: Int, rows: Int): String =
+    s"""WITH ${minhashCtes(n, bands, rows)}
        |SELECT p.id_a, p.id_b,
        |  CAST(p.n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE) AS jaccard
        |FROM pairs p JOIN sizes sa ON p.id_a = sa.doc_id JOIN sizes sb ON p.id_b = sb.doc_id
        |WHERE CAST(p.n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE) >= 0.5""".stripMargin
-  }
+
+  /** Transitive closure + min-label assignment over a CTE `jpairs(id_a,
+    * id_b)` (requires WITH RECURSIVE upstream): `assign(doc_id,
+    * cluster_id)`. */
+  private val closureTailSql: String =
+    """sym AS (SELECT id_a AS a, id_b AS b FROM jpairs
+      |        UNION SELECT id_b, id_a FROM jpairs),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM sym
+      |  UNION
+      |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+      |assign AS (
+      |  SELECT d.doc_id,
+      |    least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+      |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+      |  GROUP BY d.doc_id)""".stripMargin
 
   /** Shared recursive-CTE chain: near-dup pairs → transitive closure →
     * per-doc min-reachable cluster id, as CTE `assign(doc_id, cluster_id)`.
@@ -373,17 +401,7 @@ object SparkEntry {
        |  SELECT p.id_a, p.id_b
        |  FROM pairs p JOIN sizes sa ON p.id_a = sa.doc_id JOIN sizes sb ON p.id_b = sb.doc_id
        |  WHERE CAST(p.n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE) >= 0.5),
-       |sym AS (SELECT id_a AS a, id_b AS b FROM jpairs
-       |        UNION SELECT id_b, id_a FROM jpairs),
-       |reach(a, b) AS (
-       |  SELECT a, b FROM sym
-       |  UNION
-       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
-       |assign AS (
-       |  SELECT d.doc_id,
-       |    least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
-       |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
-       |  GROUP BY d.doc_id)""".stripMargin
+       |$closureTailSql""".stripMargin
 
   /** 16-bit md5-nibble SimHash oracle. */
   private val simhashSql: String = {
@@ -594,6 +612,14 @@ object SparkEntry {
          |SELECT doc_id, cluster_id FROM assign""".stripMargin,
     "q35_dedup_drop" ->
       s"""$clusterChainSql
+         |SELECT doc_id FROM assign WHERE cluster_id = doc_id""".stripMargin,
+    "q43_dedup_drop_lsh" ->
+      s"""WITH RECURSIVE ${minhashCtes(3, 4, 3)},
+         |jpairs AS (
+         |  SELECT p.id_a, p.id_b
+         |  FROM pairs p JOIN sizes sa ON p.id_a = sa.doc_id JOIN sizes sb ON p.id_b = sb.doc_id
+         |  WHERE CAST(p.n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE) >= 0.5),
+         |$closureTailSql
          |SELECT doc_id FROM assign WHERE cluster_id = doc_id""".stripMargin,
     "q36_repetition" ->
       """WITH g AS (

@@ -17,12 +17,13 @@ class IncrementalExtractSpec extends SparkSpec {
     val wm = new WatermarkStore(spark, root.resolve("state").toString)
     val landing = root.resolve("landing").toString
 
-    // run 1: everything up to T1
-    val t1 = "2024-01-05 00:00:00"
+    // run 1: everything up to T1 (watermarks travel in the store's UTC ISO
+    // form; zone-less strings are the legacy format and get reinterpreted)
+    val t1 = "2024-01-05T00:00:00Z"
     val n1 = IncrementalExtract.runTable(src, wm, landing, "events", "ts", t1)
     wm.read("events") shouldBe t1
     // run 2: (T1, T2]
-    val t2 = "2024-01-10 00:00:00"
+    val t2 = "2024-01-10T00:00:00Z"
     val n2 = IncrementalExtract.runTable(src, wm, landing, "events", "ts", t2)
     wm.read("events") shouldBe t2
 
@@ -41,11 +42,11 @@ class IncrementalExtractSpec extends SparkSpec {
     val src = new FileIncrementalSource(spark, "/root/testdata/sf0.001")
     val wm = new WatermarkStore(spark, root.resolve("state").toString)
     val landing = root.resolve("landing").toString
-    wm.commit("events", "2030-01-01 00:00:00")
+    wm.commit("events", "2030-01-01T00:00:00Z")
     val n = IncrementalExtract.runTable(src, wm, landing, "events", "ts",
-      "2030-01-02 00:00:00")
+      "2030-01-02T00:00:00Z")
     n shouldBe 0L
-    wm.read("events") shouldBe "2030-01-02 00:00:00"
+    wm.read("events") shouldBe "2030-01-02T00:00:00Z"
     new java.io.File(s"$landing/events").exists() shouldBe false
   }
 }
