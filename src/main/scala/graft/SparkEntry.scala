@@ -200,6 +200,14 @@ object SparkEntry {
       Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 3, 8)),
     "q26_embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)),
+    // scale path for q26: banded LSH candidates instead of the N² cross
+    // join. Short bands (4 bits), many of them (8): at the moderate 0.4
+    // threshold the per-band collision probability is ~0.63^bits, so long
+    // bands would collapse recall (8-bit x 3 measured 0.15; 4-bit x 8
+    // measures ~0.8 — SimilaritySpec pins the bound)
+    "q44_embed_neardup_lsh" -> ((s, dir) =>
+      Similarity.lshNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        0.4, 4, 8)),
     "q34_ann_multiband" -> ((s, dir) =>
       Similarity.multiBandLshTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 3, 8, 3)),
     "q38_ivf_topk" -> ((s, dir) =>
@@ -732,6 +740,26 @@ object SparkEntry {
       s"""WITH pc AS ($cosineSql)
          |SELECT query_id AS id_a, cand_id AS id_b, cos
          |FROM pc WHERE query_id < cand_id AND cos >= 0.4""".stripMargin,
+    "q44_embed_neardup_lsh" -> {
+      def bucket(b: Int) = (b * 4 + 1 to b * 4 + 4).map(i =>
+        s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+      val bandRows = (0 until 8).map(b =>
+        s"SELECT vec_id, $b AS band, ${bucket(b)} AS bucket FROM embeddings")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH banded AS (
+         |  $bandRows),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |pc AS (
+         |  SELECT c.id_a, c.id_b,
+         |    round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), 6) AS cos
+         |  FROM cand c
+         |  JOIN embeddings x ON x.vec_id = c.id_a
+         |  JOIN embeddings y ON y.vec_id = c.id_b)
+         |SELECT id_a, id_b, cos FROM pc WHERE cos >= 0.4""".stripMargin
+    },
     "q34_ann_multiband" -> {
       def bucket(b: Int) = (b * 8 + 1 to b * 8 + 8).map(i =>
         s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")

@@ -87,18 +87,27 @@ object Similarity {
     * 1-p^bits), and no single skewed bucket dominates the join. Shuffle
     * keys are (band, bucket); the candidate dedup is one exchange on the
     * pair — still no N² stage anywhere. */
-  def multiBandLshTopK(emb: DataFrame, idCol: String, vecCol: String,
-                       k: Int, bits: Int, bands: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Candidate pairs sharing at least one band bucket (both orientations,
+    * deduped) — the shared fan-in of [[multiBandLshTopK]] and
+    * [[lshNearDupPairs]]. Shuffle keys are (band, bucket); one exchange for
+    * the dedup; no N² stage. */
+  private def bandedCandidatePairs(emb: DataFrame, idCol: String, vecCol: String,
+                                   bits: Int, bands: Int): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"), signBucket(col(vecCol), bits, b * bits).as("bucket"))
     }
     val banded = emb.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val candidates = banded.toDF("query_id", "band", "bucket")
+    banded.toDF("query_id", "band", "bucket")
       .join(banded.toDF("cand_id", "band", "bucket"), Seq("band", "bucket"))
       .where(col("query_id") =!= col("cand_id"))
       .select("query_id", "cand_id").distinct()
+  }
+
+  def multiBandLshTopK(emb: DataFrame, idCol: String, vecCol: String,
+                       k: Int, bits: Int, bands: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val candidates = bandedCandidatePairs(emb, idCol, vecCol, bits, bands)
     val vecs = emb.select(col(idCol), col(vecCol), normF(col(vecCol)).as("norm"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("cand_id").asc)
@@ -164,10 +173,30 @@ object Similarity {
       .select("query_id", "cand_id", "cos", "rank")
   }
 
-  /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold). */
+  /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold) —
+    * EXACT baseline: a self cross-join, O(N²·d). The verifier for
+    * [[lshNearDupPairs]], which is the path to run at scale. */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                    threshold: Double): DataFrame =
     pairCosines(emb, idCol, vecCol)
       .where(col("query_id") < col("cand_id") && col("cos") >= threshold)
       .select(col("query_id").as("id_a"), col("cand_id").as("id_b"), col("cos"))
+
+  /** Scale path for embedding near-dup: candidates restricted to pairs
+    * sharing at least one sign-LSH band bucket, then exact-cosine filtered.
+    * Same banded shuffle shape as [[multiBandLshTopK]] — no N² stage; a true
+    * near-dup is missed only if it disagrees with its twin in every band.
+    * Feeds [[graft.ops.Dedup.dropNearDuplicates]]'s `pairGen` for the full
+    * drop pipeline over embeddings. */
+  def lshNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, bits: Int, bands: Int): DataFrame = {
+    val vecs = emb.select(col(idCol), col(vecCol), normF(col(vecCol)).as("norm"))
+    bandedCandidatePairs(emb, idCol, vecCol, bits, bands)
+      .where(col("query_id") < col("cand_id"))
+      .join(vecs.toDF("query_id", "va", "na"), Seq("query_id"))
+      .join(vecs.toDF("cand_id", "vb", "nb"), Seq("cand_id"))
+      .select(col("query_id").as("id_a"), col("cand_id").as("id_b"),
+        round(dotF(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
+      .where(col("cos") >= threshold)
+  }
 }

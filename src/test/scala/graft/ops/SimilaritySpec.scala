@@ -94,6 +94,19 @@ class SimilaritySpec extends SparkSpec {
     r2 shouldBe Seq((2L, 1), (3L, 2))
   }
 
+  test("lshNearDupPairs is a subset of the exact pairs with pinned recall") {
+    val e = graft.core.Tables.table(spark, sf0001, "embeddings")
+    val exact = Similarity.nearDupPairs(e, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshNearDupPairs(e, "vec_id", "embedding", 0.4, 4, 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // candidates are exact-cosine verified, so no false positives ever
+    lsh.subsetOf(exact) shouldBe true
+    val recall = if (exact.isEmpty) 1.0 else lsh.size.toDouble / exact.size
+    info(f"lsh near-dup recall (4 bits x 8 bands): $recall%.3f over ${exact.size} pairs")
+    recall should be > 0.5
+  }
+
   test("ivfTopK seeds centroids by id-hash sample, not id order") {
     val e = graft.core.Tables.table(spark, sf0001, "embeddings")
     // the sampled seed set must differ from the first-N-by-id set it
