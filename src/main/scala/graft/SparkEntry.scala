@@ -231,6 +231,12 @@ object SparkEntry {
     "q41_sessionize" -> ((s, dir) =>
       graft.streaming.EventStream.sessionizeBatch(
         t(s, dir, "events").select("user_id", "ts"), 1800000L)),
+    // exact per-group distribution mart (the sketch variant's oracle twin)
+    "q45_percentiles" -> ((s, dir) =>
+      graft.ops.Sketches.percentilesExact(
+        t(s, dir, "lineitem").select(col("l_returnflag"),
+          col("l_quantity").cast("double").as("qty")),
+        Seq("l_returnflag"), "qty")),
     // salted skew join == plain join row-for-row (oracle is the unsalted SQL)
     "q42_salted_join" -> ((s, dir) => {
       val big = t(s, dir, "lineitem").select(
@@ -669,6 +675,13 @@ object SparkEntry {
       """SELECT l.l_suppkey AS suppkey, l.l_orderkey, l.l_linenumber,
         |  CAST(l.l_quantity AS DOUBLE) AS quantity, s.s_name, s.s_nationkey
         |FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey""".stripMargin,
+    "q45_percentiles" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(avg(CAST(l_quantity AS DOUBLE)), 6) AS mean,
+        |  round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6) AS p50,
+        |  round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.9), 6) AS p90,
+        |  round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.99), 6) AS p99
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q38_ivf_topk" ->
       """WITH cents AS (
         |  SELECT vec_id AS cent_id, embedding AS cvec

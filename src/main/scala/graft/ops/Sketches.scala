@@ -57,4 +57,21 @@ object Sketches {
         percentile_approx(col(valueCol), lit(0.5), lit(accuracy)).as("p50"),
         percentile_approx(col(valueCol), lit(0.9), lit(accuracy)).as("p90"),
         percentile_approx(col(valueCol), lit(0.99), lit(accuracy)).as("p99"))
+
+  /** Exact twin of [[percentiles]] (linear-interpolated, = SQL
+    * `percentile_cont`): the correctness oracle the sketch is pinned
+    * against, and a driver-checked mart in its own right. Exact percentiles
+    * buffer each GROUP's values — fine for bounded groups (status codes,
+    * languages); at unbounded group cardinality × row count, use
+    * [[percentiles]]. Results rounded to 6 dp so float summation order
+    * can't flip a hash compare across engines. */
+  def percentilesExact(df: DataFrame, groupCols: Seq[String],
+                       valueCol: String): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col(valueCol)), 6).as("mean"),
+        round(percentile(col(valueCol), lit(0.5)), 6).as("p50"),
+        round(percentile(col(valueCol), lit(0.9)), 6).as("p90"),
+        round(percentile(col(valueCol), lit(0.99)), 6).as("p99"))
 }

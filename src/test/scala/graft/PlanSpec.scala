@@ -78,14 +78,17 @@ class PlanSpec extends SparkSpec {
     plan should include("BroadcastHashJoin")
   }
 
-  test("ANN paths never plan a cartesian product (q25/q34)") {
+  test("ANN/near-dup scale paths never plan a cartesian product (q25/q34/q43/q44)") {
     // the entire point of LSH bucketing is replacing the N² cross join with
     // bucket equi-joins; a cartesian anywhere means the scale path regressed
-    for (q <- Seq("q25_ann_lsh_topk", "q34_ann_multiband")) {
-      val plan = planOf(SparkEntry.queries(q)(spark, sf0001))
-      withClue(s"$q: ") {
-        plan should not include "CartesianProduct"
-        plan should not include "BroadcastNestedLoopJoin"
+    graft.core.CacheRegistry.scoped {
+      for (q <- Seq("q25_ann_lsh_topk", "q34_ann_multiband",
+        "q43_dedup_drop_lsh", "q44_embed_neardup_lsh")) {
+        val plan = planOf(SparkEntry.queries(q)(spark, sf0001))
+        withClue(s"$q: ") {
+          plan should not include "CartesianProduct"
+          plan should not include "BroadcastNestedLoopJoin"
+        }
       }
     }
   }

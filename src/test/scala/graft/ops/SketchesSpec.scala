@@ -42,4 +42,17 @@ class SketchesSpec extends SparkSpec {
     r._2 should be <= r._3
     r._3 should be <= r._4
   }
+
+  test("approx percentiles track the exact twin within 5%") {
+    val docs = graft.core.Tables.table(spark, sf0001, "documents")
+      .select(lit("all").as("g"),
+        org.apache.spark.sql.functions.length($"text").as("len"))
+    val approx = Sketches.percentiles(docs, Seq("g"), "len")
+      .select($"p50".cast("double"), $"p90".cast("double"))
+      .as[(Double, Double)].head()
+    val exact = Sketches.percentilesExact(docs, Seq("g"), "len")
+      .select($"p50", $"p90").as[(Double, Double)].head()
+    math.abs(approx._1 - exact._1) / exact._1 should be < 0.05
+    math.abs(approx._2 - exact._2) / exact._2 should be < 0.05
+  }
 }
