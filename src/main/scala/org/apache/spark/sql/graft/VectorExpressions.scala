@@ -82,13 +82,30 @@ object ColumnBridge {
 object GraftFunctions {
   import org.apache.spark.sql.SparkSession
   import org.apache.spark.sql.catalyst.FunctionIdentifier
-  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
+
+  /** Static int parameters (shingle width, hash count) must be literals in
+    * SQL calls — they are constructor parameters, not runtime children. */
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected a literal INT argument, got $other")
+  }
+
+  private def fn(name: String, clazz: Class[_])(
+      builder: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), builder)
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq((
-      FunctionIdentifier("float_vector_dot"),
-      new ExpressionInfo(classOf[FloatVectorDot].getName, "float_vector_dot"),
-      (children: Seq[Expression]) => FloatVectorDot(children(0), children(1))))
+    Seq(
+      fn("float_vector_dot", classOf[FloatVectorDot])(c => FloatVectorDot(c(0), c(1))),
+      fn("word_shingles", classOf[WordShingles])(c =>
+        WordShingles(c(0), intLit(c(1), "word_shingles"))),
+      fn("minhash_sig", classOf[MinHashSig])(c =>
+        MinHashSig(c(0), intLit(c(1), "minhash_sig"))),
+      fn("simhash16", classOf[SimHash16])(c => SimHash16(c(0))),
+      fn("simhash64", classOf[SimHash64])(c => SimHash64(c(0))),
+      fn("min_gram_md5", classOf[MinGramMd5])(c => MinGramMd5(c(0))))
 
   def register(spark: SparkSession): Unit = functions.foreach {
     case (id, info, builder) =>

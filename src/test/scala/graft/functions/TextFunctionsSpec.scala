@@ -93,6 +93,25 @@ class TextFunctionsSpec extends SparkSpec {
       .count() shouldBe 0
   }
 
+  test("text kernels are callable from SQL") {
+    Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text").createOrReplaceTempView("sql_kernel_docs")
+    val r = spark.sql(
+      """SELECT simhash16(text) AS h16, simhash64(text) AS h64,
+        |  min_gram_md5(text) AS mg, size(word_shingles(text, 3)) AS n_sh,
+        |  size(minhash_sig(word_shingles(text, 3), 4)) AS n_sig
+        |FROM sql_kernel_docs""".stripMargin).head()
+    r.getLong(0) should (be >= 0L and be <= 65535L)
+    r.getString(2) should fullyMatch regex "[0-9a-f]{32}"
+    r.getInt(3) shouldBe 7
+    r.getInt(4) shouldBe 4
+    // non-literal static args are rejected with a clear message
+    val e = intercept[Exception] {
+      spark.sql("SELECT word_shingles(text, doc_id) FROM sql_kernel_docs").head()
+    }
+    e.getMessage should include("literal INT")
+  }
+
   test("simHash16 plan is shuffle-free (single scan-stage project)") {
     val docs = Tables.table(spark, sf0001, "documents")
     val df = Dedup.simHash16(docs, "doc_id", "text")
