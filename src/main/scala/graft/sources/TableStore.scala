@@ -105,30 +105,27 @@ class TableStore(spark: SparkSession) {
     }
 
   /** Read the current committed snapshot, merging schemas across data dirs.
-    * Partition columns are cast back to their recorded types (inference
+    * Partition columns carry their manifest-recorded types (inference
     * covers no boolean) and appear LAST in the schema, as with any
-    * partitioned parquet layout. */
+    * partitioned parquet layout.
+    *
+    * Partitioned tables read through [[org.apache.spark.sql.graft.ManifestRead]]:
+    * built-in partition discovery rejects sibling partitioned data dirs in
+    * one multi-path read ("conflicting directory structures"), and the
+    * per-dir-scan union it previously forced plans O(data dirs) scans — a
+    * year of daily appends would be a 365-way union. The manifest-backed
+    * FileIndex plans ONE scan over every data dir with typed partition
+    * values and real partition pruning (TableStoreSpec + PlanSpec assert
+    * both). */
   def read(table: String): DataFrame = {
     val v = currentVersion(table).getOrElse(
       throw new IllegalStateException(s"no committed version at $table"))
     val dirs = manifest(table, v).map(d => new Path(table, d).toString)
     val parts = partitionMeta(table, v)
-    val base =
-      if (parts.isEmpty)
-        spark.read.option("mergeSchema", "true").parquet(dirs: _*)
-      else
-        // partition discovery needs ONE root per scan: sibling partitioned
-        // data dirs in a single multi-path read are rejected (conflicting
-        // directory structures). Per-dir scans unioned by name keep
-        // predicate pushdown AND partition pruning — Catalyst pushes the
-        // filter into every Union child scan.
-        dirs.map(d => spark.read.option("mergeSchema", "true").parquet(d))
-          .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
-    parts.foldLeft(base) { case (df, (name, typ)) =>
-      if (df.columns.contains(name))
-        df.withColumn(name, org.apache.spark.sql.functions.col(name).cast(typ))
-      else df
-    }
+    if (parts.isEmpty)
+      spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    else
+      org.apache.spark.sql.graft.ManifestRead.read(spark, dirs, parts)
   }
 
   /** Atomic overwrite: the new state becomes visible in one pointer swap

@@ -108,4 +108,49 @@ class TableStoreSpec extends SparkSpec {
     store.overwrite(t, Seq((1, "a")).toDF("id", "v"))
     store.schemaOf(t).fieldNames.toSeq shouldBe Seq("id", "v")
   }
+
+  test("partitioned multi-dir read plans ONE scan with real partition pruning") {
+    val store = new TableStore(spark)
+    val t = tmp() + "/t"
+    // three appends = three sibling partitioned data dirs (the shape that
+    // used to force an O(dirs) union of scans)
+    store.overwrite(t, Seq((1, true), (2, false)).toDF("id", "is_current"),
+      Seq("is_current"))
+    store.append(t, Seq((3, true), (4, false)).toDF("id", "is_current"))
+    store.append(t, Seq((5, true)).toDF("id", "is_current"))
+
+    val all = store.read(t)
+    all.select("id").as[Int].collect().toSet shouldBe Set(1, 2, 3, 4, 5)
+    all.schema("is_current").dataType shouldBe
+      org.apache.spark.sql.types.BooleanType
+
+    val current = all.where($"is_current")
+    current.select("id").as[Int].collect().toSet shouldBe Set(1, 3, 5)
+    val plan = current.queryExecution.executedPlan.toString
+    // one scan node over all three dirs — not a union of per-dir scans
+    "FileScan parquet".r.findAllIn(plan).size shouldBe 1
+    plan should not include "Union"
+    // and the filter prunes at the PARTITION level, not post-scan
+    plan should include regex "PartitionFilters: \\[[^\\]]*is_current"
+    // pruning is real: the scan's selected partitions hold only the
+    // is_current=true files (3 dirs x 1 file), not all 5
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scan = current.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case s: FileSourceScanExec => s }.get
+    scan.relation.location.listFiles(scan.partitionFilters, Nil)
+      .flatMap(_.files).size shouldBe 3
+  }
+
+  test("partitioned read with schema evolution across data dirs") {
+    val store = new TableStore(spark)
+    val t = tmp() + "/t"
+    store.overwrite(t, Seq((1, "a", true)).toDF("id", "v", "is_current"),
+      Seq("is_current"))
+    // second dir adds a column; first dir's rows must read it as NULL
+    store.append(t, Seq((2, "b", "x", true)).toDF("id", "v", "extra", "is_current"))
+    val r = store.read(t)
+    r.columns.toSeq shouldBe Seq("id", "v", "extra", "is_current")
+    r.where($"id" === 1).select("extra").as[Option[String]].head() shouldBe None
+    r.where($"id" === 2).select("extra").as[Option[String]].head() shouldBe Some("x")
+  }
 }
