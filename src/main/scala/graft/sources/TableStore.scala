@@ -89,10 +89,40 @@ class TableStore(spark: SparkSession) {
     dir
   }
 
+  /** Next manifest number: one past the highest existing `_v*` file OR the
+    * committed pointer — a crashed writer's orphan manifest (written but
+    * never pointed at) is skipped over instead of blocking every later
+    * commit. */
+  private def nextVersion(table: String): Long = {
+    val tp = new Path(table)
+    val f = fs(tp)
+    val existing =
+      if (!f.exists(tp)) Seq.empty[Long]
+      else f.listStatus(tp).toSeq.map(_.getPath.getName)
+        .filter(_.matches("_v\\d+")).map(_.drop(2).toLong)
+    (existing ++ currentVersion(table)).foldLeft(-1L)(math.max) + 1L
+  }
+
   private def commit(table: String, dirs: Seq[String],
                      partitionMeta: Seq[String]): Long = {
-    val v = currentVersion(table).getOrElse(-1L) + 1L
-    writeFile(new Path(table, s"_v$v"), (partitionMeta ++ dirs).mkString("\n"))
+    val v = nextVersion(table)
+    val mp = new Path(table, s"_v$v")
+    // exclusive create = a single-writer TRIPWIRE, not a lock: two writers
+    // claiming the same version used to silently overwrite each other's
+    // manifest; now the loser fails loudly. Interleaved read-modify-write
+    // races (both writers basing on the same parent version but claiming
+    // different numbers) remain possible — the store's contract is
+    // single-writer; multi-writer needs manifest CAS (e.g. a log service).
+    val out =
+      try fs(mp).create(mp, false)
+      catch {
+        case e: java.io.IOException =>
+          throw new java.util.ConcurrentModificationException(
+            s"TableStore: version $v at $table was already claimed - the store " +
+              "is single-writer; serialize commits (" + e.getMessage + ")")
+      }
+    try out.write((partitionMeta ++ dirs).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
     writeFile(new Path(table, "_current"), v.toString) // pointer last = commit
     v
   }

@@ -109,6 +109,24 @@ class TableStoreSpec extends SparkSpec {
     store.schemaOf(t).fieldNames.toSeq shouldBe Seq("id", "v")
   }
 
+  test("a crashed writer's orphan manifest never blocks later commits") {
+    val store = new TableStore(spark)
+    val t = tmp() + "/t"
+    store.overwrite(t, Seq((1, "a")).toDF("id", "v")) // _v0 committed
+    // crashed writer: manifest written, pointer never moved
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(t, "_v1"), "data-dead")
+    // next commit claims the version AFTER the orphan instead of colliding
+    // with it (a collision would poison the table until manual cleanup)
+    store.append(t, Seq((2, "b")).toDF("id", "v"))
+    store.currentVersion(t) shouldBe Some(2L)
+    store.read(t).select("id").as[Int].collect().toSet shouldBe Set(1, 2)
+    // the orphan's phantom data dir is ignored by reads and by vacuum's
+    // live-set (it was never committed)
+    store.vacuum(t)
+    store.read(t).select("id").as[Int].collect().toSet shouldBe Set(1, 2)
+  }
+
   test("partitioned multi-dir read plans ONE scan with real partition pruning") {
     val store = new TableStore(spark)
     val t = tmp() + "/t"
