@@ -145,6 +145,12 @@ object SparkEntry {
       val target = Scd2.initialLoad(t(s, dir, "customer"), T0)
       Scd2.applyMerge(target, staged(s, dir), "c_custkey", T1)
     }),
+    // SCD2 delete detection: scd2Source is a FULL snapshot here — 20% of
+    // customer keys are absent (DELETE), every 3rd re-arriving key changed
+    // segment (UPDATE), shifted keys are new (INSERT)
+    "q46_scd2_deletes" -> ((s, dir) =>
+      Scd2.stageWithDeletes(scd2Source(s, dir), t(s, dir, "customer"), "c_custkey")
+        .select("c_custkey", "action")),
     // ---- event-time aggregation (batch shape of the streaming path) ----
     "q16_event_hourly" -> ((s, dir) =>
       t(s, dir, "events")
@@ -225,6 +231,76 @@ object SparkEntry {
         .agg(max("o_orderkey").as("last_orderkey"))
         .withColumn("last_order_date", col("order_ts"))
       Joins.asOfJoin(ev, ord, "user_id", "ts", "order_ts")
+    }),
+    // keyed time-range join via bucket banding (no inequality nested loop):
+    // per event, how many same-user events landed in the prior 30 minutes
+    "q47_range_join_count" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select("event_id", "ts", "user_id")
+      val prior = t(s, dir, "events").select(col("user_id"),
+        col("event_id").as("prior_id"), col("ts").as("prior_ts"))
+      // window = [ts - 30 min, ts - 1 µs]: strictly-before semantics
+      val pairs = Joins.bandedRangeJoin(ev, prior, "user_id",
+        "ts", "prior_ts", -1800000000L, -1L)
+      val counts = pairs.groupBy("event_id").agg(count(lit(1)).as("n_prior"))
+      ev.select("event_id").join(counts, Seq("event_id"), "left")
+        .select(col("event_id"), coalesce(col("n_prior"), lit(0L)).as("n_prior"))
+    }),
+    // every calendar drill-down grain from ONE aggregation (grouping sets)
+    "q48_calendar_rollup" -> ((s, dir) =>
+      GoldMarts.sellerPerformanceCalendarRollup(
+        GoldMarts.sellerPerformanceDaily(
+          GoldMarts.withDateParts(StarSchema.factOrderDetails(s, dir))))
+        .withColumn("total_revenue", dbl("total_revenue"))
+        .withColumn("total_quantity_sold", dbl("total_quantity_sold"))),
+    // ingestion-time dedup: the new batch (odd ids) checked against the
+    // standing corpus (even ids) — corpus×corpus pairs are never generated
+    "q49_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.minHashLshPairsAcross(
+        docs.where(col("doc_id") % 2 === 0), docs.where(col("doc_id") % 2 === 1),
+        "doc_id", "text", 3, 4, 3, 0.5)
+    }),
+    // one k-means refinement step over the IVF hashed-sample seed; means
+    // exploded to (cell, dim, mean_val) rows for the oracle compare
+    "q50_kmeans_step" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val seeds = emb.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(8)
+      Similarity.kmeansStep(emb, "vec_id", "embedding", seeds)
+        .select(col("cell"), col("n_members"),
+          posexplode(col("centroid")).as(Seq("dim", "mean_val")))
+        .withColumn("mean_val", round(col("mean_val"), 6))
+    }),
+    // corpus rebalancing: per-language deterministic keep-rates (downsample
+    // the dominant language, keep all of a rare one) — pure projection
+    "q52_stratified_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lang = TextStats.langId(docs, "doc_id", "text")
+        .select("doc_id", "detected_lang")
+      Sampling.stratifiedSample(docs.select("doc_id").join(lang, Seq("doc_id")),
+        "doc_id", "detected_lang", Seq("en" -> 40, "zh" -> 100), 70)
+    }),
+    // the full curation pipeline a training run executes, composed
+    // end-to-end: language filter ∘ quality filter ∘ near-dup removal
+    "q53_corpus_curation" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lang = TextStats.langId(docs, "doc_id", "text")
+        .select("doc_id", "detected_lang")
+      val qual = TextStats.qualityFeatures(docs, "doc_id", "text")
+        .select("doc_id", "quality")
+      val eligible = docs.select("doc_id", "text")
+        .join(lang, Seq("doc_id")).join(qual, Seq("doc_id"))
+        .where(col("detected_lang") === "en" && col("quality") =!= "low")
+        .select("doc_id", "text")
+      Dedup.dropNearDuplicates(eligible, "doc_id", "text", 3, 0.5)
+    }),
+    // semi-structured payloads: schema'd from_json parse (one scan-stage
+    // projection) feeding a typed aggregate
+    "q51_json_props_agg" -> ((s, dir) => {
+      val parsed = graft.ops.SemiStructured.parseJson(
+        t(s, dir, "events").select("event_type", "props"), "props",
+        new org.apache.spark.sql.types.StructType().add("k", "int"))
+      parsed.groupBy("event_type")
+        .agg(sum(col("j.k").cast("long")).as("sum_k"), count(lit(1)).as("n"))
     }),
     // batch sessionization (gap = 30 min) — the window-fold oracle twin of
     // the streaming flatMapGroupsWithState operator
@@ -333,12 +409,13 @@ object SparkEntry {
        |  FROM j)
        |""".stripMargin
 
-  /** Word 3-gram distinct-shingle table as SQL (DuckDB list ops). */
-  private def shingleSql(n: Int): String =
+  /** Word n-gram distinct-shingle table as SQL (DuckDB list ops) over any
+    * relation with (doc_id, text). */
+  private def shingleSql(n: Int, rel: String = "documents"): String =
     s"""SELECT doc_id, unnest(list_distinct(list_transform(
        |  generate_series(1, len(ts) - ${n - 1}),
        |  i -> array_to_string(ts[i:i+${n - 1}], ' ')))) AS shingle
-       |FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)""".stripMargin
+       |FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM $rel)""".stripMargin
 
   private val jaccardTailSql: String =
     """pairs AS (
@@ -377,6 +454,45 @@ object SparkEntry {
        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)""".stripMargin
   }
 
+  /** Batch-vs-corpus MinHash+LSH oracle (q49): the same signature/banding
+    * chain as [[minhashCtes]] built per side, candidates = corpus-band ⋈
+    * batch-band only. */
+  private def minhashCrossSql(n: Int, bands: Int, rows: Int): String = {
+    val h = bands * rows
+    def sigCte(sh: String) = (0 until h)
+      .map(i => s"min(md5('$i:' || shingle)) AS sig_$i").mkString(",\n    ") match {
+        case cols => s"SELECT doc_id,\n    $cols\n  FROM $sh GROUP BY doc_id"
+      }
+    def bandCte(sigs: String) = (0 until bands).map { b =>
+      val slots = (b * rows until b * rows + rows).map(r => s"sig_$r").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws('|', $slots)) AS bh FROM $sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+       |batch AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+       |sh_c AS (${shingleSql(n, "corpus")}),
+       |sh_b AS (${shingleSql(n, "batch")}),
+       |sigs_c AS (${sigCte("sh_c")}),
+       |sigs_b AS (${sigCte("sh_b")}),
+       |banded_c AS (
+       |  ${bandCte("sigs_c")}),
+       |banded_b AS (
+       |  ${bandCte("sigs_b")}),
+       |cand AS (
+       |  SELECT DISTINCT c.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded_c c JOIN banded_b b ON c.band = b.band AND c.bh = b.bh),
+       |pairs AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS n_common
+       |  FROM cand c JOIN sh_c a ON a.doc_id = c.id_a
+       |              JOIN sh_b b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+       |  GROUP BY 1, 2),
+       |sizes_c AS (SELECT doc_id, count(*) AS n_sh FROM sh_c GROUP BY 1),
+       |sizes_b AS (SELECT doc_id, count(*) AS n_sh FROM sh_b GROUP BY 1)
+       |SELECT p.id_a AS corpus_id, p.id_b AS batch_id,
+       |  CAST(p.n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE) AS jaccard
+       |FROM pairs p JOIN sizes_c sa ON p.id_a = sa.doc_id JOIN sizes_b sb ON p.id_b = sb.doc_id
+       |WHERE CAST(p.n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE) >= 0.5""".stripMargin
+  }
+
   /** MinHash+LSH oracle: md5-based signatures, banded, verified. */
   private def minhashSql(n: Int, bands: Int, rows: Int): String =
     s"""WITH ${minhashCtes(n, bands, rows)}
@@ -387,19 +503,19 @@ object SparkEntry {
 
   /** Transitive closure + min-label assignment over a CTE `jpairs(id_a,
     * id_b)` (requires WITH RECURSIVE upstream): `assign(doc_id,
-    * cluster_id)`. */
-  private val closureTailSql: String =
-    """sym AS (SELECT id_a AS a, id_b AS b FROM jpairs
-      |        UNION SELECT id_b, id_a FROM jpairs),
-      |reach(a, b) AS (
-      |  SELECT a, b FROM sym
-      |  UNION
-      |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
-      |assign AS (
-      |  SELECT d.doc_id,
-      |    least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
-      |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
-      |  GROUP BY d.doc_id)""".stripMargin
+    * cluster_id)` for every doc in `rel`. */
+  private def closureTailSql(rel: String = "documents"): String =
+    s"""sym AS (SELECT id_a AS a, id_b AS b FROM jpairs
+       |        UNION SELECT id_b, id_a FROM jpairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+       |assign AS (
+       |  SELECT d.doc_id,
+       |    least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+       |  FROM $rel d LEFT JOIN reach r ON r.a = d.doc_id
+       |  GROUP BY d.doc_id)""".stripMargin
 
   /** Shared recursive-CTE chain: near-dup pairs → transitive closure →
     * per-doc min-reachable cluster id, as CTE `assign(doc_id, cluster_id)`.
@@ -415,7 +531,7 @@ object SparkEntry {
        |  SELECT p.id_a, p.id_b
        |  FROM pairs p JOIN sizes sa ON p.id_a = sa.doc_id JOIN sizes sb ON p.id_b = sb.doc_id
        |  WHERE CAST(p.n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE) >= 0.5),
-       |$closureTailSql""".stripMargin
+       |${closureTailSql()}""".stripMargin
 
   /** 16-bit md5-nibble SimHash oracle. */
   private val simhashSql: String = {
@@ -442,6 +558,56 @@ object SparkEntry {
     val set = ms.map(m => s"'$m'").mkString(", ")
     s"CAST(len(list_filter(string_split(text, ' '), w -> w IN ($set))) AS INTEGER) AS score_$lang"
   }.mkString(",\n  ")
+
+  /** [[graft.ops.Sampling.md5Bucket]] in SQL: first 8 hex nibbles of
+    * md5(id) as an integer, mod 100. */
+  private def md5BucketSql(idExpr: String): String = {
+    val nib = (k: Int) =>
+      s"(strpos('0123456789abcdef', substr(md5(CAST($idExpr AS VARCHAR)), $k, 1)) - 1)"
+    val v = (1 to 8).map(k => s"${nib(k)} * ${math.pow(16, 8 - k).toLong}").mkString(" + ")
+    s"(($v) % 100)"
+  }
+
+  /** q53 oracle: language filter ∘ quality filter ∘ near-dup removal — the
+    * q27 lang CASE and q28 quality CASE rebuilt as CTEs, then the q35
+    * shingle/closure chain over the ELIGIBLE docs only. */
+  private def corpusCurationSql: String = {
+    val qualityCase =
+      """CASE WHEN len(string_split(text, ' ')) >= 50
+        |         AND CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) < 0.1
+        |         AND CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 3
+        |         AND CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) <= 10 THEN 'high'
+        |       WHEN len(string_split(text, ' ')) >= 10 THEN 'medium'
+        |       ELSE 'low' END""".stripMargin
+    s"""WITH RECURSIVE lang AS (
+       |SELECT doc_id,
+       |  $langScoreSql,
+       |  CASE
+       |    WHEN score_en >= greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'en'
+       |    WHEN score_de >= greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'de'
+       |    WHEN score_es >= greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'es'
+       |    WHEN score_fr >= greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'fr'
+       |    ELSE 'zh' END AS detected_lang
+       |FROM documents),
+       |qual AS (SELECT doc_id, $qualityCase AS quality FROM documents),
+       |eligible AS (
+       |  SELECT d.doc_id, d.text FROM documents d
+       |  JOIN lang l ON l.doc_id = d.doc_id
+       |  JOIN qual q ON q.doc_id = d.doc_id
+       |  WHERE l.detected_lang = 'en' AND q.quality <> 'low'),
+       |sh AS (${shingleSql(3, "eligible")}),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |jpairs AS (
+       |  SELECT p.id_a, p.id_b
+       |  FROM pairs p JOIN sizes sa ON p.id_a = sa.doc_id JOIN sizes sb ON p.id_b = sb.doc_id
+       |  WHERE CAST(p.n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE) >= 0.5),
+       |${closureTailSql("eligible")}
+       |SELECT doc_id FROM assign WHERE cluster_id = doc_id""".stripMargin
+  }
 
   /** q32 oracle: the fake-decode features are pure functions of md5(text),
     * so DuckDB reproduces them with nibble arithmetic. `nib(k)` = value of
@@ -601,6 +767,64 @@ object SparkEntry {
          |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
          |  TRUE, TIMESTAMP '2026-02-01 00:00:00', NULL
          |FROM ins""".stripMargin,
+    "q46_scd2_deletes" ->
+      s"""WITH src AS ($scd2SourceSql),
+         |sh AS (SELECT *, ${fpSql()} AS hash FROM src),
+         |th AS (SELECT c_custkey, ${fpSql()} AS hash FROM customer),
+         |j AS (SELECT sh.c_custkey AS s_key, th.c_custkey AS t_key,
+         |        sh.hash AS s_hash, th.hash AS t_hash
+         |      FROM sh FULL OUTER JOIN th ON sh.c_custkey = th.c_custkey),
+         |staged AS (
+         |  SELECT coalesce(s_key, t_key) AS c_custkey,
+         |    CASE WHEN t_key IS NULL THEN 'INSERT'
+         |         WHEN s_key IS NULL THEN 'DELETE'
+         |         WHEN s_hash <> t_hash THEN 'UPDATE'
+         |         ELSE 'NO CHANGE' END AS action
+         |  FROM j)
+         |SELECT c_custkey, action FROM staged
+         |WHERE action IN ('INSERT', 'UPDATE', 'DELETE')""".stripMargin,
+    "q47_range_join_count" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id FROM events)
+        |SELECT l.event_id, count(r.event_id) AS n_prior
+        |FROM e l LEFT JOIN e r
+        |  ON r.user_id = l.user_id
+        | AND epoch_us(r.ts) BETWEEN epoch_us(l.ts) - 1800000000 AND epoch_us(l.ts) - 1
+        |GROUP BY 1""".stripMargin,
+    "q48_calendar_rollup" ->
+      s"""WITH fact AS ($factSql), daily AS ($dailySql)
+         |SELECT year, quarter, month,
+         |  CAST(SUM(total_revenue) AS DOUBLE) AS total_revenue,
+         |  CAST(SUM(total_quantity_sold) AS DOUBLE) AS total_quantity_sold,
+         |  CAST(SUM(distinct_orders) AS BIGINT) AS distinct_orders,
+         |  CAST(GROUPING(year, quarter, month) AS INTEGER) AS lvl
+         |FROM daily GROUP BY ROLLUP (year, quarter, month)""".stripMargin,
+    "q49_incremental_dedup" -> minhashCrossSql(3, 4, 3),
+    "q51_json_props_agg" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |  count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+    "q50_kmeans_step" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cvec
+        |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        |sim AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])), 6) AS csim
+        |  FROM embeddings e CROSS JOIN cents c),
+        |assigned AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT vec_id, cent_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id ASC) AS r
+        |    FROM sim) WHERE r = 1),
+        |m AS (
+        |  SELECT a.cent_id AS cell,
+        |    unnest(CAST(e.embedding AS DOUBLE[])) AS v,
+        |    unnest(generate_series(0, len(e.embedding) - 1)) AS dim
+        |  FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id)
+        |SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(dim AS INTEGER) AS dim, round(avg(v), 6) AS mean_val
+        |FROM m GROUP BY cell, dim""".stripMargin,
     "q16_event_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
@@ -633,7 +857,7 @@ object SparkEntry {
          |  SELECT p.id_a, p.id_b
          |  FROM pairs p JOIN sizes sa ON p.id_a = sa.doc_id JOIN sizes sb ON p.id_b = sb.doc_id
          |  WHERE CAST(p.n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE) >= 0.5),
-         |$closureTailSql
+         |${closureTailSql()}
          |SELECT doc_id FROM assign WHERE cluster_id = doc_id""".stripMargin,
     "q36_repetition" ->
       """WITH g AS (
@@ -707,17 +931,27 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS INTEGER) AS rank
         |FROM pc
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) <= 3""".stripMargin,
-    "q39_deterministic_split" -> {
-      // md5Bucket in SQL: first 8 hex nibbles of md5(id) as an integer, mod 100
-      val nib = (k: Int) =>
-        s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $k, 1)) - 1)"
-      val v = (1 to 8).map(k => s"${nib(k)} * ${math.pow(16, 8 - k).toLong}").mkString(" + ")
+    "q39_deterministic_split" ->
       s"""SELECT doc_id,
-         |  CASE WHEN ($v) % 100 < 90 THEN 'train'
-         |       WHEN ($v) % 100 < 95 THEN 'val'
+         |  CASE WHEN ${md5BucketSql("doc_id")} < 90 THEN 'train'
+         |       WHEN ${md5BucketSql("doc_id")} < 95 THEN 'val'
          |       ELSE 'test' END AS split
-         |FROM documents""".stripMargin
-    },
+         |FROM documents""".stripMargin,
+    "q52_stratified_sample" ->
+      s"""WITH lang AS (
+         |SELECT doc_id,
+         |  $langScoreSql,
+         |  CASE
+         |    WHEN score_en >= greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'en'
+         |    WHEN score_de >= greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'de'
+         |    WHEN score_es >= greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'es'
+         |    WHEN score_fr >= greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'fr'
+         |    ELSE 'zh' END AS detected_lang
+         |FROM documents)
+         |SELECT doc_id, detected_lang FROM lang
+         |WHERE ${md5BucketSql("doc_id")} <
+         |  CASE detected_lang WHEN 'en' THEN 40 WHEN 'zh' THEN 100 ELSE 70 END""".stripMargin,
+    "q53_corpus_curation" -> corpusCurationSql,
     "q37_pii_scrub" -> {
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
       val url = "https?://[^ ]+"

@@ -83,6 +83,26 @@ object GoldMarts {
           when(col("delivered_orders") > 0, col("delivered_orders")).otherwise(lit(1L)).cast("double"))
   }
 
+  /** Calendar ROLLUP of the daily mart: one pass producing the
+    * (year, quarter, month), (year, quarter), (year) and grand-total grains
+    * that [[sellerPerformanceMonthly]]/[[sellerPerformanceQuarterly]] emit
+    * as separate jobs — grouping-sets are the Spark-native way to serve
+    * every drill-down level from ONE aggregation (partial aggregation
+    * covers all levels in the same shuffle instead of re-scanning per
+    * grain). `lvl` is `grouping_id(year, quarter, month)` — 0 = finest
+    * grain, 7 = grand total — so consumers can slice one table by grain.
+    * Sum-of-daily-distinct semantics are inherited from the daily input,
+    * exactly like the monthly/quarterly marts (3_Silver_to_Gold.py:64-71). */
+  def sellerPerformanceCalendarRollup(daily: DataFrame): DataFrame =
+    daily.rollup(col("year"), col("quarter"), col("month"))
+      .agg(
+        sum("total_revenue").as("total_revenue"),
+        sum("total_quantity_sold").as("total_quantity_sold"),
+        sum("distinct_orders").as("distinct_orders"),
+        // grouping_id() is only resolvable inside the grouping-sets
+        // aggregate itself, not as a post-agg projection
+        grouping_id().cast("int").as("lvl"))
+
   /** seller_segmentation (3_Silver_to_Gold.py:102-110): revenue rollup of the
     * daily mart ⋈ order_rates, segmented by the reference's when-chain. */
   def sellerSegmentation(daily: DataFrame, rates: DataFrame): DataFrame = {

@@ -98,6 +98,48 @@ object Scd2 {
       .select((source.columns.map(c => col(s"s.$c")) :+ col("action")): _*)
   }
 
+  /** Snapshot-diff variant of [[stage]] for FULL-snapshot sources: the
+    * reference leaves delete handling as an optional extension
+    * (README.MD:141 — an incremental watermark extract cannot see deletes),
+    * but a source that lands complete snapshots CAN: a pk present in the
+    * current target slice and absent from the snapshot was deleted upstream,
+    * classified `DELETE` here and expired (without a successor version) by
+    * [[applyMergeWithDeletes]].
+    *
+    * Output is [[stage]]'s shape plus DELETE rows, whose pk comes from the
+    * target side (their source columns are NULL — there is no source row).
+    * Same one-shuffle full-outer diff; use ONLY with full snapshots — an
+    * incremental batch would classify every quiet key as deleted. */
+  def stageWithDeletes(source: DataFrame, currentTarget: DataFrame, pk: String,
+                       exclusions: Set[String] = defaultExclusions,
+                       nullSafe: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tracked = trackedColumns(source, pk, exclusions)
+    val hashed = source.withColumn("hash", fingerprint(tracked, nullSafe))
+    val ordering =
+      (if (source.columns.contains("ingestion_timestamp"))
+        Seq(col("ingestion_timestamp").desc) else Seq.empty) :+ col("hash").desc
+    val s = hashed
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(col(pk)).orderBy(ordering: _*)))
+      .where(col("__rn") === 1).drop("__rn").alias("s")
+    val t = currentTarget
+      .withColumn("hash", fingerprint(tracked, nullSafe))
+      .select(col(pk), col("hash")).alias("t")
+    val joined = s.join(t, col(s"s.$pk") === col(s"t.$pk"), "full_outer")
+    joined
+      .withColumn("action",
+        when(col(s"t.$pk").isNull, "INSERT")
+          .when(col(s"s.$pk").isNull, "DELETE")
+          .when(col("s.hash") =!= col("t.hash"), "UPDATE")
+          .otherwise("NO CHANGE"))
+      .where(col("action").isin("INSERT", "UPDATE", "DELETE"))
+      .select((source.columns.map {
+        case c if c == pk => coalesce(col(s"s.$pk"), col(s"t.$pk")).as(pk)
+        case c => col(s"s.$c")
+      } :+ col("action")): _*)
+  }
+
   /** Distinct changed keys whose current versions must be expired
     * (2_Bronze_to_Silver.py:122-123). */
   def expireKeys(staged: DataFrame, pk: String): DataFrame =
@@ -125,11 +167,25 @@ object Scd2 {
     * determinism (SURVEY.md §7.4).
     */
   def applyMerge(fullTarget: DataFrame, staged: DataFrame, pk: String,
-                 runTs: Timestamp): DataFrame = {
-    val keys = expireKeys(staged, pk)
+                 runTs: Timestamp): DataFrame =
+    applyMergeCore(fullTarget, expireKeys(staged, pk),
+      staged.where(col("action").isin("INSERT", "UPDATE")), runTs)
+
+  /** [[applyMerge]] for [[stageWithDeletes]] output: DELETE keys expire
+    * their current version exactly like UPDATE keys, but contribute no new
+    * version — the key's history simply ends (end_date = runTs). */
+  def applyMergeWithDeletes(fullTarget: DataFrame, staged: DataFrame, pk: String,
+                            runTs: Timestamp): DataFrame =
+    applyMergeCore(fullTarget,
+      staged.where(col("action").isin("UPDATE", "DELETE")).select(pk).distinct(),
+      staged.where(col("action").isin("INSERT", "UPDATE")), runTs)
+
+  private def applyMergeCore(fullTarget: DataFrame, keys: DataFrame,
+                             inserting: DataFrame, runTs: Timestamp): DataFrame = {
     val dataCols = fullTarget.columns.filterNot(scd2Columns.contains(_))
     // left join against the (small, broadcastable) changed-key set; rows that
     // match AND are current get expired, everything else passes through.
+    val pk = keys.columns.head
     val matched = fullTarget.join(
       broadcast(keys.withColumn("__expire", lit(true))), Seq(pk), "left")
     val rewritten = matched
@@ -138,7 +194,7 @@ object Scd2 {
       .withColumn("is_current",
         when(col("__expire") && col("is_current"), lit(false)).otherwise(col("is_current")))
       .drop("__expire")
-    val inserts = initialLoad(staged.drop("action"), runTs)
+    val inserts = initialLoad(inserting.drop("action"), runTs)
       .select((dataCols.map(col) ++ scd2Columns.map(col)): _*)
     rewritten.select((dataCols.map(col) ++ scd2Columns.map(col)): _*).union(inserts)
   }

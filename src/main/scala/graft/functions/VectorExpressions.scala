@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.sqrt
-import org.apache.spark.sql.graft.{ColumnBridge, FloatVectorDot}
+import org.apache.spark.sql.graft.{ColumnBridge, FloatVectorDot, FloatVectorSumAgg}
 
 /** Column-level API over the native vector expressions (implementation in
   * `org.apache.spark.sql.graft.VectorExpressions` — the expression-authoring
@@ -18,4 +18,13 @@ object VectorFunctions {
   /** L2 norm — dot with itself; compute ONCE per row before any pairwise
     * join so the N² stage only pays one dot product per pair. */
   def normF(a: Column): Column = sqrt(dotF(a, a))
+
+  /** Element-wise SUM aggregate over `array<float>` → `array<double>`
+    * (see [[org.apache.spark.sql.graft.FloatVectorSumAgg]]): one buffer per
+    * group with map-side partial aggregation — the shuffle carries
+    * (groups × dim) doubles instead of the N·d rows a posexplode/groupBy
+    * formulation moves. */
+  def vectorSumF(a: Column): Column =
+    ColumnBridge.column(
+      FloatVectorSumAgg(ColumnBridge.expression(a)).toAggregateExpression())
 }

@@ -108,22 +108,28 @@ object Dedup {
         element_at(col("sig"), i + 1).as(s"sig_$i"))): _*)
   }
 
+  /** (id, band, band-hash) LSH bucket table — the shared fan-in of
+    * [[minHashLshPairs]] (self-dedup) and [[minHashLshPairsAcross]]
+    * (batch-vs-corpus). Signatures come from the native one-pass kernel
+    * (MinHashSig): no explode, no h-way min groupBy — byte-identical to the
+    * min-over-exploded-shingles formulation (TextFunctionsSpec pins it). */
+  private def lshBandTable(df: DataFrame, idCol: String, textCol: String,
+                           n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val sigs = minHashSignatures(df, idCol, textCol, n, bands * rowsPerBand)
+    val bandCols = (0 until bands).map { b =>
+      val slots = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws("|", slots: _*)).as("bh"))
+    }
+    sigs.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
   /** MinHash + LSH banding: candidate pairs = documents sharing at least one
     * band hash (band j = md5 of its `rowsPerBand` signature slots), then
     * verified with exact Jaccard. numHashes = bands × rowsPerBand. */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
                       bands: Int, rowsPerBand: Int, minJaccard: Double): DataFrame = {
-    val h = bands * rowsPerBand
-    // signatures come from the native one-pass kernel (MinHashSig): no
-    // explode, no h-way min groupBy — byte-identical to the min-over-
-    // exploded-shingles formulation (TextFunctionsSpec pins the equivalence)
-    val sigs = minHashSignatures(df, idCol, textCol, n, h)
-    val bandCols = (0 until bands).map { b =>
-      val slots = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), md5(concat_ws("|", slots: _*)).as("bh"))
-    }
-    val banded = sigs.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val banded = lshBandTable(df, idCol, textCol, n, bands, rowsPerBand)
     val x = banded.toDF("id_a", "band", "bh")
     val y = banded.toDF("id_b", "band", "bh")
     val candidates = x.join(y, Seq("band", "bh"))
@@ -136,6 +142,46 @@ object Dedup {
     val arrays = graft.core.CacheRegistry.persist(
       shingleArrays(df, idCol, textCol, n))
     jaccardFromArrays(candidates, arrays, minJaccard)
+  }
+
+  /** Incremental (batch-vs-corpus) near-dup detection — the shape an
+    * ingestion pipeline actually runs at 100 TB: the standing corpus is NOT
+    * re-deduped against itself every run; only the new batch is checked
+    * against it. Candidates are (corpus, batch) pairs sharing ≥1 LSH band
+    * bucket — the join is corpus-bands ⋈ batch-bands, so its output is
+    * bounded by the batch's collisions, never the corpus² pair space — then
+    * verified with exact Jaccard over per-doc shingle arrays.
+    *
+    * Returns (corpus_id, batch_id, jaccard ≥ minJaccard): the batch ids in
+    * the result are the rows to drop (or route to human review) before
+    * appending the batch to the corpus. In a production loop the corpus
+    * band table is PRECOMPUTED and stored (it is append-only — signatures
+    * of old docs never change), so each run computes bands only for the
+    * batch; this operator recomputes both sides from text, which keeps it
+    * storage-free and oracle-checkable while planning the identical join.
+    * Ids must be disjoint across the two inputs (not enforced — equal ids
+    * on the two sides are legal but meaningless). */
+  def minHashLshPairsAcross(corpus: DataFrame, batch: DataFrame,
+                            idCol: String, textCol: String, n: Int,
+                            bands: Int, rowsPerBand: Int,
+                            minJaccard: Double): DataFrame = {
+    val cb = lshBandTable(corpus, idCol, textCol, n, bands, rowsPerBand)
+      .toDF("id_a", "band", "bh")
+    val bb = lshBandTable(batch, idCol, textCol, n, bands, rowsPerBand)
+      .toDF("id_b", "band", "bh")
+    val candidates = cb.join(bb, Seq("band", "bh"))
+      .select("id_a", "id_b").distinct()
+    val ca = graft.core.CacheRegistry.persist(
+      shingleArrays(corpus, idCol, textCol, n)).toDF("id_a", "sh_a")
+    val ba = graft.core.CacheRegistry.persist(
+      shingleArrays(batch, idCol, textCol, n)).toDF("id_b", "sh_b")
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    candidates
+      .join(ca, Seq("id_a")).join(ba, Seq("id_b"))
+      .withColumn("jaccard", inter.cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - inter).cast("double"))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("id_a").as("corpus_id"), col("id_b").as("batch_id"), col("jaccard"))
   }
 
   /** 16-bit SimHash from the first 16 hex nibbles of each token's md5:

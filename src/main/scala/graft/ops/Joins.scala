@@ -60,6 +60,56 @@ object Joins {
           rPayload.map(c => col(s"__r.$c").as(c))): _*)
   }
 
+  /** Keyed time-range join: all (left, right) pairs sharing `key` with
+    * `right.rightTime` in `[leftTime + lowerUs, leftTime + upperUs]`
+    * (microsecond offsets, bounds inclusive) — the "events within the
+    * window around each anchor" primitive (feature windows, attribution,
+    * prior-activity counts) that naive SQL writes as an inequality join.
+    *
+    * Spark plans a pure inequality predicate as a per-key nested loop —
+    * quadratic on a hot key, exactly like the as-of case above. This
+    * operator BANDS time instead: with bucket width `w = upperUs - lowerUs`,
+    * a right row lands in one bucket, a left row's window spans at most two
+    * adjacent buckets, so each left row is expanded to its (at most) two
+    * covering buckets and the join becomes a plain equi-join on
+    * (key, bucket) with an exact range filter after it. Shuffle key is
+    * (key, bucket); every true pair is found exactly once (the right row's
+    * single bucket is among the left row's covered buckets); cost is the
+    * equi-join plus a ≤2× expansion of the left side — no N² stage at any
+    * scale, and time-skew spreads across buckets even for a hot key.
+    *
+    * Inner-join semantics: left rows with no right row in range disappear —
+    * wrap with a left join against the output to keep them (see q47's
+    * count composition). Same column contract as [[saltedEquiJoin]]: `key`
+    * must be the only shared column name (enforced), and both time columns
+    * must be TIMESTAMP. */
+  def bandedRangeJoin(left: DataFrame, right: DataFrame, key: String,
+                      leftTime: String, rightTime: String,
+                      lowerUs: Long, upperUs: Long): DataFrame = {
+    require(upperUs > lowerUs,
+      s"bandedRangeJoin: empty window [$lowerUs, $upperUs]")
+    val shared = left.columns.intersect(right.columns).filterNot(_ == key)
+    require(shared.isEmpty,
+      s"bandedRangeJoin: sides share non-key column(s) ${shared.mkString("'", "', '", "'")} - " +
+        "rename them before joining (only the join key may be shared)")
+    require(left.columns.contains(key) && right.columns.contains(key),
+      s"bandedRangeJoin: both sides must carry join key '$key'")
+    val w = upperUs - lowerUs
+    // left window [t+lower, t+upper] covers buckets floor((t+lower)/w) ..
+    // floor((t+upper)/w): at most 2 since the window is exactly w long
+    val l = left
+      .withColumn("__b", explode(sequence(
+        floor((unix_micros(col(leftTime)) + lowerUs) / w),
+        floor((unix_micros(col(leftTime)) + upperUs) / w))))
+    val r = right
+      .withColumn("__b", floor(unix_micros(col(rightTime)) / w))
+    l.join(r, Seq(key, "__b"))
+      .where(unix_micros(col(rightTime))
+        .between(unix_micros(col(leftTime)) + lowerUs,
+          unix_micros(col(leftTime)) + upperUs))
+      .drop("__b")
+  }
+
   /** Deterministically salted inner equi-join on `key`, equal to
     * `big.join(small, key)` row-for-row: the big side takes a salt derived
     * from its full row content (no rand() — replays and retries stay

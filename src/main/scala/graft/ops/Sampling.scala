@@ -39,4 +39,23 @@ object Sampling {
   /** Deterministic p-percent sample (membership stable across runs). */
   def deterministicSample(df: DataFrame, idCol: String, percent: Int): DataFrame =
     df.where(md5Bucket(col(idCol)) < percent)
+
+  /** Stratified deterministic sample: a different keep-percentage per value
+    * of `strataCol` (e.g. downsample the dominant language, keep all of a
+    * rare one — the standard corpus-rebalancing move). Rows whose stratum is
+    * not in `percents` keep `defaultPercent`. Same md5-bucket membership as
+    * [[deterministicSample]]: pure per-row projection — no shuffle, no
+    * per-stratum pass, stable across runs/engines regardless of how many
+    * strata exist. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       percents: Seq[(String, Int)], defaultPercent: Int): DataFrame = {
+    require(percents.nonEmpty, "stratifiedSample: provide at least one stratum")
+    require((defaultPercent +: percents.map(_._2)).forall(p => p >= 0 && p <= 100),
+      "stratifiedSample: percents must be in [0, 100]")
+    val threshold = percents.foldRight(lit(defaultPercent)) {
+      case ((stratum, p), other) =>
+        when(col(strataCol) === stratum, lit(p)).otherwise(other)
+    }
+    df.where(md5Bucket(col(idCol)) < threshold)
+  }
 }

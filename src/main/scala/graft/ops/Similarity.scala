@@ -173,6 +173,45 @@ object Similarity {
       .select("query_id", "cand_id", "cos", "rank")
   }
 
+  /** One k-means refinement step for the IVF coarse quantizer: assign every
+    * vector to its nearest centroid (by rounded cosine, ties to the lower
+    * centroid id — the same assignment rule as [[ivfTopK]]), then return
+    * each cell's member count and element-wise MEAN vector. Iterate a few
+    * times from [[ivfTopK]]'s hashed-sample seed to turn it into a trained
+    * quantizer; cells that attract no members disappear from the output
+    * (standard k-means: their centroid is simply dropped).
+    *
+    * Scale shape: the centroid table is tiny and broadcast, so assignment
+    * runs map-side; the mean uses the native [[VectorFunctions.vectorSumF]]
+    * aggregate, so partial per-cell sum arrays combine map-side and the
+    * shuffle carries (cells × dim) doubles — NOT the N·d element rows a
+    * posexplode/groupBy(cell, pos) formulation would move. One shuffle per
+    * step, invariant to N.
+    *
+    * @param centroids current centroids with the SAME id/vec column names
+    *                  as `emb` (any source: the hashed sample, a previous
+    *                  step's output re-keyed, or an external quantizer)
+    * @return (cell, n_members, centroid: array<double> of element means)
+    */
+  def kmeansStep(emb: DataFrame, idCol: String, vecCol: String,
+                 centroids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.vectorSumF
+    val cents = centroids.select(col(idCol).as("cent_id"), col(vecCol).as("cvec"),
+      normF(col(vecCol)).as("cnorm"))
+    val vecs = emb.select(col(idCol), col(vecCol), normF(col(vecCol)).as("norm"))
+    val byVec = Window.partitionBy(idCol).orderBy(col("csim").desc, col("cent_id").asc)
+    val assigned = vecs.crossJoin(broadcast(cents))
+      .select(col(idCol), col("cent_id"), col(vecCol),
+        round(dotF(col(vecCol), col("cvec")) / (col("norm") * col("cnorm")), 6).as("csim"))
+      .withColumn("r", row_number().over(byVec))
+      .where(col("r") === 1)
+    assigned.groupBy(col("cent_id").as("cell"))
+      .agg(count(lit(1)).as("n_members"), vectorSumF(col(vecCol)).as("sums"))
+      .select(col("cell"), col("n_members"),
+        transform(col("sums"), x => x / col("n_members")).as("centroid"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold) —
     * EXACT baseline: a self cross-join, O(N²·d). The verifier for
     * [[lshNearDupPairs]], which is the path to run at scale. */

@@ -105,7 +105,10 @@ object GraftFunctions {
         MinHashSig(c(0), intLit(c(1), "minhash_sig"))),
       fn("simhash16", classOf[SimHash16])(c => SimHash16(c(0))),
       fn("simhash64", classOf[SimHash64])(c => SimHash64(c(0))),
-      fn("min_gram_md5", classOf[MinGramMd5])(c => MinGramMd5(c(0))))
+      fn("min_gram_md5", classOf[MinGramMd5])(c => MinGramMd5(c(0))),
+      // aggregate: the analyzer wraps a bare AggregateFunction returned by
+      // a registry builder into an AggregateExpression
+      fn("float_vector_sum", classOf[FloatVectorSumAgg])(c => FloatVectorSumAgg(c(0))))
 
   def register(spark: SparkSession): Unit = functions.foreach {
     case (id, info, builder) =>

@@ -120,6 +120,34 @@ class PlanSpec extends SparkSpec {
       Set((1, "a2"), (2, "b"))
   }
 
+  test("banded range join plans an equi-join, never an inequality loop (q47)") {
+    graft.core.CacheRegistry.scoped {
+      val plan = planOf(SparkEntry.queries("q47_range_join_count")(spark, sf0001))
+      // a naive t BETWEEN ... join plans BroadcastNestedLoop/Cartesian; the
+      // banded formulation must stay a hash/sort-merge equi join on (key, bucket)
+      plan should not include "CartesianProduct"
+      plan should not include "BroadcastNestedLoopJoin"
+    }
+  }
+
+  test("incremental dedup joins corpus bands to batch bands only, no cartesian (q49)") {
+    graft.core.CacheRegistry.scoped {
+      val plan = planOf(SparkEntry.queries("q49_incremental_dedup")(spark, sf0001))
+      plan should not include "CartesianProduct"
+      plan should not include "BroadcastNestedLoopJoin"
+    }
+  }
+
+  test("kmeans step aggregates vectors map-side, no posexplode shuffle (q50)") {
+    val df = SparkEntry.queries("q50_kmeans_step")(spark, sf0001)
+    df.collect()
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    // the element rows must NOT be exploded before the shuffle; the vector
+    // aggregate runs as partial+final ObjectHashAggregate pairs
+    finalPlan should not include "Generate posexplode(embedding"
+    "ObjectHashAggregate".r.findAllIn(finalPlan).size should be >= 2
+  }
+
   test("queries stay inside whole-stage codegen (q01)") {
     // AQE hides the physical plan until execution — and count() runs a
     // CLONED QueryExecution, so collect() this one, then read the final plan

@@ -59,6 +59,19 @@ class GoldMartsSpec extends SparkSpec {
       (100, 1000, 2, 20.0, 1L), (200, 1001, 2, 7.0, 1L))
   }
 
+  test("calendar rollup serves every grain from one pass, lvl = grouping_id") {
+    val daily = GoldMarts.sellerPerformanceDaily(GoldMarts.withDateParts(fact))
+    val r = GoldMarts.sellerPerformanceCalendarRollup(daily)
+      .select($"year", $"quarter", $"month", $"total_revenue".cast("double"), $"lvl")
+      .as[(Option[Int], Option[Int], Option[Int], Double, Int)].collect().toSet
+    r shouldBe Set(
+      (Some(2024), Some(1), Some(1), 13.0, 0), // finest grain
+      (Some(2024), Some(1), Some(2), 27.0, 0),
+      (Some(2024), Some(1), None, 40.0, 1), // quarter grain
+      (Some(2024), None, None, 40.0, 3), // year grain
+      (None, None, None, 40.0, 7)) // grand total
+  }
+
   test("orderRates: per-status distinct counts and guarded rates") {
     val r = GoldMarts.orderRates(fact)
       .select($"SellerID", $"total_orders_placed", $"delivered_orders",

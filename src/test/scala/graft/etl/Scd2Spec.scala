@@ -57,6 +57,41 @@ class Scd2Spec extends SparkSpec {
       .where($"count" > 1).count() shouldBe 0
   }
 
+  test("stageWithDeletes classifies a vanished key as DELETE with the target's pk") {
+    // id=1 absent from the snapshot -> DELETE; id=2 changed -> UPDATE;
+    // id=3 unchanged -> dropped; id=4 new -> INSERT
+    val snapshot = Seq((2, "bob", "B2"), (3, "carol", "C"), (4, "dave", "D"))
+      .toDF("id", "name", "seg")
+    val staged = Scd2.stageWithDeletes(snapshot, target0, "id")
+    val actions = staged.select("id", "action").as[(Int, String)].collect().toMap
+    actions shouldBe Map(1 -> "DELETE", 2 -> "UPDATE", 4 -> "INSERT")
+    // DELETE rows have no source columns (there is no source row)
+    staged.where($"action" === "DELETE").select("name", "seg")
+      .as[(Option[String], Option[String])].collect().toSeq shouldBe Seq((None, None))
+  }
+
+  test("applyMergeWithDeletes expires the deleted key without a successor version") {
+    val tgt = Scd2.initialLoad(target0, t0)
+    val snapshot = Seq((2, "bob", "B2"), (3, "carol", "C"), (4, "dave", "D"))
+      .toDF("id", "name", "seg")
+    val staged = Scd2.stageWithDeletes(snapshot, tgt.where($"is_current"), "id")
+    val merged = Scd2.applyMergeWithDeletes(tgt, staged, "id", t1)
+    // deleted key: history ends — one expired row, zero current rows
+    val deleted = merged.where($"id" === 1)
+    deleted.count() shouldBe 1
+    deleted.where($"is_current").count() shouldBe 0
+    deleted.select("end_date").as[Timestamp].head() shouldBe t1
+    // updated key: expired old + new current; unchanged key untouched
+    merged.where($"id" === 2 && $"is_current").select("seg").as[String]
+      .collect().toSeq shouldBe Seq("B2")
+    merged.where($"id" === 2).count() shouldBe 2
+    merged.where($"id" === 3 && $"is_current").count() shouldBe 1
+    merged.where($"id" === 4 && $"is_current").count() shouldBe 1
+    // global invariant: at most one current row per pk
+    merged.where($"is_current").groupBy("id").count()
+      .where($"count" > 1).count() shouldBe 0
+  }
+
   test("fingerprint replicates the concat_ws NULL-skip collision; nullSafe mode does not") {
     val df = Seq(
       (1, Some("a"), None: Option[String]),

@@ -61,6 +61,33 @@ class DedupSpec extends SparkSpec {
     graft.core.CacheRegistry.drain()
   }
 
+  test("minHashLshPairsAcross equals the self-dedup pairs restricted to cross pairs") {
+    // corpus = even ids, batch = odd ids; doc 5 duplicates corpus doc 4,
+    // doc 7 near-dups corpus doc 2
+    val all = Seq(
+      (2L, "the quick brown fox leaps over it"),
+      (4L, "the quick brown fox jumps over it"),
+      (6L, "completely different corpus text here now"),
+      (5L, "the quick brown fox jumps over it"), // exact dup of 4
+      (7L, "the quick brown fox leaps over us"), // near-dup of 2
+      (9L, "nothing in common with anything else at all")
+    ).toDF("doc_id", "text")
+    val corpus = all.where($"doc_id" % 2 === 0)
+    val batch = all.where($"doc_id" % 2 === 1)
+    val got = Dedup.minHashLshPairsAcross(corpus, batch,
+      "doc_id", "text", 3, 4, 3, 0.5)
+      .select("corpus_id", "batch_id").as[(Long, Long)].collect().toSet
+    // oracle: self-dedup over the union, keep only (even, odd) pairs
+    val self = Dedup.minHashLshPairs(all, "doc_id", "text", 3, 4, 3, 0.5)
+      .as[(Long, Long, Double)].collect()
+      .collect {
+        case (a, b, _) if a % 2 == 0 && b % 2 == 1 => (a, b)
+        case (a, b, _) if a % 2 == 1 && b % 2 == 0 => (b, a)
+      }.toSet
+    got shouldBe self
+    got should contain((4L, 5L)) // the planted exact duplicate
+  }
+
   test("simHash16: identical docs get identical signatures, in [0, 65535]") {
     val sig = Dedup.simHash16(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap

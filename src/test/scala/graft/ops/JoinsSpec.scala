@@ -99,6 +99,64 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("bandedRangeJoin matches the naive inequality join on randomized data") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000) // µs -> ms grain
+    val rowGen = for {
+      k <- Gen.choose(1, 3); t <- Gen.choose(0, 50)
+    } yield (k.toLong, t.toLong * 1000000L) // second-spaced µs offsets
+    val listGen = Gen.listOfN(40, rowGen)
+    val (lowerUs, upperUs) = (-10000000L, -1L) // prior 10 s, strictly before
+    for (seed <- 1L to 5L) {
+      val lRows = listGen.pureApply(Gen.Parameters.default, Seed(seed))
+        .zipWithIndex.map { case ((k, t), i) => (k, i.toLong, ts(t)) }
+      val rRows = listGen.pureApply(Gen.Parameters.default, Seed(seed + 7))
+        .zipWithIndex.map { case ((k, t), i) => (k, 1000L + i, ts(t)) }
+      val left = lRows.toDF("k", "lid", "lt")
+      val right = rRows.toDF("k", "rid", "rt")
+      val got = Joins.bandedRangeJoin(left, right, "k", "lt", "rt", lowerUs, upperUs)
+        .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+      val naive = (for {
+        (lk, lid, lt) <- lRows
+        (rk, rid, rt) <- rRows
+        if lk == rk
+        dt = rt.getTime * 1000 - lt.getTime * 1000
+        if dt >= lowerUs && dt <= upperUs
+      } yield (lid, rid)).toSet
+      withClue(s"seed=$seed: ") { got shouldBe naive }
+    }
+  }
+
+  test("bandedRangeJoin bounds are inclusive and bucket boundaries are exact") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, 10L, ts("2024-01-01 10:00:30"))).toDF("k", "lid", "lt")
+    val right = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00")), // dt = -30 s: at the lower bound
+      (1L, 2L, ts("2024-01-01 10:00:30")), // dt = 0: at the upper bound
+      (1L, 3L, ts("2024-01-01 10:00:31")), // past upper
+      (1L, 4L, ts("2024-01-01 09:59:59")), // below lower
+      (2L, 5L, ts("2024-01-01 10:00:15")) // other key
+    ).toDF("k", "rid", "rt")
+    val got = Joins.bandedRangeJoin(left, right, "k", "lt", "rt", -30000000L, 0L)
+      .select($"rid").as[Long].collect().toSet
+    got shouldBe Set(1L, 2L)
+  }
+
+  test("bandedRangeJoin rejects shared non-key columns and empty windows") {
+    val l = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "x"))
+      .toDF("k", "lt", "v")
+    val r = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "y"))
+      .toDF("k", "rt", "v")
+    val e = intercept[IllegalArgumentException] {
+      Joins.bandedRangeJoin(l, r, "k", "lt", "rt", -10L, -1L)
+    }
+    e.getMessage should include("'v'")
+    intercept[IllegalArgumentException] {
+      Joins.bandedRangeJoin(l, r.drop("v"), "k", "lt", "rt", 5L, 5L)
+    }
+  }
+
   test("asOfJoin rejects colliding payload names and empty right payload") {
     val left = Seq((1L, 10L, "a")).toDF("k", "lt", "v")
     val clash = Seq((1L, 5L, "b")).toDF("k", "rt", "v") // 'v' collides

@@ -23,6 +23,25 @@ class SamplingSpec extends SparkSpec {
     (a.values.count(_ == "val") + a.values.count(_ == "test")) / n shouldBe 0.10 +- 0.05
   }
 
+  test("stratifiedSample applies per-stratum keep-rates off the same buckets") {
+    val strata = docs.select(col("doc_id"),
+      (col("doc_id") % 3).cast("string").as("grp"))
+    val kept = Sampling.stratifiedSample(strata, "doc_id", "grp",
+      Seq("0" -> 0, "1" -> 100), 25)
+      .select("doc_id", "grp").as[(Long, String)].collect()
+    kept.count(_._2 == "0") shouldBe 0 // 0% stratum fully dropped
+    // 100% stratum fully kept
+    kept.count(_._2 == "1").toLong shouldBe strata.where($"grp" === "1").count()
+    // default stratum keeps ~25% via the shared md5 bucket
+    val g2 = strata.where($"grp" === "2").count().toDouble
+    kept.count(_._2 == "2") / g2 shouldBe 0.25 +- 0.10
+    // membership = deterministicSample membership within each stratum
+    val direct = Sampling.deterministicSample(
+      strata.where($"grp" === "2"), "doc_id", 25)
+      .select("doc_id").as[Long].collect().toSet
+    kept.filter(_._2 == "2").map(_._1).toSet shouldBe direct
+  }
+
   test("deterministicSample is the prefix of the same bucketing") {
     val sampled = Sampling.deterministicSample(docs, "doc_id", 10)
       .select("doc_id").as[Long].collect().toSet

@@ -130,6 +130,37 @@ class SimilaritySpec extends SparkSpec {
     recall should be > 0.25
   }
 
+  test("kmeansStep: means per nearest-centroid cell; empty cells drop") {
+    // centroids: unit x and unit y; vec 4 (-x) is nearest y? no — cosine to
+    // x is -1, to y is 0 -> joins the y cell. Cell means are plain element
+    // averages of the members.
+    val cents = Seq((1L, Seq(1f, 0f, 0f)), (3L, Seq(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.kmeansStep(emb, "vec_id", "embedding", cents)
+      .select($"cell", $"n_members", $"centroid")
+      .as[(Long, Long, Seq[Double])].collect()
+      .map { case (c, n, v) => (c, n, v.map(x => math.rint(x * 1e6) / 1e6)) }.toSet
+    // cell 1: vecs 1, 2 -> mean = [0.95, 0.05, 0]; cell 3: vecs 3, 4
+    r shouldBe Set(
+      (1L, 2L, Seq(0.95, 0.05, 0.0)),
+      (3L, 2L, Seq(-0.5, 0.5, 0.0)))
+  }
+
+  test("kmeansStep iterated from the hashed seed converges cells on real embeddings") {
+    val e = graft.core.Tables.table(spark, sf0001, "embeddings")
+    val seed = e.orderBy(md5($"vec_id".cast("string")), $"vec_id").limit(8)
+    val step1 = Similarity.kmeansStep(e, "vec_id", "embedding", seed)
+    // re-key step-1 centroids as the next quantizer (same column names)
+    val cents1 = step1.select($"cell".as("vec_id"),
+      transform($"centroid", _.cast("float")).as("embedding"))
+    val step2 = Similarity.kmeansStep(e, "vec_id", "embedding", cents1)
+    val n1 = step1.agg(sum("n_members")).as[Long].head()
+    val n2 = step2.agg(sum("n_members")).as[Long].head()
+    // every vector stays assigned to exactly one cell in every iteration
+    n1 shouldBe e.count()
+    n2 shouldBe e.count()
+  }
+
   test("nearDupPairs: symmetric threshold filter, a<b") {
     val r = Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
