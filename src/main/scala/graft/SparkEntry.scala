@@ -270,6 +270,12 @@ object SparkEntry {
           posexplode(col("centroid")).as(Seq("dim", "mean_val")))
         .withColumn("mean_val", round(col("mean_val"), 6))
     }),
+    // windowed time-series mart: running totals + month-over-month growth
+    // in ONE window pass (same partition/order for sum and lag)
+    "q54_revenue_trend" -> ((s, dir) =>
+      GoldMarts.sellerRevenueTrend(
+        GoldMarts.sellerPerformanceDaily(
+          GoldMarts.withDateParts(StarSchema.factOrderDetails(s, dir))))),
     // corpus rebalancing: per-language deterministic keep-rates (downsample
     // the dominant language, keep all of a rare one) — pure projection
     "q52_stratified_sample" -> ((s, dir) => {
@@ -937,6 +943,20 @@ object SparkEntry {
          |       WHEN ${md5BucketSql("doc_id")} < 95 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents""".stripMargin,
+    "q54_revenue_trend" ->
+      s"""WITH fact AS ($factSql), daily AS ($dailySql),
+         |monthly AS (
+         |  SELECT SellerID, SellerName, year, month, SUM(total_revenue) AS rev
+         |  FROM daily GROUP BY 1, 2, 3, 4)
+         |SELECT SellerID, SellerName, year, month,
+         |  CAST(rev AS DOUBLE) AS total_revenue,
+         |  CAST(SUM(rev) OVER w AS DOUBLE) AS cumulative_revenue,
+         |  CAST(lag(rev) OVER w AS DOUBLE) AS prev_revenue,
+         |  round(CASE WHEN lag(rev) OVER w IS NULL OR lag(rev) OVER w = 0 THEN NULL
+         |        ELSE (CAST(rev AS DOUBLE) - CAST(lag(rev) OVER w AS DOUBLE))
+         |             / CAST(lag(rev) OVER w AS DOUBLE) END, 6) AS mom_growth
+         |FROM monthly
+         |WINDOW w AS (PARTITION BY SellerID ORDER BY year, month)""".stripMargin,
     "q52_stratified_sample" ->
       s"""WITH lang AS (
          |SELECT doc_id,

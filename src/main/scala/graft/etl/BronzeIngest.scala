@@ -52,8 +52,11 @@ object BronzeIngest {
     else {
       val withAudit = withAuditCols(raw, runTs)
       val action = if (store.exists(target)) "appended" else "created"
-      store.append(target, withAudit, Seq("ingest_date"))
-      Report(table, withAudit.count(), action)
+      // count observed during the append itself — the count-after-write
+      // pattern re-read the whole landing batch for the report line
+      val rows = graft.core.Observed.countDuring(withAudit)(
+        store.append(target, _, Seq("ingest_date")))
+      Report(table, rows, action)
     }
   }
 

@@ -34,41 +34,42 @@ object GoldBuild {
   def run(spark: SparkSession, store: TableStore, goldRoot: String,
           fact: DataFrame): Report = {
     val factCached = fact.persist(StorageLevel.MEMORY_AND_DISK)
+    // per-mart row counts observed DURING each overwrite — previously the
+    // report re-read and counted all seven marts from storage, a second
+    // full pass over every mart that existed only for the log line
+    val rows = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def write(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit =
+      rows(name) = graft.core.Observed.countDuring(df)(
+        store.overwrite(s"$goldRoot/$name", _, partitionBy))
     try {
       // the stored fact is partitioned by order year — at 100 TB every
       // period-scoped mart query prunes to its years instead of scanning
       // the whole fact (the reference leaves this to Delta; README.MD:120)
-      store.overwrite(s"$goldRoot/fact_order_details",
+      write("fact_order_details",
         factCached.withColumn("order_year", year(col("OrderDate"))),
         Seq("order_year"))
 
       val daily = GoldMarts.sellerPerformanceDaily(GoldMarts.withDateParts(factCached))
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
-        store.overwrite(s"$goldRoot/seller_performance_daily", daily, Seq("year"))
-        store.overwrite(s"$goldRoot/seller_performance_monthly",
-          GoldMarts.sellerPerformanceMonthly(daily))
-        store.overwrite(s"$goldRoot/seller_performance_quarterly",
-          GoldMarts.sellerPerformanceQuarterly(daily))
+        write("seller_performance_daily", daily, Seq("year"))
+        write("seller_performance_monthly", GoldMarts.sellerPerformanceMonthly(daily))
+        write("seller_performance_quarterly", GoldMarts.sellerPerformanceQuarterly(daily))
 
         val rates = GoldMarts.orderRates(factCached)
           .persist(StorageLevel.MEMORY_AND_DISK)
         try {
-          store.overwrite(s"$goldRoot/order_rates", rates)
+          write("order_rates", rates)
           // segmentation reads the written daily mart back (A6 semantics)
           val dailyFromStore = store.read(s"$goldRoot/seller_performance_daily")
-          store.overwrite(s"$goldRoot/seller_segmentation",
+          write("seller_segmentation",
             GoldMarts.sellerSegmentation(dailyFromStore, rates))
         } finally rates.unpersist()
 
-        store.overwrite(s"$goldRoot/customer_analytics",
-          GoldMarts.customerAnalytics(factCached))
+        write("customer_analytics", GoldMarts.customerAnalytics(factCached))
       } finally daily.unpersist()
 
-      val marts = Seq("fact_order_details", "seller_performance_daily",
-        "seller_performance_monthly", "seller_performance_quarterly",
-        "order_rates", "seller_segmentation", "customer_analytics")
-      Report(marts.map(m => m -> store.read(s"$goldRoot/$m").count()).toMap)
+      Report(rows.toMap)
     } finally factCached.unpersist()
   }
 }

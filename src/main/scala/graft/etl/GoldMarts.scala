@@ -115,6 +115,33 @@ object GoldMarts {
           .otherwise("Risk Seller"))
   }
 
+  /** Per-seller revenue trend over the monthly grain: running cumulative
+    * revenue and month-over-month growth — the windowed time-series mart
+    * (§2.6 territory the reference never enters) a revenue dashboard asks
+    * for. One window partition per seller, ordered by (year, month):
+    * Spark sorts each partition once and computes the running sum and lag
+    * in the same pass — no self-join, no re-shuffle between the two
+    * window functions (same partitioning AND ordering ⇒ one Window node).
+    * Growth is null for a seller's first month and when the prior month's
+    * revenue is zero (guarded division). Revenue stays exact decimal
+    * through the running sum; doubles only in the final projection. */
+  def sellerRevenueTrend(daily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = daily.groupBy("SellerID", "SellerName", "year", "month")
+      .agg(sum("total_revenue").as("rev"))
+    val w = Window.partitionBy("SellerID").orderBy("year", "month")
+    val prev = lag(col("rev"), 1).over(w)
+    monthly.select(
+      col("SellerID"), col("SellerName"), col("year"), col("month"),
+      col("rev").cast("double").as("total_revenue"),
+      sum(col("rev")).over(w).cast("double").as("cumulative_revenue"),
+      prev.cast("double").as("prev_revenue"),
+      round(
+        when(prev.isNull || prev === 0, lit(null))
+          .otherwise((col("rev").cast("double") - prev.cast("double")) / prev.cast("double")),
+        6).as("mom_growth"))
+  }
+
   /** customer_analytics (3_Silver_to_Gold.py:121-131). */
   def customerAnalytics(fact: DataFrame): DataFrame =
     fact.groupBy("CustomerID", "CustomerName")

@@ -49,9 +49,11 @@ object SilverScd2 {
         // first-run branch (2_Bronze_to_Silver.py:76-81); partitioned by
         // is_current so the Gold current-slice read prunes instead of
         // scanning full history
-        store.overwrite(silver, Scd2.initialLoad(batch, runTs), Seq("is_current"))
+        // row count observed during the write — no second pass for the report
+        val rows = graft.core.Observed.countDuring(Scd2.initialLoad(batch, runTs))(
+          store.overwrite(silver, _, Seq("is_current")))
         watermarks.commit(table, WatermarkStore.format(newWm))
-        return Report(table, batch.count(), "initial-load")
+        return Report(table, rows, "initial-load")
       }
 
       val target = store.read(silver)

@@ -56,10 +56,13 @@ object IncrementalExtract {
                newWm: String): Long = {
     val fromWm = watermarks.read(table)
     val batch = source.extract(table, watermarkCol, fromWm, newWm)
-    val n = batch.count()
-    if (n > 0)
-      batch.write.mode("overwrite").option("header", "true")
-        .csv(s"$landingRoot/$table")
+    // emptiness probe short-circuits (LIMIT 1 scan); the full row count is
+    // observed during the landing write instead of a dedicated count pass
+    val n =
+      if (batch.isEmpty) 0L
+      else graft.core.Observed.countDuring(batch)(
+        _.write.mode("overwrite").option("header", "true")
+          .csv(s"$landingRoot/$table"))
     watermarks.commit(table, newWm) // after the landing write (S16)
     n
   }

@@ -69,6 +69,54 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming Bronze ingest: a file stream drained into the versioned
+    * [[graft.sources.TableStore]] via `foreachBatch` — the streaming twin of
+    * [[graft.etl.BronzeIngest.ingestTable]]. The checkpoint tracks which
+    * files each micro-batch consumed (exactly-once file accounting replaces
+    * the hand-rolled watermark file), and every micro-batch lands as one
+    * atomic TableStore append, so a crash between batches leaves the table
+    * at the last committed version — never a half-written batch.
+    * `Trigger.AvailableNow` drains everything then stops (the scheduled-
+    * batch parity mode); drop the trigger for a long-running ingest.
+    *
+    * Replay safety: on restart Spark RE-RUNS the last un-checkpointed
+    * micro-batch with the same batchId; a naive sink would append it twice.
+    * A committed-batch marker (written after each append) makes the replay
+    * a no-op. The residual window — crash between append and marker write —
+    * is the classic two-phase gap; closing it fully would need the batchId
+    * recorded inside the TableStore commit itself.
+    *
+    * At scale the batch size is governed by `maxFilesPerTrigger` on the
+    * source (bound memory per micro-batch) and each append is partitioned
+    * like the batch path (`partitionBy`). */
+  def streamToBronze(stream: DataFrame, store: graft.sources.TableStore,
+                     table: String, checkpoint: String,
+                     partitionBy: Seq[String] = Nil): StreamingQuery = {
+    import org.apache.hadoop.fs.Path
+    val spark = stream.sparkSession
+    val markerPath = new Path(s"$checkpoint/graft-committed-batch")
+    def fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def lastCommitted: Long =
+      if (!fs.exists(markerPath)) -1L
+      else {
+        val in = fs.open(markerPath)
+        try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+        finally in.close()
+      }
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (batchId > lastCommitted && !batch.isEmpty) {
+          store.append(table, batch.toDF(), partitionBy)
+          val out = fs.create(markerPath, true)
+          try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+        }
+      }
+      .start()
+  }
+
   /** Streaming exact dedup with bounded state — the streaming form of
     * [[graft.ops.Dedup.exact]] for at-least-once sources: duplicate keys
     * arriving within the watermark horizon are dropped, and per-key state is

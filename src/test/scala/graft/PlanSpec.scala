@@ -148,6 +148,15 @@ class PlanSpec extends SparkSpec {
     "ObjectHashAggregate".r.findAllIn(finalPlan).size should be >= 2
   }
 
+  test("revenue trend runs running-sum and lag in ONE window pass (q54)") {
+    val df = SparkEntry.queries("q54_revenue_trend")(spark, sf0001)
+    df.collect()
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    // same partitioning AND ordering for both window functions ⇒ a single
+    // Window node (one sort); two nodes would mean a redundant exchange/sort
+    "Window \\[".r.findAllIn(finalPlan).size shouldBe 1
+  }
+
   test("queries stay inside whole-stage codegen (q01)") {
     // AQE hides the physical plan until execution — and count() runs a
     // CLONED QueryExecution, so collect() this one, then read the final plan

@@ -72,6 +72,19 @@ class GoldMartsSpec extends SparkSpec {
       (None, None, None, 40.0, 7)) // grand total
   }
 
+  test("sellerRevenueTrend: cumulative revenue and guarded MoM growth per seller") {
+    val daily = GoldMarts.sellerPerformanceDaily(GoldMarts.withDateParts(fact))
+    val r = GoldMarts.sellerRevenueTrend(daily)
+      .select($"SellerID", $"month", $"total_revenue", $"cumulative_revenue",
+        $"prev_revenue", $"mom_growth")
+      .as[(Int, Int, Double, Double, Option[Double], Option[Double])]
+      .collect().toSet
+    r shouldBe Set(
+      (100, 1, 13.0, 13.0, None, None), // first month: no prior, null growth
+      (100, 2, 20.0, 33.0, Some(13.0), Some(math.rint((20.0 - 13.0) / 13.0 * 1e6) / 1e6)),
+      (200, 2, 7.0, 7.0, None, None))
+  }
+
   test("orderRates: per-status distinct counts and guarded rates") {
     val r = GoldMarts.orderRates(fact)
       .select($"SellerID", $"total_orders_placed", $"delivered_orders",

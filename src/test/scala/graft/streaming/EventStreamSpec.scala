@@ -59,6 +59,40 @@ class EventStreamSpec extends SparkSpec {
     streamed.count() should be > (batch.count() / 2)
   }
 
+  test("streamToBronze drains file drops into the TableStore; replays are no-ops") {
+    val root = Files.createTempDirectory("graft-stream-bronze")
+    val in = root.resolve("in").toString
+    val ckpt = root.resolve("ckpt").toString
+    val events = Tables.table(spark, sf0001, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value").limit(500)
+    events.repartition(3).write.option("header", "true").csv(in)
+    val store = new graft.sources.TableStore(spark)
+    val table = root.resolve("tables/events_bronze").toString
+
+    val stream = EventStream.readCsvStream(spark, in, events.schema, maxFilesPerTrigger = 2)
+    val q1 = EventStream.streamToBronze(stream, store, table, ckpt)
+    q1.awaitTermination()
+    val afterFirst = store.read(table)
+    afterFirst.count() shouldBe events.count()
+    // every micro-batch committed as its own table version, none half-written
+    store.currentVersion(table).get should be >= 1L
+
+    // restart with the SAME checkpoint and no new files: nothing re-appends
+    val q2 = EventStream.streamToBronze(
+      EventStream.readCsvStream(spark, in, events.schema, maxFilesPerTrigger = 2),
+      store, table, ckpt)
+    q2.awaitTermination()
+    store.read(table).count() shouldBe events.count()
+
+    // new file drop after restart: only the increment lands
+    events.limit(50).write.mode("append").option("header", "true").csv(in)
+    val q3 = EventStream.streamToBronze(
+      EventStream.readCsvStream(spark, in, events.schema, maxFilesPerTrigger = 2),
+      store, table, ckpt)
+    q3.awaitTermination()
+    store.read(table).count() shouldBe events.count() + 50
+  }
+
   test("sessionizeBatch: gap splits sessions, counts and durations") {
     def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
     val ev = Seq(
