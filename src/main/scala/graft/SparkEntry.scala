@@ -270,6 +270,17 @@ object SparkEntry {
           posexplode(col("centroid")).as(Seq("dim", "mean_val")))
         .withColumn("mean_val", round(col("mean_val"), 6))
     }),
+    // data-quality audit: per-rule violation counts in ONE scan (the CHECK
+    // constraints the source schema declares, engine-side)
+    "q55_quality_audit" -> ((s, dir) => {
+      import graft.ops.Quality
+      val li = t(s, dir, "lineitem")
+      Quality.auditCounts(li, Seq(
+        Quality.Rule("qty_range", col("l_quantity") >= 1 && col("l_quantity") <= 30),
+        Quality.Rule("price_positive", col("l_extendedprice") > 0),
+        Quality.Rule("flag_domain", col("l_returnflag").isin("A", "N", "R")),
+        Quality.Rule("discount_cap", col("l_discount") <= 0.05)))
+    }),
     // windowed time-series mart: running totals + month-over-month growth
     // in ONE window pass (same partition/order for sum and lag)
     "q54_revenue_trend" -> ((s, dir) =>
@@ -943,6 +954,13 @@ object SparkEntry {
          |       WHEN ${md5BucketSql("doc_id")} < 95 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents""".stripMargin,
+    "q55_quality_audit" ->
+      """SELECT count(*) AS total_rows,
+        |  CAST(sum(CASE WHEN NOT coalesce(l_quantity >= 1 AND l_quantity <= 30, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS viol_qty_range,
+        |  CAST(sum(CASE WHEN NOT coalesce(l_extendedprice > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS viol_price_positive,
+        |  CAST(sum(CASE WHEN NOT coalesce(l_returnflag IN ('A','N','R'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS viol_flag_domain,
+        |  CAST(sum(CASE WHEN NOT coalesce(l_discount <= 0.05, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS viol_discount_cap
+        |FROM lineitem""".stripMargin,
     "q54_revenue_trend" ->
       s"""WITH fact AS ($factSql), daily AS ($dailySql),
          |monthly AS (

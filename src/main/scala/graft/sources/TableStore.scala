@@ -196,6 +196,30 @@ class TableStore(spark: SparkSession) {
   def schemaOf(table: String): org.apache.spark.sql.types.StructType =
     read(table).schema
 
+  /** Rewrite the table's accumulated data dirs as ONE dir and commit —
+    * the small-files remedy. Every append adds a data dir (and, under a
+    * date-partitioned layout, at least one file per partition per run), so
+    * a year of incremental runs leaves hundreds of dirs whose per-file
+    * open/footer costs start to dominate scans; compaction folds them into
+    * a single dir of full-size parquet files while keeping the partition
+    * layout. The swap is the same atomic pointer commit as any write —
+    * readers see either the old layout or the new one; old dirs stay on
+    * disk for in-flight readers until [[vacuum]].
+    *
+    * Run it when `manifestDirs` grows past a handful (a scheduler-driven
+    * maintenance job at scale, exactly like Delta/Iceberg OPTIMIZE). */
+  def compact(table: String): Long = {
+    val v = currentVersion(table).getOrElse(
+      throw new IllegalStateException(s"no committed version at $table"))
+    val spec = partitionMeta(table, v).map(_._1)
+    overwrite(table, read(table), spec)
+  }
+
+  /** Number of live data dirs in the current manifest — the compaction
+    * trigger signal. */
+  def manifestDirs(table: String): Int =
+    currentVersion(table).map(v => manifest(table, v).size).getOrElse(0)
+
   /** Drop data dirs no longer referenced by the current manifest (vacuum). */
   def vacuum(table: String): Unit = {
     val tp = new Path(table)

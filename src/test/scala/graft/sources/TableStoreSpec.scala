@@ -102,6 +102,29 @@ class TableStoreSpec extends SparkSpec {
     store.read(t).select("id").as[Int].collect().toSeq shouldBe Seq(3)
   }
 
+  test("compact folds accumulated append dirs into one; vacuum reclaims the rest") {
+    val store = new TableStore(spark)
+    val t = tmp() + "/t"
+    // a run of incremental appends on a partitioned layout
+    (1 to 5).foreach { i =>
+      store.append(t, Seq((i, s"v$i", i % 2)).toDF("id", "v", "p"), Seq("p"))
+    }
+    store.manifestDirs(t) shouldBe 5
+    val before = store.read(t).as[(Int, String, Int)].collect().toSet
+
+    store.compact(t)
+    store.manifestDirs(t) shouldBe 1
+    // identical contents, partition layout preserved (pruning still works)
+    store.read(t).as[(Int, String, Int)].collect().toSet shouldBe before
+    store.read(t).where($"p" === 0).count() shouldBe before.count(_._3 == 0)
+
+    // appends keep working after compaction; vacuum drops the old dirs
+    store.append(t, Seq((9, "v9", 1)).toDF("id", "v", "p"))
+    store.manifestDirs(t) shouldBe 2
+    store.vacuum(t)
+    store.read(t).count() shouldBe (before.size + 1)
+  }
+
   test("schemaOf pins the committed schema") {
     val store = new TableStore(spark)
     val t = tmp() + "/t"
