@@ -270,6 +270,14 @@ object SparkEntry {
           posexplode(col("centroid")).as(Seq("dim", "mean_val")))
         .withColumn("mean_val", round(col("mean_val"), 6))
     }),
+    // sequence packing: deterministic (shard, bin, offset) assignment of
+    // documents into fixed-token-budget training bins
+    "q56_sequence_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val counted = docs.select(col("doc_id"),
+        TextStats.bpeishTokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.ops.Packing.packGreedy(counted, "doc_id", "n_tokens", 512L, 4)
+    }),
     // data-quality audit: per-rule violation counts in ONE scan (the CHECK
     // constraints the source schema declares, engine-side)
     "q55_quality_audit" -> ((s, dir) => {
@@ -576,14 +584,17 @@ object SparkEntry {
     s"CAST(len(list_filter(string_split(text, ' '), w -> w IN ($set))) AS INTEGER) AS score_$lang"
   }.mkString(",\n  ")
 
-  /** [[graft.ops.Sampling.md5Bucket]] in SQL: first 8 hex nibbles of
-    * md5(id) as an integer, mod 100. */
-  private def md5BucketSql(idExpr: String): String = {
+  /** md5-derived bucket in SQL: first 8 hex nibbles of md5(id) as an
+    * integer, mod `m` — the oracle twin of [[graft.ops.Sampling.md5Bucket]]
+    * (m = 100) and [[graft.ops.Packing.packGreedy]]'s shard (m = nShards). */
+  private def md5ModSql(idExpr: String, m: Int): String = {
     val nib = (k: Int) =>
       s"(strpos('0123456789abcdef', substr(md5(CAST($idExpr AS VARCHAR)), $k, 1)) - 1)"
     val v = (1 to 8).map(k => s"${nib(k)} * ${math.pow(16, 8 - k).toLong}").mkString(" + ")
-    s"(($v) % 100)"
+    s"(($v) % $m)"
   }
+
+  private def md5BucketSql(idExpr: String): String = md5ModSql(idExpr, 100)
 
   /** q53 oracle: language filter ∘ quality filter ∘ near-dup removal — the
     * q27 lang CASE and q28 quality CASE rebuilt as CTEs, then the q35
@@ -954,6 +965,22 @@ object SparkEntry {
          |       WHEN ${md5BucketSql("doc_id")} < 95 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents""".stripMargin,
+    "q56_sequence_pack" ->
+      s"""WITH counted AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |sharded AS (
+         |  SELECT doc_id, n_tokens, CAST(${md5ModSql("doc_id", 4)} AS BIGINT) AS shard
+         |  FROM counted),
+         |w AS (
+         |  SELECT doc_id, n_tokens, shard,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens AS BIGINT) AS start_offset
+         |  FROM sharded)
+         |SELECT doc_id, n_tokens, shard, start_offset,
+         |  CAST(start_offset // 512 AS BIGINT) AS bin,
+         |  n_tokens > 512 AS oversize
+         |FROM w""".stripMargin,
     "q55_quality_audit" ->
       """SELECT count(*) AS total_rows,
         |  CAST(sum(CASE WHEN NOT coalesce(l_quantity >= 1 AND l_quantity <= 30, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS viol_qty_range,

@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packGreedy: offsets are the running total per shard; bins honor the budget") {
+    val docs = (1L to 40L).map(i => (i, 100L + i)).toDF("doc_id", "n_tokens")
+    val packed = Packing.packGreedy(docs, "doc_id", "n_tokens", 300L, 3)
+      .select($"doc_id", $"n_tokens", $"shard", $"start_offset", $"bin")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    packed.length shouldBe 40
+    // per shard: offsets are the exclusive prefix sum in doc_id order
+    packed.groupBy(_._3).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_._1)
+      var cum = 0L
+      ordered.foreach { case (_, n, _, off, bin) =>
+        off shouldBe cum
+        bin shouldBe off / 300L
+        cum += n
+      }
+    }
+  }
+
+  test("packGreedy is deterministic and stable under repartitioning") {
+    val docs = (1L to 100L).map(i => (i, (i % 7) * 13L + 5L)).toDF("doc_id", "n_tokens")
+    val a = Packing.packGreedy(docs, "doc_id", "n_tokens", 200L, 4)
+      .select("doc_id", "shard", "bin", "start_offset")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val b = Packing.packGreedy(docs.repartition(11), "doc_id", "n_tokens", 200L, 4)
+      .select("doc_id", "shard", "bin", "start_offset")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    a shouldBe b
+  }
+
+  test("oversize documents are flagged and never silently merged") {
+    val docs = Seq((1L, 50L), (2L, 900L), (3L, 10L)).toDF("doc_id", "n_tokens")
+    val r = Packing.packGreedy(docs, "doc_id", "n_tokens", 100L, 1)
+      .select($"doc_id", $"oversize").as[(Long, Boolean)].collect().toMap
+    r shouldBe Map(1L -> false, 2L -> true, 3L -> false)
+  }
+}
