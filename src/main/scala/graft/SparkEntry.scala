@@ -278,6 +278,16 @@ object SparkEntry {
         TextStats.bpeishTokenCount(col("text")).cast("long").as("n_tokens"))
       graft.ops.Packing.packGreedy(counted, "doc_id", "n_tokens", 512L, 4)
     }),
+    // packed bins materialized into training sequences (offset-ordered
+    // concatenation, one row per bin)
+    "q57_pack_materialize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val counted = docs.select(col("doc_id"), col("text"),
+        TextStats.bpeishTokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.ops.Packing.materializeBins(
+        graft.ops.Packing.packGreedy(counted, "doc_id", "n_tokens", 512L, 4),
+        "text")
+    }),
     // data-quality audit: per-rule violation counts in ONE scan (the CHECK
     // constraints the source schema declares, engine-side)
     "q55_quality_audit" -> ((s, dir) => {
@@ -981,6 +991,23 @@ object SparkEntry {
          |  CAST(start_offset // 512 AS BIGINT) AS bin,
          |  n_tokens > 512 AS oversize
          |FROM w""".stripMargin,
+    "q57_pack_materialize" ->
+      s"""WITH counted AS (
+         |  SELECT doc_id, text,
+         |    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |sharded AS (
+         |  SELECT doc_id, text, n_tokens, CAST(${md5ModSql("doc_id", 4)} AS BIGINT) AS shard
+         |  FROM counted),
+         |w AS (
+         |  SELECT doc_id, text, n_tokens, shard,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens AS BIGINT) AS start_offset
+         |  FROM sharded)
+         |SELECT shard, CAST(start_offset // 512 AS BIGINT) AS bin,
+         |  count(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+         |  string_agg(text, chr(10) || chr(10) ORDER BY start_offset) AS packed_text
+         |FROM w GROUP BY 1, 2""".stripMargin,
     "q55_quality_audit" ->
       """SELECT count(*) AS total_rows,
         |  CAST(sum(CASE WHEN NOT coalesce(l_quantity >= 1 AND l_quantity <= 30, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS viol_qty_range,

@@ -42,4 +42,22 @@ object Packing {
       .withColumn("oversize", col(tokenCol).cast("long") > budgetTokens)
       .drop("__cum_after")
   }
+
+  /** Materialize [[packGreedy]] bins into training sequences: one row per
+    * (shard, bin) with the documents concatenated in offset order. The
+    * per-bin collect is bounded by the token budget (a bin holds at most
+    * budget/min-doc-tokens documents), so the `collect_list` is small by
+    * construction — this is NOT an unbounded group collect. One shuffle on
+    * (shard, bin); deterministic output (offsets are unique within a bin,
+    * so the sort is total). */
+  def materializeBins(packed: DataFrame, textCol: String,
+                      separator: String = "\n\n"): DataFrame =
+    packed.groupBy("shard", "bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("bin_tokens"),
+        concat_ws(separator,
+          transform(
+            array_sort(collect_list(struct(col("start_offset"), col(textCol)))),
+            s => s.getField(textCol))).as("packed_text"))
 }

@@ -36,6 +36,21 @@ class PackingSpec extends SparkSpec {
     a shouldBe b
   }
 
+  test("materializeBins concatenates each bin's documents in offset order") {
+    val docs = Seq(
+      (1L, "alpha", 60L), (2L, "bravo", 60L), (3L, "charlie", 60L)
+    ).toDF("doc_id", "text", "n_tokens")
+    // single shard, budget 100: docs 1+2 fill bin 0 (offsets 0, 60 — the
+    // second STARTS inside bin 0), doc 3 starts at 120 -> bin 1
+    val bins = Packing.materializeBins(
+      Packing.packGreedy(docs, "doc_id", "n_tokens", 100L, 1), "text")
+      .select($"bin", $"n_docs", $"bin_tokens", $"packed_text")
+      .as[(Long, Long, Long, String)].collect().toSet
+    bins shouldBe Set(
+      (0L, 2L, 120L, "alpha\n\nbravo"),
+      (1L, 1L, 60L, "charlie"))
+  }
+
   test("oversize documents are flagged and never silently merged") {
     val docs = Seq((1L, 50L), (2L, 900L), (3L, 10L)).toDF("doc_id", "n_tokens")
     val r = Packing.packGreedy(docs, "doc_id", "n_tokens", 100L, 1)
