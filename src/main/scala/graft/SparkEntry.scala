@@ -288,6 +288,18 @@ object SparkEntry {
         graft.ops.Packing.packGreedy(counted, "doc_id", "n_tokens", 512L, 4),
         "text")
     }),
+    // corpus vocabulary: top-50 terms by total occurrences, with document
+    // frequency — two pipelined partial aggs, TakeOrdered cut (no window)
+    "q58_vocabulary" -> ((s, dir) =>
+      graft.ops.Corpus.vocabulary(t(s, dir, "documents"), "doc_id", "text", 50)),
+    // overlapping token-window chunking (window 64, stride 48) — the
+    // long-document complement of q56's packing; pure scan-stage explode
+    "q59_chunking" -> ((s, dir) =>
+      graft.ops.Chunking.chunkByTokens(t(s, dir, "documents"), "doc_id", "text", 64, 48)),
+    // per-document top-3 TF-IDF terms (raw-ratio idf: engine-exact IEEE
+    // division, no libm log — see Corpus scaladoc)
+    "q60_tfidf_topterms" -> ((s, dir) =>
+      graft.ops.Corpus.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", 3)),
     // data-quality audit: per-rule violation counts in ONE scan (the CHECK
     // constraints the source schema declares, engine-side)
     "q55_quality_audit" -> ((s, dir) => {
@@ -1008,6 +1020,42 @@ object SparkEntry {
          |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
          |  string_agg(text, chr(10) || chr(10) ORDER BY start_offset) AS packed_text
          |FROM w GROUP BY 1, 2""".stripMargin,
+    "q58_vocabulary" ->
+      """WITH dt AS (
+        |  SELECT doc_id, t.term AS term, count(*) AS tf
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+        |  GROUP BY 1, 2)
+        |SELECT term, CAST(SUM(tf) AS BIGINT) AS tf, count(*) AS df_docs
+        |FROM dt GROUP BY 1
+        |ORDER BY 2 DESC, 1 LIMIT 50""".stripMargin,
+    "q59_chunking" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n, toks, unnest(generate_series(0,
+        |    CASE WHEN n <= 64 THEN 0 ELSE (n - 64 + 47) // 48 END)) AS chunk_id
+        |  FROM d)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  array_to_string(toks[chunk_id*48 + 1 : chunk_id*48 + 64], ' ') AS chunk_text,
+        |  CAST(least(64, n - chunk_id*48) AS BIGINT) AS n_chunk_tokens
+        |FROM c""".stripMargin,
+    "q60_tfidf_topterms" ->
+      """WITH dt AS (
+        |  SELECT doc_id, t.term AS term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+        |  GROUP BY 1, 2),
+        |tdf AS (SELECT term, count(*) AS df_docs FROM dt GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+        |SELECT dt.doc_id, dt.term, dt.tf, tdf.df_docs,
+        |  CAST(dt.tf AS DOUBLE) * CAST(nd.n_docs AS DOUBLE)
+        |    / CAST(tdf.df_docs AS DOUBLE) AS tfidf,
+        |  CAST(row_number() OVER (PARTITION BY dt.doc_id
+        |    ORDER BY CAST(dt.tf AS DOUBLE) * CAST(nd.n_docs AS DOUBLE)
+        |      / CAST(tdf.df_docs AS DOUBLE) DESC, dt.term) AS BIGINT) AS rk
+        |FROM dt JOIN tdf USING (term), nd
+        |QUALIFY rk <= 3""".stripMargin,
     "q55_quality_audit" ->
       """SELECT count(*) AS total_rows,
         |  CAST(sum(CASE WHEN NOT coalesce(l_quantity >= 1 AND l_quantity <= 30, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS viol_qty_range,

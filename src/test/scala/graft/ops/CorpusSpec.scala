@@ -1,0 +1,39 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vocabulary counts total and document frequency with a deterministic cut") {
+    val docs = Seq(
+      (1L, "a b a c"),
+      (2L, "a b b"),
+      (3L, "c")
+    ).toDF("doc_id", "text")
+    val v = Corpus.vocabulary(docs, "doc_id", "text", 2)
+      .as[(String, Long, Long)].collect().toList
+    // tf: a=3, b=3, c=2 — tie between a and b breaks on term asc
+    v shouldBe List(("a", 3L, 2L), ("b", 3L, 2L))
+  }
+
+  test("tfidfTopTerms ranks within each doc; rare terms beat common ones at equal tf") {
+    val docs = Seq(
+      (1L, "x common"),
+      (2L, "y common"),
+      (3L, "common")
+    ).toDF("doc_id", "text")
+    val r = Corpus.tfidfTopTerms(docs, "doc_id", "text", 1)
+      .select($"doc_id", $"term", $"tfidf").as[(Long, String, Double)]
+      .collect().toMap2
+    // n_docs=3; x: tf=1 df=1 -> 3.0; common: tf=1 df=3 -> 1.0
+    r(1L) shouldBe ("x", 3.0)
+    r(2L) shouldBe ("y", 3.0)
+    r(3L) shouldBe ("common", 1.0)
+  }
+
+  private implicit class TripleOps(rows: Array[(Long, String, Double)]) {
+    def toMap2: Map[Long, (String, Double)] =
+      rows.map { case (id, t, s) => id -> (t, s) }.toMap
+  }
+}
