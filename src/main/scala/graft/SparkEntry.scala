@@ -300,6 +300,30 @@ object SparkEntry {
     // division, no libm log — see Corpus scaladoc)
     "q60_tfidf_topterms" -> ((s, dir) =>
       graft.ops.Corpus.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", 3)),
+    // fixed-width histogram profile of the event value column (edge
+    // saturation, null-excluded) — one partial-agg pass
+    "q61_histogram" -> ((s, dir) =>
+      graft.ops.Quality.histogram(t(s, dir, "events"), "value", 0, 100, 20)),
+    // z-order (Morton) value per row: bit-interleave of two range-bucketed
+    // dims — the clustering key behind OPTIMIZE ZORDER BY
+    "q62_zorder_value" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        graft.ops.Layout.zValue(
+          graft.ops.Layout.rangeBucket(col("l_partkey"), 0, 20000, 8),
+          graft.ops.Layout.rangeBucket(col("l_suppkey"), 0, 1000, 8), 8).as("zval"))
+    }),
+    // cap documents per source domain (anti-crawl-dominance), md5-ordered
+    // deterministic survivors
+    "q63_cap_per_source" -> ((s, dir) =>
+      graft.ops.Sampling.capPerStratum(t(s, dir, "documents"), "doc_id", "source", 30)
+        .select(col("doc_id"), col("source"))),
+    // robust outlier flags on event values: median ± 3·MAD (exact
+    // percentiles; approx twin at scale)
+    "q64_mad_outliers" -> ((s, dir) =>
+      graft.ops.Quality.madOutliers(t(s, dir, "events"), "value", 3.0)
+        .select(col("event_id"), col("value"), col("med"), col("mad"),
+          col("is_outlier"))),
     // data-quality audit: per-rule violation counts in ONE scan (the CHECK
     // constraints the source schema declares, engine-side)
     "q55_quality_audit" -> ((s, dir) => {
@@ -617,6 +641,26 @@ object SparkEntry {
   }
 
   private def md5BucketSql(idExpr: String): String = md5ModSql(idExpr, 100)
+
+  /** q62 oracle: the same range-bucket + Morton-interleave arithmetic as
+    * [[graft.ops.Layout]], expanded to flat SQL bit terms (bit i of the x
+    * bucket lands at 2i, of the y bucket at 2i+1; terms are disjoint so
+    * summing == OR-ing). */
+  private def zorderSql: String = {
+    def bucket(c: String, lo: Double, hi: Double, bits: Int): String = {
+      val width = (hi - lo) / (1L << bits)
+      s"greatest(0, least(${(1L << bits) - 1}, CAST(floor((CAST($c AS DOUBLE) - $lo) / $width) AS BIGINT)))"
+    }
+    val terms = (0 until 8).flatMap { i =>
+      Seq(s"((bx & ${1L << i}) << $i)", s"((by & ${1L << i}) << ${i + 1})")
+    }.mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |    ${bucket("l_partkey", 0, 20000, 8)} AS bx,
+       |    ${bucket("l_suppkey", 0, 1000, 8)} AS by
+       |  FROM lineitem)
+       |SELECT l_orderkey, l_linenumber, CAST($terms AS BIGINT) AS zval FROM b""".stripMargin
+  }
 
   /** q53 oracle: language filter ∘ quality filter ∘ near-dup removal — the
     * q27 lang CASE and q28 quality CASE rebuilt as CTEs, then the q35
@@ -1056,6 +1100,26 @@ object SparkEntry {
         |      / CAST(tdf.df_docs AS DOUBLE) DESC, dt.term) AS BIGINT) AS rk
         |FROM dt JOIN tdf USING (term), nd
         |QUALIFY rk <= 3""".stripMargin,
+    "q61_histogram" ->
+      """SELECT greatest(0, least(19, CAST(floor((CAST(value AS DOUBLE) - 0.0) / 5.0) AS BIGINT))) AS bucket,
+        |  count(*) AS n, min(CAST(value AS DOUBLE)) AS min_val, max(CAST(value AS DOUBLE)) AS max_val
+        |FROM events WHERE value IS NOT NULL GROUP BY 1""".stripMargin,
+    "q62_zorder_value" -> zorderSql,
+    "q63_cap_per_source" ->
+      """SELECT doc_id, source FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY source
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 30""".stripMargin,
+    "q64_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS med0 FROM events),
+        |m2 AS (
+        |  SELECT round(quantile_cont(abs(CAST(value AS DOUBLE) - med0), 0.5), 6) AS mad,
+        |    max(med0) AS med
+        |  FROM events, med)
+        |SELECT event_id, value, m2.med, m2.mad,
+        |  CASE WHEN value IS NULL THEN FALSE
+        |       ELSE abs(CAST(value AS DOUBLE) - m2.med) > m2.mad * 3.0 END AS is_outlier
+        |FROM events, m2""".stripMargin,
     "q55_quality_audit" ->
       """SELECT count(*) AS total_rows,
         |  CAST(sum(CASE WHEN NOT coalesce(l_quantity >= 1 AND l_quantity <= 30, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS viol_qty_range,

@@ -51,4 +51,45 @@ object Quality {
     (tagged.where(size(col("failed_rules")) === 0).drop("failed_rules"),
       tagged.where(size(col("failed_rules")) > 0))
   }
+
+  /** Fixed-width histogram of a numeric column over [lo, hi): bucket
+    * index, row count, and observed min/max per bucket. Out-of-range
+    * values saturate into the edge buckets (so the histogram always
+    * accounts for every non-null row); nulls are excluded. The profiling
+    * scan a pipeline runs to pick filter thresholds — one pass, map-side
+    * partial aggregation, `nBuckets` output rows. Bucket arithmetic is
+    * plain IEEE double floor-division, reproducible on any engine. */
+  def histogram(df: DataFrame, valueCol: String,
+                lo: Double, hi: Double, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0 && hi > lo,
+      s"histogram: need nBuckets > 0 and hi > lo, got n=$nBuckets [$lo, $hi]")
+    val width = (hi - lo) / nBuckets
+    val v = col(valueCol).cast("double")
+    val raw = floor((v - lo) / width).cast("long")
+    val bucket = greatest(lit(0L), least(lit(nBuckets - 1L), raw))
+    df.where(v.isNotNull)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(v).as("min_val"), max(v).as("max_val"))
+  }
+
+  /** Robust outlier detection: flag rows whose value deviates from the
+    * MEDIAN by more than `k` times the MAD (median absolute deviation) —
+    * the standard heavy-tail-safe filter (mean/stddev break under the
+    * very outliers being hunted). Two exact median passes (median, then
+    * MAD) + a broadcast of the two scalars back over the scan. At 100 TB
+    * swap `percentile` for `percentile_approx` — same plan shape, sketch
+    * merge instead of exact sort. NULL values are never flagged. */
+  def madOutliers(df: DataFrame, valueCol: String, k: Double): DataFrame = {
+    val v = col(valueCol).cast("double")
+    // thresholds rounded to 6 dp: percentile interpolation can differ by an
+    // ulp across engines, and an unrounded threshold would flip boundary rows
+    val med = df.agg(round(percentile(v, lit(0.5)), 6).as("med"))
+    val mad = df.crossJoin(broadcast(med))
+      .agg(round(percentile(abs(v - col("med")), lit(0.5)), 6).as("mad"),
+        first("med").as("med"))
+    df.crossJoin(broadcast(mad))
+      .withColumn("is_outlier",
+        when(v.isNull, lit(false)).otherwise(abs(v - col("med")) > col("mad") * k))
+  }
 }

@@ -58,4 +58,22 @@ object Sampling {
     }
     df.where(md5Bucket(col(idCol)) < threshold)
   }
+
+  /** Keep at most `k` rows per value of `strataCol`, chosen by md5-of-id
+    * order — the "cap documents per domain" move that stops one crawl
+    * host from dominating a corpus. Deterministic: the md5 order is a
+    * pure function of the ids, so the same rows survive across runs,
+    * partitionings, and engines (ties on the md5 break on the id, so the
+    * cut is total-ordered). One shuffle on the stratum; the per-group
+    * sort is bounded by group size, and a running top-k rank (not a full
+    * collect) is what executes. */
+  def capPerStratum(df: DataFrame, idCol: String, strataCol: String, k: Int): DataFrame = {
+    require(k > 0, s"capPerStratum: need k > 0, got $k")
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__rk", row_number().over(
+        Window.partitionBy(col(strataCol))
+          .orderBy(md5(col(idCol).cast("string")), col(idCol))))
+      .where(col("__rk") <= k)
+      .drop("__rk")
+  }
 }

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zValue interleaves bits (known Morton values)") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (3L, 5L))
+      .toDF("x", "y")
+    val z = df.select(Layout.zValue($"x", $"y", 4).as("z")).as[Long].collect().toList
+    // morton(3=0b0011, 5=0b0101) = y3 x3 y2 x2 y1 x1 y0 x0 = 0 0 1 0 0 1 1 1 = 0x27
+    z shouldBe List(0L, 1L, 2L, 3L, 0x27L)
+  }
+
+  test("rangeBucket clamps outliers and is monotone") {
+    val df = Seq(-5.0, 0.0, 24.9, 25.0, 99.9, 150.0).toDF("v")
+    val b = df.select(Layout.rangeBucket($"v", 0, 100, 2).as("b")).as[Long].collect().toList
+    b shouldBe List(0L, 0L, 0L, 1L, 3L, 3L)
+  }
+
+  test("z-order layout narrows per-partition ranges in BOTH dimensions") {
+    val li = graft.core.Tables.table(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey")
+    val laid = Layout.zOrderByRange(li,
+      "l_partkey", (0.0, 2000.0), "l_suppkey", (0.0, 100.0), 8, 16)
+    val ranges = laid
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid")
+      .agg((max($"l_partkey") - min($"l_partkey")).as("xr"),
+        (max($"l_suppkey") - min($"l_suppkey")).as("yr"))
+      .agg(avg($"xr").as("ax"), avg($"yr").as("ay"))
+      .as[(Double, Double)].head()
+    // global ranges are ~2000 and ~100; z-order must shrink the AVERAGE
+    // per-partition extent of both dims (a single-col sort only shrinks one)
+    ranges._1 should be < 1200.0
+    ranges._2 should be < 60.0
+  }
+
+  test("zval is a pure function of the bucketed dims (repartition-stable)") {
+    val li = graft.core.Tables.table(spark, sf0001, "lineitem")
+    def zs(df: org.apache.spark.sql.DataFrame) = df
+      .select($"l_orderkey", $"l_linenumber",
+        Layout.zValue(Layout.rangeBucket($"l_partkey", 0, 2000, 8),
+          Layout.rangeBucket($"l_suppkey", 0, 100, 8), 8).as("z"))
+      .as[(Long, Long, Long)].collect().toSet
+    zs(li) shouldBe zs(li.repartition(13))
+  }
+}

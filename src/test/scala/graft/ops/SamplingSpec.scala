@@ -50,4 +50,18 @@ class SamplingSpec extends SparkSpec {
     sampled shouldBe buckets.filter(_._2 < 10).map(_._1).toSet
     sampled.size.toDouble / buckets.length shouldBe 0.10 +- 0.04
   }
+
+  test("capPerStratum caps each group deterministically by md5 order") {
+    val kept = Sampling.capPerStratum(docs, "doc_id", "source", 10)
+      .select("doc_id", "source").as[(Long, String)].collect()
+    kept.groupBy(_._2).values.foreach(_.length should be <= 10)
+    // groups smaller than the cap survive whole
+    val sizes = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    val keptSizes = kept.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    sizes.filter(_._2 <= 10).foreach { case (s, n) => keptSizes(s) shouldBe n }
+    // stable under repartitioning (pure function of ids within each stratum)
+    val again = Sampling.capPerStratum(docs.repartition(7), "doc_id", "source", 10)
+      .select("doc_id", "source").as[(Long, String)].collect()
+    again.toSet shouldBe kept.toSet
+  }
 }
