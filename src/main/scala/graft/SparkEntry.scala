@@ -324,6 +324,23 @@ object SparkEntry {
       graft.ops.Quality.madOutliers(t(s, dir, "events"), "value", 3.0)
         .select(col("event_id"), col("value"), col("med"), col("mad"),
           col("is_outlier"))),
+    // full Lloyd's k-means (2 iterations from the md5-hashed seed):
+    // trains the IVF coarse quantizer; q50 is one step of this
+    "q65_kmeans_fit" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.kmeansFit(emb, "vec_id", "embedding", 8, 2)
+        .select(col("cell"), col("n_members"),
+          posexplode(col("centroid")).as(Seq("dim", "mean_val")))
+        .withColumn("mean_val", round(col("mean_val"), 6))
+    }),
+    // symmetric int8 embedding quantization (4x storage cut before ANN
+    // indexing), element-exact across engines
+    "q66_quantize_int8" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ops.Embeddings.quantizeInt8(emb, "vec_id", "embedding")
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          posexplode(col("qvec")).as(Seq("dim", "qval")))
+    }),
     // data-quality audit: per-rule violation counts in ONE scan (the CHECK
     // constraints the source schema declares, engine-side)
     "q55_quality_audit" -> ((s, dir) => {
@@ -641,6 +658,41 @@ object SparkEntry {
   }
 
   private def md5BucketSql(idExpr: String): String = md5ModSql(idExpr, 100)
+
+  /** q65 oracle: two Lloyd iterations. Mirrors [[graft.ops.Similarity
+    * .kmeansFit]] exactly: md5-hashed seed, rounded-cosine assignment
+    * (ties to the lower centroid id), per-cell element means rounded to
+    * 6 dp and round-tripped through FLOAT between iterations (the Spark
+    * side feeds float arrays to the native dot kernel). */
+  private def kmeansFitSql: String = {
+    def stepBlocks(i: Int, centsRel: String): String =
+      s"""sim$i AS (
+         |  SELECT e.vec_id, c.cent_id,
+         |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6) AS csim
+         |  FROM embeddings e CROSS JOIN $centsRel c),
+         |a$i AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT vec_id, cent_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id ASC) AS r
+         |    FROM sim$i) WHERE r = 1),
+         |m$i AS (
+         |  SELECT a.cent_id AS cell,
+         |    unnest(CAST(e.embedding AS DOUBLE[])) AS v,
+         |    unnest(generate_series(0, len(e.embedding) - 1)) AS dim
+         |  FROM a$i a JOIN embeddings e ON e.vec_id = a.vec_id)""".stripMargin
+    s"""WITH cents0 AS (
+       |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cvec
+       |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+       |${stepBlocks(1, "cents0")},
+       |c1 AS (
+       |  SELECT cell, dim, CAST(CAST(round(avg(v), 6) AS FLOAT) AS DOUBLE) AS cv
+       |  FROM m1 GROUP BY 1, 2),
+       |cents1 AS (SELECT cell AS cent_id, list(cv ORDER BY dim) AS cvec FROM c1 GROUP BY 1),
+       |${stepBlocks(2, "cents1")}
+       |SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
+       |  CAST(dim AS INTEGER) AS dim, round(avg(v), 6) AS mean_val
+       |FROM m2 GROUP BY cell, dim""".stripMargin
+  }
 
   /** q62 oracle: the same range-bucket + Morton-interleave arithmetic as
     * [[graft.ops.Layout]], expanded to flat SQL bit terms (bit i of the x
@@ -1120,6 +1172,18 @@ object SparkEntry {
         |  CASE WHEN value IS NULL THEN FALSE
         |       ELSE abs(CAST(value AS DOUBLE) - m2.med) > m2.mad * 3.0 END AS is_outlier
         |FROM events, m2""".stripMargin,
+    "q65_kmeans_fit" -> kmeansFitSql,
+    "q66_quantize_int8" ->
+      """WITH s AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv,
+        |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0 AS scale
+        |  FROM embeddings)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  CAST(unnest(generate_series(0, len(dv) - 1)) AS INTEGER) AS dim,
+        |  unnest(list_transform(dv, x ->
+        |    CASE WHEN scale = 0 THEN CAST(0 AS INTEGER)
+        |         ELSE CAST(greatest(-127, least(127, round(x / scale))) AS INTEGER) END)) AS qval
+        |FROM s""".stripMargin,
     "q55_quality_audit" ->
       """SELECT count(*) AS total_rows,
         |  CAST(sum(CASE WHEN NOT coalesce(l_quantity >= 1 AND l_quantity <= 30, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS viol_qty_range,

@@ -212,6 +212,44 @@ object Similarity {
         transform(col("sums"), x => x / col("n_members")).as("centroid"))
   }
 
+  /** Full Lloyd's k-means fit: md5-hashed deterministic seed (same rule as
+    * [[ivfTopK]]), then `iters` [[kmeansStep]] refinements. Between steps
+    * the centroids are rounded to 6 dp and cast to FLOAT: (a) rounding
+    * makes the trajectory reproducible across engines and partitionings —
+    * unrounded means differ in final-ulp summation order, and an ulp in
+    * iteration i flips assignments in iteration i+1; (b) float is the
+    * native [[graft.functions.VectorFunctions.dotF]] kernel's input type,
+    * so assignment stays on the codegen'd fast path.
+    *
+    * Centroids are collected to the driver each step — k·d floats, the
+    * same driver-resident-centroids contract every k-means implementation
+    * (including Spark MLlib) uses. This also cuts the lineage per step, so
+    * plan depth stays O(1) in `iters` instead of nesting the whole
+    * history. Requires a LONG id column.
+    *
+    * @return the final step's (cell, n_members, centroid) frame
+    */
+  def kmeansFit(emb: DataFrame, idCol: String, vecCol: String,
+                k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters > 0, s"kmeansFit: need k > 0, iters > 0; got k=$k iters=$iters")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    var cents = emb
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(k)
+      .select(col(idCol), col(vecCol))
+    var last: DataFrame = null
+    for (_ <- 1 to iters) {
+      last = kmeansStep(emb, idCol, vecCol, cents)
+      val local = last
+        .select(col("cell"),
+          transform(col("centroid"), x => round(x, 6).cast("float")).as("cvec"))
+        .as[(Long, Array[Float])].collect().toSeq
+      cents = local.toDF(idCol, vecCol)
+    }
+    last
+  }
+
   /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold) —
     * EXACT baseline: a self cross-join, O(N²·d). The verifier for
     * [[lshNearDupPairs]], which is the path to run at scale. */

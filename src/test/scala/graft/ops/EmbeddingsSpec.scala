@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class EmbeddingsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quantizeInt8: max element hits ±127, zero vector stays zero") {
+    val df = Seq(
+      (1L, Array(1.0f, -2.0f, 0.5f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = Embeddings.quantizeInt8(df, "vec_id", "embedding")
+      .as[(Long, Double, Array[Int])].collect().toMap2
+    val (s1, q1) = q(1L)
+    s1 shouldBe (2.0 / 127.0) +- 1e-12
+    q1 shouldBe Array(64, -127, 32) // round(1/(2/127)) = round(63.5) = 64 (half-up)
+    q(2L)._1 shouldBe 0.0
+    q(2L)._2 shouldBe Array(0, 0, 0)
+  }
+
+  test("dequantize error is bounded by scale/2 per element") {
+    val emb = graft.core.Tables.table(spark, sf0001, "embeddings")
+    val q = Embeddings.quantizeInt8(emb, "vec_id", "embedding")
+    val deq = q.join(emb, "vec_id")
+      .select($"vec_id", $"scale", $"embedding",
+        Embeddings.dequantize(q, "qvec", "scale").as("deq"))
+    val bad = deq
+      .select($"scale",
+        array_max(expr(
+          "zip_with(embedding, deq, (a, b) -> abs(cast(a as double) - cast(b as double)))"))
+          .as("maxerr"))
+      .where($"maxerr" > $"scale" / 2 * 1.0000001) // float slack
+    bad.count() shouldBe 0L
+  }
+
+  test("kmeansFit converges assignments on a separable micro set") {
+    // two tight clusters; k=2, any seeds -> each cluster gets its own cell
+    val pts = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.01f)), (3L, Array(0.98f, -0.01f)),
+      (4L, Array(0.0f, 1.0f)), (5L, Array(0.01f, 0.99f)), (6L, Array(-0.01f, 0.98f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.kmeansFit(pts, "vec_id", "embedding", 2, 3)
+      .select($"cell", $"n_members").as[(Long, Long)].collect().toMap
+    r.values.toList.sorted shouldBe List(3L, 3L)
+  }
+
+  private implicit class TripleOps(rows: Array[(Long, Double, Array[Int])]) {
+    def toMap2: Map[Long, (Double, Array[Int])] =
+      rows.map { case (id, s, q) => id -> (s, q) }.toMap
+  }
+}
