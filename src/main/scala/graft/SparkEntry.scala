@@ -341,6 +341,16 @@ object SparkEntry {
         .select(col("vec_id"), round(col("scale"), 6).as("scale"),
           posexplode(col("qvec")).as(Seq("dim", "qval")))
     }),
+    // canonicalization before dedup/fingerprinting: lowercase, strip
+    // control chars, collapse whitespace — byte-reproducible on any engine
+    "q67_text_normalize" -> ((s, dir) =>
+      TextStats.normalizeText(t(s, dir, "documents"), "doc_id", "text")),
+    // rebalance the corpus to target language weights (en/de/fr 50/20/30)
+    // without upsampling — broadcast rates, zero data shuffles
+    "q68_rebalance_mix" -> ((s, dir) =>
+      Sampling.rebalanceToWeights(t(s, dir, "documents"), "doc_id", "lang",
+        Seq("en" -> 0.5, "de" -> 0.2, "fr" -> 0.3))
+        .select(col("doc_id"), col("lang"))),
     // data-quality audit: per-rule violation counts in ONE scan (the CHECK
     // constraints the source schema declares, engine-side)
     "q55_quality_audit" -> ((s, dir) => {
@@ -1184,6 +1194,22 @@ object SparkEntry {
         |    CASE WHEN scale = 0 THEN CAST(0 AS INTEGER)
         |         ELSE CAST(greatest(-127, least(127, round(x / scale))) AS INTEGER) END)) AS qval
         |FROM s""".stripMargin,
+    "q67_text_normalize" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[\x00-\x1f\x7f]', ' ', 'g'), ' {2,}', ' ', 'g')) AS norm_text
+        |  FROM documents)
+        |SELECT doc_id, norm_text, norm_text <> text AS changed FROM c""".stripMargin,
+    "q68_rebalance_mix" ->
+      s"""WITH w(lang, wt) AS (VALUES ('en', 0.5), ('de', 0.2), ('fr', 0.3)),
+         |n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         |sc AS (SELECT min(CAST(n.n AS DOUBLE) / w.wt) AS scale
+         |       FROM n JOIN w USING (lang)),
+         |r AS (SELECT w.lang, sc.scale * w.wt / CAST(n.n AS DOUBLE) AS rate
+         |      FROM w JOIN n USING (lang), sc)
+         |SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang
+         |WHERE ${md5ModSql("d.doc_id", 1000000)} < r.rate * 1000000.0""".stripMargin,
     "q55_quality_audit" ->
       """SELECT count(*) AS total_rows,
         |  CAST(sum(CASE WHEN NOT coalesce(l_quantity >= 1 AND l_quantity <= 30, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS viol_qty_range,

@@ -17,8 +17,12 @@ object Sampling {
 
   /** Stable bucket 0-99 from the id's md5 (nibble arithmetic, not a
     * native hash fn, so external engines can reproduce it). */
-  def md5Bucket(id: Column): Column =
-    pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"), lit(100L))
+  def md5Bucket(id: Column): Column = md5Mod(id, 100L)
+
+  /** [[md5Bucket]] at arbitrary modulus — finer-grained membership
+    * thresholds (1e-6 resolution at m = 1,000,000). */
+  def md5Mod(id: Column, m: Long): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"), lit(m))
 
   /** Assign each row a named split by cumulative percentage. Weights are
     * integer percents summing to ≤ 100 (a remainder falls into the last
@@ -57,6 +61,37 @@ object Sampling {
         when(col(strataCol) === stratum, lit(p)).otherwise(other)
     }
     df.where(md5Bucket(col(idCol)) < threshold)
+  }
+
+  /** Downsample each stratum so the kept corpus matches the target
+    * weight distribution EXACTLY in expectation, keeping as much data as
+    * possible without upsampling: the binding stratum (smallest n/w)
+    * survives whole, every other stratum is thinned to proportion. Strata
+    * absent from `weights` are dropped. Membership is the md5 hash at
+    * 1e-6 granularity — deterministic across runs/engines; realized
+    * counts differ from expectation only by hash-binomial noise.
+    *
+    * Scale shape: one tiny counts aggregate, the scalar and per-stratum
+    * rate frames broadcast back over the scan — the data itself moves
+    * zero times. The "mix web/books/code to 50/30/20" move, declaratively.
+    */
+  def rebalanceToWeights(df: DataFrame, idCol: String, strataCol: String,
+                         weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "rebalanceToWeights: weights must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wdf = weights.toDF(strataCol, "__w")
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("__n"))
+    val capped = counts.join(wdf, strataCol)
+      .withColumn("__cap", col("__n").cast("double") / col("__w"))
+    val scale = capped.agg(min("__cap").as("__scale"))
+    val rates = capped.crossJoin(broadcast(scale))
+      .select(col(strataCol),
+        (col("__scale") * col("__w") / col("__n")).as("__rate"))
+    df.join(broadcast(rates), strataCol)
+      .where(md5Mod(col(idCol), 1000000L) < col("__rate") * 1000000.0)
+      .drop("__rate")
   }
 
   /** Keep at most `k` rows per value of `strataCol`, chosen by md5-of-id

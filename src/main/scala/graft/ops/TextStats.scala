@@ -101,6 +101,21 @@ object TextStats {
       size(regexp_extract_all(t, lit(digits), lit(0))).as("n_digit_runs"))
   }
 
+  /** Text normalization: lowercase, control characters → space, whitespace
+    * runs collapsed, ends trimmed — the canonicalization pass that runs
+    * before dedup/fingerprinting so trivially-different bytes hash alike.
+    * RE2-portable patterns only (no Unicode tables beyond lower), so any
+    * engine reproduces the output byte-for-byte. Scan-stage projection,
+    * no shuffle. Returns the normalized text plus a `changed` flag (the
+    * usual audit column: fraction changed ≈ how dirty the source is). */
+  def normalizeText(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cleaned = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[\\x00-\\x1f\\x7f]", " "),
+      " {2,}", " "))
+    df.select(col(idCol), cleaned.as("norm_text"),
+      (cleaned =!= col(textCol)).as("changed"))
+  }
+
   /** Document fingerprints: full-content md5 plus a winnowing-style minimum
     * over character 8-gram hashes (robust to small edits at the ends). The
     * min-gram is a native one-pass kernel

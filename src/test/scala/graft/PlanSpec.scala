@@ -157,6 +157,35 @@ class PlanSpec extends SparkSpec {
     "Window \\[".r.findAllIn(finalPlan).size shouldBe 1
   }
 
+  test("chunking is a pure scan-stage explode: zero exchanges (q59)") {
+    val df = SparkEntry.queries("q59_chunking")(spark, sf0001)
+    df.collect()
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    finalPlan should not include "Exchange"
+  }
+
+  test("vocabulary aggregates with map-side partials and a TakeOrdered cut, no Expand (q58)") {
+    val df = SparkEntry.queries("q58_vocabulary")(spark, sf0001)
+    df.collect()
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    finalPlan should include("TakeOrderedAndProject")
+    finalPlan should not include "Expand"
+    // both aggregations split partial/final: 2 HashAggregate pairs
+    "HashAggregate".r.findAllIn(finalPlan).size should be >= 4
+  }
+
+  test("z-order value and histogram stay in the scan stage: one exchange for the group-by (q61)") {
+    val hist = SparkEntry.queries("q61_histogram")(spark, sf0001)
+    hist.collect()
+    val histPlan = planOf(hist).split("== Initial Plan ==").head
+    "Exchange".r.findAllIn(histPlan).size shouldBe 1   // only the final agg shuffle
+    val z = SparkEntry.queries("q62_zorder_value")(spark, sf0001)
+    z.collect()
+    val zPlan = planOf(z).split("== Initial Plan ==").head
+    zPlan should not include "Exchange"                 // per-row bit fold only
+    zPlan should include("*(")                          // codegen'd
+  }
+
   test("queries stay inside whole-stage codegen (q01)") {
     // AQE hides the physical plan until execution — and count() runs a
     // CLONED QueryExecution, so collect() this one, then read the final plan

@@ -51,6 +51,23 @@ class SamplingSpec extends SparkSpec {
     sampled.size.toDouble / buckets.length shouldBe 0.10 +- 0.04
   }
 
+  test("rebalanceToWeights hits target proportions; binding stratum kept whole") {
+    val kept = Sampling.rebalanceToWeights(docs, "doc_id", "lang",
+      Seq("en" -> 0.5, "de" -> 0.2, "fr" -> 0.3))
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val byLang = kept.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    byLang.keySet shouldBe Set("en", "de", "fr") // unweighted strata dropped
+    val total = kept.length.toDouble
+    // proportions approximate the weights (hash-binomial noise)
+    byLang("en") / total shouldBe 0.5 +- 0.08
+    byLang("de") / total shouldBe 0.2 +- 0.08
+    byLang("fr") / total shouldBe 0.3 +- 0.08
+    // the binding stratum (max n/w deficit) survives whole: with the
+    // sf0.001 skew that's fr — its keep-rate is 1.0
+    val frAll = docs.where($"lang" === "fr").count()
+    byLang("fr").toLong shouldBe frAll
+  }
+
   test("capPerStratum caps each group deterministically by md5 order") {
     val kept = Sampling.capPerStratum(docs, "doc_id", "source", 10)
       .select("doc_id", "source").as[(Long, String)].collect()
