@@ -351,6 +351,19 @@ object SparkEntry {
       Sampling.rebalanceToWeights(t(s, dir, "documents"), "doc_id", "lang",
         Seq("en" -> 0.5, "de" -> 0.2, "fr" -> 0.3))
         .select(col("doc_id"), col("lang"))),
+    // two-step conversion funnel (first signup -> first purchase strictly
+    // after it) — strict event ordering, not did-both
+    "q69_funnel" -> ((s, dir) =>
+      graft.ops.EventAnalytics.twoStepFunnel(
+        t(s, dir, "events"), "user_id", "ts", "event_type", "signup", "purchase")),
+    // weekly retention cohorts: distinct active users per (first-week
+    // cohort, week offset)
+    "q70_retention" -> ((s, dir) =>
+      graft.ops.EventAnalytics.retentionCohorts(t(s, dir, "events"), "user_id", "ts")),
+    // dedup audit: every dropped doc with the representative that kept it
+    // out (the "why did my document disappear" report)
+    "q71_dedup_audit" -> ((s, dir) =>
+      Dedup.nearDuplicateAudit(t(s, dir, "documents"), "doc_id", "text", 3, 0.5)),
     // data-quality audit: per-rule violation counts in ONE scan (the CHECK
     // constraints the source schema declares, engine-side)
     "q55_quality_audit" -> ((s, dir) => {
@@ -1210,6 +1223,32 @@ object SparkEntry {
          |      FROM w JOIN n USING (lang), sc)
          |SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang
          |WHERE ${md5ModSql("d.doc_id", 1000000)} < r.rate * 1000000.0""".stripMargin,
+    "q69_funnel" ->
+      """WITH a AS (
+        |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS ts_a
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |b AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS ts_b
+        |  FROM events e JOIN a USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > a.ts_a
+        |  GROUP BY 1)
+        |SELECT a.user_id, a.ts_a, b.ts_b, b.ts_b IS NOT NULL AS converted
+        |FROM a LEFT JOIN b USING (user_id)""".stripMargin,
+    "q70_retention" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    CAST(date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS TIMESTAMP) AS cohort_week
+        |  FROM events GROUP BY 1)
+        |SELECT f.cohort_week,
+        |  CAST((CAST(date_trunc('week', CAST(e.ts AS TIMESTAMP)) AS DATE)
+        |    - CAST(f.cohort_week AS DATE)) // 7 AS BIGINT) AS week_offset,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+        |FROM events e JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+    "q71_dedup_audit" ->
+      s"""$clusterChainSql
+         |SELECT doc_id AS dropped_id, cluster_id AS kept_id
+         |FROM assign WHERE doc_id <> cluster_id""".stripMargin,
     "q55_quality_audit" ->
       """SELECT count(*) AS total_rows,
         |  CAST(sum(CASE WHEN NOT coalesce(l_quantity >= 1 AND l_quantity <= 30, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS viol_qty_range,

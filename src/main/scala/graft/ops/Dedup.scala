@@ -295,6 +295,19 @@ object Dedup {
     assign.where(col(idCol) === col("cluster_id")).select(col(idCol))
   }
 
+  /** Audit twin of [[dropNearDuplicates]]: one row per DROPPED document
+    * with the representative that kept it out — the "why did my document
+    * disappear" report a curation pipeline must be able to answer.
+    * Same pair/cluster machinery; only the final filter flips. */
+  def nearDuplicateAudit(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, minJaccard: Double,
+                         pairGen: Option[DataFrame] = None): DataFrame = {
+    val pairs = pairGen.getOrElse(ngramJaccardPairs(df, idCol, textCol, n, minJaccard))
+    val assign = clusters(pairs, "id_a", "id_b", df.select(idCol), idCol)
+    assign.where(col(idCol) =!= col("cluster_id"))
+      .select(col(idCol).as("dropped_id"), col("cluster_id").as("kept_id"))
+  }
+
   /** 64-bit SimHash on xxhash64 tokens — the codegen-friendly scale variant
     * (no md5 string churn; one 8-byte hash per token). One scan-stage pass
     * per document (org.apache.spark.sql.graft.SimHash64), zero shuffle. */

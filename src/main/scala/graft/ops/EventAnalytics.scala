@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Behavioral event analytics: conversion funnels and retention cohorts —
+  * the marts an events table feeds once sessionization
+  * ([[graft.streaming.EventStream]]) exists.
+  *
+  * Scale shape: both operators are groupBy-on-user / groupBy-on-cohort
+  * hash aggregations with map-side partials; the funnel's step join
+  * shuffles both sides on the user key once (the A-side is one row per
+  * converted user — far smaller than the event log). No windows over the
+  * full log, no self-joins on time ranges.
+  */
+object EventAnalytics {
+
+  /** Two-step conversion funnel: per user, the FIRST `stepA` event and
+    * the first `stepB` event STRICTLY AFTER it. One row per user who did
+    * `stepA`; `converted` = whether a qualifying `stepB` followed. The
+    * strict ordering ("B after A") is what a naive
+    * "did-both-event-types" join gets wrong. */
+  def twoStepFunnel(events: DataFrame, userCol: String, tsCol: String,
+                    typeCol: String, stepA: String, stepB: String): DataFrame = {
+    val a = events.where(col(typeCol) === stepA)
+      .groupBy(userCol).agg(min(tsCol).as("ts_a"))
+    val b = events.where(col(typeCol) === stepB)
+      .join(a, userCol)
+      .where(col(tsCol) > col("ts_a"))
+      .groupBy(userCol).agg(min(tsCol).as("ts_b"))
+    a.join(b, Seq(userCol), "left")
+      .withColumn("converted", col("ts_b").isNotNull)
+  }
+
+  /** Weekly retention cohorts: users grouped by the ISO week of their
+    * first event; one row per (cohort_week, week_offset) with the count
+    * of distinct users active that week. `week_offset` 0 is the cohort
+    * week itself. The single `countDistinct` plans as a two-phase
+    * aggregate (no Expand); at unbounded user counts swap in
+    * `approx_count_distinct` — same plan shape, HLL merge
+    * (see [[Sketches]]). */
+  def retentionCohorts(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val first = events.groupBy(userCol)
+      .agg(date_trunc("week", min(col(tsCol))).as("cohort_week"))
+    events.join(first, userCol)
+      .withColumn("week_offset",
+        (datediff(date_trunc("week", col(tsCol)), col("cohort_week")) / 7)
+          .cast("long"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col(userCol)).as("active_users"))
+  }
+}
