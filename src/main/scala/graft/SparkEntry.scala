@@ -364,6 +364,17 @@ object SparkEntry {
     // out (the "why did my document disappear" report)
     "q71_dedup_audit" -> ((s, dir) =>
       Dedup.nearDuplicateAudit(t(s, dir, "documents"), "doc_id", "text", 3, 0.5)),
+    // incremental vocabulary maintenance: per-half term stats merged by
+    // summation, then cut — must equal the direct q58 vocabulary
+    "q72_vocab_merge" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val half1 = docs.where(Sampling.md5Bucket(col("doc_id")) < 50)
+      val half2 = docs.where(Sampling.md5Bucket(col("doc_id")) >= 50)
+      graft.ops.Corpus.topTerms(
+        graft.ops.Corpus.mergeTermStats(
+          graft.ops.Corpus.termStats(half1, "doc_id", "text"),
+          graft.ops.Corpus.termStats(half2, "doc_id", "text")), 50)
+    }),
     // data-quality audit: per-rule violation counts in ONE scan (the CHECK
     // constraints the source schema declares, engine-side)
     "q55_quality_audit" -> ((s, dir) => {
@@ -1249,6 +1260,16 @@ object SparkEntry {
       s"""$clusterChainSql
          |SELECT doc_id AS dropped_id, cluster_id AS kept_id
          |FROM assign WHERE doc_id <> cluster_id""".stripMargin,
+    // q72 must equal the direct q58 vocabulary — the merge is exact, so
+    // the oracle is q58's own SQL
+    "q72_vocab_merge" ->
+      """WITH dt AS (
+        |  SELECT doc_id, t.term AS term, count(*) AS tf
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+        |  GROUP BY 1, 2)
+        |SELECT term, CAST(SUM(tf) AS BIGINT) AS tf, count(*) AS df_docs
+        |FROM dt GROUP BY 1
+        |ORDER BY 2 DESC, 1 LIMIT 50""".stripMargin,
     "q55_quality_audit" ->
       """SELECT count(*) AS total_rows,
         |  CAST(sum(CASE WHEN NOT coalesce(l_quantity >= 1 AND l_quantity <= 30, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS viol_qty_range,

@@ -25,15 +25,33 @@ object Corpus {
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
 
+  /** Full per-term corpus stats (no cut): total occurrences and document
+    * frequency. The MERGEABLE form — stats from disjoint document sets
+    * combine by summation ([[mergeTermStats]]), so a growing corpus
+    * maintains its vocabulary incrementally (stats of the new batch only,
+    * merged into the stored table) instead of rescanning history. */
+  def termStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    docTermCounts(df, idCol, textCol)
+      .groupBy("term")
+      .agg(sum("tf").as("tf"), count(lit(1)).as("df_docs"))
+
+  /** Merge term stats from DISJOINT document sets (both tf and df are
+    * additive over disjoint docs). Merge BEFORE any top-k cut — a cut
+    * frame has lost the tail and under-counts after merging. */
+  def mergeTermStats(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("term")
+      .agg(sum("tf").as("tf"), sum("df_docs").as("df_docs"))
+
+  /** Deterministic top-`k` cut by total count (ties break on the term). */
+  def topTerms(stats: DataFrame, k: Int): DataFrame =
+    stats.orderBy(col("tf").desc, col("term")).limit(k)
+
   /** Corpus vocabulary: the `topK` terms by total occurrence count, with
     * document frequency. Ties break on the term itself, so the cut is
     * total-ordered and deterministic. */
   def vocabulary(df: DataFrame, idCol: String, textCol: String, topK: Int): DataFrame =
-    docTermCounts(df, idCol, textCol)
-      .groupBy("term")
-      .agg(sum("tf").as("tf"), count(lit(1)).as("df_docs"))
-      .orderBy(col("tf").desc, col("term"))
-      .limit(topK)
+    topTerms(termStats(df, idCol, textCol), topK)
 
   /** Per-document top-`k` terms by TF-IDF. The idf is the RAW ratio
     * `n_docs / df` (no logarithm): ln() is libm-dependent and not

@@ -117,6 +117,62 @@ object EventStream {
       .start()
   }
 
+  /** Streaming SCD2 upsert — the streaming form of
+    * [[graft.etl.SilverScd2]]: every micro-batch is staged (full-outer
+    * hash-diff against the current slice, per-pk batch dedup) and merged
+    * (expire + insert + atomic pointer swap) with the SAME
+    * [[graft.etl.Scd2]] machinery the batch path runs, so the two paths
+    * cannot drift. The first batch initial-loads the table. `runTs` per
+    * batch is the batch's max `tsCol` — pinned from the DATA, so a
+    * replayed batch produces byte-identical versions.
+    *
+    * Replay safety mirrors [[streamToBronze]]'s committed-batch marker:
+    * a re-delivered batchId is skipped instead of double-merged (stage
+    * itself would classify a replay as NO CHANGE, so the marker guards
+    * only the expire/re-insert churn, not correctness of current rows).
+    *
+    * At scale each micro-batch merge shuffles the batch side only when the
+    * silver table is pk-bucketed ([[graft.sources.BucketedTableStore]]);
+    * state lives in the table, not the stream — no growing stream state. */
+  def streamToSilverScd2(stream: DataFrame, store: graft.sources.TableStore,
+                         silverPath: String, pk: String, tsCol: String,
+                         checkpoint: String): StreamingQuery = {
+    import org.apache.hadoop.fs.Path
+    import graft.etl.Scd2
+    val spark = stream.sparkSession
+    val markerPath = new Path(s"$checkpoint/graft-committed-batch")
+    def fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def lastCommitted: Long =
+      if (!fs.exists(markerPath)) -1L
+      else {
+        val in = fs.open(markerPath)
+        try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+        finally in.close()
+      }
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (batchId > lastCommitted && !batch.isEmpty) {
+          val df = batch.toDF()
+          val runTs = df.agg(max(col(tsCol))).head.getTimestamp(0)
+          if (!store.exists(silverPath))
+            store.overwrite(silverPath, Scd2.initialLoad(df, runTs), Seq("is_current"))
+          else {
+            val target = store.read(silverPath)
+            val staged = Scd2.stage(df, target.where(col("is_current")), pk)
+            if (!staged.isEmpty)
+              store.replaceWith(silverPath,
+                Scd2.applyMerge(target, staged, pk, runTs), Seq("is_current"))
+          }
+          val out = fs.create(markerPath, true)
+          try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+        }
+      }
+      .start()
+  }
+
   /** Streaming exact dedup with bounded state — the streaming form of
     * [[graft.ops.Dedup.exact]] for at-least-once sources: duplicate keys
     * arriving within the watermark horizon are dropped, and per-key state is

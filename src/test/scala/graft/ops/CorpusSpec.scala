@@ -32,6 +32,20 @@ class CorpusSpec extends SparkSpec {
     r(3L) shouldBe ("common", 1.0)
   }
 
+  test("mergeTermStats over disjoint halves equals direct stats (merge law)") {
+    val docs = graft.core.Tables.table(spark, sf0001, "documents")
+    import org.apache.spark.sql.functions.col
+    val h1 = docs.where(Sampling.md5Bucket(col("doc_id")) < 50)
+    val h2 = docs.where(Sampling.md5Bucket(col("doc_id")) >= 50)
+    val merged = Corpus.mergeTermStats(
+      Corpus.termStats(h1, "doc_id", "text"),
+      Corpus.termStats(h2, "doc_id", "text"))
+      .as[(String, Long, Long)].collect().toSet
+    val direct = Corpus.termStats(docs, "doc_id", "text")
+      .as[(String, Long, Long)].collect().toSet
+    merged shouldBe direct
+  }
+
   private implicit class TripleOps(rows: Array[(Long, String, Double)]) {
     def toMap2: Map[Long, (String, Double)] =
       rows.map { case (id, t, s) => id -> (t, s) }.toMap

@@ -93,6 +93,50 @@ class EventStreamSpec extends SparkSpec {
     store.read(table).count() shouldBe events.count() + 50
   }
 
+  test("streamToSilverScd2 merges micro-batches with full SCD2 semantics; replays no-op") {
+    val root = Files.createTempDirectory("graft-stream-scd2")
+    val in = root.resolve("in").toString
+    val ckpt = root.resolve("ckpt").toString
+    val silver = root.resolve("tables/customers_silver").toString
+    val store = new graft.sources.TableStore(spark)
+    val t1 = Timestamp.valueOf("2026-01-01 00:00:00")
+    val t2 = Timestamp.valueOf("2026-02-01 00:00:00")
+    def drop(rows: Seq[(Long, String, Timestamp)]): Unit =
+      rows.toDF("id", "name", "ingestion_timestamp")
+        .write.mode("append").option("header", "true").csv(in)
+    val schema = Seq((0L, "", t1)).toDF("id", "name", "ingestion_timestamp").schema
+
+    // batch 1: initial load
+    drop(Seq((1L, "alice", t1), (2L, "bob", t1)))
+    EventStream.streamToSilverScd2(
+      EventStream.readCsvStream(spark, in, schema), store, silver,
+      "id", "ingestion_timestamp", ckpt).awaitTermination()
+    val s1 = store.read(silver)
+    s1.where(col("is_current")).count() shouldBe 2L
+    s1.select(max("effective_date")).as[Timestamp].head() shouldBe t1
+
+    // restart, no new data: replay is a no-op (version unchanged)
+    val v1 = store.currentVersion(silver).get
+    EventStream.streamToSilverScd2(
+      EventStream.readCsvStream(spark, in, schema), store, silver,
+      "id", "ingestion_timestamp", ckpt).awaitTermination()
+    store.currentVersion(silver).get shouldBe v1
+
+    // batch 2: update id=1, insert id=3 -> expire + insert, bob untouched
+    drop(Seq((1L, "alice2", t2), (3L, "carol", t2)))
+    EventStream.streamToSilverScd2(
+      EventStream.readCsvStream(spark, in, schema), store, silver,
+      "id", "ingestion_timestamp", ckpt).awaitTermination()
+    val s2 = store.read(silver)
+    s2.count() shouldBe 4L // 1v1(expired), 1v2, 2v1, 3v1
+    s2.where(col("is_current")).select("id", "name").as[(Long, String)]
+      .collect().toSet shouldBe Set((1L, "alice2"), (2L, "bob"), (3L, "carol"))
+    val expired = s2.where(!col("is_current"))
+    expired.select("id", "name").as[(Long, String)].collect().toList shouldBe
+      List((1L, "alice"))
+    expired.select("end_date").as[Timestamp].head() shouldBe t2
+  }
+
   test("sessionizeBatch: gap splits sessions, counts and durations") {
     def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
     val ev = Seq(
