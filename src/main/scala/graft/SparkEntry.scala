@@ -375,6 +375,19 @@ object SparkEntry {
           graft.ops.Corpus.termStats(half1, "doc_id", "text"),
           graft.ops.Corpus.termStats(half2, "doc_id", "text")), 50)
     }),
+    // benchmark decontamination: flag corpus docs sharing any word 5-gram
+    // with the (md5-held-out) eval set — broadcast bench shingles,
+    // map-side probe
+    "q73_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.where(Sampling.md5Bucket(col("doc_id")) < 4)
+      val corpus = docs.where(Sampling.md5Bucket(col("doc_id")) >= 4)
+      Dedup.contaminationFlags(corpus, bench, "doc_id", "text", 5)
+    }),
+    // per-source quality drift: the monitoring mart that catches a crawl
+    // source going bad — one scan, one partial-agg shuffle
+    "q74_quality_drift" -> ((s, dir) =>
+      TextStats.qualityDrift(t(s, dir, "documents"), "doc_id", "text", "source")),
     // data-quality audit: per-rule violation counts in ONE scan (the CHECK
     // constraints the source schema declares, engine-side)
     "q55_quality_audit" -> ((s, dir) => {
@@ -751,14 +764,18 @@ object SparkEntry {
   /** q53 oracle: language filter ∘ quality filter ∘ near-dup removal — the
     * q27 lang CASE and q28 quality CASE rebuilt as CTEs, then the q35
     * shingle/closure chain over the ELIGIBLE docs only. */
+  /** The q28 quality CASE, shared by the q53 curation chain and the q74
+    * drift mart. */
+  private val qualityCaseSql: String =
+    """CASE WHEN len(string_split(text, ' ')) >= 50
+      |         AND CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) < 0.1
+      |         AND CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 3
+      |         AND CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) <= 10 THEN 'high'
+      |       WHEN len(string_split(text, ' ')) >= 10 THEN 'medium'
+      |       ELSE 'low' END""".stripMargin
+
   private def corpusCurationSql: String = {
-    val qualityCase =
-      """CASE WHEN len(string_split(text, ' ')) >= 50
-        |         AND CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) < 0.1
-        |         AND CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 3
-        |         AND CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) <= 10 THEN 'high'
-        |       WHEN len(string_split(text, ' ')) >= 10 THEN 'medium'
-        |       ELSE 'low' END""".stripMargin
+    val qualityCase = qualityCaseSql
     s"""WITH RECURSIVE lang AS (
        |SELECT doc_id,
        |  $langScoreSql,
@@ -1270,6 +1287,34 @@ object SparkEntry {
         |SELECT term, CAST(SUM(tf) AS BIGINT) AS tf, count(*) AS df_docs
         |FROM dt GROUP BY 1
         |ORDER BY 2 DESC, 1 LIMIT 50""".stripMargin,
+    "q73_decontaminate" ->
+      s"""WITH bench AS (
+         |  SELECT doc_id, text FROM documents WHERE ${md5BucketSql("doc_id")} < 4),
+         |corp AS (
+         |  SELECT doc_id, text FROM documents WHERE ${md5BucketSql("doc_id")} >= 4),
+         |bs AS (SELECT DISTINCT shingle FROM (${shingleSql(5, "bench")})),
+         |cs AS (${shingleSql(5, "corp")}),
+         |bad AS (SELECT DISTINCT cs.doc_id FROM cs JOIN bs USING (shingle))
+         |SELECT c.doc_id, b.doc_id IS NOT NULL AS contaminated
+         |FROM corp c LEFT JOIN bad b USING (doc_id)""".stripMargin,
+    "q74_quality_drift" ->
+      s"""WITH q AS (
+         |  SELECT source,
+         |    len(string_split(text, ' ')) AS n_tokens,
+         |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+         |      / CAST(length(text) AS DOUBLE) AS punct_ratio,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      w -> list_contains(['the','a','of','and','to','in','is'], w))) AS DOUBLE)
+         |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+         |    $qualityCaseSql AS quality
+         |  FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  round(avg(n_tokens), 6) AS avg_tokens,
+         |  round(avg(punct_ratio), 6) AS avg_punct_ratio,
+         |  round(avg(stopword_ratio), 6) AS avg_stopword_ratio,
+         |  CAST(sum(CASE WHEN quality = 'high' THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS share_high
+         |FROM q GROUP BY 1""".stripMargin,
     "q55_quality_audit" ->
       """SELECT count(*) AS total_rows,
         |  CAST(sum(CASE WHEN NOT coalesce(l_quantity >= 1 AND l_quantity <= 30, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS viol_qty_range,

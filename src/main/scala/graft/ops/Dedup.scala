@@ -295,6 +295,32 @@ object Dedup {
     assign.where(col(idCol) === col("cluster_id")).select(col(idCol))
   }
 
+  /** Benchmark decontamination: flag every corpus document that shares at
+    * least one word `n`-gram with ANY document in `bench` (the eval/test
+    * sets that must not leak into training data — the n-gram-overlap
+    * check of GPT-3 appendix C / PaLM, at word granularity). Returns
+    * (id, contaminated) for every corpus row.
+    *
+    * Scale shape: the benchmark side is small by nature (eval suites are
+    * thousands of docs, the corpus is billions), so its DISTINCT shingle
+    * set is broadcast and the overlap probe runs map-side against the
+    * corpus shingle explode — no shuffle of corpus data at all. */
+  def contaminationFlags(corpus: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String, n: Int): DataFrame = {
+    val benchShingles = bench
+      .select(explode(array_distinct(shingles(col(textCol), n))).as("shingle"))
+      .distinct()
+    val contaminated = shingleTable(corpus, idCol, textCol, n)
+      .join(broadcast(benchShingles), "shingle")
+      .select(col(idCol)).distinct()
+      .withColumn("__hit", lit(true))
+    // hit set size is data-dependent (usually tiny): leave the final join
+    // strategy to AQE rather than forcing a broadcast
+    corpus.select(col(idCol))
+      .join(contaminated, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__hit"), lit(false)).as("contaminated"))
+  }
+
   /** Audit twin of [[dropNearDuplicates]]: one row per DROPPED document
     * with the representative that kept it out — the "why did my document
     * disappear" report a curation pipeline must be able to answer.

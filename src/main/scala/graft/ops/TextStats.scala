@@ -21,26 +21,49 @@ object TextStats {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
-  /** Per-document quality features + a bucketed score. */
-  def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** Per-document quality features + a bucketed score. `carryCols` ride
+    * along unchanged (e.g. the source/stratum for [[qualityDrift]]) so a
+    * grouped consumer stays a ONE-scan pipeline instead of re-joining the
+    * input. */
+  def qualityFeatures(df: DataFrame, idCol: String, textCol: String,
+                      carryCols: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
     val nTok = tokenCount(t)
     val nonSpace = length(regexp_replace(t, " ", ""))
     val stopHits = size(filter(split(t, " "), w => w.isin(stopwords.map(lit): _*)))
     df.select(
-      col(idCol),
-      length(t).as("n_chars"),
-      nTok.as("n_tokens"),
-      (nonSpace.cast("double") / nTok.cast("double")).as("avg_token_len"),
-      (size(regexp_extract_all(t, lit("[^a-zA-Z0-9 ]"), lit(0))).cast("double")
-        / length(t).cast("double")).as("punct_ratio"),
-      (stopHits.cast("double") / nTok.cast("double")).as("stopword_ratio"))
+      (col(idCol) +: carryCols.map(col)) ++ Seq(
+        length(t).as("n_chars"),
+        nTok.as("n_tokens"),
+        (nonSpace.cast("double") / nTok.cast("double")).as("avg_token_len"),
+        (size(regexp_extract_all(t, lit("[^a-zA-Z0-9 ]"), lit(0))).cast("double")
+          / length(t).cast("double")).as("punct_ratio"),
+        (stopHits.cast("double") / nTok.cast("double")).as("stopword_ratio")): _*)
       .withColumn("quality",
         when(col("n_tokens") >= 50 && col("punct_ratio") < 0.1
           && col("avg_token_len") >= 3 && col("avg_token_len") <= 10, "high")
           .when(col("n_tokens") >= 10, "medium")
           .otherwise("low"))
   }
+
+  /** Per-stratum quality drift mart: document counts, mean feature values,
+    * and the share of high-quality docs per value of `strataCol` (source
+    * domain, language, snapshot week, …) — the monitoring table that
+    * catches a crawl source going bad. ONE scan ([[qualityFeatures]] with
+    * the stratum carried through) + one partial-agg shuffle on the
+    * stratum. Means rounded to 6 dp so summation order can't flip a hash
+    * compare across engines. */
+  def qualityDrift(df: DataFrame, idCol: String, textCol: String,
+                   strataCol: String): DataFrame =
+    qualityFeatures(df, idCol, textCol, Seq(strataCol))
+      .groupBy(strataCol)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("n_tokens"), 6).as("avg_tokens"),
+        round(avg("punct_ratio"), 6).as("avg_punct_ratio"),
+        round(avg("stopword_ratio"), 6).as("avg_stopword_ratio"),
+        (sum(when(col("quality") === "high", 1L).otherwise(0L)).cast("double")
+          / count(lit(1)).cast("double")).as("share_high"))
 
   /** Marker words per language for the n-gram language-ID heuristic. Order
     * matters: ties resolve to the earlier entry. */
