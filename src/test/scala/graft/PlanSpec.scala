@@ -186,6 +186,21 @@ class PlanSpec extends SparkSpec {
     zPlan should include("*(")                          // codegen'd
   }
 
+  test("decontamination probes bench shingles via broadcast, no cartesian (q73)") {
+    val df = SparkEntry.queries("q73_decontaminate")(spark, sf0001)
+    // static plan: the shingle probe is a broadcast hash join (AQE may later
+    // ELIMINATE the flag join outright when the hit set turns out empty —
+    // also correct, but unassertable)
+    val staticPlan = df.queryExecution.sparkPlan.toString
+    staticPlan should include("BroadcastHashJoin")
+    staticPlan should not include "CartesianProduct"
+    staticPlan should not include "BroadcastNestedLoopJoin"
+    df.collect()
+    val finalPlan = planOf(df).split("== Initial Plan ==").head
+    finalPlan should not include "CartesianProduct"
+    finalPlan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("queries stay inside whole-stage codegen (q01)") {
     // AQE hides the physical plan until execution — and count() runs a
     // CLONED QueryExecution, so collect() this one, then read the final plan
