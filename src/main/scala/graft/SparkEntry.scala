@@ -388,6 +388,15 @@ object SparkEntry {
     // source going bad — one scan, one partial-agg shuffle
     "q74_quality_drift" -> ((s, dir) =>
       TextStats.qualityDrift(t(s, dir, "documents"), "doc_id", "text", "source")),
+    // first-order Markov transition counts over each user's event sequence
+    "q75_transitions" -> ((s, dir) =>
+      graft.ops.EventAnalytics.transitionCounts(
+        t(s, dir, "events"), "user_id", "ts", "event_type", "event_id")),
+    // inter-arrival gap stats per event type (exact integer-µs gaps,
+    // exact percentiles; approx twin at scale)
+    "q76_interarrival" -> ((s, dir) =>
+      graft.ops.EventAnalytics.interArrivalStats(
+        t(s, dir, "events"), "user_id", "ts", "event_type", "event_id")),
     // data-quality audit: per-rule violation counts in ONE scan (the CHECK
     // constraints the source schema declares, engine-side)
     "q55_quality_audit" -> ((s, dir) => {
@@ -1315,6 +1324,26 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN quality = 'high' THEN 1 ELSE 0 END) AS DOUBLE)
          |    / CAST(count(*) AS DOUBLE) AS share_high
          |FROM q GROUP BY 1""".stripMargin,
+    "q75_transitions" ->
+      """WITH o AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type
+        |  FROM events)
+        |SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+        |FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    "q76_interarrival" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP))
+        |      - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id
+        |          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  round(avg(CAST(gap_us AS DOUBLE)), 6) AS mean_gap_us,
+        |  round(quantile_cont(CAST(gap_us AS DOUBLE), 0.5), 6) AS p50_gap_us,
+        |  round(quantile_cont(CAST(gap_us AS DOUBLE), 0.9), 6) AS p90_gap_us
+        |FROM g WHERE gap_us IS NOT NULL GROUP BY 1""".stripMargin,
     "q55_quality_audit" ->
       """SELECT count(*) AS total_rows,
         |  CAST(sum(CASE WHEN NOT coalesce(l_quantity >= 1 AND l_quantity <= 30, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS viol_qty_range,

@@ -32,6 +32,46 @@ object EventAnalytics {
       .withColumn("converted", col("ts_b").isNotNull)
   }
 
+  /** Event-transition matrix (first-order Markov counts): for every
+    * consecutive event pair within a user's timeline, count (from → to).
+    * Same-timestamp ties break on `idCol`, so the sequence — and the
+    * counts — are total-ordered and deterministic. One partitioned window
+    * pass (shuffles on the user key) + one partial-agg shuffle on the
+    * tiny (from, to) key. */
+  def transitionCounts(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    events
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .where(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Inter-arrival gap statistics per event type: for each event, the
+    * time since the same USER's previous event (any type), aggregated to
+    * count / mean / exact p50 / p90 per the event's type. Gaps are exact
+    * integer MICROSECONDS (no float time arithmetic); means and
+    * percentiles are rounded to 6 dp for engine-exact comparison. Same
+    * window shuffle as [[transitionCounts]]; swap `percentile` for
+    * `percentile_approx` at unbounded scale. */
+  def interArrivalStats(events: DataFrame, userCol: String, tsCol: String,
+                        typeCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val gapped = events
+      .withColumn("__gap_us",
+        unix_micros(col(tsCol)) - lag(unix_micros(col(tsCol)), 1).over(w))
+      .where(col("__gap_us").isNotNull)
+    gapped.groupBy(col(typeCol).as("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("__gap_us").cast("double")), 6).as("mean_gap_us"),
+        round(percentile(col("__gap_us").cast("double"), lit(0.5)), 6).as("p50_gap_us"),
+        round(percentile(col("__gap_us").cast("double"), lit(0.9)), 6).as("p90_gap_us"))
+  }
+
   /** Weekly retention cohorts: users grouped by the ISO week of their
     * first event; one row per (cohort_week, week_offset) with the count
     * of distinct users active that week. `week_offset` 0 is the cohort

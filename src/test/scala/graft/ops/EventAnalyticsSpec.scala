@@ -40,6 +40,34 @@ class EventAnalyticsSpec extends SparkSpec {
     f shouldBe ts("2024-01-03 10:00:00")
   }
 
+  test("transitionCounts: consecutive pairs per user, deterministic tie-break") {
+    val events = Seq(
+      (10L, 1L, ts("2024-01-01 10:00:00"), "view"),
+      (11L, 1L, ts("2024-01-01 10:01:00"), "click"),
+      (12L, 1L, ts("2024-01-01 10:02:00"), "purchase"),
+      (20L, 2L, ts("2024-01-01 09:00:00"), "view"),
+      (21L, 2L, ts("2024-01-01 09:05:00"), "click"),
+      // same-ts tie for user 3: order falls back to event_id 30 -> 31
+      (30L, 3L, ts("2024-01-01 08:00:00"), "view"),
+      (31L, 3L, ts("2024-01-01 08:00:00"), "click")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val m = EventAnalytics.transitionCounts(events, "user_id", "ts", "event_type", "event_id")
+      .as[(String, String, Long)].collect().toSet
+    m shouldBe Set(("view", "click", 3L), ("click", "purchase", 1L))
+  }
+
+  test("interArrivalStats: exact integer-microsecond gaps per type") {
+    val events = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, 1L, ts("2024-01-01 10:00:10"), "click"),  // gap 10s
+      (3L, 1L, ts("2024-01-01 10:00:40"), "click")   // gap 30s
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val r = EventAnalytics.interArrivalStats(events, "user_id", "ts", "event_type", "event_id")
+      .select($"event_type", $"n", $"mean_gap_us", $"p50_gap_us")
+      .as[(String, Long, Double, Double)].collect().toList
+    r shouldBe List(("click", 2L, 20e6, 20e6))
+  }
+
   test("retentionCohorts: offsets count from the user's first week") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00"), "view"), // Mon wk0
