@@ -388,6 +388,17 @@ object SparkEntry {
     // source going bad — one scan, one partial-agg shuffle
     "q74_quality_drift" -> ((s, dir) =>
       TextStats.qualityDrift(t(s, dir, "documents"), "doc_id", "text", "source")),
+    // time travel: the q15 SCD2 history read back AS OF T0 — expired
+    // pre-update versions reappear, T1 insertions vanish
+    "q77_scd2_asof" -> ((s, dir) => {
+      val target = Scd2.initialLoad(t(s, dir, "customer"), T0)
+      Scd2.asOf(Scd2.applyMerge(target, staged(s, dir), "c_custkey", T1), T0)
+    }),
+    // referential-integrity audit: documents without an embedding (the FK
+    // CHECK a lakehouse can't declare), one-row summary
+    "q78_ref_audit" -> ((s, dir) =>
+      graft.ops.Quality.referentialAudit(
+        t(s, dir, "documents"), t(s, dir, "embeddings"), "doc_id", "vec_id")),
     // first-order Markov transition counts over each user's event sequence
     "q75_transitions" -> ((s, dir) =>
       graft.ops.EventAnalytics.transitionCounts(
@@ -1324,6 +1335,30 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN quality = 'high' THEN 1 ELSE 0 END) AS DOUBLE)
          |    / CAST(count(*) AS DOUBLE) AS share_high
          |FROM q GROUP BY 1""".stripMargin,
+    "q77_scd2_asof" ->
+      s"""${stagedSql},
+         |ins AS (SELECT * FROM staged WHERE action IN ('INSERT', 'UPDATE')),
+         |keys AS (SELECT DISTINCT c_custkey FROM staged WHERE action = 'UPDATE'),
+         |hist AS (
+         |  SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment,
+         |    CASE WHEN k.c_custkey IS NOT NULL THEN FALSE ELSE TRUE END AS is_current,
+         |    TIMESTAMP '2026-01-01 00:00:00' AS effective_date,
+         |    CASE WHEN k.c_custkey IS NOT NULL THEN TIMESTAMP '2026-02-01 00:00:00' END AS end_date
+         |  FROM customer c LEFT JOIN keys k ON c.c_custkey = k.c_custkey
+         |  UNION ALL
+         |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+         |    TRUE, TIMESTAMP '2026-02-01 00:00:00', NULL
+         |  FROM ins)
+         |SELECT * FROM hist
+         |WHERE effective_date <= TIMESTAMP '2026-01-01 00:00:00'
+         |  AND (end_date IS NULL OR end_date > TIMESTAMP '2026-01-01 00:00:00')""".stripMargin,
+    "q78_ref_audit" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_child,
+        |  CAST(sum(CASE WHEN e.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+        |  CAST(sum(CASE WHEN e.vec_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS orphan_share
+        |FROM documents d
+        |LEFT JOIN (SELECT DISTINCT vec_id FROM embeddings) e ON d.doc_id = e.vec_id""".stripMargin,
     "q75_transitions" ->
       """WITH o AS (
         |  SELECT event_type,

@@ -157,6 +157,17 @@ object Scd2 {
       .withColumn("effective_date", lit(runTs))
       .withColumn("end_date", lit(null).cast("timestamp"))
 
+  /** Point-in-time (time-travel) read of an SCD2 history: the version of
+    * each key that was in effect AT `ts` — `effective_date <= ts < end_date`
+    * (open-ended for current rows). This is the payoff of keeping SCD2
+    * history: any past state reconstructs with ONE partition-prunable
+    * filter, no snapshots. Note `is_current` in the result reflects the
+    * table's PRESENT state, not the as-of moment; at most one version per
+    * key qualifies (applyMerge's expiry invariant). */
+  def asOf(history: DataFrame, ts: Timestamp): DataFrame =
+    history.where(col("effective_date") <= lit(ts) &&
+      (col("end_date").isNull || col("end_date") > lit(ts)))
+
   /** The Delta-MERGE rewrite (2_Bronze_to_Silver.py:127-140 without Delta):
     * computes the complete next state of the target —
     * untouched rows ∪ expired rows ∪ new current versions — as one lazy plan

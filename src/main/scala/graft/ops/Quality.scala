@@ -52,6 +52,22 @@ object Quality {
       tagged.where(size(col("failed_rules")) > 0))
   }
 
+  /** Referential-integrity audit: how many `child` rows have no matching
+    * key in `parent` — the FK CHECK a lakehouse can't declare, as a
+    * one-row summary (total, orphan count, orphan share). The parent side
+    * is reduced to distinct keys before the join (broadcast when small,
+    * AQE decides); exact-integer division makes the share engine-exact. */
+  def referentialAudit(child: DataFrame, parent: DataFrame,
+                       childKey: String, parentKey: String): DataFrame = {
+    val parents = parent.select(col(parentKey).as("__pk")).distinct()
+    child.join(parents, col(childKey) === col("__pk"), "left")
+      .agg(
+        count(lit(1)).as("n_child"),
+        sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("n_orphans"))
+      .withColumn("orphan_share",
+        col("n_orphans").cast("double") / col("n_child").cast("double"))
+  }
+
   /** Fixed-width histogram of a numeric column over [lo, hi): bucket
     * index, row count, and observed min/max per bucket. Out-of-range
     * values saturate into the edge buckets (so the histogram always

@@ -142,6 +142,28 @@ class Scd2Spec extends SparkSpec {
     merged.unpersist()
   }
 
+  test("asOf reconstructs any past state; at most one version per key") {
+    val tgt = Scd2.initialLoad(target0, t0)
+    val batch = Seq((2, "bob", "B2"), (4, "dave", "D")).toDF("id", "name", "seg")
+    val hist = Scd2.applyMerge(tgt,
+      Scd2.stage(batch, tgt.where($"is_current"), "id"), "id", t1)
+    // as of t0: the ORIGINAL values, including the since-expired bob v1;
+    // dave (inserted at t1) absent
+    val at0 = Scd2.asOf(hist, t0).select("id", "name", "seg")
+      .as[(Int, String, String)].collect().toSet
+    at0 shouldBe Set((1, "alice", "A"), (2, "bob", "B"), (3, "carol", "C"))
+    // as of t2 (after the merge): identical to the current slice
+    val at2 = Scd2.asOf(hist, t2).select("id", "seg")
+      .as[(Int, String)].collect().toSet
+    at2 shouldBe hist.where($"is_current").select("id", "seg")
+      .as[(Int, String)].collect().toSet
+    // invariant: no instant ever sees two versions of one key
+    Seq(t0, t1, t2).foreach { ts =>
+      Scd2.asOf(hist, ts).groupBy("id").count()
+        .where($"count" > 1).count() shouldBe 0L
+    }
+  }
+
   test("applyMerge: replaying the same batch is a no-op on current rows") {
     val tgt = Scd2.initialLoad(target0, t0)
     val batch = Seq((2, "bob", "B2")).toDF("id", "name", "seg")
