@@ -399,6 +399,23 @@ object SparkEntry {
     "q78_ref_audit" -> ((s, dir) =>
       graft.ops.Quality.referentialAudit(
         t(s, dir, "documents"), t(s, dir, "embeddings"), "doc_id", "vec_id")),
+    // unigram-LM familiarity score + OOV rate — the no-model perplexity
+    // proxy; integer sums + one division, engine-exact
+    "q79_lm_familiarity" -> ((s, dir) =>
+      graft.ops.Corpus.familiarity(t(s, dir, "documents"), "doc_id", "text", 40)),
+    // one BPE merge-candidate step: adjacent-pair counts, top-200 cut
+    "q80_bpe_pairs" -> ((s, dir) =>
+      graft.ops.Corpus.bpePairCounts(t(s, dir, "documents"), "text", 200)),
+    // inverted index: df + first-20 postings per term, exploded layout
+    "q81_inverted_index" -> ((s, dir) =>
+      graft.ops.Corpus.invertedIndex(t(s, dir, "documents"), "doc_id", "text", 20)),
+    // cross-source shingle-overlap matrix (containment coefficient)
+    "q82_source_overlap" -> ((s, dir) =>
+      Dedup.sourceOverlap(t(s, dir, "documents"), "source", "text", 3)),
+    // SemDeDup: k-means cells, then near-dup pairs WITHIN a cell only
+    "q83_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticNearDupPairs(
+        t(s, dir, "embeddings"), "vec_id", "embedding", 8, 2, 0.3)),
     // first-order Markov transition counts over each user's event sequence
     "q75_transitions" -> ((s, dir) =>
       graft.ops.EventAnalytics.transitionCounts(
@@ -731,35 +748,59 @@ object SparkEntry {
     * (ties to the lower centroid id), per-cell element means rounded to
     * 6 dp and round-tripped through FLOAT between iterations (the Spark
     * side feeds float arrays to the native dot kernel). */
-  private def kmeansFitSql: String = {
-    def stepBlocks(i: Int, centsRel: String): String =
-      s"""sim$i AS (
-         |  SELECT e.vec_id, c.cent_id,
-         |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6) AS csim
-         |  FROM embeddings e CROSS JOIN $centsRel c),
-         |a$i AS (
-         |  SELECT vec_id, cent_id FROM (
-         |    SELECT vec_id, cent_id,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id ASC) AS r
-         |    FROM sim$i) WHERE r = 1),
-         |m$i AS (
-         |  SELECT a.cent_id AS cell,
-         |    unnest(CAST(e.embedding AS DOUBLE[])) AS v,
-         |    unnest(generate_series(0, len(e.embedding) - 1)) AS dim
-         |  FROM a$i a JOIN embeddings e ON e.vec_id = a.vec_id)""".stripMargin
+  private def kmeansStepSql(i: Int, centsRel: String): String =
+    s"""sim$i AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6) AS csim
+       |  FROM embeddings e CROSS JOIN $centsRel c),
+       |a$i AS (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT vec_id, cent_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id ASC) AS r
+       |    FROM sim$i) WHERE r = 1),
+       |m$i AS (
+       |  SELECT a.cent_id AS cell,
+       |    unnest(CAST(e.embedding AS DOUBLE[])) AS v,
+       |    unnest(generate_series(0, len(e.embedding) - 1)) AS dim
+       |  FROM a$i a JOIN embeddings e ON e.vec_id = a.vec_id)""".stripMargin
+
+  /** Two Lloyd iterations ending at the m2 member/element block — shared
+    * WITH-clause prefix of the q65 fit oracle and the q83 SemDeDup oracle. */
+  private def kmeansTwoIterPrefix: String =
     s"""WITH cents0 AS (
        |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cvec
        |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
-       |${stepBlocks(1, "cents0")},
+       |${kmeansStepSql(1, "cents0")},
        |c1 AS (
        |  SELECT cell, dim, CAST(CAST(round(avg(v), 6) AS FLOAT) AS DOUBLE) AS cv
        |  FROM m1 GROUP BY 1, 2),
        |cents1 AS (SELECT cell AS cent_id, list(cv ORDER BY dim) AS cvec FROM c1 GROUP BY 1),
-       |${stepBlocks(2, "cents1")}
+       |${kmeansStepSql(2, "cents1")}""".stripMargin
+
+  private def kmeansFitSql: String =
+    s"""$kmeansTwoIterPrefix
        |SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
        |  CAST(dim AS INTEGER) AS dim, round(avg(v), 6) AS mean_val
        |FROM m2 GROUP BY cell, dim""".stripMargin
-  }
+
+  /** q83 oracle: the trained cents2 (same FLOAT round-trip as the Spark
+    * side), a third assignment pass, then within-cell pairs with rounded
+    * cosine ≥ 0.3. */
+  private def semanticDedupSql: String =
+    s"""$kmeansTwoIterPrefix,
+       |c2 AS (
+       |  SELECT cell, dim, CAST(CAST(round(avg(v), 6) AS FLOAT) AS DOUBLE) AS cv
+       |  FROM m2 GROUP BY 1, 2),
+       |cents2 AS (SELECT cell AS cent_id, list(cv ORDER BY dim) AS cvec FROM c2 GROUP BY 1),
+       |${kmeansStepSql(3, "cents2")},
+       |pc AS (
+       |  SELECT x.cent_id AS cell, x.vec_id AS id_a, y.vec_id AS id_b,
+       |    round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |      CAST(eb.embedding AS DOUBLE[])), 6) AS cos
+       |  FROM a3 x JOIN a3 y ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = x.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = y.vec_id)
+       |SELECT cell, id_a, id_b, cos FROM pc WHERE cos >= 0.3""".stripMargin
 
   /** q62 oracle: the same range-bucket + Morton-interleave arithmetic as
     * [[graft.ops.Layout]], expanded to flat SQL bit terms (bit i of the x
@@ -1359,6 +1400,50 @@ object SparkEntry {
         |    / CAST(count(*) AS DOUBLE) AS orphan_share
         |FROM documents d
         |LEFT JOIN (SELECT DISTINCT vec_id FROM embeddings) e ON d.doc_id = e.vec_id""".stripMargin,
+    "q79_lm_familiarity" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |stats AS (SELECT term, count(*) AS tf FROM toks GROUP BY 1),
+        |vocab AS (SELECT term FROM stats ORDER BY tf DESC, term LIMIT 40),
+        |j AS (SELECT t.doc_id, s.tf, v.term IS NOT NULL AS iv
+        |      FROM toks t JOIN stats s USING (term) LEFT JOIN vocab v USING (term))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(tf) AS BIGINT) AS familiar_sum,
+        |  CAST(sum(tf) AS DOUBLE) / count(*) AS familiarity,
+        |  CAST(count(*) - sum(CASE WHEN iv THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS oov_rate
+        |FROM j GROUP BY 1""".stripMargin,
+    "q80_bpe_pairs" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents),
+        |p AS (SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+        |        i -> ts[i] || ' ' || ts[i + 1])) AS pair
+        |      FROM t WHERE len(ts) >= 2)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS n
+        |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 200""".stripMargin,
+    "q81_inverted_index" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |dt AS (SELECT DISTINCT doc_id, term FROM tok),
+        |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df_docs FROM dt GROUP BY 1),
+        |r AS (SELECT term, doc_id,
+        |        CAST(row_number() OVER (PARTITION BY term ORDER BY doc_id) AS BIGINT) AS slot
+        |      FROM dt)
+        |SELECT r.term, d.df_docs, r.slot, r.doc_id
+        |FROM r JOIN d USING (term) WHERE r.slot <= 20""".stripMargin,
+    "q82_source_overlap" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT src, shingle FROM (
+        |    SELECT source AS src, unnest(list_distinct(list_transform(
+        |      generate_series(1, len(ts) - 2),
+        |      i -> array_to_string(ts[i:i+2], ' ')))) AS shingle
+        |    FROM (SELECT source, string_split(text, ' ') AS ts FROM documents))),
+        |sizes AS (SELECT src, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.src AS src_a, b.src AS src_b, CAST(count(*) AS BIGINT) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.src < b.src
+        |  GROUP BY 1, 2)
+        |SELECT i.src_a, i.src_b, i.n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+        |  CAST(i.n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh) AS containment
+        |FROM inter i JOIN sizes sa ON i.src_a = sa.src
+        |JOIN sizes sb ON i.src_b = sb.src""".stripMargin,
+    "q83_semantic_dedup" -> semanticDedupSql,
     "q75_transitions" ->
       """WITH o AS (
         |  SELECT event_type,

@@ -334,6 +334,44 @@ object Dedup {
       .select(col(idCol).as("dropped_id"), col("cluster_id").as("kept_id"))
   }
 
+  /** Cross-source content-overlap matrix: for every pair of sources
+    * sharing at least one word `n`-gram, the distinct-shingle intersection
+    * size, both set sizes, and the containment coefficient
+    * `|A∩B| / min(|A|,|B|)` — the corpus-composition report that catches
+    * one crawl source republishing another (mirrors, scrapers) before both
+    * copies reach training. Containment, not Jaccard: a small source fully
+    * contained in a large one is exactly the case to surface, and Jaccard
+    * would bury it.
+    *
+    * Engine-exact: set sizes and intersections are integer counts; the
+    * coefficient is one IEEE division at the end.
+    *
+    * Scale shape: (source, shingle) distinct → self-join keyed on the
+    * shingle. Per-shingle fan-out is bounded by the SOURCE count (not the
+    * document count) — a shingle row meets at most `n_sources²` pairs, so
+    * the join never goes quadratic in documents. Corpus-stop-shingles
+    * (boilerplate present in every source) still dominate the key
+    * distribution; at 100 TB drop shingles above a df ceiling first (they
+    * carry no discriminating signal) or estimate per-pair intersections
+    * with HLL sketches ([[Sketches]]) instead of exact counts. */
+  def sourceOverlap(df: DataFrame, srcCol: String, textCol: String, n: Int): DataFrame = {
+    val sh = df
+      .select(col(srcCol).as("src"), explode(array_distinct(shingles(col(textCol), n))).as("shingle"))
+      .distinct()
+    val sizes = sh.groupBy("src").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.toDF("src_a", "shingle")
+      .join(sh.toDF("src_b", "shingle"), "shingle")
+      .where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.toDF("src_a", "n_a")), "src_a")
+      .join(broadcast(sizes.toDF("src_b", "n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_common"), col("n_a"), col("n_b"),
+        (col("n_common").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
+          .as("containment"))
+  }
+
   /** 64-bit SimHash on xxhash64 tokens — the codegen-friendly scale variant
     * (no md5 string churn; one 8-byte hash per token). One scan-stage pass
     * per document (org.apache.spark.sql.graft.SimHash64), zero shuffle. */

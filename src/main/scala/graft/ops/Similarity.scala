@@ -195,21 +195,32 @@ object Similarity {
     */
   def kmeansStep(emb: DataFrame, idCol: String, vecCol: String,
                  centroids: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import graft.functions.VectorFunctions.vectorSumF
-    val cents = centroids.select(col(idCol).as("cent_id"), col(vecCol).as("cvec"),
-      normF(col(vecCol)).as("cnorm"))
-    val vecs = emb.select(col(idCol), col(vecCol), normF(col(vecCol)).as("norm"))
-    val byVec = Window.partitionBy(idCol).orderBy(col("csim").desc, col("cent_id").asc)
-    val assigned = vecs.crossJoin(broadcast(cents))
-      .select(col(idCol), col("cent_id"), col(vecCol),
-        round(dotF(col(vecCol), col("cvec")) / (col("norm") * col("cnorm")), 6).as("csim"))
-      .withColumn("r", row_number().over(byVec))
-      .where(col("r") === 1)
+    val assigned = nearestCentroid(emb, idCol, vecCol, centroids)
     assigned.groupBy(col("cent_id").as("cell"))
       .agg(count(lit(1)).as("n_members"), vectorSumF(col(vecCol)).as("sums"))
       .select(col("cell"), col("n_members"),
         transform(col("sums"), x => x / col("n_members")).as("centroid"))
+  }
+
+  /** Nearest-centroid assignment shared by [[kmeansStep]] and
+    * [[semanticNearDupPairs]]: rounded cosine, ties to the lower centroid
+    * id. The centroid table broadcasts, so assignment is map-side; the
+    * per-vector argmax is a window keyed on the vector id (partitioned).
+    * Returns (idCol, cent_id, vecCol, norm). */
+  private def nearestCentroid(emb: DataFrame, idCol: String, vecCol: String,
+                              centroids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = centroids.select(col(idCol).as("cent_id"), col(vecCol).as("cvec"),
+      normF(col(vecCol)).as("cnorm"))
+    val vecs = emb.select(col(idCol), col(vecCol), normF(col(vecCol)).as("norm"))
+    val byVec = Window.partitionBy(idCol).orderBy(col("csim").desc, col("cent_id").asc)
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("csim",
+        round(dotF(col(vecCol), col("cvec")) / (col("norm") * col("cnorm")), 6))
+      .withColumn("r", row_number().over(byVec))
+      .where(col("r") === 1)
+      .select(col(idCol), col("cent_id"), col(vecCol), col("norm"))
   }
 
   /** Full Lloyd's k-means fit: md5-hashed deterministic seed (same rule as
@@ -230,7 +241,19 @@ object Similarity {
     * @return the final step's (cell, n_members, centroid) frame
     */
   def kmeansFit(emb: DataFrame, idCol: String, vecCol: String,
-                k: Int, iters: Int): DataFrame = {
+                k: Int, iters: Int): DataFrame =
+    kmeansLoop(emb, idCol, vecCol, k, iters)._1
+
+  /** The trained centroids of [[kmeansFit]] — the final step's rounded-to-
+    * 6dp FLOAT means, keyed by cell id, with `emb`'s own column names (so
+    * the frame feeds straight back into [[kmeansStep]], [[ivfTopK]]-style
+    * assignment, or [[semanticNearDupPairs]]). */
+  def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int): DataFrame =
+    kmeansLoop(emb, idCol, vecCol, k, iters)._2
+
+  private def kmeansLoop(emb: DataFrame, idCol: String, vecCol: String,
+                         k: Int, iters: Int): (DataFrame, DataFrame) = {
     require(k > 0 && iters > 0, s"kmeansFit: need k > 0, iters > 0; got k=$k iters=$iters")
     val spark = emb.sparkSession
     import spark.implicits._
@@ -247,7 +270,37 @@ object Similarity {
         .as[(Long, Array[Float])].collect().toSeq
       cents = local.toDF(idCol, vecCol)
     }
-    last
+    (last, cents)
+  }
+
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embeddings with [[kmeansFit]], then
+    * compare vectors ONLY within their cluster, emitting (cell, id_a,
+    * id_b, cos) for same-cell pairs with cosine ≥ `threshold`. Where
+    * [[nearDupPairs]] is exact-but-quadratic and [[lshNearDupPairs]]
+    * buckets by random signs, this is the semantic variant: k-means cells
+    * put *meaning-adjacent* documents in the same bucket, which is what
+    * catches paraphrases and re-encodings that share no shingles.
+    *
+    * Scale shape: assignment is map-side against broadcast centroids; the
+    * pair stage is a self-equi-join keyed on the cell — never a global
+    * cross join (the per-cell member count bounds the quadratic term, so
+    * pick k proportional to N/√target_pairs; SemDeDup used k≈11k for
+    * 5 B docs). Misses only near-dups that straddle a cell boundary —
+    * the price every IVF-family method pays; raise k and iters for purer
+    * cells, or run [[lshNearDupPairs]] alongside as a second recall net. */
+  def semanticNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                           k: Int, iters: Int, threshold: Double): DataFrame = {
+    val cents = kmeansCentroids(emb, idCol, vecCol, k, iters)
+    val assigned = nearestCentroid(emb, idCol, vecCol, cents)
+      .select(col(idCol), col("cent_id").as("cell"), col(vecCol), col("norm"))
+    val a = assigned.toDF("id_a", "cell", "va", "na")
+    val b = assigned.toDF("id_b", "cell", "vb", "nb")
+    a.join(b, Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("cell"), col("id_a"), col("id_b"),
+        round(dotF(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
+      .where(col("cos") >= threshold)
   }
 
   /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold) —

@@ -201,6 +201,34 @@ class PlanSpec extends SparkSpec {
     finalPlan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("corpus index/LM/BPE marts: partial aggs, heap-based cuts, no Expand (q79/q80/q81)") {
+    graft.core.CacheRegistry.scoped {
+      val bpe = planOf(SparkEntry.queries("q80_bpe_pairs")(spark, sf0001))
+      // top-k cut must be per-partition heaps, not a global sort
+      bpe should include("TakeOrderedAndProject")
+      bpe should not include "Expand"
+      for (q <- Seq("q79_lm_familiarity", "q81_inverted_index")) {
+        val plan = planOf(SparkEntry.queries(q)(spark, sf0001))
+        withClue(s"$q: ") {
+          plan should not include "CartesianProduct"
+          plan should not include "Expand"
+        }
+      }
+    }
+  }
+
+  test("source overlap and SemDeDup pair stages are equi-joins, never cartesian (q82/q83)") {
+    graft.core.CacheRegistry.scoped {
+      val overlap = planOf(SparkEntry.queries("q82_source_overlap")(spark, sf0001))
+      overlap should not include "CartesianProduct"
+      overlap should not include "BroadcastNestedLoopJoin"
+      val sem = planOf(SparkEntry.queries("q83_semantic_dedup")(spark, sf0001))
+      // centroid assignment IS a broadcast nested loop against k rows (the
+      // IVF design); the within-cell pair join must stay an equi join
+      sem should not include "CartesianProduct"
+    }
+  }
+
   test("queries stay inside whole-stage codegen (q01)") {
     // AQE hides the physical plan until execution — and count() runs a
     // CLONED QueryExecution, so collect() this one, then read the final plan

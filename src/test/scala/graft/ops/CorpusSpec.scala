@@ -46,6 +46,36 @@ class CorpusSpec extends SparkSpec {
     merged shouldBe direct
   }
 
+  test("familiarity: integer corpus-frequency sums, one division, OOV vs top-k vocab") {
+    val docs = Seq(
+      (1L, "a a b"),
+      (2L, "a b c"),
+      (3L, "z z")
+    ).toDF("doc_id", "text")
+    // corpus tf: a=3, b=2, c=1, z=2; top-2 vocab by (tf desc, term): a, b
+    val r = Corpus.familiarity(docs, "doc_id", "text", 2)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    r(1L) shouldBe ((1L, 3L, 8L, 8.0 / 3, 0.0))       // a,a,b → 3+3+2
+    r(2L) shouldBe ((2L, 3L, 6L, 2.0, 1.0 / 3))       // c is OOV
+    r(3L) shouldBe ((3L, 2L, 4L, 2.0, 1.0))           // all-OOV doc
+  }
+
+  test("bpePairCounts counts adjacent pairs; single-token docs contribute nothing") {
+    val docs = Seq((1L, "a b a b"), (2L, "b"), (3L, "a b")).toDF("doc_id", "text")
+    val r = Corpus.bpePairCounts(docs, "text", 10).as[(String, Long)].collect().toList
+    // doc1: "a b","b a","a b"; doc2: none; doc3: "a b"
+    r shouldBe List(("a b", 3L), ("b a", 1L))
+  }
+
+  test("invertedIndex: postings ascend by doc id, cap truncates, df is pre-cap") {
+    val docs = Seq((5L, "x y"), (2L, "x"), (9L, "x x")).toDF("doc_id", "text")
+    val r = Corpus.invertedIndex(docs, "doc_id", "text", 2)
+      .as[(String, Long, Long, Long)].collect().toSet
+    // cap=2 drops x's third posting (doc 9) but df_docs stays 3
+    r shouldBe Set(("x", 3L, 1L, 2L), ("x", 3L, 2L, 5L), ("y", 1L, 1L, 5L))
+  }
+
   private implicit class TripleOps(rows: Array[(Long, String, Double)]) {
     def toMap2: Map[Long, (String, Double)] =
       rows.map { case (id, t, s) => id -> (t, s) }.toMap

@@ -104,4 +104,15 @@ class DedupSpec extends SparkSpec {
     sig(1L) shouldBe sig(4L)
     java.lang.Long.bitCount(sig(1L) ^ sig(2L)) should be <= 24
   }
+
+  test("sourceOverlap: containment of the smaller set; disjoint sources absent") {
+    val d = Seq(
+      ("s1", "a b c d"), // 3-shingles: {a b c, b c d}
+      ("s2", "a b c x"), // {a b c, b c x} — shares one with s1
+      ("s3", "p q r s")  // disjoint
+    ).toDF("source", "text")
+    val r = Dedup.sourceOverlap(d, "source", "text", 3)
+      .as[(String, String, Long, Long, Long, Double)].collect().toList
+    r shouldBe List(("s1", "s2", 1L, 2L, 2L, 0.5))
+  }
 }

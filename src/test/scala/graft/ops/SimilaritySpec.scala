@@ -166,4 +166,27 @@ class SimilaritySpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     r shouldBe Set((1L, 2L))
   }
+
+  test("kmeansCentroids round-trips into kmeansStep with emb's column names") {
+    val e = graft.core.Tables.table(spark, sf0001, "embeddings")
+    val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", 8, 2)
+    cents.columns.toSeq shouldBe Seq("vec_id", "embedding")
+    cents.count() should be <= 8L
+    // feeding them back assigns every vector to exactly one cell
+    val step = Similarity.kmeansStep(e, "vec_id", "embedding", cents)
+    step.agg(sum("n_members")).as[Long].head() shouldBe e.count()
+  }
+
+  test("semanticNearDupPairs = the within-cell subset of the exact pairs") {
+    val e = graft.core.Tables.table(spark, sf0001, "embeddings")
+    val sem = Similarity.semanticNearDupPairs(e, "vec_id", "embedding", 8, 2, 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Similarity.nearDupPairs(e, "vec_id", "embedding", 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    sem.nonEmpty shouldBe true
+    sem.subsetOf(exact) shouldBe true
+    // the k-means bucketing must retain a usable share of the true pairs
+    // (cells are meaning-adjacent, so near-dups mostly co-locate)
+    sem.size.toDouble / exact.size.toDouble should be >= 0.3
+  }
 }
