@@ -416,6 +416,23 @@ object SparkEntry {
     "q83_semantic_dedup" -> ((s, dir) =>
       Similarity.semanticNearDupPairs(
         t(s, dir, "embeddings"), "vec_id", "embedding", 8, 2, 0.3)),
+    // ±2-token co-occurrence with PMI-style lift (ratio form, engine-exact)
+    "q84_cooccurrence" -> ((s, dir) =>
+      graft.ops.Corpus.cooccurrence(t(s, dir, "documents"), "text", 2, 300)),
+    // feature-hashing vectorizer: model-free 16-dim signed-count embedding
+    "q85_hash_embed" -> ((s, dir) =>
+      graft.ops.Embeddings.hashEmbed(t(s, dir, "documents"), "doc_id", "text", 16)),
+    // BM25 corpus ranking against a fixed query (k1/b chosen exactly
+    // float-representable so every constant is bit-identical cross-engine)
+    "q86_bm25" -> ((s, dir) =>
+      graft.ops.Corpus.bm25(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "table", "agg"), 1.5, 0.75, 50)),
+    // join-key skew profile + salt-factor recommendation on the orders fact
+    "q87_skew_profile" -> ((s, dir) =>
+      graft.ops.Joins.skewProfile(t(s, dir, "orders"), "o_custkey", 10, 50)),
+    // hourly volume-spike flags (integer moments → engine-exact z-scores)
+    "q88_event_spikes" -> ((s, dir) =>
+      graft.ops.EventAnalytics.hourlySpikes(t(s, dir, "events"), "ts", "event_type", 3.0)),
     // first-order Markov transition counts over each user's event sequence
     "q75_transitions" -> ((s, dir) =>
       graft.ops.EventAnalytics.transitionCounts(
@@ -1444,6 +1461,85 @@ object SparkEntry {
         |FROM inter i JOIN sizes sa ON i.src_a = sa.src
         |JOIN sizes sb ON i.src_b = sb.src""".stripMargin,
     "q83_semantic_dedup" -> semanticDedupSql,
+    "q84_cooccurrence" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents),
+        |pr AS (SELECT unnest(flatten(list_transform(generate_series(1, len(ts) - 1),
+        |        i -> list_transform(generate_series(i + 1, least(i + 2, len(ts))),
+        |        j -> CASE WHEN ts[i] <= ts[j] THEN ts[i] || ' ' || ts[j]
+        |                  ELSE ts[j] || ' ' || ts[i] END)))) AS pair
+        |      FROM t WHERE len(ts) >= 2),
+        |pc AS (SELECT pair, CAST(count(*) AS BIGINT) AS n_ab FROM pr GROUP BY 1),
+        |tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |tc AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tok)
+        |SELECT split_part(pair, ' ', 1) AS term_a, split_part(pair, ' ', 2) AS term_b,
+        |  n_ab, a.n AS n_a, b.n AS n_b,
+        |  CAST(n_ab AS DOUBLE) * CAST(n_total AS DOUBLE)
+        |    / (CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE)) AS lift
+        |FROM pc JOIN tc a ON split_part(pair, ' ', 1) = a.term
+        |JOIN tc b ON split_part(pair, ' ', 2) = b.term
+        |CROSS JOIN tot
+        |ORDER BY n_ab DESC, term_a, term_b LIMIT 300""".stripMargin,
+    "q85_hash_embed" -> {
+      val nib9 = "(strpos('0123456789abcdef', substr(md5(CAST(tok AS VARCHAR)), 9, 1)) - 1)"
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |h AS (SELECT doc_id,
+         |        CAST(${md5ModSql("tok", 16)} AS INTEGER) AS dim,
+         |        CAST(($nib9 % 2) * 2 - 1 AS BIGINT) AS sign
+         |      FROM tok)
+         |SELECT doc_id, dim, CAST(sum(sign) AS BIGINT) AS val
+         |FROM h GROUP BY 1, 2 HAVING sum(sign) <> 0""".stripMargin
+    },
+    "q86_bm25" ->
+      """WITH dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |            FROM documents),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |          CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+        |qt AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+        |         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |       WHERE term IN ('spark', 'table', 'agg') GROUP BY 1, 2),
+        |dfd AS (SELECT term, CAST(count(*) AS BIGINT) AS df_docs FROM qt GROUP BY 1),
+        |sc AS (SELECT q.doc_id, q.term,
+        |        ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_docs AS DOUBLE) + 0.5)
+        |          / (CAST(df_docs AS DOUBLE) + 0.5))
+        |         * (CAST(tf AS DOUBLE) * 2.5)
+        |         / (CAST(tf AS DOUBLE) + 1.5 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS s
+        |      FROM qt q JOIN dfd USING (term) JOIN dl USING (doc_id) CROSS JOIN tot),
+        |ag AS (SELECT doc_id,
+        |        sum(CASE WHEN term = 'spark' THEN s END) AS s0,
+        |        sum(CASE WHEN term = 'table' THEN s END) AS s1,
+        |        sum(CASE WHEN term = 'agg' THEN s END) AS s2
+        |      FROM sc GROUP BY 1)
+        |SELECT doc_id, round(coalesce(s0, 0) + coalesce(s1, 0) + coalesce(s2, 0), 6) AS bm25
+        |FROM ag ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin,
+    "q87_skew_profile" ->
+      """WITH c AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
+        |           FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM c)
+        |SELECT o_custkey, cnt, CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
+        |  greatest(CAST(1 AS BIGINT),
+        |    CAST(ceil(CAST(cnt AS DOUBLE) / 10.0) AS BIGINT)) AS salt_factor
+        |FROM c CROSS JOIN t ORDER BY cnt DESC, o_custkey LIMIT 50""".stripMargin,
+    "q88_event_spikes" ->
+      """WITH hourly AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+        |    CAST(sum(cnt) AS BIGINT) AS s1, CAST(sum(cnt * cnt) AS BIGINT) AS s2
+        |  FROM hourly GROUP BY 1),
+        |stx AS (
+        |  SELECT event_type,
+        |    CAST(s1 AS DOUBLE) / CAST(n_hours AS DOUBLE) AS mean,
+        |    CASE WHEN n_hours > 1 THEN sqrt(
+        |      CAST(n_hours * s2 - s1 * s1 AS DOUBLE)
+        |      / CAST(n_hours * (n_hours - 1) AS DOUBLE)) END AS sd
+        |  FROM st)
+        |SELECT h.hour, h.event_type, h.cnt, round(mean, 6) AS mean_cnt,
+        |  round(sd, 6) AS sd_cnt,
+        |  coalesce(CAST(h.cnt AS DOUBLE) > mean + 3 * sd, false) AS is_spike
+        |FROM hourly h JOIN stx USING (event_type)""".stripMargin,
     "q75_transitions" ->
       """WITH o AS (
         |  SELECT event_type,

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{ColumnBridge, MinGramMd5, MinHashSig, SimHash16, SimHash64, WordShingles}
+import org.apache.spark.sql.graft.{ColumnBridge, HashEmbed, MinGramMd5, MinHashSig, SimHash16, SimHash64, WordShingles}
 
 /** Column-level API over the native text expressions (implementation in
   * `org.apache.spark.sql.graft.TextExpressions`). */
@@ -16,6 +16,11 @@ object TextFunctions {
     * empty shingle arrays. */
   def minHashSig(shingles: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), numHashes))
+
+  /** d-dim signed feature-hashing counts, one pass per row (zero
+    * shuffle); see [[graft.ops.Embeddings.hashEmbed]] for the operator. */
+  def hashEmbedVec(text: Column, d: Int): Column =
+    ColumnBridge.column(HashEmbed(ColumnBridge.expression(text), d))
 
   /** 16-bit md5-nibble SimHash, one pass per row (zero shuffle). */
   def simHash16(text: Column): Column =

@@ -135,6 +135,105 @@ object Corpus {
       .select(col("term"), col("df_docs"), col("slot"), col("doc").as(idCol))
   }
 
+  /** Windowed term co-occurrence with PMI-style lift: unordered term
+    * pairs within ±`window` tokens, cut to the top-`k` by pair count, each
+    * with its components' corpus counts and
+    * `lift = n_ab·N / (n_a·n_b)` — the ratio inside the PMI log. The raw
+    * ratio keeps the operator engine-exact (see [[tfidfTopTerms]] for the
+    * same reasoning); callers wanting true PMI take `ln` of it.
+    * Association mining over a corpus — the statistics phrase detection
+    * and static-embedding training start from.
+    *
+    * Scale shape: pair generation runs in the scan stage (nested
+    * `transform` over the token array — no join, no positional explode);
+    * what shuffles is the (pair) hash-agg with map-side combine, then a
+    * TakeOrderedAndProject cut. Output is bounded by `k`. */
+  def cooccurrence(df: DataFrame, textCol: String, window: Int, k: Int): DataFrame = {
+    require(window >= 1, s"cooccurrence: window must be >= 1, got $window")
+    val ts = split(col(textCol), " ")
+    val pairList = flatten(transform(
+      sequence(lit(0), size(ts) - 2),
+      i => transform(
+        sequence(i + 1, least(i + lit(window), size(ts) - 1)),
+        j => {
+          val a = element_at(ts, i + 1)
+          val b = element_at(ts, j + 1)
+          when(a <= b, concat_ws(" ", a, b)).otherwise(concat_ws(" ", b, a))
+        })))
+    val pairs = df.where(size(ts) >= 2) // sequence(0, -1) would count down
+      .select(explode(pairList).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n_ab"))
+      .select(
+        substring_index(col("pair"), " ", 1).as("term_a"),
+        substring_index(col("pair"), " ", -1).as("term_b"),
+        col("n_ab"))
+    val toks = df.select(explode(split(col(textCol), " ")).as("term"))
+    val counts = toks.groupBy("term").agg(count(lit(1)).as("n"))
+    val total = toks.select(count(lit(1)).as("n_total"))
+    pairs
+      .join(counts.toDF("term_a", "n_a"), "term_a")
+      .join(counts.toDF("term_b", "n_b"), "term_b")
+      .crossJoin(broadcast(total))
+      .select(col("term_a"), col("term_b"), col("n_ab"), col("n_a"), col("n_b"),
+        (col("n_ab").cast("double") * col("n_total").cast("double")
+          / (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
+      .orderBy(col("n_ab").desc, col("term_a"), col("term_b"))
+      .limit(k)
+  }
+
+  /** BM25 retrieval scoring against a FIXED literal query: the top-`topK`
+    * documents by Lucene-form BM25
+    * (`idf = ln(1 + (N−df+0.5)/(df+0.5))`, tf part
+    * `tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`). The per-document total is
+    * a FIXED-ORDER sum of the per-term scores (one conditional-agg column
+    * per query term, added left-to-right), not a float sum whose
+    * accumulation order varies with partitioning — that plus the final
+    * 6 dp round keeps scores reproducible across engines. Ranking the
+    * whole corpus against a query is the retrieval-side read path of the
+    * [[invertedIndex]] this engine also builds.
+    *
+    * Scale shape: the term filter hits the scan (only query-term tokens
+    * survive the explode); doc lengths are one hash-agg over the corpus;
+    * everything else is per-surviving-doc arithmetic plus a
+    * TakeOrderedAndProject cut. The df/N/avgdl side inputs are single
+    * rows or |Q| rows — broadcast. */
+  def bm25(df: DataFrame, idCol: String, textCol: String, query: Seq[String],
+           k1: Double, b: Double, topK: Int): DataFrame = {
+    require(query.nonEmpty, "bm25: query must be non-empty")
+    val docLen = df.select(col(idCol), size(split(col(textCol), " ")).cast("long").as("dl"))
+    val totals = docLen.agg(
+      count(lit(1)).as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val qtf = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .where(col("term").isin(query: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfDocs = qtf.groupBy("term").agg(count(lit(1)).as("df_docs"))
+    val scored = qtf
+      .join(broadcast(dfDocs), "term")
+      .join(docLen, idCol)
+      .crossJoin(broadcast(totals))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs").cast("double") - col("df_docs").cast("double") + 0.5)
+          / (col("df_docs").cast("double") + 0.5)))
+      .withColumn("s",
+        col("idf") * (col("tf").cast("double") * lit(k1 + 1))
+          / (col("tf").cast("double")
+            + lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+    // one column per query term, summed in query order → deterministic
+    val perTerm = query.zipWithIndex.map { case (q, i) =>
+      sum(when(col("term") === q, col("s"))).as(s"s_$i")
+    }
+    val total = query.indices
+      .map(i => coalesce(col(s"s_$i"), lit(0.0)))
+      .reduce(_ + _)
+    scored.groupBy(col(idCol))
+      .agg(perTerm.head, perTerm.tail: _*)
+      .select(col(idCol), round(total, 6).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** Per-document top-`k` terms by TF-IDF. The idf is the RAW ratio
     * `n_docs / df` (no logarithm): ln() is libm-dependent and not
     * bit-identical across engines, while IEEE division is — so the score

@@ -39,4 +39,47 @@ object Embeddings {
     * scale/2 = max|x|/254. */
   def dequantize(df: DataFrame, qvecCol: String, scaleCol: String): Column =
     transform(col(qvecCol), q => (q.cast("double") * col(scaleCol)).cast("float"))
+
+  /** Feature-hashing ("hashing trick") text vectorizer: each token lands
+    * in dimension `md5(token) mod d` with a ±1 sign drawn from an
+    * independent md5 nibble, and the document's vector is the signed
+    * count per dimension — a model-free embedding that lets every
+    * vector operator in this library ([[Similarity]] ANN, k-means,
+    * [[quantizeInt8]]) run on corpora that have no trained encoder.
+    * Signed hashing keeps collisions mean-zero (Weinberger et al. 2009).
+    * md5, not xxhash64, so the vectors are engine-reproducible; counts
+    * are integers, so results are exact.
+    *
+    * Output is the SPARSE exploded layout (id, dim, val), val ≠ 0 —
+    * the shape that joins/aggregates without materializing d-wide
+    * arrays; densify at the consumer if a fixed-width vector is needed.
+    *
+    * Scale shape: the d-long accumulator is computed per row by a native
+    * one-pass kernel (org.apache.spark.sql.graft.HashEmbed — the
+    * [[graft.functions.TextFunctions.simHash64]] pattern), then
+    * posexplode + non-zero filter, ALL in the scan stage: zero shuffle,
+    * zero token movement. [[hashEmbedAgg]] is the explode+groupBy
+    * formulation kept as the kernel's equivalence oracle. */
+  def hashEmbed(df: DataFrame, idCol: String, textCol: String, d: Int): DataFrame = {
+    require(d >= 2, s"hashEmbed: need d >= 2 dims, got $d")
+    df.select(col(idCol),
+        posexplode(graft.functions.TextFunctions.hashEmbedVec(col(textCol), d))
+          .as(Seq("dim", "val")))
+      .where(col("val") =!= 0)
+  }
+
+  /** Aggregation formulation of [[hashEmbed]] — shuffles O(tokens); the
+    * per-group integer sums equal the kernel's per-row sums exactly
+    * (integer addition is order-free), which the spec pins. */
+  def hashEmbedAgg(df: DataFrame, idCol: String, textCol: String, d: Int): DataFrame = {
+    require(d >= 2, s"hashEmbedAgg: need d >= 2 dims, got $d")
+    val tok = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .withColumn("dim", Sampling.md5Mod(col("tok"), d.toLong).cast("int"))
+      .withColumn("sign",
+        pmod(conv(substring(md5(col("tok")), 9, 1), 16, 10).cast("long"), lit(2L))
+          .cast("long") * 2L - 1L)
+    tok.groupBy(col(idCol), col("dim"))
+      .agg(sum("sign").as("val"))
+      .where(col("val") =!= 0)
+  }
 }

@@ -89,4 +89,43 @@ object EventAnalytics {
       .groupBy("cohort_week", "week_offset")
       .agg(countDistinct(col(userCol)).as("active_users"))
   }
+
+  /** Volume-spike detection on hourly event counts: flags (hour, type)
+    * buckets whose count exceeds `mean + z·stddev` of that type's hourly
+    * counts — the monitoring mart that catches a bot burst or an
+    * instrumentation bug before the events poison downstream marts.
+    *
+    * Engine-exact by construction: counts are integers, so the moments
+    * Σc and Σc² are BIGINT sums (order-free); mean and sample variance
+    * `(n·Σc² − (Σc)²) / (n·(n−1))` are fixed-order IEEE expressions over
+    * those integers, and `sqrt` is correctly rounded — no float
+    * accumulation anywhere, unlike a built-in `stddev` whose partial-sum
+    * order varies with partitioning. Statistics run over the OBSERVED
+    * hours of each type (zero-event hours are absent — left-join a
+    * calendar spine first if silence should count). Types with a single
+    * observed hour get a null stddev and are never flagged.
+    *
+    * Scale shape: two hash-aggs with map-side partials (hour-bucket, then
+    * per-type moments) and one broadcast join of the per-type stats (rows
+    * = |types|) back onto the hourly counts. */
+  def hourlySpikes(events: DataFrame, tsCol: String, typeCol: String,
+                   z: Double): DataFrame = {
+    require(z > 0, s"hourlySpikes: z must be > 0, got $z")
+    val hourly = events
+      .groupBy(date_trunc("hour", col(tsCol)).as("hour"), col(typeCol))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = hourly.groupBy(typeCol)
+      .agg(count(lit(1)).as("n_hours"), sum("cnt").as("s1"),
+        sum(col("cnt") * col("cnt")).as("s2"))
+      .withColumn("mean", col("s1").cast("double") / col("n_hours").cast("double"))
+      .withColumn("sd", when(col("n_hours") > 1,
+        sqrt((col("n_hours") * col("s2") - col("s1") * col("s1")).cast("double")
+          / (col("n_hours") * (col("n_hours") - 1)).cast("double"))))
+    hourly.join(broadcast(stats.select(col(typeCol), col("mean"), col("sd"))), typeCol)
+      .select(col("hour"), col(typeCol), col("cnt"),
+        round(col("mean"), 6).as("mean_cnt"),
+        round(col("sd"), 6).as("sd_cnt"),
+        coalesce(col("cnt").cast("double") > col("mean") + lit(z) * col("sd"),
+          lit(false)).as("is_spike"))
+  }
 }

@@ -137,4 +137,32 @@ object Joins {
       explode(sequence(lit(0), lit(salt - 1))))
     bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Join-key skew profile — the diagnostic that decides whether
+    * [[saltedEquiJoin]] (and what salt factor) is needed BEFORE a job
+    * falls over on one reducer: the top-`topK` heaviest keys with their
+    * row counts, share of the table, and the salt factor that would cap
+    * each at `targetRowsPerTask` rows per reducer
+    * (`ceil(cnt / targetRowsPerTask)`, floor 1). Keyed to a literal
+    * row-count target rather than the session's parallelism so the
+    * recommendation is a property of the DATA, reproducible anywhere.
+    *
+    * Scale shape: one hash-agg on the key with map-side combine, a
+    * broadcast single-row total, a TakeOrderedAndProject cut. */
+  def skewProfile(df: DataFrame, keyCol: String,
+                  targetRowsPerTask: Long, topK: Int): DataFrame = {
+    require(targetRowsPerTask > 0 && topK > 0,
+      s"skewProfile: need targetRowsPerTask > 0 and topK > 0; " +
+        s"got $targetRowsPerTask, $topK")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("n_total"))
+    counts.crossJoin(broadcast(total))
+      .select(col(keyCol), col("cnt"),
+        (col("cnt").cast("double") / col("n_total").cast("double")).as("share"),
+        greatest(lit(1L),
+          ceil(col("cnt").cast("double") / targetRowsPerTask.toDouble).cast("long"))
+          .as("salt_factor"))
+      .orderBy(col("cnt").desc, col(keyCol))
+      .limit(topK)
+  }
 }

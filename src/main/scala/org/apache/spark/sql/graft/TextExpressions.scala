@@ -146,6 +146,30 @@ object TextKernels {
     sig
   }
 
+  /** Signed feature-hashing ("hashing trick") counts, one pass per
+    * document: token t votes ±1 (sign = parity of md5 hex nibble 9) into
+    * dimension `(first 8 md5 hex nibbles as uint32) mod d`. Identical to
+    * the explode → md5 arithmetic → groupBy(id, dim) formulation (which
+    * shuffles the whole token stream; this moves nothing) — integer
+    * accumulation is order-free, so per-row and per-group summation agree
+    * exactly. Returns all d dimensions including zeros; callers keep the
+    * sparse non-zero slice. */
+  def hashEmbed(text: UTF8String, d: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val votes = new Array[Long](d)
+    var t = 0
+    while (t < toks.length) {
+      val h = md5Hex(toks(t))
+      var v = 0L
+      var i = 0
+      while (i < 8) { v = (v << 4) | Character.digit(h.charAt(i), 16); i += 1 }
+      val sign = if ((Character.digit(h.charAt(8), 16) & 1) == 1) 1L else -1L
+      votes((v % d).toInt) += sign
+      t += 1
+    }
+    new GenericArrayData(votes)
+  }
+
   /** Winnowing-style minimum over character 8-gram md5s; full-doc md5 for
     * texts shorter than 8 chars. Identical to the
     * `array_min(transform(sequence(1, len-7), i -> md5(substr(text, i, 8))))`
@@ -248,6 +272,23 @@ case class SimHash64(child: Expression) extends UnaryExpression {
       s"org.apache.spark.sql.graft.TextKernels.simHash64($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** `hash_embed(text, d)` → array<bigint> of d signed hash-trick counts
+  * (see [[TextKernels.hashEmbed]]). */
+case class HashEmbed(child: Expression, d: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hash_embed"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.hashEmbed(input.asInstanceOf[UTF8String], d)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.TextKernels.hashEmbed($c, $d)")
+
+  override protected def withNewChildInternal(newChild: Expression): HashEmbed =
     copy(child = newChild)
 }
 

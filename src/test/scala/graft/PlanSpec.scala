@@ -229,6 +229,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("hash-embed vectorizer runs entirely in the scan stage: zero exchanges (q85)") {
+    // native per-row kernel + posexplode + filter — no token ever shuffles
+    val plan = planOf(SparkEntry.queries("q85_hash_embed")(spark, sf0001))
+    plan should not include "Exchange"
+  }
+
   test("queries stay inside whole-stage codegen (q01)") {
     // AQE hides the physical plan until execution — and count() runs a
     // CLONED QueryExecution, so collect() this one, then read the final plan

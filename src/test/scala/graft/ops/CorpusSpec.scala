@@ -46,6 +46,38 @@ class CorpusSpec extends SparkSpec {
     merged shouldBe direct
   }
 
+  test("cooccurrence: all within-window unordered pairs, exact ratio lift") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    // window 2 covers every pair of this doc; N=3, each term count 1
+    val r = Corpus.cooccurrence(docs, "text", 2, 10)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSet
+    r shouldBe Set(
+      ("a", "b", 1L, 1L, 1L, 3.0),
+      ("a", "c", 1L, 1L, 1L, 3.0),
+      ("b", "c", 1L, 1L, 1L, 3.0))
+  }
+
+  test("cooccurrence window 1 = adjacent pairs only, canonically ordered") {
+    val docs = Seq((1L, "b a b")).toDF("doc_id", "text")
+    // adjacencies (b,a) and (a,b) both canonicalize to "a b"
+    val r = Corpus.cooccurrence(docs, "text", 1, 10)
+      .as[(String, String, Long, Long, Long, Double)].collect().toList
+    r shouldBe List(("a", "b", 2L, 1L, 2L, 3.0))
+  }
+
+  test("bm25: a rare query term outranks a common one; every matching doc scored") {
+    val docs = Seq(
+      (1L, "x rare"),
+      (2L, "x x x x"),
+      (3L, "x")
+    ).toDF("doc_id", "text")
+    val r = Corpus.bm25(docs, "doc_id", "text", Seq("rare", "x"), 1.5, 0.75, 10)
+      .as[(Long, Double)].collect()
+    r.map(_._1).toSet shouldBe Set(1L, 2L, 3L)
+    r.head._1 shouldBe 1L // idf(rare) ≫ idf(x): doc 1 must rank first
+    all(r.map(_._2)) should be > 0.0
+  }
+
   test("familiarity: integer corpus-frequency sums, one division, OOV vs top-k vocab") {
     val docs = Seq(
       (1L, "a a b"),

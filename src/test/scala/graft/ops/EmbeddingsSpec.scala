@@ -47,6 +47,29 @@ class EmbeddingsSpec extends SparkSpec {
     r.values.toList.sorted shouldBe List(3L, 3L)
   }
 
+  test("hashEmbed: deterministic dims, signed integer accumulation, sparse output") {
+    val docs = Seq((1L, "tok tok tok"), (2L, "tok")).toDF("doc_id", "text")
+    val r = Embeddings.hashEmbed(docs, "doc_id", "text", 16)
+      .as[(Long, Int, Long)].collect()
+    val byDoc = r.groupBy(_._1)
+    byDoc(1L).size shouldBe 1                 // one distinct token → one dim
+    val (dim1, v1) = (byDoc(1L).head._2, byDoc(1L).head._3)
+    math.abs(v1) shouldBe 3L                  // same token accumulates with one sign
+    byDoc(2L).head._2 shouldBe dim1           // same token → same dim across docs
+    v1 / 3 shouldBe byDoc(2L).head._3         // and the same sign
+    dim1 should (be >= 0 and be < 16)
+  }
+
+  test("hashEmbed kernel == explode+groupBy formulation on real documents") {
+    val docs = graft.core.Tables.table(spark, sf0001, "documents")
+    val kernel = Embeddings.hashEmbed(docs, "doc_id", "text", 16)
+      .as[(Long, Int, Long)].collect().toSet
+    val agg = Embeddings.hashEmbedAgg(docs, "doc_id", "text", 16)
+      .as[(Long, Int, Long)].collect().toSet
+    kernel shouldBe agg
+    kernel.nonEmpty shouldBe true
+  }
+
   private implicit class TripleOps(rows: Array[(Long, Double, Array[Int])]) {
     def toMap2: Map[Long, (Double, Array[Int])] =
       rows.map { case (id, s, q) => id -> (s, q) }.toMap

@@ -83,4 +83,23 @@ class EventAnalyticsSpec extends SparkSpec {
       ("2024-01-01 00:00:00", 1L, 1L),
       ("2024-01-08 00:00:00", 0L, 1L))
   }
+
+  test("hourlySpikes: exact integer moments; singleton types never flag") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // type A hourly counts 1,1,1,10: mean 3.25, sd sqrt((4·103−169)/12) = 4.5
+    val a = Seq("00", "01", "02").map(h => (ts(s"2026-01-01 $h:10:00"), "A")) ++
+      (1 to 10).map(m => (ts(f"2026-01-01 03:$m%02d:00"), "A"))
+    val b = Seq((ts("2026-01-01 00:30:00"), "B")) // single observed hour
+    val events = (a ++ b).toDF("ts", "event_type")
+    val r = EventAnalytics.hourlySpikes(events, "ts", "event_type", 1.0)
+      .select($"hour".cast("string"), $"event_type", $"cnt", $"mean_cnt", $"sd_cnt",
+        $"is_spike")
+      .as[(String, String, Long, Double, Option[Double], Boolean)].collect()
+    val byKey = r.map(x => (x._1, x._2) -> x).toMap
+    byKey(("2026-01-01 03:00:00", "A")) shouldBe
+      (("2026-01-01 03:00:00", "A", 10L, 3.25, Some(4.5), true)) // 10 > 3.25+4.5
+    byKey(("2026-01-01 00:00:00", "A"))._6 shouldBe false
+    byKey(("2026-01-01 00:00:00", "B")) shouldBe
+      (("2026-01-01 00:00:00", "B", 1L, 1.0, None, false)) // null sd, never flagged
+  }
 }

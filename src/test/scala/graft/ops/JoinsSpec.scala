@@ -169,4 +169,12 @@ class JoinsSpec extends SparkSpec {
       Joins.asOfJoin(left, empty, "k", "lt", "rt")
     }
   }
+
+  test("skewProfile: heavy keys first, exact share, ceil salt recommendation") {
+    val df = (Seq.fill(25)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L)).toDF("k")
+    val r = Joins.skewProfile(df, "k", 10, 2)
+      .as[(Long, Long, Double, Long)].collect().toList
+    // top-2 cut: key 3 (count 1) falls out; 25 rows at 10/task → salt 3
+    r shouldBe List((1L, 25L, 25.0 / 29, 3L), (2L, 3L, 3.0 / 29, 1L))
+  }
 }
