@@ -433,6 +433,14 @@ object SparkEntry {
     // hourly volume-spike flags (integer moments → engine-exact z-scores)
     "q88_event_spikes" -> ((s, dir) =>
       graft.ops.EventAnalytics.hourlySpikes(t(s, dir, "events"), "ts", "event_type", 3.0)),
+    // the per-doc curation decision table: every quality signal + verdict
+    "q89_scorecard" -> ((s, dir) =>
+      graft.ops.Quality.curationScorecard(
+        t(s, dir, "documents"), "doc_id", "text", 40, 0.99, 0.9)),
+    // class prototypes: per-label mean embedding via the native vector-sum
+    // aggregate (one label-keyed shuffle of (labels × dim) doubles)
+    "q91_label_centroids" -> ((s, dir) =>
+      graft.ops.Embeddings.labelCentroids(t(s, dir, "embeddings"), "label", "embedding")),
     // first-order Markov transition counts over each user's event sequence
     "q75_transitions" -> ((s, dir) =>
       graft.ops.EventAnalytics.transitionCounts(
@@ -1540,6 +1548,52 @@ object SparkEntry {
         |  round(sd, 6) AS sd_cnt,
         |  coalesce(CAST(h.cnt AS DOUBLE) > mean + 3 * sd, false) AS is_spike
         |FROM hourly h JOIN stx USING (event_type)""".stripMargin,
+    "q89_scorecard" ->
+      s"""WITH feats AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len,
+         |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+         |      / CAST(length(text) AS DOUBLE) AS punct_ratio,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |        w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+         |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+         |    $qualityCaseSql AS quality
+         |  FROM documents),
+         |rep AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(grams) <= 0 THEN 1.0
+         |         ELSE CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE)
+         |    END AS distinct_ngram_ratio
+         |  FROM (SELECT doc_id, list_transform(generate_series(1, len(ts) - 2),
+         |          i -> array_to_string(ts[i:i+2], ' ')) AS grams
+         |        FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents))),
+         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |stats AS (SELECT term, count(*) AS tf FROM toks GROUP BY 1),
+         |vocab AS (SELECT term FROM stats ORDER BY tf DESC, term LIMIT 40),
+         |fam AS (
+         |  SELECT doc_id,
+         |    CAST(sum(tf) AS DOUBLE) / count(*) AS familiarity,
+         |    CAST(count(*) - sum(CASE WHEN iv THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / count(*) AS oov_rate
+         |  FROM (SELECT t.doc_id, s.tf, v.term IS NOT NULL AS iv
+         |        FROM toks t JOIN stats s USING (term) LEFT JOIN vocab v USING (term))
+         |  GROUP BY 1)
+         |SELECT f.doc_id, f.n_tokens, f.avg_token_len, f.punct_ratio,
+         |  f.stopword_ratio, f.quality, r.distinct_ngram_ratio,
+         |  m.familiarity, m.oov_rate,
+         |  (f.quality <> 'low' AND r.distinct_ngram_ratio >= 0.99
+         |    AND m.oov_rate <= 0.9) AS keep
+         |FROM feats f JOIN rep r USING (doc_id) JOIN fam m USING (doc_id)""".stripMargin,
+    "q91_label_centroids" ->
+      """WITH m AS (
+        |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |    unnest(generate_series(0, len(embedding) - 1)) AS dim
+        |  FROM embeddings)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(dim AS INTEGER) AS dim, round(avg(v), 6) AS mean_val
+        |FROM m GROUP BY label, dim""".stripMargin,
     "q75_transitions" ->
       """WITH o AS (
         |  SELECT event_type,

@@ -68,6 +68,27 @@ object Embeddings {
       .where(col("val") =!= 0)
   }
 
+  /** Per-label mean embedding (class prototypes): the nearest-class-mean
+    * classifier's model, label-balance QA, and the seed for supervised
+    * cluster analysis — one row per (label, dim) with the member count
+    * and 6 dp-rounded element mean.
+    *
+    * Scale shape: ONE hash-agg keyed on the label using the native
+    * [[graft.functions.VectorFunctions.vectorSumF]] array aggregate, so
+    * partial per-label sums combine map-side and the shuffle carries
+    * (labels × dim) doubles — never the N·d element rows a
+    * posexplode-first formulation would move (same design as
+    * [[Similarity.kmeansStep]]). */
+  def labelCentroids(emb: DataFrame, labelCol: String, vecCol: String): DataFrame = {
+    import graft.functions.VectorFunctions.vectorSumF
+    emb.groupBy(col(labelCol))
+      .agg(count(lit(1)).as("n_members"), vectorSumF(col(vecCol)).as("sums"))
+      .select(col(labelCol), col("n_members"),
+        posexplode(transform(col("sums"), x => x / col("n_members")))
+          .as(Seq("dim", "mean_val")))
+      .withColumn("mean_val", round(col("mean_val"), 6))
+  }
+
   /** Aggregation formulation of [[hashEmbed]] — shuffles O(tokens); the
     * per-group integer sums equal the kernel's per-row sums exactly
     * (integer addition is order-free), which the spec pins. */

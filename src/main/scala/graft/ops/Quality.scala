@@ -108,4 +108,39 @@ object Quality {
       .withColumn("is_outlier",
         when(v.isNull, lit(false)).otherwise(abs(v - col("med")) > col("mad") * k))
   }
+
+  /** Per-document curation scorecard: every quality signal this library
+    * computes, side by side, with the final keep/drop verdict — the
+    * decision table a curation run materializes so that "why was this
+    * document dropped" is a lookup, not a re-computation. Columns:
+    * [[graft.ops.TextStats.qualityFeatures]] (token/punct/stopword stats
+    * + tier), the 3-gram repetition ratio, and
+    * [[graft.ops.Corpus.familiarity]] (corpus-frequency score + OOV
+    * rate). `keep` = tier above low AND repetition ratio ≥
+    * `minNgramRatio` AND OOV rate ≤ `maxOovRate`.
+    *
+    * Scale shape: features and repetition are computed in ONE scan (the
+    * text column rides through [[graft.ops.TextStats.qualityFeatures]]'s
+    * carry mechanism — no second scan, no self-join); familiarity adds
+    * its stats join; the final assembly is one equi-join on the doc id.
+    */
+  def curationScorecard(df: DataFrame, idCol: String, textCol: String,
+                        vocabK: Int, minNgramRatio: Double,
+                        maxOovRate: Double): DataFrame = {
+    val sh = Dedup.shingles(col(textCol), 3)
+    val withRep = TextStats
+      .qualityFeatures(df, idCol, textCol, carryCols = Seq(textCol))
+      .withColumn("distinct_ngram_ratio",
+        when(size(sh) <= 0, lit(1.0))
+          .otherwise(size(array_distinct(sh)).cast("double")
+            / size(sh).cast("double")))
+      .drop(textCol, "n_chars")
+    val fam = Corpus.familiarity(df, idCol, textCol, vocabK)
+      .select(col(idCol), col("familiarity"), col("oov_rate"))
+    withRep.join(fam, Seq(idCol))
+      .withColumn("keep",
+        col("quality") =!= "low"
+          && col("distinct_ngram_ratio") >= minNgramRatio
+          && col("oov_rate") <= maxOovRate)
+  }
 }

@@ -15,6 +15,34 @@ class DedupClustersSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 7L)
   }
 
+  test("clusters match a union-find reference on random pair graphs") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val n = 30
+      val ids = (0L until n.toLong).toList
+      val pairs = (1 to 25).map { _ =>
+        val a = rnd.nextInt(n).toLong
+        val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      // union-find, always pointing the larger root at the smaller, so a
+      // component's root IS its minimum id — the operator's contract
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x
+        else { val r = find(parent(x)); parent(x) = r; r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = ids.map(i => i -> find(i)).toMap
+      val got = Dedup.clusters(pairs.toDF("id_a", "id_b"), "id_a", "id_b",
+        ids.toDF("doc_id"), "doc_id", maxIters = 40)
+        .as[(Long, Long)].collect().toMap
+      got shouldBe expected
+    }
+  }
+
   test("clusters throws instead of returning non-converged labels") {
     // a chain of diameter 7 cannot converge in 2 one-hop rounds; silent
     // wrong cluster ids would poison every downstream keep/drop decision

@@ -60,6 +60,19 @@ class EmbeddingsSpec extends SparkSpec {
     dim1 should (be >= 0 and be < 16)
   }
 
+  test("labelCentroids: per-label member counts and element means") {
+    val pts = Seq(
+      (1L, Array(1.0f, 3.0f), 1),
+      (2L, Array(3.0f, 5.0f), 1),
+      (3L, Array(10.0f, 0.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Embeddings.labelCentroids(pts, "label", "embedding")
+      .as[(Int, Long, Int, Double)].collect().toSet
+    r shouldBe Set(
+      (1, 2L, 0, 2.0), (1, 2L, 1, 4.0),
+      (2, 1L, 0, 10.0), (2, 1L, 1, 0.0))
+  }
+
   test("hashEmbed kernel == explode+groupBy formulation on real documents") {
     val docs = graft.core.Tables.table(spark, sf0001, "documents")
     val kernel = Embeddings.hashEmbed(docs, "doc_id", "text", 16)

@@ -40,4 +40,26 @@ class QualitySpec extends SparkSpec {
     Quality.auditCounts(df, sqlStyle).select("viol_check").as[Long]
       .head() shouldBe 1L // only v = -1; nulls pass
   }
+
+  test("curationScorecard: one row per doc, verdict = the documented conjunction, " +
+    "components agree with their standalone operators") {
+    val docs = graft.core.Tables.table(spark, sf0001, "documents")
+    val sc = Quality.curationScorecard(docs, "doc_id", "text", 40, 0.99, 0.9)
+    sc.count() shouldBe docs.count()
+    sc.where($"keep" =!= ($"quality" =!= "low"
+      && $"distinct_ngram_ratio" >= 0.99 && $"oov_rate" <= 0.9))
+      .count() shouldBe 0L
+    // thresholds must actually discriminate on the benchmark corpus
+    sc.select($"keep").distinct().count() shouldBe 2L
+    val tierMismatch = sc.select($"doc_id", $"quality")
+      .join(TextStats.qualityFeatures(docs, "doc_id", "text")
+        .select($"doc_id", $"quality".as("q2")), "doc_id")
+      .where($"quality" =!= $"q2").count()
+    tierMismatch shouldBe 0L
+    val repMismatch = sc.select($"doc_id", $"distinct_ngram_ratio")
+      .join(TextStats.repetitionScore(docs, "doc_id", "text")
+        .withColumnRenamed("distinct_ngram_ratio", "r2"), "doc_id")
+      .where($"distinct_ngram_ratio" =!= $"r2").count()
+    repMismatch shouldBe 0L
+  }
 }
