@@ -441,6 +441,38 @@ object SparkEntry {
     // aggregate (one label-keyed shuffle of (labels × dim) doubles)
     "q91_label_centroids" -> ((s, dir) =>
       graft.ops.Embeddings.labelCentroids(t(s, dir, "embeddings"), "label", "embedding")),
+    // blocked fuzzy self-match (entity resolution): compare only within
+    // first-token blocks, keep pairs within 2 edits
+    "q92_fuzzy_match" -> ((s, dir) =>
+      graft.ops.Joins.blockedFuzzyPairs(
+        t(s, dir, "part").select(col("p_partkey"), col("p_name"),
+          split(col("p_name"), " ").getItem(0).as("blk")),
+        "p_partkey", "p_name", "blk", 2)),
+    // wide ops-dashboard mart: daily counts + value sums per event type,
+    // type domain pinned (no discovery pass, fixed schema)
+    "q93_event_pivot" -> ((s, dir) =>
+      graft.ops.EventAnalytics.dailyTypePivot(
+        t(s, dir, "events"), "ts", "event_type", "value",
+        Seq("click", "error", "purchase", "signup", "view"))),
+    // distribution-drift fingerprint: mean/variance/skewness/kurtosis per
+    // event type from one pass of mergeable power sums
+    "q94_value_moments" -> ((s, dir) =>
+      graft.ops.Quality.momentProfile(t(s, dir, "events"), "event_type", "value")),
+    // near-dup clusters keeping the LONGEST member (curation policy), not
+    // the smallest id — per-cluster arg-max via max_by, no window sort
+    "q95_cluster_best_rep" -> ((s, dir) =>
+      Dedup.bestRepresentatives(
+        t(s, dir, "documents").select("doc_id", "text"), "doc_id", "text", 3, 0.5)),
+    // train/eval split-leakage audit: per held-out doc, the share of its
+    // 3-grams that also appear in the train split
+    "q96_split_leakage" -> ((s, dir) =>
+      Dedup.splitLeakage(
+        t(s, dir, "documents").select("doc_id", "text"), "doc_id", "text", 3, 90, 0.5)),
+    // dominant principal direction by matrix-free power iteration (3 steps,
+    // one scan each; O(d) driver state) — the pre-ANN anisotropy probe
+    "q97_principal_component" -> ((s, dir) =>
+      graft.ops.Embeddings.topPrincipalComponent(
+        t(s, dir, "embeddings"), "embedding", 64, 3)),
     // first-order Markov transition counts over each user's event sequence
     "q75_transitions" -> ((s, dir) =>
       graft.ops.EventAnalytics.transitionCounts(
@@ -910,6 +942,36 @@ object SparkEntry {
        |  CAST(3 AS INTEGER) AS channels,
        |  CAST(${nibs(9, 8)} AS DOUBLE) / 4294967296.0 AS meanLuma
        |FROM h""".stripMargin
+  }
+
+  /** q97 oracle: `iters` power-iteration steps, mirroring
+    * [[graft.ops.Embeddings.topPrincipalComponent]] exactly — constant
+    * `round(1/√d, 6)` start, per-step Gram-vector product in index-order
+    * double arithmetic (`list_dot_product` ≡ the unrolled codegen sum),
+    * iterates rounded to 6 dp between steps. */
+  private def powerIterSql(d: Int, iters: Int): String = {
+    val w0 = {
+      val x = BigDecimal(1.0 / math.sqrt(d))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq.fill(d)(x.toString).mkString("[", ", ", "]")
+    }
+    val sb = new StringBuilder
+    sb ++= "WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n"
+    sb ++= s"p1 AS (SELECT v, list_dot_product(v, $w0) AS s FROM e),\n"
+    for (k <- 1 to iters) {
+      if (k > 1)
+        sb ++= s"p$k AS (SELECT v, list_dot_product(v, w${k - 1}.w) AS s FROM e, w${k - 1}),\n"
+      sb ++= s"t$k AS (SELECT dim, sum(vv * s) AS t FROM (" +
+        s"SELECT unnest(v) AS vv, unnest(generate_series(1, $d)) AS dim, s FROM p$k" +
+        s") GROUP BY dim),\n"
+      sb ++= s"n$k AS (SELECT sqrt(sum(t * t)) AS nrm FROM t$k)"
+      if (k < iters)
+        sb ++= s",\nw$k AS (SELECT list(round(t / nrm, 6) ORDER BY dim) AS w FROM t$k, n$k),\n"
+    }
+    sb ++= s"\nSELECT CAST(t$iters.dim - 1 AS INTEGER) AS dim, " +
+      s"round(CASE WHEN n$iters.nrm = 0 THEN 0.0 ELSE t$iters.t / n$iters.nrm END, 6) AS loading, " +
+      s"round(n$iters.nrm, 6) AS eigenvalue FROM t$iters, n$iters"
+    sb.toString
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1594,6 +1656,66 @@ object SparkEntry {
         |SELECT label, CAST(count(*) AS BIGINT) AS n_members,
         |  CAST(dim AS INTEGER) AS dim, round(avg(v), 6) AS mean_val
         |FROM m GROUP BY label, dim""".stripMargin,
+    "q92_fuzzy_match" ->
+      """WITH p AS (SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk FROM part)
+        |SELECT a.p_partkey AS id_a, a.p_name AS name_a,
+        |  b.p_partkey AS id_b, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
+    "q93_event_pivot" -> {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val cols = types.map { t =>
+        s"""  CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS ${t}_n,
+           |  round(SUM(CASE WHEN event_type = '$t' THEN value END), 6) AS ${t}_val""".stripMargin
+      }.mkString(",\n")
+      s"""SELECT CAST(ts AS DATE) AS event_date,
+         |$cols
+         |FROM events GROUP BY 1""".stripMargin
+    },
+    "q94_value_moments" ->
+      """WITH a AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n, sum(value) AS s1,
+        |    sum(value*value) AS s2, sum(value*value*value) AS s3,
+        |    sum(value*value*value*value) AS s4
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n,
+        |  round(s1/n, 6) AS mean,
+        |  round(s2/n - (s1/n)*(s1/n), 6) AS variance,
+        |  round(CASE WHEN s2/n - (s1/n)*(s1/n) > 0 THEN
+        |    (s3/n - 3.0*(s1/n)*(s2/n) + 2.0*(s1/n)*(s1/n)*(s1/n))
+        |      / pow(s2/n - (s1/n)*(s1/n), 1.5) END, 6) AS skewness,
+        |  round(CASE WHEN s2/n - (s1/n)*(s1/n) > 0 THEN
+        |    (s4/n - 4.0*(s1/n)*(s3/n) + 6.0*(s1/n)*(s1/n)*(s2/n)
+        |       - 3.0*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+        |      / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3.0 END, 6) AS kurtosis
+        |FROM a""".stripMargin,
+    "q95_cluster_best_rep" ->
+      s"""$clusterChainSql,
+         |scored AS (SELECT a.cluster_id, a.doc_id, length(d.text) AS len
+         |           FROM assign a JOIN documents d ON a.doc_id = d.doc_id),
+         |best AS (SELECT cluster_id, doc_id,
+         |           row_number() OVER (PARTITION BY cluster_id
+         |             ORDER BY len DESC, doc_id ASC) AS rn
+         |         FROM scored),
+         |stats AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+         |            CAST(max(len) AS INTEGER) AS rep_len FROM scored GROUP BY 1)
+         |SELECT s.cluster_id, b.doc_id AS rep_id, s.n_members, s.rep_len
+         |FROM stats s JOIN best b ON s.cluster_id = b.cluster_id AND b.rn = 1""".stripMargin,
+    "q96_split_leakage" ->
+      s"""WITH sh AS (${shingleSql(3)}),
+         |b AS (SELECT doc_id, shingle, ${md5BucketSql("doc_id")} < 90 AS train FROM sh),
+         |tg AS (SELECT DISTINCT shingle FROM b WHERE train),
+         |held AS (SELECT doc_id, shingle FROM b WHERE NOT train),
+         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM held GROUP BY 1),
+         |lk AS (SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_leaked
+         |       FROM held h JOIN tg USING (shingle) GROUP BY 1)
+         |SELECT t.doc_id, t.n_grams,
+         |  coalesce(l.n_leaked, CAST(0 AS BIGINT)) AS n_leaked,
+         |  round(CAST(coalesce(l.n_leaked, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE), 6) AS leak_ratio,
+         |  round(CAST(coalesce(l.n_leaked, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE), 6) >= 0.5 AS leaky
+         |FROM tot t LEFT JOIN lk l ON t.doc_id = l.doc_id""".stripMargin,
+    "q97_principal_component" -> powerIterSql(64, 3),
     "q75_transitions" ->
       """WITH o AS (
         |  SELECT event_type,

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.sqrt
-import org.apache.spark.sql.graft.{ColumnBridge, FloatVectorDot, FloatVectorSumAgg}
+import org.apache.spark.sql.graft.{ColumnBridge, FloatVectorDot, FloatVectorSumAgg, FloatVectorWeightedSumAgg}
 
 /** Column-level API over the native vector expressions (implementation in
   * `org.apache.spark.sql.graft.VectorExpressions` — the expression-authoring
@@ -27,4 +27,14 @@ object VectorFunctions {
   def vectorSumF(a: Column): Column =
     ColumnBridge.column(
       FloatVectorSumAgg(ColumnBridge.expression(a)).toAggregateExpression())
+
+  /** Element-wise Σ `w·a` aggregate over `array<float>` with a per-row
+    * double weight `w` — the matrix-free Gram-vector product of power
+    * iteration (see [[org.apache.spark.sql.graft.FloatVectorWeightedSumAgg]]);
+    * same (groups × dim) shuffle bound as [[vectorSumF]]. */
+  def vectorWeightedSumF(a: Column, w: Column): Column =
+    ColumnBridge.column(
+      FloatVectorWeightedSumAgg(
+        ColumnBridge.expression(a), ColumnBridge.expression(w))
+        .toAggregateExpression())
 }

@@ -334,6 +334,67 @@ object Dedup {
       .select(col(idCol).as("dropped_id"), col("cluster_id").as("kept_id"))
   }
 
+  /** Quality-aware variant of [[dropNearDuplicates]]: within each near-dup
+    * cluster keep the LONGEST document (ties → smallest id) instead of the
+    * smallest id — the curation policy that prefers the fullest copy of a
+    * mirrored page over whichever crawl happened to assign it a low id.
+    * Returns one row per cluster (singletons included):
+    * (cluster_id, rep_id, n_members, rep_len).
+    *
+    * Scale shape: the same pair→component machinery as
+    * [[dropNearDuplicates]], then ONE extra shuffle keyed on cluster_id
+    * for the per-cluster arg-max (a sort-free `max_by` two-phase
+    * aggregation, not a row_number window — partials combine map-side and
+    * only one (rep, len) pair per cluster crosses the wire). */
+  def bestRepresentatives(df: DataFrame, idCol: String, textCol: String,
+                          n: Int, minJaccard: Double,
+                          pairGen: Option[DataFrame] = None): DataFrame = {
+    val pairs = pairGen.getOrElse(ngramJaccardPairs(df, idCol, textCol, n, minJaccard))
+    val assign = clusters(pairs, "id_a", "id_b", df.select(idCol), idCol)
+    val scored = assign.join(df.select(col(idCol), length(col(textCol)).as("__len")), idCol)
+    // arg-max by (length desc, id asc): max_by over a single struct whose
+    // ordering encodes the tiebreak (len, then NEGATED id so min id wins)
+    scored.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max_by(col(idCol), struct(col("__len"), -col(idCol))).as("rep_id"),
+        max(col("__len")).as("rep_len"))
+      .select(col("cluster_id"), col("rep_id"), col("n_members"), col("rep_len"))
+  }
+
+  /** Train/eval split-leakage audit: for every held-out document (md5
+    * bucket of the id ≥ `trainPct`, [[Sampling.deterministicSplit]]'s
+    * device), the share of its distinct word `n`-grams that also appear
+    * anywhere in the TRAIN split — the self-check a pipeline runs after
+    * splitting, because a deduplicated corpus can still leak content
+    * across splits through partial overlaps below the dedup threshold
+    * (Lee et al. 2022). Returns (id, n_grams, n_leaked, leak_ratio,
+    * leaky) per held-out doc; `leaky` flags ratio ≥ `maxRatio`.
+    *
+    * Scale shape: one shingle scan feeds both sides; the train side
+    * reduces to a DISTINCT shingle set (hash-agg), the held-out side
+    * left-semi-joins against it keyed on the shingle and aggregates per
+    * doc. Shuffle carries distinct (doc, shingle) pairs once — the same
+    * movement bound as [[contaminationFlags]] without the broadcast
+    * assumption, since a train split is NOT small. */
+  def splitLeakage(df: DataFrame, idCol: String, textCol: String,
+                   n: Int, trainPct: Int, maxRatio: Double): DataFrame = {
+    require(trainPct > 0 && trainPct < 100,
+      s"splitLeakage: trainPct must be in (0, 100), got $trainPct")
+    val sh = shingleTable(df, idCol, textCol, n)
+      .withColumn("__train", Sampling.md5Bucket(col(idCol)) < trainPct)
+    val trainGrams = sh.where(col("__train")).select("shingle").distinct()
+    val heldOut = sh.where(!col("__train"))
+    val leaked = heldOut.join(trainGrams, Seq("shingle"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_leaked"))
+    heldOut.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+      .join(leaked, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"))
+      .withColumn("leak_ratio",
+        round(col("n_leaked").cast("double") / col("n_grams").cast("double"), 6))
+      .withColumn("leaky", col("leak_ratio") >= maxRatio)
+  }
+
   /** Cross-source content-overlap matrix: for every pair of sources
     * sharing at least one word `n`-gram, the distinct-shingle intersection
     * size, both set sizes, and the containment coefficient

@@ -89,6 +89,59 @@ object Embeddings {
       .withColumn("mean_val", round(col("mean_val"), 6))
   }
 
+  /** Dominant principal direction of the embedding cloud (uncentered PCA)
+    * by matrix-free power iteration: w ← normalize(Xᵀ(Xw)), starting from
+    * the constant unit vector `1/√d`. One row per dimension:
+    * (dim, loading, eigenvalue), loadings 6 dp-rounded, eigenvalue = the
+    * Rayleigh estimate ‖Xᵀ(Xw)‖ of the final step. The anisotropy probe a
+    * pipeline runs before ANN indexing (a dominant direction means
+    * [[Similarity.lshNearDupPairs]]'s random signs and IVF cells are
+    * fighting correlated coordinates) — and the whitening vector for
+    * removing it.
+    *
+    * Scale shape: each iteration is ONE scan — the per-row projection
+    * `s = v·w` is an unrolled fixed-order codegen sum against the literal
+    * w, and `Σ s·v` is the native
+    * [[graft.functions.VectorFunctions.vectorWeightedSumF]] aggregate, so
+    * a pass moves exactly one d-long buffer per partition and collects
+    * O(d) to the driver (the [[Similarity.kmeansFit]] pattern). Iterates
+    * are 6 dp-rounded at each collect so results are engine-reproducible;
+    * convergence is geometric in λ₁/λ₂ — a handful of iterations
+    * suffices for the diagnostic. Deterministic by construction (fixed
+    * start, no randomness); if the cloud is EXACTLY orthogonal to the
+    * start vector the iteration returns the zero vector rather than
+    * diverging. */
+  def topPrincipalComponent(emb: DataFrame, vecCol: String,
+                            d: Int, iters: Int): DataFrame = {
+    require(d >= 1 && iters >= 1,
+      s"topPrincipalComponent: need d >= 1, iters >= 1; got d=$d iters=$iters")
+    import graft.functions.VectorFunctions.vectorWeightedSumF
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // s = v·w as an unrolled index-order double sum (codegen'd built-ins,
+    // bit-identical to a sequential dot in any engine)
+    def proj(w: Array[Double]): Column =
+      (0 until d).map(i =>
+        element_at(col(vecCol), i + 1).cast("double") * lit(w(i)))
+        .reduce(_ + _)
+    var w = Array.fill(d)(round6(1.0 / math.sqrt(d)))
+    for (_ <- 1 until iters) {
+      val t = emb.agg(vectorWeightedSumF(col(vecCol), proj(w)).as("t"))
+        .head.getSeq[Double](0).toArray
+      val norm = math.sqrt(t.map(x => x * x).sum)
+      w = if (norm == 0.0) t else t.map(x => round6(x / norm))
+    }
+    // final iteration stays distributed: one aggregated row → (dim, loading)
+    emb.agg(vectorWeightedSumF(col(vecCol), proj(w)).as("t"))
+      .withColumn("__norm",
+        sqrt(aggregate(col("t"), lit(0.0), (acc, x) => acc + x * x)))
+      .select(posexplode(col("t")).as(Seq("dim", "__tv")), col("__norm"))
+      .select(col("dim"),
+        round(when(col("__norm") === 0.0, lit(0.0))
+          .otherwise(col("__tv") / col("__norm")), 6).as("loading"),
+        round(col("__norm"), 6).as("eigenvalue"))
+  }
+
   /** Aggregation formulation of [[hashEmbed]] — shuffles O(tokens); the
     * per-group integer sums equal the kernel's per-row sums exactly
     * (integer addition is order-free), which the spec pins. */

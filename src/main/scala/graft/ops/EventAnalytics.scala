@@ -90,6 +90,31 @@ object EventAnalytics {
       .agg(countDistinct(col(userCol)).as("active_users"))
   }
 
+  /** Daily event-type pivot: one row per day, one (count, value-sum)
+    * column pair per event type — the wide ops-dashboard mart. Built on
+    * `RelationalGroupedDataset.pivot` with the type domain PINNED
+    * (`types`): an unpinned pivot runs a driver-side distinct over the
+    * full log to discover columns, an extra pass a 100 TB log cannot
+    * afford — and pinning also fixes the output schema, so downstream
+    * consumers and the SQL oracle agree on column names
+    * (`{type}_n`, `{type}_val`). Types absent on a day get count 0 and
+    * null sum. Plans as the same single hash-agg a CASE-WHEN formulation
+    * would (pivot is sugar over conditional aggregation — no Expand, no
+    * extra shuffle); value sums are 6 dp-rounded for engine-exact
+    * comparison. */
+  def dailyTypePivot(events: DataFrame, tsCol: String, typeCol: String,
+                     valueCol: String, types: Seq[String]): DataFrame = {
+    require(types.nonEmpty, "dailyTypePivot: pinned type domain must be non-empty")
+    val piv = events
+      .groupBy(to_date(col(tsCol)).as("event_date"))
+      .pivot(typeCol, types)
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("val"))
+    types.foldLeft(piv) { (d, t) =>
+      d.withColumn(s"${t}_n", coalesce(col(s"${t}_n"), lit(0L)))
+        .withColumn(s"${t}_val", round(col(s"${t}_val"), 6))
+    }
+  }
+
   /** Volume-spike detection on hourly event counts: flags (hour, type)
     * buckets whose count exceeds `mean + z·stddev` of that type's hourly
     * counts — the monitoring mart that catches a bot burst or an

@@ -138,6 +138,40 @@ object Joins {
     bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Blocked fuzzy self-match (entity resolution): all id pairs whose
+    * `nameCol` values are within `maxDist` Levenshtein edits, found by
+    * comparing only WITHIN blocks that share `blockCol` — the classic
+    * blocking trick that turns an O(N²) all-pairs string comparison into
+    * Σ|block|² local work (record linkage / dirty-dimension dedup:
+    * "red widgat" ⋈ "red widget").
+    *
+    * Scale shape: a self equi-join shuffling once on the block key;
+    * `levenshtein` is a codegen'd built-in evaluated only inside blocks.
+    * Block choice is the recall/cost dial: a block must be cheap to
+    * compute, stable under the typos being matched, and bounded in size —
+    * profile with [[skewProfile]] first and salt or sub-block a hot block
+    * before running at scale. A single blocking pass misses pairs whose
+    * typo falls IN the blocking key; production linkage unions several
+    * independent passes (first token, phonetic code, length bucket) and
+    * [[Dedup.clusters]] the pair union.
+    *
+    * Output: (id_a, id_b, name_a, name_b, dist), id_a < id_b, each pair
+    * once. `idCol` must be numeric-ordered and names need not be unique. */
+  def blockedFuzzyPairs(df: DataFrame, idCol: String, nameCol: String,
+                        blockCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 1, s"blockedFuzzyPairs: maxDist must be >= 1, got $maxDist")
+    val side = df.select(col(idCol), col(nameCol), col(blockCol))
+    val a = side.select(col(idCol).as("id_a"), col(nameCol).as("name_a"),
+      col(blockCol).as("__blk"))
+    val b = side.select(col(idCol).as("id_b"), col(nameCol).as("name_b"),
+      col(blockCol).as("__blk"))
+    a.join(b, Seq("__blk"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .where(col("dist") <= maxDist)
+      .drop("__blk")
+  }
+
   /** Join-key skew profile — the diagnostic that decides whether
     * [[saltedEquiJoin]] (and what salt factor) is needed BEFORE a job
     * falls over on one reducer: the top-`topK` heaviest keys with their

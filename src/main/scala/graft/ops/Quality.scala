@@ -109,6 +109,42 @@ object Quality {
         when(v.isNull, lit(false)).otherwise(abs(v - col("med")) > col("mad") * k))
   }
 
+  /** Higher-moment distribution profile per group: n, mean, population
+    * variance, skewness (g1) and excess kurtosis (g2) of `valueCol` —
+    * the drift fingerprint that catches a shifted or fattened value
+    * distribution when mean/stddev alone look unchanged.
+    *
+    * Computed from raw power sums Σx..Σx⁴ in ONE hash-agg with map-side
+    * partials (the mergeable formulation — partial profiles from two
+    * corpus halves combine by adding sums), then fixed-order IEEE
+    * arithmetic over the five scalars:
+    * `m_k = Σxᵏ/n − …` central-moment expansion, `g1 = m3/m2^1.5`,
+    * `g2 = m4/m2² − 3`. Results are 6 dp-rounded: the sums' float
+    * accumulation order varies with partitioning, but the relative error
+    * is O(n·ε) ≈ 1e-11 at any realistic group size — far below the
+    * rounding quantum. Groups with zero variance get null g1/g2 (not
+    * NaN), single-row groups a 0 variance. */
+  def momentProfile(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val agg = df.where(v.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(v).as("s1"), sum(v * v).as("s2"),
+        sum(v * v * v).as("s3"), sum(v * v * v * v).as("s4"))
+    val n = col("n").cast("double")
+    val mean = col("s1") / n
+    val m2 = col("s2") / n - mean * mean
+    val m3 = col("s3") / n - lit(3.0) * mean * (col("s2") / n) +
+      lit(2.0) * mean * mean * mean
+    val m4 = col("s4") / n - lit(4.0) * mean * (col("s3") / n) +
+      lit(6.0) * mean * mean * (col("s2") / n) -
+      lit(3.0) * mean * mean * mean * mean
+    agg.select(col(groupCol), col("n"),
+      round(mean, 6).as("mean"),
+      round(m2, 6).as("variance"),
+      round(when(m2 > 0, m3 / pow(m2, 1.5)), 6).as("skewness"),
+      round(when(m2 > 0, m4 / (m2 * m2) - lit(3.0)), 6).as("kurtosis"))
+  }
+
   /** Per-document curation scorecard: every quality signal this library
     * computes, side by side, with the final keep/drop verdict — the
     * decision table a curation run materializes so that "why was this

@@ -110,7 +110,9 @@ object GraftFunctions {
         HashEmbed(c(0), intLit(c(1), "hash_embed"))),
       // aggregate: the analyzer wraps a bare AggregateFunction returned by
       // a registry builder into an AggregateExpression
-      fn("float_vector_sum", classOf[FloatVectorSumAgg])(c => FloatVectorSumAgg(c(0))))
+      fn("float_vector_sum", classOf[FloatVectorSumAgg])(c => FloatVectorSumAgg(c(0))),
+      fn("float_vector_weighted_sum", classOf[FloatVectorWeightedSumAgg])(c =>
+        FloatVectorWeightedSumAgg(c(0), c(1))))
 
   def register(spark: SparkSession): Unit = functions.foreach {
     case (id, info, builder) =>

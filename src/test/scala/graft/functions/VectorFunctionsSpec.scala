@@ -55,6 +55,32 @@ class VectorFunctionsSpec extends SparkSpec {
     fast shouldBe ref
   }
 
+  test("vectorWeightedSumF matches the posexplode/groupBy weighted formulation") {
+    val df = Seq(
+      (1, Some(Seq(1.5f, -2.25f, 3.125f)), Some(2.0)),
+      (1, Some(Seq(0.5f, 4.0f, -1.75f)), Some(-0.5)),
+      (1, None, Some(3.0)),                     // null vector ignored
+      (1, Some(Seq(9f, 9f, 9f)), None),         // null weight ignored
+      (2, Some(Seq(2f, 2f)), Some(0.25))
+    ).toDF("g", "v", "w")
+    val fast = df.groupBy($"g")
+      .agg(VectorFunctions.vectorWeightedSumF($"v", $"w").as("sums"))
+      .select($"g", posexplode($"sums").as(Seq("pos", "s")))
+      .as[(Int, Int, Double)].collect().toSet
+    val ref = df.where($"v".isNotNull && $"w".isNotNull)
+      .select($"g", $"w", posexplode($"v").as(Seq("pos", "x")))
+      .groupBy($"g", $"pos").agg(sum($"x".cast("double") * $"w").as("s"))
+      .as[(Int, Int, Double)].collect().toSet
+    fast shouldBe ref
+  }
+
+  test("float_vector_weighted_sum is callable from SQL after registration") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    Seq((Seq(1f, 2f), 3.0)).toDF("v", "w").createOrReplaceTempView("vw_in")
+    spark.sql("SELECT float_vector_weighted_sum(v, w) AS s FROM vw_in")
+      .as[Seq[Double]].head() shouldBe Seq(3.0, 6.0)
+  }
+
   test("vectorSumF: all-null group is NULL; ragged lengths zero-extend") {
     val allNull = Seq((1, None: Option[Seq[Float]])).toDF("g", "v")
       .groupBy($"g").agg(VectorFunctions.vectorSumF($"v").as("s"))

@@ -61,6 +61,49 @@ class DedupSpec extends SparkSpec {
     graft.core.CacheRegistry.drain()
   }
 
+  test("bestRepresentatives keeps the longest member, ties to the smallest id") {
+    // cluster {1, 2, 4}: doc 2 is strictly longer ("leaps" has the same
+    // length as "jumps", so extend it) — make 2 the longest member
+    val d = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumps again"), // longest in its cluster
+      (3L, "completely different text here now"),
+      (4L, "the quick brown fox jumps")        // same length as 1 -> id tiebreak
+    ).toDF("doc_id", "text")
+    val reps = Dedup.bestRepresentatives(d, "doc_id", "text", 3, 0.5)
+      .select("cluster_id", "rep_id", "n_members")
+      .as[(Long, Long, Long)].collect().toSet
+    reps shouldBe Set((1L, 2L, 3L), (3L, 3L, 1L))
+    graft.core.CacheRegistry.drain()
+    // all-equal lengths: the smallest id wins
+    val tie = Seq((7L, "a b c d"), (9L, "a b c d")).toDF("doc_id", "text")
+    Dedup.bestRepresentatives(tie, "doc_id", "text", 3, 0.5)
+      .select("rep_id").as[Long].collect().toSeq shouldBe Seq(7L)
+    graft.core.CacheRegistry.drain()
+  }
+
+  test("splitLeakage: duplicated text across the split leaks 1.0, unique leaks 0") {
+    // md5Bucket(id) < 90 -> train; find one id of each side deterministically
+    val ids = (1L to 40L)
+    val buckets = ids.map(i => i ->
+      Seq(i).toDF("id").select(Sampling.md5Bucket($"id")).as[Long].head())
+    val trainId = buckets.find(_._2 < 90).get._1
+    val heldDup = buckets.find(_._2 >= 90).get._1
+    val heldUniq = buckets.findLast(_._2 >= 90).get._1
+    heldDup should not be heldUniq
+    val d = Seq(
+      (trainId, "alpha beta gamma delta epsilon"),
+      (heldDup, "alpha beta gamma delta epsilon"),   // fully contained in train
+      (heldUniq, "zeta eta theta iota kappa lambda") // shares nothing
+    ).toDF("doc_id", "text")
+    val got = Dedup.splitLeakage(d, "doc_id", "text", 3, 90, 0.5)
+      .select("doc_id", "leak_ratio", "leaky")
+      .as[(Long, Double, Boolean)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    got(heldDup) shouldBe ((1.0, true))
+    got(heldUniq) shouldBe ((0.0, false))
+  }
+
   test("minHashLshPairsAcross equals the self-dedup pairs restricted to cross pairs") {
     // corpus = even ids, batch = odd ids; doc 5 duplicates corpus doc 4,
     // doc 7 near-dups corpus doc 2

@@ -73,6 +73,24 @@ class EmbeddingsSpec extends SparkSpec {
       (2, 1L, 0, 10.0), (2, 1L, 1, 0.0))
   }
 
+  test("topPrincipalComponent recovers the dominant axis of an anisotropic cloud") {
+    // Gram matrix diag(13, 1, 0): the first axis dominates
+    val emb = Seq(
+      (1L, Seq(2f, 0f, 0f)),
+      (2L, Seq(3f, 0f, 0f)),
+      (3L, Seq(0f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val r = Embeddings.topPrincipalComponent(emb, "embedding", 3, 3)
+      .orderBy("dim").as[(Int, Double, Double)].collect()
+    r.map(_._1).toSeq shouldBe Seq(0, 1, 2)
+    r(0)._2 should be > 0.999              // aligned with the dominant axis
+    math.abs(r(1)._2) should be < 0.01
+    r(2)._2 shouldBe 0.0
+    r(0)._3 shouldBe 13.0 +- 0.2           // Rayleigh estimate of λ₁ = 13
+    an[IllegalArgumentException] should be thrownBy
+      Embeddings.topPrincipalComponent(emb, "embedding", 3, 0)
+  }
+
   test("hashEmbed kernel == explode+groupBy formulation on real documents") {
     val docs = graft.core.Tables.table(spark, sf0001, "documents")
     val kernel = Embeddings.hashEmbed(docs, "doc_id", "text", 16)

@@ -84,6 +84,26 @@ class EventAnalyticsSpec extends SparkSpec {
       ("2024-01-08 00:00:00", 0L, 1L))
   }
 
+  test("dailyTypePivot: pinned columns, absent types count 0 with null sum") {
+    def ts(d: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    val ev = Seq(
+      (ts(1, 1), "click", 1.5), (ts(1, 2), "click", 2.5), (ts(1, 3), "view", 4.0),
+      (ts(2, 1), "view", 1.0),
+      (ts(2, 2), "other", 9.0) // outside the pinned domain -> dropped
+    ).toDF("ts", "event_type", "value")
+    val got = EventAnalytics.dailyTypePivot(ev, "ts", "event_type", "value",
+      Seq("click", "view"))
+    got.columns.toSeq shouldBe Seq("event_date", "click_n", "click_val", "view_n", "view_val")
+    val byDay = got.collect().map(r => r.getDate(0).toString -> r).toMap
+    byDay("2024-01-01").getLong(1) shouldBe 2L
+    byDay("2024-01-01").getDouble(2) shouldBe 4.0
+    byDay("2024-01-01").getLong(3) shouldBe 1L
+    byDay("2024-01-02").getLong(1) shouldBe 0L   // absent type -> 0, not null
+    byDay("2024-01-02").isNullAt(2) shouldBe true // ...but the sum stays null
+    an[IllegalArgumentException] should be thrownBy
+      EventAnalytics.dailyTypePivot(ev, "ts", "event_type", "value", Seq.empty)
+  }
+
   test("hourlySpikes: exact integer moments; singleton types never flag") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     // type A hourly counts 1,1,1,10: mean 3.25, sd sqrt((4·103−169)/12) = 4.5

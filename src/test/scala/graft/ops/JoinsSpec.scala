@@ -25,6 +25,26 @@ class JoinsSpec extends SparkSpec {
     hotSalts should be > 4L
   }
 
+  test("blockedFuzzyPairs finds within-block near-matches and only those") {
+    val df = Seq(
+      (1L, "red widget", "red"), (2L, "red widgat", "red"),   // 1 edit apart
+      (3L, "red bolt", "red"),                                // too far from widget
+      (4L, "blue widget", "blue"),                            // near 1 but other block
+      (5L, "red widget", "red")                               // exact dup of 1
+    ).toDF("id", "nm", "blk")
+    val pairs = Joins.blockedFuzzyPairs(df, "id", "nm", "blk", 2)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    pairs shouldBe Set((1L, 2L, 1), (1L, 5L, 0), (2L, 5L, 1))
+    // equals the unblocked all-pairs filter RESTRICTED to shared blocks
+    val naive = df.toDF("ida", "na", "ba").crossJoin(df.toDF("idb", "nb", "bb"))
+      .where($"ida" < $"idb" && $"ba" === $"bb" &&
+        levenshtein($"na", $"nb") <= 2)
+      .select($"ida", $"idb").as[(Long, Long)].collect().toSet
+    pairs.map(p => (p._1, p._2)) shouldBe naive
+    an[IllegalArgumentException] should be thrownBy
+      Joins.blockedFuzzyPairs(df, "id", "nm", "blk", 0)
+  }
+
   test("asOfJoin picks the latest right row at-or-before each left time, per key") {
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
     val right = Seq(

@@ -41,6 +41,36 @@ class QualitySpec extends SparkSpec {
       .head() shouldBe 1L // only v = -1; nulls pass
   }
 
+  test("momentProfile matches brute-force central moments; degenerate groups null out") {
+    val vals = Map(
+      "a" -> Seq(1.0, 2.0, 3.0, 4.0, 10.0), // right-skewed
+      "b" -> Seq(5.0, 5.0, 5.0),            // zero variance -> null g1/g2
+      "c" -> Seq(2.5))                      // single row -> variance 0
+    val df = vals.toSeq.flatMap { case (g, vs) => vs.map(g -> _) }.toDF("g", "v")
+    val got = Quality.momentProfile(df, "g", "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    def brute(vs: Seq[Double]): (Double, Double, Double, Double) = {
+      val n = vs.size.toDouble
+      val m = vs.sum / n
+      val m2 = vs.map(x => math.pow(x - m, 2)).sum / n
+      val m3 = vs.map(x => math.pow(x - m, 3)).sum / n
+      val m4 = vs.map(x => math.pow(x - m, 4)).sum / n
+      (m, m2, m3 / math.pow(m2, 1.5), m4 / (m2 * m2) - 3.0)
+    }
+    val (am, av, ask, aku) = brute(vals("a"))
+    val ra = got("a")
+    ra.getLong(1) shouldBe 5L
+    ra.getDouble(2) shouldBe am +- 1e-6
+    ra.getDouble(3) shouldBe av +- 1e-6
+    ra.getDouble(4) shouldBe ask +- 1e-6
+    ra.getDouble(5) shouldBe aku +- 1e-6
+    ask should be > 0.0 // sanity: the outlier skews right
+    got("b").isNullAt(4) shouldBe true
+    got("b").isNullAt(5) shouldBe true
+    got("b").getDouble(3) shouldBe 0.0
+    got("c").getDouble(3) shouldBe 0.0
+  }
+
   test("curationScorecard: one row per doc, verdict = the documented conjunction, " +
     "components agree with their standalone operators") {
     val docs = graft.core.Tables.table(spark, sf0001, "documents")
