@@ -235,6 +235,41 @@ class PlanSpec extends SparkSpec {
     plan should not include "Exchange"
   }
 
+  test("fuzzy match is a block-keyed equi-join, never a cartesian (q92)") {
+    val plan = planOf(SparkEntry.queries("q92_fuzzy_match")(spark, sf0001))
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // levenshtein runs as a post-join filter, not a join condition that
+    // would force a nested loop
+    plan should include("levenshtein")
+  }
+
+  test("pivot mart: one scan, two-phase reduce-then-pivot, no Expand (q93)") {
+    val plan = planOf(SparkEntry.queries("q93_event_pivot")(spark, sf0001))
+    plan should not include "Expand"
+    // the good pivot plan: a (day, type) partial-agg reduction of the log,
+    // then pivotfirst over the tiny reduced table — each two-phase
+    "HashAggregate".r.findAllIn(plan).size shouldBe 4
+    plan should include("partial_pivotfirst")
+    "FileScan".r.findAllIn(plan).size shouldBe 1 // pinned domain: no discovery pass
+  }
+
+  test("moment profile is one partial-agg pass over the scan (q94)") {
+    val plan = planOf(SparkEntry.queries("q94_value_moments")(spark, sf0001))
+    "HashAggregate".r.findAllIn(plan).size shouldBe 2
+    plan should include("partial_sum")
+  }
+
+  test("power iteration aggregates vectors map-side; no element explode before agg (q97)") {
+    val plan = planOf(SparkEntry.queries("q97_principal_component")(spark, sf0001))
+    // the weighted-sum aggregate is object-hash with a partial phase: the
+    // shuffle carries one d-long buffer per partition, not N·d rows
+    plan should include("ObjectHashAggregate")
+    plan should include("partial_float_vector_weighted_sum")
+    // the only explode is the FINAL posexplode of one d-long row
+    "Generate posexplode".r.findAllIn(plan).size shouldBe 1
+  }
+
   test("queries stay inside whole-stage codegen (q01)") {
     // AQE hides the physical plan until execution — and count() runs a
     // CLONED QueryExecution, so collect() this one, then read the final plan
