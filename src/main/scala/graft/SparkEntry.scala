@@ -473,6 +473,17 @@ object SparkEntry {
     "q97_principal_component" -> ((s, dir) =>
       graft.ops.Embeddings.topPrincipalComponent(
         t(s, dir, "embeddings"), "embedding", 64, 3)),
+    // label QA: cosine of each vector to its own label's centroid, low
+    // scores flagged as suspected mislabels/corruption
+    "q98_label_outliers" -> ((s, dir) =>
+      graft.ops.Embeddings.labelOutliers(
+        t(s, dir, "embeddings"), "vec_id", "label", "embedding", 0.2)),
+    // dataset-card column profiler: per-column nulls/distincts/ranges,
+    // one pruned single-column scan each (no Expand)
+    "q99_column_profile" -> ((s, dir) =>
+      graft.ops.Quality.columnProfile(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_suppkey", "l_quantity", "l_extendedprice",
+          "l_returnflag", "l_shipdate"))),
     // first-order Markov transition counts over each user's event sequence
     "q75_transitions" -> ((s, dir) =>
       graft.ops.EventAnalytics.transitionCounts(
@@ -1716,6 +1727,39 @@ object SparkEntry {
          |  round(CAST(coalesce(l.n_leaked, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE), 6) >= 0.5 AS leaky
          |FROM tot t LEFT JOIN lk l ON t.doc_id = l.doc_id""".stripMargin,
     "q97_principal_component" -> powerIterSql(64, 3),
+    "q98_label_outliers" ->
+      """WITH m AS (
+        |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |    unnest(generate_series(0, len(embedding) - 1)) AS dim
+        |  FROM embeddings),
+        |c AS (SELECT label, dim, CAST(CAST(round(avg(v), 6) AS FLOAT) AS DOUBLE) AS cv
+        |      FROM m GROUP BY 1, 2),
+        |cents AS (SELECT label, list(cv ORDER BY dim) AS cvec FROM c GROUP BY 1),
+        |scored AS (
+        |  SELECT e.vec_id, e.label,
+        |    CASE WHEN sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |                                    CAST(e.embedding AS DOUBLE[])))
+        |           * sqrt(list_dot_product(t.cvec, t.cvec)) <> 0
+        |      THEN round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), t.cvec), 6)
+        |    END AS cos_to_centroid
+        |  FROM embeddings e JOIN cents t ON e.label = t.label)
+        |SELECT vec_id, label, cos_to_centroid,
+        |  coalesce(cos_to_centroid < 0.2, false) AS is_outlier
+        |FROM scored""".stripMargin,
+    "q99_column_profile" -> {
+      def prof(c: String, numeric: Boolean): String = {
+        val mn = if (numeric) s"round(CAST(min($c) AS DOUBLE), 6)" else "CAST(NULL AS DOUBLE)"
+        val mx = if (numeric) s"round(CAST(max($c) AS DOUBLE), 6)" else "CAST(NULL AS DOUBLE)"
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  $mn AS min_val, $mx AS max_val
+           |FROM lineitem""".stripMargin
+      }
+      Seq("l_orderkey" -> true, "l_suppkey" -> true, "l_quantity" -> true,
+        "l_extendedprice" -> true, "l_returnflag" -> false, "l_shipdate" -> false)
+        .map((prof _).tupled).mkString("\nUNION ALL\n")
+    },
     "q75_transitions" ->
       """WITH o AS (
         |  SELECT event_type,

@@ -89,6 +89,38 @@ object Embeddings {
       .withColumn("mean_val", round(col("mean_val"), 6))
   }
 
+  /** Per-label embedding outliers: each vector's cosine to its own label's
+    * centroid, flagging rows below `minCos` — the label-QA pass that
+    * surfaces mislabeled or corrupt embeddings before they poison
+    * centroid-based ops ([[labelCentroids]], [[Similarity.ivfTopK]]).
+    * Output: (id, label, cos_to_centroid 6 dp, is_outlier); a zero-norm
+    * vector (or all-zero centroid) gets a null cosine and is never
+    * flagged.
+    *
+    * Scale shape: centroids come from ONE label-keyed hash-agg over the
+    * native [[graft.functions.VectorFunctions.vectorSumF]] buffer (the
+    * [[labelCentroids]] shuffle bound), are rounded to 6 dp and FLOAT
+    * round-tripped (the [[Similarity.kmeansFit]] reproducibility device),
+    * then BROADCAST back — the per-row cosine is one codegen'd dot in the
+    * scan stage, no second shuffle of the embedding table. */
+  def labelOutliers(emb: DataFrame, idCol: String, labelCol: String,
+                    vecCol: String, minCos: Double): DataFrame = {
+    import graft.functions.VectorFunctions.{dotF, normF, vectorSumF}
+    val cents = emb.groupBy(col(labelCol))
+      .agg(vectorSumF(col(vecCol)).as("__sums"), count(lit(1)).as("__n"))
+      .select(col(labelCol),
+        transform(col("__sums"), x => round(x / col("__n"), 6).cast("float"))
+          .as("__cvec"))
+    val denom = normF(col(vecCol)) * normF(col("__cvec"))
+    emb.join(broadcast(cents), Seq(labelCol))
+      .select(col(idCol), col(labelCol),
+        when(denom =!= 0.0,
+          round(dotF(col(vecCol), col("__cvec")) / denom, 6))
+          .as("cos_to_centroid"))
+      .withColumn("is_outlier",
+        coalesce(col("cos_to_centroid") < minCos, lit(false)))
+  }
+
   /** Dominant principal direction of the embedding cloud (uncentered PCA)
     * by matrix-free power iteration: w ← normalize(Xᵀ(Xw)), starting from
     * the constant unit vector `1/√d`. One row per dimension:

@@ -161,12 +161,20 @@ object Joins {
                         blockCol: String, maxDist: Int): DataFrame = {
     require(maxDist >= 1, s"blockedFuzzyPairs: maxDist must be >= 1, got $maxDist")
     val side = df.select(col(idCol), col(nameCol), col(blockCol))
+    // the probe side is repartitioned to the session's parallelism: a small
+    // dimension arrives as ONE scan partition, and with the build side
+    // broadcast the whole Σ|block|² expansion would otherwise run as a
+    // single task (the Similarity.pairCosines lesson)
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
     val a = side.select(col(idCol).as("id_a"), col(nameCol).as("name_a"),
-      col(blockCol).as("__blk"))
+      col(blockCol).as("__blk")).repartition(parallelism)
     val b = side.select(col(idCol).as("id_b"), col(nameCol).as("name_b"),
       col(blockCol).as("__blk"))
     a.join(b, Seq("__blk"))
       .where(col("id_a") < col("id_b"))
+      // exact pre-filter: levenshtein ≥ |len(a) − len(b)|, so length gaps
+      // beyond maxDist never pay the O(m·n) distance loop
+      .where(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .where(col("dist") <= maxDist)
       .drop("__blk")

@@ -109,6 +109,39 @@ object Quality {
         when(v.isNull, lit(false)).otherwise(abs(v - col("med")) > col("mad") * k))
   }
 
+  /** Dataset-card column profiler: one row per requested column with row
+    * count, null count, EXACT distinct count, and (for numeric columns)
+    * min/max as doubles — the table-level "what is in this dataset"
+    * summary a curation run materializes alongside the data.
+    *
+    * Deliberately C separate single-column aggregations unioned, not one
+    * Expand-based multi-distinct pass: each aggregation's scan prunes to
+    * exactly ONE column of the columnar file (asserted in PlanSpec), the
+    * per-column distinct stays a plain two-phase aggregate, and the C
+    * passes parallelize independently — whereas a single-pass
+    * multi-`countDistinct` Expand multiplies every row C× through one
+    * shuffle. At unbounded cardinalities swap `countDistinct` for
+    * `approx_count_distinct` (HLL merge, same plan shape — see
+    * [[Sketches]]). */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnProfile: need at least one column")
+    val bad = cols.filterNot(df.columns.contains)
+    require(bad.isEmpty, s"columnProfile: no such column(s): ${bad.mkString(", ")}")
+    cols.map { c =>
+      val isNum = df.schema(c).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType]
+      def ext(f: Column => Column): Column =
+        if (isNum) round(f(col(c)).cast("double"), 6) else lit(null).cast("double")
+      df.select(col(c))
+        .agg(count(lit(1)).as("n_rows"), count(col(c)).as("n_present"),
+          countDistinct(col(c)).as("n_distinct"),
+          ext(min).as("min_val"), ext(max).as("max_val"))
+        .select(lit(c).as("col_name"), col("n_rows"),
+          (col("n_rows") - col("n_present")).as("n_null"),
+          col("n_distinct"), col("min_val"), col("max_val"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Higher-moment distribution profile per group: n, mean, population
     * variance, skewness (g1) and excess kurtosis (g2) of `valueCol` —
     * the drift fingerprint that catches a shifted or fattened value

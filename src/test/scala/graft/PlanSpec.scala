@@ -270,6 +270,22 @@ class PlanSpec extends SparkSpec {
     "Generate posexplode".r.findAllIn(plan).size shouldBe 1
   }
 
+  test("label outliers broadcast the centroid table; cosine runs scan-side (q98)") {
+    val plan = planOf(SparkEntry.queries("q98_label_outliers")(spark, sf0001))
+    plan should include("BroadcastHashJoin")
+    plan should include("float_vector_dot")
+    plan should not include "SortMergeJoin"
+  }
+
+  test("column profiler prunes each pass to ONE column; no Expand (q99)") {
+    val plan = planOf(SparkEntry.queries("q99_column_profile")(spark, sf0001))
+    plan should not include "Expand"
+    // every per-column aggregation's scan reads exactly its own column
+    val schemas = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toList
+    schemas should not be empty
+    all(schemas.map(s => s.count(_ == ':'))) shouldBe 2 // "ReadSchema:" + one field
+  }
+
   test("queries stay inside whole-stage codegen (q01)") {
     // AQE hides the physical plan until execution — and count() runs a
     // CLONED QueryExecution, so collect() this one, then read the final plan

@@ -73,6 +73,25 @@ class EmbeddingsSpec extends SparkSpec {
       (2, 1L, 0, 10.0), (2, 1L, 1, 0.0))
   }
 
+  test("labelOutliers flags the vector pointing away from its label centroid") {
+    val emb = Seq(
+      (1L, 0, Seq(1f, 0f, 0f)), (2L, 0, Seq(1f, 0.1f, 0f)),   // tight cluster
+      (3L, 0, Seq(-1f, 0f, 0f)),                              // points AWAY
+      (4L, 1, Seq(0f, 1f, 0f)), (5L, 1, Seq(0f, 1f, 0.1f)),
+      (6L, 2, Seq(0f, 0f, 0f))                                // zero norm -> null
+    ).toDF("vec_id", "label", "embedding")
+    val got = Embeddings.labelOutliers(emb, "vec_id", "label", "embedding", 0.2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    got(3L).getBoolean(3) shouldBe true
+    got(3L).getDouble(2) should be < 0.0 // anti-aligned with the centroid
+    Seq(1L, 2L, 4L, 5L).foreach { id =>
+      got(id).getBoolean(3) shouldBe false
+      got(id).getDouble(2) should be > 0.9
+    }
+    got(6L).isNullAt(2) shouldBe true   // zero vector: null cosine...
+    got(6L).getBoolean(3) shouldBe false // ...and never flagged
+  }
+
   test("topPrincipalComponent recovers the dominant axis of an anisotropic cloud") {
     // Gram matrix diag(13, 1, 0): the first axis dominates
     val emb = Seq(

@@ -41,6 +41,25 @@ class QualitySpec extends SparkSpec {
       .head() shouldBe 1L // only v = -1; nulls pass
   }
 
+  test("columnProfile: counts, nulls, exact distincts; non-numeric ranges null; unknown column throws") {
+    val d = Seq(
+      (Some(1), Some("a")), (Some(1), Some("b")), (Some(3), None),
+      (None: Option[Int], Some("a"))
+    ).toDF("num", "str")
+    val got = Quality.columnProfile(d, Seq("num", "str")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    got("num").getLong(1) shouldBe 4L          // n_rows
+    got("num").getLong(2) shouldBe 1L          // n_null
+    got("num").getLong(3) shouldBe 2L          // distinct {1, 3}
+    got("num").getDouble(4) shouldBe 1.0
+    got("num").getDouble(5) shouldBe 3.0
+    got("str").getLong(2) shouldBe 1L
+    got("str").getLong(3) shouldBe 2L
+    got("str").isNullAt(4) shouldBe true       // non-numeric: no range
+    an[IllegalArgumentException] should be thrownBy
+      Quality.columnProfile(d, Seq("nope"))
+  }
+
   test("momentProfile matches brute-force central moments; degenerate groups null out") {
     val vals = Map(
       "a" -> Seq(1.0, 2.0, 3.0, 4.0, 10.0), // right-skewed
