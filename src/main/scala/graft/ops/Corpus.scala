@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -144,24 +144,19 @@ object Corpus {
     * Association mining over a corpus — the statistics phrase detection
     * and static-embedding training start from.
     *
-    * Scale shape: pair generation runs in the scan stage (nested
-    * `transform` over the token array — no join, no positional explode);
-    * what shuffles is the (pair) hash-agg with map-side combine, then a
+    * Scale shape: pair generation runs in the scan stage as ONE native
+    * kernel pass per row (org.apache.spark.sql.graft.CoocPairs — the
+    * nested-`transform` formulation allocated two interpreted lambda
+    * frames per pair and ran ~5× slower; it survives as
+    * [[coocPairsHof]], the kernel's equivalence oracle); what shuffles is
+    * the (pair) hash-agg with map-side combine, then a
     * TakeOrderedAndProject cut. Output is bounded by `k`. */
   def cooccurrence(df: DataFrame, textCol: String, window: Int, k: Int): DataFrame = {
     require(window >= 1, s"cooccurrence: window must be >= 1, got $window")
     val ts = split(col(textCol), " ")
-    val pairList = flatten(transform(
-      sequence(lit(0), size(ts) - 2),
-      i => transform(
-        sequence(i + 1, least(i + lit(window), size(ts) - 1)),
-        j => {
-          val a = element_at(ts, i + 1)
-          val b = element_at(ts, j + 1)
-          when(a <= b, concat_ws(" ", a, b)).otherwise(concat_ws(" ", b, a))
-        })))
-    val pairs = df.where(size(ts) >= 2) // sequence(0, -1) would count down
-      .select(explode(pairList).as("pair"))
+    val pairs = df.where(size(ts) >= 2)
+      .select(explode(
+        graft.functions.TextFunctions.coocPairs(col(textCol), window)).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("n_ab"))
       .select(
         substring_index(col("pair"), " ", 1).as("term_a"),
@@ -179,6 +174,24 @@ object Corpus {
           / (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
       .orderBy(col("n_ab").desc, col("term_a"), col("term_b"))
       .limit(k)
+  }
+
+  /** Higher-order-function pair generation of [[cooccurrence]], kept as
+    * the equivalence oracle for the native CoocPairs kernel (the spec
+    * pins element-identical output on real documents). */
+  def coocPairsHof(textCol: Column, window: Int): Column = {
+    val ts = split(textCol, " ")
+    // guarded: sequence(0, -1) on a sub-2-token doc would count DOWN
+    when(size(ts) < 2, array().cast("array<string>"))
+      .otherwise(flatten(transform(
+        sequence(lit(0), size(ts) - 2),
+        i => transform(
+          sequence(i + 1, least(i + lit(window), size(ts) - 1)),
+          j => {
+            val a = element_at(ts, i + 1)
+            val b = element_at(ts, j + 1)
+            when(a <= b, concat_ws(" ", a, b)).otherwise(concat_ws(" ", b, a))
+          }))))
   }
 
   /** BM25 retrieval scoring against a FIXED literal query: the top-`topK`

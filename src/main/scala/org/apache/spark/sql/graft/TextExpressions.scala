@@ -170,6 +170,39 @@ object TextKernels {
     new GenericArrayData(votes)
   }
 
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** Unordered ±window co-occurrence pairs, one pass per document —
+    * identical to the nested
+    * `flatten(transform(sequence(0, n-2), i -> transform(sequence(i+1,
+    * least(i+w, n-1)), j -> sorted-pair)))` higher-order formulation
+    * (which allocates two lambda frames per pair): for every i < j ≤
+    * i+window, the two tokens space-joined in BINARY (UTF8String) order —
+    * the same order the Column `<=` comparison uses, so non-ASCII tokens
+    * sort identically. Docs shorter than 2 tokens yield an empty array. */
+  def coocPairs(text: UTF8String, window: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val n = toks.length
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val us = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { us(i) = UTF8String.fromString(toks(i)); i += 1 }
+    val out = new java.util.ArrayList[Any](n * window)
+    i = 0
+    while (i <= n - 2) {
+      val jMax = math.min(i + window, n - 1)
+      var j = i + 1
+      while (j <= jMax) {
+        val (a, b) =
+          if (us(i).compareTo(us(j)) <= 0) (us(i), us(j)) else (us(j), us(i))
+        out.add(UTF8String.concat(a, SPACE, b))
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Winnowing-style minimum over character 8-gram md5s; full-doc md5 for
     * texts shorter than 8 chars. Identical to the
     * `array_min(transform(sequence(1, len-7), i -> md5(substr(text, i, 8))))`
@@ -289,6 +322,23 @@ case class HashEmbed(child: Expression, d: Int) extends UnaryExpression {
       s"org.apache.spark.sql.graft.TextKernels.hashEmbed($c, $d)")
 
   override protected def withNewChildInternal(newChild: Expression): HashEmbed =
+    copy(child = newChild)
+}
+
+/** `cooc_pairs(text, w)` → array<string> of sorted space-joined
+  * co-occurrence pairs (see [[TextKernels.coocPairs]]). */
+case class CoocPairs(child: Expression, window: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "cooc_pairs"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.coocPairs(input.asInstanceOf[UTF8String], window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.TextKernels.coocPairs($c, $window)")
+
+  override protected def withNewChildInternal(newChild: Expression): CoocPairs =
     copy(child = newChild)
 }
 

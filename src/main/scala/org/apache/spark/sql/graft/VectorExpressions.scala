@@ -106,6 +106,8 @@ object GraftFunctions {
       fn("simhash16", classOf[SimHash16])(c => SimHash16(c(0))),
       fn("simhash64", classOf[SimHash64])(c => SimHash64(c(0))),
       fn("min_gram_md5", classOf[MinGramMd5])(c => MinGramMd5(c(0))),
+      fn("cooc_pairs", classOf[CoocPairs])(c =>
+        CoocPairs(c(0), intLit(c(1), "cooc_pairs"))),
       fn("hash_embed", classOf[HashEmbed])(c =>
         HashEmbed(c(0), intLit(c(1), "hash_embed"))),
       // aggregate: the analyzer wraps a bare AggregateFunction returned by

@@ -72,6 +72,24 @@ class GoldMartsSpec extends SparkSpec {
       (None, None, None, 40.0, 7)) // grand total
   }
 
+  test("pre-reduced calendar rollup == rollup of the raw daily mart") {
+    // the Expand-input reduction must be value-invisible: sum is
+    // distributive over the (year, quarter, month) partition
+    val daily = GoldMarts.sellerPerformanceDaily(GoldMarts.withDateParts(fact))
+    val direct = daily.rollup($"year", $"quarter", $"month")
+      .agg(sum("total_revenue").as("total_revenue"),
+        sum("total_quantity_sold").as("total_quantity_sold"),
+        sum("distinct_orders").as("distinct_orders"),
+        grouping_id().cast("int").as("lvl"))
+      .select($"year", $"quarter", $"month", $"total_revenue".cast("double"),
+        $"total_quantity_sold".cast("double"), $"distinct_orders", $"lvl")
+    val reduced = GoldMarts.sellerPerformanceCalendarRollup(daily)
+      .select($"year", $"quarter", $"month", $"total_revenue".cast("double"),
+        $"total_quantity_sold".cast("double"), $"distinct_orders", $"lvl")
+    reduced.exceptAll(direct).count() shouldBe 0L
+    direct.exceptAll(reduced).count() shouldBe 0L
+  }
+
   test("sellerRevenueTrend: cumulative revenue and guarded MoM growth per seller") {
     val daily = GoldMarts.sellerPerformanceDaily(GoldMarts.withDateParts(fact))
     val r = GoldMarts.sellerRevenueTrend(daily)

@@ -65,6 +65,19 @@ class CorpusSpec extends SparkSpec {
     r shouldBe List(("a", "b", 2L, 1L, 2L, 3.0))
   }
 
+  test("cooc_pairs kernel == nested-transform formulation on real documents") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text")
+      .unionByName(Seq(
+        (-1L, ""), (-2L, "solo"), (-3L, "a  b"), // empty token from double space
+        (-4L, "z y x w"), (-5L, "émile zola émile")
+      ).toDF("doc_id", "text"))
+    val both = docs.select(
+      graft.functions.TextFunctions.coocPairs($"text", 2).as("fast"),
+      Corpus.coocPairsHof($"text", 2).as("ref"))
+    both.where(!($"fast" <=> $"ref")).count() shouldBe 0L
+  }
+
   test("bm25: a rare query term outranks a common one; every matching doc scored") {
     val docs = Seq(
       (1L, "x rare"),
