@@ -173,6 +173,45 @@ object EventStream {
       .start()
   }
 
+  /** Watermarked stream-stream interval join (attribution): every
+    * (left, right) pair sharing `key` with `rightTime` in
+    * `[leftTime, leftTime + horizon]` — the streaming twin of
+    * [[graft.ops.Joins.bandedRangeJoin]] at `lower = 0, upper = horizon`
+    * (click→purchase attribution, exposure→outcome linkage) with
+    * inner-join semantics.
+    *
+    * State stays bounded because BOTH ingredients Spark needs are present:
+    * each side carries an event-time watermark (`delayThreshold`), and the
+    * join condition bounds the two event times against each other — so a
+    * buffered left row is droppable once the right watermark passes
+    * `leftTime + horizon`, and a buffered right row once the left
+    * watermark passes `rightTime`. Without the time-range conjunct the
+    * state store would grow forever; this operator makes the contract
+    * impossible to miss. Same column contract as the batch range join:
+    * `key` must be the only shared column name (enforced).
+    *
+    * `horizon` is a SQL interval body, e.g. `"30 minutes"`. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
+                         leftTime: String, rightTime: String,
+                         horizon: String, delayThreshold: String): DataFrame = {
+    val shared = left.columns.intersect(right.columns).filterNot(_ == key)
+    require(shared.isEmpty,
+      s"intervalJoinStream: sides share non-key column(s) ${shared.mkString("'", "', '", "'")} - " +
+        "rename them before joining (only the join key may be shared)")
+    require(left.columns.contains(key) && right.columns.contains(key),
+      s"intervalJoinStream: both sides must carry join key '$key'")
+    val l = left.withColumnRenamed(key, "__lk")
+      .withWatermark(leftTime, delayThreshold)
+    val r = right.withColumnRenamed(key, "__rk")
+      .withWatermark(rightTime, delayThreshold)
+    l.join(r,
+        col("__lk") === col("__rk") &&
+          col(rightTime) >= col(leftTime) &&
+          col(rightTime) <= col(leftTime) + expr(s"INTERVAL $horizon"))
+      .drop("__rk")
+      .withColumnRenamed("__lk", key)
+  }
+
   /** Streaming exact dedup with bounded state — the streaming form of
     * [[graft.ops.Dedup.exact]] for at-least-once sources: duplicate keys
     * arriving within the watermark horizon are dropped, and per-key state is

@@ -168,6 +168,49 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoinStream attributes right events within the horizon, == batch join") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val buys = MemoryStream[(Long, Timestamp, Double)]
+    clicks.addData((1L, ts(0), "ad_a"), (1L, ts(20), "ad_b"), (2L, ts(5), "ad_a"))
+    buys.addData(
+      (1L, ts(10), 9.99),  // within 30 min of click@0 AND click@20? 10<20 -> only ad_a
+      (1L, ts(45), 5.00),  // within 30 of click@20 only
+      (2L, ts(50), 1.00),  // 45 min after the only click -> no match
+      (3L, ts(7), 2.00))   // no click at all
+    val q = EventStream.intervalJoinStream(
+        clicks.toDF().toDF("user_id", "click_ts", "ad"),
+        buys.toDF().toDF("user_id", "buy_ts", "amount"),
+        "user_id", "click_ts", "buy_ts", "30 minutes", "2 hours")
+      .writeStream.format("memory").queryName("attribution")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("attribution")
+        .select($"user_id", $"ad", $"amount").as[(Long, String, Double)]
+        .collect().toSet
+      got shouldBe Set((1L, "ad_a", 9.99), (1L, "ad_b", 5.00))
+      // equals the batch inequality join on the same data
+      val bc = Seq((1L, ts(0), "ad_a"), (1L, ts(20), "ad_b"), (2L, ts(5), "ad_a"))
+        .toDF("user_id", "click_ts", "ad")
+      val bb = Seq((1L, ts(10), 9.99), (1L, ts(45), 5.00), (2L, ts(50), 1.00),
+        (3L, ts(7), 2.00)).toDF("u2", "buy_ts", "amount")
+      val batch = bc.join(bb, $"user_id" === $"u2" &&
+          $"buy_ts" >= $"click_ts" &&
+          $"buy_ts" <= $"click_ts" + expr("INTERVAL 30 minutes"))
+        .select($"user_id", $"ad", $"amount").as[(Long, String, Double)]
+        .collect().toSet
+      got shouldBe batch
+    } finally q.stop()
+    an[IllegalArgumentException] should be thrownBy
+      EventStream.intervalJoinStream(
+        clicks.toDF().toDF("user_id", "ts", "x"),
+        buys.toDF().toDF("user_id", "ts", "amount"),
+        "user_id", "ts", "ts", "30 minutes", "2 hours")
+  }
+
   test("sessionize splits intra-batch gaps and emits closed sessions") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
