@@ -484,6 +484,12 @@ object SparkEntry {
       graft.ops.Quality.columnProfile(t(s, dir, "lineitem"),
         Seq("l_orderkey", "l_suppkey", "l_quantity", "l_extendedprice",
           "l_returnflag", "l_shipdate"))),
+    // relative curation cut: keep each source's top 30% by length — exact
+    // per-stratum quantile in one window pass
+    "q100_quantile_filter" -> ((s, dir) =>
+      Sampling.keepTopQuantile(
+        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        "source", "n_chars", 0.3)),
     // first-order Markov transition counts over each user's event sequence
     "q75_transitions" -> ((s, dir) =>
       graft.ops.EventAnalytics.transitionCounts(
@@ -1746,6 +1752,17 @@ object SparkEntry {
         |SELECT vec_id, label, cos_to_centroid,
         |  coalesce(cos_to_centroid < 0.2, false) AS is_outlier
         |FROM scored""".stripMargin,
+    "q100_quantile_filter" ->
+      // the keep threshold is written `1.0 - 0.3` (not `0.7`): the Spark
+      // side computes lit(1.0) - lit(q), and the two IEEE doubles differ
+      // in the last ulp — a boundary row would flip between engines
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    round(cume_dist() OVER (PARTITION BY source ORDER BY n_chars), 6) AS cume_dist
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars, cume_dist,
+        |  cume_dist > 1.0 - 0.3 AS kept
+        |FROM r""".stripMargin,
     "q99_column_profile" -> {
       def prof(c: String, numeric: Boolean): String = {
         val mn = if (numeric) s"round(CAST(min($c) AS DOUBLE), 6)" else "CAST(NULL AS DOUBLE)"

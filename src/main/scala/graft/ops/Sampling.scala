@@ -111,4 +111,30 @@ object Sampling {
       .where(col("__rk") <= k)
       .drop("__rk")
   }
+
+  /** Quantile-rank filter per stratum: keep each stratum's top `q`
+    * fraction by `scoreCol` — "top 30% quality per source", the
+    * RELATIVE curation cut that adapts to each source's own score
+    * distribution where a global threshold ([[graft.ops.Quality]] rules)
+    * over-prunes weak sources and under-prunes strong ones. Emits every
+    * row with its `cume_dist` (share of the stratum scoring ≤ it, 6 dp)
+    * and `kept = cume_dist > 1 − q` — STRICT, so a stratum of n
+    * distinct scores keeps exactly ⌊q·n⌋ rows (`≥` would also keep the
+    * boundary row). Standard SQL tie semantics (equal scores share a
+    * cume_dist, so a tie straddling the cut keeps ALL its rows — the
+    * filter never splits equals arbitrarily).
+    *
+    * Scale shape: ONE window pass — shuffle on the stratum, per-partition
+    * sort by score; no global sort, no percentile pre-pass, and the
+    * quantile is exact (a `percentile_approx` threshold join is the
+    * looser-but-cheaper twin when strata are too hot to sort). */
+  def keepTopQuantile(df: DataFrame, strataCol: String, scoreCol: String,
+                      q: Double): DataFrame = {
+    require(q > 0 && q <= 1, s"keepTopQuantile: need q in (0, 1], got $q")
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("cume_dist",
+        round(cume_dist().over(
+          Window.partitionBy(col(strataCol)).orderBy(col(scoreCol))), 6))
+      .withColumn("kept", col("cume_dist") > lit(1.0) - lit(q))
+  }
 }

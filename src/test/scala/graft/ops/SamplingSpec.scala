@@ -81,4 +81,24 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id", "source").as[(Long, String)].collect()
     again.toSet shouldBe kept.toSet
   }
+
+  test("keepTopQuantile keeps each stratum's top fraction; ties never split") {
+    val d = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0), ("a", 4L, 40.0),
+      ("a", 5L, 50.0),
+      ("b", 6L, 5.0), ("b", 7L, 5.0), ("b", 8L, 5.0), ("b", 9L, 1.0) // 3-way tie at the top
+    ).toDF("src", "id", "score")
+    val r = Sampling.keepTopQuantile(d, "src", "score", 0.4)
+      .select($"id", $"kept").as[(Long, Boolean)].collect().toMap
+    // stratum a: top 40% of 5 = the 2 best (cume_dist 0.8, 1.0); the
+    // boundary row (cume_dist exactly 0.6) is cut — the strict > semantics
+    Seq(4L, 5L).foreach(r(_) shouldBe true)
+    Seq(1L, 2L, 3L).foreach(r(_) shouldBe false)
+    // stratum b: the tied trio shares cume_dist 1.0 -> ALL kept even though
+    // 3/4 > 40%; the worst row (cume_dist 0.25) is cut
+    Seq(6L, 7L, 8L).foreach(r(_) shouldBe true)
+    r(9L) shouldBe false
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.keepTopQuantile(d, "src", "score", 0.0)
+  }
 }
