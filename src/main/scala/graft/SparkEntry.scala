@@ -490,6 +490,22 @@ object SparkEntry {
       Sampling.keepTopQuantile(
         t(s, dir, "documents").select("doc_id", "source", "n_chars"),
         "source", "n_chars", 0.3)),
+    // Efraimidis-Spirakis deterministic weighted sample: 10 docs per
+    // source, length-weighted, reproducible on any engine
+    "q101_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(
+        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        "doc_id", "source", "n_chars", 10)),
+    // per-doc n-gram novelty: share of 3-grams appearing in no other doc
+    // (inverse boilerplate / memorization-risk signal)
+    "q102_novelty" -> ((s, dir) =>
+      Dedup.ngramNovelty(
+        t(s, dir, "documents").select("doc_id", "text"), "doc_id", "text", 3)),
+    // equi-depth price histogram: 10 equal-count buckets with ranges —
+    // the skew-proof twin of the fixed-width q61
+    "q103_equidepth" -> ((s, dir) =>
+      graft.ops.Quality.equiDepthHistogram(
+        t(s, dir, "lineitem").select("l_extendedprice"), "l_extendedprice", 10)),
     // first-order Markov transition counts over each user's event sequence
     "q75_transitions" -> ((s, dir) =>
       graft.ops.EventAnalytics.transitionCounts(
@@ -813,6 +829,15 @@ object SparkEntry {
       s"(strpos('0123456789abcdef', substr(md5(CAST($idExpr AS VARCHAR)), $k, 1)) - 1)"
     val v = (1 to 8).map(k => s"${nib(k)} * ${math.pow(16, 8 - k).toLong}").mkString(" + ")
     s"(($v) % $m)"
+  }
+
+  /** The raw 32-bit md5 prefix (no modulus) as a uniform in [0, 1) —
+    * [[graft.ops.Sampling.weightedSample]]'s `u`. */
+  private def md5UniformSql(idExpr: String): String = {
+    val nib = (k: Int) =>
+      s"(strpos('0123456789abcdef', substr(md5(CAST($idExpr AS VARCHAR)), $k, 1)) - 1)"
+    val v = (1 to 8).map(k => s"${nib(k)} * ${math.pow(16, 8 - k).toLong}").mkString(" + ")
+    s"(CAST($v AS DOUBLE) / 4294967296.0)"
   }
 
   private def md5BucketSql(idExpr: String): String = md5ModSql(idExpr, 100)
@@ -1763,6 +1788,31 @@ object SparkEntry {
         |SELECT doc_id, source, n_chars, cume_dist,
         |  cume_dist > 1.0 - 0.3 AS kept
         |FROM r""".stripMargin,
+    "q101_weighted_sample" ->
+      s"""WITH ky AS (
+         |  SELECT doc_id, source, n_chars,
+         |    round(pow(${md5UniformSql("doc_id")}, 1.0 / CAST(n_chars AS DOUBLE)), 6) AS wkey
+         |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY source
+         |        ORDER BY wkey DESC, doc_id) AS rn FROM ky)
+         |SELECT doc_id, source, n_chars, wkey FROM r WHERE rn <= 10""".stripMargin,
+    "q102_novelty" ->
+      s"""WITH sh AS (${shingleSql(3)}),
+         |dfc AS (SELECT shingle, CAST(count(*) AS BIGINT) AS dfn FROM sh GROUP BY 1)
+         |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN d.dfn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+         |  round(CAST(sum(CASE WHEN d.dfn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 6) AS novelty
+         |FROM sh s JOIN dfc d ON s.shingle = d.shingle
+         |GROUP BY s.doc_id""".stripMargin,
+    "q103_equidepth" ->
+      """WITH b AS (
+        |  SELECT ntile(10) OVER (ORDER BY l_extendedprice) - 1 AS bucket,
+        |    l_extendedprice AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+        |  min(v) AS min_val, max(v) AS max_val
+        |FROM b GROUP BY 1""".stripMargin,
     "q99_column_profile" -> {
       def prof(c: String, numeric: Boolean): String = {
         val mn = if (numeric) s"round(CAST(min($c) AS DOUBLE), 6)" else "CAST(NULL AS DOUBLE)"

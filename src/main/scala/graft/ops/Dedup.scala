@@ -395,6 +395,30 @@ object Dedup {
       .withColumn("leaky", col("leak_ratio") >= maxRatio)
   }
 
+  /** Per-document n-gram novelty: the share of each document's distinct
+    * word `n`-grams that appear in NO other document — the inverse of
+    * boilerplate. Low novelty = template/mirror content that near-dup
+    * thresholds may still pass; high novelty = unique text worth its
+    * tokens (and, for eval sets, a memorization-risk signal: high-novelty
+    * grams that a model reproduces verbatim were memorized, not
+    * generalized). Returns (id, n_grams, n_unique, novelty 6 dp) for every
+    * doc with at least one shingle.
+    *
+    * Scale shape: one shingle scan feeds a (shingle → doc-frequency)
+    * hash-agg with map-side combine; the per-doc roll-up joins the tiny
+    * df=1 verdict back on the shingle — shuffle carries distinct
+    * (doc, shingle) pairs once, the [[splitLeakage]] movement bound. */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val sh = shingleTable(df, idCol, textCol, n)
+    val dfCounts = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    sh.join(dfCounts, "shingle")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty",
+        round(col("n_unique").cast("double") / col("n_grams").cast("double"), 6))
+  }
+
   /** Cross-source content-overlap matrix: for every pair of sources
     * sharing at least one word `n`-gram, the distinct-shingle intersection
     * size, both set sizes, and the containment coefficient

@@ -89,6 +89,31 @@ object Quality {
         min(v).as("min_val"), max(v).as("max_val"))
   }
 
+  /** Equi-DEPTH histogram: `nBuckets` buckets holding (near-)equal row
+    * counts, each with its observed [min, max] and count — the
+    * value-distribution summary [[histogram]]'s fixed-width buckets
+    * cannot give when the data is skewed (one hot bucket, the rest
+    * empty). Bucket assignment is `ntile` over the value order (ties may
+    * straddle buckets — ntile splits equal values to keep depths equal;
+    * use [[graft.ops.Sampling.keepTopQuantile]] when ties must stick
+    * together). NULLs are excluded.
+    *
+    * Scale shape: ntile needs a TOTAL order — one single-partition sort
+    * of the (value) column, the honest cost of exact equi-depth; at
+    * unbounded scale swap for `approx_percentile` cut points + the
+    * fixed-width assignment of [[histogram]] (sketch merge, no global
+    * sort). */
+  def equiDepthHistogram(df: DataFrame, valueCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, s"equiDepthHistogram: need nBuckets > 0, got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast("double")
+    df.where(v.isNotNull)
+      .withColumn("bucket",
+        ntile(nBuckets).over(Window.orderBy(v)).cast("long") - 1L)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min(v).as("min_val"), max(v).as("max_val"))
+  }
+
   /** Robust outlier detection: flag rows whose value deviates from the
     * MEDIAN by more than `k` times the MAD (median absolute deviation) —
     * the standard heavy-tail-safe filter (mean/stddev break under the

@@ -112,6 +112,37 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Deterministic weighted sampling without replacement, `k` rows per
+    * stratum (Efraimidis–Spirakis A-ES, Inf. Proc. Letters 2006): each
+    * row gets key `u^(1/w)` with `u` a uniform derived from the id's md5
+    * (first 8 hex nibbles / 2³²), and the stratum's top-`k` keys win —
+    * inclusion probability rises with weight, yet the draw is a pure
+    * function of the ids: replays, retries, backfills, and engine
+    * migrations reproduce the identical sample (the weighted twin of
+    * [[deterministicSample]]; `df.sample()` guarantees none of that).
+    * Rows with null or non-positive weight are excluded. Keys are
+    * 6 dp-rounded before ranking so cross-engine `pow` ulp differences
+    * cannot reorder; ties break on the id.
+    *
+    * Scale shape: one scan-stage key projection + one per-stratum
+    * top-`k` window (shuffle on the stratum; swap the window for a
+    * `max_by(k)`-style partial top-k heap if strata are few and hot). */
+  def weightedSample(df: DataFrame, idCol: String, strataCol: String,
+                     weightCol: String, k: Int): DataFrame = {
+    require(k > 0, s"weightedSample: need k > 0, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("wkey",
+        round(pow(u, lit(1.0) / col(weightCol).cast("double")), 6))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(strataCol))
+          .orderBy(col("wkey").desc, col(idCol))))
+      .where(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Quantile-rank filter per stratum: keep each stratum's top `q`
     * fraction by `scoreCol` — "top 30% quality per source", the
     * RELATIVE curation cut that adapts to each source's own score

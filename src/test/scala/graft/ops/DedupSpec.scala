@@ -61,6 +61,22 @@ class DedupSpec extends SparkSpec {
     graft.core.CacheRegistry.drain()
   }
 
+  test("ngramNovelty: duplicated docs score 0, unique docs 1, mixtures exact") {
+    val d = Seq(
+      (1L, "a b c d"),        // trigrams {a b c, b c d} — both shared with doc 2
+      (2L, "a b c d"),
+      (3L, "x y z w"),        // all grams unique -> novelty 1
+      (4L, "a b c q r s")     // {a b c}(shared), {b c q, c q r, q r s}(unique) -> 3/4
+    ).toDF("doc_id", "text")
+    val r = Dedup.ngramNovelty(d, "doc_id", "text", 3)
+      .select("doc_id", "n_grams", "n_unique", "novelty")
+      .as[(Long, Long, Long, Double)].collect().map(t => t._1 -> t).toMap
+    r(1L) shouldBe ((1L, 2L, 0L, 0.0))
+    r(2L) shouldBe ((2L, 2L, 0L, 0.0))
+    r(3L) shouldBe ((3L, 2L, 2L, 1.0))
+    r(4L) shouldBe ((4L, 4L, 3L, 0.75))
+  }
+
   test("bestRepresentatives keeps the longest member, ties to the smallest id") {
     // cluster {1, 2, 4}: doc 2 is strictly longer ("leaps" has the same
     // length as "jumps", so extend it) — make 2 the longest member

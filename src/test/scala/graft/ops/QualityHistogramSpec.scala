@@ -22,6 +22,24 @@ class QualityHistogramSpec extends SparkSpec {
     h.agg(sum($"n")).as[Long].head() shouldBe ev.where($"value".isNotNull).count()
   }
 
+  test("equiDepthHistogram: equal depths on skewed data, ordered disjoint ranges") {
+    // heavy skew: 97 small values + 3 huge — fixed-width would put 97 rows
+    // in one bucket; equi-depth must spread them 25/25/25/25
+    val d = ((1 to 97).map(_.toDouble) ++ Seq(1e6, 2e6, 3e6)).toDF("v")
+    val r = Quality.equiDepthHistogram(d, "v", 4)
+      .orderBy("bucket")
+      .as[(Long, Long, Double, Double)].collect()
+    r.map(_._1).toSeq shouldBe Seq(0L, 1L, 2L, 3L)
+    r.map(_._2).toSeq shouldBe Seq(25L, 25L, 25L, 25L)
+    // ranges ascend and do not overlap
+    r.sliding(2).foreach { case Array(a, b) => a._4 should be <= b._3 }
+    r.last._4 shouldBe 3e6
+    // ntile remainder rule: first buckets take the extra rows
+    val odd = (1 to 10).map(_.toDouble).toDF("v")
+    Quality.equiDepthHistogram(odd, "v", 3).orderBy("bucket")
+      .as[(Long, Long, Double, Double)].collect().map(_._2).toSeq shouldBe Seq(4L, 3L, 3L)
+  }
+
   test("madOutliers flags far points against median+MAD, never nulls") {
     val df = Seq[java.lang.Double](1.0, 2.0, 3.0, 4.0, 5.0, 1000.0, null).toDF("v")
     val r = Quality.madOutliers(df, "v", 3.0)

@@ -82,6 +82,27 @@ class SamplingSpec extends SparkSpec {
     again.toSet shouldBe kept.toSet
   }
 
+  test("weightedSample: heavy weights dominate, k per stratum, replay-stable, non-positive excluded") {
+    val d = ((1L to 50L).map(i => (i, "s", 1000.0)) ++
+      (51L to 100L).map(i => (i, "s", 0.001))).toDF("id", "src", "w")
+    val r = Sampling.weightedSample(d, "id", "src", "w", 10)
+      .select($"id").as[Long].collect().toSet
+    r.size shouldBe 10
+    // u^(1/1000) ≈ 1 for any u; u^1000 ≈ 0 — the heavy class sweeps the top
+    all(r.toSeq) should be <= 50L
+    // pure function of the ids: identical under repartitioning
+    val again = Sampling.weightedSample(d.repartition(7), "id", "src", "w", 10)
+      .select($"id").as[Long].collect().toSet
+    again shouldBe r
+    // null/zero/negative weights are excluded even when k > |stratum|
+    val few = Seq((1L, "t", 2.0), (2L, "t", 0.0), (3L, "t", -5.0))
+      .toDF("id", "src", "w")
+    Sampling.weightedSample(few, "id", "src", "w", 5)
+      .select($"id").as[Long].collect().toSeq shouldBe Seq(1L)
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.weightedSample(d, "id", "src", "w", 0)
+  }
+
   test("keepTopQuantile keeps each stratum's top fraction; ties never split") {
     val d = Seq(
       ("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0), ("a", 4L, 40.0),
