@@ -506,6 +506,11 @@ object SparkEntry {
     "q103_equidepth" -> ((s, dir) =>
       graft.ops.Quality.equiDepthHistogram(
         t(s, dir, "lineitem").select("l_extendedprice"), "l_extendedprice", 10)),
+    // point-in-time rolling features (last-5-events count/sum/mean per
+    // user) — the leak-free ML feature window
+    "q104_rolling_features" -> ((s, dir) =>
+      graft.ops.EventAnalytics.rollingFeatures(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "value", 5)),
     // first-order Markov transition counts over each user's event sequence
     "q75_transitions" -> ((s, dir) =>
       graft.ops.EventAnalytics.transitionCounts(
@@ -1813,6 +1818,14 @@ object SparkEntry {
         |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
         |  min(v) AS min_val, max(v) AS max_val
         |FROM b GROUP BY 1""".stripMargin,
+    "q104_rolling_features" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  CAST(count(value) OVER w AS BIGINT) AS roll_n,
+        |  round(sum(value) OVER w, 6) AS roll_sum,
+        |  round(avg(value) OVER w, 6) AS roll_avg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q99_column_profile" -> {
       def prof(c: String, numeric: Boolean): String = {
         val mn = if (numeric) s"round(CAST(min($c) AS DOUBLE), 6)" else "CAST(NULL AS DOUBLE)"

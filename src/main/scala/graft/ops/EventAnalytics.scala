@@ -72,6 +72,32 @@ object EventAnalytics {
         round(percentile(col("__gap_us").cast("double"), lit(0.9)), 6).as("p90_gap_us"))
   }
 
+  /** Rolling per-entity features: for every event, the count / sum / mean
+    * of `valueCol` over the entity's LAST `nEvents` events (current
+    * included) — the classic point-in-time feature columns an ML training
+    * set joins on, computed with the bounded
+    * `ROWS BETWEEN n-1 PRECEDING AND CURRENT ROW` frame so no future
+    * information leaks into a row's features. Same-timestamp ties break on
+    * `idCol` (total order ⇒ deterministic frames); means are 6 dp-rounded.
+    *
+    * Scale shape: ONE window pass — shuffle on the entity key, one
+    * per-partition sort shared by all three aggregates (same partition +
+    * order + frame ⇒ one Window node); the bounded frame keeps state O(n)
+    * per entity regardless of history length. */
+  def rollingFeatures(events: DataFrame, userCol: String, tsCol: String,
+                      idCol: String, valueCol: String, nEvents: Int): DataFrame = {
+    require(nEvents >= 1, s"rollingFeatures: need nEvents >= 1, got $nEvents")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-(nEvents - 1).toLong, Window.currentRow)
+    val v = col(valueCol).cast("double")
+    events.select(col(userCol), col(idCol), col(tsCol),
+      count(v).over(w).as("roll_n"),
+      round(sum(v).over(w), 6).as("roll_sum"),
+      round(avg(v).over(w), 6).as("roll_avg"))
+  }
+
   /** Weekly retention cohorts: users grouped by the ISO week of their
     * first event; one row per (cohort_week, week_offset) with the count
     * of distinct users active that week. `week_offset` 0 is the cohort

@@ -84,6 +84,26 @@ class EventAnalyticsSpec extends SparkSpec {
       ("2024-01-08 00:00:00", 0L, 1L))
   }
 
+  test("rollingFeatures: bounded trailing frame per user, no future leakage") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      (1L, 100L, ts(0), 10.0), (1L, 101L, ts(1), 20.0), (1L, 102L, ts(2), 30.0),
+      (1L, 103L, ts(3), 40.0),
+      (2L, 200L, ts(0), 5.0) // other user: frames never cross entities
+    ).toDF("user_id", "event_id", "ts", "value")
+    val r = EventAnalytics.rollingFeatures(ev, "user_id", "ts", "event_id", "value", 3)
+      .select($"event_id", $"roll_n", $"roll_sum", $"roll_avg")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    r(100L) shouldBe ((1L, 10.0, 10.0))           // first event: only itself
+    r(101L) shouldBe ((2L, 30.0, 15.0))
+    r(102L) shouldBe ((3L, 60.0, 20.0))           // full frame
+    r(103L) shouldBe ((3L, 90.0, 30.0))           // event 100 aged out
+    r(200L) shouldBe ((1L, 5.0, 5.0))
+    an[IllegalArgumentException] should be thrownBy
+      EventAnalytics.rollingFeatures(ev, "user_id", "ts", "event_id", "value", 0)
+  }
+
   test("dailyTypePivot: pinned columns, absent types count 0 with null sum") {
     def ts(d: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
     val ev = Seq(
