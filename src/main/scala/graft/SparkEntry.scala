@@ -1031,6 +1031,12 @@ object SparkEntry {
     * stateful streaming path, not just its batch shape (q41). The memory
     * sink is bench plumbing; production writes parquet/kafka. */
   def benchExtras: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // KMV-sketch cross-source overlap: the q82 scale twin — approximate by
+    // design, so no SQL oracle; SketchesSpec pins estimates on controlled
+    // overlap and the exact operator remains the correctness anchor
+    "q105_source_overlap_kmv" -> ((s, dir) =>
+      graft.ops.Sketches.sourceOverlapKmv(
+        graft.core.Tables.table(s, dir, "documents"), "source", "text", 3, 256)),
     "q90_stream_sessionize" -> ((s, dir) => {
       import s.implicits._
       import graft.streaming.EventStream

@@ -74,4 +74,56 @@ object Sketches {
         round(percentile(col(valueCol), lit(0.5)), 6).as("p50"),
         round(percentile(col(valueCol), lit(0.9)), 6).as("p90"),
         round(percentile(col(valueCol), lit(0.99)), 6).as("p99"))
+
+  /** Sketch-based cross-source overlap — the 100 TB path for
+    * [[Dedup.sourceOverlap]], whose exact form self-joins the distinct
+    * (source, shingle) table (fine until the distinct sets themselves
+    * dominate the shuffle). Here each source reduces to a `k`-minimum-
+    * values sketch of its md5'd shingles in ONE hash-agg — no
+    * pre-distinct (duplicate hashes cannot change a minimum), no
+    * shingle-keyed join, ≤ k strings per source over the wire — and the
+    * pairwise estimates are array expressions over the tiny
+    * |sources|² sketch join:
+    *
+    *  - `est_jaccard`: the share of the k smallest of A∪B present in
+    *    BOTH sketches (stderr ≈ 1/√k);
+    *  - `est_containment`: Jaccard rescaled by the KMV cardinality
+    *    estimates `(k−1)/frac(kth minimum)` — comparable to the exact
+    *    operator's `∩/min(|A|,|B|)`.
+    *
+    * Pairs whose union sketch shows zero common minima report 0 —
+    * disjoint-ish sources stay in the output (unlike the exact operator,
+    * which omits pairs sharing nothing). Estimates are 2 dp-rounded:
+    * finer digits are sampling noise at any practical k. */
+  def sourceOverlapKmv(df: DataFrame, srcCol: String, textCol: String,
+                       n: Int, k: Int): DataFrame = {
+    import graft.functions.SketchFunctions.kmvSketch
+    import graft.functions.TextFunctions.wordShingles
+    val sk = df
+      .select(col(srcCol).as("src"),
+        explode(wordShingles(col(textCol), n)).as("shingle"))
+      .select(col("src"), md5(col("shingle")).as("h"))
+      .groupBy("src")
+      .agg(kmvSketch(col("h"), k).as("kmv"))
+    // KMV cardinality: n̂ = (k−1) / frac(kth minimum), when the sketch
+    // saturated (size == k); else the sketch IS the distinct set
+    def frac(h: Column): Column =
+      conv(substring(h, 1, 12), 16, 10).cast("double") / lit(math.pow(16, 12))
+    def card(kmv: Column): Column =
+      when(size(kmv) < k, size(kmv).cast("double"))
+        .otherwise(lit(k - 1.0) / frac(element_at(kmv, k)))
+    val a = sk.toDF("src_a", "kmv_a")
+    val b = sk.toDF("src_b", "kmv_b")
+    val combined = slice(array_sort(array_union(col("kmv_a"), col("kmv_b"))), 1, k)
+    val common = size(array_intersect(
+      array_intersect(combined, col("kmv_a")), col("kmv_b")))
+    val jac = common.cast("double") / size(combined).cast("double")
+    a.crossJoin(b).where(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        round(jac, 2).as("est_jaccard"),
+        round(
+          (jac * card(combined) /
+            least(card(col("kmv_a")), card(col("kmv_b")))), 2)
+          .as("est_containment"))
+  }
 }

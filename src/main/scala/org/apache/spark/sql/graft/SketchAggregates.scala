@@ -1,0 +1,103 @@
+package org.apache.spark.sql.graft
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** KMV (k-minimum-values) distinct-set sketch: the k smallest DISTINCT
+  * hash strings seen per group, as a sorted `array<string>`.
+  *
+  * Why another sketch when HLL++ exists: HLL registers estimate ONE set's
+  * cardinality and only merge by union — they cannot answer intersection
+  * questions. KMV sketches of two sets support Jaccard / containment /
+  * intersection ESTIMATES with plain array expressions over the two
+  * arrays (Bar-Yossef et al. 2002; Beyer et al. 2007, "distinct sampling"):
+  * the k smallest of A ∪ B is `slice(array_sort(array_union(a, b)), 1, k)`,
+  * and the share of those minima present in both sketches estimates
+  * Jaccard with stderr ≈ 1/√k. That turns the exact cross-source overlap
+  * matrix ([[graft.ops.Dedup.sourceOverlap]]) — whose distinct-shingle
+  * self-join dominates at corpus scale — into a per-source aggregate of
+  * k strings plus an O(|sources|²) driver-sized join.
+  *
+  * Mergeable by construction (k-min of k-mins = k-min of the union), so
+  * partial aggregation stays map-side and the shuffle carries ≤ k strings
+  * per group. Duplicates cannot change a minimum, so the input needs NO
+  * pre-distinct — feed the raw exploded stream. Inputs are expected to be
+  * fixed-width hex hashes (md5): ordering is lexicographic, which for
+  * equal-width hex equals numeric hash order; NULL inputs are ignored.
+  * Groups with no rows evaluate to an empty array.
+  */
+case class KmvSketchAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[String]]
+  with ImplicitCastInputTypes with UnaryLike[Expression] {
+
+  require(k >= 1, s"kmv_sketch: need k >= 1, got $k")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_sketch"
+
+  override def createAggregationBuffer(): java.util.TreeSet[String] =
+    new java.util.TreeSet[String]()
+
+  private def offer(buf: java.util.TreeSet[String], s: String): Unit =
+    if (buf.size < k) { buf.add(s); () }
+    else if (s.compareTo(buf.last) < 0 && buf.add(s)) { buf.remove(buf.last); () }
+
+  override def update(buf: java.util.TreeSet[String], input: InternalRow): java.util.TreeSet[String] = {
+    val v = child.eval(input)
+    if (v != null) offer(buf, v.asInstanceOf[UTF8String].toString)
+    buf
+  }
+
+  override def merge(a: java.util.TreeSet[String], b: java.util.TreeSet[String]): java.util.TreeSet[String] = {
+    val it = b.iterator()
+    while (it.hasNext) offer(a, it.next())
+    a
+  }
+
+  override def eval(buf: java.util.TreeSet[String]): Any = {
+    val out = new Array[Any](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[String]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) out.writeUTF(it.next())
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[String] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new java.util.TreeSet[String]()
+    var i = 0
+    while (i < n) { buf.add(in.readUTF()); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvSketchAgg =
+    copy(child = newChild)
+}

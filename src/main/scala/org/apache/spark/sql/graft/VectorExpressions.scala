@@ -114,7 +114,9 @@ object GraftFunctions {
       // a registry builder into an AggregateExpression
       fn("float_vector_sum", classOf[FloatVectorSumAgg])(c => FloatVectorSumAgg(c(0))),
       fn("float_vector_weighted_sum", classOf[FloatVectorWeightedSumAgg])(c =>
-        FloatVectorWeightedSumAgg(c(0), c(1))))
+        FloatVectorWeightedSumAgg(c(0), c(1))),
+      fn("kmv_sketch", classOf[KmvSketchAgg])(c =>
+        KmvSketchAgg(c(0), intLit(c(1), "kmv_sketch"))))
 
   def register(spark: SparkSession): Unit = functions.foreach {
     case (id, info, builder) =>

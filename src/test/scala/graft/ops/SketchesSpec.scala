@@ -55,4 +55,50 @@ class SketchesSpec extends SparkSpec {
     math.abs(approx._1 - exact._1) / exact._1 should be < 0.05
     math.abs(approx._2 - exact._2) / exact._2 should be < 0.05
   }
+
+  test("kmvSketch: k smallest distinct hashes; duplicates and splits change nothing") {
+    import graft.functions.SketchFunctions.kmvSketch
+    val vals = (1 to 50).map(i => s"v$i")
+    val dup = (vals ++ vals ++ vals).map(Tuple1(_)).toDF("v")
+      .select(md5($"v").as("h"))
+    val once = vals.map(Tuple1(_)).toDF("v").select(md5($"v").as("h"))
+    val k = 16
+    val a = dup.agg(kmvSketch($"h", k)).as[Seq[String]].head()
+    val b = once.agg(kmvSketch($"h", k)).as[Seq[String]].head()
+    a shouldBe b
+    a.size shouldBe k
+    a shouldBe a.sorted
+    // merge law: k-min of two half-sketches == sketch of the whole
+    val half1 = vals.take(25).map(Tuple1(_)).toDF("v").select(md5($"v").as("h"))
+      .agg(kmvSketch($"h", k)).as[Seq[String]].head()
+    val half2 = vals.drop(25).map(Tuple1(_)).toDF("v").select(md5($"v").as("h"))
+      .agg(kmvSketch($"h", k)).as[Seq[String]].head()
+    (half1 ++ half2).distinct.sorted.take(k) shouldBe a
+    // unsaturated sketch IS the distinct set
+    val tiny = vals.take(5).map(Tuple1(_)).toDF("v").select(md5($"v").as("h"))
+      .agg(kmvSketch($"h", k)).as[Seq[String]].head()
+    tiny.size shouldBe 5
+  }
+
+  test("sourceOverlapKmv estimates Jaccard/containment of controlled overlap") {
+    // source A = tokens t0..t199, B = t100..t299 (1-gram shingles = tokens):
+    // |A| = |B| = 200, |A∩B| = 100 -> J = 1/3, containment = 0.5
+    val docs = Seq(
+      ("A", (0 until 200).map(i => s"t$i").mkString(" ")),
+      ("B", (100 until 300).map(i => s"t$i").mkString(" "))
+    ).toDF("source", "text")
+    val r = Sketches.sourceOverlapKmv(docs, "source", "text", 1, 128)
+      .as[(String, String, Double, Double)].head()
+    r._1 shouldBe "A"
+    r._2 shouldBe "B"
+    r._3 shouldBe (1.0 / 3.0) +- 0.15
+    r._4 shouldBe 0.5 +- 0.2
+  }
+
+  test("kmv_sketch is callable from SQL after registration") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    Seq("x", "y", "z").map(Tuple1(_)).toDF("v").createOrReplaceTempView("kmv_in")
+    spark.sql("SELECT kmv_sketch(md5(v), 2) AS s FROM kmv_in")
+      .as[Seq[String]].head().size shouldBe 2
+  }
 }
