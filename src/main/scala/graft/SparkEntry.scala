@@ -829,21 +829,21 @@ object SparkEntry {
   /** md5-derived bucket in SQL: first 8 hex nibbles of md5(id) as an
     * integer, mod `m` — the oracle twin of [[graft.ops.Sampling.md5Bucket]]
     * (m = 100) and [[graft.ops.Packing.packGreedy]]'s shard (m = nShards). */
-  private def md5ModSql(idExpr: String, m: Int): String = {
+  /** The id's 32-bit md5 prefix (first 8 hex nibbles as a uint32) — the
+    * shared hash device of [[md5ModSql]] and [[md5UniformSql]]. */
+  private def md5PrefixSql(idExpr: String): String = {
     val nib = (k: Int) =>
       s"(strpos('0123456789abcdef', substr(md5(CAST($idExpr AS VARCHAR)), $k, 1)) - 1)"
-    val v = (1 to 8).map(k => s"${nib(k)} * ${math.pow(16, 8 - k).toLong}").mkString(" + ")
-    s"(($v) % $m)"
+    (1 to 8).map(k => s"${nib(k)} * ${math.pow(16, 8 - k).toLong}").mkString(" + ")
   }
+
+  private def md5ModSql(idExpr: String, m: Int): String =
+    s"((${md5PrefixSql(idExpr)}) % $m)"
 
   /** The raw 32-bit md5 prefix (no modulus) as a uniform in [0, 1) —
     * [[graft.ops.Sampling.weightedSample]]'s `u`. */
-  private def md5UniformSql(idExpr: String): String = {
-    val nib = (k: Int) =>
-      s"(strpos('0123456789abcdef', substr(md5(CAST($idExpr AS VARCHAR)), $k, 1)) - 1)"
-    val v = (1 to 8).map(k => s"${nib(k)} * ${math.pow(16, 8 - k).toLong}").mkString(" + ")
-    s"(CAST($v AS DOUBLE) / 4294967296.0)"
-  }
+  private def md5UniformSql(idExpr: String): String =
+    s"(CAST(${md5PrefixSql(idExpr)} AS DOUBLE) / 4294967296.0)"
 
   private def md5BucketSql(idExpr: String): String = md5ModSql(idExpr, 100)
 
@@ -1013,7 +1013,10 @@ object SparkEntry {
         s") GROUP BY dim),\n"
       sb ++= s"n$k AS (SELECT sqrt(sum(t * t)) AS nrm FROM t$k)"
       if (k < iters)
-        sb ++= s",\nw$k AS (SELECT list(round(t / nrm, 6) ORDER BY dim) AS w FROM t$k, n$k),\n"
+        // zero-norm guard mirrors the Spark side: a degenerate cloud keeps
+        // the (all-zero) t instead of dividing by zero
+        sb ++= s",\nw$k AS (SELECT list(CASE WHEN nrm = 0 THEN t ELSE round(t / nrm, 6) END" +
+          s" ORDER BY dim) AS w FROM t$k, n$k),\n"
     }
     sb ++= s"\nSELECT CAST(t$iters.dim - 1 AS INTEGER) AS dim, " +
       s"round(CASE WHEN n$iters.nrm = 0 THEN 0.0 ELSE t$iters.t / n$iters.nrm END, 6) AS loading, " +
@@ -1791,13 +1794,15 @@ object SparkEntry {
     "q100_quantile_filter" ->
       // the keep threshold is written `1.0 - 0.3` (not `0.7`): the Spark
       // side computes lit(1.0) - lit(q), and the two IEEE doubles differ
-      // in the last ulp — a boundary row would flip between engines
+      // in the last ulp — a boundary row would flip between engines. The
+      // verdict compares the RAW cume_dist (exact k/n), rounding only the
+      // displayed column.
       """WITH r AS (
         |  SELECT doc_id, source, n_chars,
-        |    round(cume_dist() OVER (PARTITION BY source ORDER BY n_chars), 6) AS cume_dist
+        |    cume_dist() OVER (PARTITION BY source ORDER BY n_chars) AS cd
         |  FROM documents)
-        |SELECT doc_id, source, n_chars, cume_dist,
-        |  cume_dist > 1.0 - 0.3 AS kept
+        |SELECT doc_id, source, n_chars, round(cd, 6) AS cume_dist,
+        |  cd > 1.0 - 0.3 AS kept
         |FROM r""".stripMargin,
     "q101_weighted_sample" ->
       s"""WITH ky AS (

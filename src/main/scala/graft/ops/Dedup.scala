@@ -352,11 +352,13 @@ object Dedup {
     val pairs = pairGen.getOrElse(ngramJaccardPairs(df, idCol, textCol, n, minJaccard))
     val assign = clusters(pairs, "id_a", "id_b", df.select(idCol), idCol)
     val scored = assign.join(df.select(col(idCol), length(col(textCol)).as("__len")), idCol)
-    // arg-max by (length desc, id asc): max_by over a single struct whose
-    // ordering encodes the tiebreak (len, then NEGATED id so min id wins)
+    // arg-max by (length desc, id asc): min_by over a struct ordered as
+    // (NEGATED length, id) — the length is always numeric (char count), so
+    // the negation is type-safe for ANY id type, and including the id in
+    // the struct makes the minimum unique (deterministic tiebreak)
     scored.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_members"),
-        max_by(col(idCol), struct(col("__len"), -col(idCol))).as("rep_id"),
+        min_by(col(idCol), struct(-col("__len"), col(idCol))).as("rep_id"),
         max(col("__len")).as("rep_len"))
       .select(col("cluster_id"), col("rep_id"), col("n_members"), col("rep_len"))
   }
@@ -380,8 +382,11 @@ object Dedup {
                    n: Int, trainPct: Int, maxRatio: Double): DataFrame = {
     require(trainPct > 0 && trainPct < 100,
       s"splitLeakage: trainPct must be in (0, 100), got $trainPct")
-    val sh = shingleTable(df, idCol, textCol, n)
-      .withColumn("__train", Sampling.md5Bucket(col(idCol)) < trainPct)
+    // persisted: three consumers (train grams, leak counts, totals) would
+    // otherwise each re-run the shingle explode over the corpus
+    val sh = graft.core.CacheRegistry.persist(
+      shingleTable(df, idCol, textCol, n)
+        .withColumn("__train", Sampling.md5Bucket(col(idCol)) < trainPct))
     val trainGrams = sh.where(col("__train")).select("shingle").distinct()
     val heldOut = sh.where(!col("__train"))
     val leaked = heldOut.join(trainGrams, Seq("shingle"), "left_semi")
@@ -409,7 +414,9 @@ object Dedup {
     * df=1 verdict back on the shingle — shuffle carries distinct
     * (doc, shingle) pairs once, the [[splitLeakage]] movement bound. */
   def ngramNovelty(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val sh = shingleTable(df, idCol, textCol, n)
+    // persisted: the df-count aggregation and the join probe would each
+    // re-run the shingle explode otherwise
+    val sh = graft.core.CacheRegistry.persist(shingleTable(df, idCol, textCol, n))
     val dfCounts = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
     sh.join(dfCounts, "shingle")
       .groupBy(col(idCol))

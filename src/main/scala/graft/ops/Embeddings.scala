@@ -106,8 +106,12 @@ object Embeddings {
   def labelOutliers(emb: DataFrame, idCol: String, labelCol: String,
                     vecCol: String, minCos: Double): DataFrame = {
     import graft.functions.VectorFunctions.{dotF, normF, vectorSumF}
+    // divisor counts NON-NULL vectors only — vectorSumF skipped null rows,
+    // and the oracle's per-dim avg sees no rows for them either; a label
+    // with NO non-null vectors has no centroid and drops from the output
     val cents = emb.groupBy(col(labelCol))
-      .agg(vectorSumF(col(vecCol)).as("__sums"), count(lit(1)).as("__n"))
+      .agg(vectorSumF(col(vecCol)).as("__sums"), count(col(vecCol)).as("__n"))
+      .where(col("__n") > 0)
       .select(col(labelCol),
         transform(col("__sums"), x => round(x / col("__n"), 6).cast("float"))
           .as("__cvec"))
@@ -158,8 +162,12 @@ object Embeddings {
         .reduce(_ + _)
     var w = Array.fill(d)(round6(1.0 / math.sqrt(d)))
     for (_ <- 1 until iters) {
-      val t = emb.agg(vectorWeightedSumF(col(vecCol), proj(w)).as("t"))
-        .head.getSeq[Double](0).toArray
+      val row = emb.agg(vectorWeightedSumF(col(vecCol), proj(w)).as("t")).head
+      // an empty table (or all-null vectors) aggregates to NULL: fall back
+      // to the zero vector so iters >= 2 degrades exactly like iters == 1
+      // (the final distributed pass then emits no rows)
+      val t = if (row.isNullAt(0)) Array.fill(d)(0.0)
+              else row.getSeq[Double](0).toArray
       val norm = math.sqrt(t.map(x => x * x).sum)
       w = if (norm == 0.0) t else t.map(x => round6(x / norm))
     }

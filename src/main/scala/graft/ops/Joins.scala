@@ -155,7 +155,7 @@ object Joins {
     * independent passes (first token, phonetic code, length bucket) and
     * [[Dedup.clusters]] the pair union.
     *
-    * Output: (id_a, id_b, name_a, name_b, dist), id_a < id_b, each pair
+    * Output: (id_a, name_a, id_b, name_b, dist), id_a < id_b, each pair
     * once. `idCol` must be numeric-ordered and names need not be unique. */
   def blockedFuzzyPairs(df: DataFrame, idCol: String, nameCol: String,
                         blockCol: String, maxDist: Int): DataFrame = {

@@ -150,10 +150,13 @@ object Sampling {
     * over-prunes weak sources and under-prunes strong ones. Emits every
     * row with its `cume_dist` (share of the stratum scoring ≤ it, 6 dp)
     * and `kept = cume_dist > 1 − q` — STRICT, so a stratum of n
-    * distinct scores keeps exactly ⌊q·n⌋ rows (`≥` would also keep the
-    * boundary row). Standard SQL tie semantics (equal scores share a
-    * cume_dist, so a tie straddling the cut keeps ALL its rows — the
-    * filter never splits equals arbitrarily).
+    * distinct scores keeps exactly ⌈q·n⌉ rows (`≥` would also keep the
+    * row sitting exactly AT the cut). The verdict compares the RAW
+    * cume_dist (an exact k/n rational, identical in any engine), not the
+    * display-rounded one — at a billion-row stratum the k/n quantum is
+    * finer than any fixed rounding. Standard SQL tie semantics (equal
+    * scores share a cume_dist, so a tie straddling the cut keeps ALL its
+    * rows — the filter never splits equals arbitrarily).
     *
     * Scale shape: ONE window pass — shuffle on the stratum, per-partition
     * sort by score; no global sort, no percentile pre-pass, and the
@@ -163,9 +166,11 @@ object Sampling {
                       q: Double): DataFrame = {
     require(q > 0 && q <= 1, s"keepTopQuantile: need q in (0, 1], got $q")
     import org.apache.spark.sql.expressions.Window
-    df.withColumn("cume_dist",
-        round(cume_dist().over(
-          Window.partitionBy(col(strataCol)).orderBy(col(scoreCol))), 6))
-      .withColumn("kept", col("cume_dist") > lit(1.0) - lit(q))
+    val cd = cume_dist().over(
+      Window.partitionBy(col(strataCol)).orderBy(col(scoreCol)))
+    df.withColumn("__cd", cd)
+      .withColumn("cume_dist", round(col("__cd"), 6))
+      .withColumn("kept", col("__cd") > lit(1.0) - lit(q))
+      .drop("__cd")
   }
 }
