@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{ColumnBridge, KmvSketchAgg}
+import org.apache.spark.sql.graft.{ColumnBridge, KmvSketchAgg, LongMinKAgg}
 
 /** Column-level API over the native sketch aggregates (implementation in
   * `org.apache.spark.sql.graft.SketchAggregates`). */
@@ -14,4 +14,12 @@ object SketchFunctions {
   def kmvSketch(hash: Column, k: Int): Column =
     ColumnBridge.column(
       KmvSketchAgg(ColumnBridge.expression(hash), k).toAggregateExpression())
+
+  /** The k smallest distinct longs per group as a sorted array — the
+    * per-group bounded top-k that replaces a `row_number` window sort
+    * (see [[org.apache.spark.sql.graft.LongMinKAgg]]); negate the input
+    * for largest-k. */
+  def minKLong(v: Column, k: Int): Column =
+    ColumnBridge.column(
+      LongMinKAgg(ColumnBridge.expression(v), k).toAggregateExpression())
 }

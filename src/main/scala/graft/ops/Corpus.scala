@@ -119,13 +119,34 @@ object Corpus {
     * unbounded per-term array. `df_docs` counts ALL matching documents
     * (pre-cap), so idf stays exact even where postings are truncated.
     *
-    * Scale shape: (doc, term) distinct → hash-agg; the per-term cap is a
-    * window keyed on `term` — partitioned, so it scales with the term
-    * count, and the `cap` bound keeps hub terms (stop words) from
-    * emitting unbounded postings. */
+    * Scale shape: ONE hash-agg on the term computes df and the capped
+    * posting list together, via the native bounded min-k aggregate
+    * (org.apache.spark.sql.graft.LongMinKAgg — map-side partial heaps, ≤
+    * `cap` ids per term over the wire). The previous `row_number` window
+    * SORTED every term's full posting list to keep `cap` of them — on a
+    * stop word that is a sort of most of the corpus for a `cap`-row
+    * answer; it survives as [[invertedIndexWindowed]], the kernel's
+    * equivalence oracle. Requires an integral id column. */
   def invertedIndex(df: DataFrame, idCol: String, textCol: String, cap: Int): DataFrame = {
     val dt = df
-      .select(col(idCol).as("doc"), explode(split(col(textCol), " ")).as("term"))
+      .select(col(idCol).cast("long").as("doc"),
+        explode(split(col(textCol), " ")).as("term"))
+      .distinct()
+    dt.groupBy("term")
+      .agg(count(lit(1)).as("df_docs"),
+        graft.functions.SketchFunctions.minKLong(col("doc"), cap).as("__post"))
+      .select(col("term"), col("df_docs"),
+        posexplode(col("__post")).as(Seq("__pos", idCol)))
+      .select(col("term"), col("df_docs"),
+        (col("__pos") + 1).cast("long").as("slot"), col(idCol))
+  }
+
+  /** `row_number`-window formulation of [[invertedIndex]], kept as the
+    * equivalence oracle for the bounded min-k aggregate. */
+  def invertedIndexWindowed(df: DataFrame, idCol: String, textCol: String,
+                            cap: Int): DataFrame = {
+    val dt = df
+      .select(col(idCol).cast("long").as("doc"), explode(split(col(textCol), " ")).as("term"))
       .distinct()
     val dfDocs = dt.groupBy("term").agg(count(lit(1)).as("df_docs"))
     dt.withColumn("slot",

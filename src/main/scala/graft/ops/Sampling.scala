@@ -101,7 +101,11 @@ object Sampling {
     * partitionings, and engines (ties on the md5 break on the id, so the
     * cut is total-ordered). One shuffle on the stratum; the per-group
     * sort is bounded by group size, and a running top-k rank (not a full
-    * collect) is what executes. */
+    * collect) is what executes. When a single stratum is itself too hot
+    * to sort, the no-sort path is a bounded min-k aggregate over
+    * "md5:id" keys ([[org.apache.spark.sql.graft.KmvSketchAgg]]'s
+    * device, as [[graft.ops.Corpus.invertedIndex]] does for postings)
+    * plus a semi-join back on the winners. */
   def capPerStratum(df: DataFrame, idCol: String, strataCol: String, k: Int): DataFrame = {
     require(k > 0, s"capPerStratum: need k > 0, got $k")
     import org.apache.spark.sql.expressions.Window

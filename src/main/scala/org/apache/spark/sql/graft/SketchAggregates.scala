@@ -101,3 +101,85 @@ case class KmvSketchAgg(
   override protected def withNewChildInternal(newChild: Expression): KmvSketchAgg =
     copy(child = newChild)
 }
+
+/** The `k` smallest DISTINCT long values per group, as a sorted
+  * `array<bigint>` — the bounded order-statistics aggregate behind
+  * per-group top/bottom-k WITHOUT a window sort.
+  *
+  * The window formulation (`row_number() over (partition by g order by v)
+  * <= k`) SORTS every group's full value list to keep k of them — on a
+  * hub group (a stop word's postings, a hot key's events) that is a sort
+  * and shuffle of the whole group for a k-row answer. This aggregate
+  * keeps a k-capped ordered buffer per group instead: map-side partials
+  * combine (k-min of k-mins = k-min of the union), so the shuffle
+  * carries ≤ k longs per group and nothing is ever globally sorted.
+  * Duplicates cannot change a minimum (no pre-distinct needed); NULLs
+  * are ignored; an empty group evaluates to an empty array. For
+  * "largest k" feed the negated value. */
+case class LongMinKAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with ImplicitCastInputTypes with UnaryLike[Expression] {
+
+  require(k >= 1, s"min_k_long: need k >= 1, got $k")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(org.apache.spark.sql.types.LongType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "min_k_long"
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def offer(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit =
+    if (buf.size < k) { buf.add(v); () }
+    else if (v < buf.last && buf.add(v)) { buf.remove(buf.last); () }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long], input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) offer(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: java.util.TreeSet[java.lang.Long], b: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = b.iterator()
+    while (it.hasNext) offer(a, it.next())
+    a
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 8)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val buf = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong()); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): LongMinKAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): LongMinKAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): LongMinKAgg =
+    copy(child = newChild)
+}

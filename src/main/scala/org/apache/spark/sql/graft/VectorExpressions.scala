@@ -116,7 +116,9 @@ object GraftFunctions {
       fn("float_vector_weighted_sum", classOf[FloatVectorWeightedSumAgg])(c =>
         FloatVectorWeightedSumAgg(c(0), c(1))),
       fn("kmv_sketch", classOf[KmvSketchAgg])(c =>
-        KmvSketchAgg(c(0), intLit(c(1), "kmv_sketch"))))
+        KmvSketchAgg(c(0), intLit(c(1), "kmv_sketch"))),
+      fn("min_k_long", classOf[LongMinKAgg])(c =>
+        LongMinKAgg(c(0), intLit(c(1), "min_k_long"))))
 
   def register(spark: SparkSession): Unit = functions.foreach {
     case (id, info, builder) =>

@@ -65,6 +65,16 @@ class CorpusSpec extends SparkSpec {
     r shouldBe List(("a", "b", 2L, 1L, 2L, 3.0))
   }
 
+  test("invertedIndex min-k aggregate == row_number window formulation on real documents") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text")
+    val fast = Corpus.invertedIndex(docs, "doc_id", "text", 7)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val ref = Corpus.invertedIndexWindowed(docs, "doc_id", "text", 7)
+      .as[(String, Long, Long, Long)].collect().toSet
+    fast shouldBe ref
+  }
+
   test("cooc_pairs kernel == nested-transform formulation on real documents") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select($"doc_id", $"text")
