@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{ColumnBridge, CoocPairs, HashEmbed, MinGramMd5, MinHashSig, SimHash16, SimHash64, WordShingles}
+import org.apache.spark.sql.graft.{AdjPairs, ColumnBridge, CoocPairs, HashEmbed, MinGramMd5, MinHashSig, SimHash16, SimHash64, WordShingles}
 
 /** Column-level API over the native text expressions (implementation in
   * `org.apache.spark.sql.graft.TextExpressions`). */
@@ -38,4 +38,9 @@ object TextFunctions {
     * shuffle); see [[graft.ops.Corpus.cooccurrence]] for the operator. */
   def coocPairs(text: Column, window: Int): Column =
     ColumnBridge.column(CoocPairs(ColumnBridge.expression(text), window))
+
+  /** In-order adjacent token pairs, one pass per row (zero shuffle); see
+    * [[graft.ops.Corpus.bpePairCounts]] for the operator. */
+  def adjPairs(text: Column): Column =
+    ColumnBridge.column(AdjPairs(ColumnBridge.expression(text)))
 }

@@ -94,21 +94,30 @@ object Corpus {
     * engine-side primitive, and it is what dominates the cost at corpus
     * scale (the merge itself touches only the matched pair).
     *
-    * Scale shape: the pair stream is generated in the scan stage
-    * (`transform` over the token array — no shuffle), then ONE hash-agg
-    * on the pair with map-side combine; the top-k cut is
-    * TakeOrderedAndProject (per-partition heaps, no global sort). */
-  def bpePairCounts(df: DataFrame, textCol: String, k: Int): DataFrame = {
-    val ts = df.select(split(col(textCol), " ").as("ts"))
-      .where(size(col("ts")) >= 2) // sequence(0, -1) would yield [0, -1]
-    ts.select(explode(transform(
-        sequence(lit(0), size(col("ts")) - 2),
-        i => concat_ws(" ", element_at(col("ts"), i + 1), element_at(col("ts"), i + 2))))
-        .as("pair"))
+    * Scale shape: the pair stream is generated in the scan stage by ONE
+    * native kernel pass per row (org.apache.spark.sql.graft.AdjPairs —
+    * the `transform`/`element_at` formulation allocated an interpreted
+    * lambda frame per pair; it survives as [[bpePairsHof]], the kernel's
+    * equivalence oracle), then ONE hash-agg on the pair with map-side
+    * combine; the top-k cut is TakeOrderedAndProject (per-partition
+    * heaps, no global sort). */
+  def bpePairCounts(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.where(size(split(col(textCol), " ")) >= 2)
+      .select(explode(
+        graft.functions.TextFunctions.adjPairs(col(textCol))).as("pair"))
       .groupBy("pair")
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair"))
       .limit(k)
+
+  /** Higher-order-function pair generation of [[bpePairCounts]], kept as
+    * the equivalence oracle for the native AdjPairs kernel. */
+  def bpePairsHof(textCol: Column): Column = {
+    val ts = split(textCol, " ")
+    when(size(ts) < 2, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(ts) - 2),
+        i => concat_ws(" ", element_at(ts, i + 1), element_at(ts, i + 2))))
   }
 
   /** Inverted index (term → postings), the retrieval-side product of a

@@ -203,6 +203,25 @@ object TextKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** Adjacent token pairs in document order, space-joined — identical to
+    * `transform(sequence(0, n-2), i -> concat_ws(" ", ts[i+1], ts[i+2]))`
+    * (one interpreted lambda frame per pair) in one pass. Order is
+    * PRESERVED, not canonicalized — BPE merge candidates are directed.
+    * Docs shorter than 2 tokens yield an empty array. */
+  def adjPairs(text: UTF8String): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val n = toks.length
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      out(i) = UTF8String.concat(
+        UTF8String.fromString(toks(i)), SPACE, UTF8String.fromString(toks(i + 1)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Winnowing-style minimum over character 8-gram md5s; full-doc md5 for
     * texts shorter than 8 chars. Identical to the
     * `array_min(transform(sequence(1, len-7), i -> md5(substr(text, i, 8))))`
@@ -339,6 +358,23 @@ case class CoocPairs(child: Expression, window: Int) extends UnaryExpression {
       s"org.apache.spark.sql.graft.TextKernels.coocPairs($c, $window)")
 
   override protected def withNewChildInternal(newChild: Expression): CoocPairs =
+    copy(child = newChild)
+}
+
+/** `adj_pairs(text)` → array<string> of in-order adjacent token pairs
+  * (see [[TextKernels.adjPairs]]). */
+case class AdjPairs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "adj_pairs"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.adjPairs(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.TextKernels.adjPairs($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): AdjPairs =
     copy(child = newChild)
 }
 

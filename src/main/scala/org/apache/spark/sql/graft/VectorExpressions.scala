@@ -108,6 +108,7 @@ object GraftFunctions {
       fn("min_gram_md5", classOf[MinGramMd5])(c => MinGramMd5(c(0))),
       fn("cooc_pairs", classOf[CoocPairs])(c =>
         CoocPairs(c(0), intLit(c(1), "cooc_pairs"))),
+      fn("adj_pairs", classOf[AdjPairs])(c => AdjPairs(c(0))),
       fn("hash_embed", classOf[HashEmbed])(c =>
         HashEmbed(c(0), intLit(c(1), "hash_embed"))),
       // aggregate: the analyzer wraps a bare AggregateFunction returned by

@@ -75,6 +75,18 @@ class CorpusSpec extends SparkSpec {
     fast shouldBe ref
   }
 
+  test("adj_pairs kernel == transform formulation on real documents") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text")
+      .unionByName(Seq(
+        (-1L, ""), (-2L, "solo"), (-3L, "a  b"), (-4L, "x y x y")
+      ).toDF("doc_id", "text"))
+    val both = docs.select(
+      graft.functions.TextFunctions.adjPairs($"text").as("fast"),
+      Corpus.bpePairsHof($"text").as("ref"))
+    both.where(!($"fast" <=> $"ref")).count() shouldBe 0L
+  }
+
   test("cooc_pairs kernel == nested-transform formulation on real documents") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select($"doc_id", $"text")
