@@ -243,6 +243,9 @@ object Corpus {
   def bm25(df: DataFrame, idCol: String, textCol: String, query: Seq[String],
            k1: Double, b: Double, topK: Int): DataFrame = {
     require(query.nonEmpty, "bm25: query must be non-empty")
+    require(query.distinct.size == query.size,
+      s"bm25: duplicated query term(s) ${query.diff(query.distinct).distinct.mkString("'", "', '", "'")} " +
+        "would double-count their scores - dedupe the query first")
     val docLen = df.select(col(idCol), size(split(col(textCol), " ")).cast("long").as("dl"))
     val totals = docLen.agg(
       count(lit(1)).as("n_docs"),

@@ -447,9 +447,11 @@ object Dedup {
     * carry no discriminating signal) or estimate per-pair intersections
     * with HLL sketches ([[Sketches]]) instead of exact counts. */
   def sourceOverlap(df: DataFrame, srcCol: String, textCol: String, n: Int): DataFrame = {
-    val sh = df
+    // persisted: three consumers (sizes + both self-join sides) would
+    // otherwise each re-run the shingle explode + distinct shuffle
+    val sh = graft.core.CacheRegistry.persist(df
       .select(col(srcCol).as("src"), explode(array_distinct(shingles(col(textCol), n))).as("shingle"))
-      .distinct()
+      .distinct())
     val sizes = sh.groupBy("src").agg(count(lit(1)).as("n_sh"))
     val inter = sh.toDF("src_a", "shingle")
       .join(sh.toDF("src_b", "shingle"), "shingle")

@@ -81,8 +81,11 @@ object Embeddings {
     * [[Similarity.kmeansStep]]). */
   def labelCentroids(emb: DataFrame, labelCol: String, vecCol: String): DataFrame = {
     import graft.functions.VectorFunctions.vectorSumF
+    // n_members counts NON-NULL vectors only — vectorSumF skipped null
+    // rows, and dividing by a row count that included them would deflate
+    // every mean (and diverge from the oracle's per-dim avg)
     emb.groupBy(col(labelCol))
-      .agg(count(lit(1)).as("n_members"), vectorSumF(col(vecCol)).as("sums"))
+      .agg(count(col(vecCol)).as("n_members"), vectorSumF(col(vecCol)).as("sums"))
       .select(col(labelCol), col("n_members"),
         posexplode(transform(col("sums"), x => x / col("n_members")))
           .as(Seq("dim", "mean_val")))

@@ -221,13 +221,10 @@ object Quality {
   def curationScorecard(df: DataFrame, idCol: String, textCol: String,
                         vocabK: Int, minNgramRatio: Double,
                         maxOovRate: Double): DataFrame = {
-    val sh = Dedup.shingles(col(textCol), 3)
     val withRep = TextStats
       .qualityFeatures(df, idCol, textCol, carryCols = Seq(textCol))
       .withColumn("distinct_ngram_ratio",
-        when(size(sh) <= 0, lit(1.0))
-          .otherwise(size(array_distinct(sh)).cast("double")
-            / size(sh).cast("double")))
+        TextStats.distinctNgramRatio(col(textCol), 3))
       .drop(textCol, "n_chars")
     val fam = Corpus.familiarity(df, idCol, textCol, vocabK)
       .select(col(idCol), col("familiarity"), col("oov_rate"))

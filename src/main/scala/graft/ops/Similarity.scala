@@ -292,8 +292,12 @@ object Similarity {
   def semanticNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                            k: Int, iters: Int, threshold: Double): DataFrame = {
     val cents = kmeansCentroids(emb, idCol, vecCol, k, iters)
-    val assigned = nearestCentroid(emb, idCol, vecCol, cents)
-      .select(col(idCol), col("cent_id").as("cell"), col(vecCol), col("norm"))
+    // persisted: both self-join sides consume the assignment, which is
+    // itself a broadcast-NLJ + window argmax over every vector — without
+    // the persist that dominant stage executes twice
+    val assigned = graft.core.CacheRegistry.persist(
+      nearestCentroid(emb, idCol, vecCol, cents)
+        .select(col(idCol), col("cent_id").as("cell"), col(vecCol), col("norm")))
     val a = assigned.toDF("id_a", "cell", "va", "na")
     val b = assigned.toDF("id_b", "cell", "vb", "nb")
     a.join(b, Seq("cell"))

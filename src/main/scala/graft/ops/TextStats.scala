@@ -96,14 +96,19 @@ object TextStats {
     * has far fewer distinct n-grams than slots). 1.0 = no repetition; docs
     * shorter than n words score 1.0 by convention. One narrow projection,
     * no shuffle — runs in the scan stage at any scale. */
-  def repetitionScore(df: DataFrame, idCol: String, textCol: String,
-                      n: Int = 3): DataFrame = {
-    val sh = Dedup.shingles(col(textCol), n)
-    df.select(col(idCol),
-      when(size(sh) <= 0, lit(1.0))
-        .otherwise(size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
-        .as("distinct_ngram_ratio"))
+  /** The distinct-n-gram ratio as a Column — the single definition
+    * [[repetitionScore]] and [[Quality.curationScorecard]] both use
+    * (empty-doc convention: ratio 1.0). */
+  def distinctNgramRatio(text: Column, n: Int): Column = {
+    val sh = Dedup.shingles(text, n)
+    when(size(sh) <= 0, lit(1.0))
+      .otherwise(size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
   }
+
+  def repetitionScore(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3): DataFrame =
+    df.select(col(idCol),
+      distinctNgramRatio(col(textCol), n).as("distinct_ngram_ratio"))
 
   /** PII scrubbing: masks emails, URLs, and long (7+) digit runs — the
     * redaction pass a training-data pipeline runs before tokenization.

@@ -29,13 +29,23 @@ object Export {
   def jsonlShards(spark: SparkSession, df: DataFrame, idCol: String,
                   dir: String, shards: Int): DataFrame = {
     require(shards > 0, s"jsonlShards: need shards > 0, got $shards")
+    // sort key leads with the partition column: the dynamic-partition
+    // writer REQUIRES its ordering to start with "shard" and would insert
+    // its own (stability-uncontracted) sort above an id-only ordering,
+    // breaking byte-reproducible shard files
     df.withColumn("shard", graft.ops.Sampling.md5Mod(col(idCol), shards.toLong))
       .repartition(shards, col("shard"))
-      .sortWithinPartitions(idCol)
+      .sortWithinPartitions(col("shard"), col(idCol))
       .write.mode("overwrite")
       .partitionBy("shard")
       .json(dir)
-    spark.read.json(dir)
+    // explicit one-field schema: a schema-less read would run a full
+    // inference pass and then JSON-parse every column of every row just
+    // to count rows and min/max one id
+    val idField = df.schema(idCol)
+    spark.read
+      .schema(new org.apache.spark.sql.types.StructType().add(idField))
+      .json(dir)
       // the hive-partition column comes back int-typed; pin it to long
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_rows"),

@@ -330,6 +330,9 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 /** `hash_embed(text, d)` → array<bigint> of d signed hash-trick counts
   * (see [[TextKernels.hashEmbed]]). */
 case class HashEmbed(child: Expression, d: Int) extends UnaryExpression {
+  // plan-time guard: d <= 0 would otherwise surface as a per-row
+  // ArithmeticException (v % 0) deep inside codegen
+  require(d >= 1, s"hash_embed: need d >= 1 dims, got $d")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "hash_embed"
 

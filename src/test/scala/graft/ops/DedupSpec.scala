@@ -173,5 +173,6 @@ class DedupSpec extends SparkSpec {
     val r = Dedup.sourceOverlap(d, "source", "text", 3)
       .as[(String, String, Long, Long, Long, Double)].collect().toList
     r shouldBe List(("s1", "s2", 1L, 2L, 2L, 0.5))
+    graft.core.CacheRegistry.drain()
   }
 }

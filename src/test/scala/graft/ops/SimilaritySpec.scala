@@ -188,5 +188,6 @@ class SimilaritySpec extends SparkSpec {
     // the k-means bucketing must retain a usable share of the true pairs
     // (cells are meaning-adjacent, so near-dups mostly co-locate)
     sem.size.toDouble / exact.size.toDouble should be >= 0.3
+    graft.core.CacheRegistry.drain()
   }
 }
