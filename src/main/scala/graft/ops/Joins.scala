@@ -173,9 +173,12 @@ object Joins {
     a.join(b, Seq("__blk"))
       .where(col("id_a") < col("id_b"))
       // exact pre-filter: levenshtein ≥ |len(a) − len(b)|, so length gaps
-      // beyond maxDist never pay the O(m·n) distance loop
+      // beyond maxDist never pay the O(m·n) distance loop; exact-equal
+      // names (the bulk of a duplicate-heavy dimension) skip it too
       .where(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .withColumn("dist",
+        when(col("name_a") === col("name_b"), lit(0))
+          .otherwise(levenshtein(col("name_a"), col("name_b"))))
       .where(col("dist") <= maxDist)
       .drop("__blk")
   }
