@@ -95,7 +95,7 @@ object Scd2 {
           .when(col("s.hash") =!= col("t.hash"), "UPDATE")
           .otherwise("NO CHANGE"))
       .where(col("action").isin("INSERT", "UPDATE"))
-      .select((source.columns.map(c => col(s"s.$c")) :+ col("action")): _*)
+      .select((source.columns.map(c => col(s"s.$c")).toIndexedSeq :+ col("action")): _*)
   }
 
   /** Snapshot-diff variant of [[stage]] for FULL-snapshot sources: the
@@ -137,7 +137,7 @@ object Scd2 {
       .select((source.columns.map {
         case c if c == pk => coalesce(col(s"s.$pk"), col(s"t.$pk")).as(pk)
         case c => col(s"s.$c")
-      } :+ col("action")): _*)
+      }.toIndexedSeq :+ col("action")): _*)
   }
 
   /** Distinct changed keys whose current versions must be expired
@@ -206,7 +206,7 @@ object Scd2 {
         when(col("__expire") && col("is_current"), lit(false)).otherwise(col("is_current")))
       .drop("__expire")
     val inserts = initialLoad(inserting.drop("action"), runTs)
-      .select((dataCols.map(col) ++ scd2Columns.map(col)): _*)
-    rewritten.select((dataCols.map(col) ++ scd2Columns.map(col)): _*).union(inserts)
+      .select((dataCols.map(col) ++ scd2Columns.map(col)).toIndexedSeq: _*)
+    rewritten.select((dataCols.map(col) ++ scd2Columns.map(col)).toIndexedSeq: _*).union(inserts)
   }
 }

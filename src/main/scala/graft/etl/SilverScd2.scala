@@ -43,7 +43,7 @@ object SilverScd2 {
       .persist(StorageLevel.MEMORY_AND_DISK) // feeds ≥3 actions below
     try {
       if (batch.isEmpty) return Report(table, 0, "skipped-empty")
-      val newWm = batch.agg(max("ingestion_timestamp")).head.getTimestamp(0)
+      val newWm = batch.agg(max("ingestion_timestamp")).head().getTimestamp(0)
 
       if (!store.exists(silver)) {
         // first-run branch (2_Bronze_to_Silver.py:76-81); partitioned by

@@ -165,7 +165,7 @@ object Embeddings {
         .reduce(_ + _)
     var w = Array.fill(d)(round6(1.0 / math.sqrt(d)))
     for (_ <- 1 until iters) {
-      val row = emb.agg(vectorWeightedSumF(col(vecCol), proj(w)).as("t")).head
+      val row = emb.agg(vectorWeightedSumF(col(vecCol), proj(w)).as("t")).head()
       // an empty table (or all-null vectors) aggregates to NULL: fall back
       // to the zero vector so iters >= 2 degrades exactly like iters == 1
       // (the final distributed pass then emits no rows)

@@ -132,7 +132,7 @@ object Joins {
     require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
       "saltedEquiJoin: '__salt' is reserved for the internal salt column")
     val bigS = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col): _*), lit(salt.toLong)).cast("int"))
+      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salt.toLong)).cast("int"))
     val smallS = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
     bigS.join(smallS, Seq(key, "__salt")).drop("__salt")

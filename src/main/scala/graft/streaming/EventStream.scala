@@ -156,7 +156,7 @@ object EventStream {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (batchId > lastCommitted && !batch.isEmpty) {
           val df = batch.toDF()
-          val runTs = df.agg(max(col(tsCol))).head.getTimestamp(0)
+          val runTs = df.agg(max(col(tsCol))).head().getTimestamp(0)
           if (!store.exists(silverPath))
             store.overwrite(silverPath, Scd2.initialLoad(df, runTs), Seq("is_current"))
           else {

@@ -82,7 +82,7 @@ object TextKernels {
       val sh = shingles.getUTF8String(k).toString
       var i = 0
       while (i < numHashes) {
-        val h = md5Hex(i + ":" + sh)
+        val h = md5Hex(s"$i:$sh")
         if (mins(i) == null || h.compareTo(mins(i)) < 0) mins(i) = h
         i += 1
       }
