@@ -16,6 +16,11 @@ run / fork := true
 // parse (rounds 1-2: parsed=null despite valid per-query lines in the
 // tail). Project-level so run/runMain/test all delegate to it.
 outputStrategy := Some(StdoutOutput)
+// ...and sbt's own "[success] Total time" epilogue must not trail the bench
+// JSON: with it suppressed, Bench's final re-emit is the LAST stdout line of
+// the whole `sbt "runMain graft.Bench"` invocation (rounds 1-3: the driver's
+// parse came up null despite valid JSON lines in the tail).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

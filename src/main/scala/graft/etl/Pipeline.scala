@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.actions.{ActionSink, NullSink}
-import graft.sources.{LandingSource, TableConfig, TableStore, WatermarkStore}
+import graft.sources.{BucketedTableStore, LandingSource, TableConfig, TableStore, WatermarkStore}
 
 /** End-to-end medallion pipeline driver, replacing the reference's ADF
   * orchestration (/root/reference/adf/pipeline.json:89-362: ForEach copy →
@@ -25,7 +25,12 @@ final case class PipelineConfig(
     stateRoot: String,
     tables: Seq[TableConfig],
     sideChannelTable: String = "Customers",
-    sideChannelCols: Seq[String] = Seq("Name", "Email"))
+    sideChannelCols: Seq[String] = Seq("Name", "Email"),
+    // opt-in: Silver merge targets live pk-bucketed in this catalog
+    // database (n buckets) instead of the path store — the SCD2 diff then
+    // shuffles only the incremental batch (see SilverScd2.run's scaladoc)
+    silverBuckets: Option[Int] = None,
+    silverDatabase: String = "graft_silver")
 
 final case class RunReport(
     bronze: Seq[BronzeIngest.Report],
@@ -38,6 +43,8 @@ class Pipeline(spark: SparkSession, conf: PipelineConfig,
   val store = new TableStore(spark)
   val watermarks = new WatermarkStore(spark, conf.stateRoot)
   private val landing = new LandingSource(spark, conf.landingRoot)
+  private val bucketed: Option[BucketedTableStore] =
+    conf.silverBuckets.map(n => new BucketedTableStore(spark, conf.silverDatabase, n))
 
   /** One incremental run: Bronze ingest → SCD2 merge per active table →
     * optional Gold rebuild from a caller-supplied fact builder. */
@@ -48,12 +55,15 @@ class Pipeline(spark: SparkSession, conf: PipelineConfig,
       overrides.getOrElse(_, Map.empty))
     val silver = conf.tables.filter(_.active).map { tc =>
       SilverScd2.run(store, watermarks, conf.bronzeRoot, conf.silverRoot,
-        tc, runTs, sink, conf.sideChannelTable, conf.sideChannelCols)
+        tc, runTs, sink, conf.sideChannelTable, conf.sideChannelCols, bucketed)
     }
     val gold = goldFact.map(f => GoldBuild.run(spark, store, conf.goldRoot, f(spark)))
     RunReport(bronze, silver, gold)
   }
 
-  def silverTable(name: String): DataFrame = store.read(s"${conf.silverRoot}/$name")
+  def silverTable(name: String): DataFrame = bucketed match {
+    case Some(b) => b.read(name)
+    case None => store.read(s"${conf.silverRoot}/$name")
+  }
   def goldTable(name: String): DataFrame = store.read(s"${conf.goldRoot}/$name")
 }

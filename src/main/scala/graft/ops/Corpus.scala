@@ -19,6 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
+  /** The inverted-index pair casts the id to long; a non-integral id would
+    * silently become NULL — still counted by df_docs but dropped from the
+    * postings heap, so a string-id corpus would get wrong df counts and
+    * empty postings with no error. Fail loudly instead; hash string ids to
+    * long (e.g. xxhash64) upstream. */
+  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(idCol).dataType
+    val integral = dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType
+    require(integral,
+      s"$op: id column '$idCol' must be an integral type, got ${dt.simpleString}")
+  }
+
   /** Per-(doc, term) occurrence counts — the shared first stage. */
   private def docTermCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
@@ -137,6 +150,7 @@ object Corpus {
     * answer; it survives as [[invertedIndexWindowed]], the kernel's
     * equivalence oracle. Requires an integral id column. */
   def invertedIndex(df: DataFrame, idCol: String, textCol: String, cap: Int): DataFrame = {
+    requireIntegralId(df, idCol, "invertedIndex")
     val dt = df
       .select(col(idCol).cast("long").as("doc"),
         explode(split(col(textCol), " ")).as("term"))
@@ -154,6 +168,7 @@ object Corpus {
     * equivalence oracle for the bounded min-k aggregate. */
   def invertedIndexWindowed(df: DataFrame, idCol: String, textCol: String,
                             cap: Int): DataFrame = {
+    requireIntegralId(df, idCol, "invertedIndexWindowed")
     val dt = df
       .select(col(idCol).cast("long").as("doc"), explode(split(col(textCol), " ")).as("term"))
       .distinct()

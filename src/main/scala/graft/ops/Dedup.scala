@@ -24,23 +24,12 @@ object Dedup {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Word n-gram shingles (with multiplicity) — a native one-pass expression
-    * (org.apache.spark.sql.graft.WordShingles); see [[shinglesHof]] for the
-    * equivalent built-in formulation it replaced (interpreted per element,
-    * ~5× slower over millions of documents). */
+    * (org.apache.spark.sql.graft.WordShingles). The built-in formulation it
+    * replaced (interpreted per element, ~5× slower over millions of
+    * documents) survives as a test-only equivalence witness
+    * (EquivalenceWitnesses.shinglesHof, pinned in TextFunctionsSpec). */
   def shingles(text: Column, n: Int): Column =
     graft.functions.TextFunctions.wordShingles(text, n)
-
-  /** Built-in-function formulation of [[shingles]], kept as the equivalence
-    * oracle for the native kernel. Guarded so documents shorter than n yield
-    * an empty array — Spark's `sequence(1, k)` for k < 1 would otherwise
-    * count *down*. */
-  def shinglesHof(text: Column, n: Int): Column = {
-    val ts = tokens(text)
-    when(size(ts) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), size(ts) - lit(n - 1)),
-        i => concat_ws(" ", slice(ts, i, lit(n)))))
-  }
 
   /** Exploded table of DISTINCT shingles: (id, shingle). */
   def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
@@ -192,28 +181,12 @@ object Dedup {
     * Computed per document in ONE scan-stage pass by a native expression
     * (org.apache.spark.sql.graft.SimHash16) — SimHash is a pure per-row
     * function, so the explode-tokens → 16 vote-sums → groupBy formulation
-    * ([[simHash16Agg]], kept as the equivalence oracle) shuffles the entire
-    * token stream to compute what a kernel computes moving nothing. */
+    * would shuffle the entire token stream to compute what a kernel
+    * computes moving nothing (that form survives as a test-only
+    * equivalence witness, EquivalenceWitnesses.simHash16Agg). */
   def simHash16(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
       graft.functions.TextFunctions.simHash16(col(textCol)).as("simhash16"))
-
-  /** Aggregation formulation of [[simHash16]] — the equivalence oracle for
-    * the native kernel (TextFunctionsSpec pins kernel == this). Shuffles
-    * O(total tokens); do not use at scale. */
-  def simHash16Agg(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-      .withColumn("h", md5(col("tok")))
-    val hi = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-    val votes = (0 until 16).map { i =>
-      sum(when(substring(col("h"), i + 1, 1).isin(hi: _*), 1).otherwise(-1)).as(s"v_$i")
-    }
-    val voted = tok.groupBy(idCol).agg(votes.head, votes.tail: _*)
-    val sig = (0 until 16).map { i =>
-      when(col(s"v_$i") > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    voted.select(col(idCol), sig.as("simhash16"))
-  }
 
   /** Connected components over near-duplicate pairs: assigns every document
     * the MINIMUM id reachable through the pair graph (its cluster id /
@@ -351,7 +324,12 @@ object Dedup {
                           pairGen: Option[DataFrame] = None): DataFrame = {
     val pairs = pairGen.getOrElse(ngramJaccardPairs(df, idCol, textCol, n, minJaccard))
     val assign = clusters(pairs, "id_a", "id_b", df.select(idCol), idCol)
-    val scored = assign.join(df.select(col(idCol), length(col(textCol)).as("__len")), idCol)
+    // NULL text → length NULL, and a null first field sorts FIRST in
+    // Spark's struct ordering — a null-text doc would beat every real one
+    // as representative (and diverge from SQL engines' NULLS LAST).
+    // Coalesce to -1 so null-text docs lose to any non-null text.
+    val scored = assign.join(
+      df.select(col(idCol), coalesce(length(col(textCol)), lit(-1)).as("__len")), idCol)
     // arg-max by (length desc, id asc): min_by over a struct ordered as
     // (NEGATED length, id) — the length is always numeric (char count), so
     // the negation is type-safe for ANY id type, and including the id in
@@ -445,8 +423,23 @@ object Dedup {
     * (boilerplate present in every source) still dominate the key
     * distribution; at 100 TB drop shingles above a df ceiling first (they
     * carry no discriminating signal) or estimate per-pair intersections
-    * with HLL sketches ([[Sketches]]) instead of exact counts. */
-  def sourceOverlap(df: DataFrame, srcCol: String, textCol: String, n: Int): DataFrame = {
+    * with sketches instead of exact counts.
+    *
+    * Guarded like [[Similarity.lshTopK]] guards its single-band form:
+    * `exact = true` is a REQUIRED opt-in, because the distinct-shingle
+    * self-join materializes every (source, shingle) row and is only
+    * appropriate on bounded corpora (verification, audits, small-N
+    * sources). The default (false) throws, pointing at the estimator a
+    * 100 TB run should use instead — [[Sketches.sourceOverlapKmv]], whose
+    * shuffle is ≤ k strings per source and whose output keeps the same
+    * pair grain (est_jaccard/est_containment at stderr ≈ 1/√k). */
+  def sourceOverlap(df: DataFrame, srcCol: String, textCol: String, n: Int,
+                    exact: Boolean = false): DataFrame = {
+    require(exact,
+      "sourceOverlap computes the EXACT cross-source containment matrix " +
+        "(a distinct-shingle self-join over the full corpus). At scale use " +
+        "Sketches.sourceOverlapKmv, or pass exact = true to opt in on a " +
+        "bounded corpus.")
     // persisted: three consumers (sizes + both self-join sides) would
     // otherwise each re-run the shingle explode + distinct shuffle
     val sh = graft.core.CacheRegistry.persist(df
@@ -472,19 +465,4 @@ object Dedup {
   def simHash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
       graft.functions.TextFunctions.simHash64(col(textCol)).as("simhash64"))
-
-  /** Aggregation formulation of [[simHash64]] — the equivalence oracle for
-    * the native kernel. Shuffles O(total tokens); do not use at scale. */
-  def simHash64Agg(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val votes = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v_$i")
-    }
-    val voted = tok.groupBy(idCol).agg(votes.head, votes.tail: _*)
-    val sig = (0 until 64).map { i =>
-      when(col(s"v_$i") > 0, lit(1L) * lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    voted.select(col(idCol), sig.as("simhash64"))
-  }
 }

@@ -117,13 +117,18 @@ object Sketches {
     val combined = slice(array_sort(array_union(col("kmv_a"), col("kmv_b"))), 1, k)
     val common = size(array_intersect(
       array_intersect(combined, col("kmv_a")), col("kmv_b")))
-    val jac = common.cast("double") / size(combined).cast("double")
+    // an empty union sketch (source with no shingles) would make this 0/0 →
+    // NULL, contradicting the "disjoint-ish pairs report 0" contract
+    val jac = when(size(combined) === 0, lit(0.0))
+      .otherwise(common.cast("double") / size(combined).cast("double"))
+    // jac = 0 with an empty-sketch side would likewise divide 0 by a 0
+    // cardinality estimate; zero overlap IS zero containment
+    val containment = when(jac === 0.0, lit(0.0))
+      .otherwise(jac * card(combined) /
+        least(card(col("kmv_a")), card(col("kmv_b"))))
     a.crossJoin(b).where(col("src_a") < col("src_b"))
       .select(col("src_a"), col("src_b"),
         round(jac, 2).as("est_jaccard"),
-        round(
-          (jac * card(combined) /
-            least(card(col("kmv_a")), card(col("kmv_b")))), 2)
-          .as("est_containment"))
+        round(containment, 2).as("est_containment"))
   }
 }

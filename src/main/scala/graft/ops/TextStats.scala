@@ -21,6 +21,31 @@ object TextStats {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
+  /** The quality-tier CASE, the single definition [[qualityFeatures]] (over
+    * its materialized feature columns) and [[qualityBucket]] (inline over
+    * text) both use — the thresholds can't drift apart. */
+  def qualityBucketFrom(nTokens: Column, punctRatio: Column,
+                        avgTokenLen: Column): Column =
+    when(nTokens >= 50 && punctRatio < 0.1
+      && avgTokenLen >= 3 && avgTokenLen <= 10, "high")
+      .when(nTokens >= 10, "medium")
+      .otherwise("low")
+
+  /** The quality tier as a pure Column over the text — lets an eligibility
+    * filter run in the scan stage of ONE pass instead of joining
+    * [[qualityFeatures]] output back on the id (at 100 TB that join
+    * shuffles the whole corpus for a filter). Codegen's common-subexpression
+    * elimination dedupes the repeated token/length terms. */
+  def qualityBucket(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val nonSpace = length(regexp_replace(text, " ", ""))
+    qualityBucketFrom(
+      nTok,
+      size(regexp_extract_all(text, lit("[^a-zA-Z0-9 ]"), lit(0))).cast("double")
+        / length(text).cast("double"),
+      nonSpace.cast("double") / nTok.cast("double"))
+  }
+
   /** Per-document quality features + a bucketed score. `carryCols` ride
     * along unchanged (e.g. the source/stratum for [[qualityDrift]]) so a
     * grouped consumer stays a ONE-scan pipeline instead of re-joining the
@@ -40,10 +65,7 @@ object TextStats {
           / length(t).cast("double")).as("punct_ratio"),
         (stopHits.cast("double") / nTok.cast("double")).as("stopword_ratio")): _*)
       .withColumn("quality",
-        when(col("n_tokens") >= 50 && col("punct_ratio") < 0.1
-          && col("avg_token_len") >= 3 && col("avg_token_len") <= 10, "high")
-          .when(col("n_tokens") >= 10, "medium")
-          .otherwise("low"))
+        qualityBucketFrom(col("n_tokens"), col("punct_ratio"), col("avg_token_len")))
   }
 
   /** Per-stratum quality drift mart: document counts, mean feature values,
@@ -74,21 +96,39 @@ object TextStats {
     "fr" -> Seq("le", "la", "les", "et"),
     "zh" -> Seq("的", "是", "在", "了"))
 
-  /** Language-ID heuristic: count marker-word hits per language, take the
-    * argmax (first language in [[langMarkers]] order wins ties). */
-  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val scores = langMarkers.map { case (lang, ms) =>
+  /** Per-language marker-hit counts as (lang, score Column) pairs over the
+    * text — the shared front half of [[langId]] and [[detectedLang]]. */
+  def languageScores(text: Column): Seq[(String, Column)] = {
+    val toks = split(text, " ")
+    langMarkers.map { case (lang, ms) =>
       lang -> size(filter(toks, w => w.isin(ms.map(lit): _*)))
     }
-    val withScores = df.select(
-      (col(idCol) +: scores.map { case (l, c) => c.as(s"score_$l") }): _*)
-    val best = scores.map(_._1).map(l => col(s"score_$l"))
-    val detected = scores.map(_._1).zip(best).foldLeft(lit(null).cast("string")) {
+  }
+
+  /** Argmax over per-language score columns (first language in score order
+    * wins ties) — works over materialized `score_*` column refs ([[langId]])
+    * or inline expressions ([[detectedLang]]). */
+  def detectedLangFrom(scores: Seq[(String, Column)]): Column = {
+    val best = scores.map(_._2)
+    scores.foldLeft(lit(null).cast("string")) {
       case (acc, (lang, sc)) =>
         when(acc.isNull && sc === greatest(best: _*), lang).otherwise(acc)
     }
-    withScores.withColumn("detected_lang", detected)
+  }
+
+  /** The detected language as a pure Column over the text — the scan-stage
+    * form an eligibility filter composes without joining [[langId]] output
+    * back on the id. */
+  def detectedLang(text: Column): Column = detectedLangFrom(languageScores(text))
+
+  /** Language-ID heuristic: count marker-word hits per language, take the
+    * argmax (first language in [[langMarkers]] order wins ties). */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scores = languageScores(col(textCol))
+    val withScores = df.select(
+      (col(idCol) +: scores.map { case (l, c) => c.as(s"score_$l") }): _*)
+    withScores.withColumn("detected_lang",
+      detectedLangFrom(scores.map { case (l, _) => l -> col(s"score_$l") }))
   }
 
   /** Repetition score: distinct word n-grams / total word n-grams, the
@@ -147,24 +187,13 @@ object TextStats {
   /** Document fingerprints: full-content md5 plus a winnowing-style minimum
     * over character 8-gram hashes (robust to small edits at the ends). The
     * min-gram is a native one-pass kernel
-    * (org.apache.spark.sql.graft.MinGramMd5); see [[fingerprintsHof]] for
-    * the built-in formulation it replaced (a lambda frame + md5 string per
-    * character position, interpreted per element). */
+    * (org.apache.spark.sql.graft.MinGramMd5); the built-in formulation it
+    * replaced (a lambda frame + md5 string per character position,
+    * interpreted per element) survives as a test-only equivalence witness
+    * (EquivalenceWitnesses.fingerprintsHof, pinned in TextFunctionsSpec). */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
       col(idCol),
       md5(col(textCol)).as("content_md5"),
       graft.functions.TextFunctions.minGramMd5(col(textCol)).as("min_gram_md5"))
-
-  /** Higher-order-function formulation of [[fingerprints]], kept as the
-    * equivalence oracle for the native kernel. */
-  def fingerprintsHof(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
-    df.select(
-      col(idCol),
-      md5(t).as("content_md5"),
-      array_min(when(length(t) < 8, array(md5(t)))
-        .otherwise(transform(sequence(lit(1), length(t) - lit(7)),
-          i => md5(t.substr(i, lit(8)))))).as("min_gram_md5"))
-  }
 }

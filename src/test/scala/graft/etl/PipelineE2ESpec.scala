@@ -115,6 +115,69 @@ class PipelineE2ESpec extends SparkSpec {
     ca shouldBe Set((10, 2L, "Returning Customer"), (11, 1L, "New Customer"))
   }
 
+  test("bucketed silver target: same SCD2 history, diff plans a single exchange") {
+    val root = Files.createTempDirectory("graft-e2e-bucketed")
+    val landing = root.resolve("landing")
+    val sink = new CollectingSink
+    val conf = PipelineConfig(
+      landingRoot = landing.toString,
+      bronzeRoot = root.resolve("bronze").toString,
+      silverRoot = root.resolve("silver").toString,
+      goldRoot = root.resolve("gold").toString,
+      stateRoot = root.resolve("state").toString,
+      tables = Seq(TableConfig("Customers", "CustomerID")),
+      silverBuckets = Some(4),
+      silverDatabase = "graft_e2e_bucketed")
+    val pipe = new Pipeline(spark, conf, sink)
+
+    writeCsv(landing, "Customers", "CustomerID,Name,Email,Segment", Seq(
+      "1,Alice,alice@x.com,retail",
+      "2,Bob,bob@x.com,retail"))
+    pipe.run(t1).silver.map(_.action) shouldBe Seq("initial-load")
+
+    writeCsv(landing, "Customers", "CustomerID,Name,Email,Segment", Seq(
+      "1,Alice,alice@x.com,retail",
+      "2,Bob,bob@x.com,wholesale"))
+    pipe.run(t2).silver.map(_.action) shouldBe Seq("merged")
+
+    writeCsv(landing, "Customers", "CustomerID,Name,Email,Segment", Seq(
+      "2,Bob,bob2@x.com,wholesale",
+      "3,Carol,carol@x.com,retail"))
+    pipe.run(t3).silver.map(_.action) shouldBe Seq("merged")
+
+    // identical history to the path-store run: 3 current + 2 expired Bobs
+    val s3 = pipe.silverTable("Customers").cache()
+    s3.count() shouldBe 5
+    s3.where($"is_current").count() shouldBe 3
+    s3.where($"CustomerID" === 2).orderBy("effective_date")
+      .select($"Email", $"is_current")
+      .as[(String, Boolean)].collect().toSeq shouldBe Seq(
+        ("bob@x.com", false), ("bob@x.com", false), ("bob2@x.com", true))
+    s3.unpersist()
+    sink.batches.map(_.map(m => m("Name"))) shouldBe List(Seq("Carol"))
+
+    // the merge-diff plan against the pipeline's OWN silver target (read
+    // through the version-pointer view): one exchange — the batch side —
+    // and a bucketed target scan
+    val batch = Seq((2, "Bob", "bob3@x.com", "wholesale"))
+      .toDF("CustomerID", "Name", "Email", "Segment")
+    val staged = Scd2.stage(batch,
+      pipe.silverTable("Customers").where($"is_current"), "CustomerID")
+    staged.collect()
+    val plan = staged.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
+    plan should include("Bucketed: true")
+
+    // retention: vacuum drops superseded versions, the pointer view survives
+    val store = new graft.sources.BucketedTableStore(spark, "graft_e2e_bucketed", 4)
+    store.vacuum("Customers")
+    spark.sql("SHOW TABLES IN graft_e2e_bucketed")
+      .select("tableName").as[String].collect()
+      .count(_.startsWith("customers__v")) shouldBe 1
+    pipe.silverTable("Customers").count() shouldBe 5
+  }
+
   test("re-running the same batch is idempotent (watermark no-change path)") {
     val root = Files.createTempDirectory("graft-idem")
     val landing = root.resolve("landing")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 import graft.core.Tables
-import graft.ops.Dedup
+import graft.ops.{Dedup, EquivalenceWitnesses}
 
 class TextFunctionsSpec extends SparkSpec {
   import spark.implicits._
@@ -19,14 +19,14 @@ class TextFunctionsSpec extends SparkSpec {
     ).toDF("text")
     val cmp = docs.select(
       Dedup.shingles($"text", 3).as("fast"),
-      Dedup.shinglesHof($"text", 3).as("ref"))
+      EquivalenceWitnesses.shinglesHof($"text", 3).as("ref"))
     cmp.where(!($"fast" <=> $"ref")).count() shouldBe 0
   }
 
   test("wordShingles matches on real documents") {
     val docs = Tables.table(spark, sf0001, "documents")
     docs.select(Dedup.shingles($"text", 3).as("fast"),
-        Dedup.shinglesHof($"text", 3).as("ref"))
+        EquivalenceWitnesses.shinglesHof($"text", 3).as("ref"))
       .where(!($"fast" <=> $"ref")).count() shouldBe 0
   }
 
@@ -52,7 +52,7 @@ class TextFunctionsSpec extends SparkSpec {
   test("simHash16 kernel equals the explode/groupBy vote aggregation") {
     val docs = Tables.table(spark, sf0001, "documents")
     val fast = Dedup.simHash16(docs, "doc_id", "text")
-    val ref = Dedup.simHash16Agg(docs, "doc_id", "text")
+    val ref = EquivalenceWitnesses.simHash16Agg(docs, "doc_id", "text")
     fast.exceptAll(ref).count() shouldBe 0
     ref.exceptAll(fast).count() shouldBe 0
   }
@@ -60,7 +60,7 @@ class TextFunctionsSpec extends SparkSpec {
   test("simHash64 kernel equals the explode/groupBy vote aggregation") {
     val docs = Tables.table(spark, sf0001, "documents")
     val fast = Dedup.simHash64(docs, "doc_id", "text")
-    val ref = Dedup.simHash64Agg(docs, "doc_id", "text")
+    val ref = EquivalenceWitnesses.simHash64Agg(docs, "doc_id", "text")
     fast.exceptAll(ref).count() shouldBe 0
     ref.exceptAll(fast).count() shouldBe 0
   }
@@ -71,16 +71,16 @@ class TextFunctionsSpec extends SparkSpec {
       (5L, " trailing "), (6L, "naïve café résumé"))
       .toDF("doc_id", "text")
     Dedup.simHash16(docs, "doc_id", "text")
-      .exceptAll(Dedup.simHash16Agg(docs, "doc_id", "text")).count() shouldBe 0
+      .exceptAll(EquivalenceWitnesses.simHash16Agg(docs, "doc_id", "text")).count() shouldBe 0
     Dedup.simHash64(docs, "doc_id", "text")
-      .exceptAll(Dedup.simHash64Agg(docs, "doc_id", "text")).count() shouldBe 0
+      .exceptAll(EquivalenceWitnesses.simHash64Agg(docs, "doc_id", "text")).count() shouldBe 0
   }
 
   test("minGramMd5 kernel equals the higher-order formulation") {
     import graft.ops.TextStats
     val real = Tables.table(spark, sf0001, "documents")
     TextStats.fingerprints(real, "doc_id", "text")
-      .exceptAll(TextStats.fingerprintsHof(real, "doc_id", "text"))
+      .exceptAll(EquivalenceWitnesses.fingerprintsHof(real, "doc_id", "text"))
       .count() shouldBe 0
     // edge cases: short (<8 chars), exactly 8, multi-byte chars (substr
     // counts code points — the kernel must slice UTF-8 byte ranges, not
@@ -89,7 +89,7 @@ class TextFunctionsSpec extends SparkSpec {
       (4L, "naïve café résumé x"), (5L, ""))
       .toDF("doc_id", "text")
     TextStats.fingerprints(edge, "doc_id", "text")
-      .exceptAll(TextStats.fingerprintsHof(edge, "doc_id", "text"))
+      .exceptAll(EquivalenceWitnesses.fingerprintsHof(edge, "doc_id", "text"))
       .count() shouldBe 0
   }
 

@@ -170,9 +170,18 @@ class DedupSpec extends SparkSpec {
       ("s2", "a b c x"), // {a b c, b c x} — shares one with s1
       ("s3", "p q r s")  // disjoint
     ).toDF("source", "text")
-    val r = Dedup.sourceOverlap(d, "source", "text", 3)
+    val r = Dedup.sourceOverlap(d, "source", "text", 3, exact = true)
       .as[(String, String, Long, Long, Long, Double)].collect().toList
     r shouldBe List(("s1", "s2", 1L, 2L, 2L, 0.5))
     graft.core.CacheRegistry.drain()
+  }
+
+  test("sourceOverlap without the exact opt-in refuses and points at the KMV twin") {
+    val d = Seq(("s1", "a b c d")).toDF("source", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.sourceOverlap(d, "source", "text", 3)
+    }
+    e.getMessage should include("sourceOverlapKmv")
+    e.getMessage should include("exact = true")
   }
 }
