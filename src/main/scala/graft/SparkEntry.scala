@@ -617,7 +617,81 @@ object SparkEntry {
         Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text", "text"))),
     "q32_multimodal_decode" -> ((s, dir) =>
       Multimodal.fakeDecode(s, Multimodal.asMediaTable(
-        t(s, dir, "documents"), "doc_id", "text", "text")).toDF())
+        t(s, dir, "documents"), "doc_id", "text", "text")).toDF()),
+    // ---- write-side / streaming operators, driver-visible (§7.6) ----
+    // JSONL export round-trip: write the corpus as content-sharded JSONL,
+    // read the shards BACK, and oracle every (shard, row) against the md5
+    // shard assignment — proving payloads survive the JSON round-trip and
+    // membership is content-derived, not writer-dependent
+    "q106_jsonl_export" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text", "source")
+      val out = java.nio.file.Files.createTempDirectory("q106-export").toString
+      // jsonlShards writes eagerly; its manifest is read via count()
+      graft.sources.Export.jsonlShards(s, docs, "doc_id", out, 8).count()
+      s.read.schema(docs.schema).json(out)
+        .select(col("shard").cast("long").as("shard"),
+          col("doc_id"), col("text"), col("source"))
+    }),
+    // drained stream-stream interval join (click→purchase attribution):
+    // the streaming twin of the banded range join, oracled against the
+    // plain inequality join — inner-join semantics make the drained result
+    // exactly the batch answer
+    "q107_stream_interval_join" -> ((s, dir) => {
+      import graft.streaming.EventStream
+      import org.apache.spark.sql.streaming.Trigger
+      val clicks = EventStream.readEventsStream(s, dir)
+        .where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val purchases = EventStream.readEventsStream(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      val name = "q107_interval_join"
+      val q = EventStream.intervalJoinStream(clicks, purchases, "user_id",
+          "click_ts", "purchase_ts", "24 hours", "1 hour")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("q107-ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+    }),
+    // streaming SCD2 upsert drained over two ordered micro-batches (full
+    // snapshot at T0, the simulated incremental batch at T1) — the final
+    // silver state must equal the BATCH merge q15 oracles (same staged
+    // diff, same merge SQL), proving the two paths cannot drift
+    "q108_stream_scd2_upsert" -> ((s, dir) => {
+      import graft.streaming.EventStream
+      val tmp = java.nio.file.Files.createTempDirectory("q108-scd2").toString
+      val srcDir = new java.io.File(s"$tmp/drops"); srcDir.mkdirs()
+      // one parquet FILE per micro-batch, mod-times forcing b0 → b1 order
+      // (the file source admits oldest-first with maxFilesPerTrigger=1)
+      def drop(df: DataFrame, name: String, ts: Timestamp, modTime: Long): Unit = {
+        val stage = s"$tmp/stage_$name"
+        df.withColumn("ingestion_timestamp", lit(ts)).coalesce(1)
+          .write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(srcDir, s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(modTime)
+      }
+      val c = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      drop(c, "b0", T0, 1000000L)
+      drop(scd2Source(s, dir), "b1", T1, 2000000L)
+      val schema = s.read.parquet(s"$srcDir/b0.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("basePath", srcDir.toString)
+        .parquet(s"$srcDir/*.parquet")
+      val store = new graft.sources.TableStore(s)
+      val q = EventStream.streamToSilverScd2(stream, store, s"$tmp/silver",
+        "c_custkey", "ingestion_timestamp", s"$tmp/ckpt")
+      q.awaitTermination()
+      store.read(s"$tmp/silver").drop("ingestion_timestamp")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -2034,6 +2108,36 @@ object SparkEntry {
       """SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  md5(text) AS content_hash, 'text' AS kind
         |FROM documents""".stripMargin,
-    "q32_multimodal_decode" -> decodeSql
+    "q32_multimodal_decode" -> decodeSql,
+    // q106: the read-back shard rows must equal the md5 shard assignment —
+    // membership is a pure function of the id, independent of how the
+    // writer was partitioned
+    "q106_jsonl_export" ->
+      s"""SELECT CAST(${md5ModSql("doc_id", 8)} AS BIGINT) AS shard, doc_id, text, source
+         |FROM documents""".stripMargin,
+    // q107: inner-join semantics — the drained stream equals the batch
+    // inequality join
+    "q107_stream_interval_join" ->
+      """SELECT l.user_id, l.event_id AS click_id, CAST(l.ts AS TIMESTAMP) AS click_ts,
+        |  r.event_id AS purchase_id, CAST(r.ts AS TIMESTAMP) AS purchase_ts
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 24 HOUR
+        |WHERE l.event_type = 'click' AND r.event_type = 'purchase'""".stripMargin,
+    // q108: the drained two-batch streaming upsert must equal the batch
+    // merge — q15's oracle verbatim
+    "q108_stream_scd2_upsert" ->
+      s"""${stagedSql},
+         |ins AS (SELECT * FROM staged WHERE action IN ('INSERT', 'UPDATE')),
+         |keys AS (SELECT DISTINCT c_custkey FROM staged WHERE action = 'UPDATE')
+         |SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment,
+         |  CASE WHEN k.c_custkey IS NOT NULL THEN FALSE ELSE TRUE END AS is_current,
+         |  TIMESTAMP '2026-01-01 00:00:00' AS effective_date,
+         |  CASE WHEN k.c_custkey IS NOT NULL THEN TIMESTAMP '2026-02-01 00:00:00' END AS end_date
+         |FROM customer c LEFT JOIN keys k ON c.c_custkey = k.c_custkey
+         |UNION ALL
+         |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+         |  TRUE, TIMESTAMP '2026-02-01 00:00:00', NULL
+         |FROM ins""".stripMargin
   )
 }
