@@ -6,7 +6,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.types.DecimalType
 
 import graft.SparkSpec
-import graft.sources.{LandingSource, TableStore}
+import graft.sources.{LandingSource, TableConfig, TableStore}
 
 /** Decimal-strict schema mode (SURVEY §7.4): the reference declares money
   * columns DECIMAL but CSV inference degrades them to double — the one
@@ -42,5 +42,38 @@ class DecimalStrictSpec extends SparkSpec {
     BronzeIngest.ingestTable(landing, store, s"$root/bronze", "Payments", t1)
     store.schemaOf(s"$root/bronze/Payments")("Amount").dataType shouldBe
       DecimalType(12, 2)
+  }
+
+  test("decimal strictness survives Bronze → Silver → Gold end-to-end") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft-dec-e2e")
+    Files.createDirectories(root.resolve("landing/Payments"))
+    Files.writeString(root.resolve("landing/Payments/part-0.csv"),
+      "PaymentID,Customer,Amount\n1,Alice,123.45\n2,Bob,0.10\n3,Alice,999999999999.99\n")
+    val conf = PipelineConfig(
+      landingRoot = root.resolve("landing").toString,
+      bronzeRoot = root.resolve("bronze").toString,
+      silverRoot = root.resolve("silver").toString,
+      goldRoot = root.resolve("gold").toString,
+      stateRoot = root.resolve("state").toString,
+      tables = Seq(TableConfig("Payments", "PaymentID",
+        typeOverrides = Map("Amount" -> "decimal(18,2)"))))
+    val pipe = new Pipeline(spark, conf)
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    pipe.run(t0)
+
+    // Silver: the SCD2 merge carries the committed decimal through
+    val silver = pipe.silverTable("Payments")
+    silver.schema("Amount").dataType shouldBe DecimalType(18, 2)
+
+    // Gold-style mart straight off Silver: exact-decimal aggregation (the
+    // sum widens the scale-preserving way, 18,2 → 28,2), and the extreme
+    // value survives bit-exact — double would have rounded 999999999999.99
+    val mart = silver.where($"is_current")
+      .groupBy("Customer").agg(sum($"Amount").as("total_amount"))
+    mart.schema("total_amount").dataType shouldBe DecimalType(28, 2)
+    mart.where($"Customer" === "Alice")
+      .select($"total_amount".cast("string")).as[String].head() shouldBe
+      "1000000000123.44"
   }
 }
