@@ -564,10 +564,14 @@ object SparkEntry {
     // is the banded MinHash+LSH path, so the flagship composite runs the
     // same plan shape it would at 100 TB.
     "q53_corpus_curation" -> ((s, dir) => {
-      val eligible = t(s, dir, "documents")
-        .where(TextStats.detectedLang(col("text")) === "en"
-          && TextStats.qualityBucket(col("text")) =!= "low")
-        .select("doc_id", "text")
+      // persisted: the LSH band self-join, the verify arrays, and the
+      // cluster id list all consume `eligible` — uncached, each would
+      // re-run the (expensive) language/quality scan over the full corpus
+      val eligible = graft.core.CacheRegistry.persist(
+        t(s, dir, "documents")
+          .where(TextStats.detectedLang(col("text")) === "en"
+            && TextStats.qualityBucket(col("text")) =!= "low")
+          .select("doc_id", "text"))
       Dedup.dropNearDuplicates(eligible, "doc_id", "text", 3, 0.5,
         pairGen = Some(Dedup.minHashLshPairs(eligible, "doc_id", "text", 3, 4, 3, 0.5)))
     }),

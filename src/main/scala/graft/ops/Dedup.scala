@@ -118,7 +118,10 @@ object Dedup {
     * verified with exact Jaccard. numHashes = bands × rowsPerBand. */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
                       bands: Int, rowsPerBand: Int, minJaccard: Double): DataFrame = {
-    val banded = lshBandTable(df, idCol, textCol, n, bands, rowsPerBand)
+    // persisted: both sides of the bucket self-join consume the band table —
+    // uncached, the MinHash signature pass over the corpus would run twice
+    val banded = graft.core.CacheRegistry.persist(
+      lshBandTable(df, idCol, textCol, n, bands, rowsPerBand))
     val x = banded.toDF("id_a", "band", "bh")
     val y = banded.toDF("id_b", "band", "bh")
     val candidates = x.join(y, Seq("band", "bh"))
