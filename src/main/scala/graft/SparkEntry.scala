@@ -661,6 +661,20 @@ object SparkEntry {
       q.awaitTermination()
       s.table(name)
     }),
+    // the SCD2 merge staged against a pk-BUCKETED catalog target (read
+    // back through the version-pointer view) — must produce exactly the
+    // q15 merge result while the diff shuffles only the batch side
+    // (PipelineE2ESpec pins the single-exchange plan; this makes the
+    // bucketed path's CORRECTNESS driver-visible too)
+    "q109_bucketed_scd2_merge" -> ((s, dir) => {
+      val store = new graft.sources.BucketedTableStore(s, "graft_q109", 8)
+      store.overwrite("silver_customers",
+        Scd2.initialLoad(t(s, dir, "customer"), T0), "c_custkey")
+      store.vacuum("silver_customers") // repeat runs: drop superseded versions
+      val target = store.read("silver_customers")
+      val st = Scd2.stage(scd2Source(s, dir), target.where(col("is_current")), "c_custkey")
+      Scd2.applyMerge(target, st, "c_custkey", T1)
+    }),
     // streaming SCD2 upsert drained over two ordered micro-batches (full
     // snapshot at T0, the simulated incremental batch at T1) — the final
     // silver state must equal the BATCH merge q15 oracles (same staged
@@ -2128,6 +2142,21 @@ object SparkEntry {
         |  ON l.user_id = r.user_id
         | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 24 HOUR
         |WHERE l.event_type = 'click' AND r.event_type = 'purchase'""".stripMargin,
+    // q109: identical contract to q15 — the bucketed layout must be
+    // invisible in the merge RESULT (it only changes the exchange plan)
+    "q109_bucketed_scd2_merge" ->
+      s"""${stagedSql},
+         |ins AS (SELECT * FROM staged WHERE action IN ('INSERT', 'UPDATE')),
+         |keys AS (SELECT DISTINCT c_custkey FROM staged WHERE action = 'UPDATE')
+         |SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment,
+         |  CASE WHEN k.c_custkey IS NOT NULL THEN FALSE ELSE TRUE END AS is_current,
+         |  TIMESTAMP '2026-01-01 00:00:00' AS effective_date,
+         |  CASE WHEN k.c_custkey IS NOT NULL THEN TIMESTAMP '2026-02-01 00:00:00' END AS end_date
+         |FROM customer c LEFT JOIN keys k ON c.c_custkey = k.c_custkey
+         |UNION ALL
+         |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+         |  TRUE, TIMESTAMP '2026-02-01 00:00:00', NULL
+         |FROM ins""".stripMargin,
     // q108: the drained two-batch streaming upsert must equal the batch
     // merge — q15's oracle verbatim
     "q108_stream_scd2_upsert" ->

@@ -286,6 +286,22 @@ class PlanSpec extends SparkSpec {
     all(schemas.map(s => s.count(_ == ':'))) shouldBe 2 // "ReadSchema:" + one field
   }
 
+  test("curation eligibility is ONE scan-stage pass: no join, no exchange (q53)") {
+    // the language/quality filters are pure Columns, so the eligible slice
+    // is a single filtered scan of `documents` — round 3 computed each
+    // filter as a separate DataFrame and joined both back on the id,
+    // shuffling the whole corpus twice
+    import graft.ops.TextStats
+    val eligible = Tables.table(spark, sf0001, "documents")
+      .where(TextStats.detectedLang(col("text")) === "en"
+        && TextStats.qualityBucket(col("text")) =!= "low")
+      .select("doc_id", "text")
+    val plan = planOf(eligible)
+    plan should not include "Join"
+    plan should not include "Exchange"
+    "Scan parquet".r.findAllIn(plan).size shouldBe 1
+  }
+
   test("queries stay inside whole-stage codegen (q01)") {
     // AQE hides the physical plan until execution — and count() runs a
     // CLONED QueryExecution, so collect() this one, then read the final plan
