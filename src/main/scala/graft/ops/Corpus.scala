@@ -207,9 +207,13 @@ object Corpus {
         substring_index(col("pair"), " ", 1).as("term_a"),
         substring_index(col("pair"), " ", -1).as("term_b"),
         col("n_ab"))
-    val toks = df.select(explode(split(col(textCol), " ")).as("term"))
-    val counts = toks.groupBy("term").agg(count(lit(1)).as("n"))
-    val total = toks.select(count(lit(1)).as("n_total"))
+    // persisted: both pair-side joins consume the term counts (uncached,
+    // the token explode + hash-agg would run twice); the corpus token
+    // total folds from the counts — no third corpus scan
+    val counts = graft.core.CacheRegistry.persist(
+      df.select(explode(split(col(textCol), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n")))
+    val total = counts.agg(sum(col("n")).as("n_total"))
     pairs
       .join(counts.toDF("term_a", "n_a"), "term_a")
       .join(counts.toDF("term_b", "n_b"), "term_b")

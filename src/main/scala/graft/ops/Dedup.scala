@@ -70,9 +70,12 @@ object Dedup {
     val common = a.join(b, Seq("shingle"))
       .where(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
-    // sizes come from the scan-stage arrays — no aggregation shuffle
-    val sizes = shingleArrays(df, idCol, textCol, n)
-      .select(col(idCol), size(col("sh")).as("n_sh"))
+    // sizes come from the scan-stage arrays — no aggregation shuffle;
+    // persisted because both join sides below consume it (uncached, the
+    // shingle kernel would re-run over the corpus twice)
+    val sizes = graft.core.CacheRegistry.persist(
+      shingleArrays(df, idCol, textCol, n)
+        .select(col(idCol), size(col("sh")).as("n_sh")))
     common
       .join(sizes.toDF("id_a", "na"), Seq("id_a"))
       .join(sizes.toDF("id_b", "nb"), Seq("id_b"))

@@ -96,8 +96,11 @@ object Similarity {
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"), signBucket(col(vecCol), bits, b * bits).as("bucket"))
     }
-    val banded = emb.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // persisted: both sides of the bucket self-join consume the band table —
+    // uncached, the embedding scan + bucket extraction would run twice
+    val banded = graft.core.CacheRegistry.persist(
+      emb.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+        .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket")))
     banded.toDF("query_id", "band", "bucket")
       .join(banded.toDF("cand_id", "band", "bucket"), Seq("band", "bucket"))
       .where(col("query_id") =!= col("cand_id"))
@@ -156,7 +159,11 @@ object Similarity {
       .select(col(idCol), col("cent_id"),
         round(dotF(col(vecCol), col("cvec")) / (col("norm") * col("cnorm")), 6).as("csim"))
     val byVec = Window.partitionBy(idCol).orderBy(col("csim").desc, col("cent_id").asc)
-    val ranked = simToCent.withColumn("r", row_number().over(byVec))
+    // persisted: cell assignment and probe lists both read the ranked
+    // N×C table — uncached, the broadcast-join + window over the whole
+    // corpus would run twice
+    val ranked = graft.core.CacheRegistry.persist(
+      simToCent.withColumn("r", row_number().over(byVec)))
     val assigned = ranked.where(col("r") === 1)
       .select(col(idCol).as("cand_id"), col("cent_id").as("cell"))
     val probes = ranked.where(col("r") <= nProbe)
