@@ -85,7 +85,9 @@ object Corpus {
     * vocabulary (top-`vocabK` rows) broadcasts. No window, no Expand. */
   def familiarity(df: DataFrame, idCol: String, textCol: String, vocabK: Int): DataFrame = {
     val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
-    val stats = termStats(df, idCol, textCol)
+    // persisted: the tf join and the vocabulary cut both consume the term
+    // stats — uncached, the corpus-wide token hash-agg would run twice
+    val stats = graft.core.CacheRegistry.persist(termStats(df, idCol, textCol))
     val vocab = topTerms(stats, vocabK).select(col("term"), lit(true).as("in_vocab"))
     toks
       .join(stats.select(col("term"), col("tf")), Seq("term"))
@@ -265,14 +267,18 @@ object Corpus {
     require(query.distinct.size == query.size,
       s"bm25: duplicated query term(s) ${query.diff(query.distinct).distinct.mkString("'", "', '", "'")} " +
         "would double-count their scores - dedupe the query first")
-    val docLen = df.select(col(idCol), size(split(col(textCol), " ")).cast("long").as("dl"))
+    // both persisted: docLen feeds the corpus totals AND the score join;
+    // qtf feeds the df counts AND the score rows — uncached, each would
+    // re-run its corpus scan
+    val docLen = graft.core.CacheRegistry.persist(
+      df.select(col(idCol), size(split(col(textCol), " ")).cast("long").as("dl")))
     val totals = docLen.agg(
       count(lit(1)).as("n_docs"),
       (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"))
-    val qtf = df
-      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
-      .where(col("term").isin(query: _*))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val qtf = graft.core.CacheRegistry.persist(
+      df.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+        .where(col("term").isin(query: _*))
+        .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")))
     val dfDocs = qtf.groupBy("term").agg(count(lit(1)).as("df_docs"))
     val scored = qtf
       .join(broadcast(dfDocs), "term")
@@ -307,7 +313,10 @@ object Corpus {
     * doc key (partitioned — scales with the corpus); ties break on the
     * term. */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val dt = docTermCounts(df, idCol, textCol)
+    // persisted: the df counts and the score join both consume the
+    // (doc, term) table — uncached, the corpus explode + collapse would
+    // run twice
+    val dt = graft.core.CacheRegistry.persist(docTermCounts(df, idCol, textCol))
     val termDf = dt.groupBy("term").agg(count(lit(1)).as("df_docs"))
     val nDocs = df.select(countDistinct(col(idCol)).as("n_docs"))
     val scored = dt.join(termDf, "term")

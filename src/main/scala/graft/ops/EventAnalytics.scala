@@ -22,8 +22,12 @@ object EventAnalytics {
     * "did-both-event-types" join gets wrong. */
   def twoStepFunnel(events: DataFrame, userCol: String, tsCol: String,
                     typeCol: String, stepA: String, stepB: String): DataFrame = {
-    val a = events.where(col(typeCol) === stepA)
-      .groupBy(userCol).agg(min(tsCol).as("ts_a"))
+    // persisted: the step-B qualifier and the final outcome join both
+    // consume the first-A table — uncached, the step-A event scan + agg
+    // would run twice
+    val a = graft.core.CacheRegistry.persist(
+      events.where(col(typeCol) === stepA)
+        .groupBy(userCol).agg(min(tsCol).as("ts_a")))
     val b = events.where(col(typeCol) === stepB)
       .join(a, userCol)
       .where(col(tsCol) > col("ts_a"))
@@ -162,9 +166,12 @@ object EventAnalytics {
   def hourlySpikes(events: DataFrame, tsCol: String, typeCol: String,
                    z: Double): DataFrame = {
     require(z > 0, s"hourlySpikes: z must be > 0, got $z")
-    val hourly = events
+    // persisted: the per-type moments and the final flag join both consume
+    // the hourly counts — uncached, the event scan + hour agg would run
+    // twice (the cache itself is tiny: hours × types rows)
+    val hourly = graft.core.CacheRegistry.persist(events
       .groupBy(date_trunc("hour", col(tsCol)).as("hour"), col(typeCol))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")))
     val stats = hourly.groupBy(typeCol)
       .agg(count(lit(1)).as("n_hours"), sum("cnt").as("s1"),
         sum(col("cnt") * col("cnt")).as("s2"))
