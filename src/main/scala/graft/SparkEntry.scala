@@ -675,6 +675,40 @@ object SparkEntry {
       val st = Scd2.stage(scd2Source(s, dir), target.where(col("is_current")), "c_custkey")
       Scd2.applyMerge(target, st, "c_custkey", T1)
     }),
+    // streaming ingest with inline near-dup rejection, drained over two
+    // ordered micro-batches: each batch drops rows with an LSH-verified
+    // near-duplicate in the STANDING side (the fixed corpus plus batch 1's
+    // survivors when batch 2 arrives) before appending — the ingestion-
+    // time incremental-dedup composition, oracled as the same two-stage
+    // chain in SQL
+    "q110_stream_dedup_ingest" -> ((s, dir) => {
+      import graft.streaming.EventStream
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("q110-ingest").toString
+      val srcDir = new java.io.File(s"$tmp/drops"); srcDir.mkdirs()
+      def drop(df: DataFrame, name: String, modTime: Long): Unit = {
+        val stage = s"$tmp/stage_$name"
+        df.coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(srcDir, s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(modTime)
+      }
+      drop(docs.where(col("doc_id") % 4 === 1).select("doc_id", "text"), "b0", 1000000L)
+      drop(docs.where(col("doc_id") % 4 === 3).select("doc_id", "text"), "b1", 2000000L)
+      val schema = s.read.parquet(s"$srcDir/b0.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("basePath", srcDir.toString)
+        .parquet(s"$srcDir/*.parquet")
+      val corpus = docs.where(col("doc_id") % 2 === 0).select("doc_id", "text")
+      val store = new graft.sources.TableStore(s)
+      val q = EventStream.streamDedupedIngest(stream, corpus, store,
+        s"$tmp/bronze", "doc_id", "text", 3, 4, 3, 0.5, s"$tmp/ckpt")
+      q.awaitTermination()
+      store.read(s"$tmp/bronze").select("doc_id", "text")
+    }),
     // streaming SCD2 upsert drained over two ordered micro-batches (full
     // snapshot at T0, the simulated incremental batch at T1) — the final
     // silver state must equal the BATCH merge q15 oracles (same staged
@@ -829,7 +863,13 @@ object SparkEntry {
   /** Batch-vs-corpus MinHash+LSH oracle (q49): the same signature/banding
     * chain as [[minhashCtes]] built per side, candidates = corpus-band ⋈
     * batch-band only. */
-  private def minhashCrossSql(n: Int, bands: Int, rows: Int): String = {
+  /** One corpus↔batch MinHash+LSH verification chain as CTEs, every name
+    * suffixed with `_$sfx` so several instantiations compose in one WITH
+    * (q49 uses one; q110's two-batch incremental ingest uses two). The
+    * final `vp_$sfx` CTE holds the verified pairs (jaccard ≥ `minJ`). */
+  private def minhashCrossCtes(n: Int, bands: Int, rows: Int, minJ: Double,
+                               corpusRel: String, batchRel: String,
+                               sfx: String): String = {
     val h = bands * rows
     def sigCte(sh: String) = (0 until h)
       .map(i => s"min(md5('$i:' || shingle)) AS sig_$i").mkString(",\n    ") match {
@@ -839,31 +879,37 @@ object SparkEntry {
       val slots = (b * rows until b * rows + rows).map(r => s"sig_$r").mkString(", ")
       s"SELECT doc_id, $b AS band, md5(concat_ws('|', $slots)) AS bh FROM $sigs"
     }.mkString("\n  UNION ALL\n  ")
+    s"""sh_c_$sfx AS (${shingleSql(n, corpusRel)}),
+       |sh_b_$sfx AS (${shingleSql(n, batchRel)}),
+       |sigs_c_$sfx AS (${sigCte(s"sh_c_$sfx")}),
+       |sigs_b_$sfx AS (${sigCte(s"sh_b_$sfx")}),
+       |banded_c_$sfx AS (
+       |  ${bandCte(s"sigs_c_$sfx")}),
+       |banded_b_$sfx AS (
+       |  ${bandCte(s"sigs_b_$sfx")}),
+       |cand_$sfx AS (
+       |  SELECT DISTINCT c.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded_c_$sfx c JOIN banded_b_$sfx b ON c.band = b.band AND c.bh = b.bh),
+       |pairs_$sfx AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS n_common
+       |  FROM cand_$sfx c JOIN sh_c_$sfx a ON a.doc_id = c.id_a
+       |              JOIN sh_b_$sfx b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+       |  GROUP BY 1, 2),
+       |sizes_c_$sfx AS (SELECT doc_id, count(*) AS n_sh FROM sh_c_$sfx GROUP BY 1),
+       |sizes_b_$sfx AS (SELECT doc_id, count(*) AS n_sh FROM sh_b_$sfx GROUP BY 1),
+       |vp_$sfx AS (
+       |  SELECT p.id_a, p.id_b,
+       |    CAST(p.n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE) AS jaccard
+       |  FROM pairs_$sfx p JOIN sizes_c_$sfx sa ON p.id_a = sa.doc_id
+       |                    JOIN sizes_b_$sfx sb ON p.id_b = sb.doc_id
+       |  WHERE CAST(p.n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE) >= $minJ)""".stripMargin
+  }
+
+  private def minhashCrossSql(n: Int, bands: Int, rows: Int): String =
     s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
        |batch AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
-       |sh_c AS (${shingleSql(n, "corpus")}),
-       |sh_b AS (${shingleSql(n, "batch")}),
-       |sigs_c AS (${sigCte("sh_c")}),
-       |sigs_b AS (${sigCte("sh_b")}),
-       |banded_c AS (
-       |  ${bandCte("sigs_c")}),
-       |banded_b AS (
-       |  ${bandCte("sigs_b")}),
-       |cand AS (
-       |  SELECT DISTINCT c.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM banded_c c JOIN banded_b b ON c.band = b.band AND c.bh = b.bh),
-       |pairs AS (
-       |  SELECT c.id_a, c.id_b, count(*) AS n_common
-       |  FROM cand c JOIN sh_c a ON a.doc_id = c.id_a
-       |              JOIN sh_b b ON b.doc_id = c.id_b AND b.shingle = a.shingle
-       |  GROUP BY 1, 2),
-       |sizes_c AS (SELECT doc_id, count(*) AS n_sh FROM sh_c GROUP BY 1),
-       |sizes_b AS (SELECT doc_id, count(*) AS n_sh FROM sh_b GROUP BY 1)
-       |SELECT p.id_a AS corpus_id, p.id_b AS batch_id,
-       |  CAST(p.n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE) AS jaccard
-       |FROM pairs p JOIN sizes_c sa ON p.id_a = sa.doc_id JOIN sizes_b sb ON p.id_b = sb.doc_id
-       |WHERE CAST(p.n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE) >= 0.5""".stripMargin
-  }
+       |${minhashCrossCtes(n, bands, rows, 0.5, "corpus", "batch", "x")}
+       |SELECT id_a AS corpus_id, id_b AS batch_id, jaccard FROM vp_x""".stripMargin
 
   /** MinHash+LSH oracle: md5-based signatures, banded, verified. */
   private def minhashSql(n: Int, bands: Int, rows: Int): String =
@@ -2157,6 +2203,23 @@ object SparkEntry {
          |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
          |  TRUE, TIMESTAMP '2026-02-01 00:00:00', NULL
          |FROM ins""".stripMargin,
+    // q110: the two-stage incremental semantics spelled out — batch 1 is
+    // checked against the fixed corpus; batch 2 against corpus ∪ batch-1
+    // survivors; the final table is the union of survivors
+    "q110_stream_dedup_ingest" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+         |b1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 1),
+         |b2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 3),
+         |${minhashCrossCtes(3, 4, 3, 0.5, "corpus", "b1", "s1")},
+         |surv1 AS (SELECT doc_id, text FROM b1
+         |          WHERE doc_id NOT IN (SELECT id_b FROM vp_s1)),
+         |standing2 AS (SELECT * FROM corpus UNION ALL SELECT * FROM surv1),
+         |${minhashCrossCtes(3, 4, 3, 0.5, "standing2", "b2", "s2")},
+         |surv2 AS (SELECT doc_id, text FROM b2
+         |          WHERE doc_id NOT IN (SELECT id_b FROM vp_s2))
+         |SELECT doc_id, text FROM surv1
+         |UNION ALL
+         |SELECT doc_id, text FROM surv2""".stripMargin,
     // q108: the drained two-batch streaming upsert must equal the batch
     // merge — q15's oracle verbatim
     "q108_stream_scd2_upsert" ->

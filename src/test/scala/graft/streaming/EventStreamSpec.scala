@@ -289,6 +289,50 @@ class EventStreamSpec extends SparkSpec {
     streamUsers shouldBe batchUsers
   }
 
+  test("streamDedupedIngest drops standing near-dups, keeps novel rows, replays no-op") {
+    val root = Files.createTempDirectory("graft-stream-dedup")
+    val in = root.resolve("in").toString
+    val ckpt = root.resolve("ckpt").toString
+    val bronze = root.resolve("tables/bronze").toString
+    val store = new graft.sources.TableStore(spark)
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"),
+      (101L, "completely unrelated corpus text about database engines")
+    ).toDF("doc_id", "text")
+    val schema = corpus.schema
+    def drop(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").write.mode("append").option("header", "true").csv(in)
+
+    // batch 1: one corpus near-dup (one word changed), one novel doc
+    drop(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "a totally new document about training data pipelines")))
+    EventStream.streamDedupedIngest(
+      EventStream.readCsvStream(spark, in, schema), corpus, store, bronze,
+      "doc_id", "text", 3, 4, 3, 0.5, ckpt).awaitTermination()
+    graft.core.CacheRegistry.drain()
+    store.read(bronze).select("doc_id").as[Long].collect().toSet shouldBe Set(2L)
+
+    // restart, no new files: replay is a no-op
+    val v1 = store.currentVersion(bronze).get
+    EventStream.streamDedupedIngest(
+      EventStream.readCsvStream(spark, in, schema), corpus, store, bronze,
+      "doc_id", "text", 3, 4, 3, 0.5, ckpt).awaitTermination()
+    graft.core.CacheRegistry.drain()
+    store.currentVersion(bronze).get shouldBe v1
+
+    // batch 2: a near-dup of batch 1's SURVIVOR (standing side grew) and
+    // a fresh doc — only the fresh one lands
+    drop(Seq(
+      (3L, "a totally new document about training data pipeline"),
+      (4L, "yet another entirely distinct subject matter entry")))
+    EventStream.streamDedupedIngest(
+      EventStream.readCsvStream(spark, in, schema), corpus, store, bronze,
+      "doc_id", "text", 3, 4, 3, 0.5, ckpt).awaitTermination()
+    graft.core.CacheRegistry.drain()
+    store.read(bronze).select("doc_id").as[Long].collect().toSet shouldBe Set(2L, 4L)
+  }
+
   test("sessionize (mapGroupsWithState) matches batch sessionization on a drained stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
