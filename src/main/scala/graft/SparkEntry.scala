@@ -615,6 +615,11 @@ object SparkEntry {
         TextStats.bpeishTokenCount(col("text")).as("n_bpeish_tokens"))),
     "q30_fingerprints" -> ((s, dir) =>
       TextStats.fingerprints(t(s, dir, "documents"), "doc_id", "text")),
+    // corpus-frequency boilerplate removal at word granularity (the test
+    // corpus has no newlines; production runs sep="\n" for line-level) —
+    // segments in >390 of the docs are dropped, survivors keep their order
+    "q111_boilerplate_segments" -> ((s, dir) =>
+      TextStats.removeCommonSegments(t(s, dir, "documents"), "doc_id", "text", " ", 390L)),
     // ---- multimodal plumbing (§7.6; decode is a stub, metadata is real) ----
     "q31_multimodal_meta" -> ((s, dir) =>
       Multimodal.metadataOnly(
@@ -2179,6 +2184,26 @@ object SparkEntry {
     "q106_jsonl_export" ->
       s"""SELECT CAST(${md5ModSql("doc_id", 8)} AS BIGINT) AS shard, doc_id, text, source
          |FROM documents""".stripMargin,
+    // q111: aligned-unnest segment table → df counts → ordered string_agg
+    // reassembly; all-boilerplate docs come back as empty strings
+    "q111_boilerplate_segments" ->
+      """WITH segs AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS seg,
+        |    unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+        |  FROM documents),
+        |dfc AS (SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY 1),
+        |kept AS (
+        |  SELECT s.doc_id,
+        |    string_agg(s.seg, ' ' ORDER BY s.pos) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM segs s JOIN dfc ON s.seg = dfc.seg
+        |  WHERE dfc.df <= 390 GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(k.clean_text, '') AS clean_text,
+        |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(len(string_split(d.text, ' ')) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id""".stripMargin,
     // q107: inner-join semantics — the drained stream equals the batch
     // inequality join
     "q107_stream_interval_join" ->

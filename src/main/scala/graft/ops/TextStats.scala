@@ -184,6 +184,45 @@ object TextStats {
       (cleaned =!= col(textCol)).as("changed"))
   }
 
+  /** Corpus-frequency boilerplate removal (the line-level dedup of
+    * RefinedWeb/CCNet, generalized over a separator): split every document
+    * into segments on `sep`, count each distinct segment's DOCUMENT
+    * frequency across the corpus, drop segments appearing in more than
+    * `maxDf` documents — navigation chrome, cookie banners, license
+    * headers at line granularity (`sep = "\n"`); df-based stopword pruning
+    * at word granularity — and reassemble the survivors in original
+    * order. Returns (id, clean_text, n_kept, n_removed); documents that
+    * were ALL boilerplate survive with an empty `clean_text` (dropping
+    * rows is a policy decision left to the caller).
+    *
+    * Scale shape: ONE posexplode scan feeds both the df hash-agg and the
+    * keep join (persisted — uncached it would run twice); reassembly is a
+    * groupBy(id) whose collect_list is bounded by the document's own
+    * segment count, with order restored by an in-memory per-doc sort of
+    * (pos, seg) structs — no global sort, no window. */
+  def removeCommonSegments(df: DataFrame, idCol: String, textCol: String,
+                           sep: String, maxDf: Long): DataFrame = {
+    // Pattern.quote: the separator is a LITERAL (Spark's split takes a
+    // regex — an unquoted "." or "|" would split on everything)
+    val lsep = java.util.regex.Pattern.quote(sep)
+    val segs = graft.core.CacheRegistry.persist(
+      df.select(col(idCol), posexplode(split(col(textCol), lsep)).as(Seq("pos", "seg"))))
+    val dfc = segs.select(col("seg"), col(idCol)).distinct()
+      .groupBy("seg").agg(count(lit(1)).as("__df"))
+    val kept = segs.join(dfc, "seg").where(col("__df") <= maxDf)
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+          x => x.getField("seg")), sep).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol), size(split(col(textCol), lsep)).cast("long").as("__total"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__total") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Document fingerprints: full-content md5 plus a winnowing-style minimum
     * over character 8-gram hashes (robust to small edits at the ends). The
     * min-gram is a native one-pass kernel
