@@ -615,6 +615,15 @@ object SparkEntry {
         TextStats.bpeishTokenCount(col("text")).as("n_bpeish_tokens"))),
     "q30_fingerprints" -> ((s, dir) =>
       TextStats.fingerprints(t(s, dir, "documents"), "doc_id", "text")),
+    // semantic decontamination: corpus embeddings vs a broadcast eval set
+    // (every 25th vector), flagged at max-cosine ≥ 0.30 — the paraphrase-
+    // level leak check the n-gram probe (q73) can't see
+    "q112_semantic_contamination" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ops.Embeddings.semanticContamination(
+        emb.where(col("vec_id") % 25 =!= 0), emb.where(col("vec_id") % 25 === 0),
+        "vec_id", "embedding", 0.30)
+    }),
     // corpus-frequency boilerplate removal at word granularity (the test
     // corpus has no newlines; production runs sep="\n" for line-level) —
     // segments in >390 of the docs are dropped, survivors keep their order
@@ -2184,6 +2193,20 @@ object SparkEntry {
     "q106_jsonl_export" ->
       s"""SELECT CAST(${md5ModSql("doc_id", 8)} AS BIGINT) AS shard, doc_id, text, source
          |FROM documents""".stripMargin,
+    // q112: small-side cross product + per-corpus-row max, mirroring the
+    // float-kernel cosine with DOUBLE[] list_cosine_similarity at 6 dp
+    "q112_semantic_contamination" ->
+      """WITH bench AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |  WHERE vec_id % 25 = 0 AND embedding IS NOT NULL),
+        |corp AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |  WHERE vec_id % 25 <> 0 AND embedding IS NOT NULL),
+        |sims AS (
+        |  SELECT c.vec_id, round(list_cosine_similarity(c.e, b.e), 6) AS cos
+        |  FROM corp c, bench b)
+        |SELECT vec_id, max(cos) AS max_cos, max(cos) >= 0.30 AS contaminated
+        |FROM sims GROUP BY 1""".stripMargin,
     // q111: aligned-unnest segment table → df counts → ordered string_agg
     // reassembly; all-boilerplate docs come back as empty strings
     "q111_boilerplate_segments" ->

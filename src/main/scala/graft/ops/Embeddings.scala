@@ -128,6 +128,36 @@ object Embeddings {
         coalesce(col("cos_to_centroid") < minCos, lit(false)))
   }
 
+  /** Semantic decontamination flags: for every corpus embedding, the
+    * maximum cosine to ANY benchmark/eval-set embedding and whether it
+    * clears `minCos` — the embedding-space twin of
+    * [[graft.ops.Dedup.contaminationFlags]], catching paraphrased or
+    * translated eval leakage the n-gram check can't see. Returns
+    * (id, max_cos 6 dp, contaminated) for every corpus row with a
+    * non-null vector.
+    *
+    * Scale shape: the bench side is small by nature (eval suites), so it
+    * BROADCASTS and the N×|bench| cosine grid is generated map-side in the
+    * scan stage (codegen'd [[graft.functions.VectorFunctions.dotF]]); the
+    * per-row max is a hash-agg whose map-side partial collapses the grid
+    * back to one row per corpus id before anything shuffles. */
+  def semanticContamination(corpus: DataFrame, bench: DataFrame,
+                            idCol: String, vecCol: String,
+                            minCos: Double): DataFrame = {
+    import graft.functions.VectorFunctions.{dotF, normF}
+    val b = broadcast(bench.where(col(vecCol).isNotNull)
+      .select(col(vecCol).as("__bvec"), normF(col(vecCol)).as("__bnorm")))
+    corpus.where(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol), normF(col(vecCol)).as("__norm"))
+      .crossJoin(b)
+      .select(col(idCol),
+        round(dotF(col(vecCol), col("__bvec")) / (col("__norm") * col("__bnorm")), 6)
+          .as("__cos"))
+      .groupBy(col(idCol))
+      .agg(max(col("__cos")).as("max_cos"))
+      .withColumn("contaminated", col("max_cos") >= minCos)
+  }
+
   /** Dominant principal direction of the embedding cloud (uncentered PCA)
     * by matrix-free power iteration: w ← normalize(Xᵀ(Xw)), starting from
     * the constant unit vector `1/√d`. One row per dimension:

@@ -120,6 +120,23 @@ class EmbeddingsSpec extends SparkSpec {
     kernel.nonEmpty shouldBe true
   }
 
+  test("semanticContamination flags near-bench vectors, clears orthogonal ones") {
+    val bench = Seq((100L, Seq(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Seq(0.99f, 0.1f, 0f)),  // nearly the bench vector
+      (2L, Seq(0f, 1f, 0f)),       // orthogonal
+      (3L, Seq(-1f, 0f, 0f)),      // opposite
+      (4L, null.asInstanceOf[Seq[Float]]) // null vector: excluded
+    ).toDF("vec_id", "embedding")
+    val r = Embeddings.semanticContamination(corpus, bench, "vec_id", "embedding", 0.9)
+      .as[(Long, Double, Boolean)].collect().sortBy(_._1)
+    r.map(_._1) shouldBe Array(1L, 2L, 3L)
+    r(0)._3 shouldBe true
+    r(0)._2 should be > 0.99
+    r(1) shouldBe ((2L, 0.0, false))
+    r(2) shouldBe ((3L, -1.0, false))
+  }
+
   private implicit class TripleOps(rows: Array[(Long, Double, Array[Int])]) {
     def toMap2: Map[Long, (Double, Array[Int])] =
       rows.map { case (id, s, q) => id -> (s, q) }.toMap
