@@ -615,6 +615,15 @@ object SparkEntry {
         TextStats.bpeishTokenCount(col("text")).as("n_bpeish_tokens"))),
     "q30_fingerprints" -> ((s, dir) =>
       TextStats.fingerprints(t(s, dir, "documents"), "doc_id", "text")),
+    // token-budget mixture plan: whitespace token counts per source, a
+    // 50/30/20 target mix over three sources, 1M-token budget — the
+    // epochs column is the over-repetition signal mixture designers watch
+    "q113_token_budget_plan" -> ((s, dir) =>
+      Sampling.tokenBudgetPlan(
+        t(s, dir, "documents")
+          .select(col("source"), TextStats.tokenCount(col("text")).as("n_tok")),
+        "source", "n_tok",
+        Seq("src0" -> 50.0, "src1" -> 30.0, "src2" -> 20.0), 1000000L)),
     // semantic decontamination: corpus embeddings vs a broadcast eval set
     // (every 25th vector), flagged at max-cosine ≥ 0.30 — the paraphrase-
     // level leak check the n-gram probe (q73) can't see
@@ -2193,6 +2202,21 @@ object SparkEntry {
     "q106_jsonl_export" ->
       s"""SELECT CAST(${md5ModSql("doc_id", 8)} AS BIGINT) AS shard, doc_id, text, source
          |FROM documents""".stripMargin,
+    // q113: integer count/sum aggregates, VALUES weights normalized over
+    // the listed sources, one rounded division per planning column
+    "q113_token_budget_plan" ->
+      """WITH w(source, share) AS (VALUES
+        |  ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+        |wd AS (SELECT source, CAST(share AS DOUBLE) AS share FROM w),
+        |agg AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1)
+        |SELECT a.source, a.n_docs, a.n_tokens,
+        |  round(wd.share, 6) AS target_share,
+        |  CAST(round(wd.share * 1000000) AS BIGINT) AS target_tokens,
+        |  round(CAST(round(wd.share * 1000000) AS DOUBLE) / a.n_tokens, 6) AS epochs
+        |FROM agg a JOIN wd ON a.source = wd.source""".stripMargin,
     // q112: small-side cross product + per-corpus-row max, mirroring the
     // float-kernel cosine with DOUBLE[] list_cosine_similarity at 6 dp
     "q112_semantic_contamination" ->

@@ -94,6 +94,43 @@ object Sampling {
       .drop("__rate")
   }
 
+  /** Token-budget mixture plan: given per-document token counts, target
+    * mixture weights, and a total training-token budget, the per-source
+    * planning table a run derives before sampling — available documents
+    * and tokens, the source's normalized target share of the budget, and
+    * `epochs` = target_tokens / available_tokens (how many times the
+    * source must repeat to fill its share; < 1 means downsample, > 1
+    * means the source repeats — the signal mixture designers watch for
+    * over-epoching). Sources absent from `weights` are dropped, mirroring
+    * [[rebalanceToWeights]]'s contract; weights are normalized over the
+    * LISTED sources.
+    *
+    * Engine-exact: counts and token sums are integer aggregates; the
+    * share/epoch columns are single IEEE divisions rounded to 6 dp.
+    * Scale shape: one hash-agg on the source, then arithmetic over
+    * |sources| rows — the corpus moves once. */
+  def tokenBudgetPlan(df: DataFrame, srcCol: String, tokenCol: String,
+                      weights: Seq[(String, Double)],
+                      totalBudget: Long): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "tokenBudgetPlan: weights must be positive")
+    require(totalBudget > 0, s"tokenBudgetPlan: totalBudget must be > 0, got $totalBudget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wsum = weights.map(_._2).sum
+    val wdf = weights.map { case (s, w) => (s, w / wsum) }.toDF(srcCol, "target_share")
+    df.groupBy(srcCol)
+      .agg(count(lit(1)).as("n_docs"), sum(col(tokenCol)).cast("long").as("n_tokens"))
+      .join(broadcast(wdf), srcCol)
+      .withColumn("target_tokens",
+        round(col("target_share") * totalBudget).cast("long"))
+      .select(col(srcCol), col("n_docs"), col("n_tokens"),
+        round(col("target_share"), 6).as("target_share"),
+        col("target_tokens"),
+        round(col("target_tokens").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("epochs"))
+  }
+
   /** Keep at most `k` rows per value of `strataCol`, chosen by md5-of-id
     * order — the "cap documents per domain" move that stops one crawl
     * host from dominating a corpus. Deterministic: the md5 order is a

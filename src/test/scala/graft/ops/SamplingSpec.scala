@@ -122,4 +122,25 @@ class SamplingSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Sampling.keepTopQuantile(d, "src", "score", 0.0)
   }
+
+  test("tokenBudgetPlan normalizes weights, computes epochs, drops unlisted sources") {
+    val d = Seq(
+      ("web", 100L), ("web", 300L),   // 400 tokens
+      ("code", 50L), ("code", 50L),   // 100 tokens
+      ("junk", 999L)                  // not in weights -> dropped
+    ).toDF("src", "n_tok")
+    val r = Sampling.tokenBudgetPlan(d, "src", "n_tok",
+        Seq("web" -> 3.0, "code" -> 1.0), 1000L)
+      .as[(String, Long, Long, Double, Long, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    r.keySet shouldBe Set("web", "code")
+    // web: share 0.75 -> 750 target tokens over 400 available = 1.875 epochs
+    r("web") shouldBe (("web", 2L, 400L, 0.75, 750L, 1.875))
+    // code: share 0.25 -> 250 over 100 = 2.5 epochs
+    r("code") shouldBe (("code", 2L, 100L, 0.25, 250L, 2.5))
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.tokenBudgetPlan(d, "src", "n_tok", Seq("web" -> -1.0), 1000L)
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.tokenBudgetPlan(d, "src", "n_tok", Seq("web" -> 1.0), 0L)
+  }
 }
