@@ -24,6 +24,10 @@ object Bench {
       .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // fresh warehouse per run — the default ./spark-warehouse persists
+      // across JVMs while the in-memory catalog does not (see Verify)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.local.dir", localDir)
       // a multi-second full-VM stall must not kill the executor (round 1:
       // heartbeat death ×60 at default 10s interval / 120s timeout)

@@ -16,6 +16,12 @@ object Verify {
       .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // fresh warehouse per run: the default ./spark-warehouse persists
+      // across JVMs while the in-memory catalog does not, so a catalog-
+      // backed query (q109) would find its versioned table's DIRECTORY
+      // already on disk and refuse the create
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", localDir)
       .config("spark.network.timeout", "600s")
