@@ -302,6 +302,22 @@ class PlanSpec extends SparkSpec {
     "Scan parquet".r.findAllIn(plan).size shouldBe 1
   }
 
+  test("semantic contamination broadcasts the bench side; one exchange for the max (q112)") {
+    val emb = Tables.table(spark, sf0001, "embeddings")
+    val df = graft.ops.Embeddings.semanticContamination(
+      emb.where(col("vec_id") % 25 =!= 0), emb.where(col("vec_id") % 25 === 0),
+      "vec_id", "embedding", 0.30)
+    df.collect()
+    val plan = planOf(df).split("== Initial Plan ==")(0)
+    // the N×|bench| grid is a broadcast nested-loop (map-side), never a
+    // shuffled join; the only hash exchange is the per-id max aggregate,
+    // which reduces map-side first (partial HashAggregate below it)
+    plan should include("BroadcastNestedLoopJoin")
+    plan should not include "SortMergeJoin"
+    "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
+    plan should include("partial_max")
+  }
+
   test("queries stay inside whole-stage codegen (q01)") {
     // AQE hides the physical plan until execution — and count() runs a
     // CLONED QueryExecution, so collect() this one, then read the final plan
