@@ -159,17 +159,45 @@ object Dedup {
   def minHashLshPairsAcross(corpus: DataFrame, batch: DataFrame,
                             idCol: String, textCol: String, n: Int,
                             bands: Int, rowsPerBand: Int,
+                            minJaccard: Double): DataFrame =
+    minHashLshPairsAcross(
+      lshIndex(corpus, idCol, textCol, n, bands, rowsPerBand), batch, minJaccard)
+
+  /** The precomputed standing-corpus side of [[minHashLshPairsAcross]]:
+    * banded signatures and per-doc shingle arrays, both persisted. In the
+    * production loop this is the STORED band table (append-only —
+    * signatures of old docs never change); in-session it is built once
+    * per corpus snapshot and reused across every incoming batch, so each
+    * batch pays only its own signature pass
+    * ([[graft.streaming.EventStream.streamDedupedIngest]] does exactly
+    * this). Construction parameters ride along so a probe can't silently
+    * run with mismatched banding. */
+  final case class LshCorpusIndex private[ops] (
+      idCol: String, textCol: String, n: Int, bands: Int, rowsPerBand: Int,
+      bandTable: DataFrame, arrays: DataFrame)
+
+  def lshIndex(corpus: DataFrame, idCol: String, textCol: String,
+               n: Int, bands: Int, rowsPerBand: Int): LshCorpusIndex =
+    LshCorpusIndex(idCol, textCol, n, bands, rowsPerBand,
+      graft.core.CacheRegistry.persist(
+        lshBandTable(corpus, idCol, textCol, n, bands, rowsPerBand)),
+      graft.core.CacheRegistry.persist(
+        shingleArrays(corpus, idCol, textCol, n)))
+
+  /** [[minHashLshPairsAcross]] against a precomputed corpus index: only
+    * the batch side computes signatures; the corpus side reads its cached
+    * band table and verify arrays. */
+  def minHashLshPairsAcross(index: LshCorpusIndex, batch: DataFrame,
                             minJaccard: Double): DataFrame = {
-    val cb = lshBandTable(corpus, idCol, textCol, n, bands, rowsPerBand)
-      .toDF("id_a", "band", "bh")
-    val bb = lshBandTable(batch, idCol, textCol, n, bands, rowsPerBand)
+    val cb = index.bandTable.toDF("id_a", "band", "bh")
+    val bb = lshBandTable(batch, index.idCol, index.textCol,
+        index.n, index.bands, index.rowsPerBand)
       .toDF("id_b", "band", "bh")
     val candidates = cb.join(bb, Seq("band", "bh"))
       .select("id_a", "id_b").distinct()
-    val ca = graft.core.CacheRegistry.persist(
-      shingleArrays(corpus, idCol, textCol, n)).toDF("id_a", "sh_a")
+    val ca = index.arrays.toDF("id_a", "sh_a")
     val ba = graft.core.CacheRegistry.persist(
-      shingleArrays(batch, idCol, textCol, n)).toDF("id_b", "sh_b")
+      shingleArrays(batch, index.idCol, index.textCol, index.n)).toDF("id_b", "sh_b")
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     candidates
       .join(ca, Seq("id_a")).join(ba, Seq("id_b"))
