@@ -548,14 +548,14 @@ object SparkEntry {
         GoldMarts.sellerPerformanceDaily(
           GoldMarts.withDateParts(StarSchema.factOrderDetails(s, dir))))),
     // corpus rebalancing: per-language deterministic keep-rates (downsample
-    // the dominant language, keep all of a rare one) — pure projection
-    "q52_stratified_sample" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val lang = TextStats.langId(docs, "doc_id", "text")
-        .select("doc_id", "detected_lang")
-      Sampling.stratifiedSample(docs.select("doc_id").join(lang, Seq("doc_id")),
-        "doc_id", "detected_lang", Seq("en" -> 40, "zh" -> 100), 70)
-    }),
+    // the dominant language, keep all of a rare one) — the language is a
+    // scan-stage Column, so the stratum table is ONE pass (round 3 joined
+    // langId output back on the id it already carried)
+    "q52_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(
+        t(s, dir, "documents").select(col("doc_id"),
+          TextStats.detectedLang(col("text")).as("detected_lang")),
+        "doc_id", "detected_lang", Seq("en" -> 40, "zh" -> 100), 70)),
     // the full curation pipeline a training run executes, composed
     // end-to-end: language filter ∘ quality filter ∘ near-dup removal.
     // Both filters are pure scan-stage Columns, so eligibility is ONE pass
