@@ -235,6 +235,13 @@ object Dedup {
     * edge key, so the cost is rounds × |edges| — no driver-side state, scales
     * to any edge count.
     *
+    * Propagation runs over the EDGE-INDUCED subgraph only: a node with no
+    * edges can never change label, so the per-round join and label cache
+    * cover just the duplicate-involved ids (typically a few percent of a
+    * corpus), and singletons rejoin via one left join at the end. At 100 TB
+    * this is the difference between shuffling billions of corpus rows per
+    * round and shuffling only the dup-pair nodes.
+    *
     * @param pairs    edges (idA, idB) — undirected, any orientation
     * @param ids      one row per document id (nodes with no edges become
     *                 singleton clusters)
@@ -251,7 +258,11 @@ object Dedup {
       pairs.select(col(pairACol).as("src"), col(pairBCol).as("dst"))
         .union(pairs.select(col(pairBCol).as("src"), col(pairACol).as("dst")))
         .distinct())
-    var labels = ids.select(col(idCol).as("id"), col(idCol).as("label"))
+    // only nodes with at least one edge can ever change label — propagate
+    // over them alone and fold the (vastly larger) singleton set back in
+    // with one left join after convergence
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
     var cached: Option[DataFrame] = None
     var converged = false
     var it = 0
@@ -272,7 +283,13 @@ object Dedup {
       converged = next.where(col("__changed")).count() == 0L
       cached.foreach(_.unpersist())
       cached = Some(next)
-      labels = next.drop("__changed")
+      // cut lineage to a LogicalRDD leaf over the just-materialized cache:
+      // `labels` appears twice in each round's plan (directly and inside
+      // neighborMin), so carrying the plan forward doubles the tree every
+      // round — exponential analysis/explain cost even though execution
+      // reads the cache
+      val flatSrc = next.drop("__changed")
+      labels = flatSrc.sparkSession.createDataFrame(flatSrc.rdd, flatSrc.schema)
       it += 1
     }
     edges.unpersist()
@@ -282,7 +299,10 @@ object Dedup {
       throw new IllegalStateException(
         s"Dedup.clusters did not converge in $maxIters rounds - " +
           "the pair graph has a component of diameter > maxIters; raise maxIters")
-    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+    ids.select(col(idCol).as("id"))
+      .join(labels.withColumnRenamed("label", "__edge_label"), Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("__edge_label"), col("id")).as("cluster_id"))
   }
 
   /** The full dedup decision, composed end-to-end: near-dup pairs →
