@@ -624,6 +624,13 @@ object SparkEntry {
           .select(col("source"), TextStats.tokenCount(col("text")).as("n_tok")),
         "source", "n_tok",
         Seq("src0" -> 50.0, "src1" -> 30.0, "src2" -> 20.0), 1000000L)),
+    // span-level exact-duplicate detection: maximal token spans whose every
+    // 3-gram occurs ≥2 times corpus-wide — the exact-substring-dedup
+    // primitive (document-level near-dup keeps both copies of a page that
+    // merely shares a boilerplate paragraph; this finds the paragraph)
+    "q114_repeated_spans" -> ((s, dir) =>
+      Dedup.repeatedSpans(
+        t(s, dir, "documents").select("doc_id", "text"), "doc_id", "text", 3)),
     // semantic decontamination: corpus embeddings vs a broadcast eval set
     // (every 25th vector), flagged at max-cosine ≥ 0.30 — the paraphrase-
     // level leak check the n-gram probe (q73) can't see
@@ -2217,6 +2224,23 @@ object SparkEntry {
         |  CAST(round(wd.share * 1000000) AS BIGINT) AS target_tokens,
         |  round(CAST(round(wd.share * 1000000) AS DOUBLE) / a.n_tokens, 6) AS epochs
         |FROM agg a JOIN wd ON a.source = wd.source""".stripMargin,
+    // q114: positional 3-grams (WITH multiplicity — no list_distinct, a
+    // within-doc repeat is still a repeat), corpus occurrence counts,
+    // gaps-and-islands merge of consecutive duplicated positions
+    "q114_repeated_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |grams AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    array_to_string(ts[i:i+2], ' ') AS gram
+        |  FROM toks, unnest(generate_series(1, len(ts) - 2)) AS u(i)),
+        |dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+        |hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+        |isl AS (SELECT doc_id, pos,
+        |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM hits)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(count(*) + 2 AS BIGINT) AS span_tokens
+        |FROM isl GROUP BY doc_id, grp""".stripMargin,
     // q112: small-side cross product + per-corpus-row max, mirroring the
     // float-kernel cosine with DOUBLE[] list_cosine_similarity at 6 dp
     "q112_semantic_contamination" ->

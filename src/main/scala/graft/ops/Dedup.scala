@@ -458,6 +458,50 @@ object Dedup {
         round(col("n_unique").cast("double") / col("n_grams").cast("double"), 6))
   }
 
+  /** Span-level exact-duplicate detection: the maximal token spans of each
+    * document whose every word `n`-gram occurs at least `minOccurrences`
+    * times corpus-wide — the primitive behind exact-substring dedup
+    * (dedup at the SPAN level, where document-level near-dup keeps both
+    * copies of a page that merely quotes the same boilerplate paragraph).
+    * Returns (id, span_start, span_tokens): 1-based start token index and
+    * span length in tokens; positions outside any span are unique text.
+    *
+    * Scale shape: positional grams are generated in the scan stage
+    * (`transform` over a `sequence`, no join); the occurrence count is one
+    * hash-agg with map-side combine; duplicated positions come back via a
+    * left-semi join on the gram; span merging (gaps-and-islands) is a
+    * per-document window — partitioned by doc, bounded by doc length.
+    * Gram keys stay exact strings so the result is engine-exact and
+    * collision-free; at 100 TB key the agg/join on `xxhash64(gram)` to cut
+    * shuffle bytes ~8× if span-boundary exactness can tolerate a ~2⁻⁶⁴
+    * per-pair collision rate. */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String, n: Int,
+                    minOccurrences: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val upper = size(col("__toks")) - (n - 1)
+    // (id, pos, gram): pos is the 1-based index of the gram's first token
+    val grams = graft.core.CacheRegistry.persist(
+      df.withColumn("__toks", tokens(col(textCol)))
+        .select(col(idCol), posexplode(
+          // sequence(1, 0) counts DOWN in Spark — guard short docs
+          when(upper >= 1, transform(sequence(lit(1), upper),
+            i => concat_ws(" ", slice(col("__toks"), i, lit(n)))))
+            .otherwise(array().cast("array<string>"))))
+        .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
+          col("col").as("gram")))
+    val dup = grams.groupBy("gram").agg(count(lit(1)).as("__cnt"))
+      .where(col("__cnt") >= minOccurrences).select("gram")
+    val hits = grams.join(dup, Seq("gram"), "left_semi")
+    // gaps-and-islands: runs of consecutive duplicated gram positions merge
+    // into one maximal span covering (run length + n - 1) tokens
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    hits.withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min("pos").as("span_start"),
+        (count(lit(1)) + lit(n - 1).cast("long")).as("span_tokens"))
+      .select(col(idCol), col("span_start"), col("span_tokens"))
+  }
+
   /** Cross-source content-overlap matrix: for every pair of sources
     * sharing at least one word `n`-gram, the distinct-shingle intersection
     * size, both set sizes, and the containment coefficient

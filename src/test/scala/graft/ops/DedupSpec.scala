@@ -184,4 +184,31 @@ class DedupSpec extends SparkSpec {
     e.getMessage should include("sourceOverlapKmv")
     e.getMessage should include("exact = true")
   }
+
+  test("repeatedSpans merges consecutive duplicated gram positions into maximal spans") {
+    val d = Seq(
+      (1L, "a b c d e"),             // grams: (1)"a b c" (2)"b c d" (3)"c d e"
+      (2L, "x a b c d y"),           // grams: (1)"x a b" (2)"a b c" (3)"b c d" (4)"c d y"
+      (3L, "p q r s"),               // all grams unique corpus-wide
+      (4L, "m n o m n o m n o"),     // every gram repeats within the doc itself
+      (5L, "z z")                    // shorter than n: no grams at all
+    ).toDF("doc_id", "text")
+    val r = Dedup.repeatedSpans(d, "doc_id", "text", 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // docs 1&2 share "a b c"+"b c d": runs [1,2] and [2,3] -> 4-token spans
+    // doc 4: positions 1..7 all duplicated -> one span covering all 9 tokens
+    r shouldBe Set((1L, 1L, 4L), (2L, 2L, 4L), (4L, 1L, 9L))
+    graft.core.CacheRegistry.drain()
+  }
+
+  test("repeatedSpans honors the minOccurrences threshold") {
+    val d = Seq(
+      (1L, "a b c d"), (2L, "a b c e"), (3L, "a b c f") // "a b c" occurs 3x
+    ).toDF("doc_id", "text")
+    // at >=3 only the triple-shared gram survives; each doc gets its 3-token span
+    val r = Dedup.repeatedSpans(d, "doc_id", "text", 3, minOccurrences = 3L)
+      .as[(Long, Long, Long)].collect().toSet
+    r shouldBe Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L))
+    graft.core.CacheRegistry.drain()
+  }
 }
