@@ -631,6 +631,12 @@ object SparkEntry {
     "q114_repeated_spans" -> ((s, dir) =>
       Dedup.repeatedSpans(
         t(s, dir, "documents").select("doc_id", "text"), "doc_id", "text", 3)),
+    // the removal step over the same spans: splice out every token covered
+    // by a corpus-repeated 3-gram, keep full cardinality (n_dropped = 0 for
+    // untouched docs, clean_text = '' for fully-boilerplate ones)
+    "q115_remove_repeated_spans" -> ((s, dir) =>
+      Dedup.removeRepeatedSpans(
+        t(s, dir, "documents").select("doc_id", "text"), "doc_id", "text", 3)),
     // semantic decontamination: corpus embeddings vs a broadcast eval set
     // (every 25th vector), flagged at max-cosine ≥ 0.30 — the paraphrase-
     // level leak check the n-gram probe (q73) can't see
@@ -2241,6 +2247,29 @@ object SparkEntry {
         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
         |  CAST(count(*) + 2 AS BIGINT) AS span_tokens
         |FROM isl GROUP BY doc_id, grp""".stripMargin,
+    // q115: expand duplicated gram starts to covered token positions,
+    // splice survivors back in order; LEFT joins keep full cardinality
+    "q115_remove_repeated_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |grams AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    array_to_string(ts[i:i+2], ' ') AS gram
+        |  FROM toks, unnest(generate_series(1, len(ts) - 2)) AS u(i)),
+        |dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+        |hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+        |cov AS (SELECT DISTINCT doc_id, pos + o AS p
+        |  FROM hits, unnest(generate_series(0, 2)) AS v(o)),
+        |tok AS (SELECT doc_id, CAST(i AS BIGINT) AS p, ts[i] AS tk
+        |  FROM toks, unnest(generate_series(1, len(ts))) AS w(i)),
+        |cl AS (
+        |  SELECT tok.doc_id,
+        |    string_agg(tok.tk, ' ' ORDER BY tok.p) FILTER (WHERE cov.p IS NULL) AS ct,
+        |    count(*) FILTER (WHERE cov.p IS NOT NULL) AS nd
+        |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+        |  GROUP BY tok.doc_id)
+        |SELECT d.doc_id, coalesce(cl.ct, '') AS clean_text,
+        |  CAST(coalesce(cl.nd, 0) AS BIGINT) AS n_dropped
+        |FROM documents d LEFT JOIN cl USING (doc_id)""".stripMargin,
     // q112: small-side cross product + per-corpus-row max, mirroring the
     // float-kernel cosine with DOUBLE[] list_cosine_similarity at 6 dp
     "q112_semantic_contamination" ->

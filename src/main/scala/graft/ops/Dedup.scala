@@ -478,8 +478,24 @@ object Dedup {
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String, n: Int,
                     minOccurrences: Long = 2L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val hits = duplicatedGramStarts(df, idCol, textCol, n, minOccurrences)
+    // gaps-and-islands: runs of consecutive duplicated gram positions merge
+    // into one maximal span covering (run length + n - 1) tokens
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    hits.withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min("pos").as("span_start"),
+        (count(lit(1)) + lit(n - 1).cast("long")).as("span_tokens"))
+      .select(col(idCol), col("span_start"), col("span_tokens"))
+  }
+
+  /** (id, pos) of every word `n`-gram occurring ≥ `minOccurrences` times
+    * corpus-wide; `pos` is the 1-based index of the gram's first token.
+    * Shared kernel of [[repeatedSpans]] / [[removeRepeatedSpans]]. */
+  private def duplicatedGramStarts(df: DataFrame, idCol: String,
+      textCol: String, n: Int, minOccurrences: Long): DataFrame = {
     val upper = size(col("__toks")) - (n - 1)
-    // (id, pos, gram): pos is the 1-based index of the gram's first token
+    // (id, pos, gram): generated in the scan stage — no join, no window
     val grams = graft.core.CacheRegistry.persist(
       df.withColumn("__toks", tokens(col(textCol)))
         .select(col(idCol), posexplode(
@@ -491,15 +507,38 @@ object Dedup {
           col("col").as("gram")))
     val dup = grams.groupBy("gram").agg(count(lit(1)).as("__cnt"))
       .where(col("__cnt") >= minOccurrences).select("gram")
-    val hits = grams.join(dup, Seq("gram"), "left_semi")
-    // gaps-and-islands: runs of consecutive duplicated gram positions merge
-    // into one maximal span covering (run length + n - 1) tokens
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    hits.withColumn("__grp", col("pos") - row_number().over(w))
-      .groupBy(col(idCol), col("__grp"))
-      .agg(min("pos").as("span_start"),
-        (count(lit(1)) + lit(n - 1).cast("long")).as("span_tokens"))
-      .select(col(idCol), col("span_start"), col("span_tokens"))
+    grams.join(dup, Seq("gram"), "left_semi").select(col(idCol), col("pos"))
+  }
+
+  /** Exact-substring dedup, removal step: cuts every token covered by a
+    * corpus-repeated `n`-gram (the spans [[repeatedSpans]] reports) and
+    * reassembles the surviving tokens in order. Returns the full input
+    * cardinality as (id, clean_text, n_dropped): fully-boilerplate docs
+    * come back with an empty `clean_text` (filter on `n_dropped` or
+    * emptiness to drop them); untouched docs have `n_dropped = 0`.
+    * Complements [[TextStats.removeCommonSegments]], which cuts whole
+    * segments by corpus document-frequency — this cuts any exact repeat,
+    * including within a single document.
+    *
+    * Scale shape: one hash-agg + semi-join finds duplicated gram starts
+    * (see [[duplicatedGramStarts]]); starts collapse to one small array
+    * per affected doc (`collect_set`, bounded by doc length); the splice
+    * itself is a scan-stage higher-order `filter` over the token array —
+    * the corpus text is never shuffled, only joined against the per-doc
+    * start arrays (docs with no repeats see a null array and pass
+    * through). */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                          n: Int, minOccurrences: Long = 2L): DataFrame = {
+    val starts = duplicatedGramStarts(df, idCol, textCol, n, minOccurrences)
+      .groupBy(idCol).agg(collect_set(col("pos")).as("__starts"))
+    val covered = (i: Column) => exists(col("__starts"),
+      s => s <= i && i < s + n)
+    df.join(starts, Seq(idCol), "left")
+      .withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__kept", when(col("__starts").isNull, col("__toks"))
+        .otherwise(filter(col("__toks"), (_, i0) => !covered(i0 + 1))))
+      .select(col(idCol), concat_ws(" ", col("__kept")).as("clean_text"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_dropped"))
   }
 
   /** Cross-source content-overlap matrix: for every pair of sources

@@ -201,6 +201,22 @@ class DedupSpec extends SparkSpec {
     graft.core.CacheRegistry.drain()
   }
 
+  test("removeRepeatedSpans splices covered tokens out and keeps full cardinality") {
+    val d = Seq(
+      (1L, "a b c d e"),         // covered: starts {1,2} -> tokens 1..4
+      (2L, "x a b c d y"),       // covered: starts {2,3} -> tokens 2..5
+      (3L, "p q r s"),           // untouched
+      (4L, "m n o m n o m n o"), // fully boilerplate -> empty clean_text
+      (5L, "z z")                // shorter than n: passes through
+    ).toDF("doc_id", "text")
+    val r = Dedup.removeRepeatedSpans(d, "doc_id", "text", 3)
+      .as[(Long, String, Long)].collect().toSet
+    r shouldBe Set(
+      (1L, "e", 4L), (2L, "x y", 4L), (3L, "p q r s", 0L),
+      (4L, "", 9L), (5L, "z z", 0L))
+    graft.core.CacheRegistry.drain()
+  }
+
   test("repeatedSpans honors the minOccurrences threshold") {
     val d = Seq(
       (1L, "a b c d"), (2L, "a b c e"), (3L, "a b c f") // "a b c" occurs 3x
