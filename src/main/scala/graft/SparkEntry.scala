@@ -228,6 +228,25 @@ object SparkEntry {
       Similarity.multiBandLshTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 3, 8, 3)),
     "q38_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 3, 8, 2)),
+    // product quantization (Jégou et al. 2011): m=2 subspaces × k=8 codes,
+    // one Lloyd iteration — codebook training + encode, engine-exact via
+    // the reduced-L2 ranking key (see Embeddings.nearestCode)
+    "q116_pq_encode" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = graft.ops.Embeddings.pqTrain(emb, "vec_id", "embedding", 64, 2, 8, 1)
+      graft.ops.Embeddings.pqEncode(emb, "vec_id", "embedding", cb, 64, 2)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("subspace", "code")))
+    }),
+    // ADC top-10 per held-out query (every 50th vector) over PQ codes:
+    // the query meets full-precision centroids, the corpus only its codes
+    "q117_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = graft.ops.Embeddings.pqTrain(emb, "vec_id", "embedding", 64, 2, 8, 1)
+      val corpus = emb.where(col("vec_id") % 50 =!= 0)
+      val codes = graft.ops.Embeddings.pqEncode(corpus, "vec_id", "embedding", cb, 64, 2)
+      graft.ops.Embeddings.pqTopK(codes, "vec_id", "codes",
+        emb.where(col("vec_id") % 50 === 0), "vec_id", "embedding", cb, 64, 2, 10)
+    }),
     "q39_deterministic_split" -> ((s, dir) =>
       Sampling.deterministicSplit(t(s, dir, "documents").select("doc_id"), "doc_id",
         Seq("train" -> 90, "val" -> 5, "test" -> 5))),
@@ -1074,6 +1093,87 @@ object SparkEntry {
        |  CAST(dim AS INTEGER) AS dim, round(avg(v), 6) AS mean_val
        |FROM m2 GROUP BY cell, dim""".stripMargin
 
+  /** q116/q117 oracle building block: PQ sub-quantizer training for
+    * subspace `j` of a 64-dim vector split in two — the kmeans CTE
+    * pattern specialized to vector slices and the reduced-L2 ranking key
+    * `round(|c|² − 2·x·c, 6)` (list_inner_product accumulates doubles
+    * left-to-right exactly like the dotF kernel, so assignment is
+    * engine-exact, not approximately-equal). Ends at a${j}1 = the final
+    * (vec_id, code) assignment against the recoded post-iteration book. */
+  private def pqSubspaceCtes(j: Int): String = {
+    val lo = j * 32 + 1
+    val hi = (j + 1) * 32
+    val sub = s"CAST(e.embedding[$lo:$hi] AS DOUBLE[])"
+    s"""cents${j}0 AS (
+       |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code,
+       |    CAST(embedding[$lo:$hi] AS DOUBLE[]) AS cvec
+       |  FROM embeddings WHERE embedding IS NOT NULL
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+       |d${j}0 AS (
+       |  SELECT e.vec_id, c.code,
+       |    round(list_inner_product(c.cvec, c.cvec)
+       |      - 2 * list_inner_product($sub, c.cvec), 6) AS rd
+       |  FROM embeddings e CROSS JOIN cents${j}0 c WHERE e.embedding IS NOT NULL),
+       |a${j}0 AS (
+       |  SELECT vec_id, code FROM (
+       |    SELECT vec_id, code,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY rd ASC, code ASC) AS r
+       |    FROM d${j}0) WHERE r = 1),
+       |m$j AS (
+       |  SELECT a.code, unnest($sub) AS v,
+       |    unnest(generate_series(1, ${hi - lo + 1})) AS dim
+       |  FROM a${j}0 a JOIN embeddings e ON e.vec_id = a.vec_id),
+       |c${j}1 AS (
+       |  SELECT code, dim, CAST(CAST(round(avg(v), 6) AS FLOAT) AS DOUBLE) AS cv
+       |  FROM m$j GROUP BY 1, 2),
+       |cb$j AS (
+       |  SELECT row_number() OVER (ORDER BY code) - 1 AS code, cvec FROM (
+       |    SELECT code, list(cv ORDER BY dim) AS cvec FROM c${j}1 GROUP BY 1)),
+       |d${j}1 AS (
+       |  SELECT e.vec_id, c.code,
+       |    round(list_inner_product(c.cvec, c.cvec)
+       |      - 2 * list_inner_product($sub, c.cvec), 6) AS rd
+       |  FROM embeddings e CROSS JOIN cb$j c WHERE e.embedding IS NOT NULL),
+       |a${j}1 AS (
+       |  SELECT vec_id, code FROM (
+       |    SELECT vec_id, code,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY rd ASC, code ASC) AS r
+       |    FROM d${j}1) WHERE r = 1)""".stripMargin
+  }
+
+  /** q116 oracle: both sub-quantizers' final assignments, exploded to the
+    * (vec_id, subspace, code) layout of the Spark side's posexplode. */
+  private def pqEncodeSql: String =
+    s"""WITH ${pqSubspaceCtes(0)},
+       |${pqSubspaceCtes(1)}
+       |SELECT vec_id, CAST(0 AS INTEGER) AS subspace, CAST(code AS INTEGER) AS code FROM a01
+       |UNION ALL
+       |SELECT vec_id, CAST(1 AS INTEGER) AS subspace, CAST(code AS INTEGER) AS code FROM a11""".stripMargin
+
+  /** q117 oracle: ADC scoring — per-subspace LUT entries rounded at 6 dp
+    * exactly like the Spark lut, summed in subspace order, re-rounded. */
+  private def pqTopKSql: String =
+    s"""WITH ${pqSubspaceCtes(0)},
+       |${pqSubspaceCtes(1)},
+       |enc AS (
+       |  SELECT a0.vec_id, a0.code AS c0, a1.code AS c1
+       |  FROM a01 a0 JOIN a11 a1 ON a0.vec_id = a1.vec_id
+       |  WHERE a0.vec_id % 50 <> 0),
+       |q AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id % 50 = 0 AND embedding IS NOT NULL),
+       |sc AS (
+       |  SELECT q.vec_id AS query_id, x.vec_id AS cand_id,
+       |    round(round(list_inner_product(CAST(q.embedding[1:32] AS DOUBLE[]), b0.cvec), 6)
+       |        + round(list_inner_product(CAST(q.embedding[33:64] AS DOUBLE[]), b1.cvec), 6), 6) AS score
+       |  FROM q CROSS JOIN enc x
+       |  JOIN cb0 b0 ON b0.code = x.c0
+       |  JOIN cb1 b1 ON b1.code = x.c1)
+       |SELECT query_id, cand_id, score,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id ASC) AS INTEGER) AS rank
+       |FROM sc
+       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id ASC) <= 10""".stripMargin
+
   /** q83 oracle: the trained cents2 (same FLOAT round-trip as the Spark
     * side), a third assignment pass, then within-cell pairs with rounded
     * cosine ≥ 0.3. */
@@ -1611,6 +1711,8 @@ object SparkEntry {
         |       ELSE abs(CAST(value AS DOUBLE) - m2.med) > m2.mad * 3.0 END AS is_outlier
         |FROM events, m2""".stripMargin,
     "q65_kmeans_fit" -> kmeansFitSql,
+    "q116_pq_encode" -> pqEncodeSql,
+    "q117_pq_topk" -> pqTopKSql,
     "q66_quantize_int8" ->
       """WITH s AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv,

@@ -215,6 +215,169 @@ object Embeddings {
         round(col("__norm"), 6).as("eigenvalue"))
   }
 
+  // ---- product quantization (Jégou et al. 2011, TPAMI 33(1)) ----
+
+  /** Subvector `j` (0-based) of a `dim`-dim vector split into `m`
+    * contiguous subspaces of `dim / m` elements each. */
+  private def subVec(vec: Column, j: Int, subDim: Int): Column =
+    slice(vec, j * subDim + 1, subDim)
+
+  /** Nearest sub-codebook entry by squared L2 distance, as a scan-stage
+    * expression against the LITERAL codebook: the ranking key is the
+    * reduced distance `round(|c|² − 2·x·c, 6)` (dropping the |x|² term
+    * common to every candidate), ties to the lowest code. `|c|²` is
+    * computed driver-side with the same left-to-right double accumulation
+    * as [[graft.functions.VectorFunctions.dotF]], so the key — and
+    * therefore the code — is engine-exact. */
+  private def nearestCode(sub: Column, book: IndexedSeq[Array[Float]]): Column = {
+    import graft.functions.VectorFunctions.dotF
+    val cents = typedLit(book.map(_.toSeq))
+    val cnorm2 = typedLit(book.map(_.foldLeft(0.0)((s, f) => s + f.toDouble * f.toDouble)))
+    val dists = transform(sequence(lit(0), lit(book.size - 1)), i =>
+      round(element_at(cnorm2, i + 1)
+        - lit(2.0) * dotF(sub, element_at(cents, i + 1)), 6))
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** A (subspace, code, cvec) codebook frame collected to driver arrays,
+    * code-ordered per subspace — m·k·(dim/m) floats, the driver-resident
+    * contract every PQ implementation uses. */
+  private def collectBooks(codebook: DataFrame, m: Int): Array[IndexedSeq[Array[Float]]] = {
+    val rows = codebook.select(col("subspace"), col("code"), col("cvec"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    require(rows.nonEmpty, "PQ codebook is empty")
+    val bySub = rows.groupBy(_._1)
+    require(bySub.keySet == (0 until m).toSet,
+      s"PQ codebook must cover subspaces 0..${m - 1}; has ${bySub.keySet.toSeq.sorted}")
+    Array.tabulate(m)(j => bySub(j).sortBy(_._2).map(_._3).toIndexedSeq)
+  }
+
+  /** Product-quantization codebook training: split each `dim`-dim vector
+    * into `m` contiguous subvectors and run Lloyd's k-means independently
+    * in every subspace — k^m composite centroids from m·k stored ones,
+    * the codebook family behind IVF-PQ ANN indexes (Jégou et al. 2011).
+    * Seeds follow [[Similarity.kmeansFit]]'s md5-hash-ordered sample rule
+    * (the SAME k seed vectors sliced per subspace); assignment ranks by
+    * reduced squared L2 (see [[nearestCode]]); means are 6 dp-rounded and
+    * FLOAT round-tripped between iterations (the kmeansFit reproducibility
+    * device). Cells that lose every member are retired; the returned codes
+    * are positions in the surviving code-ordered book. Returns (subspace,
+    * code, cvec) — feed to [[pqEncode]] / [[pqTopK]]. `iters = 0` returns
+    * the raw seed codebook.
+    *
+    * Scale shape: one collect of k seed vectors; per iteration ONE scan
+    * assigns all m subspaces (scan-stage [[nearestCode]] against literal
+    * books, no join) and ONE hash-agg reduces to m·k mean buffers via the
+    * native vector-sum aggregate (map-side partials — the shuffle carries
+    * m·k·(dim/m) doubles per partition, never N·d rows). Train on a
+    * deterministic sample ([[Sampling.deterministicSample]]) at 100 TB —
+    * codebook quality saturates long before full-corpus coverage. */
+  def pqTrain(emb: DataFrame, idCol: String, vecCol: String,
+              dim: Int, m: Int, k: Int, iters: Int): DataFrame = {
+    require(m >= 1 && dim >= m && dim % m == 0,
+      s"pqTrain: need dim divisible by m; got dim=$dim m=$m")
+    require(k >= 1 && iters >= 0,
+      s"pqTrain: need k >= 1, iters >= 0; got k=$k iters=$iters")
+    import graft.functions.VectorFunctions.vectorSumF
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val subDim = dim / m
+    val clean = emb.where(col(vecCol).isNotNull)
+    val seeds = clean
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(k).select(col(vecCol))
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(seeds.nonEmpty, "pqTrain: no non-null vectors to seed from")
+    var books: Array[IndexedSeq[Array[Float]]] =
+      Array.tabulate(m)(j => seeds.map(_.slice(j * subDim, (j + 1) * subDim)).toIndexedSeq)
+    for (_ <- 1 to iters) {
+      val withCodes = clean.select(
+        (0 until m).map(j =>
+          nearestCode(subVec(col(vecCol), j, subDim), books(j)).as(s"__c$j"))
+          :+ col(vecCol): _*)
+      // (subspace, code, subvec) rows generated scan-stage; one shuffle
+      val pairs = withCodes.select(explode(array((0 until m).map(j =>
+        struct(lit(j).as("j"), col(s"__c$j").as("code"),
+          subVec(col(vecCol), j, subDim).as("sv"))): _*)).as("p"))
+        .select(col("p.j").as("j"), col("p.code").as("code"), col("p.sv").as("sv"))
+      val means = pairs.groupBy(col("j"), col("code"))
+        .agg(vectorSumF(col("sv")).as("s"), count(lit(1)).as("n"))
+        .select(col("j"), col("code"),
+          transform(col("s"), x => round(x / col("n"), 6).cast("float")).as("cv"))
+        .as[(Int, Int, Array[Float])].collect()
+      val bySub = means.groupBy(_._1)
+      // empty cells retire; surviving books stay ordered by prior code, so
+      // positions keep ranking ties aligned with code order across engines
+      books = Array.tabulate(m)(j =>
+        bySub.getOrElse(j, Array.empty).sortBy(_._2).map(_._3).toIndexedSeq)
+      require(books.forall(_.nonEmpty),
+        "pqTrain: a subspace lost every cell — empty or all-null input?")
+    }
+    (for { (book, j) <- books.zipWithIndex; (cv, c) <- book.zipWithIndex }
+      yield (j, c, cv.toSeq)).toSeq
+      .toDF("subspace", "code", "cvec")
+      .select(col("subspace"), col("code"), col("cvec").cast("array<float>"))
+  }
+
+  /** PQ encode: each vector becomes `m` small codes — `m·log₂k` bits
+    * instead of `dim` floats (dim=1024, m=8, k=256: 8 bytes vs 4 KiB).
+    * Returns (id, codes array<int>). Scan-stage only: the codebook rides
+    * along as literals, assignment is [[nearestCode]] per subspace — zero
+    * shuffle, zero join, the corpus is read exactly once. */
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
+               codebook: DataFrame, dim: Int, m: Int): DataFrame = {
+    require(m >= 1 && dim >= m && dim % m == 0,
+      s"pqEncode: need dim divisible by m; got dim=$dim m=$m")
+    val subDim = dim / m
+    val books = collectBooks(codebook, m)
+    emb.where(col(vecCol).isNotNull)
+      .select(col(idCol), array((0 until m).map(j =>
+        nearestCode(subVec(col(vecCol), j, subDim), books(j))): _*).as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k by approximate inner product: for
+    * every query, score(x) = Σⱼ lut[j][codes(x)(j)] where lut[j][c] =
+    * round(qⱼ·cvec, 6) — the query meets full-precision centroids, the
+    * corpus only its codes (Jégou et al. 2011 §IV). Ranks by approximate
+    * MIPS score (ties to the lower candidate id); inner product — unlike
+    * cosine/L2 — decomposes EXACTLY over subspaces, so the only error is
+    * quantization itself. Returns (query_id, cand_id, score, rank).
+    *
+    * Scale shape: per-query LUTs (m·k doubles) are computed scan-stage on
+    * the BROADCAST query side; scoring a candidate is m array lookups on
+    * the codes column — the d-dim dot never touches the corpus, and the
+    * corpus vectors themselves never load (codes only: the 512× smaller
+    * table). One window pass cuts top-k per query. Compose with IVF cells
+    * ([[Similarity.ivfTopK]]'s assignment) to prune the candidate set
+    * before scoring — classic IVF-PQ — when |corpus|·|queries| rows is
+    * the bottleneck. */
+  def pqTopK(codes: DataFrame, idCol: String, codesCol: String,
+             queries: DataFrame, qidCol: String, vecCol: String,
+             codebook: DataFrame, dim: Int, m: Int, topK: Int): DataFrame = {
+    require(topK >= 1, s"pqTopK: need topK >= 1, got $topK")
+    require(m >= 1 && dim >= m && dim % m == 0,
+      s"pqTopK: need dim divisible by m; got dim=$dim m=$m")
+    import graft.functions.VectorFunctions.dotF
+    import org.apache.spark.sql.expressions.Window
+    val subDim = dim / m
+    val books = collectBooks(codebook, m)
+    val lut = array((0 until m).map(j =>
+      transform(typedLit(books(j).map(_.toSeq)), c =>
+        round(dotF(subVec(col(vecCol), j, subDim), c), 6))): _*)
+    val q = broadcast(queries.where(col(vecCol).isNotNull)
+      .select(col(qidCol).as("query_id"), lut.as("__lut")))
+    val score = round((0 until m).map(j =>
+      element_at(element_at(col("__lut"), j + 1),
+        element_at(col(codesCol), j + 1) + 1)).reduce(_ + _), 6)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("cand_id").asc)
+    codes.crossJoin(q)
+      .select(col("query_id"), col(idCol).as("cand_id"), score.as("score"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+  }
+
   /** Aggregation formulation of [[hashEmbed]] — shuffles O(tokens); the
     * per-group integer sums equal the kernel's per-row sums exactly
     * (integer addition is order-free), which the spec pins. */

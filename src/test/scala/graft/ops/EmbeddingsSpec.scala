@@ -137,6 +137,89 @@ class EmbeddingsSpec extends SparkSpec {
     r(2) shouldBe ((3L, -1.0, false))
   }
 
+  test("pqTrain + pqEncode separate per-subspace clusters independently") {
+    // subspace 0 (dims 1-2) clusters around (1,0) / (0,1); subspace 1
+    // (dims 3-4) around (2,2) / (-2,-2) — with the cluster memberships
+    // CROSSED, so only independent per-subspace codebooks separate both
+    val df = Seq(
+      (1L, Seq(1.0f, 0.1f, 2.0f, 2.1f)),
+      (2L, Seq(0.9f, 0.0f, -2.0f, -1.9f)),
+      (3L, Seq(0.1f, 1.0f, 2.1f, 1.9f)),
+      (4L, Seq(0.0f, 0.9f, -2.1f, -2.0f))
+    ).toDF("vec_id", "embedding")
+    val cb = Embeddings.pqTrain(df, "vec_id", "embedding", 4, 2, 2, 2)
+    cb.count() shouldBe 4 // 2 subspaces x 2 codes
+    val codes = Embeddings.pqEncode(df, "vec_id", "embedding", cb, 4, 2)
+      .as[(Long, Array[Int])].collect().toMap
+    // subspace 0: {1,2} together, {3,4} together; subspace 1: {1,3}, {2,4}
+    codes(1L)(0) shouldBe codes(2L)(0)
+    codes(3L)(0) shouldBe codes(4L)(0)
+    codes(1L)(0) should not be codes(3L)(0)
+    codes(1L)(1) shouldBe codes(3L)(1)
+    codes(2L)(1) shouldBe codes(4L)(1)
+    codes(1L)(1) should not be codes(2L)(1)
+  }
+
+  test("pqEncode maps a codebook member to its own code") {
+    val cb = Seq(
+      (0, 0, Seq(1.0f, 0.0f)), (0, 1, Seq(0.0f, 1.0f)),
+      (1, 0, Seq(1.0f, 1.0f)), (1, 1, Seq(2.0f, 0.0f))
+    ).toDF("subspace", "code", "cvec")
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f, 2.0f, 0.0f)),  // -> codes [0, 1]
+      (2L, Seq(0.0f, 1.0f, 1.0f, 1.0f))   // -> codes [1, 0]
+    ).toDF("vec_id", "embedding")
+    val codes = Embeddings.pqEncode(df, "vec_id", "embedding", cb, 4, 2)
+      .as[(Long, Array[Int])].collect().toMap
+    codes(1L) shouldBe Array(0, 1)
+    codes(2L) shouldBe Array(1, 0)
+  }
+
+  test("pqTopK scores are the sum of per-subspace LUT entries, ranked with id ties") {
+    val cb = Seq(
+      (0, 0, Seq(1.0f, 0.0f)), (0, 1, Seq(0.0f, 1.0f)),
+      (1, 0, Seq(1.0f, 1.0f)), (1, 1, Seq(2.0f, 0.0f))
+    ).toDF("subspace", "code", "cvec")
+    val codes = Seq(
+      (10L, Seq(0, 0)), (20L, Seq(1, 0)), (30L, Seq(1, 1))
+    ).toDF("vec_id", "codes")
+    val queries = Seq((1L, Seq(1.0f, 2.0f, 3.0f, 4.0f))).toDF("vec_id", "embedding")
+    // lut0 = [q03·(1,0), q03·(0,1)] = [1, 2]; lut1 = [q14·(1,1), q14·(2,0)] = [7, 6]
+    // scores: 10 -> 1+7=8, 20 -> 2+7=9, 30 -> 2+6=8 (ties 10<30 by id)
+    val r = Embeddings.pqTopK(codes, "vec_id", "codes",
+        queries, "vec_id", "embedding", cb, 4, 2, 3)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    r shouldBe Array((1L, 20L, 9.0, 1), (1L, 10L, 8.0, 2), (1L, 30L, 8.0, 3))
+  }
+
+  test("pqTopK recall@10 vs exact inner-product ranking clears the floor on real vectors") {
+    val emb = graft.core.Tables.table(spark, sf0001, "embeddings")
+      .where($"embedding".isNotNull)
+    val queries = emb.where($"vec_id" % 40 === 0)
+    val corpus = emb.where($"vec_id" % 40 =!= 0)
+    val cb = Embeddings.pqTrain(emb, "vec_id", "embedding", 64, 16, 16, 2)
+    val codes = Embeddings.pqEncode(corpus, "vec_id", "embedding", cb, 64, 16)
+    val approx = Embeddings.pqTopK(codes, "vec_id", "codes",
+        queries, "vec_id", "embedding", cb, 64, 16, 10)
+      .select($"query_id", $"cand_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    import graft.functions.VectorFunctions.dotF
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy($"ip".desc, $"cand_id".asc)
+    val exact = queries.select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      .crossJoin(corpus.select($"vec_id".as("cand_id"), $"embedding".as("cv")))
+      .select($"query_id", $"cand_id", dotF($"qv", $"cv").as("ip"))
+      .withColumn("r", row_number().over(w)).where($"r" <= 10)
+      .select($"query_id", $"cand_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.keys.toSeq.map(q =>
+      (approx.getOrElse(q, Set.empty) & exact(q)).size / 10.0)
+    val mean = recalls.sum / recalls.size
+    // m=16 x k=16 sub-quantizers on 64-dim vectors: far above the ~10/800
+    // chance floor; exact level varies with the draw, so pin a safe bound
+    mean should be > 0.25
+  }
+
   private implicit class TripleOps(rows: Array[(Long, Double, Array[Int])]) {
     def toMap2: Map[Long, (Double, Array[Int])] =
       rows.map { case (id, s, q) => id -> (s, q) }.toMap
