@@ -237,6 +237,14 @@ object SparkEntry {
       graft.ops.Embeddings.pqEncode(emb, "vec_id", "embedding", cb, 64, 2)
         .select(col("vec_id"), posexplode(col("codes")).as(Seq("subspace", "code")))
     }),
+    // IVF-PQ: coarse cells prune candidates (probe 2 of 8), ADC ranks the
+    // survivors — the composition production ANN indexes run
+    "q118_ivfpq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = graft.ops.Embeddings.pqTrain(emb, "vec_id", "embedding", 64, 2, 8, 1)
+      Similarity.ivfPqTopK(emb.where(col("vec_id") % 50 =!= 0), "vec_id", "embedding",
+        emb.where(col("vec_id") % 50 === 0), "vec_id", cb, 64, 2, 10, 8, 2)
+    }),
     // ADC top-10 per held-out query (every 50th vector) over PQ codes:
     // the query meets full-precision centroids, the corpus only its codes
     "q117_pq_topk" -> ((s, dir) => {
@@ -1150,6 +1158,58 @@ object SparkEntry {
        |UNION ALL
        |SELECT vec_id, CAST(1 AS INTEGER) AS subspace, CAST(code AS INTEGER) AS code FROM a11""".stripMargin
 
+  /** q118 oracle: q117's scoring behind an IVF gate — coarse centroids are
+    * the md5-sampled corpus slice, corpus rows sit in their argmax-cosine
+    * cell (ties to lower cent_id — the ivfPqTopK sort-by-id device), each
+    * query probes its top-2 cells, and only cell-mates get scored. */
+  private def ivfPqTopKSql: String =
+    s"""WITH ${pqSubspaceCtes(0)},
+       |${pqSubspaceCtes(1)},
+       |cents AS (
+       |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cvec
+       |  FROM embeddings WHERE vec_id % 50 <> 0 AND embedding IS NOT NULL
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+       |asim AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6) AS csim
+       |  FROM embeddings e CROSS JOIN cents c
+       |  WHERE e.vec_id % 50 <> 0 AND e.embedding IS NOT NULL),
+       |cellof AS (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT vec_id, cent_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id ASC) AS r
+       |    FROM asim) WHERE r = 1),
+       |q AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id % 50 = 0 AND embedding IS NOT NULL),
+       |qsim AS (
+       |  SELECT q.vec_id AS query_id, c.cent_id,
+       |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cvec), 6) AS csim
+       |  FROM q CROSS JOIN cents c),
+       |probes AS (
+       |  SELECT query_id, cent_id FROM (
+       |    SELECT query_id, cent_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, cent_id ASC) AS r
+       |    FROM qsim) WHERE r <= 2),
+       |enc AS (
+       |  SELECT a0.vec_id, a0.code AS c0, a1.code AS c1
+       |  FROM a01 a0 JOIN a11 a1 ON a0.vec_id = a1.vec_id
+       |  WHERE a0.vec_id % 50 <> 0),
+       |sc AS (
+       |  SELECT p.query_id, a.vec_id AS cand_id,
+       |    round(round(list_inner_product(CAST(q.embedding[1:32] AS DOUBLE[]), b0.cvec), 6)
+       |        + round(list_inner_product(CAST(q.embedding[33:64] AS DOUBLE[]), b1.cvec), 6), 6) AS score
+       |  FROM probes p
+       |  JOIN q ON q.vec_id = p.query_id
+       |  JOIN cellof a ON a.cent_id = p.cent_id
+       |  JOIN enc ON enc.vec_id = a.vec_id
+       |  JOIN cb0 b0 ON b0.code = enc.c0
+       |  JOIN cb1 b1 ON b1.code = enc.c1)
+       |SELECT query_id, cand_id, score,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id ASC) AS INTEGER) AS rank
+       |FROM sc
+       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id ASC) <= 10""".stripMargin
+
   /** q117 oracle: ADC scoring — per-subspace LUT entries rounded at 6 dp
     * exactly like the Spark lut, summed in subspace order, re-rounded. */
   private def pqTopKSql: String =
@@ -1713,6 +1773,7 @@ object SparkEntry {
     "q65_kmeans_fit" -> kmeansFitSql,
     "q116_pq_encode" -> pqEncodeSql,
     "q117_pq_topk" -> pqTopKSql,
+    "q118_ivfpq_topk" -> ivfPqTopKSql,
     "q66_quantize_int8" ->
       """WITH s AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv,

@@ -219,7 +219,7 @@ object Embeddings {
 
   /** Subvector `j` (0-based) of a `dim`-dim vector split into `m`
     * contiguous subspaces of `dim / m` elements each. */
-  private def subVec(vec: Column, j: Int, subDim: Int): Column =
+  private[ops] def subVec(vec: Column, j: Int, subDim: Int): Column =
     slice(vec, j * subDim + 1, subDim)
 
   /** Nearest sub-codebook entry by squared L2 distance, as a scan-stage
@@ -229,7 +229,7 @@ object Embeddings {
     * computed driver-side with the same left-to-right double accumulation
     * as [[graft.functions.VectorFunctions.dotF]], so the key — and
     * therefore the code — is engine-exact. */
-  private def nearestCode(sub: Column, book: IndexedSeq[Array[Float]]): Column = {
+  private[ops] def nearestCode(sub: Column, book: IndexedSeq[Array[Float]]): Column = {
     import graft.functions.VectorFunctions.dotF
     val cents = typedLit(book.map(_.toSeq))
     val cnorm2 = typedLit(book.map(_.foldLeft(0.0)((s, f) => s + f.toDouble * f.toDouble)))
@@ -242,7 +242,7 @@ object Embeddings {
   /** A (subspace, code, cvec) codebook frame collected to driver arrays,
     * code-ordered per subspace — m·k·(dim/m) floats, the driver-resident
     * contract every PQ implementation uses. */
-  private def collectBooks(codebook: DataFrame, m: Int): Array[IndexedSeq[Array[Float]]] = {
+  private[ops] def collectBooks(codebook: DataFrame, m: Int): Array[IndexedSeq[Array[Float]]] = {
     val rows = codebook.select(col("subspace"), col("code"), col("cvec"))
       .collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
@@ -358,25 +358,35 @@ object Embeddings {
     require(topK >= 1, s"pqTopK: need topK >= 1, got $topK")
     require(m >= 1 && dim >= m && dim % m == 0,
       s"pqTopK: need dim divisible by m; got dim=$dim m=$m")
-    import graft.functions.VectorFunctions.dotF
     import org.apache.spark.sql.expressions.Window
-    val subDim = dim / m
     val books = collectBooks(codebook, m)
-    val lut = array((0 until m).map(j =>
-      transform(typedLit(books(j).map(_.toSeq)), c =>
-        round(dotF(subVec(col(vecCol), j, subDim), c), 6))): _*)
     val q = broadcast(queries.where(col(vecCol).isNotNull)
-      .select(col(qidCol).as("query_id"), lut.as("__lut")))
-    val score = round((0 until m).map(j =>
-      element_at(element_at(col("__lut"), j + 1),
-        element_at(col(codesCol), j + 1) + 1)).reduce(_ + _), 6)
+      .select(col(qidCol).as("query_id"),
+        adcLut(col(vecCol), books, dim / m).as("__lut")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("cand_id").asc)
     codes.crossJoin(q)
-      .select(col("query_id"), col(idCol).as("cand_id"), score.as("score"))
+      .select(col("query_id"), col(idCol).as("cand_id"),
+        adcScore(col("__lut"), col(codesCol), m).as("score"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= topK)
   }
+
+  /** Per-query ADC lookup table: m arrays of `round(qⱼ·cvec, 6)` against
+    * the literal codebook — computed scan-stage on the (small) query side. */
+  private[ops] def adcLut(vec: Column, books: Array[IndexedSeq[Array[Float]]],
+                          subDim: Int): Column = {
+    import graft.functions.VectorFunctions.dotF
+    array(books.indices.map(j =>
+      transform(typedLit(books(j).map(_.toSeq)), c =>
+        round(dotF(subVec(vec, j, subDim), c), 6))): _*)
+  }
+
+  /** ADC score: Σⱼ lut[j][codes(j)], summed in subspace order, 6 dp. */
+  private[ops] def adcScore(lut: Column, codes: Column, m: Int): Column =
+    round((0 until m).map(j =>
+      element_at(element_at(lut, j + 1), element_at(codes, j + 1) + 1))
+      .reduce(_ + _), 6)
 
   /** Aggregation formulation of [[hashEmbed]] — shuffles O(tokens); the
     * per-group integer sums equal the kernel's per-row sums exactly

@@ -180,6 +180,85 @@ object Similarity {
       .select("query_id", "cand_id", "cos", "rank")
   }
 
+  /** IVF-PQ ANN (Jégou et al. 2011 §V): the coarse quantizer prunes the
+    * candidate set to `nProbe` of `nCells` inverted-file cells, then PQ
+    * asymmetric-distance scoring ([[Embeddings.pqTopK]]'s LUT device)
+    * ranks the survivors — the composition production ANN indexes ship,
+    * here as one operator. Coarse centroids are the md5-hashed corpus
+    * sample ([[ivfTopK]]'s seed rule) COLLECTED to the driver and sorted
+    * by id, so both cell assignment and probing are scan-stage argmax
+    * expressions against literal arrays: the corpus is read ONCE, with no
+    * N×C join, no window, and no shuffle before the cell-keyed broadcast
+    * probe join. Assignment ranks by rounded cosine with ties to the
+    * lower centroid id (the [[ivfTopK]] rule). Returns (query_id,
+    * cand_id, score, rank) — score is the approximate inner product.
+    *
+    * Scale shape: candidates per query ≈ |corpus|·nProbe/nCells; scoring
+    * touches only the codes column (never the corpus vectors); the one
+    * shuffle is the per-query top-k window. Recall loses only cell-
+    * boundary neighbors vs [[Embeddings.pqTopK]] (with nProbe = nCells
+    * the two are IDENTICAL — the spec pins that law); raise nProbe to
+    * trade compute for recall. */
+  def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                queries: DataFrame, qidCol: String,
+                codebook: DataFrame, dim: Int, m: Int,
+                topK: Int, nCells: Int, nProbe: Int): DataFrame = {
+    require(topK >= 1 && nCells >= 1 && nProbe >= 1 && nProbe <= nCells,
+      s"ivfPqTopK: need topK/nCells/nProbe >= 1 and nProbe <= nCells; " +
+        s"got topK=$topK nCells=$nCells nProbe=$nProbe")
+    require(m >= 1 && dim >= m && dim % m == 0,
+      s"ivfPqTopK: need dim divisible by m; got dim=$dim m=$m")
+    import org.apache.spark.sql.expressions.Window
+    val subDim = dim / m
+    val books = Embeddings.collectBooks(codebook, m)
+    // coarse centroids: hashed-sample seed rule, driver-collected (nCells
+    // vectors — the IVF contract), sorted by id so the scan-stage argmax
+    // (first max position wins) ties to the LOWER centroid id
+    val centRows = corpus.where(col(vecCol).isNotNull)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(nCells)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(centRows.nonEmpty, "ivfPqTopK: no non-null corpus vectors to seed cells from")
+    val cellIds = typedLit(centRows.map(_._1).toIndexedSeq)
+    val cvecs = typedLit(centRows.map(_._2.toSeq).toIndexedSeq)
+    // |c| computed driver-side with normF's exact recipe: sqrt of the
+    // left-to-right double dot
+    val cnorms = typedLit(centRows.map(c =>
+      math.sqrt(c._2.foldLeft(0.0)((s, f) => s + f.toDouble * f.toDouble))).toIndexedSeq)
+    def sims(norm: Column): Column =
+      transform(sequence(lit(0), lit(centRows.length - 1)), i =>
+        round(dotF(col(vecCol), element_at(cvecs, i + 1))
+          / (norm * element_at(cnorms, i + 1)), 6))
+    val cand = corpus.where(col(vecCol).isNotNull)
+      .withColumn("__sims", sims(normF(col(vecCol))))
+      .select(col(idCol).as("cand_id"),
+        element_at(cellIds,
+          array_position(col("__sims"), array_max(col("__sims"))).cast("int")).as("cell"),
+        array((0 until m).map(j =>
+          Embeddings.nearestCode(Embeddings.subVec(col(vecCol), j, subDim), books(j))): _*)
+          .as("__codes"))
+    // probe list: cell indices ordered by (sim desc, centroid id asc) via
+    // an ascending struct sort on (-sim, index), cut to nProbe
+    val order = array_sort(transform(sequence(lit(0), lit(centRows.length - 1)), i =>
+      struct((lit(0.0) - element_at(col("__sims"), i + 1)).as("negsim"), i.as("idx"))))
+    val probeCells = transform(slice(order, 1, nProbe), s =>
+      element_at(cellIds, s.getField("idx") + 1))
+    val q = broadcast(queries.where(col(vecCol).isNotNull)
+      .withColumn("__sims", sims(normF(col(vecCol))))
+      .select(col(qidCol).as("query_id"),
+        explode(probeCells).as("cell"),
+        Embeddings.adcLut(col(vecCol), books, subDim).as("__lut")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("cand_id").asc)
+    cand.join(q, Seq("cell"))
+      .select(col("query_id"), col("cand_id"),
+        Embeddings.adcScore(col("__lut"), col("__codes"), m).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+  }
+
   /** One k-means refinement step for the IVF coarse quantizer: assign every
     * vector to its nearest centroid (by rounded cosine, ties to the lower
     * centroid id — the same assignment rule as [[ivfTopK]]), then return

@@ -190,4 +190,52 @@ class SimilaritySpec extends SparkSpec {
     sem.size.toDouble / exact.size.toDouble should be >= 0.3
     graft.core.CacheRegistry.drain()
   }
+
+  test("ivfPqTopK with nProbe = nCells equals pqTopK on the same codes") {
+    val e = graft.core.Tables.table(spark, sf0001, "embeddings")
+      .where($"embedding".isNotNull)
+    val queries = e.where($"vec_id" % 40 === 0)
+    val corpus = e.where($"vec_id" % 40 =!= 0)
+    val cb = Embeddings.pqTrain(e, "vec_id", "embedding", 64, 4, 8, 1)
+    val ivfpq = Similarity.ivfPqTopK(corpus, "vec_id", "embedding",
+        queries, "vec_id", cb, 64, 4, 5, 6, 6)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val codes = Embeddings.pqEncode(corpus, "vec_id", "embedding", cb, 64, 4)
+    val full = Embeddings.pqTopK(codes, "vec_id", "codes",
+        queries, "vec_id", "embedding", cb, 64, 4, 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    ivfpq shouldBe full
+    ivfpq.nonEmpty shouldBe true
+  }
+
+  test("ivfPqTopK pruning keeps per-query result shape and scores consistent") {
+    val e = graft.core.Tables.table(spark, sf0001, "embeddings")
+      .where($"embedding".isNotNull)
+    val queries = e.where($"vec_id" % 40 === 0)
+    val corpus = e.where($"vec_id" % 40 =!= 0)
+    val cb = Embeddings.pqTrain(e, "vec_id", "embedding", 64, 4, 8, 1)
+    val r = Similarity.ivfPqTopK(corpus, "vec_id", "embedding",
+        queries, "vec_id", cb, 64, 4, 5, 6, 2)
+      .as[(Long, Long, Double, Int)].collect()
+    r.nonEmpty shouldBe true
+    // ranks are 1..n per query, scores non-increasing in rank
+    r.groupBy(_._1).values.foreach { rows =>
+      val byRank = rows.sortBy(_._4)
+      byRank.map(_._4).toSeq shouldBe (1 to rows.length)
+      byRank.map(_._3).toSeq.sliding(2).foreach {
+        case Seq(a, b) => a should be >= b
+        case _         =>
+      }
+    }
+    // pruned candidates score identically where both rankings kept them:
+    // scores depend only on (query, codes), not on the probe set
+    val full = Embeddings.pqTopK(
+        Embeddings.pqEncode(corpus, "vec_id", "embedding", cb, 64, 4),
+        "vec_id", "codes", queries, "vec_id", "embedding", cb, 64, 4, 5)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    r.foreach { case (q, c, s, _) =>
+      full.get((q, c)).foreach(_ shouldBe s)
+    }
+  }
 }
