@@ -642,6 +642,12 @@ object SparkEntry {
         TextStats.bpeishTokenCount(col("text")).as("n_bpeish_tokens"))),
     "q30_fingerprints" -> ((s, dir) =>
       TextStats.fingerprints(t(s, dir, "documents"), "doc_id", "text")),
+    // character-entropy quality proxy (low = repeated filler, high =
+    // noise): one native-kernel pass, zero shuffle
+    "q119_char_entropy" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        round(graft.functions.TextFunctions.charEntropy(col("text")), 6)
+          .as("char_entropy"))),
     // token-budget mixture plan: whitespace token counts per source, a
     // 50/30/20 target mix over three sources, 1M-token budget — the
     // epochs column is the over-repetition signal mixture designers watch
@@ -2367,6 +2373,16 @@ object SparkEntry {
         |       ELSE list_min(list_transform(generate_series(1, length(text) - 7),
         |                     i -> md5(text[i:i+7]))) END AS min_gram_md5
         |FROM documents""".stripMargin,
+    // q119: grouped-sum formulation — a different summation ORDER than the
+    // kernel's code-point-ascending pass, identical at 6 dp (Σ of ≤ a few
+    // hundred log terms carries ~1e-15 relative error)
+    "q119_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+        |cc AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(n) AS tn FROM cc GROUP BY 1)
+        |SELECT cc.doc_id,
+        |  round(-sum((CAST(n AS DOUBLE) / tn) * log2(CAST(n AS DOUBLE) / tn)), 6) AS char_entropy
+        |FROM cc JOIN tot USING (doc_id) GROUP BY cc.doc_id""".stripMargin,
     "q31_multimodal_meta" ->
       """SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  md5(text) AS content_hash, 'text' AS kind

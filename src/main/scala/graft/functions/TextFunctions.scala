@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{AdjPairs, ColumnBridge, CoocPairs, HashEmbed, MinGramMd5, MinHashSig, SimHash16, SimHash64, WordShingles}
+import org.apache.spark.sql.graft.{AdjPairs, CharEntropy, ColumnBridge, CoocPairs, HashEmbed, MinGramMd5, MinHashSig, SimHash16, SimHash64, WordShingles}
 
 /** Column-level API over the native text expressions (implementation in
   * `org.apache.spark.sql.graft.TextExpressions`). */
@@ -33,6 +33,12 @@ object TextFunctions {
   /** Winnowing-style minimum over character 8-gram md5s, one pass per row. */
   def minGramMd5(text: Column): Column =
     ColumnBridge.column(MinGramMd5(ColumnBridge.expression(text)))
+
+  /** Shannon entropy (bits/char) over code points, one pass per row —
+    * the gibberish/compressibility quality proxy. Round to 6 dp for
+    * cross-engine comparison. */
+  def charEntropy(text: Column): Column =
+    ColumnBridge.column(CharEntropy(ColumnBridge.expression(text)))
 
   /** Sorted unordered ±window co-occurrence pairs, one pass per row (zero
     * shuffle); see [[graft.ops.Corpus.cooccurrence]] for the operator. */

@@ -124,6 +124,32 @@ object TextKernels {
     * variant: one 8-byte hash per token, no md5 string churn, zero shuffle.
     * Bit semantics match the explode+groupBy formulation bit-for-bit
     * (vote +1 when hash bit i is set, signature bit i = votes > 0). */
+  /** Shannon entropy (bits/char) over Unicode code points; summation runs
+    * code-point-ascending (TreeMap iteration), so the double result is
+    * deterministic for a given input. One pass, no token split. */
+  def charEntropy(text: UTF8String): Double = {
+    val s = text.toString
+    if (s.isEmpty) return 0.0
+    val counts = new java.util.TreeMap[Integer, Array[Long]]()
+    var i = 0
+    var n = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val slot = counts.get(cp)
+      if (slot == null) counts.put(cp, Array(1L)) else slot(0) += 1L
+      i += Character.charCount(cp)
+      n += 1L
+    }
+    var h = 0.0
+    val ln2 = math.log(2.0)
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next()(0).toDouble / n
+      h -= p * (math.log(p) / ln2)
+    }
+    h
+  }
+
   def simHash64(text: UTF8String): Long = {
     val toks = text.toString.split(" ", -1)
     val votes = new Array[Int](64)
@@ -254,6 +280,29 @@ object TextKernels {
 }
 
 /** `word_shingles(text, n)` → array<string> (see [[TextKernels.shingles]]). */
+/** `char_entropy(text)` → double: Shannon entropy in bits per character
+  * over the string's Unicode code points — the cheap gibberish /
+  * compressibility proxy quality filters cut on (low entropy = repeated
+  * filler, high ≈ log2(alphabet) = random noise). Counts accumulate in a
+  * TreeMap so the Σ runs in code-point-ascending order: deterministic
+  * within the engine, and within 1 ulp-sum of any other engine's grouped
+  * sum — round to 6 dp at the consumer for cross-engine comparison.
+  * Empty string → 0.0. */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "char_entropy"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.charEntropy(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.TextKernels.charEntropy($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}
+
 case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"

@@ -93,6 +93,43 @@ class TextFunctionsSpec extends SparkSpec {
       .count() shouldBe 0
   }
 
+  test("charEntropy: hand-computed values, unicode code points, empty edge") {
+    val df = Seq(
+      (1L, "aaaa"),      // one symbol -> 0 bits
+      (2L, "abab"),      // two equiprobable -> 1 bit
+      (3L, "abcd"),      // four equiprobable -> 2 bits
+      (4L, "aab"),       // 2/3, 1/3 -> 0.918296
+      (5L, "日本語"),     // three CJK code points, equiprobable -> log2(3)
+      (6L, "")           // empty -> 0 by definition
+    ).toDF("doc_id", "text")
+    val r = df.select($"doc_id",
+        round(graft.functions.TextFunctions.charEntropy($"text"), 6).as("h"))
+      .as[(Long, Double)].collect().toMap
+    r(1L) shouldBe 0.0
+    r(2L) shouldBe 1.0
+    r(3L) shouldBe 2.0
+    r(4L) shouldBe 0.918296
+    r(5L) shouldBe 1.584963
+    r(6L) shouldBe 0.0
+  }
+
+  test("charEntropy kernel equals the explode/groupBy formulation on real documents") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    val kernel = docs.select($"doc_id",
+        round(graft.functions.TextFunctions.charEntropy($"text"), 6).as("h"))
+      .as[(Long, Double)].collect().toMap
+    val agg = docs
+      .select($"doc_id", explode(split($"text", "")).as("c"))
+      .groupBy($"doc_id", $"c").count()
+      .withColumn("tn", sum($"count").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")))
+      .groupBy($"doc_id")
+      .agg(round(-sum(($"count" / $"tn") * log(2.0, $"count" / $"tn")), 6).as("h"))
+      .as[(Long, Double)].collect().toMap
+    kernel shouldBe agg
+    kernel.size should be > 0
+  }
+
   test("text kernels are callable from SQL") {
     Seq((1L, "the quick brown fox jumps over the lazy dog"))
       .toDF("doc_id", "text").createOrReplaceTempView("sql_kernel_docs")
