@@ -1389,6 +1389,13 @@ object SparkEntry {
     "q105_source_overlap_kmv" -> ((s, dir) =>
       graft.ops.Sketches.sourceOverlapKmv(
         graft.core.Tables.table(s, dir, "documents"), "source", "text", 3, 256)),
+    // Misra–Gries per-source top terms: the bounded-shuffle frequency twin
+    // of the exact vocabulary (q58) — summary content is partitioning-
+    // dependent by nature, so no SQL oracle; SketchesSpec pins the
+    // presence + undercount guarantees against exact counts
+    "q120_heavy_hitters_mg" -> ((s, dir) =>
+      graft.ops.Sketches.topTermsApprox(
+        graft.core.Tables.table(s, dir, "documents"), Seq("source"), "text", 100)),
     "q90_stream_sessionize" -> ((s, dir) => {
       import s.implicits._
       import graft.streaming.EventStream

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{ColumnBridge, KmvSketchAgg, LongMinKAgg}
+import org.apache.spark.sql.graft.{ColumnBridge, KmvSketchAgg, LongMinKAgg, MisraGriesAgg}
 
 /** Column-level API over the native sketch aggregates (implementation in
   * `org.apache.spark.sql.graft.SketchAggregates`). */
@@ -22,4 +22,12 @@ object SketchFunctions {
   def minKLong(v: Column, k: Int): Column =
     ColumnBridge.column(
       LongMinKAgg(ColumnBridge.expression(v), k).toAggregateExpression())
+
+  /** Misra–Gries heavy hitters: ≤ k (item, est_count) counters per group,
+    * est_count-desc — every item with true count > N/(k+1) guaranteed
+    * present, undercount ≤ N/(k+1), mergeable (see
+    * [[org.apache.spark.sql.graft.MisraGriesAgg]]). */
+  def misraGries(item: Column, k: Int): Column =
+    ColumnBridge.column(
+      MisraGriesAgg(ColumnBridge.expression(item), k).toAggregateExpression())
 }

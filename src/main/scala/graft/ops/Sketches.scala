@@ -131,4 +131,28 @@ object Sketches {
         round(jac, 2).as("est_jaccard"),
         round(containment, 2).as("est_containment"))
   }
+
+  /** Approximate top terms per group by Misra–Gries heavy hitters: ≤ `k`
+    * (term, est_count) rows per group, descending. The frequency twin of
+    * [[graft.ops.Corpus.vocabulary]]: the exact path's hash-agg shuffles
+    * every distinct term (a 100 TB crawl has billions); this shuffles ≤ k
+    * counters per group — the summary merges map-side like every sketch
+    * here. Guarantees (any run, any partitioning): a term with true count
+    * > N/(k+1) is present; est ≤ true ≤ est + N/(k+1). The TAIL of the
+    * summary is order-dependent (inherent to MG) — size k so the bound
+    * N/(k+1) sits below the counts you care about, and treat entries near
+    * the bound as candidates, not rankings. No oracle by design (the
+    * summary content is partitioning-dependent); guarantees are
+    * spec-pinned against exact counts ([[SketchesSpec]]). */
+  def topTermsApprox(df: DataFrame, groupCols: Seq[String], textCol: String,
+                     k: Int): DataFrame = {
+    import graft.functions.SketchFunctions.misraGries
+    val tok = df.select(groupCols.map(col) :+
+      explode(graft.ops.Dedup.tokens(col(textCol))).as("__term"): _*)
+    tok.groupBy(groupCols.map(col): _*)
+      .agg(misraGries(col("__term"), k).as("__mg"))
+      .select(groupCols.map(col) :+ explode(col("__mg")).as("__e"): _*)
+      .select(groupCols.map(col) :+ col("__e.item").as("term")
+        :+ col("__e.est_count").as("est_count"): _*)
+  }
 }

@@ -183,3 +183,151 @@ case class LongMinKAgg(
   override protected def withNewChildInternal(newChild: Expression): LongMinKAgg =
     copy(child = newChild)
 }
+
+/** Misra–Gries heavy-hitters summary (Misra & Gries 1982): at most `k`
+  * (item, count) counters per group, as `array<struct<item, est_count>>`
+  * sorted by est_count DESC then item ASC.
+  *
+  * The deterministic frequency sketch completing the mergeable-summary
+  * family (HLL → distinct count, KMV → intersections, approx_percentile →
+  * quantiles, THIS → frequent items): every item with true count
+  * > N/(k+1) is GUARANTEED present, and every estimate undercounts by at
+  * most N/(k+1) (est ≤ true ≤ est + N/(k+1)). That bound survives merging
+  * (Agarwal et al. 2012, "Mergeable Summaries": sum matching counters,
+  * then subtract the (k+1)-th largest count and drop non-positives), so
+  * partial aggregation stays map-side and the shuffle carries ≤ k
+  * counters per group — where the exact vocabulary/term-stats path
+  * shuffles every distinct term. Use it for top-terms dashboards and
+  * stopword discovery at corpus scale; use [[graft.ops.Corpus]] when
+  * exact counts are worth the full hash-agg.
+  *
+  * The summary content depends on encounter order (inherent to MG), so
+  * two runs may report different TAILS; the guarantee above holds for
+  * every run. NULL inputs are ignored; empty groups evaluate to an empty
+  * array. Update is O(1) amortized via the shared-decrement offset trick
+  * (decrementing all k counters = raising the buffer's offset). */
+case class MisraGriesAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.HashMap[String, Array[Long]]]
+  with ImplicitCastInputTypes with UnaryLike[Expression] {
+
+  require(k >= 1, s"misra_gries: need k >= 1, got $k")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("item", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("est_count",
+        org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "misra_gries"
+
+  override def createAggregationBuffer(): java.util.HashMap[String, Array[Long]] =
+    new java.util.HashMap[String, Array[Long]]()
+
+  /** Decrement-all = evict zero-weight counters explicitly (k is small:
+    * the O(k) sweep amortizes over the k increments that preceded it). */
+  private def decrementAll(buf: java.util.HashMap[String, Array[Long]]): Unit = {
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      e.getValue()(0) -= 1L
+      if (e.getValue()(0) <= 0L) it.remove()
+    }
+  }
+
+  private def offer(buf: java.util.HashMap[String, Array[Long]],
+                    item: String, by: Long): Unit = {
+    val slot = buf.get(item)
+    if (slot != null) slot(0) += by
+    else if (buf.size < k) buf.put(item, Array(by))
+    else {
+      // absorb the new item against the decrement pool: `by` copies of
+      // (insert-then-decrement-all). net: survivors lose min(by, their
+      // count); the new item keeps whatever exceeds the smallest counter
+      var remaining = by
+      while (remaining > 0L && buf.size >= k) {
+        var minC = Long.MaxValue
+        val it = buf.values().iterator()
+        while (it.hasNext) { val c = it.next()(0); if (c < minC) minC = c }
+        val step = math.min(remaining, minC)
+        val it2 = buf.entrySet().iterator()
+        while (it2.hasNext) {
+          val e = it2.next()
+          e.getValue()(0) -= step
+          if (e.getValue()(0) <= 0L) it2.remove()
+        }
+        remaining -= step
+      }
+      if (remaining > 0L) buf.put(item, Array(remaining))
+    }
+  }
+
+  override def update(buf: java.util.HashMap[String, Array[Long]],
+                      input: InternalRow): java.util.HashMap[String, Array[Long]] = {
+    val v = child.eval(input)
+    if (v != null) offer(buf, v.asInstanceOf[UTF8String].toString, 1L)
+    buf
+  }
+
+  override def merge(a: java.util.HashMap[String, Array[Long]],
+                     b: java.util.HashMap[String, Array[Long]]): java.util.HashMap[String, Array[Long]] = {
+    // Agarwal et al. merge: sum matching counters (offer handles both the
+    // match and the evict-by-decrement when a overflows k)
+    val it = b.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      offer(a, e.getKey, e.getValue()(0))
+    }
+    a
+  }
+
+  override def eval(buf: java.util.HashMap[String, Array[Long]]): Any = {
+    val entries = new Array[(String, Long)](buf.size)
+    val it = buf.entrySet().iterator()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      entries(i) = (e.getKey, e.getValue()(0))
+      i += 1
+    }
+    val sorted = entries.sortBy(t => (-t._2, t._1))
+    new GenericArrayData(sorted.map { case (s, c) =>
+      InternalRow(UTF8String.fromString(s), c): Any
+    })
+  }
+
+  override def serialize(buf: java.util.HashMap[String, Array[Long]]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out.writeUTF(e.getKey)
+      out.writeLong(e.getValue()(0))
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, Array[Long]] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new java.util.HashMap[String, Array[Long]]()
+    var i = 0
+    while (i < n) { buf.put(in.readUTF(), Array(in.readLong())); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGriesAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGriesAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MisraGriesAgg =
+    copy(child = newChild)
+}

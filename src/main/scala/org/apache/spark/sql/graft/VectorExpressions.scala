@@ -119,6 +119,8 @@ object GraftFunctions {
         FloatVectorWeightedSumAgg(c(0), c(1))),
       fn("kmv_sketch", classOf[KmvSketchAgg])(c =>
         KmvSketchAgg(c(0), intLit(c(1), "kmv_sketch"))),
+      fn("misra_gries", classOf[MisraGriesAgg])(c =>
+        MisraGriesAgg(c(0), intLit(c(1), "misra_gries"))),
       fn("min_k_long", classOf[LongMinKAgg])(c =>
         LongMinKAgg(c(0), intLit(c(1), "min_k_long"))))
 

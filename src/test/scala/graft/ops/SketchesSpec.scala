@@ -101,4 +101,53 @@ class SketchesSpec extends SparkSpec {
     spark.sql("SELECT kmv_sketch(md5(v), 2) AS s FROM kmv_in")
       .as[Seq[String]].head().size shouldBe 2
   }
+
+  test("misraGries: hand-traced decrement on a single partition") {
+    // order a,a,a,b,b,c with k=2: a:3,b:2 then c evicts 1 from each and
+    // dies -> [(a,2),(b,1)]
+    val df = Seq("a", "a", "a", "b", "b", "c").map(Tuple1(_)).toDF("t")
+      .repartition(1)
+    val r = df.agg(graft.functions.SketchFunctions.misraGries($"t", 2).as("mg"))
+      .select(explode($"mg").as("e")).select($"e.item", $"e.est_count")
+      .as[(String, Long)].collect().toList
+    r shouldBe List(("a", 2L), ("b", 1L))
+  }
+
+  test("misraGries guarantees hold vs exact counts on real tokens, any partitioning") {
+    val docs = graft.core.Tables.table(spark, sf0001, "documents")
+    val toks = docs.select(explode(Dedup.tokens($"text")).as("t"))
+    val exact = toks.groupBy("t").count().as[(String, Long)].collect().toMap
+    val n = exact.values.sum
+    val k = 50
+    val bound = n / (k + 1) // integer floor is fine: true > N/(k+1) uses it
+    for (parts <- Seq(1, 7)) {
+      val mg = Sketches.topTermsApprox(
+          docs.repartition(parts), Seq.empty, "text", k)
+        .as[(String, Long)].collect().toMap
+      mg.size should be <= k
+      // every guaranteed-heavy term is present
+      exact.filter(_._2 > bound).keys.foreach { t =>
+        withClue(s"parts=$parts heavy term $t missing: ") {
+          mg.contains(t) shouldBe true
+        }
+      }
+      // estimates undercount by at most N/(k+1)
+      mg.foreach { case (t, est) =>
+        val tru = exact.getOrElse(t, 0L)
+        est should be <= tru
+        (tru - est) should be <= bound
+      }
+    }
+  }
+
+  test("misraGries is callable from SQL and groups independently") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    Seq(("g1", "x"), ("g1", "x"), ("g1", "y"), ("g2", "z"))
+      .toDF("g", "v").createOrReplaceTempView("mg_in")
+    val r = spark.sql(
+      """SELECT g, misra_gries(v, 2) AS mg FROM mg_in GROUP BY g""")
+      .select($"g", $"mg".getItem(0).getField("item").as("top"))
+      .as[(String, String)].collect().toMap
+    r shouldBe Map("g1" -> "x", "g2" -> "z")
+  }
 }
