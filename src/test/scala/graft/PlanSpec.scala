@@ -318,6 +318,48 @@ class PlanSpec extends SparkSpec {
     plan should include("partial_max")
   }
 
+  test("PQ encode is one scan-stage pass against literal codebooks (q116)") {
+    val emb = Tables.table(spark, sf0001, "embeddings")
+    val cb = graft.ops.Embeddings.pqTrain(emb, "vec_id", "embedding", 64, 2, 8, 1)
+    val df = graft.ops.Embeddings.pqEncode(emb, "vec_id", "embedding", cb, 64, 2)
+    val plan = planOf(df)
+    // the codebook rides as literals: no join, no exchange, one scan —
+    // the corpus is encoded in the pass that reads it
+    plan should not include "Join"
+    plan should not include "Exchange"
+    "Scan parquet".r.findAllIn(plan).size shouldBe 1
+  }
+
+  test("IVF-PQ probes via a broadcast cell join; candidates never reload vectors (q118)") {
+    val emb = Tables.table(spark, sf0001, "embeddings")
+    val cb = graft.ops.Embeddings.pqTrain(emb, "vec_id", "embedding", 64, 2, 8, 1)
+    val df = graft.ops.Similarity.ivfPqTopK(
+      emb.where(col("vec_id") % 50 =!= 0), "vec_id", "embedding",
+      emb.where(col("vec_id") % 50 === 0), "vec_id", cb, 64, 2, 10, 8, 2)
+    df.collect()
+    val plan = planOf(df).split("== Initial Plan ==")(0)
+    // cell assignment and probing are scan-stage argmax expressions, so the
+    // only join is the broadcast probe join on the cell key — never a
+    // cartesian, never a shuffled join
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("repeated-span detection: grams generated scan-stage, one df hash-agg (q114)") {
+    val df = graft.ops.Dedup.repeatedSpans(
+      Tables.table(spark, sf0001, "documents").select("doc_id", "text"),
+      "doc_id", "text", 3)
+    val plan = planOf(df)
+    // positional grams come from Generate over the scan (no positional
+    // self-join), and the duplicate filter is a semi-join on the gram key
+    plan should include("Generate")
+    plan should not include "CartesianProduct"
+    plan should include("LeftSemi")
+    graft.core.CacheRegistry.drain()
+  }
+
   test("queries stay inside whole-stage codegen (q01)") {
     // AQE hides the physical plan until execution — and count() runs a
     // CLONED QueryExecution, so collect() this one, then read the final plan
