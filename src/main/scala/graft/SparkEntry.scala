@@ -237,6 +237,22 @@ object SparkEntry {
       graft.ops.Embeddings.pqEncode(emb, "vec_id", "embedding", cb, 64, 2)
         .select(col("vec_id"), posexplode(col("codes")).as(Seq("subspace", "code")))
     }),
+    // sign-bit binary codes: 64 dims packed into two 32-bit words (32×
+    // smaller than floats); exploded to (vec_id, word, code) rows
+    "q121_binarize" -> ((s, dir) =>
+      graft.ops.Embeddings.binarize(t(s, dir, "embeddings"), "vec_id", "embedding", 64)
+        .select(col("vec_id"), posexplode(col("code")).as(Seq("word", "code")))),
+    // Hamming top-10 over the binary codes — all-integer distance, exact
+    // on any engine; float vectors never load at query time
+    "q122_hamming_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val codes = graft.ops.Embeddings.binarize(
+        emb.where(col("vec_id") % 50 =!= 0), "vec_id", "embedding", 64)
+      val qcodes = graft.ops.Embeddings.binarize(
+        emb.where(col("vec_id") % 50 === 0), "vec_id", "embedding", 64)
+      graft.ops.Embeddings.hammingTopK(codes, "vec_id", "code",
+        qcodes, "vec_id", "code", 2, 10)
+    }),
     // IVF-PQ: coarse cells prune candidates (probe 2 of 8), ADC ranks the
     // survivors — the composition production ANN indexes run
     "q118_ivfpq_topk" -> ((s, dir) => {
@@ -1216,6 +1232,42 @@ object SparkEntry {
        |FROM sc
        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id ASC) <= 10""".stripMargin
 
+  /** q121/q122 oracle building block: the two 32-bit sign words of a
+    * 64-dim embedding, as flat CASE-sum bit terms (disjoint bits: + == OR;
+    * 32-bit words keep every value positive, no sign-bit shift). */
+  private def signWordSql(w: Int): String =
+    (0 until 32).map(b =>
+      s"(CASE WHEN embedding[${w * 32 + b + 1}] >= 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+
+  /** q121 oracle: both packed words per vector, exploded like posexplode. */
+  private def binarizeSql: String =
+    s"""WITH b AS (
+       |  SELECT vec_id, CAST(${signWordSql(0)} AS BIGINT) AS c0,
+       |    CAST(${signWordSql(1)} AS BIGINT) AS c1
+       |  FROM embeddings WHERE embedding IS NOT NULL)
+       |SELECT vec_id, CAST(0 AS INTEGER) AS word, c0 AS code FROM b
+       |UNION ALL
+       |SELECT vec_id, CAST(1 AS INTEGER) AS word, c1 AS code FROM b""".stripMargin
+
+  /** q122 oracle: all-integer Hamming ranking — xor + bit_count per word,
+    * ties to the lower candidate id. */
+  private def hammingTopKSql: String =
+    s"""WITH b AS (
+       |  SELECT vec_id, CAST(${signWordSql(0)} AS BIGINT) AS c0,
+       |    CAST(${signWordSql(1)} AS BIGINT) AS c1
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |q AS (SELECT * FROM b WHERE vec_id % 50 = 0),
+       |c AS (SELECT * FROM b WHERE vec_id % 50 <> 0),
+       |sc AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    CAST(bit_count(xor(q.c0, c.c0)) + bit_count(xor(q.c1, c.c1)) AS BIGINT) AS hamming
+       |  FROM q CROSS JOIN c)
+       |SELECT query_id, cand_id, hamming,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY hamming ASC, cand_id ASC) AS INTEGER) AS rank
+       |FROM sc
+       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY hamming ASC, cand_id ASC) <= 10""".stripMargin
+
   /** q117 oracle: ADC scoring — per-subspace LUT entries rounded at 6 dp
     * exactly like the Spark lut, summed in subspace order, re-rounded. */
   private def pqTopKSql: String =
@@ -1787,6 +1839,8 @@ object SparkEntry {
     "q116_pq_encode" -> pqEncodeSql,
     "q117_pq_topk" -> pqTopKSql,
     "q118_ivfpq_topk" -> ivfPqTopKSql,
+    "q121_binarize" -> binarizeSql,
+    "q122_hamming_topk" -> hammingTopKSql,
     "q66_quantize_int8" ->
       """WITH s AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv,

@@ -388,6 +388,58 @@ object Embeddings {
       element_at(element_at(lut, j + 1), element_at(codes, j + 1) + 1))
       .reduce(_ + _), 6)
 
+  // ---- binary (sign) codes + Hamming ANN ----
+
+  /** Sign-bit binarization: dimension `i` contributes bit `i mod 32` of
+    * word `i / 32` when the element is ≥ 0 — a `dim`-bit code packed into
+    * `ceil(dim/32)` BIGINT words (32 bits per word so every value stays
+    * positive: portable to engines whose `<<` on the sign bit is
+    * undefined). 32× smaller than float vectors and 8× smaller than int8;
+    * with random-hyperplane-rotated inputs, Hamming distance between
+    * codes estimates angle (Charikar 2002) — here the identity rotation
+    * keeps it engine-exact and deterministic. Scan-stage, zero shuffle.
+    * Returns (id, code: array<bigint>). */
+  def binarize(emb: DataFrame, idCol: String, vecCol: String, dim: Int): DataFrame = {
+    require(dim >= 1, s"binarize: need dim >= 1, got $dim")
+    val words = (dim + 31) / 32
+    val code = array((0 until words).map { w =>
+      val bits = math.min(32, dim - w * 32)
+      (0 until bits).map { b =>
+        when(element_at(col(vecCol), w * 32 + b + 1) >= 0f,
+          lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)  // disjoint bits: + == OR
+    }: _*)
+    emb.where(col(vecCol).isNotNull)
+      .select(col(idCol), code.as("code"))
+  }
+
+  /** Exact-integer Hamming top-k over [[binarize]] codes: distance =
+    * Σ popcount(xor(word)) across the words of the two codes — all
+    * integer arithmetic, so ranking (ties to the lower candidate id) is
+    * EXACT on every engine, no rounding device needed. Queries broadcast
+    * with their own codes; the per-candidate cost is `words` xor+popcount
+    * ops against the codes column (the float vectors never load). Returns
+    * (query_id, cand_id, hamming, rank). */
+  def hammingTopK(codes: DataFrame, idCol: String, codeCol: String,
+                  queries: DataFrame, qidCol: String, qcodeCol: String,
+                  words: Int, topK: Int): DataFrame = {
+    require(topK >= 1 && words >= 1,
+      s"hammingTopK: need topK >= 1, words >= 1; got topK=$topK words=$words")
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries
+      .select(col(qidCol).as("query_id"), col(qcodeCol).as("__qcode")))
+    val dist = (0 until words).map(w =>
+      bit_count(element_at(col(codeCol), w + 1)
+        .bitwiseXOR(element_at(col("__qcode"), w + 1))))
+      .reduce(_ + _).cast("long")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("hamming").asc, col("cand_id").asc)
+    codes.crossJoin(q)
+      .select(col("query_id"), col(idCol).as("cand_id"), dist.as("hamming"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+  }
+
   /** Aggregation formulation of [[hashEmbed]] — shuffles O(tokens); the
     * per-group integer sums equal the kernel's per-row sums exactly
     * (integer addition is order-free), which the spec pins. */

@@ -220,6 +220,57 @@ class EmbeddingsSpec extends SparkSpec {
     mean should be > 0.25
   }
 
+  test("binarize packs sign bits into 32-bit words, dimension i -> bit i mod 32") {
+    // 40 dims: word 0 = bits 0..31, word 1 = bits 0..7
+    val v = Array.tabulate(40)(i => if (i == 0 || i == 33 || i == 39) 1.0f else -1.0f)
+    val z = Array.fill(40)(0.0f) // zero is >= 0: all bits set
+    val df = Seq((1L, v.toSeq), (2L, z.toSeq)).toDF("vec_id", "embedding")
+    val r = Embeddings.binarize(df, "vec_id", "embedding", 40)
+      .as[(Long, Array[Long])].collect().toMap
+    r(1L) shouldBe Array(1L, (1L << 1) | (1L << 7))
+    r(2L) shouldBe Array(0xFFFFFFFFL, 0xFFL)
+  }
+
+  test("hammingTopK ranks by exact popcount distance with id ties") {
+    val codes = Seq(
+      (10L, Seq(0x0FL, 0L)),   // vs query 0x0F,0 -> 0
+      (20L, Seq(0x0EL, 0L)),   // -> 1
+      (30L, Seq(0x0FL, 3L)),   // -> 2
+      (40L, Seq(0x0EL, 1L))    // -> 2 (ties with 30 -> id order)
+    ).toDF("vec_id", "code")
+    val q = Seq((1L, Seq(0x0FL, 0L))).toDF("vec_id", "code")
+    val r = Embeddings.hammingTopK(codes, "vec_id", "code", q, "vec_id", "code", 2, 4)
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4)
+    r shouldBe Array(
+      (1L, 10L, 0L, 1), (1L, 20L, 1L, 2), (1L, 30L, 2L, 3), (1L, 40L, 2L, 4))
+  }
+
+  test("hamming neighbors approximate cosine neighbors on real vectors") {
+    val emb = graft.core.Tables.table(spark, sf0001, "embeddings")
+      .where($"embedding".isNotNull)
+    val queries = emb.where($"vec_id" % 40 === 0)
+    val corpus = emb.where($"vec_id" % 40 =!= 0)
+    val qc = Embeddings.binarize(queries, "vec_id", "embedding", 64)
+    val cc = Embeddings.binarize(corpus, "vec_id", "embedding", 64)
+    val approx = Embeddings.hammingTopK(cc, "vec_id", "code", qc, "vec_id", "code", 2, 10)
+      .select($"query_id", $"cand_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    import graft.functions.VectorFunctions.{dotF, normF}
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy($"cos".desc, $"cand_id".asc)
+    val exact = queries.select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      .crossJoin(corpus.select($"vec_id".as("cand_id"), $"embedding".as("cv")))
+      .select($"query_id", $"cand_id",
+        (dotF($"qv", $"cv") / (normF($"qv") * normF($"cv"))).as("cos"))
+      .withColumn("r", row_number().over(w)).where($"r" <= 10)
+      .select($"query_id", $"cand_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.keys.toSeq.map(q =>
+      (approx.getOrElse(q, Set.empty) & exact(q)).size / 10.0)
+    // 64 sign bits on 64 dims: well above the ~10/800 chance floor
+    (recalls.sum / recalls.size) should be > 0.15
+  }
+
   private implicit class TripleOps(rows: Array[(Long, Double, Array[Int])]) {
     def toMap2: Map[Long, (Double, Array[Int])] =
       rows.map { case (id, s, q) => id -> (s, q) }.toMap
