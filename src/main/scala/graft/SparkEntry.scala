@@ -480,6 +480,11 @@ object SparkEntry {
     "q86_bm25" -> ((s, dir) =>
       graft.ops.Corpus.bm25(t(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "table", "agg"), 1.5, 0.75, 50)),
+    // hybrid retrieval: BM25 lexical ranks fused with hash-embedding
+    // cosine ranks by RRF — rank-only fusion, engine-exact
+    "q123_hybrid_rrf" -> ((s, dir) =>
+      graft.ops.Corpus.hybridRrf(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "table", "agg"), 16, 100, 60, 50)),
     // join-key skew profile + salt-factor recommendation on the orders fact
     "q87_skew_profile" -> ((s, dir) =>
       graft.ops.Joins.skewProfile(t(s, dir, "orders"), "o_custkey", 10, 50)),
@@ -1232,6 +1237,65 @@ object SparkEntry {
        |FROM sc
        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id ASC) <= 10""".stripMargin
 
+  /** q123 oracle: the q86 BM25 body and the q85 hash-embed body, each
+    * ranked and cut to 100, fused by `Σ 1/(60 + rank)` — the query's own
+    * hash vector built from a VALUES list with the same nibble
+    * arithmetic. */
+  private def hybridRrfSql: String = {
+    val nib9q = "(strpos('0123456789abcdef', substr(md5(CAST(tok AS VARCHAR)), 9, 1)) - 1)"
+    s"""WITH dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |            FROM documents),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |          CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+       |qt AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+       |         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+       |       WHERE term IN ('spark', 'table', 'agg') GROUP BY 1, 2),
+       |dfd AS (SELECT term, CAST(count(*) AS BIGINT) AS df_docs FROM qt GROUP BY 1),
+       |sc AS (SELECT q.doc_id, q.term,
+       |        ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_docs AS DOUBLE) + 0.5)
+       |          / (CAST(df_docs AS DOUBLE) + 0.5))
+       |         * (CAST(tf AS DOUBLE) * 2.5)
+       |         / (CAST(tf AS DOUBLE) + 1.5 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS s
+       |      FROM qt q JOIN dfd USING (term) JOIN dl USING (doc_id) CROSS JOIN tot),
+       |ag AS (SELECT doc_id,
+       |        sum(CASE WHEN term = 'spark' THEN s END) AS s0,
+       |        sum(CASE WHEN term = 'table' THEN s END) AS s1,
+       |        sum(CASE WHEN term = 'agg' THEN s END) AS s2
+       |      FROM sc GROUP BY 1),
+       |lex AS (SELECT doc_id, round(coalesce(s0, 0) + coalesce(s1, 0) + coalesce(s2, 0), 6) AS bm25
+       |        FROM ag ORDER BY bm25 DESC, doc_id LIMIT 100),
+       |lrank AS (SELECT doc_id,
+       |    row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r_lex FROM lex),
+       |dtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |dv AS (SELECT doc_id, CAST(${md5ModSql("tok", 16)} AS INTEGER) AS dim,
+       |         CAST(sum(($nib9q % 2) * 2 - 1) AS BIGINT) AS val
+       |       FROM dtok GROUP BY 1, 2 HAVING sum(($nib9q % 2) * 2 - 1) <> 0),
+       |qtok AS (SELECT unnest(['spark', 'table', 'agg']) AS tok),
+       |qv AS (SELECT CAST(${md5ModSql("tok", 16)} AS INTEGER) AS dim,
+       |         CAST(sum(($nib9q % 2) * 2 - 1) AS BIGINT) AS qval
+       |       FROM qtok GROUP BY 1 HAVING sum(($nib9q % 2) * 2 - 1) <> 0),
+       |qn AS (SELECT sqrt(CAST(sum(qval * qval) AS DOUBLE)) AS qnorm FROM qv),
+       |dn AS (SELECT doc_id, CAST(sum(val * val) AS BIGINT) AS n2 FROM dv GROUP BY 1),
+       |dd AS (SELECT dv.doc_id, CAST(sum(dv.val * qv.qval) AS BIGINT) AS dot
+       |       FROM dv JOIN qv USING (dim) GROUP BY 1),
+       |cosd AS (SELECT dn.doc_id,
+       |    round(CAST(coalesce(dd.dot, 0) AS DOUBLE)
+       |      / (sqrt(CAST(dn.n2 AS DOUBLE)) * qn.qnorm), 6) AS cos
+       |  FROM dn LEFT JOIN dd USING (doc_id) CROSS JOIN qn),
+       |vcut AS (SELECT doc_id, cos FROM cosd ORDER BY cos DESC, doc_id LIMIT 100),
+       |vrank AS (SELECT doc_id,
+       |    row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS r_vec FROM vcut),
+       |fused AS (
+       |  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+       |    round(coalesce(1.0 / (60 + l.r_lex), 0)
+       |        + coalesce(1.0 / (60 + v.r_vec), 0), 6) AS rrf
+       |  FROM lrank l FULL OUTER JOIN vrank v ON l.doc_id = v.doc_id)
+       |SELECT doc_id, rrf,
+       |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS INTEGER) AS rank
+       |FROM fused
+       |QUALIFY row_number() OVER (ORDER BY rrf DESC, doc_id ASC) <= 50""".stripMargin
+  }
+
   /** q121/q122 oracle building block: the two 32-bit sign words of a
     * 64-dim embedding, as flat CASE-sum bit terms (disjoint bits: + == OR;
     * 32-bit words keep every value positive, no sign-bit shift). */
@@ -1841,6 +1905,7 @@ object SparkEntry {
     "q118_ivfpq_topk" -> ivfPqTopKSql,
     "q121_binarize" -> binarizeSql,
     "q122_hamming_topk" -> hammingTopKSql,
+    "q123_hybrid_rrf" -> hybridRrfSql,
     "q66_quantize_int8" ->
       """WITH s AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv,

@@ -305,6 +305,68 @@ object Corpus {
       .limit(topK)
   }
 
+  /** Hybrid retrieval by reciprocal-rank fusion (Cormack et al. 2009):
+    * fuse the [[bm25]] lexical ranking with a dense-ish ranking — cosine
+    * between each document's [[Embeddings.hashEmbed]] vector and the SAME
+    * hash-embedding of the query string — via
+    * `Σ 1 / (rrfK + rank)` over the two top-`listK` lists. RRF needs only
+    * RANKS, so fusing survives the two scorers living on incomparable
+    * scales — which is exactly why production retrieval stacks use it to
+    * combine lexical and vector legs. Docs on one list only get that
+    * leg's term (standard RRF). Returns (id, rrf 6 dp, rank ≤ topK).
+    *
+    * Engine-exact: ranks are integers; each term is `1.0 / (rrfK + r)` —
+    * one IEEE division — and the two terms add in fixed (lexical, vector)
+    * order. The vector leg's cosine is integer-dot / (sqrt(int)·sqrt(int)),
+    * rounded at 6 dp, so the rank lists themselves reproduce anywhere.
+    *
+    * Scale shape: the lexical leg is [[bm25]] (one scan + broadcast side
+    * inputs); the vector leg is the one-pass `hash_embed` kernel scan,
+    * one (doc, dim)-collapse hash-agg, and a TakeOrdered heap cut to
+    * `listK` — a full sort never happens; the fusion join touches two
+    * ≤ listK row lists. A corpus whose query-relevant slice exceeds
+    * `listK` needs a bigger `listK`, not a different shape. */
+  def hybridRrf(df: DataFrame, idCol: String, textCol: String,
+                query: Seq[String], d: Int, listK: Int, rrfK: Int,
+                topK: Int): DataFrame = {
+    require(listK >= 1 && rrfK >= 1 && topK >= 1,
+      s"hybridRrf: need listK/rrfK/topK >= 1; got listK=$listK rrfK=$rrfK topK=$topK")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.TextKernels
+    // the query embeds driver-side through the SAME kernel the docs use
+    val qarr = TextKernels.hashEmbed(
+      org.apache.spark.unsafe.types.UTF8String.fromString(query.mkString(" ")), d)
+    val qvec = (0 until d).map(qarr.getLong).toArray
+    val qnorm = math.sqrt(qvec.map(v => (v * v).toDouble).sum)
+    require(qnorm > 0,
+      s"hybridRrf: query terms ${query.mkString("'", "', '", "'")} hash-cancel to the zero vector")
+    // lexical leg: bm25's TakeOrdered cut, then ranks over <= listK rows
+    val wl = Window.orderBy(col("bm25").desc, col(idCol).asc)
+    val lexRank = bm25(df, idCol, textCol, query, 1.5, 0.75, listK)
+      .select(col(idCol), row_number().over(wl).as("r_lex"))
+    // vector leg: sparse hash-embed rows against the literal query vector
+    val qlit = typedLit(qvec.toIndexedSeq)
+    val cosd = Embeddings.hashEmbed(df, idCol, textCol, d)
+      .withColumn("__q", element_at(qlit, col("dim") + 1))
+      .groupBy(col(idCol))
+      .agg(sum(col("val") * col("__q")).as("__dot"),
+        sum(col("val") * col("val")).as("__n2"))
+      .select(col(idCol),
+        round(col("__dot").cast("double")
+          / (sqrt(col("__n2").cast("double")) * lit(qnorm)), 6).as("cos"))
+    val wv = Window.orderBy(col("cos").desc, col(idCol).asc)
+    val vecRank = cosd.orderBy(col("cos").desc, col(idCol)).limit(listK)
+      .select(col(idCol), row_number().over(wv).as("r_vec"))
+    val rrf = round(
+      coalesce(lit(1.0) / (lit(rrfK).cast("double") + col("r_lex")), lit(0.0))
+        + coalesce(lit(1.0) / (lit(rrfK).cast("double") + col("r_vec")), lit(0.0)), 6)
+    val wf = Window.orderBy(col("rrf").desc, col(idCol).asc)
+    lexRank.join(vecRank, Seq(idCol), "full_outer")
+      .select(col(idCol), rrf.as("rrf"))
+      .withColumn("rank", row_number().over(wf))
+      .where(col("rank") <= topK)
+  }
+
   /** Per-document top-`k` terms by TF-IDF. The idf is the RAW ratio
     * `n_docs / df` (no logarithm): ln() is libm-dependent and not
     * bit-identical across engines, while IEEE division is — so the score

@@ -143,6 +143,42 @@ class CorpusSpec extends SparkSpec {
     r shouldBe Set(("x", 3L, 1L, 2L), ("x", 3L, 2L, 5L), ("y", 1L, 1L, 5L))
   }
 
+  test("hybridRrf equals RRF recomputed from the two component rankings") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.table(spark, sf0001, "documents")
+    val query = Seq("spark", "table", "agg")
+    val (d, listK, rrfK, topK) = (16, 100, 60, 50)
+    val got = Corpus.hybridRrf(docs, "doc_id", "text", query, d, listK, rrfK, topK)
+      .as[(Long, Double, Int)].collect()
+    // component rankings via the same public operators, fused driver-side
+    val lex = Corpus.bm25(docs, "doc_id", "text", query, 1.5, 0.75, listK)
+      .as[(Long, Double)].collect()
+      .sortBy { case (id, s) => (-s, id) }.map(_._1).zipWithIndex
+      .map { case (id, i) => id -> (i + 1) }.toMap
+    val qarr = org.apache.spark.sql.graft.TextKernels.hashEmbed(
+      org.apache.spark.unsafe.types.UTF8String.fromString(query.mkString(" ")), d)
+    val qvec = (0 until d).map(qarr.getLong).toArray
+    val qnorm = math.sqrt(qvec.map(v => (v * v).toDouble).sum)
+    val cos = Embeddings.hashEmbed(docs, "doc_id", "text", d)
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).map { case (id, rows) =>
+        val dot = rows.map(r => r._3 * qvec(r._2)).sum.toDouble
+        val n2 = rows.map(r => r._3 * r._3).sum.toDouble
+        id -> BigDecimal(dot / (math.sqrt(n2) * qnorm))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    val vec = cos.toSeq.sortBy { case (id, c) => (-c, id) }.take(listK)
+      .map(_._1).zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+    val fused = (lex.keySet ++ vec.keySet).toSeq.map { id =>
+      val s = lex.get(id).map(r => 1.0 / (rrfK + r)).getOrElse(0.0) +
+        vec.get(id).map(r => 1.0 / (rrfK + r)).getOrElse(0.0)
+      (id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (id, s) => (-s, id) }.take(topK)
+      .zipWithIndex.map { case ((id, s), i) => (id, s, i + 1) }
+    got.sortBy(_._3).toSeq shouldBe fused
+    graft.core.CacheRegistry.drain()
+  }
+
   private implicit class TripleOps(rows: Array[(Long, String, Double)]) {
     def toMap2: Map[Long, (String, Double)] =
       rows.map { case (id, t, s) => id -> (t, s) }.toMap
