@@ -23,6 +23,18 @@ object SparkEntry {
     Tables.table(s, dir, name)
   private def dbl(c: String): Column = col(c).cast("double")
 
+  /** Runs `body` with spark.sql.shuffle.partitions temporarily lowered —
+    * a streaming drain pins its state-store count to this value at stream
+    * START (via the checkpoint), and per-store open/commit overhead
+    * dominates the few-MB bench state: 8 stores measured q107 at half its
+    * 32-store wall time. Batch stages inside the drain are AQE-coalesced
+    * and insensitive. Restored afterwards for the rest of the suite. */
+  private def withStatePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   // SCD2 simulation timestamps (pinned; the reference drifts current_timestamp)
   private val T0 = Timestamp.valueOf("2026-01-01 00:00:00")
   private val T1 = Timestamp.valueOf("2026-02-01 00:00:00")
@@ -740,15 +752,17 @@ object SparkEntry {
         .where(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
       val name = "q107_interval_join"
-      val q = EventStream.intervalJoinStream(clicks, purchases, "user_id",
-          "click_ts", "purchase_ts", "24 hours", "1 hour")
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("q107-ckpt").toString)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withStatePartitions(s, 8) {
+        val q = EventStream.intervalJoinStream(clicks, purchases, "user_id",
+            "click_ts", "purchase_ts", "24 hours", "1 hour")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("q107-ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table(name)
     }),
     // the SCD2 merge staged against a pk-BUCKETED catalog target (read
@@ -794,9 +808,11 @@ object SparkEntry {
         .parquet(s"$srcDir/*.parquet")
       val corpus = docs.where(col("doc_id") % 2 === 0).select("doc_id", "text")
       val store = new graft.sources.TableStore(s)
-      val q = EventStream.streamDedupedIngest(stream, corpus, store,
-        s"$tmp/bronze", "doc_id", "text", 3, 4, 3, 0.5, s"$tmp/ckpt")
-      q.awaitTermination()
+      withStatePartitions(s, 8) {
+        val q = EventStream.streamDedupedIngest(stream, corpus, store,
+          s"$tmp/bronze", "doc_id", "text", 3, 4, 3, 0.5, s"$tmp/ckpt")
+        q.awaitTermination()
+      }
       store.read(s"$tmp/bronze").select("doc_id", "text")
     }),
     // streaming SCD2 upsert drained over two ordered micro-batches (full
@@ -829,9 +845,11 @@ object SparkEntry {
         .option("basePath", srcDir.toString)
         .parquet(s"$srcDir/*.parquet")
       val store = new graft.sources.TableStore(s)
-      val q = EventStream.streamToSilverScd2(stream, store, s"$tmp/silver",
-        "c_custkey", "ingestion_timestamp", s"$tmp/ckpt")
-      q.awaitTermination()
+      withStatePartitions(s, 8) {
+        val q = EventStream.streamToSilverScd2(stream, store, s"$tmp/silver",
+          "c_custkey", "ingestion_timestamp", s"$tmp/ckpt")
+        q.awaitTermination()
+      }
       store.read(s"$tmp/silver").drop("ingestion_timestamp")
     })
   )
@@ -1520,14 +1538,16 @@ object SparkEntry {
         .select(col("user_id"), col("ts"), col("event_type"))
         .withWatermark("ts", "1 hour")
         .as[EventStream.Event]
-      val q = EventStream.sessionizeEventTime(ev, 1800000L)
-        .writeStream.format("memory").queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("bench-sess-ckpt").toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withStatePartitions(s, 8) {
+        val q = EventStream.sessionizeEventTime(ev, 1800000L)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("update")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("bench-sess-ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table(name)
     })
   )
