@@ -649,6 +649,18 @@ object SparkEntry {
     "q41_sessionize" -> ((s, dir) =>
       graft.streaming.EventStream.sessionizeBatch(
         t(s, dir, "events").select("user_id", "ts"), 1800000L)),
+    // concurrent-session pairs: interval-overlap self-join over the
+    // sessionizer's output, banded by hour — equi-join on the time
+    // bucket, never an inequality nested loop
+    "q124_session_overlap" -> ((s, dir) => {
+      val sess = graft.streaming.EventStream.sessionizeBatch(
+        t(s, dir, "events").select("user_id", "ts"), 1800000L)
+        .select(format_string("%d#%d", col("user_id"),
+          unix_micros(col("session_start"))).as("sid"),
+          col("session_start"), col("session_end"))
+      Joins.intervalOverlapPairs(sess, "sid",
+        "session_start", "session_end", 3600000L)
+    }),
     // exact per-group distribution mart (the sketch variant's oracle twin)
     "q45_percentiles" -> ((s, dir) =>
       graft.ops.Sketches.percentilesExact(
@@ -1926,6 +1938,28 @@ object SparkEntry {
     "q121_binarize" -> binarizeSql,
     "q122_hamming_topk" -> hammingTopKSql,
     "q123_hybrid_rrf" -> hybridRrfSql,
+    // q124: the q41 session CTEs + a closed-interval inequality self-join
+    // (DuckDB's IEJoin) — the banded Spark plan must match it exactly
+    "q124_session_overlap" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |s AS (SELECT user_id, ts,
+        |        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+        |      FROM marked),
+        |sess AS (SELECT user_id, min(ts) AS st, max(ts) AS en
+        |         FROM s GROUP BY user_id, session_id),
+        |si AS (SELECT CAST(user_id AS VARCHAR) || '#' || CAST(epoch_us(st) AS VARCHAR) AS sid,
+        |         st, en FROM sess)
+        |SELECT a.sid AS id_a, b.sid AS id_b,
+        |  CAST((least(epoch_us(a.en), epoch_us(b.en))
+        |      - greatest(epoch_us(a.st), epoch_us(b.st))) // 1000 AS BIGINT) AS overlap_ms
+        |FROM si a JOIN si b
+        |  ON a.sid < b.sid AND a.st <= b.en AND b.st <= a.en""".stripMargin,
     "q66_quantize_int8" ->
       """WITH s AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Skew-management join helpers.
@@ -194,6 +194,41 @@ object Joins {
     *
     * Scale shape: one hash-agg on the key with map-side combine, a
     * broadcast single-row total, a TakeOrderedAndProject cut. */
+  /** Interval-overlap self-join: every pair of CLOSED intervals
+    * `[start, end]` that intersect, with the intersection length —
+    * concurrent sessions, colliding reservations, overlapping spans.
+    * Emits (id_a, id_b, overlap_ms) with `id_a < id_b`; touching
+    * intervals (shared endpoint) overlap with 0 ms.
+    *
+    * Scale shape: the inequality predicate never drives the join —
+    * each interval explodes into the `bandMs`-wide time buckets it
+    * covers (scan-stage `sequence`, ≤ `len/bandMs + 1` rows per
+    * interval), the self-join is an EQUI-join on the bucket, the exact
+    * overlap test filters the bucket-mates, and `distinct` collapses
+    * pairs that share several buckets. Pick `bandMs` near the typical
+    * interval length: too small multiplies the fan-out, too large turns
+    * buckets into skewed mini cross-joins — the [[bandedRangeJoin]]
+    * sizing rule. */
+  def intervalOverlapPairs(df: DataFrame, idCol: String,
+                           startCol: String, endCol: String,
+                           bandMs: Long): DataFrame = {
+    require(bandMs >= 1, s"intervalOverlapPairs: need bandMs >= 1, got $bandMs")
+    val bandUs = bandMs * 1000L
+    def band(c: String): Column = floor(unix_micros(col(c)) / bandUs)
+    val banded = df.select(col(idCol), col(startCol), col(endCol),
+      explode(sequence(band(startCol), band(endCol))).as("__band"))
+    val a = banded.toDF("id_a", "__sa", "__ea", "__band")
+    val b = banded.toDF("id_b", "__sb", "__eb", "__band")
+    a.join(b, Seq("__band"))
+      .where(col("id_a") < col("id_b")
+        && col("__sa") <= col("__eb") && col("__sb") <= col("__ea"))
+      .select(col("id_a"), col("id_b"),
+        ((least(unix_micros(col("__ea")), unix_micros(col("__eb")))
+          - greatest(unix_micros(col("__sa")), unix_micros(col("__sb"))))
+          / lit(1000L)).cast("long").as("overlap_ms"))
+      .distinct()
+  }
+
   def skewProfile(df: DataFrame, keyCol: String,
                   targetRowsPerTask: Long, topK: Int): DataFrame = {
     require(targetRowsPerTask > 0 && topK > 0,

@@ -197,4 +197,45 @@ class JoinsSpec extends SparkSpec {
     // top-2 cut: key 3 (count 1) falls out; 25 rows at 10/task → salt 3
     r shouldBe List((1L, 25L, 25.0 / 29, 3L), (2L, 3L, 3.0 / 29, 1L))
   }
+
+  test("intervalOverlapPairs: overlap, touch at 0ms, disjoint, multi-band dedup") {
+    import java.sql.Timestamp
+    def ts(min: Long) = Timestamp.valueOf("2024-01-01 00:00:00").toInstant
+      .plusSeconds(min * 60).let(java.sql.Timestamp.from)
+    val df = Seq(
+      ("a", ts(0), ts(60)),    // overlaps b by 30 min, touches c
+      ("b", ts(30), ts(90)),   // overlaps a and c
+      ("c", ts(60), ts(120)),  // touches a (0 ms), overlaps b
+      ("d", ts(300), ts(360))  // disjoint from all
+    ).toDF("id", "st", "en")
+    // band = 15 min: every interval spans several bands — dedup must hold
+    val r = Joins.intervalOverlapPairs(df, "id", "st", "en", 15 * 60000L)
+      .as[(String, String, Long)].collect().toSet
+    r shouldBe Set(
+      ("a", "b", 30 * 60000L), ("a", "c", 0L), ("b", "c", 30 * 60000L))
+  }
+
+  test("intervalOverlapPairs matches the naive inequality join on randomized data") {
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(7)
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val rows = (1 to 300).map { i =>
+      val st = base + rnd.nextInt(72 * 3600) * 1000L
+      (f"iv$i%03d", new Timestamp(st), new Timestamp(st + rnd.nextInt(4 * 3600) * 1000L))
+    }
+    val df = rows.toDF("id", "st", "en")
+    val got = Joins.intervalOverlapPairs(df, "id", "st", "en", 3600000L)
+      .as[(String, String, Long)].collect().toSet
+    val naive = (for {
+      (ia, sa, ea) <- rows; (ib, sb, eb) <- rows
+      if ia < ib && !sa.after(eb) && !sb.after(ea)
+    } yield (ia, ib,
+      (math.min(ea.getTime, eb.getTime) - math.max(sa.getTime, sb.getTime)))).toSet
+    got shouldBe naive
+    got.nonEmpty shouldBe true
+  }
+
+  private implicit class LetOps[A](a: A) {
+    def let[B](f: A => B): B = f(a)
+  }
 }
