@@ -649,6 +649,16 @@ object SparkEntry {
     "q41_sessionize" -> ((s, dir) =>
       graft.streaming.EventStream.sessionizeBatch(
         t(s, dir, "events").select("user_id", "ts"), 1800000L)),
+    // semi-join reduction: bloom over the filtered suppliers' keys deletes
+    // non-matching lineitem rows before the shuffle; result == plain join
+    "q125_bloom_join" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem").select(
+        col("l_suppkey").as("suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("double").as("quantity"))
+      val small = t(s, dir, "supplier").where(col("s_nationkey") < 5)
+        .select(col("s_suppkey").as("suppkey"), col("s_name"))
+      Joins.bloomSemiReducedJoin(big, small, "suppkey", 1000L)
+    }),
     // concurrent-session pairs: interval-overlap self-join over the
     // sessionizer's output, banded by hour — equi-join on the time
     // bucket, never an inequality nested loop
@@ -1938,6 +1948,13 @@ object SparkEntry {
     "q121_binarize" -> binarizeSql,
     "q122_hamming_topk" -> hammingTopKSql,
     "q123_hybrid_rrf" -> hybridRrfSql,
+    // q125: the bloom prefilter admits false positives ONLY, so the result
+    // is the plain inner join — which IS the oracle
+    "q125_bloom_join" ->
+      """SELECT l.l_suppkey AS suppkey, l.l_orderkey, l.l_linenumber,
+        |  CAST(l.l_quantity AS DOUBLE) AS quantity, s.s_name
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |WHERE s.s_nationkey < 5""".stripMargin,
     // q124: the q41 session CTEs + a closed-interval inequality self-join
     // (DuckDB's IEJoin) — the banded Spark plan must match it exactly
     "q124_session_overlap" ->

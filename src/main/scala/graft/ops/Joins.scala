@@ -194,6 +194,51 @@ object Joins {
     *
     * Scale shape: one hash-agg on the key with map-side combine, a
     * broadcast single-row total, a TakeOrderedAndProject cut. */
+  /** Bloom-prefiltered inner equi-join (semi-join reduction): build a
+    * Bloom filter over the small side's join keys, drop big-side rows the
+    * filter rules out BEFORE anything shuffles, then run the exact join.
+    * Row-for-row equal to `big.join(small, key)` — the filter admits
+    * false POSITIVES only, and the exact join removes them — so the
+    * speedup is free of semantic risk. This is the semi-join reduction
+    * classic warehouses plan automatically; Spark's own runtime filter
+    * (`InjectRuntimeFilter`) does it opportunistically for shuffle joins —
+    * this operator is the EXPLICIT form for when the small side is a
+    * computed/filtered frame the optimizer can't see through, and it
+    * reuses Spark's native `BloomFilterAggregate`/`might_contain`
+    * machinery (keys xxhash64'd on both sides, the rule's own device).
+    *
+    * Scale shape: the build side reduces to ONE bloom byte-array row
+    * (mergeable agg, map-side partials); the probe is a scan-stage
+    * predicate against that literal — at a selective key set it deletes
+    * most of the big side's shuffle. Size `expectedItems` near the real
+    * build-key count: too low inflates the false-positive rate toward 1
+    * (filter stops deleting, join still exact). */
+  def bloomSemiReducedJoin(big: DataFrame, small: DataFrame, key: String,
+                           expectedItems: Long = 1000000L): DataFrame = {
+    require(expectedItems > 0,
+      s"bloomSemiReducedJoin: need expectedItems > 0, got $expectedItems")
+    val shared = big.columns.intersect(small.columns).filterNot(_ == key)
+    require(shared.isEmpty,
+      s"bloomSemiReducedJoin: sides share non-key column(s) ${shared.mkString("'", "', '", "'")} - " +
+        "rename them before joining (only the join key may be shared)")
+    require(big.columns.contains(key) && small.columns.contains(key),
+      s"bloomSemiReducedJoin: both sides must carry join key '$key'")
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge
+    val bloom = ColumnBridge.column(
+      new BloomFilterAggregate(ColumnBridge.expression(xxhash64(col(key))), expectedItems)
+        .toAggregateExpression())
+    // one byte-array row to the driver; an EMPTY build side yields a null
+    // bloom, might_contain(null, ·) is null, the filter drops every probe
+    // row — exactly the empty join's semantics
+    val bytes = small.agg(bloom.as("__bf")).head().getAs[Array[Byte]](0)
+    val probe = ColumnBridge.column(BloomFilterMightContain(
+      Literal(bytes, org.apache.spark.sql.types.BinaryType),
+      ColumnBridge.expression(xxhash64(col(key)))))
+    big.where(probe).join(small, Seq(key))
+  }
+
   /** Interval-overlap self-join: every pair of CLOSED intervals
     * `[start, end]` that intersect, with the intersection length —
     * concurrent sessions, colliding reservations, overlapping spans.

@@ -198,6 +198,26 @@ class JoinsSpec extends SparkSpec {
     r shouldBe List((1L, 25L, 25.0 / 29, 3L), (2L, 3L, 3.0 / 29, 1L))
   }
 
+  test("bloomSemiReducedJoin equals the plain join and filters before it") {
+    val big = (1L to 2000L).map(i => (i % 100, i)).toDF("k", "payload")
+    val small = Seq((3L, "a"), (7L, "b"), (500L, "never-matches"))
+      .toDF("k", "name")
+    val df = Joins.bloomSemiReducedJoin(big, small, "k", 10L)
+    val got = df.as[(Long, Long, String)].collect().toSet
+    val plain = big.join(small, Seq("k")).as[(Long, Long, String)].collect().toSet
+    got shouldBe plain
+    got.size shouldBe 40 // keys 3 and 7: 20 rows each
+    // the probe predicate sits in the plan before the join (local
+    // relations constant-fold the filter away, so assert on a real scan)
+    val li = graft.core.Tables.table(spark, sf0001, "lineitem")
+      .select($"l_suppkey".as("k"), $"l_orderkey")
+    val planDf = Joins.bloomSemiReducedJoin(li, small, "k", 10L)
+    planDf.queryExecution.executedPlan.toString should include("might_contain")
+    // empty build side -> empty join, not a crash
+    Joins.bloomSemiReducedJoin(big, small.where($"k" < 0), "k", 10L)
+      .count() shouldBe 0L
+  }
+
   test("intervalOverlapPairs: overlap, touch at 0ms, disjoint, multi-band dedup") {
     import java.sql.Timestamp
     def ts(min: Long) = Timestamp.valueOf("2024-01-01 00:00:00").toInstant
