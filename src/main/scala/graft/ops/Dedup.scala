@@ -494,6 +494,8 @@ object Dedup {
     * Shared kernel of [[repeatedSpans]] / [[removeRepeatedSpans]]. */
   private def duplicatedGramStarts(df: DataFrame, idCol: String,
       textCol: String, n: Int, minOccurrences: Long): DataFrame = {
+    require(n >= 1 && minOccurrences >= 1L,
+      s"repeated spans: need n >= 1 and minOccurrences >= 1; got n=$n minOccurrences=$minOccurrences")
     val upper = size(col("__toks")) - (n - 1)
     // (id, pos, gram): generated in the scan stage — no join, no window
     val grams = graft.core.CacheRegistry.persist(
@@ -538,7 +540,10 @@ object Dedup {
       .withColumn("__kept", when(col("__starts").isNull, col("__toks"))
         .otherwise(filter(col("__toks"), (_, i0) => !covered(i0 + 1))))
       .select(col(idCol), concat_ws(" ", col("__kept")).as("clean_text"),
-        (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_dropped"))
+        // null text → no token arrays: report the empty string untouched
+        // rather than a null count
+        coalesce(size(col("__toks")) - size(col("__kept")), lit(0))
+          .cast("long").as("n_dropped"))
   }
 
   /** Cross-source content-overlap matrix: for every pair of sources

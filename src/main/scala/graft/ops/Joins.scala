@@ -260,8 +260,11 @@ object Joins {
     require(bandMs >= 1, s"intervalOverlapPairs: need bandMs >= 1, got $bandMs")
     val bandUs = bandMs * 1000L
     def band(c: String): Column = floor(unix_micros(col(c)) / bandUs)
-    val banded = df.select(col(idCol), col(startCol), col(endCol),
-      explode(sequence(band(startCol), band(endCol))).as("__band"))
+    // end < start is not an interval — dropped, not banded backwards
+    // (sequence() would otherwise step DOWNWARD through unintended bands)
+    val banded = df.where(col(startCol) <= col(endCol))
+      .select(col(idCol), col(startCol), col(endCol),
+        explode(sequence(band(startCol), band(endCol))).as("__band"))
     val a = banded.toDF("id_a", "__sa", "__ea", "__band")
     val b = banded.toDF("id_b", "__sb", "__eb", "__band")
     a.join(b, Seq("__band"))

@@ -217,6 +217,23 @@ class DedupSpec extends SparkSpec {
     graft.core.CacheRegistry.drain()
   }
 
+  test("removeRepeatedSpans: null text passes through as empty, 0 dropped") {
+    val d = Seq((1L, "a b c"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val r = Dedup.removeRepeatedSpans(d, "doc_id", "text", 3)
+      .as[(Long, String, Long)].collect().toSet
+    r shouldBe Set((1L, "a b c", 0L), (2L, "", 0L))
+    graft.core.CacheRegistry.drain()
+  }
+
+  test("repeatedSpans rejects degenerate n / minOccurrences") {
+    val d = Seq((1L, "a b c")).toDF("doc_id", "text")
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.repeatedSpans(d, "doc_id", "text", 0)
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.removeRepeatedSpans(d, "doc_id", "text", 3, minOccurrences = 0L)
+  }
+
   test("repeatedSpans honors the minOccurrences threshold") {
     val d = Seq(
       (1L, "a b c d"), (2L, "a b c e"), (3L, "a b c f") // "a b c" occurs 3x

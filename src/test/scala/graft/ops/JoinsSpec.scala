@@ -233,6 +233,10 @@ class JoinsSpec extends SparkSpec {
       .as[(String, String, Long)].collect().toSet
     r shouldBe Set(
       ("a", "b", 30 * 60000L), ("a", "c", 0L), ("b", "c", 30 * 60000L))
+    // end < start is not an interval: dropped, everything else unaffected
+    val bad = df.union(Seq(("x", ts(90), ts(10))).toDF("id", "st", "en"))
+    Joins.intervalOverlapPairs(bad, "id", "st", "en", 15 * 60000L)
+      .as[(String, String, Long)].collect().toSet shouldBe r
   }
 
   test("intervalOverlapPairs matches the naive inequality join on randomized data") {
