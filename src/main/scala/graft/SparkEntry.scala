@@ -649,6 +649,17 @@ object SparkEntry {
     "q41_sessionize" -> ((s, dir) =>
       graft.streaming.EventStream.sessionizeBatch(
         t(s, dir, "events").select("user_id", "ts"), 1800000L)),
+    // the q40 as-of lookup bounded by a 7-day staleness tolerance
+    // (pandas merge_asof semantics): older matches null out, rows stay
+    "q126_asof_tolerance" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select("event_id", "ts", "user_id")
+      val ord = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("user_id"),
+          col("o_orderdate").cast("timestamp").as("order_ts"))
+        .agg(max("o_orderkey").as("last_orderkey"))
+        .withColumn("last_order_date", col("order_ts"))
+      Joins.asOfJoin(ev, ord, "user_id", "ts", "order_ts", 7L * 24 * 3600 * 1000000L)
+    }),
     // semi-join reduction: bloom over the filtered suppliers' keys deletes
     // non-matching lineitem rows before the shuffle; result == plain join
     "q125_bloom_join" -> ((s, dir) => {
@@ -1948,6 +1959,21 @@ object SparkEntry {
     "q121_binarize" -> binarizeSql,
     "q122_hamming_topk" -> hammingTopKSql,
     "q123_hybrid_rrf" -> hybridRrfSql,
+    // q126: the q40 ASOF lookup with the 7-day staleness bound — stale
+    // matches null their payload, the event row stays (left outer)
+    "q126_asof_tolerance" ->
+      """WITH r AS (
+        |  SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS order_ts,
+        |    max(o_orderkey) AS last_orderkey
+        |  FROM orders GROUP BY 1, 2),
+        |l AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+        |m AS (
+        |  SELECT l.user_id, l.event_id, l.ts, r.last_orderkey, r.order_ts
+        |  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.order_ts)
+        |SELECT user_id, event_id, ts,
+        |  CASE WHEN epoch_us(ts) - epoch_us(order_ts) <= 604800000000 THEN last_orderkey END AS last_orderkey,
+        |  CASE WHEN epoch_us(ts) - epoch_us(order_ts) <= 604800000000 THEN order_ts END AS last_order_date
+        |FROM m""".stripMargin,
     // q125: the bloom prefilter admits false positives ONLY, so the result
     // is the plain inner join — which IS the oracle
     "q125_bloom_join" ->

@@ -34,8 +34,11 @@ object Joins {
     * with left column names — a silent duplicate output column would make
     * every downstream select ambiguous. */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
-               leftTime: String, rightTime: String): DataFrame = {
+               leftTime: String, rightTime: String,
+               toleranceUs: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(toleranceUs >= 0,
+      s"asOfJoin: tolerance must be non-negative, got $toleranceUs")
     val rPayload = right.columns.filterNot(c => c == key || c == rightTime).toSeq
     val lCols = left.columns.filterNot(_ == key).toSeq
     require(rPayload.nonEmpty,
@@ -52,12 +55,21 @@ object Joins {
     // side 0 (right) sorts before side 1 (left) at equal times → "≤" match
     val w = Window.partitionBy(key).orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the carried right TIMESTAMP enforces the optional staleness bound
+    // (pandas merge_asof `tolerance`): a match older than toleranceUs µs
+    // nulls the payload, keeping left-outer row semantics
+    val fresh =
+      if (toleranceUs == Long.MaxValue) lit(true)
+      else col("__rt").isNotNull &&
+        unix_micros(col("__t")) - unix_micros(col("__rt")) <= toleranceUs
     r.unionByName(l, allowMissingColumns = true)
       .withColumn("__r", last(col("__rv"), ignoreNulls = true).over(w))
+      .withColumn("__rt",
+        last(when(col("__side") === 0, col("__t")), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
       .select(col(key) +:
         (lCols.map(c => col(s"__lv.$c").as(c)) ++
-          rPayload.map(c => col(s"__r.$c").as(c))): _*)
+          rPayload.map(c => when(fresh, col(s"__r.$c")).as(c))): _*)
   }
 
   /** Keyed time-range join: all (left, right) pairs sharing `key` with

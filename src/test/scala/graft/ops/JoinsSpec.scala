@@ -99,6 +99,38 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("asOfJoin tolerance nulls stale matches and keeps the rows (merge_asof semantics)") {
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(
+      Timestamp.valueOf("2024-01-01 00:00:00").getTime + min * 60000L)
+    val right = Seq((1L, ts(0), "old"), (1L, ts(100), "fresh"))
+      .toDF("k", "rt", "v")
+    val left = Seq(
+      (1L, 10L, ts(101)),  // 1 min after "fresh" -> matches
+      (1L, 20L, ts(200)),  // 100 min after "fresh" -> stale, null payload
+      (1L, 30L, ts(50)),   // 50 min after "old" -> stale
+      (2L, 40L, ts(100))   // no right rows at all
+    ).toDF("k", "id", "lt")
+    val tol = 30L * 60 * 1000000L // 30 minutes in µs
+    val got = Joins.asOfJoin(left, right, "k", "lt", "rt", tol)
+      .select($"id", $"v").as[(Long, Option[String])].collect().toMap
+    got shouldBe Map(10L -> Some("fresh"), 20L -> None, 30L -> None, 40L -> None)
+    // and the randomized law: tolerance == naive filter on [lt-tol, lt]
+    val rnd = new scala.util.Random(11)
+    val rRows = (1 to 40).map(i => (rnd.nextInt(3).toLong, ts(rnd.nextInt(500)), s"v$i"))
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique (key, time)
+    val lRows = (1 to 60).map(i => (rnd.nextInt(3).toLong, i.toLong, ts(rnd.nextInt(500))))
+    val gotR = Joins.asOfJoin(lRows.toDF("k", "id", "lt"), rRows.toDF("k", "rt", "v"),
+        "k", "lt", "rt", tol)
+      .select($"id", $"v").as[(Long, Option[String])].collect().toMap
+    val naive = lRows.map { case (k, id, lt) =>
+      id -> rRows.filter(r => r._1 == k && !r._2.after(lt)
+          && lt.getTime - r._2.getTime <= 30L * 60000L)
+        .sortBy(_._2.getTime).lastOption.map(_._3)
+    }.toMap
+    gotR shouldBe naive
+  }
+
   test("saltedEquiJoin is deterministic across runs (no rand salting)") {
     val big = (1 to 50).map(i => (1L, s"v$i")).toDF("k", "v")
     val small = Seq((1L, "d")).toDF("k", "d")
