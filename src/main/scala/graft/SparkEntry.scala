@@ -714,6 +714,11 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         round(graft.functions.TextFunctions.charEntropy(col("text")), 6)
           .as("char_entropy"))),
+    // Unicode NFC canonicalization ahead of hashing/dedup — visually equal
+    // text must hash equal; one native-kernel pass, zero shuffle
+    "q127_nfc_normalize" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.TextFunctions.nfcNormalize(col("text")).as("text_nfc"))),
     // token-budget mixture plan: whitespace token counts per source, a
     // 50/30/20 target mix over three sources, 1M-token budget — the
     // epochs column is the over-repetition signal mixture designers watch
@@ -2596,6 +2601,9 @@ object SparkEntry {
         |       ELSE list_min(list_transform(generate_series(1, length(text) - 7),
         |                     i -> md5(text[i:i+7]))) END AS min_gram_md5
         |FROM documents""".stripMargin,
+    // q127: both engines implement the same Unicode canonical composition
+    "q127_nfc_normalize" ->
+      "SELECT doc_id, nfc_normalize(text) AS text_nfc FROM documents",
     // q119: grouped-sum formulation — a different summation ORDER than the
     // kernel's code-point-ascending pass, identical at 6 dp (Σ of ≤ a few
     // hundred log terms carries ~1e-15 relative error)

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{AdjPairs, CharEntropy, ColumnBridge, CoocPairs, HashEmbed, MinGramMd5, MinHashSig, SimHash16, SimHash64, WordShingles}
+import org.apache.spark.sql.graft.{AdjPairs, CharEntropy, ColumnBridge, CoocPairs, NfcNormalize, HashEmbed, MinGramMd5, MinHashSig, SimHash16, SimHash64, WordShingles}
 
 /** Column-level API over the native text expressions (implementation in
   * `org.apache.spark.sql.graft.TextExpressions`). */
@@ -39,6 +39,11 @@ object TextFunctions {
     * cross-engine comparison. */
   def charEntropy(text: Column): Column =
     ColumnBridge.column(CharEntropy(ColumnBridge.expression(text)))
+
+  /** Unicode NFC canonicalization, one pass per row — run BEFORE hashing,
+    * shingling, or exact dedup so visually-equal text hashes equal. */
+  def nfcNormalize(text: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
 
   /** Sorted unordered ±window co-occurrence pairs, one pass per row (zero
     * shuffle); see [[graft.ops.Corpus.cooccurrence]] for the operator. */

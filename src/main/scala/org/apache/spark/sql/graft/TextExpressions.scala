@@ -124,6 +124,20 @@ object TextKernels {
     * variant: one 8-byte hash per token, no md5 string churn, zero shuffle.
     * Bit semantics match the explode+groupBy formulation bit-for-bit
     * (vote +1 when hash bit i is set, signature bit i = votes > 0). */
+  /** Unicode NFC normalization (canonical composition) — é as e+◌́ and é
+    * as one code point hash differently, so exact dedup, shingles, and
+    * fingerprints all silently miss equal-looking text unless the corpus
+    * is canonicalized first. One pass; java.text.Normalizer implements
+    * the same Unicode standard DuckDB's nfc_normalize does. */
+  def nfcNormalize(text: UTF8String): UTF8String = {
+    val s = text.toString
+    // fast path: Normalizer.isNormalized is a cheap scan, and real corpora
+    // are overwhelmingly already NFC
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
   /** Shannon entropy (bits/char) over Unicode code points; summation runs
     * code-point-ascending (TreeMap iteration), so the double result is
     * deterministic for a given input. One pass, no token split. */
@@ -288,6 +302,22 @@ object TextKernels {
   * within the engine, and within 1 ulp-sum of any other engine's grouped
   * sum — round to 6 dp at the consumer for cross-engine comparison.
   * Empty string → 0.0. */
+/** `nfc_normalize(text)` → string (see [[TextKernels.nfcNormalize]]). */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.nfcNormalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.TextKernels.nfcNormalize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 case class CharEntropy(child: Expression) extends UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
   override def prettyName: String = "char_entropy"

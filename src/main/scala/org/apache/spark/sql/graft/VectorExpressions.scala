@@ -105,6 +105,7 @@ object GraftFunctions {
         MinHashSig(c(0), intLit(c(1), "minhash_sig"))),
       fn("simhash16", classOf[SimHash16])(c => SimHash16(c(0))),
       fn("char_entropy", classOf[CharEntropy])(c => CharEntropy(c(0))),
+      fn("nfc_normalize", classOf[NfcNormalize])(c => NfcNormalize(c(0))),
       fn("simhash64", classOf[SimHash64])(c => SimHash64(c(0))),
       fn("min_gram_md5", classOf[MinGramMd5])(c => MinGramMd5(c(0))),
       fn("cooc_pairs", classOf[CoocPairs])(c =>

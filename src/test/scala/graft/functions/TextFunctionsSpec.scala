@@ -130,6 +130,26 @@ class TextFunctionsSpec extends SparkSpec {
     kernel.size should be > 0
   }
 
+  test("nfcNormalize composes decomposed sequences; NFC text passes through") {
+    val df = Seq(
+      (1L, "éclair"),  // e + combining acute -> é (single code point)
+      (2L, "éclair"),   // already composed
+      (3L, "Å"),       // A + combining ring -> Å
+      (4L, "plain ascii")
+    ).toDF("doc_id", "text")
+    val r = df.select($"doc_id",
+        graft.functions.TextFunctions.nfcNormalize($"text").as("n"))
+      .as[(Long, String)].collect().toMap
+    r(1L) shouldBe "éclair"
+    r(2L) shouldBe "éclair"
+    r(1L) shouldBe r(2L) // the dedup property: equal-looking -> equal bytes
+    r(3L) shouldBe "Å"
+    r(4L) shouldBe "plain ascii"
+    // md5 now agrees where the raw bytes disagreed
+    df.select(md5(graft.functions.TextFunctions.nfcNormalize($"text")).as("h"))
+      .where($"h".isNotNull).distinct().count() shouldBe 3
+  }
+
   test("text kernels are callable from SQL") {
     Seq((1L, "the quick brown fox jumps over the lazy dog"))
       .toDF("doc_id", "text").createOrReplaceTempView("sql_kernel_docs")
