@@ -39,6 +39,13 @@ object Joins {
     import org.apache.spark.sql.expressions.Window
     require(toleranceUs >= 0,
       s"asOfJoin: tolerance must be non-negative, got $toleranceUs")
+    if (toleranceUs != Long.MaxValue) {
+      import org.apache.spark.sql.types.TimestampType
+      require(left.schema(leftTime).dataType == TimestampType &&
+        right.schema(rightTime).dataType == TimestampType,
+        "asOfJoin: a staleness tolerance needs TIMESTAMP time columns " +
+          s"(got ${left.schema(leftTime).dataType} / ${right.schema(rightTime).dataType})")
+    }
     val rPayload = right.columns.filterNot(c => c == key || c == rightTime).toSeq
     val lCols = left.columns.filterNot(_ == key).toSeq
     require(rPayload.nonEmpty,

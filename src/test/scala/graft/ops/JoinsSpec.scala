@@ -131,6 +131,19 @@ class JoinsSpec extends SparkSpec {
     gotR shouldBe naive
   }
 
+  test("asOfJoin with a finite tolerance requires TIMESTAMP time columns") {
+    // long-typed time columns are fine without a tolerance...
+    val left = Seq((1L, 10L, 5L)).toDF("k", "id", "lt")
+    val right = Seq((1L, 3L, "v")).toDF("k", "rt", "v")
+    Joins.asOfJoin(left, right, "k", "lt", "rt").count() shouldBe 1L
+    // ...but the staleness bound subtracts unix_micros, which silently
+    // returns garbage on non-timestamp input — so it must throw instead
+    val e = intercept[IllegalArgumentException] {
+      Joins.asOfJoin(left, right, "k", "lt", "rt", toleranceUs = 1000L)
+    }
+    e.getMessage should include("TIMESTAMP")
+  }
+
   test("saltedEquiJoin is deterministic across runs (no rand salting)") {
     val big = (1 to 50).map(i => (1L, s"v$i")).toDF("k", "v")
     val small = Seq((1L, "d")).toDF("k", "d")
