@@ -817,6 +817,21 @@ object SparkEntry {
       val st = Scd2.stage(scd2Source(s, dir), target.where(col("is_current")), "c_custkey")
       Scd2.applyMerge(target, st, "c_custkey", T1)
     }),
+    // table-level time travel (the Delta `versionAsOf` the reference's
+    // merge targets keep implicitly): three commits — base load,
+    // incremental append, full overwrite — then read the PRE-overwrite
+    // snapshot back by version number. The oracle pins v1's contents, so
+    // a readVersion that followed the current pointer (now the disjoint
+    // %3=2 slice) would hash-mismatch, not just differ in count
+    "q128_time_travel" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+      val tmp = java.nio.file.Files.createTempDirectory("q128-tt").toString + "/cust"
+      val store = new graft.sources.TableStore(s)
+      store.overwrite(tmp, cust.where(col("c_custkey") % 3 === 0)) // v0
+      store.append(tmp, cust.where(col("c_custkey") % 3 === 1))    // v1
+      store.overwrite(tmp, cust.where(col("c_custkey") % 3 === 2)) // v2 = current
+      store.readVersion(tmp, 1)
+    }),
     // streaming ingest with inline near-dup rejection, drained over two
     // ordered micro-batches: each batch drops rows with an LSH-verified
     // near-duplicate in the STANDING side (the fixed corpus plus batch 1's
@@ -2738,6 +2753,12 @@ object SparkEntry {
          |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
          |  TRUE, TIMESTAMP '2026-02-01 00:00:00', NULL
          |FROM ins""".stripMargin,
+    // q128: version 1 = the %3=0 base plus the %3=1 append; the current
+    // pointer (v2) holds the disjoint %3=2 slice, so any pointer-following
+    // bug produces a full hash mismatch
+    "q128_time_travel" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey % 3 <> 2""".stripMargin,
     // q110: the two-stage incremental semantics spelled out — batch 1 is
     // checked against the fixed corpus; batch 2 against corpus ∪ batch-1
     // survivors; the final table is the union of survivors

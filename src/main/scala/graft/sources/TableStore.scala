@@ -147,15 +147,52 @@ class TableStore(spark: SparkSession) {
     * FileIndex plans ONE scan over every data dir with typed partition
     * values and real partition pruning (TableStoreSpec + PlanSpec assert
     * both). */
-  def read(table: String): DataFrame = {
-    val v = currentVersion(table).getOrElse(
-      throw new IllegalStateException(s"no committed version at $table"))
-    val dirs = manifest(table, v).map(d => new Path(table, d).toString)
-    val parts = partitionMeta(table, v)
+  def read(table: String): DataFrame =
+    readVersion(table, currentVersion(table).getOrElse(
+      throw new IllegalStateException(s"no committed version at $table")))
+
+  /** Time travel (reference Delta `versionAsOf`, the Databricks-side
+    * history the pipeline's MERGE targets keep implicitly): read the
+    * snapshot a past commit produced. Every commit leaves its `_v<N>`
+    * manifest on disk and data dirs are immutable, so any version whose
+    * data dirs have not been [[vacuum]]ed is still exactly readable.
+    * A vacuumed version fails loudly (listing the missing dirs) rather
+    * than returning a silently partial table. */
+  def readVersion(table: String, version: Long): DataFrame = {
+    val mp = new Path(table, s"_v$version")
+    if (!fs(mp).exists(mp))
+      throw new IllegalStateException(
+        s"no manifest for version $version at $table " +
+          s"(available: ${versions(table).mkString(", ")})")
+    val rel = manifest(table, version)
+    val missing = rel.filter { d =>
+      val p = new Path(table, d); !fs(p).exists(p)
+    }
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"version $version at $table is no longer readable - data " +
+          s"dir(s) ${missing.mkString(", ")} were vacuumed")
+    val dirs = rel.map(d => new Path(table, d).toString)
+    val parts = partitionMeta(table, version)
     if (parts.isEmpty)
       spark.read.option("mergeSchema", "true").parquet(dirs: _*)
     else
       org.apache.spark.sql.graft.ManifestRead.read(spark, dirs, parts)
+  }
+
+  /** Version numbers with a manifest on disk, ascending, capped at the
+    * committed pointer. A crashed writer's orphan manifest below the
+    * pointer can appear here — [[readVersion]] still reads it coherently
+    * if its data dirs exist (data is written before the manifest), and
+    * fails loudly if they never landed. */
+  def versions(table: String): Seq[Long] = {
+    val tp = new Path(table)
+    val f = fs(tp)
+    val cur = currentVersion(table)
+    if (!f.exists(tp) || cur.isEmpty) Seq.empty
+    else f.listStatus(tp).toSeq.map(_.getPath.getName)
+      .filter(_.matches("_v\\d+")).map(_.drop(2).toLong)
+      .filter(_ <= cur.get).sorted
   }
 
   /** Atomic overwrite: the new state becomes visible in one pointer swap

@@ -132,6 +132,45 @@ class TableStoreSpec extends SparkSpec {
     store.schemaOf(t).fieldNames.toSeq shouldBe Seq("id", "v")
   }
 
+  test("time travel: readVersion reads any un-vacuumed past snapshot") {
+    val store = new TableStore(spark)
+    val t = tmp() + "/t"
+    store.append(t, Seq((1, "a")).toDF("id", "v"))           // v0
+    store.append(t, Seq((2, "b")).toDF("id", "v"))           // v1
+    store.overwrite(t, Seq((9, "z")).toDF("id", "v"))        // v2
+    store.versions(t) shouldBe Seq(0L, 1L, 2L)
+    store.readVersion(t, 0).as[(Int, String)].collect().toSet shouldBe
+      Set((1, "a"))
+    store.readVersion(t, 1).as[(Int, String)].collect().toSet shouldBe
+      Set((1, "a"), (2, "b"))
+    store.readVersion(t, 2).as[(Int, String)].collect().toSet shouldBe
+      Set((9, "z"))
+    // current read == latest version
+    store.read(t).as[(Int, String)].collect().toSet shouldBe Set((9, "z"))
+    // unknown version names the available ones
+    val e = intercept[IllegalStateException] { store.readVersion(t, 7) }
+    e.getMessage should include("available: 0, 1, 2")
+  }
+
+  test("time travel fails loudly on a vacuumed version, not partially") {
+    val store = new TableStore(spark)
+    val t = tmp() + "/t"
+    store.append(t, Seq((1, "a")).toDF("id", "v"))           // v0
+    store.overwrite(t, Seq((9, "z")).toDF("id", "v"))        // v1
+    // pre-vacuum, the old snapshot is still exactly readable
+    store.readVersion(t, 0).count() shouldBe 1L
+    store.vacuum(t)
+    val e = intercept[IllegalStateException] { store.readVersion(t, 0) }
+    e.getMessage should include("vacuumed")
+    // appends-only history survives vacuum: every old version's dirs are
+    // a subset of the current manifest (nothing is orphaned)
+    val t2 = tmp() + "/t2"
+    store.append(t2, Seq((1, "a")).toDF("id", "v"))
+    store.append(t2, Seq((2, "b")).toDF("id", "v"))
+    store.vacuum(t2)
+    store.readVersion(t2, 0).count() shouldBe 1L
+  }
+
   test("a crashed writer's orphan manifest never blocks later commits") {
     val store = new TableStore(spark)
     val t = tmp() + "/t"
