@@ -378,6 +378,15 @@ object SparkEntry {
           graft.ops.Layout.rangeBucket(col("l_partkey"), 0, 20000, 8),
           graft.ops.Layout.rangeBucket(col("l_suppkey"), 0, 1000, 8), 8).as("zval"))
     }),
+    // exact global curriculum rank (shortest→longest doc) with NO
+    // single-partition window: range-repartition + per-range row_number +
+    // cumulative offsets — identical answer to ROW_NUMBER() OVER (ORDER BY
+    // ...) at any scale (LayoutSpec pins plan + equivalence)
+    "q129_curriculum_rank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).cast("long").as("doc_len"))
+      graft.ops.Layout.globalRank(docs, "doc_len", "doc_id", "rank", 32)
+    }),
     // cap documents per source domain (anti-crawl-dominance), md5-ordered
     // deterministic survivors
     "q63_cap_per_source" -> ((s, dir) =>
@@ -1957,6 +1966,13 @@ object SparkEntry {
         |  count(*) AS n, min(CAST(value AS DOUBLE)) AS min_val, max(CAST(value AS DOUBLE)) AS max_val
         |FROM events WHERE value IS NOT NULL GROUP BY 1""".stripMargin,
     "q62_zorder_value" -> zorderSql,
+    // q129: the oracle pins the FULL total order (score then id tie-break)
+    // as one ROW_NUMBER window — the operator must reproduce it exactly
+    // without ever planning a single-partition exchange
+    "q129_curriculum_rank" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS doc_len,
+        |  CAST(row_number() OVER (ORDER BY length(text), doc_id) AS BIGINT) AS rank
+        |FROM documents""".stripMargin,
     "q63_cap_per_source" ->
       """SELECT doc_id, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY source

@@ -43,6 +43,56 @@ object Layout {
     }
   }
 
+  /** Exact global total-order rank (1-based, dense in the row_number
+    * sense) WITHOUT a single-partition window — the curriculum-ordering
+    * primitive (sort the corpus by a difficulty score and rank it).
+    *
+    * `Window.orderBy` with no partitionBy moves the ENTIRE dataset into
+    * one partition — the canonical Spark scale killer: at 100 TB that one
+    * task spills forever or OOMs. This operator gets the identical answer
+    * with Spark's global-sort machinery instead: range-repartition on
+    * (order, tie) — one shuffle with sampled boundaries, the same cost
+    * `orderBy` pays — rank within each range partition, then add each
+    * partition's cumulative row-count offset (range id N holds keys
+    * strictly ordered after range N-1, so within-rank + offset = global
+    * rank). The per-range counts are `numRanges` longs on the driver —
+    * bounded, like the k-means centroid pull-down.
+    *
+    * The ranged frame is persisted (and registered with
+    * [[graft.core.CacheRegistry]]) because the counts action and the
+    * result plan must see the SAME sampled range boundaries — consume the
+    * result inside `CacheRegistry.scoped { ... }` like every multi-action
+    * operator here.
+    *
+    * `(orderCol, tieBreak)` must be a total order (unique pairs) for the
+    * rank to be deterministic; NULL ordering follows Spark (nulls first
+    * ascending). */
+  def globalRank(df: DataFrame, orderCol: String, tieBreak: String,
+                 rankCol: String = "rank", numRanges: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(numRanges > 0, s"globalRank: need numRanges > 0, got $numRanges")
+    require(!df.columns.contains(rankCol),
+      s"globalRank: rank column '$rankCol' already exists - pick another name")
+    val ranged = graft.core.CacheRegistry.persist(
+      df.repartitionByRange(numRanges, col(orderCol).asc, col(tieBreak).asc)
+        .withColumn("__range", spark_partition_id()))
+    val counts = ranged.groupBy(col("__range"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, n) =>
+      val o = pid -> acc; acc += n; o
+    }
+    // ≤ numRanges terms: folds into straight-line codegen'd comparisons
+    val offExpr = offsets.foldLeft(lit(0L)) { case (e, (pid, off)) =>
+      when(col("__range") === pid, lit(off)).otherwise(e)
+    }
+    val w = Window.partitionBy(col("__range"))
+      .orderBy(col(orderCol).asc, col(tieBreak).asc)
+    ranged.withColumn(rankCol, row_number().over(w).cast("long") + offExpr)
+      .drop("__range")
+  }
+
   /** Add a `zval` column from two range-bucketed dimensions and lay the
     * data out in z order: range-repartition on `zval` (one shuffle with
     * sampled boundaries) then sort each partition. Writing the result

@@ -48,4 +48,36 @@ class LayoutSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     zs(li) shouldBe zs(li.repartition(13))
   }
+
+  test("globalRank equals the single-partition window rank on randomized data") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    // duplicate scores force the tie-break; ids unique
+    val rows = (1 to 500).map(i => (i.toLong, rnd.nextInt(40)))
+    val df = rows.toDF("id", "score")
+    val got = graft.core.CacheRegistry.scoped {
+      Layout.globalRank(df, "score", "id", "rank", numRanges = 7)
+        .select($"id", $"rank").as[(Long, Long)].collect().toMap
+    }
+    val naive = df.withColumn("rank",
+        row_number().over(Window.orderBy($"score", $"id")).cast("long"))
+      .select($"id", $"rank").as[(Long, Long)].collect().toMap
+    got shouldBe naive
+    // ranks are a permutation of 1..N, not just order-consistent
+    got.values.toSeq.sorted shouldBe (1L to 500L)
+  }
+
+  test("globalRank plans no single-partition exchange and rejects a name clash") {
+    val df = (1 to 100).map(i => (i.toLong, i % 10)).toDF("id", "score")
+    graft.core.CacheRegistry.scoped {
+      val ranked = Layout.globalRank(df, "score", "id", "rank", numRanges = 5)
+      ranked.count()
+      val plan = ranked.queryExecution.executedPlan.toString
+      // the whole point: the window runs per range partition, never on ONE
+      plan should not include "Exchange SinglePartition"
+    }
+    intercept[IllegalArgumentException] {
+      Layout.globalRank(df, "score", "id", rankCol = "score")
+    }
+  }
 }
