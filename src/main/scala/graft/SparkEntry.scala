@@ -841,6 +841,19 @@ object SparkEntry {
       store.overwrite(tmp, cust.where(col("c_custkey") % 3 === 2)) // v2 = current
       store.readVersion(tmp, 1)
     }),
+    // row-level diff between two committed snapshots (the change-data-feed
+    // question from plain versioned manifests): v1→v2 replaced the whole
+    // table, so every v2 row diffs as insert and every v1 row as delete —
+    // the oracle enumerates both sides explicitly
+    "q130_version_diff" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+      val tmp = java.nio.file.Files.createTempDirectory("q130-diff").toString + "/cust"
+      val store = new graft.sources.TableStore(s)
+      store.overwrite(tmp, cust.where(col("c_custkey") % 3 === 0)) // v0
+      store.append(tmp, cust.where(col("c_custkey") % 3 === 1))    // v1
+      store.overwrite(tmp, cust.where(col("c_custkey") % 3 === 2)) // v2
+      store.versionDiff(tmp, 1, 2)
+    }),
     // streaming ingest with inline near-dup rejection, drained over two
     // ordered micro-batches: each batch drops rows with an LSH-verified
     // near-duplicate in the STANDING side (the fixed corpus plus batch 1's
@@ -2775,6 +2788,14 @@ object SparkEntry {
     "q128_time_travel" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_custkey % 3 <> 2""".stripMargin,
+    // q130: the full-replacement diff enumerated — v2's slice inserts,
+    // v1's union deletes
+    "q130_version_diff" ->
+      """SELECT c_custkey, c_name, c_acctbal, 'insert' AS change
+        |FROM customer WHERE c_custkey % 3 = 2
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal, 'delete' AS change
+        |FROM customer WHERE c_custkey % 3 <> 2""".stripMargin,
     // q110: the two-stage incremental semantics spelled out — batch 1 is
     // checked against the fixed corpus; batch 2 against corpus ∪ batch-1
     // survivors; the final table is the union of survivors

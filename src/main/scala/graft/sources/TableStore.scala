@@ -180,6 +180,39 @@ class TableStore(spark: SparkSession) {
       org.apache.spark.sql.graft.ManifestRead.read(spark, dirs, parts)
   }
 
+  /** Roll the table back to a past snapshot (reference Delta `RESTORE`):
+    * `version`'s manifest is re-committed as a NEW version, so history —
+    * including the rolled-back commits — is preserved and the restore is
+    * itself time-travel-able. Data dirs are immutable and shared between
+    * manifests; nothing is copied. Fails like [[readVersion]] if the
+    * target snapshot was vacuumed. */
+  def restore(table: String, version: Long): Long = {
+    readVersion(table, version) // existence + vacuum validation
+    commit(table, manifest(table, version),
+      manifestLines(table, version).filter(_.startsWith("#p ")))
+  }
+
+  /** Row-level diff between two committed snapshots (the Delta change-
+    * data-feed question answered from plain snapshots): rows in `to` but
+    * not `from` marked `insert`, rows in `from` but not `to` marked
+    * `delete`, multiset semantics (`exceptAll` — a row appearing twice in
+    * `to` and once in `from` diffs as one insert). An update shows as
+    * delete + insert of the two row images. Cost is one hash-aggregate
+    * shuffle per side — no driver collection, scales with the table.
+    * Both versions must share a schema (diff across a schema-evolution
+    * boundary is ambiguous — fail loudly instead of NULL-padding). */
+  def versionDiff(table: String, from: Long, to: Long): DataFrame = {
+    val a = readVersion(table, from)
+    val b = readVersion(table, to)
+    require(a.schema == b.schema,
+      s"versionDiff: versions $from and $to of $table have different " +
+        s"schemas (${a.schema.simpleString} vs ${b.schema.simpleString}) - " +
+        "diff within one schema epoch")
+    import org.apache.spark.sql.functions.lit
+    b.exceptAll(a).withColumn("change", lit("insert"))
+      .unionByName(a.exceptAll(b).withColumn("change", lit("delete")))
+  }
+
   /** Version numbers with a manifest on disk, ascending, capped at the
     * committed pointer. A crashed writer's orphan manifest below the
     * pointer can appear here — [[readVersion]] still reads it coherently

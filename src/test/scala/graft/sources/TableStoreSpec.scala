@@ -171,6 +171,40 @@ class TableStoreSpec extends SparkSpec {
     store.readVersion(t2, 0).count() shouldBe 1L
   }
 
+  test("restore rolls back to a past snapshot as a NEW commit, history intact") {
+    val store = new TableStore(spark)
+    val t = tmp() + "/t"
+    store.append(t, Seq((1, "a")).toDF("id", "v"))    // v0
+    store.overwrite(t, Seq((9, "z")).toDF("id", "v")) // v1
+    store.restore(t, 0) shouldBe 2L
+    store.read(t).as[(Int, String)].collect().toSet shouldBe Set((1, "a"))
+    // the rolled-back commit is still in history (restore adds, never erases)
+    store.versions(t) shouldBe Seq(0L, 1L, 2L)
+    store.readVersion(t, 1).as[(Int, String)].collect().toSet shouldBe
+      Set((9, "z"))
+    // vacuum now treats the RESTORED dirs as live and the rollback victim
+    // as dead
+    store.vacuum(t)
+    store.read(t).as[(Int, String)].collect().toSet shouldBe Set((1, "a"))
+    intercept[IllegalStateException] { store.readVersion(t, 1) }
+  }
+
+  test("versionDiff labels inserts/deletes; refuses a schema-epoch boundary") {
+    val store = new TableStore(spark)
+    val t = tmp() + "/t"
+    store.append(t, Seq((1, "a"), (2, "b")).toDF("id", "v"))    // v0
+    store.overwrite(t, Seq((2, "b"), (3, "c")).toDF("id", "v")) // v1
+    store.versionDiff(t, 0, 1).as[(Int, String, String)].collect().toSet shouldBe
+      Set((3, "c", "insert"), (1, "a", "delete"))
+    // symmetric direction swaps the labels; self-diff is empty
+    store.versionDiff(t, 1, 0).where($"change" === "insert").count() shouldBe 1L
+    store.versionDiff(t, 1, 1).count() shouldBe 0L
+    // schema evolution between the versions → loud failure, no NULL-padding
+    store.append(t, Seq((4, "d", "x")).toDF("id", "v", "extra")) // v2
+    val e = intercept[IllegalArgumentException] { store.versionDiff(t, 1, 2) }
+    e.getMessage should include("schema")
+  }
+
   test("a crashed writer's orphan manifest never blocks later commits") {
     val store = new TableStore(spark)
     val t = tmp() + "/t"
