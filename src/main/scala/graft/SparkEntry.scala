@@ -854,6 +854,20 @@ object SparkEntry {
       store.overwrite(tmp, cust.where(col("c_custkey") % 3 === 2)) // v2
       store.versionDiff(tmp, 1, 2)
     }),
+    // k-anonymity audit over demographic quasi-identifiers: cohorts
+    // smaller than k re-identify their members — the privacy CHECK before
+    // releasing user-derived training tables
+    "q131_k_anonymity" -> ((s, dir) =>
+      graft.ops.Quality.kAnonymityAudit(t(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), 10L)),
+    // temperature-scaled source mixture (alpha = 0.3): tail sources keep
+    // everything (rate 1), head sources damp toward the tempered share
+    "q132_temperature_mix" -> ((s, dir) =>
+      graft.ops.Sampling.temperatureMixture(t(s, dir, "documents"), "source", 0.3)),
+    // per-dimension embedding mean/std from ONE pass over the native
+    // vector-sum buffers — the standardization profile; no element explode
+    "q133_dim_stats" -> ((s, dir) =>
+      graft.ops.Embeddings.dimStats(t(s, dir, "embeddings"), "embedding")),
     // streaming ingest with inline near-dup rejection, drained over two
     // ordered micro-batches: each batch drops rows with an LSH-verified
     // near-duplicate in the STANDING side (the fixed corpus plus batch 1's
@@ -2796,6 +2810,37 @@ object SparkEntry {
         |UNION ALL
         |SELECT c_custkey, c_name, c_acctbal, 'delete' AS change
         |FROM customer WHERE c_custkey % 3 <> 2""".stripMargin,
+    "q131_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS group_size,
+        |  count(*) < 10 AS at_risk
+        |FROM customer GROUP BY 1, 2""".stripMargin,
+    // q132: shares are exact integer ratios; pow and the divisions are
+    // single double ops, so 6 dp rounding is engine-stable
+    "q132_temperature_mix" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |           FROM documents GROUP BY 1),
+        |s AS (SELECT source, n_docs,
+        |        CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE) AS p
+        |      FROM c),
+        |t AS (SELECT source, n_docs, p,
+        |        pow(p, 0.3) / sum(pow(p, 0.3)) OVER () AS q
+        |      FROM s)
+        |SELECT source, n_docs, round(p, 6) AS share, round(q, 6) AS temp_share,
+        |  round((q / p) / max(q / p) OVER (), 6) AS sample_rate
+        |FROM t""".stripMargin,
+    // q133: squares in FLOAT (the storage precision, matching the Spark
+    // kernel), accumulation in DOUBLE; variance via the clamped
+    // sum-of-squares identity on both engines
+    "q133_dim_stats" ->
+      """WITH m AS (
+        |  SELECT unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |    unnest(list_transform(embedding, x -> CAST(x * x AS DOUBLE))) AS v2,
+        |    unnest(generate_series(0, len(embedding) - 1)) AS dim
+        |  FROM embeddings WHERE embedding IS NOT NULL)
+        |SELECT dim, round(avg(v), 6) AS mean_val,
+        |  round(sqrt(greatest(
+        |    sum(v2) / count(*) - avg(v) * avg(v), 0.0)), 6) AS std_val
+        |FROM m GROUP BY dim""".stripMargin,
     // q110: the two-stage incremental semantics spelled out — batch 1 is
     // checked against the fixed corpus; batch 2 against corpus ∪ batch-1
     // survivors; the final table is the union of survivors

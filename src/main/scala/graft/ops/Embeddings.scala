@@ -92,6 +92,63 @@ object Embeddings {
       .withColumn("mean_val", round(col("mean_val"), 6))
   }
 
+  /** Per-dimension corpus statistics of an embedding column: mean and
+    * population standard deviation per dim, the profile behind
+    * [[standardize]] (and the drift check between two embedding builds).
+    * Output: (dim, mean_val, std_val), 6 dp.
+    *
+    * Scale shape: ONE global aggregate over two native double-accumulating
+    * vector-sum buffers (Σv and Σv² — see
+    * [[org.apache.spark.sql.graft.FloatVectorSumAgg]]); no per-element
+    * explode, the vectors never shuffle. Squares are computed in FLOAT
+    * (the storage precision, matching engines that square REALs natively)
+    * and accumulated in DOUBLE; variance uses the Σv²/n − mean² identity
+    * clamped at 0 against fp cancellation. Null vectors are skipped on
+    * both the sums and the divisor. */
+  def dimStats(emb: DataFrame, vecCol: String): DataFrame = {
+    import graft.functions.VectorFunctions.vectorSumF
+    emb.agg(
+        vectorSumF(col(vecCol)).as("__s"),
+        vectorSumF(zip_with(col(vecCol), col(vecCol), (a, b) => a * b)).as("__s2"),
+        count(col(vecCol)).as("__n"))
+      .select(posexplode(zip_with(col("__s"), col("__s2"), (s, s2) => {
+        val m = s / col("__n")
+        struct(m.as("m"),
+          sqrt(greatest(s2 / col("__n") - m * m, lit(0.0))).as("sd"))
+      })).as(Seq("dim", "__st")))
+      .select(col("dim"),
+        round(col("__st.m"), 6).as("mean_val"),
+        round(col("__st.sd"), 6).as("std_val"))
+  }
+
+  /** Z-score the embedding column against [[dimStats]]: per dim,
+    * `(x − mean) / std` (a zero-variance dim maps to 0 instead of ±inf) —
+    * the standardization pass run before distance-based ops (k-means,
+    * IVF, MAD-style outlier flags) so no high-variance dim dominates.
+    *
+    * The d (mean, std) pairs are pulled to the driver — bounded exactly
+    * like the k-means centroid pull-down — rounded to 6 dp, and pushed
+    * back as LITERAL arrays, so the per-row rescale is a codegen'd
+    * scan-stage transform with no join and no second shuffle. Stats and
+    * data deliberately come from the same frame; pass a precomputed
+    * frame for train-stats-on-eval application via `statsFrom`. */
+  def standardize(emb: DataFrame, idCol: String, vecCol: String,
+                  statsFrom: Option[DataFrame] = None): DataFrame = {
+    val stats = statsFrom.getOrElse(dimStats(emb, vecCol))
+      .select(col("dim"), col("mean_val"), col("std_val"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(stats.nonEmpty, "standardize: no non-null vectors to profile")
+    val means = array(stats.map(s => lit(s._2)): _*)
+    val stds = array(stats.map(s => lit(s._3)): _*)
+    emb.select(col(idCol),
+      transform(col(vecCol), (x, i) =>
+        when(element_at(stds, i + 1) =!= 0.0,
+          round((x.cast("double") - element_at(means, i + 1)) /
+            element_at(stds, i + 1), 6))
+          .otherwise(lit(0.0))).as("zvec"))
+  }
+
   /** Per-label embedding outliers: each vector's cosine to its own label's
     * centroid, flagging rows below `minCos` — the label-QA pass that
     * surfaces mislabeled or corrupt embeddings before they poison

@@ -68,6 +68,25 @@ object Quality {
         col("n_orphans").cast("double") / col("n_child").cast("double"))
   }
 
+  /** k-anonymity audit over quasi-identifier columns: one row per
+    * observed quasi-identifier combination with its `group_size` and
+    * `at_risk = group_size < k` — a combination shared by fewer than `k`
+    * rows re-identifies its members, the privacy CHECK a training-data
+    * pipeline runs before releasing user-derived tables. NULL counts as
+    * a quasi-identifier value (a NULL nationality is still a cohort).
+    *
+    * Scale shape: ONE hash-aggregate shuffle on the quasi-identifier
+    * key with map-side partials — the same cost as any distinct count;
+    * output cardinality is the number of distinct combinations, not the
+    * row count. */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymityAudit: need quasi-identifier columns")
+    require(k >= 2, s"kAnonymityAudit: k < 2 flags nothing, got $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"))
+      .withColumn("at_risk", col("group_size") < k)
+  }
+
   /** Fixed-width histogram of a numeric column over [lo, hi): bucket
     * index, row count, and observed min/max per bucket. Out-of-range
     * values saturate into the edge buckets (so the histogram always

@@ -131,6 +131,45 @@ object Sampling {
           .as("epochs"))
   }
 
+  /** Temperature-scaled source mixture (the multilingual/source sampling
+    * rule popularized by XLM-R/mT5): raw share `p_i = n_i / N`, tempered
+    * target share `q_i = p_i^alpha / Σ p_j^alpha`, and
+    * `sample_rate = (q_i/p_i) / max_j(q_j/p_j)` — relative up-weights
+    * normalized so the MOST up-weighted (smallest) source keeps every
+    * row and all rates stay ≤ 1. `alpha = 1` reproduces the natural mix
+    * (all rates 1); `alpha = 0` targets the uniform mix; in between,
+    * head sources are damped and tail sources promoted — the standard
+    * low-resource-language boost.
+    *
+    * Engine-exact: shares are ratios of exact integer counts, `pow` and
+    * the divisions are single IEEE double operations rounded to 6 dp.
+    * Scale shape: one hash-agg on the source, then arithmetic over
+    * |sources| rows joined via tiny broadcast totals — the corpus moves
+    * once; feed the rates to [[rebalanceToWeights]]-style md5 gating to
+    * materialize the sample. */
+  def temperatureMixture(df: DataFrame, srcCol: String, alpha: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0,
+      s"temperatureMixture: need 0 <= alpha <= 1, got $alpha")
+    val counts = graft.core.CacheRegistry.persist(
+      df.groupBy(srcCol).agg(count(lit(1)).as("n_docs")))
+    val tot = counts.agg(sum("n_docs").cast("double").as("__tot"))
+    val shared = graft.core.CacheRegistry.persist(
+      counts.crossJoin(broadcast(tot))
+        .withColumn("__p", col("n_docs").cast("double") / col("__tot"))
+        .withColumn("__pa", pow(col("__p"), alpha)))
+    val ptot = shared.agg(sum("__pa").as("__ptot"))
+    val scored = graft.core.CacheRegistry.persist(
+      shared.crossJoin(broadcast(ptot))
+        .withColumn("__q", col("__pa") / col("__ptot"))
+        .withColumn("__r", col("__q") / col("__p")))
+    val rmax = scored.agg(max("__r").as("__rmax"))
+    scored.crossJoin(broadcast(rmax))
+      .select(col(srcCol), col("n_docs"),
+        round(col("__p"), 6).as("share"),
+        round(col("__q"), 6).as("temp_share"),
+        round(col("__r") / col("__rmax"), 6).as("sample_rate"))
+  }
+
   /** Keep at most `k` rows per value of `strataCol`, chosen by md5-of-id
     * order — the "cap documents per domain" move that stops one crawl
     * host from dominating a corpus. Deterministic: the md5 order is a

@@ -271,6 +271,47 @@ class EmbeddingsSpec extends SparkSpec {
     (recalls.sum / recalls.size) should be > 0.15
   }
 
+  test("dimStats: exact micro case; real-table agreement with stddev_pop") {
+    val d = Seq((1L, Array(1f, 10f)), (3L, Array(3f, 10f))).toDF("id", "vec")
+    Embeddings.dimStats(d, "vec").as[(Int, Double, Double)]
+      .collect().sortBy(_._1) shouldBe Array((0, 2.0, 1.0), (1, 10.0, 0.0))
+    val emb = graft.core.Tables.table(spark, sf0001, "embeddings")
+    val got = Embeddings.dimStats(emb, "embedding")
+      .as[(Int, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    // reference: double-domain explode+stddev_pop (different squaring
+    // precision, so tolerance, not equality)
+    val exp = emb.where($"embedding".isNotNull)
+      .select(posexplode($"embedding").as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg(avg($"v".cast("double")).as("m"),
+        stddev_pop($"v".cast("double")).as("sd"))
+      .as[(Int, Double, Double)].collect()
+    exp.length shouldBe got.size
+    exp.foreach { case (dim, m, sd) =>
+      got(dim)._1 shouldBe (m +- 1e-4)
+      got(dim)._2 shouldBe (sd +- 1e-4)
+    }
+  }
+
+  test("standardize z-scores per dim; zero-variance dims map to 0, not inf") {
+    val d = Seq((1L, Array(1f, 10f)), (3L, Array(3f, 10f))).toDF("id", "vec")
+    val z = Embeddings.standardize(d, "id", "vec")
+      .as[(Long, Seq[Double])].collect().toMap
+    z(1L) shouldBe Seq(-1.0, 0.0)
+    z(3L) shouldBe Seq(1.0, 0.0)
+    // standardizing the standardized output is a fixed point: mean 0, std 1
+    // (up to the 6 dp the op rounds at) on every non-degenerate dim
+    val emb = graft.core.Tables.table(spark, sf0001, "embeddings")
+    val zz = Embeddings.standardize(emb, "vec_id", "embedding")
+      .withColumn("zvec", transform($"zvec", x => x.cast("float")))
+    Embeddings.dimStats(zz, "zvec").as[(Int, Double, Double)].collect()
+      .foreach { case (_, m, sd) =>
+        m shouldBe (0.0 +- 1e-3)
+        sd shouldBe (1.0 +- 1e-3)
+      }
+  }
+
   private implicit class TripleOps(rows: Array[(Long, Double, Array[Int])]) {
     def toMap2: Map[Long, (Double, Array[Int])] =
       rows.map { case (id, s, q) => id -> (s, q) }.toMap

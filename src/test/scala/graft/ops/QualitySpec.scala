@@ -111,4 +111,23 @@ class QualitySpec extends SparkSpec {
       .where($"distinct_ngram_ratio" =!= $"r2").count()
     repMismatch shouldBe 0L
   }
+
+  test("kAnonymityAudit: group sizes exact, at_risk below k, NULL is a cohort") {
+    val d = Seq(
+      (Some("US"), "M"), (Some("US"), "M"), (Some("US"), "M"),
+      (Some("US"), "F"), (Some("US"), "F"),
+      (None, "M"), (None, "M")
+    ).toDF("country", "seg")
+    val r = Quality.kAnonymityAudit(d, Seq("country", "seg"), 3L)
+      .as[(Option[String], String, Long, Boolean)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    r((Some("US"), "M")) shouldBe ((3L, false))
+    r((Some("US"), "F")) shouldBe ((2L, true))
+    // NULL quasi-identifier values still form (and expose) a cohort
+    r((None, "M")) shouldBe ((2L, true))
+    an[IllegalArgumentException] should be thrownBy
+      Quality.kAnonymityAudit(d, Seq.empty, 3L)
+    an[IllegalArgumentException] should be thrownBy
+      Quality.kAnonymityAudit(d, Seq("country"), 1L)
+  }
 }

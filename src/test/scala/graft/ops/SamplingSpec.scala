@@ -143,4 +143,30 @@ class SamplingSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Sampling.tokenBudgetPlan(d, "src", "n_tok", Seq("web" -> 1.0), 0L)
   }
+
+  test("temperatureMixture: alpha=1 is the natural mix, alpha=0 targets uniform, " +
+    "the smallest source always keeps rate 1") {
+    // 80/15/5 split over 3 sources
+    val d = ((1 to 80).map(_ => "head") ++ (1 to 15).map(_ => "mid") ++
+      (1 to 5).map(_ => "tail")).toDF("src")
+    def mix(alpha: Double) = graft.core.CacheRegistry.scoped {
+      Sampling.temperatureMixture(d, "src", alpha)
+        .as[(String, Long, Double, Double, Double)].collect()
+        .map(t => t._1 -> t).toMap
+    }
+    val natural = mix(1.0)
+    natural.values.foreach(_._5 shouldBe 1.0) // q == p -> every rate 1
+    natural("head")._3 shouldBe 0.8
+    val uniform = mix(0.0)
+    uniform.values.foreach(_._4 shouldBe (1.0 / 3 +- 1e-6)) // temp_share uniform
+    uniform("tail")._5 shouldBe 1.0
+    // head keeps 5/80 of the uniform target relative to tail's full keep
+    uniform("head")._5 shouldBe (0.0625 +- 1e-6)
+    val damped = mix(0.3)
+    damped("tail")._5 shouldBe 1.0
+    // monotone: tempering never up-weights the head above the tail
+    damped("head")._5 should be < damped("mid")._5
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.temperatureMixture(d, "src", 1.5)
+  }
 }
