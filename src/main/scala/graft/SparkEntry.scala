@@ -669,6 +669,31 @@ object SparkEntry {
         .withColumn("last_order_date", col("order_ts"))
       Joins.asOfJoin(ev, ord, "user_id", "ts", "order_ts", 7L * 24 * 3600 * 1000000L)
     }),
+    // forward as-of: each event joined to the customer's EARLIEST order
+    // at-or-after it (the "next action" lookup) — same sort-once carry,
+    // reversed walk
+    "q134_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select("event_id", "ts", "user_id")
+      val ord = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("user_id"),
+          col("o_orderdate").cast("timestamp").as("order_ts"))
+        .agg(max("o_orderkey").as("next_orderkey"))
+        .withColumn("next_order_date", col("order_ts"))
+      Joins.asOfJoin(ev, ord, "user_id", "ts", "order_ts",
+        direction = "forward")
+    }),
+    // nearest as-of: whichever of the prior/next order is closer in time
+    // (tie -> prior); both carries run over ONE shuffle partitioning
+    "q135_asof_nearest" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select("event_id", "ts", "user_id")
+      val ord = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("user_id"),
+          col("o_orderdate").cast("timestamp").as("order_ts"))
+        .agg(max("o_orderkey").as("near_orderkey"))
+        .withColumn("near_order_date", col("order_ts"))
+      Joins.asOfJoin(ev, ord, "user_id", "ts", "order_ts",
+        direction = "nearest")
+    }),
     // semi-join reduction: bloom over the filtered suppliers' keys deletes
     // non-matching lineitem rows before the shuffle; result == plain join
     "q125_bloom_join" -> ((s, dir) => {
@@ -2037,6 +2062,36 @@ object SparkEntry {
         |  CASE WHEN epoch_us(ts) - epoch_us(order_ts) <= 604800000000 THEN last_orderkey END AS last_orderkey,
         |  CASE WHEN epoch_us(ts) - epoch_us(order_ts) <= 604800000000 THEN order_ts END AS last_order_date
         |FROM m""".stripMargin,
+    // q134: DuckDB's ASOF with <= IS the forward direction
+    "q134_asof_forward" ->
+      """WITH r AS (
+        |  SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS order_ts,
+        |    max(o_orderkey) AS next_orderkey
+        |  FROM orders GROUP BY 1, 2),
+        |l AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id FROM events)
+        |SELECT l.user_id, l.event_id, l.ts,
+        |  r.next_orderkey, r.order_ts AS next_order_date
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.order_ts""".stripMargin,
+    // q135: both ASOF directions materialized per event, then the closer
+    // match chosen with the documented tie -> backward rule
+    "q135_asof_nearest" ->
+      """WITH r AS (
+        |  SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS order_ts,
+        |    max(o_orderkey) AS near_orderkey
+        |  FROM orders GROUP BY 1, 2),
+        |l AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+        |b AS (SELECT l.event_id, r.near_orderkey AS bk, r.order_ts AS bt
+        |      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.order_ts),
+        |f AS (SELECT l.event_id, r.near_orderkey AS fk, r.order_ts AS ft
+        |      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.order_ts)
+        |SELECT l.user_id, l.event_id, l.ts,
+        |  CASE WHEN bt IS NOT NULL AND (ft IS NULL
+        |         OR epoch_us(l.ts) - epoch_us(bt) <= epoch_us(ft) - epoch_us(l.ts))
+        |    THEN bk ELSE fk END AS near_orderkey,
+        |  CASE WHEN bt IS NOT NULL AND (ft IS NULL
+        |         OR epoch_us(l.ts) - epoch_us(bt) <= epoch_us(ft) - epoch_us(l.ts))
+        |    THEN bt ELSE ft END AS near_order_date
+        |FROM l JOIN b USING (event_id) JOIN f USING (event_id)""".stripMargin,
     // q125: the bloom prefilter admits false positives ONLY, so the result
     // is the plain inner join — which IS the oracle
     "q125_bloom_join" ->

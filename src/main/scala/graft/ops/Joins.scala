@@ -12,38 +12,51 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
-  /** As-of join: for every left row, attach the single latest right row
-    * whose `rightTime` ≤ the left row's `leftTime`, per `key` — the
-    * point-in-time lookup (trades⋈quotes, events⋈latest-prior-order) that
-    * Spark has no built-in operator for.
+  /** As-of join: for every left row, attach the single nearest right row
+    * per `key` in the requested `direction` — the point-in-time lookup
+    * (trades⋈quotes, events⋈latest-prior-order) that Spark has no
+    * built-in operator for. Directions (pandas `merge_asof` semantics):
+    * `backward` (default) takes the latest right with
+    * `rightTime` ≤ `leftTime`, `forward` the earliest right with
+    * `rightTime` ≥ `leftTime`, `nearest` whichever of the two is closer
+    * in time (exact tie → the backward match).
     *
     * Composed Spark-first instead of an inequality join: both sides union
     * into one tagged stream, shuffle+sort ONCE on (key, time, side), and a
     * running last-non-null window carries the latest right payload forward
-    * into each left row. An inequality join would plan a per-key range
+    * into each left row (`forward` runs the same carry over the reversed
+    * sort; `nearest` runs both — two sort passes, same single shuffle
+    * partitioning). An inequality join would plan a per-key range
     * join — quadratic on a hot key; this is the sort-once linear shape a
     * native as-of physical operator uses, and it scales with the shuffle.
     *
-    * Left rows with no prior right row keep null right columns (left-outer
-    * semantics). A right row AT the left timestamp matches (≤). Right rows
-    * must be unique per (key, time) — pre-aggregate if they are not, or
-    * the winner among equal timestamps is undefined.
+    * Left rows with no matching right row keep null right columns
+    * (left-outer semantics). A right row AT the left timestamp matches
+    * in every direction. Right rows must be unique per (key, time) —
+    * pre-aggregate if they are not, or the winner among equal timestamps
+    * is undefined.
     *
     * Contract (enforced): the right side must carry at least one payload
     * column beyond (key, rightTime), and payload names must not collide
     * with left column names — a silent duplicate output column would make
-    * every downstream select ambiguous. */
+    * every downstream select ambiguous. A staleness `toleranceUs` or
+    * `direction = "nearest"` needs TIMESTAMP time columns (both subtract
+    * exact microseconds). */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
-               toleranceUs: Long = Long.MaxValue): DataFrame = {
+               toleranceUs: Long = Long.MaxValue,
+               direction: String = "backward"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(toleranceUs >= 0,
       s"asOfJoin: tolerance must be non-negative, got $toleranceUs")
-    if (toleranceUs != Long.MaxValue) {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"asOfJoin: unknown direction '$direction' (backward|forward|nearest)")
+    if (toleranceUs != Long.MaxValue || direction == "nearest") {
       import org.apache.spark.sql.types.TimestampType
       require(left.schema(leftTime).dataType == TimestampType &&
         right.schema(rightTime).dataType == TimestampType,
-        "asOfJoin: a staleness tolerance needs TIMESTAMP time columns " +
+        "asOfJoin: a staleness tolerance or direction=nearest needs " +
+          "TIMESTAMP time columns " +
           s"(got ${left.schema(leftTime).dataType} / ${right.schema(rightTime).dataType})")
     }
     val rPayload = right.columns.filterNot(c => c == key || c == rightTime).toSeq
@@ -59,20 +72,40 @@ object Joins {
       struct(rPayload.map(col): _*).as("__rv"), lit(0).as("__side"))
     val l = left.select(col(key), col(leftTime).as("__t"),
       struct(lCols.map(col): _*).as("__lv"), lit(1).as("__side"))
-    // side 0 (right) sorts before side 1 (left) at equal times → "≤" match
-    val w = Window.partitionBy(key).orderBy(col("__t").asc, col("__side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val union = r.unionByName(l, allowMissingColumns = true)
+    // side 0 (right) sorts before side 1 (left) at equal times, in BOTH
+    // sort orders → a right row at the left timestamp matches everywhere.
+    // Walking ascending, the carry is the latest right ≤ t; walking
+    // descending, it is the earliest right ≥ t.
+    def carry(descending: Boolean, rv: String, rt: String)(df: DataFrame) = {
+      val t = if (descending) col("__t").desc else col("__t").asc
+      val w = Window.partitionBy(key).orderBy(t, col("__side").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn(rv, last(col("__rv"), ignoreNulls = true).over(w))
+        .withColumn(rt,
+          last(when(col("__side") === 0, col("__t")), ignoreNulls = true).over(w))
+    }
+    val carried = direction match {
+      case "backward" => carry(descending = false, "__r", "__rt")(union)
+      case "forward"  => carry(descending = true, "__r", "__rt")(union)
+      case "nearest" =>
+        val both = carry(descending = true, "__rf", "__rft")(
+          carry(descending = false, "__rb", "__rbt")(union))
+        val db = unix_micros(col("__t")) - unix_micros(col("__rbt"))
+        val dfw = unix_micros(col("__rft")) - unix_micros(col("__t"))
+        val back = col("__rbt").isNotNull && (col("__rft").isNull || db <= dfw)
+        both.withColumn("__r", when(back, col("__rb")).otherwise(col("__rf")))
+          .withColumn("__rt", when(back, col("__rbt")).otherwise(col("__rft")))
+    }
     // the carried right TIMESTAMP enforces the optional staleness bound
-    // (pandas merge_asof `tolerance`): a match older than toleranceUs µs
-    // nulls the payload, keeping left-outer row semantics
+    // (pandas merge_asof `tolerance`): a match farther than toleranceUs µs
+    // nulls the payload, keeping left-outer row semantics. abs() makes the
+    // same bound serve every direction.
     val fresh =
       if (toleranceUs == Long.MaxValue) lit(true)
       else col("__rt").isNotNull &&
-        unix_micros(col("__t")) - unix_micros(col("__rt")) <= toleranceUs
-    r.unionByName(l, allowMissingColumns = true)
-      .withColumn("__r", last(col("__rv"), ignoreNulls = true).over(w))
-      .withColumn("__rt",
-        last(when(col("__side") === 0, col("__t")), ignoreNulls = true).over(w))
+        abs(unix_micros(col("__t")) - unix_micros(col("__rt"))) <= toleranceUs
+    carried
       .where(col("__side") === 1)
       .select(col(key) +:
         (lCols.map(c => col(s"__lv.$c").as(c)) ++

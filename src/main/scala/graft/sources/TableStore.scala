@@ -290,12 +290,23 @@ class TableStore(spark: SparkSession) {
   def manifestDirs(table: String): Int =
     currentVersion(table).map(v => manifest(table, v).size).getOrElse(0)
 
-  /** Drop data dirs no longer referenced by the current manifest (vacuum). */
-  def vacuum(table: String): Unit = {
+  /** Drop data dirs not referenced by any of the newest `keepVersions`
+    * committed manifests (Delta `VACUUM`'s retention window, counted in
+    * versions instead of hours — deterministic for tests and replays).
+    * The default keeps only the current snapshot; pass more to retain a
+    * [[readVersion]]/[[restore]] horizon. Manifests are never deleted
+    * (Delta keeps its whole log too): an out-of-window version stays in
+    * [[versions]] and fails LOUDLY on read, and any version whose dirs
+    * are all inside the window — e.g. every ancestor in an append-only
+    * history — stays readable for free. */
+  def vacuum(table: String, keepVersions: Int = 1): Unit = {
+    require(keepVersions >= 1,
+      s"vacuum: need keepVersions >= 1, got $keepVersions")
     val tp = new Path(table)
     val f = fs(tp)
-    currentVersion(table).foreach { v =>
-      val live = manifest(table, v).toSet
+    currentVersion(table).foreach { _ =>
+      val live = versions(table).takeRight(keepVersions)
+        .flatMap(v => manifest(table, v)).toSet
       f.listStatus(tp).foreach { st =>
         val n = st.getPath.getName
         if (n.startsWith("data-") && !live.contains(n))

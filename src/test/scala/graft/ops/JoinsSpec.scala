@@ -131,6 +131,58 @@ class JoinsSpec extends SparkSpec {
     gotR shouldBe naive
   }
 
+  test("asOfJoin forward/nearest match the naive definitions on randomized data") {
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(
+      Timestamp.valueOf("2024-01-01 00:00:00").getTime + min * 60000L)
+    val rnd = new scala.util.Random(23)
+    val rRows = (1 to 40).map(i => (rnd.nextInt(3).toLong, ts(rnd.nextInt(500)), s"v$i"))
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique (key, time)
+    val lRows = (1 to 60).map(i => (rnd.nextInt(3).toLong, i.toLong, ts(rnd.nextInt(500))))
+    val lDf = lRows.toDF("k", "id", "lt")
+    val rDf = rRows.toDF("k", "rt", "v")
+    val fwd = Joins.asOfJoin(lDf, rDf, "k", "lt", "rt", direction = "forward")
+      .select($"id", $"v").as[(Long, Option[String])].collect().toMap
+    val fwdNaive = lRows.map { case (k, id, lt) =>
+      id -> rRows.filter(r => r._1 == k && !r._2.before(lt))
+        .sortBy(_._2.getTime).headOption.map(_._3)
+    }.toMap
+    fwd shouldBe fwdNaive
+    // forward tolerance bounds the look-AHEAD distance
+    val tol = 30L * 60 * 1000000L
+    val fwdTol = Joins.asOfJoin(lDf, rDf, "k", "lt", "rt", tol, "forward")
+      .select($"id", $"v").as[(Long, Option[String])].collect().toMap
+    val fwdTolNaive = lRows.map { case (k, id, lt) =>
+      id -> rRows.filter(r => r._1 == k && !r._2.before(lt))
+        .sortBy(_._2.getTime).headOption
+        .filter(_._2.getTime - lt.getTime <= 30L * 60000L).map(_._3)
+    }.toMap
+    fwdTol shouldBe fwdTolNaive
+    val near = Joins.asOfJoin(lDf, rDf, "k", "lt", "rt", direction = "nearest")
+      .select($"id", $"v").as[(Long, Option[String])].collect().toMap
+    val nearNaive = lRows.map { case (k, id, lt) =>
+      val back = rRows.filter(r => r._1 == k && !r._2.after(lt))
+        .sortBy(_._2.getTime).lastOption
+      val fw = rRows.filter(r => r._1 == k && !r._2.before(lt))
+        .sortBy(_._2.getTime).headOption
+      val chosen = (back, fw) match {
+        case (Some(b), Some(f)) => // exact tie -> backward, as documented
+          if (lt.getTime - b._2.getTime <= f._2.getTime - lt.getTime) Some(b)
+          else Some(f)
+        case (b, f) => b.orElse(f)
+      }
+      id -> chosen.map(_._3)
+    }.toMap
+    near shouldBe nearNaive
+    an[IllegalArgumentException] should be thrownBy
+      Joins.asOfJoin(lDf, rDf, "k", "lt", "rt", direction = "sideways")
+    // nearest needs timestamps (it subtracts exact microseconds)
+    an[IllegalArgumentException] should be thrownBy
+      Joins.asOfJoin(Seq((1L, 1L, 5L)).toDF("k", "id", "lt"),
+        Seq((1L, 3L, "v")).toDF("k", "rt", "v"),
+        "k", "lt", "rt", direction = "nearest")
+  }
+
   test("asOfJoin with a finite tolerance requires TIMESTAMP time columns") {
     // long-typed time columns are fine without a tolerance...
     val left = Seq((1L, 10L, 5L)).toDF("k", "id", "lt")

@@ -171,6 +171,22 @@ class TableStoreSpec extends SparkSpec {
     store.readVersion(t2, 0).count() shouldBe 1L
   }
 
+  test("vacuum with a retention window keeps that many snapshots readable") {
+    val store = new TableStore(spark)
+    val t = tmp() + "/t"
+    store.overwrite(t, Seq((1, "a")).toDF("id", "v")) // v0
+    store.overwrite(t, Seq((2, "b")).toDF("id", "v")) // v1
+    store.overwrite(t, Seq((3, "c")).toDF("id", "v")) // v2
+    store.vacuum(t, keepVersions = 2)
+    // v1 and v2 survive; v0's dirs are gone but its manifest stays listed
+    store.readVersion(t, 1).as[(Int, String)].collect().toSet shouldBe Set((2, "b"))
+    store.readVersion(t, 2).as[(Int, String)].collect().toSet shouldBe Set((3, "c"))
+    store.versions(t) shouldBe Seq(0L, 1L, 2L)
+    intercept[IllegalStateException] { store.readVersion(t, 0) }
+      .getMessage should include("vacuumed")
+    an[IllegalArgumentException] should be thrownBy store.vacuum(t, 0)
+  }
+
   test("restore rolls back to a past snapshot as a NEW commit, history intact") {
     val store = new TableStore(spark)
     val t = tmp() + "/t"
