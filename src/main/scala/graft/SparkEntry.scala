@@ -694,6 +694,33 @@ object SparkEntry {
       Joins.asOfJoin(ev, ord, "user_id", "ts", "order_ts",
         direction = "nearest")
     }),
+    // DSIR importance weights: raw pool = the whole corpus, target = the
+    // first three sources standing in for a curated reference corpus;
+    // 256 hashed-unigram buckets
+    "q136_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Sampling.dsirWeights(docs,
+        docs.where(col("source").isin("src0", "src1", "src2")),
+        "doc_id", "text", 256)
+    }),
+    // retrieval-eval metrics over a deterministic ranked run: each user's
+    // events ranked by value (the "ranker"), purchases grade 2 and
+    // clicks grade 1 (the "judgments"); metrics at k = 5
+    "q137_ranking_metrics" -> ((s, dir) => {
+      val runs = t(s, dir, "events")
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+            .orderBy(col("value").desc, col("event_id"))))
+        .withColumn("rel",
+          when(col("event_type") === "purchase", 2)
+            .when(col("event_type") === "click", 1).otherwise(0))
+      graft.ops.Corpus.rankingMetrics(runs, "user_id", "rank", "rel", 5)
+    }),
+    // group-aware k-fold: every document of a source shares a fold, so
+    // eval folds never see a training source
+    "q138_group_kfold" -> ((s, dir) =>
+      Sampling.groupKFold(
+        t(s, dir, "documents").select("doc_id", "source"), "source", 5)),
     // semi-join reduction: bloom over the filtered suppliers' keys deletes
     // non-matching lineitem rows before the shuffle; result == plain join
     "q125_bloom_join" -> ((s, dir) => {
@@ -2927,6 +2954,69 @@ object SparkEntry {
          |UNION ALL
          |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
          |  TRUE, TIMESTAMP '2026-02-01 00:00:00', NULL
-         |FROM ins""".stripMargin
+         |FROM ins""".stripMargin,
+    // q136: hashed-unigram bucket histograms on both corpora, add-one
+    // smoothed log-likelihood ratios per bucket, per-doc token-count-
+    // weighted sum — ln ulps and summation order wash out at 6 dp
+    "q136_dsir_weights" ->
+      s"""WITH rawterm AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |rawt AS (
+         |  SELECT doc_id, ${md5ModSql("term", 256)} AS b FROM rawterm),
+         |tgtt AS (
+         |  SELECT ${md5ModSql("term", 256)} AS b
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS term
+         |        FROM documents WHERE source IN ('src0', 'src1', 'src2'))),
+         |rb AS (SELECT b, count(*) AS rn FROM rawt GROUP BY 1),
+         |tb AS (SELECT b, count(*) AS tn FROM tgtt GROUP BY 1),
+         |tots AS (SELECT (SELECT sum(rn) FROM rb) AS rt, (SELECT sum(tn) FROM tb) AS tt),
+         |l AS (
+         |  SELECT rb.b,
+         |    ln((COALESCE(tb.tn, 0) + 1.0) / (tots.tt + 256.0))
+         |      - ln((rb.rn + 1.0) / (tots.rt + 256.0)) AS lr
+         |  FROM rb LEFT JOIN tb USING (b) CROSS JOIN tots)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  round(sum(lr), 6) AS log_weight,
+         |  round(sum(lr) / count(*), 6) AS avg_log_ratio
+         |FROM rawt JOIN l USING (b)
+         |GROUP BY doc_id""".stripMargin,
+    // q137: same run + judgments in SQL; DCG and ideal DCG rounded at
+    // 6 dp before the ratio, mirroring the Spark side exactly
+    "q137_ranking_metrics" ->
+      """WITH runs AS (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY value DESC NULLS LAST, event_id) AS rank,
+        |    CASE WHEN event_type = 'purchase' THEN 2
+        |         WHEN event_type = 'click' THEN 1 ELSE 0 END AS rel
+        |  FROM events),
+        |ir AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |                               ORDER BY rel DESC, rank) AS ideal
+        |  FROM runs)
+        |SELECT user_id,
+        |  CAST(count(*) AS BIGINT) AS n_results,
+        |  CAST(count(*) FILTER (rel > 0) AS BIGINT) AS n_rel,
+        |  CASE WHEN count(*) FILTER (rel > 0) = 0 THEN 0.0
+        |       ELSE CAST(1.0 AS DOUBLE) / min(rank) FILTER (rel > 0)
+        |       END AS reciprocal_rank,
+        |  CAST(count(*) FILTER (rel > 0 AND rank <= 5) AS DOUBLE) / 5 AS precision_at_k,
+        |  CASE WHEN count(*) FILTER (rel > 0) = 0 THEN 0.0
+        |       ELSE CAST(count(*) FILTER (rel > 0 AND rank <= 5) AS DOUBLE)
+        |            / count(*) FILTER (rel > 0) END AS recall_at_k,
+        |  CASE WHEN count(*) FILTER (rel > 0) = 0 THEN 0.0
+        |       ELSE round(
+        |         round(sum(CASE WHEN rank <= 5
+        |                        THEN CAST(rel AS DOUBLE) / log2(rank + 1.0)
+        |                        ELSE 0.0 END), 6)
+        |         / round(sum(CASE WHEN ideal <= 5
+        |                          THEN CAST(rel AS DOUBLE) / log2(ideal + 1.0)
+        |                          ELSE 0.0 END), 6), 6) END AS ndcg_at_k
+        |FROM ir GROUP BY user_id""".stripMargin,
+    // q138: the fold is a pure function of the GROUP key
+    "q138_group_kfold" ->
+      s"""SELECT doc_id, source,
+         |  CAST(${md5ModSql("source", 5)} AS BIGINT) AS fold
+         |FROM documents""".stripMargin
   )
 }

@@ -393,4 +393,59 @@ object Corpus {
       .select(col(idCol), col("term"), col("tf"), col("df_docs"), col("tfidf"),
         col("rk").cast("long").as("rk"))
   }
+
+  /** Offline ranking-quality metrics over a table of ranked results with
+    * graded relevance — the evaluation side of the retrieval stack
+    * ([[bm25]], [[hybridRrf]], [[Similarity]] ANN): per query,
+    * reciprocal rank of the first relevant hit (MRR's summand),
+    * precision@k / recall@k, and nDCG@k with linear gain
+    * `rel / log2(rank + 1)` against the query's own ideal ordering.
+    * Macro-averaging across queries is one more tiny aggregate the
+    * caller owns (per-query rows are what you drill into when a ranker
+    * regresses). A query with no relevant results scores 0 everywhere
+    * (not NULL — absent relevance is a finding, not a missing value).
+    *
+    * `rankCol` must hold each query's 1-based ranks; `relCol` is a
+    * non-negative grade (0 = irrelevant, higher = better).
+    *
+    * Engine-exact: counts and rank minima are integers; each metric is a
+    * handful of IEEE divisions, with the two log-sums (DCG and the
+    * ideal DCG) rounded at 6 dp — the one place summation order and
+    * `log` ulps could diverge across engines. Scale shape: ONE shuffle
+    * on the query key — the ideal ordering is a window over it, and the
+    * final aggregate reuses the exchange (same key, no second shuffle);
+    * nothing is ever globally sorted and no list is collected. */
+  def rankingMetrics(runs: DataFrame, queryCol: String, rankCol: String,
+                     relCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"rankingMetrics: need k >= 1, got $k")
+    val rel = col(relCol).cast("double")
+    val isRel = rel > 0
+    // ideal rank: this query's grades sorted descending. Ties in grade
+    // make the ideal DCG invariant to the tiebreak; the rank column
+    // pins it anyway so the plan is deterministic.
+    val ideal = row_number().over(
+      Window.partitionBy(col(queryCol))
+        .orderBy(rel.desc, col(rankCol).asc))
+    val log2rk = log(2.0, col(rankCol).cast("double") + 1)
+    val log2ideal = log(2.0, col("__ideal").cast("double") + 1)
+    runs.withColumn("__ideal", ideal)
+      .groupBy(col(queryCol))
+      .agg(
+        count(lit(1)).as("n_results"),
+        count(when(isRel, 1)).as("n_rel"),
+        min(when(isRel, col(rankCol))).as("__first"),
+        count(when(isRel && col(rankCol) <= k, 1)).as("__relk"),
+        sum(when(col(rankCol) <= k, rel / log2rk).otherwise(lit(0.0))).as("__dcg"),
+        sum(when(col("__ideal") <= k, rel / log2ideal).otherwise(lit(0.0))).as("__idcg"))
+      .select(col(queryCol), col("n_results"), col("n_rel"),
+        when(col("__first").isNull, lit(0.0))
+          .otherwise(lit(1.0) / col("__first")).as("reciprocal_rank"),
+        (col("__relk").cast("double") / k).as("precision_at_k"),
+        when(col("n_rel") === 0, lit(0.0))
+          .otherwise(col("__relk").cast("double") / col("n_rel")).as("recall_at_k"),
+        when(col("n_rel") === 0, lit(0.0))
+          .otherwise(round(col("__dcg"), 6) / round(col("__idcg"), 6)).as("__ndcg"))
+      .withColumn("ndcg_at_k", round(col("__ndcg"), 6))
+      .drop("__ndcg")
+  }
 }

@@ -223,6 +223,76 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** DSIR-style importance weights (Data Selection via Importance
+    * Resampling, Xie et al., NeurIPS 2023): score every raw document by
+    * how target-like its hashed-unigram distribution is. Both corpora are
+    * reduced to `numBuckets` hashed token features; each bucket gets a
+    * log-likelihood ratio `L_b = ln p_target(b) − ln p_raw(b)` under
+    * add-one smoothing, and a document's `log_weight` is the sum of its
+    * tokens' ratios — the importance weight DSIR feeds to weighted
+    * sampling ([[weightedSample]] on `exp(log_weight)`, or rank-filter on
+    * `avg_log_ratio` via [[keepTopQuantile]] for a length-neutral cut).
+    * Positive means "looks like the target corpus", negative means
+    * "looks like the raw pool".
+    *
+    * Hash buckets use the engine-portable md5 device ([[md5Mod]] of the
+    * token), so any engine reproduces the exact same feature space; the
+    * per-document sum of `count_b · L_b` terms is rounded to 6 dp —
+    * summation order and `ln` ulp differences across engines sit at
+    * ~1e-13 relative error, far below the rounding quantum.
+    *
+    * Scale shape: each side's bucket histogram is ONE token-stream
+    * hash-agg with map-side combine onto ≤ `numBuckets` rows; the
+    * log-ratio table (≤ `numBuckets` rows) broadcasts back over the raw
+    * token stream, and the per-document sum is one `groupBy(id)` whose
+    * map-side partials already collapse each document (a document's
+    * tokens never cross partitions after the scan-stage explode). The
+    * corpus text itself is never shuffled, and nothing scales with the
+    * target corpus but its own one-pass histogram. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                  textCol: String, numBuckets: Int): DataFrame = {
+    require(numBuckets > 1, s"dsirWeights: need numBuckets > 1, got $numBuckets")
+    def toks(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+ explode(split(col(textCol), " ")).as("__term"): _*)
+        .withColumn("__b", md5Mod(col("__term"), numBuckets))
+    val rawToks = graft.core.CacheRegistry.persist(toks(raw, col(idCol)))
+    val rawHist = graft.core.CacheRegistry.persist(
+      rawToks.groupBy("__b").agg(count(lit(1)).as("__rn")))
+    val tgtHist = toks(target).groupBy("__b").agg(count(lit(1)).as("__tn"))
+    val rawTot = rawHist.agg(sum("__rn").as("__rt"))
+    val tgtTot = tgtHist.agg(sum("__tn").as("__tt"))
+    // only buckets present in raw can be hit by a raw document, so the
+    // raw histogram is the spine; absent target buckets smooth to +1
+    val ratios = rawHist
+      .join(tgtHist, Seq("__b"), "left")
+      .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tgtTot))
+      .select(col("__b"),
+        (log((coalesce(col("__tn"), lit(0L)) + 1).cast("double") /
+             (coalesce(col("__tt"), lit(0L)) + numBuckets).cast("double"))
+          - log((col("__rn") + 1).cast("double") /
+                (col("__rt") + numBuckets).cast("double"))).as("__l"))
+    rawToks
+      .join(broadcast(ratios), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__l")).as("__sum"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("__sum"), 6).as("log_weight"),
+        round(col("__sum") / col("n_tokens"), 6).as("avg_log_ratio"))
+  }
+
+  /** Group-aware k-fold assignment (scikit-learn `GroupKFold` semantics,
+    * deterministically): every row of a group lands in the same fold, so
+    * evaluation never sees a group that training saw — the split-leakage
+    * guard at assignment time rather than audit time
+    * ([[graft.ops.Dedup.splitLeakage]] is the after-the-fact check). The
+    * fold is [[md5Mod]] of the GROUP key: stable across runs, engines,
+    * partitionings, and corpus growth (new rows of a known group join its
+    * existing fold). Pure scan-stage projection — zero shuffle. */
+  def groupKFold(df: DataFrame, groupCol: String, k: Int): DataFrame = {
+    require(k > 1, s"groupKFold: need k > 1, got $k")
+    df.withColumn("fold", md5Mod(col(groupCol), k.toLong))
+  }
+
   /** Quantile-rank filter per stratum: keep each stratum's top `q`
     * fraction by `scoreCol` — "top 30% quality per source", the
     * RELATIVE curation cut that adapts to each source's own score

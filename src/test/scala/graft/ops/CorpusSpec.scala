@@ -179,6 +179,42 @@ class CorpusSpec extends SparkSpec {
     graft.core.CacheRegistry.drain()
   }
 
+  test("rankingMetrics matches hand-computed MRR/P@k/R@k/nDCG@k") {
+    val runs = Seq(
+      // qa: relevant at ranks 2 (grade 1) and 4 (grade 2)
+      ("qa", 1, 0), ("qa", 2, 1), ("qa", 3, 0), ("qa", 4, 2),
+      // qb: nothing relevant
+      ("qb", 1, 0), ("qb", 2, 0),
+      // qc: already ideally ordered
+      ("qc", 1, 2), ("qc", 2, 1), ("qc", 3, 0)
+    ).toDF("q", "rank", "rel")
+    val m = Corpus.rankingMetrics(runs, "q", "rank", "rel", 2)
+      .as[(String, Long, Long, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    val log2_3 = math.log(3.0) / math.log(2.0)
+    m("qa")._2 shouldBe 4; m("qa")._3 shouldBe 2
+    m("qa")._4 shouldBe 0.5             // first relevant at rank 2
+    m("qa")._5 shouldBe 0.5             // 1 relevant in top-2, k = 2
+    m("qa")._6 shouldBe 0.5             // 1 of 2 relevant retrieved in top-2
+    // dcg@2 = 1/log2(3); idcg@2 = 2/log2(2) + 1/log2(3)
+    m("qa")._7 shouldBe (1.0 / log2_3) / (2.0 + 1.0 / log2_3) +- 1e-5
+    m("qb") shouldBe (("qb", 2L, 0L, 0.0, 0.0, 0.0, 0.0))
+    m("qc")._4 shouldBe 1.0
+    m("qc")._5 shouldBe 1.0             // both top-2 slots relevant
+    m("qc")._6 shouldBe 1.0
+    m("qc")._7 shouldBe 1.0             // dcg == idcg exactly
+    // k beyond the list: every list fully inside the cutoff
+    val all = Corpus.rankingMetrics(runs, "q", "rank", "rel", 10)
+      .as[(String, Long, Long, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    all("qa")._6 shouldBe 1.0
+    all("qa")._7 shouldBe
+      ((1.0 / log2_3 + 2.0 / (math.log(5.0) / math.log(2.0))) /
+        (2.0 + 1.0 / log2_3)) +- 1e-5
+    an[IllegalArgumentException] should be thrownBy
+      Corpus.rankingMetrics(runs, "q", "rank", "rel", 0)
+  }
+
   private implicit class TripleOps(rows: Array[(Long, String, Double)]) {
     def toMap2: Map[Long, (String, Double)] =
       rows.map { case (id, t, s) => id -> (t, s) }.toMap

@@ -169,4 +169,63 @@ class SamplingSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Sampling.temperatureMixture(d, "src", 1.5)
   }
+
+  test("dsirWeights equals an independent per-token log-ratio re-derivation") {
+    val raw = Seq((1L, "alpha alpha beta"), (2L, "beta gamma"),
+      (3L, "alpha gamma gamma delta")).toDF("id", "text")
+    val tgt = Seq((10L, "alpha alpha alpha beta"), (11L, "alpha delta")).toDF("id", "text")
+    val b = 16
+    // independent bucket: md5 hex prefix, as unsigned int, mod b
+    def bucket(term: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(term.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(x => f"${x & 0xff}%02x").mkString, 16) % b
+    }
+    def hist(texts: Seq[String]) = texts.flatMap(_.split(" "))
+      .groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    val rh = hist(Seq("alpha alpha beta", "beta gamma", "alpha gamma gamma delta"))
+    val th = hist(Seq("alpha alpha alpha beta", "alpha delta"))
+    val (rt, tt) = (rh.values.sum, th.values.sum)
+    def l(bk: Long): Double =
+      math.log((th.getOrElse(bk, 0L) + 1.0) / (tt + b)) -
+        math.log((rh(bk) + 1.0) / (rt + b))
+    val got = Sampling.dsirWeights(raw, tgt, "id", "text", b)
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    got.keySet shouldBe Set(1L, 2L, 3L)
+    for ((id, text) <- Seq(1L -> "alpha alpha beta", 2L -> "beta gamma",
+                           3L -> "alpha gamma gamma delta")) {
+      val toks = text.split(" ")
+      val expSum = toks.map(t => l(bucket(t))).sum
+      got(id)._2 shouldBe toks.length
+      got(id)._3 shouldBe expSum +- 2e-6
+      got(id)._4 shouldBe (expSum / toks.length) +- 2e-6
+    }
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.dsirWeights(raw, tgt, "id", "text", 1)
+  }
+
+  test("dsirWeights ranks target-like documents above pool-like ones") {
+    // target speaks 'wiki'; the raw pool mostly speaks 'spam'
+    val raw = Seq((1L, "wiki wiki article fact"), (2L, "spam spam click buy"),
+      (3L, "spam buy buy click click")).toDF("id", "text")
+    val tgt = Seq((10L, "wiki article fact fact wiki article")).toDF("id", "text")
+    val got = Sampling.dsirWeights(raw, tgt, "id", "text", 64)
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r._4).toMap
+    got(1L) should be > got(2L)
+    got(1L) should be > got(3L)
+    got(1L) should be > 0.0 // target-like: ratio favors the target side
+  }
+
+  test("groupKFold keeps every group in one fold, stable across partitioning") {
+    val d = docs.select(col("doc_id"), col("source"))
+    val a = Sampling.groupKFold(d, "source", 5)
+      .select("source", "fold").as[(String, Long)].collect()
+    a.groupBy(_._1).values.foreach(rows =>
+      rows.map(_._2).distinct.length shouldBe 1) // one fold per group
+    a.foreach { case (_, f) => f should (be >= 0L and be < 5L) }
+    val b = Sampling.groupKFold(d.repartition(7), "source", 5)
+      .select("source", "fold").as[(String, Long)].collect().toMap
+    a.toMap shouldBe b
+    an[IllegalArgumentException] should be thrownBy Sampling.groupKFold(d, "source", 1)
+  }
 }
