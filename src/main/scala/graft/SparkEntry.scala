@@ -226,6 +226,11 @@ object SparkEntry {
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 5)),
     "q25_ann_lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 3, 8)),
+    // contrastive hard negatives: nearest wrong-label neighbors (exact
+    // baseline; hardNegativesLsh is the banded scale path, spec-pinned)
+    "q139_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegativesExact(
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label", 5)),
     "q26_embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)),
     // scale path for q26: banded LSH candidates instead of the N² cross
@@ -2662,6 +2667,18 @@ object SparkEntry {
       s"""WITH pc AS ($cosineSql)
          |SELECT query_id AS id_a, cand_id AS id_b, cos
          |FROM pc WHERE query_id < cand_id AND cos >= 0.4""".stripMargin,
+    // q139: the q24 cross join restricted to label-mismatched pairs
+    "q139_hard_negatives" ->
+      """WITH pc AS (
+        |  SELECT a.vec_id AS query_id, a.label AS query_label,
+        |    b.vec_id AS cand_id, b.label AS cand_label,
+        |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id <> b.vec_id AND a.label IS DISTINCT FROM b.label)
+        |SELECT query_id, query_label, cand_id, cand_label, cos,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS INTEGER) AS rank
+        |FROM pc
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) <= 5""".stripMargin,
     "q44_embed_neardup_lsh" -> {
       def bucket(b: Int) = (b * 4 + 1 to b * 4 + 4).map(i =>
         s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")

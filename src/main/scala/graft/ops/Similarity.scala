@@ -419,4 +419,59 @@ object Similarity {
         round(dotF(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
       .where(col("cos") >= threshold)
   }
+
+  /** Contrastive hard-negative mining, EXACT baseline: for every vector,
+    * the `k` most-cosine-similar vectors carrying a DIFFERENT label — the
+    * "close in embedding space, wrong by supervision" pairs contrastive
+    * and metric-learning training wants as negatives (easy negatives are
+    * already far; hard ones carry the gradient). O(N²·d) self cross-join:
+    * the *verifier* for [[hardNegativesLsh]], not the scale path. */
+  def hardNegativesExact(emb: DataFrame, idCol: String, vecCol: String,
+                         labelCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"hardNegativesExact: need k >= 1, got $k")
+    val parallelism = emb.sparkSession.sparkContext.defaultParallelism
+    val a = emb.select(col(idCol).as("query_id"), col(labelCol).as("query_label"),
+      col(vecCol).as("va"), normF(col(vecCol)).as("na")).repartition(parallelism)
+    val b = emb.select(col(idCol).as("cand_id"), col(labelCol).as("cand_label"),
+      col(vecCol).as("vb"), normF(col(vecCol)).as("nb"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    a.crossJoin(b)
+      .where(col("query_id") =!= col("cand_id")
+        && !(col("query_label") <=> col("cand_label")))
+      .select(col("query_id"), col("query_label"), col("cand_id"),
+        col("cand_label"),
+        round(dotF(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Scale path for hard-negative mining: candidates restricted to pairs
+    * sharing at least one sign-LSH band bucket (the [[multiBandLshTopK]]
+    * shuffle shape — keys are (band, bucket), no N² stage anywhere), then
+    * label-mismatch filtered and ranked by exact cosine. Misses a hard
+    * negative only if it disagrees with the query in every band — and a
+    * negative outside every band is far enough to be a POOR hard negative
+    * anyway, which is why banded candidates suit this op even better than
+    * they suit top-k: the recall loss concentrates where the training
+    * value is lowest. */
+  def hardNegativesLsh(emb: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String, k: Int, bits: Int, bands: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"hardNegativesLsh: need k >= 1, got $k")
+    val vecs = emb.select(col(idCol), col(labelCol), col(vecCol),
+      normF(col(vecCol)).as("norm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    bandedCandidatePairs(emb, idCol, vecCol, bits, bands)
+      .join(vecs.toDF("query_id", "query_label", "va", "na"), Seq("query_id"))
+      .join(vecs.toDF("cand_id", "cand_label", "vb", "nb"), Seq("cand_id"))
+      .where(!(col("query_label") <=> col("cand_label")))
+      .select(col("query_id"), col("query_label"), col("cand_id"),
+        col("cand_label"),
+        round(dotF(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
 }

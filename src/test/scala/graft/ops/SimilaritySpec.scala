@@ -238,4 +238,42 @@ class SimilaritySpec extends SparkSpec {
       full.get((q, c)).foreach(_ shouldBe s)
     }
   }
+
+  test("hardNegativesExact: nearest wrong-label neighbors only, null-label semantics") {
+    val d = Seq(
+      (1L, Seq(1f, 0f, 0f), Some(0)),
+      (2L, Seq(0.9f, 0.1f, 0f), Some(0)),  // closest to 1 but SAME label
+      (3L, Seq(0.8f, 0.2f, 0f), Some(1)),  // closest wrong-label to 1
+      (4L, Seq(0f, 1f, 0f), Some(1)),
+      (5L, Seq(-1f, 0f, 0f), None)         // null label: differs from every set label
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.hardNegativesExact(d, "vec_id", "embedding", "label", 2)
+      .as[(Long, Option[Int], Long, Option[Int], Double, Int)].collect()
+    r.foreach { case (_, ql, _, cl, _, _) => ql should not be cl }
+    val q1 = r.filter(_._1 == 1L).sortBy(_._6).map(_._3).toSeq
+    q1 shouldBe Seq(3L, 4L)                // 2 excluded (same label), 3 first
+    // the null-label vector treats every labeled vector as a negative;
+    // its top-2 by cosine are 4 (orthogonal, cos 0) then 3 (cos -0.970)
+    r.filter(_._1 == 5L).sortBy(_._6).map(_._3).toSeq shouldBe Seq(4L, 3L)
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.hardNegativesExact(d, "vec_id", "embedding", "label", 0)
+  }
+
+  test("hardNegativesLsh is a wrong-label subset of exact with the banded candidates") {
+    val e = graft.core.Tables.table(spark, sf0001, "embeddings")
+    val exact = Similarity.hardNegativesExact(e, "vec_id", "embedding", "label", 3)
+      .select("query_id", "cand_id", "cos")
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val lsh = Similarity.hardNegativesLsh(e, "vec_id", "embedding", "label", 3, 4, 8)
+      .as[(Long, Int, Long, Int, Double, Int)].collect()
+    graft.core.CacheRegistry.drain()
+    lsh.foreach { case (_, ql, _, cl, _, _) => ql should not be cl }
+    // every LSH pair's cosine equals the exact computation where both rank
+    val cosByPair = lsh.map(t => (t._1, t._3) -> t._5).toMap
+    cosByPair.foreach { case (pair, c) => exact.get(pair).foreach(_ shouldBe c) }
+    // banded candidates recover most of the true hard-negative mass
+    val recall = lsh.count(t => exact.contains((t._1, t._3))).toDouble / exact.size
+    info(f"hard-negative recall (4 bits x 8 bands, k=3): $recall%.3f")
+    recall should be > 0.5
+  }
 }
