@@ -368,4 +368,40 @@ class PlanSpec extends SparkSpec {
     df.collect()
     planOf(df) should include("*(")
   }
+
+  test("DSIR weights broadcast the ratio table; histograms partial-agg; no cartesian (q136)") {
+    graft.core.CacheRegistry.scoped {
+      val plan = planOf(SparkEntry.queries("q136_dsir_weights")(spark, sf0001))
+      // the <= numBuckets-row log-ratio table must broadcast over the
+      // token stream — a shuffled join there would move the whole corpus.
+      // (The 1-row totals cross-join INSIDE the ratio subtree prints as a
+      // BroadcastNestedLoopJoin over <= numBuckets rows — bounded by
+      // design, the temperatureMixture scalar-totals device.)
+      plan should include("BroadcastHashJoin")
+      plan should not include "CartesianProduct"
+      // the per-doc sum partial-aggs map-side (the histograms sit inside
+      // the broadcast subtree, which the plan string truncates)
+      "HashAggregate".r.findAllIn(plan).size should be >= 2
+    }
+  }
+
+  test("ranking metrics: ONE exchange on the query key, shared by window and agg (q137)") {
+    val plan = planOf(SparkEntry.queries("q137_ranking_metrics")(spark, sf0001))
+    // the ideal-rank window and the final aggregate both key on user_id;
+    // the sort-based window partitioning must be reused by the aggregate
+    // rather than re-shuffled (plus the one exchange the ranker's own
+    // window needs on the same key)
+    "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size should be <= 2
+    plan should not include "Exchange SinglePartition"
+  }
+
+  test("hard negatives (LSH path): banded equi-join candidates, never cartesian (q139 twin)") {
+    graft.core.CacheRegistry.scoped {
+      val e = Tables.table(spark, sf0001, "embeddings")
+      val plan = planOf(graft.ops.Similarity.hardNegativesLsh(
+        e, "vec_id", "embedding", "label", 3, 4, 8))
+      plan should not include "CartesianProduct"
+      plan should not include "BroadcastNestedLoopJoin"
+    }
+  }
 }
