@@ -699,6 +699,15 @@ object SparkEntry {
       Joins.asOfJoin(ev, ord, "user_id", "ts", "order_ts",
         direction = "nearest")
     }),
+    // corpus card: token/doc counts at every (source, lang) grain with
+    // grand-total shares — pre-reduced before the cube, q48's device
+    "q140_corpus_card" -> ((s, dir) =>
+      graft.ops.Quality.corpusCard(t(s, dir, "documents"), "source", "lang",
+        size(split(col("text"), " ")))),
+    // duplication-count weights: each dedup survivor with its cluster's
+    // multiplicity (same pair machinery as q35/q71)
+    "q141_dup_weights" -> ((s, dir) =>
+      Dedup.duplicationWeights(t(s, dir, "documents"), "doc_id", "text", 3, 0.5)),
     // DSIR importance weights: raw pool = the whole corpus, target = the
     // first three sources standing in for a curated reference corpus;
     // 256 hashed-unigram buckets
@@ -2972,6 +2981,25 @@ object SparkEntry {
          |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
          |  TRUE, TIMESTAMP '2026-02-01 00:00:00', NULL
          |FROM ins""".stripMargin,
+    // q140: pre-reduced cube with DuckDB's GROUPING mask as lvl
+    "q140_corpus_card" ->
+      """WITH pre AS (
+        |  SELECT source, lang, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS t FROM pre)
+        |SELECT source, lang,
+        |  CAST(GROUPING(source, lang) AS INTEGER) AS lvl,
+        |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(n_tokens) AS DOUBLE) / (SELECT t FROM tot), 6) AS token_share
+        |FROM pre
+        |GROUP BY CUBE (source, lang)""".stripMargin,
+    // q141: survivor multiplicities off the shared cluster-closure chain
+    "q141_dup_weights" ->
+      s"""$clusterChainSql
+         |SELECT cluster_id AS doc_id, count(*) AS weight
+         |FROM assign GROUP BY 1""".stripMargin,
     // q136: hashed-unigram bucket histograms on both corpora, add-one
     // smoothed log-likelihood ratios per bucket, per-doc token-count-
     // weighted sum — ln ulps and summation order wash out at 6 dp

@@ -361,6 +361,28 @@ object Dedup {
       .select(col(idCol).as("dropped_id"), col("cluster_id").as("kept_id"))
   }
 
+  /** Duplication-count training weights: one row per SURVIVING
+    * representative (min-id policy, exactly [[dropNearDuplicates]]'s
+    * keeper) with `weight` = its cluster's member count, singletons 1.
+    * Hard dedup silently reshapes the training distribution — a document
+    * the web repeated 10,000 times collapses to one copy with the same
+    * loss contribution as a one-off page; carrying the multiplicity out
+    * lets training re-weight the survivor (or cap the weight) instead of
+    * forgetting it. Feed to an example-weighted loss, or to
+    * [[Sampling.weightedSample]] to materialize a count-aware sample.
+    *
+    * Scale shape: the same pair→component machinery as
+    * [[dropNearDuplicates]], then ONE hash-agg keyed on the cluster id
+    * (map-side partials — only one count per cluster crosses the wire). */
+  def duplicationWeights(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, minJaccard: Double,
+                         pairGen: Option[DataFrame] = None): DataFrame = {
+    val pairs = pairGen.getOrElse(ngramJaccardPairs(df, idCol, textCol, n, minJaccard))
+    val assign = clusters(pairs, "id_a", "id_b", df.select(idCol), idCol)
+    assign.groupBy(col("cluster_id").as(idCol))
+      .agg(count(lit(1)).as("weight"))
+  }
+
   /** Quality-aware variant of [[dropNearDuplicates]]: within each near-dup
     * cluster keep the LONGEST document (ties → smallest id) instead of the
     * smallest id — the curation policy that prefers the fullest copy of a

@@ -253,4 +253,31 @@ object Quality {
           && col("distinct_ngram_ratio") >= minNgramRatio
           && col("oov_rate") <= maxOovRate)
   }
+
+  /** Corpus card: the mixture-design mart — document and token counts at
+    * every (dim1, dim2) drill-down grain (both dims, each alone, grand
+    * total — `lvl` = `grouping_id`), with each row's share of the grand
+    * total's tokens. The one table a mixture designer reads before
+    * setting [[graft.ops.Sampling.temperatureMixture]] /
+    * `tokenBudgetPlan` rates: "how much English web vs German code do we
+    * actually have".
+    *
+    * Scale shape: the q48 rollup device — pre-reduce the corpus to plain
+    * (dim1, dim2) totals FIRST (one map-side-combined hash-agg; sums are
+    * distributive), so the cube's ×4 Expand multiplies ~|dim1×dim2| tiny
+    * rows, never the corpus; the grand-total share divides by a broadcast
+    * 1-row scalar. */
+  def corpusCard(df: DataFrame, dim1: String, dim2: String,
+                 tokens: Column): DataFrame = {
+    val pre = graft.core.CacheRegistry.persist(
+      df.groupBy(col(dim1), col(dim2))
+        .agg(count(lit(1)).as("__nd"), sum(tokens).cast("long").as("__nt")))
+    val tot = pre.agg(sum("__nt").cast("double").as("__tot"))
+    pre.cube(col(dim1), col(dim2))
+      .agg(sum("__nd").as("n_docs"), sum("__nt").as("n_tokens"),
+        grouping_id().cast("int").as("lvl"))
+      .crossJoin(broadcast(tot))
+      .select(col(dim1), col(dim2), col("lvl"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / col("__tot"), 6).as("token_share"))
+  }
 }

@@ -61,6 +61,19 @@ class DedupSpec extends SparkSpec {
     graft.core.CacheRegistry.drain()
   }
 
+  test("duplicationWeights carries each survivor's cluster multiplicity") {
+    // same fixture: cluster {1,2,4} -> survivor 1 weight 3; singleton 3 weight 1
+    val w = Dedup.duplicationWeights(docs, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long)].collect().toMap
+    w shouldBe Map(1L -> 3L, 3L -> 1L)
+    // survivors and weights are consistent with the drop + audit twins:
+    // keys == dropNearDuplicates survivors, Σ weight == input cardinality
+    w.keySet shouldBe Dedup.dropNearDuplicates(docs, "doc_id", "text", 3, 0.5)
+      .as[Long].collect().toSet
+    w.values.sum shouldBe docs.count()
+    graft.core.CacheRegistry.drain()
+  }
+
   test("ngramNovelty: duplicated docs score 0, unique docs 1, mixtures exact") {
     val d = Seq(
       (1L, "a b c d"),        // trigrams {a b c, b c d} — both shared with doc 2

@@ -130,4 +130,29 @@ class QualitySpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Quality.kAnonymityAudit(d, Seq("country"), 1L)
   }
+
+  test("corpusCard: every grain sums to the grand total; shares exact") {
+    import org.apache.spark.sql.functions.{col, split}
+    val d = Seq(
+      ("web", "en", "a b c"),   // 3 tokens
+      ("web", "de", "d e"),     // 2
+      ("code", "en", "f")       // 1
+    ).toDF("source", "lang", "text")
+    val card = Quality.corpusCard(d, "source", "lang",
+      org.apache.spark.sql.functions.size(split(col("text"), " ")))
+      .as[(Option[String], Option[String], Int, Long, Long, Double)]
+      .collect().map(r => (r._1, r._2, r._3) -> (r._4, r._5, r._6)).toMap
+    graft.core.CacheRegistry.drain()
+    // finest grain (lvl 0)
+    card((Some("web"), Some("en"), 0)) shouldBe ((1L, 3L, 0.5))
+    // one-dim rollups: lvl encodes WHICH dim rolled up (grouping_id bits)
+    card((Some("web"), None, 1)) shouldBe ((2L, 5L, round6(5.0 / 6)))
+    card((None, Some("en"), 2)) shouldBe ((2L, 4L, round6(4.0 / 6)))
+    // grand total (lvl 3): all docs, share exactly 1
+    card((None, None, 3)) shouldBe ((3L, 6L, 1.0))
+    card.size shouldBe (3 + 2 + 2 + 1) // cells + sources + langs + total
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
