@@ -699,6 +699,16 @@ object SparkEntry {
       Joins.asOfJoin(ev, ord, "user_id", "ts", "order_ts",
         direction = "nearest")
     }),
+    // per-label embedding centroid drift vs the global centroid — the
+    // "which slice moved in embedding space" QA number
+    "q142_centroid_drift" -> ((s, dir) =>
+      graft.ops.Embeddings.centroidDrift(
+        t(s, dir, "embeddings"), "label", "embedding")),
+    // exactly-k deterministic uniform sample: the k-prefix of the md5
+    // total order — realized size is exact, membership engine-portable
+    "q143_exact_k_sample" -> ((s, dir) =>
+      Sampling.exactKSample(
+        t(s, dir, "documents").select("doc_id", "source"), "doc_id", 100)),
     // corpus card: token/doc counts at every (source, lang) grain with
     // grand-total shares — pre-reduced before the cube, q48's device
     "q140_corpus_card" -> ((s, dir) =>
@@ -2981,6 +2991,27 @@ object SparkEntry {
          |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
          |  TRUE, TIMESTAMP '2026-02-01 00:00:00', NULL
          |FROM ins""".stripMargin,
+    // q142: both centroids from 6 dp-rounded per-dim means (the q91
+    // shape), cosine over the rounded operands, rounded at 6
+    "q142_centroid_drift" ->
+      """WITH m AS (
+        |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |    unnest(generate_series(0, len(embedding) - 1)) AS dim
+        |  FROM embeddings),
+        |lc AS (SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+        |         round(avg(v), 6) AS lm
+        |       FROM m GROUP BY label, dim),
+        |gc AS (SELECT dim, round(avg(v), 6) AS gm FROM m GROUP BY dim)
+        |SELECT label, n AS n_members,
+        |  CASE WHEN sum(lm * lm) = 0 OR sum(gm * gm) = 0 THEN 0.0
+        |       ELSE round(sum(lm * gm) / (sqrt(sum(lm * lm)) * sqrt(sum(gm * gm))), 6)
+        |       END AS drift_cosine
+        |FROM lc JOIN gc USING (dim)
+        |GROUP BY label, n""".stripMargin,
+    // q143: the k-prefix of the md5 total order
+    "q143_exact_k_sample" ->
+      """SELECT doc_id, source FROM documents
+        |ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100""".stripMargin,
     // q140: pre-reduced cube with DuckDB's GROUPING mask as lvl
     "q140_corpus_card" ->
       """WITH pre AS (

@@ -92,6 +92,37 @@ object Embeddings {
       .withColumn("mean_val", round(col("mean_val"), 6))
   }
 
+  /** Per-group embedding centroid drift: for every value of `labelCol`
+    * (a source, a label, an ingest batch), the cosine between the group's
+    * centroid and the GLOBAL centroid — the one-number-per-group answer
+    * to "which slice of the corpus sits somewhere else in embedding
+    * space" (a new crawl with shifted embeddings, a mislabeled source, an
+    * encoder version change). Low drift_cosine = the group points away
+    * from the corpus mean direction.
+    *
+    * Engine-exact: both centroids are [[labelCentroids]]' 6 dp-rounded
+    * per-dim means, so the cosine's operands are bit-identical anywhere;
+    * the d-term dot/norm sums are rounded at 6 dp. A zero-norm centroid
+    * (all-zero means) reports 0, not NULL. Scale shape: two
+    * [[labelCentroids]] passes (one global) — native vector-sum buffers,
+    * no element explode of the corpus; the join keys the ≤ |groups|·d
+    * exploded mean rows against a broadcast d-row global table. */
+  def centroidDrift(emb: DataFrame, labelCol: String, vecCol: String): DataFrame = {
+    val grp = labelCentroids(emb, labelCol, vecCol)
+    val glob = labelCentroids(emb.select(lit(1).as("__g"), col(vecCol)), "__g", vecCol)
+      .select(col("dim"), col("mean_val").as("__gm"))
+    grp.join(broadcast(glob), "dim")
+      .groupBy(col(labelCol), col("n_members"))
+      .agg(
+        sum(col("mean_val") * col("__gm")).as("__dot"),
+        sum(col("mean_val") * col("mean_val")).as("__n1"),
+        sum(col("__gm") * col("__gm")).as("__n2"))
+      .select(col(labelCol), col("n_members"),
+        when(col("__n1") === 0.0 || col("__n2") === 0.0, lit(0.0))
+          .otherwise(round(col("__dot") / (sqrt(col("__n1")) * sqrt(col("__n2"))), 6))
+          .as("drift_cosine"))
+  }
+
   /** Per-dimension corpus statistics of an embedding column: mean and
     * population standard deviation per dim, the profile behind
     * [[standardize]] (and the drift check between two embedding builds).

@@ -280,6 +280,22 @@ object Sampling {
         round(col("__sum") / col("n_tokens"), 6).as("avg_log_ratio"))
   }
 
+  /** EXACTLY-k deterministic uniform sample: the k rows with the smallest
+    * md5(id) keys (ties on the id). [[deterministicSample]] keeps a
+    * deterministic ~p% whose realized size carries hash-binomial noise;
+    * eval sets and fixed-budget probes need an exact count — the md5
+    * order gives the same k rows on any engine, any partitioning, any
+    * run, and ADDING rows only ever swaps members at the boundary (the
+    * sample is the k-prefix of a total order, so it's as stable under
+    * corpus growth as a hash sample can be).
+    *
+    * Scale shape: TakeOrderedAndProject — per-partition k-heaps merged on
+    * the driver, no global sort, no shuffle of the corpus. */
+  def exactKSample(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k > 0, s"exactKSample: need k > 0, got $k")
+    df.orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(k)
+  }
+
   /** Group-aware k-fold assignment (scikit-learn `GroupKFold` semantics,
     * deterministically): every row of a group lands in the same fold, so
     * evaluation never sees a group that training saw — the split-leakage

@@ -404,4 +404,20 @@ class PlanSpec extends SparkSpec {
       plan should not include "BroadcastNestedLoopJoin"
     }
   }
+
+  test("centroid drift joins group means to a broadcast global table (q142)") {
+    val plan = planOf(SparkEntry.queries("q142_centroid_drift")(spark, sf0001))
+    // the d-row global centroid must broadcast; the corpus is never
+    // element-exploded (both centroids come from the vector-sum buffers)
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+  }
+
+  test("exact-k sample is a TakeOrdered heap merge, not a global sort (q143)") {
+    val plan = planOf(SparkEntry.queries("q143_exact_k_sample")(spark, sf0001))
+    plan should include("TakeOrderedAndProject")
+    // no range-partitioned total sort of the corpus behind the limit
+    plan should not include "Exchange rangepartitioning"
+  }
 }

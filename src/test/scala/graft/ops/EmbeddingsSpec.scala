@@ -312,6 +312,32 @@ class EmbeddingsSpec extends SparkSpec {
       }
   }
 
+  test("centroidDrift: hand-computed micro cosines; zero-norm group reports 0") {
+    val pts = Seq(
+      (1L, Array(1.0f, 0.0f), "a"), (2L, Array(1.0f, 0.0f), "a"),
+      (3L, Array(0.0f, 1.0f), "b"),
+      (4L, Array(0.0f, 0.0f), "z")
+    ).toDF("vec_id", "embedding", "label")
+    val r = Embeddings.centroidDrift(pts, "label", "embedding")
+      .as[(String, Long, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // global centroid = (0.5, 0.25); a=(1,0) -> cos = 0.5/sqrt(0.3125)
+    r("a")._1 shouldBe 2L
+    r("a")._2 shouldBe 0.894427 +- 1e-6
+    r("b")._1 shouldBe 1L
+    r("b")._2 shouldBe 0.447214 +- 1e-6
+    r("z")._2 shouldBe 0.0 // zero-norm centroid: 0, never NULL/NaN
+  }
+
+  test("centroidDrift of a single-label corpus is exactly 1") {
+    val emb = graft.core.Tables.table(spark, sf0001, "embeddings")
+      .withColumn("label", lit("all"))
+    val r = Embeddings.centroidDrift(emb, "label", "embedding")
+      .as[(String, Long, Double)].collect()
+    r.length shouldBe 1
+    r.head._2 shouldBe emb.count()
+    r.head._3 shouldBe 1.0 +- 1e-6 // group centroid IS the global centroid
+  }
+
   private implicit class TripleOps(rows: Array[(Long, Double, Array[Int])]) {
     def toMap2: Map[Long, (Double, Array[Int])] =
       rows.map { case (id, s, q) => id -> (s, q) }.toMap

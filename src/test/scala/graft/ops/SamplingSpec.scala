@@ -170,6 +170,28 @@ class SamplingSpec extends SparkSpec {
       Sampling.temperatureMixture(d, "src", 1.5)
   }
 
+  test("exactKSample: exactly k rows, the k smallest md5 keys, prefix-stable") {
+    val ids = docs.select("doc_id").as[Long].collect()
+    def hex(id: Long): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val expect = ids.sortBy(id => (hex(id), id)).take(40).toSet
+    val got = Sampling.exactKSample(docs.select("doc_id", "source"), "doc_id", 40)
+      .select("doc_id").as[Long].collect()
+    got.length shouldBe 40
+    got.toSet shouldBe expect // membership = k-prefix of the md5 total order
+    // stable under partitioning, and the k-sample is a prefix of the k'-sample
+    val rep = Sampling.exactKSample(
+      docs.repartition(7).select("doc_id", "source"), "doc_id", 40)
+      .select("doc_id").as[Long].collect()
+    rep.toSet shouldBe expect
+    val bigger = Sampling.exactKSample(
+      docs.select("doc_id", "source"), "doc_id", 60)
+      .select("doc_id").as[Long].collect().toSet
+    expect.subsetOf(bigger) shouldBe true
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.exactKSample(docs, "doc_id", 0)
+  }
+
   test("dsirWeights equals an independent per-token log-ratio re-derivation") {
     val raw = Seq((1L, "alpha alpha beta"), (2L, "beta gamma"),
       (3L, "alpha gamma gamma delta")).toDF("id", "text")
