@@ -709,6 +709,16 @@ object SparkEntry {
     "q143_exact_k_sample" -> ((s, dir) =>
       Sampling.exactKSample(
         t(s, dir, "documents").select("doc_id", "source"), "doc_id", 100)),
+    // exactly k docs per source: map-side per-stratum k-heaps feed the
+    // one stratum-keyed exchange (WindowGroupLimit)
+    "q144_stratified_exact_k" -> ((s, dir) =>
+      Sampling.exactKPerStratum(
+        t(s, dir, "documents").select("doc_id", "source"), "doc_id", "source", 20)),
+    // mean pairwise cosine per label WITHOUT pair generation — the
+    // norm-of-sum identity over unit vectors
+    "q145_group_diversity" -> ((s, dir) =>
+      graft.ops.Embeddings.intraGroupDiversity(
+        t(s, dir, "embeddings"), "label", "embedding")),
     // corpus card: token/doc counts at every (source, lang) grain with
     // grand-total shares — pre-reduced before the cube, q48's device
     "q140_corpus_card" -> ((s, dir) =>
@@ -3012,6 +3022,37 @@ object SparkEntry {
     "q143_exact_k_sample" ->
       """SELECT doc_id, source FROM documents
         |ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100""".stripMargin,
+    // q144: the per-stratum k-prefix of the same md5 order
+    "q144_stratified_exact_k" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 20""".stripMargin,
+    // q145: the same norm-of-sum identity over float-rounded unit
+    // vectors, per-dim sums rounded at 6 before the square
+    "q145_group_diversity" ->
+      """WITH v AS (
+        |  SELECT label, CAST(embedding AS DOUBLE[]) AS e,
+        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |                                 x -> x * x))) AS nrm
+        |  FROM embeddings),
+        |u AS (
+        |  SELECT label, nrm,
+        |    unnest(list_transform(e,
+        |      x -> CAST(CAST(x / nrm AS REAL) AS DOUBLE))) AS uf,
+        |    unnest(generate_series(0, len(e) - 1)) AS dim
+        |  FROM v WHERE nrm > 0),
+        |s AS (SELECT label, dim, round(sum(uf), 6) AS sd
+        |      FROM u GROUP BY label, dim),
+        |n AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+        |      FROM v WHERE nrm > 0 GROUP BY label)
+        |SELECT label, n AS n_members,
+        |  CASE WHEN n < 2 THEN NULL
+        |       ELSE round((sum(sd * sd) - n) / (n * (n - 1.0)), 6) END
+        |    AS mean_pairwise_cosine
+        |FROM s JOIN n USING (label)
+        |GROUP BY label, n""".stripMargin,
     // q140: pre-reduced cube with DuckDB's GROUPING mask as lvl
     "q140_corpus_card" ->
       """WITH pre AS (

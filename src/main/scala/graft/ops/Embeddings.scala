@@ -123,6 +123,41 @@ object Embeddings {
           .as("drift_cosine"))
   }
 
+  /** Mean pairwise cosine WITHIN each group — the redundancy/diversity
+    * number for a training batch, a retrieval result list, or a source
+    * slice (1 = every vector points the same way, 0 = mutually
+    * orthogonal). Computed WITHOUT generating pairs via the norm-of-sum
+    * identity over unit vectors: |Σu|² = n + 2·Σᵢ<ⱼ uᵢ·uⱼ, so
+    * mean cosine = (|Σu|² − n) / (n(n−1)) — one native vector-sum pass,
+    * no O(n²) join at any group size.
+    *
+    * Engine-exact: each vector is normalized in double off its exact
+    * float elements, re-rounded to storage-precision FLOAT (the agg's
+    * input type), per-dim sums rounded at 6 dp before the square — the
+    * same float-storage contract as [[dimStats]]. Zero-norm / null
+    * vectors are excluded from n; groups with n < 2 report NULL (no
+    * pairs exist). Scale shape: one hash-agg on the group key over the
+    * vector-sum buffers; nothing ever explodes or self-joins. */
+  def intraGroupDiversity(emb: DataFrame, labelCol: String, vecCol: String): DataFrame = {
+    import graft.functions.VectorFunctions.vectorSumF
+    val v = col(vecCol)
+    val nrm = sqrt(aggregate(v, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val unit = transform(v, x => (x.cast("double") / col("__nrm")).cast("float"))
+    emb.select(col(labelCol), v, nrm.as("__nrm"))
+      .where(col("__nrm") > 0.0)
+      .select(col(labelCol), unit.as("__u"))
+      .groupBy(col(labelCol))
+      .agg(count(lit(1)).as("n_members"), vectorSumF(col("__u")).as("__s"))
+      .select(col(labelCol), col("n_members"),
+        when(col("n_members") < 2, lit(null).cast("double"))
+          .otherwise(round(
+            (aggregate(transform(col("__s"), s => round(s, 6)), lit(0.0),
+              (acc, s) => acc + s * s) - col("n_members")) /
+              (col("n_members") * (col("n_members") - lit(1.0))), 6))
+          .as("mean_pairwise_cosine"))
+  }
+
   /** Per-dimension corpus statistics of an embedding column: mean and
     * population standard deviation per dim, the profile behind
     * [[standardize]] (and the drift check between two embedding builds).

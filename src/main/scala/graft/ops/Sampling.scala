@@ -296,6 +296,29 @@ object Sampling {
     df.orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(k)
   }
 
+  /** EXACTLY k rows PER STRATUM — the k-prefix of the md5(id) total order
+    * within each value of `stratumCol` (a stratum with fewer than k rows
+    * keeps all of them). Balanced eval sets and per-source probe budgets
+    * need exact per-group counts, which [[stratifiedSample]]'s rate-based
+    * buckets can't give; membership is engine-portable and growth-stable
+    * for the same reason [[exactKSample]]'s is.
+    *
+    * Scale shape: ONE exchange on the stratum key; the `row_number <= k`
+    * predicate is recognized by Spark's WindowGroupLimit rewrite, so each
+    * map task keeps only a per-stratum k-heap BEFORE the shuffle — the
+    * exchange carries ≤ k·|strata| rows per task, never the corpus, and
+    * no stratum is ever fully sorted. */
+  def exactKPerStratum(df: DataFrame, idCol: String, stratumCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"exactKPerStratum: need k > 0, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Group-aware k-fold assignment (scikit-learn `GroupKFold` semantics,
     * deterministically): every row of a group lands in the same fold, so
     * evaluation never sees a group that training saw — the split-leakage

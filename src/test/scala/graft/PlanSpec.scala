@@ -420,4 +420,21 @@ class PlanSpec extends SparkSpec {
     // no range-partitioned total sort of the corpus behind the limit
     plan should not include "Exchange rangepartitioning"
   }
+
+  test("per-stratum exact-k keeps map-side k-heaps before the exchange (q144)") {
+    val plan = planOf(SparkEntry.queries("q144_stratified_exact_k")(spark, sf0001))
+    // Spark's WindowGroupLimit rewrite: the rn <= k cut runs on the map
+    // side, so the stratum exchange carries ≤ k·|strata| rows per task
+    plan should include("WindowGroupLimit")
+    plan should not include "Exchange rangepartitioning"
+  }
+
+  test("group diversity never generates pairs or explodes elements (q145)") {
+    val plan = planOf(SparkEntry.queries("q145_group_diversity")(spark, sf0001))
+    // norm-of-sum identity: one group-keyed hash-agg over vector-sum
+    // buffers; no self-join, no element explode of the corpus
+    plan should not include "CartesianProduct"
+    plan should not include "Generate"
+    "Exchange hashpartitioning".r.findAllIn(plan).size should be <= 1
+  }
 }

@@ -338,6 +338,41 @@ class EmbeddingsSpec extends SparkSpec {
     r.head._3 shouldBe 1.0 +- 1e-6 // group centroid IS the global centroid
   }
 
+  test("intraGroupDiversity: identity matches hand pairs; degenerate groups NULL") {
+    val pts = Seq(
+      (1L, Array(1.0f, 0.0f), "orth"), (2L, Array(0.0f, 3.0f), "orth"),
+      (3L, Array(2.0f, 0.0f), "same"), (4L, Array(1.0f, 0.0f), "same"),
+      (5L, Array(1.0f, 1.0f), "mix"), (6L, Array(1.0f, 0.0f), "mix"),
+      (7L, Array(0.0f, 0.0f), "zed"), (8L, Array(1.0f, 0.0f), "zed")
+    ).toDF("vec_id", "embedding", "label")
+    val r = Embeddings.intraGroupDiversity(pts, "label", "embedding")
+      .as[(String, Long, Option[Double])].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    r("orth") shouldBe (2L, Some(0.0))              // orthogonal pair
+    r("same")._2.get shouldBe 1.0 +- 1e-6           // parallel pair
+    r("mix")._2.get shouldBe 0.707107 +- 1e-5       // cos 45°
+    r("zed") shouldBe (1L, None)                    // zero vector excluded -> n=1 -> NULL
+  }
+
+  test("intraGroupDiversity agrees with brute-force pairwise cosine per label") {
+    val emb = graft.core.Tables.table(spark, sf0001, "embeddings")
+    val got = Embeddings.intraGroupDiversity(emb, "label", "embedding")
+      .as[(Long, Long, Option[Double])].collect()
+      .map(t => t._1 -> t._3.get).toMap
+    val vecs = emb.select($"label".cast("long"), $"embedding")
+      .as[(Long, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val (d, na, nb) = (a.zip(b).map { case (x, y) => x.toDouble * y }.sum,
+        math.sqrt(a.map(x => x.toDouble * x).sum), math.sqrt(b.map(x => x.toDouble * x).sum))
+      d / (na * nb)
+    }
+    for ((label, group) <- vecs.groupBy(_._1) if group.length >= 2) {
+      val vs = group.map(_._2)
+      val pairs = for (i <- vs.indices; j <- i + 1 until vs.length) yield cos(vs(i), vs(j))
+      got(label) shouldBe (pairs.sum / pairs.size) +- 1e-4
+    }
+  }
+
   private implicit class TripleOps(rows: Array[(Long, Double, Array[Int])]) {
     def toMap2: Map[Long, (Double, Array[Int])] =
       rows.map { case (id, s, q) => id -> (s, q) }.toMap

@@ -192,6 +192,28 @@ class SamplingSpec extends SparkSpec {
       Sampling.exactKSample(docs, "doc_id", 0)
   }
 
+  test("exactKPerStratum: k smallest md5 keys within every stratum") {
+    val rows = docs.select("doc_id", "source").as[(Long, String)].collect()
+    def hex(id: Long): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val expect = rows.groupBy(_._2).values
+      .flatMap(_.sortBy { case (id, _) => (hex(id), id) }.take(5)).map(_._1).toSet
+    val got = Sampling.exactKPerStratum(
+      docs.select("doc_id", "source"), "doc_id", "source", 5)
+      .select("doc_id").as[Long].collect()
+    got.length shouldBe expect.size
+    got.toSet shouldBe expect
+    // stable under partitioning; short strata keep everything
+    Sampling.exactKPerStratum(
+      docs.repartition(7).select("doc_id", "source"), "doc_id", "source", 5)
+      .select("doc_id").as[Long].collect().toSet shouldBe expect
+    val all = Sampling.exactKPerStratum(
+      docs.select("doc_id", "source"), "doc_id", "source", 1000000)
+    all.count() shouldBe docs.count()
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.exactKPerStratum(docs, "doc_id", "source", 0)
+  }
+
   test("dsirWeights equals an independent per-token log-ratio re-derivation") {
     val raw = Seq((1L, "alpha alpha beta"), (2L, "beta gamma"),
       (3L, "alpha gamma gamma delta")).toDF("id", "text")
