@@ -719,6 +719,20 @@ object SparkEntry {
     "q145_group_diversity" -> ((s, dir) =>
       graft.ops.Embeddings.intraGroupDiversity(
         t(s, dir, "embeddings"), "label", "embedding")),
+    // per-session ordered event-type sequences (behavioral pretraining
+    // rows) — q41's gap semantics + a total (ts, event_id) order
+    "q146_session_sequences" -> ((s, dir) =>
+      graft.ops.EventAnalytics.sessionSequences(
+        t(s, dir, "events").select("event_id", "ts", "user_id", "event_type"),
+        "user_id", "ts", "event_id", "event_type", 1800000L)),
+    // crawl-extraction markup strip: comments, tags, entities (amp last),
+    // whitespace collapse — pure scan stage
+    "q147_strip_markup" -> ((s, dir) =>
+      TextStats.stripMarkup(t(s, dir, "documents"), "doc_id", "text")),
+    // Hill tail-index of the token-frequency distribution (corpus-health
+    // scalar; template spam drives alpha toward 1)
+    "q148_zipf_alpha" -> ((s, dir) =>
+      graft.ops.Corpus.zipfAlpha(t(s, dir, "documents"), "doc_id", "text", 5L)),
     // corpus card: token/doc counts at every (source, lang) grain with
     // grand-total shares — pre-reduced before the cube, q48's device
     "q140_corpus_card" -> ((s, dir) =>
@@ -3053,6 +3067,44 @@ object SparkEntry {
         |    AS mean_pairwise_cosine
         |FROM s JOIN n USING (label)
         |GROUP BY label, n""".stripMargin,
+    // q146: q41's session CTE + an ordered list() over (ts, event_id)
+    "q146_session_sequences" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |marked AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, event_id, event_type, ts,
+        |        SUM(new_session) OVER (
+        |          PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+        |      FROM marked)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  min(ts) AS session_start, count(*) AS n_events,
+        |  list(event_type ORDER BY ts, event_id) AS event_seq
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    // q147: the same comment/tag/entity/whitespace chain (RE2-safe)
+    "q147_strip_markup" ->
+      """SELECT doc_id, trim(regexp_replace(
+        |  replace(replace(replace(replace(replace(replace(
+        |    regexp_replace(regexp_replace(text, '(?s)<!--.*?-->', ' ', 'g'),
+        |                   '<[^>]*>', ' ', 'g'),
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |    '&nbsp;', ' '), '&amp;', '&'),
+        |  '\s+', ' ', 'g')) AS clean_text
+        |FROM documents""".stripMargin,
+    // q148: Hill estimator over the tf >= 5 tail, continuity-corrected
+    "q148_zipf_alpha" ->
+      """WITH dt AS (
+        |  SELECT doc_id, t.term AS term, count(*) AS tf
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+        |  GROUP BY 1, 2),
+        |ts AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS tf FROM dt GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_tail_terms,
+        |  round(1.0 + count(*) / sum(ln(tf / 4.5)), 6) AS alpha
+        |FROM ts WHERE tf >= 5""".stripMargin,
     // q140: pre-reduced cube with DuckDB's GROUPING mask as lvl
     "q140_corpus_card" ->
       """WITH pre AS (

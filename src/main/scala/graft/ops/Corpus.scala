@@ -66,6 +66,28 @@ object Corpus {
   def vocabulary(df: DataFrame, idCol: String, textCol: String, topK: Int): DataFrame =
     topTerms(termStats(df, idCol, textCol), topK)
 
+  /** Zipf tail index of the token-frequency distribution — the one-number
+    * corpus-health check that catches template spam (alpha collapses
+    * toward 1 as a few phrases dominate) and shattered tokenization
+    * (alpha inflates as mass spreads over the tail). Hill's estimator on
+    * the discrete tail `tf >= minFreq`:
+    * `alpha = 1 + n / Σ ln(tf / (minFreq - 0.5))` (the −0.5 is the
+    * standard continuity correction). An empty tail reports NULL.
+    *
+    * Scale shape: [[termStats]]' one term-keyed hash-agg, then a global
+    * partial-agg reduce over the ≤ |vocab| tail rows — the corpus text
+    * never shuffles. */
+  def zipfAlpha(df: DataFrame, idCol: String, textCol: String,
+      minFreq: Long = 5L): DataFrame = {
+    require(minFreq >= 2, s"zipfAlpha: need minFreq >= 2, got $minFreq")
+    termStats(df, idCol, textCol)
+      .where(col("tf") >= minFreq)
+      .agg(
+        count(lit(1)).as("n_tail_terms"),
+        round(lit(1.0) + count(lit(1)) /
+          sum(log(col("tf") / lit(minFreq - 0.5))), 6).as("alpha"))
+  }
+
   /** Unigram-LM familiarity scoring — the cheap perplexity proxy a
     * curation pipeline runs when no trained LM is available: documents
     * whose tokens are common in the corpus score high; gibberish and

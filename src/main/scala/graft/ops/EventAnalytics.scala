@@ -109,6 +109,40 @@ object EventAnalytics {
     * aggregate (no Expand); at unbounded user counts swap in
     * `approx_count_distinct` — same plan shape, HLL merge
     * (see [[Sketches]]). */
+  /** Assemble per-session ORDERED event sequences — the behavioral-
+    * pretraining shape: one row per (user, session) carrying the
+    * time-ordered event-type array, ready for [[graft.ops.Packing]] or
+    * JSONL export as a training sequence. Session boundaries are
+    * [[graft.streaming.EventStream.sessionizeBatch]]'s gap semantics
+    * (integer-microsecond gap compare); within a session the order is the
+    * total (ts, eventId) order, so ties at the same timestamp are
+    * deterministic on any engine and any partitioning.
+    *
+    * Scale shape: ONE exchange on the user key — the session-marking
+    * window, the sequence sort, and the group-by all live on it; the
+    * collected array is bounded by session length (gap-bounded by
+    * construction), never by user history. */
+  def sessionSequences(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(gapMs > 0, s"sessionSequences: need gapMs > 0, got $gapMs")
+    val byUser = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val marked = events
+      .withColumn("__prev", lag(col(tsCol), 1).over(byUser))
+      .withColumn("__new",
+        (col("__prev").isNull ||
+          unix_micros(col(tsCol)) - unix_micros(col("__prev")) > gapMs * 1000L)
+          .cast("int"))
+      .withColumn("session_id", sum("__new").over(byUser))
+    marked.groupBy(col(userCol), col("session_id"))
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        count(lit(1)).as("n_events"),
+        transform(
+          array_sort(collect_list(struct(col(tsCol), col(idCol), col(typeCol)))),
+          x => x.getField(typeCol)).as("event_seq"))
+  }
+
   def retentionCohorts(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
     val first = events.groupBy(userCol)
       .agg(date_trunc("week", min(col(tsCol))).as("cohort_week"))

@@ -223,6 +223,28 @@ object TextStats {
         (col("__total") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
+  /** Markup stripping — the extraction step between a raw web crawl and
+    * every text operator above: drop HTML comments, then tags, then
+    * unescape the entities tag-stripping exposes (`&amp;` LAST, so
+    * `&amp;lt;` yields the literal `&lt;` instead of double-unescaping),
+    * then collapse runs of whitespace. Plain text passes through
+    * unchanged (modulo whitespace collapse), so the op is safe to run
+    * unconditionally in an ingest chain. Pure scan-stage projection —
+    * zero shuffle; both regexes are RE2-compatible, so external engines
+    * reproduce the exact output. */
+  def stripMarkup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // (?s): comments span lines and may contain '>' — without DOTALL a
+    // multi-line comment would leak its tail past the tag regex
+    val noTags = regexp_replace(
+      regexp_replace(col(textCol), "(?s)<!--.*?-->", " "), "<[^>]*>", " ")
+    val unescaped = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (s, r)) => replace(c, lit(s), lit(r)) }
+    df.select(col(idCol),
+      trim(regexp_replace(unescaped, "\\s+", " ")).as("clean_text"))
+  }
+
   /** Document fingerprints: full-content md5 plus a winnowing-style minimum
     * over character 8-gram hashes (robust to small edits at the ends). The
     * min-gram is a native one-pass kernel

@@ -437,4 +437,15 @@ class PlanSpec extends SparkSpec {
     plan should not include "Generate"
     "Exchange hashpartitioning".r.findAllIn(plan).size should be <= 1
   }
+
+  test("session sequences: window, sort, and group share ONE user exchange (q146)") {
+    val plan = planOf(SparkEntry.queries("q146_session_sequences")(spark, sf0001))
+    "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size should be <= 1
+    plan should not include "Exchange SinglePartition"
+  }
+
+  test("markup strip is a pure scan-stage projection: zero exchanges (q147)") {
+    val plan = planOf(SparkEntry.queries("q147_strip_markup")(spark, sf0001))
+    plan should not include "Exchange"
+  }
 }

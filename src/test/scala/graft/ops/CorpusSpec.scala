@@ -215,6 +215,26 @@ class CorpusSpec extends SparkSpec {
       Corpus.rankingMetrics(runs, "q", "rank", "rel", 0)
   }
 
+  test("zipfAlpha: Hill estimator on the tf >= minFreq tail; empty tail NULL") {
+    // tf: a=10, b=7, c=3, d=1 — tail at minFreq 5 is {a, b}
+    val docs = Seq(
+      (1L, "a a a a a a a a a a"),
+      (2L, "b b b b b b b"),
+      (3L, "c c c d")
+    ).toDF("doc_id", "text")
+    val r = Corpus.zipfAlpha(docs, "doc_id", "text", 5L)
+      .as[(Long, Option[Double])].head()
+    r._1 shouldBe 2L
+    val expected = 1.0 + 2.0 / (math.log(10.0 / 4.5) + math.log(7.0 / 4.5))
+    r._2.get shouldBe expected +- 1e-6
+    // no term reaches the threshold -> empty tail -> NULL alpha
+    val sparse = Seq((1L, "x y z")).toDF("doc_id", "text")
+    Corpus.zipfAlpha(sparse, "doc_id", "text", 5L)
+      .as[(Long, Option[Double])].head() shouldBe ((0L, None))
+    an[IllegalArgumentException] should be thrownBy
+      Corpus.zipfAlpha(docs, "doc_id", "text", 1L)
+  }
+
   private implicit class TripleOps(rows: Array[(Long, String, Double)]) {
     def toMap2: Map[Long, (String, Double)] =
       rows.map { case (id, t, s) => id -> (t, s) }.toMap

@@ -142,4 +142,47 @@ class EventAnalyticsSpec extends SparkSpec {
     byKey(("2026-01-01 00:00:00", "B")) shouldBe
       (("2026-01-01 00:00:00", "B", 1L, 1.0, None, false)) // null sd, never flagged
   }
+
+  test("sessionSequences: gap splits, ordered types, deterministic ties") {
+    val events = Seq(
+      // u1 session 1: three events, two at the SAME ts (tie on event_id)
+      (10L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (12L, ts("2024-01-01 10:05:00"), 1L, "click"),
+      (11L, ts("2024-01-01 10:05:00"), 1L, "scroll"),
+      // u1 session 2: 31 min later
+      (13L, ts("2024-01-01 10:36:01"), 1L, "buy"),
+      // u2: single-event session
+      (20L, ts("2024-01-01 09:00:00"), 2L, "view")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val r = EventAnalytics.sessionSequences(
+      events, "user_id", "ts", "event_id", "event_type", 1800000L)
+      .select($"user_id", $"session_id", $"n_events", $"event_seq")
+      .as[(Long, Long, Long, Seq[String])].collect()
+      .map(x => (x._1, x._2) -> (x._3, x._4)).toMap
+    // ts tie at 10:05 breaks on event_id: 11 (scroll) before 12 (click)
+    r((1L, 1L)) shouldBe ((3L, Seq("view", "scroll", "click")))
+    r((1L, 2L)) shouldBe ((1L, Seq("buy")))
+    r((2L, 1L)) shouldBe ((1L, Seq("view")))
+    an[IllegalArgumentException] should be thrownBy
+      EventAnalytics.sessionSequences(events, "user_id", "ts", "event_id",
+        "event_type", 0L)
+  }
+
+  test("sessionSequences sessions agree with sessionizeBatch on real events") {
+    val ev = graft.core.Tables.table(spark, sf0001, "events")
+      .select("event_id", "ts", "user_id", "event_type")
+    val seq = EventAnalytics.sessionSequences(
+      ev, "user_id", "ts", "event_id", "event_type", 1800000L)
+    val base = graft.streaming.EventStream.sessionizeBatch(
+      ev.select("user_id", "ts"), 1800000L)
+    // same (user, session) keyspace, same per-session event counts, and
+    // every sequence length equals its n_events
+    val a = seq.select($"user_id", $"session_id", $"n_events")
+      .as[(Long, Long, Long)].collect().sorted
+    val b = base.select($"user_id", $"session_id", $"n_events")
+      .as[(Long, Long, Long)].collect().sorted
+    a shouldBe b
+    seq.where(org.apache.spark.sql.functions.size($"event_seq") =!= $"n_events")
+      .count() shouldBe 0L
+  }
 }
