@@ -733,6 +733,20 @@ object SparkEntry {
     // scalar; template spam drives alpha toward 1)
     "q148_zipf_alpha" -> ((s, dir) =>
       graft.ops.Corpus.zipfAlpha(t(s, dir, "documents"), "doc_id", "text", 5L)),
+    // incremental moment maintenance: per-day partials merged back to the
+    // exact global profile — oracle is q94's direct SQL
+    "q149_incremental_moments" -> ((s, dir) =>
+      graft.ops.Quality.mergeMoments(
+        graft.ops.Quality.momentPartials(
+          t(s, dir, "events"), "event_type", to_date(col("ts")), "value"),
+        "event_type")),
+    // frequency-ordered term dictionary (string-indexer ids, 1 = most
+    // frequent) via the range-exchange global rank
+    "q150_term_ids" -> ((s, dir) =>
+      graft.ops.Corpus.termIds(t(s, dir, "documents"), "doc_id", "text", 2L)),
+    // padding-bucket cost mart: power-of-two buckets, padded-token waste
+    "q151_padding_buckets" -> ((s, dir) =>
+      graft.ops.Packing.paddingBuckets(t(s, dir, "documents"), "text")),
     // corpus card: token/doc counts at every (source, lang) grain with
     // grand-total shares — pre-reduced before the cube, q48's device
     "q140_corpus_card" -> ((s, dir) =>
@@ -3105,6 +3119,46 @@ object SparkEntry {
         |SELECT CAST(count(*) AS BIGINT) AS n_tail_terms,
         |  round(1.0 + count(*) / sum(ln(tf / 4.5)), 6) AS alpha
         |FROM ts WHERE tf >= 5""".stripMargin,
+    // q149: the DIRECT computation — partial-then-merge must land on the
+    // exact same profile q94 pins
+    "q149_incremental_moments" ->
+      """WITH a AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n, sum(value) AS s1,
+        |    sum(value*value) AS s2, sum(value*value*value) AS s3,
+        |    sum(value*value*value*value) AS s4
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n,
+        |  round(s1/n, 6) AS mean,
+        |  round(s2/n - (s1/n)*(s1/n), 6) AS variance,
+        |  round(CASE WHEN s2/n - (s1/n)*(s1/n) > 0 THEN
+        |    (s3/n - 3.0*(s1/n)*(s2/n) + 2.0*(s1/n)*(s1/n)*(s1/n))
+        |      / pow(s2/n - (s1/n)*(s1/n), 1.5) END, 6) AS skewness,
+        |  round(CASE WHEN s2/n - (s1/n)*(s1/n) > 0 THEN
+        |    (s4/n - 4.0*(s1/n)*(s3/n) + 6.0*(s1/n)*(s1/n)*(s2/n)
+        |       - 3.0*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+        |      / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3.0 END, 6) AS kurtosis
+        |FROM a""".stripMargin,
+    // q150: row_number over (tf DESC, term) = the range-exchange rank
+    "q150_term_ids" ->
+      """WITH dt AS (
+        |  SELECT doc_id, t.term AS term, count(*) AS tf
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+        |  GROUP BY 1, 2),
+        |ts AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS tf,
+        |         count(*) AS df_docs FROM dt GROUP BY 1)
+        |SELECT term, tf, df_docs,
+        |  row_number() OVER (ORDER BY tf DESC, term) AS term_id
+        |FROM ts WHERE tf >= 2""".stripMargin,
+    // q151: smallest power-of-two bucket per doc, aggregated waste
+    "q151_padding_buckets" ->
+      """WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |           FROM documents),
+        |b AS (SELECT n, CAST(pow(2, ceil(log2(n))) AS BIGINT) AS bucket FROM t)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS sum_tokens,
+        |  CAST(bucket * count(*) AS BIGINT) AS padded_tokens,
+        |  round(1.0 - sum(n) / CAST(bucket * count(*) AS DOUBLE), 6) AS waste_ratio
+        |FROM b GROUP BY 1""".stripMargin,
     // q140: pre-reduced cube with DuckDB's GROUPING mask as lvl
     "q140_corpus_card" ->
       """WITH pre AS (

@@ -66,6 +66,26 @@ object Corpus {
   def vocabulary(df: DataFrame, idCol: String, textCol: String, topK: Int): DataFrame =
     topTerms(termStats(df, idCol, textCol), topK)
 
+  /** Frequency-ordered term dictionary: every term with `tf >= minTf`
+    * assigned a stable integer id, 1 = most frequent (ties on the term
+    * itself) — the string-indexer step that turns categorical/token
+    * columns into the dense ids a trainer consumes. Deterministic and
+    * engine-portable: the id is a pure function of the corpus counts.
+    *
+    * Scale shape: [[termStats]]' term-keyed hash-agg, then
+    * [[graft.ops.Layout.globalRank]]'s range-exchange ranking over the
+    * ≤ |vocab| stat rows — no single-partition window, no driver
+    * materialization of the vocabulary. */
+  def termIds(df: DataFrame, idCol: String, textCol: String,
+      minTf: Long = 1L): DataFrame = {
+    require(minTf >= 1, s"termIds: need minTf >= 1, got $minTf")
+    val stats = termStats(df, idCol, textCol)
+      .where(col("tf") >= minTf)
+      .withColumn("__neg_tf", -col("tf"))
+    graft.ops.Layout.globalRank(stats, "__neg_tf", "term", rankCol = "term_id")
+      .select(col("term"), col("tf"), col("df_docs"), col("term_id"))
+  }
+
   /** Zipf tail index of the token-frequency distribution — the one-number
     * corpus-health check that catches template spam (alpha collapses
     * toward 1 as a few phrases dominate) and shattered tokenization

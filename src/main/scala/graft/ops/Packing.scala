@@ -60,4 +60,27 @@ object Packing {
           transform(
             array_sort(collect_list(struct(col("start_offset"), col(textCol)))),
             s => s.getField(textCol))).as("packed_text"))
+
+  /** Padding-bucket planning mart — the batching cost table for a trainer
+    * that pads each batch to a fixed length: every document assigned to
+    * the smallest power-of-two bucket holding its token count, aggregated
+    * to (bucket, n_docs, sum_tokens, padded_tokens, waste_ratio). A high
+    * waste ratio in a hot bucket is the signal to add a bucket boundary
+    * or route those documents through [[packGreedy]] instead.
+    *
+    * `pow(2, ceil(log2(n)))` is engine-exact: log2 is exact at powers of
+    * two and never within FP error of an integer elsewhere at realistic
+    * lengths. Scale shape: scan-stage token count + bucket, one hash-agg
+    * with map-side partials. */
+  def paddingBuckets(df: DataFrame, textCol: String): DataFrame = {
+    val n = size(split(col(textCol), " ")).cast("long")
+    val bucket = pow(lit(2.0), ceil(log2(n.cast("double")))).cast("long")
+    df.select(n.as("__n"), bucket.as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("sum_tokens"))
+      .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+        (col("bucket") * col("n_docs")).as("padded_tokens"),
+        round(lit(1.0) - col("sum_tokens") /
+          (col("bucket") * col("n_docs")).cast("double"), 6).as("waste_ratio"))
+  }
 }

@@ -201,12 +201,47 @@ object Quality {
     * is O(n·ε) ≈ 1e-11 at any realistic group size — far below the
     * rounding quantum. Groups with zero variance get null g1/g2 (not
     * NaN), single-row groups a 0 variance. */
-  def momentProfile(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+  def momentProfile(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    finishMoments(rawPowerSums(df, groupCol, valueCol), groupCol)
+
+  /** Per-(group, partition) raw power sums Σx..Σx⁴ — the MERGEABLE form
+    * of [[momentProfile]]: partials from disjoint slices (a day, an
+    * ingest batch, a corpus shard) combine by ADDITION, so a 100 TB
+    * pipeline maintains daily partial rows and re-derives the exact
+    * global profile from ≤ |groups|·|days| tiny rows without ever
+    * re-scanning history. Finish with [[mergeMoments]]. */
+  def momentPartials(df: DataFrame, groupCol: String, partCol: Column,
+      valueCol: String): DataFrame = {
     val v = col(valueCol).cast("double")
-    val agg = df.where(v.isNotNull)
+    df.where(v.isNotNull)
+      .groupBy(col(groupCol), partCol.as("part"))
+      .agg(count(lit(1)).as("n"), sum(v).as("s1"), sum(v * v).as("s2"),
+        sum(v * v * v).as("s3"), sum(v * v * v * v).as("s4"))
+  }
+
+  /** Merge [[momentPartials]] rows (any subset of partitions, any order)
+    * into the finished per-group profile. `mergeMoments(momentPartials
+    * (df, g, p, v))` equals `momentProfile(df, g, v)` EXACTLY up to the
+    * 6 dp rounding both paths share — pinned by spec and by q149's
+    * oracle being q94's. One hash-agg over the partial rows; the raw
+    * data never reappears. */
+  def mergeMoments(partials: DataFrame, groupCol: String): DataFrame =
+    finishMoments(
+      partials.groupBy(col(groupCol))
+        .agg(sum("n").as("n"), sum("s1").as("s1"), sum("s2").as("s2"),
+          sum("s3").as("s3"), sum("s4").as("s4")),
+      groupCol)
+
+  private def rawPowerSums(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    df.where(v.isNotNull)
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"), sum(v).as("s1"), sum(v * v).as("s2"),
         sum(v * v * v).as("s3"), sum(v * v * v * v).as("s4"))
+  }
+
+  private def finishMoments(agg: DataFrame, groupCol: String): DataFrame = {
     val n = col("n").cast("double")
     val mean = col("s1") / n
     val m2 = col("s2") / n - mean * mean

@@ -448,4 +448,18 @@ class PlanSpec extends SparkSpec {
     val plan = planOf(SparkEntry.queries("q147_strip_markup")(spark, sf0001))
     plan should not include "Exchange"
   }
+
+  test("term dictionary ranks without a single-partition window (q150)") {
+    graft.core.CacheRegistry.scoped {
+      val plan = planOf(SparkEntry.queries("q150_term_ids")(spark, sf0001))
+      plan should not include "Exchange SinglePartition"
+      plan should not include "CartesianProduct"
+    }
+  }
+
+  test("padding buckets: scan-stage bucketing, one hash-agg exchange (q151)") {
+    val plan = planOf(SparkEntry.queries("q151_padding_buckets")(spark, sf0001))
+    "Exchange hashpartitioning".r.findAllIn(plan).size should be <= 1
+    plan should not include "Exchange SinglePartition"
+  }
 }

@@ -215,6 +215,22 @@ class CorpusSpec extends SparkSpec {
       Corpus.rankingMetrics(runs, "q", "rank", "rel", 0)
   }
 
+  test("termIds: frequency-ordered dictionary, ties on term, minTf cut") {
+    val docs = Seq(
+      (1L, "a b a c"),
+      (2L, "a b b"),
+      (3L, "c d")
+    ).toDF("doc_id", "text")
+    // tf: a=3, b=3, c=2, d=1 — minTf 2 drops d; a/b tie breaks on term
+    val r = Corpus.termIds(docs, "doc_id", "text", 2L)
+      .select($"term", $"tf", $"df_docs", $"term_id")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._4)
+    r shouldBe Array(("a", 3L, 2L, 1L), ("b", 3L, 2L, 2L), ("c", 2L, 2L, 3L))
+    an[IllegalArgumentException] should be thrownBy
+      Corpus.termIds(docs, "doc_id", "text", 0L)
+    graft.core.CacheRegistry.drain()
+  }
+
   test("zipfAlpha: Hill estimator on the tf >= minFreq tail; empty tail NULL") {
     // tf: a=10, b=7, c=3, d=1 — tail at minFreq 5 is {a, b}
     val docs = Seq(

@@ -57,4 +57,21 @@ class PackingSpec extends SparkSpec {
       .select($"doc_id", $"oversize").as[(Long, Boolean)].collect().toMap
     r shouldBe Map(1L -> false, 2L -> true, 3L -> false)
   }
+
+  test("paddingBuckets: smallest power-of-two bucket, exact waste accounting") {
+    val docs = Seq(
+      (1L, "t"),                       // 1 token  -> bucket 1
+      (2L, "t t"),                     // 2 tokens -> bucket 2 (exact power)
+      (3L, "t t t"),                   // 3 tokens -> bucket 4
+      (4L, "t t t t t"),               // 5 tokens -> bucket 8
+      (5L, "t t t t t t t t")          // 8 tokens -> bucket 8 (exact power)
+    ).toDF("doc_id", "text")
+    val r = Packing.paddingBuckets(docs, "text")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(x => x._1 -> (x._2, x._3, x._4, x._5)).toMap
+    r(1L) shouldBe ((1L, 1L, 1L, 0.0))
+    r(2L) shouldBe ((1L, 2L, 2L, 0.0))
+    r(4L) shouldBe ((1L, 3L, 4L, 0.25))
+    r(8L) shouldBe ((2L, 13L, 16L, 0.1875))
+  }
 }

@@ -90,6 +90,25 @@ class QualitySpec extends SparkSpec {
     got("c").getDouble(3) shouldBe 0.0
   }
 
+  test("mergeMoments(momentPartials) equals momentProfile exactly") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    val ev = graft.core.Tables.table(spark, sf0001, "events")
+    val direct = Quality.momentProfile(ev, "event_type", "value").collect().toSet
+    // partition by day: partials from disjoint slices, merged back
+    val partials = Quality.momentPartials(ev, "event_type", to_date(col("ts")), "value")
+    partials.count() should be > partials.select("event_type").distinct().count()
+    val merged = Quality.mergeMoments(partials, "event_type").collect().toSet
+    merged shouldBe direct // addition-mergeable: EXACT agreement, not approximate
+    // partials of partials: re-reduce day rows to month rows by addition,
+    // then merge — still the same profile
+    import org.apache.spark.sql.functions.sum
+    val monthly = partials
+      .groupBy(col("event_type"), col("part").cast("string").substr(1, 7).as("part"))
+      .agg(sum("n").as("n"), sum("s1").as("s1"), sum("s2").as("s2"),
+        sum("s3").as("s3"), sum("s4").as("s4"))
+    Quality.mergeMoments(monthly, "event_type").collect().toSet shouldBe direct
+  }
+
   test("curationScorecard: one row per doc, verdict = the documented conjunction, " +
     "components agree with their standalone operators") {
     val docs = graft.core.Tables.table(spark, sf0001, "documents")
