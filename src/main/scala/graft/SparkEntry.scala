@@ -747,6 +747,22 @@ object SparkEntry {
     // padding-bucket cost mart: power-of-two buckets, padded-token waste
     "q151_padding_buckets" -> ((s, dir) =>
       graft.ops.Packing.paddingBuckets(t(s, dir, "documents"), "text")),
+    // weighted-fair-queueing training tape: sched_key = source_rank/weight
+    // interleaves sources at their ratios, deterministically
+    "q152_mixture_schedule" -> ((s, dir) =>
+      Sampling.mixtureSchedule(
+        t(s, dir, "documents").select("doc_id", "source"), "doc_id", "source",
+        Seq("src0" -> 3.0, "src1" -> 1.5, "src2" -> 1.0, "src3" -> 0.5))),
+    // top-k longest docs per source via the WindowGroupLimit map-side heaps
+    "q153_topk_per_group" -> ((s, dir) =>
+      graft.ops.Layout.topKPerGroup(
+        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        "source", "n_chars", "doc_id", 20)),
+    // RFM user snapshot at a pinned as-of date (replay-stable features)
+    "q154_user_snapshot" -> ((s, dir) =>
+      graft.ops.EventAnalytics.userSnapshot(
+        t(s, dir, "events"), "user_id", "ts", "value",
+        java.sql.Date.valueOf("2024-02-15"))),
     // corpus card: token/doc counts at every (source, lang) grain with
     // grand-total shares — pre-reduced before the cube, q48's device
     "q140_corpus_card" -> ((s, dir) =>
@@ -3159,6 +3175,34 @@ object SparkEntry {
         |  CAST(bucket * count(*) AS BIGINT) AS padded_tokens,
         |  round(1.0 - sum(n) / CAST(bucket * count(*) AS DOUBLE), 6) AS waste_ratio
         |FROM b GROUP BY 1""".stripMargin,
+    // q152: per-source md5 rank / weight — exact IEEE division
+    "q152_mixture_schedule" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, CAST(row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS source_rank
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3'))
+        |SELECT doc_id, source, source_rank,
+        |  source_rank / (CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 1.5
+        |                 WHEN 'src2' THEN 1.0 ELSE 0.5 END) AS sched_key
+        |FROM r""".stripMargin,
+    // q153: the same per-group row_number cut, n_chars DESC
+    "q153_topk_per_group" ->
+      """SELECT doc_id, source, n_chars, grp_rank FROM (
+        |  SELECT doc_id, source, n_chars, CAST(row_number() OVER (
+        |    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS grp_rank
+        |  FROM documents) WHERE grp_rank <= 20""".stripMargin,
+    // q154: RFM block as of the pinned date
+    "q154_user_snapshot" ->
+      """SELECT user_id,
+        |  CAST(date_diff('day', CAST(max(ts) AS DATE), DATE '2024-02-15')
+        |    AS BIGINT) AS recency_days,
+        |  count(*) AS frequency,
+        |  round(sum(coalesce(value, 0.0)), 6) AS monetary,
+        |  CAST(date_diff('day', CAST(min(ts) AS DATE), DATE '2024-02-15')
+        |    AS BIGINT) AS tenure_days,
+        |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_active_days
+        |FROM events GROUP BY 1""".stripMargin,
     // q140: pre-reduced cube with DuckDB's GROUPING mask as lvl
     "q140_corpus_card" ->
       """WITH pre AS (

@@ -143,6 +143,26 @@ object EventAnalytics {
           x => x.getField(typeCol)).as("event_seq"))
   }
 
+  /** Per-user RFM snapshot as of a pinned instant: recency (days since
+    * last event), frequency (event count), monetary (Σ value, nulls
+    * contribute 0 but rows still count), plus tenure days and distinct
+    * active days — the classic behavioral feature block, computed the
+    * reproducible way (an explicit `asOf` instead of `current_date`, so
+    * backfills and replays produce identical features).
+    *
+    * Scale shape: ONE user-keyed hash-agg with map-side partials; the
+    * single distinct (active days) plans as a two-stage aggregate, not an
+    * Expand. */
+  def userSnapshot(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, asOf: java.sql.Date): DataFrame =
+    events.groupBy(col(userCol))
+      .agg(
+        datediff(lit(asOf), max(to_date(col(tsCol)))).cast("long").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        round(sum(coalesce(col(valueCol), lit(0.0))), 6).as("monetary"),
+        datediff(lit(asOf), min(to_date(col(tsCol)))).cast("long").as("tenure_days"),
+        countDistinct(to_date(col(tsCol))).as("n_active_days"))
+
   def retentionCohorts(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
     val first = events.groupBy(userCol)
       .agg(date_trunc("week", min(col(tsCol))).as("cohort_week"))

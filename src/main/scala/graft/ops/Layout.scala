@@ -93,6 +93,22 @@ object Layout {
       .drop("__range")
   }
 
+  /** Top `k` rows per group by `orderCol` (descending by default, ties on
+    * `tieBreak` ascending), with the 1-based position as `grp_rank` —
+    * best-k-docs-per-source, top-k-features-per-label, any bounded
+    * per-group cut. Spark's WindowGroupLimit rewrite keeps per-group
+    * k-heaps on the MAP side, so the group exchange carries ≤ k·|groups|
+    * rows per task — never a full per-group sort. */
+  def topKPerGroup(df: DataFrame, groupCol: String, orderCol: String,
+      tieBreak: String, k: Int, desc: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"topKPerGroup: need k > 0, got $k")
+    val ord = if (desc) col(orderCol).desc else col(orderCol).asc
+    val w = Window.partitionBy(col(groupCol)).orderBy(ord, col(tieBreak).asc)
+    df.withColumn("grp_rank", row_number().over(w).cast("long"))
+      .where(col("grp_rank") <= k)
+  }
+
   /** Add a `zval` column from two range-bucketed dimensions and lay the
     * data out in z order: range-repartition on `zval` (one shuffle with
     * sampled boundaries) then sort each partition. Writing the result

@@ -319,6 +319,39 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Deterministic training-order tape: weighted fair queueing over
+    * sources. Each row gets `sched_key = source_rank / weight` where
+    * `source_rank` is its 1-based position in the source's md5(id) order —
+    * reading rows by ascending `sched_key` interleaves sources at exactly
+    * their weight ratios from the very first batch (weight 2.0 appears
+    * twice as often as 1.0), with no epoch boundary and no RNG. The same
+    * corpus + weights always produce the same tape on any engine. Rows
+    * whose source has no weight are dropped (the mixture IS the spec of
+    * what trains). Keys are exact IEEE divisions of small integers — no
+    * rounding needed for cross-engine agreement.
+    *
+    * Scale shape: one exchange on the source key + per-source sort for
+    * the rank window. A single source skewing the corpus serializes its
+    * own rank sort; at that scale rank each source with
+    * [[graft.ops.Layout.globalRank]] (range-exchange, no single
+    * partition) and join the keys back — same output, documented here so
+    * nobody discovers it mid-run. */
+  def mixtureSchedule(df: DataFrame, idCol: String, sourceCol: String,
+      weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty, "mixtureSchedule: need at least one weight")
+    weights.foreach { case (s, w) =>
+      require(w > 0, s"mixtureSchedule: weight for '$s' must be > 0, got $w") }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val weightExpr = weights.foldLeft(lit(null).cast("double")) {
+      case (e, (s, wt)) => when(col(sourceCol) === s, lit(wt)).otherwise(e)
+    }
+    df.where(col(sourceCol).isInCollection(weights.map(_._1)))
+      .withColumn("source_rank", row_number().over(w).cast("long"))
+      .withColumn("sched_key", col("source_rank") / weightExpr)
+  }
+
   /** Group-aware k-fold assignment (scikit-learn `GroupKFold` semantics,
     * deterministically): every row of a group lands in the same fold, so
     * evaluation never sees a group that training saw — the split-leakage

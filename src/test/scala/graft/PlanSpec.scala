@@ -462,4 +462,21 @@ class PlanSpec extends SparkSpec {
     "Exchange hashpartitioning".r.findAllIn(plan).size should be <= 1
     plan should not include "Exchange SinglePartition"
   }
+
+  test("mixture schedule ranks per source: one exchange, never one partition (q152)") {
+    val plan = planOf(SparkEntry.queries("q152_mixture_schedule")(spark, sf0001))
+    "Exchange hashpartitioning\\(source".r.findAllIn(plan).size shouldBe 1
+    plan should not include "Exchange SinglePartition"
+  }
+
+  test("top-k per group keeps map-side heaps before the exchange (q153)") {
+    val plan = planOf(SparkEntry.queries("q153_topk_per_group")(spark, sf0001))
+    plan should include("WindowGroupLimit")
+  }
+
+  test("user snapshot: one user hash-agg, single distinct plans without Expand (q154)") {
+    val plan = planOf(SparkEntry.queries("q154_user_snapshot")(spark, sf0001))
+    plan should not include "Expand"
+    "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size should be <= 2
+  }
 }

@@ -168,6 +168,21 @@ class EventAnalyticsSpec extends SparkSpec {
         "event_type", 0L)
   }
 
+  test("userSnapshot: hand-computed RFM block; null values count but add 0") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, Some(10.0)),
+      (1L, ts("2024-01-01 23:00:00"), 2L, Some(5.0)),   // same day as #1
+      (1L, ts("2024-01-10 08:00:00"), 3L, None),        // null value
+      (2L, ts("2024-01-05 12:00:00"), 4L, Some(2.5))
+    ).toDF("user_id", "ts", "event_id", "value")
+    val r = EventAnalytics.userSnapshot(events, "user_id", "ts", "value",
+      java.sql.Date.valueOf("2024-01-15"))
+      .as[(Long, Long, Long, Double, Long, Long)].collect()
+      .map(x => x._1 -> x).toMap
+    r(1L) shouldBe ((1L, 5L, 3L, 15.0, 14L, 2L))
+    r(2L) shouldBe ((2L, 10L, 1L, 2.5, 10L, 1L))
+  }
+
   test("sessionSequences sessions agree with sessionizeBatch on real events") {
     val ev = graft.core.Tables.table(spark, sf0001, "events")
       .select("event_id", "ts", "user_id", "event_type")

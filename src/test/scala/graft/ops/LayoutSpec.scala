@@ -80,4 +80,21 @@ class LayoutSpec extends SparkSpec {
       Layout.globalRank(df, "score", "id", rankCol = "score")
     }
   }
+
+  test("topKPerGroup: desc/asc cuts, tie order, short groups keep all") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "g1", 10L), (2L, "g1", 30L), (3L, "g1", 30L), (4L, "g1", 5L),
+      (5L, "g2", 7L)
+    ).toDF("id", "grp", "score")
+    val top2 = Layout.topKPerGroup(d, "grp", "score", "id", 2)
+      .select("id", "grp_rank").as[(Long, Long)].collect().toMap
+    // g1: 30 (id 2) then 30 (id 3) — tie breaks on id asc; g2 keeps its 1 row
+    top2 shouldBe Map(2L -> 1L, 3L -> 2L, 5L -> 1L)
+    val bottom2 = Layout.topKPerGroup(d, "grp", "score", "id", 2, desc = false)
+      .select("id", "grp_rank").as[(Long, Long)].collect().toMap
+    bottom2 shouldBe Map(4L -> 1L, 1L -> 2L, 5L -> 1L)
+    an[IllegalArgumentException] should be thrownBy
+      Layout.topKPerGroup(d, "grp", "score", "id", 0)
+  }
 }

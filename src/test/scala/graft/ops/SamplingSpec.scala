@@ -214,6 +214,32 @@ class SamplingSpec extends SparkSpec {
       Sampling.exactKPerStratum(docs, "doc_id", "source", 0)
   }
 
+  test("mixtureSchedule: rank/weight keys, weight ratios hold, unlisted dropped") {
+    val d = ((1L to 200L).map(_ -> "a") ++ (201L to 300L).map(_ -> "b") ++
+      (301L to 320L).map(_ -> "zz")).toDF("doc_id", "source")
+    val weights = Seq("a" -> 2.0, "b" -> 1.0)
+    val r = Sampling.mixtureSchedule(d, "doc_id", "source", weights)
+      .select("doc_id", "source", "source_rank", "sched_key")
+      .as[(Long, String, Long, Double)].collect()
+    r.map(_._2).toSet shouldBe Set("a", "b") // 'zz' dropped
+    // the key IS rank/weight, exactly
+    r.foreach { case (_, s, rank, key) =>
+      key shouldBe rank / (if (s == "a") 2.0 else 1.0) }
+    // reading the tape in key order interleaves at the weight ratio:
+    // keys <= 50 hold src-a ranks 1..100 and src-b ranks 1..50 — 2:1 exact
+    val prefix = r.filter(_._4 <= 50.0)
+    prefix.count(_._2 == "a") shouldBe 100
+    prefix.count(_._2 == "b") shouldBe 50
+    // deterministic under partitioning
+    val rep = Sampling.mixtureSchedule(d.repartition(7), "doc_id", "source", weights)
+      .select("doc_id", "sched_key").as[(Long, Double)].collect().toMap
+    r.map(x => x._1 -> x._4).toMap shouldBe rep
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.mixtureSchedule(d, "doc_id", "source", Seq.empty)
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.mixtureSchedule(d, "doc_id", "source", Seq("a" -> 0.0))
+  }
+
   test("dsirWeights equals an independent per-token log-ratio re-derivation") {
     val raw = Seq((1L, "alpha alpha beta"), (2L, "beta gamma"),
       (3L, "alpha gamma gamma delta")).toDF("id", "text")
