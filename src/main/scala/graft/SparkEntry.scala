@@ -763,6 +763,31 @@ object SparkEntry {
       graft.ops.EventAnalytics.userSnapshot(
         t(s, dir, "events"), "user_id", "ts", "value",
         java.sql.Date.valueOf("2024-02-15"))),
+    // write planner: per (source, lang) partition, file counts that hit
+    // 32 KiB targets + byte shares — the skew report BEFORE the write
+    "q155_write_plan" -> ((s, dir) =>
+      graft.ops.Layout.writePlan(t(s, dir, "documents"),
+        Seq("source", "lang"), "n_chars", 32768L)),
+    // matryoshka truncation: first 8 dims, re-normalized to unit L2
+    "q156_matryoshka" -> ((s, dir) =>
+      graft.ops.Embeddings.truncateRenorm(
+        t(s, dir, "embeddings"), "vec_id", "embedding", 8)),
+    // class-balanced exact downsample: every label at the minority count
+    "q157_balance_labels" -> ((s, dir) =>
+      Sampling.balanceToMinority(
+        t(s, dir, "embeddings").select("vec_id", "label"), "vec_id", "label")),
+    // 3-step funnel view → click → purchase, strictly ordered
+    "q158_funnel_steps" -> ((s, dir) =>
+      graft.ops.EventAnalytics.funnelSteps(
+        t(s, dir, "events"), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))),
+    // blob GC audit: bytes held by media whose docs curation dropped
+    "q159_orphan_audit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Multimodal.orphanAudit(
+        graft.ops.Multimodal.asMediaTable(docs, "doc_id", "text", "text"),
+        docs.where(col("n_chars") >= 200), "doc_id")
+    }),
     // corpus card: token/doc counts at every (source, lang) grain with
     // grand-total shares — pre-reduced before the cube, q48's device
     "q140_corpus_card" -> ((s, dir) =>
@@ -3203,6 +3228,83 @@ object SparkEntry {
         |    AS BIGINT) AS tenure_days,
         |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_active_days
         |FROM events GROUP BY 1""".stripMargin,
+    // q155: exact integer ceil-division file math, byte shares 6 dp
+    "q155_write_plan" ->
+      """WITH per AS (
+        |  SELECT source, lang, count(*) AS n_rows,
+        |    CAST(sum(n_chars) AS BIGINT) AS est_bytes
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(est_bytes) AS DOUBLE) AS total_bytes FROM per)
+        |SELECT source, lang, n_rows, est_bytes,
+        |  greatest(1, (est_bytes + 32767) // 32768) AS n_files,
+        |  (n_rows + greatest(1, (est_bytes + 32767) // 32768) - 1)
+        |    // greatest(1, (est_bytes + 32767) // 32768) AS rows_per_file,
+        |  round(est_bytes / total_bytes, 6) AS bytes_share
+        |FROM per, tot""".stripMargin,
+    // q156: list slice + sequential double fold, 6 dp — zero-norm → zeros
+    "q156_matryoshka" ->
+      """WITH s AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)) AS sl
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, sl,
+        |    sqrt(list_aggregate(list_transform(sl, x -> x * x), 'sum')) AS nrm
+        |  FROM s)
+        |SELECT vec_id,
+        |  CASE WHEN nrm = 0 THEN list_transform(sl, x -> 0.0)
+        |       ELSE list_transform(sl, x -> round(x / nrm, 6)) END AS tvec
+        |FROM n""".stripMargin,
+    // q157: every label cut to the global minority count, md5 order
+    "q157_balance_labels" ->
+      """WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+        |m AS (SELECT min(n) AS k FROM c),
+        |r AS (
+        |  SELECT vec_id, label, row_number() OVER (
+        |    PARTITION BY label
+        |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        |  FROM embeddings)
+        |SELECT vec_id, label FROM r, m WHERE rn <= k""".stripMargin,
+    // q158: staged strictly-after mins — greedy earliest = staged optimum
+    "q158_funnel_steps" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |    AND CAST(e.ts AS TIMESTAMP) > s1.t
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |    AND CAST(e.ts AS TIMESTAMP) > s2.t
+        |  WHERE e.event_type = 'purchase' GROUP BY 1),
+        |f AS (
+        |  SELECT 1 AS step, 'view' AS step_type, count(*) AS n FROM s1
+        |  UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+        |SELECT CAST(step AS BIGINT) AS step, step_type,
+        |  CAST(n AS BIGINT) AS n_users,
+        |  round(n / (SELECT CAST(n AS DOUBLE) FROM f WHERE step = 1), 6)
+        |    AS conv_from_first
+        |FROM f WHERE n > 0""".stripMargin,
+    // q159: utf-8 byte accounting over the kept-docs reference set
+    "q159_orphan_audit" ->
+      """WITH m AS (
+        |  SELECT doc_id AS id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS bytes
+        |  FROM documents),
+        |r AS (SELECT DISTINCT doc_id FROM documents WHERE n_chars >= 200)
+        |SELECT CAST(count(*) AS BIGINT) AS n_media,
+        |  CAST(count(*) FILTER (WHERE r.doc_id IS NULL) AS BIGINT) AS n_orphans,
+        |  CAST(coalesce(sum(m.bytes), 0) AS BIGINT) AS bytes_total,
+        |  CAST(coalesce(sum(m.bytes) FILTER (WHERE r.doc_id IS NULL), 0) AS BIGINT)
+        |    AS bytes_orphaned,
+        |  CASE WHEN coalesce(sum(m.bytes), 0) = 0 THEN 0.0
+        |       ELSE round(coalesce(sum(m.bytes) FILTER (WHERE r.doc_id IS NULL), 0)
+        |         / CAST(sum(m.bytes) AS DOUBLE), 6) END AS orphan_bytes_share
+        |FROM m LEFT JOIN r ON m.id = r.doc_id""".stripMargin,
     // q140: pre-reduced cube with DuckDB's GROUPING mask as lvl
     "q140_corpus_card" ->
       """WITH pre AS (

@@ -215,6 +215,29 @@ object Embeddings {
           .otherwise(lit(0.0))).as("zvec"))
   }
 
+  /** Matryoshka truncation: keep the first `dim` dimensions and
+    * re-normalize to unit L2 — the MRL serving trick (Kusupati et al.
+    * 2022) that trades a controlled recall loss for a `d/dim`× cut in
+    * ANN memory and dot-product cost, usable by every consumer in
+    * [[Similarity]] as-is. Elements are computed in double (exact
+    * float→double widening), divided by the truncated norm, and rounded
+    * to 6 dp so any engine reproduces them bit-for-bit; zero-norm
+    * truncations (including all-zero vectors) come back all-zero rather
+    * than NaN. Output: (id, `tvec: array<double>`).
+    *
+    * Scale shape: pure per-row projection in the scan stage — zero
+    * shuffle, rides whole-stage codegen. */
+  def truncateRenorm(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int): DataFrame = {
+    require(dim > 0, s"truncateRenorm: need dim > 0, got $dim")
+    val sliced = transform(slice(col(vecCol), 1, dim), x => x.cast("double"))
+    val norm = sqrt(aggregate(sliced, lit(0.0), (acc, x) => acc + x * x))
+    emb.select(col(idCol),
+      when(norm === 0.0, transform(sliced, _ => lit(0.0)))
+        .otherwise(transform(sliced, x => round(x / norm, 6)))
+        .as("tvec"))
+  }
+
   /** Per-label embedding outliers: each vector's cosine to its own label's
     * centroid, flagging rows below `minCos` — the label-QA pass that
     * surfaces mislabeled or corrupt embeddings before they poison

@@ -36,6 +36,58 @@ object EventAnalytics {
       .withColumn("converted", col("ts_b").isNotNull)
   }
 
+  /** k-step conversion funnel — [[twoStepFunnel]] generalized: per user,
+    * step i+1 must occur STRICTLY after the chosen step-i event (the
+    * greedy earliest-qualifying choice, which is optimal: taking the
+    * earliest step-i event can only enlarge step-i+1's candidate set).
+    * Repeated step types are legal (`view → view` needs two distinct
+    * instants). Output: one row per step reached by ≥1 user — (step,
+    * step_type, n_users reaching that depth, conv_from_first 6 dp).
+    *
+    * Scale shape: the type filter prunes the scan to funnel events only;
+    * ONE user-keyed exchange builds each user's sorted (ts) sequence
+    * (array bounded by the user's funnel-event count); the fold to a
+    * depth is a scan-stage HOF; the step explode is ≤ k rows per user
+    * into a tiny hash-agg. The step-1 denominator is an agg of the agg,
+    * broadcast back — no single-partition window. */
+  def funnelSteps(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, s"funnelSteps: need >= 2 steps, got ${steps.size}")
+    val stepsArr = array(steps.map(lit): _*)
+    val k = steps.size
+    val depths = events
+      .where(col(typeCol).isInCollection(steps.distinct))
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(struct(
+        col(tsCol).cast("timestamp").as("ts"), col(typeCol).as("tp")))).as("__seq"))
+      .select(aggregate(col("__seq"),
+        struct(lit(0).as("depth"), lit(null).cast("timestamp").as("last")),
+        (st, e) => when(
+          st.getField("depth") < k &&
+            e.getField("tp") === element_at(stepsArr, st.getField("depth") + 1) &&
+            (st.getField("last").isNull || e.getField("ts") > st.getField("last")),
+          struct((st.getField("depth") + 1).as("depth"),
+            e.getField("ts").as("last")))
+          .otherwise(st),
+        st => st.getField("depth")).as("__depth"))
+      .where(col("__depth") >= 1)
+    // persisted: the per-step explode and the step-1 denominator both
+    // consume the per-user depths — uncached, the event scan + user agg
+    // would run twice
+    val cached = graft.core.CacheRegistry.persist(depths)
+    val first = cached.agg(count(lit(1)).as("__n_first"))
+    cached
+      .select(explode(sequence(lit(1), col("__depth"))).as("step"))
+      .groupBy(col("step").cast("long").as("step"))
+      .agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(first))
+      .select(col("step"),
+        element_at(stepsArr, col("step").cast("int")).as("step_type"),
+        col("n_users"),
+        round(col("n_users").cast("double") / col("__n_first"), 6)
+          .as("conv_from_first"))
+  }
+
   /** Event-transition matrix (first-order Markov counts): for every
     * consecutive event pair within a user's timeline, count (from → to).
     * Same-timestamp ties break on `idCol`, so the sequence — and the

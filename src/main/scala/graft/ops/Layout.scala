@@ -109,6 +109,42 @@ object Layout {
       .where(col("grp_rank") <= k)
   }
 
+  /** Output-layout planner for a partitioned write: per partition key,
+    * row count, estimated bytes (Σ `sizeCol`), the file count that hits
+    * `targetBytes` per file, rows per file, and each key's share of total
+    * bytes — the table that says "this write produces 40k tiny files in
+    * `src17` and three 2 TB monsters in `src0`" BEFORE the job runs, so
+    * the writer can repartition per key instead of discovering skew from
+    * a dead executor. All file math is exact integer ceil-division
+    * (`(a + b - 1) / b`), no float rounding to disagree across engines.
+    *
+    * Scale shape: ONE partition-keyed hash-agg with map-side partials
+    * over (count, sum); the grand total is an agg OF the agg (≤ |keys|
+    * rows) broadcast back — no single-partition window, corpus never
+    * shuffles. */
+  def writePlan(df: DataFrame, partitionCols: Seq[String], sizeCol: String,
+      targetBytes: Long): DataFrame = {
+    require(partitionCols.nonEmpty, "writePlan: need at least one partition column")
+    require(targetBytes > 0, s"writePlan: need targetBytes > 0, got $targetBytes")
+    // persisted: the grand total and the final projection both consume
+    // the per-key agg — uncached, the corpus scan + agg would run twice
+    val per = graft.core.CacheRegistry.persist(
+      df.groupBy(partitionCols.map(col): _*)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col(sizeCol).cast("long")).as("est_bytes")))
+    val tot = per.agg(sum("est_bytes").as("__total_bytes"))
+    // `div`, not `/`: Column./ is DOUBLE division, which rounds above 2^53
+    // — exactly the byte counts a 100 TB write produces
+    val nFiles = greatest(lit(1L),
+      expr(s"(est_bytes + ${targetBytes - 1}L) div ${targetBytes}L"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("n_files", nFiles)
+      .withColumn("rows_per_file", expr("(n_rows + n_files - 1) div n_files"))
+      .withColumn("bytes_share",
+        round(col("est_bytes").cast("double") / col("__total_bytes"), 6))
+      .drop("__total_bytes")
+  }
+
   /** Add a `zval` column from two range-bucketed dimensions and lay the
     * data out in z order: range-repartition on `zval` (one shuffle with
     * sampled boundaries) then sort each partition. Writing the result

@@ -46,6 +46,37 @@ object Multimodal {
         md5(col(contentCol)).as("contentHash"),
         lit(kind).as("kind")).as("meta"))
 
+  /** Storage GC planner: how much of the media store is no longer
+    * referenced — the blob-side counterpart of
+    * [[graft.sources.TableStore]]'s vacuum. After curation drops
+    * documents, their payloads survive in the media table until someone
+    * measures them; this audit says whether a physical GC pass is worth
+    * scheduling. One summary row: n_media, n_orphans, bytes_total,
+    * bytes_orphaned, orphan_bytes_share (6 dp, 0 when the store is
+    * empty).
+    *
+    * Scale shape: the reference set reduces to distinct ids (one
+    * hash-agg), the probe is a single id-keyed left join — the media
+    * table's PAYLOAD column is never read (only `meta.byteLen`), so the
+    * scan prunes the blobs; the final reduce is a partial-agg over one
+    * tiny row per task. */
+  def orphanAudit(media: DataFrame, refs: DataFrame, refIdCol: String): DataFrame = {
+    val r = refs.select(col(refIdCol).cast("long").as("__ref_id")).distinct()
+    media.select(col("id"), col("meta.byteLen").as("__bytes"))
+      .join(r, col("id") === col("__ref_id"), "left")
+      .agg(
+        count(lit(1)).as("n_media"),
+        count(when(col("__ref_id").isNull, 1)).as("n_orphans"),
+        coalesce(sum("__bytes"), lit(0L)).as("bytes_total"),
+        coalesce(sum(when(col("__ref_id").isNull, col("__bytes"))), lit(0L))
+          .as("bytes_orphaned"))
+      .select(col("n_media"), col("n_orphans"), col("bytes_total"),
+        col("bytes_orphaned"),
+        when(col("bytes_total") === 0L, lit(0.0))
+          .otherwise(round(col("bytes_orphaned").cast("double") /
+            col("bytes_total"), 6)).as("orphan_bytes_share"))
+  }
+
   /** Deterministic stand-in for a real media decoder: derives width/height/
     * meanLuma from the md5 of the payload bytes, so the fake features are
     * reproducible by ANY engine with md5 + nibble arithmetic (the DuckDB

@@ -319,6 +319,31 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Class-balanced exact downsample: every label keeps EXACTLY the
+    * minority class's count, chosen as the k-prefix of the md5(id) order
+    * within the label — the classifier-training rebalance that kills
+    * majority-class bias without RNG, oversampling, or weights. The same
+    * corpus always yields the same balanced set on any engine; adding
+    * rows to a label only ever APPENDS to its candidate order.
+    *
+    * Scale shape: the per-label counts are one hash-agg; their min is an
+    * agg of the agg (≤ |labels| rows) broadcast back; the rank is one
+    * label-keyed window. The min-count is data-dependent, so Spark's
+    * WindowGroupLimit rewrite cannot prune map-side here — each label
+    * partition sorts in full. When |minority| is known (or capped),
+    * prefer [[exactKPerStratum]] with a literal k, which does prune. */
+  def balanceToMinority(df: DataFrame, idCol: String, labelCol: String): DataFrame = {
+    val minK = df.groupBy(col(labelCol)).agg(count(lit(1)).as("__n"))
+      .agg(min("__n").as("__min_k"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(labelCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.crossJoin(broadcast(minK))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= col("__min_k"))
+      .drop("__rn", "__min_k")
+  }
+
   /** Deterministic training-order tape: weighted fair queueing over
     * sources. Each row gets `sched_key = source_rank / weight` where
     * `source_rank` is its 1-based position in the source's md5(id) order —

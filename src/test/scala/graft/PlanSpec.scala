@@ -479,4 +479,42 @@ class PlanSpec extends SparkSpec {
     plan should not include "Expand"
     "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size should be <= 2
   }
+
+  test("write plan: one key hash-agg shared via cache, total broadcast back (q155)") {
+    val plan = planOf(SparkEntry.queries("q155_write_plan")(spark, sf0001))
+    // the per-key agg is computed ONCE (cached) and shared by the total
+    // and the projection; the total joins back broadcast — never a
+    // corpus-wide window, never a second scan
+    "InMemoryTableScan".r.findAllIn(plan).size should be >= 2
+    plan should include("BroadcastNestedLoopJoin")
+    plan should not include "CartesianProduct"
+  }
+
+  test("matryoshka truncation is a pure scan-stage projection (q156)") {
+    val plan = planOf(SparkEntry.queries("q156_matryoshka")(spark, sf0001))
+    plan should not include "Exchange"
+  }
+
+  test("label balance: label-keyed exchanges only, min-count broadcast (q157)") {
+    val plan = planOf(SparkEntry.queries("q157_balance_labels")(spark, sf0001))
+    "Exchange hashpartitioning\\(label".r.findAllIn(plan).size should be <= 2
+    plan should include("BroadcastNestedLoopJoin")
+    plan should not include "CartesianProduct"
+  }
+
+  test("funnel: per-user depths cached and shared; fold is scan-stage (q158)") {
+    val plan = planOf(SparkEntry.queries("q158_funnel_steps")(spark, sf0001))
+    // the per-user depth table is computed once (cached) and shared by
+    // the step explode and the step-1 denominator; the one user exchange
+    // lives inside the cached subtree
+    "InMemoryTableScan".r.findAllIn(plan).size should be >= 2
+    plan should not include "CartesianProduct"
+    plan should not include "SortMergeJoin"
+  }
+
+  test("orphan audit: id-keyed join, never cartesian (q159)") {
+    val plan = planOf(SparkEntry.queries("q159_orphan_audit")(spark, sf0001))
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
 }

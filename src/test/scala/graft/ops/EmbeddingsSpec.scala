@@ -373,6 +373,23 @@ class EmbeddingsSpec extends SparkSpec {
     }
   }
 
+  test("truncateRenorm: slice + unit L2, zero-norm guard, short vectors") {
+    val df = Seq(
+      (1L, Array(3.0f, 4.0f, 99.0f)),   // truncating to 2 dims: norm 5
+      (2L, Array(0.0f, 0.0f, 7.0f)),    // truncated prefix is all-zero
+      (3L, Array(2.0f))                 // shorter than dim: kept as-is
+    ).toDF("vec_id", "embedding")
+    val r = Embeddings.truncateRenorm(df, "vec_id", "embedding", 2)
+      .as[(Long, Array[Double])].collect().toMap
+    r(1L) shouldBe Array(0.6, 0.8)
+    r(2L) shouldBe Array(0.0, 0.0)
+    r(3L) shouldBe Array(1.0)
+    // re-normalized vectors are unit up to the 6 dp element rounding
+    math.abs(r(1L).map(x => x * x).sum - 1.0) should be < 1e-5
+    an[IllegalArgumentException] should be thrownBy
+      Embeddings.truncateRenorm(df, "vec_id", "embedding", 0)
+  }
+
   private implicit class TripleOps(rows: Array[(Long, Double, Array[Int])]) {
     def toMap2: Map[Long, (Double, Array[Int])] =
       rows.map { case (id, s, q) => id -> (s, q) }.toMap

@@ -200,4 +200,46 @@ class EventAnalyticsSpec extends SparkSpec {
     seq.where(org.apache.spark.sql.functions.size($"event_seq") =!= $"n_events")
       .count() shouldBe 0L
   }
+
+  test("funnelSteps: strictly-after ordering, same-ts rejected, repeats legal") {
+    val events = Seq(
+      // user 1 completes A→B→C in order
+      (1L, ts("2024-01-01 10:00:00"), "A"), (1L, ts("2024-01-01 11:00:00"), "B"),
+      (1L, ts("2024-01-01 12:00:00"), "C"),
+      // user 2: B at the SAME instant as A — not strictly after, depth 1
+      (2L, ts("2024-01-01 10:00:00"), "A"), (2L, ts("2024-01-01 10:00:00"), "B"),
+      // user 3: B BEFORE A — order matters, depth 1
+      (3L, ts("2024-01-01 09:00:00"), "B"), (3L, ts("2024-01-01 10:00:00"), "A"),
+      // user 4 never does A — not in the funnel at all
+      (4L, ts("2024-01-01 10:00:00"), "B")
+    ).toDF("user_id", "ts", "event_type")
+    val r = EventAnalytics.funnelSteps(events, "user_id", "ts", "event_type",
+      Seq("A", "B", "C"))
+      .select("step", "step_type", "n_users", "conv_from_first")
+      .as[(Long, String, Long, Double)].collect().sortBy(_._1)
+    r shouldBe Array((1L, "A", 3L, 1.0), (2L, "B", 1L, 0.333333), (3L, "C", 1L, 0.333333))
+    // repeated step types need two distinct instants
+    val rep = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "A"), (1L, ts("2024-01-01 10:30:00"), "A"),
+      (2L, ts("2024-01-01 10:00:00"), "A")
+    ).toDF("user_id", "ts", "event_type")
+    val r2 = EventAnalytics.funnelSteps(rep, "user_id", "ts", "event_type",
+      Seq("A", "A")).select("step", "n_users").as[(Long, Long)].collect().toMap
+    r2 shouldBe Map(1L -> 2L, 2L -> 1L)
+    an[IllegalArgumentException] should be thrownBy
+      EventAnalytics.funnelSteps(events, "user_id", "ts", "event_type", Seq("A"))
+  }
+
+  test("funnelSteps two-step agrees with twoStepFunnel on real events") {
+    val ev = graft.core.Tables.table(spark, sf0001, "events")
+    val f2 = EventAnalytics.twoStepFunnel(ev, "user_id", "ts", "event_type",
+      "signup", "purchase")
+    val expect1 = f2.count()
+    val expect2 = f2.where($"converted").count()
+    val r = EventAnalytics.funnelSteps(ev, "user_id", "ts", "event_type",
+      Seq("signup", "purchase"))
+      .select("step", "n_users").as[(Long, Long)].collect().toMap
+    r(1L) shouldBe expect1
+    r(2L) shouldBe expect2
+  }
 }

@@ -97,4 +97,22 @@ class LayoutSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Layout.topKPerGroup(d, "grp", "score", "id", 0)
   }
+
+  test("writePlan: exact ceil file math, byte shares sum to 1, guards") {
+    import spark.implicits._
+    // key a: 250 bytes over 3 rows → 3 files of 100B target (ceil 250/100),
+    // rows_per_file = ceil(3/3) = 1; key b: 90 bytes, 1 row → the 1-file floor
+    val d = Seq(("a", 100L), ("a", 100L), ("a", 50L), ("b", 90L))
+      .toDF("k", "bytes")
+    val r = Layout.writePlan(d, Seq("k"), "bytes", 100L)
+      .select("k", "n_rows", "est_bytes", "n_files", "rows_per_file", "bytes_share")
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(x => x._1 -> x).toMap
+    r("a") shouldBe (("a", 3L, 250L, 3L, 1L, 0.735294))
+    r("b") shouldBe (("b", 1L, 90L, 1L, 1L, 0.264706))
+    an[IllegalArgumentException] should be thrownBy
+      Layout.writePlan(d, Seq.empty, "bytes", 100L)
+    an[IllegalArgumentException] should be thrownBy
+      Layout.writePlan(d, Seq("k"), "bytes", 0L)
+  }
 }

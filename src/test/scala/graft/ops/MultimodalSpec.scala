@@ -42,4 +42,17 @@ class MultimodalSpec extends SparkSpec {
     val he = "d41d8cd98f00b204e9800998ecf8427e"
     d1(1).width shouldBe 16 + (java.lang.Long.parseLong(he.substring(0, 4), 16) % 240).toInt
   }
+
+  test("orphanAudit: byte accounting over the reference set, empty refs") {
+    val m = Multimodal.asMediaTable(
+      Seq((1L, "hello"), (2L, "abc"), (3L, "xy")).toDF("id", "content"),
+      "id", "content", "text")
+    val refs = Seq(1L, 3L, 99L).toDF("doc_id") // 99 references nothing — harmless
+    val r = Multimodal.orphanAudit(m, refs, "doc_id")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    r shouldBe ((3L, 1L, 10L, 3L, 0.3)) // only doc 2 (3 bytes of 10) is orphaned
+    val empty = Multimodal.orphanAudit(m, refs.where($"doc_id" < 0L), "doc_id")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    empty shouldBe ((3L, 3L, 10L, 10L, 1.0)) // nothing referenced: all orphans
+  }
 }

@@ -298,4 +298,20 @@ class SamplingSpec extends SparkSpec {
     a.toMap shouldBe b
     an[IllegalArgumentException] should be thrownBy Sampling.groupKFold(d, "source", 1)
   }
+
+  test("balanceToMinority: every label at the minority count, md5-prefix membership") {
+    val d = ((1L to 50L).map(_ -> "a") ++ (51L to 60L).map(_ -> "b") ++
+      (61L to 90L).map(_ -> "c")).toDF("id", "label")
+    val r = Sampling.balanceToMinority(d, "id", "label")
+      .select("id", "label").as[(Long, String)].collect()
+    r.groupBy(_._2).view.mapValues(_.length).toMap shouldBe
+      Map("a" -> 10, "b" -> 10, "c" -> 10)
+    // kept rows are each label's 10 md5-smallest — same rule as exactKPerStratum
+    val expect = Sampling.exactKPerStratum(d, "id", "label", 10)
+      .select("id", "label").as[(Long, String)].collect().toSet
+    r.toSet shouldBe expect
+    // partitioning must not change membership
+    Sampling.balanceToMinority(d.repartition(7), "id", "label")
+      .select("id", "label").as[(Long, String)].collect().toSet shouldBe r.toSet
+  }
 }
