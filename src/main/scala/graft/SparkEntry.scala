@@ -788,6 +788,28 @@ object SparkEntry {
         graft.ops.Multimodal.asMediaTable(docs, "doc_id", "text", "text"),
         docs.where(col("n_chars") >= 200), "doc_id")
     }),
+    // coordinated 20% sample of orders ⋈ lineitem on the shared join key:
+    // referential integrity survives the sample (independent sampling
+    // would keep ~4% of the join, not 20%)
+    "q160_coordinated_sample" -> ((s, dir) => {
+      val o = Sampling.deterministicSample(t(s, dir, "orders"), "o_orderkey", 20)
+      val l = Sampling.deterministicSample(t(s, dir, "lineitem"), "l_orderkey", 20)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+            .as("rev_d"))
+        .select(col("o_orderstatus"), col("n_items"), dbl("rev_d").as("revenue"))
+    }),
+    // per-user EWMA of event values, α = 0.25 (exactly representable)
+    "q161_ewma_snapshot" -> ((s, dir) =>
+      graft.ops.EventAnalytics.ewmaSnapshot(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "value", 0.25)),
+    // winsorize event values into their exact [p05, p99] range
+    "q162_winsorize" -> ((s, dir) =>
+      graft.ops.Quality.winsorize(t(s, dir, "events"), "event_id", "value",
+        0.05, 0.99)),
     // corpus card: token/doc counts at every (source, lang) grain with
     // grand-total shares — pre-reduced before the cube, q48's device
     "q140_corpus_card" -> ((s, dir) =>
@@ -3305,6 +3327,34 @@ object SparkEntry {
         |       ELSE round(coalesce(sum(m.bytes) FILTER (WHERE r.doc_id IS NULL), 0)
         |         / CAST(sum(m.bytes) AS DOUBLE), 6) END AS orphan_bytes_share
         |FROM m LEFT JOIN r ON m.id = r.doc_id""".stripMargin,
+    // q160: the same md5-bucket predicate on BOTH join sides
+    "q160_coordinated_sample" ->
+      s"""SELECT o_orderstatus, count(*) AS n_items,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+         |    (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE ${md5BucketSql("o_orderkey")} < 20
+         |  AND ${md5BucketSql("l_orderkey")} < 20
+         |GROUP BY 1""".stripMargin,
+    // q161: list_reduce replays the identical fold, same IEEE op order
+    "q161_ewma_snapshot" ->
+      """WITH seq AS (
+        |  SELECT user_id,
+        |    list(value ORDER BY CAST(ts AS TIMESTAMP), event_id) AS xs
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1)
+        |SELECT user_id, CAST(len(xs) AS BIGINT) AS n_events,
+        |  round(list_reduce(xs, (s, x) -> 0.25 * x + 0.75 * s), 6) AS ewma
+        |FROM seq""".stripMargin,
+    // q162: 6 dp-rounded exact quantile bounds, then a scan-stage clip
+    "q162_winsorize" ->
+      """WITH b AS (
+        |  SELECT round(quantile_cont(value, 0.05), 6) AS lo,
+        |    round(quantile_cont(value, 0.99), 6) AS hi
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_id, value,
+        |  round(greatest(lo, least(hi, value)), 6) AS value_w,
+        |  value < lo AS clipped_low, value > hi AS clipped_high
+        |FROM events, b WHERE value IS NOT NULL""".stripMargin,
     // q140: pre-reduced cube with DuckDB's GROUPING mask as lvl
     "q140_corpus_card" ->
       """WITH pre AS (

@@ -88,6 +88,41 @@ object EventAnalytics {
           .as("conv_from_first"))
   }
 
+  /** Per-user exponentially-weighted moving average of `valueCol` over
+    * the (ts, id)-ordered event sequence: `s₁ = x₁`,
+    * `sᵢ = α·xᵢ + (1−α)·sᵢ₋₁` — the recency-weighted behavioral feature
+    * that [[userSnapshot]]'s plain mean can't give. Null values are
+    * excluded (an EWMA over observed values). The fold is SEQUENTIAL
+    * IEEE arithmetic in a fixed order, so an engine replaying the same
+    * recurrence (e.g. DuckDB `list_reduce`) reproduces it bit-for-bit;
+    * prefer an exactly-representable α (0.25, 0.5) when cross-engine
+    * hashes matter. Output: (user, n_events, ewma 6 dp).
+    *
+    * Scale shape: ONE user-keyed exchange builds the sorted sequence
+    * (array bounded by the user's event count); the fold is a scan-stage
+    * HOF. A user with unbounded history should be windowed upstream
+    * ([[rollingFeatures]]' trailing-n) before folding. */
+  def ewmaSnapshot(events: DataFrame, userCol: String, tsCol: String,
+                   idCol: String, valueCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"ewmaSnapshot: need 0 < alpha <= 1, got $alpha")
+    events.where(col(valueCol).isNotNull)
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(struct(
+        col(tsCol).cast("timestamp").as("ts"),
+        col(idCol).as("id"),
+        col(valueCol).cast("double").as("x")))).as("__seq"))
+      .select(col(userCol),
+        size(col("__seq")).cast("long").as("n_events"),
+        round(aggregate(col("__seq"),
+          struct(lit(0).as("cnt"), lit(0.0).as("s")),
+          (st, e) => struct(
+            (st.getField("cnt") + 1).as("cnt"),
+            when(st.getField("cnt") === 0, e.getField("x"))
+              .otherwise(lit(alpha) * e.getField("x") +
+                lit(1 - alpha) * st.getField("s")).as("s")),
+          st => st.getField("s")), 6).as("ewma"))
+  }
+
   /** Event-transition matrix (first-order Markov counts): for every
     * consecutive event pair within a user's timeline, count (from → to).
     * Same-timestamp ties break on `idCol`, so the sequence — and the

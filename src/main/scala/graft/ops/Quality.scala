@@ -153,6 +153,34 @@ object Quality {
         when(v.isNull, lit(false)).otherwise(abs(v - col("med")) > col("mad") * k))
   }
 
+  /** Percentile winsorization: clip `valueCol` into its own exact
+    * [pLo, pHi] quantile range — the heavy-tail taming step before
+    * means/regressions that [[madOutliers]] FLAGS but doesn't repair.
+    * Null values are excluded (winsorization over observed values).
+    * Both bounds are rounded to 6 dp before comparing ([[madOutliers]]'
+    * boundary-stability device), and the clipped value to 6 dp after.
+    * Output: (id, value, value_w, clipped_low, clipped_high).
+    *
+    * Scale shape: one aggregation pass for the two exact quantiles, the
+    * two scalars broadcast back over a second scan-stage pass — same
+    * shape as [[madOutliers]]; swap `percentile` for `percentile_approx`
+    * at unbounded scale. */
+  def winsorize(df: DataFrame, idCol: String, valueCol: String,
+                pLo: Double, pHi: Double): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"winsorize: need 0 <= pLo < pHi <= 1, got [$pLo, $pHi]")
+    val v = col(valueCol).cast("double")
+    val obs = df.where(v.isNotNull)
+    val bounds = obs.agg(
+      round(percentile(v, lit(pLo)), 6).as("__lo"),
+      round(percentile(v, lit(pHi)), 6).as("__hi"))
+    obs.crossJoin(broadcast(bounds))
+      .select(col(idCol), v.as("value"),
+        round(greatest(col("__lo"), least(col("__hi"), v)), 6).as("value_w"),
+        (v < col("__lo")).as("clipped_low"),
+        (v > col("__hi")).as("clipped_high"))
+  }
+
   /** Dataset-card column profiler: one row per requested column with row
     * count, null count, EXACT distinct count, and (for numeric columns)
     * min/max as doubles — the table-level "what is in this dataset"

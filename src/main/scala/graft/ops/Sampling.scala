@@ -40,7 +40,15 @@ object Sampling {
     df.withColumn("split", assignment)
   }
 
-  /** Deterministic p-percent sample (membership stable across runs). */
+  /** Deterministic p-percent sample (membership stable across runs).
+    *
+    * Applied with the same JOIN KEY and rate on several tables, this is
+    * COORDINATED sampling: `deterministicSample(orders, "o_orderkey", p)`
+    * ⋈ `deterministicSample(lineitem, "l_orderkey", p)` keeps every
+    * sampled row's join partners — referential integrity survives the
+    * sample (q160), where independent row sampling would keep ~p² of the
+    * join. The membership predicate is a scan-stage projection, so each
+    * table's sample pushes down with no coordination traffic at all. */
   def deterministicSample(df: DataFrame, idCol: String, percent: Int): DataFrame =
     df.where(md5Bucket(col(idCol)) < percent)
 

@@ -517,4 +517,25 @@ class PlanSpec extends SparkSpec {
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"
   }
+
+  test("coordinated sample: both membership filters before the key join (q160)") {
+    val plan = planOf(SparkEntry.queries("q160_coordinated_sample")(spark, sf0001))
+    plan should not include "CartesianProduct"
+    // the sample predicates are scan-stage projections on each side —
+    // two base scans, each filtered before any exchange
+    "Filter.*md5".r.findAllIn(plan).size should be >= 2
+  }
+
+  test("ewma: ONE user exchange, fold is scan-stage (q161)") {
+    val plan = planOf(SparkEntry.queries("q161_ewma_snapshot")(spark, sf0001))
+    "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size shouldBe 1
+    plan should not include "Join"
+  }
+
+  test("winsorize: quantile scalars broadcast back, no key shuffle (q162)") {
+    val plan = planOf(SparkEntry.queries("q162_winsorize")(spark, sf0001))
+    plan should include("BroadcastNestedLoopJoin")
+    plan should not include "SortMergeJoin"
+    plan should not include "Exchange hashpartitioning"
+  }
 }

@@ -230,6 +230,24 @@ class EventAnalyticsSpec extends SparkSpec {
       EventAnalytics.funnelSteps(events, "user_id", "ts", "event_type", Seq("A"))
   }
 
+  test("ewmaSnapshot: hand fold in (ts, id) order, nulls excluded, α guard") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, Some(8.0)),
+      (1L, ts("2024-01-01 11:00:00"), 2L, None),         // excluded
+      (1L, ts("2024-01-01 12:00:00"), 3L, Some(4.0)),
+      // same ts: id order decides the fold order (4 before 5)
+      (2L, ts("2024-01-01 10:00:00"), 4L, Some(1.0)),
+      (2L, ts("2024-01-01 10:00:00"), 5L, Some(9.0))
+    ).toDF("user_id", "ts", "event_id", "value")
+    val r = EventAnalytics.ewmaSnapshot(events, "user_id", "ts", "event_id",
+      "value", 0.25).as[(Long, Long, Double)].collect()
+      .map(x => x._1 -> (x._2, x._3)).toMap
+    r(1L) shouldBe ((2L, 0.25 * 4.0 + 0.75 * 8.0))  // s1=8, s2=7.0
+    r(2L) shouldBe ((2L, 0.25 * 9.0 + 0.75 * 1.0))  // s1=1, s2=3.0
+    an[IllegalArgumentException] should be thrownBy
+      EventAnalytics.ewmaSnapshot(events, "user_id", "ts", "event_id", "value", 0.0)
+  }
+
   test("funnelSteps two-step agrees with twoStepFunnel on real events") {
     val ev = graft.core.Tables.table(spark, sf0001, "events")
     val f2 = EventAnalytics.twoStepFunnel(ev, "user_id", "ts", "event_type",

@@ -172,6 +172,22 @@ class QualitySpec extends SparkSpec {
     card.size shouldBe (3 + 2 + 2 + 1) // cells + sources + langs + total
   }
 
+  test("winsorize: clips into the exact quantile range, flags both tails") {
+    import spark.implicits._
+    // values 1..10: p10 = 1.9, p90 = 9.1 (linear interpolation)
+    val d = ((1 to 10).map(i => (i.toLong, Some(i.toDouble))) :+
+      (99L, Option.empty[Double])).toDF("id", "value")
+    val r = Quality.winsorize(d, "id", "value", 0.10, 0.90)
+      .as[(Long, Double, Double, Boolean, Boolean)].collect()
+      .map(x => x._1 -> x).toMap
+    r.size shouldBe 10 // the null row is excluded
+    r(1L) shouldBe ((1L, 1.0, 1.9, true, false))
+    r(5L) shouldBe ((5L, 5.0, 5.0, false, false))
+    r(10L) shouldBe ((10L, 10.0, 9.1, false, true))
+    an[IllegalArgumentException] should be thrownBy
+      Quality.winsorize(d, "id", "value", 0.9, 0.1)
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

@@ -240,6 +240,22 @@ class SamplingSpec extends SparkSpec {
       Sampling.mixtureSchedule(d, "doc_id", "source", Seq("a" -> 0.0))
   }
 
+  test("coordinated sampling preserves referential integrity across tables") {
+    val orders = graft.core.Tables.table(spark, sf0001, "orders")
+    val items = graft.core.Tables.table(spark, sf0001, "lineitem")
+    val so = Sampling.deterministicSample(orders, "o_orderkey", 20)
+    val si = Sampling.deterministicSample(items, "l_orderkey", 20)
+    // every sampled lineitem's order is in the sampled orders — membership
+    // is a function of the shared key, so the join loses NOTHING
+    si.join(so, si("l_orderkey") === so("o_orderkey"), "left_anti")
+      .count() shouldBe 0L
+    // and the coordinated join keeps exactly the full join's sampled keys
+    val coord = si.join(so, si("l_orderkey") === so("o_orderkey")).count()
+    val full = items.join(orders, items("l_orderkey") === orders("o_orderkey"))
+      .where(Sampling.md5Bucket(items("l_orderkey")) < 20).count()
+    coord shouldBe full
+  }
+
   test("dsirWeights equals an independent per-token log-ratio re-derivation") {
     val raw = Seq((1L, "alpha alpha beta"), (2L, "beta gamma"),
       (3L, "alpha gamma gamma delta")).toDF("id", "text")
