@@ -810,6 +810,24 @@ object SparkEntry {
     "q162_winsorize" -> ((s, dir) =>
       graft.ops.Quality.winsorize(t(s, dir, "events"), "event_id", "value",
         0.05, 0.99)),
+    // PageRank over the exact 3-NN cosine graph: prototype centrality
+    // (central vectors summarize their neighborhood)
+    "q163_knn_pagerank" -> ((s, dir) => {
+      val knn = Similarity.bruteForceTopK(
+        t(s, dir, "embeddings"), "vec_id", "embedding", 3)
+        .where(col("cos") > 0)
+      graft.ops.Graph.pageRank(knn, "query_id", "cand_id", "cos", 0.85, 3)
+    }),
+    // deterministic implicit-feedback negatives: 5 unseen parts per
+    // customer from a 50-part md5 pool
+    "q164_negative_samples" -> ((s, dir) => {
+      val inter = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        .join(t(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("l_partkey"))
+      Sampling.negativeSamples(inter, "o_custkey", "l_partkey",
+        t(s, dir, "part"), "p_partkey", 50, 5)
+    }),
     // corpus card: token/doc counts at every (source, lang) grain with
     // grand-total shares — pre-reduced before the cube, q48's device
     "q140_corpus_card" -> ((s, dir) =>
@@ -3355,6 +3373,60 @@ object SparkEntry {
         |  round(greatest(lo, least(hi, value)), 6) AS value_w,
         |  value < lo AS clipped_low, value > hi AS clipped_high
         |FROM events, b WHERE value IS NOT NULL""".stripMargin,
+    // q163: three unrolled PR rounds over the exact 3-NN edges;
+    // (1 - 0.85) in SQL so the teleport is the IDENTICAL IEEE value
+    "q163_knn_pagerank" ->
+      s"""WITH pc AS ($cosineSql),
+         |k AS (SELECT query_id, cand_id, cos FROM pc
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, cand_id ASC) <= 3),
+         |e AS (SELECT query_id AS src, cand_id AS dst, cos AS w
+         |  FROM k WHERE cos > 0),
+         |outw AS (SELECT src, sum(w) AS ow FROM e GROUP BY 1),
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM nodes),
+         |r0 AS (SELECT node, round(1.0 / cnt, 6) AS rank FROM nodes, nn),
+         |c1 AS (SELECT e.dst AS node, sum(e.w / outw.ow * r0.rank) AS s
+         |  FROM e JOIN outw ON e.src = outw.src
+         |  JOIN r0 ON e.src = r0.node GROUP BY 1),
+         |r1 AS (SELECT nodes.node,
+         |  round((1 - 0.85) / nn.cnt + 0.85 * coalesce(c1.s, 0), 6) AS rank
+         |  FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.node = c1.node),
+         |c2 AS (SELECT e.dst AS node, sum(e.w / outw.ow * r1.rank) AS s
+         |  FROM e JOIN outw ON e.src = outw.src
+         |  JOIN r1 ON e.src = r1.node GROUP BY 1),
+         |r2 AS (SELECT nodes.node,
+         |  round((1 - 0.85) / nn.cnt + 0.85 * coalesce(c2.s, 0), 6) AS rank
+         |  FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.node = c2.node),
+         |c3 AS (SELECT e.dst AS node, sum(e.w / outw.ow * r2.rank) AS s
+         |  FROM e JOIN outw ON e.src = outw.src
+         |  JOIN r2 ON e.src = r2.node GROUP BY 1),
+         |r3 AS (SELECT nodes.node,
+         |  round((1 - 0.85) / nn.cnt + 0.85 * coalesce(c3.s, 0), 6) AS rank
+         |  FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.node = c3.node)
+         |SELECT node, rank FROM r3""".stripMargin,
+    // q164: same pool, same pair-md5 per-user order, same literal-k cut
+    "q164_negative_samples" ->
+      """WITH inter AS (
+        |  SELECT DISTINCT o_custkey, l_partkey
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |pool AS (
+        |  SELECT p_partkey AS l_partkey
+        |  FROM (SELECT DISTINCT p_partkey FROM part)
+        |  ORDER BY md5(CAST(p_partkey AS VARCHAR)), p_partkey LIMIT 50),
+        |cand AS (
+        |  SELECT u.o_custkey, pool.l_partkey
+        |  FROM (SELECT DISTINCT o_custkey FROM inter) u CROSS JOIN pool),
+        |neg AS (
+        |  SELECT c.o_custkey, c.l_partkey FROM cand c LEFT JOIN inter i
+        |  ON c.o_custkey = i.o_custkey AND c.l_partkey = i.l_partkey
+        |  WHERE i.o_custkey IS NULL)
+        |SELECT o_custkey, l_partkey,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY md5(CAST(o_custkey AS VARCHAR) || '|' ||
+        |      CAST(l_partkey AS VARCHAR)), l_partkey) AS BIGINT) AS neg_rank
+        |FROM neg QUALIFY neg_rank <= 5""".stripMargin,
     // q140: pre-reduced cube with DuckDB's GROUPING mask as lvl
     "q140_corpus_card" ->
       """WITH pre AS (

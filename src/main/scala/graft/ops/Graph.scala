@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph centrality over edge tables the other operators already produce —
+  * near-dup pair graphs ([[Dedup]]), k-NN similarity graphs
+  * ([[Similarity]]), event-transition graphs ([[EventAnalytics]]). The
+  * dedup side of graph processing (connected components) lives in
+  * [[Dedup.clusters]]; this module adds rank-style centrality, e.g.
+  * PageRank over a k-NN embedding graph as a prototype-selection signal
+  * (central vectors summarize their neighborhood; peripheral ones are
+  * candidates for hard-example mining).
+  */
+object Graph {
+
+  /** Weighted PageRank with a FIXED iteration count (deterministic by
+    * construction — no convergence test, so every engine runs the same
+    * arithmetic): `r₀ = 1/N`, then `iters` rounds of
+    * `r(v) = (1−d)/N + d·Σ_{(u,v)∈E} w(u,v)/outw(u) · r(u)`, every rank
+    * rounded to 6 dp per round (the cross-engine float-sum stability
+    * device — partial-sum order differs between engines, rounding
+    * absorbs it). Requires strictly positive weights (drop or shift
+    * non-positive edges upstream); nodes are the union of both
+    * endpoints; a dangling node (no out-edges) keeps receiving rank but
+    * contributes none — its mass leaks, the standard simplification, so
+    * ranks sum to ≤ 1. Output: (node, rank).
+    *
+    * Scale shape: per round, ONE shuffle — the contribution hash-agg on
+    * the destination key (map-side partials) — plus the broadcast-able
+    * node join; edges and out-weights are computed once and cached
+    * (every round consumes them). The rank chain is lazy: at high
+    * `iters`, checkpoint every ~10 rounds to bound plan depth. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               weightCol: String, damping: Double = 0.85,
+               iters: Int = 3): DataFrame = {
+    require(damping > 0 && damping < 1,
+      s"pageRank: need 0 < damping < 1, got $damping")
+    require(iters >= 1, s"pageRank: need iters >= 1, got $iters")
+    // persisted: every iteration consumes the edge and out-weight tables
+    val e = graft.core.CacheRegistry.persist(
+      edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+        col(weightCol).cast("double").as("__w")))
+    val badW = e.where(col("__w").isNull || col("__w") <= 0.0)
+    require(badW.isEmpty,
+      "pageRank: edge weights must be strictly positive (clip or drop upstream)")
+    val outw = graft.core.CacheRegistry.persist(
+      e.groupBy(col("__src")).agg(sum("__w").as("__outw")))
+    val nodes = graft.core.CacheRegistry.persist(
+      e.select(col("__src").as("node"))
+        .union(e.select(col("__dst").as("node"))).distinct())
+    // N is a driver scalar (like kmeans' k·d floats): one count action
+    val n = nodes.count()
+    val teleport = (1.0 - damping) / n
+    val init = nodes.withColumn("rank", round(lit(1.0 / n), 6))
+    (1 to iters).foldLeft(init) { (ranks, _) =>
+      val contribs = e
+        .join(outw, "__src")
+        .join(ranks.select(col("node").as("__src"), col("rank")), "__src")
+        .groupBy(col("__dst").as("node"))
+        .agg(sum(col("__w") / col("__outw") * col("rank")).as("__s"))
+      nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          round(lit(teleport) + lit(damping) * coalesce(col("__s"), lit(0.0)), 6)
+            .as("rank"))
+    }
+  }
+}

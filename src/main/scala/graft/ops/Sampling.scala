@@ -385,6 +385,44 @@ object Sampling {
       .withColumn("sched_key", col("source_rank") / weightExpr)
   }
 
+  /** Deterministic negative sampling for implicit-feedback training:
+    * for every user in `interactions`, `k` items they did NOT interact
+    * with, drawn from a deterministic `poolSize`-item candidate pool
+    * (the [[exactKSample]] md5-prefix of the item universe). Per-user
+    * order is the md5 of the (user, item) pair, so two users get
+    * independent negative orders, and the same corpus always yields the
+    * same negatives on any engine. The pool bounds the candidate blow-up
+    * at |users|·poolSize — the price is that negatives only come from
+    * the pool (size it ≥ a few× k; a user who interacted with most of
+    * the pool gets fewer than k).
+    *
+    * Scale shape: the pool is ≤ poolSize rows, broadcast; candidates
+    * are a broadcast cross join (|users|·poolSize, generated map-side);
+    * the seen-filter is one anti-join on the (user, item) key; the
+    * literal-k cut goes through Spark's WindowGroupLimit map-side
+    * heaps. Output: (userCol, itemCol, neg_rank). */
+  def negativeSamples(interactions: DataFrame, userCol: String, itemCol: String,
+      itemPool: DataFrame, poolItemCol: String, poolSize: Int, k: Int): DataFrame = {
+    require(poolSize > 0, s"negativeSamples: need poolSize > 0, got $poolSize")
+    require(k > 0 && k <= poolSize,
+      s"negativeSamples: need 0 < k <= poolSize, got k=$k poolSize=$poolSize")
+    val pool = exactKSample(
+      itemPool.select(col(poolItemCol).as(itemCol)).distinct(), itemCol, poolSize)
+    // persisted: the distinct-users projection and the seen anti-join
+    // both consume the interactions scan
+    val seen = graft.core.CacheRegistry.persist(
+      interactions.select(col(userCol), col(itemCol)).distinct())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy(md5(concat_ws("|", col(userCol).cast("string"),
+        col(itemCol).cast("string"))), col(itemCol))
+    seen.select(col(userCol)).distinct()
+      .crossJoin(broadcast(pool))
+      .join(seen, Seq(userCol, itemCol), "left_anti")
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .where(col("neg_rank") <= k)
+  }
+
   /** Group-aware k-fold assignment (scikit-learn `GroupKFold` semantics,
     * deterministically): every row of a group lands in the same fold, so
     * evaluation never sees a group that training saw — the split-leakage

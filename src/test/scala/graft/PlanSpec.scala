@@ -532,6 +532,23 @@ class PlanSpec extends SparkSpec {
     plan should not include "Join"
   }
 
+  test("pagerank: one dst hash-agg per round, edges/nodes cached (q163 core)") {
+    import spark.implicits._
+    val e = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 1L, 0.5))
+      .toDF("src", "dst", "w")
+    val plan = planOf(graft.ops.Graph.pageRank(e, "src", "dst", "w", 0.85, 2))
+    // per-round contribution agg reduces map-side before its exchange
+    plan should include("partial_sum")
+    plan should not include "CartesianProduct"
+    plan should include("InMemoryTableScan") // edges + out-weights shared
+  }
+
+  test("negative samples: broadcast pool, anti-join, map-side k-heaps (q164)") {
+    val plan = planOf(SparkEntry.queries("q164_negative_samples")(spark, sf0001))
+    plan should include("WindowGroupLimit")
+    plan should not include "CartesianProduct"
+  }
+
   test("winsorize: quantile scalars broadcast back, no key shuffle (q162)") {
     val plan = planOf(SparkEntry.queries("q162_winsorize")(spark, sf0001))
     plan should include("BroadcastNestedLoopJoin")

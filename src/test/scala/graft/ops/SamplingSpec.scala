@@ -256,6 +256,30 @@ class SamplingSpec extends SparkSpec {
     coord shouldBe full
   }
 
+  test("negativeSamples: never seen, ≤ k per user, pool-bounded, stable") {
+    val inter = Seq((1L, 10L), (1L, 11L), (2L, 10L), (3L, 12L))
+      .toDF("user", "item")
+    val pool = (10L to 19L).toDF("pid")
+    val r = Sampling.negativeSamples(inter, "user", "item", pool, "pid", 10, 3)
+      .select("user", "item", "neg_rank").as[(Long, Long, Long)].collect()
+    val seen = Set(1L -> 10L, 1L -> 11L, 2L -> 10L, 3L -> 12L)
+    r.foreach { case (u, i, _) => seen should not contain (u -> i) }
+    r.groupBy(_._1).view.mapValues(_.length).toMap shouldBe
+      Map(1L -> 3, 2L -> 3, 3L -> 3)
+    r.foreach { case (_, i, _) => i should (be >= 10L and be <= 19L) }
+    // partitioning must not change the chosen negatives
+    Sampling.negativeSamples(inter.repartition(7), "user", "item",
+      pool, "pid", 10, 3).select("user", "item", "neg_rank")
+      .as[(Long, Long, Long)].collect().toSet shouldBe r.toSet
+    // a user who saw most of a tiny pool gets fewer than k — never a seen item
+    val tight = Sampling.negativeSamples(inter, "user", "item",
+      Seq(10L, 11L, 12L).toDF("pid"), "pid", 3, 3)
+      .select("user", "item").as[(Long, Long)].collect()
+    tight.filter(_._1 == 1L).map(_._2).toSet shouldBe Set(12L)
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.negativeSamples(inter, "user", "item", pool, "pid", 10, 11)
+  }
+
   test("dsirWeights equals an independent per-token log-ratio re-derivation") {
     val raw = Seq((1L, "alpha alpha beta"), (2L, "beta gamma"),
       (3L, "alpha gamma gamma delta")).toDF("id", "text")
