@@ -828,6 +828,14 @@ object SparkEntry {
       Sampling.negativeSamples(inter, "o_custkey", "l_partkey",
         t(s, dir, "part"), "p_partkey", 50, 5)
     }),
+    // per-source KL from the corpus term distribution (add-one smoothed
+    // over the global vocabulary — a true KL, absences included)
+    "q165_source_divergence" -> ((s, dir) =>
+      graft.ops.Corpus.sourceDivergence(t(s, dir, "documents"), "text", "source")),
+    // per-doc bigram surprisal under the corpus's own add-one LM
+    // (perplexity-proxy quality filtering without an external model)
+    "q166_bigram_surprisal" -> ((s, dir) =>
+      graft.ops.Corpus.bigramSurprisal(t(s, dir, "documents"), "doc_id", "text")),
     // corpus card: token/doc counts at every (source, lang) grain with
     // grand-total shares — pre-reduced before the cube, q48's device
     "q140_corpus_card" -> ((s, dir) =>
@@ -3427,6 +3435,41 @@ object SparkEntry {
         |    ORDER BY md5(CAST(o_custkey AS VARCHAR) || '|' ||
         |      CAST(l_partkey AS VARCHAR)), l_partkey) AS BIGINT) AS neg_rank
         |FROM neg QUALIFY neg_rank <= 5""".stripMargin,
+    // q165: identical smoothing arithmetic over the same V×S grid
+    "q165_source_divergence" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+        |st AS (SELECT source, term, count(*) AS tf_s FROM tok GROUP BY 1, 2),
+        |g AS (SELECT term, CAST(sum(tf_s) AS BIGINT) AS tf_g FROM st GROUP BY 1),
+        |tot AS (SELECT source, CAST(sum(tf_s) AS BIGINT) AS n_s FROM st GROUP BY 1),
+        |gt AS (SELECT CAST(count(*) AS BIGINT) AS v,
+        |  CAST(sum(tf_g) AS BIGINT) AS n_g FROM g),
+        |grid AS (
+        |  SELECT tot.source, g.term, g.tf_g, tot.n_s, st.tf_s
+        |  FROM g CROSS JOIN tot
+        |  LEFT JOIN st ON st.source = tot.source AND st.term = g.term)
+        |SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+        |  round(sum(
+        |    ((coalesce(tf_s, 0) + 1) / CAST(n_s + v AS DOUBLE)) *
+        |    ln(((coalesce(tf_s, 0) + 1) / CAST(n_s + v AS DOUBLE)) /
+        |       ((tf_g + 1) / CAST(n_g + v AS DOUBLE)))), 6) AS kl
+        |FROM grid, gt GROUP BY 1""".stripMargin,
+    // q166: q80's pair stream + add-one bigram surprisal per doc
+    "q166_bigram_surprisal" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |p AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 1),
+        |        i -> ts[i] || ' ' || ts[i + 1])) AS pair
+        |      FROM t WHERE len(ts) >= 2),
+        |pc AS (SELECT pair, count(*) AS c_pair FROM p GROUP BY 1),
+        |tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |c1 AS (SELECT term, count(*) AS c_w1 FROM tok GROUP BY 1),
+        |vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c1),
+        |s AS (SELECT pc.pair, pc.c_pair, c1.c_w1
+        |      FROM pc JOIN c1 ON string_split(pc.pair, ' ')[1] = c1.term)
+        |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(avg(-ln((s.c_pair + 1) / CAST(s.c_w1 + vv.v AS DOUBLE))), 6)
+        |    AS surprisal
+        |FROM p JOIN s ON p.pair = s.pair, vv GROUP BY 1""".stripMargin,
     // q140: pre-reduced cube with DuckDB's GROUPING mask as lvl
     "q140_corpus_card" ->
       """WITH pre AS (

@@ -144,6 +144,78 @@ object Corpus {
         (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
   }
 
+  /** Per-source KL divergence from the corpus-wide term distribution —
+    * the information-theoretic "which source sits elsewhere in token
+    * space" scalar ([[graft.ops.Embeddings.centroidDrift]]'s text twin):
+    * a shifted crawl, a template farm, or a different language all push
+    * KL up. Distributions are add-one smoothed over the GLOBAL
+    * vocabulary (`p(t) = (tf+1)/(N+V)`), so the sum runs over every
+    * (source, term) cell including absences and is a TRUE KL (≥ 0, 0 iff
+    * identical). Natural log, 6 dp round (absorbs cross-engine sum
+    * order). Output: (source, n_tokens, kl).
+    *
+    * Scale shape: ONE token hash-agg to (source, term) cells; the global
+    * distribution rolls up from those cells (the corpus is scanned
+    * once); the |V|·|sources| smoothing grid comes from a broadcast
+    * cross join against the per-source totals — bounded by vocabulary ×
+    * source count, never by corpus size. */
+  def sourceDivergence(df: DataFrame, textCol: String, sourceCol: String): DataFrame = {
+    // persisted: the global rollup, the totals, and the KL grid all
+    // consume the (source, term) cells — uncached, the corpus token
+    // explode + agg would run three times
+    val st = graft.core.CacheRegistry.persist(
+      df.select(col(sourceCol).as("source"),
+        explode(split(col(textCol), " ")).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("tf_s")))
+    val g = st.groupBy("term").agg(sum("tf_s").as("tf_g"))
+    val totals = st.groupBy("source").agg(sum("tf_s").as("n_s"))
+    val gt = g.agg(count(lit(1)).as("v"), sum("tf_g").as("n_g"))
+    val pS = (coalesce(col("tf_s"), lit(0L)).cast("double") + 1.0) /
+      (col("n_s") + col("v")).cast("double")
+    val pG = (col("tf_g").cast("double") + 1.0) /
+      (col("n_g") + col("v")).cast("double")
+    g.crossJoin(broadcast(totals))
+      .join(st, Seq("source", "term"), "left")
+      .crossJoin(broadcast(gt))
+      .groupBy(col("source"))
+      .agg(max("n_s").as("n_tokens"),
+        round(sum(pS * log(pS / pG)), 6).as("kl"))
+  }
+
+  /** Per-document bigram surprisal under the corpus's own add-one
+    * bigram model: `mean over adjacent pairs of −ln p(w₂|w₁)`,
+    * `p(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V)` — the model-free perplexity
+    * proxy (CCNet-style LM filtering without an external LM): template
+    * spam scores low, shattered or mis-extracted text scores high.
+    * Docs with < 2 tokens are excluded. 6 dp round. Output:
+    * (id, n_pairs, surprisal).
+    *
+    * Scale shape: pair and unigram counts are each ONE hash-agg over
+    * kernel-generated scan-stage streams ([[bpePairCounts]]'s AdjPairs);
+    * the merged (pair, c_pair, c_w1) stats table joins the per-doc pair
+    * stream on the pair key — the one corpus-sized shuffle — and V rides
+    * in as a broadcast scalar. */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def docPairs = df.where(size(split(col(textCol), " ")) >= 2)
+      .select(col(idCol), explode(
+        graft.functions.TextFunctions.adjPairs(col(textCol))).as("pair"))
+    val c1 = df.select(explode(split(col(textCol), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c_w1"))
+    // persisted: V and the probe join both consume the unigram counts
+    val c1c = graft.core.CacheRegistry.persist(c1)
+    val vv = c1c.agg(count(lit(1)).as("v"))
+    val stats = docPairs.groupBy("pair").agg(count(lit(1)).as("c_pair"))
+      .join(c1c.withColumnRenamed("term", "__w1"),
+        element_at(split(col("pair"), " "), 1) === col("__w1"))
+      .select(col("pair"), col("c_pair"), col("c_w1"))
+    docPairs.join(stats, "pair")
+      .crossJoin(broadcast(vv))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(-log((col("c_pair") + 1).cast("double") /
+          (col("c_w1") + col("v")).cast("double"))), 6).as("surprisal"))
+  }
+
   /** One BPE-style merge-candidate step: counts of ADJACENT token pairs
     * across the corpus, cut to the top-`k` (ties on the pair string, so
     * the cut is total-ordered). Iterating this — count pairs, merge the

@@ -549,6 +549,21 @@ class PlanSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  test("source KL: one cached token agg feeds rollup, totals, grid (q165)") {
+    val plan = planOf(SparkEntry.queries("q165_source_divergence")(spark, sf0001))
+    // the (source, term) cells are computed once and shared three ways;
+    // the V×S smoothing grid is broadcast-built, never a shuffle blow-up
+    "InMemoryTableScan".r.findAllIn(plan).size should be >= 3
+    plan should include("BroadcastNestedLoopJoin")
+    plan should not include "CartesianProduct"
+  }
+
+  test("surprisal: stats join on the pair key, V broadcast (q166)") {
+    val plan = planOf(SparkEntry.queries("q166_bigram_surprisal")(spark, sf0001))
+    plan should not include "CartesianProduct"
+    plan should include("BroadcastNestedLoopJoin") // the 1-row V scalar
+  }
+
   test("winsorize: quantile scalars broadcast back, no key shuffle (q162)") {
     val plan = planOf(SparkEntry.queries("q162_winsorize")(spark, sf0001))
     plan should include("BroadcastNestedLoopJoin")

@@ -251,6 +251,53 @@ class CorpusSpec extends SparkSpec {
       Corpus.zipfAlpha(docs, "doc_id", "text", 1L)
   }
 
+  test("sourceDivergence: independent re-derivation, true-KL ≥ 0, ordering") {
+    val docs = Seq(
+      ("a", "x x y"), ("a", "x y y"),   // source a ≈ the corpus mix
+      ("b", "z z z z")                  // source b: disjoint vocabulary
+    ).toDF("source", "text")
+    val got = Corpus.sourceDivergence(docs, "text", "source")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    got("a")._1 shouldBe 6L
+    got("b")._1 shouldBe 4L
+    // independent driver-side recurrence over the same smoothing grid
+    val toks = Map("a" -> Seq("x", "x", "y", "x", "y", "y"),
+      "b" -> Seq("z", "z", "z", "z"))
+    val tfS = toks.map { case (s, ts) =>
+      s -> ts.groupBy(identity).view.mapValues(_.size.toLong).toMap }
+    val tfG = tfS.values.flatten.groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val (v, nG) = (tfG.size.toLong, tfG.values.sum)
+    def kl(s: String): Double = {
+      val nS = tfS(s).values.sum
+      val sum = tfG.map { case (t, g) =>
+        val pS = (tfS(s).getOrElse(t, 0L) + 1.0) / (nS + v)
+        val pG = (g + 1.0) / (nG + v)
+        pS * math.log(pS / pG)
+      }.sum
+      BigDecimal(sum).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    got("a")._2 shouldBe kl("a")
+    got("b")._2 shouldBe kl("b")
+    got.values.foreach(_._2 should be >= 0.0)
+    got("b")._2 should be > got("a")._2 // the disjoint source diverges more
+  }
+
+  test("bigramSurprisal: hand-computed add-one model, short docs excluded") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    // corpus: c(a b)=2, c(a c)=1; c(a)=3; V=4 (a, b, c, solo)
+    val r = Corpus.bigramSurprisal(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(x => x._1 -> (x._2, x._3)).toMap
+    r.keySet shouldBe Set(1L, 2L, 3L) // doc 4 has no pairs
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    r(1L) shouldBe ((1L, r6(-math.log(3.0 / 7.0)))) // (2+1)/(3+4)
+    r(3L) shouldBe ((1L, r6(-math.log(2.0 / 7.0)))) // (1+1)/(3+4)
+  }
+
   private implicit class TripleOps(rows: Array[(Long, String, Double)]) {
     def toMap2: Map[Long, (String, Double)] =
       rows.map { case (id, t, s) => id -> (t, s) }.toMap
