@@ -1,7 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
 
 /** Loaders for the benchmark star schema (TPC-H-ish parquet tables).
   *
@@ -17,12 +17,25 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which the vectorized reader
-      // rejects; read it as a nanos-since-epoch long and truncate to micros
-      // (the generator emits no sub-microsecond precision, so this is lossless).
+      // events.ts has shipped as parquet TIMESTAMP(NANOS) in some data
+      // drops and plain TIMESTAMP(MICROS) in others, so normalize from
+      // whatever the file actually holds:
+      //  - NANOS: the vectorized reader rejects it; read as a
+      //    nanos-since-epoch long and truncate to micros (the generator
+      //    emits no sub-microsecond precision, so this is lossless);
+      //  - MICROS with isAdjustedToUTC=false: arrives as TIMESTAMP_NTZ;
+      //    cast to session-tz timestamp (sessions here pin UTC) so
+      //    literal comparisons and watermark arithmetic type-check;
+      //  - MICROS adjusted: already TimestampType, pass through.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(path)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(path)
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _: org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
     } else spark.read.parquet(path)
   }
 }
