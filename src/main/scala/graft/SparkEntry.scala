@@ -836,6 +836,18 @@ object SparkEntry {
     // (perplexity-proxy quality filtering without an external model)
     "q166_bigram_surprisal" -> ((s, dir) =>
       graft.ops.Corpus.bigramSurprisal(t(s, dir, "documents"), "doc_id", "text")),
+    // semi-supervised label spread over the 3-NN cosine graph: half the
+    // labels md5-masked to null, two synchronous rounds re-derive them
+    "q167_label_spread" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val seeds = emb.select(col("vec_id"),
+        when(substring(md5(col("vec_id").cast("string")), 1, 1) < "8",
+          col("label")).as("label"))
+      val knn = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 3)
+        .where(col("cos") > 0)
+      graft.ops.Graph.labelSpread(seeds, "vec_id", "label",
+        knn, "query_id", "cand_id", "cos", 2)
+    }),
     // corpus card: token/doc counts at every (source, lang) grain with
     // grand-total shares — pre-reduced before the cube, q48's device
     "q140_corpus_card" -> ((s, dir) =>
@@ -1014,6 +1026,36 @@ object SparkEntry {
         q.awaitTermination()
       }
       s.table(name)
+    }),
+    // sliding-window stream: 1-hour windows every 15 minutes, drained in
+    // complete mode so the watermark-suppressed tail windows emit too;
+    // the oracle re-derives the 4-window-per-event fan-out with
+    // epoch-aligned buckets
+    "q168_stream_sliding_counts" -> ((s, dir) => {
+      import graft.streaming.EventStream
+      import org.apache.spark.sql.streaming.Trigger
+      val name = "q168_sliding"
+      withStatePartitions(s, 8) {
+        val q = EventStream.slidingCounts(
+            EventStream.readEventsStream(s, dir).withWatermark("ts", "1 hour"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("q168-ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.table(name)
+    }),
+    // column-profile drift between two snapshot halves (the ingest
+    // regression check): even doc_ids as yesterday, odd as today
+    "q169_profile_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Quality.profileDrift(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1),
+        Seq("n_chars", "lang", "text"))
     }),
     // the SCD2 merge staged against a pk-BUCKETED catalog target (read
     // back through the version-pointer view) — must produce exactly the
@@ -2014,6 +2056,55 @@ object SparkEntry {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // q168: the sliding-window fan-out re-derived batch-side — every
+    // event belongs to the 4 epoch-aligned 15-min-step windows ending at
+    // its own bucket (ts ∈ [b, b+15m) ⊂ [b − k·15m, b − k·15m + 1h) for
+    // exactly k = 0..3), so no membership predicate is needed
+    "q168_stream_sliding_counts" ->
+      """WITH ks AS (SELECT unnest(generate_series(0, 3)) AS k),
+        |w AS (SELECT time_bucket(INTERVAL '15 minutes', ts)
+        |        - k * INTERVAL '15 minutes' AS win_start,
+        |      event_type, value FROM events, ks)
+        |SELECT CAST(win_start AS TIMESTAMP) AS win_start, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
+    // q169: both halves' per-column profiles re-derived (numeric min/max
+    // only for n_chars; rates rounded BEFORE the delta, like the op)
+    "q169_profile_drift" -> {
+      def prof(src: String): String =
+        s"""SELECT 'n_chars' AS col_name, count(*) AS n_rows,
+           |    count(*) - count(n_chars) AS n_null,
+           |    count(DISTINCT n_chars) AS n_distinct,
+           |    round(CAST(min(n_chars) AS DOUBLE), 6) AS min_val,
+           |    round(CAST(max(n_chars) AS DOUBLE), 6) AS max_val FROM $src
+           |  UNION ALL
+           |  SELECT 'lang', count(*), count(*) - count(lang),
+           |    count(DISTINCT lang), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+           |  FROM $src
+           |  UNION ALL
+           |  SELECT 'text', count(*), count(*) - count(text),
+           |    count(DISTINCT text), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+           |  FROM $src""".stripMargin
+      s"""WITH a AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+         |b AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+         |pa AS (${prof("a")}),
+         |pb AS (${prof("b")}),
+         |ra AS (SELECT *, CASE WHEN n_rows = 0 THEN NULL
+         |    ELSE round(n_null / CAST(n_rows AS DOUBLE), 6) END AS rate FROM pa),
+         |rb AS (SELECT *, CASE WHEN n_rows = 0 THEN NULL
+         |    ELSE round(n_null / CAST(n_rows AS DOUBLE), 6) END AS rate FROM pb)
+         |SELECT ra.col_name,
+         |  CAST(ra.n_rows AS BIGINT) AS n_rows_a,
+         |  CAST(rb.n_rows AS BIGINT) AS n_rows_b,
+         |  ra.rate AS null_rate_a, rb.rate AS null_rate_b,
+         |  round(rb.rate - ra.rate, 6) AS null_rate_delta,
+         |  CAST(ra.n_distinct AS BIGINT) AS n_distinct_a,
+         |  CAST(rb.n_distinct AS BIGINT) AS n_distinct_b,
+         |  ra.min_val AS min_a, rb.min_val AS min_b,
+         |  ra.max_val AS max_a, rb.max_val AS max_b
+         |FROM ra JOIN rb ON ra.col_name = rb.col_name""".stripMargin
+    },
     "q17_top_customers_by_nation" ->
       s"""WITH fact AS ($factSql),
          |spend AS (SELECT NationName, CustomerID, SUM(TotalAmount) AS spend_d
@@ -3470,6 +3561,40 @@ object SparkEntry {
         |  round(avg(-ln((s.c_pair + 1) / CAST(s.c_w1 + vv.v AS DOUBLE))), 6)
         |    AS surprisal
         |FROM p JOIN s ON p.pair = s.pair, vv GROUP BY 1""".stripMargin,
+    // q167: two unrolled label-spread rounds over the exact 3-NN edges;
+    // votes rounded to 6 dp, ties to the smallest label, seeds clamped
+    "q167_label_spread" ->
+      s"""WITH pc AS ($cosineSql),
+         |k AS (SELECT query_id, cand_id, cos FROM pc
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, cand_id ASC) <= 3),
+         |e AS (SELECT query_id AS src, cand_id AS dst, cos AS w
+         |  FROM k WHERE cos > 0),
+         |l0 AS (SELECT vec_id AS node,
+         |  CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8'
+         |    THEN label END AS seed,
+         |  CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8'
+         |    THEN label END AS label
+         |  FROM embeddings),
+         |v1 AS (SELECT e.dst, l0.label AS l, round(sum(e.w), 6) AS vote
+         |  FROM e JOIN l0 ON e.src = l0.node
+         |  WHERE l0.label IS NOT NULL GROUP BY 1, 2),
+         |w1 AS (SELECT dst, l FROM v1
+         |  QUALIFY row_number() OVER (PARTITION BY dst
+         |    ORDER BY vote DESC, l ASC) = 1),
+         |l1 AS (SELECT l0.node, l0.seed,
+         |  coalesce(l0.seed, w1.l, l0.label) AS label
+         |  FROM l0 LEFT JOIN w1 ON l0.node = w1.dst),
+         |v2 AS (SELECT e.dst, l1.label AS l, round(sum(e.w), 6) AS vote
+         |  FROM e JOIN l1 ON e.src = l1.node
+         |  WHERE l1.label IS NOT NULL GROUP BY 1, 2),
+         |w2 AS (SELECT dst, l FROM v2
+         |  QUALIFY row_number() OVER (PARTITION BY dst
+         |    ORDER BY vote DESC, l ASC) = 1),
+         |l2 AS (SELECT l1.node, l1.seed,
+         |  coalesce(l1.seed, w2.l, l1.label) AS label
+         |  FROM l1 LEFT JOIN w2 ON l1.node = w2.dst)
+         |SELECT node, label, seed IS NOT NULL AS is_seed FROM l2""".stripMargin,
     // q140: pre-reduced cube with DuckDB's GROUPING mask as lvl
     "q140_corpus_card" ->
       """WITH pre AS (

@@ -65,4 +65,61 @@ object Graph {
             .as("rank"))
     }
   }
+
+  /** Semi-supervised label propagation (label spread) with a FIXED
+    * iteration count — weak labeling for a partially-labeled corpus: seed
+    * labels flow over a weighted similarity graph (e.g. a k-NN embedding
+    * graph) to the unlabeled nodes. Synchronous update per round: every
+    * node's candidate label is the weighted-majority label among its
+    * in-neighbors' CURRENT labels (vote = Σ edge weight per label,
+    * rounded to 6 dp — the cross-engine float-sum device; ties break to
+    * the SMALLEST label, so the winner is engine-deterministic), seeds
+    * stay clamped to their given label, and a node with no labeled
+    * in-neighbor keeps its previous assignment (null until first
+    * reached). Edges are used as given — pass both directions for an
+    * undirected spread; strictly positive weights required (same
+    * contract as [[pageRank]]).
+    *
+    * `nodes` carries one row per node with a NULLABLE integral label
+    * column (null = unlabeled). Output: (node, label, is_seed) — label
+    * nullable for nodes no seed can reach in `iters` rounds.
+    *
+    * Scale shape: per round, the vote hash-agg keyed on (dst, label)
+    * (map-side partials over the edge stream) then the per-dst argmax
+    * agg — ≤ \|labels\| rows per node enter the second exchange, the
+    * corpus-sized join is the one edge⋈labels equi-join; edges and the
+    * seed table are computed once and cached. Like [[pageRank]], the
+    * label chain is lazy — checkpoint every ~10 rounds at high `iters`. */
+  def labelSpread(nodes: DataFrame, idCol: String, labelCol: String,
+                  edges: DataFrame, srcCol: String, dstCol: String,
+                  weightCol: String, iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"labelSpread: need iters >= 1, got $iters")
+    val e = graft.core.CacheRegistry.persist(
+      edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+        col(weightCol).cast("double").as("__w")))
+    val badW = e.where(col("__w").isNull || col("__w") <= 0.0)
+    require(badW.isEmpty,
+      "labelSpread: edge weights must be strictly positive (clip or drop upstream)")
+    // every round's update joins the seed column back in (clamping), so
+    // the node⋈seed base is cached once; nodes absent from the edge set
+    // still appear in the output (their label is their seed or null)
+    val base = graft.core.CacheRegistry.persist(
+      nodes.select(col(idCol).as("node"), col(labelCol).as("__seed")))
+    val init = base.select(col("node"), col("__seed"), col("__seed").as("label"))
+    val fin = (1 to iters).foldLeft(init) { (cur, _) =>
+      val votes = e
+        .join(cur.where(col("label").isNotNull)
+          .select(col("node").as("__src"), col("label").as("__l")), "__src")
+        .groupBy(col("__dst"), col("__l"))
+        .agg(round(sum("__w"), 6).as("__vote"))
+      // argmax by (vote desc, label asc): max_by over the orderable
+      // struct (vote, -label) — smallest label wins exact vote ties
+      val winners = votes.groupBy(col("__dst").as("node"))
+        .agg(expr("max_by(__l, struct(__vote, -__l))").as("__win"))
+      cur.join(winners, Seq("node"), "left")
+        .select(col("node"), col("__seed"),
+          coalesce(col("__seed"), col("__win"), col("label")).as("label"))
+    }
+    fin.select(col("node"), col("label"), col("__seed").isNotNull.as("is_seed"))
+  }
 }

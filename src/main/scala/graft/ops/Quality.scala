@@ -214,6 +214,34 @@ object Quality {
     }.reduce(_ unionByName _)
   }
 
+  /** Column-profile drift between two table snapshots (yesterday's load
+    * vs today's, corpus v1 vs v2): per column, both sides' row counts,
+    * null rates (6 dp), exact distinct counts, and numeric min/max, plus
+    * the null-rate delta — the ingest-regression check that catches a
+    * feed suddenly nulling a field or a cardinality explosion before the
+    * data ships. Empty snapshots report null rates as null, not NaN.
+    *
+    * Scale shape: inherits [[columnProfile]]'s per-column single-column
+    * pruned scans on each side; the drift join is over 2·C profile rows
+    * (broadcast, never a data shuffle). */
+  def profileDrift(a: DataFrame, b: DataFrame, cols: Seq[String]): DataFrame = {
+    def side(df: DataFrame, sfx: String): DataFrame =
+      columnProfile(df, cols).select(col("col_name"),
+        col("n_rows").as(s"n_rows_$sfx"), col("n_null").as(s"__null_$sfx"),
+        col("n_distinct").as(s"n_distinct_$sfx"),
+        col("min_val").as(s"min_$sfx"), col("max_val").as(s"max_$sfx"))
+    def rate(sfx: String): Column =
+      when(col(s"n_rows_$sfx") === 0, lit(null).cast("double"))
+        .otherwise(round(col(s"__null_$sfx").cast("double") /
+          col(s"n_rows_$sfx"), 6))
+    side(a, "a").join(side(b, "b"), "col_name")
+      .select(col("col_name"), col("n_rows_a"), col("n_rows_b"),
+        rate("a").as("null_rate_a"), rate("b").as("null_rate_b"),
+        round(rate("b") - rate("a"), 6).as("null_rate_delta"),
+        col("n_distinct_a"), col("n_distinct_b"),
+        col("min_a"), col("min_b"), col("max_a"), col("max_b"))
+  }
+
   /** Higher-moment distribution profile per group: n, mean, population
     * variance, skewness (g1) and excess kurtosis (g2) of `valueCol` —
     * the drift fingerprint that catches a shifted or fattened value

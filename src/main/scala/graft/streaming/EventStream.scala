@@ -28,6 +28,29 @@ object EventStream {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value_d").cast("double").as("sum_value"))
 
+  /** SLIDING event-time windows (shared batch/streaming shape; q168):
+    * every event lands in `size / slide` overlapping windows — the
+    * smoothed rate/alert signal a tumbling window can't give (a spike
+    * straddling a tumbling boundary halves; a sliding window sees it
+    * whole). Same exact-decimal sum device as [[hourlyAggregate]];
+    * windows are epoch-aligned (Spark's `window()` default), so an
+    * external engine reproduces membership with epoch-aligned
+    * time buckets. `size` must be a multiple of `slide`.
+    *
+    * Scale shape: the ×(size/slide) row fan-out happens MAP-SIDE into a
+    * partial aggregate, so the exchange carries ≤ \|windows × types\|
+    * partial rows, never the multiplied event stream. In streaming, pair
+    * with a watermark (state eviction); drain with `outputMode complete`
+    * to a test sink to observe suppressed-tail windows too. */
+  def slidingCounts(events: DataFrame, size: String = "1 hour",
+                    slide: String = "15 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), size, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).as("sum_value_d"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value_d").cast("double").as("sum_value"))
+
   /** File-source stream over a landing directory of csv drops — the
     * streaming form of the reference's landing scan. `maxFilesPerTrigger`
     * bounds micro-batch size at scale. */

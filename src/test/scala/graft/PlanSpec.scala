@@ -543,6 +543,18 @@ class PlanSpec extends SparkSpec {
     plan should include("InMemoryTableScan") // edges + out-weights shared
   }
 
+  test("label spread: vote agg partial, edges/base cached, no cartesian (q167 core)") {
+    import spark.implicits._
+    val n = Seq((1L, Some(1)), (2L, Some(2)), (3L, None)).toDF("id", "label")
+    val e = Seq((1L, 3L, 1.0), (2L, 3L, 2.0)).toDF("src", "dst", "w")
+    val plan = planOf(
+      graft.ops.Graph.labelSpread(n, "id", "label", e, "src", "dst", "w", 2))
+    // the per-round (dst, label) vote agg reduces map-side before its exchange
+    plan should include("partial_sum")
+    plan should not include "CartesianProduct"
+    plan should include("InMemoryTableScan") // edges + seed base shared
+  }
+
   test("negative samples: broadcast pool, anti-join, map-side k-heaps (q164)") {
     val plan = planOf(SparkEntry.queries("q164_negative_samples")(spark, sf0001))
     plan should include("WindowGroupLimit")

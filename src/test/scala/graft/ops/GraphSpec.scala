@@ -59,4 +59,64 @@ class GraphSpec extends SparkSpec {
       Graph.pageRank(Seq((1L, 2L, 0.0)).toDF("src", "dst", "w"),
         "src", "dst", "w", 0.85, 1)
   }
+
+  // --- labelSpread -----------------------------------------------------
+
+  private def spread(nodes: Seq[(Long, Option[Int])],
+                     edges: Seq[(Long, Long, Double)],
+                     iters: Int): Map[Long, (Option[Int], Boolean)] =
+    Graph.labelSpread(nodes.toDF("id", "label"), "id", "label",
+        edges.toDF("src", "dst", "w"), "src", "dst", "w", iters)
+      .as[(Long, Option[Int], Boolean)].collect()
+      .map { case (n, l, s) => n -> (l, s) }.toMap
+
+  test("labelSpread: seeds flow hop-by-hop and stay clamped") {
+    // 1(seed 10) → 2 → 3; 4(seed 20) → 3 with a heavier edge
+    val nodes = Seq((1L, Some(10)), (2L, None), (3L, None), (4L, Some(20)))
+    val edges = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (4L, 3L, 5.0))
+    val r1 = spread(nodes, edges, 1)
+    r1(2L) shouldBe (Some(10), false)
+    r1(3L) shouldBe (Some(20), false) // only 4 is labeled after round 0
+    r1(1L) shouldBe (Some(10), true)
+    val r2 = spread(nodes, edges, 2)
+    // round 2: node 3 hears 10 (w=1) and 20 (w=5) — heavier vote wins
+    r2(3L) shouldBe (Some(20), false)
+    // a seed keeps its label even when the neighborhood disagrees
+    val clamp = spread(Seq((1L, Some(10)), (2L, Some(20))),
+      Seq((1L, 2L, 9.0)), 3)
+    clamp(2L) shouldBe (Some(20), true)
+  }
+
+  test("labelSpread: exact vote ties break to the smallest label") {
+    val nodes = Seq((1L, Some(2)), (2L, Some(1)), (3L, None))
+    val edges = Seq((1L, 3L, 1.5), (2L, 3L, 1.5))
+    spread(nodes, edges, 1)(3L) shouldBe (Some(1), false)
+  }
+
+  test("labelSpread: unreachable nodes stay null; non-edge nodes kept") {
+    val nodes = Seq((1L, Some(7)), (2L, None), (9L, None))
+    val edges = Seq((1L, 2L, 1.0))
+    val r = spread(nodes, edges, 2)
+    r(2L) shouldBe (Some(7), false)
+    r(9L) shouldBe (None, false) // in the node table, not in the graph
+    r.size shouldBe 3
+  }
+
+  test("labelSpread: deterministic under partitioning, guards hold") {
+    import org.apache.spark.sql.DataFrame
+    val nodes = Seq((1L, Some(1)), (2L, Some(2)), (3L, None), (4L, None))
+    val edges = Seq((1L, 3L, 1.0), (2L, 3L, 2.0), (3L, 4L, 1.0))
+    def run(n: DataFrame, e: DataFrame) =
+      Graph.labelSpread(n, "id", "label", e, "src", "dst", "w", 2)
+        .as[(Long, Option[Int], Boolean)].collect().toSet
+    run(nodes.toDF("id", "label").repartition(5),
+        edges.toDF("src", "dst", "w").repartition(3)) shouldBe
+      run(nodes.toDF("id", "label"), edges.toDF("src", "dst", "w"))
+    an[IllegalArgumentException] should be thrownBy
+      Graph.labelSpread(nodes.toDF("id", "label"), "id", "label",
+        Seq((1L, 2L, -1.0)).toDF("src", "dst", "w"), "src", "dst", "w", 1)
+    an[IllegalArgumentException] should be thrownBy
+      Graph.labelSpread(nodes.toDF("id", "label"), "id", "label",
+        edges.toDF("src", "dst", "w"), "src", "dst", "w", 0)
+  }
 }

@@ -188,6 +188,30 @@ class QualitySpec extends SparkSpec {
       Quality.winsorize(d, "id", "value", 0.9, 0.1)
   }
 
+  test("profileDrift: rates, deltas, ranges per column; empty side rates null") {
+    import spark.implicits._
+    val a = Seq((Some(1), Some("x")), (Some(3), None), (None, Some("y")),
+      (Some(5), Some("x"))).toDF("v", "s")
+    val b = Seq((Some(2), Some("z")), (Some(4), Some("z"))).toDF("v", "s")
+    val got = Quality.profileDrift(a, b, Seq("v", "s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val v = got("v")
+    (v.getLong(1), v.getLong(2)) shouldBe (4L, 2L)          // n_rows a/b
+    (v.getDouble(3), v.getDouble(4)) shouldBe (0.25, 0.0)   // null rates
+    v.getDouble(5) shouldBe -0.25                           // delta
+    (v.getLong(6), v.getLong(7)) shouldBe (3L, 2L)          // distinct
+    (v.getDouble(8), v.getDouble(10)) shouldBe (1.0, 5.0)   // min_a, max_a
+    (v.getDouble(9), v.getDouble(11)) shouldBe (2.0, 4.0)   // min_b, max_b
+    val s = got("s")
+    s.getDouble(3) shouldBe 0.25
+    s.isNullAt(8) shouldBe true // string column has no numeric range
+    // an empty snapshot yields null rates, not NaN or divide-by-zero
+    val empty = Quality.profileDrift(a.where($"v" === 99), b, Seq("v"))
+      .collect().head
+    empty.isNullAt(3) shouldBe true
+    empty.isNullAt(5) shouldBe true
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

@@ -32,6 +32,29 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("slidingCounts: streaming equals batch; every event lands in size/slide windows") {
+    val root = Files.createTempDirectory("graft-sliding")
+    val in = root.resolve("in").toString
+    val events = Tables.table(spark, sf0001, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    events.repartition(4).write.mode("overwrite").option("header", "true").csv(in)
+
+    val stream = EventStream.readCsvStream(spark, in, events.schema, maxFilesPerTrigger = 2)
+    val q = EventStream.slidingCounts(stream)
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sliding")
+      val batch = EventStream.slidingCounts(events)
+      streamed.exceptAll(batch).count() shouldBe 0
+      batch.exceptAll(streamed).count() shouldBe 0
+      // membership law: 1h/15m overlap → each event counted exactly 4×
+      import org.apache.spark.sql.functions.sum
+      batch.agg(sum("n_events")).head.getLong(0) shouldBe 4L * events.count()
+    } finally q.stop()
+  }
+
   test("runAvailableNow: watermarked append-mode parquet sink terminates, output ⊆ batch") {
     val root = Files.createTempDirectory("graft-stream-an")
     val in = root.resolve("in")
