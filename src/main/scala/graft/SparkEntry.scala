@@ -1048,6 +1048,25 @@ object SparkEntry {
       }
       s.table(name)
     }),
+    // term↔label mutual information (feature selection / template-leak
+    // probe): presence-based MI of each ≥5-df term against lang
+    "q170_term_label_mi" -> ((s, dir) =>
+      graft.ops.Corpus.termLabelMI(t(s, dir, "documents"), "text", "lang", 5)),
+    // exponentially decayed per-user counters as of a pinned instant
+    // (recency-weighted feature-store counts; 7-day half-life)
+    "q171_decayed_counts" -> ((s, dir) =>
+      graft.ops.EventAnalytics.decayedCounts(t(s, dir, "events"),
+        "user_id", "ts", "value",
+        java.sql.Timestamp.valueOf("2024-02-01 00:00:00"), 7.0)),
+    // PSI between the first and second half-month of events — the
+    // distribution-stability scalar over 20 fixed bins of value
+    "q172_psi_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cut = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+      graft.ops.Quality.psiDrift(
+        ev.where(col("ts") < cut), ev.where(col("ts") >= cut),
+        "value", 0.0, 250.0, 20)
+    }),
     // column-profile drift between two snapshot halves (the ingest
     // regression check): even doc_ids as yesterday, odd as today
     "q169_profile_drift" -> ((s, dir) => {
@@ -2105,6 +2124,81 @@ object SparkEntry {
          |  ra.max_val AS max_a, rb.max_val AS max_b
          |FROM ra JOIN rb ON ra.col_name = rb.col_name""".stripMargin
     },
+    // q170: the same presence/label contingency grid with identical
+    // IEEE division shapes; zero cells contribute 0
+    "q170_term_label_mi" ->
+      """WITH raw AS (SELECT doc_id, lang AS label,
+        |    unnest(string_split(text, ' ')) AS term FROM documents),
+        |dt AS (SELECT DISTINCT doc_id, label, term FROM raw),
+        |tl AS (SELECT term, label, count(*) AS n_tl FROM dt GROUP BY 1, 2),
+        |lab AS (SELECT lang AS label, count(*) AS n_l FROM documents GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |nt AS (SELECT term, CAST(sum(n_tl) AS BIGINT) AS n_t FROM tl
+        |  GROUP BY 1 HAVING CAST(sum(n_tl) AS BIGINT) >= 5),
+        |grid AS (SELECT nt.term, nt.n_t, lab.label, lab.n_l,
+        |    coalesce(tl.n_tl, 0) AS n_tl
+        |  FROM nt CROSS JOIN lab
+        |  LEFT JOIN tl ON tl.term = nt.term AND tl.label = lab.label)
+        |SELECT term, CAST(max(n_t) AS BIGINT) AS df_docs,
+        |  round(sum(
+        |    CASE WHEN n_tl > 0 THEN
+        |      (CAST(n_tl AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      ln((CAST(n_tl AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |         ((CAST(n_t AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |          (CAST(n_l AS DOUBLE) / CAST(n AS DOUBLE)))) ELSE 0 END
+        |    + CASE WHEN n_l - n_tl > 0 THEN
+        |      (CAST(n_l - n_tl AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      ln((CAST(n_l - n_tl AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |         ((1.0 - CAST(n_t AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |          (CAST(n_l AS DOUBLE) / CAST(n AS DOUBLE)))) ELSE 0 END), 6)
+        |    AS mi
+        |FROM grid, nn GROUP BY 1""".stripMargin,
+    // q171: identical decay arithmetic — the λ literal is interpolated
+    // from the SAME Scala double, ages are exact integer micros
+    "q171_decayed_counts" -> {
+      val lambda = math.log(2.0) / 7.0
+      val asOfUs = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+        .toLocalDateTime.toInstant(java.time.ZoneOffset.UTC)
+        .toEpochMilli * 1000L
+      s"""SELECT user_id, COUNT(*) AS n_events,
+         |  round(sum(exp(-$lambda *
+         |    (($asOfUs - epoch_us(ts)) / 86400000000.0))), 6)
+         |    AS decayed_count,
+         |  round(sum(exp(-$lambda *
+         |    (($asOfUs - epoch_us(ts)) / 86400000000.0))
+         |    * coalesce(value, 0)), 6) AS decayed_sum
+         |FROM events WHERE epoch_us(ts) <= $asOfUs GROUP BY 1""".stripMargin
+    },
+    // q172: same clamped fixed bins, add-one shares, per-bin rounds
+    "q172_psi_drift" ->
+      """WITH binsp AS (SELECT unnest(generate_series(0, 19)) AS bin),
+        |a AS (SELECT value FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+        |b AS (SELECT value FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+        |ca AS (SELECT greatest(0, least(19,
+        |    CAST(floor((CAST(value AS DOUBLE) - 0.0) / 12.5) AS BIGINT)))
+        |    AS bin, count(*) AS n
+        |  FROM a WHERE value IS NOT NULL GROUP BY 1),
+        |cb AS (SELECT greatest(0, least(19,
+        |    CAST(floor((CAST(value AS DOUBLE) - 0.0) / 12.5) AS BIGINT)))
+        |    AS bin, count(*) AS n
+        |  FROM b WHERE value IS NOT NULL GROUP BY 1),
+        |g AS (SELECT binsp.bin, coalesce(ca.n, 0) AS n_a,
+        |    coalesce(cb.n, 0) AS n_b
+        |  FROM binsp LEFT JOIN ca ON binsp.bin = ca.bin
+        |  LEFT JOIN cb ON binsp.bin = cb.bin),
+        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+        |  CAST(sum(n_b) AS BIGINT) AS tb FROM g),
+        |p AS (SELECT bin, n_a, n_b,
+        |  CAST(n_a + 1 AS DOUBLE) / CAST(ta + 20 AS DOUBLE) AS pa,
+        |  CAST(n_b + 1 AS DOUBLE) / CAST(tb + 20 AS DOUBLE) AS pb
+        |  FROM g, t),
+        |c AS (SELECT CAST(bin AS BIGINT) AS bin, CAST(n_a AS BIGINT) AS n_a,
+        |  CAST(n_b AS BIGINT) AS n_b, round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+        |  round((pb - pa) * ln(pb / pa), 6) AS contrib FROM p)
+        |SELECT c.*, (SELECT round(sum(contrib), 6) FROM c) AS psi
+        |FROM c""".stripMargin,
     "q17_top_customers_by_nation" ->
       s"""WITH fact AS ($factSql),
          |spend AS (SELECT NationName, CustomerID, SUM(TotalAmount) AS spend_d

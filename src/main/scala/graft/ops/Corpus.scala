@@ -182,6 +182,53 @@ object Corpus {
         round(sum(pS * log(pS / pG)), 6).as("kl"))
   }
 
+  /** Mutual information between term PRESENCE and a document label —
+    * the classic filter-feature-selection score (which terms carry label
+    * signal) and, inverted, a leakage probe (a term with outsized MI
+    * against a split/source label marks template contamination).
+    * For each term with document frequency ≥ `minDf`:
+    * `MI = Σ_{t∈{present,absent}, l} p(t,l)·ln(p(t,l) / (p(t)·p(l)))`
+    * over the doc-level presence/label contingency grid; zero cells
+    * contribute 0 (the x·ln x limit), null labels form their own cohort
+    * (the [[graft.ops.Quality.kAnonymityAudit]] rule), 6 dp round.
+    * Output: (term, df_docs, mi).
+    *
+    * Scale shape: doc-level presence collapses scan-stage
+    * (`array_distinct` before the explode — no per-term distinct agg,
+    * no Expand); ONE (term, label) hash-agg with map-side partials; the
+    * MI grid is \|terms\| × \|labels\| with the label histogram and the
+    * doc total broadcast — corpus text never shuffles twice. */
+  def termLabelMI(df: DataFrame, textCol: String, labelCol: String,
+                  minDf: Int = 5): DataFrame = {
+    require(minDf >= 1, s"termLabelMI: need minDf >= 1, got $minDf")
+    // persisted: the df cut and the grid probe both consume the cells
+    val tl = graft.core.CacheRegistry.persist(
+      df.select(col(labelCol).as("label"),
+        explode(array_distinct(split(col(textCol), " "))).as("term"))
+        .groupBy("term", "label").agg(count(lit(1)).as("n_tl")))
+    val labels = df.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_l"))
+    val nTot = df.agg(count(lit(1)).as("n"))
+    val nt = tl.groupBy("term").agg(sum("n_tl").as("n_t"))
+      .where(col("n_t") >= minDf)
+    val n11 = coalesce(col("n_tl"), lit(0L)).cast("double")
+    val n01 = (col("n_l") - coalesce(col("n_tl"), lit(0L))).cast("double")
+    val bigN = col("n").cast("double")
+    val pT = col("n_t").cast("double") / bigN
+    val pL = col("n_l").cast("double") / bigN
+    val present = when(n11 > 0,
+      (n11 / bigN) * log((n11 / bigN) / (pT * pL))).otherwise(lit(0.0))
+    val absent = when(n01 > 0,
+      (n01 / bigN) * log((n01 / bigN) / ((lit(1.0) - pT) * pL)))
+      .otherwise(lit(0.0))
+    nt.crossJoin(broadcast(labels))
+      .join(tl, Seq("term", "label"), "left")
+      .crossJoin(broadcast(nTot))
+      .groupBy(col("term"))
+      .agg(max("n_t").as("df_docs"),
+        round(sum(present + absent), 6).as("mi"))
+  }
+
   /** Per-document bigram surprisal under the corpus's own add-one
     * bigram model: `mean over adjacent pairs of −ln p(w₂|w₁)`,
     * `p(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V)` — the model-free perplexity

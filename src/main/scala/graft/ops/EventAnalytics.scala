@@ -250,6 +250,45 @@ object EventAnalytics {
         datediff(lit(asOf), min(to_date(col(tsCol)))).cast("long").as("tenure_days"),
         countDistinct(to_date(col(tsCol))).as("n_active_days"))
 
+  /** Exponentially time-decayed counters per key as of a PINNED instant —
+    * the recency-weighted feature-store counterpart of [[userSnapshot]]'s
+    * raw counts: each event at age `a` days contributes
+    * `2^(−a / halfLifeDays)` to `decayed_count` and value× that to
+    * `decayed_sum`, so "purchases lately" dominates "purchases ever"
+    * with a tunable memory. Events after `asOf` are EXCLUDED (point-in-
+    * time correctness for backfilled training features); null values
+    * count as events but add 0 to the sum (the [[userSnapshot]] rule).
+    * Sums are 6 dp-rounded: float accumulation order varies with
+    * partitioning, the established absorption device.
+    *
+    * Scale shape: the decay weight is a scan-stage expression off the
+    * raw timestamp (exact integer micros arithmetic, one exp per row);
+    * ONE key hash-agg with map-side partials — never a window, never a
+    * sort. */
+  def decayedCounts(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, asOf: java.sql.Timestamp,
+      halfLifeDays: Double): DataFrame = {
+    require(halfLifeDays > 0,
+      s"decayedCounts: need halfLifeDays > 0, got $halfLifeDays")
+    val lambda = math.log(2.0) / halfLifeDays // per-day decay rate
+    // wall-clock → micros through UTC explicitly (NOT getTime, which
+    // routes through the JVM default zone): the engine pins the session
+    // timezone to UTC, so naive event timestamps are UTC instants and
+    // `asOf` must be interpreted the same way on any host
+    val asOfMicros = asOf.toLocalDateTime
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    val ageDays = (lit(asOfMicros) - unix_micros(col(tsCol)))
+      .cast("double") / lit(86400e6)
+    val w = exp(-lit(lambda) * ageDays)
+    // constant-foldable bound → still pushes into the parquet scan
+    events.where(col(tsCol) <= timestamp_micros(lit(asOfMicros)))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(w), 6).as("decayed_count"),
+        round(sum(w * coalesce(col(valueCol).cast("double"), lit(0.0))), 6)
+          .as("decayed_sum"))
+  }
+
   def retentionCohorts(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
     val first = events.groupBy(userCol)
       .agg(date_trunc("week", min(col(tsCol))).as("cohort_week"))

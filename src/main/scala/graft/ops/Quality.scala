@@ -242,6 +242,54 @@ object Quality {
         col("min_a"), col("min_b"), col("max_a"), col("max_b"))
   }
 
+  /** Population stability index between two snapshots of a value column —
+    * the standard "did this feature's distribution move" scalar
+    * (PSI = Σ_bins (p_b − p_a)·ln(p_b/p_a)), complementing
+    * [[profileDrift]]'s per-column stats with a distribution-shape test.
+    * Fixed-width bins over [lo, hi) with under/overflow clamped into the
+    * edge bins ([[histogram]]'s rule), EMPTY bins kept via a bin spine,
+    * and add-one smoothing on the shares ((n+1)/(N+B), the
+    * [[graft.ops.Corpus.sourceDivergence]] device) so an empty bin
+    * contributes a finite term instead of ±∞. Rule of thumb: PSI < 0.1
+    * stable, > 0.25 shifted. Output: one row per bin with both sides'
+    * counts, smoothed shares (6 dp), the bin's contribution, and the
+    * total `psi` repeated on every row.
+    *
+    * Scale shape: one clamped-bin hash-agg per side (map-side partials),
+    * then pure arithmetic over B spine rows with the two totals
+    * broadcast — the corpus is scanned once per side and never
+    * shuffled. */
+  def psiDrift(a: DataFrame, b: DataFrame, valueCol: String,
+               lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins > 0 && hi > lo,
+      s"psiDrift: need nBins > 0 and hi > lo, got n=$nBins [$lo, $hi]")
+    val width = (hi - lo) / nBins
+    def counts(df: DataFrame, n: String): DataFrame = {
+      val v = col(valueCol).cast("double")
+      df.where(v.isNotNull)
+        .groupBy(greatest(lit(0L), least(lit(nBins - 1L),
+          floor((v - lo) / width).cast("long"))).as("bin"))
+        .agg(count(lit(1)).as(n))
+    }
+    val spine = a.sparkSession.range(nBins).select(col("id").as("bin"))
+    val g = spine
+      .join(counts(a, "__na"), Seq("bin"), "left")
+      .join(counts(b, "__nb"), Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("__na"), lit(0L)).as("n_a"),
+        coalesce(col("__nb"), lit(0L)).as("n_b"))
+    val tot = g.agg(sum("n_a").as("__ta"), sum("n_b").as("__tb"))
+    val pa = (col("n_a") + 1).cast("double") /
+      (col("__ta") + lit(nBins)).cast("double")
+    val pb = (col("n_b") + 1).cast("double") /
+      (col("__tb") + lit(nBins)).cast("double")
+    val perBin = g.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+        round((pb - pa) * log(pb / pa), 6).as("contrib"))
+    perBin.crossJoin(broadcast(
+      perBin.agg(round(sum("contrib"), 6).as("psi"))))
+  }
+
   /** Higher-moment distribution profile per group: n, mean, population
     * variance, skewness (g1) and excess kurtosis (g2) of `valueCol` —
     * the drift fingerprint that catches a shifted or fattened value

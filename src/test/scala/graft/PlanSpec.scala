@@ -555,6 +555,28 @@ class PlanSpec extends SparkSpec {
     plan should include("InMemoryTableScan") // edges + seed base shared
   }
 
+  test("term-label MI: broadcast label histogram + totals, no Expand (q170)") {
+    val plan = planOf(SparkEntry.queries("q170_term_label_mi")(spark, sf0001))
+    plan should include("partial_sum")
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+    plan should not include "Expand"
+  }
+
+  test("decayed counts: asOf bound pushed to the scan, one key agg (q171)") {
+    val plan = planOf(SparkEntry.queries("q171_decayed_counts")(spark, sf0001))
+    // the constant-folded timestamp_micros bound reaches the parquet scan
+    plan should include regex "PushedFilters: \\[[^\\]]*LessThanOrEqual\\(ts"
+    plan should include("partial_sum") // map-side partial decay sums
+    plan should not include "Exchange rangepartitioning" // never a sort
+  }
+
+  test("psi drift: per-side clamped-bin aggs, broadcast totals, no cartesian (q172)") {
+    val plan = planOf(SparkEntry.queries("q172_psi_drift")(spark, sf0001))
+    plan should include("partial_count")
+    plan should not include "CartesianProduct"
+  }
+
   test("negative samples: broadcast pool, anti-join, map-side k-heaps (q164)") {
     val plan = planOf(SparkEntry.queries("q164_negative_samples")(spark, sf0001))
     plan should include("WindowGroupLimit")

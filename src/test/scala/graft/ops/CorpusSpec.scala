@@ -298,6 +298,29 @@ class CorpusSpec extends SparkSpec {
     r(3L) shouldBe ((1L, r6(-math.log(2.0 / 7.0)))) // (1+1)/(3+4)
   }
 
+  test("termLabelMI: hand-computed contingency MI, minDf cut, presence not tf") {
+    // 4 docs, 2 labels; "x" only in label A docs, "z" everywhere
+    val docs = Seq(
+      (1L, "x z", "A"), (2L, "x z z", "A"), (3L, "z", "B"), (4L, "z", "B"))
+      .toDF("doc_id", "text", "lang")
+    val got = Corpus.termLabelMI(docs, "text", "lang", 1)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // x: present (2 A, 0 B), absent (0 A, 2 B) — perfectly informative:
+    // MI = 2 * 0.5*ln(0.5/(0.5*0.5)) = ln 2
+    got("x")._1 shouldBe 2L
+    got("x")._2 shouldBe r6(math.log(2.0))
+    // z: in every doc (presence, despite tf=2 in doc 2) — MI = 0
+    got("z") shouldBe ((4L, 0.0))
+    // minDf cut removes x (df 2 < 3)
+    Corpus.termLabelMI(docs, "text", "lang", 3)
+      .select("term").as[String].collect().toSet shouldBe Set("z")
+    an[IllegalArgumentException] should be thrownBy
+      Corpus.termLabelMI(docs, "text", "lang", 0)
+  }
+
   private implicit class TripleOps(rows: Array[(Long, String, Double)]) {
     def toMap2: Map[Long, (String, Double)] =
       rows.map { case (id, t, s) => id -> (t, s) }.toMap

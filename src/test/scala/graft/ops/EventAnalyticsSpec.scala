@@ -260,4 +260,28 @@ class EventAnalyticsSpec extends SparkSpec {
     r(1L) shouldBe expect1
     r(2L) shouldBe expect2
   }
+
+  test("decayedCounts: hand decay fold, future events excluded, null adds 0") {
+    import java.sql.Timestamp
+    val asOf = Timestamp.valueOf("2024-01-08 00:00:00")
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), Some(10.0)), // age 7d
+      (1L, Timestamp.valueOf("2024-01-08 00:00:00"), Some(4.0)),  // age 0
+      (1L, Timestamp.valueOf("2024-01-04 12:00:00"), None),       // age 3.5d
+      (2L, Timestamp.valueOf("2024-01-09 00:00:00"), Some(99.0))  // future
+    ).toDF("user_id", "ts", "value")
+    val got = EventAnalytics.decayedCounts(ev, "user_id", "ts", "value", asOf, 7.0)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val w7 = 0.5                  // half-life exactly
+    val w35 = math.pow(2.0, -0.5) // 3.5d = half a half-life
+    got(1L)._1 shouldBe 3L
+    got(1L)._2 shouldBe r6(w7 + 1.0 + w35) +- 1e-6
+    got(1L)._3 shouldBe r6(w7 * 10.0 + 1.0 * 4.0) +- 1e-6 // null adds 0
+    got.contains(2L) shouldBe false // only future events → filtered out
+    an[IllegalArgumentException] should be thrownBy
+      EventAnalytics.decayedCounts(ev, "user_id", "ts", "value", asOf, 0.0)
+  }
 }

@@ -212,6 +212,31 @@ class QualitySpec extends SparkSpec {
     empty.isNullAt(5) shouldBe true
   }
 
+  test("psiDrift: identical snapshots score 0; a shift is positive; empty bins finite") {
+    import spark.implicits._
+    val a = Seq(1.0, 2.0, 3.0, 11.0, 12.0, 25.0).toDF("v")
+    val same = Quality.psiDrift(a, a, "v", 0.0, 30.0, 3).collect()
+    same.length shouldBe 3
+    same.foreach { r =>
+      r.getDouble(5) shouldBe 0.0 // contrib
+      r.getDouble(6) shouldBe 0.0 // psi
+    }
+    // everything moves to the top bin → large positive PSI, no ±∞ from
+    // the now-empty bottom bins (add-one smoothing)
+    val b = Seq(25.0, 26.0, 27.0, 28.0, 29.0, 29.5).toDF("v")
+    val shifted = Quality.psiDrift(a, b, "v", 0.0, 30.0, 3).collect()
+    val psi = shifted.head.getDouble(6)
+    psi should be > 0.25
+    psi.isInfinite shouldBe false
+    // out-of-range values clamp into the edge bins
+    val clamp = Quality.psiDrift(Seq(-5.0).toDF("v"), Seq(99.0).toDF("v"),
+      "v", 0.0, 30.0, 3).collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    clamp(0L) shouldBe ((1L, 0L))
+    clamp(2L) shouldBe ((0L, 1L))
+    an[IllegalArgumentException] should be thrownBy
+      Quality.psiDrift(a, b, "v", 10.0, 0.0, 3)
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
