@@ -1048,6 +1048,26 @@ object SparkEntry {
       }
       s.table(name)
     }),
+    // reliability diagram + ECE: value-derived [0,1] score vs purchase
+    // outcome over 10 equal-width bins
+    "q173_calibration" -> ((s, dir) =>
+      graft.ops.Quality.calibrationBins(
+        t(s, dir, "events")
+          .withColumn("score", least(lit(1.0), col("value") / 250.0))
+          .withColumn("converted", col("event_type") === "purchase"),
+        "score", "converted", 10)),
+    // per-cluster MEDOID (min summed Levenshtein to cluster mates) — the
+    // most-typical representative, vs q95's longest-copy policy
+    "q174_cluster_medoids" -> ((s, dir) =>
+      Dedup.clusterMedoids(
+        t(s, dir, "documents").select("doc_id", "text"), "doc_id", "text", 3, 0.5)),
+    // Fellegi–Sunter linkage weights over nation-blocked customer pairs;
+    // u per field estimated from the data's collision probability
+    "q175_linkage_weights" -> ((s, dir) =>
+      graft.ops.Joins.linkageWeights(
+        t(s, dir, "customer")
+          .withColumn("bal_bucket", floor(col("c_acctbal") / 1000).cast("long")),
+        "c_custkey", "c_nationkey", Seq("c_mktsegment", "bal_bucket"), 0.9)),
     // term↔label mutual information (feature selection / template-leak
     // probe): presence-based MI of each ≥5-df term against lang
     "q170_term_label_mi" -> ((s, dir) =>
@@ -2123,6 +2143,75 @@ object SparkEntry {
          |  ra.min_val AS min_a, rb.min_val AS min_b,
          |  ra.max_val AS max_a, rb.max_val AS max_b
          |FROM ra JOIN rb ON ra.col_name = rb.col_name""".stripMargin
+    },
+    // q173: same clamped bins, 6 dp averages, spine-kept empty bins,
+    // contribs coalesced to 0 before the ECE sum
+    "q173_calibration" ->
+      """WITH e AS (SELECT least(1.0, CAST(value AS DOUBLE) / 250.0) AS score,
+        |    event_type = 'purchase' AS conv FROM events),
+        |c AS (SELECT greatest(0, least(9,
+        |    CAST(floor(score * 10) AS BIGINT))) AS bin,
+        |    count(*) AS n, round(avg(score), 6) AS mean_score,
+        |    round(avg(CASE WHEN coalesce(conv, false) THEN 1.0 ELSE 0.0 END), 6)
+        |      AS outcome_rate
+        |  FROM e WHERE score IS NOT NULL GROUP BY 1),
+        |sp AS (SELECT unnest(generate_series(0, 9)) AS bin),
+        |g AS (SELECT sp.bin, coalesce(c.n, 0) AS n, c.mean_score,
+        |    c.outcome_rate, round(abs(c.mean_score - c.outcome_rate), 6) AS gap
+        |  FROM sp LEFT JOIN c ON sp.bin = c.bin),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM g),
+        |w AS (SELECT g.*, coalesce(CAST(n AS DOUBLE) / tot * gap, 0.0)
+        |    AS contrib FROM g, t)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+        |  mean_score, outcome_rate, gap,
+        |  (SELECT round(sum(contrib), 6) FROM w) AS ece
+        |FROM w""".stripMargin,
+    // q174: cluster closure + within-cluster Levenshtein cost matrix;
+    // null text compares as '' (the op's rule), argmin ties to min id
+    "q174_cluster_medoids" ->
+      s"""$clusterChainSql,
+         |mem AS (SELECT a.cluster_id, a.doc_id, coalesce(d.text, '') AS text
+         |        FROM assign a JOIN documents d ON a.doc_id = d.doc_id),
+         |cost AS (SELECT l.cluster_id, l.doc_id,
+         |    CAST(coalesce(sum(CASE WHEN r.doc_id <> l.doc_id
+         |      THEN levenshtein(l.text, r.text) END), 0) AS BIGINT) AS cost
+         |  FROM mem l JOIN mem r ON l.cluster_id = r.cluster_id
+         |  GROUP BY l.cluster_id, l.doc_id, l.text),
+         |stats AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+         |            CAST(min(cost) AS BIGINT) AS medoid_cost
+         |          FROM cost GROUP BY 1),
+         |best AS (SELECT cluster_id, doc_id,
+         |           row_number() OVER (PARTITION BY cluster_id
+         |             ORDER BY cost ASC, doc_id ASC) AS rn
+         |         FROM cost)
+         |SELECT s.cluster_id, b.doc_id AS medoid_id, s.n_members, s.medoid_cost
+         |FROM stats s JOIN best b ON s.cluster_id = b.cluster_id AND b.rn = 1""".stripMargin,
+    // q175: identical u estimation (collision probability incl. the null
+    // cohort), null-safe agreement, m and 1−m interpolated from the SAME
+    // Scala doubles so the literals are bit-identical
+    "q175_linkage_weights" -> {
+      val m = 0.9
+      s"""WITH c AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+         |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket FROM customer),
+         |u1 AS (SELECT sum(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) /
+         |    (CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE)) AS u
+         |  FROM (SELECT count(*) AS n FROM c GROUP BY c_mktsegment)),
+         |u2 AS (SELECT sum(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) /
+         |    (CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE)) AS u
+         |  FROM (SELECT count(*) AS n FROM c GROUP BY bal_bucket)),
+         |p AS (SELECT l.c_custkey AS id_a, r.c_custkey AS id_b,
+         |    l.c_mktsegment IS NOT DISTINCT FROM r.c_mktsegment AS a1,
+         |    l.bal_bucket IS NOT DISTINCT FROM r.bal_bucket AS a2
+         |  FROM c l JOIN c r
+         |  ON l.c_nationkey = r.c_nationkey AND l.c_custkey < r.c_custkey)
+         |SELECT id_a, id_b,
+         |  CAST((CASE WHEN a1 THEN 1 ELSE 0 END)
+         |     + (CASE WHEN a2 THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+         |  round((CASE WHEN a1 THEN log2($m / u1.u)
+         |              ELSE log2(${1.0 - m} / (1.0 - u1.u)) END)
+         |      + (CASE WHEN a2 THEN log2($m / u2.u)
+         |              ELSE log2(${1.0 - m} / (1.0 - u2.u)) END), 6) AS weight
+         |FROM p, u1, u2""".stripMargin
     },
     // q170: the same presence/label contingency grid with identical
     // IEEE division shapes; zero cells contribute 0

@@ -383,6 +383,45 @@ object Dedup {
       .agg(count(lit(1)).as("weight"))
   }
 
+  /** CENTRALITY-aware cluster representative: per near-dup cluster the
+    * MEDOID — the member minimizing the summed Levenshtein distance to
+    * its cluster mates (ties → smallest id) — where
+    * [[bestRepresentatives]] prefers the longest copy, the medoid
+    * prefers the most TYPICAL one (robust against a cluster member that
+    * concatenated junk onto the shared text, which max-length would
+    * crown). Null texts compare as empty strings rather than poisoning
+    * the distance sums with nulls. Returns one row per cluster,
+    * singletons included with cost 0:
+    * (cluster_id, medoid_id, n_members, medoid_cost).
+    *
+    * Scale shape: the same pair→component machinery as
+    * [[dropNearDuplicates]]; the distance matrix is WITHIN-cluster pairs
+    * only (one cluster-keyed self-join — quadratic bounded by cluster
+    * size, the [[graft.ops.Similarity.semanticNearDups]] device), then
+    * two cluster-keyed hash-aggs; the argmin is a sort-free `min_by`,
+    * never a window. Levenshtein cost is O(len²) per pair — cap member
+    * text length upstream for clusters of long documents. */
+  def clusterMedoids(df: DataFrame, idCol: String, textCol: String,
+                     n: Int, minJaccard: Double,
+                     pairGen: Option[DataFrame] = None): DataFrame = {
+    val pairs = pairGen.getOrElse(ngramJaccardPairs(df, idCol, textCol, n, minJaccard))
+    val assign = clusters(pairs, "id_a", "id_b", df.select(idCol), idCol)
+    // persisted: both sides of the within-cluster self-join read it
+    val m = graft.core.CacheRegistry.persist(assign.join(
+      df.select(col(idCol), coalesce(col(textCol), lit("")).as("__txt")), idCol))
+    val costs = m.select(col("cluster_id"), col(idCol).as("__idl"),
+        col("__txt").as("__tl"))
+      .join(m.select(col("cluster_id"), col(idCol).as("__idr"),
+        col("__txt").as("__tr")), "cluster_id")
+      .groupBy(col("cluster_id"), col("__idl"))
+      .agg(coalesce(sum(when(col("__idl") =!= col("__idr"),
+        levenshtein(col("__tl"), col("__tr")))), lit(0L)).as("__cost"))
+    costs.groupBy("cluster_id")
+      .agg(expr("min_by(__idl, struct(__cost, __idl))").as("medoid_id"),
+        count(lit(1)).as("n_members"),
+        min("__cost").as("medoid_cost"))
+  }
+
   /** Quality-aware variant of [[dropNearDuplicates]]: within each near-dup
     * cluster keep the LONGEST document (ties → smallest id) instead of the
     * smallest id — the curation policy that prefers the fullest copy of a

@@ -329,6 +329,54 @@ object Joins {
       .distinct()
   }
 
+  /** Fellegi–Sunter record-linkage scoring (Fellegi & Sunter 1969; the
+    * Splink/probabilistic-ER model) over blocked candidate pairs: for
+    * every same-block pair (id_a < id_b) and each comparison field,
+    * agreement contributes `log2(m / u_f)` and disagreement
+    * `log2((1−m) / (1−u_f))`, summed into the pair's match `weight`.
+    * `m` (P(agree | match)) is a supplied prior; each field's
+    * `u_f` (P(agree | non-match)) is ESTIMATED FROM THE DATA as the
+    * collision probability of two random records,
+    * `Σ_v (n_v / N)²` over the field's value distribution — rare values
+    * thus earn large agreement weights (two records sharing a rare name
+    * are strong match evidence; sharing a common one is weak). NULLs
+    * compare null-safely (null agrees with null) and form their own
+    * frequency cohort. Output: (id_a, id_b, n_agree, weight) — rank or
+    * threshold `weight` downstream.
+    *
+    * Scale shape: each u_f is one single-column hash-agg reduced to a
+    * SCALAR (map-side partials, broadcast back — never collected rows);
+    * candidate pairs come from a block equi-join (never cartesian, the
+    * [[blockedFuzzyPairs]] contract — pick blocks accordingly) and the
+    * per-pair score is a pure scan-stage expression over them. */
+  def linkageWeights(df: DataFrame, idCol: String, blockCol: String,
+                     fields: Seq[String], m: Double = 0.9): DataFrame = {
+    require(fields.nonEmpty, "linkageWeights: need at least one field")
+    require(m > 0 && m < 1, s"linkageWeights: need 0 < m < 1, got $m")
+    // u_f = Σ (n_v/N)² per field: a one-row frame per field, chained
+    // into a single broadcast row of |fields| scalars
+    val uRow = fields.map { f =>
+      df.groupBy(col(f)).agg(count(lit(1)).as("__n"))
+        .agg((sum(col("__n").cast("double") * col("__n").cast("double")) /
+          (sum("__n").cast("double") * sum("__n").cast("double")))
+          .as(s"__u_$f"))
+    }.reduce(_ crossJoin _)
+    def side(pfx: String): DataFrame =
+      df.select((Seq(col(idCol).as(s"${pfx}_id"), col(blockCol).as(s"${pfx}_blk")) ++
+        fields.map(f => col(f).as(s"${pfx}_$f"))): _*)
+    val pairs = side("__l").join(side("__r"),
+      col("__l_blk") === col("__r_blk") && col("__l_id") < col("__r_id"))
+    val agree = fields.map(f => col(s"__l_$f") <=> col(s"__r_$f"))
+    val contrib = fields.zip(agree).map { case (f, a) =>
+      when(a, log2(lit(m) / col(s"__u_$f")))
+        .otherwise(log2(lit(1.0 - m) / (lit(1.0) - col(s"__u_$f"))))
+    }.reduce(_ + _)
+    pairs.crossJoin(broadcast(uRow))
+      .select(col("__l_id").as("id_a"), col("__r_id").as("id_b"),
+        agree.map(_.cast("int")).reduce(_ + _).cast("long").as("n_agree"),
+        round(contrib, 6).as("weight"))
+  }
+
   def skewProfile(df: DataFrame, keyCol: String,
                   targetRowsPerTask: Long, topK: Int): DataFrame = {
     require(targetRowsPerTask > 0 && topK > 0,

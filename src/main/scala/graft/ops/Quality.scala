@@ -290,6 +290,47 @@ object Quality {
       perBin.agg(round(sum("contrib"), 6).as("psi"))))
   }
 
+  /** Reliability-diagram bins + expected calibration error for a [0, 1]
+    * score against a boolean outcome — the model-QA mart that says
+    * whether "0.9" means 90 %: per equal-width score bin, count, mean
+    * score, observed outcome rate, their |gap|, and the dataset-level
+    * `ECE = Σ (n_bin/N)·gap` repeated on every row. Empty bins are kept
+    * (null rates, 0 contribution) via a bin spine; null scores are
+    * excluded, null outcomes count as false (a non-conversion, the
+    * warehouse convention). Bins clamp out-of-range scores into the edge
+    * bins ([[histogram]]'s rule). 6 dp rounds on every derived double.
+    *
+    * Scale shape: ONE clamped-bin hash-agg with map-side partials, then
+    * arithmetic over B spine rows with the total broadcast — never a
+    * window, never a sort. */
+  def calibrationBins(df: DataFrame, scoreCol: String, outcomeCol: String,
+                      nBins: Int = 10): DataFrame = {
+    require(nBins > 0, s"calibrationBins: need nBins > 0, got $nBins")
+    val s = col(scoreCol).cast("double")
+    val bin = greatest(lit(0L), least(lit(nBins - 1L),
+      floor(s * nBins).cast("long")))
+    val counts = df.where(s.isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(s), 6).as("mean_score"),
+        round(avg(coalesce(col(outcomeCol), lit(false)).cast("double")), 6)
+          .as("outcome_rate"))
+    val spine = df.sparkSession.range(nBins).select(col("id").as("bin"))
+    val g = spine.join(counts, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("n"), lit(0L)).as("n"),
+        col("mean_score"), col("outcome_rate"),
+        round(abs(col("mean_score") - col("outcome_rate")), 6).as("gap"))
+    val tot = g.agg(sum("n").as("__tot"))
+    val withE = g.crossJoin(broadcast(tot))
+      .withColumn("__contrib",
+        coalesce(col("n").cast("double") / col("__tot") * col("gap"),
+          lit(0.0)))
+    withE.crossJoin(broadcast(
+        withE.agg(round(sum("__contrib"), 6).as("ece"))))
+      .select(col("bin"), col("n"), col("mean_score"), col("outcome_rate"),
+        col("gap"), col("ece"))
+  }
+
   /** Higher-moment distribution profile per group: n, mean, population
     * variance, skewness (g1) and excess kurtosis (g2) of `valueCol` —
     * the drift fingerprint that catches a shifted or fattened value

@@ -577,6 +577,24 @@ class PlanSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  test("calibration: one clamped-bin agg with map-side partials (q173)") {
+    val plan = planOf(SparkEntry.queries("q173_calibration")(spark, sf0001))
+    plan should include("partial_avg")
+    plan should not include "CartesianProduct"
+  }
+
+  test("cluster medoids: cluster-keyed self-join, member cache shared (q174)") {
+    val plan = planOf(SparkEntry.queries("q174_cluster_medoids")(spark, sf0001))
+    plan should not include "CartesianProduct"
+    plan should include("InMemoryTableScan")
+  }
+
+  test("linkage weights: block equi-join, scalar u's broadcast (q175)") {
+    val plan = planOf(SparkEntry.queries("q175_linkage_weights")(spark, sf0001))
+    plan should not include "CartesianProduct"
+    plan should include("BroadcastNestedLoopJoin") // the 1-row u frame only
+  }
+
   test("negative samples: broadcast pool, anti-join, map-side k-heaps (q164)") {
     val plan = planOf(SparkEntry.queries("q164_negative_samples")(spark, sf0001))
     plan should include("WindowGroupLimit")

@@ -247,6 +247,23 @@ class DedupSpec extends SparkSpec {
       Dedup.removeRepeatedSpans(d, "doc_id", "text", 3, minOccurrences = 0L)
   }
 
+  test("clusterMedoids: min summed edit distance wins, ties to min id, " +
+    "singletons cost 0, null text compares as empty") {
+    val docs = Seq((1L, "abc"), (2L, "abd"), (3L, "xyz"), (4L, "solo"),
+      (5L, null: String), (6L, "ab")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val r = Dedup.clusterMedoids(docs, "doc_id", "text", 3, 0.5,
+        pairGen = Some(pairs))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> (x._2, x._3, x._4)).toMap
+    // cluster {1,2,3}: costs 1→1+3=4, 2→1+3=4, 3→3+3=6; tie 1 vs 2 → 1
+    r(1L) shouldBe ((1L, 3L, 4L))
+    r(4L) shouldBe ((4L, 1L, 0L)) // singleton: itself, cost 0
+    // cluster {5,6}: null text is '' — lev('', "ab") = 2 both ways, tie → 5
+    r(5L) shouldBe ((5L, 2L, 2L))
+    graft.core.CacheRegistry.drain()
+  }
+
   test("repeatedSpans honors the minOccurrences threshold") {
     val d = Seq(
       (1L, "a b c d"), (2L, "a b c e"), (3L, "a b c f") // "a b c" occurs 3x

@@ -356,6 +356,41 @@ class JoinsSpec extends SparkSpec {
     got.nonEmpty shouldBe true
   }
 
+  test("linkageWeights: hand Fellegi-Sunter block, data-estimated u, null cohort") {
+    import spark.implicits._
+    // one block; f1 halves into {a, a, b, b} → u1 = (4+4)/16 = 0.5;
+    // f2 constant → u2 = 1 (disagreement impossible, agree adds log2(m))
+    val df = Seq((1L, 10, "a", "x"), (2L, 10, "a", "x"),
+      (3L, 10, "b", "x"), (4L, 10, "b", "x")).toDF("id", "blk", "f1", "f2")
+    val m = 0.9
+    def l2(x: Double) = math.log(x) / math.log(2.0)
+    val wAgree = l2(m / 0.5) + l2(m / 1.0)
+    val wDis = l2((1.0 - m) / 0.5) + l2(m / 1.0)
+    val got = Joins.linkageWeights(df, "id", "blk", Seq("f1", "f2"), m)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    got.size shouldBe 6 // C(4,2) within the block
+    got((1L, 2L))._1 shouldBe 2L
+    got((1L, 2L))._2 shouldBe wAgree +- 1e-6
+    got((1L, 3L))._1 shouldBe 1L
+    got((1L, 3L))._2 shouldBe wDis +- 1e-6
+    // nulls agree null-safely and form their own frequency cohort
+    val withNull = Seq((1L, 10, Some("a")), (2L, 10, Some("a")),
+      (3L, 10, None), (4L, 10, None)).toDF("id", "blk", "f1")
+    val nn = Joins.linkageWeights(withNull, "id", "blk", Seq("f1"), m)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    nn((3L, 4L)) shouldBe 1L // null agrees with null
+    nn((1L, 3L)) shouldBe 0L
+    // different blocks never pair
+    Joins.linkageWeights(Seq((1L, 1, "a"), (2L, 2, "a")).toDF("id", "blk", "f1"),
+      "id", "blk", Seq("f1"), m).count() shouldBe 0L
+    an[IllegalArgumentException] should be thrownBy
+      Joins.linkageWeights(df, "id", "blk", Seq.empty, m)
+    an[IllegalArgumentException] should be thrownBy
+      Joins.linkageWeights(df, "id", "blk", Seq("f1"), 1.0)
+  }
+
   private implicit class LetOps[A](a: A) {
     def let[B](f: A => B): B = f(a)
   }

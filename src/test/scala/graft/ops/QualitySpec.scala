@@ -237,6 +237,31 @@ class QualitySpec extends SparkSpec {
       Quality.psiDrift(a, b, "v", 10.0, 0.0, 3)
   }
 
+  test("calibrationBins: hand gaps and ECE, clamping, null rules, guard") {
+    import spark.implicits._
+    // all mass in bin 0: mean score 0.05, observed rate 0.25 → gap 0.2
+    val df = Seq((0.05, Some(true)), (0.05, Some(false)),
+      (0.05, Some(false)), (0.05, None)).toDF("score", "conv")
+    val r = Quality.calibrationBins(df, "score", "conv", 10).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    r.size shouldBe 10
+    r(0L).getLong(1) shouldBe 4L
+    r(0L).getDouble(2) shouldBe 0.05 +- 1e-9  // mean_score
+    r(0L).getDouble(3) shouldBe 0.25          // null outcome counts false
+    r(0L).getDouble(4) shouldBe 0.2 +- 1e-9   // gap
+    r(0L).getDouble(5) shouldBe 0.2 +- 1e-9   // ECE: only bin 0 has mass
+    r(5L).getLong(1) shouldBe 0L              // empty bins kept
+    r(5L).isNullAt(2) shouldBe true
+    // clamping: 1.0 and out-of-range scores land in the edge bins
+    val edges = Quality.calibrationBins(
+      Seq((1.0, true), (1.7, true), (-0.2, false)).toDF("score", "conv"),
+      "score", "conv", 10).collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    edges(9L) shouldBe 2L
+    edges(0L) shouldBe 1L
+    an[IllegalArgumentException] should be thrownBy
+      Quality.calibrationBins(df, "score", "conv", 0)
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
