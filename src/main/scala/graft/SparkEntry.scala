@@ -1048,6 +1048,22 @@ object SparkEntry {
       }
       s.table(name)
     }),
+    // per-doc Unicode-script composition (multilingual curation signal
+    // the word-marker language ID can't give on mixed-script text)
+    "q176_script_shares" -> ((s, dir) =>
+      graft.ops.TextStats.scriptShares(t(s, dir, "documents"), "doc_id", "text")),
+    // next-event supervised pairs: every position with a full 3-event
+    // history becomes (context, next_event) — leak-free by (ts, id) order
+    "q177_next_event_examples" -> ((s, dir) =>
+      graft.ops.EventAnalytics.nextEventExamples(t(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type", 3)),
+    // sparse lexical more-like-this: TF-IDF cosine top-10 through the
+    // postings join for five query docs (maxDfShare 1.0: the synthetic
+    // corpus has ~31 terms, nearly all in >half the docs — pruning is
+    // exercised in CorpusSpec; smoothed idf still downweights them)
+    "q178_more_like_this" -> ((s, dir) =>
+      graft.ops.Corpus.moreLikeThis(t(s, dir, "documents"), "doc_id", "text",
+        Seq(1L, 2L, 3L, 4L, 5L), 10, 1.0)),
     // reliability diagram + ECE: value-derived [0,1] score vs purchase
     // outcome over 10 equal-width bins
     "q173_calibration" -> ((s, dir) =>
@@ -2144,6 +2160,68 @@ object SparkEntry {
          |  ra.max_val AS max_a, rb.max_val AS max_b
          |FROM ra JOIN rb ON ra.col_name = rb.col_name""".stripMargin
     },
+    // q176: same per-class strip-and-diff counts (RE2 'g' flag), same
+    // division shapes; empty docs → null shares
+    "q176_script_shares" ->
+      """WITH c AS (SELECT doc_id, length(text) AS len,
+        |  length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS c_latin,
+        |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS c_digit,
+        |  length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS c_cjk,
+        |  length(text) - length(regexp_replace(text, '[\x{0400}-\x{04ff}]', '', 'g')) AS c_cyr,
+        |  length(text) - length(regexp_replace(text, '[ ]', '', 'g')) AS c_space
+        |  FROM documents)
+        |SELECT doc_id, CAST(coalesce(len, 0) AS BIGINT) AS n_chars,
+        |  CASE WHEN len > 0 THEN round(CAST(c_latin AS DOUBLE) / len, 6) END AS latin_share,
+        |  CASE WHEN len > 0 THEN round(CAST(c_digit AS DOUBLE) / len, 6) END AS digit_share,
+        |  CASE WHEN len > 0 THEN round(CAST(c_cjk AS DOUBLE) / len, 6) END AS cjk_share,
+        |  CASE WHEN len > 0 THEN round(CAST(c_cyr AS DOUBLE) / len, 6) END AS cyrillic_share,
+        |  CASE WHEN len > 0 THEN round(CAST(c_space AS DOUBLE) / len, 6) END AS space_share,
+        |  CASE WHEN len > 0 THEN round(CAST(len -
+        |    (c_latin + c_digit + c_cjk + c_cyr + c_space) AS DOUBLE) / len, 6)
+        |    END AS other_share
+        |FROM c""".stripMargin,
+    // q177: identical lag frames over the same (ts, id) total order;
+    // only full contexts survive
+    "q177_next_event_examples" ->
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |    lag(event_type, 3) OVER w AS l3,
+        |    lag(event_type, 2) OVER w AS l2,
+        |    lag(event_type, 1) OVER w AS l1
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id, l3 || ' ' || l2 || ' ' || l1 AS context,
+        |  event_type AS next_event
+        |FROM o
+        |WHERE l3 IS NOT NULL AND l2 IS NOT NULL AND l1 IS NOT NULL""".stripMargin,
+    // q178: same smoothed-idf weights, df pruning, cosine shapes, and
+    // the q24 rank convention
+    "q178_more_like_this" ->
+      """WITH tf AS (SELECT doc, term, count(*) AS tf FROM
+        |    (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
+        |     FROM documents) GROUP BY 1, 2),
+        |dft AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |w AS (SELECT doc, tf.term,
+        |    CAST(tf AS DOUBLE) * (ln((CAST(n AS DOUBLE) + 1.0) /
+        |      (CAST(df_docs AS DOUBLE) + 1.0)) + 1.0) AS w
+        |  FROM tf JOIN dft ON tf.term = dft.term, nn
+        |  WHERE CAST(df_docs AS DOUBLE) <= 1.0 * n),
+        |nrm AS (SELECT doc, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+        |q AS (SELECT doc AS query_id, term, w AS wq FROM w
+        |  WHERE doc IN (1, 2, 3, 4, 5)),
+        |dots AS (SELECT q.query_id, w.doc AS cand_id, sum(q.wq * w.w) AS dot
+        |  FROM q JOIN w ON q.term = w.term WHERE w.doc <> q.query_id
+        |  GROUP BY 1, 2),
+        |sc AS (SELECT d.query_id, d.cand_id,
+        |    round(d.dot / (nq.nrm * nc.nrm), 6) AS cos
+        |  FROM dots d JOIN nrm nq ON d.query_id = nq.doc
+        |  JOIN nrm nc ON d.cand_id = nc.doc)
+        |SELECT query_id, cand_id, cos,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, cand_id ASC) AS INTEGER) AS rank
+        |FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY cos DESC, cand_id ASC) <= 10""".stripMargin,
     // q173: same clamped bins, 6 dp averages, spine-kept empty bins,
     // contribs coalesced to 0 before the ECE sum
     "q173_calibration" ->

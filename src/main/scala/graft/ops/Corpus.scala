@@ -182,6 +182,65 @@ object Corpus {
         round(sum(pS * log(pS / pG)), 6).as("kl"))
   }
 
+  /** Sparse lexical "more like this": for each query document, the top-k
+    * most TF-IDF-cosine-similar other documents, computed through the
+    * postings (term) join — the production related-content / lexical
+    * retrieval shape when there are no embeddings ([[bm25]] is its
+    * free-text-query sibling; this one takes documents as queries).
+    * Weights are `tf · (ln((N+1)/(df+1)) + 1)` (smoothed idf, so a
+    * term in every doc still scores), cosine-normalized per doc; terms
+    * with document frequency above `maxDfShare·N` are PRUNED from the
+    * postings — stop-tokens carry no ranking signal and their posting
+    * lists are exactly the ones that explode the term join. Cosines are
+    * 6 dp-rounded, ties break to the smaller candidate id, a query doc
+    * never matches itself. Output: (query_id, cand_id, cos, rank).
+    *
+    * Scale shape: tf/df/norms are the module's standard no-Expand
+    * hash-aggs; the query-side weight table is \|queryIds\| docs —
+    * BROADCAST into the one term-keyed postings join; per-pair partial
+    * dot products combine map-side; the final top-k is a
+    * WindowGroupLimit cut (map-side k-heaps), never a full sort. */
+  def moreLikeThis(df: DataFrame, idCol: String, textCol: String,
+                   queryIds: Seq[Long], topK: Int,
+                   maxDfShare: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queryIds.nonEmpty, "moreLikeThis: need at least one query id")
+    require(topK >= 1, s"moreLikeThis: need topK >= 1, got $topK")
+    require(maxDfShare > 0 && maxDfShare <= 1,
+      s"moreLikeThis: need 0 < maxDfShare <= 1, got $maxDfShare")
+    val tf = df.select(col(idCol).cast("long").as("doc"),
+        explode(split(col(textCol), " ")).as("term"))
+      .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df_docs"))
+    val nTot = df.agg(count(lit(1)).as("n"))
+    // persisted: norms and both join sides consume the weighted postings
+    val w = graft.core.CacheRegistry.persist(
+      tf.join(dfT, "term").crossJoin(broadcast(nTot))
+        .where(col("df_docs").cast("double") <= lit(maxDfShare) * col("n"))
+        .select(col("doc"), col("term"),
+          (col("tf").cast("double") *
+            (log((col("n").cast("double") + 1.0) /
+              (col("df_docs").cast("double") + 1.0)) + 1.0)).as("w")))
+    val norms = w.groupBy("doc").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val q = w.where(col("doc").isin(queryIds: _*))
+      .select(col("doc").as("query_id"), col("term"), col("w").as("wq"))
+    val qn = norms.where(col("doc").isin(queryIds: _*))
+      .select(col("doc").as("query_id"), col("nrm").as("nq"))
+    val dots = broadcast(q).join(w, "term")
+      .where(col("doc") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc").as("cand_id"))
+      .agg(sum(col("wq") * col("w")).as("dot"))
+    val scored = dots
+      .join(broadcast(qn), "query_id")
+      .join(norms.select(col("doc").as("cand_id"), col("nrm").as("nc")), "cand_id")
+      .select(col("query_id"), col("cand_id"),
+        round(col("dot") / (col("nq") * col("nc")), 6).as("cos"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("cand_id").asc)))
+      .where(col("rank") <= topK)
+  }
+
   /** Mutual information between term PRESENCE and a document label —
     * the classic filter-feature-selection score (which terms carry label
     * signal) and, inverted, a leakage probe (a term with outsized MI

@@ -209,6 +209,38 @@ object EventAnalytics {
     * window, the sequence sort, and the group-by all live on it; the
     * collected array is bounded by session length (gap-bounded by
     * construction), never by user history. */
+  /** Next-event training examples: per user, every position with a FULL
+    * `contextLen`-event history becomes one supervised pair
+    * (`context` = the space-joined previous `contextLen` event types in
+    * time order, `next_event` = the type at that position) — the
+    * behavioral-LM / next-action training set, generated leak-free
+    * (context strictly precedes the target in the (ts, id) total order,
+    * so ties can't smuggle the label into the context). Positions with a
+    * shorter history are dropped (no padding — a padded prefix teaches
+    * the model the session boundary instead of the behavior; chain
+    * [[sessionSequences]] upstream to cut at session bounds first if
+    * session-scoped contexts are wanted).
+    *
+    * Scale shape: ONE user-keyed exchange shared by the `contextLen`
+    * lag frames (same window), scan-stage concat — no explode, no
+    * self-join, output rows ≤ input rows. */
+  def nextEventExamples(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, contextLen: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(contextLen >= 1,
+      s"nextEventExamples: need contextLen >= 1, got $contextLen")
+    val byUser = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val lags = (contextLen to 1 by -1).map(k =>
+      lag(col(typeCol), k).over(byUser))
+    events
+      .withColumn("__ctx",
+        when(lags.map(_.isNotNull).reduce(_ && _),
+          concat_ws(" ", lags: _*)))
+      .where(col("__ctx").isNotNull)
+      .select(col(userCol), col(idCol), col("__ctx").as("context"),
+        col(typeCol).as("next_event"))
+  }
+
   def sessionSequences(events: DataFrame, userCol: String, tsCol: String,
       idCol: String, typeCol: String, gapMs: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window

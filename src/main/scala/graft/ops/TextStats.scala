@@ -257,4 +257,38 @@ object TextStats {
       col(idCol),
       md5(col(textCol)).as("content_md5"),
       graft.functions.TextFunctions.minGramMd5(col(textCol)).as("min_gram_md5"))
+
+  /** Per-document Unicode-script composition: the share of characters in
+    * Latin, digit, CJK, Cyrillic, whitespace, and "other" classes — the
+    * multilingual-curation signal the word-marker language ID
+    * ([[langId]]) can't give on mixed-script or non-space-delimited
+    * text (a "en" doc that is 40 % CJK is mislabeled or bilingual; an
+    * "other" spike marks mojibake/control garbage). Counts are
+    * length-minus-stripped (one regexp per class, BMP ranges so UTF-16
+    * and code-point engines agree); shares are 6 dp of count/len;
+    * empty/null docs report null shares. Pure scan stage, zero
+    * shuffle; the char classes are RE2-compatible.
+    * Output: (id, n_chars, latin_share, digit_share, cjk_share,
+    * cyrillic_share, space_share, other_share). */
+  def scriptShares(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val len = length(t)
+    def cnt(cls: String): Column = len - length(regexp_replace(t, cls, ""))
+    val classes = Seq(
+      "latin_share" -> "[A-Za-z]",
+      "digit_share" -> "[0-9]",
+      "cjk_share" -> "[\\x{4e00}-\\x{9fff}]",
+      "cyrillic_share" -> "[\\x{0400}-\\x{04ff}]",
+      "space_share" -> "[ ]")
+    val counted = classes.map { case (as, cls) => cnt(cls).as(s"__$as") }
+    val base = df.select((col(idCol) +: (len.as("__len") +: counted)): _*)
+    def share(c: Column): Column =
+      when(col("__len") > 0, round(c.cast("double") / col("__len"), 6))
+    val classShares = classes.map { case (as, _) => share(col(s"__$as")).as(as) }
+    val other = share(col("__len") - classes.map { case (as, _) =>
+      col(s"__$as") }.reduce(_ + _)).as("other_share")
+    base.select((col(idCol) +:
+      (coalesce(col("__len"), lit(0)).cast("long").as("n_chars") +:
+        (classShares :+ other))): _*)
+  }
 }

@@ -577,6 +577,26 @@ class PlanSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  test("script shares: pure scan stage, zero exchanges (q176)") {
+    val plan = planOf(SparkEntry.queries("q176_script_shares")(spark, sf0001))
+    plan should not include "Exchange"
+  }
+
+  test("next-event examples: one user exchange, no join, no explode (q177)") {
+    val plan = planOf(SparkEntry.queries("q177_next_event_examples")(spark, sf0001))
+    "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size shouldBe 1
+    plan should not include "Join"
+    plan should not include "Generate"
+  }
+
+  test("more-like-this: broadcast query side, k-heap cut, postings cached (q178)") {
+    val plan = planOf(SparkEntry.queries("q178_more_like_this")(spark, sf0001))
+    plan should include("WindowGroupLimit")
+    plan should include("BroadcastHashJoin")
+    plan should include("InMemoryTableScan")
+    plan should not include "CartesianProduct"
+  }
+
   test("calibration: one clamped-bin agg with map-side partials (q173)") {
     val plan = planOf(SparkEntry.queries("q173_calibration")(spark, sf0001))
     plan should include("partial_avg")

@@ -321,6 +321,38 @@ class CorpusSpec extends SparkSpec {
       Corpus.termLabelMI(docs, "text", "lang", 0)
   }
 
+  test("moreLikeThis: matches a driver-side tfidf cosine, prunes stop terms, " +
+    "excludes self") {
+    val docs = Seq((1L, "cat dog the"), (2L, "cat dog the"),
+      (3L, "cat fish the"), (4L, "bird bird the")).toDF("doc_id", "text")
+    val got = Corpus.moreLikeThis(docs, "doc_id", "text", Seq(1L), 10, 0.8)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    // "the" (df 4 = N) is pruned at maxDfShare 0.8; driver-side reference
+    // over the surviving terms
+    val n = 4.0
+    def idf(df: Int) = math.log((n + 1) / (df + 1)) + 1
+    val vecs = Map( // term -> tfidf weight per doc over {cat, dog, fish, bird}
+      1L -> Map("cat" -> idf(3), "dog" -> idf(2)),
+      2L -> Map("cat" -> idf(3), "dog" -> idf(2)),
+      3L -> Map("cat" -> idf(3), "fish" -> idf(1)),
+      4L -> Map("bird" -> 2 * idf(1)))
+    def cos(a: Map[String, Double], b: Map[String, Double]) = {
+      val dot = a.keySet.intersect(b.keySet).toSeq.map(k => a(k) * b(k)).sum
+      def nrm(v: Map[String, Double]) = math.sqrt(v.values.map(x => x * x).sum)
+      dot / (nrm(a) * nrm(b))
+    }
+    got.map(_._2) shouldBe Array(2L, 3L) // doc 4 shares no surviving term
+    got.foreach { case (q, c, s, _) =>
+      s shouldBe cos(vecs(q), vecs(c)) +- 1e-6
+    }
+    got.head._3 shouldBe 1.0 // identical doc → cosine exactly 1
+    an[IllegalArgumentException] should be thrownBy
+      Corpus.moreLikeThis(docs, "doc_id", "text", Seq.empty, 5)
+    an[IllegalArgumentException] should be thrownBy
+      Corpus.moreLikeThis(docs, "doc_id", "text", Seq(1L), 0)
+    graft.core.CacheRegistry.drain()
+  }
+
   private implicit class TripleOps(rows: Array[(Long, String, Double)]) {
     def toMap2: Map[Long, (String, Double)] =
       rows.map { case (id, t, s) => id -> (t, s) }.toMap

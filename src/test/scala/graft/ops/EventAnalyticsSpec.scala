@@ -261,6 +261,27 @@ class EventAnalyticsSpec extends SparkSpec {
     r(2L) shouldBe expect2
   }
 
+  test("nextEventExamples: ordered contexts, short history dropped, tie order by id") {
+    import java.sql.Timestamp
+    def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val ev = Seq(
+      (1L, ts(1), 101L, "a"), (1L, ts(2), 102L, "b"),
+      (1L, ts(3), 103L, "c"), (1L, ts(4), 104L, "d"),
+      // same-ts tie: id order decides which is context vs target
+      (2L, ts(1), 201L, "x"), (2L, ts(2), 202L, "y"),
+      (2L, ts(2), 203L, "z")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventAnalytics.nextEventExamples(ev, "user_id", "ts",
+        "event_id", "event_type", 2)
+      .as[(Long, Long, String, String)].collect().toSet
+    got shouldBe Set(
+      (1L, 103L, "a b", "c"), (1L, 104L, "b c", "d"),
+      (2L, 203L, "x y", "z")) // user 2's first two have short history
+    an[IllegalArgumentException] should be thrownBy
+      EventAnalytics.nextEventExamples(ev, "user_id", "ts", "event_id",
+        "event_type", 0)
+  }
+
   test("decayedCounts: hand decay fold, future events excluded, null adds 0") {
     import java.sql.Timestamp
     val asOf = Timestamp.valueOf("2024-01-08 00:00:00")
