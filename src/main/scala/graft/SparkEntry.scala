@@ -1048,6 +1048,18 @@ object SparkEntry {
       }
       s.table(name)
     }),
+    // right-censoring-aware retention hazard: per lifetime day, users
+    // at risk, churn events, hazard (7-day silence = churn, censored
+    // within 7 days of the pinned asOf)
+    "q179_hazard_table" -> ((s, dir) =>
+      graft.ops.EventAnalytics.hazardTable(t(s, dir, "events"), "user_id", "ts",
+        java.sql.Date.valueOf("2024-02-01"), 7)),
+    // cross-source quantile normalization of doc length: each row mapped
+    // to the global score at its source-local rank (100-point curve)
+    "q180_quantile_normalize" -> ((s, dir) =>
+      Sampling.quantileNormalize(
+        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        "doc_id", "source", "n_chars", 100)),
     // per-doc Unicode-script composition (multilingual curation signal
     // the word-marker language ID can't give on mixed-script text)
     "q176_script_shares" -> ((s, dir) =>
@@ -2159,6 +2171,41 @@ object SparkEntry {
          |  ra.min_val AS min_a, rb.min_val AS min_b,
          |  ra.max_val AS max_a, rb.max_val AS max_b
          |FROM ra JOIN rb ON ra.col_name = rb.col_name""".stripMargin
+    },
+    // q179: same per-user lifetime reduction, censor rule, and reverse
+    // cumulative at-risk window over the reduced histogram
+    "q179_hazard_table" ->
+      """WITH pu AS (SELECT user_id,
+        |    date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE)))
+        |      AS life,
+        |    date_diff('day', max(CAST(ts AS DATE)), DATE '2024-02-01') >= 7
+        |      AS observed
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT life AS lifetime_day, count(*) AS n,
+        |    CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_churned
+        |  FROM pu GROUP BY 1)
+        |SELECT CAST(lifetime_day AS BIGINT) AS lifetime_day,
+        |  CAST(sum(n) OVER w AS BIGINT) AS n_at_risk, n_churned,
+        |  round(CAST(n_churned AS DOUBLE) / (sum(n) OVER w), 6) AS hazard
+        |FROM h
+        |WINDOW w AS (ORDER BY lifetime_day
+        |  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)""".stripMargin,
+    // q180: same exact-percentile grid (6 dp at build), same exact
+    // cume_dist ranks and ceil cell mapping
+    "q180_quantile_normalize" -> {
+      val ps = (1 to 100).map(_.toDouble / 100)
+      s"""WITH v AS (SELECT doc_id, source, n_chars AS score
+         |  FROM documents WHERE n_chars IS NOT NULL),
+         |g AS (SELECT list_transform(
+         |    quantile_cont(score, [${ps.mkString(", ")}]),
+         |    x -> round(x, 6)) AS grid FROM v),
+         |p AS (SELECT doc_id, source, score,
+         |    cume_dist() OVER (PARTITION BY source ORDER BY score) AS pp
+         |  FROM v)
+         |SELECT doc_id, source, score,
+         |  grid[CAST(ceil(pp * 100) AS INTEGER)] AS norm_score
+         |FROM p, g""".stripMargin
     },
     // q176: same per-class strip-and-diff counts (RE2 'g' flag), same
     // division shapes; empty docs → null shares

@@ -209,6 +209,46 @@ object EventAnalytics {
     * window, the sequence sort, and the group-by all live on it; the
     * collected array is bounded by session length (gap-bounded by
     * construction), never by user history. */
+  /** Discrete-time survival hazard table (Kaplan–Meier style, daily
+    * grain): per lifetime day `d`, the users still AT RISK (observed
+    * lifetime ≥ d), the uncensored churn events AT exactly d, and the
+    * hazard = churned/at_risk — retention decay read the
+    * right-censoring-aware way: a user whose last activity is within
+    * `censorDays` of `asOf` hasn't been silent long enough to call
+    * churned, so they count at risk through their observed lifetime but
+    * never as an event (ignoring censoring overstates late hazards —
+    * every still-active long-tenure user would look like a churn).
+    * Lifetime = last minus first active DATE; day-0 events are one-day
+    * users. Output: (lifetime_day, n_at_risk, n_churned, hazard 6 dp).
+    *
+    * Scale shape: ONE user-keyed hash-agg (min/max, map-side partials)
+    * reduces the corpus to per-user lifetimes, then a lifetime-keyed
+    * hash-agg to ≤ \|distinct days\| histogram rows; the reverse
+    * cumulative at-risk sum is a window over THAT reduced histogram —
+    * single-partition by construction but over days, not rows (the
+    * q48 pre-reduce device). */
+  def hazardTable(events: DataFrame, userCol: String, tsCol: String,
+      asOf: java.sql.Date, censorDays: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(censorDays >= 0,
+      s"hazardTable: need censorDays >= 0, got $censorDays")
+    val perUser = events.groupBy(col(userCol))
+      .agg(datediff(max(to_date(col(tsCol))), min(to_date(col(tsCol))))
+          .cast("long").as("__life"),
+        (datediff(lit(asOf), max(to_date(col(tsCol)))) >= censorDays)
+          .as("__observed"))
+    val hist = perUser.groupBy(col("__life").as("lifetime_day"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__observed").cast("long")).as("n_churned"))
+    val atRisk = sum("__n").over(Window.orderBy(col("lifetime_day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    hist
+      .withColumn("n_at_risk", atRisk)
+      .select(col("lifetime_day"), col("n_at_risk"), col("n_churned"),
+        round(col("n_churned").cast("double") / col("n_at_risk"), 6)
+          .as("hazard"))
+  }
+
   /** Next-event training examples: per user, every position with a FULL
     * `contextLen`-event history becomes one supervised pair
     * (`context` = the space-joined previous `contextLen` event types in

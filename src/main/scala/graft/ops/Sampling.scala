@@ -466,4 +466,42 @@ object Sampling {
       .withColumn("kept", col("__cd") > lit(1.0) - lit(q))
       .drop("__cd")
   }
+
+  /** Cross-source quantile normalization: each row's score is replaced
+    * by the GLOBAL score at its source-LOCAL quantile rank — the
+    * calibration step before comparing or mixing per-source quality
+    * scores whose scales drifted (one scorer's 0.6 is another's 0.9;
+    * after normalization the top decile of every source maps to the
+    * same global value range). Rank = exact `cume_dist` within the
+    * source; the global quantile curve is an EXACT `percentile` at
+    * `gridSize` grid points, each 6 dp-rounded at build time (the
+    * [[graft.ops.Quality.winsorize]] boundary-stability device), and
+    * the row maps to grid cell `ceil(p·gridSize)` (nearest quantile at
+    * or above its rank). NULL scores are dropped. Output: (id, source,
+    * score, norm_score).
+    *
+    * Scale shape: one window exchange keyed on the source for the
+    * ranks; the reference curve is ONE global aggregate reduced to
+    * `gridSize` doubles and broadcast back over a scan-stage lookup —
+    * the corpus is never globally sorted (swap the exact `percentile`
+    * for `approx_percentile` at unbounded scale, same plan shape). */
+  def quantileNormalize(df: DataFrame, idCol: String, srcCol: String,
+                        scoreCol: String, gridSize: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(gridSize >= 2,
+      s"quantileNormalize: need gridSize >= 2, got $gridSize")
+    val v = df.where(col(scoreCol).isNotNull)
+    val ps = (1 to gridSize).map(_.toDouble / gridSize)
+    val grid = v.agg(transform(
+      percentile(col(scoreCol), typedLit(ps)),
+      x => round(x, 6)).as("__grid"))
+    val p = cume_dist().over(
+      Window.partitionBy(col(srcCol)).orderBy(col(scoreCol)))
+    v.select(col(idCol), col(srcCol).as("source"),
+        col(scoreCol).as("score"), p.as("__p"))
+      .crossJoin(broadcast(grid))
+      .select(col(idCol), col("source"), col("score"),
+        element_at(col("__grid"),
+          ceil(col("__p") * gridSize).cast("int")).as("norm_score"))
+  }
 }

@@ -577,6 +577,19 @@ class PlanSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  test("hazard table: corpus reduces before the tiny at-risk window (q179)") {
+    val plan = planOf(SparkEntry.queries("q179_hazard_table")(spark, sf0001))
+    plan should include("partial_min") // per-user reduction combines map-side
+    plan should not include "Join"
+  }
+
+  test("quantile normalize: source-window + broadcast grid, no global sort (q180)") {
+    val plan = planOf(SparkEntry.queries("q180_quantile_normalize")(spark, sf0001))
+    plan should include("BroadcastNestedLoopJoin") // the 1-row grid only
+    plan should not include "Exchange rangepartitioning"
+    plan should not include "CartesianProduct"
+  }
+
   test("script shares: pure scan stage, zero exchanges (q176)") {
     val plan = planOf(SparkEntry.queries("q176_script_shares")(spark, sf0001))
     plan should not include "Exchange"

@@ -282,6 +282,27 @@ class EventAnalyticsSpec extends SparkSpec {
         "event_type", 0)
   }
 
+  test("hazardTable: hand lifetimes, censoring keeps users at risk but never churned") {
+    import java.sql.Timestamp
+    def t(d: String) = Timestamp.valueOf(s"2024-01-$d 10:00:00")
+    val ev = Seq(
+      (1L, t("01")),                // life 0, churned
+      (2L, t("01")), (2L, t("03")), // life 2, churned
+      (3L, t("20")), (3L, t("22")), // life 2, last 10d before asOf → churned
+      (4L, t("28")), (4L, t("29"))  // life 1, last 3d before asOf → censored
+    ).toDF("user_id", "ts")
+    val r = EventAnalytics.hazardTable(ev, "user_id", "ts",
+        java.sql.Date.valueOf("2024-02-01"), 7)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(x => x._1 -> (x._2, x._3, x._4)).toMap
+    r(0L) shouldBe ((4L, 1L, 0.25))
+    r(1L) shouldBe ((3L, 0L, 0.0)) // the censored user: at risk, no event
+    r(2L) shouldBe ((2L, 2L, 1.0))
+    an[IllegalArgumentException] should be thrownBy
+      EventAnalytics.hazardTable(ev, "user_id", "ts",
+        java.sql.Date.valueOf("2024-02-01"), -1)
+  }
+
   test("decayedCounts: hand decay fold, future events excluded, null adds 0") {
     import java.sql.Timestamp
     val asOf = Timestamp.valueOf("2024-01-08 00:00:00")

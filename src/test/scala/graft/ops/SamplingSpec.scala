@@ -354,4 +354,28 @@ class SamplingSpec extends SparkSpec {
     Sampling.balanceToMinority(d.repartition(7), "id", "label")
       .select("id", "label").as[(Long, String)].collect().toSet shouldBe r.toSet
   }
+
+  test("quantileNormalize: shifted scales map equal ranks to equal globals; " +
+    "monotone within source; nulls dropped") {
+    // B's scale is A's + 100: after normalization the same within-source
+    // rank must land on the same global grid value
+    val d = (1 to 4).map(i => (i.toLong, "A", Some(i.toDouble))) ++
+      (1 to 4).map(i => (100L + i, "B", Some(100.0 + i))) :+
+      ((999L, "A", None: Option[Double]))
+    val got = Sampling.quantileNormalize(d.toDF("id", "src", "score"),
+        "id", "src", "score", 4)
+      .as[(Long, String, Double, Double)].collect()
+    got.length shouldBe 8 // null dropped
+    val byId = got.map(r => r._1 -> r._4).toMap
+    // same source-local rank → same normalized value, across both scales
+    (1 to 4).foreach(i => byId(i.toLong) shouldBe byId(100L + i.toLong))
+    // monotone within a source
+    val aSorted = got.filter(_._2 == "A").sortBy(_._3).map(_._4)
+    aSorted shouldBe aSorted.sorted
+    // the top of every source maps to the global max
+    byId(4L) shouldBe 104.0
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.quantileNormalize(d.toDF("id", "src", "score"),
+        "id", "src", "score", 1)
+  }
 }
