@@ -1048,6 +1048,15 @@ object SparkEntry {
       }
       s.table(name)
     }),
+    // retrieve-then-rerank: q178's top-10 candidates re-scored by
+    // ColBERT-style MaxSim over md5-derived token pseudo-embeddings
+    "q181_late_interaction" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cands = graft.ops.Corpus.moreLikeThis(docs, "doc_id", "text",
+        Seq(1L, 2L, 3L, 4L, 5L), 10, 1.0).select("query_id", "cand_id")
+      graft.ops.Corpus.lateInteractionRerank(docs, "doc_id", "text",
+        cands, "query_id", "cand_id", 8)
+    }),
     // right-censoring-aware retention hazard: per lifetime day, users
     // at risk, churn events, hazard (7-day silence = churn, censored
     // within 7 days of the pinned asOf)
@@ -1443,6 +1452,32 @@ object SparkEntry {
        |    least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
        |  FROM $rel d LEFT JOIN reach r ON r.a = d.doc_id
        |  GROUP BY d.doc_id)""".stripMargin
+
+  /** Shared CTE chain for the TF-IDF more-like-this retrieval: per-doc
+    * term weights → norms → query-side probe → cosine table, ending at
+    * CTE `sc(query_id, cand_id, cos)`. q178 ranks it; q181 reranks its
+    * top-k with late interaction. Also exposes `tf(doc, term, tf)`. */
+  private val moreLikeThisCtes: String =
+    """tf AS (SELECT doc, term, count(*) AS tf FROM
+      |    (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
+      |     FROM documents) GROUP BY 1, 2),
+      |dft AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY 1),
+      |nn AS (SELECT count(*) AS n FROM documents),
+      |w AS (SELECT doc, tf.term,
+      |    CAST(tf AS DOUBLE) * (ln((CAST(n AS DOUBLE) + 1.0) /
+      |      (CAST(df_docs AS DOUBLE) + 1.0)) + 1.0) AS w
+      |  FROM tf JOIN dft ON tf.term = dft.term, nn
+      |  WHERE CAST(df_docs AS DOUBLE) <= 1.0 * n),
+      |nrm AS (SELECT doc, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+      |q AS (SELECT doc AS query_id, term, w AS wq FROM w
+      |  WHERE doc IN (1, 2, 3, 4, 5)),
+      |dots AS (SELECT q.query_id, w.doc AS cand_id, sum(q.wq * w.w) AS dot
+      |  FROM q JOIN w ON q.term = w.term WHERE w.doc <> q.query_id
+      |  GROUP BY 1, 2),
+      |sc AS (SELECT d.query_id, d.cand_id,
+      |    round(d.dot / (nq.nrm * nc.nrm), 6) AS cos
+      |  FROM dots d JOIN nrm nq ON d.query_id = nq.doc
+      |  JOIN nrm nc ON d.cand_id = nc.doc)""".stripMargin
 
   /** Shared recursive-CTE chain: near-dup pairs → transitive closure →
     * per-doc min-reachable cluster id, as CTE `assign(doc_id, cluster_id)`.
@@ -2172,6 +2207,40 @@ object SparkEntry {
          |  ra.max_val AS max_a, rb.max_val AS max_b
          |FROM ra JOIN rb ON ra.col_name = rb.col_name""".stripMargin
     },
+    // q181: q178's candidate CTEs + the same nibble vectors, fold-exact
+    // dots/norms (list_reduce replays the Spark HOF fold bit-for-bit),
+    // round-before-max cosines, tf-weighted mean
+    "q181_late_interaction" ->
+      s"""WITH $moreLikeThisCtes,
+         |mlt AS (SELECT query_id, cand_id FROM sc
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, cand_id ASC) <= 10),
+         |tv AS (SELECT term,
+         |    list_transform(generate_series(1, 8), k ->
+         |      (strpos('0123456789abcdef', substr(md5(term), k, 1)) - 1 - 8)
+         |        / 8.0) AS v
+         |  FROM (SELECT DISTINCT term FROM tf)),
+         |tn AS (SELECT term, v,
+         |    list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+         |      (a, b) -> a + b) AS n2 FROM tv),
+         |tp AS (SELECT m.query_id, m.cand_id, qt.term AS qtok, qt.tf AS qtf,
+         |    qv.v AS qvec, qv.n2 AS qn2, cv.v AS cvec, cv.n2 AS cn2
+         |  FROM mlt m
+         |  JOIN tf qt ON qt.doc = m.query_id
+         |  JOIN tn qv ON qv.term = qt.term
+         |  JOIN tf ct ON ct.doc = m.cand_id
+         |  JOIN tn cv ON cv.term = ct.term),
+         |tc AS (SELECT query_id, cand_id, qtok, qtf,
+         |    CASE WHEN qn2 = 0 OR cn2 = 0 THEN 0.0
+         |    ELSE round(list_reduce(list_prepend(0.0,
+         |        list_transform(generate_series(1, 8), k -> qvec[k] * cvec[k])),
+         |        (a, b) -> a + b) / sqrt(qn2 * cn2), 6) END AS cos
+         |  FROM tp),
+         |mx AS (SELECT query_id, cand_id, qtok, qtf, max(cos) AS mc
+         |  FROM tc GROUP BY 1, 2, 3, 4)
+         |SELECT query_id, cand_id,
+         |  round(sum(qtf * mc) / sum(qtf), 6) AS maxsim
+         |FROM mx GROUP BY 1, 2""".stripMargin,
     // q179: same per-user lifetime reduction, censor rule, and reverse
     // cumulative at-risk window over the reduced histogram
     "q179_hazard_table" ->
@@ -2241,34 +2310,15 @@ object SparkEntry {
         |FROM o
         |WHERE l3 IS NOT NULL AND l2 IS NOT NULL AND l1 IS NOT NULL""".stripMargin,
     // q178: same smoothed-idf weights, df pruning, cosine shapes, and
-    // the q24 rank convention
+    // the q24 rank convention (CTE chain shared with q181's rerank)
     "q178_more_like_this" ->
-      """WITH tf AS (SELECT doc, term, count(*) AS tf FROM
-        |    (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
-        |     FROM documents) GROUP BY 1, 2),
-        |dft AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY 1),
-        |nn AS (SELECT count(*) AS n FROM documents),
-        |w AS (SELECT doc, tf.term,
-        |    CAST(tf AS DOUBLE) * (ln((CAST(n AS DOUBLE) + 1.0) /
-        |      (CAST(df_docs AS DOUBLE) + 1.0)) + 1.0) AS w
-        |  FROM tf JOIN dft ON tf.term = dft.term, nn
-        |  WHERE CAST(df_docs AS DOUBLE) <= 1.0 * n),
-        |nrm AS (SELECT doc, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
-        |q AS (SELECT doc AS query_id, term, w AS wq FROM w
-        |  WHERE doc IN (1, 2, 3, 4, 5)),
-        |dots AS (SELECT q.query_id, w.doc AS cand_id, sum(q.wq * w.w) AS dot
-        |  FROM q JOIN w ON q.term = w.term WHERE w.doc <> q.query_id
-        |  GROUP BY 1, 2),
-        |sc AS (SELECT d.query_id, d.cand_id,
-        |    round(d.dot / (nq.nrm * nc.nrm), 6) AS cos
-        |  FROM dots d JOIN nrm nq ON d.query_id = nq.doc
-        |  JOIN nrm nc ON d.cand_id = nc.doc)
-        |SELECT query_id, cand_id, cos,
-        |  CAST(row_number() OVER (PARTITION BY query_id
-        |    ORDER BY cos DESC, cand_id ASC) AS INTEGER) AS rank
-        |FROM sc
-        |QUALIFY row_number() OVER (PARTITION BY query_id
-        |  ORDER BY cos DESC, cand_id ASC) <= 10""".stripMargin,
+      s"""WITH $moreLikeThisCtes
+         |SELECT query_id, cand_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, cand_id ASC) AS INTEGER) AS rank
+         |FROM sc
+         |QUALIFY row_number() OVER (PARTITION BY query_id
+         |  ORDER BY cos DESC, cand_id ASC) <= 10""".stripMargin,
     // q173: same clamped bins, 6 dp averages, spine-kept empty bins,
     // contribs coalesced to 0 before the ECE sum
     "q173_calibration" ->

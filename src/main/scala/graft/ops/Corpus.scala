@@ -241,6 +241,77 @@ object Corpus {
       .where(col("rank") <= topK)
   }
 
+  /** Late-interaction (MaxSim) rerank of candidate document pairs —
+    * ColBERT's scoring rule (Khattab & Zaharia, SIGIR 2020) re-expressed
+    * relationally: `score(q, d) = (1/|q|) Σ_{i ∈ q positions}
+    * max_{j ∈ d} cos(e_i, e_j)`, the retrieve-then-rerank second stage
+    * over a first-stage candidate list ([[moreLikeThis]] / [[bm25]] /
+    * an ANN probe). Identical tokens always score max 1, so equality
+    * contributes exactly; per-token cosines are 6 dp-rounded BEFORE the
+    * max (the round-before-argmax device — max selection is then
+    * engine-deterministic). Positional MaxSim collapses EXACTLY to
+    * tf-weighted distinct-token MaxSim (equal tokens share one max), so
+    * the join runs over distinct-token pairs, never positions.
+    *
+    * Token vectors here are md5-derived pseudo-embeddings with
+    * EXACTLY-REPRESENTABLE elements ((nibble − 8)/8 — halves of eighths,
+    * so float, double, and any engine agree bit-for-bit): a
+    * deterministic stand-in encoder, like the multimodal decode stub —
+    * the real product slot is a (token → vector) dictionary join; the
+    * MaxSim machinery is unchanged by the swap. Dots/norms are explicit
+    * index-ordered HOF folds (`zip_with` + `aggregate`) so an external
+    * engine's `list_reduce` replays them bit-for-bit (the
+    * [[graft.ops.EventAnalytics.ewmaSnapshot]] device); zero-norm
+    * tokens score cosine 0.
+    *
+    * Scale shape: the corpus prunes to the pair docs via a semi-join
+    * BEFORE tokenization; work is \|pairs\| · \|q tokens\| · \|d
+    * tokens\| distinct-token rows — rerank-bounded (a top-k candidate
+    * list, not a corpus product); the token dictionary is cached and
+    * the two-level max/mean are hash-aggs on the pair key.
+    * Output: (query_id, cand_id, maxsim). */
+  def lateInteractionRerank(df: DataFrame, idCol: String, textCol: String,
+                            pairs: DataFrame, queryCol: String,
+                            candCol: String, dim: Int = 8): DataFrame = {
+    require(dim >= 1 && dim <= 32,
+      s"lateInteractionRerank: need 1 <= dim <= 32 md5-nibble dims, got $dim")
+    val p = graft.core.CacheRegistry.persist(
+      pairs.select(col(queryCol).cast("long").as("__q"),
+        col(candCol).cast("long").as("__c")))
+    val ids = p.select(col("__q").as("__id"))
+      .union(p.select(col("__c"))).distinct()
+    val tf = df.join(ids, col(idCol) === col("__id"), "left_semi")
+      .select(col(idCol).cast("long").as("__doc"),
+        explode(split(col(textCol), " ")).as("__tok"))
+      .groupBy("__doc", "__tok").agg(count(lit(1)).as("__tf"))
+    val nib = (k: Int) =>
+      (conv(substring(md5(col("__tok")), k, 1), 16, 10).cast("double") - 8.0) / 8.0
+    val tokv = graft.core.CacheRegistry.persist(
+      tf.select("__tok").distinct()
+        .select(col("__tok"), array((1 to dim).map(nib): _*).as("__v"))
+        .withColumn("__n2",
+          aggregate(col("__v"), lit(0.0), (acc, x) => acc + x * x)))
+    val qSide = p
+      .join(tf.select(col("__doc").as("__q"), col("__tok").as("__qtok"),
+        col("__tf").as("__qtf")), "__q")
+      .join(tokv.select(col("__tok").as("__qtok"), col("__v").as("__qv"),
+        col("__n2").as("__qn2")), "__qtok")
+    val tokPairs = qSide
+      .join(tf.select(col("__doc").as("__c"), col("__tok").as("__ctok")), "__c")
+      .join(tokv.select(col("__tok").as("__ctok"), col("__v").as("__cv"),
+        col("__n2").as("__cn2")), "__ctok")
+    val dot = aggregate(zip_with(col("__qv"), col("__cv"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    val cos = when(col("__qn2") === 0.0 || col("__cn2") === 0.0, lit(0.0))
+      .otherwise(round(dot / sqrt(col("__qn2") * col("__cn2")), 6))
+    tokPairs
+      .select(col("__q"), col("__c"), col("__qtok"), col("__qtf"), cos.as("__cos"))
+      .groupBy("__q", "__c", "__qtok", "__qtf")
+      .agg(max("__cos").as("__mc"))
+      .groupBy(col("__q").as("query_id"), col("__c").as("cand_id"))
+      .agg(round(sum(col("__qtf") * col("__mc")) / sum("__qtf"), 6).as("maxsim"))
+  }
+
   /** Mutual information between term PRESENCE and a document label —
     * the classic filter-feature-selection score (which terms carry label
     * signal) and, inverted, a leakage probe (a term with outsized MI

@@ -610,6 +610,14 @@ class PlanSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  test("late interaction: semi-join prune, token dictionary cached, " +
+    "rerank-bounded joins (q181)") {
+    val plan = planOf(SparkEntry.queries("q181_late_interaction")(spark, sf0001))
+    plan should include("LeftSemi") // corpus pruned to pair docs pre-tokenize
+    plan should include("InMemoryTableScan")
+    plan should not include "CartesianProduct"
+  }
+
   test("calibration: one clamped-bin agg with map-side partials (q173)") {
     val plan = planOf(SparkEntry.queries("q173_calibration")(spark, sf0001))
     plan should include("partial_avg")

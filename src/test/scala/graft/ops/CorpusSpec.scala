@@ -353,6 +353,46 @@ class CorpusSpec extends SparkSpec {
     graft.core.CacheRegistry.drain()
   }
 
+  test("lateInteractionRerank: identical docs score exactly 1; " +
+    "== a driver-side per-position MaxSim replay") {
+    val docs = Seq((1L, "cat dog"), (2L, "cat dog"),
+      (3L, "cat fish bird"), (4L, "dog dog cat")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (3L, 4L))
+      .toDF("query_id", "cand_id")
+    val got = Corpus.lateInteractionRerank(docs, "doc_id", "text",
+        pairs, "query_id", "cand_id", 8)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    got.size shouldBe 4
+    // identical doc: every query token maxes against itself at cos 1
+    got((1L, 2L)) shouldBe 1.0
+    // independent driver-side replay of the same arithmetic
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def vec(t: String) = (0 until 8).map(k =>
+      (Integer.parseInt(md5hex(t).substring(k, k + 1), 16).toDouble - 8.0) / 8.0)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: String, b: String) = {
+      val (va, vb) = (vec(a), vec(b))
+      val n2a = va.map(x => x * x).sum
+      val n2b = vb.map(x => x * x).sum
+      if (n2a == 0 || n2b == 0) 0.0
+      else r6(va.zip(vb).map { case (x, y) => x * y }.sum / math.sqrt(n2a * n2b))
+    }
+    def score(q: String, d: String) = {
+      val (qs, ds) = (q.split(" ").toSeq, d.split(" ").toSeq)
+      qs.map(t => ds.map(c => cos(t, c)).max).sum / qs.size
+    }
+    got((1L, 3L)) shouldBe score("cat dog", "cat fish bird") +- 1e-6
+    got((1L, 4L)) shouldBe score("cat dog", "dog dog cat") +- 1e-6
+    got((3L, 4L)) shouldBe score("cat fish bird", "dog dog cat") +- 1e-6
+    an[IllegalArgumentException] should be thrownBy
+      Corpus.lateInteractionRerank(docs, "doc_id", "text", pairs,
+        "query_id", "cand_id", 0)
+    graft.core.CacheRegistry.drain()
+  }
+
   private implicit class TripleOps(rows: Array[(Long, String, Double)]) {
     def toMap2: Map[Long, (String, Double)] =
       rows.map { case (id, t, s) => id -> (t, s) }.toMap
