@@ -1048,6 +1048,18 @@ object SparkEntry {
       }
       s.table(name)
     }),
+    // per-node triangles + clustering coefficient over the 3-NN cosine
+    // graph (similarity-graph QA: cliques of copies vs hub artifacts)
+    "q182_triangle_stats" -> ((s, dir) => {
+      val knn = Similarity.bruteForceTopK(
+        t(s, dir, "embeddings"), "vec_id", "embedding", 3)
+        .where(col("cos") > 0)
+      graft.ops.Graph.triangleStats(knn, "query_id", "cand_id")
+    }),
+    // deterministic Johnson-Lindenstrauss ±1 projection 64 → 16 dims
+    "q183_random_projection" -> ((s, dir) =>
+      graft.ops.Embeddings.randomProjection(
+        t(s, dir, "embeddings"), "vec_id", "embedding", 64, 16)),
     // retrieve-then-rerank: q178's top-10 candidates re-scored by
     // ColBERT-style MaxSim over md5-derived token pseudo-embeddings
     "q181_late_interaction" -> ((s, dir) => {
@@ -2206,6 +2218,41 @@ object SparkEntry {
          |  ra.min_val AS min_a, rb.min_val AS min_b,
          |  ra.max_val AS max_a, rb.max_val AS max_b
          |FROM ra JOIN rb ON ra.col_name = rb.col_name""".stripMargin
+    },
+    // q182: same canonicalization, lowest-apex wedge join, and corner
+    // fan-out over the exact 3-NN edges
+    "q182_triangle_stats" ->
+      s"""WITH pc AS ($cosineSql),
+         |k AS (SELECT query_id, cand_id, cos FROM pc
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, cand_id ASC) <= 3),
+         |e AS (SELECT query_id AS s, cand_id AS d FROM k WHERE cos > 0),
+         |canon AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+         |  FROM e WHERE s <> d),
+         |deg AS (SELECT node, count(*) AS degree FROM
+         |  (SELECT a AS node FROM canon UNION ALL SELECT b FROM canon)
+         |  GROUP BY 1),
+         |tri AS (SELECT w1.a, w1.b AS b1, w2.b AS b2
+         |  FROM canon w1 JOIN canon w2 ON w1.a = w2.a AND w1.b < w2.b
+         |  JOIN canon c ON c.a = w1.b AND c.b = w2.b),
+         |pn AS (SELECT node, count(*) AS triangles FROM
+         |  (SELECT a AS node FROM tri UNION ALL SELECT b1 FROM tri
+         |   UNION ALL SELECT b2 FROM tri) GROUP BY 1)
+         |SELECT deg.node, CAST(deg.degree AS BIGINT) AS degree,
+         |  CAST(coalesce(pn.triangles, 0) AS BIGINT) AS triangles,
+         |  CASE WHEN deg.degree < 2 THEN 0.0
+         |  ELSE round(2.0 * coalesce(pn.triangles, 0) /
+         |    (deg.degree * (deg.degree - 1)), 6) END AS coeff
+         |FROM deg LEFT JOIN pn ON deg.node = pn.node""".stripMargin,
+    // q183: the SAME literal sign matrix interpolated from
+    // projectionSigns, same dot/scale/round shapes
+    "q183_random_projection" -> {
+      val elems = graft.ops.Embeddings.projectionSigns(64, 16).map { r =>
+        val signs = r.map(v => if (v > 0) "1.0" else "-1.0").mkString(", ")
+        s"round(list_dot_product(CAST(embedding AS DOUBLE[]), [$signs]) / sqrt(16.0), 6)"
+      }
+      s"""SELECT vec_id, [${elems.mkString(",\n  ")}] AS proj
+         |FROM embeddings""".stripMargin
     },
     // q181: q178's candidate CTEs + the same nibble vectors, fold-exact
     // dots/norms (list_reduce replays the Spark HOF fold bit-for-bit),

@@ -15,6 +15,47 @@ object Embeddings {
   private def absMax(vec: Column): Column =
     array_max(transform(vec, x => abs(x.cast("double"))))
 
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions via
+    * a DETERMINISTIC ±1 sign matrix (Achlioptas 2003's database-friendly
+    * projection): `y_j = (Σ_i s_ji·x_i) / √outDim`, signs derived from
+    * md5(seed|j|i) so every run, engine, and backfill builds the SAME
+    * matrix — no RNG state to ship. The d/outDim× cheaper vectors
+    * approximately preserve pairwise distances (distortion ~1/√outDim),
+    * the standard pre-ANN or pre-clustering dimension cut when
+    * [[truncateRenorm]]'s matryoshka prefix isn't available (arbitrary
+    * embeddings have no trained prefix structure). Elements 6 dp.
+    *
+    * Scale shape: the matrix rides in the PLAN as `outDim` literal
+    * float rows; each output element is one codegen'd
+    * [[graft.functions.VectorFunctions.dotF]] kernel over the scan —
+    * zero shuffle, the corpus is read once. */
+  def randomProjection(emb: DataFrame, idCol: String, vecCol: String,
+                       inDim: Int, outDim: Int,
+                       seed: String = "jl"): DataFrame = {
+    require(inDim >= 1 && outDim >= 1 && outDim <= inDim,
+      s"randomProjection: need 1 <= outDim <= inDim, got $inDim -> $outDim")
+    val scale = math.sqrt(outDim.toDouble)
+    val rows = projectionSigns(inDim, outDim, seed)
+    val projCols = rows.map { row =>
+      round(graft.functions.VectorFunctions.dotF(
+        col(vecCol), typedLit(row)) / scale, 6)
+    }
+    emb.select(col(idCol), array(projCols: _*).as("proj"))
+  }
+
+  /** The deterministic ±1 rows of [[randomProjection]]'s matrix —
+    * exposed so an external engine (or the oracle) can reuse the SAME
+    * literal matrix instead of re-deriving md5 signs. */
+  def projectionSigns(inDim: Int, outDim: Int,
+                      seed: String = "jl"): Seq[Seq[Float]] = {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (0 until outDim).map(j => (0 until inDim).map(i =>
+      if (Integer.parseInt(md5hex(s"$seed|$j|$i").substring(0, 1), 16) < 8)
+        1f else -1f))
+  }
+
   /** Symmetric scalar int8 quantization: per-vector scale = max|x|/127,
     * elements mapped to round(x/scale) clamped into [-127, 127] (so the
     * max-magnitude element hits ±127 exactly). All-zero vectors get

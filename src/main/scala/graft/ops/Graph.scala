@@ -122,4 +122,51 @@ object Graph {
     }
     fin.select(col("node"), col("label"), col("__seed").isNotNull.as("is_seed"))
   }
+
+  /** Per-node triangle count and local clustering coefficient over an
+    * UNDIRECTED edge list — the graph-QA signal for similarity/dedup
+    * graphs: a near-dup component whose nodes have coefficient ≈ 1 is a
+    * genuine clique of copies, while a hub with thousands of neighbors
+    * and no closed triangles is a false-positive magnet (a boilerplate
+    * shingle, a zero vector) that should be cut before clustering.
+    * Edges are canonicalized (a < b, dedup'd, self-loops dropped), so
+    * either or both directions may arrive. `coeff = 2·triangles /
+    * (degree·(degree−1))`, 6 dp; degree-1 nodes get 0, not NaN.
+    * Output: (node, degree, triangles, coeff).
+    *
+    * Scale shape: the classic ordered two-path + closing-edge join —
+    * wedges are generated only at their LOWEST-id apex (each triangle
+    * counted once, no ×6 blow-up), both joins are equi-joins on edge
+    * endpoints, per-node counts are hash-aggs with map-side partials.
+    * Wedge volume is Σ_v deg(v)² — cap hub degrees upstream (the
+    * [[graft.ops.Joins.skewProfile]] cut) on power-law graphs. */
+  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val canon = graft.core.CacheRegistry.persist(
+      edges.select(least(col(srcCol), col(dstCol)).as("a"),
+          greatest(col(srcCol), col(dstCol)).as("b"))
+        .where(col("a") =!= col("b"))
+        .distinct())
+    // degree over both endpoints of the canonical list
+    val deg = canon.select(col("a").as("node"))
+      .union(canon.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    // wedges apex'd at the smallest node: (a < b1 < b2) needs edges
+    // (a,b1), (a,b2); the triangle closes iff (b1,b2) is an edge
+    val w1 = canon.select(col("a"), col("b").as("b1"))
+    val w2 = canon.select(col("a"), col("b").as("b2"))
+    val tris = w1.join(w2, "a").where(col("b1") < col("b2"))
+      .join(canon.select(col("a").as("b1"), col("b").as("b2")), Seq("b1", "b2"))
+    // each closed triangle (a, b1, b2) increments all three corners
+    val perNode = tris.select(col("a").as("node"))
+      .union(tris.select(col("b1")))
+      .union(tris.select(col("b2")))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") < 2, lit(0.0))
+          .otherwise(round(
+            lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+              (col("degree") * (col("degree") - 1)), 6)).as("coeff"))
+  }
 }

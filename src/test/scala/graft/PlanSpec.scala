@@ -618,6 +618,19 @@ class PlanSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  test("triangles: equi-joined wedges, canonical edges cached, no cartesian (q182)") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("s", "d")
+    val plan = planOf(graft.ops.Graph.triangleStats(e, "s", "d"))
+    plan should not include "CartesianProduct"
+    plan should include("InMemoryTableScan")
+  }
+
+  test("random projection: literal matrix, zero exchanges (q183)") {
+    val plan = planOf(SparkEntry.queries("q183_random_projection")(spark, sf0001))
+    plan should not include "Exchange"
+  }
+
   test("calibration: one clamped-bin agg with map-side partials (q173)") {
     val plan = planOf(SparkEntry.queries("q173_calibration")(spark, sf0001))
     plan should include("partial_avg")

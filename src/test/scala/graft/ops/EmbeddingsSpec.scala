@@ -394,4 +394,26 @@ class EmbeddingsSpec extends SparkSpec {
     def toMap2: Map[Long, (Double, Array[Int])] =
       rows.map { case (id, s, q) => id -> (s, q) }.toMap
   }
+
+  test("randomProjection: == driver-side replay with the same sign matrix; " +
+    "deterministic, guards hold") {
+    import spark.implicits._
+    val vecs = Seq((1L, Seq(1f, 2f, -3f, 0.5f)), (2L, Seq(0f, 0f, 0f, 0f)),
+      (3L, Seq(-1f, 1f, 1f, -1f))).toDF("id", "vec")
+    val got = Embeddings.randomProjection(vecs, "id", "vec", 4, 2)
+      .as[(Long, Seq[Double])].collect().toMap
+    val signs = Embeddings.projectionSigns(4, 2)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def ref(v: Seq[Float]): Seq[Double] = signs.map(row =>
+      r6(row.zip(v).map { case (s, x) => s.toDouble * x }.sum / math.sqrt(2.0)))
+    got(1L).zip(ref(Seq(1f, 2f, -3f, 0.5f))).foreach { case (a, b) =>
+      a shouldBe b +- 1e-6 }
+    got(2L) shouldBe Seq(0.0, 0.0) // zero vector projects to zero
+    // same matrix every call and under any partitioning
+    Embeddings.randomProjection(vecs.repartition(3), "id", "vec", 4, 2)
+      .as[(Long, Seq[Double])].collect().toMap shouldBe got
+    an[IllegalArgumentException] should be thrownBy
+      Embeddings.randomProjection(vecs, "id", "vec", 4, 5)
+  }
 }

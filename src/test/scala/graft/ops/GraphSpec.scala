@@ -102,6 +102,21 @@ class GraphSpec extends SparkSpec {
     r.size shouldBe 3
   }
 
+  test("triangleStats: hand triangle + pendant; direction/duplicate immune") {
+    // triangle 1-2-3 plus pendant 3-4, fed with duplicates and both
+    // directions — canonicalization must collapse them
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (3L, 1L),
+      (3L, 4L), (3L, 3L)).toDF("s", "d")
+    val r = Graph.triangleStats(edges, "s", "d")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(x => x._1 -> (x._2, x._3, x._4)).toMap
+    r(1L) shouldBe ((2L, 1L, 1.0))
+    r(2L) shouldBe ((2L, 1L, 1.0))
+    r(3L) shouldBe ((3L, 1L, 0.333333)) // 2·1/(3·2), self-loop dropped
+    r(4L) shouldBe ((1L, 0L, 0.0))      // degree-1: coeff 0, not NaN
+    graft.core.CacheRegistry.drain()
+  }
+
   test("labelSpread: deterministic under partitioning, guards hold") {
     import org.apache.spark.sql.DataFrame
     val nodes = Seq((1L, Some(1)), (2L, Some(2)), (3L, None), (4L, None))
