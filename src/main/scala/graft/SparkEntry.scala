@@ -1048,6 +1048,26 @@ object SparkEntry {
       }
       s.table(name)
     }),
+    // count-min sketch: every term's never-undercounting frequency
+    // estimate from a 4×16 matrix vs its true count (width deliberately
+    // small so collisions are visible; the matrix itself is exact under
+    // any partitioning, so the whole thing oracles)
+    "q184_count_min" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("term"))
+      val sk = tok.agg(
+        graft.functions.SketchFunctions.countMin(col("term"), 4, 16).as("sk"))
+      tok.groupBy("term").agg(count(lit(1)).as("tf_true"))
+        .crossJoin(broadcast(sk))
+        .select(col("term"), col("tf_true"),
+          graft.ops.Sketches.cmEstimate(col("sk"), col("term"), 4, 16)
+            .as("tf_est"))
+    }),
+    // per-user CUSUM drift alarms: sustained hot streaks accumulate
+    // where single spikes decay (Page 1954)
+    "q185_cusum_alerts" -> ((s, dir) =>
+      graft.ops.EventAnalytics.cusumAlerts(t(s, dir, "events"), "user_id",
+        "ts", "event_id", "value", 60.0, 20.0, 200.0)),
     // per-node triangles + clustering coefficient over the 3-NN cosine
     // graph (similarity-graph QA: cliques of copies vs hub artifacts)
     "q182_triangle_stats" -> ((s, dir) => {
@@ -2218,6 +2238,45 @@ object SparkEntry {
          |  ra.min_val AS min_a, rb.min_val AS min_b,
          |  ra.max_val AS max_a, rb.max_val AS max_b
          |FROM ra JOIN rb ON ra.col_name = rb.col_name""".stripMargin
+    },
+    // q184: the 4×16 matrix re-derived — per md5-hex-window row, cell
+    // mass = Σ tf of the terms hashing there; estimate = min over rows
+    "q184_count_min" -> {
+      def win(off: Int): String = (1 to 8).map(k =>
+        s"(strpos('0123456789abcdef', substr(md5(term), ${off + k}, 1)) - 1) * ${math.pow(16, 8 - k).toLong}")
+        .mkString(" + ")
+      val rows = (0 until 4).map(r =>
+        s"SELECT term, tf_true, $r AS r, ((${win(r * 8)}) % 16) AS idx FROM tc")
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+         |  FROM documents),
+         |tc AS (SELECT term, count(*) AS tf_true FROM tok GROUP BY 1),
+         |hashed AS (${rows.mkString("\n  UNION ALL ")}),
+         |cells AS (SELECT r, idx, CAST(sum(tf_true) AS BIGINT) AS c
+         |  FROM hashed GROUP BY 1, 2)
+         |SELECT h.term, CAST(max(h.tf_true) AS BIGINT) AS tf_true,
+         |  min(c.c) AS tf_est
+         |FROM hashed h JOIN cells c ON c.r = h.r AND c.idx = h.idx
+         |GROUP BY 1""".stripMargin
+    },
+    // q185: the identical recurrence as a recursive CTE over the same
+    // (ts, id) order — sequential IEEE fold, hash-exact (no rounding)
+    "q185_cusum_alerts" -> {
+      val drift = 60.0 + 20.0
+      s"""WITH RECURSIVE o AS (SELECT user_id, event_id, ts, value,
+         |    CAST(row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS BIGINT) AS rn
+         |  FROM events WHERE value IS NOT NULL),
+         |c AS (
+         |  SELECT user_id, event_id, ts, value, rn,
+         |    greatest(0.0, 0.0 + (value - $drift)) AS s
+         |  FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.user_id, o.event_id, o.ts, o.value, o.rn,
+         |    greatest(0.0, c.s + (o.value - $drift))
+         |  FROM c JOIN o ON o.user_id = c.user_id AND o.rn = c.rn + 1)
+         |SELECT user_id, event_id AS id, CAST(ts AS TIMESTAMP) AS ts, value,
+         |  s AS cusum
+         |FROM c WHERE s > 200.0""".stripMargin
     },
     // q182: same canonicalization, lowest-apex wedge join, and corner
     // fan-out over the exact 3-NN edges

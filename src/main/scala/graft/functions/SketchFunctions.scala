@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{ColumnBridge, KmvSketchAgg, LongMinKAgg, MisraGriesAgg}
+import org.apache.spark.sql.graft.{ColumnBridge, CountMinAgg, KmvSketchAgg, LongMinKAgg, MisraGriesAgg}
 
 /** Column-level API over the native sketch aggregates (implementation in
   * `org.apache.spark.sql.graft.SketchAggregates`). */
@@ -30,4 +30,14 @@ object SketchFunctions {
   def misraGries(item: Column, k: Int): Column =
     ColumnBridge.column(
       MisraGriesAgg(ColumnBridge.expression(item), k).toAggregateExpression())
+
+  /** Count-min sketch: a depth×width counter matrix (row-major
+    * `array<long>`) for point-frequency estimates that never undercount;
+    * the element-wise merge is EXACT, so the matrix is identical under
+    * any partitioning (see [[org.apache.spark.sql.graft.CountMinAgg]]).
+    * Query with [[graft.ops.Sketches.cmEstimate]]. */
+  def countMin(item: Column, depth: Int, width: Int): Column =
+    ColumnBridge.column(
+      CountMinAgg(ColumnBridge.expression(item), depth, width)
+        .toAggregateExpression())
 }

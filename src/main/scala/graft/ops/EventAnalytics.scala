@@ -249,6 +249,48 @@ object EventAnalytics {
           .as("hazard"))
   }
 
+  /** Per-key CUSUM change detection (Page 1954): over each key's
+    * (ts, id)-ordered values, the one-sided cumulative sum
+    * `s_i = max(0, s_{i−1} + (x_i − (target + slack)))` — the classic
+    * sequential drift detector: a sustained upward shift accumulates
+    * where a spike decays, the complement of the variance-based
+    * [[eventSpikes]] (which flags points, not regime changes). Returns
+    * the positions where `s` crosses `threshold` — the alarm points —
+    * with the statistic value. The fold is SEQUENTIAL IEEE arithmetic
+    * in a fixed order (the [[ewmaSnapshot]] device), so an external
+    * engine's ordered recurrence replays it bit-for-bit; null values
+    * are excluded before ordering.
+    *
+    * Scale shape: ONE key exchange builds the sorted per-key sequence;
+    * the running fold is a scan-stage higher-order accumulate whose
+    * array state is bounded by the key's event count — chunk unbounded
+    * keys by window upstream. Output: (key, id, ts, value, cusum). */
+  def cusumAlerts(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, target: Double, slack: Double,
+      threshold: Double): DataFrame = {
+    require(threshold > 0, s"cusumAlerts: need threshold > 0, got $threshold")
+    val drift = target + slack // one literal, interpolated identically
+    val seqs = events.where(col(valueCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(array_sort(collect_list(
+        struct(col(tsCol).as("ts"), col(idCol).as("id"),
+          col(valueCol).cast("double").as("v")))).as("__seq"))
+    // running CUSUM via an array-accumulating fold: acc grows one state
+    // per element, the last state is s_{i-1}
+    val runs = aggregate(col("__seq"),
+      typedLit(Seq.empty[Double]),
+      (acc, e) => concat(acc, array(greatest(lit(0.0),
+        when(size(acc) === 0, lit(0.0)).otherwise(element_at(acc, size(acc)))
+          + (e.getField("v") - lit(drift))))))
+    seqs.withColumn("__runs", runs)
+      .select(col(keyCol), posexplode(arrays_zip(col("__seq"), col("__runs")))
+        .as(Seq("__pos", "__z")))
+      .select(col(keyCol), col("__z.__seq.id").as("id"),
+        col("__z.__seq.ts").as("ts"), col("__z.__seq.v").as("value"),
+        col("__z.__runs").as("cusum"))
+      .where(col("cusum") > threshold)
+  }
+
   /** Next-event training examples: per user, every position with a FULL
     * `contextLen`-event history becomes one supervised pair
     * (`context` = the space-joined previous `contextLen` event types in

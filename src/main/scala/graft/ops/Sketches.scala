@@ -155,4 +155,23 @@ object Sketches {
       .select(groupCols.map(col) :+ col("__e.item").as("term")
         :+ col("__e.est_count").as("est_count"): _*)
   }
+
+  /** Point-frequency estimate from a [[graft.functions.SketchFunctions
+    * .countMin]] sketch: `min` over the item's `depth` cells — never
+    * undercounts the true frequency, overcounts by at most the colliding
+    * mass in the best row. Row `r` hashes by hex window `r` of the
+    * item's md5 (the aggregate's rule), so the lookup is a pure
+    * scan-stage expression reproducible on any engine — broadcast the
+    * 1-row sketch frame and probe any item stream against it. */
+  def cmEstimate(sketch: Column, item: Column, depth: Int, width: Int): Column = {
+    require(depth >= 1 && depth <= 4,
+      s"cmEstimate: need 1 <= depth <= 4, got $depth")
+    require(width >= 1, s"cmEstimate: need width >= 1, got $width")
+    val cells = (0 until depth).map { r =>
+      val idx = conv(substring(md5(item), r * 8 + 1, 8), 16, 10)
+        .cast("long") % width
+      element_at(sketch, (idx + (r * width) + 1).cast("int"))
+    }
+    array_min(array(cells: _*))
+  }
 }

@@ -331,3 +331,91 @@ case class MisraGriesAgg(
   override protected def withNewChildInternal(newChild: Expression): MisraGriesAgg =
     copy(child = newChild)
 }
+
+/** Count-min sketch (Cormode & Muthukrishnan 2005): a depth × width
+  * counter matrix answering POINT-FREQUENCY queries — the family member
+  * the others can't replace (HLL → distinct, KMV → intersections,
+  * Misra–Gries → frequent items; THIS → "how often did THIS item
+  * occur", for any item, after the fact). Estimates never undercount
+  * (`est = min_r matrix[r][h_r(item)] ≥ true`) and overcount by at most
+  * the colliding mass in the best row.
+  *
+  * Unlike Misra–Gries, the merge (element-wise add) is EXACT, so the
+  * sketch is identical under any partitioning and engine — row `r`
+  * hashes an item by hex window `r` of its md5 (so depth ≤ 4), making
+  * the whole matrix reproducible cross-engine, oracle-checkable, and
+  * safe for map-side partial aggregation (the shuffle carries
+  * depth·width longs per group, never the item stream). Query the
+  * sketch with plain array expressions (min over the depth cells) —
+  * see graft.ops.Sketches.cmEstimate. NULLs are ignored. Output:
+  * `array<long>` of length depth·width, row-major. */
+case class CountMinAgg(
+    child: Expression,
+    depth: Int,
+    width: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with ImplicitCastInputTypes with UnaryLike[Expression] {
+
+  require(depth >= 1 && depth <= 4,
+    s"count_min: need 1 <= depth <= 4 (md5 has 4 independent hex windows), got $depth")
+  require(width >= 1, s"count_min: need width >= 1, got $width")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "count_min"
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val hex = TextKernels.md5Hex(v.asInstanceOf[UTF8String].toString)
+      var r = 0
+      while (r < depth) {
+        val idx = (java.lang.Long.parseLong(hex.substring(r * 8, r * 8 + 8), 16)
+          % width).toInt
+        buf(r * width + idx) += 1L
+        r += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new GenericArrayData(buf.clone())
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    var i = 0
+    while (i < buf.length) { out.writeLong(buf(i)); i += 1 }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new Array[Long](depth * width)
+    var i = 0
+    while (i < buf.length) { buf(i) = in.readLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CountMinAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CountMinAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CountMinAgg =
+    copy(child = newChild)
+}

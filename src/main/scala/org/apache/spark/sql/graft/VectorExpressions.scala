@@ -122,6 +122,8 @@ object GraftFunctions {
         KmvSketchAgg(c(0), intLit(c(1), "kmv_sketch"))),
       fn("misra_gries", classOf[MisraGriesAgg])(c =>
         MisraGriesAgg(c(0), intLit(c(1), "misra_gries"))),
+      fn("count_min", classOf[CountMinAgg])(c =>
+        CountMinAgg(c(0), intLit(c(1), "count_min"), intLit(c(2), "count_min"))),
       fn("min_k_long", classOf[LongMinKAgg])(c =>
         LongMinKAgg(c(0), intLit(c(1), "min_k_long"))))
 

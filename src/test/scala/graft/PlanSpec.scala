@@ -618,6 +618,19 @@ class PlanSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  test("count-min: partial sketch agg, 1-row sketch broadcast, no cartesian (q184)") {
+    val plan = planOf(SparkEntry.queries("q184_count_min")(spark, sf0001))
+    plan should include("partial_count_min") // map-side sketch partials
+    plan should include("BroadcastNestedLoopJoin") // the 1-row sketch frame
+    plan should not include "CartesianProduct"
+  }
+
+  test("cusum: one key exchange builds sequences, fold is scan-stage (q185)") {
+    val plan = planOf(SparkEntry.queries("q185_cusum_alerts")(spark, sf0001))
+    "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size shouldBe 1
+    plan should not include "Join"
+  }
+
   test("triangles: equi-joined wedges, canonical edges cached, no cartesian (q182)") {
     import spark.implicits._
     val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("s", "d")

@@ -303,6 +303,38 @@ class EventAnalyticsSpec extends SparkSpec {
         java.sql.Date.valueOf("2024-02-01"), -1)
   }
 
+  test("cusumAlerts: sustained shift alarms where a lone spike decays; hand trace") {
+    import java.sql.Timestamp
+    def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    // drift D = 10 + 2 = 12, threshold 10
+    val ev = Seq(
+      // user 1: one huge spike then quiet — s: 28, 26, 24 ... stays > 10
+      // only while the spike drains; then a long-quiet tail resets to 0
+      (1L, ts(1), 11L, Some(40.0)), (1L, ts(2), 12L, Some(10.0)),
+      (1L, ts(3), 13L, Some(0.0)), (1L, ts(4), 14L, Some(0.0)),
+      (1L, ts(5), 15L, Some(13.0)),
+      // user 2: sustained +3 shift — s: 3, 6, 9, 12, 15 (alerts at 12, 15)
+      (2L, ts(1), 21L, Some(15.0)), (2L, ts(2), 22L, Some(15.0)),
+      (2L, ts(3), 23L, Some(15.0)), (2L, ts(4), 24L, Some(15.0)),
+      (2L, ts(5), 25L, Some(15.0)),
+      // nulls are excluded before ordering
+      (2L, ts(6), 26L, None)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val r = EventAnalytics.cusumAlerts(ev, "user_id", "ts", "event_id",
+        "value", 10.0, 2.0, 10.0)
+      .as[(Long, Long, Timestamp, Double, Double)].collect()
+      .map(x => x._2 -> x._5).toMap
+    // user 1 trace: 28, 26, 14, 2, 3 → alerts at events 11 (28) and 12 (26), 13 (14)
+    r.keySet shouldBe Set(11L, 12L, 13L, 24L, 25L)
+    r(11L) shouldBe 28.0
+    r(13L) shouldBe 14.0
+    r(24L) shouldBe 12.0
+    r(25L) shouldBe 15.0
+    an[IllegalArgumentException] should be thrownBy
+      EventAnalytics.cusumAlerts(ev, "user_id", "ts", "event_id", "value",
+        10.0, 2.0, 0.0)
+  }
+
   test("decayedCounts: hand decay fold, future events excluded, null adds 0") {
     import java.sql.Timestamp
     val asOf = Timestamp.valueOf("2024-01-08 00:00:00")

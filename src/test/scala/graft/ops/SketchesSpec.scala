@@ -150,4 +150,32 @@ class SketchesSpec extends SparkSpec {
       .as[(String, String)].collect().toMap
     r shouldBe Map("g1" -> "x", "g2" -> "z")
   }
+
+  test("countMin: never undercounts, exact when wide, partition-invariant, SQL-callable") {
+    import graft.functions.SketchFunctions.countMin
+    val items = Seq.fill(7)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c") :+ "d"
+    val df = items.toDF("it")
+    def estimates(src: org.apache.spark.sql.DataFrame, width: Int): Map[String, Long] = {
+      val sk = src.agg(countMin($"it", 4, width).as("sk"))
+      src.distinct().crossJoin(sk)
+        .select($"it", Sketches.cmEstimate($"sk", $"it", 4, width).as("est"))
+        .as[(String, Long)].collect().toMap
+    }
+    val truth = Map("a" -> 7L, "b" -> 3L, "c" -> 2L, "d" -> 1L)
+    // narrow sketch: estimates bound truth from above
+    estimates(df, 4).foreach { case (k, est) => est should be >= truth(k) }
+    // wide sketch: 4 items in 64 cells per row — min over 4 rows is exact
+    estimates(df, 64) shouldBe truth
+    // exact element-wise merge: the MATRIX is partitioning-invariant
+    val one = df.coalesce(1).agg(countMin($"it", 4, 16)).as[Seq[Long]].head()
+    val many = df.repartition(5).agg(countMin($"it", 4, 16)).as[Seq[Long]].head()
+    many shouldBe one
+    one.sum shouldBe 4L * items.size // every occurrence lands once per row
+    // SQL registration
+    df.createOrReplaceTempView("cm_in")
+    spark.sql("SELECT count_min(it, 2, 8) FROM cm_in")
+      .as[Seq[Long]].head().sum shouldBe 2L * items.size
+    an[IllegalArgumentException] should be thrownBy
+      Sketches.cmEstimate($"sk", $"it", 5, 16)
+  }
 }
