@@ -1048,6 +1048,21 @@ object SparkEntry {
       }
       s.table(name)
     }),
+    // Pareto frontier of (length, lexical diversity): the docs no other
+    // doc beats on both axes — multi-criteria curation without a
+    // weighted collapse
+    "q186_pareto_frontier" -> ((s, dir) =>
+      Sampling.paretoFrontier2D(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
+          size(array_distinct(split(col("text"), " "))).cast("long")
+            .as("distinct_toks")),
+        "doc_id", "n_chars", "distinct_toks")),
+    // per-event-type ROC-AUC of value against a deterministic pseudo
+    // label (even user_id) — the threshold-free score-quality check
+    "q187_roc_auc" -> ((s, dir) =>
+      graft.ops.Quality.rocAuc(
+        t(s, dir, "events").withColumn("lbl", col("user_id") % 2 === 0),
+        "event_type", "value", "lbl")),
     // count-min sketch: every term's never-undercounting frequency
     // estimate from a 4×16 matrix vs its true count (width deliberately
     // small so collisions are visible; the matrix itself is exact under
@@ -2239,6 +2254,41 @@ object SparkEntry {
          |  ra.max_val AS max_a, rb.max_val AS max_b
          |FROM ra JOIN rb ON ra.col_name = rb.col_name""".stripMargin
     },
+    // q186: the O(n²) NOT-EXISTS skyline definition — the op's ordered
+    // single-pass must select exactly this set
+    "q186_pareto_frontier" ->
+      """WITH v AS (SELECT doc_id, n_chars,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |      AS distinct_toks
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND text IS NOT NULL)
+        |SELECT doc_id, n_chars, distinct_toks FROM v p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM v q
+        |  WHERE q.n_chars >= p.n_chars AND q.distinct_toks >= p.distinct_toks
+        |    AND (q.n_chars > p.n_chars OR q.distinct_toks > p.distinct_toks))""".stripMargin,
+    // q187: identical rank-sum identity on the reduced per-score table
+    "q187_roc_auc" ->
+      """WITH red AS (SELECT event_type, CAST(value AS DOUBLE) AS s,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS np,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS nn
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |cum AS (SELECT *, coalesce(CAST(sum(nn) OVER (PARTITION BY event_type
+        |    ORDER BY s ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS BIGINT), 0) AS cum_neg,
+        |  CAST(np AS DOUBLE) * (coalesce(CAST(sum(nn) OVER (
+        |    PARTITION BY event_type ORDER BY s ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |    + CAST(nn AS DOUBLE) / 2.0) AS c
+        |  FROM red)
+        |SELECT event_type, CAST(sum(np) AS BIGINT) AS n_pos,
+        |  CAST(sum(nn) AS BIGINT) AS n_neg,
+        |  CASE WHEN sum(np) = 0 OR sum(nn) = 0 THEN NULL
+        |  ELSE round(sum(c) / (CAST(sum(np) AS BIGINT) *
+        |    CAST(sum(nn) AS BIGINT)), 6) END AS auc
+        |FROM cum GROUP BY 1""".stripMargin,
     // q184: the 4×16 matrix re-derived — per md5-hex-window row, cell
     // mass = Σ tf of the terms hashing there; estimate = min over rows
     "q184_count_min" -> {

@@ -331,6 +331,45 @@ object Quality {
         col("gap"), col("ece"))
   }
 
+  /** Exact grouped ROC-AUC with tie correction — the threshold-free
+    * "does this score rank positives above negatives" number for every
+    * score a curation pipeline produces (quality scores vs human
+    * labels, contamination probes vs known leaks), per group so a score
+    * can't hide behind Simpson's paradox. Uses the rank-sum identity on
+    * the per-(group, score) REDUCED table:
+    * `AUC = Σ_s n_pos(s)·(cum_neg_below(s) + n_neg(s)/2) / (P·N)` —
+    * ties contribute the standard half credit. Null scores are
+    * excluded; null labels count as negatives (the calibrationBins
+    * rule); a group with no positives or no negatives gets null AUC,
+    * not NaN. 6 dp round. Output: (group, n_pos, n_neg, auc).
+    *
+    * Scale shape: ONE (group, score) hash-agg reduces the corpus, the
+    * cumulative window and final agg run over distinct scores per group
+    * and share the group exchange — never a per-row global sort. */
+  def rocAuc(df: DataFrame, groupCol: String, scoreCol: String,
+             labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val isPos = coalesce(col(labelCol), lit(false))
+    val red = df.where(col(scoreCol).isNotNull)
+      .groupBy(col(groupCol), col(scoreCol).cast("double").as("__s"))
+      .agg(sum(when(isPos, 1L).otherwise(0L)).as("__np"),
+        sum(when(isPos, 0L).otherwise(1L)).as("__nn"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__s").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cumNegLt = coalesce(sum("__nn").over(w), lit(0L))
+    red
+      .withColumn("__c", col("__np").cast("double") *
+        (cumNegLt + col("__nn").cast("double") / 2.0))
+      .groupBy(col(groupCol))
+      .agg(sum("__np").as("n_pos"), sum("__nn").as("n_neg"),
+        sum("__c").as("__sc"))
+      .select(col(groupCol), col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0 || col("n_neg") === 0,
+          lit(null).cast("double"))
+          .otherwise(round(col("__sc") / (col("n_pos") * col("n_neg")), 6))
+          .as("auc"))
+  }
+
   /** Higher-moment distribution profile per group: n, mean, population
     * variance, skewness (g1) and excess kurtosis (g2) of `valueCol` —
     * the drift fingerprint that catches a shifted or fattened value

@@ -467,6 +467,60 @@ object Sampling {
       .drop("__cd")
   }
 
+  /** 2-D Pareto frontier (skyline) selection: keep the rows whose
+    * (x, y) is dominated by NO other point (q dominates p iff q ≥ p in
+    * both coordinates and > in at least one, both maximized) — the
+    * multi-criteria curation cut when two scores shouldn't be collapsed
+    * into one weighted number (length × diversity, quality × novelty):
+    * the frontier is every trade-off that is not strictly worse than
+    * another. All rows sharing a frontier point are kept; null
+    * coordinates are excluded.
+    *
+    * Scale shape: dominance in 2-D reduces to ONE ordered pass — a
+    * point is dominated iff the running max of y over all points
+    * earlier in (x desc, y desc) order reaches its own y. The global
+    * order is range-partitioned ([[graft.ops.Layout.globalRank]]'s
+    * device: per-range window + `numRanges` prior-range maxima folded
+    * into a literal expression — never an `Exchange SinglePartition`),
+    * the frontier point set broadcasts back, and the O(n²) NOT-EXISTS
+    * formulation appears only in the oracle. */
+  def paretoFrontier2D(df: DataFrame, idCol: String, xCol: String,
+                       yCol: String, numRanges: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(numRanges > 0, s"paretoFrontier2D: need numRanges > 0, got $numRanges")
+    val pts = graft.core.CacheRegistry.persist(
+      df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+        .select(col(xCol).cast("double").as("__x"),
+          col(yCol).cast("double").as("__y"))
+        .distinct()
+        .repartitionByRange(numRanges, col("__x").desc, col("__y").desc)
+        .withColumn("__range", spark_partition_id()))
+    // prior-range running maxima: ranges are ordered by (x desc, y desc),
+    // so everything in an earlier range precedes this one in the scan
+    val maxes = pts.groupBy("__range").agg(max("__y").as("m")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1)
+    var run = Double.NegativeInfinity
+    val prior = maxes.map { case (pid, m) =>
+      val p = pid -> run; run = math.max(run, m); p
+    }
+    val priorExpr = prior.foldLeft(lit(Double.NegativeInfinity)) {
+      case (e, (pid, mx)) => when(col("__range") === pid, lit(mx)).otherwise(e)
+    }
+    val w = Window.partitionBy(col("__range"))
+      .orderBy(col("__x").desc, col("__y").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = pts
+      .withColumn("__dom",
+        greatest(coalesce(max(col("__y")).over(w),
+          lit(Double.NegativeInfinity)), priorExpr) >= col("__y"))
+      .where(!col("__dom"))
+      .select(col("__x"), col("__y"))
+    df.join(broadcast(frontier),
+        col(xCol).cast("double") === col("__x") &&
+          col(yCol).cast("double") === col("__y"))
+      .select(col(idCol), col(xCol), col(yCol))
+  }
+
   /** Cross-source quantile normalization: each row's score is replaced
     * by the GLOBAL score at its source-LOCAL quantile rank — the
     * calibration step before comparing or mixing per-source quality

@@ -618,6 +618,21 @@ class PlanSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  test("pareto frontier: range-partitioned pass, broadcast point set, " +
+    "no single-partition window (q186)") {
+    val plan = planOf(SparkEntry.queries("q186_pareto_frontier")(spark, sf0001))
+    plan should not include "Exchange SinglePartition"
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+  }
+
+  test("roc auc: reduced per-score table, shared group exchange, no join (q187)") {
+    val plan = planOf(SparkEntry.queries("q187_roc_auc")(spark, sf0001))
+    plan should not include "Exchange SinglePartition"
+    plan should not include "Join"
+    plan should include("partial_sum")
+  }
+
   test("count-min: partial sketch agg, 1-row sketch broadcast, no cartesian (q184)") {
     val plan = planOf(SparkEntry.queries("q184_count_min")(spark, sf0001))
     plan should include("partial_count_min") // map-side sketch partials

@@ -262,6 +262,29 @@ class QualitySpec extends SparkSpec {
       Quality.calibrationBins(df, "score", "conv", 0)
   }
 
+  test("rocAuc: hand tie-corrected value, perfect/inverted/degenerate laws") {
+    import spark.implicits._
+    // g: positives {3, 2}, negatives {1, 2} → AUC = (1·1.5 + 1·2)/4
+    val g = Seq(("g", 3.0, true), ("g", 2.0, true), ("g", 1.0, false),
+      ("g", 2.0, false),
+      // p: perfect separation; r: inverted; d: no negatives
+      ("p", 9.0, true), ("p", 1.0, false),
+      ("r", 1.0, true), ("r", 9.0, false),
+      ("d", 5.0, true), ("d", 6.0, true)).toDF("grp", "score", "lbl")
+    val r = Quality.rocAuc(g, "grp", "score", "lbl").collect()
+      .map(x => x.getString(0) -> x).toMap
+    r("g").getDouble(3) shouldBe 0.875
+    (r("g").getLong(1), r("g").getLong(2)) shouldBe (2L, 2L)
+    r("p").getDouble(3) shouldBe 1.0
+    r("r").getDouble(3) shouldBe 0.0
+    r("d").isNullAt(3) shouldBe true
+    // null labels are negatives, null scores excluded
+    val n = Quality.rocAuc(Seq(("n", Some(2.0), Some(true)),
+        ("n", Some(1.0), None), ("n", None, Some(false)))
+        .toDF("grp", "score", "lbl"), "grp", "score", "lbl").collect().head
+    (n.getLong(1), n.getLong(2), n.getDouble(3)) shouldBe (1L, 1L, 1.0)
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

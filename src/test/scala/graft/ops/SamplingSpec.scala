@@ -355,6 +355,28 @@ class SamplingSpec extends SparkSpec {
       .select("id", "label").as[(Long, String)].collect().toSet shouldBe r.toSet
   }
 
+  test("paretoFrontier2D: == the naive dominance filter; duplicates kept; " +
+    "partitioning-stable") {
+    val rows = Seq((1L, 1.0, 5.0), (2L, 2.0, 4.0), (3L, 3.0, 3.0),
+      (4L, 2.0, 2.0), (5L, 3.0, 1.0), (6L, 3.0, 3.0)).toDF("id", "x", "y")
+    val got = Sampling.paretoFrontier2D(rows, "id", "x", "y")
+      .select("id").as[Long].collect().toSet
+    // frontier points (1,5), (2,4), (3,3); ids 3 AND 6 share (3,3)
+    got shouldBe Set(1L, 2L, 3L, 6L)
+    // randomized agreement with the O(n²) definition
+    val rnd = (1 to 200).map { i =>
+      (i.toLong, (i * 37 % 23).toDouble, (i * 53 % 19).toDouble) }
+    val df = rnd.toDF("id", "x", "y")
+    val naive = rnd.filter { case (_, x, y) =>
+      !rnd.exists { case (_, qx, qy) =>
+        qx >= x && qy >= y && (qx > x || qy > y) } }.map(_._1).toSet
+    Sampling.paretoFrontier2D(df, "id", "x", "y", numRanges = 5)
+      .select("id").as[Long].collect().toSet shouldBe naive
+    Sampling.paretoFrontier2D(df.repartition(7), "id", "x", "y", numRanges = 3)
+      .select("id").as[Long].collect().toSet shouldBe naive
+    graft.core.CacheRegistry.drain()
+  }
+
   test("quantileNormalize: shifted scales map equal ranks to equal globals; " +
     "monotone within source; nulls dropped") {
     // B's scale is A's + 100: after normalization the same within-source
