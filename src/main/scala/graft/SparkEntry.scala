@@ -1048,6 +1048,10 @@ object SparkEntry {
       }
       s.table(name)
     }),
+    // k-center greedy coreset: 6 farthest-point-traversal picks over the
+    // embedding space (diverse subset / eval-probe selection)
+    "q188_kcenter_coreset" -> ((s, dir) =>
+      Similarity.kCenterCoreset(t(s, dir, "embeddings"), "vec_id", "embedding", 6)),
     // Pareto frontier of (length, lexical diversity): the docs no other
     // doc beats on both axes — multi-criteria curation without a
     // weighted collapse
@@ -2253,6 +2257,39 @@ object SparkEntry {
          |  ra.min_val AS min_a, rb.min_val AS min_b,
          |  ra.max_val AS max_a, rb.max_val AS max_b
          |FROM ra JOIN rb ON ra.col_name = rb.col_name""".stripMargin
+    },
+    // q188: the greedy traversal unrolled — same ‖x−c‖² expansion (the
+    // double index-order dot is bit-identical to dotF), raw min-dist
+    // carried, round-before-argmax pick, id tie-break
+    "q188_kcenter_coreset" -> {
+      val k = 6
+      val head =
+        """WITH x AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+          |    list_dot_product(CAST(embedding AS DOUBLE[]),
+          |      CAST(embedding AS DOUBLE[])) AS xx
+          |  FROM embeddings WHERE embedding IS NOT NULL),
+          |c1 AS (SELECT id, v, xx FROM x ORDER BY id ASC LIMIT 1),
+          |d1 AS (SELECT x.id, x.v, x.xx,
+          |    (x.xx - 2.0 * list_dot_product(x.v, c1.v) + c1.xx) AS draw
+          |  FROM x, c1 WHERE x.id <> c1.id)""".stripMargin
+      val rounds = (2 to k).map { i =>
+        val pick =
+          s"""c$i AS (SELECT id, v, xx, draw FROM d${i - 1}
+             |  ORDER BY round(draw, 6) DESC, id ASC LIMIT 1)""".stripMargin
+        val carry = if (i == k) "" else
+          s""",
+             |d$i AS (SELECT a.id, a.v, a.xx,
+             |    least(a.draw, (a.xx - 2.0 * list_dot_product(a.v, c$i.v)
+             |      + c$i.xx)) AS draw
+             |  FROM d${i - 1} a, c$i WHERE a.id <> c$i.id)""".stripMargin
+        pick + carry
+      }
+      val selects =
+        s"SELECT CAST(1 AS BIGINT) AS center_rank, id, CAST(NULL AS DOUBLE) AS radius FROM c1" +:
+          (2 to k).map(i =>
+            s"SELECT CAST($i AS BIGINT), id, round(draw, 6) FROM c$i")
+      (head +: rounds).mkString(",\n") + "\n" +
+        selects.mkString("\nUNION ALL ")
     },
     // q186: the O(n²) NOT-EXISTS skyline definition — the op's ordered
     // single-pass must select exactly this set

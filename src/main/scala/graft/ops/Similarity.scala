@@ -474,4 +474,58 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
+
+  /** k-center greedy coreset (farthest-point traversal; Gonzalez 1985,
+    * the Sener & Savarese 2018 active-learning/coreset selector): start
+    * from the MINIMUM-id vector (a deterministic seed, not a random
+    * one), then `k−1` times add the vector FARTHEST (squared L2) from
+    * its nearest already-selected center — a small subset whose points
+    * spread over the embedding space where random sampling oversamples
+    * dense regions; the classic diverse-subset/eval-probe selector. The
+    * selection radius (each pick's distance to the nearest prior
+    * center, 6 dp) is the 2-approximate covering radius at that size —
+    * the "how much does one more example buy" curve. Distances use the
+    * `‖x−c‖² = x·x − 2·x·c + c·c` expansion with 6 dp
+    * round-before-argmax and id tie-break, so selection is
+    * engine-deterministic. Output: (center_rank, id, radius) — radius
+    * null for the seed.
+    *
+    * Scale shape: one cached pass computes per-row self-dots; each
+    * round is a SCAN with the current centers as literal vectors
+    * (codegen'd [[graft.functions.VectorFunctions.dotF]] per center) +
+    * one `TakeOrdered(1)` action — k scans, k driver actions, k·d
+    * floats of driver state (the [[kmeansFit]] contract); no shuffle
+    * beyond the take. */
+  def kCenterCoreset(emb: DataFrame, idCol: String, vecCol: String,
+                     k: Int): DataFrame = {
+    import graft.functions.VectorFunctions.dotF
+    require(k >= 1, s"kCenterCoreset: need k >= 1, got $k")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = graft.core.CacheRegistry.persist(
+      emb.where(col(vecCol).isNotNull)
+        .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
+        .withColumn("__xx", dotF(col("__v"), col("__v"))))
+    val seedRow = base.orderBy(col("__id").asc).limit(1)
+      .select(col("__id"), col("__v"), col("__xx"))
+      .as[(Long, Seq[Float], Double)].head()
+    // (id, vec, selfDot, radius) per selected center, in pick order
+    val centers = scala.collection.mutable.ArrayBuffer(
+      (seedRow._1, seedRow._2, seedRow._3, Option.empty[Double]))
+    while (centers.size < k) {
+      val minDist = centers.map { case (_, cv, cc, _) =>
+        col("__xx") - lit(2.0) * dotF(col("__v"), typedLit(cv)) + lit(cc)
+      }.reduce(least(_, _))
+      val next = base
+        .where(!col("__id").isin(centers.map(_._1).toSeq: _*))
+        .select(col("__id"), col("__v"), col("__xx"),
+          round(minDist, 6).as("__d"))
+        .orderBy(col("__d").desc, col("__id").asc).limit(1)
+        .as[(Long, Seq[Float], Double, Double)].head()
+      centers += ((next._1, next._2, next._3, Some(next._4)))
+    }
+    centers.zipWithIndex.map { case ((id, _, _, r), i) =>
+      ((i + 1).toLong, id, r)
+    }.toSeq.toDF("center_rank", "id", "radius")
+  }
 }
