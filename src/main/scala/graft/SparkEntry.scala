@@ -1048,6 +1048,19 @@ object SparkEntry {
       }
       s.table(name)
     }),
+    // per-class precision/recall/F1 against a deterministic noisy
+    // predictor (30% of events mislabeled as 'click')
+    "q189_classification_report" -> ((s, dir) =>
+      graft.ops.Quality.classificationReport(
+        t(s, dir, "events").withColumn("pred",
+          when(substring(md5(col("event_id").cast("string")), 1, 1) < "3",
+            lit("click")).otherwise(col("event_type"))),
+        "event_type", "pred")),
+    // daily PSI curve vs the first day's value distribution — drift
+    // observability over time, not one two-snapshot compare
+    "q190_psi_timeline" -> ((s, dir) =>
+      graft.ops.Quality.psiTimeline(t(s, dir, "events"), "ts", "value",
+        0.0, 250.0, 20)),
     // k-center greedy coreset: 6 farthest-point-traversal picks over the
     // embedding space (diverse subset / eval-probe selection)
     "q188_kcenter_coreset" -> ((s, dir) =>
@@ -2258,6 +2271,63 @@ object SparkEntry {
          |  ra.max_val AS max_a, rb.max_val AS max_b
          |FROM ra JOIN rb ON ra.col_name = rb.col_name""".stripMargin
     },
+    // q189: same confusion reduction, rounded precision/recall feeding
+    // the F1, null-not-NaN degenerate cells
+    "q189_classification_report" ->
+      """WITH pr AS (SELECT event_type AS l,
+        |    CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < '3'
+        |      THEN 'click' ELSE event_type END AS p FROM events),
+        |m AS (SELECT l, p, count(*) AS n FROM pr GROUP BY 1, 2),
+        |bt AS (SELECT l AS clazz, CAST(sum(n) AS BIGINT) AS n_true
+        |  FROM m GROUP BY 1),
+        |bp AS (SELECT p AS clazz, CAST(sum(n) AS BIGINT) AS n_pred
+        |  FROM m GROUP BY 1),
+        |tpc AS (SELECT l AS clazz, CAST(n AS BIGINT) AS tp FROM m
+        |  WHERE l IS NOT DISTINCT FROM p),
+        |j AS (SELECT coalesce(bt.clazz, bp.clazz) AS clazz,
+        |    coalesce(n_true, 0) AS n_true, coalesce(n_pred, 0) AS n_pred
+        |  FROM bt FULL OUTER JOIN bp
+        |  ON bt.clazz IS NOT DISTINCT FROM bp.clazz),
+        |r AS (SELECT j.clazz, j.n_true, j.n_pred, coalesce(tpc.tp, 0) AS tp
+        |  FROM j LEFT JOIN tpc ON j.clazz IS NOT DISTINCT FROM tpc.clazz),
+        |f AS (SELECT clazz, n_true, n_pred, tp,
+        |  CASE WHEN n_pred = 0 THEN NULL
+        |    ELSE round(CAST(tp AS DOUBLE) / n_pred, 6) END AS "precision",
+        |  CASE WHEN n_true = 0 THEN NULL
+        |    ELSE round(CAST(tp AS DOUBLE) / n_true, 6) END AS "recall"
+        |  FROM r)
+        |SELECT clazz, n_true, n_pred, tp, "precision", "recall",
+        |  CASE WHEN "precision" IS NULL OR "recall" IS NULL
+        |      OR "precision" + "recall" = 0 THEN NULL
+        |  ELSE round(2.0 * "precision" * "recall" /
+        |    ("precision" + "recall"), 6) END AS f1
+        |FROM f""".stripMargin,
+    // q190: same (day, bin) reduction, baseline = min day, add-one
+    // shares, per-day summed contribs rounded at the end
+    "q190_psi_timeline" ->
+      """WITH c AS (SELECT CAST(ts AS DATE) AS day,
+        |    greatest(0, least(19,
+        |      CAST(floor((CAST(value AS DOUBLE) - 0.0) / 12.5) AS BIGINT)))
+        |      AS bin, count(*) AS n
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT day FROM c),
+        |bins AS (SELECT unnest(generate_series(0, 19)) AS bin),
+        |g AS (SELECT d.day, b.bin, coalesce(c.n, 0) AS n
+        |  FROM days d CROSS JOIN bins b
+        |  LEFT JOIN c ON c.day = d.day AND c.bin = b.bin),
+        |t AS (SELECT day, CAST(sum(n) AS BIGINT) AS tt FROM g GROUP BY 1),
+        |bl AS (SELECT g.bin,
+        |    CAST(g.n + 1 AS DOUBLE) / CAST(t.tt + 20 AS DOUBLE) AS pb
+        |  FROM g JOIN t USING (day)
+        |  WHERE g.day = (SELECT min(day) FROM t)),
+        |x AS (SELECT g.day, t.tt,
+        |    (CAST(g.n + 1 AS DOUBLE) / CAST(t.tt + 20 AS DOUBLE) - bl.pb) *
+        |      ln((CAST(g.n + 1 AS DOUBLE) / CAST(t.tt + 20 AS DOUBLE))
+        |        / bl.pb) AS contrib
+        |  FROM g JOIN t USING (day) JOIN bl USING (bin))
+        |SELECT day, CAST(max(tt) AS BIGINT) AS n_rows,
+        |  round(sum(contrib), 6) AS psi
+        |FROM x GROUP BY 1""".stripMargin,
     // q188: the greedy traversal unrolled — same ‖x−c‖² expansion (the
     // double index-order dot is bit-identical to dotF), raw min-dist
     // carried, round-before-argmax pick, id tie-break

@@ -370,6 +370,96 @@ object Quality {
           .as("auc"))
   }
 
+  /** Per-class classification report (the sklearn mart): from a
+    * (label, prediction) pair column set, the confusion-reduced
+    * per-class `n_true`, `n_pred`, `tp`, precision, recall, and F1 —
+    * the eval table for any classifier the pipeline hosts (language ID
+    * vs gold labels, quality-filter decisions vs human audit). Classes
+    * are the UNION of observed labels and predictions (a class the
+    * model never predicts still reports recall); zero-denominator
+    * cells are null, not NaN (no-support precision/recall), F1 is null
+    * unless both parts exist and sum > 0. NULL labels/predictions form
+    * their own class (the [[kAnonymityAudit]] rule). 6 dp rounds.
+    *
+    * Scale shape: ONE (label, pred) hash-agg reduces the corpus to the
+    * ≤ C² confusion matrix; everything after is arithmetic over C
+    * rows. */
+  def classificationReport(df: DataFrame, labelCol: String,
+                           predCol: String): DataFrame = {
+    val m = graft.core.CacheRegistry.persist(
+      df.groupBy(col(labelCol).as("__l"), col(predCol).as("__p"))
+        .agg(count(lit(1)).as("__n")))
+    val byTrue = m.groupBy(col("__l").as("clazz")).agg(sum("__n").as("n_true"))
+    val byPred = m.groupBy(col("__p").as("clazz")).agg(sum("__n").as("n_pred"))
+    val tp = m.where(col("__l") <=> col("__p"))
+      .select(col("__l").as("clazz"), col("__n").as("__tp"))
+    val prec = when(col("n_pred").isNull || col("n_pred") === 0,
+      lit(null).cast("double"))
+      .otherwise(round(col("tp").cast("double") / col("n_pred"), 6))
+    val rec = when(col("n_true").isNull || col("n_true") === 0,
+      lit(null).cast("double"))
+      .otherwise(round(col("tp").cast("double") / col("n_true"), 6))
+    // null-SAFE join keys: the null class is one class, and plain join
+    // keys would split it into an unmatched row per side
+    byTrue.as("t")
+      .join(byPred.as("p"), col("t.clazz") <=> col("p.clazz"), "full_outer")
+      .select(coalesce(col("t.clazz"), col("p.clazz")).as("clazz"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"))
+      .as("j")
+      .join(tp.as("x"), col("j.clazz") <=> col("x.clazz"), "left")
+      .select(col("j.clazz").as("clazz"), col("n_true"), col("n_pred"),
+        coalesce(col("__tp"), lit(0L)).as("tp"))
+      .select(col("clazz"), col("n_true"), col("n_pred"), col("tp"),
+        prec.as("precision"), rec.as("recall"),
+        when(prec.isNull || rec.isNull || (prec + rec) === 0.0,
+          lit(null).cast("double"))
+          .otherwise(round(lit(2.0) * prec * rec / (prec + rec), 6)).as("f1"))
+  }
+
+  /** Daily PSI timeline: each day's value distribution scored against
+    * the FIRST day's (the baseline) with [[psiDrift]]'s clamped bins
+    * and add-one smoothing — drift observability over time instead of
+    * one two-snapshot comparison: a slow upward creep shows as a
+    * rising curve, an ingest incident as a one-day spike. Output: one
+    * row per day (day, n_rows, psi), baseline day included (its PSI is
+    * 0 by construction).
+    *
+    * Scale shape: ONE (day, bin) hash-agg reduces the corpus; the
+    * day × bin spine, totals, and baseline shares are arithmetic over
+    * ≤ \|days\|·B rows with the baseline broadcast. */
+  def psiTimeline(df: DataFrame, tsCol: String, valueCol: String,
+                  lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins > 0 && hi > lo,
+      s"psiTimeline: need nBins > 0 and hi > lo, got n=$nBins [$lo, $hi]")
+    val width = (hi - lo) / nBins
+    val v = col(valueCol).cast("double")
+    val counts = graft.core.CacheRegistry.persist(
+      df.where(v.isNotNull)
+        .groupBy(to_date(col(tsCol)).as("day"),
+          greatest(lit(0L), least(lit(nBins - 1L),
+            floor((v - lo) / width).cast("long"))).as("bin"))
+        .agg(count(lit(1)).as("__n")))
+    val spine = counts.select("day").distinct()
+      .crossJoin(broadcast(
+        df.sparkSession.range(nBins).select(col("id").as("bin"))))
+    val g = spine.join(counts, Seq("day", "bin"), "left")
+      .select(col("day"), col("bin"), coalesce(col("__n"), lit(0L)).as("n"))
+    val tot = g.groupBy("day").agg(sum("n").as("__t"))
+    val base = g.join(broadcast(tot.agg(min("day").as("day"))), "day")
+      .join(tot, "day")
+      .select(col("bin"),
+        ((col("n") + 1).cast("double") /
+          (col("__t") + lit(nBins)).cast("double")).as("__pb"))
+    val pd = (col("n") + 1).cast("double") /
+      (col("__t") + lit(nBins)).cast("double")
+    g.join(tot, "day").join(broadcast(base), "bin")
+      .select(col("day"), col("__t"),
+        (pd - col("__pb")) * log(pd / col("__pb")) as "__c")
+      .groupBy("day")
+      .agg(max("__t").as("n_rows"), round(sum("__c"), 6).as("psi"))
+  }
+
   /** Higher-moment distribution profile per group: n, mean, population
     * variance, skewness (g1) and excess kurtosis (g2) of `valueCol` —
     * the drift fingerprint that catches a shifted or fattened value

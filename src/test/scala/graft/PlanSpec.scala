@@ -618,6 +618,19 @@ class PlanSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  test("classification report: one confusion reduction feeds all sides (q189)") {
+    val plan = planOf(SparkEntry.queries("q189_classification_report")(spark, sf0001))
+    plan should include("InMemoryTableScan") // the (label, pred) matrix shared
+    plan should not include "CartesianProduct"
+  }
+
+  test("psi timeline: one day-bin reduction, baseline broadcast (q190)") {
+    val plan = planOf(SparkEntry.queries("q190_psi_timeline")(spark, sf0001))
+    plan should include("InMemoryTableScan")
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+  }
+
   test("pareto frontier: range-partitioned pass, broadcast point set, " +
     "no single-partition window (q186)") {
     val plan = planOf(SparkEntry.queries("q186_pareto_frontier")(spark, sf0001))

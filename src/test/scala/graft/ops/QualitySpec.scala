@@ -285,6 +285,45 @@ class QualitySpec extends SparkSpec {
     (n.getLong(1), n.getLong(2), n.getDouble(3)) shouldBe (1L, 1L, 1.0)
   }
 
+  test("classificationReport: hand confusion block; unpredicted and phantom " +
+    "classes; nulls form a class") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "a"), ("a", "a"), ("a", "b"), // a: 3 true, tp 2
+      ("b", "a"), ("b", "b"),             // b: 2 true, tp 1; pred a gets a fp
+      ("c", "a"),                         // c: never predicted → recall 0
+      (null: String, null: String)        // null class, perfectly predicted
+    ).toDF("lbl", "pred")
+    val r = Quality.classificationReport(df, "lbl", "pred").collect()
+      .map(x => Option(x.getString(0)) -> x).toMap
+    val a = r(Some("a"))
+    (a.getLong(1), a.getLong(2), a.getLong(3)) shouldBe (3L, 4L, 2L)
+    a.getDouble(4) shouldBe 0.5        // precision 2/4
+    a.getDouble(5) shouldBe round6(2.0 / 3)
+    val c = r(Some("c"))
+    (c.getLong(2), c.getDouble(5)) shouldBe (0L, 0.0)
+    c.isNullAt(4) shouldBe true        // precision undefined: never predicted
+    c.isNullAt(6) shouldBe true        // f1 undefined too
+    val nul = r(None)
+    (nul.getLong(3), nul.getDouble(6)) shouldBe (1L, 1.0)
+    graft.core.CacheRegistry.drain()
+  }
+
+  test("psiTimeline: baseline day scores 0; a shifted day scores positive") {
+    import java.sql.Timestamp
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    val df = (Seq.fill(20)(1.0) ++ Seq.fill(20)(25.0)).zipWithIndex.map {
+      case (v, i) => (ts(1 + i / 20), v) // day 1 all low, day 2 all high
+    }.toDF("ts", "v")
+    val r = Quality.psiTimeline(df, "ts", "v", 0.0, 30.0, 3).collect()
+      .map(x => x.getDate(0).toString -> (x.getLong(1), x.getDouble(2))).toMap
+    r("2024-01-01") shouldBe ((20L, 0.0))
+    r("2024-01-02")._2 should be > 0.25
+    an[IllegalArgumentException] should be thrownBy
+      Quality.psiTimeline(df, "ts", "v", 5.0, 1.0, 3)
+    graft.core.CacheRegistry.drain()
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
