@@ -1048,6 +1048,22 @@ object SparkEntry {
       }
       s.table(name)
     }),
+    // directional containment pairs: short docs covered ≥80% by another
+    // doc's shingles — the quote/excerpt detector Jaccard misses
+    "q191_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(
+        t(s, dir, "documents").select("doc_id", "text"), "doc_id", "text",
+        3, 0.8, 80)),
+    // term burstiness: VMR of per-doc tf among containing docs — content
+    // words clump, function/template words spread Poisson-ish
+    "q192_term_burstiness" -> ((s, dir) =>
+      graft.ops.Corpus.termBurstiness(t(s, dir, "documents"), "doc_id", "text", 5)),
+    // market-basket rules over (user, day) baskets of event types:
+    // confidence and lift for co-present activity pairs
+    "q193_basket_rules" -> ((s, dir) =>
+      graft.ops.EventAnalytics.basketRules(
+        t(s, dir, "events").withColumn("day", to_date(col("ts"))),
+        Seq("user_id", "day"), "event_type")),
     // per-class precision/recall/F1 against a deterministic noisy
     // predictor (30% of events mislabeled as 'click')
     "q189_classification_report" -> ((s, dir) =>
@@ -2271,6 +2287,57 @@ object SparkEntry {
          |  ra.max_val AS max_a, rb.max_val AS max_b
          |FROM ra JOIN rb ON ra.col_name = rb.col_name""".stripMargin
     },
+    // q191: the same asymmetric probe — short-doc shingles joined
+    // against the corpus table, containment on the short side's size
+    "q191_containment_pairs" -> {
+      s"""WITH sh AS (${shingleSql(3)}),
+         |shorts AS (SELECT doc_id FROM documents
+         |  WHERE len(string_split(text, ' ')) <= 80),
+         |a AS (SELECT sh.doc_id AS contained_id, shingle
+         |  FROM sh JOIN shorts USING (doc_id)),
+         |sizes AS (SELECT contained_id, count(*) AS na FROM a GROUP BY 1),
+         |common AS (SELECT a.contained_id, sh.doc_id AS container_id,
+         |    count(*) AS n_common
+         |  FROM a JOIN sh ON a.shingle = sh.shingle
+         |    AND a.contained_id <> sh.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT contained_id, container_id,
+         |  round(CAST(n_common AS DOUBLE) / na, 6) AS containment
+         |FROM common JOIN sizes USING (contained_id)
+         |WHERE round(CAST(n_common AS DOUBLE) / na, 6) >= 0.8""".stripMargin
+    },
+    // q192: exact integer power sums, identical division shapes
+    "q192_term_burstiness" ->
+      """WITH pd AS (SELECT doc_id, term, count(*) AS tf FROM
+        |    (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |     FROM documents) GROUP BY 1, 2)
+        |SELECT term, CAST(count(*) AS BIGINT) AS df_docs,
+        |  CAST(sum(tf) AS BIGINT) AS total_tf,
+        |  round(CAST(sum(tf) AS DOUBLE) / count(*), 6) AS mean_tf,
+        |  round((CAST(sum(tf * tf) AS DOUBLE) / count(*)
+        |    - (CAST(sum(tf) AS DOUBLE) / count(*))
+        |      * (CAST(sum(tf) AS DOUBLE) / count(*)))
+        |    / (CAST(sum(tf) AS DOUBLE) / count(*)), 6) AS vmr
+        |FROM pd GROUP BY 1 HAVING count(*) >= 5""".stripMargin,
+    // q193: distinct (user, day, type) baskets, directed pair join,
+    // broadcast totals, identical confidence/lift shapes
+    "q193_basket_rules" ->
+      """WITH it AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+        |    event_type AS item FROM events WHERE event_type IS NOT NULL),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM
+        |  (SELECT DISTINCT user_id, day FROM it)),
+        |ic AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM it GROUP BY 1),
+        |p AS (SELECT a.item AS antecedent, b.item AS consequent,
+        |    CAST(count(*) AS BIGINT) AS n_both
+        |  FROM it a JOIN it b ON a.user_id = b.user_id AND a.day = b.day
+        |    AND a.item <> b.item
+        |  GROUP BY 1, 2)
+        |SELECT antecedent, consequent, n_both, ia.n AS n_ant,
+        |  ic2.n AS n_cons,
+        |  round(CAST(n_both AS DOUBLE) / ia.n, 6) AS confidence,
+        |  round(CAST(n_both AS DOUBLE) * nb.n / (ia.n * ic2.n), 6) AS lift
+        |FROM p JOIN ic ia ON p.antecedent = ia.item
+        |JOIN ic ic2 ON p.consequent = ic2.item, nb""".stripMargin,
     // q189: same confusion reduction, rounded precision/recall feeding
     // the F1, null-not-NaN degenerate cells
     "q189_classification_report" ->

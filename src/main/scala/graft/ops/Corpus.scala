@@ -241,6 +241,41 @@ object Corpus {
       .where(col("rank") <= topK)
   }
 
+  /** Term burstiness (Church & Gale 1995): the variance-to-mean ratio
+    * of a term's per-document tf among the documents CONTAINING it —
+    * the lexical signal separating content words (bursty: absent
+    * mostly, then repeated — VMR ≫ 1) from function/template words
+    * (Poisson-ish: VMR ≈ 1). Complements [[zipfAlpha]] (corpus shape)
+    * and tf-idf (df only, blind to WITHIN-doc clumping): a
+    * high-df-high-VMR term is topical boilerplate, high-df-low-VMR is
+    * grammar. Population variance from exact integer power sums,
+    * `minDf` cut, 6 dp. Output: (term, df_docs, total_tf, mean_tf,
+    * vmr).
+    *
+    * Scale shape: the module's standard no-Expand reduction — one
+    * (doc, term) hash-agg, then one (term) hash-agg over exact integer
+    * Σtf/Σtf²; nothing after the second agg exceeds \|vocab\| rows. */
+  def termBurstiness(df: DataFrame, idCol: String, textCol: String,
+                     minDf: Int = 5): DataFrame = {
+    require(minDf >= 1, s"termBurstiness: need minDf >= 1, got $minDf")
+    // per-(doc, term) tf first — burstiness is about within-doc clumping
+    val perDoc = df.select(col(idCol).as("__doc"),
+        explode(split(col(textCol), " ")).as("term"))
+      .groupBy("__doc", "term").agg(count(lit(1)).as("__tf"))
+    perDoc.groupBy("term")
+      .agg(count(lit(1)).as("df_docs"), sum("__tf").as("total_tf"),
+        sum(col("__tf") * col("__tf")).as("__sq"))
+      .where(col("df_docs") >= minDf)
+      .select(col("term"), col("df_docs"), col("total_tf"),
+        round(col("total_tf").cast("double") / col("df_docs"), 6)
+          .as("mean_tf"),
+        round((col("__sq").cast("double") / col("df_docs")
+          - (col("total_tf").cast("double") / col("df_docs"))
+            * (col("total_tf").cast("double") / col("df_docs")))
+          / (col("total_tf").cast("double") / col("df_docs")), 6)
+          .as("vmr"))
+  }
+
   /** Late-interaction (MaxSim) rerank of candidate document pairs —
     * ColBERT's scoring rule (Khattab & Zaharia, SIGIR 2020) re-expressed
     * relationally: `score(q, d) = (1/|q|) Σ_{i ∈ q positions}

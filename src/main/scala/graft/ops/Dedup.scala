@@ -85,6 +85,50 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Directional n-gram CONTAINMENT pairs — the quote/excerpt detector
+    * Jaccard-based dedup is structurally blind to: a 50-token excerpt
+    * inside a 5 000-token article has Jaccard ≈ 0.01 but containment
+    * `|A∩B| / |A|` ≈ 1. Emits (contained_id, container_id, containment)
+    * for ordered pairs where the CONTAINED side's shingles are covered
+    * at ≥ `minContainment` and the contained side has at most
+    * `maxContainedTokens` tokens — the asymmetry is the point, so the
+    * cap applies only to the quote side. Both directions of a mutual
+    * near-dup appear (downstream dedup already handles symmetric pairs;
+    * this op's consumers want the quotes).
+    *
+    * Scale shape: the probe side is PRE-FILTERED to short documents
+    * before its shingle explode, so the pair join is (short-doc
+    * shingles) ⋈ (corpus shingles) — bounded by the quote-side volume,
+    * not the corpus square; sizes ride from scan-stage arrays. The
+    * all-pairs exact form (this is the verifier twin, like q21 for
+    * Jaccard) still pays Σ df(shingle)·df_short(shingle); band it with
+    * [[minHashLshPairs]] on the short side when the quote side itself
+    * is corpus-sized. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, minContainment: Double,
+                       maxContainedTokens: Int): DataFrame = {
+    require(minContainment > 0 && minContainment <= 1,
+      s"containmentPairs: need 0 < minContainment <= 1, got $minContainment")
+    require(maxContainedTokens >= n,
+      s"containmentPairs: need maxContainedTokens >= n, got $maxContainedTokens")
+    val short = df.where(size(split(col(textCol), " ")) <= maxContainedTokens)
+    val a = graft.core.CacheRegistry.persist(
+      shingleTable(short, idCol, textCol, n)).toDF("contained_id", "shingle")
+    val b = shingleTable(df, idCol, textCol, n).toDF("container_id", "shingle")
+    val common = a.join(b, Seq("shingle"))
+      .where(col("contained_id") =!= col("container_id"))
+      .groupBy("contained_id", "container_id")
+      .agg(count(lit(1)).as("n_common"))
+    val sizes = graft.core.CacheRegistry.persist(
+      shingleArrays(short, idCol, textCol, n)
+        .select(col(idCol).as("contained_id"), size(col("sh")).as("__na")))
+    common.join(sizes, Seq("contained_id"))
+      .withColumn("containment",
+        round(col("n_common").cast("double") / col("__na"), 6))
+      .where(col("containment") >= minContainment)
+      .select("contained_id", "container_id", "containment")
+  }
+
   /** MinHash signature columns sig_0..sig_{h-1}: sig_i = min over shingles
     * of md5(i || ':' || shingle) (duplicates cannot change a min, so
     * distinctness is not required). Computed per document in ONE pass by a

@@ -249,6 +249,51 @@ object EventAnalytics {
           .as("hazard"))
   }
 
+  /** Market-basket association rules over arbitrary basket keys (a
+    * session, a user-day, an order): for every DIRECTED item pair
+    * (antecedent → consequent) co-present in ≥ `minBaskets` baskets,
+    * the support count, `confidence = n_both/n_ant`, and
+    * `lift = n_both·N / (n_ant·n_cons)` — the behavioral
+    * cross-activity signal [[transitionCounts]]' ADJACENT bigrams
+    * can't give (co-presence anywhere in the basket, order-free).
+    * Items dedup within a basket (presence, not frequency). 6 dp.
+    * Output: basket-key-free (antecedent, consequent, n_both, n_ant,
+    * n_cons, confidence, lift).
+    *
+    * Scale shape: one distinct (basket, item) reduction feeds the
+    * basket-keyed self-join — pair volume is Σ items-per-basket², the
+    * basket bound, never a corpus square; item totals and the basket
+    * count ride as broadcasts. */
+  def basketRules(df: DataFrame, basketCols: Seq[String], itemCol: String,
+                  minBaskets: Long = 1L): DataFrame = {
+    require(basketCols.nonEmpty, "basketRules: need at least one basket column")
+    require(minBaskets >= 1, s"basketRules: need minBaskets >= 1, got $minBaskets")
+    val items = graft.core.CacheRegistry.persist(
+      df.select((basketCols.map(col) :+ col(itemCol).as("__it")): _*)
+        .where(col("__it").isNotNull).distinct())
+    val nB = items.select(basketCols.map(col): _*).distinct()
+      .agg(count(lit(1)).as("__nb"))
+    val itemCounts = items.groupBy(col("__it")).agg(count(lit(1)).as("__n"))
+    val joinCond = basketCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _) && col("a.__it") =!= col("b.__it")
+    val pairs = items.as("a").join(items.as("b"), joinCond)
+      .groupBy(col("a.__it").as("antecedent"), col("b.__it").as("consequent"))
+      .agg(count(lit(1)).as("n_both"))
+      .where(col("n_both") >= minBaskets)
+    pairs
+      .join(broadcast(itemCounts.select(col("__it").as("antecedent"),
+        col("__n").as("n_ant"))), "antecedent")
+      .join(broadcast(itemCounts.select(col("__it").as("consequent"),
+        col("__n").as("n_cons"))), "consequent")
+      .crossJoin(broadcast(nB))
+      .select(col("antecedent"), col("consequent"), col("n_both"),
+        col("n_ant"), col("n_cons"),
+        round(col("n_both").cast("double") / col("n_ant"), 6)
+          .as("confidence"),
+        round(col("n_both").cast("double") * col("__nb") /
+          (col("n_ant") * col("n_cons")), 6).as("lift"))
+  }
+
   /** Per-key CUSUM change detection (Page 1954): over each key's
     * (ts, id)-ordered values, the one-sided cumulative sum
     * `s_i = max(0, s_{i−1} + (x_i − (target + slack)))` — the classic

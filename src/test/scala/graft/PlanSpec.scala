@@ -618,6 +618,24 @@ class PlanSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  test("containment: short-side probe cached, shingle equi-join, no cartesian (q191)") {
+    val plan = planOf(SparkEntry.queries("q191_containment_pairs")(spark, sf0001))
+    plan should include("InMemoryTableScan")
+    plan should not include "CartesianProduct"
+  }
+
+  test("burstiness: two chained hash-aggs, no Expand (q192)") {
+    val plan = planOf(SparkEntry.queries("q192_term_burstiness")(spark, sf0001))
+    plan should include("partial_sum")
+    plan should not include "Expand"
+  }
+
+  test("basket rules: basket-keyed self-join, broadcast totals, no cartesian (q193)") {
+    val plan = planOf(SparkEntry.queries("q193_basket_rules")(spark, sf0001))
+    plan should include("InMemoryTableScan")
+    plan should not include "CartesianProduct"
+  }
+
   test("classification report: one confusion reduction feeds all sides (q189)") {
     val plan = planOf(SparkEntry.queries("q189_classification_report")(spark, sf0001))
     plan should include("InMemoryTableScan") // the (label, pred) matrix shared

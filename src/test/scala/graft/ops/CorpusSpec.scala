@@ -393,6 +393,22 @@ class CorpusSpec extends SparkSpec {
     graft.core.CacheRegistry.drain()
   }
 
+  test("termBurstiness: uniform terms score 0, clumped terms high; minDf cut") {
+    // x appears once in each of 5 docs (VMR 0); y clumps: 1,1,1,1,6
+    val docs = Seq(
+      (1L, "x y"), (2L, "x y"), (3L, "x y"), (4L, "x y"),
+      (5L, "x y y y y y y")).toDF("doc_id", "text")
+    val r = Corpus.termBurstiness(docs, "doc_id", "text", 5)
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    r("x") shouldBe (("x", 5L, 5L, 1.0, 0.0))
+    // y: mean 2, pop var = (4·1 + 36)/5 − 4 = 4 → VMR 2
+    r("y") shouldBe (("y", 5L, 10L, 2.0, 2.0))
+    Corpus.termBurstiness(docs, "doc_id", "text", 6).count() shouldBe 0
+    an[IllegalArgumentException] should be thrownBy
+      Corpus.termBurstiness(docs, "doc_id", "text", 0)
+  }
+
   private implicit class TripleOps(rows: Array[(Long, String, Double)]) {
     def toMap2: Map[Long, (String, Double)] =
       rows.map { case (id, t, s) => id -> (t, s) }.toMap

@@ -264,6 +264,27 @@ class DedupSpec extends SparkSpec {
     graft.core.CacheRegistry.drain()
   }
 
+  test("containmentPairs: quote found inside a long doc despite tiny Jaccard; " +
+    "directional; cap excludes long contained sides") {
+    val quote = "alpha beta gamma delta epsilon"
+    val article = s"intro words here $quote and then much more trailing content " +
+      "one two three four five six seven eight nine ten"
+    val docs = Seq((1L, quote), (2L, article), (3L, "unrelated text entirely"))
+      .toDF("doc_id", "text")
+    val r = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.8, 10)
+      .as[(Long, Long, Double)].collect()
+    r.map(p => (p._1, p._2)) shouldBe Array((1L, 2L)) // quote ⊂ article only
+    r.head._3 shouldBe 1.0 // every quote shingle appears in the article
+    // Jaccard on the same pair is far below any dedup threshold
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5).count() shouldBe 0
+    // the article itself (>10 tokens) is never a "contained" candidate
+    Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.1, 10)
+      .where($"contained_id" === 2L).count() shouldBe 0
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.0, 10)
+    graft.core.CacheRegistry.drain()
+  }
+
   test("repeatedSpans honors the minOccurrences threshold") {
     val d = Seq(
       (1L, "a b c d"), (2L, "a b c e"), (3L, "a b c f") // "a b c" occurs 3x

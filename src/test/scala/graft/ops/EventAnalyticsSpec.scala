@@ -303,6 +303,30 @@ class EventAnalyticsSpec extends SparkSpec {
         java.sql.Date.valueOf("2024-02-01"), -1)
   }
 
+  test("basketRules: hand confidence/lift; presence not frequency; directed") {
+    import java.sql.Timestamp
+    val d1 = Timestamp.valueOf("2024-01-01 10:00:00")
+    val ev = Seq(
+      (1L, d1, "a"), (1L, d1, "b"), (1L, d1, "a"), // dup 'a' collapses
+      (2L, d1, "a"), (2L, d1, "b"),
+      (3L, d1, "a")
+    ).toDF("user_id", "ts", "event_type")
+      .withColumn("day", org.apache.spark.sql.functions.to_date($"ts"))
+    val r = EventAnalytics.basketRules(ev, Seq("user_id", "day"), "event_type")
+      .as[(String, String, Long, Long, Long, Double, Double)].collect()
+      .map(x => (x._1, x._2) -> x).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ab = r(("a", "b")) // a in 3 baskets, b in 2, both in 2, N = 3
+    (ab._3, ab._4, ab._5) shouldBe ((2L, 3L, 2L))
+    ab._6 shouldBe r6(2.0 / 3)
+    ab._7 shouldBe 1.0 // 2·3/(3·2)
+    r(("b", "a"))._6 shouldBe 1.0 // b → a always
+    an[IllegalArgumentException] should be thrownBy
+      EventAnalytics.basketRules(ev, Seq.empty, "event_type")
+    graft.core.CacheRegistry.drain()
+  }
+
   test("cusumAlerts: sustained shift alarms where a lone spike decays; hand trace") {
     import java.sql.Timestamp
     def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
