@@ -1048,6 +1048,15 @@ object SparkEntry {
       }
       s.table(name)
     }),
+    // sorted ("smart") batching cost table: length-ordered batches of 32
+    // docs, each padded to its own max — near-zero waste off boundaries
+    "q194_sorted_batches" -> ((s, dir) =>
+      graft.ops.Packing.sortedBatches(
+        t(s, dir, "documents").select("doc_id", "text"), "doc_id", "text", 32)),
+    // per-source bigram entropy/perplexity: the synthetic-data diversity
+    // gauge (template expansion craters it before dedup notices)
+    "q195_bigram_entropy" -> ((s, dir) =>
+      graft.ops.Corpus.bigramEntropy(t(s, dir, "documents"), "source", "text")),
     // directional containment pairs: short docs covered ≥80% by another
     // doc's shingles — the quote/excerpt detector Jaccard misses
     "q191_containment_pairs" -> ((s, dir) =>
@@ -2287,6 +2296,39 @@ object SparkEntry {
          |  ra.max_val AS max_a, rb.max_val AS max_b
          |FROM ra JOIN rb ON ra.col_name = rb.col_name""".stripMargin
     },
+    // q194: the same (tokens, id) total order, integer-div batch cut,
+    // per-batch max padding arithmetic
+    "q194_sorted_batches" ->
+      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+        |    AS n FROM documents),
+        |r AS (SELECT *, row_number() OVER (ORDER BY n ASC, doc_id ASC) AS rk
+        |  FROM t),
+        |b AS (SELECT (rk - 1) // 32 AS batch_id, n FROM r)
+        |SELECT CAST(batch_id AS BIGINT) AS batch_id,
+        |  count(*) AS n_docs, max(n) AS max_tokens,
+        |  CAST(sum(n) AS BIGINT) AS sum_tokens,
+        |  max(n) * count(*) AS padded_tokens,
+        |  round(1.0 - CAST(sum(n) AS BIGINT) /
+        |    CAST(max(n) * count(*) AS DOUBLE), 6) AS waste_ratio
+        |FROM b GROUP BY 1""".stripMargin,
+    // q195: the q166 pair stream per source, plain Shannon fold, e^H of
+    // the rounded entropy
+    "q195_bigram_entropy" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS ts FROM documents),
+        |p AS (SELECT source, unnest(list_transform(
+        |    generate_series(1, len(ts) - 1), i -> ts[i] || ' ' || ts[i + 1]))
+        |    AS pair
+        |  FROM t WHERE len(ts) >= 2),
+        |pc AS (SELECT source, pair, count(*) AS c FROM p GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM pc GROUP BY 1),
+        |e AS (SELECT pc.source, CAST(max(tot.n) AS BIGINT) AS n_bigrams,
+        |    CAST(count(*) AS BIGINT) AS distinct_bigrams,
+        |    round(-sum((CAST(c AS DOUBLE) / CAST(tot.n AS DOUBLE)) *
+        |      ln(CAST(c AS DOUBLE) / CAST(tot.n AS DOUBLE))), 6) AS entropy
+        |  FROM pc JOIN tot ON pc.source = tot.source GROUP BY 1)
+        |SELECT source, n_bigrams, distinct_bigrams, entropy,
+        |  round(exp(entropy), 6) AS perplexity
+        |FROM e""".stripMargin,
     // q191: the same asymmetric probe — short-doc shingles joined
     // against the corpus table, containment on the short side's size
     "q191_containment_pairs" -> {

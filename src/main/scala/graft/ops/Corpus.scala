@@ -241,6 +241,40 @@ object Corpus {
       .where(col("rank") <= topK)
   }
 
+  /** Per-source bigram entropy and perplexity: Shannon entropy of each
+    * source's bigram OCCURRENCE distribution (`H = −Σ p ln p`,
+    * `ppl = e^H` = the effective vocabulary of adjacent pairs) — the
+    * corpus-level diversity gauge for synthetic/generated data QA:
+    * template expansion and mode-collapsed generation crater the bigram
+    * perplexity long before document-level dedup notices, while
+    * [[graft.functions.TextFunctions.charEntropy]] sees only characters
+    * and [[zipfAlpha]] only unigram shape. Docs with < 2 tokens
+    * contribute nothing; 6 dp rounds. Output:
+    * (source, n_bigrams, distinct_bigrams, entropy, perplexity).
+    *
+    * Scale shape: the [[bigramSurprisal]] kernel pair stream feeds ONE
+    * (source, pair) hash-agg; the entropy fold then runs over distinct
+    * pairs per source with the per-source totals joined back on the
+    * source key (broadcast-sized). */
+  def bigramEntropy(df: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val pairs = df.where(size(split(col(textCol), " ")) >= 2)
+      .select(col(srcCol).as("source"), explode(
+        graft.functions.TextFunctions.adjPairs(col(textCol))).as("__pair"))
+      .groupBy("source", "__pair").agg(count(lit(1)).as("__c"))
+    val totals = pairs.groupBy("source").agg(sum("__c").as("__n"))
+    val p = col("__c").cast("double") / col("__n").cast("double")
+    pairs.join(broadcast(totals), "source")
+      .groupBy("source")
+      .agg(max("__n").as("n_bigrams"),
+        count(lit(1)).as("distinct_bigrams"),
+        round(-sum(p * log(p)), 6).as("entropy"))
+      // e^H of the ROUNDED entropy: both engines exponentiate the same
+      // 6 dp value, and the outer round absorbs the libm ulp
+      .withColumn("perplexity", round(exp(col("entropy")), 6))
+      .select(col("source"), col("n_bigrams"), col("distinct_bigrams"),
+        col("entropy"), col("perplexity"))
+  }
+
   /** Term burstiness (Church & Gale 1995): the variance-to-mean ratio
     * of a term's per-document tf among the documents CONTAINING it —
     * the lexical signal separating content words (bursty: absent

@@ -83,4 +83,37 @@ object Packing {
         round(lit(1.0) - col("sum_tokens") /
           (col("bucket") * col("n_docs")).cast("double"), 6).as("waste_ratio"))
   }
+
+  /** Sorted ("smart") batching: documents ordered by token count and cut
+    * into fixed-size batches of `batchSize`, each padded to ITS OWN max —
+    * the training-efficiency layout where random batching pads every
+    * batch to its longest straggler (length-sorted neighbors ≈ equal
+    * lengths → near-zero padding except at batch boundaries). Emits the
+    * per-batch cost table: (batch_id, n_docs, max_tokens, sum_tokens,
+    * padded_tokens, waste_ratio 6 dp) — compare Σ padded against
+    * [[paddingBuckets]]' power-of-two layout or an unsorted baseline to
+    * price the shuffle the sort costs. Ties break on the id (total
+    * order, engine-deterministic); the tail batch may be short.
+    *
+    * Scale shape: the global length order comes from
+    * [[graft.ops.Layout.globalRank]]'s range-partitioned device (never
+    * a single-partition window), then ONE batch-keyed hash-agg. */
+  def sortedBatches(df: DataFrame, idCol: String, textCol: String,
+                    batchSize: Int): DataFrame = {
+    require(batchSize >= 1, s"sortedBatches: need batchSize >= 1, got $batchSize")
+    val toks = df.select(col(idCol).as("__id"),
+      size(split(col(textCol), " ")).cast("long").as("__n"))
+    graft.ops.Layout.globalRank(toks, "__n", "__id", rankCol = "__rank")
+      // exact integer division (the writePlan rule) — never a double divide
+      .withColumn("batch_id", expr(s"(__rank - 1) div $batchSize"))
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("n_docs"), max("__n").as("max_tokens"),
+        sum("__n").as("sum_tokens"))
+      .select(col("batch_id"), col("n_docs"), col("max_tokens"),
+        col("sum_tokens"),
+        (col("max_tokens") * col("n_docs")).as("padded_tokens"),
+        round(lit(1.0) - col("sum_tokens") /
+          (col("max_tokens") * col("n_docs")).cast("double"), 6)
+          .as("waste_ratio"))
+  }
 }

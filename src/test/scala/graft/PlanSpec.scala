@@ -618,6 +618,19 @@ class PlanSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  test("sorted batches: range-partitioned rank, no single-partition window (q194)") {
+    val plan = planOf(SparkEntry.queries("q194_sorted_batches")(spark, sf0001))
+    plan should not include "Exchange SinglePartition"
+    plan should include("partial_max")
+  }
+
+  test("bigram entropy: kernel pair stream, broadcast totals, no Expand (q195)") {
+    val plan = planOf(SparkEntry.queries("q195_bigram_entropy")(spark, sf0001))
+    plan should include("partial_count")
+    plan should include("BroadcastHashJoin")
+    plan should not include "Expand"
+  }
+
   test("containment: short-side probe cached, shingle equi-join, no cartesian (q191)") {
     val plan = planOf(SparkEntry.queries("q191_containment_pairs")(spark, sf0001))
     plan should include("InMemoryTableScan")

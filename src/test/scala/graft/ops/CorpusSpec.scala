@@ -409,6 +409,21 @@ class CorpusSpec extends SparkSpec {
       Corpus.termBurstiness(docs, "doc_id", "text", 0)
   }
 
+  test("bigramEntropy: uniform pairs → ln k, degenerate source → 0, " +
+    "short docs excluded") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Seq(
+      (1L, "a b c", "u"), (2L, "d e", "u"),   // pairs: ab, bc, de — uniform 3
+      (3L, "x x x", "m"), (4L, "solo", "m")   // pairs: xx ×2; "solo" excluded
+    ).toDF("doc_id", "text", "source")
+    val r = Corpus.bigramEntropy(docs, "source", "text")
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(x => x._1 -> x).toMap
+    r("u") shouldBe (("u", 3L, 3L, r6(math.log(3.0)), r6(math.exp(r6(math.log(3.0))))))
+    r("m") shouldBe (("m", 2L, 1L, 0.0, 1.0)) // mode collapse: ppl 1
+  }
+
   private implicit class TripleOps(rows: Array[(Long, String, Double)]) {
     def toMap2: Map[Long, (String, Double)] =
       rows.map { case (id, t, s) => id -> (t, s) }.toMap

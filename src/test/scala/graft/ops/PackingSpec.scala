@@ -74,4 +74,23 @@ class PackingSpec extends SparkSpec {
     r(4L) shouldBe ((1L, 3L, 4L, 0.25))
     r(8L) shouldBe ((2L, 13L, 16L, 0.1875))
   }
+
+  test("sortedBatches: length-ordered cuts, per-batch max padding, short tail") {
+    // token counts 1..5 → batches of 2: {1,2} {3,4} {5}
+    val docs = Seq((1L, "a"), (2L, "a b"), (3L, "a b c"),
+      (4L, "a b c d"), (5L, "a b c d e")).toDF("doc_id", "text")
+    val r = Packing.sortedBatches(docs, "doc_id", "text", 2)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(x => x._1 -> x).toMap
+    r(0L) shouldBe ((0L, 2L, 2L, 3L, 4L, 0.25))
+    r(1L) shouldBe ((1L, 2L, 4L, 7L, 8L, 0.125))
+    r(2L) shouldBe ((2L, 1L, 5L, 5L, 5L, 0.0)) // short tail batch
+    // partitioning must not change the batch assignment
+    Packing.sortedBatches(docs.repartition(4), "doc_id", "text", 2)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(x => x._1 -> x).toMap shouldBe r
+    an[IllegalArgumentException] should be thrownBy
+      Packing.sortedBatches(docs, "doc_id", "text", 0)
+    graft.core.CacheRegistry.drain()
+  }
 }
