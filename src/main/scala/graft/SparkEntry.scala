@@ -720,11 +720,14 @@ object SparkEntry {
       graft.ops.Embeddings.intraGroupDiversity(
         t(s, dir, "embeddings"), "label", "embedding")),
     // per-session ordered event-type sequences (behavioral pretraining
-    // rows) — q41's gap semantics + a total (ts, event_id) order
+    // rows) — q41's gap semantics + a total (ts, event_id) order. The
+    // Scala API returns array<string>; the driver-facing row serializes
+    // it ('|' join) because the harness comparator can't sort array cells.
     "q146_session_sequences" -> ((s, dir) =>
       graft.ops.EventAnalytics.sessionSequences(
         t(s, dir, "events").select("event_id", "ts", "user_id", "event_type"),
-        "user_id", "ts", "event_id", "event_type", 1800000L)),
+        "user_id", "ts", "event_id", "event_type", 1800000L)
+        .withColumn("event_seq", array_join(col("event_seq"), "|"))),
     // crawl-extraction markup strip: comments, tags, entities (amp last),
     // whitespace collapse — pure scan stage
     "q147_strip_markup" -> ((s, dir) =>
@@ -768,10 +771,15 @@ object SparkEntry {
     "q155_write_plan" -> ((s, dir) =>
       graft.ops.Layout.writePlan(t(s, dir, "documents"),
         Seq("source", "lang"), "n_chars", 32768L)),
-    // matryoshka truncation: first 8 dims, re-normalized to unit L2
+    // matryoshka truncation: first 8 dims, re-normalized to unit L2.
+    // Scala API keeps `tvec array<double>`; the driver-facing row
+    // explodes to (vec_id, dim, v) scalars for the harness comparator.
     "q156_matryoshka" -> ((s, dir) =>
       graft.ops.Embeddings.truncateRenorm(
-        t(s, dir, "embeddings"), "vec_id", "embedding", 8)),
+        t(s, dir, "embeddings"), "vec_id", "embedding", 8)
+        .select(col("vec_id"), posexplode(col("tvec")))
+        .select(col("vec_id"),
+          (col("pos") + 1).cast("long").as("dim"), col("col").as("v"))),
     // class-balanced exact downsample: every label at the minority count
     "q157_balance_labels" -> ((s, dir) =>
       Sampling.balanceToMinority(
@@ -1074,7 +1082,7 @@ object SparkEntry {
         t(s, dir, "events").withColumn("day", to_date(col("ts"))),
         Seq("user_id", "day"), "event_type")),
     // per-class precision/recall/F1 against a deterministic noisy
-    // predictor (30% of events mislabeled as 'click')
+    // predictor (hex digits 0-2 → ~19% of events mislabeled as 'click')
     "q189_classification_report" -> ((s, dir) =>
       graft.ops.Quality.classificationReport(
         t(s, dir, "events").withColumn("pred",
@@ -1133,10 +1141,15 @@ object SparkEntry {
         .where(col("cos") > 0)
       graft.ops.Graph.triangleStats(knn, "query_id", "cand_id")
     }),
-    // deterministic Johnson-Lindenstrauss ±1 projection 64 → 16 dims
+    // deterministic Johnson-Lindenstrauss ±1 projection 64 → 16 dims.
+    // Scala API keeps `proj array<double>`; the driver-facing row
+    // explodes to (vec_id, dim, v) scalars for the harness comparator.
     "q183_random_projection" -> ((s, dir) =>
       graft.ops.Embeddings.randomProjection(
-        t(s, dir, "embeddings"), "vec_id", "embedding", 64, 16)),
+        t(s, dir, "embeddings"), "vec_id", "embedding", 64, 16)
+        .select(col("vec_id"), posexplode(col("proj")))
+        .select(col("vec_id"),
+          (col("pos") + 1).cast("long").as("dim"), col("col").as("v"))),
     // retrieve-then-rerank: q178's top-10 candidates re-scored by
     // ColBERT-style MaxSim over md5-derived token pseudo-embeddings
     "q181_late_interaction" -> ((s, dir) => {
@@ -2570,14 +2583,17 @@ object SparkEntry {
          |    (deg.degree * (deg.degree - 1)), 6) END AS coeff
          |FROM deg LEFT JOIN pn ON deg.node = pn.node""".stripMargin,
     // q183: the SAME literal sign matrix interpolated from
-    // projectionSigns, same dot/scale/round shapes
+    // projectionSigns, same dot/scale/round shapes; exploded to
+    // (vec_id, dim, v) rows to match the driver-facing shape
     "q183_random_projection" -> {
       val elems = graft.ops.Embeddings.projectionSigns(64, 16).map { r =>
         val signs = r.map(v => if (v > 0) "1.0" else "-1.0").mkString(", ")
         s"round(list_dot_product(CAST(embedding AS DOUBLE[]), [$signs]) / sqrt(16.0), 6)"
       }
-      s"""SELECT vec_id, [${elems.mkString(",\n  ")}] AS proj
-         |FROM embeddings""".stripMargin
+      s"""WITH p AS (SELECT vec_id, [${elems.mkString(",\n  ")}] AS proj
+         |  FROM embeddings)
+         |SELECT vec_id, g.dim AS dim, proj[g.dim] AS v
+         |FROM p CROSS JOIN generate_series(1, 16) AS g(dim)""".stripMargin
     },
     // q181: q178's candidate CTEs + the same nibble vectors, fold-exact
     // dots/norms (list_reduce replays the Spark HOF fold bit-for-bit),
@@ -2774,7 +2790,8 @@ object SparkEntry {
         |grid AS (SELECT nt.term, nt.n_t, lab.label, lab.n_l,
         |    coalesce(tl.n_tl, 0) AS n_tl
         |  FROM nt CROSS JOIN lab
-        |  LEFT JOIN tl ON tl.term = nt.term AND tl.label = lab.label)
+        |  LEFT JOIN tl ON tl.term = nt.term
+        |    AND tl.label IS NOT DISTINCT FROM lab.label)
         |SELECT term, CAST(max(n_t) AS BIGINT) AS df_docs,
         |  round(sum(
         |    CASE WHEN n_tl > 0 THEN
@@ -4007,7 +4024,7 @@ object SparkEntry {
         |      FROM marked)
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
         |  min(ts) AS session_start, count(*) AS n_events,
-        |  list(event_type ORDER BY ts, event_id) AS event_seq
+        |  string_agg(event_type, '|' ORDER BY ts, event_id) AS event_seq
         |FROM s GROUP BY 1, 2""".stripMargin,
     // q147: the same comment/tag/entity/whitespace chain (RE2-safe)
     "q147_strip_markup" ->
@@ -4110,7 +4127,8 @@ object SparkEntry {
         |    // greatest(1, (est_bytes + 32767) // 32768) AS rows_per_file,
         |  round(est_bytes / total_bytes, 6) AS bytes_share
         |FROM per, tot""".stripMargin,
-    // q156: list slice + sequential double fold, 6 dp — zero-norm → zeros
+    // q156: list slice + sequential double fold, 6 dp — zero-norm → zeros;
+    // exploded to (vec_id, dim, v) rows to match the driver-facing shape
     "q156_matryoshka" ->
       """WITH s AS (
         |  SELECT vec_id,
@@ -4120,10 +4138,10 @@ object SparkEntry {
         |  SELECT vec_id, sl,
         |    sqrt(list_aggregate(list_transform(sl, x -> x * x), 'sum')) AS nrm
         |  FROM s)
-        |SELECT vec_id,
-        |  CASE WHEN nrm = 0 THEN list_transform(sl, x -> 0.0)
-        |       ELSE list_transform(sl, x -> round(x / nrm, 6)) END AS tvec
-        |FROM n""".stripMargin,
+        |SELECT vec_id, g.dim AS dim,
+        |  CASE WHEN nrm = 0 THEN 0.0
+        |       ELSE round(sl[g.dim] / nrm, 6) END AS v
+        |FROM n CROSS JOIN generate_series(1, 8) AS g(dim)""".stripMargin,
     // q157: every label cut to the global minority count, md5 order
     "q157_balance_labels" ->
       """WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),

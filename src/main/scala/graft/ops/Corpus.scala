@@ -420,8 +420,14 @@ object Corpus {
     val absent = when(n01 > 0,
       (n01 / bigN) * log((n01 / bigN) / ((lit(1.0) - pT) * pL)))
       .otherwise(lit(0.0))
+    // null-SAFE label key (<=>): a null-label cohort must attach its
+    // (term, label) presence counts to the grid like any other label —
+    // a plain equi-join would silently score those docs as 'absent'
     nt.crossJoin(broadcast(labels))
-      .join(tl, Seq("term", "label"), "left")
+      .join(tl.select(col("term").as("__tl_term"), col("label").as("__tl_label"),
+          col("n_tl")),
+        col("term") === col("__tl_term") && col("label") <=> col("__tl_label"),
+        "left")
       .crossJoin(broadcast(nTot))
       .groupBy(col("term"))
       .agg(max("n_t").as("df_docs"),

@@ -488,7 +488,9 @@ object Similarity {
     * `‖x−c‖² = x·x − 2·x·c + c·c` expansion with 6 dp
     * round-before-argmax and id tie-break, so selection is
     * engine-deterministic. Output: (center_rank, id, radius) — radius
-    * null for the seed.
+    * null for the seed. An empty (or all-null-vector) input yields an
+    * empty frame; `k` larger than the row count returns one row per
+    * available vector — never a mid-traversal exception.
     *
     * Scale shape: one cached pass computes per-row self-dots; each
     * round is a SCAN with the current centers as literal vectors
@@ -506,13 +508,21 @@ object Similarity {
       emb.where(col(vecCol).isNotNull)
         .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
         .withColumn("__xx", dotF(col("__v"), col("__v"))))
-    val seedRow = base.orderBy(col("__id").asc).limit(1)
+    // guarded head(): an empty / all-null-vector input yields an empty
+    // result, and k > |rows| stops at |rows| picks (a short coreset, not
+    // a mid-traversal NoSuchElementException)
+    val seed = base.orderBy(col("__id").asc).limit(1)
       .select(col("__id"), col("__v"), col("__xx"))
-      .as[(Long, Seq[Float], Double)].head()
+      .as[(Long, Seq[Float], Double)].collect().headOption
+    if (seed.isEmpty)
+      return Seq.empty[(Long, Long, Option[Double])]
+        .toDF("center_rank", "id", "radius")
+    val seedRow = seed.get
     // (id, vec, selfDot, radius) per selected center, in pick order
     val centers = scala.collection.mutable.ArrayBuffer(
       (seedRow._1, seedRow._2, seedRow._3, Option.empty[Double]))
-    while (centers.size < k) {
+    var exhausted = false
+    while (centers.size < k && !exhausted) {
       val minDist = centers.map { case (_, cv, cc, _) =>
         col("__xx") - lit(2.0) * dotF(col("__v"), typedLit(cv)) + lit(cc)
       }.reduce(least(_, _))
@@ -521,8 +531,11 @@ object Similarity {
         .select(col("__id"), col("__v"), col("__xx"),
           round(minDist, 6).as("__d"))
         .orderBy(col("__d").desc, col("__id").asc).limit(1)
-        .as[(Long, Seq[Float], Double, Double)].head()
-      centers += ((next._1, next._2, next._3, Some(next._4)))
+        .as[(Long, Seq[Float], Double, Double)].collect().headOption
+      next match {
+        case Some(n) => centers += ((n._1, n._2, n._3, Some(n._4)))
+        case None    => exhausted = true
+      }
     }
     centers.zipWithIndex.map { case ((id, _, _, r), i) =>
       ((i + 1).toLong, id, r)

@@ -321,6 +321,27 @@ class CorpusSpec extends SparkSpec {
       Corpus.termLabelMI(docs, "text", "lang", 0)
   }
 
+  test("termLabelMI: null labels form their own cohort (null-safe grid join)") {
+    // same contingency as above but label B is NULL — the null cohort's
+    // (term, label) presence counts must attach to the grid, not be
+    // silently scored as 'absent' by a null-dropping equi-join
+    val docs = Seq(
+      (1L, "x z", Some("A")), (2L, "x z z", Some("A")),
+      (3L, "z", None: Option[String]), (4L, "z", None: Option[String]))
+      .toDF("doc_id", "text", "lang")
+    val got = Corpus.termLabelMI(docs, "text", "lang", 1)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // x: present (2 A, 0 null), absent (0 A, 2 null) — MI = ln 2
+    got("x") shouldBe ((2L, r6(math.log(2.0))))
+    // z: present in EVERY doc including the null cohort — MI must be 0
+    // (a null-unsafe join would leave (z, null)'s n_tl unattached and
+    // score the null cohort as absent, inflating z's MI)
+    got("z") shouldBe ((4L, 0.0))
+  }
+
   test("moreLikeThis: matches a driver-side tfidf cosine, prunes stop terms, " +
     "excludes self") {
     val docs = Seq((1L, "cat dog the"), (2L, "cat dog the"),
