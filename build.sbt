@@ -33,8 +33,13 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// 32g default: the bench suite runs ~195 queries in ONE JVM whose
+// cross-query caches (star fact, staged SCD2) plus per-query scoped
+// persists overflowed an 8g heap — storage eviction inflated isolated
+// 1-11s queries to 9-48s (round-4 measurement). The sandbox has 128 GiB;
+// a local[32] driver-executor gets a quarter of it.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

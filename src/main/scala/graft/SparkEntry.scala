@@ -213,7 +213,9 @@ object SparkEntry {
     // the 100 TB dedup path end-to-end: LSH candidate pairs (no all-pairs
     // stage) -> components -> representatives, oracle-checked as a whole
     "q43_dedup_drop_lsh" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      // tableRebalanced: the MinHash kernel pass parallelizes even when
+      // the corpus arrives as one small parquet file (no-op at scale)
+      val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
       Dedup.dropNearDuplicates(docs, "doc_id", "text", 3, 0.5,
         pairGen = Some(Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 4, 3, 0.5)))
     }),
@@ -640,9 +642,12 @@ object SparkEntry {
     "q53_corpus_curation" -> ((s, dir) => {
       // persisted: the LSH band self-join, the verify arrays, and the
       // cluster id list all consume `eligible` — uncached, each would
-      // re-run the (expensive) language/quality scan over the full corpus
+      // re-run the (expensive) language/quality scan over the full corpus.
+      // tableRebalanced: a one-file corpus drop is ONE scan partition,
+      // which would run the lang/quality/MinHash kernels on a single core;
+      // a corpus-scale scan passes through with no added shuffle
       val eligible = graft.core.CacheRegistry.persist(
-        t(s, dir, "documents")
+        graft.core.Tables.tableRebalanced(s, dir, "documents")
           .where(TextStats.detectedLang(col("text")) === "en"
             && TextStats.qualityBucket(col("text")) =!= "low")
           .select("doc_id", "text"))
@@ -863,8 +868,14 @@ object SparkEntry {
         size(split(col("text"), " ")))),
     // duplication-count weights: each dedup survivor with its cluster's
     // multiplicity (same pair machinery as q35/q71)
-    "q141_dup_weights" -> ((s, dir) =>
-      Dedup.duplicationWeights(t(s, dir, "documents"), "doc_id", "text", 3, 0.5)),
+    // duplication-count training weights over the BANDED LSH pair path —
+    // the q35/q43 split: the benched entry plans the 100 TB shape (the
+    // exact Σdf² generator stays reachable for the q35 oracle twin)
+    "q141_dup_weights" -> ((s, dir) => {
+      val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
+      Dedup.duplicationWeights(docs, "doc_id", "text", 3, 0.5,
+        pairGen = Some(Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 4, 3, 0.5)))
+    }),
     // DSIR importance weights: raw pool = the whole corpus, target = the
     // first three sources standing in for a curated reference corpus;
     // 256 hashed-unigram buckets
@@ -4358,8 +4369,15 @@ object SparkEntry {
         |FROM pre
         |GROUP BY CUBE (source, lang)""".stripMargin,
     // q141: survivor multiplicities off the shared cluster-closure chain
+    // q141: the q43 LSH chain (banded candidates, exact-Jaccard verify,
+    // recursive closure), then one count per cluster representative
     "q141_dup_weights" ->
-      s"""$clusterChainSql
+      s"""WITH RECURSIVE ${minhashCtes(3, 4, 3)},
+         |jpairs AS (
+         |  SELECT p.id_a, p.id_b
+         |  FROM pairs p JOIN sizes sa ON p.id_a = sa.doc_id JOIN sizes sb ON p.id_b = sb.doc_id
+         |  WHERE CAST(p.n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE) >= 0.5),
+         |${closureTailSql()}
          |SELECT cluster_id AS doc_id, count(*) AS weight
          |FROM assign GROUP BY 1""".stripMargin,
     // q136: hashed-unigram bucket histograms on both corpora, add-one

@@ -40,11 +40,17 @@ import org.apache.spark.storage.StorageLevel
   */
 object CacheRegistry {
 
-  private val global = new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]
+  private val global = new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]
 
-  private val scopes = new ThreadLocal[List[ArrayBuffer[Dataset[_]]]] {
-    override def initialValue(): List[ArrayBuffer[Dataset[_]]] = Nil
+  private val scopes = new ThreadLocal[List[ArrayBuffer[() => Unit]]] {
+    override def initialValue(): List[ArrayBuffer[() => Unit]] = Nil
   }
+
+  private def register(release: () => Unit): Unit =
+    scopes.get() match {
+      case head :: _ => head += release
+      case Nil       => global.add(release)
+    }
 
   /** Persist `ds` and register it for release — with the calling thread's
     * innermost open [[scoped]] block if one is active, else globally for a
@@ -52,11 +58,20 @@ object CacheRegistry {
   def persist[T](ds: Dataset[T],
                  level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Dataset[T] = {
     ds.persist(level)
-    scopes.get() match {
-      case head :: _ => head += ds
-      case Nil       => global.add(ds)
-    }
+    register(() => { ds.unpersist(); () })
     ds
+  }
+
+  /** Eager localCheckpoint with the SAME release contract as [[persist]]:
+    * materialize + lineage cut in one job, and the checkpointed blocks are
+    * unpersisted at scope exit / [[drain]] instead of lingering until the
+    * ContextCleaner GCs them — iterative operators (label propagation)
+    * checkpoint once per round, so deterministic release is the difference
+    * between flat storage and rounds × labels of zombie blocks. */
+  def checkpoint(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val (ck, release) = org.apache.spark.sql.graft.CheckpointOps.eagerLocal(df)
+    register(release)
+    ck
   }
 
   /** Run `body` in a fresh cache scope: frames the calling thread registers
@@ -65,22 +80,22 @@ object CacheRegistry {
     * frame is a no-op, so operators that release eagerly mid-query can
     * still register every frame. */
   def scoped[A](body: => A): A = {
-    val buf = ArrayBuffer.empty[Dataset[_]]
+    val buf = ArrayBuffer.empty[() => Unit]
     scopes.set(buf :: scopes.get())
     try body
     finally {
       scopes.set(scopes.get().tail)
-      buf.foreach(_.unpersist())
+      buf.foreach(_.apply())
     }
   }
 
-  /** Unpersist every globally-registered frame (frames inside open scopes
+  /** Release every globally-registered frame (frames inside open scopes
     * are untouched); returns how many were released. */
   def drain(): Int = {
     var n = 0
     var d = global.poll()
     while (d != null) {
-      d.unpersist()
+      d()
       n += 1
       d = global.poll()
     }

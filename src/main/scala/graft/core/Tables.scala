@@ -38,4 +38,18 @@ object Tables {
       }
     } else spark.read.parquet(path)
   }
+
+  /** [[table]], rebalanced to the session's parallelism when the scan
+    * yields fewer partitions. A small corpus arriving as one parquet file
+    * is ONE scan partition, so every downstream CPU-heavy kernel pass
+    * (MinHash signatures, language-ID, quality scoring) would run on one
+    * core while the other 31 idle; the round-robin shuffle of a sub-
+    * parallelism input is trivially cheap next to those kernels. A
+    * corpus-scale scan (≥ parallelism partitions — the 100 TB case)
+    * passes through untouched: NO shuffle is ever added to a big input. */
+  def tableRebalanced(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val t = table(spark, dir, name)
+    val p = spark.sparkContext.defaultParallelism
+    if (t.rdd.getNumPartitions < p) t.repartition(p) else t
+  }
 }

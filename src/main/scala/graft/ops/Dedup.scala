@@ -297,17 +297,34 @@ object Dedup {
   def clusters(pairs: DataFrame, pairACol: String, pairBCol: String,
                ids: DataFrame, idCol: String, maxIters: Int = 20): DataFrame = {
     import graft.core.CacheRegistry
-    // symmetric edge list
-    val edges = CacheRegistry.persist(
-      pairs.select(col(pairACol).as("src"), col(pairBCol).as("dst"))
-        .union(pairs.select(col(pairBCol).as("src"), col(pairACol).as("dst")))
-        .distinct())
+    // ONE materialization of the (possibly expensive — LSH verify) pair
+    // stream: the symmetric-edge union references it twice, so checkpoint
+    // it first. CacheRegistry.checkpoint = localCheckpoint (materialize +
+    // lineage cut in one job) with deterministic scope/drain release.
+    val half = CacheRegistry.checkpoint(
+      pairs.select(col(pairACol).as("src"), col(pairBCol).as("dst")))
+    // adaptive propagation width: rounds shuffle ONLY dup-involved nodes
+    // (typically a few percent of a corpus), so size the per-round
+    // exchanges to the measured edge count instead of the session default
+    // — a few hundred pairs would otherwise pay full-width task scheduling
+    // per tiny stage × rounds (the round-4 q53 bench tax), while billions
+    // of edges still get the session's full parallelism
+    val sess = half.sparkSession
+    val nEdges = 2L * half.count()
+    val maxParts = math.max(sess.sparkContext.defaultParallelism,
+      sess.conf.get("spark.sql.shuffle.partitions").toInt)
+    val parts = math.max(1L, math.min(maxParts.toLong, nEdges / 2000000L + 1L)).toInt
+    // symmetric edge list, pre-partitioned on the per-round join key (dst)
+    // so every round reuses the edge-side exchange
+    val edges = CacheRegistry.checkpoint(half
+      .union(half.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(parts, col("dst")))
     // only nodes with at least one edge can ever change label — propagate
     // over them alone and fold the (vastly larger) singleton set back in
     // with one left join after convergence
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-    var cached: Option[DataFrame] = None
     var converged = false
     var it = 0
     while (it < maxIters && !converged) {
@@ -316,27 +333,20 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min("label").as("nmin"))
       // carry a per-row changed flag so convergence is a filter over the
-      // round's own cache — no second join against the previous labels
-      val next = CacheRegistry.persist(
+      // round's own checkpoint — no second join against the previous labels.
+      // The eager localCheckpoint is the round's ONE materializing job and
+      // cuts lineage (labels appears twice in each round's plan — directly
+      // and inside neighborMin — so carrying plans forward doubles the tree
+      // every round); the convergence count is then a cheap cached scan.
+      val next = CacheRegistry.checkpoint(
         labels.join(neighborMin, Seq("id"), "left")
           .select(col("id"),
             least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
             (col("nmin").isNotNull && col("nmin") < col("label")).as("__changed")))
-      // ONE action per round: materializes the full cache (count cannot
-      // short-circuit, unlike isEmpty's limit) and answers convergence
       converged = next.where(col("__changed")).count() == 0L
-      cached.foreach(_.unpersist())
-      cached = Some(next)
-      // cut lineage to a LogicalRDD leaf over the just-materialized cache:
-      // `labels` appears twice in each round's plan (directly and inside
-      // neighborMin), so carrying the plan forward doubles the tree every
-      // round — exponential analysis/explain cost even though execution
-      // reads the cache
-      val flatSrc = next.drop("__changed")
-      labels = flatSrc.sparkSession.createDataFrame(flatSrc.rdd, flatSrc.schema)
+      labels = next.drop("__changed")
       it += 1
     }
-    edges.unpersist()
     // min-label propagation needs diameter rounds: a chain longer than
     // maxIters hops would silently return WRONG (non-converged) cluster ids
     if (!converged)

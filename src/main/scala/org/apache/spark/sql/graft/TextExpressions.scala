@@ -76,19 +76,44 @@ object TextKernels {
   def minHashSig(shingles: ArrayData, numHashes: Int): ArrayData = {
     val m = shingles.numElements()
     if (m == 0) return null
-    val mins = new Array[String](numHashes)
+    // hot path: md5 over raw bytes (UTF-8 concat of the "i:" prefix and the
+    // shingle bytes equals the bytes of s"$i:$sh"), mins kept as RAW digests
+    // (unsigned byte order == hex-string order, both compare nibble-first),
+    // hex-encoded only for the numHashes finalists — the naive per-hash
+    // String build + hex encode + compareTo was ~4x this cost
+    val prefixes = new Array[Array[Byte]](numHashes)
+    var p = 0
+    while (p < numHashes) {
+      prefixes(p) = (p.toString + ":").getBytes(StandardCharsets.US_ASCII)
+      p += 1
+    }
+    val d = md5TL.get()
+    val mins = new Array[Array[Byte]](numHashes)
     var k = 0
     while (k < m) {
-      val sh = shingles.getUTF8String(k).toString
+      val shBytes = shingles.getUTF8String(k).getBytes
       var i = 0
       while (i < numHashes) {
-        val h = md5Hex(s"$i:$sh")
-        if (mins(i) == null || h.compareTo(mins(i)) < 0) mins(i) = h
+        d.reset()
+        d.update(prefixes(i))
+        d.update(shBytes)
+        val h = d.digest()
+        if (mins(i) == null ||
+          java.util.Arrays.compareUnsigned(h, mins(i)) < 0) mins(i) = h
         i += 1
       }
       k += 1
     }
-    new GenericArrayData(mins.map(s => UTF8String.fromString(s): Any))
+    new GenericArrayData(mins.map { b =>
+      val out = new Array[Char](32)
+      var i = 0
+      while (i < 16) {
+        out(2 * i) = HEX((b(i) >> 4) & 0xf)
+        out(2 * i + 1) = HEX(b(i) & 0xf)
+        i += 1
+      }
+      UTF8String.fromString(new String(out)): Any
+    })
   }
 
   /** 16-bit md5-nibble SimHash, one pass per document. Identical to the
