@@ -1076,6 +1076,16 @@ object SparkEntry {
     // gauge (template expansion craters it before dedup notices)
     "q195_bigram_entropy" -> ((s, dir) =>
       graft.ops.Corpus.bigramEntropy(t(s, dir, "documents"), "source", "text")),
+    // KMV cardinality contract: deterministic md5 estimator replayed by
+    // the oracle, |est − exact| ≤ 5σ·exact/√(k−2) as a checked row
+    "q196_kmv_bound" -> ((s, dir) =>
+      graft.ops.Sketches.kmvCardinalityContract(
+        t(s, dir, "documents"), "source", "text", 3, 256, 5.0)),
+    // Misra–Gries contract: the MG(5) presence + undercount theorems as
+    // booleans the oracle pins to TRUE for every partitioning
+    "q197_mg_bound" -> ((s, dir) =>
+      graft.ops.Sketches.heavyHittersContract(
+        t(s, dir, "documents"), "source", "text", 5)),
     // directional containment pairs: short docs covered ≥80% by another
     // doc's shingles — the quote/excerpt detector Jaccard misses
     "q191_containment_pairs" -> ((s, dir) =>
@@ -2337,6 +2347,53 @@ object SparkEntry {
         |FROM b GROUP BY 1""".stripMargin,
     // q195: the q166 pair stream per source, plain Shannon fold, e^H of
     // the rounded entropy
+    // q196: the KMV estimator replayed exactly — distinct md5(shingle)s,
+    // k-th minimum via row_number, the same 12-hex-nibble fraction, the
+    // same 5σ/√(k−2) bound (sqrt interpolated from the SAME Scala double)
+    "q196_kmv_bound" -> {
+      val k = 256
+      val sqrtK2 = math.sqrt(k - 2.0)
+      val nibbleSum = (1 to 12).map(i =>
+        s"(strpos('0123456789abcdef', substr(kh, $i, 1)) - 1) * ${BigInt(16).pow(12 - i)}")
+        .mkString(" + ")
+      s"""WITH shs AS (
+         |  SELECT source, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(ts) - 2), i -> array_to_string(ts[i:i+2], ' '))))
+         |    AS shingle
+         |  FROM (SELECT source, string_split(text, ' ') AS ts FROM documents)),
+         |d AS (SELECT DISTINCT source, md5(shingle) AS h FROM shs),
+         |r AS (SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+         |    count(*) OVER (PARTITION BY source) AS nd
+         |  FROM d),
+         |kth AS (SELECT source, max(nd) AS exact_distinct,
+         |    max(CASE WHEN rn = $k THEN h END) AS kh
+         |  FROM r GROUP BY source),
+         |e AS (SELECT source, exact_distinct,
+         |    CASE WHEN exact_distinct < $k THEN CAST(exact_distinct AS DOUBLE)
+         |         ELSE ${k - 1}.0 /
+         |           (CAST($nibbleSum AS DOUBLE) / 281474976710656.0) END AS est
+         |  FROM kth)
+         |SELECT source, exact_distinct,
+         |  round(est, 6) AS est_distinct,
+         |  round(abs(est - CAST(exact_distinct AS DOUBLE)), 6) AS abs_err,
+         |  abs(est - CAST(exact_distinct AS DOUBLE))
+         |    <= 5.0 * CAST(exact_distinct AS DOUBLE) / $sqrtK2 AS within_bound
+         |FROM e""".stripMargin
+    },
+    // q197: exact token totals + heavy count; the MG theorems pinned TRUE
+    // (a merge-order bug in the aggregate becomes a hash mismatch)
+    "q197_mg_bound" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+        |ex AS (SELECT source, term, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens
+        |        FROM ex GROUP BY 1)
+        |SELECT e.source, max(t.n_tokens) AS n_tokens,
+        |  CAST(sum(CASE WHEN e.cnt > CAST(t.n_tokens AS DOUBLE) / 6.0
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy,
+        |  TRUE AS all_heavy_present, TRUE AS est_within_bound
+        |FROM ex e JOIN tot t USING (source) GROUP BY 1""".stripMargin,
     "q195_bigram_entropy" ->
       """WITH t AS (SELECT source, string_split(text, ' ') AS ts FROM documents),
         |p AS (SELECT source, unnest(list_transform(

@@ -178,4 +178,43 @@ class SketchesSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Sketches.cmEstimate($"sk", $"it", 5, 16)
   }
+
+  test("kmvCardinalityContract: saturated and unsaturated sources, bound holds") {
+    // 200 distinct shingles (saturates k=16), and a tiny source below k
+    val big = (1 to 200).map(i => ("big", s"w$i a b"))
+    val small = Seq(("small", "x y z"))
+    val df = (big ++ small).toDF("source", "text")
+    val r = Sketches.kmvCardinalityContract(df, "source", "text", 3, 16, 5.0)
+      .as[(String, Long, Double, Double, Boolean)].collect()
+      .map(x => x._1 -> x).toMap
+    // unsaturated sketch IS the distinct set: est exact, err 0
+    r("small")._2 shouldBe 1L
+    r("small")._3 shouldBe 1.0
+    r("small")._4 shouldBe 0.0
+    r("small")._5 shouldBe true
+    // saturated: a real estimate within the 5-sigma bound
+    r("big")._2 shouldBe 200L
+    r("big")._5 shouldBe true
+    r("big")._4 should be <= 5.0 * 200.0 / math.sqrt(14.0)
+    an[IllegalArgumentException] should be thrownBy
+      Sketches.kmvCardinalityContract(df, "source", "text", 3, 2, 5.0)
+  }
+
+  test("heavyHittersContract: non-vacuous heavy set, theorems hold under repartition") {
+    // skewed stream: 'hot' is 60 of 100 tokens -> above N/(k+1) for k=3
+    val text = (Seq.fill(60)("hot") ++ (1 to 40).map(i => s"w${i % 10}"))
+      .mkString(" ")
+    val df = Seq(("s0", text)).toDF("source", "text")
+    for (parts <- Seq(1, 7)) {
+      val r = Sketches.heavyHittersContract(
+        df.repartition(parts), "source", "text", 3)
+        .as[(String, Long, Long, Boolean, Boolean)].collect()
+      r.length shouldBe 1
+      val (_, n, heavy, present, bounded) = r.head
+      n shouldBe 100L
+      heavy should be >= 1L // 'hot' is above 100/4
+      present shouldBe true
+      bounded shouldBe true
+    }
+  }
 }
