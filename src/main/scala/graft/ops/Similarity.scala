@@ -14,7 +14,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes:
   *  - [[bruteForceTopK]] is the exact baseline: a self cross-join, O(N²·d).
-  *    Fine to ~10⁴ vectors per side; it is the *verifier*, not the scale path.
+  *    Fine to ~10⁴ vectors per side; it is the *verifier*, not the scale
+  *    path — like every exact-quadratic form here it is `private[graft]`
+  *    (oracles/specs/recall grids only), so the public API is LSH/IVF-first.
   *  - [[lshTopK]] is the scale path: random-hyperplane-style sign bucketing
   *    (here: sign pattern of the first `bits` dimensions — deterministic and
   *    engine-portable) turns the cross join into a per-bucket join; the
@@ -50,8 +52,14 @@ object Similarity {
         round(dotF(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
   }
 
-  /** Exact top-k nearest neighbors per vector by cosine (brute force). */
-  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+  /** Exact top-k nearest neighbors per vector by cosine (brute force).
+    * `private[graft]`: the O(N²·d) verifier backs oracle queries, recall
+    * grids, and small derived graphs (q163/q182's 3-NN) — the PUBLIC
+    * similarity surface is the scale family ([[multiBandLshTopK]],
+    * [[ivfTopK]], [[ivfPqTopK]], [[hammingTopK]]), so a library user
+    * cannot pick up the quadratic form by accident. */
+  private[graft] def bruteForceTopK(emb: DataFrame, idCol: String,
+                                    vecCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("cand_id").asc)
@@ -395,9 +403,11 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold) —
     * EXACT baseline: a self cross-join, O(N²·d). The verifier for
-    * [[lshNearDupPairs]], which is the path to run at scale. */
-  def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-                   threshold: Double): DataFrame =
+    * [[lshNearDupPairs]], which is the path to run at scale.
+    * `private[graft]`: reachable for oracles/specs only — the public
+    * near-dup surface is [[lshNearDupPairs]] / [[semanticNearDupPairs]]. */
+  private[graft] def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                                  threshold: Double): DataFrame =
     pairCosines(emb, idCol, vecCol)
       .where(col("query_id") < col("cand_id") && col("cos") >= threshold)
       .select(col("query_id").as("id_a"), col("cand_id").as("id_b"), col("cos"))
@@ -425,9 +435,12 @@ object Similarity {
     * "close in embedding space, wrong by supervision" pairs contrastive
     * and metric-learning training wants as negatives (easy negatives are
     * already far; hard ones carry the gradient). O(N²·d) self cross-join:
-    * the *verifier* for [[hardNegativesLsh]], not the scale path. */
-  def hardNegativesExact(emb: DataFrame, idCol: String, vecCol: String,
-                         labelCol: String, k: Int): DataFrame = {
+    * the *verifier* for [[hardNegativesLsh]], not the scale path.
+    * `private[graft]`: reachable for oracles/specs only — the public
+    * mining surface is [[hardNegativesLsh]]. */
+  private[graft] def hardNegativesExact(emb: DataFrame, idCol: String,
+                                        vecCol: String, labelCol: String,
+                                        k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"hardNegativesExact: need k >= 1, got $k")
     val parallelism = emb.sparkSession.sparkContext.defaultParallelism
