@@ -70,4 +70,54 @@ object BronzeIngest {
       try ingestTable(landing, store, bronzeRoot, t, runTs, typeOverrides(t))
       catch { case e: Exception => Report(t, -1, s"failed: ${e.getMessage}") }
     }
+
+  /** Streaming twin of [[ingestTable]]: the landing entry consumed as an
+    * append-only file stream through
+    * [[graft.streaming.EventStream.streamToBronze]] under
+    * `Trigger.AvailableNow` (drain everything new, then stop — scheduled-
+    * batch parity). The stream checkpoint does the exactly-once FILE
+    * accounting the batch path delegates to SCD2's no-change detection:
+    * a landed file reaches Bronze exactly once even across crashes and
+    * re-runs, and an unchanged landing zone appends nothing (where the
+    * batch path re-appends the whole zone every run and lets the merge
+    * no-op). Contract shift: drops must be NEW files — the streaming
+    * source never re-reads a replaced same-name file.
+    *
+    * Scale notes: micro-batch size is bounded by the source's
+    * `maxFilesPerTrigger`; each batch lands as one atomic versioned
+    * append partitioned by `ingest_date` like the batch path, so Silver's
+    * watermark filter prunes the same partitions either way. */
+  def ingestTableStreaming(landing: LandingSource, store: TableStore,
+                           bronzeRoot: String, table: String, runTs: Timestamp,
+                           checkpointRoot: String,
+                           typeOverrides: Map[String, String] = Map.empty): Report = {
+    val target = s"$bronzeRoot/$table"
+    val existed = store.exists(target)
+    val schema =
+      if (existed)
+        org.apache.spark.sql.types.StructType(
+          store.schemaOf(target).fields.filterNot(f => auditCols.contains(f.name)))
+      else landing.readInferred(table, typeOverrides).schema
+    val stream = withAuditCols(landing.readStream(table, schema), runTs)
+    val appended = new java.util.concurrent.atomic.LongAdder
+    val q = graft.streaming.EventStream.streamToBronze(
+      stream, store, target, s"$checkpointRoot/$table", Seq("ingest_date"),
+      onAppend = appended.add)
+    q.awaitTermination()
+    val rows = appended.sum()
+    val action =
+      if (rows == 0) "skipped-empty" else if (existed) "appended" else "created"
+    Report(table, rows, action)
+  }
+
+  /** [[run]] with the streaming ingest path — same discovery loop and
+    * skip-vs-fail routing, each table drained via its own checkpoint. */
+  def runStreaming(landing: LandingSource, store: TableStore, bronzeRoot: String,
+                   runTs: Timestamp, checkpointRoot: String,
+                   typeOverrides: String => Map[String, String] = _ => Map.empty): Seq[Report] =
+    landing.listTables().map { t =>
+      try ingestTableStreaming(landing, store, bronzeRoot, t, runTs,
+        checkpointRoot, typeOverrides(t))
+      catch { case e: Exception => Report(t, -1, s"failed: ${e.getMessage}") }
+    }
 }

@@ -30,7 +30,12 @@ final case class PipelineConfig(
     // database (n buckets) instead of the path store — the SCD2 diff then
     // shuffles only the incremental batch (see SilverScd2.run's scaladoc)
     silverBuckets: Option[Int] = None,
-    silverDatabase: String = "graft_silver")
+    silverDatabase: String = "graft_silver",
+    // opt-in: Landing → Bronze runs as a checkpointed file stream under
+    // Trigger.AvailableNow instead of the re-read-everything batch scan —
+    // exactly-once file accounting, append-only landing contract (see
+    // BronzeIngest.ingestTableStreaming's scaladoc)
+    streamingBronze: Boolean = false)
 
 final case class RunReport(
     bronze: Seq[BronzeIngest.Report],
@@ -51,8 +56,12 @@ class Pipeline(spark: SparkSession, conf: PipelineConfig,
   def run(runTs: Timestamp,
           goldFact: Option[SparkSession => DataFrame] = None): RunReport = {
     val overrides = conf.tables.map(t => t.name -> t.typeOverrides).toMap
-    val bronze = BronzeIngest.run(landing, store, conf.bronzeRoot, runTs,
-      overrides.getOrElse(_, Map.empty))
+    val bronze =
+      if (conf.streamingBronze)
+        BronzeIngest.runStreaming(landing, store, conf.bronzeRoot, runTs,
+          s"${conf.stateRoot}/bronze_checkpoints", overrides.getOrElse(_, Map.empty))
+      else BronzeIngest.run(landing, store, conf.bronzeRoot, runTs,
+        overrides.getOrElse(_, Map.empty))
     val silver = conf.tables.filter(_.active).map { tc =>
       SilverScd2.run(store, watermarks, conf.bronzeRoot, conf.silverRoot,
         tc, runTs, sink, conf.sideChannelTable, conf.sideChannelCols, bucketed)

@@ -66,4 +66,23 @@ class LandingSource(spark: SparkSession, landingRoot: String) {
     val pinned = StructType(schema.fields.filterNot(f => auditCols.contains(f.name)))
     spark.read.schema(pinned).option("header", "true").csv(tablePath(table))
   }
+
+  /** Streaming twin of the pinned read: a file-source stream over the
+    * table's landing entry. The landing zone becomes an APPEND-ONLY file
+    * feed — the stream checkpoint does the exactly-once file accounting
+    * (a replaced same-name file counts as already seen; each drop must be
+    * a new file, which is how production landing zones behave anyway).
+    * A single-file entry streams via a glob anchored at the landing root
+    * (a bare file basePath fails source construction — the
+    * [[graft.streaming.EventStream.readEventsStream]] device). */
+  def readStream(table: String, schema: StructType,
+                 maxFilesPerTrigger: Int = 100): DataFrame = {
+    val reader = spark.readStream.schema(schema).option("header", "true")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+    val asFile = new Path(landingRoot, s"$table.csv")
+    if (fs(asFile).exists(asFile))
+      reader.option("basePath", landingRoot)
+        .csv(new Path(landingRoot, s"$table.csv*").toString)
+    else reader.csv(new Path(landingRoot, table).toString)
+  }
 }

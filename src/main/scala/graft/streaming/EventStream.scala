@@ -121,7 +121,8 @@ object EventStream {
     * like the batch path (`partitionBy`). */
   def streamToBronze(stream: DataFrame, store: graft.sources.TableStore,
                      table: String, checkpoint: String,
-                     partitionBy: Seq[String] = Nil): StreamingQuery = {
+                     partitionBy: Seq[String] = Nil,
+                     onAppend: Long => Unit = _ => ()): StreamingQuery = {
     import org.apache.hadoop.fs.Path
     val spark = stream.sparkSession
     val markerPath = new Path(s"$checkpoint/graft-committed-batch")
@@ -139,7 +140,13 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (batchId > lastCommitted && !batch.isEmpty) {
-          store.append(table, batch.toDF(), partitionBy)
+          // rows observed during the append itself (the BronzeIngest
+          // count-during-write device; the source's numInputRows metric
+          // counts csv HEADER lines too, so it can't back a report).
+          // foreachBatch runs on the driver, so the callback sees every
+          // committed batch in order.
+          onAppend(graft.core.Observed.countDuring(batch.toDF())(
+            store.append(table, _, partitionBy)))
           val out = fs.create(markerPath, true)
           try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
         }

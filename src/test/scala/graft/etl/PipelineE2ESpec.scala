@@ -178,6 +178,88 @@ class PipelineE2ESpec extends SparkSpec {
     pipe.silverTable("Customers").count() shouldBe 5
   }
 
+  test("streaming bronze ingest: exactly-once file feed through SCD2 to gold " +
+    "(Trigger.AvailableNow)") {
+    val root = Files.createTempDirectory("graft-e2e-stream")
+    val landing = root.resolve("landing")
+    val sink = new CollectingSink
+    val conf = PipelineConfig(
+      landingRoot = landing.toString,
+      bronzeRoot = root.resolve("bronze").toString,
+      silverRoot = root.resolve("silver").toString,
+      goldRoot = root.resolve("gold").toString,
+      stateRoot = root.resolve("state").toString,
+      tables = Seq(TableConfig("Customers", "CustomerID")),
+      streamingBronze = true)
+    val pipe = new Pipeline(spark, conf, sink)
+
+    // append-only landing: each run DROPS A NEW FILE (the streaming
+    // contract) instead of replacing the old one
+    def dropCsv(name: String, rows: Seq[String]): Unit = {
+      val d = landing.resolve("Customers")
+      Files.createDirectories(d)
+      Files.writeString(d.resolve(name),
+        ("CustomerID,Name,Email,Segment" +: rows).mkString("\n"))
+    }
+
+    // -- run 1: initial snapshot --------------------------------------------
+    dropCsv("drop-1.csv", Seq(
+      "1,Alice,alice@x.com,retail",
+      "2,Bob,bob@x.com,retail"))
+    val r1 = pipe.run(t1)
+    r1.bronze.map(_.action) shouldBe Seq("created")
+    r1.bronze.map(_.rows) shouldBe Seq(2L)
+    r1.silver.map(_.action) shouldBe Seq("initial-load")
+    pipe.silverTable("Customers").where($"is_current").count() shouldBe 2
+
+    // -- run 2: new drop, Bob changed ---------------------------------------
+    dropCsv("drop-2.csv", Seq(
+      "1,Alice,alice@x.com,retail",
+      "2,Bob,bob@x.com,wholesale"))
+    val r2 = pipe.run(t2)
+    r2.bronze.map(_.action) shouldBe Seq("appended")
+    // exactly-once: ONLY the new file's rows reach bronze (the batch path
+    // would re-append drop-1's rows too and rely on the merge to no-op)
+    r2.bronze.map(_.rows) shouldBe Seq(2L)
+    r2.silver.map(_.action) shouldBe Seq("merged")
+    val s2 = pipe.silverTable("Customers")
+    s2.count() shouldBe 3
+    s2.where($"CustomerID" === 2 && $"is_current")
+      .select("Segment").as[String].collect() shouldBe Array("wholesale")
+
+    // -- run 3: nothing new landed → ingest appends nothing, and silver's
+    // watermark filter sees an EMPTY batch (the batch path would re-append
+    // the whole zone and reach the weaker "no-changes" merge no-op)
+    val r3 = pipe.run(t3)
+    r3.bronze.map(_.action) shouldBe Seq("skipped-empty")
+    r3.bronze.map(_.rows) shouldBe Seq(0L)
+    r3.silver.map(_.action) shouldBe Seq("skipped-empty")
+
+    // -- run 4: new customer lands; side channel fires; gold builds ---------
+    val t4 = Timestamp.valueOf("2026-04-01 00:00:00")
+    dropCsv("drop-3.csv", Seq("3,Carol,carol@x.com,retail"))
+    val r4 = pipe.run(t4,
+      goldFact = Some { s =>
+        import s.implicits._
+        Seq((1, 1, "Alice", 5.0), (2, 3, "Carol", 7.0))
+          .toDF("OrderID", "CustomerID", "CustomerName", "amt")
+          .select($"OrderID", $"CustomerID", $"CustomerName",
+            lit(1).as("SellerID"), lit("s").as("SellerName"),
+            lit(1).as("ProductID"), lit("p").as("ProductName"),
+            lit("c").as("CategoryName"), lit("Delivered").as("StatusName"),
+            lit(java.math.BigDecimal.ONE).cast("decimal(12,2)").as("Quantity"),
+            lit(java.math.BigDecimal.ONE).cast("decimal(12,2)").as("CurrentPrice"),
+            $"amt".cast("decimal(12,2)").as("TotalAmount"),
+            lit("2024-01-01").cast("date").as("OrderDate"))
+      })
+    r4.bronze.map(_.rows) shouldBe Seq(1L)
+    r4.silver.map(_.action) shouldBe Seq("merged")
+    sink.batches.map(_.map(m => m("Name"))) shouldBe List(Seq("Carol"))
+    val s4 = pipe.silverTable("Customers")
+    s4.where($"is_current").count() shouldBe 3
+    r4.gold.map(_.marts("customer_analytics")) shouldBe Some(2)
+  }
+
   test("re-running the same batch is idempotent (watermark no-change path)") {
     val root = Files.createTempDirectory("graft-idem")
     val landing = root.resolve("landing")
