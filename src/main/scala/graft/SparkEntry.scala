@@ -1086,6 +1086,16 @@ object SparkEntry {
     "q197_mg_bound" -> ((s, dir) =>
       graft.ops.Sketches.heavyHittersContract(
         t(s, dir, "documents"), "source", "text", 5)),
+    // GK-quantile contract: percentile_approx's rank guarantee checked
+    // per (event_type, p); oracle recomputes n and pins the boolean
+    "q198_quantile_bound" -> ((s, dir) =>
+      graft.ops.Sketches.quantileRankContract(
+        t(s, dir, "events"), "event_type", "value",
+        Seq(0.5, 0.9, 0.99), 100)),
+    // HLL++ contract: approx_count_distinct within 5 rsd of exact
+    "q199_hll_bound" -> ((s, dir) =>
+      graft.ops.Sketches.hllBoundContract(
+        t(s, dir, "events"), "event_type", "event_id", 0.05, 5.0)),
     // directional containment pairs: short docs covered ≥80% by another
     // doc's shingles — the quote/excerpt detector Jaccard misses
     "q191_containment_pairs" -> ((s, dir) =>
@@ -2381,6 +2391,21 @@ object SparkEntry {
          |    <= 5.0 * CAST(exact_distinct AS DOUBLE) / $sqrtK2 AS within_bound
          |FROM e""".stripMargin
     },
+    // q198: exact group sizes + the same p literals; the GK rank theorem
+    // pinned TRUE (the sketch content itself is engine-specific)
+    "q198_quantile_bound" ->
+      """WITH g AS (SELECT event_type, count(value) AS n_rows
+        |           FROM events WHERE value IS NOT NULL GROUP BY 1)
+        |SELECT event_type, p, n_rows, TRUE AS within_rank_bound
+        |FROM g CROSS JOIN
+        |  (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+        |                  CAST(0.99 AS DOUBLE)]) AS p)""".stripMargin,
+    // q199: exact distinct counts; the HLL++ rsd bound pinned TRUE
+    "q199_hll_bound" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT event_id) AS BIGINT) AS exact_distinct,
+        |  TRUE AS within_bound
+        |FROM events GROUP BY 1""".stripMargin,
     // q197: exact token totals + heavy count; the MG theorems pinned TRUE
     // (a merge-order bug in the aggregate becomes a hash mismatch)
     "q197_mg_bound" ->

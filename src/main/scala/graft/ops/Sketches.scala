@@ -212,6 +212,69 @@ object Sketches {
         .as("within_bound"))
   }
 
+  /** GK-quantile CONTRACT: per group and requested quantile, whether
+    * `percentile_approx(v, p, accuracy)`'s answer sits within its rank
+    * guarantee — the returned value must hold SOME rank within
+    * `p·n ± n/accuracy` (Greenwald–Khanna 1.9; Spark documents `accuracy`
+    * as `1/accuracy` relative rank error). With duplicate values the
+    * answer's rank is the interval `[n_lt+1, n_le]`, so the check is an
+    * interval overlap (±1 slack absorbs rank-convention off-by-ones).
+    * The sketch content is implementation-specific, so the OUTPUT carries
+    * only what an external engine can recompute — (group, p, n_rows) —
+    * plus the boolean an oracle pins to TRUE.
+    *
+    * Scale shape: one group hash-agg builds the sketches; the rank probe
+    * joins the tiny (groups × quantiles) frame back against the data —
+    * ONE broadcastable join, no sort, no window. */
+  def quantileRankContract(df: DataFrame, groupCol: String, valCol: String,
+                           ps: Seq[Double], accuracy: Int): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p < 1),
+      s"quantileRankContract: quantiles must be in (0, 1), got $ps")
+    require(accuracy >= 1, s"quantileRankContract: need accuracy >= 1")
+    val base = graft.core.CacheRegistry.persist(
+      df.select(col(groupCol).as("g"), col(valCol).as("v"))
+        .where(col("v").isNotNull))
+    val appr = base.groupBy("g").agg(
+      percentile_approx(col("v"), array(ps.map(lit): _*), lit(accuracy)).as("qs"),
+      count(lit(1)).as("n"))
+    val exploded = appr
+      .select(col("g"), col("n"), posexplode(col("qs")))
+      .select(col("g"), col("n"),
+        element_at(typedLit(ps), col("pos").cast("int") + 1).as("p"),
+        col("col").as("q"))
+    val counts = exploded.join(base, Seq("g"))
+      .groupBy("g", "p", "n", "q")
+      .agg(sum(when(col("v") < col("q"), 1L).otherwise(0L)).as("n_lt"),
+        sum(when(col("v") <= col("q"), 1L).otherwise(0L)).as("n_le"))
+    val target = col("p") * col("n").cast("double")
+    val tol = col("n").cast("double") / accuracy + 1.0
+    counts.select(col("g").as(groupCol), col("p"),
+      col("n").as("n_rows"),
+      ((col("n_lt") + 1).cast("double") <= target + tol &&
+        col("n_le").cast("double") >= target - tol).as("within_rank_bound"))
+  }
+
+  /** HLL++ CONTRACT: per group, `approx_count_distinct(v, rsd)` against
+    * the exact distinct count with `within_bound = |est − exact| ≤
+    * sigmas·rsd·exact` (rsd IS the sketch's relative standard error).
+    * The register contents are implementation-specific, so the estimate
+    * stays out of the output — the oracle recomputes the exact count and
+    * pins the boolean TRUE.
+    *
+    * Scale shape: one group hash-agg carrying an HLL register set and the
+    * exact-distinct two-stage aggregate side by side (the exact side is
+    * the JUDGE here, priced like any countDistinct; production monitors
+    * would sample it). */
+  def hllBoundContract(df: DataFrame, groupCol: String, valCol: String,
+                       rsd: Double, sigmas: Double): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(countDistinct(col(valCol)).as("exact_distinct"),
+        approx_count_distinct(col(valCol), rsd).as("__est"))
+      .select(col(groupCol), col("exact_distinct"),
+        (abs(col("__est") - col("exact_distinct")).cast("double") <=
+          lit(sigmas * rsd) * col("exact_distinct").cast("double"))
+          .as("within_bound"))
+
   /** Misra–Gries CONTRACT: per source, the MG(k) guarantees over the
     * token stream as driver-checkable booleans. The summary CONTENT is
     * partitioning-dependent (inherent to MG merges), but the THEOREMS

@@ -200,6 +200,30 @@ class SketchesSpec extends SparkSpec {
       Sketches.kmvCardinalityContract(df, "source", "text", 3, 2, 5.0)
   }
 
+  test("quantileRankContract: rank guarantee holds, duplicates and coarse sketches ok") {
+    val df = (1 to 1000).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    // coarse sketch (accuracy 10 -> rank tolerance n/10): still within bound
+    val r = Sketches.quantileRankContract(df, "grp", "v", Seq(0.5, 0.9), 10)
+      .as[(String, Double, Long, Boolean)].collect()
+    r.length shouldBe 2
+    all(r.map(_._3)) shouldBe 1000L
+    all(r.map(_._4)) shouldBe true
+    // constant column: every rank is [1, n]; any p is within bound
+    val const = Seq.fill(100)(("g", 7.0)).toDF("grp", "v")
+    Sketches.quantileRankContract(const, "grp", "v", Seq(0.99), 100)
+      .as[(String, Double, Long, Boolean)].head()._4 shouldBe true
+    an[IllegalArgumentException] should be thrownBy
+      Sketches.quantileRankContract(df, "grp", "v", Seq(1.5), 100)
+  }
+
+  test("hllBoundContract: estimate within sigmas*rsd of exact") {
+    val df = (1 to 5000).map(i => (s"g${i % 2}", i)).toDF("grp", "id")
+    val r = Sketches.hllBoundContract(df, "grp", "id", 0.05, 5.0)
+      .as[(String, Long, Boolean)].collect().map(x => x._1 -> x).toMap
+    r("g0")._2 shouldBe 2500L
+    all(r.values.map(_._3)) shouldBe true
+  }
+
   test("heavyHittersContract: non-vacuous heavy set, theorems hold under repartition") {
     // skewed stream: 'hot' is 60 of 100 tokens -> above N/(k+1) for k=3
     val text = (Seq.fill(60)("hot") ++ (1 to 40).map(i => s"w${i % 10}"))
