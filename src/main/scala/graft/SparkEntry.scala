@@ -1228,9 +1228,14 @@ object SparkEntry {
         "score", "converted", 10)),
     // per-cluster MEDOID (min summed Levenshtein to cluster mates) — the
     // most-typical representative, vs q95's longest-copy policy
-    "q174_cluster_medoids" -> ((s, dir) =>
-      Dedup.clusterMedoids(
-        t(s, dir, "documents").select("doc_id", "text"), "doc_id", "text", 3, 0.5)),
+    // medoids over the BANDED LSH pair path (the q141/q43 split: the
+    // benched entry plans the 100 TB shape; exact pairGen stays reachable)
+    "q174_cluster_medoids" -> ((s, dir) => {
+      val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
+        .select("doc_id", "text")
+      Dedup.clusterMedoids(docs, "doc_id", "text", 3, 0.5,
+        pairGen = Some(Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 4, 3, 0.5)))
+    }),
     // Fellegi–Sunter linkage weights over nation-blocked customer pairs;
     // u per field estimated from the data's collision probability
     "q175_linkage_weights" -> ((s, dir) =>
@@ -2824,8 +2829,14 @@ object SparkEntry {
         |FROM w""".stripMargin,
     // q174: cluster closure + within-cluster Levenshtein cost matrix;
     // null text compares as '' (the op's rule), argmin ties to min id
+    // q174: the q43 LSH chain feeds the same medoid tail
     "q174_cluster_medoids" ->
-      s"""$clusterChainSql,
+      s"""WITH RECURSIVE ${minhashCtes(3, 4, 3)},
+         |jpairs AS (
+         |  SELECT p.id_a, p.id_b
+         |  FROM pairs p JOIN sizes sa ON p.id_a = sa.doc_id JOIN sizes sb ON p.id_b = sb.doc_id
+         |  WHERE CAST(p.n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE) >= 0.5),
+         |${closureTailSql()},
          |mem AS (SELECT a.cluster_id, a.doc_id, coalesce(d.text, '') AS text
          |        FROM assign a JOIN documents d ON a.doc_id = d.doc_id),
          |cost AS (SELECT l.cluster_id, l.doc_id,
