@@ -198,9 +198,13 @@ object SparkEntry {
       Dedup.exact(t(s, dir, "documents").select(md5(col("text")).as("text_md5"),
         col("doc_id")), Seq("text_md5"), "doc_id")),
     "q21_dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.5)),
+      Dedup.ngramJaccardPairs(
+        graft.core.Tables.tableRebalanced(s, dir, "documents"),
+        "doc_id", "text", 3, 0.5)),
     "q22_dedup_minhash_lsh" -> ((s, dir) =>
-      Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text", 3, 4, 3, 0.5)),
+      Dedup.minHashLshPairs(
+        graft.core.Tables.tableRebalanced(s, dir, "documents"),
+        "doc_id", "text", 3, 4, 3, 0.5)),
     "q23_dedup_simhash" -> ((s, dir) =>
       Dedup.simHash16(t(s, dir, "documents"), "doc_id", "text")),
     "q33_dedup_clusters" -> ((s, dir) => {
@@ -209,7 +213,9 @@ object SparkEntry {
         "id_a", "id_b", docs.select("doc_id"), "doc_id")
     }),
     "q35_dedup_drop" -> ((s, dir) =>
-      Dedup.dropNearDuplicates(t(s, dir, "documents"), "doc_id", "text", 3, 0.5)),
+      Dedup.dropNearDuplicates(
+        graft.core.Tables.tableRebalanced(s, dir, "documents"),
+        "doc_id", "text", 3, 0.5)),
     // the 100 TB dedup path end-to-end: LSH candidate pairs (no all-pairs
     // stage) -> components -> representatives, oracle-checked as a whole
     "q43_dedup_drop_lsh" -> ((s, dir) => {
@@ -444,7 +450,9 @@ object SparkEntry {
     // dedup audit: every dropped doc with the representative that kept it
     // out (the "why did my document disappear" report)
     "q71_dedup_audit" -> ((s, dir) =>
-      Dedup.nearDuplicateAudit(t(s, dir, "documents"), "doc_id", "text", 3, 0.5)),
+      Dedup.nearDuplicateAudit(
+        graft.core.Tables.tableRebalanced(s, dir, "documents"),
+        "doc_id", "text", 3, 0.5)),
     // incremental vocabulary maintenance: per-half term stats merged by
     // summation, then cut — must equal the direct q58 vocabulary
     "q72_vocab_merge" -> ((s, dir) => {
@@ -492,7 +500,9 @@ object SparkEntry {
       graft.ops.Corpus.invertedIndex(t(s, dir, "documents"), "doc_id", "text", 20)),
     // cross-source shingle-overlap matrix (containment coefficient)
     "q82_source_overlap" -> ((s, dir) =>
-      Dedup.sourceOverlap(t(s, dir, "documents"), "source", "text", 3, exact = true)),
+      Dedup.sourceOverlap(
+        graft.core.Tables.tableRebalanced(s, dir, "documents"),
+        "source", "text", 3, exact = true)),
     // SemDeDup: k-means cells, then near-dup pairs WITHIN a cell only
     "q83_semantic_dedup" -> ((s, dir) =>
       Similarity.semanticNearDupPairs(
@@ -548,7 +558,8 @@ object SparkEntry {
     // the smallest id — per-cluster arg-max via max_by, no window sort
     "q95_cluster_best_rep" -> ((s, dir) =>
       Dedup.bestRepresentatives(
-        t(s, dir, "documents").select("doc_id", "text"), "doc_id", "text", 3, 0.5)),
+        graft.core.Tables.tableRebalanced(s, dir, "documents")
+          .select("doc_id", "text"), "doc_id", "text", 3, 0.5)),
     // train/eval split-leakage audit: per held-out doc, the share of its
     // 3-grams that also appear in the train split
     "q96_split_leakage" -> ((s, dir) =>
@@ -977,13 +988,15 @@ object SparkEntry {
     // merely shares a boilerplate paragraph; this finds the paragraph)
     "q114_repeated_spans" -> ((s, dir) =>
       Dedup.repeatedSpans(
-        t(s, dir, "documents").select("doc_id", "text"), "doc_id", "text", 3)),
+        graft.core.Tables.tableRebalanced(s, dir, "documents")
+          .select("doc_id", "text"), "doc_id", "text", 3)),
     // the removal step over the same spans: splice out every token covered
     // by a corpus-repeated 3-gram, keep full cardinality (n_dropped = 0 for
     // untouched docs, clean_text = '' for fully-boilerplate ones)
     "q115_remove_repeated_spans" -> ((s, dir) =>
       Dedup.removeRepeatedSpans(
-        t(s, dir, "documents").select("doc_id", "text"), "doc_id", "text", 3)),
+        graft.core.Tables.tableRebalanced(s, dir, "documents")
+          .select("doc_id", "text"), "doc_id", "text", 3)),
     // semantic decontamination: corpus embeddings vs a broadcast eval set
     // (every 25th vector), flagged at max-cosine ≥ 0.30 — the paraphrase-
     // level leak check the n-gram probe (q73) can't see
