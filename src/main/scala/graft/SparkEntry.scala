@@ -1109,6 +1109,15 @@ object SparkEntry {
     "q199_hll_bound" -> ((s, dir) =>
       graft.ops.Sketches.hllBoundContract(
         t(s, dir, "events"), "event_type", "event_id", 0.05, 5.0)),
+    // incremental batch-vs-corpus EMBEDDING near-dup (the semantic twin
+    // of q49's text version): even vec_ids are the standing corpus, odd
+    // the arriving batch; sign-LSH banded candidates, exact-cosine verify
+    "q200_embed_dedup_across" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshNearDupPairsAcross(
+        emb.where(col("vec_id") % 2 === 0), emb.where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", 0.3, 4, 8)
+    }),
     // directional containment pairs: short docs covered ≥80% by another
     // doc's shingles — the quote/excerpt detector Jaccard misses
     "q191_containment_pairs" -> ((s, dir) =>
@@ -2424,6 +2433,31 @@ object SparkEntry {
         |  CAST(count(DISTINCT event_id) AS BIGINT) AS exact_distinct,
         |  TRUE AS within_bound
         |FROM events GROUP BY 1""".stripMargin,
+    // q200: the q44 sign-band replay split corpus/batch, verified cosines
+    "q200_embed_dedup_across" -> {
+      def bucket(b: Int) = (b * 4 + 1 to b * 4 + 4).map(i =>
+        s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+      def bandRows(rel: String) = (0 until 8).map(b =>
+        s"SELECT vec_id, $b AS band, ${bucket(b)} AS bucket FROM $rel")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH emb_c AS (SELECT * FROM embeddings WHERE vec_id % 2 = 0),
+         |emb_b AS (SELECT * FROM embeddings WHERE vec_id % 2 = 1),
+         |bc AS (
+         |  ${bandRows("emb_c")}),
+         |bd AS (
+         |  ${bandRows("emb_b")}),
+         |cand AS (
+         |  SELECT DISTINCT c.vec_id AS corpus_id, d.vec_id AS batch_id
+         |  FROM bc c JOIN bd d ON c.band = d.band AND c.bucket = d.bucket),
+         |pc AS (
+         |  SELECT c.corpus_id, c.batch_id,
+         |    round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+         |      CAST(y.embedding AS DOUBLE[])), 6) AS cos
+         |  FROM cand c
+         |  JOIN emb_c x ON x.vec_id = c.corpus_id
+         |  JOIN emb_b y ON y.vec_id = c.batch_id)
+         |SELECT corpus_id, batch_id, cos FROM pc WHERE cos >= 0.3""".stripMargin
+    },
     // q197: exact token totals + heavy count; the MG theorems pinned TRUE
     // (a merge-order bug in the aggregate becomes a hash mismatch)
     "q197_mg_bound" ->

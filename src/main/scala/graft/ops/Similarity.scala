@@ -430,6 +430,45 @@ object Similarity {
       .where(col("cos") >= threshold)
   }
 
+  /** Incremental (batch-vs-corpus) EMBEDDING near-dup detection — the
+    * semantic twin of [[graft.ops.Dedup.minHashLshPairsAcross]] and the
+    * shape an embedding-indexed ingest actually runs at 100 TB: the
+    * standing corpus is never re-compared against itself; each arriving
+    * batch's vectors are sign-LSH banded, candidates are (corpus, batch)
+    * pairs sharing at least one band bucket, and candidates verify by
+    * exact cosine ≥ `threshold`. Returns (corpus_id, batch_id, cos) —
+    * the batch ids to drop (or review) before appending.
+    *
+    * Scale shape: one band pass per side, the candidate join keyed on
+    * (band, bucket) — output bounded by the BATCH's collisions, never
+    * corpus²; verify joins fetch one vector row per candidate side. In a
+    * production loop the corpus band table is precomputed and stored
+    * (append-only), so each run pays only the batch's pass — this
+    * operator recomputes both sides from vectors, which keeps it
+    * storage-free and oracle-checkable while planning the same join. */
+  def lshNearDupPairsAcross(corpus: DataFrame, batch: DataFrame,
+                            idCol: String, vecCol: String, threshold: Double,
+                            bits: Int, bands: Int): DataFrame = {
+    def bandTable(df: DataFrame): DataFrame = {
+      val bandCols = (0 until bands).map { b =>
+        struct(lit(b).as("band"), signBucket(col(vecCol), bits, b * bits).as("bucket"))
+      }
+      df.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+        .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    }
+    val cands = bandTable(corpus).toDF("corpus_id", "band", "bucket")
+      .join(bandTable(batch).toDF("batch_id", "band", "bucket"), Seq("band", "bucket"))
+      .select("corpus_id", "batch_id").distinct()
+    val cv = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("va"),
+      normF(col(vecCol)).as("na"))
+    val bv = batch.select(col(idCol).as("batch_id"), col(vecCol).as("vb"),
+      normF(col(vecCol)).as("nb"))
+    cands.join(cv, Seq("corpus_id")).join(bv, Seq("batch_id"))
+      .select(col("corpus_id"), col("batch_id"),
+        round(dotF(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
   /** Contrastive hard-negative mining, EXACT baseline: for every vector,
     * the `k` most-cosine-similar vectors carrying a DIFFERENT label — the
     * "close in embedding space, wrong by supervision" pairs contrastive

@@ -107,6 +107,26 @@ class SimilaritySpec extends SparkSpec {
     recall should be > 0.5
   }
 
+  test("lshNearDupPairsAcross: corpus-batch pairs only, verified subset of exact") {
+    val e = graft.core.Tables.table(spark, sf0001, "embeddings")
+    val corpus = e.where($"vec_id" % 2 === 0)
+    val batch = e.where($"vec_id" % 2 === 1)
+    val across = Similarity.lshNearDupPairsAcross(
+      corpus, batch, "vec_id", "embedding", 0.3, 4, 8)
+      .as[(Long, Long, Double)].collect()
+    // orientation contract: corpus side even, batch side odd — never
+    // corpus x corpus or batch x batch
+    all(across.map(_._1 % 2)) shouldBe 0L
+    all(across.map(_._2 % 2)) shouldBe 1L
+    // candidates are exact-cosine verified: every returned pair is a true
+    // cross-side near-dup at the threshold (no false positives)
+    val exact = Similarity.nearDupPairs(e, "vec_id", "embedding", 0.3)
+      .as[(Long, Long, Double)].collect()
+      .flatMap(p => Seq((p._1, p._2), (p._2, p._1))).toSet
+    across.map(p => (p._1, p._2)).toSet.subsetOf(exact) shouldBe true
+    across should not be empty
+  }
+
   test("ivfTopK seeds centroids by id-hash sample, not id order") {
     val e = graft.core.Tables.table(spark, sf0001, "embeddings")
     // the sampled seed set must differ from the first-N-by-id set it
