@@ -1109,6 +1109,20 @@ object SparkEntry {
     "q199_hll_bound" -> ((s, dir) =>
       graft.ops.Sketches.hllBoundContract(
         t(s, dir, "events"), "event_type", "event_id", 0.05, 5.0)),
+    // Poisson-bootstrap CI for the per-type mean value — the distributed
+    // bootstrap (per-row Poisson(1) weights per replicate, md5-derived)
+    "q201_bootstrap_ci" -> ((s, dir) =>
+      graft.ops.Quality.bootstrapMeanCi(
+        t(s, dir, "events"), "event_type", "event_id", "value", 100, 0.05)),
+    // Welch A/B readout over an md5 user split: per event_type, the
+    // treatment-control value delta with the unpooled z-interval
+    "q202_ab_welch" -> ((s, dir) => {
+      val variant = when(pmod(conv(substring(md5(col("user_id").cast("string")),
+        1, 8), 16, 10).cast("long"), lit(2)) === 0, "a").otherwise("b")
+      graft.ops.Quality.welchAbTest(
+        t(s, dir, "events").withColumn("variant", variant),
+        "event_type", "variant", "value", "a", "b")
+    }),
     // incremental batch-vs-corpus EMBEDDING near-dup (the semantic twin
     // of q49's text version): even vec_ids are the standing corpus, odd
     // the arriving batch; sign-LSH banded candidates, exact-cosine verify
@@ -2433,6 +2447,72 @@ object SparkEntry {
         |  CAST(count(DISTINCT event_id) AS BIGINT) AS exact_distinct,
         |  TRUE AS within_bound
         |FROM events GROUP BY 1""".stripMargin,
+    // q201: the SAME Poisson ladder literals and md5-uniform replayed;
+    // replicate means 6 dp-rounded BEFORE the percentile on both engines
+    "q201_bootstrap_ci" -> {
+      val ladder = graft.ops.Quality.poissonLadder
+      val uExpr = md5UniformSql("'boot|' || CAST(j AS VARCHAR) || '|' || CAST(id AS VARCHAR)")
+      val wExpr = ladder.map(c => s"(CASE WHEN u >= $c THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH base AS (
+         |  SELECT event_type AS g, event_id AS id, CAST(value AS DOUBLE) AS v
+         |  FROM events WHERE value IS NOT NULL),
+         |stats AS (SELECT g, CAST(count(*) AS BIGINT) AS n_rows,
+         |            round(avg(v), 6) AS mean FROM base GROUP BY 1),
+         |drawn AS (
+         |  SELECT g, j, v, $wExpr AS w FROM (
+         |    SELECT g, j, v, $uExpr AS u
+         |    FROM base CROSS JOIN generate_series(0, 99) AS t(j))),
+         |reps AS (
+         |  SELECT g, j,
+         |    round(CASE WHEN sum(w) > 0 THEN sum(w * v) / sum(w) END, 6) AS m
+         |  FROM drawn GROUP BY 1, 2),
+         |ci AS (
+         |  SELECT g, round(quantile_cont(m, 0.025), 6) AS ci_lo,
+         |    round(quantile_cont(m, 0.975), 6) AS ci_hi
+         |  FROM reps WHERE m IS NOT NULL GROUP BY 1)
+         |SELECT s.g AS event_type, s.n_rows, s.mean, ci.ci_lo, ci.ci_hi
+         |FROM stats s JOIN ci ON s.g = ci.g""".stripMargin
+    },
+    // q202: identical moment arithmetic; z interpolated from the SAME
+    // Scala double so the interval bounds are bit-identical
+    "q202_ab_welch" -> {
+      val z = 1.959963984540054
+      s"""WITH e AS (
+         |  SELECT event_type AS g,
+         |    CASE WHEN ${md5ModSql("user_id", 2)} = 0 THEN 'a' ELSE 'b' END AS var,
+         |    CAST(value AS DOUBLE) AS v
+         |  FROM events WHERE value IS NOT NULL),
+         |red AS (SELECT g, var, CAST(count(*) AS BIGINT) AS n,
+         |          sum(v) AS s, sum(v * v) AS s2 FROM e GROUP BY 1, 2),
+         |piv AS (SELECT g,
+         |    coalesce(max(CASE WHEN var = 'a' THEN n END), 0) AS n_a,
+         |    coalesce(max(CASE WHEN var = 'b' THEN n END), 0) AS n_b,
+         |    max(CASE WHEN var = 'a' THEN s END) AS sa,
+         |    max(CASE WHEN var = 'b' THEN s END) AS sb,
+         |    max(CASE WHEN var = 'a' THEN s2 END) AS sa2,
+         |    max(CASE WHEN var = 'b' THEN s2 END) AS sb2
+         |  FROM red GROUP BY 1),
+         |c AS (SELECT g, n_a, n_b,
+         |    sa / n_a AS ma, sb / n_b AS mb,
+         |    (sa2 - sa * sa / n_a) / (n_a - 1.0) AS va,
+         |    (sb2 - sb * sb / n_b) / (n_b - 1.0) AS vb,
+         |    n_a >= 2 AND n_b >= 2 AS ok
+         |  FROM piv)
+         |SELECT g AS event_type, n_a, n_b,
+         |  CASE WHEN n_a > 0 THEN round(ma, 6) END AS mean_a,
+         |  CASE WHEN n_b > 0 THEN round(mb, 6) END AS mean_b,
+         |  CASE WHEN n_a > 0 AND n_b > 0 THEN round(mb - ma, 6) END AS diff,
+         |  CASE WHEN ok THEN
+         |    round(mb - ma - $z * sqrt(va / n_a + vb / n_b), 6) END AS ci_lo,
+         |  CASE WHEN ok THEN
+         |    round(mb - ma + $z * sqrt(va / n_a + vb / n_b), 6) END AS ci_hi,
+         |  coalesce(CASE WHEN ok THEN
+         |    mb - ma - $z * sqrt(va / n_a + vb / n_b) > 0.0
+         |    OR mb - ma + $z * sqrt(va / n_a + vb / n_b) < 0.0 END, false)
+         |    AS significant
+         |FROM c""".stripMargin
+    },
     // q200: the q44 sign-band replay split corpus/batch, verified cosines
     "q200_embed_dedup_across" -> {
       def bucket(b: Int) = (b * 4 + 1 to b * 4 + 4).map(i =>

@@ -589,4 +589,116 @@ object Quality {
       .select(col(dim1), col(dim2), col("lvl"), col("n_docs"), col("n_tokens"),
         round(col("n_tokens") / col("__tot"), 6).as("token_share"))
   }
+
+  /** Poisson(1) inverse-CDF thresholds c_k = e⁻¹·Σ_{i≤k} 1/i! — the draw
+    * is `#{k : u ≥ c_k}` for a uniform u, capped at the ladder length
+    * (P(X > 8) ≈ 1e-6). Shared by the operator and (interpolated) by its
+    * oracle so the ladder is literal-identical on both engines. */
+  val poissonLadder: Seq[Double] = {
+    def fact(k: Int): Double = (1 to k).foldLeft(1.0)(_ * _)
+    (0 to 8).scanLeft(0.0)((acc, k) => acc + math.exp(-1.0) / fact(k)).tail
+  }
+
+  /** Poisson-bootstrap confidence interval for a per-group mean (the
+    * DISTRIBUTED bootstrap: classic resampling needs the whole sample on
+    * one machine; giving every row an independent Poisson(1) weight per
+    * replicate approximates multinomial resampling and aggregates
+    * map-side — the standard large-data formulation). Per group:
+    * `b` replicate means Σwx/Σw with w drawn from md5(seed|replicate|id)
+    * via the shared inverse-CDF ladder (engine-replayable determinism),
+    * then the empirical `alpha/2` / `1−alpha/2` percentiles of the
+    * replicate means as the CI. Replicates whose total weight is 0
+    * (possible only for tiny groups) drop out of the percentile.
+    * Output: (group, n_rows, mean 6 dp, ci_lo 6 dp, ci_hi 6 dp).
+    *
+    * Scale shape: the b-fold fan-out (`explode(sequence)`) multiplies the
+    * scan, not a shuffle — (group, replicate) partials combine map-side,
+    * so the exchange carries groups × b rows; the percentile runs over b
+    * values per group (pre-reduced, never the corpus). 6 dp rounds on the
+    * replicate means make the percentile input identical across engines
+    * before the interpolation arithmetic. */
+  def bootstrapMeanCi(df: DataFrame, groupCol: String, idCol: String,
+                      valCol: String, b: Int, alpha: Double,
+                      seed: String = "boot"): DataFrame = {
+    require(b >= 2, s"bootstrapMeanCi: need b >= 2 replicates, got $b")
+    require(alpha > 0 && alpha < 1, s"bootstrapMeanCi: need 0 < alpha < 1")
+    val base = graft.core.CacheRegistry.persist(
+      df.select(col(groupCol).as("g"), col(idCol).as("id"),
+        col(valCol).cast("double").as("v")).where(col("v").isNotNull))
+    val stats = base.groupBy("g")
+      .agg(count(lit(1)).as("n_rows"), round(avg("v"), 6).as("mean"))
+    val u = conv(substring(md5(concat(lit(s"$seed|"), col("j").cast("string"),
+      lit("|"), col("id").cast("string"))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    val w = poissonLadder.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(u >= c, 1).otherwise(0)
+    }
+    val reps = base
+      .withColumn("j", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("__w", w)
+      .groupBy("g", "j")
+      // explicit zero-weight guard: 0.0/0 is NaN in Spark (not null), and
+      // NaN would poison the percentile instead of dropping the replicate
+      .agg(when(sum("__w") > 0,
+        sum(col("__w") * col("v")) / sum("__w")).as("__m"))
+      .where(col("__m").isNotNull)
+      .select(col("g"), round(col("__m"), 6).as("__m"))
+    val ci = reps.groupBy("g").agg(
+      round(expr(s"percentile(__m, ${alpha / 2})"), 6).as("ci_lo"),
+      round(expr(s"percentile(__m, ${1.0 - alpha / 2})"), 6).as("ci_hi"))
+    stats.join(ci, Seq("g"))
+      .select(col("g").as(groupCol), col("n_rows"), col("mean"),
+        col("ci_lo"), col("ci_hi"))
+  }
+
+  /** Welch two-sample A/B mart: per group, the difference in means
+    * between variants `a` and `b` of `variantCol` with the Welch
+    * unpooled-variance z-interval and a significance flag — the
+    * experiment-readout table (value deltas between an md5-split
+    * control/treatment, a model rollout's metric shift). Degrees of
+    * freedom are large at any practical scale, so the interval uses the
+    * normal critical value (interpolated as a literal so engines agree
+    * bit-for-bit); sample variances are the exact n−1 form from one
+    * moment pass. Groups missing either variant (or with n < 2 on a
+    * side) report null CI bounds and `significant = false`.
+    * Output: (group, n_a, n_b, mean_a, mean_b, diff, ci_lo, ci_hi,
+    * significant), 6 dp.
+    *
+    * Scale shape: ONE (group, variant) hash-agg of count/Σ/Σx² partials
+    * (map-side combine); everything after is arithmetic over two rows
+    * per group pivoted by a conditional re-aggregation — no window, no
+    * second scan. */
+  def welchAbTest(df: DataFrame, groupCol: String, variantCol: String,
+                  valCol: String, a: String, bVariant: String,
+                  z: Double = 1.959963984540054): DataFrame = {
+    val v = col(valCol).cast("double")
+    val red = df.where(v.isNotNull &&
+        col(variantCol).isin(a, bVariant))
+      .groupBy(col(groupCol), col(variantCol).as("__var"))
+      .agg(count(lit(1)).as("__n"), sum(v).as("__s"), sum(v * v).as("__s2"))
+    def side(tag: String, c: Column): Column = max(when(col("__var") === tag, c))
+    val piv = red.groupBy(col(groupCol)).agg(
+      coalesce(side(a, col("__n")), lit(0L)).as("n_a"),
+      coalesce(side(bVariant, col("__n")), lit(0L)).as("n_b"),
+      side(a, col("__s")).as("__sa"), side(bVariant, col("__s")).as("__sb"),
+      side(a, col("__s2")).as("__sa2"), side(bVariant, col("__s2")).as("__sb2"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val ma = col("__sa") / na
+    val mb = col("__sb") / nb
+    // exact n−1 sample variance from the moment pass
+    val va = (col("__sa2") - col("__sa") * col("__sa") / na) / (na - 1.0)
+    val vb = (col("__sb2") - col("__sb") * col("__sb") / nb) / (nb - 1.0)
+    val se = sqrt(va / na + vb / nb)
+    val ok = col("n_a") >= 2 && col("n_b") >= 2
+    val diff = mb - ma
+    piv.select(col(groupCol), col("n_a"), col("n_b"),
+      when(col("n_a") > 0, round(ma, 6)).as("mean_a"),
+      when(col("n_b") > 0, round(mb, 6)).as("mean_b"),
+      when(col("n_a") > 0 && col("n_b") > 0, round(diff, 6)).as("diff"),
+      when(ok, round(diff - lit(z) * se, 6)).as("ci_lo"),
+      when(ok, round(diff + lit(z) * se, 6)).as("ci_hi"),
+      coalesce(when(ok, diff - lit(z) * se > 0.0 || diff + lit(z) * se < 0.0),
+        lit(false)).as("significant"))
+  }
 }

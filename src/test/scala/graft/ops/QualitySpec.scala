@@ -324,6 +324,55 @@ class QualitySpec extends SparkSpec {
     graft.core.CacheRegistry.drain()
   }
 
+  test("bootstrapMeanCi: CI brackets the sample mean, partitioning-invariant") {
+    val df = (1 to 400).map(i => ("g", i.toLong, (i % 50).toDouble))
+      .toDF("grp", "id", "v")
+    def run(parts: Int) = Quality.bootstrapMeanCi(
+      df.repartition(parts), "grp", "id", "v", 50, 0.05)
+      .as[(String, Long, Double, Double, Double)].head()
+    val r1 = run(1)
+    graft.core.CacheRegistry.drain()
+    val (_, n, mean, lo, hi) = r1
+    n shouldBe 400L
+    lo should be < mean
+    hi should be > mean
+    // the interval is not degenerate and not absurdly wide for n=400
+    (hi - lo) should be > 0.0
+    (hi - lo) should be < 10.0
+    // md5-derived draws: identical result under any partitioning
+    run(7) shouldBe r1
+    graft.core.CacheRegistry.drain()
+    an[IllegalArgumentException] should be thrownBy
+      Quality.bootstrapMeanCi(df, "grp", "id", "v", 1, 0.05)
+  }
+
+  test("welchAbTest: hand-computed interval, missing-variant and tiny-side guards") {
+    // a: {10, 12, 14}  b: {20, 22, 24} -> diff 10, clearly significant
+    val rows = Seq(("g", "a", 10.0), ("g", "a", 12.0), ("g", "a", 14.0),
+      ("g", "b", 20.0), ("g", "b", 22.0), ("g", "b", 24.0),
+      ("solo", "a", 1.0), ("solo", "a", 2.0), // variant b missing
+      ("tiny", "a", 1.0), ("tiny", "b", 2.0)) // n < 2 per side
+    val r = Quality.welchAbTest(rows.toDF("grp", "var", "v"), "grp", "var", "v",
+      "a", "b").collect().map(x => x.getString(0) -> x).toMap
+    val g = r("g")
+    g.getLong(1) shouldBe 3L
+    g.getLong(2) shouldBe 3L
+    g.getDouble(3) shouldBe 12.0
+    g.getDouble(4) shouldBe 22.0
+    g.getDouble(5) shouldBe 10.0
+    // se = sqrt(4/3 + 4/3); z-interval around 10
+    val se = math.sqrt(8.0 / 3.0)
+    g.getDouble(6) shouldBe round6(10.0 - 1.959963984540054 * se)
+    g.getDouble(7) shouldBe round6(10.0 + 1.959963984540054 * se)
+    g.getBoolean(8) shouldBe true
+    // missing variant b: null CI, not significant
+    r("solo").isNullAt(6) shouldBe true
+    r("solo").getBoolean(8) shouldBe false
+    // one row per side: variance undefined -> null CI, not significant
+    r("tiny").isNullAt(6) shouldBe true
+    r("tiny").getBoolean(8) shouldBe false
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
