@@ -1111,9 +1111,13 @@ object SparkEntry {
         t(s, dir, "events"), "event_type", "event_id", 0.05, 5.0)),
     // Poisson-bootstrap CI for the per-type mean value — the distributed
     // bootstrap (per-row Poisson(1) weights per replicate, md5-derived)
+    // tableRebalanced: the 100x replicate fan-out inherits the scan's
+    // partitioning — a one-file events drop would run every md5 draw on
+    // a single core (no-op at scale)
     "q201_bootstrap_ci" -> ((s, dir) =>
       graft.ops.Quality.bootstrapMeanCi(
-        t(s, dir, "events"), "event_type", "event_id", "value", 100, 0.05)),
+        graft.core.Tables.tableRebalanced(s, dir, "events"),
+        "event_type", "event_id", "value", 100, 0.05)),
     // Welch A/B readout over an md5 user split: per event_type, the
     // treatment-control value delta with the unpooled z-interval
     "q202_ab_welch" -> ((s, dir) => {
