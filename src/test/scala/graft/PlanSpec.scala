@@ -704,6 +704,20 @@ class PlanSpec extends SparkSpec {
     plan should not include "Exchange"
   }
 
+  test("sketch contracts reduce before judging: no cartesian, no one-partition " +
+    "window (q196-q199, q201, q202)") {
+    graft.core.CacheRegistry.scoped {
+      for (q <- Seq("q196_kmv_bound", "q197_mg_bound", "q198_quantile_bound",
+        "q199_hll_bound", "q201_bootstrap_ci", "q202_ab_welch")) {
+        val plan = planOf(SparkEntry.queries(q)(spark, sf0001))
+        withClue(s"$q: ") {
+          plan should not include "CartesianProduct"
+          plan should not include "Exchange SinglePartition"
+        }
+      }
+    }
+  }
+
   test("calibration: one clamped-bin agg with map-side partials (q173)") {
     val plan = planOf(SparkEntry.queries("q173_calibration")(spark, sf0001))
     plan should include("partial_avg")
