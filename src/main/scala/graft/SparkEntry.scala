@@ -208,7 +208,7 @@ object SparkEntry {
     "q23_dedup_simhash" -> ((s, dir) =>
       Dedup.simHash16(t(s, dir, "documents"), "doc_id", "text")),
     "q33_dedup_clusters" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
       Dedup.clusters(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5),
         "id_a", "id_b", docs.select("doc_id"), "doc_id")
     }),
