@@ -1169,6 +1169,16 @@ object SparkEntry {
     // embedding space (diverse subset / eval-probe selection)
     "q188_kcenter_coreset" -> ((s, dir) =>
       Similarity.kCenterCoreset(t(s, dir, "embeddings"), "vec_id", "embedding", 6)),
+    // MMR diverse re-rank against vec 1's embedding: greedy
+    // λ·rel − (1−λ)·max-sim-to-selected, 5 picks (pure top-k would
+    // return near-copies of the best hit)
+    "q203_mmr_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.where(col("vec_id") === 1)
+        .select("embedding").head().getSeq[Float](0)
+      Similarity.mmrRerank(
+        emb.where(col("vec_id") =!= 1), "vec_id", "embedding", qv, 5, 0.7)
+    }),
     // Pareto frontier of (length, lexical diversity): the docs no other
     // doc beats on both axes — multi-criteria curation without a
     // weighted collapse
@@ -2711,6 +2721,46 @@ object SparkEntry {
             s"SELECT CAST($i AS BIGINT), id, round(draw, 6) FROM c$i")
       (head +: rounds).mkString(",\n") + "\n" +
         selects.mkString("\nUNION ALL ")
+    },
+    // q203: the q188 unrolled-greedy device — per-pick CTEs carrying the
+    // running max-similarity, the SAME λ / (1−λ) Scala double literals,
+    // round-before-argmax with id tie-break at every pick
+    "q203_mmr_rerank" -> {
+      val k = 5
+      val lambda = 0.7
+      val oneMinus = 1.0 - lambda
+      val head =
+        """WITH x AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+          |  FROM embeddings WHERE vec_id <> 1 AND embedding IS NOT NULL
+          |    AND list_dot_product(CAST(embedding AS DOUBLE[]),
+          |          CAST(embedding AS DOUBLE[])) > 0),
+          |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q
+          |       FROM embeddings WHERE vec_id = 1),
+          |r AS (SELECT id, v, round(list_cosine_similarity(v, qv.q), 6) AS rel
+          |      FROM x, qv),
+          |c1 AS (SELECT id, v, rel FROM r ORDER BY rel DESC, id ASC LIMIT 1),
+          |d1 AS (SELECT a.id, a.v, a.rel,
+          |    round(list_cosine_similarity(a.v, c1.v), 6) AS msim
+          |  FROM r a, c1 WHERE a.id <> c1.id)""".stripMargin
+      val rounds = (2 to k).map { i =>
+        val pick =
+          s"""c$i AS (SELECT id, v, rel,
+             |    round($lambda * rel - $oneMinus * msim, 6) AS score
+             |  FROM d${i - 1}
+             |  ORDER BY round($lambda * rel - $oneMinus * msim, 6) DESC, id ASC
+             |  LIMIT 1)""".stripMargin
+        val carry = if (i == k) "" else
+          s""",
+             |d$i AS (SELECT a.id, a.v, a.rel,
+             |    greatest(a.msim,
+             |      round(list_cosine_similarity(a.v, c$i.v), 6)) AS msim
+             |  FROM d${i - 1} a, c$i WHERE a.id <> c$i.id)""".stripMargin
+        pick + carry
+      }
+      val selects =
+        s"SELECT CAST(1 AS BIGINT) AS mmr_rank, id, rel, CAST(NULL AS DOUBLE) AS score FROM c1" +:
+          (2 to k).map(i => s"SELECT CAST($i AS BIGINT), id, rel, score FROM c$i")
+      (head +: rounds).mkString(",\n") + "\n" + selects.mkString("\nUNION ALL ")
     },
     // q186: the O(n²) NOT-EXISTS skyline definition — the op's ordered
     // single-pass must select exactly this set

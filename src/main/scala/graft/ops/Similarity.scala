@@ -527,6 +527,74 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998):
+    * greedily select `k` vectors maximizing
+    * `λ·rel − (1−λ)·max_{s∈selected} cos(v, s)` — the
+    * relevance/diversity tradeoff selector retrieval and dataset
+    * curation use where pure top-k returns k near-copies of the best
+    * hit ([[kCenterCoreset]] is the λ=0 relative: diversity only). The
+    * first pick maximizes relevance alone (`score` null). Every cosine
+    * is 6 dp-rounded BEFORE the argmax with an id tie-break, so the
+    * greedy cascade is engine-deterministic; `rel` is cosine to the
+    * caller's literal query vector. Output: (mmr_rank, id, rel, score).
+    * An empty (or all-null/zero-norm) input yields an empty frame; `k`
+    * beyond the candidate count returns a short list.
+    *
+    * Scale shape: the [[kCenterCoreset]] contract — one cached pass
+    * computes norms and relevance; each round is a SCAN with the
+    * selected vectors as literals (codegen'd dots) + one TakeOrdered(1)
+    * action; k scans, k·d floats of driver state, no shuffle beyond the
+    * take. */
+  def mmrRerank(emb: DataFrame, idCol: String, vecCol: String,
+                queryVec: Seq[Float], k: Int, lambda: Double): DataFrame = {
+    import graft.functions.VectorFunctions.{dotF, normF}
+    require(k >= 1, s"mmrRerank: need k >= 1, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"mmrRerank: need 0 <= lambda <= 1, got $lambda")
+    require(queryVec.nonEmpty, "mmrRerank: empty query vector")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val oneMinus = 1.0 - lambda
+    val q = typedLit(queryVec)
+    val base = graft.core.CacheRegistry.persist(
+      emb.where(col(vecCol).isNotNull)
+        .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"),
+          normF(col(vecCol)).as("__n"))
+        .where(col("__n") > 0)
+        .withColumn("__rel",
+          round(dotF(col("__v"), q) / (col("__n") * normF(q)), 6)))
+    val first = base.orderBy(col("__rel").desc, col("__id").asc).limit(1)
+      .select(col("__id"), col("__rel"), col("__v"), col("__n"))
+      .as[(Long, Double, Seq[Float], Double)].collect().headOption
+    if (first.isEmpty)
+      return Seq.empty[(Long, Long, Double, Option[Double])]
+        .toDF("mmr_rank", "id", "rel", "score")
+    // (rank, id, rel, score, vec, norm) per pick, in order
+    val picks = scala.collection.mutable.ArrayBuffer(
+      (1L, first.get._1, first.get._2, Option.empty[Double],
+        first.get._3, first.get._4))
+    var exhausted = false
+    while (picks.size < k && !exhausted) {
+      val msim = picks.map { case (_, _, _, _, cv, cn) =>
+        round(dotF(col("__v"), typedLit(cv)) / (col("__n") * lit(cn)), 6)
+      }.reduce(greatest(_, _))
+      val score = round(lit(lambda) * col("__rel") - lit(oneMinus) * msim, 6)
+      val next = base
+        .where(!col("__id").isin(picks.map(_._2).toSeq: _*))
+        .select(col("__id"), col("__rel"), col("__v"), col("__n"),
+          score.as("__score"))
+        .orderBy(col("__score").desc, col("__id").asc).limit(1)
+        .as[(Long, Double, Seq[Float], Double, Double)].collect().headOption
+      next match {
+        case Some(n) =>
+          picks += (((picks.size + 1).toLong, n._1, n._2, Some(n._5), n._3, n._4))
+        case None => exhausted = true
+      }
+    }
+    picks.map { case (r, id, rel, sc, _, _) => (r, id, rel, sc) }
+      .toSeq.toDF("mmr_rank", "id", "rel", "score")
+  }
+
   /** k-center greedy coreset (farthest-point traversal; Gonzalez 1985,
     * the Sener & Savarese 2018 active-learning/coreset selector): start
     * from the MINIMUM-id vector (a deterministic seed, not a random

@@ -127,6 +127,30 @@ class SimilaritySpec extends SparkSpec {
     across should not be empty
   }
 
+  test("mmrRerank: diversity beats a redundant higher-relevance pick; guards") {
+    // query (1,0); a duplicates the query, b is a near-copy of a, c is
+    // nearly orthogonal. At lambda=0.3 the redundancy penalty makes the
+    // diverse c the second pick despite b's far higher relevance.
+    val e = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0.95f, 0.312f)), (3L, Seq(0.1f, 0.995f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.mmrRerank(e, "vec_id", "embedding", Seq(1f, 0f), 3, 0.3)
+      .as[(Long, Long, Double, Option[Double])].collect().sortBy(_._1)
+    r.map(_._2).toSeq shouldBe Seq(1L, 3L, 2L)
+    r.head._3 shouldBe 1.0 // the first pick maximizes relevance alone
+    r.head._4 shouldBe None
+    all(r.tail.map(_._4.isDefined)) shouldBe true
+    // k beyond the candidate count returns a short list, not an error
+    Similarity.mmrRerank(e, "vec_id", "embedding", Seq(1f, 0f), 10, 0.5)
+      .count() shouldBe 3
+    // empty input yields an empty frame
+    Similarity.mmrRerank(e.where($"vec_id" < 0), "vec_id", "embedding",
+      Seq(1f, 0f), 3, 0.5).count() shouldBe 0
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.mmrRerank(e, "vec_id", "embedding", Seq(1f, 0f), 3, 1.5)
+    graft.core.CacheRegistry.drain()
+  }
+
   test("ivfTopK seeds centroids by id-hash sample, not id order") {
     val e = graft.core.Tables.table(spark, sf0001, "embeddings")
     // the sampled seed set must differ from the first-N-by-id set it
