@@ -1179,6 +1179,18 @@ object SparkEntry {
       Similarity.mmrRerank(
         emb.where(col("vec_id") =!= 1), "vec_id", "embedding", qv, 5, 0.7)
     }),
+    // leave-one-out smoothed target encoding of event_type by value —
+    // the leakage-safe categorical feature (a row never sees its own
+    // label; m=20 pseudo-rows shrink rare keys toward the prior)
+    "q204_target_encoding" -> ((s, dir) =>
+      graft.ops.Quality.targetEncoding(
+        t(s, dir, "events"), "event_type", "event_id", "value", 20.0)),
+    // pairwise Pearson matrix over the lineitem numerics in ONE pass —
+    // the feature-redundancy audit (near-±1 pairs are duplicate signals)
+    "q205_corr_matrix" -> ((s, dir) =>
+      graft.ops.Quality.correlationMatrix(
+        t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
     // Pareto frontier of (length, lexical diversity): the docs no other
     // doc beats on both axes — multi-criteria curation without a
     // weighted collapse
@@ -2526,6 +2538,48 @@ object SparkEntry {
          |    OR mb - ma + $z * sqrt(va / n_a + vb / n_b) < 0.0 END, false)
          |    AS significant
          |FROM c""".stripMargin
+    },
+    // q204: identical LOO arithmetic — group sums, the global prior, the
+    // same m literal; 6 dp round covers sum-order ulps (~1e-14)
+    "q204_target_encoding" ->
+      """WITH base AS (
+        |  SELECT event_id, event_type, CAST(value AS DOUBLE) AS value
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, sum(value) AS s
+        |      FROM base GROUP BY 1),
+        |p AS (SELECT sum(value) / count(*) AS prior FROM base)
+        |SELECT b.event_id, b.event_type, b.value,
+        |  CASE WHEN g.n - 1 + 20.0 > 0 THEN
+        |    round((g.s - b.value + 20.0 * p.prior) / (g.n - 1 + 20.0), 6)
+        |  END AS te
+        |FROM base b JOIN g USING (event_type) CROSS JOIN p""".stripMargin,
+    // q205: the same guarded covar_samp/stddev_samp ratio — both engines'
+    // merge-stable co-moments agree to ~1e-13, far below the 6 dp
+    // quantum; listwise completion fixes one shared row set
+    "q205_corr_matrix" -> {
+      def r(a: String, b: String) =
+        s"CASE WHEN count(*) > 1 AND stddev_samp($a) > 0 AND stddev_samp($b) > 0" +
+          s" THEN covar_samp($a, $b) / (stddev_samp($a) * stddev_samp($b)) END"
+      s"""WITH c AS (
+        |  SELECT CAST(l_quantity AS DOUBLE) AS q,
+        |         CAST(l_extendedprice AS DOUBLE) AS e,
+        |         CAST(l_discount AS DOUBLE) AS d,
+        |         CAST(l_tax AS DOUBLE) AS t
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+        |one AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  ${r("q", "e")} AS c1, ${r("q", "d")} AS c2, ${r("q", "t")} AS c3,
+        |  ${r("e", "d")} AS c4, ${r("e", "t")} AS c5, ${r("d", "t")} AS c6 FROM c)
+        |SELECT p.col_a, p.col_b, one.n_rows,
+        |  round(p.v, 6) + 0.0 AS corr
+        |FROM one, LATERAL (VALUES
+        |  ('l_quantity', 'l_extendedprice', one.c1),
+        |  ('l_quantity', 'l_discount', one.c2),
+        |  ('l_quantity', 'l_tax', one.c3),
+        |  ('l_extendedprice', 'l_discount', one.c4),
+        |  ('l_extendedprice', 'l_tax', one.c5),
+        |  ('l_discount', 'l_tax', one.c6)) AS p(col_a, col_b, v)""".stripMargin
     },
     // q200: the q44 sign-band replay split corpus/batch, verified cosines
     "q200_embed_dedup_across" -> {

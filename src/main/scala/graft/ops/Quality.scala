@@ -701,4 +701,86 @@ object Quality {
       coalesce(when(ok, diff - lit(z) * se > 0.0 || diff + lit(z) * se < 0.0),
         lit(false)).as("significant"))
   }
+
+  /** Leave-one-out smoothed target encoding: replace a categorical key
+    * with the mean of `valCol` over the OTHER rows sharing the key,
+    * shrunk toward the global prior — `te = (Σ_g − v + m·prior) /
+    * (n_g − 1 + m)`. The leave-one-out subtraction is what keeps the
+    * encoding honest as a training feature: a row never sees its own
+    * label, so the encoder can't leak the target it is predicting
+    * (the classic target-leakage bug in categorical encoding), and the
+    * `m`-row pseudo-count stops rare keys from memorizing their few
+    * labels. Null targets are excluded from both the group and global
+    * statistics; with `m = 0` a key's only row gets a null encoding
+    * (0/0 guarded) instead of NaN. Output: (id, key, value, te 6 dp).
+    *
+    * Scale shape: ONE (key) hash-agg of count/Σ partials plus a 1-row
+    * global aggregate; both broadcast back over the scan (the key table
+    * is |keys| rows), so the corpus is read once and never shuffled —
+    * the encode itself is a codegen'd scan-stage expression. The 6 dp
+    * round covers cross-engine sum-order ulps (~1e-14 on the quotient,
+    * far below the quantum). */
+  def targetEncoding(df: DataFrame, keyCol: String, idCol: String,
+                     valCol: String, smoothing: Double): DataFrame = {
+    require(smoothing >= 0, s"targetEncoding: need smoothing >= 0, got $smoothing")
+    val v = col(valCol).cast("double")
+    val base = df.where(v.isNotNull)
+      .select(col(idCol), col(keyCol), v.as("__v"))
+    val grp = base.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__n"), sum("__v").as("__s"))
+    val prior = base.agg((sum("__v") / count(lit(1))).as("__prior"))
+    val denom = col("__n") - 1.0 + lit(smoothing)
+    base
+      .join(broadcast(grp), Seq(keyCol))
+      .crossJoin(broadcast(prior))
+      .select(col(idCol), col(keyCol), col("__v").as(valCol),
+        when(denom > 0, round(
+          (col("__s") - col("__v") + lit(smoothing) * col("__prior")) / denom,
+          6)).as("te"))
+  }
+
+  /** Pairwise Pearson correlation matrix over a set of numeric columns —
+    * the feature-redundancy audit before training (near-±1 pairs are
+    * duplicate signals; near-0 pairs with the target are dead features).
+    * Rows with ANY null among the columns are dropped first (listwise
+    * completion), so every pair is computed over the same row set and
+    * the matrix stays positive-semidefinite. Degenerate pairs (a
+    * zero-variance column, or n < 2) report null. Output: one row per
+    * unordered pair (col_a, col_b, n_rows, corr 6 dp), pairs in the
+    * given column order.
+    *
+    * Scale shape: ONE scan ending in a single-row global aggregate — all
+    * k·(k−1)/2 `corr` co-moment aggregates (numerically stable merges,
+    * so partitioning cannot move the 6 dp digits) plus the count share
+    * one map-side partial pass; the row-explosion to pairs is a `stack`
+    * over that one row. Nothing scales with n but the scan. */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"correlationMatrix: need >= 2 columns, got ${cols.size}")
+    val complete = df.where(cols.map(c => col(c).isNotNull).reduce(_ && _))
+      .select(cols.map(c => col(c).cast("double").as(c)): _*)
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    // covar/stddev co-moments instead of corr(): ANSI mode makes corr()
+    // raise DIVIDE_BY_ZERO on a zero-variance column; the guarded ratio
+    // reports null there instead
+    val aggs = (count(lit(1)).as("__n") +:
+      cols.map(c => stddev_samp(col(c)).as(s"__sd_$c"))) ++
+      pairs.map { case (a, b) => covar_samp(col(a), col(b)).as(s"__cv_${a}_$b") }
+    val one = complete.agg(aggs.head, aggs.tail: _*)
+      .select(col("__n") +: pairs.map { case (a, b) =>
+        when(col("__n") > 1 && col(s"__sd_$a") > 0 && col(s"__sd_$b") > 0,
+          col(s"__cv_${a}_$b") / (col(s"__sd_$a") * col(s"__sd_$b")))
+          .as(s"__c_${a}_$b")
+      }: _*)
+    val stackArgs = pairs.map { case (a, b) =>
+      s"'$a', '$b', __c_${a}_$b"
+    }.mkString(", ")
+    one.selectExpr("__n", s"stack(${pairs.size}, $stackArgs) AS (col_a, col_b, __c)")
+      .select(col("col_a"), col("col_b"),
+        col("__n").cast("long").as("n_rows"),
+        // −0.0 + 0.0 = +0.0 (IEEE), so a tiny-negative corr rounded to
+        // zero can't hash-mismatch an engine that rounded to +0.0
+        (round(col("__c"), 6) + lit(0.0)).as("corr"))
+  }
 }

@@ -373,6 +373,59 @@ class QualitySpec extends SparkSpec {
     r("tiny").getBoolean(8) shouldBe false
   }
 
+  test("targetEncoding: hand LOO values, null exclusion, singleton guard") {
+    // key k1: values 10, 20, 30 (global prior over all = 18)
+    // key k2: value 12 only; one null-target row excluded everywhere
+    val rows = Seq((1L, "k1", Some(10.0)), (2L, "k1", Some(20.0)),
+      (3L, "k1", Some(30.0)), (4L, "k2", Some(12.0)),
+      (5L, "k1", None: Option[Double]))
+    val df = rows.toDF("id", "k", "v")
+    // m = 0: pure leave-one-out
+    val loo = Quality.targetEncoding(df, "k", "id", "v", 0.0)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    loo(1L).getDouble(3) shouldBe 25.0 // (20+30)/2
+    loo(2L).getDouble(3) shouldBe 20.0 // (10+30)/2
+    loo(3L).getDouble(3) shouldBe 15.0 // (10+20)/2
+    loo(4L).isNullAt(3) shouldBe true // singleton, m=0 -> 0/0 guarded null
+    loo.contains(5L) shouldBe false // null target dropped, not encoded
+    // m = 2: shrunk toward prior 18; k2's singleton now defined
+    val sm = Quality.targetEncoding(df, "k", "id", "v", 2.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    sm(1L) shouldBe round6((50.0 + 2 * 18.0) / 4.0)
+    sm(4L) shouldBe round6((0.0 + 2 * 18.0) / 2.0)
+    // leakage law (m = 0): changing a row's own target leaves ITS
+    // encoding unchanged — the property that makes the feature safe
+    val bumped = Seq((1L, "k1", Some(999.0)), (2L, "k1", Some(20.0)),
+      (3L, "k1", Some(30.0))).toDF("id", "k", "v")
+    Quality.targetEncoding(bumped, "k", "id", "v", 0.0)
+      .where($"id" === 1L).select("te").as[Double].head() shouldBe 25.0
+    an[IllegalArgumentException] should be thrownBy
+      Quality.targetEncoding(df, "k", "id", "v", -1.0)
+  }
+
+  test("correlationMatrix: known correlations, listwise filter, degenerate null") {
+    // y = 2x exactly -> corr 1; z = -x -> corr -1 with x; w constant -> null
+    val rows = Seq(
+      (1.0, 2.0, -1.0, 5.0), (2.0, 4.0, -2.0, 5.0),
+      (3.0, 6.0, -3.0, 5.0), (4.0, 8.0, -4.0, 5.0))
+    val df = rows.toDF("x", "y", "z", "w")
+    val m = Quality.correlationMatrix(df, Seq("x", "y", "z", "w"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    m.size shouldBe 6
+    m(("x", "y")).getLong(2) shouldBe 4L
+    m(("x", "y")).getDouble(3) shouldBe 1.0
+    m(("x", "z")).getDouble(3) shouldBe -1.0
+    m(("y", "z")).getDouble(3) shouldBe -1.0
+    m(("x", "w")).isNullAt(3) shouldBe true // zero variance -> null
+    // a null in any column drops the whole row (listwise): n shrinks
+    val withNull = (rows :+ ((5.0, 10.0, -5.0, Double.NaN))).toDF("x", "y", "z", "w")
+      .withColumn("w", when(isnan($"w"), lit(null)).otherwise($"w"))
+    Quality.correlationMatrix(withNull, Seq("x", "y", "w"))
+      .select("n_rows").distinct().as[Long].head() shouldBe 4L
+    an[IllegalArgumentException] should be thrownBy
+      Quality.correlationMatrix(df, Seq("x"))
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
