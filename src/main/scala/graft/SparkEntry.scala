@@ -1191,6 +1191,17 @@ object SparkEntry {
       graft.ops.Quality.correlationMatrix(
         t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+    // exact daily + trailing-7-day active users for every calendar day
+    // (distinct counts don't decompose over a sliding window — the
+    // growth metric a running-total mart gets wrong)
+    "q206_rolling_active" -> ((s, dir) =>
+      graft.ops.EventAnalytics.rollingActiveUsers(
+        t(s, dir, "events"), "user_id", "ts", 7)),
+    // purged temporal 5-fold split with a 1-hour embargo around fold
+    // boundaries — the autocorrelation-leakage-safe CV assignment
+    "q207_temporal_folds" -> ((s, dir) =>
+      Sampling.temporalFolds(t(s, dir, "events"), "event_id", "ts",
+        5, 3600000L)),
     // Pareto frontier of (length, lexical diversity): the docs no other
     // doc beats on both axes — multi-criteria curation without a
     // weighted collapse
@@ -2580,6 +2591,39 @@ object SparkEntry {
         |  ('l_extendedprice', 'l_discount', one.c4),
         |  ('l_extendedprice', 'l_tax', one.c5),
         |  ('l_discount', 'l_tax', one.c6)) AS p(col_a, col_b, v)""".stripMargin
+    },
+    // q206: the same (user, day) reduction; the window count is the
+    // range join the Spark side replaces with the bounded ×7 fan-out
+    "q206_rolling_active" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id AS u, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |b AS (SELECT min(d) AS lo, max(d) AS hi FROM ud),
+        |days AS (
+        |  SELECT CAST(unnest(generate_series(b.lo, b.hi,
+        |    INTERVAL 1 DAY)) AS DATE) AS day FROM b)
+        |SELECT days.day,
+        |  CAST(count(DISTINCT CASE WHEN ud.d = days.day THEN ud.u END)
+        |    AS BIGINT) AS dau,
+        |  CAST(count(DISTINCT ud.u) AS BIGINT) AS wau
+        |FROM days LEFT JOIN ud
+        |  ON ud.d BETWEEN days.day - 6 AND days.day
+        |GROUP BY 1""".stripMargin,
+    // q207: identical integer-µs fold arithmetic (double division then
+    // floor is bit-identical cross-engine below 2^53), same clamp trick
+    "q207_temporal_folds" -> {
+      val e = 3600000L * 1000L
+      def fold(t: String) =
+        s"CAST(least(4, floor((greatest(b.lo, least(b.hi, $t)) - b.lo)" +
+          s" * 5 / (b.hi - b.lo + 1))) AS INTEGER)"
+      s"""WITH base AS (
+         |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+         |  FROM events WHERE ts IS NOT NULL),
+         |b AS (SELECT min(us) AS lo, max(us) AS hi FROM base)
+         |SELECT event_id, ts, ${fold("us")} AS fold,
+         |  ${fold(s"us - $e")} <> ${fold(s"us + $e")} AS is_embargo
+         |FROM base, b""".stripMargin
     },
     // q200: the q44 sign-band replay split corpus/batch, verified cosines
     "q200_embed_dedup_across" -> {

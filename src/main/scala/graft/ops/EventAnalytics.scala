@@ -525,4 +525,43 @@ object EventAnalytics {
         coalesce(col("cnt").cast("double") > col("mean") + lit(z) * col("sd"),
           lit(false)).as("is_spike"))
   }
+
+  /** Daily + rolling-window active users, EXACT: for every calendar day
+    * in the observed range, the distinct users active that day (`dau`)
+    * and in the trailing `windowDays`-day window ending that day
+    * (`wau`). Distinct counts don't decompose over a sliding window (a
+    * user active twice in the window must count once), so the window
+    * sum a running-total mart would use is WRONG here — this is the
+    * growth-team metric that actually needs care at scale. Days with no
+    * events report 0 (the gap itself is the signal).
+    * Output: (day, dau, wau), one row per calendar day.
+    *
+    * Scale shape: the event log collapses to distinct (user, day) ONCE
+    * (one hash-agg with map-side partials — the only pass over the
+    * log); the ×windowDays fan-out explodes the REDUCED table, and each
+    * report day's distinct-user count is a second hash-agg over ≤
+    * users·windowDays rows. The calendar scaffold comes from a 1-row
+    * min/max aggregate, so zero-event days cost nothing. No range
+    * self-join, no window over the log. */
+  def rollingActiveUsers(events: DataFrame, userCol: String, tsCol: String,
+                         windowDays: Int): DataFrame = {
+    require(windowDays >= 1,
+      s"rollingActiveUsers: need windowDays >= 1, got $windowDays")
+    val userDays = graft.core.CacheRegistry.persist(
+      events.where(col(userCol).isNotNull && col(tsCol).isNotNull)
+        .select(col(userCol).as("__u"), to_date(col(tsCol)).as("__d"))
+        .distinct())
+    val days = userDays.agg(min("__d").as("__lo"), max("__d").as("__hi"))
+      .select(explode(sequence(col("__lo"), col("__hi"))).as("day"))
+    val dau = userDays.groupBy(col("__d").as("day"))
+      .agg(count(lit(1)).as("dau")) // (user, day) already distinct
+    val wau = userDays
+      .select(col("__u"), explode(sequence(col("__d"),
+        date_add(col("__d"), windowDays - 1))).as("day"))
+      .distinct() // a user active on several window days counts once
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    days.join(dau, Seq("day"), "left").join(wau, Seq("day"), "left")
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau"), lit(0L)).as("wau"))
+  }
 }

@@ -558,4 +558,47 @@ object Sampling {
         element_at(col("__grid"),
           ceil(col("__p") * gridSize).cast("int")).as("norm_score"))
   }
+
+  /** Purged temporal k-fold assignment with an embargo (the time-series
+    * cross-validation split, de Prado-style): the observed time range
+    * splits into `k` equal-width contiguous folds, and rows within
+    * `embargoMs` of a fold boundary are flagged `is_embargo` — training
+    * on `fold != i AND NOT is_embargo` keeps serially-correlated
+    * neighbors of the validation fold out of the training set, the
+    * leakage a random k-fold over time-series data commits silently
+    * ([[groupKFold]] solves the entity-leakage version; this solves the
+    * autocorrelation version). Fold edges are integer-microsecond
+    * arithmetic — `fold = ⌊(t − lo)·k / span⌋` capped at k−1 — so any
+    * engine replays membership exactly; the embargo test reuses the
+    * same formula: a row is embargoed iff the fold of `t − embargo` and
+    * `t + embargo` (range-clamped) differ, which is precisely "within
+    * embargo of some boundary" with no boundary enumeration.
+    * Output: (id, ts, fold, is_embargo).
+    *
+    * Scale shape: one 1-row min/max aggregate broadcast back over the
+    * scan; the assignment itself is a codegen'd scan-stage expression —
+    * no shuffle, no window, nothing scales with n but the scan. */
+  def temporalFolds(df: DataFrame, idCol: String, tsCol: String,
+                    k: Int, embargoMs: Long): DataFrame = {
+    require(k >= 2, s"temporalFolds: need k >= 2 folds, got $k")
+    require(embargoMs >= 0, s"temporalFolds: need embargoMs >= 0, got $embargoMs")
+    val us = unix_micros(col(tsCol))
+    val base = df.where(col(tsCol).isNotNull)
+      .select(col(idCol), col(tsCol), us.as("__us"))
+    val bounds = base.agg(min("__us").as("__lo"), max("__us").as("__hi"))
+    val span = col("__hi") - col("__lo") + 1L
+    // double division then floor on BOTH engines: numerator ≤ span·k
+    // ≪ 2^53, so the IEEE quotient is bit-identical cross-engine and
+    // the floor can't disagree (exact integer div would differ only in
+    // sub-ulp cases, and then identically on each side)
+    def foldOf(t: Column) = {
+      val clamped = greatest(col("__lo"), least(col("__hi"), t))
+      least(lit(k - 1), floor((clamped - col("__lo")) * k / span).cast("int"))
+    }
+    val e = embargoMs * 1000L
+    base.crossJoin(broadcast(bounds))
+      .select(col(idCol), col(tsCol),
+        foldOf(col("__us")).as("fold"),
+        (foldOf(col("__us") - e) =!= foldOf(col("__us") + e)).as("is_embargo"))
+  }
 }

@@ -382,4 +382,25 @@ class EventAnalyticsSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       EventAnalytics.decayedCounts(ev, "user_id", "ts", "value", asOf, 0.0)
   }
+
+  test("rollingActiveUsers: hand dau/wau, gap day kept at 0, within-day dedup") {
+    val ev = Seq(
+      (Some(1L), Timestamp.valueOf("2024-01-01 09:00:00")),
+      (Some(2L), Timestamp.valueOf("2024-01-01 10:00:00")),
+      // 2024-01-02: nobody active — the gap day must still report
+      (Some(1L), Timestamp.valueOf("2024-01-03 08:00:00")),
+      (Some(1L), Timestamp.valueOf("2024-01-03 23:00:00")), // same user+day
+      (None: Option[Long], Timestamp.valueOf("2024-01-03 12:00:00")) // null user
+    ).toDF("user_id", "ts")
+    val got = EventAnalytics.rollingActiveUsers(ev, "user_id", "ts", 2)
+      .orderBy("day").as[(java.sql.Date, Long, Long)].collect()
+    graft.core.CacheRegistry.drain()
+    got.map(_._1.toString) shouldBe Array("2024-01-01", "2024-01-02", "2024-01-03")
+    got.map(_._2) shouldBe Array(2L, 0L, 1L) // dau; day 3 dedups user 1
+    // wau (window 2): {1,2} on day1; {1,2} active in {day1,day2};
+    // {1} in {day2,day3}
+    got.map(_._3) shouldBe Array(2L, 2L, 1L)
+    an[IllegalArgumentException] should be thrownBy
+      EventAnalytics.rollingActiveUsers(ev, "user_id", "ts", 0)
+  }
 }

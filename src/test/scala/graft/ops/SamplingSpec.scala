@@ -400,4 +400,28 @@ class SamplingSpec extends SparkSpec {
       Sampling.quantileNormalize(d.toDF("id", "src", "score"),
         "id", "src", "score", 1)
   }
+
+  test("temporalFolds: hand fold edges, embargo band, range-edge clamp") {
+    import java.sql.Timestamp
+    def ts(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
+    // range [0s, 19s] -> k=2 boundary at 9.5s; embargo 1s flags ~[8.5, 10.5]
+    val df = Seq((1L, ts(0)), (2L, ts(5)), (3L, ts(9)), (4L, ts(10)),
+      (5L, ts(12)), (6L, ts(19)), (7L, ts(0)))
+      .toDF("id", "ts")
+    val got = Sampling.temporalFolds(df, "id", "ts", 2, 1000L)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(2), r.getBoolean(3)))).toMap
+    got(1L) shouldBe ((0, false)) // clamp at lo: fold(-1s)=fold(0)=0
+    got(2L) shouldBe ((0, false))
+    got(3L) shouldBe ((0, true)) // 9s: fold(8s)=0, fold(10s)=1
+    got(4L) shouldBe ((1, true)) // 10s: fold(9s)=0, fold(11s)=1
+    got(5L) shouldBe ((1, false)) // 12s: fold(11s)=fold(13s)=1
+    got(6L) shouldBe ((1, false)) // clamp at hi
+    // every fold non-empty over a uniform spread; zero embargo flags none
+    val wide = (0 until 100).map(i => (i.toLong, ts(i))).toDF("id", "ts")
+    val folds = Sampling.temporalFolds(wide, "id", "ts", 5, 0L)
+    folds.select("fold").distinct().count() shouldBe 5L
+    folds.where(col("is_embargo")).count() shouldBe 0L
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.temporalFolds(df, "id", "ts", 1, 0L)
+  }
 }
