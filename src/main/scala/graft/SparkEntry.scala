@@ -1191,6 +1191,26 @@ object SparkEntry {
       graft.ops.Quality.correlationMatrix(
         t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+    // deterministic T5 span-corruption mask plan: md5-derived span
+    // starts/lengths merged to maximal islands, entirely scan-stage
+    "q209_span_corruption" -> ((s, dir) =>
+      graft.ops.Chunking.spanCorruptionPlan(
+        t(s, dir, "documents"), "doc_id", "text", 7, 3)),
+    // CCNet-style per-language perplexity terciles of the familiarity
+    // score: head/middle/tail by broadcast value cuts, no window
+    "q210_ppl_buckets" -> ((s, dir) =>
+      graft.ops.Corpus.perplexityBuckets(
+        t(s, dir, "documents"), "doc_id", "text", "lang", 40)),
+    // GraphSAGE-style mean aggregation over the exact 3-NN cosine graph:
+    // every vector's neighborhood-mean embedding (one message-passing
+    // round as plain relational ops; q163's edge chain)
+    "q208_neighbor_mean" -> ((s, dir) => {
+      val knn = Similarity.bruteForceTopK(
+        t(s, dir, "embeddings"), "vec_id", "embedding", 3)
+        .where(col("cos") > 0)
+      graft.ops.Graph.neighborMeanEmbedding(knn, "query_id", "cand_id",
+        t(s, dir, "embeddings"), "vec_id", "embedding")
+    }),
     // exact daily + trailing-7-day active users for every calendar day
     // (distinct counts don't decompose over a sliding window — the
     // growth metric a running-total mart gets wrong)
@@ -2592,6 +2612,68 @@ object SparkEntry {
         |  ('l_extendedprice', 'l_tax', one.c5),
         |  ('l_discount', 'l_tax', one.c6)) AS p(col_a, col_b, v)""".stripMargin
     },
+    // q209: same md5 start/length arithmetic; the island merge is the
+    // q114 gaps-and-islands window (running-max-of-end variant, since
+    // spans vary in length) — the fold and the window provably agree
+    "q209_span_corruption" -> {
+      val pStr = "CAST(doc_id AS VARCHAR) || '|' || CAST(p AS VARCHAR)"
+      s"""WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n
+         |  FROM documents),
+         |pos AS (SELECT doc_id, n,
+         |    unnest(generate_series(0, n - 1)) AS p FROM d),
+         |st AS (SELECT doc_id, n, p AS s,
+         |    least(n - 1, p + ${md5ModSql(s"$pStr || '|L'", 3)}) AS e
+         |  FROM pos WHERE ${md5ModSql(pStr, 7)} = 0),
+         |m AS (SELECT doc_id, n, s, e,
+         |    max(e) OVER (PARTITION BY doc_id ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+         |  FROM st),
+         |g AS (SELECT doc_id, n, s, e,
+         |    sum(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY s) AS grp
+         |  FROM m)
+         |SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+         |  CAST(min(s) AS INTEGER) AS span_start,
+         |  CAST(max(e) AS INTEGER) AS span_end,
+         |  CAST(max(e) - min(s) + 1 AS INTEGER) AS span_tokens
+         |FROM g GROUP BY doc_id, n, grp""".stripMargin
+    },
+    // q210: the q79 familiarity chain + per-language quantile_cont cuts,
+    // same strict-> comparisons (familiarity is integer/integer IEEE
+    // division — bit-identical, so the cuts interpolate identical inputs)
+    "q210_ppl_buckets" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |stats AS (SELECT term, count(*) AS tf FROM toks GROUP BY 1),
+        |vocab AS (SELECT term FROM stats ORDER BY tf DESC, term LIMIT 40),
+        |fam AS (
+        |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(s.tf) AS DOUBLE) / count(*) AS f
+        |  FROM toks t JOIN stats s USING (term) GROUP BY 1),
+        |j AS (SELECT fam.doc_id, d.lang, fam.n_tokens, fam.f
+        |      FROM fam JOIN documents d USING (doc_id)),
+        |cuts AS (SELECT lang, quantile_cont(f, 1.0 / 3.0) AS c1,
+        |    quantile_cont(f, 2.0 / 3.0) AS c2 FROM j GROUP BY 1)
+        |SELECT j.doc_id, j.lang, j.n_tokens, round(j.f, 6) AS familiarity,
+        |  CASE WHEN j.f > cuts.c2 THEN 'head'
+        |       WHEN j.f > cuts.c1 THEN 'middle'
+        |       ELSE 'tail' END AS ppl_bucket
+        |FROM j JOIN cuts USING (lang)""".stripMargin,
+    // q208: the q163 edge chain + q91's aligned-unnest per-dim mean
+    "q208_neighbor_mean" ->
+      s"""WITH pc AS ($cosineSql),
+         |k AS (SELECT query_id, cand_id, cos FROM pc
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, cand_id ASC) <= 3),
+         |e AS (SELECT query_id AS src, cand_id AS dst FROM k WHERE cos > 0),
+         |m AS (SELECT e.src AS node,
+         |    unnest(CAST(b.embedding AS DOUBLE[])) AS v,
+         |    unnest(generate_series(0, len(b.embedding) - 1)) AS dim
+         |  FROM e JOIN embeddings b ON e.dst = b.vec_id
+         |  WHERE b.embedding IS NOT NULL)
+         |SELECT node, CAST(count(*) AS BIGINT) AS degree,
+         |  CAST(dim AS INTEGER) AS dim, round(avg(v), 6) AS mean_val
+         |FROM m GROUP BY node, dim""".stripMargin,
     // q206: the same (user, day) reduction; the window count is the
     // range join the Spark side replaces with the bounded ×7 fan-out
     "q206_rolling_active" ->

@@ -42,4 +42,60 @@ object Chunking {
         least(lit(window.toLong), col("__n") - col("chunk_id") * stride)
           .as("n_chunk_tokens"))
   }
+
+  /** Deterministic T5-style span-corruption plan: for each document, the
+    * merged token spans a denoising objective would mask. Token position
+    * `p` opens a span iff `md5(id|p) mod startMod = 0` (expected noise
+    * density ≈ `mean_span/startMod`); its length is `1 + md5(id|p|L)
+    * mod maxSpan`, clipped at the document end; overlapping or adjacent
+    * spans merge into maximal islands (T5 treats consecutive masked
+    * tokens as ONE sentinel span). md5-derived, so the mask plan is
+    * replay-stable across runs, engines, and repartitioning — the same
+    * property the split/sampling family builds on — instead of an RNG
+    * the trainer can't reproduce. Output: one row per merged span
+    * (id, n_tokens, span_start, span_end, span_tokens), 0-based
+    * inclusive positions; unmasked documents emit nothing.
+    *
+    * Scale shape: ENTIRELY scan-stage — the start positions are a
+    * higher-order `filter` over the position sequence, the island merge
+    * is a higher-order `aggregate` (fold) over the per-doc span array
+    * (bounded by doc length), and the only row growth is the final
+    * explode of merged spans. No shuffle, no window, no join; the
+    * oracle's gaps-and-islands window formulation is the equivalence
+    * proof, not the plan. */
+  def spanCorruptionPlan(df: DataFrame, idCol: String, textCol: String,
+                         startMod: Int, maxSpan: Int): DataFrame = {
+    import org.apache.spark.sql.Column
+    require(startMod >= 2, s"spanCorruptionPlan: need startMod >= 2, got $startMod")
+    require(maxSpan >= 1, s"spanCorruptionPlan: need maxSpan >= 1, got $maxSpan")
+    val n = size(split(col(textCol), " "))
+    val idStr = col(idCol).cast("string")
+    def m(s: Column, mod: Int): Column =
+      pmod(conv(substring(md5(s), 1, 8), 16, 10).cast("long"), lit(mod))
+    val starts = filter(sequence(lit(0), n - 1),
+      p => m(concat(idStr, lit("|"), p.cast("string")), startMod) === 0)
+    val spans = transform(starts, p => struct(
+      p.as("s"),
+      least(n - 1, p +
+        m(concat(idStr, lit("|"), p.cast("string"), lit("|L")), maxSpan)
+          .cast("int")).as("e")))
+    // fold-merge overlapping/adjacent spans; the sentinel keeps the
+    // last-element probe total on the empty accumulator (ANSI element_at
+    // would throw on it), and the probe itself decides merge-vs-append
+    val sentinel = array(struct(lit(-2).as("s"), lit(-2).as("e")))
+    val merged = aggregate(spans,
+      array().cast("array<struct<s:int,e:int>>"),
+      (acc, sp) => {
+        val last = element_at(concat(sentinel, acc), -1)
+        when(sp.getField("s") <= last.getField("e") + 1,
+          concat(slice(acc, lit(1), size(acc) - 1), array(struct(
+            last.getField("s").as("s"),
+            greatest(last.getField("e"), sp.getField("e")).as("e")))))
+          .otherwise(concat(acc, array(sp)))
+      })
+    df.select(col(idCol), n.as("n_tokens"), explode(merged).as("__sp"))
+      .select(col(idCol), col("n_tokens"),
+        col("__sp.s").as("span_start"), col("__sp.e").as("span_end"),
+        (col("__sp.e") - col("__sp.s") + 1).as("span_tokens"))
+  }
 }

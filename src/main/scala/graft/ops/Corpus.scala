@@ -814,4 +814,41 @@ object Corpus {
       .withColumn("ndcg_at_k", round(col("__ndcg"), 6))
       .drop("__ndcg")
   }
+
+  /** CCNet-style per-language perplexity bucketing (Wenzek et al. 2020):
+    * every document lands in its language's `head` / `middle` / `tail`
+    * tercile by LM score — CCNet buckets by Wikipedia-LM perplexity and
+    * trains mostly on head+middle; here the score is [[familiarity]]'s
+    * no-model proxy (HIGHER = more familiar = lower-perplexity-like, so
+    * `head` is the top tercile). Per language, the ⅓ and ⅔ familiarity
+    * quantiles become value CUTS and rows classify by comparison —
+    * CCNet's actual semantics (perplexity thresholds per language), not
+    * an exact-count ntile, so ties land in one bucket deterministically.
+    * Engine-exact: familiarity is an integer÷integer IEEE division
+    * (bit-identical anywhere), the cuts interpolate identical inputs.
+    * Output: (id, lang, n_tokens, familiarity 6 dp, ppl_bucket).
+    *
+    * Scale shape: one [[familiarity]] pass (token hash-agg + term join),
+    * then TWO doubles per language from one exact-percentile agg,
+    * broadcast back over the scored table — no window, no per-language
+    * sort; the bucketing is a codegen'd scan-stage comparison. At
+    * unbounded per-language cardinality swap the exact percentile for
+    * `approx_percentile` (the q45 percentiles split) — the cut moves
+    * within sketch error, the mechanism is identical. */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+                        langCol: String, vocabK: Int): DataFrame = {
+    val fam = graft.core.CacheRegistry.persist(
+      familiarity(df, idCol, textCol, vocabK)
+        .join(df.select(col(idCol), col(langCol)), Seq(idCol))
+        .select(col(idCol), col(langCol), col("n_tokens"), col("familiarity")))
+    val cuts = fam.groupBy(col(langCol)).agg(
+      percentile(col("familiarity"), lit(1.0 / 3.0)).as("__c1"),
+      percentile(col("familiarity"), lit(2.0 / 3.0)).as("__c2"))
+    fam.join(broadcast(cuts), Seq(langCol))
+      .select(col(idCol), col(langCol), col("n_tokens"),
+        round(col("familiarity"), 6).as("familiarity"),
+        when(col("familiarity") > col("__c2"), "head")
+          .when(col("familiarity") > col("__c1"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
 }

@@ -169,4 +169,38 @@ object Graph {
             lit(2.0) * coalesce(col("triangles"), lit(0L)) /
               (col("degree") * (col("degree") - 1)), 6)).as("coeff"))
   }
+
+  /** One round of GNN-style message passing WITHOUT a GNN: every node's
+    * per-dimension mean of its out-neighbors' embedding vectors — the
+    * neighborhood-aggregation feature (GraphSAGE mean aggregator,
+    * Hamilton et al. 2017) that turns a k-NN or interaction graph into
+    * trainable node features, and the smoothing step of label/feature
+    * propagation. Nodes with no resolvable neighbor vector drop out;
+    * a neighbor listed without an embedding row contributes nothing
+    * (inner join semantics). Output: (node, degree, dim, mean_val 6 dp),
+    * dims exploded to scalar rows, `degree` = resolved neighbors.
+    *
+    * Scale shape: ONE shuffle join keys the edge list against the
+    * embedding table on the neighbor id, then ONE hash-agg per node
+    * over the native element-wise vector-sum buffer
+    * ([[graft.functions.VectorFunctions.vectorSumF]]) — map-side
+    * partials, so the exchange carries nodes × d doubles, never the
+    * posexplode'd N·d element rows; the per-dim divide + explode happen
+    * AFTER the reduction on |nodes| rows. Neighbor sums are ≤ degree
+    * float terms accumulated in double, 6 dp-rounded. */
+  def neighborMeanEmbedding(edges: DataFrame, srcCol: String, dstCol: String,
+                            emb: DataFrame, idCol: String,
+                            vecCol: String): DataFrame = {
+    import graft.functions.VectorFunctions.vectorSumF
+    val nb = emb.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("__nbid"), col(vecCol).as("__v"))
+    edges.select(col(srcCol).as("node"), col(dstCol).as("__nbid"))
+      .join(nb, Seq("__nbid"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("degree"), vectorSumF(col("__v")).as("__sums"))
+      .select(col("node"), col("degree"),
+        posexplode(transform(col("__sums"), x => x / col("degree")))
+          .as(Seq("dim", "mean_val")))
+      .withColumn("mean_val", round(col("mean_val"), 6))
+  }
 }

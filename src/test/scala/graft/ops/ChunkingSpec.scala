@@ -41,4 +41,52 @@ class ChunkingSpec extends SparkSpec {
     law.where(col("covered") =!= col("n")).count() shouldBe 0L
     law.where(col("sum_tok") < col("n")).count() shouldBe 0L
   }
+
+  test("spanCorruptionPlan: JVM md5 replay, island laws, determinism") {
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 30L)
+      .map(i => (i, (0 until 40).map(t => s"w${i}_$t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val startMod = 7
+    val maxSpan = 3
+    val got = Chunking.spanCorruptionPlan(docs, "doc_id", "text", startMod, maxSpan)
+      .as[(Long, Int, Int, Int, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._3, r._4)).sortBy(_._1)).toMap
+    // reference implementation: same md5 arithmetic + island merge in JVM
+    def md5mod(s: String, m: Int): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16) % m).toInt
+    }
+    val expected = (1L to 30L).map { id =>
+      val n = 40
+      val raw = (0 until n).filter(p => md5mod(s"$id|$p", startMod) == 0)
+        .map(p => (p, math.min(n - 1, p + md5mod(s"$id|$p|L", maxSpan))))
+      val merged = raw.foldLeft(Vector.empty[(Int, Int)]) {
+        case (acc, (s0, e0)) =>
+          if (acc.nonEmpty && s0 <= acc.last._2 + 1)
+            acc.init :+ ((acc.last._1, math.max(acc.last._2, e0)))
+          else acc :+ ((s0, e0))
+      }
+      id -> merged
+    }.filter(_._2.nonEmpty).toMap
+    got.view.mapValues(_.toVector).toMap shouldBe expected
+    // island laws on every doc: in-bounds, ordered, gap >= 2 between spans
+    got.values.foreach { spans =>
+      spans.foreach { case (s0, e0) => s0 should be >= 0; e0 should be <= 39
+        e0 should be >= s0 }
+      spans.sliding(2).foreach {
+        case Array((_, e1), (s2, _)) => s2 should be > (e1 + 1)
+        case _ =>
+      }
+    }
+    // deterministic under repartition
+    Chunking.spanCorruptionPlan(docs.repartition(7), "doc_id", "text",
+        startMod, maxSpan)
+      .as[(Long, Int, Int, Int, Int)].collect().toSet shouldBe
+      Chunking.spanCorruptionPlan(docs, "doc_id", "text", startMod, maxSpan)
+        .as[(Long, Int, Int, Int, Int)].collect().toSet
+    an[IllegalArgumentException] should be thrownBy
+      Chunking.spanCorruptionPlan(docs, "doc_id", "text", 1, 3)
+  }
 }

@@ -445,6 +445,29 @@ class CorpusSpec extends SparkSpec {
     r("m") shouldBe (("m", 2L, 1L, 0.0, 1.0)) // mode collapse: ppl 1
   }
 
+  test("perplexityBuckets: per-language terciles by value cuts") {
+    // lang a: 9 docs with strictly increasing familiarity (more repeats
+    // of the corpus-dominant token -> higher mean tf); lang b: 1 doc
+    val common = "the"
+    val docs = ((1 to 9).map { i =>
+      // i copies of the common token + (10 - i) unique rares
+      val toks = Seq.fill(i)(common) ++ (1 to (10 - i)).map(j => s"rare_${i}_$j")
+      (i.toLong, toks.mkString(" "), "a")
+    } :+ ((99L, s"$common solo_tok", "b"))).toDF("doc_id", "text", "lang")
+    val got = Corpus.perplexityBuckets(docs, "doc_id", "text", "lang", 5)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(4)))).toMap
+    graft.core.CacheRegistry.drain()
+    // lang a: familiarity strictly increases with i -> bottom third tail,
+    // middle third middle, top third head (cuts at the 1/3 and 2/3
+    // interpolated quantiles of 9 strictly increasing values)
+    (1 to 3).foreach(i => got(i.toLong) shouldBe (("a", "tail")))
+    (4 to 6).foreach(i => got(i.toLong) shouldBe (("a", "middle")))
+    (7 to 9).foreach(i => got(i.toLong) shouldBe (("a", "head")))
+    // a single-doc language: both cuts equal its own score, strict >
+    // puts it in tail (pinned contract)
+    got(99L)._2 shouldBe "tail"
+  }
+
   private implicit class TripleOps(rows: Array[(Long, String, Double)]) {
     def toMap2: Map[Long, (String, Double)] =
       rows.map { case (id, t, s) => id -> (t, s) }.toMap

@@ -134,4 +134,25 @@ class GraphSpec extends SparkSpec {
       Graph.labelSpread(nodes.toDF("id", "label"), "id", "label",
         edges.toDF("src", "dst", "w"), "src", "dst", "w", 0)
   }
+
+  test("neighborMeanEmbedding: hand means, unresolved neighbors, isolation") {
+    val emb = Seq(
+      (1L, Some(Seq(1.0f, 0.0f))), (2L, Some(Seq(0.0f, 2.0f))),
+      (3L, Some(Seq(4.0f, 4.0f))), (4L, None: Option[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    // node 10: neighbors 1, 2 -> mean (0.5, 1.0); node 20: neighbor 3
+    // plus a null-vector neighbor (4) and a dangling id (99), both
+    // contribute nothing; node 30: only unresolvable neighbors -> absent
+    val edges = Seq((10L, 1L), (10L, 2L), (20L, 3L), (20L, 4L), (20L, 99L),
+      (30L, 99L)).toDF("src", "dst")
+    val got = Graph.neighborMeanEmbedding(edges, "src", "dst",
+        emb, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(2)) ->
+        ((r.getLong(1), r.getDouble(3)))).toMap
+    got((10L, 0)) shouldBe ((2L, 0.5))
+    got((10L, 1)) shouldBe ((2L, 1.0))
+    got((20L, 0)) shouldBe ((1L, 4.0))
+    got((20L, 1)) shouldBe ((1L, 4.0))
+    got.keySet.map(_._1) shouldBe Set(10L, 20L)
+  }
 }
