@@ -763,4 +763,63 @@ class PlanSpec extends SparkSpec {
     plan should not include "SortMergeJoin"
     plan should not include "Exchange hashpartitioning"
   }
+
+  test("target encoding: key/prior stats broadcast, encode is scan-stage (q204)") {
+    val plan = planOf(SparkEntry.queries("q204_target_encoding")(spark, sf0001))
+    plan should include("BroadcastHashJoin") // the |keys|-row group table
+    plan should include("BroadcastNestedLoopJoin") // the 1-row prior
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+  }
+
+  test("correlation matrix: one single-row co-moment pass, no join (q205)") {
+    val plan = planOf(SparkEntry.queries("q205_corr_matrix")(spark, sf0001))
+    plan should not include "Join"
+    plan should include("partial_covar_samp") // map-side co-moments
+  }
+
+  test("rolling active users: reduced (user, day) cached, bounded fan-out, " +
+    "no range join (q206)") {
+    graft.core.CacheRegistry.scoped {
+      val plan = planOf(SparkEntry.queries("q206_rolling_active")(spark, sf0001))
+      plan should not include "CartesianProduct"
+      plan should not include "NestedLoop" // the range join lives in the oracle only
+      plan should include("InMemoryTableScan") // shared (user, day) reduction
+    }
+    graft.core.CacheRegistry.drain()
+  }
+
+  test("temporal folds: one broadcast bounds row, assignment scan-stage (q207)") {
+    val plan = planOf(SparkEntry.queries("q207_temporal_folds")(spark, sf0001))
+    plan should include("BroadcastNestedLoopJoin") // the 1-row min/max
+    plan should not include "SortMergeJoin"
+    plan should not include "Exchange hashpartitioning"
+  }
+
+  test("neighbor mean: native vector-sum partials, equi-join only (q208)") {
+    import spark.implicits._
+    val edges = Seq((10L, 1L), (10L, 2L), (20L, 1L)).toDF("src", "dst")
+    val emb = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val plan = planOf(graft.ops.Graph.neighborMeanEmbedding(
+      edges, "src", "dst", emb, "vec_id", "embedding"))
+    plan should include("partial_float_vector_sum") // map-side buffer
+    plan should not include "CartesianProduct"
+  }
+
+  test("span corruption: zero exchanges — fully scan-stage (q209)") {
+    val plan = planOf(SparkEntry.queries("q209_span_corruption")(spark, sf0001))
+    plan should not include "Exchange"
+    plan should not include "Join"
+  }
+
+  test("ppl buckets: per-language cuts broadcast, no per-language sort (q210)") {
+    graft.core.CacheRegistry.scoped {
+      val plan = planOf(SparkEntry.queries("q210_ppl_buckets")(spark, sf0001))
+      plan should not include "Window" // bucketing is comparison, not ntile
+      plan should not include "CartesianProduct"
+      plan should include("BroadcastHashJoin") // the |langs|-row cut table
+    }
+    graft.core.CacheRegistry.drain()
+  }
 }
