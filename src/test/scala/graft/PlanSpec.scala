@@ -764,6 +764,17 @@ class PlanSpec extends SparkSpec {
     plan should not include "Exchange hashpartitioning"
   }
 
+  test("fuzzy match: collapsed compare — levenshtein over the distinct-name " +
+    "table, fan-out equi-joins, no cartesian (q92)") {
+    graft.core.CacheRegistry.scoped {
+      val plan = planOf(SparkEntry.queries("q92_fuzzy_match")(spark, sf0001))
+      plan should not include "CartesianProduct"
+      plan should include("InMemoryTableScan") // shared (blk, nm, id) cache
+      plan should include("levenshtein")
+    }
+    graft.core.CacheRegistry.drain()
+  }
+
   test("target encoding: key/prior stats broadcast, encode is scan-stage (q204)") {
     val plan = planOf(SparkEntry.queries("q204_target_encoding")(spark, sf0001))
     plan should include("BroadcastHashJoin") // the |keys|-row group table

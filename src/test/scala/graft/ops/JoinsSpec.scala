@@ -45,6 +45,64 @@ class JoinsSpec extends SparkSpec {
       Joins.blockedFuzzyPairs(df, "id", "nm", "blk", 0)
   }
 
+  test("passJoinFuzzyPairs == blockedFuzzyPairs: hand cases, short strings, " +
+    "randomized equivalence") {
+    val hand = Seq(
+      (1L, "red widget", "red"), (2L, "red widgat", "red"),
+      (3L, "red bolt", "red"), (4L, "blue widget", "blue"),
+      (5L, "red widget", "red"),
+      (6L, "ab", "red"), (7L, "abc", "red"), // short-string fallback path
+      (8L, "a", "red")
+    ).toDF("id", "nm", "blk")
+    def run(f: (org.apache.spark.sql.DataFrame, String, String, String, Int) =>
+        org.apache.spark.sql.DataFrame, d: org.apache.spark.sql.DataFrame) = {
+      val r = f(d, "id", "nm", "blk", 2)
+        .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+      graft.core.CacheRegistry.drain()
+      r
+    }
+    run(Joins.passJoinFuzzyPairs, hand) shouldBe run(Joins.blockedFuzzyPairs, hand)
+    // randomized: small-vocab word names with injected single-char typos —
+    // the exact-algorithm law is set equality with the quadratic form
+    val vocab = Vector("alpha", "bravo", "chart", "delta", "echoo", "fox")
+    val rnd = new scala.util.Random(42)
+    val docs = (1L to 300L).map { i =>
+      val base = (0 until 3).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val s = if (rnd.nextBoolean()) {
+        val p = rnd.nextInt(base.length)
+        base.updated(p, ('a' + rnd.nextInt(26)).toChar)
+      } else base
+      (i, s, s.take(2)) // block on the (possibly typo'd) 2-char prefix
+    }.toDF("id", "nm", "blk")
+    run(Joins.passJoinFuzzyPairs, docs) shouldBe run(Joins.blockedFuzzyPairs, docs)
+    an[IllegalArgumentException] should be thrownBy
+      Joins.passJoinFuzzyPairs(hand, "id", "nm", "blk", 0)
+  }
+
+  test("fuzzyPairsCollapsed == blockedFuzzyPairs on duplicate-heavy data") {
+    // few distinct names, many ids each — the collapse premise
+    val vocab = Vector("red widget", "red widgat", "red bolt", "blue cog")
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 200L).map { i =>
+      val nm = vocab(rnd.nextInt(vocab.size))
+      (i, nm, nm.take(3))
+    }.toDF("id", "nm", "blk")
+    def run(f: (org.apache.spark.sql.DataFrame, String, String, String, Int) =>
+        org.apache.spark.sql.DataFrame) = {
+      val r = f(docs, "id", "nm", "blk", 2)
+        .select("id_a", "name_a", "id_b", "name_b", "dist")
+        .as[(Long, String, Long, String, Int)].collect()
+      graft.core.CacheRegistry.drain()
+      r
+    }
+    val collapsed = run(Joins.fuzzyPairsCollapsed)
+    collapsed.toSet shouldBe run(Joins.blockedFuzzyPairs).toSet
+    // each unordered pair exactly once (no dup rows from the two unions)
+    collapsed.length shouldBe collapsed.toSet.size
+    an[IllegalArgumentException] should be thrownBy
+      Joins.fuzzyPairsCollapsed(docs, "id", "nm", "blk", 0)
+  }
+
   test("asOfJoin picks the latest right row at-or-before each left time, per key") {
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
     val right = Seq(
