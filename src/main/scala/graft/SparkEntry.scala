@@ -1194,6 +1194,38 @@ object SparkEntry {
       graft.ops.Quality.correlationMatrix(
         t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+    // golden-record survivorship over fuzzy-name clusters of part: the
+    // MDM chain collapsed at the NAME level (the 64 distinct names
+    // cluster under noun-blocked levenshtein — cold/old/new/red families
+    // merge; members attach by name, one merge agg builds golden rows)
+    "q213_golden_record" -> ((s, dir) => {
+      import Dedup.Survivorship._
+      val withBlk = t(s, dir, "part")
+        .withColumn("__blk", split(col("p_name"), " ").getItem(1))
+      val names = withBlk.select(col("__blk"), col("p_name")).distinct()
+      val pairs = graft.ops.Joins.blockedFuzzyPairs(
+        names.withColumn("__nid", col("p_name")), "__nid", "p_name", "__blk", 2)
+      val labels = Dedup.clusters(pairs, "id_a", "id_b",
+        names.select(col("p_name").as("__nid")), "__nid")
+      val members = withBlk.join(
+        labels.select(col("__nid").as("p_name"), col("cluster_id")),
+        Seq("p_name"))
+      Dedup.goldenRecord(members, "p_partkey", "cluster_id",
+        Seq(Longest("p_name"), MaxNum("p_retailprice"),
+          FromPrimary("p_brand"), FromPrimary("p_size")))
+    }),
+    // multi-touch attribution: view/click touches within 24h before each
+    // purchase, first/last/linear credit side by side
+    "q212_attribution" -> ((s, dir) =>
+      graft.ops.EventAnalytics.attribution(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+        "purchase", Seq("view", "click"), 86400000L)),
+    // the q206 window-distinct at 100 TB: per-day HLL sketches union
+    // over the trailing window (distinct doesn't decompose — sketch
+    // unions do); |est − exact| pinned within 5·rsd as a contract
+    "q211_wau_hll_bound" -> ((s, dir) =>
+      graft.ops.Sketches.rollingActiveContract(
+        t(s, dir, "events"), "user_id", "ts", 7, 12, 5.0)),
     // deterministic T5 span-corruption mask plan: md5-derived span
     // starts/lengths merged to maximal islands, entirely scan-stage
     "q209_span_corruption" -> ((s, dir) =>
@@ -2615,6 +2647,91 @@ object SparkEntry {
         |  ('l_extendedprice', 'l_tax', one.c5),
         |  ('l_discount', 'l_tax', one.c6)) AS p(col_a, col_b, v)""".stripMargin
     },
+    // q213: name-level recursive closure (the q33 device over the 64
+    // distinct names), then the three survivorship reads as QUALIFY
+    // argmax CTEs — same total orders as the struct-min/max aggregates
+    "q213_golden_record" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT p_partkey, p_name, p_brand, p_size, p_retailprice,
+        |    split_part(p_name, ' ', 2) AS blk FROM part),
+        |names AS (SELECT DISTINCT blk, p_name FROM p),
+        |jpairs AS (
+        |  SELECT a.p_name AS id_a, b.p_name AS id_b
+        |  FROM names a JOIN names b ON a.blk = b.blk
+        |    AND a.p_name < b.p_name
+        |    AND abs(len(a.p_name) - len(b.p_name)) <= 2
+        |    AND levenshtein(a.p_name, b.p_name) <= 2),
+        |sym AS (SELECT id_a AS a, id_b AS b FROM jpairs
+        |        UNION SELECT id_b, id_a FROM jpairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+        |assign AS (
+        |  SELECT n.p_name,
+        |    least(n.p_name, coalesce(min(r.b), n.p_name)) AS cluster_id
+        |  FROM names n LEFT JOIN reach r ON r.a = n.p_name
+        |  GROUP BY n.p_name),
+        |m AS (SELECT p.*, a.cluster_id FROM p JOIN assign a USING (p_name)),
+        |agg AS (
+        |  SELECT cluster_id, CAST(min(p_partkey) AS BIGINT) AS survivor_id,
+        |    CAST(count(*) AS BIGINT) AS n_members,
+        |    max(p_retailprice) AS p_retailprice
+        |  FROM m GROUP BY 1),
+        |longest AS (
+        |  SELECT cluster_id, p_name FROM m
+        |  QUALIFY row_number() OVER (PARTITION BY cluster_id
+        |    ORDER BY len(p_name) DESC, p_name DESC) = 1),
+        |prim AS (
+        |  SELECT cluster_id, p_brand, p_size FROM m
+        |  QUALIFY row_number() OVER (PARTITION BY cluster_id
+        |    ORDER BY p_partkey ASC) = 1)
+        |SELECT agg.cluster_id, agg.survivor_id, agg.n_members,
+        |  longest.p_name, agg.p_retailprice, prim.p_brand, prim.p_size
+        |FROM agg JOIN longest USING (cluster_id) JOIN prim USING (cluster_id)""".stripMargin,
+    // q212: same join-filter-rank chain; integer-µs window arithmetic,
+    // (ts, id) tie-broken ranks, 1/n at 6 dp
+    "q212_attribution" ->
+      """WITH conv AS (
+        |  SELECT user_id AS uid, event_id AS conv_id,
+        |    CAST(ts AS TIMESTAMP) AS conv_ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |touch AS (
+        |  SELECT user_id AS uid, event_id AS touch_id,
+        |    event_type AS touch_type, CAST(ts AS TIMESTAMP) AS touch_ts
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |j AS (
+        |  SELECT c.conv_id, c.uid, c.conv_ts, t.touch_id, t.touch_type,
+        |    t.touch_ts,
+        |    row_number() OVER (PARTITION BY c.conv_id
+        |      ORDER BY t.touch_ts, t.touch_id) AS rk,
+        |    count(*) OVER (PARTITION BY c.conv_id) AS n
+        |  FROM conv c JOIN touch t USING (uid)
+        |  WHERE t.touch_ts < c.conv_ts
+        |    AND epoch_us(t.touch_ts) >= epoch_us(c.conv_ts) - 86400000000)
+        |SELECT conv_id, j.uid AS user_id, conv_ts, touch_id, touch_type,
+        |  touch_ts, CAST(n AS BIGINT) AS n_touches,
+        |  CAST(CASE WHEN rk = 1 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS w_first,
+        |  CAST(CASE WHEN rk = n THEN 1.0 ELSE 0.0 END AS DOUBLE) AS w_last,
+        |  round(CAST(1.0 AS DOUBLE) / n, 6) AS w_linear
+        |FROM j""".stripMargin,
+    // q211: the q206 exact window recomputed; the sketch estimate is not
+    // emitted (registers aren't engine-replayable — q199's convention),
+    // only the bound boolean, pinned TRUE
+    "q211_wau_hll_bound" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id AS u, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |b AS (SELECT min(d) AS lo, max(d) AS hi FROM ud),
+        |days AS (
+        |  SELECT CAST(unnest(generate_series(b.lo, b.hi,
+        |    INTERVAL 1 DAY)) AS DATE) AS day FROM b)
+        |SELECT days.day,
+        |  CAST(count(DISTINCT ud.u) AS BIGINT) AS wau_exact,
+        |  TRUE AS within_bound
+        |FROM days LEFT JOIN ud
+        |  ON ud.d BETWEEN days.day - 6 AND days.day
+        |GROUP BY 1""".stripMargin,
     // q209: same md5 start/length arithmetic; the island merge is the
     // q114 gaps-and-islands window (running-max-of-end variant, since
     // spans vary in length) — the fold and the window provably agree

@@ -722,4 +722,58 @@ object Dedup {
   def simHash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
       graft.functions.TextFunctions.simHash64(col(textCol)).as("simhash64"))
+
+  /** Per-field survivorship rules for [[goldenRecord]]. Every rule is
+    * deterministic under ties and partitioning (struct-ordered argmax,
+    * not `max_by`'s arbitrary tie), so the golden record is
+    * engine-replayable:
+    *  - [[Survivorship.Longest]] — longest string; ties → the
+    *    lexicographically greatest (one total order, no RNG);
+    *  - [[Survivorship.MaxNum]] / [[Survivorship.MinNum]] — numeric
+    *    extreme (freshest timestamp, highest balance);
+    *  - [[Survivorship.FromPrimary]] — the value carried by the
+    *    cluster's primary row (smallest id): "trust the master record"
+    *    for fields where mixing sources is wrong. */
+  sealed trait Survivorship { def field: String }
+  object Survivorship {
+    final case class Longest(field: String) extends Survivorship
+    final case class MaxNum(field: String) extends Survivorship
+    final case class MinNum(field: String) extends Survivorship
+    final case class FromPrimary(field: String) extends Survivorship
+  }
+
+  /** Golden-record construction (MDM survivorship): collapse each
+    * duplicate cluster to ONE merged row, field by field — the step
+    * after entity resolution ([[graft.ops.Joins.fuzzyPairsCollapsed]] →
+    * [[clusters]]) that [[clusterBestRep]] doesn't do: best-rep PICKS a
+    * row, survivorship MERGES the best value of each field across the
+    * cluster (the longest name may sit on one row, the freshest balance
+    * on another). Output: (cluster, survivor_id = min id, n_members,
+    * one column per rule named after its field).
+    *
+    * Scale shape: ONE hash-agg on the cluster key — every rule compiles
+    * to a min/max over (orderable struct) with map-side partials; no
+    * window, no self-join, nothing scales with cluster size but the
+    * scan. Nulls lose to real values under `Longest`/`MaxNum`/`MinNum`
+    * (aggregate null semantics); `FromPrimary` takes the primary row's
+    * value verbatim, null included — that IS "trust the master". */
+  def goldenRecord(df: DataFrame, idCol: String, clusterCol: String,
+                   rules: Seq[Survivorship]): DataFrame = {
+    require(rules.nonEmpty, "goldenRecord: provide at least one rule")
+    import Survivorship._
+    val aggs =
+      min(col(idCol)).as("survivor_id") +:
+      count(lit(1)).as("n_members") +:
+      rules.map {
+        case Longest(f) =>
+          max(struct(length(col(f)).as("l"), col(f).as("v")))
+            .getField("v").as(f)
+        case MaxNum(f) => max(col(f)).as(f)
+        case MinNum(f) => min(col(f)).as(f)
+        case FromPrimary(f) =>
+          min(struct(col(idCol).as("i"), col(f).as("v")))
+            .getField("v").as(f)
+      }
+    df.groupBy(col(clusterCol)).agg(aggs.head, aggs.tail: _*)
+  }
 }

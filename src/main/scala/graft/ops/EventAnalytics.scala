@@ -526,6 +526,52 @@ object EventAnalytics {
           lit(false)).as("is_spike"))
   }
 
+  /** Multi-touch attribution: for every conversion event, the touch
+    * events (same user, type in `touchTypes`) inside the `lookbackMs`
+    * window strictly before it, with the three standard credit models
+    * side by side — `w_first` (all credit to the earliest touch),
+    * `w_last` (to the latest), `w_linear` (1/n each) — the
+    * marketing-attribution mart, and the credit-assignment shape any
+    * "which earlier interaction caused this outcome" analysis takes.
+    * Ordering inside the window is total ((ts, event_id) tie-break), so
+    * first/last are deterministic under timestamp ties; conversions with
+    * zero in-window touches emit nothing (the unattributable row is the
+    * absence). Output: (conv_id, user, conv_ts, touch_id, touch_type,
+    * touch_ts, n_touches, w_first, w_last, w_linear 6 dp).
+    *
+    * Scale shape: conversions ⋈ touches is ONE user-keyed equi-join with
+    * the time window as a post-join filter — fan-out bounded by per-user
+    * event counts (lookback-bounded in practice); the per-conversion
+    * rank/count is a window partitioned by the conversion id over its
+    * own touches, never the log. At heavy per-user skew, pre-bucket by
+    * (user, time-band) the way the interval-overlap join does. */
+  def attribution(events: DataFrame, userCol: String, tsCol: String,
+                  idCol: String, typeCol: String, convType: String,
+                  touchTypes: Seq[String], lookbackMs: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "attribution: provide at least one touch type")
+    require(lookbackMs > 0, s"attribution: need lookbackMs > 0, got $lookbackMs")
+    import org.apache.spark.sql.expressions.Window
+    val conv = events.where(col(typeCol) === convType)
+      .select(col(userCol).as("user"), col(idCol).as("conv_id"),
+        col(tsCol).as("conv_ts"))
+    val touch = events.where(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("user"), col(idCol).as("touch_id"),
+        col(typeCol).as("touch_type"), col(tsCol).as("touch_ts"))
+    val win = Window.partitionBy(col("conv_id"))
+    val ord = win.orderBy(col("touch_ts"), col("touch_id"))
+    conv.join(touch, Seq("user"))
+      .where(col("touch_ts") < col("conv_ts") &&
+        unix_micros(col("touch_ts")) >=
+          unix_micros(col("conv_ts")) - lookbackMs * 1000L)
+      .withColumn("__rk", row_number().over(ord))
+      .withColumn("n_touches", count(lit(1)).over(win))
+      .select(col("conv_id"), col("user").as("user_id"), col("conv_ts"),
+        col("touch_id"), col("touch_type"), col("touch_ts"), col("n_touches"),
+        when(col("__rk") === 1, 1.0).otherwise(0.0).as("w_first"),
+        when(col("__rk") === col("n_touches"), 1.0).otherwise(0.0).as("w_last"),
+        round(lit(1.0) / col("n_touches"), 6).as("w_linear"))
+  }
+
   /** Daily + rolling-window active users, EXACT: for every calendar day
     * in the observed range, the distinct users active that day (`dau`)
     * and in the trailing `windowDays`-day window ending that day

@@ -295,4 +295,32 @@ class DedupSpec extends SparkSpec {
     r shouldBe Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L))
     graft.core.CacheRegistry.drain()
   }
+
+  test("goldenRecord: per-field survivorship, tie orders, null rules") {
+    import Dedup.Survivorship._
+    val rows = Seq(
+      // cluster c1: primary id 1 carries a null brand; longest name on id 3
+      (1L, "c1", "ab", Some(10.0), None: Option[String]),
+      (2L, "c1", "abcd", Some(30.0), Some("B2")),
+      (3L, "c1", "abce", None: Option[Double], Some("B3")),
+      // singleton cluster
+      (9L, "c9", "zz", Some(5.0), Some("B9"))
+    ).toDF("id", "cl", "nm", "price", "brand")
+    val g = Dedup.goldenRecord(rows, "id", "cl",
+        Seq(Longest("nm"), MaxNum("price"), FromPrimary("brand")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val c1 = g("c1")
+    c1.getLong(1) shouldBe 1L // survivor = min id
+    c1.getLong(2) shouldBe 3L
+    c1.getString(3) shouldBe "abce" // longest, tie (abcd/abce) -> greatest
+    c1.getDouble(4) shouldBe 30.0 // max ignores the null
+    c1.isNullAt(5) shouldBe true // FromPrimary trusts the master verbatim
+    g("c9").getString(3) shouldBe "zz"
+    // deterministic under repartition
+    Dedup.goldenRecord(rows.repartition(7), "id", "cl",
+        Seq(Longest("nm"), MaxNum("price"), FromPrimary("brand")))
+      .collect().map(_.toSeq).toSet shouldBe g.values.map(_.toSeq).toSet
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.goldenRecord(rows, "id", "cl", Seq.empty)
+  }
 }

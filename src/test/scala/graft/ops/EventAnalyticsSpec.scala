@@ -403,4 +403,39 @@ class EventAnalyticsSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       EventAnalytics.rollingActiveUsers(ev, "user_id", "ts", 0)
   }
+
+  test("attribution: credit models, lookback edges, tie-break, no-touch conv") {
+    def ts(h: Int, m: Int = 0) = Timestamp.valueOf(f"2024-03-01 $h%02d:$m%02d:00")
+    val ev = Seq(
+      // user 1: touches at 09:00 (view), 10:00 (click), conversion 11:00
+      (1L, 100L, "view", ts(9)), (1L, 101L, "click", ts(10)),
+      (1L, 102L, "purchase", ts(11)),
+      // touch exactly AT the conversion instant: excluded (strict <)
+      (1L, 103L, "view", ts(11)),
+      // touch exactly at the lookback edge (2h before): included (>=)
+      (2L, 200L, "view", ts(9)), (2L, 201L, "purchase", ts(11)),
+      // user 3: conversion with no in-window touch -> absent
+      (3L, 300L, "purchase", ts(11)),
+      // user 4: timestamp TIE between touches -> id breaks first/last
+      (4L, 400L, "view", ts(10)), (4L, 401L, "click", ts(10)),
+      (4L, 402L, "purchase", ts(11))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val got = EventAnalytics.attribution(ev, "user_id", "ts", "event_id",
+        "event_type", "purchase", Seq("view", "click"), 2 * 3600 * 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) ->
+        ((r.getLong(6), r.getDouble(7), r.getDouble(8), r.getDouble(9)))).toMap
+    // user 1: view 09:00 is OUTSIDE the 2h lookback of 11:00? no — exactly
+    // at the edge, included; click first=0 last=1, linear 0.5 each
+    got((102L, 100L)) shouldBe ((2L, 1.0, 0.0, 0.5))
+    got((102L, 101L)) shouldBe ((2L, 0.0, 1.0, 0.5))
+    got.contains((102L, 103L)) shouldBe false // at conv instant: strict <
+    got((201L, 200L)) shouldBe ((1L, 1.0, 1.0, 1.0)) // edge touch included
+    got.keySet.map(_._1) should not contain 300L // unattributable absent
+    // tie at 10:00: lower event_id is "first"
+    got((402L, 400L)) shouldBe ((2L, 1.0, 0.0, 0.5))
+    got((402L, 401L)) shouldBe ((2L, 0.0, 1.0, 0.5))
+    an[IllegalArgumentException] should be thrownBy
+      EventAnalytics.attribution(ev, "user_id", "ts", "event_id",
+        "event_type", "purchase", Seq.empty, 1000L)
+  }
 }

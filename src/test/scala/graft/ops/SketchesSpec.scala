@@ -241,4 +241,26 @@ class SketchesSpec extends SparkSpec {
       bounded shouldBe true
     }
   }
+
+  test("rollingActiveContract: bound holds, exact side == exact operator, " +
+    "gap days vacuous") {
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(3)
+    // 400 users active on random days over 10 days, plus a silent day 5
+    val ev = (1 to 3000).map { _ =>
+      val day = { val d = rnd.nextInt(10); if (d == 4) 5 else d } // day idx 4 silent
+      (rnd.nextInt(400).toLong + 1L,
+        Timestamp.valueOf(f"2024-02-${day + 1}%02d 09:00:00"))
+    }.toDF("user_id", "ts")
+    val got = graft.ops.Sketches.rollingActiveContract(ev, "user_id", "ts", 3, 12, 5.0)
+      .orderBy("day").collect()
+    graft.core.CacheRegistry.drain()
+    got.foreach(r => r.getBoolean(2) shouldBe true)
+    val exact = graft.ops.EventAnalytics.rollingActiveUsers(ev, "user_id", "ts", 3)
+      .select("day", "wau").as[(java.sql.Date, Long)].collect().toMap
+    graft.core.CacheRegistry.drain()
+    got.map(r => r.getDate(0) -> r.getLong(1)).toMap shouldBe exact
+    an[IllegalArgumentException] should be thrownBy
+      graft.ops.Sketches.rollingActiveContract(ev, "user_id", "ts", 0, 12, 5.0)
+  }
 }
