@@ -1194,6 +1194,11 @@ object SparkEntry {
       graft.ops.Quality.correlationMatrix(
         t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+    // full BPE tokenizer training: 5 merge rounds over the word-type
+    // vocabulary (corpus scanned once; each round is a vocab-sized
+    // hash-agg + argmax + scan-stage literal-pair fold)
+    "q214_bpe_train" -> ((s, dir) =>
+      graft.ops.Corpus.bpeTrain(t(s, dir, "documents"), "text", 5)),
     // golden-record survivorship over fuzzy-name clusters of part: the
     // MDM chain collapsed at the NAME level (the 64 distinct names
     // cluster under noun-blocked levenshtein — cold/old/new/red families
@@ -2646,6 +2651,46 @@ object SparkEntry {
         |  ('l_extendedprice', 'l_discount', one.c4),
         |  ('l_extendedprice', 'l_tax', one.c5),
         |  ('l_discount', 'l_tax', one.c6)) AS p(col_a, col_b, v)""".stripMargin
+    },
+    // q214: the same 5 rounds as chained CTEs — aligned-unnest pair
+    // counts, (cnt DESC, l, r) argmax, and the SAME single-pass
+    // left-to-right fold via list_reduce with a list accumulator
+    "q214_bpe_train" -> {
+      val m = 5
+      val w0 =
+        """w0 AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS freq,
+          |    list_transform(generate_series(1, len(w)), i -> w[i:i]) AS syms
+          |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          |  WHERE len(w) > 0 GROUP BY w)""".stripMargin
+      val rounds = (1 to m).map { k =>
+        val prev = s"w${k - 1}"
+        val pair =
+          s"""p$k AS (
+             |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+             |    SELECT freq, unnest(syms[1:len(syms) - 1]) AS l,
+             |      unnest(syms[2:len(syms)]) AS r
+             |    FROM $prev WHERE len(syms) >= 2)
+             |  GROUP BY 1, 2),
+             |best$k AS (SELECT l, r, cnt FROM p$k
+             |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)""".stripMargin
+        val apply =
+          if (k == m) ""
+          else
+            s""",
+               |w$k AS (
+               |  SELECT freq, list_reduce(list_transform(syms, s -> [s]),
+               |    (acc, x) -> CASE WHEN acc[-1] = b.l AND x[1] = b.r
+               |      THEN list_append(acc[1:len(acc) - 1], b.l || b.r)
+               |      ELSE list_append(acc, x[1]) END) AS syms
+               |  FROM $prev, best$k b)""".stripMargin
+        pair + apply
+      }
+      val selects = (1 to m).map { k =>
+        s"""SELECT CAST($k AS INTEGER) AS step, l AS "left", r AS "right",
+           |  l || r AS merged, cnt AS pair_count FROM best$k""".stripMargin
+      }
+      s"WITH $w0,\n${rounds.mkString(",\n")}\n${selects.mkString("\nUNION ALL\n")}"
     },
     // q213: name-level recursive closure (the q33 device over the 64
     // distinct names), then the three survivorship reads as QUALIFY

@@ -815,6 +815,74 @@ object Corpus {
       .drop("__ndcg")
   }
 
+  /** Full BPE tokenizer TRAINING (Sennrich et al. 2016) — the iterated
+    * form of [[bpePairCounts]]' single step: collapse the corpus to word
+    * types with frequencies ONCE, split each type to characters, then
+    * `numMerges` rounds of (count adjacent symbol pairs weighted by word
+    * frequency → pick the most frequent, ties by (pair) ascending →
+    * apply the merge everywhere in one LEFT-TO-RIGHT pass). The
+    * single-pass fold is the pinned contract ("aaa" under (a,a) →
+    * ["aa","a"]): both engines replay the same fold, so the learned
+    * merge table is engine-exact. Output: one row per learned merge
+    * (step, left, right, merged, pair_count) — the tokenizer's merge
+    * list in training order.
+    *
+    * Scale shape: the ONLY corpus-sized pass is the word-type collapse
+    * (one token hash-agg); every round after runs on the VOCABULARY
+    * (types × avg symbols), shuffling one (l, r) hash-agg with map-side
+    * partials and taking the argmax via TakeOrdered(1). The merge
+    * application is a scan-stage higher-order fold with the chosen pair
+    * as literals (codegen'd, no shuffle); each round checkpoints to cut
+    * the k-deep plan lineage. Driver state: one (l, r, count) triple
+    * per round. */
+  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    require(numMerges >= 1, s"bpeTrain: need numMerges >= 1, got $numMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var words = graft.core.CacheRegistry.checkpoint(
+      df.select(explode(split(col(textCol), " ")).as("__w"))
+        .where(length(col("__w")) > 0)
+        .groupBy("__w").agg(count(lit(1)).as("__freq"))
+        .select(col("__freq"), split(col("__w"), "").as("__syms")))
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    for (step <- 1 to numMerges) {
+      val best = words
+        .select(col("__freq"), explode(
+          // sequence(0, -1) counts DOWN in Spark — guard single-symbol words
+          when(size(col("__syms")) >= 2,
+            transform(sequence(lit(0), size(col("__syms")) - 2), i =>
+              struct(element_at(col("__syms"), i + 1).as("l"),
+                element_at(col("__syms"), i + 2).as("r"))))
+            .otherwise(array().cast("array<struct<l:string,r:string>>"))).as("__p"))
+        .groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
+        .agg(sum("__freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1)
+        .as[(String, String, Long)].collect().headOption
+      best match {
+        case None => // every word is a single symbol: nothing left to merge
+        case Some((l, r, cnt)) =>
+          merges += ((step, l, r, l + r, cnt))
+          // single left-to-right merge pass: the sentinel keeps the
+          // last-element probe total on the empty accumulator
+          val sentinel = array(lit(" "))
+          val applied = aggregate(col("__syms"),
+            array().cast("array<string>"),
+            (acc, s) => {
+              val last = element_at(concat(sentinel, acc), -1)
+              when(last === l && s === r,
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+                .otherwise(concat(acc, array(s)))
+            })
+          words = graft.core.CacheRegistry.checkpoint(
+            words.select(col("__freq"), applied.as("__syms")))
+      }
+    }
+    spark.createDataFrame(merges.toSeq)
+      .toDF("step", "left", "right", "merged", "pair_count")
+  }
+
   /** CCNet-style per-language perplexity bucketing (Wenzek et al. 2020):
     * every document lands in its language's `head` / `middle` / `tail`
     * tercile by LM score — CCNet buckets by Wikipedia-LM perplexity and

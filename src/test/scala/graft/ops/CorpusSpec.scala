@@ -468,6 +468,27 @@ class CorpusSpec extends SparkSpec {
     got(99L)._2 shouldBe "tail"
   }
 
+  test("bpeTrain: hand merge sequence, overlap counting, tie-break, fold law") {
+    // types: aaab (freq 2), ab (freq 1)
+    val docs = Seq((1L, "aaab ab"), (2L, "aaab")).toDF("doc_id", "text")
+    val got = Corpus.bpeTrain(docs, "text", 3)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1)
+    graft.core.CacheRegistry.drain()
+    // r1: (a,a) counts overlapping positions -> 2 per aaab x freq 2 = 4
+    got(0) shouldBe ((1, "a", "a", "aa", 4L))
+    // after the single L2R pass aaab -> [aa, a, b]; r2 best is (a,b) = 3
+    got(1) shouldBe ((2, "a", "b", "ab", 3L))
+    // aaab -> [aa, ab], ab -> [ab]; r3 merges the learned symbols
+    got(2) shouldBe ((3, "aa", "ab", "aaab", 2L))
+    // tie-break: (x,y) and (y,x) both count 1 -> lexicographic pair wins
+    val tie = Corpus.bpeTrain(Seq((1L, "xy yx")).toDF("id", "text"), "text", 1)
+      .as[(Int, String, String, String, Long)].head()
+    graft.core.CacheRegistry.drain()
+    tie shouldBe ((1, "x", "y", "xy", 1L))
+    an[IllegalArgumentException] should be thrownBy
+      Corpus.bpeTrain(docs, "text", 0)
+  }
+
   private implicit class TripleOps(rows: Array[(Long, String, Double)]) {
     def toMap2: Map[Long, (String, Double)] =
       rows.map { case (id, t, s) => id -> (t, s) }.toMap
