@@ -1194,6 +1194,15 @@ object SparkEntry {
       graft.ops.Quality.correlationMatrix(
         t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+    // BPE fertility mart: train 5 merges, then tokenize every document
+    // with them (nested scan-stage folds) — chars/token per doc
+    "q215_bpe_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.ops.Corpus.bpeTrain(docs, "text", 5)
+        .orderBy("step").select("left", "right")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      graft.ops.Corpus.bpeTokenStats(docs, "doc_id", "text", merges)
+    }),
     // full BPE tokenizer training: 5 merge rounds over the word-type
     // vocabulary (corpus scanned once; each round is a vocab-sized
     // hash-agg + argmax + scan-stage literal-pair fold)
@@ -2691,6 +2700,63 @@ object SparkEntry {
            |  l || r AS merged, cnt AS pair_count FROM best$k""".stripMargin
       }
       s"WITH $w0,\n${rounds.mkString(",\n")}\n${selects.mkString("\nUNION ALL\n")}"
+    },
+    // q215: the q214 training chain + the same 5 folds nested in
+    // training order over every document's words (level-unique lambda
+    // names keep DuckDB scoping unambiguous)
+    "q215_bpe_fertility" -> {
+      val m = 5
+      val w0 =
+        """w0 AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS freq,
+          |    list_transform(generate_series(1, len(w)), i -> w[i:i]) AS syms
+          |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          |  WHERE len(w) > 0 GROUP BY w)""".stripMargin
+      val rounds = (1 to m).map { k =>
+        val prev = s"w${k - 1}"
+        val pair =
+          s"""p$k AS (
+             |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+             |    SELECT freq, unnest(syms[1:len(syms) - 1]) AS l,
+             |      unnest(syms[2:len(syms)]) AS r
+             |    FROM $prev WHERE len(syms) >= 2)
+             |  GROUP BY 1, 2),
+             |best$k AS (SELECT l, r, cnt FROM p$k
+             |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)""".stripMargin
+        val apply =
+          if (k == m) ""
+          else
+            s""",
+               |w$k AS (
+               |  SELECT freq, list_reduce(list_transform(syms, s -> [s]),
+               |    (acc, x) -> CASE WHEN acc[-1] = b.l AND x[1] = b.r
+               |      THEN list_append(acc[1:len(acc) - 1], b.l || b.r)
+               |      ELSE list_append(acc, x[1]) END) AS syms
+               |  FROM $prev, best$k b)""".stripMargin
+        pair + apply
+      }
+      val nested = (1 to m).foldLeft("chars") { (inner, k) =>
+        s"""list_reduce(list_transform($inner, s$k -> [s$k]),
+           |    (a$k, x$k) -> CASE WHEN a$k[-1] = b$k.l AND x$k[1] = b$k.r
+           |      THEN list_append(a$k[1:len(a$k) - 1], b$k.l || b$k.r)
+           |      ELSE list_append(a$k, x$k[1]) END)""".stripMargin
+      }
+      val bestsFrom = (1 to m).map(k => s"best$k b$k").mkString(", ")
+      s"""WITH $w0,
+         |${rounds.mkString(",\n")},
+         |wd AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(1, len(w)), i -> w[i:i]) AS chars
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |        FROM documents) WHERE len(w) > 0),
+         |tok AS (
+         |  SELECT doc_id, CAST(len(chars) AS BIGINT) AS nc,
+         |    CAST(len($nested) AS BIGINT) AS nt
+         |  FROM wd, $bestsFrom)
+         |SELECT doc_id, CAST(sum(nc) AS BIGINT) AS n_chars,
+         |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum(nc) AS DOUBLE) / sum(nt), 6) AS chars_per_token
+         |FROM tok GROUP BY 1""".stripMargin
     },
     // q213: name-level recursive closure (the q33 device over the 64
     // distinct names), then the three survivorship reads as QUALIFY

@@ -883,6 +883,48 @@ object Corpus {
       .toDF("step", "left", "right", "merged", "pair_count")
   }
 
+  /** BPE tokenization with a learned merge list — [[bpeTrain]]'s apply
+    * side, closing the tokenizer loop: each document's words split to
+    * characters, then every merge applies IN TRAINING ORDER as the same
+    * single left-to-right pass the trainer pinned. Emits the per-doc
+    * fertility mart instead of raw token arrays: `n_chars` (symbol
+    * count before merging), `n_tokens` (after), and `chars_per_token` —
+    * the compression-ratio / fertility number tokenizer work optimizes,
+    * and the per-language fairness metric (a language the tokenizer
+    * fragments pays more sequence length for the same text).
+    *
+    * Scale shape: ENTIRELY scan-stage — the merge list arrives as
+    * literals (driver-held, numMerges pairs), and the m folds compose
+    * as nested higher-order expressions over each word's symbol array;
+    * no join, no shuffle, nothing scales with the corpus but the scan.
+    * Word-type caching ([[bpeTrain]]'s collapse) is deliberately NOT
+    * reused: tokenization is a per-document projection, and the scan is
+    * the cost either way. */
+  def bpeTokenStats(df: DataFrame, idCol: String, textCol: String,
+                    merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "bpeTokenStats: provide at least one merge")
+    val sentinel = array(lit(" "))
+    def pass(syms: Column, l: String, r: String): Column =
+      aggregate(syms, array().cast("array<string>"), (acc, s) => {
+        val last = element_at(concat(sentinel, acc), -1)
+        when(last === l && s === r,
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(s)))
+      })
+    val words = explode(split(col(textCol), " ")).as("__w")
+    val chars = split(col("__w"), "")
+    val merged = merges.foldLeft(chars) { case (syms, (l, r)) => pass(syms, l, r) }
+    df.select(col(idCol), words)
+      .where(length(col("__w")) > 0)
+      .select(col(idCol), size(split(col("__w"), "")).cast("long").as("__nc"),
+        size(merged).cast("long").as("__nt"))
+      .groupBy(col(idCol))
+      .agg(sum("__nc").as("n_chars"), sum("__nt").as("n_tokens"))
+      .select(col(idCol), col("n_chars"), col("n_tokens"),
+        round(col("n_chars").cast("double") / col("n_tokens"), 6)
+          .as("chars_per_token"))
+  }
+
   /** CCNet-style per-language perplexity bucketing (Wenzek et al. 2020):
     * every document lands in its language's `head` / `middle` / `tail`
     * tercile by LM score — CCNet buckets by Wikipedia-LM perplexity and

@@ -489,6 +489,19 @@ class CorpusSpec extends SparkSpec {
       Corpus.bpeTrain(docs, "text", 0)
   }
 
+  test("bpeTokenStats: merges apply in order, fertility arithmetic") {
+    val docs = Seq((1L, "aaab ab"), (2L, "b")).toDF("doc_id", "text")
+    val got = Corpus.bpeTokenStats(docs, "doc_id", "text",
+        Seq(("a", "a"), ("a", "b")))
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // aaab: [a,a,a,b] -> (a,a) -> [aa,a,b] -> (a,b) -> [aa,ab] = 2 tokens
+    // ab: [a,b] -> [ab] = 1 token
+    got(1L) shouldBe ((1L, 6L, 3L, 2.0))
+    got(2L) shouldBe ((2L, 1L, 1L, 1.0)) // untouched single char
+    an[IllegalArgumentException] should be thrownBy
+      Corpus.bpeTokenStats(docs, "doc_id", "text", Seq.empty)
+  }
+
   private implicit class TripleOps(rows: Array[(Long, String, Double)]) {
     def toMap2: Map[Long, (String, Double)] =
       rows.map { case (id, t, s) => id -> (t, s) }.toMap
