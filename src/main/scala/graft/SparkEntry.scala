@@ -1194,6 +1194,19 @@ object SparkEntry {
       graft.ops.Quality.correlationMatrix(
         t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+    // LSH dedup recall contract: what the banded plan actually misses
+    // vs the exact Jaccard pairs, as one pinned ratio row
+    "q217_dedup_recall" -> ((s, dir) =>
+      Dedup.lshRecallContract(
+        graft.core.Tables.tableRebalanced(s, dir, "documents")
+          .select("doc_id", "text"), "doc_id", "text", 3, 4, 3, 0.5)),
+    // count-min join-size contract: two KB sketches bound the
+    // orders⋈customer cardinality from above — the planner's "how big
+    // is this join" probe, estimate + theorem both oracle-pinned
+    "q216_join_size_cms" -> ((s, dir) =>
+      graft.ops.Sketches.joinSizeContract(
+        t(s, dir, "orders"), "o_custkey",
+        t(s, dir, "customer"), "c_custkey", 4, 64)),
     // BPE fertility mart: train 5 merges, then tokenize every document
     // with them (nested scan-stage folds) — chars/token per doc
     "q215_bpe_fertility" -> ((s, dir) => {
@@ -2700,6 +2713,62 @@ object SparkEntry {
            |  l || r AS merged, cnt AS pair_count FROM best$k""".stripMargin
       }
       s"WITH $w0,\n${rounds.mkString(",\n")}\n${selects.mkString("\nUNION ALL\n")}"
+    },
+    // q217: the q21 exact-pair chain and the q22 banded chain share one
+    // shingle CTE; recall = |lsh ∩ exact| / |exact|, both md5-replayed
+    "q217_dedup_recall" -> {
+      s"""WITH ${minhashCtes(3, 4, 3)},
+         |lsh AS (
+         |  SELECT p.id_a, p.id_b
+         |  FROM pairs p JOIN sizes sa ON p.id_a = sa.doc_id
+         |    JOIN sizes sb ON p.id_b = sb.doc_id
+         |  WHERE CAST(p.n_common AS DOUBLE) /
+         |    CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE) >= 0.5),
+         |epairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |exact AS (
+         |  SELECT p.id_a, p.id_b
+         |  FROM epairs p JOIN sizes sa ON p.id_a = sa.doc_id
+         |    JOIN sizes sb ON p.id_b = sb.doc_id
+         |  WHERE CAST(p.n_common AS DOUBLE) /
+         |    CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE) >= 0.5),
+         |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs FROM exact),
+         |nf AS (SELECT CAST(count(*) AS BIGINT) AS n_lsh_found
+         |  FROM exact e JOIN lsh l ON e.id_a = l.id_a AND e.id_b = l.id_b)
+         |SELECT ne.n_exact_pairs, nf.n_lsh_found,
+         |  CASE WHEN ne.n_exact_pairs > 0 THEN
+         |    round(CAST(nf.n_lsh_found AS DOUBLE) / ne.n_exact_pairs, 6)
+         |  END AS recall
+         |FROM ne, nf""".stripMargin
+    },
+    // q216: both CMS matrices re-derived cell-by-cell (q184's device),
+    // per-row inner products, min over rows; exact side is Σ f_a·f_b
+    "q216_join_size_cms" -> {
+      def win(off: Int, item: String): String = (1 to 8).map(k =>
+        s"(strpos('0123456789abcdef', substr(md5($item), ${off + k}, 1)) - 1) * ${math.pow(16, 8 - k).toLong}")
+        .mkString(" + ")
+      def cellRows(src: String) = (0 until 4).map(r =>
+        s"SELECT $r AS r, ((${win(r * 8, "k")}) % 64) AS idx, f FROM $src")
+        .mkString("\n  UNION ALL ")
+      s"""WITH fa AS (SELECT CAST(o_custkey AS VARCHAR) AS k, count(*) AS f
+         |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+         |fb AS (SELECT CAST(c_custkey AS VARCHAR) AS k, count(*) AS f
+         |  FROM customer WHERE c_custkey IS NOT NULL GROUP BY 1),
+         |ha AS (${cellRows("fa")}),
+         |hb AS (${cellRows("fb")}),
+         |ca AS (SELECT r, idx, CAST(sum(f) AS BIGINT) AS c FROM ha GROUP BY 1, 2),
+         |cb AS (SELECT r, idx, CAST(sum(f) AS BIGINT) AS c FROM hb GROUP BY 1, 2),
+         |ip AS (SELECT ca.r, CAST(sum(ca.c * cb.c) AS BIGINT) AS s
+         |  FROM ca JOIN cb ON ca.r = cb.r AND ca.idx = cb.idx GROUP BY 1),
+         |est AS (SELECT min(s) AS join_size_est FROM ip),
+         |ex AS (SELECT CAST(coalesce(sum(fa.f * fb.f), 0) AS BIGINT)
+         |    AS join_size_exact
+         |  FROM fa JOIN fb USING (k))
+         |SELECT est.join_size_est, ex.join_size_exact,
+         |  est.join_size_est >= ex.join_size_exact AS never_under
+         |FROM est, ex""".stripMargin
     },
     // q215: the q214 training chain + the same 5 folds nested in
     // training order over every document's words (level-unique lambda

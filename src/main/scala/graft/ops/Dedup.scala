@@ -723,6 +723,39 @@ object Dedup {
     df.select(col(idCol),
       graft.functions.TextFunctions.simHash64(col(textCol)).as("simhash64"))
 
+  /** LSH dedup RECALL contract: the measured answer to "what does the
+    * banded plan actually miss", as a driver-checkable row — the dedup
+    * twin of the ANN recall grid. The exact n-gram Jaccard pairs at
+    * `minJaccard` are the ground truth; the MinHash+LSH verified pairs
+    * are the scale path (a verified pair is always a true pair, so LSH
+    * ⊆ exact and recall = found/exact); both sides are md5-deterministic,
+    * so an external engine replays the SAME ratio — the banded plan's
+    * quality is a pinned number, not a probability claim in a scaladoc.
+    * Output: one row (n_exact_pairs, n_lsh_found, recall 6 dp; recall
+    * null when no exact pair exists).
+    *
+    * Scale shape: the CONTRACT runs the exact Σdf² generator as judge —
+    * a probe you run on a SAMPLE at corpus scale (same pricing as every
+    * other contract's exact side); the LSH side is the production
+    * banded join. The intersection is a join on the canonical
+    * (id_a < id_b) pair key. */
+  def lshRecallContract(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, bands: Int, rowsPerBand: Int,
+                        minJaccard: Double): DataFrame = {
+    val exact = graft.core.CacheRegistry.persist(
+      ngramJaccardPairs(df, idCol, textCol, n, minJaccard)
+        .select(col("id_a"), col("id_b")))
+    val lsh = minHashLshPairs(df, idCol, textCol, n, bands, rowsPerBand,
+      minJaccard).select(col("id_a"), col("id_b"))
+    val found = exact.join(lsh, Seq("id_a", "id_b"))
+    exact.agg(count(lit(1)).as("n_exact_pairs"))
+      .crossJoin(found.agg(count(lit(1)).as("n_lsh_found")))
+      .select(col("n_exact_pairs"), col("n_lsh_found"),
+        when(col("n_exact_pairs") > 0,
+          round(col("n_lsh_found").cast("double") / col("n_exact_pairs"), 6))
+          .as("recall"))
+  }
+
   /** Per-field survivorship rules for [[goldenRecord]]. Every rule is
     * deterministic under ties and partitioning (struct-ordered argmax,
     * not `max_by`'s arbitrary tie), so the golden record is

@@ -321,6 +321,58 @@ object Sketches {
           lit(true)).as("est_within_bound"))
   }
 
+  /** Count-min JOIN-SIZE estimation CONTRACT (Cormode & Muthukrishnan
+    * 2005 §4.2): the inner product of two count-min sketches bounds the
+    * equi-join cardinality `J = Σ_k f_A(k)·f_B(k)` from ABOVE — per
+    * depth row, `Σ_w CM_A[r][w]·CM_B[r][w] ≥ J` (colliding keys only
+    * ADD non-negative cross terms), and the estimate is the min over
+    * rows. This is the sketch a join planner consults before choosing a
+    * strategy: two KB-sized summaries answer "how big is this join"
+    * without touching either table again — the frequency-aware question
+    * KMV/HLL distinct sketches cannot answer. Both the estimate AND the
+    * exact size are engine-replayable (the md5-rowed matrix is
+    * partitioning-exact, q184's property), so the oracle pins the value
+    * and the never-undercount theorem: (join_size_est, join_size_exact,
+    * never_under = est ≥ exact), one row.
+    *
+    * Scale shape: one 1-row sketch aggregate per side (mergeable
+    * map-side partials, depth·width longs over the wire); the inner
+    * product is array arithmetic over the two broadcast rows. The exact
+    * judge is the Σ f_A·f_B reduction — one hash-agg per side plus a
+    * key join of the (distinct-key) count tables, priced like any
+    * contract probe. */
+  def joinSizeContract(a: DataFrame, keyA: String, b: DataFrame, keyB: String,
+                       depth: Int, width: Int): DataFrame = {
+    import graft.functions.SketchFunctions.countMin
+    require(depth >= 1 && depth <= 4,
+      s"joinSizeContract: need 1 <= depth <= 4, got $depth")
+    require(width >= 1, s"joinSizeContract: need width >= 1, got $width")
+    val skA = a.where(col(keyA).isNotNull)
+      .agg(countMin(col(keyA).cast("string"), depth, width).as("__ska"))
+    val skB = b.where(col(keyB).isNotNull)
+      .agg(countMin(col(keyB).cast("string"), depth, width).as("__skb"))
+    val prods = zip_with(col("__ska"), col("__skb"), (x, y) => x * y)
+    val rowSums = (0 until depth).map { r =>
+      aggregate(slice(prods, lit(r * width + 1), lit(width)),
+        lit(0L), (acc, x) => acc + x)
+    }
+    val minRow = if (rowSums.size == 1) rowSums.head else least(rowSums: _*)
+    val est = skA.crossJoin(skB)
+      .select(minRow.as("join_size_est"))
+    val ca = a.where(col(keyA).isNotNull)
+      .groupBy(col(keyA).cast("string").as("__k"))
+      .agg(count(lit(1)).as("__fa"))
+    val cb = b.where(col(keyB).isNotNull)
+      .groupBy(col(keyB).cast("string").as("__k"))
+      .agg(count(lit(1)).as("__fb"))
+    val exact = ca.join(cb, Seq("__k"))
+      .agg(coalesce(sum(col("__fa") * col("__fb")), lit(0L))
+        .as("join_size_exact"))
+    est.crossJoin(exact)
+      .select(col("join_size_est"), col("join_size_exact"),
+        (col("join_size_est") >= col("join_size_exact")).as("never_under"))
+  }
+
   /** Rolling-active-users CONTRACT: the sketch path for
     * [[graft.ops.EventAnalytics.rollingActiveUsers]] at 100 TB, judged
     * against the exact answer. Distinct counts don't decompose over a

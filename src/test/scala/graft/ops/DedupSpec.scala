@@ -296,6 +296,29 @@ class DedupSpec extends SparkSpec {
     graft.core.CacheRegistry.drain()
   }
 
+  test("lshRecallContract: subset law (recall <= 1), near-dup floor, counts") {
+    // 10 near-dup pairs (one token changed out of 12) + unrelated docs
+    val docs = ((1 to 10).flatMap { i =>
+      val base = (0 until 12).map(t => s"tok_${i}_$t")
+      Seq((i * 2L, base.mkString(" ")),
+        (i * 2L + 1L, base.updated(5, "CHANGED").mkString(" ")))
+    } ++ Seq((100L, "totally different text with no overlap at all here")))
+      .toDF("doc_id", "text")
+    val r = Dedup.lshRecallContract(docs, "doc_id", "text", 3, 4, 3, 0.5)
+      .as[(Long, Long, Option[Double])].head()
+    graft.core.CacheRegistry.drain()
+    r._1 should be >= 10L // every constructed pair is above 0.5 Jaccard
+    r._2 should be <= r._1 // verified-LSH is a subset of exact
+    r._3.get should be <= 1.0
+    r._3.get should be >= 0.5 // 4x3 banding at j~0.58: most pairs collide
+    // empty corpus edge: no exact pairs -> null recall
+    val empty = Dedup.lshRecallContract(
+      Seq((1L, "a b c")).toDF("doc_id", "text"), "doc_id", "text", 3, 4, 3, 0.5)
+      .as[(Long, Long, Option[Double])].head()
+    graft.core.CacheRegistry.drain()
+    empty shouldBe ((0L, 0L, None))
+  }
+
   test("goldenRecord: per-field survivorship, tie orders, null rules") {
     import Dedup.Survivorship._
     val rows = Seq(

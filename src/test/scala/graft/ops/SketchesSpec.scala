@@ -242,6 +242,28 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("joinSizeContract: exact when wide, never undercounts when narrow") {
+    val a = Seq(1L, 1L, 1L, 2L, 3L).toDF("ka") // f_A = {1:3, 2:1, 3:1}
+    val b = Seq(1L, 2L, 2L, 9L).toDF("kb")     // f_B = {1:1, 2:2, 9:1}
+    val exact = 3L * 1 + 1L * 2 // = 5
+    // wide sketch: no collisions -> inner product is exact
+    val wide = graft.ops.Sketches.joinSizeContract(a, "ka", b, "kb", 4, 1024)
+      .as[(Long, Long, Boolean)].head()
+    wide shouldBe ((exact, exact, true))
+    // width 1: every key collides -> est = N_A * N_B, still never under
+    val narrow = graft.ops.Sketches.joinSizeContract(a, "ka", b, "kb", 2, 1)
+      .as[(Long, Long, Boolean)].head()
+    narrow shouldBe ((5L * 4L, exact, true))
+    // disjoint keys: exact 0, estimate still >= 0 and the bound holds
+    val disj = graft.ops.Sketches.joinSizeContract(
+      Seq(1L).toDF("ka"), "ka", Seq(2L).toDF("kb"), "kb", 4, 1024)
+      .as[(Long, Long, Boolean)].head()
+    disj._2 shouldBe 0L
+    disj._3 shouldBe true
+    an[IllegalArgumentException] should be thrownBy
+      graft.ops.Sketches.joinSizeContract(a, "ka", b, "kb", 5, 16)
+  }
+
   test("rollingActiveContract: bound holds, exact side == exact operator, " +
     "gap days vacuous") {
     import java.sql.Timestamp
