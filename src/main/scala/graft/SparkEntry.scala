@@ -1194,6 +1194,59 @@ object SparkEntry {
       graft.ops.Quality.correlationMatrix(
         t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+    // classic order-priority revenue top-k (TPC-H Q3 shape): segment-
+    // filtered customers broadcast, date filters pushed to both scans,
+    // exact-decimal revenue so the top-10 rank is engine-deterministic
+    "q218_shipping_priority" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val cut = lit("1998-07-01").cast("timestamp")
+      val cust = t(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = t(s, dir, "orders").where(col("o_orderdate") < cut)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = t(s, dir, "lineitem").where(col("l_shipdate") > cut)
+        .select(col("l_orderkey"),
+          (col("l_extendedprice").cast(DecimalType(12, 2)) *
+            (lit(1).cast(DecimalType(12, 2)) -
+              col("l_discount").cast(DecimalType(12, 2)))).as("__rev"))
+      ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum("__rev").cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+    // per-nation regional supplier volume (TPC-H Q5 shape): the 4-dim
+    // snowflake broadcast chain over one fact pipeline, local-supplier
+    // constraint (customer and supplier share a nation), exact decimals
+    "q219_region_volume" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val lo = lit("1997-01-01").cast("timestamp")
+      val hi = lit("1998-01-01").cast("timestamp")
+      val asia = t(s, dir, "region").where(col("r_name") === "ASIA")
+      val nat = t(s, dir, "nation")
+        .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val ord = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select("o_orderkey", "o_custkey")
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_extendedprice").cast(DecimalType(12, 2)) *
+            (lit(1).cast(DecimalType(12, 2)) -
+              col("l_discount").cast(DecimalType(12, 2)))).as("__rev"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust.where(col("c_nationkey").isNotNull)),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(sum("__rev").cast("double").as("revenue"))
+    }),
     // LSH dedup recall contract: what the banded plan actually misses
     // vs the exact Jaccard pairs, as one pinned ratio row
     "q217_dedup_recall" -> ((s, dir) =>
@@ -2714,6 +2767,38 @@ object SparkEntry {
       }
       s"WITH $w0,\n${rounds.mkString(",\n")}\n${selects.mkString("\nUNION ALL\n")}"
     },
+    // q218/q219: identical DECIMAL(12,2) arithmetic — decimal sums are
+    // exact, so the ranks and revenues are bit-identical cross-engine
+    "q218_shipping_priority" ->
+      """SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-07-01'
+        |  AND l.l_shipdate > TIMESTAMP '1998-07-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o.o_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "q219_region_volume" ->
+      """SELECT n.n_name,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |  AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
     // q217: the q21 exact-pair chain and the q22 banded chain share one
     // shingle CTE; recall = |lsh ∩ exact| / |exact|, both md5-replayed
     "q217_dedup_recall" -> {

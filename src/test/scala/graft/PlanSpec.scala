@@ -824,6 +824,39 @@ class PlanSpec extends SparkSpec {
     plan should not include "Join"
   }
 
+  test("wau sketch contract: mergeable partial day sketches, no range join (q211)") {
+    graft.core.CacheRegistry.scoped {
+      val plan = planOf(SparkEntry.queries("q211_wau_hll_bound")(spark, sf0001))
+      plan should include("partial_hll_sketch_agg") // map-side registers
+      plan should include("partial_hll_union_agg") // mergeable window union
+      plan should not include "CartesianProduct"
+    }
+    graft.core.CacheRegistry.drain()
+  }
+
+  test("attribution: one user equi-join, per-conversion window only (q212)") {
+    val plan = planOf(SparkEntry.queries("q212_attribution")(spark, sf0001))
+    plan should not include "CartesianProduct"
+    plan should not include "NestedLoop" // the time filter rides the equi-join
+    plan should not include "Exchange SinglePartition"
+  }
+
+  test("join-size contract: two 1-row sketch aggs broadcast together (q216)") {
+    val plan = planOf(SparkEntry.queries("q216_join_size_cms")(spark, sf0001))
+    plan should include("partial_count_min")
+    plan should not include "SortMergeJoin" // only 1-row broadcast crosses
+  }
+
+  test("tpc-h shapes: dims broadcast, date filters pushed to scans (q218/q219)") {
+    val p3 = planOf(SparkEntry.queries("q218_shipping_priority")(spark, sf0001))
+    p3 should include("BroadcastHashJoin")
+    p3 should not include "CartesianProduct"
+    p3 should include regex "PushedFilters: \\[[^\\]]*LessThan\\(o_orderdate"
+    val p5 = planOf(SparkEntry.queries("q219_region_volume")(spark, sf0001))
+    "BroadcastHashJoin".r.findAllIn(p5).size should be >= 2
+    p5 should not include "CartesianProduct"
+  }
+
   test("ppl buckets: per-language cuts broadcast, no per-language sort (q210)") {
     graft.core.CacheRegistry.scoped {
       val plan = planOf(SparkEntry.queries("q210_ppl_buckets")(spark, sf0001))
