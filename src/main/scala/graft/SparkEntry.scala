@@ -1194,6 +1194,11 @@ object SparkEntry {
       graft.ops.Quality.correlationMatrix(
         t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+    // Theil-Sen robust trend of daily event value: the slope one bad
+    // day can't move (pairwise over DAYS, not events)
+    "q220_robust_trend" -> ((s, dir) =>
+      graft.ops.EventAnalytics.theilSenTrend(
+        t(s, dir, "events"), "ts", "value")),
     // classic order-priority revenue top-k (TPC-H Q3 shape): segment-
     // filtered customers broadcast, date filters pushed to both scans,
     // exact-decimal revenue so the top-10 rank is engine-deterministic
@@ -2767,6 +2772,25 @@ object SparkEntry {
       }
       s"WITH $w0,\n${rounds.mkString(",\n")}\n${selects.mkString("\nUNION ALL\n")}"
     },
+    // q220: same day-offset reduction, pairwise slopes, quantile_cont
+    // medians (slope first, then median residual intercept)
+    "q220_robust_trend" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+        |    sum(CAST(value AS DOUBLE)) AS v
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1),
+        |b AS (SELECT min(d) AS d0 FROM daily),
+        |idx AS (SELECT CAST(datediff('day', b.d0, daily.d) AS DOUBLE) AS x, v
+        |  FROM daily, b),
+        |sl AS (
+        |  SELECT quantile_cont((bb.v - aa.v) / (bb.x - aa.x), 0.5) AS slope
+        |  FROM idx aa JOIN idx bb ON aa.x < bb.x)
+        |SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |  round(sl.slope, 6) AS slope,
+        |  round(quantile_cont(idx.v - sl.slope * idx.x, 0.5), 6) AS intercept
+        |FROM idx, sl
+        |GROUP BY sl.slope""".stripMargin,
     // q218/q219: identical DECIMAL(12,2) arithmetic — decimal sums are
     // exact, so the ranks and revenues are bit-identical cross-engine
     "q218_shipping_priority" ->

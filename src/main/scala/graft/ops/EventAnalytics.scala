@@ -526,6 +526,48 @@ object EventAnalytics {
           lit(false)).as("is_spike"))
   }
 
+  /** Theil–Sen robust trend of a daily metric (median of all pairwise
+    * slopes, with Conover's median-residual intercept): the trend
+    * estimate that one bad day can't move — OLS on daily revenue
+    * follows a single outlier day, the pairwise-slope median shrugs it
+    * off (29.3% breakdown point). Days enter as integer offsets from
+    * the first day, so every slope is one IEEE division whose operands
+    * differ across engines only by the day-sum's ulps (~1e-12 relative
+    * — far below the 6 dp quantum the outputs round to). Output: one
+    * row (n_days, slope 6 dp, intercept 6 dp) — slope is metric-units
+    * per day.
+    *
+    * Scale shape: the event log reduces to ONE row per day first (hash-
+    * agg with map-side partials); the pairwise stage is quadratic in
+    * DAYS, not events — bounded by the calendar (a decade is ~3.7k rows
+    * → 6.7M slope pairs, still one small shuffle), which is what makes
+    * the robust estimator viable at 100 TB where pairwise-over-events
+    * would not be. */
+  def theilSenTrend(events: DataFrame, tsCol: String,
+                    valCol: String): DataFrame = {
+    val daily = graft.core.CacheRegistry.persist(
+      events.where(col(tsCol).isNotNull && col(valCol).isNotNull)
+        .groupBy(to_date(col(tsCol)).as("__d"))
+        .agg(sum(col(valCol).cast("double")).as("__v")))
+    val base = daily.select(min("__d").as("__d0"))
+    val idx = daily.crossJoin(broadcast(base))
+      .select(datediff(col("__d"), col("__d0")).cast("double").as("__x"),
+        col("__v"))
+    val a = idx.select(col("__x").as("__xa"), col("__v").as("__va"))
+    val b = idx.select(col("__x").as("__xb"), col("__v").as("__vb"))
+    val slope = a.crossJoin(b).where(col("__xa") < col("__xb"))
+      .select(((col("__vb") - col("__va")) / (col("__xb") - col("__xa")))
+        .as("__s"))
+      .agg(percentile(col("__s"), lit(0.5)).as("__slope"))
+    val out = idx.crossJoin(broadcast(slope))
+      .select(col("__slope"),
+        (col("__v") - col("__slope") * col("__x")).as("__r"))
+      .agg(count(lit(1)).as("n_days"),
+        round(first("__slope"), 6).as("slope"),
+        round(percentile(col("__r"), lit(0.5)), 6).as("intercept"))
+    out
+  }
+
   /** Multi-touch attribution: for every conversion event, the touch
     * events (same user, type in `touchTypes`) inside the `lookbackMs`
     * window strictly before it, with the three standard credit models

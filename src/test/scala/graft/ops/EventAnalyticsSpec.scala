@@ -404,6 +404,25 @@ class EventAnalyticsSpec extends SparkSpec {
       EventAnalytics.rollingActiveUsers(ev, "user_id", "ts", 0)
   }
 
+  test("theilSenTrend: exact line recovered, outlier day shrugged off") {
+    def day(d: Int, v: Double) =
+      (Timestamp.valueOf(f"2024-04-${d + 1}%02d 12:00:00"), v)
+    // y = 2x + 5 over 7 days, day index 3 poisoned with a huge spike
+    val rows = (0 until 7).map(i =>
+      day(i, if (i == 3) 10000.0 else 2.0 * i + 5.0))
+    val r = EventAnalytics.theilSenTrend(rows.toDF("ts", "v"), "ts", "v")
+      .as[(Long, Double, Double)].head()
+    graft.core.CacheRegistry.drain()
+    r._1 shouldBe 7L
+    r._2 shouldBe 2.0 // median of 21 slopes: 15 are exactly 2
+    r._3 shouldBe 5.0 // median residual: 6 of 7 are exactly 5
+    // within-day summation: two events on one day act as their sum
+    val two = Seq(day(0, 1.0), day(0, 4.0), day(1, 7.0)).toDF("ts", "v")
+    EventAnalytics.theilSenTrend(two, "ts", "v")
+      .as[(Long, Double, Double)].head() shouldBe ((2L, 2.0, 5.0))
+    graft.core.CacheRegistry.drain()
+  }
+
   test("attribution: credit models, lookback edges, tie-break, no-touch conv") {
     def ts(h: Int, m: Int = 0) = Timestamp.valueOf(f"2024-03-01 $h%02d:$m%02d:00")
     val ev = Seq(
