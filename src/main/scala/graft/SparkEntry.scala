@@ -1194,6 +1194,23 @@ object SparkEntry {
       graft.ops.Quality.correlationMatrix(
         t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+    // curation-to-tape composite: the q53 curated survivors packed into
+    // fixed-token training bins (q56's layout) — filter ∘ dedup ∘ pack,
+    // the end-to-end "raw corpus to training tape" chain in one plan
+    "q221_curation_to_tape" -> ((s, dir) => {
+      val eligible = graft.core.CacheRegistry.persist(
+        graft.core.Tables.tableRebalanced(s, dir, "documents")
+          .where(TextStats.detectedLang(col("text")) === "en"
+            && TextStats.qualityBucket(col("text")) =!= "low")
+          .select("doc_id", "text"))
+      val kept = Dedup.dropNearDuplicates(eligible, "doc_id", "text", 3, 0.5,
+        pairGen = Some(Dedup.minHashLshPairs(eligible, "doc_id", "text",
+          3, 4, 3, 0.5)))
+      val counted = eligible.join(kept, Seq("doc_id"))
+        .select(col("doc_id"),
+          TextStats.bpeishTokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.ops.Packing.packGreedy(counted, "doc_id", "n_tokens", 512L, 4)
+    }),
     // Theil-Sen robust trend of daily event value: the slope one bad
     // day can't move (pairwise over DAYS, not events)
     "q220_robust_trend" -> ((s, dir) =>
@@ -2214,7 +2231,13 @@ object SparkEntry {
       |       WHEN len(string_split(text, ' ')) >= 10 THEN 'medium'
       |       ELSE 'low' END""".stripMargin
 
-  private def corpusCurationSql: String = {
+  private def corpusCurationSql: String =
+    s"""$curationCtes
+       |SELECT doc_id FROM assign WHERE cluster_id = doc_id""".stripMargin
+
+  /** Shared CTE chain of the corpus-curation composite (q53), up to and
+    * including `assign` — q221 extends it with the packing tail. */
+  private def curationCtes: String = {
     val qualityCase = qualityCaseSql
     s"""WITH RECURSIVE lang AS (
        |SELECT doc_id,
@@ -2237,8 +2260,7 @@ object SparkEntry {
        |  SELECT p.id_a, p.id_b
        |  FROM pairs p JOIN sizes sa ON p.id_a = sa.doc_id JOIN sizes sb ON p.id_b = sb.doc_id
        |  WHERE CAST(p.n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE) >= 0.5),
-       |${closureTailSql("eligible")}
-       |SELECT doc_id FROM assign WHERE cluster_id = doc_id""".stripMargin
+       |${closureTailSql("eligible")}""".stripMargin
   }
 
   /** q32 oracle: the fake-decode features are pure functions of md5(text),
@@ -2772,6 +2794,29 @@ object SparkEntry {
       }
       s"WITH $w0,\n${rounds.mkString(",\n")}\n${selects.mkString("\nUNION ALL\n")}"
     },
+    // q221: the q53 curation chain + the q56 packing tail over survivors
+    "q221_curation_to_tape" ->
+      s"""$curationCtes,
+         |survivors AS (
+         |  SELECT a.doc_id FROM assign a WHERE a.cluster_id = a.doc_id),
+         |counted AS (
+         |  SELECT e.doc_id,
+         |    CAST(len(regexp_extract_all(e.text,
+         |      '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_tokens
+         |  FROM eligible e JOIN survivors s ON s.doc_id = e.doc_id),
+         |sharded AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(${md5ModSql("doc_id", 4)} AS BIGINT) AS shard
+         |  FROM counted),
+         |wprev AS (
+         |  SELECT doc_id, n_tokens, shard,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+         |      - n_tokens AS BIGINT) AS start_offset
+         |  FROM sharded)
+         |SELECT doc_id, n_tokens, shard, start_offset,
+         |  CAST(start_offset // 512 AS BIGINT) AS bin,
+         |  n_tokens > 512 AS oversize
+         |FROM wprev""".stripMargin,
     // q220: same day-offset reduction, pairwise slopes, quantile_cont
     // medians (slope first, then median residual intercept)
     "q220_robust_trend" ->

@@ -847,6 +847,17 @@ class PlanSpec extends SparkSpec {
     plan should not include "SortMergeJoin" // only 1-row broadcast crosses
   }
 
+  test("curation-to-tape: shared eligible cache, banded join, no cartesian, " +
+    "per-shard window only (q221)") {
+    graft.core.CacheRegistry.scoped {
+      val plan = planOf(SparkEntry.queries("q221_curation_to_tape")(spark, sf0001))
+      plan should not include "CartesianProduct"
+      plan should include("InMemoryTableScan") // eligible feeds LSH + verify + pack
+      plan should not include "Exchange SinglePartition" // pack window is per-shard
+    }
+    graft.core.CacheRegistry.drain()
+  }
+
   test("tpc-h shapes: dims broadcast, date filters pushed to scans (q218/q219)") {
     val p3 = planOf(SparkEntry.queries("q218_shipping_priority")(spark, sf0001))
     p3 should include("BroadcastHashJoin")
