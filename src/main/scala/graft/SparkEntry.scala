@@ -1194,6 +1194,15 @@ object SparkEntry {
       graft.ops.Quality.correlationMatrix(
         t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+    // binary-tier recall contract: the measured recall@10 of the sign-
+    // code Hamming ranking vs exact cosine, per query, ratio replayable
+    "q222_hamming_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ops.Embeddings.hammingRecallContract(
+        emb.where(col("vec_id") % 50 =!= 0),
+        emb.where(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", 64, 10)
+    }),
     // curation-to-tape composite: the q53 curated survivors packed into
     // fixed-token training bins (q56's layout) — filter ∘ dedup ∘ pack,
     // the end-to-end "raw corpus to training tape" chain in one plan
@@ -2794,6 +2803,40 @@ object SparkEntry {
       }
       s"WITH $w0,\n${rounds.mkString(",\n")}\n${selects.mkString("\nUNION ALL\n")}"
     },
+    // q222: the q122 bit-code chain ∩ the exact rounded-cosine top-k,
+    // per-query hit counts over the two k-lists
+    "q222_hamming_recall" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, CAST(${signWordSql(0)} AS BIGINT) AS c0,
+         |    CAST(${signWordSql(1)} AS BIGINT) AS c1
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |qq AS (SELECT * FROM b WHERE vec_id % 50 = 0),
+         |cc AS (SELECT * FROM b WHERE vec_id % 50 <> 0),
+         |ham AS (
+         |  SELECT qq.vec_id AS query_id, cc.vec_id AS cand_id
+         |  FROM qq CROSS JOIN cc
+         |  QUALIFY row_number() OVER (PARTITION BY qq.vec_id
+         |    ORDER BY bit_count(xor(qq.c0, cc.c0)) +
+         |      bit_count(xor(qq.c1, cc.c1)) ASC, cc.vec_id ASC) <= 10),
+         |ex AS (
+         |  SELECT a.vec_id AS query_id, c.vec_id AS cand_id
+         |  FROM embeddings a, embeddings c
+         |  WHERE a.vec_id % 50 = 0 AND c.vec_id % 50 <> 0
+         |    AND a.embedding IS NOT NULL AND c.embedding IS NOT NULL
+         |    AND list_dot_product(CAST(a.embedding AS DOUBLE[]),
+         |      CAST(a.embedding AS DOUBLE[])) > 0
+         |    AND list_dot_product(CAST(c.embedding AS DOUBLE[]),
+         |      CAST(c.embedding AS DOUBLE[])) > 0
+         |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+         |    ORDER BY round(list_cosine_similarity(
+         |      CAST(a.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6)
+         |      DESC, c.vec_id ASC) <= 10)
+         |SELECT ex.query_id,
+         |  CAST(count(ham.cand_id) AS BIGINT) AS n_found,
+         |  round(CAST(count(ham.cand_id) AS DOUBLE) / 10, 6) AS recall
+         |FROM ex LEFT JOIN ham
+         |  ON ex.query_id = ham.query_id AND ex.cand_id = ham.cand_id
+         |GROUP BY 1""".stripMargin,
     // q221: the q53 curation chain + the q56 packing tail over survivors
     "q221_curation_to_tape" ->
       s"""$curationCtes,

@@ -641,4 +641,52 @@ object Embeddings {
       .agg(sum("sign").as("val"))
       .where(col("val") =!= 0)
   }
+
+  /** Binary-tier ANN recall CONTRACT: the measured recall@k of the
+    * sign-code Hamming ranking ([[binarize]] + [[hammingTopK]], the 1
+    * bit/dim compression tier) against the exact cosine top-k — per
+    * query, as driver-checkable rows. Everything on both sides is
+    * deterministic (sign codes are exact integers, cosines are
+    * 6 dp-rounded with id tie-breaks), so an external engine replays the
+    * RATIO itself: the cheapest compression tier ships its measured
+    * quality, not a hope. Zero-norm vectors are excluded from both
+    * sides (cosine undefined). Output: (query_id, n_found, recall 6 dp)
+    * — `n_found` = exact-top-k hits inside the Hamming top-k.
+    *
+    * Scale shape: the exact side is the contract's judge — a
+    * \|queries\|-bounded broadcast cosine scan (run on a query SAMPLE at
+    * corpus scale, like every contract's exact side); the Hamming side
+    * is the production integer ranking over the codes column. The
+    * intersection joins two ≤ k·\|queries\| lists. */
+  def hammingRecallContract(corpus: DataFrame, queries: DataFrame,
+                            idCol: String, vecCol: String, dim: Int,
+                            k: Int): DataFrame = {
+    import graft.functions.VectorFunctions.{dotF, normF}
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"hammingRecallContract: need k >= 1, got $k")
+    val words = (dim + 31) / 32
+    val c = corpus.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("cand_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", normF(col("__cv"))).where(col("__cn") > 0)
+    val q = broadcast(queries.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qn", normF(col("__qv"))).where(col("__qn") > 0))
+    val rk = Window.partitionBy("query_id")
+      .orderBy(col("__cos").desc, col("cand_id").asc)
+    val exact = c.crossJoin(q)
+      .select(col("query_id"), col("cand_id"),
+        round(dotF(col("__cv"), col("__qv")) / (col("__cn") * col("__qn")), 6)
+          .as("__cos"))
+      .withColumn("__r", row_number().over(rk)).where(col("__r") <= k)
+      .select("query_id", "cand_id")
+    val ham = hammingTopK(
+      binarize(corpus, idCol, vecCol, dim), idCol, "code",
+      binarize(queries, idCol, vecCol, dim), idCol, "code", words, k)
+      .select(col("query_id"), col("cand_id"), lit(true).as("__hit"))
+    exact.join(ham, Seq("query_id", "cand_id"), "left")
+      .groupBy("query_id")
+      .agg(count(when(col("__hit"), 1)).as("n_found"))
+      .select(col("query_id"), col("n_found"),
+        round(col("n_found").cast("double") / k, 6).as("recall"))
+  }
 }

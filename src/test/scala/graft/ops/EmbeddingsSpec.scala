@@ -416,4 +416,36 @@ class EmbeddingsSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Embeddings.randomProjection(vecs, "id", "vec", 4, 5)
   }
+
+  test("hammingRecallContract: perfect on ±1 vectors, bounded in general") {
+    val rnd = new scala.util.Random(11)
+    // ±1 vectors: cos = (64 − 2·hamming)/64, monotone — binary ranking
+    // is EXACTLY the cosine ranking, so recall@k must be 1.0
+    def pm(n: Int) = (1 to n).map(_ =>
+      (0 until 64).map(_ => if (rnd.nextBoolean()) 1.0f else -1.0f))
+    val corpus = pm(40).zipWithIndex.map { case (v, i) => (i + 100L, v) }
+      .toDF("vec_id", "embedding")
+    val queries = pm(3).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val perfect = Embeddings.hammingRecallContract(
+        corpus, queries, "vec_id", "embedding", 64, 5)
+      .as[(Long, Long, Double)].collect()
+    perfect.length shouldBe 3
+    perfect.foreach { case (_, n, r) => n shouldBe 5L; r shouldBe 1.0 }
+    // magnitude-skewed vectors: sign codes lose information; recall is
+    // still a valid ratio bounded by the list size
+    val skew = pm(40).zipWithIndex.map { case (v, i) =>
+      (i + 100L, v.zipWithIndex.map { case (x, d) =>
+        if (d == 0) x * 50f else x })
+    }.toDF("vec_id", "embedding")
+    Embeddings.hammingRecallContract(
+        skew, queries, "vec_id", "embedding", 64, 5)
+      .as[(Long, Long, Double)].collect().foreach { case (_, n, r) =>
+        n should be <= 5L
+        r should (be >= 0.0 and be <= 1.0)
+      }
+    an[IllegalArgumentException] should be thrownBy
+      Embeddings.hammingRecallContract(
+        corpus, queries, "vec_id", "embedding", 64, 0)
+  }
 }
