@@ -1194,6 +1194,15 @@ object SparkEntry {
       graft.ops.Quality.correlationMatrix(
         t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+    // int8-tier recall contract: cosine over the quantized INTEGER
+    // vectors (scale cancels — no dequantize) vs exact float cosine
+    "q223_int8_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ops.Embeddings.int8RecallContract(
+        emb.where(col("vec_id") % 50 =!= 0),
+        emb.where(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", 10)
+    }),
     // binary-tier recall contract: the measured recall@10 of the sign-
     // code Hamming ranking vs exact cosine, per query, ratio replayable
     "q222_hamming_recall" -> ((s, dir) => {
@@ -2803,6 +2812,46 @@ object SparkEntry {
       }
       s"WITH $w0,\n${rounds.mkString(",\n")}\n${selects.mkString("\nUNION ALL\n")}"
     },
+    // q223: q66's quantization replayed, integer-vector cosines ranked
+    // with the same round/tie, ∩ the exact float top-k
+    "q223_int8_recall" ->
+      """WITH qz AS (
+        |  SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x ->
+        |      CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]),
+        |          y -> abs(y))) = 0 THEN 0.0
+        |        ELSE CAST(greatest(-127, least(127, round(x /
+        |          (list_max(list_transform(CAST(embedding AS DOUBLE[]),
+        |            y -> abs(y))) / 127.0)))) AS DOUBLE) END) AS qv
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |qn AS (SELECT vec_id, qv FROM qz
+        |  WHERE list_dot_product(qv, qv) > 0),
+        |i8 AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id
+        |  FROM qn q, qn c
+        |  WHERE q.vec_id % 50 = 0 AND c.vec_id % 50 <> 0
+        |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY round(list_cosine_similarity(q.qv, c.qv), 6) DESC,
+        |      c.vec_id ASC) <= 10),
+        |ex AS (
+        |  SELECT a.vec_id AS query_id, c.vec_id AS cand_id
+        |  FROM embeddings a, embeddings c
+        |  WHERE a.vec_id % 50 = 0 AND c.vec_id % 50 <> 0
+        |    AND a.embedding IS NOT NULL AND c.embedding IS NOT NULL
+        |    AND list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(a.embedding AS DOUBLE[])) > 0
+        |    AND list_dot_product(CAST(c.embedding AS DOUBLE[]),
+        |      CAST(c.embedding AS DOUBLE[])) > 0
+        |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+        |    ORDER BY round(list_cosine_similarity(
+        |      CAST(a.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6)
+        |      DESC, c.vec_id ASC) <= 10)
+        |SELECT ex.query_id,
+        |  CAST(count(i8.cand_id) AS BIGINT) AS n_found,
+        |  round(CAST(count(i8.cand_id) AS DOUBLE) / 10, 6) AS recall
+        |FROM ex LEFT JOIN i8
+        |  ON ex.query_id = i8.query_id AND ex.cand_id = i8.cand_id
+        |GROUP BY 1""".stripMargin,
     // q222: the q122 bit-code chain ∩ the exact rounded-cosine top-k,
     // per-query hit counts over the two k-lists
     "q222_hamming_recall" ->

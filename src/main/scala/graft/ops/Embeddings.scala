@@ -661,10 +661,58 @@ object Embeddings {
   def hammingRecallContract(corpus: DataFrame, queries: DataFrame,
                             idCol: String, vecCol: String, dim: Int,
                             k: Int): DataFrame = {
-    import graft.functions.VectorFunctions.{dotF, normF}
-    import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"hammingRecallContract: need k >= 1, got $k")
     val words = (dim + 31) / 32
+    val ham = hammingTopK(
+      binarize(corpus, idCol, vecCol, dim), idCol, "code",
+      binarize(queries, idCol, vecCol, dim), idCol, "code", words, k)
+      .select(col("query_id"), col("cand_id"))
+    recallAgainstExact(corpus, queries, idCol, vecCol, k, ham)
+  }
+
+  /** Int8-tier ANN recall CONTRACT — [[hammingRecallContract]]'s sibling
+    * one tier up: ranking by cosine over the [[quantizeInt8]] integer
+    * vectors (the per-vector scale CANCELS inside the cosine, so the
+    * int8 ranking needs no dequantize at all — pure integer dots,
+    * 6 dp-rounded with id ties, engine-exact because q66 pins the codes
+    * themselves) vs the exact float cosine top-k. 4× smaller vectors;
+    * this contract reports what the rounding to 255 levels costs in
+    * recall@k — typically near-1 where the binary tier is lossy.
+    * Output: (query_id, n_found, recall 6 dp). */
+  def int8RecallContract(corpus: DataFrame, queries: DataFrame,
+                         idCol: String, vecCol: String, k: Int): DataFrame = {
+    import graft.functions.VectorFunctions.{dotF, normF}
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"int8RecallContract: need k >= 1, got $k")
+    def ints(df: DataFrame, as: String) =
+      quantizeInt8(df, idCol, vecCol)
+        .select(col(idCol).as(as),
+          transform(col("qvec"), x => x.cast("float")).as(s"__${as}v"))
+        .withColumn(s"__${as}n", normF(col(s"__${as}v")))
+        .where(col(s"__${as}n") > 0)
+    val c = ints(corpus, "cand_id")
+    val q = broadcast(ints(queries, "query_id"))
+    val rk = Window.partitionBy("query_id")
+      .orderBy(col("__cos").desc, col("cand_id").asc)
+    val i8 = c.crossJoin(q)
+      .select(col("query_id"), col("cand_id"),
+        round(dotF(col("__cand_idv"), col("__query_idv")) /
+          (col("__cand_idn") * col("__query_idn")), 6).as("__cos"))
+      .withColumn("__r", row_number().over(rk)).where(col("__r") <= k)
+      .select("query_id", "cand_id")
+    recallAgainstExact(corpus, queries, idCol, vecCol, k, i8)
+  }
+
+  /** Shared judge of the compression-tier recall contracts: the exact
+    * float-cosine top-k per query (6 dp round, id ties, zero-norm
+    * vectors excluded) intersected with the tier's candidate k-list —
+    * a \|queries\|-bounded broadcast scan, run on a query SAMPLE at
+    * corpus scale like every contract's exact side. */
+  private def recallAgainstExact(corpus: DataFrame, queries: DataFrame,
+                                 idCol: String, vecCol: String, k: Int,
+                                 found: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.{dotF, normF}
+    import org.apache.spark.sql.expressions.Window
     val c = corpus.where(col(vecCol).isNotNull)
       .select(col(idCol).as("cand_id"), col(vecCol).as("__cv"))
       .withColumn("__cn", normF(col("__cv"))).where(col("__cn") > 0)
@@ -679,11 +727,8 @@ object Embeddings {
           .as("__cos"))
       .withColumn("__r", row_number().over(rk)).where(col("__r") <= k)
       .select("query_id", "cand_id")
-    val ham = hammingTopK(
-      binarize(corpus, idCol, vecCol, dim), idCol, "code",
-      binarize(queries, idCol, vecCol, dim), idCol, "code", words, k)
-      .select(col("query_id"), col("cand_id"), lit(true).as("__hit"))
-    exact.join(ham, Seq("query_id", "cand_id"), "left")
+    exact.join(found.withColumn("__hit", lit(true)),
+        Seq("query_id", "cand_id"), "left")
       .groupBy("query_id")
       .agg(count(when(col("__hit"), 1)).as("n_found"))
       .select(col("query_id"), col("n_found"),

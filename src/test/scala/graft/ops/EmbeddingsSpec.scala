@@ -447,5 +447,13 @@ class EmbeddingsSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Embeddings.hammingRecallContract(
         corpus, queries, "vec_id", "embedding", 64, 0)
+    // int8 tier: 255 quantization levels preserve the top-5 even on the
+    // magnitude-skewed family the binary tier loses
+    Embeddings.int8RecallContract(skew, queries, "vec_id", "embedding", 5)
+      .as[(Long, Long, Double)].collect().foreach { case (_, n, r) =>
+        n shouldBe 5L; r shouldBe 1.0
+      }
+    an[IllegalArgumentException] should be thrownBy
+      Embeddings.int8RecallContract(corpus, queries, "vec_id", "embedding", 0)
   }
 }
