@@ -1194,6 +1194,18 @@ object SparkEntry {
       graft.ops.Quality.correlationMatrix(
         t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+    // cohort LTV curve: cumulative value per cohort user by age week —
+    // q70 retention's value axis (equal-age cohort comparison)
+    "q225_ltv_curve" -> ((s, dir) =>
+      graft.ops.EventAnalytics.ltvCurve(
+        t(s, dir, "events"), "user_id", "ts", "value")),
+    // per-source dedup rates: the crawl-health mart (a source whose
+    // dup_rate jumps is re-serving content the corpus already has)
+    "q224_source_dedup_rates" -> ((s, dir) => {
+      val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
+      Dedup.sourceDedupRates(docs.select("doc_id", "text", "source"),
+        "doc_id", "text", "source", 3, 0.5)
+    }),
     // int8-tier recall contract: cosine over the quantized INTEGER
     // vectors (scale cancels — no dequantize) vs exact float cosine
     "q223_int8_recall" -> ((s, dir) => {
@@ -2812,6 +2824,40 @@ object SparkEntry {
       }
       s"WITH $w0,\n${rounds.mkString(",\n")}\n${selects.mkString("\nUNION ALL\n")}"
     },
+    // q225: q70's cohort CTEs + a cumulative window over age rows
+    "q225_ltv_curve" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    CAST(date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS TIMESTAMP)
+        |      AS cohort_week
+        |  FROM events GROUP BY 1),
+        |sz AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+        |  FROM f GROUP BY 1),
+        |wk AS (
+        |  SELECT f.cohort_week,
+        |    CAST((CAST(date_trunc('week', CAST(e.ts AS TIMESTAMP)) AS DATE)
+        |      - CAST(f.cohort_week AS DATE)) // 7 AS BIGINT) AS week_offset,
+        |    sum(coalesce(CAST(e.value AS DOUBLE), 0.0)) AS wv
+        |  FROM events e JOIN f USING (user_id)
+        |  GROUP BY 1, 2)
+        |SELECT wk.cohort_week, wk.week_offset, sz.cohort_users,
+        |  round(wk.wv, 6) AS week_value,
+        |  round(sum(wk.wv) OVER (PARTITION BY wk.cohort_week
+        |    ORDER BY wk.week_offset
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    / sz.cohort_users, 6) AS cum_ltv
+        |FROM wk JOIN sz USING (cohort_week)""".stripMargin,
+    // q224: the q33 closure chain + a source-keyed survivor rollup
+    "q224_source_dedup_rates" ->
+      s"""$clusterChainSql,
+         |j AS (SELECT d.source, a.doc_id, a.cluster_id
+         |  FROM assign a JOIN documents d ON d.doc_id = a.doc_id)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_survivors,
+         |  round(1.0 - CAST(sum(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0
+         |    END) AS DOUBLE) / count(*), 6) AS dup_rate
+         |FROM j GROUP BY 1""".stripMargin,
     // q223: q66's quantization replayed, integer-vector cosines ranked
     // with the same round/tie, ∩ the exact float top-k
     "q223_int8_recall" ->

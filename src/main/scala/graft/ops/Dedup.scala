@@ -756,6 +756,36 @@ object Dedup {
           .as("recall"))
   }
 
+  /** Per-source dedup-rate mart: for every source, how much of its
+    * contribution the near-dup pass removes — n_docs, n_survivors
+    * (cluster representatives), and dup_rate. The crawl-health number
+    * that catches a mirrored or re-crawled source BEFORE it silently
+    * dominates training epochs: a source whose dup_rate jumps is
+    * re-serving content the corpus already has (cross-source duplicates
+    * count against the source of the DROPPED copy, which is exactly the
+    * attribution an ingest gate needs). Output: (source, n_docs,
+    * n_survivors, dup_rate 6 dp).
+    *
+    * Scale shape: the pair generation/clustering is whatever `pairGen`
+    * supplies (banded LSH at corpus scale — the composition is agnostic,
+    * [[dropNearDuplicates]]' contract); the mart itself adds one
+    * source-keyed hash-agg over the survivor-flagged id table. */
+  def sourceDedupRates(df: DataFrame, idCol: String, textCol: String,
+                       srcCol: String, n: Int, minJaccard: Double,
+                       pairGen: Option[DataFrame] = None): DataFrame = {
+    val pairs = pairGen.getOrElse(
+      ngramJaccardPairs(df, idCol, textCol, n, minJaccard))
+    val assign = clusters(pairs, "id_a", "id_b", df.select(idCol), idCol)
+    df.select(col(idCol), col(srcCol))
+      .join(assign, Seq(idCol))
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col(idCol) === col("cluster_id"), 1)).as("n_survivors"))
+      .select(col(srcCol), col("n_docs"), col("n_survivors"),
+        round(lit(1.0) - col("n_survivors").cast("double") / col("n_docs"), 6)
+          .as("dup_rate"))
+  }
+
   /** Per-field survivorship rules for [[goldenRecord]]. Every rule is
     * deterministic under ties and partitioning (struct-ordered argmax,
     * not `max_by`'s arbitrary tie), so the golden record is

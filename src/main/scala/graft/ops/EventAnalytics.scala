@@ -459,6 +459,42 @@ object EventAnalytics {
       .agg(countDistinct(col(userCol)).as("active_users"))
   }
 
+  /** Cohort LTV curve — [[retentionCohorts]]' value axis: per signup
+    * cohort (week of a user's first event) and age week, the cohort's
+    * value that week and the cumulative value PER COHORT USER
+    * (`cum_ltv`). Reading down a column compares cohorts at equal age —
+    * the growth readout that "total revenue by week" scrambles, because
+    * it mixes cohorts of different ages. Null values count 0; the
+    * divisor is the full cohort size (users inactive in a week still
+    * dilute, as LTV should). Output: (cohort_week, week_offset,
+    * cohort_users, week_value 6 dp, cum_ltv 6 dp).
+    *
+    * Scale shape: one per-user min pass (hash-agg) + one
+    * (cohort, age) hash-agg over the value stream — both map-side
+    * partial; the cumulative window runs per cohort over its AGE rows
+    * (bounded by the calendar, not users). */
+  def ltvCurve(events: DataFrame, userCol: String, tsCol: String,
+               valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val first = events.groupBy(userCol)
+      .agg(date_trunc("week", min(col(tsCol))).as("cohort_week"))
+    val sizes = first.groupBy("cohort_week")
+      .agg(count(lit(1)).as("cohort_users"))
+    val weekly = events.join(first, userCol)
+      .withColumn("week_offset",
+        (datediff(date_trunc("week", col(tsCol)), col("cohort_week")) / 7)
+          .cast("long"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(sum(coalesce(col(valCol).cast("double"), lit(0.0))).as("__wv"))
+    val cum = Window.partitionBy("cohort_week").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    weekly.join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("cohort_users"),
+        round(col("__wv"), 6).as("week_value"),
+        round(sum(col("__wv")).over(cum) / col("cohort_users"), 6)
+          .as("cum_ltv"))
+  }
+
   /** Daily event-type pivot: one row per day, one (count, value-sum)
     * column pair per event type — the wide ops-dashboard mart. Built on
     * `RelationalGroupedDataset.pivot` with the type domain PINNED

@@ -319,6 +319,21 @@ class DedupSpec extends SparkSpec {
     empty shouldBe ((0L, 0L, None))
   }
 
+  test("sourceDedupRates: per-source attribution incl. cross-source drops") {
+    val txt = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, txt, "A"), (2L, txt, "A"), // within-A dup: id 2 drops
+      (3L, "unique one text here with many tokens inside", "A"),
+      (9L, txt, "B"), // cross-source dup of id 1: drops, charged to B
+      (10L, "another unique doc entirely different words", "B")
+    ).toDF("doc_id", "text", "source")
+    val r = Dedup.sourceDedupRates(docs, "doc_id", "text", "source", 3, 0.5)
+      .as[(String, Long, Long, Double)].collect().map(x => x._1 -> x).toMap
+    graft.core.CacheRegistry.drain()
+    r("A") shouldBe (("A", 3L, 2L, 0.333333))
+    r("B") shouldBe (("B", 2L, 1L, 0.5))
+  }
+
   test("goldenRecord: per-field survivorship, tie orders, null rules") {
     import Dedup.Survivorship._
     val rows = Seq(

@@ -404,6 +404,29 @@ class EventAnalyticsSpec extends SparkSpec {
       EventAnalytics.rollingActiveUsers(ev, "user_id", "ts", 0)
   }
 
+  test("ltvCurve: per-user dilution, cumulative by age, null value = 0") {
+    def ts(week: Int, dowOff: Int = 0) = new Timestamp(
+      Timestamp.valueOf("2024-01-01 10:00:00").getTime // a Monday
+        + week * 7L * 86400000L + dowOff * 86400000L)
+    val ev = Seq(
+      // cohort w0: users 1, 2. week0 value 10 + 20; week1 only user 1: 30
+      (1L, ts(0), Some(10.0)), (2L, ts(0, 2), Some(20.0)),
+      (1L, ts(1), Some(30.0)),
+      (2L, ts(1, 3), None: Option[Double]), // active, null value -> +0
+      // cohort w1: user 3 alone, one event
+      (3L, ts(1), Some(7.0))
+    ).toDF("user_id", "ts", "value")
+    val got = EventAnalytics.ltvCurve(ev, "user_id", "ts", "value")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val w0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val w1 = Timestamp.valueOf("2024-01-08 00:00:00")
+    got((w0, 0L)) shouldBe ((2L, 30.0, 15.0)) // (10+20)/2 users
+    got((w0, 1L)) shouldBe ((2L, 30.0, 30.0)) // cum 60 / 2 users
+    got((w1, 0L)) shouldBe ((1L, 7.0, 7.0))
+    got.size shouldBe 3
+  }
+
   test("theilSenTrend: exact line recovered, outlier day shrugged off") {
     def day(d: Int, v: Double) =
       (Timestamp.valueOf(f"2024-04-${d + 1}%02d 12:00:00"), v)
