@@ -1196,6 +1196,47 @@ object SparkEntry {
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
     // cohort LTV curve: cumulative value per cohort user by age week —
     // q70 retention's value axis (equal-age cohort comparison)
+    // Kaplan-Meier survival curve on the hazard table's daily grain:
+    // S(d) via exp(cumsum ln(1-h)) in ascending-day order (engine-exact)
+    "q226_survival_curve" -> ((s, dir) =>
+      graft.ops.EventAnalytics.survivalCurve(t(s, dir, "events"), "user_id",
+        "ts", java.sql.Date.valueOf("2024-02-01"), 7)),
+    // CUPED variance reduction with md5-deterministic variants; the ALL
+    // row carries the in-sample never-worse contract (var_adj <= var_post)
+    "q227_cuped" -> ((s, dir) =>
+      graft.ops.EventAnalytics.cupedLift(t(s, dir, "events"), "user_id",
+        "ts", "value", java.sql.Date.valueOf("2024-01-16"))),
+    // day-of-week seasonal profile + per-type seasonal strength
+    // (1 - var(residual)/var(daily)) over the pre-reduced daily series
+    "q228_dow_profile" -> ((s, dir) =>
+      graft.ops.EventAnalytics.dowProfile(t(s, dir, "events"), "event_type",
+        "ts", "value")),
+    // epsilon-DP group counts under deterministic inverse-CDF Laplace
+    // noise keyed on md5(group) - replay-stable release, no fresh-noise
+    // averaging attack surface
+    "q229_dp_counts" -> ((s, dir) =>
+      graft.ops.Quality.dpNoisedCounts(t(s, dir, "documents"),
+        Seq("source", "lang"), 1.0)),
+    // weight-of-evidence + information value of order priority vs the
+    // fulfilled flag (add-half smoothing; exact integer shares)
+    "q230_woe_iv" -> ((s, dir) =>
+      graft.ops.Quality.woeIv(
+        t(s, dir, "orders").withColumn("is_f",
+          (col("o_orderstatus") === "F").cast("int")),
+        "o_orderpriority", "is_f")),
+    // full-batch logistic regression, 3 unrolled GD rounds on z-scored
+    // features, 6 dp weight re-round per round (engine-exact trajectory)
+    "q231_logistic_gd" -> ((s, dir) =>
+      graft.ops.Learn.logisticGd(
+        t(s, dir, "events")
+          .withColumn("y", (col("event_type") === "purchase").cast("int"))
+          .withColumn("hr", hour(col("ts")).cast("double")),
+        Seq("value", "hr"), "y", 0.5, 3)),
+    // simplified (centroid-based) silhouette per k-means cell: the
+    // clustering-quality gate for the SemDeDup/IVF cells
+    "q232_silhouette" -> ((s, dir) =>
+      Similarity.silhouette(t(s, dir, "embeddings"), "vec_id", "embedding",
+        8, 2)),
     "q225_ltv_curve" -> ((s, dir) =>
       graft.ops.EventAnalytics.ltvCurve(
         t(s, dir, "events"), "user_id", "ts", "value")),
@@ -2825,6 +2866,214 @@ object SparkEntry {
       s"WITH $w0,\n${rounds.mkString(",\n")}\n${selects.mkString("\nUNION ALL\n")}"
     },
     // q225: q70's cohort CTEs + a cumulative window over age rows
+    // q226: q179's hazard chain + the KM product as exp(cumsum ln(1-r))
+    // in ascending-day order; an all-churn day pins survival to 0 via an
+    // explicit flag (no ln(0) cross-engine hazard)
+    "q226_survival_curve" ->
+      """WITH pu AS (SELECT user_id,
+        |    date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE)))
+        |      AS life,
+        |    date_diff('day', max(CAST(ts AS DATE)), DATE '2024-02-01') >= 7
+        |      AS observed
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT life AS lifetime_day, count(*) AS n,
+        |    CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_churned
+        |  FROM pu GROUP BY 1),
+        |hz AS (SELECT CAST(lifetime_day AS BIGINT) AS lifetime_day,
+        |    CAST(sum(n) OVER w AS BIGINT) AS n_at_risk, n_churned,
+        |    round(CAST(n_churned AS DOUBLE) / (sum(n) OVER w), 6) AS hazard,
+        |    CAST(n_churned AS DOUBLE) / (sum(n) OVER w) AS r
+        |  FROM h
+        |  WINDOW w AS (ORDER BY lifetime_day
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT lifetime_day, n_at_risk, n_churned, hazard,
+        |  CASE WHEN max(CASE WHEN r >= 1 THEN 1 ELSE 0 END) OVER v = 1
+        |       THEN CAST(0.0 AS DOUBLE)
+        |       ELSE round(exp(sum(CASE WHEN r < 1 THEN ln(1.0 - r)
+        |         ELSE 0.0 END) OVER v), 6) + 0.0 END AS survival
+        |FROM hz
+        |WINDOW v AS (ORDER BY lifetime_day
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    // q227: per-user 6dp pre/post sums, pooled theta = cov/var (rounded
+    // before use), per-variant + ALL rollup; never_worse re-derived
+    "q227_cuped" ->
+      """WITH pu AS (SELECT user_id,
+        |    round(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+        |      THEN coalesce(value, 0.0) ELSE 0.0 END), 6) AS x,
+        |    round(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+        |      THEN coalesce(value, 0.0) ELSE 0.0 END), 6) AS y,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |      THEN 'A' ELSE 'B' END AS variant
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |th AS (SELECT
+        |    round(CASE WHEN var_pop(x) > 0
+        |      THEN covar_pop(x, y) / var_pop(x) ELSE 0.0 END, 6) AS th,
+        |    round(avg(x), 6) AS xbar FROM pu),
+        |adj AS (SELECT pu.variant, pu.y,
+        |    pu.y - th.th * (pu.x - th.xbar) AS y_adj, th.th
+        |  FROM pu, th),
+        |g AS (
+        |  SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+        |    round(avg(y), 6) AS mean_post,
+        |    round(avg(y_adj), 6) AS mean_adjusted,
+        |    round(var_pop(y), 6) AS var_post,
+        |    round(var_pop(y_adj), 6) AS var_adjusted,
+        |    CASE WHEN var_pop(y) > 0
+        |      THEN round(1.0 - var_pop(y_adj) / var_pop(y), 6) + 0.0 END
+        |      AS var_reduction,
+        |    round(first(th), 6) AS theta
+        |  FROM adj GROUP BY variant
+        |  UNION ALL
+        |  SELECT 'ALL', CAST(count(*) AS BIGINT), round(avg(y), 6),
+        |    round(avg(y_adj), 6), round(var_pop(y), 6),
+        |    round(var_pop(y_adj), 6),
+        |    CASE WHEN var_pop(y) > 0
+        |      THEN round(1.0 - var_pop(y_adj) / var_pop(y), 6) + 0.0 END,
+        |    round(first(th), 6)
+        |  FROM adj)
+        |SELECT variant, n_users, mean_post, mean_adjusted, var_post,
+        |  var_adjusted, var_reduction,
+        |  var_adjusted <= var_post AS never_worse, theta FROM g""".stripMargin,
+    // q228: daily pre-reduce, Spark dayofweek = DuckDB dayofweek + 1,
+    // variance decomposition over the rounded daily totals
+    "q228_dow_profile" ->
+      """WITH daily AS (
+        |  SELECT event_type AS key, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    round(sum(coalesce(value, 0.0)), 6) AS v
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |d2 AS (SELECT *, dayofweek(day) + 1 AS dow FROM daily),
+        |bydow AS (SELECT key, dow, CAST(sum(n) AS BIGINT) AS n_events,
+        |    round(sum(v), 6) AS total_value, round(avg(v), 6) AS mean_dow
+        |  FROM d2 GROUP BY 1, 2),
+        |keytot AS (SELECT key, CAST(sum(n) AS BIGINT) AS kn,
+        |    round(var_pop(v), 6) AS vt
+        |  FROM d2 GROUP BY 1),
+        |resid AS (SELECT d2.key, round(var_pop(d2.v - b.mean_dow), 6) AS vr
+        |  FROM d2 JOIN bydow b ON d2.key = b.key AND d2.dow = b.dow
+        |  GROUP BY 1)
+        |SELECT b.key, CAST(b.dow AS BIGINT) AS dow, b.n_events,
+        |  b.total_value, round(b.total_value / b.n_events, 6) AS mean_value,
+        |  round(CAST(b.n_events AS DOUBLE) / k.kn, 6) AS share,
+        |  CASE WHEN k.vt > 0 THEN round(1.0 - r.vr / k.vt, 6) + 0.0 END
+        |    AS seasonal_strength
+        |FROM bydow b JOIN keytot k ON b.key = k.key
+        |JOIN resid r ON b.key = r.key""".stripMargin,
+    // q229: the same nibble-arithmetic uniform off md5(group key), then
+    // the inverse-CDF Laplace at sensitivity 1 / epsilon 1
+    "q229_dp_counts" -> {
+      val nib = (k: Int) =>
+        s"(strpos('0123456789abcdef', substr(hx, $k, 1)) - 1)"
+      val prefix = (1 to 8).map(k =>
+        s"${nib(k)} * ${math.pow(16, 8 - k).toLong}").mkString(" + ")
+      s"""WITH g AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+         |  FROM documents GROUP BY 1, 2),
+         |h AS (SELECT *, md5(concat_ws('|',
+         |    coalesce(CAST(source AS VARCHAR), '<null>'),
+         |    coalesce(CAST(lang AS VARCHAR), '<null>'))) AS hx FROM g),
+         |u AS (SELECT source, lang, n,
+         |    (CAST($prefix AS DOUBLE) + 0.5) / 4294967296.0 - 0.5 AS uu
+         |  FROM h)
+         |SELECT source, lang, n,
+         |  round(n + (-1.0) * sign(uu) * ln(1.0 - 2.0 * abs(uu)), 6)
+         |    AS n_noisy,
+         |  CAST(1.0 AS DOUBLE) AS epsilon FROM u""".stripMargin
+    },
+    // q230: add-half smoothed WOE shares as explicit double ratios
+    "q230_woe_iv" ->
+      """WITH c AS (SELECT o_orderpriority AS category,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_pos
+        |  FROM orders WHERE o_orderstatus IS NOT NULL GROUP BY 1),
+        |c2 AS (SELECT category, n, n_pos, n - n_pos AS n_neg FROM c),
+        |t AS (SELECT CAST(sum(n_pos) AS BIGINT) AS pt,
+        |    CAST(sum(n_neg) AS BIGINT) AS nt,
+        |    CAST(count(*) AS DOUBLE) AS cc FROM c2),
+        |s AS (SELECT c2.*,
+        |    (CAST(n_pos AS DOUBLE) + 0.5) / (CAST(pt AS DOUBLE) + 0.5 * cc)
+        |      AS sp,
+        |    (CAST(n_neg AS DOUBLE) + 0.5) / (CAST(nt AS DOUBLE) + 0.5 * cc)
+        |      AS sn
+        |  FROM c2, t),
+        |s2 AS (SELECT category, n, n_pos, n_neg,
+        |    round(ln(sp / sn), 6) AS woe,
+        |    round((sp - sn) * ln(sp / sn), 6) AS iv_contrib FROM s),
+        |iv AS (SELECT round(sum(iv_contrib), 6) AS ivt FROM s2)
+        |SELECT s2.category, s2.n, s2.n_pos, s2.n_neg, s2.woe,
+        |  s2.iv_contrib, iv.ivt AS iv_total FROM s2, iv""".stripMargin,
+    // q231: 3 unrolled GD rounds — z-scored features off 6dp moments,
+    // 6dp weight re-round per round, softplus loss, z>=0 predictions
+    "q231_logistic_gd" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END
+        |      AS y,
+        |    CAST(value AS DOUBLE) AS x0,
+        |    CAST(date_part('hour', ts) AS DOUBLE) AS x1
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |st AS (SELECT round(avg(x0), 6) AS m0,
+        |    round(stddev_pop(x0), 6) AS s0,
+        |    round(avg(x1), 6) AS m1, round(stddev_pop(x1), 6) AS s1
+        |  FROM base),
+        |z AS (SELECT y, (x0 - m0) / s0 AS z0, (x1 - m1) / s1 AS z1
+        |  FROM base, st),
+        |w1 AS (SELECT round(0 - 0.5 * avg(0.5 - y), 6) AS b,
+        |    round(0 - 0.5 * avg((0.5 - y) * z0), 6) AS wa,
+        |    round(0 - 0.5 * avg((0.5 - y) * z1), 6) AS wb FROM z),
+        |p2 AS (SELECT z.*,
+        |    1.0 / (1.0 + exp(-(w1.b + w1.wa * z0 + w1.wb * z1))) AS p,
+        |    w1.b AS pb, w1.wa AS pwa, w1.wb AS pwb FROM z, w1),
+        |w2 AS (SELECT round(first(pb) - 0.5 * avg(p - y), 6) AS b,
+        |    round(first(pwa) - 0.5 * avg((p - y) * z0), 6) AS wa,
+        |    round(first(pwb) - 0.5 * avg((p - y) * z1), 6) AS wb FROM p2),
+        |p3 AS (SELECT z.*,
+        |    1.0 / (1.0 + exp(-(w2.b + w2.wa * z0 + w2.wb * z1))) AS p,
+        |    w2.b AS pb, w2.wa AS pwa, w2.wb AS pwb FROM z, w2),
+        |w3 AS (SELECT round(first(pb) - 0.5 * avg(p - y), 6) AS b,
+        |    round(first(pwa) - 0.5 * avg((p - y) * z0), 6) AS wa,
+        |    round(first(pwb) - 0.5 * avg((p - y) * z1), 6) AS wb FROM p3),
+        |sel AS (SELECT z.y, z.z0, z.z1,
+        |    w3.b + w3.wa * z0 + w3.wb * z1 AS zf,
+        |    w3.b AS b, w3.wa AS wa, w3.wb AS wb FROM z, w3)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(3 AS BIGINT) AS n_iters,
+        |  first(b) AS bias, first(wa) AS w_value, first(wb) AS w_hr,
+        |  round(avg(greatest(zf, 0.0) - y * zf
+        |    + ln(1.0 + exp(-abs(zf)))), 6) AS log_loss,
+        |  round(avg(CASE WHEN (CASE WHEN zf >= 0 THEN 1.0 ELSE 0.0 END) = y
+        |    THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+        |FROM sel""".stripMargin,
+    // q232: the q83 trained cents2, a third assignment-style cosine pass,
+    // a/b off the SAME rounded cosines, per-cell rollup
+    "q232_silhouette" ->
+      s"""$kmeansTwoIterPrefix,
+         |c2 AS (
+         |  SELECT cell, dim, CAST(CAST(round(avg(v), 6) AS FLOAT) AS DOUBLE) AS cv
+         |  FROM m2 GROUP BY 1, 2),
+         |cents2 AS (SELECT cell AS cent_id, list(cv ORDER BY dim) AS cvec FROM c2 GROUP BY 1),
+         |sim3 AS (SELECT e.vec_id, c.cent_id,
+         |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6) AS csim
+         |  FROM embeddings e CROSS JOIN cents2 c WHERE e.embedding IS NOT NULL),
+         |r3 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY csim DESC, cent_id ASC) AS r FROM sim3),
+         |pp AS (SELECT vec_id,
+         |    max(CASE WHEN r = 1 THEN cent_id END) AS cell,
+         |    max(CASE WHEN r = 1 THEN csim END) AS own,
+         |    max(CASE WHEN r <> 1 THEN csim END) AS nxt
+         |  FROM r3 GROUP BY 1),
+         |sc AS (SELECT cell,
+         |    CASE WHEN greatest(1.0 - own, 1.0 - nxt) > 0
+         |      THEN ((1.0 - nxt) - (1.0 - own))
+         |        / greatest(1.0 - own, 1.0 - nxt)
+         |      ELSE CAST(0.0 AS DOUBLE) END AS s
+         |  FROM pp)
+         |SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
+         |  round(avg(s), 6) + 0.0 AS mean_silhouette,
+         |  round(avg(CASE WHEN s < 0 THEN 1.0 ELSE 0.0 END), 6)
+         |    AS share_negative
+         |FROM sc GROUP BY cell""".stripMargin,
     "q225_ltv_curve" ->
       """WITH f AS (
         |  SELECT user_id,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Behavioral event analytics: conversion funnels and retention cohorts —
@@ -687,5 +687,146 @@ object EventAnalytics {
     days.join(dau, Seq("day"), "left").join(wau, Seq("day"), "left")
       .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
         coalesce(col("wau"), lit(0L)).as("wau"))
+  }
+
+  /** Kaplan–Meier survival curve on [[hazardTable]]'s daily grain:
+    * `S(d) = Π_{d' ≤ d} (1 − hazard(d'))` — the probability a user
+    * survives PAST lifetime day `d`, the curve retention decks plot and
+    * the quantity the hazard table's per-day ratios compose into. The
+    * product runs as `exp(Σ ln(1 − churned/at_risk))` over the
+    * ascending-day cumulative window (both engines fold the running sum
+    * in day order, so the IEEE accumulation is identical); a day where
+    * everyone at risk churns (`hazard = 1`) pins survival to exactly 0
+    * from that day on via an explicit flag instead of `ln(0)` (whose
+    * null/−∞ behavior differs across engines). Censoring semantics are
+    * [[hazardTable]]'s. Output: the hazard table + `survival` (6 dp).
+    *
+    * Scale shape: [[hazardTable]]'s two hash-aggs reduce the log to a
+    * ≤ \|distinct days\| histogram; both windows (reverse at-risk sum,
+    * forward survival product) run over THAT — single-partition over
+    * days, never rows (the q48 pre-reduce device). */
+  def survivalCurve(events: DataFrame, userCol: String, tsCol: String,
+      asOf: java.sql.Date, censorDays: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cum = Window.orderBy(col("lifetime_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ratio = col("n_churned").cast("double") / col("n_at_risk")
+    hazardTable(events, userCol, tsCol, asOf, censorDays)
+      .withColumn("__dead", max((ratio >= 1.0).cast("int")).over(cum))
+      .withColumn("__ln", when(ratio < 1.0, log(lit(1.0) - ratio))
+        .otherwise(lit(0.0)))
+      .withColumn("survival",
+        when(col("__dead") === 1, lit(0.0))
+          .otherwise(round(exp(sum("__ln").over(cum)), 6) + lit(0.0)))
+      .drop("__dead", "__ln")
+  }
+
+  /** CUPED variance reduction (Deng et al. 2013): per-user pre-period
+    * metric as the control covariate for the post-period metric,
+    * `y_adj = y − θ·(x − x̄)` with `θ = cov(x,y)/var(x)` estimated
+    * POOLED across variants — the standard experimentation trick that
+    * shrinks metric variance (≈ by the pre/post correlation squared)
+    * without biasing the treatment contrast. Variant assignment is
+    * md5-deterministic on the user key (replay-stable A/B split); a
+    * user absent from the pre-period enters with x = 0 (the standard
+    * new-user convention). Per-user sums round to 6 dp (accumulation-
+    * order pin), θ and x̄ round to 6 dp before use, so both engines
+    * compute the identical adjustment. Output: one row per variant plus
+    * an `ALL` row, with n_users, mean_post, mean_adjusted, var_post,
+    * var_adjusted (population), var_reduction, theta — and
+    * `never_worse`, the in-sample guarantee `var_adjusted ≤ var_post`
+    * on the pooled row, which holds by construction when θ is the
+    * pooled OLS coefficient (a contract the oracle re-derives, so a
+    * co-moment bug becomes a hash mismatch).
+    *
+    * Scale shape: ONE user-keyed hash-agg reduces the log to a per-user
+    * (pre, post) table (persisted); θ/x̄ are a 1-row aggregate broadcast
+    * back; the variant rollup is a ≤ 3-row hash-agg. Nothing after the
+    * first reduction scales with events. */
+  def cupedLift(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, cutover: java.sql.Date): DataFrame = {
+    val pre = when(to_date(col(tsCol)) < lit(cutover),
+      coalesce(col(valueCol), lit(0.0))).otherwise(lit(0.0))
+    val post = when(to_date(col(tsCol)) >= lit(cutover),
+      coalesce(col(valueCol), lit(0.0))).otherwise(lit(0.0))
+    val perUser = graft.core.CacheRegistry.persist(
+      events.where(col(userCol).isNotNull)
+        .groupBy(col(userCol))
+        .agg(round(sum(pre), 6).as("x"), round(sum(post), 6).as("y"))
+        .withColumn("variant",
+          when(substring(md5(col(userCol).cast("string")), 1, 1) < "8",
+            lit("A")).otherwise(lit("B"))))
+    val theta = perUser.agg(
+      // zero pre-period variance → θ = 0 (no adjustment), not a
+      // DIVIDE_BY_ZERO under ANSI mode
+      round(when(var_pop(col("x")) > 0,
+        covar_pop(col("x"), col("y")) / var_pop(col("x")))
+        .otherwise(lit(0.0)), 6).as("__th"),
+      round(avg(col("x")), 6).as("__xbar"))
+    val adj = perUser.crossJoin(broadcast(theta))
+      .withColumn("y_adj", col("y") - col("__th") * (col("x") - col("__xbar")))
+    def rollup(g: org.apache.spark.sql.RelationalGroupedDataset,
+               tag: Column): DataFrame =
+      g.agg(count(lit(1)).as("n_users"),
+        round(avg(col("y")), 6).as("mean_post"),
+        round(avg(col("y_adj")), 6).as("mean_adjusted"),
+        round(var_pop(col("y")), 6).as("var_post"),
+        round(var_pop(col("y_adj")), 6).as("var_adjusted"),
+        when(var_pop(col("y")) > 0,
+          round(lit(1.0) - var_pop(col("y_adj")) / var_pop(col("y")), 6)
+            + lit(0.0)).as("var_reduction"),
+        round(first(col("__th")), 6).as("theta"))
+        .select(tag.as("variant"), col("n_users"), col("mean_post"),
+          col("mean_adjusted"), col("var_post"), col("var_adjusted"),
+          col("var_reduction"),
+          (col("var_adjusted") <= col("var_post")).as("never_worse"),
+          col("theta"))
+    rollup(adj.groupBy(col("variant")), col("variant"))
+      .unionByName(rollup(adj.groupBy(), lit("ALL")))
+  }
+
+  /** Day-of-week seasonal profile of a metric: per (key, dow — Spark's
+    * `dayofweek`, 1 = Sunday … 7 = Saturday),
+    * event count, total and mean value, and the dow's share of the
+    * key's events — plus the key-level `seasonal_strength`
+    * `1 − var(residual)/var(daily)` over the DAILY series (variance of
+    * daily totals explained by the dow means; 0 = no weekly rhythm,
+    * → 1 = the week explains everything), the quick test for whether a
+    * weekly-seasonal forecast/alert baseline is worth having. Population
+    * variances over the pre-reduced daily table; 6 dp.
+    * Output: (key, dow, n_events, total_value, mean_value, share,
+    * seasonal_strength — repeated per key).
+    *
+    * Scale shape: the log reduces ONCE to (key, day) totals (hash-agg,
+    * map-side partials); dow means, shares, and the variance-decomposition
+    * join all run over that bounded-by-the-calendar table. */
+  def dowProfile(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val daily = graft.core.CacheRegistry.persist(
+      events.where(col(tsCol).isNotNull)
+        .groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("__day"))
+        .agg(count(lit(1)).as("__n"),
+          round(sum(coalesce(col(valueCol), lit(0.0))), 6).as("__v"))
+        .withColumn("dow", dayofweek(col("__day"))))
+    val byDow = daily.groupBy(col("key"), col("dow"))
+      .agg(sum("__n").as("n_events"), round(sum("__v"), 6).as("total_value"),
+        round(avg("__v"), 6).as("mean_dow"))
+    val keyTot = daily.groupBy(col("key"))
+      .agg(sum("__n").as("__kn"), round(var_pop(col("__v")), 6).as("__vt"))
+    val resid = daily
+      .join(byDow.select(col("key"), col("dow"), col("mean_dow")),
+        Seq("key", "dow"))
+      .groupBy(col("key"))
+      .agg(round(var_pop(col("__v") - col("mean_dow")), 6).as("__vr"))
+    byDow
+      .join(broadcast(keyTot), Seq("key"))
+      .join(broadcast(resid), Seq("key"))
+      .select(col("key"), col("dow").cast("long").as("dow"), col("n_events"),
+        col("total_value"),
+        round(col("total_value") / col("n_events"), 6).as("mean_value"),
+        round(col("n_events").cast("double") / col("__kn"), 6).as("share"),
+        when(col("__vt") > 0,
+          round(lit(1.0) - col("__vr") / col("__vt"), 6) + lit(0.0))
+          .as("seasonal_strength"))
   }
 }

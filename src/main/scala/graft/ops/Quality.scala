@@ -783,4 +783,73 @@ object Quality {
         // zero can't hash-mismatch an engine that rounded to +0.0
         (round(col("__c"), 6) + lit(0.0)).as("corr"))
   }
+
+  /** ε-differentially-private group counts with DETERMINISTIC Laplace
+    * noise: each group's count gets `−(1/ε)·sign(u)·ln(1 − 2|u|)` where
+    * `u ∈ (−0.5, 0.5)` is the inverse-CDF uniform derived from the md5
+    * of the group key — the release a privacy review signs off next to
+    * [[kAnonymityAudit]] (counting queries have sensitivity 1, so
+    * Laplace(1/ε) noise gives ε-DP). Deriving the noise from the key
+    * instead of an RNG makes the release REPLAY-STABLE: re-running the
+    * query cannot leak a fresh noise sample per run (averaging
+    * re-releases is the classic attack on naively re-randomized DP), and
+    * any engine reproduces the identical mart. Null group values form
+    * their own group (keyed by a sentinel). The exact count rides along
+    * for the curation-side view; the DP release is (group, n_noisy, ε)
+    * only. Output: (groupCols…, n, n_noisy 6 dp, epsilon).
+    *
+    * Scale shape: ONE group-keyed hash-agg (map-side partials); the noise
+    * is a scan-stage expression over the reduced group rows. */
+  def dpNoisedCounts(df: DataFrame, groupCols: Seq[String],
+                     epsilon: Double): DataFrame = {
+    require(groupCols.nonEmpty, "dpNoisedCounts: need at least one group column")
+    require(epsilon > 0, s"dpNoisedCounts: need epsilon > 0, got $epsilon")
+    val key = concat_ws("|",
+      groupCols.map(c => coalesce(col(c).cast("string"), lit("<null>"))): _*)
+    // (v + 0.5)/2³² − 0.5 ∈ (−0.5, 0.5): the ±0.5 endpoints (ln 0) are
+    // unreachable by construction, no clamp needed
+    val u = (conv(substring(md5(key), 1, 8), 16, 10).cast("long")
+      .cast("double") + lit(0.5)) / lit(4294967296.0) - lit(0.5)
+    val noise = lit(-1.0 / epsilon) * signum(u) *
+      log(lit(1.0) - lit(2.0) * abs(u))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_noisy", round(col("n") + noise, 6))
+      .withColumn("epsilon", lit(epsilon))
+  }
+
+  /** Weight-of-evidence encoding + information value (the credit-scoring
+    * categorical screen): per category `c` of `catCol`,
+    * `WOE_c = ln(share_pos(c) / share_neg(c))` over add-half smoothed
+    * shares (`(n + 0.5) / (tot + 0.5·C)`, so empty cells can't produce
+    * ±∞), and `IV = Σ_c (share_pos − share_neg)·WOE_c` — the one-number
+    * "does this feature separate the classes" screen (rule of thumb:
+    * IV < 0.02 useless, > 0.5 suspiciously strong). Rows with a null
+    * label are excluded; a null CATEGORY is its own row. All shares are
+    * exact integer ratios; only the `ln` is transcendental, pinned at
+    * 6 dp. Output: (category, n, n_pos, n_neg, woe, iv_contrib,
+    * iv_total — repeated, the feature-level scalar).
+    *
+    * Scale shape: ONE category-keyed hash-agg reduces the scan; totals,
+    * the category count, and the IV sum are broadcast-sized aggregates
+    * over the reduced table. */
+  def woeIv(df: DataFrame, catCol: String, labelCol: String): DataFrame = {
+    val y = col(labelCol).cast("int")
+    val cats = graft.core.CacheRegistry.persist(
+      df.where(y.isNotNull)
+        .groupBy(col(catCol).as("category"))
+        .agg(count(lit(1)).as("n"), sum(y).cast("long").as("n_pos"))
+        .withColumn("n_neg", col("n") - col("n_pos")))
+    val tot = cats.agg(sum("n_pos").as("__pt"), sum("n_neg").as("__nt"),
+      count(lit(1)).cast("double").as("__c"))
+    val sp = (col("n_pos") + lit(0.5)) / (col("__pt") + lit(0.5) * col("__c"))
+    val sn = (col("n_neg") + lit(0.5)) / (col("__nt") + lit(0.5) * col("__c"))
+    val scored = cats.crossJoin(broadcast(tot))
+      .withColumn("woe", round(log(sp / sn), 6))
+      .withColumn("iv_contrib", round((sp - sn) * log(sp / sn), 6))
+    val iv = scored.agg(round(sum("iv_contrib"), 6).as("__iv"))
+    scored.crossJoin(broadcast(iv))
+      .select(col("category"), col("n"), col("n_pos"), col("n_neg"),
+        col("woe"), col("iv_contrib"), col("__iv").as("iv_total"))
+  }
 }

@@ -401,6 +401,55 @@ object Similarity {
       .where(col("cos") >= threshold)
   }
 
+  /** Simplified silhouette over [[kmeansFit]]'s cells (the centroid-based
+    * silhouette of Hruschka et al. — `a` = cosine distance to the OWN
+    * centroid, `b` = distance to the nearest OTHER centroid,
+    * `s = (b − a)/max(a, b)`): per cell, member count, mean `s`, and the
+    * share of members with `s < 0` (closer to another cell than their
+    * own — the "misassigned" fraction) — the clustering-quality gate a
+    * SemDeDup/IVF pipeline checks before trusting its cells. The full
+    * silhouette's O(N²) pairwise term is replaced by the k-centroid
+    * term, which is what makes it computable at corpus scale; both
+    * distances come from the same 6 dp-rounded cosines as the
+    * assignment itself, so `s` is engine-exact and a point equidistant
+    * to two cells scores exactly 0. Output: (cell, n_members,
+    * mean_silhouette 6 dp, share_negative 6 dp).
+    *
+    * Scale shape: [[kmeansFit]]'s per-iteration scans, then ONE
+    * broadcast-NLJ scan against the k centroids with a per-vector
+    * argmax window (shuffle on the vector id) and a cell-keyed rollup —
+    * nothing quadratic in N. */
+  def silhouette(emb: DataFrame, idCol: String, vecCol: String,
+                 k: Int, iters: Int): DataFrame = {
+    require(k >= 2, s"silhouette: need k >= 2 cells, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val cents = broadcast(kmeansCentroids(emb, idCol, vecCol, k, iters)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cvec"),
+        normF(col(vecCol)).as("cnorm")))
+    val vecs = emb.where(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol), normF(col(vecCol)).as("norm"))
+    val byVec = Window.partitionBy(idCol)
+      .orderBy(col("csim").desc, col("cent_id").asc)
+    val perPoint = vecs.crossJoin(cents)
+      .withColumn("csim",
+        round(dotF(col(vecCol), col("cvec")) / (col("norm") * col("cnorm")), 6))
+      .withColumn("__r", row_number().over(byVec))
+      .groupBy(col(idCol))
+      .agg(max(when(col("__r") === 1, col("cent_id"))).as("cell"),
+        max(when(col("__r") === 1, col("csim"))).as("__own"),
+        max(when(col("__r") =!= 1, col("csim"))).as("__next"))
+      .withColumn("__a", lit(1.0) - col("__own"))
+      .withColumn("__b", lit(1.0) - col("__next"))
+      .withColumn("__s",
+        when(greatest(col("__a"), col("__b")) > 0,
+          (col("__b") - col("__a")) / greatest(col("__a"), col("__b")))
+          .otherwise(lit(0.0)))
+    perPoint.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        (round(avg(col("__s")), 6) + lit(0.0)).as("mean_silhouette"),
+        round(avg((col("__s") < 0).cast("double")), 6).as("share_negative"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold) —
     * EXACT baseline: a self cross-join, O(N²·d). The verifier for
     * [[lshNearDupPairs]], which is the path to run at scale.

@@ -480,4 +480,63 @@ class EventAnalyticsSpec extends SparkSpec {
       EventAnalytics.attribution(ev, "user_id", "ts", "event_id",
         "event_type", "purchase", Seq.empty, 1000L)
   }
+
+  test("survivalCurve: KM product of (1-hazard); all-churn day pins 0") {
+    // u1: life 0; u2,u3: life 1; u4: life 2 — all observed (asOf far out)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (2L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-02 10:00:00")),
+      (3L, ts("2024-01-01 10:00:00")), (3L, ts("2024-01-02 10:00:00")),
+      (4L, ts("2024-01-01 10:00:00")), (4L, ts("2024-01-03 10:00:00"))
+    ).toDF("user_id", "ts")
+    val r = EventAnalytics.survivalCurve(ev, "user_id", "ts",
+      java.sql.Date.valueOf("2024-06-01"), 7)
+      .orderBy("lifetime_day")
+      .select($"lifetime_day", $"n_at_risk", $"n_churned", $"survival")
+      .as[(Long, Long, Long, Double)].collect()
+    // day 0: 4 at risk, 1 churn -> S = 3/4; day 1: 3 at risk, 2 churn
+    // -> S = 3/4 * 1/3 = 1/4; day 2: 1 at risk, 1 churn (hazard 1) -> S = 0
+    r(0) shouldBe ((0L, 4L, 1L, 0.75))
+    r(1) shouldBe ((1L, 3L, 2L, 0.25))
+    r(2) shouldBe ((2L, 1L, 1L, 0.0))
+    // censoring: a user last active within censorDays of asOf never churns
+    val r2 = EventAnalytics.survivalCurve(ev, "user_id", "ts",
+      java.sql.Date.valueOf("2024-01-04"), 7)
+      .orderBy("lifetime_day").select($"n_churned").as[Long].collect()
+    r2 shouldBe Array(0L, 0L, 0L)
+  }
+
+  test("cupedLift: exact-correlate pre removes variance; ALL row never worse") {
+    // y = 2x exactly -> theta = 2, y_adj constant -> var_adjusted = 0
+    val rows = (1 to 8).flatMap { u =>
+      Seq((u.toLong, ts("2024-01-05 10:00:00"), u.toDouble),
+        (u.toLong, ts("2024-01-25 10:00:00"), 2.0 * u))
+    }
+    val df = rows.toDF("user_id", "ts", "value")
+    val r = EventAnalytics.cupedLift(df, "user_id", "ts", "value",
+      java.sql.Date.valueOf("2024-01-16")).collect()
+      .map(x => x.getString(0) -> x).toMap
+    r("ALL").getDouble(8) shouldBe 2.0 // theta
+    r("ALL").getDouble(5) shouldBe 0.0 // var_adjusted
+    r("ALL").getBoolean(7) shouldBe true // never_worse
+    r("ALL").getDouble(3) shouldBe r("ALL").getDouble(2) // means agree at ALL
+    r.keySet shouldBe Set("A", "B", "ALL")
+    (r("A").getLong(1) + r("B").getLong(1)) shouldBe r("ALL").getLong(1)
+    graft.core.CacheRegistry.drain()
+  }
+
+  test("dowProfile: pure weekly rhythm -> seasonal_strength 1; shares sum 1") {
+    // 4 weeks, value depends ONLY on day-of-week
+    val days = (0 until 28).map { d =>
+      val date = java.time.LocalDate.of(2024, 1, 1).plusDays(d)
+      ("k", ts(s"$date 10:00:00"), (date.getDayOfWeek.getValue % 7) * 10.0)
+    }
+    val r = EventAnalytics.dowProfile(days.toDF("k", "ts", "value"),
+      "k", "ts", "value").collect()
+    r.length shouldBe 7
+    r.foreach(_.getDouble(6) shouldBe 1.0) // seasonal_strength
+    r.map(_.getDouble(5)).sum shouldBe 1.0 +- 1e-5 // shares (6 dp each)
+    r.foreach(x => x.getLong(2) shouldBe 4L) // 4 of each dow
+    graft.core.CacheRegistry.drain()
+  }
 }

@@ -426,6 +426,57 @@ class QualitySpec extends SparkSpec {
       Quality.correlationMatrix(df, Seq("x"))
   }
 
+  test("dpNoisedCounts: deterministic Laplace, correct magnitude, eps scales") {
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("g", "id")
+    val r1 = Quality.dpNoisedCounts(df, Seq("g"), 1.0)
+      .orderBy("g").collect()
+    val r2 = Quality.dpNoisedCounts(df, Seq("g"), 1.0)
+      .orderBy("g").collect()
+    r1 shouldBe r2 // replay-stable: no fresh noise per run
+    r1.map(_.getString(0)) shouldBe Array("a", "b")
+    r1.map(_.getLong(1)) shouldBe Array(2L, 1L)
+    // noise at eps=4 is exactly 1/4 of the noise at eps=1 (same u)
+    val n1 = r1.map(r => r.getDouble(2) - r.getLong(1))
+    val n4 = Quality.dpNoisedCounts(df, Seq("g"), 4.0).orderBy("g")
+      .collect().map(r => r.getDouble(2) - r.getLong(1))
+    n1.zip(n4).foreach { case (a, b) =>
+      round6(a) shouldBe round6(b * 4.0) +- 2e-6 }
+    // null group value forms its own group
+    val withNull = Seq((Some("a"), 1L), (None, 2L), (None, 3L))
+      .toDF("g", "id")
+    Quality.dpNoisedCounts(withNull, Seq("g"), 1.0).count() shouldBe 2L
+    an[IllegalArgumentException] should be thrownBy
+      Quality.dpNoisedCounts(df, Seq("g"), 0.0)
+    an[IllegalArgumentException] should be thrownBy
+      Quality.dpNoisedCounts(df, Seq.empty, 1.0)
+  }
+
+  test("woeIv: hand-checked WOE/IV, null label excluded, null category kept") {
+    // cat A: 3 pos 1 neg; cat B: 1 pos 3 neg; pt=4 nt=4 C=2
+    val df = Seq(
+      ("A", 1), ("A", 1), ("A", 1), ("A", 0),
+      ("B", 1), ("B", 0), ("B", 0), ("B", 0)).toDF("cat", "y")
+    val m = Quality.woeIv(df, "cat", "y").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val spA = 3.5 / 5.0; val snA = 1.5 / 5.0
+    m("A").getLong(1) shouldBe 4L
+    m("A").getLong(2) shouldBe 3L
+    m("A").getLong(3) shouldBe 1L
+    m("A").getDouble(4) shouldBe round6(math.log(spA / snA))
+    m("A").getDouble(5) shouldBe round6((spA - snA) * math.log(spA / snA))
+    // symmetric construction: B mirrors A, IV total = 2x A's contribution
+    m("B").getDouble(4) shouldBe -m("A").getDouble(4)
+    m("A").getDouble(6) shouldBe round6(2 * m("A").getDouble(5)) +- 2e-6
+    // null label rows are excluded; null category is its own row
+    val mixed = Seq((Some("A"), Some(1)), (None, Some(0)),
+      (Some("A"), None)).toDF("cat", "y")
+    val rows = Quality.woeIv(mixed, "cat", "y").collect()
+    rows.length shouldBe 2
+    rows.map(r => Option(r.getString(0)) -> r.getLong(1)).toMap shouldBe
+      Map(Some("A") -> 1L, None -> 1L)
+    graft.core.CacheRegistry.drain()
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

@@ -360,4 +360,22 @@ class SimilaritySpec extends SparkSpec {
       Similarity.kCenterCoreset(pts, "id", "v", 0)
     graft.core.CacheRegistry.drain()
   }
+
+  test("silhouette: tight separated clusters score near 1, none negative") {
+    // two orthogonal direction bundles -> k=2 cells are pure; every
+    // point is far closer (cosine) to its own centroid than the other
+    val pts = (1 to 6).map { i =>
+      if (i % 2 == 0) (i.toLong, Seq(1f, 0.01f * i))
+      else (i.toLong, Seq(0.01f * i, 1f))
+    }.toDF("id", "v")
+    val r = Similarity.silhouette(pts, "id", "v", 2, 2).collect()
+    r.map(_.getLong(1)).sum shouldBe 6L
+    r.foreach { row =>
+      row.getDouble(2) should be > 0.8 // mean_silhouette
+      row.getDouble(3) shouldBe 0.0 // share_negative
+    }
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.silhouette(pts, "id", "v", 1, 2)
+    graft.core.CacheRegistry.drain()
+  }
 }
