@@ -1237,6 +1237,15 @@ object SparkEntry {
     "q232_silhouette" -> ((s, dir) =>
       Similarity.silhouette(t(s, dir, "embeddings"), "vec_id", "embedding",
         8, 2)),
+    // Gopher-style hard-filter rule mart: each named rule its own flag
+    // plus the conjunction — which rule killed a doc stays visible
+    "q233_gopher_rules" -> ((s, dir) =>
+      TextStats.gopherRules(t(s, dir, "documents"), "doc_id", "text")),
+    // chi-squared term-label association over q170's contingency grid:
+    // the second filter-feature-selection score (rare-but-exclusive
+    // terms weight harder than under MI)
+    "q234_chi2_terms" -> ((s, dir) =>
+      graft.ops.Corpus.termLabelChi2(t(s, dir, "documents"), "text", "lang", 5)),
     "q225_ltv_curve" -> ((s, dir) =>
       graft.ops.EventAnalytics.ltvCurve(
         t(s, dir, "events"), "user_id", "ts", "value")),
@@ -3074,6 +3083,43 @@ object SparkEntry {
          |  round(avg(CASE WHEN s < 0 THEN 1.0 ELSE 0.0 END), 6)
          |    AS share_negative
          |FROM sc GROUP BY cell""".stripMargin,
+    // q233: the same word stats computed once in one scan; list_intersect /
+    // list_distinct replay array_intersect / array_distinct, and the
+    // '...' runs are non-overlapping in both regexp engines
+    "q233_gopher_rules" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws,
+        |    len(string_split(text, ' ')) AS nw,
+        |    length(replace(text, ' ', '')) AS nonspace,
+        |    len(regexp_extract_all(text, '#'))
+        |      + len(regexp_extract_all(text, '\.\.\.')) AS symb
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, nw,
+        |    CASE WHEN nw > 0 THEN nonspace * 1.0 / nw END AS ml,
+        |    CASE WHEN nw > 0 THEN
+        |      len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / nw
+        |    END AS ar,
+        |    CASE WHEN nw > 0 THEN symb * 1.0 / nw END AS sr,
+        |    len(list_intersect(list_distinct(ws),
+        |      ['the','a','of','and','to','in','is'])) AS sd,
+        |    CASE WHEN nw > 0 THEN len(list_distinct(ws)) * 1.0 / nw END AS dr
+        |  FROM w)
+        |SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+        |  round(coalesce(ml, 0.0), 6) AS mean_word_len,
+        |  coalesce(nw >= 50 AND nw <= 100000, FALSE) AS ok_word_count,
+        |  coalesce(ml >= 3.0 AND ml <= 10.0, FALSE) AS ok_mean_word_len,
+        |  coalesce(ar >= 0.8, FALSE) AS ok_alpha_ratio,
+        |  coalesce(sr < 0.1, FALSE) AS ok_symbol_ratio,
+        |  coalesce(sd >= 2, FALSE) AS ok_stopwords,
+        |  coalesce(dr > 0.2, FALSE) AS ok_repetition,
+        |  coalesce(nw >= 50 AND nw <= 100000, FALSE)
+        |    AND coalesce(ml >= 3.0 AND ml <= 10.0, FALSE)
+        |    AND coalesce(ar >= 0.8, FALSE)
+        |    AND coalesce(sr < 0.1, FALSE)
+        |    AND coalesce(sd >= 2, FALSE)
+        |    AND coalesce(dr > 0.2, FALSE) AS keep
+        |FROM f""".stripMargin,
     "q225_ltv_curve" ->
       """WITH f AS (
         |  SELECT user_id,
@@ -4112,6 +4158,37 @@ object SparkEntry {
         |          (CAST(n_l AS DOUBLE) / CAST(n AS DOUBLE)))) ELSE 0 END), 6)
         |    AS mi
         |FROM grid, nn GROUP BY 1""".stripMargin,
+    // q234: q170's grid with the chi² cells — identical left-to-right
+    // IEEE multiply/divide shapes; zero-expectation cells contribute 0
+    "q234_chi2_terms" ->
+      """WITH raw AS (SELECT doc_id, lang AS label,
+        |    unnest(string_split(text, ' ')) AS term FROM documents),
+        |dt AS (SELECT DISTINCT doc_id, label, term FROM raw),
+        |tl AS (SELECT term, label, count(*) AS n_tl FROM dt GROUP BY 1, 2),
+        |lab AS (SELECT lang AS label, count(*) AS n_l FROM documents GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |nt AS (SELECT term, CAST(sum(n_tl) AS BIGINT) AS n_t FROM tl
+        |  GROUP BY 1 HAVING CAST(sum(n_tl) AS BIGINT) >= 5),
+        |grid AS (SELECT nt.term, nt.n_t, lab.label, lab.n_l,
+        |    coalesce(tl.n_tl, 0) AS n_tl
+        |  FROM nt CROSS JOIN lab
+        |  LEFT JOIN tl ON tl.term = nt.term
+        |    AND tl.label IS NOT DISTINCT FROM lab.label),
+        |c AS (SELECT term, n_t,
+        |    CAST(n_t AS DOUBLE) * CAST(n_l AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS e11,
+        |    (CAST(n AS DOUBLE) - CAST(n_t AS DOUBLE)) * CAST(n_l AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS e01,
+        |    CAST(n_tl AS DOUBLE) AS o11,
+        |    CAST(n_l AS DOUBLE) - CAST(n_tl AS DOUBLE) AS o01
+        |  FROM grid, nn)
+        |SELECT term, CAST(max(n_t) AS BIGINT) AS df_docs,
+        |  round(sum(
+        |    CASE WHEN e11 > 0 THEN (o11 - e11) * (o11 - e11) / e11
+        |         ELSE 0.0 END
+        |    + CASE WHEN e01 > 0 THEN (o01 - e01) * (o01 - e01) / e01
+        |           ELSE 0.0 END), 6) AS chi2
+        |FROM c GROUP BY 1""".stripMargin,
     // q171: identical decay arithmetic — the λ literal is interpolated
     // from the SAME Scala double, ages are exact integer micros
     "q171_decayed_counts" -> {

@@ -434,6 +434,54 @@ object Corpus {
         round(sum(present + absent), 6).as("mi"))
   }
 
+  /** Per-term chi-squared statistic against a document label — the second
+    * classic filter-feature-selection score next to [[termLabelMI]]
+    * (chi² weights rare-but-exclusive terms harder than MI; the pair
+    * disagreeing on a term is itself a leakage signal). For each term
+    * with document frequency ≥ `minDf`, over the doc-level
+    * presence/absence × label contingency grid:
+    * `chi² = Σ_{t∈{1,0}, l} (O_tl − E_tl)² / E_tl`,
+    * `E_tl = (n_t or N−n_t)·n_l / N`; zero-expectation cells contribute 0
+    * (only possible when a label cohort is empty, which can't happen by
+    * construction), null labels form their own cohort via the null-safe
+    * `<=>` key (the [[termLabelMI]] rule), 6 dp round.
+    * Output: (term, df_docs, chi2).
+    *
+    * Scale shape: identical to [[termLabelMI]] — scan-stage
+    * `array_distinct` before the explode, ONE (term, label) hash-agg with
+    * map-side partials, grid is \|terms\| × \|labels\| with the label
+    * histogram and doc total broadcast. */
+  def termLabelChi2(df: DataFrame, textCol: String, labelCol: String,
+                    minDf: Int = 5): DataFrame = {
+    require(minDf >= 1, s"termLabelChi2: need minDf >= 1, got $minDf")
+    val tl = graft.core.CacheRegistry.persist(
+      df.select(col(labelCol).as("label"),
+        explode(array_distinct(split(col(textCol), " "))).as("term"))
+        .groupBy("term", "label").agg(count(lit(1)).as("n_tl")))
+    val labels = df.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_l"))
+    val nTot = df.agg(count(lit(1)).as("n"))
+    val nt = tl.groupBy("term").agg(sum("n_tl").as("n_t"))
+      .where(col("n_t") >= minDf)
+    val o11 = coalesce(col("n_tl"), lit(0L)).cast("double")
+    val o01 = (col("n_l") - coalesce(col("n_tl"), lit(0L))).cast("double")
+    val bigN = col("n").cast("double")
+    val e11 = col("n_t").cast("double") * col("n_l").cast("double") / bigN
+    val e01 = (bigN - col("n_t").cast("double")) *
+      col("n_l").cast("double") / bigN
+    def cell(o: Column, e: Column): Column =
+      when(e > 0, (o - e) * (o - e) / e).otherwise(lit(0.0))
+    nt.crossJoin(broadcast(labels))
+      .join(tl.select(col("term").as("__tl_term"), col("label").as("__tl_label"),
+          col("n_tl")),
+        col("term") === col("__tl_term") && col("label") <=> col("__tl_label"),
+        "left")
+      .crossJoin(broadcast(nTot))
+      .groupBy(col("term"))
+      .agg(max("n_t").as("df_docs"),
+        round(sum(cell(o11, e11) + cell(o01, e01)), 6).as("chi2"))
+  }
+
   /** Per-document bigram surprisal under the corpus's own add-one
     * bigram model: `mean over adjacent pairs of −ln p(w₂|w₁)`,
     * `p(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V)` — the model-free perplexity

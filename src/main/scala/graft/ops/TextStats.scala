@@ -291,4 +291,53 @@ object TextStats {
       (coalesce(col("__len"), lit(0)).cast("long").as("n_chars") +:
         (classShares :+ other))): _*)
   }
+
+  /** Gopher-style hard-filter rule mart (Rae et al. 2021 §A1.1 shape): each
+    * named rule as its own boolean column plus the conjunction `keep`, so a
+    * curation review can see WHICH rule killed a doc (a bare keep/drop bit
+    * hides systematic filter bugs — e.g. a tokenizer change flipping the
+    * mean-word-length band for one language). Rules, each over whitespace
+    * words:
+    *  - `ok_word_count`: word count within [minWords, maxWords]
+    *  - `ok_mean_word_len`: mean word length within [3, 10]
+    *  - `ok_alpha_ratio`: ≥ 80 % of words contain an alphabetic char
+    *  - `ok_symbol_ratio`: (# of `#` chars + `...` runs) / words < 0.1
+    *  - `ok_stopwords`: ≥ 2 distinct members of the canonical stop set
+    *  - `ok_repetition`: distinct-word / word ratio > 0.2 (the top-level
+    *    dedup-within-doc cut; n-gram bands live in [[repetitionScore]])
+    * All thresholds are the published defaults; the word stats are computed
+    * once and shared across rules (codegen CSE). Pure scan stage, zero
+    * shuffle, RE2-safe — the 100 TB shape is "filters run in the scan".
+    * Output: (id, n_words, mean_word_len, the six flags, keep). */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val words = split(t, " ")
+    val nWords = size(words)
+    val nonSpace = length(regexp_replace(t, " ", ""))
+    val meanLen = when(nWords > 0, nonSpace.cast("double") / nWords.cast("double"))
+    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]")))
+    val alphaRatio = when(nWords > 0, alphaWords.cast("double") / nWords.cast("double"))
+    val symbolCount =
+      size(regexp_extract_all(t, lit("#"), lit(0))) +
+        size(regexp_extract_all(t, lit("\\.\\.\\."), lit(0)))
+    val symbolRatio = when(nWords > 0, symbolCount.cast("double") / nWords.cast("double"))
+    val stopDistinct = size(array_intersect(
+      array_distinct(words), array(stopwords.map(lit): _*)))
+    val distinctRatio =
+      when(nWords > 0, size(array_distinct(words)).cast("double") / nWords.cast("double"))
+    val flags = Seq(
+      "ok_word_count" -> (nWords >= minWords && nWords <= maxWords),
+      "ok_mean_word_len" -> (meanLen >= 3.0 && meanLen <= 10.0),
+      "ok_alpha_ratio" -> (alphaRatio >= 0.8),
+      "ok_symbol_ratio" -> (symbolRatio < 0.1),
+      "ok_stopwords" -> (stopDistinct >= 2),
+      "ok_repetition" -> (distinctRatio > 0.2))
+    df.select((col(idCol) +:
+      (nWords.cast("long").as("n_words") +:
+        round(coalesce(meanLen, lit(0.0)), 6).as("mean_word_len") +:
+        (flags.map { case (n, c) => coalesce(c, lit(false)).as(n) } :+
+          flags.map(_._2).map(c => coalesce(c, lit(false))).reduce(_ && _)
+            .as("keep")))): _*)
+  }
 }

@@ -342,6 +342,27 @@ class CorpusSpec extends SparkSpec {
     got("z") shouldBe ((4L, 0.0))
   }
 
+  test("termLabelChi2: hand contingency, uninformative term scores 0, " +
+    "null-label cohort attaches") {
+    val docs = Seq(
+      (1L, "x z", Some("A")), (2L, "x z z", Some("A")),
+      (3L, "z", None: Option[String]), (4L, "z", None: Option[String]))
+      .toDF("doc_id", "text", "lang")
+    val got = Corpus.termLabelChi2(docs, "text", "lang", 1)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // x: O = [2,0;0,2], E = [1,1;1,1] → chi² = 4·(1)²/1 = 4
+    got("x") shouldBe ((2L, 4.0))
+    // z: in every doc — observed ≡ expected in the present row, and the
+    // absent row has E = 0 (contributes 0 by the zero-expectation rule)
+    got("z") shouldBe ((4L, 0.0))
+    // minDf cut removes x (df 2 < 3)
+    Corpus.termLabelChi2(docs, "text", "lang", 3)
+      .select("term").as[String].collect().toSet shouldBe Set("z")
+    an[IllegalArgumentException] should be thrownBy
+      Corpus.termLabelChi2(docs, "text", "lang", 0)
+  }
+
   test("moreLikeThis: matches a driver-side tfidf cosine, prunes stop terms, " +
     "excludes self") {
     val docs = Seq((1L, "cat dog the"), (2L, "cat dog the"),
