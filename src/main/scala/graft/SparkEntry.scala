@@ -1246,6 +1246,18 @@ object SparkEntry {
     // terms weight harder than under MI)
     "q234_chi2_terms" -> ((s, dir) =>
       graft.ops.Corpus.termLabelChi2(t(s, dir, "documents"), "text", "lang", 5)),
+    // nearest-class-mean holdout evaluation: per-label train centroids,
+    // 20% held-out assignment, confusion mart — the embedding/label
+    // quality gate next to q232's geometry-only silhouette
+    "q235_centroid_eval" -> ((s, dir) =>
+      graft.ops.Learn.nearestCentroidEval(
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label", 5)),
+    // split-conformal coverage contract: the distribution-free >= 90%
+    // interval guarantee measured on the deterministic holdout and
+    // pinned as a boolean (the sketch-contract family, for uncertainty)
+    "q236_conformal_coverage" -> ((s, dir) =>
+      graft.ops.Learn.conformalCoverage(
+        t(s, dir, "events"), "event_id", "event_type", "value", 0.9, 5)),
     "q225_ltv_curve" -> ((s, dir) =>
       graft.ops.EventAnalytics.ltvCurve(
         t(s, dir, "events"), "user_id", "ts", "value")),
@@ -4189,6 +4201,76 @@ object SparkEntry {
         |    + CASE WHEN e01 > 0 THEN (o01 - e01) * (o01 - e01) / e01
         |           ELSE 0.0 END), 6) AS chi2
         |FROM c GROUP BY 1""".stripMargin,
+    // q235: q91's rounded-float centroid replay on the train split; the
+    // holdout cosines replay dotF's sequential double fold bit-for-bit
+    // (list_reduce — the q181 device; list_cosine_similarity's own
+    // summation lands an ulp away often enough to flip the 6th dp)
+    "q235_centroid_eval" ->
+      """WITH tr AS (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |    unnest(generate_series(0, len(embedding) - 1)) AS dim
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+        |    AND vec_id % 5 <> 0),
+        |c AS (SELECT label AS cent_label, dim,
+        |    CAST(CAST(round(avg(v), 6) AS FLOAT) AS DOUBLE) AS cv
+        |  FROM tr GROUP BY 1, 2),
+        |cents AS (SELECT cent_label, list(cv ORDER BY dim) AS cvec
+        |  FROM c GROUP BY 1),
+        |cn AS (SELECT cent_label, cvec,
+        |    sqrt(list_reduce(list_prepend(0.0,
+        |      list_transform(cvec, x -> x * x)), (a, b) -> a + b)) AS cnorm
+        |  FROM cents),
+        |te AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+        |    AND vec_id % 5 = 0),
+        |tn AS (SELECT vec_id, label, e,
+        |    sqrt(list_reduce(list_prepend(0.0,
+        |      list_transform(e, x -> x * x)), (a, b) -> a + b)) AS enorm
+        |  FROM te),
+        |sim AS (SELECT t.vec_id, t.label, c.cent_label,
+        |    round(list_reduce(list_prepend(0.0,
+        |        list_transform(generate_series(1, len(t.e)),
+        |          k -> t.e[k] * c.cvec[k])), (a, b) -> a + b)
+        |      / (t.enorm * c.cnorm), 6) AS csim
+        |  FROM tn t CROSS JOIN cn c),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY csim DESC, cent_label ASC) AS rn FROM sim)
+        |SELECT label, cent_label AS pred_label,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(csim * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |    / (count(*) * CAST(1000000.0 AS DOUBLE)) AS mean_cos
+        |FROM r WHERE rn = 1 GROUP BY 1, 2""".stripMargin,
+    // q236: same rank arithmetic (⌈(n+1)·α⌉ clamped, id-tied order
+    // statistic) and the α(1−α) slack product interpolated from the SAME
+    // Scala double so both engines compare identical IEEE values
+    "q236_conformal_coverage" -> {
+      val alpha = 0.9
+      val varTerm = alpha * (1.0 - alpha)
+      s"""WITH b AS (SELECT event_id, event_type, CAST(value AS DOUBLE) AS v
+         |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+         |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_calib,
+         |    round(avg(v), 6) AS mu
+         |  FROM b WHERE event_id % 5 <> 0 GROUP BY 1),
+         |sc AS (SELECT b.event_type, b.event_id, abs(b.v - st.mu) AS s,
+         |    st.n_calib
+         |  FROM b JOIN st USING (event_type) WHERE b.event_id % 5 <> 0),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+         |    ORDER BY s, event_id) AS rn FROM sc),
+         |q AS (SELECT event_type, round(s, 6) AS qhat FROM r
+         |  WHERE rn = least(CAST(ceil((n_calib + 1) *
+         |    CAST($alpha AS DOUBLE)) AS BIGINT), n_calib)),
+         |h AS (SELECT st.event_type, st.n_calib, st.mu, q.qhat,
+         |    CAST(count(*) AS BIGINT) AS n_hold,
+         |    round(avg(CASE WHEN abs(b.v - st.mu) <= q.qhat
+         |      THEN 1.0 ELSE 0.0 END), 6) AS coverage
+         |  FROM b JOIN st USING (event_type) JOIN q USING (event_type)
+         |  WHERE b.event_id % 5 = 0 GROUP BY 1, 2, 3, 4)
+         |SELECT event_type, n_calib, n_hold, mu, qhat, coverage,
+         |  coverage >= CAST($alpha AS DOUBLE)
+         |    - 5.0 * sqrt(CAST($varTerm AS DOUBLE) / n_hold) AS covered
+         |FROM h""".stripMargin
+    },
     // q171: identical decay arithmetic — the λ literal is interpolated
     // from the SAME Scala double, ages are exact integer micros
     "q171_decayed_counts" -> {

@@ -85,4 +85,113 @@ object Learn {
         round(avg(((zF >= 0).cast("double") === col("__y")).cast("double")), 6)
           .as("accuracy")): _*)
   }
+
+  /** Nearest-class-mean classification evaluated on a deterministic
+    * holdout: rows with `id % holdModulo == 0` are the test split, the
+    * rest train per-label centroids ([[graft.ops.Embeddings.labelCentroids]]'
+    * 6 dp-rounded FLOAT means — the [[Similarity.kmeansFit]] replay
+    * contract), and every test vector is assigned to the highest-cosine
+    * centroid (6 dp round, ties to the lower label). The output is the
+    * confusion mart — one row per (label, pred_label) with the count and
+    * mean assignment cosine — the fastest "are these embeddings/labels
+    * any good" gate a curation pipeline has (Tian et al.'s nearest-class-
+    * mean baseline), and the model-quality twin of the geometry-only
+    * [[Similarity.silhouette]].
+    *
+    * Scale shape: training is ONE label-keyed hash-agg over native
+    * vector-sum buffers (shuffle carries labels × dim doubles); scoring
+    * broadcasts the |labels| centroid table against the test scan, and
+    * the per-vector argmax is a window over the bounded ×|labels|
+    * fan-out — never a vector×vector join. */
+  def nearestCentroidEval(emb: DataFrame, idCol: String, vecCol: String,
+                          labelCol: String, holdModulo: Int): DataFrame = {
+    import graft.functions.VectorFunctions.{dotF, normF, vectorSumF}
+    import org.apache.spark.sql.expressions.Window
+    require(holdModulo >= 2,
+      s"nearestCentroidEval: need holdModulo >= 2, got $holdModulo")
+    val base = emb.where(col(vecCol).isNotNull && col(labelCol).isNotNull)
+    val isHold = pmod(col(idCol), lit(holdModulo)) === 0
+    val cents = broadcast(base.where(!isHold)
+      .groupBy(col(labelCol).as("cent_label"))
+      .agg(count(lit(1)).as("__n"), vectorSumF(col(vecCol)).as("__s"))
+      .select(col("cent_label"),
+        transform(col("__s"), x => round(x / col("__n"), 6).cast("float"))
+          .as("cvec"))
+      .withColumn("cnorm", normF(col("cvec"))))
+    val test = base.where(isHold)
+      .select(col(idCol).as("__id"), col(labelCol).as("label"),
+        col(vecCol).as("__v"), normF(col(vecCol)).as("__norm"))
+    val byVec = Window.partitionBy("__id")
+      .orderBy(col("csim").desc, col("cent_label").asc)
+    test.crossJoin(cents)
+      .withColumn("csim",
+        round(dotF(col("__v"), col("cvec")) / (col("__norm") * col("cnorm")), 6))
+      .withColumn("__r", row_number().over(byVec))
+      .where(col("__r") === 1)
+      .groupBy(col("label"), col("cent_label").as("pred_label"))
+      // the 6 dp csim is an exact micro-integer: summing LONG micros makes
+      // the mean independent of partition/summation order, and the final
+      // division is left UNROUNDED — identical integer operands give a
+      // bit-identical IEEE quotient on any engine, while a round() here
+      // would sit exactly ON a .5 boundary whenever n divides the sum
+      // oddly (Spark's BigDecimal HALF_UP and a multiply-floor round
+      // disagree precisely there)
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("csim") * lit(1000000.0)).cast("long"))
+          .cast("double") / (count(lit(1)) * lit(1000000.0))).as("mean_cos"))
+  }
+
+  /** Split-conformal prediction-interval CONTRACT (Vovk et al.; the
+    * distribution-free coverage guarantee as a driver-checked row, the
+    * [[graft.ops.Sketches]] contract-family shape): rows with
+    * `id % holdModulo == 0` are the holdout, the rest calibrate. The
+    * per-group predictor is the calibration mean (6 dp), nonconformity is
+    * `|value − mean|`, and `qhat` is the `min(⌈(n+1)·alpha⌉, n)`-th
+    * smallest calibration score (exact order statistic, ties by id). For
+    * exchangeable data the interval `mean ± qhat` covers a fresh point
+    * with probability ≥ alpha — `covered` pins the measured holdout
+    * coverage against `alpha − 5·√(alpha(1−alpha)/n_hold)` (5σ binomial
+    * slack), so a quantile-rank off-by-one or a split leak flips a
+    * boolean the oracle recomputes. Output per group: (group, n_calib,
+    * n_hold, mu, qhat, coverage, covered).
+    *
+    * Scale shape: ONE group-keyed aggregate for the means, one window
+    * rank over the calibration split for the order statistic (groups
+    * partition the exchange), and one holdout scan against the broadcast
+    * (group, mu, qhat) table — nothing joins row×row. */
+  def conformalCoverage(df: DataFrame, idCol: String, groupCol: String,
+                        valueCol: String, alpha: Double,
+                        holdModulo: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alpha > 0 && alpha < 1,
+      s"conformalCoverage: need 0 < alpha < 1, got $alpha")
+    require(holdModulo >= 2,
+      s"conformalCoverage: need holdModulo >= 2, got $holdModulo")
+    val base = df.where(col(valueCol).isNotNull && col(groupCol).isNotNull)
+    val isHold = pmod(col(idCol), lit(holdModulo)) === 0
+    val stats = broadcast(base.where(!isHold)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_calib"), round(avg(col(valueCol)), 6).as("mu")))
+    val byScore = Window.partitionBy(groupCol)
+      .orderBy(col("__s").asc, col(idCol).asc)
+    val qhat = broadcast(base.where(!isHold)
+      .join(stats, Seq(groupCol))
+      .withColumn("__s", abs(col(valueCol) - col("mu")))
+      .withColumn("__r", row_number().over(byScore))
+      .where(col("__r") ===
+        least(ceil((col("n_calib") + lit(1)) * lit(alpha)), col("n_calib")))
+      .select(col(groupCol), round(col("__s"), 6).as("qhat")))
+    base.where(isHold)
+      .join(stats, Seq(groupCol)).join(qhat, Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(max(col("n_calib")).as("n_calib"),
+        count(lit(1)).as("n_hold"),
+        max(col("mu")).as("mu"),
+        max(col("qhat")).as("qhat"),
+        round(avg((abs(col(valueCol) - col("mu")) <= col("qhat"))
+          .cast("double")), 6).as("coverage"))
+      .withColumn("covered",
+        col("coverage") >= lit(alpha) -
+          lit(5.0) * sqrt(lit(alpha * (1.0 - alpha)) / col("n_hold")))
+  }
 }

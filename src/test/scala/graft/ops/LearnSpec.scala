@@ -40,4 +40,52 @@ class LearnSpec extends SparkSpec {
       Learn.logisticGd(df, Seq("x"), "y", 0.0, 1)
     graft.core.CacheRegistry.drain()
   }
+
+  test("nearestCentroidEval: axis-separated classes classify perfectly; " +
+    "holdout is id % m == 0; null rows excluded") {
+    // class 0 points along +x, class 1 along +y; ids ≡ 0 (mod 2) held
+    // out — labels decoupled from the holdout parity so both splits see
+    // both classes
+    val rows = (1 to 20).map { i =>
+      val lab = if (i % 4 < 2) 0 else 1
+      val v = if (lab == 0) Array(1.0f, 0.1f * (i % 3))
+              else Array(0.1f * (i % 3), 1.0f)
+      (i.toLong, v, Some(lab))
+    } :+ ((21L, null.asInstanceOf[Array[Float]], Some(0))) :+
+      ((22L, Array(1.0f, 0.0f), None: Option[Int]))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val r = Learn.nearestCentroidEval(emb, "vec_id", "embedding", "label", 2)
+      .collect().map(x => (x.getInt(0), x.getInt(1)) -> x.getLong(2)).toMap
+    // even ids 2..20 are held out: 10 rows, alternating labels 1/0
+    r.keySet shouldBe Set((0, 0), (1, 1)) // perfect confusion diagonal
+    r((0, 0)) shouldBe 5L
+    r((1, 1)) shouldBe 5L
+    an[IllegalArgumentException] should be thrownBy
+      Learn.nearestCentroidEval(emb, "vec_id", "embedding", "label", 1)
+    graft.core.CacheRegistry.drain()
+  }
+
+  test("conformalCoverage: hand order statistic, measured holdout coverage") {
+    // calib (odd ids): values 0..4 → mu = 2, scores sorted 0,1,1,2,2;
+    // k = ceil(6·0.8) = 5 → qhat = 2. hold (even ids): |v−2| = 2,0,2,3,98
+    // → 3 of 5 inside the interval
+    val df = Seq(
+      (1L, "a", 0.0), (3L, "a", 1.0), (5L, "a", 2.0), (7L, "a", 3.0),
+      (9L, "a", 4.0),
+      (2L, "a", 0.0), (4L, "a", 2.0), (6L, "a", 4.0), (8L, "a", 5.0),
+      (10L, "a", 100.0)).toDF("id", "g", "v")
+    val r = Learn.conformalCoverage(df, "id", "g", "v", 0.8, 2).head()
+    r.getAs[Long]("n_calib") shouldBe 5L
+    r.getAs[Long]("n_hold") shouldBe 5L
+    r.getAs[Double]("mu") shouldBe 2.0
+    r.getAs[Double]("qhat") shouldBe 2.0
+    r.getAs[Double]("coverage") shouldBe 0.6
+    // 5σ slack at n = 5 is generous by design: the contract catches rank
+    // bugs, not sampling noise
+    r.getAs[Boolean]("covered") shouldBe true
+    an[IllegalArgumentException] should be thrownBy
+      Learn.conformalCoverage(df, "id", "g", "v", 1.0, 2)
+    an[IllegalArgumentException] should be thrownBy
+      Learn.conformalCoverage(df, "id", "g", "v", 0.8, 1)
+  }
 }
