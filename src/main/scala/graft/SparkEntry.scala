@@ -1258,6 +1258,11 @@ object SparkEntry {
     "q236_conformal_coverage" -> ((s, dir) =>
       graft.ops.Learn.conformalCoverage(
         t(s, dir, "events"), "event_id", "event_type", "value", 0.9, 5)),
+    // seasonal-naive (lag-7) daily-value backtest vs the lag-1 baseline:
+    // MASE < 1 is the "weekly seasonality is real" forecast gate
+    "q237_seasonal_backtest" -> ((s, dir) =>
+      graft.ops.EventAnalytics.seasonalBacktest(
+        t(s, dir, "events"), "event_type", "ts", "value", 7)),
     "q225_ltv_curve" -> ((s, dir) =>
       graft.ops.EventAnalytics.ltvCurve(
         t(s, dir, "events"), "user_id", "ts", "value")),
@@ -4271,6 +4276,27 @@ object SparkEntry {
          |    - 5.0 * sqrt(CAST($varTerm AS DOUBLE) / n_hold) AS covered
          |FROM h""".stripMargin
     },
+    // q237: identical 6 dp daily totals → exact micro-integer errors;
+    // the MAEs and MASE are unrounded quotients of identical longs
+    "q237_seasonal_backtest" ->
+      """WITH d AS (SELECT event_type AS key,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    round(sum(coalesce(CAST(value AS DOUBLE), 0.0)), 6) AS v
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |m AS (SELECT key, day, CAST(round(v * 1000000.0) AS BIGINT) AS m
+        |  FROM d),
+        |j AS (SELECT c.key, c.day, c.m, s.m AS ms, o.m AS m1
+        |  FROM m c JOIN m s ON s.key = c.key AND s.day + 7 = c.day
+        |           JOIN m o ON o.key = c.key AND o.day + 1 = c.day)
+        |SELECT key, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(abs(m - ms)) AS DOUBLE)
+        |    / (count(*) * CAST(1000000.0 AS DOUBLE)) AS mae_seasonal,
+        |  CAST(sum(abs(m - m1)) AS DOUBLE)
+        |    / (count(*) * CAST(1000000.0 AS DOUBLE)) AS mae_naive,
+        |  CASE WHEN sum(abs(m - m1)) > 0 THEN
+        |    CAST(sum(abs(m - ms)) AS DOUBLE) / CAST(sum(abs(m - m1)) AS DOUBLE)
+        |  END AS mase
+        |FROM j GROUP BY 1""".stripMargin,
     // q171: identical decay arithmetic — the λ literal is interpolated
     // from the SAME Scala double, ages are exact integer micros
     "q171_decayed_counts" -> {

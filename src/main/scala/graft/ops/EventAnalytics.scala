@@ -829,4 +829,47 @@ object EventAnalytics {
           round(lit(1.0) - col("__vr") / col("__vt"), 6) + lit(0.0))
           .as("seasonal_strength"))
   }
+
+  /** Seasonal-naive forecast backtest: per key, score the lag-`season`
+    * "same day last week" forecast of the daily value total against the
+    * lag-1 naive baseline (Hyndman's MASE convention — a seasonal model
+    * is only WORTH something if mase < 1). A day is scored only when BOTH
+    * its lag-1 and lag-`season` days observed data, so both MAEs cover
+    * the identical day set and the ratio is well-defined; `mase` is null
+    * when the naive baseline error is 0. Daily totals are 6 dp-rounded,
+    * so each |error| is an exact micro-integer: the MAEs sum LONG micros
+    * and divide UNROUNDED ([[graft.ops.Learn.nearestCentroidEval]]'s
+    * replay device) — bit-identical on any engine, no .5-boundary round.
+    * Output: (key, n_days, mae_seasonal, mae_naive, mase).
+    *
+    * Scale shape: ONE (key, day) pre-reduction of the event log, then
+    * self-joins and the final aggregate on the tiny keys × days frame —
+    * the raw log is scanned once, nothing re-shuffles it. */
+  def seasonalBacktest(events: DataFrame, keyCol: String, tsCol: String,
+                       valueCol: String, season: Int = 7): DataFrame = {
+    require(season >= 2, s"seasonalBacktest: need season >= 2, got $season")
+    val daily = graft.core.CacheRegistry.persist(
+      events.where(col(tsCol).isNotNull)
+        .groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
+        .agg(round(sum(coalesce(col(valueCol), lit(0.0))), 6).as("v")))
+    val micro = round(col("v") * lit(1000000.0)).cast("long")
+    val cur = daily.select(col("key"), col("day"), micro.as("m"))
+    val lagS = daily.select(col("key"), date_add(col("day"), season).as("day"),
+      micro.as("ms"))
+    val lag1 = daily.select(col("key"), date_add(col("day"), 1).as("day"),
+      micro.as("m1"))
+    cur.join(lagS, Seq("key", "day")).join(lag1, Seq("key", "day"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("m") - col("ms"))).as("__es"),
+        sum(abs(col("m") - col("m1"))).as("__en"))
+      .select(col("key"), col("n_days"),
+        (col("__es").cast("double") / (col("n_days") * lit(1000000.0)))
+          .as("mae_seasonal"),
+        (col("__en").cast("double") / (col("n_days") * lit(1000000.0)))
+          .as("mae_naive"),
+        when(col("__en") > 0,
+          col("__es").cast("double") / col("__en").cast("double"))
+          .as("mase"))
+  }
 }

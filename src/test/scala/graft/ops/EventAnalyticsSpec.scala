@@ -539,4 +539,26 @@ class EventAnalyticsSpec extends SparkSpec {
     r.foreach(x => x.getLong(2) shouldBe 4L) // 4 of each dow
     graft.core.CacheRegistry.drain()
   }
+
+  test("seasonalBacktest: linear daily series -> mae_s 7, mae_1 1, mase 7; " +
+    "a gap drops the days missing either lag") {
+    def day(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-$i%02d 12:00:00")
+    val full = (1 to 16).map(i => ("a", day(i), i.toDouble))
+      .toDF("k", "ts", "v")
+    val r = EventAnalytics.seasonalBacktest(full, "k", "ts", "v", 7).head()
+    // scored days 8..16: |v(d)−v(d−7)| = 7, |v(d)−v(d−1)| = 1 everywhere
+    r.getAs[Long]("n_days") shouldBe 9L
+    r.getAs[Double]("mae_seasonal") shouldBe 7.0
+    r.getAs[Double]("mae_naive") shouldBe 1.0
+    r.getAs[Double]("mase") shouldBe 7.0
+    graft.core.CacheRegistry.drain()
+    // drop day 10: day 10 unscored (absent) and day 11 loses its lag-1
+    val gapped = full.where($"v" =!= 10.0)
+    val g = EventAnalytics.seasonalBacktest(gapped, "k", "ts", "v", 7).head()
+    g.getAs[Long]("n_days") shouldBe 7L
+    g.getAs[Double]("mase") shouldBe 7.0
+    an[IllegalArgumentException] should be thrownBy
+      EventAnalytics.seasonalBacktest(full, "k", "ts", "v", 1)
+    graft.core.CacheRegistry.drain()
+  }
 }
