@@ -1263,6 +1263,21 @@ object SparkEntry {
     "q237_seasonal_backtest" -> ((s, dir) =>
       graft.ops.EventAnalytics.seasonalBacktest(
         t(s, dir, "events"), "event_type", "ts", "value", 7)),
+    // MinHash estimator-error contract: per verified candidate pair, the
+    // signature-agreement estimate pinned inside the 5-sigma Bernoulli
+    // band around exact Jaccard (q217 checks recall; this checks the
+    // ESTIMATE itself — a salt/slot bug flips `within` on real pairs)
+    "q238_minhash_bound" -> ((s, dir) =>
+      Dedup.minHashEstimateContract(
+        t(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", 3, 4, 3, 0.2)),
+    // zone-map skip-ratio audit: what a sort layout buys a min/max-
+    // pruning scan, measured per predicate BEFORE paying for the re-sort
+    "q239_zonemap_audit" -> ((s, dir) =>
+      graft.ops.Layout.zoneMapAudit(
+        t(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", 50,
+        Seq((0.0, 150.0), (200.0, 260.0), (400.0, 2000.0)))),
     "q225_ltv_curve" -> ((s, dir) =>
       graft.ops.EventAnalytics.ltvCurve(
         t(s, dir, "events"), "user_id", "ts", "value")),
@@ -2747,7 +2762,11 @@ object SparkEntry {
     // replicate means 6 dp-rounded BEFORE the percentile on both engines
     "q201_bootstrap_ci" -> {
       val ladder = graft.ops.Quality.poissonLadder
-      val uExpr = md5UniformSql("'boot|' || CAST(j AS VARCHAR) || '|' || CAST(id AS VARCHAR)")
+      // slot-windowed hex parse: digest h carries FOUR 8-hex uniforms;
+      // replicate j = blk*4 + slot reads chars 8·slot+1 .. 8·slot+8
+      val slotU = (1 to 8).map(k =>
+        s"(strpos('0123456789abcdef', substr(h, 8 * slot + $k, 1)) - 1) " +
+          s"* ${math.pow(16, 8 - k).toLong}").mkString(" + ")
       val wExpr = ladder.map(c => s"(CASE WHEN u >= $c THEN 1 ELSE 0 END)")
         .mkString(" + ")
       s"""WITH base AS (
@@ -2755,10 +2774,16 @@ object SparkEntry {
          |  FROM events WHERE value IS NOT NULL),
          |stats AS (SELECT g, CAST(count(*) AS BIGINT) AS n_rows,
          |            round(avg(v), 6) AS mean FROM base GROUP BY 1),
+         |hashed AS (
+         |  SELECT g, blk, v,
+         |    md5('boot|' || CAST(blk AS VARCHAR) || '|' || CAST(id AS VARCHAR))
+         |      AS h
+         |  FROM base CROSS JOIN generate_series(0, 24) AS t(blk)),
          |drawn AS (
          |  SELECT g, j, v, $wExpr AS w FROM (
-         |    SELECT g, j, v, $uExpr AS u
-         |    FROM base CROSS JOIN generate_series(0, 99) AS t(j))),
+         |    SELECT g, blk * 4 + slot AS j, v,
+         |      CAST($slotU AS DOUBLE) / 4294967296.0 AS u
+         |    FROM hashed CROSS JOIN generate_series(0, 3) AS s(slot))),
          |reps AS (
          |  SELECT g, j,
          |    round(CASE WHEN sum(w) > 0 THEN sum(w * v) / sum(w) END, 6) AS m
@@ -4276,6 +4301,69 @@ object SparkEntry {
          |    - 5.0 * sqrt(CAST($varTerm AS DOUBLE) / n_hold) AS covered
          |FROM h""".stripMargin
     },
+    // q238: the q22 signature/banding chain replayed; est, bound, and the
+    // comparison rebuilt with identical IEEE shapes (1/h interpolated from
+    // the SAME Scala double — a bare 1.0/12.0 is DECIMAL division here)
+    "q238_minhash_bound" -> {
+      val h = 12
+      val invH = 1.0 / h
+      val matchSum = (0 until h)
+        .map(i => s"CASE WHEN a.sig_$i = b.sig_$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH ${minhashCtes(3, 4, 3)},
+         |jm AS (SELECT p.id_a, p.id_b,
+         |    CAST(p.n_common AS DOUBLE)
+         |      / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE) AS jaccard
+         |  FROM pairs p JOIN sizes sa ON p.id_a = sa.doc_id
+         |               JOIN sizes sb ON p.id_b = sb.doc_id
+         |  WHERE CAST(p.n_common AS DOUBLE)
+         |    / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE) >= 0.2),
+         |mm AS (SELECT c.id_a, c.id_b, $matchSum AS n_matches
+         |  FROM cand c JOIN sigs a ON a.doc_id = c.id_a
+         |              JOIN sigs b ON b.doc_id = c.id_b)
+         |SELECT j.id_a, j.id_b, CAST(m.n_matches AS BIGINT) AS n_matches,
+         |  CAST(m.n_matches AS DOUBLE) / CAST($h.0 AS DOUBLE) AS est,
+         |  j.jaccard,
+         |  5.0 * sqrt(j.jaccard * (1.0 - j.jaccard)
+         |    / CAST($h.0 AS DOUBLE)) + $invH AS bound,
+         |  abs(CAST(m.n_matches AS DOUBLE) / CAST($h.0 AS DOUBLE) - j.jaccard)
+         |    <= 5.0 * sqrt(j.jaccard * (1.0 - j.jaccard)
+         |      / CAST($h.0 AS DOUBLE)) + $invH AS within
+         |FROM jm j JOIN mm m ON m.id_a = j.id_a AND m.id_b = j.id_b""".stripMargin
+    },
+    // q239: row_number + BIGINT floor-div file assignment replayed; the
+    // skip rule and the exact integer skip_ratio quotient are identical
+    "q239_zonemap_audit" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |p AS (SELECT CAST(v[1] AS DOUBLE) AS pred_lo,
+        |    CAST(v[2] AS DOUBLE) AS pred_hi
+        |  FROM (VALUES ([0.0, 150.0]), ([200.0, 260.0]),
+        |               ([400.0, 2000.0])) t(v)),
+        |srt AS (SELECT n_chars, row_number() OVER (ORDER BY n_chars, doc_id)
+        |    AS r FROM documents),
+        |fs AS (SELECT ((r - 1) * 50) // n AS f,
+        |    min(n_chars) AS mn, max(n_chars) AS mx
+        |  FROM srt, nn GROUP BY 1),
+        |nat AS (SELECT n_chars, row_number() OVER (ORDER BY doc_id) AS r
+        |  FROM documents),
+        |fn AS (SELECT ((r - 1) * 50) // n AS f,
+        |    min(n_chars) AS mn, max(n_chars) AS mx
+        |  FROM nat, nn GROUP BY 1)
+        |SELECT 'sorted' AS layout, pred_lo, pred_hi,
+        |  CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(CASE WHEN mx < pred_lo OR mn > pred_hi THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_skipped,
+        |  CAST(sum(CASE WHEN mx < pred_lo OR mn > pred_hi THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS skip_ratio
+        |FROM fs CROSS JOIN p GROUP BY pred_lo, pred_hi
+        |UNION ALL
+        |SELECT 'natural' AS layout, pred_lo, pred_hi,
+        |  CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(CASE WHEN mx < pred_lo OR mn > pred_hi THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_skipped,
+        |  CAST(sum(CASE WHEN mx < pred_lo OR mn > pred_hi THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS skip_ratio
+        |FROM fn CROSS JOIN p GROUP BY pred_lo, pred_hi""".stripMargin,
     // q237: identical 6 dp daily totals → exact micro-integer errors;
     // the MAEs and MASE are unrounded quotients of identical longs
     "q237_seasonal_backtest" ->

@@ -756,6 +756,60 @@ object Dedup {
           .as("recall"))
   }
 
+  /** MinHash ESTIMATOR-error contract (the guarantee itself as rows — the
+    * [[lshRecallContract]] family): for every banded candidate pair whose
+    * exact shingle Jaccard is ≥ `minJaccard`, the signature-agreement
+    * estimate `est = matches/h` must sit within
+    * `5·√(J(1−J)/h) + 1/h` of the exact J — the per-permutation Bernoulli
+    * 5σ band plus one discretization quantum. A salt misalignment, a slot
+    * off-by-one, or a non-min reduction makes `est` ≈ collision-chance
+    * noise and flips `within` on every genuinely-similar pair; the oracle
+    * recomputes both sides from the same md5 permutations. `minJaccard`
+    * must be ≥ 0.15: below that the banded-candidate conditioning biases
+    * `est` upward past the unconditional bound (a pair that got lucky in
+    * one band IS the selection), so the theorem being pinned would not
+    * hold. Output: (id_a, id_b, n_matches, est, jaccard, bound, within).
+    *
+    * Scale shape: [[minHashLshPairs]]' banded candidate join plus ONE
+    * signature-table join per side (h small integers per doc) — the
+    * contract adds no pass over the corpus text. */
+  def minHashEstimateContract(df: DataFrame, idCol: String, textCol: String,
+                              n: Int, bands: Int, rowsPerBand: Int,
+                              minJaccard: Double): DataFrame = {
+    require(minJaccard >= 0.15,
+      s"minHashEstimateContract: need minJaccard >= 0.15 (candidate-" +
+        s"conditioning bias breaks the bound below), got $minJaccard")
+    val h = bands * rowsPerBand
+    val sigs = graft.core.CacheRegistry.persist(
+      minHashSignatures(df, idCol, textCol, n, h))
+    val bandCols = (0 until bands).map { b =>
+      val slots = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws("|", slots: _*)).as("bh"))
+    }
+    val banded = sigs.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val candidates = banded.toDF("id_a", "band", "bh")
+      .join(banded.toDF("id_b", "band", "bh"), Seq("band", "bh"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val arrays = graft.core.CacheRegistry.persist(
+      shingleArrays(df, idCol, textCol, n))
+    val verified = jaccardFromArrays(candidates, arrays, minJaccard)
+    val aSigs = sigs.toDF(("id_a" +: (0 until h).map(i => s"a_$i")): _*)
+    val bSigs = sigs.toDF(("id_b" +: (0 until h).map(i => s"b_$i")): _*)
+    val matches = (0 until h).map(i =>
+      when(col(s"a_$i") === col(s"b_$i"), 1L).otherwise(0L)).reduce(_ + _)
+    val est = col("n_matches").cast("double") / lit(h.toDouble)
+    val bound = lit(5.0) *
+      sqrt(col("jaccard") * (lit(1.0) - col("jaccard")) / lit(h.toDouble)) +
+      lit(1.0) / lit(h.toDouble)
+    verified.join(aSigs, Seq("id_a")).join(bSigs, Seq("id_b"))
+      .withColumn("n_matches", matches)
+      .select(col("id_a"), col("id_b"), col("n_matches"), est.as("est"),
+        col("jaccard"), bound.as("bound"),
+        (abs(est - col("jaccard")) <= bound).as("within"))
+  }
+
   /** Per-source dedup-rate mart: for every source, how much of its
     * contribution the near-dup pass removes — n_docs, n_survivors
     * (cluster representatives), and dup_rate. The crawl-health number

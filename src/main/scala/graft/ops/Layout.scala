@@ -145,6 +145,53 @@ object Layout {
       .drop("__total_bytes")
   }
 
+  /** Zone-map (file min/max statistics) skip-ratio audit: BEFORE paying
+    * for a re-sort of 100 TB, measure what it buys. Rows are assigned to
+    * `nFiles` consecutive files under two layouts — `sorted` (by
+    * `sortCol`, ties on `idCol`) and `natural` (by `idCol`) — file i gets
+    * the rows with `(rank−1)·nFiles div N = i` (exact integer math, the
+    * [[writePlan]] `div` rule). Per file the min/max zone of `sortCol` is
+    * computed, and for every `[lo, hi]` predicate the output reports how
+    * many files a min/max-pruning scan would SKIP (`max < lo or min >
+    * hi` — the parquet row-group / Delta file-stats rule). The
+    * sorted-vs-natural skip_ratio gap is the direct value of the layout:
+    * ~(1 − selectivity) of files skipped when sorted, ~0 when the column
+    * is scattered. Output: (layout, pred_lo, pred_hi, n_files, n_skipped,
+    * skip_ratio — an exact integer quotient, unrounded).
+    *
+    * Scale shape: ranks come from [[globalRank]] (range-exchange + per-
+    * range windows — no single-partition sort); zones are ONE file-keyed
+    * hash-agg of nFiles rows; the predicate grid joins against the tiny
+    * zones table. The corpus is scanned once per layout. */
+  def zoneMapAudit(df: DataFrame, idCol: String, sortCol: String,
+                   nFiles: Int, predicates: Seq[(Double, Double)]): DataFrame = {
+    require(nFiles >= 2, s"zoneMapAudit: need nFiles >= 2, got $nFiles")
+    require(predicates.nonEmpty, "zoneMapAudit: need at least one predicate")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val preds = broadcast(predicates.toDF("pred_lo", "pred_hi"))
+    def audit(layout: String, orderCol: String): DataFrame = {
+      val ranked = globalRank(df.select(col(idCol), col(sortCol)),
+        orderCol, idCol, "__rank")
+      val total = df.agg(count(lit(1)).as("__n"))
+      val zones = ranked.crossJoin(broadcast(total))
+        .withColumn("__file", expr(s"((__rank - 1) * $nFiles) div __n"))
+        .groupBy(col("__file"))
+        .agg(min(col(sortCol)).as("__mn"), max(col(sortCol)).as("__mx"))
+      zones.crossJoin(preds)
+        .groupBy(col("pred_lo"), col("pred_hi"))
+        .agg(count(lit(1)).as("n_files"),
+          sum((col("__mx") < col("pred_lo") || col("__mn") > col("pred_hi"))
+            .cast("long")).as("n_skipped"))
+        .select(lit(layout).as("layout"), col("pred_lo"), col("pred_hi"),
+          col("n_files"),
+          col("n_skipped"),
+          (col("n_skipped").cast("double") / col("n_files").cast("double"))
+            .as("skip_ratio"))
+    }
+    audit("sorted", sortCol).unionAll(audit("natural", idCol))
+  }
+
   /** Add a `zval` column from two range-bucketed dimensions and lay the
     * data out in z order: range-repartition on `zval` (one shuffle with
     * sampled boundaries) then sort each partition. Writing the result

@@ -627,14 +627,24 @@ object Quality {
         col(valCol).cast("double").as("v")).where(col("v").isNotNull))
     val stats = base.groupBy("g")
       .agg(count(lit(1)).as("n_rows"), round(avg("v"), 6).as("mean"))
-    val u = conv(substring(md5(concat(lit(s"$seed|"), col("j").cast("string"),
-      lit("|"), col("id").cast("string"))), 1, 8), 16, 10)
+    // one md5 per FOUR replicates: the digest's 32 hex chars are four
+    // independent 8-hex uniforms, and the md5 kernel dominates the whole
+    // operator's cost (b·N digests was the round-5 bench's worst line at
+    // 23 s; b/4·N runs in ~a quarter). The digest is materialized on the
+    // block-exploded rows BEFORE the slot explode so it is computed once
+    // per block, not once per replicate.
+    val u = conv(expr("substring(__h, 1 + 8 * __slot, 8)"), 16, 10)
       .cast("double") / lit(4294967296.0)
     val w = poissonLadder.foldLeft(lit(0)) { (acc, c) =>
       acc + when(u >= c, 1).otherwise(0)
     }
     val reps = base
-      .withColumn("j", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("__blk", explode(sequence(lit(0), lit((b + 3) / 4 - 1))))
+      .withColumn("__h", md5(concat(lit(s"$seed|"), col("__blk").cast("string"),
+        lit("|"), col("id").cast("string"))))
+      .withColumn("__slot", explode(sequence(lit(0), lit(3))))
+      .withColumn("j", col("__blk") * 4 + col("__slot"))
+      .where(col("j") < b)
       .withColumn("__w", w)
       .groupBy("g", "j")
       // explicit zero-weight guard: 0.0/0 is NaN in Spark (not null), and

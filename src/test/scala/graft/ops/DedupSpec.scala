@@ -361,4 +361,27 @@ class DedupSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Dedup.goldenRecord(rows, "id", "cl", Seq.empty)
   }
+
+  test("minHashEstimateContract: identical docs estimate J=1 exactly; " +
+    "low-J floor rejected") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    val r = Dedup.minHashEstimateContract(docs, "doc_id", "text", 3, 4, 3, 0.2)
+      .collect()
+    // only the identical pair survives the 0.2 verify floor
+    r.map(x => (x.getLong(0), x.getLong(1))).toSeq shouldBe Seq((1L, 2L))
+    val p = r.head
+    p.getAs[Long]("n_matches") shouldBe 12L
+    p.getAs[Double]("est") shouldBe 1.0
+    p.getAs[Double]("jaccard") shouldBe 1.0
+    p.getAs[Boolean]("within") shouldBe true
+    // bound at J=1 collapses to the discretization quantum 1/h
+    p.getAs[Double]("bound") shouldBe (1.0 / 12.0) +- 1e-12
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.minHashEstimateContract(docs, "doc_id", "text", 3, 4, 3, 0.1)
+    graft.core.CacheRegistry.drain()
+  }
 }

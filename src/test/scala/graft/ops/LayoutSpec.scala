@@ -115,4 +115,25 @@ class LayoutSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Layout.writePlan(d, Seq("k"), "bytes", 0L)
   }
+
+  test("zoneMapAudit: sorted layout skips 9/10 files for a 10% range, " +
+    "the scattered natural layout only 2/10") {
+    // v = ((id·37) mod 100) + 1 is a permutation of 1..100 that scatters
+    // consecutive ids across the value range; the 10 smallest v land in 8
+    // distinct natural files (hand-traced via 37⁻¹ ≡ 73 mod 100)
+    val df = (1L to 100L).map(i => (i, ((i * 37) % 100) + 1))
+      .toDF("id", "v")
+    val r = graft.core.CacheRegistry.scoped {
+      Layout.zoneMapAudit(df, "id", "v", 10, Seq((1.0, 10.0)))
+        .collect().map(x => x.getString(0) ->
+          ((x.getLong(3), x.getLong(4), x.getDouble(5)))).toMap
+    }
+    r("sorted") shouldBe ((10L, 9L, 0.9))
+    r("natural") shouldBe ((10L, 2L, 0.2))
+    an[IllegalArgumentException] should be thrownBy
+      Layout.zoneMapAudit(df, "id", "v", 1, Seq((1.0, 10.0)))
+    an[IllegalArgumentException] should be thrownBy
+      Layout.zoneMapAudit(df, "id", "v", 10, Seq.empty)
+    graft.core.CacheRegistry.drain()
+  }
 }
