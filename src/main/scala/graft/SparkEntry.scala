@@ -1278,6 +1278,37 @@ object SparkEntry {
         t(s, dir, "documents").select("doc_id", "n_chars"),
         "doc_id", "n_chars", 50,
         Seq((0.0, 150.0), (200.0, 260.0), (400.0, 2000.0)))),
+    // incremental mart CONTRACT: key-parity split partials, merged and
+    // finalized, must equal the oracle's full recompute on every exact
+    // metric; the HLL customer estimate within its analytic band
+    "q240_incremental_mart" -> ((s, dir) =>
+      graft.etl.IncrementalMart.incrementalMartContract(
+        t(s, dir, "orders"), pmod(col("o_orderkey"), lit(2)) === 0)),
+    // sort-key advisor: exact cross-column zone-map pricing of candidate
+    // layouts against a probe workload, BEFORE paying for any re-sort
+    "q241_sortkey_advisor" -> ((s, dir) =>
+      graft.ops.Layout.sortKeyAdvisor(
+        t(s, dir, "lineitem").select(
+          (col("l_orderkey") * 8 + col("l_linenumber")).as("rid"),
+          col("l_orderkey"), col("l_extendedprice")),
+        "rid", Seq("l_orderkey", "l_extendedprice"),
+        Seq(("l_orderkey", 1000.0, 4000.0),
+          ("l_orderkey", 100000.0, 140000.0),
+          ("l_extendedprice", 1000.0, 2000.0),
+          ("l_extendedprice", 90000.0, 105000.0)), 64)),
+    // Benford first-digit audit of the revenue column (string-derived
+    // digit grid — exact; only the shares round)
+    "q242_benford_audit" -> ((s, dir) =>
+      graft.ops.Quality.benfordAudit(t(s, dir, "lineitem"),
+        "l_extendedprice")),
+    // Flesch / FK-grade readability mart: pure scan-stage run counting
+    "q243_readability" -> ((s, dir) =>
+      graft.ops.TextStats.readability(
+        t(s, dir, "documents"), "doc_id", "text")),
+    // interpolated Kneser-Ney bigram LM over the corpus's own counts:
+    // continuation-count smoothing, top-50 bigrams by count
+    "q244_kneser_ney" -> ((s, dir) =>
+      graft.ops.Corpus.kneserNeyBigrams(t(s, dir, "documents"), "text", 50)),
     "q225_ltv_curve" -> ((s, dir) =>
       graft.ops.EventAnalytics.ltvCurve(
         t(s, dir, "events"), "user_id", "ts", "value")),
@@ -4364,6 +4395,131 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN mx < pred_lo OR mn > pred_hi THEN 1 ELSE 0 END)
         |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS skip_ratio
         |FROM fn CROSS JOIN p GROUP BY pred_lo, pred_hi""".stripMargin,
+    // q240: the oracle recomputes the mart from the FULL fact in one
+    // pass — any incremental-merge error (count, cent sum, lattice, or
+    // sketch-union drift past the band) shows as a mismatch; money is
+    // snapped to exact integer cents so sum order cannot leak in
+    "q240_incremental_mart" ->
+      """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    o_totalprice, o_custkey
+        |  FROM orders WHERE o_orderdate IS NOT NULL),
+        |m AS (SELECT day, count(*) AS n_orders,
+        |    sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS cents,
+        |    min(o_totalprice) AS min_order, max(o_totalprice) AS max_order
+        |  FROM o GROUP BY 1)
+        |SELECT day, CAST(n_orders AS BIGINT) AS n_orders,
+        |  CAST(cents AS DOUBLE) / 100.0 AS revenue,
+        |  min_order, max_order,
+        |  CAST((cents * 10000) // n_orders AS DOUBLE) / 1000000.0
+        |    AS avg_order,
+        |  TRUE AS est_ok
+        |FROM m""".stripMargin,
+    // q241: per candidate layout, ranks -> exact integer file
+    // assignment -> per-file zones of BOTH probe columns -> predicate
+    // grid; the same [[zoneMapAudit]] math, melted across layouts
+    "q241_sortkey_advisor" ->
+      """WITH base AS (SELECT l_orderkey * 8 + l_linenumber AS rid,
+        |    CAST(l_orderkey AS DOUBLE) AS c1,
+        |    CAST(l_extendedprice AS DOUBLE) AS c2
+        |  FROM lineitem),
+        |nn AS (SELECT count(*) AS n FROM base),
+        |p AS (SELECT probe_col, CAST(lo AS DOUBLE) AS pred_lo,
+        |    CAST(hi AS DOUBLE) AS pred_hi
+        |  FROM (VALUES
+        |    ('l_orderkey', 1000.0, 4000.0),
+        |    ('l_orderkey', 100000.0, 140000.0),
+        |    ('l_extendedprice', 1000.0, 2000.0),
+        |    ('l_extendedprice', 90000.0, 105000.0))
+        |  t(probe_col, lo, hi)),
+        |z1 AS (SELECT ((row_number() OVER (ORDER BY c1, rid) - 1) * 64)
+        |    // n AS f, c1, c2 FROM base, nn),
+        |f1 AS (SELECT f, min(c1) AS mn1, max(c1) AS mx1,
+        |    min(c2) AS mn2, max(c2) AS mx2 FROM z1 GROUP BY 1),
+        |z2 AS (SELECT ((row_number() OVER (ORDER BY c2, rid) - 1) * 64)
+        |    // n AS f, c1, c2 FROM base, nn),
+        |f2 AS (SELECT f, min(c1) AS mn1, max(c1) AS mx1,
+        |    min(c2) AS mn2, max(c2) AS mx2 FROM z2 GROUP BY 1),
+        |mm AS (
+        |  SELECT 'l_orderkey' AS sort_key, 'l_orderkey' AS probe_col,
+        |    mn1 AS mn, mx1 AS mx FROM f1
+        |  UNION ALL SELECT 'l_orderkey', 'l_extendedprice', mn2, mx2 FROM f1
+        |  UNION ALL SELECT 'l_extendedprice', 'l_orderkey', mn1, mx1 FROM f2
+        |  UNION ALL SELECT 'l_extendedprice', 'l_extendedprice', mn2, mx2
+        |    FROM f2)
+        |SELECT sort_key, probe_col, pred_lo, pred_hi,
+        |  CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(CASE WHEN mx < pred_lo OR mn > pred_hi THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_skipped,
+        |  CAST(sum(CASE WHEN mx < pred_lo OR mn > pred_hi THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS skip_ratio
+        |FROM mm JOIN p USING (probe_col)
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
+    // q242: digit from the value's decimal string (exact), Benford
+    // shares via the same ln-ratio both engines round at 6 dp
+    "q242_benford_audit" ->
+      """WITH d AS (SELECT substr(CAST(l_extendedprice AS VARCHAR), 1, 1)
+        |    AS digit
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0),
+        |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM c),
+        |s AS (SELECT digit, CAST(n AS BIGINT) AS n,
+        |    round(CAST(n AS DOUBLE) / tot, 6) AS share,
+        |    round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6)
+        |      AS benford_share
+        |  FROM c, t)
+        |SELECT digit, n, share, benford_share,
+        |  round(abs(share - benford_share), 6) AS abs_gap
+        |FROM s""".stripMargin,
+    // q243: identical run-count arithmetic (runs -> 1 char minus
+    // runs -> 0 chars needs no marker byte), identical IEEE formula
+    // order, 4 dp rounds
+    "q243_readability" ->
+      """WITH b AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+        |c AS (SELECT doc_id,
+        |    length(regexp_replace(t, '\S+', 'x', 'g'))
+        |      - length(regexp_replace(t, '\S+', '', 'g')) AS w,
+        |    length(regexp_replace(t, '[.!?]+', 'x', 'g'))
+        |      - length(regexp_replace(t, '[.!?]+', '', 'g')) AS s,
+        |    length(regexp_replace(lower(t), '[aeiouy]+', 'x', 'g'))
+        |      - length(regexp_replace(lower(t), '[aeiouy]+', '', 'g')) AS y
+        |  FROM b)
+        |SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+        |  CAST(s AS BIGINT) AS n_sentences, CAST(y AS BIGINT) AS n_syllables,
+        |  CASE WHEN w > 0 THEN round(206.835
+        |    - 1.015 * (CAST(greatest(w, 1) AS DOUBLE)
+        |               / CAST(greatest(s, 1) AS DOUBLE))
+        |    - 84.6 * (CAST(y AS DOUBLE) / CAST(greatest(w, 1) AS DOUBLE)), 4)
+        |  END AS flesch,
+        |  CASE WHEN w > 0 THEN round(0.39 * (CAST(greatest(w, 1) AS DOUBLE)
+        |               / CAST(greatest(s, 1) AS DOUBLE))
+        |    + 11.8 * (CAST(y AS DOUBLE) / CAST(greatest(w, 1) AS DOUBLE))
+        |    - 15.59, 4)
+        |  END AS fk_grade
+        |FROM c""".stripMargin,
+    // q244: counts from the same single-space pair stream as q166;
+    // the KN formula mirrored operation-for-operation at 6 dp
+    "q244_kneser_ney" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents),
+        |p AS (SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+        |        i -> ts[i] || ' ' || ts[i + 1])) AS pair
+        |      FROM t WHERE len(ts) >= 2),
+        |pc AS (SELECT pair, count(*) AS c_pair,
+        |    string_split(pair, ' ')[1] AS w1, string_split(pair, ' ')[2] AS w2
+        |  FROM p GROUP BY 1),
+        |l AS (SELECT w1, sum(c_pair) AS c_w1, count(*) AS n_follow
+        |  FROM pc GROUP BY 1),
+        |r AS (SELECT w2, count(*) AS n_precede FROM pc GROUP BY 1),
+        |b AS (SELECT CAST(count(*) AS BIGINT) AS bt FROM pc)
+        |SELECT pair, CAST(c_pair AS BIGINT) AS c_pair,
+        |  CAST(n_follow AS BIGINT) AS n_follow,
+        |  CAST(n_precede AS BIGINT) AS n_precede,
+        |  round((greatest(CAST(c_pair AS DOUBLE) - 0.75, 0.0)
+        |    + 0.75 * CAST(n_follow AS DOUBLE)
+        |      * (CAST(n_precede AS DOUBLE) / CAST(bt AS DOUBLE)))
+        |    / CAST(c_w1 AS DOUBLE), 6) AS p_kn
+        |FROM pc JOIN l USING (w1) JOIN r USING (w2), b
+        |QUALIFY row_number() OVER (ORDER BY c_pair DESC, pair) <= 50""".stripMargin,
     // q237: identical 6 dp daily totals → exact micro-integer errors;
     // the MAEs and MASE are unrounded quotients of identical longs
     "q237_seasonal_backtest" ->

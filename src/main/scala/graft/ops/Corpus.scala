@@ -1009,4 +1009,50 @@ object Corpus {
           .when(col("familiarity") > col("__c1"), "middle")
           .otherwise("tail").as("ppl_bucket"))
   }
+
+  /** Interpolated Kneser–Ney bigram language model trained on the corpus
+    * itself — the smoothing that actually powers count-based LM filters
+    * (KenLM-style): instead of add-one's uniform back-off
+    * ([[bigramSurprisal]]'s model), probability mass discounted from seen
+    * bigrams is redistributed by CONTINUATION counts, so "Francisco"
+    * (frequent but only ever after "San") stops looking like a good
+    * unigram continuation. With absolute discount `d`:
+    *
+    *   P(w₂|w₁) = (max(c(w₁w₂)−d, 0) + d · N₁₊(w₁·) · Pcont(w₂)) / c(w₁)
+    *   Pcont(w₂) = N₁₊(·w₂) / |bigram types|
+    *
+    * Output: the top-`k` bigrams by count (ties on the pair string) with
+    * (pair, c_pair, n_follow, n_precede, p_kn) — p_kn rounded 6 dp.
+    *
+    * Scale shape: the corpus collapses to the bigram-type table in ONE
+    * kernel-generated pair stream + hash-agg (AdjPairs, map-side
+    * combined); c(w₁), N₁₊(w₁·), N₁₊(·w₂) and the type total are three
+    * small re-aggs OVER that reduced table (|types| ≪ N tokens), joined
+    * back on its own keys; the type total rides in broadcast. The final
+    * cut is TakeOrderedAndProject. Nothing rescans the corpus. */
+  def kneserNeyBigrams(df: DataFrame, textCol: String, k: Int,
+                       d: Double = 0.75): DataFrame = {
+    require(k >= 1, s"kneserNeyBigrams: need k >= 1, got $k")
+    require(d > 0.0 && d < 1.0, s"kneserNeyBigrams: need 0 < d < 1, got $d")
+    val pc = graft.core.CacheRegistry.persist(
+      df.where(size(split(col(textCol), " ")) >= 2)
+        .select(explode(
+          graft.functions.TextFunctions.adjPairs(col(textCol))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("c_pair"))
+        .withColumn("w1", element_at(split(col("pair"), " "), 1))
+        .withColumn("w2", element_at(split(col("pair"), " "), 2)))
+    val left = pc.groupBy("w1")
+      .agg(sum("c_pair").as("c_w1"), count(lit(1)).as("n_follow"))
+    val right = pc.groupBy("w2").agg(count(lit(1)).as("n_precede"))
+    val types = pc.agg(count(lit(1)).as("__b"))
+    pc.join(left, Seq("w1")).join(right, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .select(col("pair"), col("c_pair"), col("n_follow"), col("n_precede"),
+        round((greatest(col("c_pair").cast("double") - lit(d), lit(0.0)) +
+          lit(d) * col("n_follow").cast("double") *
+            (col("n_precede").cast("double") / col("__b").cast("double"))) /
+          col("c_w1").cast("double"), 6).as("p_kn"))
+      .orderBy(col("c_pair").desc, col("pair"))
+      .limit(k)
+  }
 }

@@ -207,4 +207,62 @@ object Layout {
       .repartitionByRange(numPartitions, col("zval"))
       .sortWithinPartitions("zval")
   }
+
+  /** Price EVERY candidate sort key against a probe workload before
+    * paying for any re-sort: for each candidate layout (rows laid into
+    * `nFiles` equal files in `(candidate, idCol)` order — [[zoneMapAudit]]'s
+    * exact integer file rule), compute per-file min/max zones for ALL probe
+    * columns at once and report, per `(candidate, probe_col, [lo, hi])`,
+    * how many files a min/max-pruning scan would skip. This is the cross-
+    * column question [[zoneMapAudit]] cannot answer — sorting by A prunes
+    * predicates on correlated B but scatters uncorrelated C, and the
+    * advisor makes that trade-off an exact number per candidate.
+    *
+    * Output: (sort_key, probe_col, pred_lo, pred_hi, n_files, n_skipped,
+    * skip_ratio) — skip_ratio an exact integer quotient, unrounded.
+    *
+    * Scale shape: one corpus scan per candidate ([[globalRank]]'s range
+    * exchange — no single-partition sort), ONE file-keyed hash-agg
+    * carrying all probe columns' min/max, then the tiny zones table joins
+    * a broadcast predicate grid. Probe columns are cast to double up
+    * front so zone/predicate comparisons are type-stable. */
+  def sortKeyAdvisor(df: DataFrame, idCol: String, candidates: Seq[String],
+                     probes: Seq[(String, Double, Double)],
+                     nFiles: Int): DataFrame = {
+    require(nFiles >= 2, s"sortKeyAdvisor: need nFiles >= 2, got $nFiles")
+    require(candidates.nonEmpty, "sortKeyAdvisor: need at least one candidate")
+    require(probes.nonEmpty, "sortKeyAdvisor: need at least one probe")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val probeCols = probes.map(_._1).distinct
+    require((candidates ++ probeCols).forall(df.columns.contains),
+      "sortKeyAdvisor: candidate/probe column missing from input")
+    val predDf = broadcast(probes.toDF("probe_col", "pred_lo", "pred_hi"))
+    val keep = (candidates ++ probeCols).distinct
+    val base = df.select(col(idCol) +:
+      keep.map(c => col(c).cast("double").as(c)): _*)
+    candidates.map { cand =>
+      val ranked = globalRank(base, cand, idCol, "__rank")
+      val total = base.agg(count(lit(1)).as("__n"))
+      val aggs = probeCols.flatMap(p => Seq(
+        min(col(p)).as(s"__mn_$p"), max(col(p)).as(s"__mx_$p")))
+      val zones = ranked.crossJoin(broadcast(total))
+        .withColumn("__file", expr(s"((__rank - 1) * $nFiles) div __n"))
+        .groupBy(col("__file"))
+        .agg(aggs.head, aggs.tail: _*)
+      val zonesLong = probeCols.map { p =>
+        zones.select(col("__file"), lit(p).as("probe_col"),
+          col(s"__mn_$p").as("__mn"), col(s"__mx_$p").as("__mx"))
+      }.reduce(_ unionAll _)
+      zonesLong.join(predDf, Seq("probe_col"))
+        .groupBy(col("probe_col"), col("pred_lo"), col("pred_hi"))
+        .agg(count(lit(1)).as("n_files"),
+          sum((col("__mx") < col("pred_lo") || col("__mn") > col("pred_hi"))
+            .cast("long")).as("n_skipped"))
+        .select(lit(cand).as("sort_key"), col("probe_col"),
+          col("pred_lo"), col("pred_hi"), col("n_files"), col("n_skipped"),
+          (col("n_skipped").cast("double") / col("n_files").cast("double"))
+            .as("skip_ratio"))
+    }.reduce(_ unionAll _)
+  }
 }

@@ -877,4 +877,52 @@ class PlanSpec extends SparkSpec {
     }
     graft.core.CacheRegistry.drain()
   }
+
+  test("readability is a pure scan-stage pass - no exchange, no window, " +
+    "codegen end to end (q243)") {
+    val plan = planOf(SparkEntry.queries("q243_readability")(spark, sf0001))
+    plan should not include "Exchange"
+    plan should not include "Window"
+    plan should include("*(1) Project") // the whole mart is one codegen stage
+  }
+
+  test("benford audit reduces to one 9-bucket hash-agg + broadcast total " +
+    "(q242)") {
+    val plan = planOf(SparkEntry.queries("q242_benford_audit")(spark, sf0001))
+    plan should not include "CartesianProduct" // total rides in broadcast
+    plan should not include "Exchange rangepartitioning"
+    plan should include("ReadSchema: struct<l_extendedprice") // pruned scan
+  }
+
+  test("incremental mart: partial merges stay hash-keyed on the mart key, " +
+    "no sort anywhere (q240)") {
+    val plan = planOf(SparkEntry.queries("q240_incremental_mart")(spark, sf0001))
+    plan should not include "Exchange rangepartitioning"
+    plan should not include "CartesianProduct"
+    plan should not include "Exchange SinglePartition"
+  }
+
+  test("kneser-ney reduces the corpus once, re-aggs run over the pair-type " +
+    "table (q244)") {
+    graft.core.CacheRegistry.scoped {
+      val plan = planOf(SparkEntry.queries("q244_kneser_ney")(spark, sf0001))
+      plan should not include "CartesianProduct" // type total is broadcast
+      plan should include("InMemoryTableScan")   // pair table built once
+      plan should include("TakeOrderedAndProject") // top-k, not global sort
+    }
+    graft.core.CacheRegistry.drain()
+  }
+
+  test("sort-key advisor: zones come from range exchanges, the predicate " +
+    "grid joins broadcast (q241)") {
+    graft.core.CacheRegistry.scoped {
+      val plan = planOf(SparkEntry.queries("q241_sortkey_advisor")(spark, sf0001))
+      plan should not include "CartesianProduct"
+      plan should include("BroadcastHashJoin") // probe-grid join
+      // the ranked frames are persisted (range-exchange paid once per
+      // candidate inside globalRank), zones re-read them from cache
+      plan should include("InMemoryTableScan")
+    }
+    graft.core.CacheRegistry.drain()
+  }
 }

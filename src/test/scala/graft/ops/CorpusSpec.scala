@@ -527,4 +527,27 @@ class CorpusSpec extends SparkSpec {
     def toMap2: Map[Long, (String, Double)] =
       rows.map { case (id, t, s) => id -> (t, s) }.toMap
   }
+
+  test("kneserNeyBigrams: hand-computed continuation smoothing, " +
+    "deterministic top-k order") {
+    // pairs: (a b) x2, (a c) x1, (b a) x1; 3 bigram types
+    // c(a)=3 nf(a)=2; c(b)=1 nf(b)=1; np(a)=np(b)=np(c)=1
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "b a"),
+      (5L, "solo")).toDF("doc_id", "text")
+    val r = graft.core.CacheRegistry.scoped {
+      Corpus.kneserNeyBigrams(docs, "text", 10)
+        .as[(String, Long, Long, Long, Double)].collect().toList
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    r shouldBe List(
+      ("a b", 2L, 2L, 1L, r6((1.25 + 0.75 * 2 * (1.0 / 3)) / 3)),
+      ("a c", 1L, 2L, 1L, r6((0.25 + 0.75 * 2 * (1.0 / 3)) / 3)),
+      ("b a", 1L, 1L, 1L, r6((0.25 + 0.75 * 1 * (1.0 / 3)) / 1)))
+    // probabilities out of w1=a sum to < 1 (mass reserved for unseen)
+    val pa = r.filter(_._1.startsWith("a ")).map(_._5).sum
+    pa should be < 1.0
+    pa should be > 0.5
+    graft.core.CacheRegistry.drain()
+  }
 }

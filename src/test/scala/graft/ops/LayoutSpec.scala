@@ -136,4 +136,32 @@ class LayoutSpec extends SparkSpec {
       Layout.zoneMapAudit(df, "id", "v", 10, Seq.empty)
     graft.core.CacheRegistry.drain()
   }
+
+  test("sortKeyAdvisor: each layout prunes its own column exactly, " +
+    "scattered cross-column probes prune (almost) nothing") {
+    // a = 1..100 in id order; b = (id·37 mod 100) is a scattering
+    // permutation of 0..99 (37 coprime to 100)
+    val df = (1L to 100L).map(i => (i, i.toDouble, ((i * 37) % 100).toDouble))
+      .toDF("id", "a", "b")
+    val r = graft.core.CacheRegistry.scoped {
+      Layout.sortKeyAdvisor(df, "id", Seq("a", "b"),
+        Seq(("a", 1.0, 10.0), ("b", 1.0, 10.0)), 10)
+        .collect()
+        .map(x => (x.getString(0), x.getString(1)) ->
+          ((x.getLong(4), x.getLong(5), x.getDouble(6)))).toMap
+    }
+    r.keySet should have size 4
+    // sorted by a: files hold a = [1,10], [11,20], ... -> 9/10 skipped
+    r(("a", "a")) shouldBe ((10L, 9L, 0.9))
+    // sorted by b: files hold b = [0,9], [10,19], ...; [1,10] touches two
+    r(("b", "b")) shouldBe ((10L, 8L, 0.8))
+    // the scattered cross-column zones span nearly the full range
+    r(("a", "b"))._3 should be < 0.3
+    r(("b", "a"))._3 should be < 0.3
+    an[IllegalArgumentException] should be thrownBy
+      Layout.sortKeyAdvisor(df, "id", Seq("a"), Seq(("a", 1.0, 2.0)), 1)
+    an[IllegalArgumentException] should be thrownBy
+      Layout.sortKeyAdvisor(df, "id", Seq("missing"), Seq(("a", 1.0, 2.0)), 10)
+    graft.core.CacheRegistry.drain()
+  }
 }

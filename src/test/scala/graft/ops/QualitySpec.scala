@@ -477,6 +477,20 @@ class QualitySpec extends SparkSpec {
     graft.core.CacheRegistry.drain()
   }
 
+  test("benfordAudit: string-derived digits, nulls and non-positives " +
+    "dropped, hand-computed shares") {
+    val df = Seq(Some(1.5), Some(19.9), Some(12.0), Some(2.5), Some(900.0),
+      Some(-5.0), Some(0.0), None).toDF("v")
+    val r = Quality.benfordAudit(df, "v").collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getDouble(2), x.getDouble(3)))).toMap
+    r.keySet shouldBe Set("1", "2", "9")
+    r("1") shouldBe ((3L, 0.6, round6(math.log(2.0) / math.log(10.0))))
+    r("2")._1 shouldBe 1L
+    r("2")._2 shouldBe 0.2
+    r("9")._3 shouldBe round6(math.log(1.0 + 1.0 / 9.0) / math.log(10.0))
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
