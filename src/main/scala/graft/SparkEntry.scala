@@ -1309,6 +1309,57 @@ object SparkEntry {
     // continuation-count smoothing, top-50 bigrams by count
     "q244_kneser_ney" -> ((s, dir) =>
       graft.ops.Corpus.kneserNeyBigrams(t(s, dir, "documents"), "text", 50)),
+    // streaming twin of q240: the mart maintained by per-micro-batch
+    // partial merges over three ordered drops must equal the batch
+    // oracle's full recompute - the replay-safe no-rescan ingest shape
+    "q245_stream_mart_merge" -> ((s, dir) => {
+      import graft.streaming.EventStream
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      val tmp = java.nio.file.Files.createTempDirectory("q245-mart").toString
+      val srcDir = new java.io.File(s"$tmp/drops"); srcDir.mkdirs()
+      def drop(df: DataFrame, name: String, modTime: Long): Unit = {
+        val stage = s"$tmp/stage_$name"
+        df.coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(srcDir, s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(modTime)
+      }
+      drop(o.where(pmod(col("o_orderkey"), lit(3)) === 0), "b0", 1000000L)
+      drop(o.where(pmod(col("o_orderkey"), lit(3)) === 1), "b1", 2000000L)
+      drop(o.where(pmod(col("o_orderkey"), lit(3)) === 2), "b2", 3000000L)
+      val schema = s.read.parquet(s"$srcDir/b0.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("basePath", srcDir.toString)
+        .parquet(s"$srcDir/*.parquet")
+      val store = new graft.sources.TableStore(s)
+      val q = EventStream.streamMartMerge(stream, store, s"$tmp/mart",
+        s"$tmp/ckpt")
+      q.awaitTermination()
+      graft.etl.IncrementalMart.martWithContract(store.read(s"$tmp/mart"), o)
+    }),
+    // sequential-pattern support: "some a precedes some b" per user via
+    // the min/max-timestamp reduction - never event x event
+    "q246_seq_patterns" -> ((s, dir) =>
+      graft.ops.EventAnalytics.sequentialPairs(
+        t(s, dir, "events"), "user_id", "ts", "event_type")),
+    // Cohen's kappa between the true type and q189's deterministic noisy
+    // rater (~19% of events md5-flipped to 'click') - labeling QA
+    "q247_cohens_kappa" -> ((s, dir) =>
+      graft.ops.Quality.cohensKappa(
+        t(s, dir, "events").withColumn("pred",
+          when(substring(md5(col("event_id").cast("string")), 1, 1) < "3",
+            lit("click")).otherwise(col("event_type"))),
+        "event_type", "pred")),
+    // gains/lift table over score deciles (rank-div buckets, exact
+    // integer ratios) - the targeting readout next to q187's ROC-AUC
+    "q248_gains_table" -> ((s, dir) =>
+      graft.ops.Quality.gainsTable(
+        t(s, dir, "events").withColumn("lbl", col("user_id") % 2 === 0),
+        "event_id", "value", "lbl", 10)),
     "q225_ltv_curve" -> ((s, dir) =>
       graft.ops.EventAnalytics.ltvCurve(
         t(s, dir, "events"), "user_id", "ts", "value")),
@@ -4520,6 +4571,85 @@ object SparkEntry {
         |    / CAST(c_w1 AS DOUBLE), 6) AS p_kn
         |FROM pc JOIN l USING (w1) JOIN r USING (w2), b
         |QUALIFY row_number() OVER (ORDER BY c_pair DESC, pair) <= 50""".stripMargin,
+    // q245: identical to q240's full recompute - the stream-maintained
+    // partials must converge to the same mart
+    "q245_stream_mart_merge" ->
+      """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    o_totalprice, o_custkey
+        |  FROM orders WHERE o_orderdate IS NOT NULL),
+        |m AS (SELECT day, count(*) AS n_orders,
+        |    sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS cents,
+        |    min(o_totalprice) AS min_order, max(o_totalprice) AS max_order
+        |  FROM o GROUP BY 1)
+        |SELECT day, CAST(n_orders AS BIGINT) AS n_orders,
+        |  CAST(cents AS DOUBLE) / 100.0 AS revenue,
+        |  min_order, max_order,
+        |  CAST((cents * 10000) // n_orders AS DOUBLE) / 1000000.0
+        |    AS avg_order,
+        |  TRUE AS est_ok
+        |FROM m""".stripMargin,
+    // q246: the same (user, type) min/max reduction and strict-precede
+    // predicate; counts are exact integers, only support rounds
+    "q246_seq_patterns" ->
+      """WITH r AS (SELECT user_id AS u, event_type AS t,
+        |    min(ts) AS mn, max(ts) AS mx
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT CAST(count(DISTINCT u) AS DOUBLE) AS users FROM r)
+        |SELECT a.t AS antecedent, b.t AS consequent,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  round(CAST(count(*) AS DOUBLE) / users, 6) AS support
+        |FROM r a JOIN r b ON a.u = b.u AND a.t <> b.t AND a.mn < b.mx, tot
+        |GROUP BY 1, 2, users""".stripMargin,
+    // q247: same md5 noisy rater as q189; po/pe/kappa are single
+    // divisions of exact LONG counts - no accumulation order to drift
+    "q247_cohens_kappa" ->
+      """WITH p AS (SELECT event_type AS r1,
+        |    CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < '3'
+        |      THEN 'click' ELSE event_type END AS r2
+        |  FROM events WHERE event_type IS NOT NULL),
+        |g AS (SELECT r1, r2, count(*) AS c FROM p GROUP BY 1, 2),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM g),
+        |a AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS agree
+        |  FROM g WHERE r1 = r2),
+        |m1 AS (SELECT r1, sum(c) AS c1 FROM g GROUP BY 1),
+        |m2 AS (SELECT r2, sum(c) AS c2 FROM g GROUP BY 1),
+        |ch AS (SELECT CAST(coalesce(sum(c1 * c2), 0) AS BIGINT) AS chance
+        |  FROM m1 JOIN m2 ON m1.r1 = m2.r2)
+        |SELECT n, round(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+        |  round(CAST(chance AS DOUBLE) / CAST(n * n AS DOUBLE), 6) AS pe,
+        |  CASE WHEN chance < n * n THEN
+        |    round((CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - CAST(chance AS DOUBLE) / CAST(n * n AS DOUBLE))
+        |      / (1.0 - CAST(chance AS DOUBLE) / CAST(n * n AS DOUBLE)), 6)
+        |  END AS kappa
+        |FROM n, a, ch WHERE n > 0""".stripMargin,
+    // q248: row_number replay of the rank-div buckets; every ratio is
+    // one division of exact LONG products
+    "q248_gains_table" ->
+      """WITH b AS (SELECT event_id, CAST(value AS DOUBLE) AS s,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(coalesce(sum(y), 0) AS BIGINT) AS pos FROM b),
+        |r AS (SELECT y, ((row_number() OVER (ORDER BY s DESC, event_id) - 1)
+        |    * 10) // n AS bkt FROM b, nn),
+        |g AS (SELECT bkt, CAST(count(*) AS BIGINT) AS nb,
+        |    CAST(coalesce(sum(y), 0) AS BIGINT) AS pb FROM r GROUP BY 1),
+        |c AS (SELECT *, CAST(sum(pb) OVER (ORDER BY bkt
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum FROM g)
+        |SELECT bkt AS bucket, nb AS n, pb AS n_pos,
+        |  round(CAST(pb AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS resp_rate,
+        |  CASE WHEN pos > 0 THEN
+        |    round(CAST(cum AS DOUBLE) / CAST(pos AS DOUBLE), 6)
+        |  END AS cum_capture,
+        |  CASE WHEN pos > 0 THEN
+        |    round(CAST(pb * n AS DOUBLE) / CAST(nb * pos AS DOUBLE), 6)
+        |  END AS lift
+        |FROM c, nn""".stripMargin,
     // q237: identical 6 dp daily totals → exact micro-integer errors;
     // the MAEs and MASE are unrounded quotients of identical longs
     "q237_seasonal_backtest" ->

@@ -85,18 +85,27 @@ object IncrementalMart {
     * without reproducing sketch registers. */
   def incrementalMartContract(orders: DataFrame, splitPred: Column,
                               lgK: Int = 12, sigmas: Double = 3.0): DataFrame = {
-    require(lgK >= 4 && lgK <= 21, s"incrementalMartContract: bad lgK $lgK")
-    require(sigmas > 0, s"incrementalMartContract: need sigmas > 0")
-    val rsd = 1.04 / math.sqrt(math.pow(2.0, lgK))
     val old = orders.where(coalesce(splitPred, lit(false)))
     val fresh = orders.where(!coalesce(splitPred, lit(false)))
-    val mart = finalizeMart(
-      mergePartials(dailyPartials(old, lgK), dailyPartials(fresh, lgK)))
+    val partials =
+      mergePartials(dailyPartials(old, lgK), dailyPartials(fresh, lgK))
+    martWithContract(partials, orders, lgK, sigmas)
+  }
+
+  /** Finalize arbitrary `partials` (batch-merged or stream-maintained)
+    * and judge the sketch estimate against the exact per-day distinct
+    * recomputed from `orders` — the shared tail of the q240/q245
+    * contracts. */
+  def martWithContract(partials: DataFrame, orders: DataFrame,
+                       lgK: Int = 12, sigmas: Double = 3.0): DataFrame = {
+    require(lgK >= 4 && lgK <= 21, s"martWithContract: bad lgK $lgK")
+    require(sigmas > 0, s"martWithContract: need sigmas > 0")
+    val rsd = 1.04 / math.sqrt(math.pow(2.0, lgK))
     val exact = orders
       .where(col("o_orderdate").isNotNull)
       .groupBy(to_date(col("o_orderdate")).as("day"))
       .agg(countDistinct(col("o_custkey")).as("__exact"))
-    mart.join(exact, Seq("day"))
+    finalizeMart(partials).join(exact, Seq("day"))
       .select(col("day"), col("n_orders"), col("revenue"),
         col("min_order"), col("max_order"), col("avg_order"),
         (abs(col("est_customers").cast("double") - col("__exact").cast("double"))

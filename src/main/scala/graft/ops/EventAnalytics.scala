@@ -872,4 +872,33 @@ object EventAnalytics {
           col("__es").cast("double") / col("__en").cast("double"))
           .as("mase"))
   }
+
+  /** Sequential-pattern support over per-user event histories: for every
+    * ordered type pair (a, b) with a ≠ b, in how many users does some `a`
+    * occur strictly before some `b`? The existential "an a-occurrence
+    * precedes a b-occurrence" collapses EXACTLY to `min_ts(a) < max_ts(b)`
+    * — so the event log reduces to ONE (user, type)-keyed hash-agg of
+    * min/max timestamps, and the pair comparison joins within user over
+    * ≤ |types|² bounded rows. Never event × event; a 100 TB log prices at
+    * its own reduction. Output: (antecedent, consequent, n_users,
+    * support) — support over users-with-events, 6 dp. */
+  def sequentialPairs(events: DataFrame, userCol: String, tsCol: String,
+                      typeCol: String): DataFrame = {
+    val r = graft.core.CacheRegistry.persist(
+      events.where(col(userCol).isNotNull && col(tsCol).isNotNull &&
+          col(typeCol).isNotNull)
+        .groupBy(col(userCol).as("__u"), col(typeCol).as("__t"))
+        .agg(min(col(tsCol)).as("__mn"), max(col(tsCol)).as("__mx")))
+    val total = r.agg(countDistinct(col("__u")).cast("double").as("__users"))
+    val a = r.select(col("__u"), col("__t").as("antecedent"), col("__mn"))
+    val b = r.select(col("__u"), col("__t").as("consequent"), col("__mx"))
+    a.join(b, Seq("__u"))
+      .where(col("antecedent") =!= col("consequent") &&
+        col("__mn") < col("__mx"))
+      .groupBy("antecedent", "consequent")
+      .agg(count(lit(1)).as("n_users")) // (user, type) rows are unique
+      .crossJoin(broadcast(total))
+      .select(col("antecedent"), col("consequent"), col("n_users"),
+        round(col("n_users").cast("double") / col("__users"), 6).as("support"))
+  }
 }

@@ -863,6 +863,90 @@ object Quality {
         col("woe"), col("iv_contrib"), col("__iv").as("iv_total"))
   }
 
+  /** Cohen's κ inter-rater agreement — the labeling-QA gate for any
+    * human- or model-annotated training set: observed agreement
+    * discounted by the agreement two raters would reach by chance from
+    * their own marginal label distributions,
+    * `κ = (p_o − p_e)/(1 − p_e)`. Everything reduces to exact integers —
+    * the agreement count and the Σ c₁(ℓ)·c₂(ℓ) chance product are LONG
+    * sums, so p_o, p_e and κ are each ONE division of exact inputs (no
+    * order-dependent double accumulation). Rows where either rater is
+    * NULL are excluded (unlabeled ≠ a label). κ is NULL when p_e = 1
+    * (both raters constant — agreement is vacuous). One summary row:
+    * (n, po, pe, kappa), 6 dp.
+    *
+    * Scale shape: ONE (r1, r2)-keyed hash-agg reduces the scan to the
+    * label grid (|labels|² rows); marginals, the agreement diagonal, and
+    * the chance product are re-aggs over that grid. */
+  def cohensKappa(df: DataFrame, rater1Col: String, rater2Col: String): DataFrame = {
+    val grid = graft.core.CacheRegistry.persist(
+      df.where(col(rater1Col).isNotNull && col(rater2Col).isNotNull)
+        .groupBy(col(rater1Col).as("__r1"), col(rater2Col).as("__r2"))
+        .agg(count(lit(1)).as("__c")))
+    val n = grid.agg(coalesce(sum("__c"), lit(0L)).as("__n"))
+    val agree = grid.where(col("__r1") === col("__r2"))
+      .agg(coalesce(sum("__c"), lit(0L)).as("__agree"))
+    val m1 = grid.groupBy("__r1").agg(sum("__c").as("__c1"))
+    val m2 = grid.groupBy("__r2").agg(sum("__c").as("__c2"))
+    val chance = m1.join(m2, col("__r1") === col("__r2"))
+      .agg(coalesce(sum(col("__c1") * col("__c2")), lit(0L)).as("__chance"))
+    val po = col("__agree").cast("double") / col("__n").cast("double")
+    val pe = col("__chance").cast("double") /
+      (col("__n") * col("__n")).cast("double")
+    n.crossJoin(broadcast(agree)).crossJoin(broadcast(chance))
+      .where(col("__n") > 0)
+      .select(col("__n").as("n"), round(po, 6).as("po"), round(pe, 6).as("pe"),
+        when(col("__chance") < col("__n") * col("__n"),
+          round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+  }
+
+  /** Gains / lift table — the campaign-targeting readout next to
+    * [[rocAuc]]: rows ranked by score descending (ties on `idCol`, a
+    * total order), cut into `nBuckets` exact rank-`div` buckets (the
+    * [[graft.ops.Layout.zoneMapAudit]] file rule), each reporting its
+    * positive rate, the cumulative share of ALL positives captured so
+    * far, and lift vs the base rate. Every ratio is ONE division of
+    * exact LONG products (`lift = (pos_b·n)/(n_b·pos)`), so no engine's
+    * accumulation order can leak. Output: (bucket, n, n_pos, resp_rate,
+    * cum_capture, lift), 6 dp; lift NULL when the dataset has no
+    * positives.
+    *
+    * Scale shape: ranks from [[graft.ops.Layout.globalRank]] (range
+    * exchange, no single-partition sort); the bucket reduce is one
+    * hash-agg; the cumulative window runs over the REDUCED nBuckets-row
+    * frame — bounded by construction, like [[equiDepthHistogram]]'s
+    * documented exact-by-contract tail. */
+  def gainsTable(df: DataFrame, idCol: String, scoreCol: String,
+                 labelCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"gainsTable: need nBuckets >= 2, got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.where(col(scoreCol).isNotNull)
+      .select(col(idCol),
+        (-col(scoreCol).cast("double")).as("__neg"),
+        col(labelCol).cast("boolean").as("__y"))
+    val ranked = graft.ops.Layout.globalRank(base, "__neg", idCol, "__rank")
+    val tot = base.agg(count(lit(1)).as("__n"),
+      coalesce(sum(col("__y").cast("long")), lit(0L)).as("__pos"))
+    val buckets = ranked.crossJoin(broadcast(tot))
+      .withColumn("__b", expr(s"((__rank - 1) * $nBuckets) div __n"))
+      .groupBy("__b")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("__y").cast("long")), lit(0L)).as("n_pos"),
+        max("__n").as("__n"), max("__pos").as("__pos"))
+    val w = Window.orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    buckets.withColumn("__cum", sum("n_pos").over(w))
+      .select(col("__b").as("bucket"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("resp_rate"),
+        when(col("__pos") > 0,
+          round(col("__cum").cast("double") / col("__pos").cast("double"), 6))
+          .as("cum_capture"),
+        when(col("__pos") > 0,
+          round((col("n_pos") * col("__n")).cast("double") /
+            (col("n") * col("__pos")).cast("double"), 6)).as("lift"))
+  }
+
   /** Benford first-digit audit over a positive numeric column — the
     * classic fabricated-data / broken-upstream detector: organically
     * grown magnitudes follow `P(d) = log10(1 + 1/d)`, while synthetic,

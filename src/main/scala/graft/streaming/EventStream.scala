@@ -154,6 +154,50 @@ object EventStream {
       .start()
   }
 
+  /** Streaming maintenance of the incremental daily mart
+    * ([[graft.etl.IncrementalMart]]): each micro-batch of order rows
+    * reduces to per-day partials — ONE delta hash-agg, the only work that
+    * scales with the batch — which merge with the stored partials on the
+    * mart key and atomically overwrite the versioned table (pointer
+    * swap; the read side of the merge still sees the previous version's
+    * files while the new one is written). History is never rescanned:
+    * however large the fact grows, a batch pays its own reduction plus a
+    * |days|-row merge. Replay safety mirrors [[streamToBronze]]'s
+    * committed-batch marker — a re-delivered batchId is skipped, so no
+    * day's counts can double on recovery. */
+  def streamMartMerge(stream: DataFrame, store: graft.sources.TableStore,
+                      table: String, checkpoint: String,
+                      lgK: Int = 12): StreamingQuery = {
+    import org.apache.hadoop.fs.Path
+    val spark = stream.sparkSession
+    val markerPath = new Path(s"$checkpoint/graft-committed-batch")
+    def fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def lastCommitted: Long =
+      if (!fs.exists(markerPath)) -1L
+      else {
+        val in = fs.open(markerPath)
+        try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+        finally in.close()
+      }
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (batchId > lastCommitted && !batch.isEmpty) {
+          val delta = graft.etl.IncrementalMart.dailyPartials(batch.toDF(), lgK)
+          val merged =
+            if (store.exists(table))
+              graft.etl.IncrementalMart.mergePartials(store.read(table), delta)
+            else delta
+          store.overwrite(table, merged)
+          val out = fs.create(markerPath, true)
+          try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+        }
+      }
+      .start()
+  }
+
   /** Streaming ingest with inline near-dup rejection — the ingestion-time
     * composition of [[streamToBronze]] and
     * [[graft.ops.Dedup.minHashLshPairsAcross]]: each micro-batch is checked

@@ -561,4 +561,27 @@ class EventAnalyticsSpec extends SparkSpec {
       EventAnalytics.seasonalBacktest(full, "k", "ts", "v", 1)
     graft.core.CacheRegistry.drain()
   }
+
+  test("sequentialPairs: existential precede via min/max reduction, " +
+    "hand-computed supports") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // user 1: a@1 b@2 a@3 -> a precedes b AND b precedes a (interleave)
+    // user 2: a@1 only    -> no pairs
+    // user 3: a@5 b@6     -> a precedes b only
+    val ev = Seq(
+      (1L, ts(1), "a"), (1L, ts(2), "b"), (1L, ts(3), "a"),
+      (2L, ts(1), "a"),
+      (3L, ts(5), "a"), (3L, ts(6), "b"))
+      .toDF("user_id", "ts", "event_type")
+    val r = graft.core.CacheRegistry.scoped {
+      EventAnalytics.sequentialPairs(ev, "user_id", "ts", "event_type")
+        .collect().map(x => (x.getString(0), x.getString(1)) ->
+          ((x.getLong(2), x.getDouble(3)))).toMap
+    }
+    r.keySet shouldBe Set(("a", "b"), ("b", "a"))
+    r(("a", "b")) shouldBe ((2L, 0.666667))
+    r(("b", "a")) shouldBe ((1L, 0.333333))
+    graft.core.CacheRegistry.drain()
+  }
 }

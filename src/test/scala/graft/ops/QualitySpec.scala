@@ -477,6 +477,52 @@ class QualitySpec extends SparkSpec {
     graft.core.CacheRegistry.drain()
   }
 
+  test("cohensKappa: hand contingency, constant raters -> null, " +
+    "null ratings excluded") {
+    val df = Seq(("A", "A"), ("A", "B"), ("B", "B"), ("B", "B"))
+      .toDF("r1", "r2")
+    val r = graft.core.CacheRegistry.scoped {
+      Quality.cohensKappa(df, "r1", "r2").head()
+    }
+    // n=4 agree=3 po=.75; marginals (2,2)x(1,3) -> chance=8, pe=.5
+    r.getLong(0) shouldBe 4L
+    r.getDouble(1) shouldBe 0.75
+    r.getDouble(2) shouldBe 0.5
+    r.getDouble(3) shouldBe 0.5
+    val const = Seq(("A", "A"), ("A", "A")).toDF("r1", "r2")
+    val rc = graft.core.CacheRegistry.scoped {
+      Quality.cohensKappa(const, "r1", "r2").head()
+    }
+    rc.getDouble(1) shouldBe 1.0
+    rc.isNullAt(3) shouldBe true // pe = 1: agreement is vacuous
+    val withNull = Seq(("A", Some("A")), ("B", None)).toDF("r1", "r2")
+    graft.core.CacheRegistry.scoped {
+      Quality.cohensKappa(withNull, "r1", "r2").head().getLong(0) shouldBe 1L
+    }
+    graft.core.CacheRegistry.drain()
+  }
+
+  test("gainsTable: exact rank-div buckets, hand-computed capture and lift") {
+    val df = (1L to 10L).map(i =>
+      (i, (11 - i).toDouble, i <= 3 || i == 10)) // top-3 scores + the worst
+      .toDF("id", "score", "y")
+    val r = graft.core.CacheRegistry.scoped {
+      Quality.gainsTable(df, "id", "score", "y", 2)
+        .orderBy("bucket").collect()
+    }
+    r.length shouldBe 2
+    r(0).getLong(1) shouldBe 5L // n
+    r(0).getLong(2) shouldBe 3L // n_pos in the top half
+    r(0).getDouble(3) shouldBe 0.6
+    r(0).getDouble(4) shouldBe 0.75 // 3 of 4 positives captured
+    r(0).getDouble(5) shouldBe 1.5  // (3*10)/(5*4)
+    r(1).getDouble(4) shouldBe 1.0
+    r(1).getDouble(5) shouldBe 0.5
+    an[IllegalArgumentException] should be thrownBy
+      Quality.gainsTable(df, "id", "score", "y", 1)
+    graft.core.CacheRegistry.drain()
+  }
+
   test("benfordAudit: string-derived digits, nulls and non-positives " +
     "dropped, hand-computed shares") {
     val df = Seq(Some(1.5), Some(19.9), Some(12.0), Some(2.5), Some(900.0),

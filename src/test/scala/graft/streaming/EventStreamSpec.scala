@@ -116,6 +116,55 @@ class EventStreamSpec extends SparkSpec {
     store.read(table).count() shouldBe events.count() + 50
   }
 
+  test("streamMartMerge maintains the partial-aggregate mart across " +
+    "micro-batches; replays no-op; late drops merge in") {
+    import graft.etl.IncrementalMart
+    val root = Files.createTempDirectory("graft-stream-mart")
+    val in = root.resolve("in").toFile; in.mkdirs()
+    val ckpt = root.resolve("ckpt").toString
+    val orders = Tables.table(spark, sf0001, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    def drop(df: org.apache.spark.sql.DataFrame, name: String, mod: Long): Unit = {
+      val stage = root.resolve(s"stage_$name").toString
+      df.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(in, s"$name.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mod)
+    }
+    import org.apache.spark.sql.functions._
+    val firstTwo = orders.where(pmod(col("o_orderkey"), lit(3)) < 2)
+    drop(orders.where(pmod(col("o_orderkey"), lit(3)) === 0), "b0", 1000000L)
+    drop(orders.where(pmod(col("o_orderkey"), lit(3)) === 1), "b1", 2000000L)
+    def stream() = spark.readStream.schema(orders.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("basePath", in.toString)
+      .parquet(s"$in/*.parquet")
+    val store = new graft.sources.TableStore(spark)
+    val table = root.resolve("tables/mart").toString
+
+    def finalized(p: org.apache.spark.sql.DataFrame) =
+      IncrementalMart.finalizeMart(p).orderBy("day").collect().toSeq
+    EventStream.streamMartMerge(stream(), store, table, ckpt)
+      .awaitTermination()
+    finalized(store.read(table)) shouldBe
+      finalized(IncrementalMart.dailyPartials(firstTwo))
+    val versionAfter = store.currentVersion(table).get
+
+    // restart with the same checkpoint and no new files: version unchanged
+    EventStream.streamMartMerge(stream(), store, table, ckpt)
+      .awaitTermination()
+    store.currentVersion(table).get shouldBe versionAfter
+
+    // a late drop merges in - the final mart equals the one-pass batch mart
+    drop(orders.where(pmod(col("o_orderkey"), lit(3)) === 2), "b2", 3000000L)
+    EventStream.streamMartMerge(stream(), store, table, ckpt)
+      .awaitTermination()
+    finalized(store.read(table)) shouldBe
+      finalized(IncrementalMart.dailyPartials(orders))
+  }
+
   test("streamToSilverScd2 merges micro-batches with full SCD2 semantics; replays no-op") {
     val root = Files.createTempDirectory("graft-stream-scd2")
     val in = root.resolve("in").toString
