@@ -1608,7 +1608,7 @@ object SparkEntry {
     // retrieve-then-rerank: q178's top-10 candidates re-scored by
     // ColBERT-style MaxSim over md5-derived token pseudo-embeddings
     "q181_late_interaction" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
       val cands = graft.ops.Corpus.moreLikeThis(docs, "doc_id", "text",
         Seq(1L, 2L, 3L, 4L, 5L), 10, 1.0).select("query_id", "cand_id")
       graft.ops.Corpus.lateInteractionRerank(docs, "doc_id", "text",
@@ -1640,8 +1640,9 @@ object SparkEntry {
     // corpus has ~31 terms, nearly all in >half the docs — pruning is
     // exercised in CorpusSpec; smoothed idf still downweights them)
     "q178_more_like_this" -> ((s, dir) =>
-      graft.ops.Corpus.moreLikeThis(t(s, dir, "documents"), "doc_id", "text",
-        Seq(1L, 2L, 3L, 4L, 5L), 10, 1.0)),
+      graft.ops.Corpus.moreLikeThis(
+        graft.core.Tables.tableRebalanced(s, dir, "documents"),
+        "doc_id", "text", Seq(1L, 2L, 3L, 4L, 5L), 10, 1.0)),
     // reliability diagram + ECE: value-derived [0,1] score vs purchase
     // outcome over 10 equal-width bins
     "q173_calibration" -> ((s, dir) =>

