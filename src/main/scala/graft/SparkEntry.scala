@@ -1360,6 +1360,24 @@ object SparkEntry {
       graft.ops.Quality.gainsTable(
         t(s, dir, "events").withColumn("lbl", col("user_id") % 2 === 0),
         "event_id", "value", "lbl", 10)),
+    // tokenizer losslessness: q215's learned merges must concatenate
+    // back to every original word - the oracle RE-DERIVES each token
+    // list through the same five replayed training rounds
+    "q249_bpe_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.ops.Corpus.bpeTrain(docs, "text", 5)
+        .orderBy("step").select("left", "right")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      graft.ops.Corpus.bpeRoundTrip(docs, "doc_id", "text", merges)
+    }),
+    // dup-graph 2-core: two bounded peels separate dense duplication
+    // cores from pendant chains (q33's components can't tell them apart)
+    "q250_kcore_peel" -> ((s, dir) => {
+      val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
+      graft.ops.Graph.kCorePeel(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5),
+        "id_a", "id_b", 2, 2)
+    }),
     "q225_ltv_curve" -> ((s, dir) =>
       graft.ops.EventAnalytics.ltvCurve(
         t(s, dir, "events"), "user_id", "ts", "value")),
@@ -1871,6 +1889,50 @@ object SparkEntry {
       |UNION ALL
       |SELECT c_custkey + 1000000, 'NEW ' || c_name, c_nationkey, c_acctbal, c_mktsegment
       |FROM customer WHERE c_custkey % 7 = 0""".stripMargin
+
+  /** Shared DuckDB scaffolding for the BPE oracles (q215/q249): replay
+    * [[graft.ops.Corpus.bpeTrain]]'s m rounds over the word-type table and
+    * return (trainingCtes, nestedApplyFold, bestsFromClause). Level-unique
+    * lambda names keep DuckDB scoping unambiguous. */
+  private def bpeOracleParts(m: Int): (String, String, String) = {
+    val w0 =
+      """w0 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS freq,
+        |    list_transform(generate_series(1, len(w)), i -> w[i:i]) AS syms
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE len(w) > 0 GROUP BY w)""".stripMargin
+    val rounds = (1 to m).map { k =>
+      val prev = s"w${k - 1}"
+      val pair =
+        s"""p$k AS (
+           |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+           |    SELECT freq, unnest(syms[1:len(syms) - 1]) AS l,
+           |      unnest(syms[2:len(syms)]) AS r
+           |    FROM $prev WHERE len(syms) >= 2)
+           |  GROUP BY 1, 2),
+           |best$k AS (SELECT l, r, cnt FROM p$k
+           |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)""".stripMargin
+      val apply =
+        if (k == m) ""
+        else
+          s""",
+             |w$k AS (
+             |  SELECT freq, list_reduce(list_transform(syms, s -> [s]),
+             |    (acc, x) -> CASE WHEN acc[-1] = b.l AND x[1] = b.r
+             |      THEN list_append(acc[1:len(acc) - 1], b.l || b.r)
+             |      ELSE list_append(acc, x[1]) END) AS syms
+             |  FROM $prev, best$k b)""".stripMargin
+      pair + apply
+    }
+    val nested = (1 to m).foldLeft("chars") { (inner, k) =>
+      s"""list_reduce(list_transform($inner, s$k -> [s$k]),
+         |    (a$k, x$k) -> CASE WHEN a$k[-1] = b$k.l AND x$k[1] = b$k.r
+         |      THEN list_append(a$k[1:len(a$k) - 1], b$k.l || b$k.r)
+         |      ELSE list_append(a$k, x$k[1]) END)""".stripMargin
+    }
+    val bestsFrom = (1 to m).map(k => s"best$k b$k").mkString(", ")
+    (w0 + ",\n" + rounds.mkString(",\n"), nested, bestsFrom)
+  }
 
   private def fpSql(alias: String = ""): String = {
     val p = if (alias.isEmpty) "" else alias + "."
@@ -3485,46 +3547,54 @@ object SparkEntry {
     // q215: the q214 training chain + the same 5 folds nested in
     // training order over every document's words (level-unique lambda
     // names keep DuckDB scoping unambiguous)
+    // q250: the exact verified-pair edges (q21's CTEs), symmetrized,
+    // then two unrolled peel rounds - degree aggs + keep-set joins
+    "q250_kcore_peel" ->
+      s"""WITH sh AS (${shingleSql(3)}),
+         |pr AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |vp AS (SELECT p.id_a, p.id_b
+         |  FROM pr p JOIN sizes sa ON p.id_a = sa.doc_id
+         |    JOIN sizes sb ON p.id_b = sb.doc_id
+         |  WHERE CAST(p.n_common AS DOUBLE)
+         |    / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE) >= 0.5),
+         |e0 AS (SELECT id_a AS a, id_b AS b FROM vp WHERE id_a <> id_b
+         |  UNION SELECT id_b, id_a FROM vp WHERE id_a <> id_b),
+         |d1 AS (SELECT a, count(*) AS deg FROM e0 GROUP BY 1),
+         |k1 AS (SELECT a FROM d1 WHERE deg >= 2),
+         |e1 AS (SELECT e.a, e.b FROM e0 e JOIN k1 x ON e.a = x.a
+         |  JOIN k1 y ON e.b = y.a),
+         |d2 AS (SELECT a, count(*) AS deg FROM e1 GROUP BY 1),
+         |k2 AS (SELECT a FROM d2 WHERE deg >= 2),
+         |e2 AS (SELECT e.a, e.b FROM e1 e JOIN k2 x ON e.a = x.a
+         |  JOIN k2 y ON e.b = y.a)
+         |SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
+         |FROM e2 GROUP BY 1""".stripMargin,
+    // q249: the round-trip check re-derived end to end - same training
+    // replay as q215, then array_to_string(tokens) compared to the word
+    "q249_bpe_roundtrip" -> {
+      val (ctes, nested, bestsFrom) = bpeOracleParts(5)
+      s"""WITH $ctes,
+         |wd AS (
+         |  SELECT doc_id, w,
+         |    list_transform(generate_series(1, len(w)), i -> w[i:i]) AS chars
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |        FROM documents) WHERE len(w) > 0),
+         |tok AS (
+         |  SELECT doc_id,
+         |    CASE WHEN array_to_string($nested, '') = w THEN 1 ELSE 0 END AS ok
+         |  FROM wd, $bestsFrom)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(ok) AS BIGINT) AS n_ok,
+         |  count(*) = sum(ok) AS all_ok
+         |FROM tok GROUP BY 1""".stripMargin
+    },
     "q215_bpe_fertility" -> {
-      val m = 5
-      val w0 =
-        """w0 AS (
-          |  SELECT CAST(count(*) AS BIGINT) AS freq,
-          |    list_transform(generate_series(1, len(w)), i -> w[i:i]) AS syms
-          |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-          |  WHERE len(w) > 0 GROUP BY w)""".stripMargin
-      val rounds = (1 to m).map { k =>
-        val prev = s"w${k - 1}"
-        val pair =
-          s"""p$k AS (
-             |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
-             |    SELECT freq, unnest(syms[1:len(syms) - 1]) AS l,
-             |      unnest(syms[2:len(syms)]) AS r
-             |    FROM $prev WHERE len(syms) >= 2)
-             |  GROUP BY 1, 2),
-             |best$k AS (SELECT l, r, cnt FROM p$k
-             |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)""".stripMargin
-        val apply =
-          if (k == m) ""
-          else
-            s""",
-               |w$k AS (
-               |  SELECT freq, list_reduce(list_transform(syms, s -> [s]),
-               |    (acc, x) -> CASE WHEN acc[-1] = b.l AND x[1] = b.r
-               |      THEN list_append(acc[1:len(acc) - 1], b.l || b.r)
-               |      ELSE list_append(acc, x[1]) END) AS syms
-               |  FROM $prev, best$k b)""".stripMargin
-        pair + apply
-      }
-      val nested = (1 to m).foldLeft("chars") { (inner, k) =>
-        s"""list_reduce(list_transform($inner, s$k -> [s$k]),
-           |    (a$k, x$k) -> CASE WHEN a$k[-1] = b$k.l AND x$k[1] = b$k.r
-           |      THEN list_append(a$k[1:len(a$k) - 1], b$k.l || b$k.r)
-           |      ELSE list_append(a$k, x$k[1]) END)""".stripMargin
-      }
-      val bestsFrom = (1 to m).map(k => s"best$k b$k").mkString(", ")
-      s"""WITH $w0,
-         |${rounds.mkString(",\n")},
+      val (ctes, nested, bestsFrom) = bpeOracleParts(5)
+      s"""WITH $ctes,
          |wd AS (
          |  SELECT doc_id,
          |    list_transform(generate_series(1, len(w)), i -> w[i:i]) AS chars

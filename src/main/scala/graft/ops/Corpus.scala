@@ -960,20 +960,27 @@ object Corpus {
     * Word-type caching ([[bpeTrain]]'s collapse) is deliberately NOT
     * reused: tokenization is a per-document projection, and the scan is
     * the cost either way. */
+  /** One left-to-right BPE merge pass over a symbol array — the shared
+    * apply-side fold of [[bpeTokenStats]] and [[bpeRoundTrip]], pinned to
+    * the trainer's exact semantics (the sentinel keeps the last-element
+    * probe total on the empty accumulator). */
+  private def bpeMergePass(syms: Column, l: String, r: String): Column = {
+    val sentinel = array(lit(" "))
+    aggregate(syms, array().cast("array<string>"), (acc, s) => {
+      val last = element_at(concat(sentinel, acc), -1)
+      when(last === l && s === r,
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(s)))
+    })
+  }
+
   def bpeTokenStats(df: DataFrame, idCol: String, textCol: String,
                     merges: Seq[(String, String)]): DataFrame = {
     require(merges.nonEmpty, "bpeTokenStats: provide at least one merge")
-    val sentinel = array(lit(" "))
-    def pass(syms: Column, l: String, r: String): Column =
-      aggregate(syms, array().cast("array<string>"), (acc, s) => {
-        val last = element_at(concat(sentinel, acc), -1)
-        when(last === l && s === r,
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-          .otherwise(concat(acc, array(s)))
-      })
     val words = explode(split(col(textCol), " ")).as("__w")
     val chars = split(col("__w"), "")
-    val merged = merges.foldLeft(chars) { case (syms, (l, r)) => pass(syms, l, r) }
+    val merged = merges.foldLeft(chars) {
+      case (syms, (l, r)) => bpeMergePass(syms, l, r) }
     df.select(col(idCol), words)
       .where(length(col("__w")) > 0)
       .select(col(idCol), size(split(col("__w"), "")).cast("long").as("__nc"),
@@ -983,6 +990,34 @@ object Corpus {
       .select(col(idCol), col("n_chars"), col("n_tokens"),
         round(col("n_chars").cast("double") / col("n_tokens"), 6)
           .as("chars_per_token"))
+  }
+
+  /** Tokenizer LOSSLESSNESS contract — [[bpeTokenStats]]'s round-trip
+    * twin: for every word, the learned merges applied in training order
+    * must concatenate back to the exact original word (BPE only ever
+    * joins adjacent symbols, so detokenization is plain concatenation —
+    * a fold bug, an ordering slip, or a lossy normalization in the apply
+    * path flips `all_ok`). Output: (id, n_words, n_ok, all_ok), and the
+    * oracle RE-DERIVES every token list rather than trusting the claim.
+    *
+    * Scale shape: identical to [[bpeTokenStats]] — merge literals ride
+    * the plan, the check is a scan-stage fold + string compare, one
+    * id-keyed hash-agg. */
+  def bpeRoundTrip(df: DataFrame, idCol: String, textCol: String,
+                   merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "bpeRoundTrip: provide at least one merge")
+    val words = explode(split(col(textCol), " ")).as("__w")
+    val chars = split(col("__w"), "")
+    val merged = merges.foldLeft(chars) {
+      case (syms, (l, r)) => bpeMergePass(syms, l, r) }
+    df.select(col(idCol), words)
+      .where(length(col("__w")) > 0)
+      .select(col(idCol),
+        (array_join(merged, "") === col("__w")).cast("long").as("__ok"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum("__ok").as("n_ok"))
+      .select(col(idCol), col("n_words"), col("n_ok"),
+        (col("n_words") === col("n_ok")).as("all_ok"))
   }
 
   /** CCNet-style per-language perplexity bucketing (Wenzek et al. 2020):

@@ -203,4 +203,43 @@ object Graph {
           .as(Seq("dim", "mean_val")))
       .withColumn("mean_val", round(col("mean_val"), 6))
   }
+
+  /** Bounded k-core peel over an undirected edge table: `rounds` rounds
+    * of "drop every node with degree < k, then re-induce the subgraph" —
+    * the density filter that separates DENSE duplication cores (template
+    * families, mirror farms: every member near-dups many others) from
+    * pendant chains (A≈B≈C with no cross links), which [[Dedup.clusters]]
+    * deliberately cannot distinguish (both are one component). A FIXED
+    * round count keeps every engine running the same arithmetic (the
+    * [[labelSpread]] device — the true k-core is this iterated to a
+    * fixpoint; each extra round only peels further, and `rounds` bounds
+    * the cost at scale). Output: (node, degree) for nodes still carrying
+    * edges after the last peel, with their degree in the surviving
+    * subgraph.
+    *
+    * Scale shape: edges symmetrize + dedup once (persisted); each round
+    * is ONE degree hash-agg plus two semi-joins against the (shrinking)
+    * keep set — per-round cost is bounded by the current edge count,
+    * never the original graph. */
+  def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
+                k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"kCorePeel: need k >= 1, got $k")
+    require(rounds >= 1 && rounds <= 20,
+      s"kCorePeel: need 1 <= rounds <= 20, got $rounds")
+    val e = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
+      .where(col("__a") =!= col("__b"))
+    var live = graft.core.CacheRegistry.persist(
+      e.unionAll(e.select(col("__b").as("__a"), col("__a").as("__b")))
+        .distinct())
+    for (_ <- 1 to rounds) {
+      val keep = live.groupBy("__a").agg(count(lit(1)).as("__deg"))
+        .where(col("__deg") >= k)
+        .select("__a")
+      live = graft.core.CacheRegistry.persist(
+        live.join(keep, Seq("__a"), "left_semi")
+          .join(keep.select(col("__a").as("__b")), Seq("__b"), "left_semi"))
+    }
+    live.groupBy(col("__a").as("node"))
+      .agg(count(lit(1)).as("degree"))
+  }
 }

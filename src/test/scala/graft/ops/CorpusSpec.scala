@@ -523,6 +523,17 @@ class CorpusSpec extends SparkSpec {
       Corpus.bpeTokenStats(docs, "doc_id", "text", Seq.empty)
   }
 
+  test("bpeRoundTrip: every tokenization concatenates back to its word") {
+    val docs = Seq((1L, "aaab ab ba"), (2L, "abcabc b")).toDF("doc_id", "text")
+    val r = Corpus.bpeRoundTrip(docs, "doc_id", "text",
+        Seq(("a", "a"), ("a", "b"), ("ab", "c")))
+      .as[(Long, Long, Long, Boolean)].collect().map(x => x._1 -> x).toMap
+    r(1L) shouldBe ((1L, 3L, 3L, true))
+    r(2L) shouldBe ((2L, 2L, 2L, true))
+    an[IllegalArgumentException] should be thrownBy
+      Corpus.bpeRoundTrip(docs, "doc_id", "text", Seq.empty)
+  }
+
   private implicit class TripleOps(rows: Array[(Long, String, Double)]) {
     def toMap2: Map[Long, (String, Double)] =
       rows.map { case (id, t, s) => id -> (t, s) }.toMap

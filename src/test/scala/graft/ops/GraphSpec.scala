@@ -155,4 +155,21 @@ class GraphSpec extends SparkSpec {
     got((20L, 1)) shouldBe ((1L, 4.0))
     got.keySet.map(_._1) shouldBe Set(10L, 20L)
   }
+
+  test("kCorePeel: triangle survives the 2-core, pendant and chain peel " +
+    "away; direction and duplicates don't matter") {
+    import spark.implicits._
+    // triangle 1-2-3 with pendant 4; separate chain 5-6-7
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (2L, 1L), // duplicate in the other direction - must not double degree
+      (5L, 6L), (6L, 7L)).toDF("src", "dst")
+    val r = graft.core.CacheRegistry.scoped {
+      Graph.kCorePeel(edges, "src", "dst", 2, 2)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    }
+    r shouldBe Map(1L -> 2L, 2L -> 2L, 3L -> 2L)
+    an[IllegalArgumentException] should be thrownBy
+      Graph.kCorePeel(edges, "src", "dst", 0, 2)
+    graft.core.CacheRegistry.drain()
+  }
 }
