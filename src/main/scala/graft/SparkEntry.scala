@@ -1370,6 +1370,37 @@ object SparkEntry {
         .collect().map(r => (r.getString(0), r.getString(1))).toSeq
       graft.ops.Corpus.bpeRoundTrip(docs, "doc_id", "text", merges)
     }),
+    // streaming twin of q94/q149: per-group moments held open across
+    // three micro-batches by additive power-sum merges - the drained
+    // store must finish to the one-pass batch profile
+    "q251_stream_moments" -> ((s, dir) => {
+      import graft.streaming.EventStream
+      val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+      val tmp = java.nio.file.Files.createTempDirectory("q251-mom").toString
+      val srcDir = new java.io.File(s"$tmp/drops"); srcDir.mkdirs()
+      def drop(df: DataFrame, name: String, modTime: Long): Unit = {
+        val stage = s"$tmp/stage_$name"
+        df.coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(srcDir, s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(modTime)
+      }
+      drop(ev.where(pmod(col("event_id"), lit(3)) === 0), "b0", 1000000L)
+      drop(ev.where(pmod(col("event_id"), lit(3)) === 1), "b1", 2000000L)
+      drop(ev.where(pmod(col("event_id"), lit(3)) === 2), "b2", 3000000L)
+      val schema = s.read.parquet(s"$srcDir/b0.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("basePath", srcDir.toString)
+        .parquet(s"$srcDir/*.parquet")
+      val store = new graft.sources.TableStore(s)
+      val q = EventStream.streamMomentsMerge(stream, store, s"$tmp/moments",
+        s"$tmp/ckpt", "event_type", "value")
+      q.awaitTermination()
+      graft.ops.Quality.mergeMoments(store.read(s"$tmp/moments"), "event_type")
+    }),
     // dup-graph 2-core: two bounded peels separate dense duplication
     // cores from pendant chains (q33's components can't tell them apart)
     "q250_kcore_peel" -> ((s, dir) => {
@@ -1889,6 +1920,26 @@ object SparkEntry {
       |UNION ALL
       |SELECT c_custkey + 1000000, 'NEW ' || c_name, c_nationkey, c_acctbal, c_mktsegment
       |FROM customer WHERE c_custkey % 7 = 0""".stripMargin
+
+  /** Per-group moment profile recompute — shared by q94 (batch) and q251
+    * (the streaming power-sum merge twin). */
+  private val momentsOracleSql: String =
+    """WITH a AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n, sum(value) AS s1,
+      |    sum(value*value) AS s2, sum(value*value*value) AS s3,
+      |    sum(value*value*value*value) AS s4
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1)
+      |SELECT event_type, n,
+      |  round(s1/n, 6) AS mean,
+      |  round(s2/n - (s1/n)*(s1/n), 6) AS variance,
+      |  round(CASE WHEN s2/n - (s1/n)*(s1/n) > 0 THEN
+      |    (s3/n - 3.0*(s1/n)*(s2/n) + 2.0*(s1/n)*(s1/n)*(s1/n))
+      |      / pow(s2/n - (s1/n)*(s1/n), 1.5) END, 6) AS skewness,
+      |  round(CASE WHEN s2/n - (s1/n)*(s1/n) > 0 THEN
+      |    (s4/n - 4.0*(s1/n)*(s3/n) + 6.0*(s1/n)*(s1/n)*(s2/n)
+      |       - 3.0*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+      |      / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3.0 END, 6) AS kurtosis
+      |FROM a""".stripMargin
 
   /** Shared DuckDB scaffolding for the BPE oracles (q215/q249): replay
     * [[graft.ops.Corpus.bpeTrain]]'s m rounds over the word-type table and
@@ -5374,23 +5425,10 @@ object SparkEntry {
          |$cols
          |FROM events GROUP BY 1""".stripMargin
     },
-    "q94_value_moments" ->
-      """WITH a AS (
-        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n, sum(value) AS s1,
-        |    sum(value*value) AS s2, sum(value*value*value) AS s3,
-        |    sum(value*value*value*value) AS s4
-        |  FROM events WHERE value IS NOT NULL GROUP BY 1)
-        |SELECT event_type, n,
-        |  round(s1/n, 6) AS mean,
-        |  round(s2/n - (s1/n)*(s1/n), 6) AS variance,
-        |  round(CASE WHEN s2/n - (s1/n)*(s1/n) > 0 THEN
-        |    (s3/n - 3.0*(s1/n)*(s2/n) + 2.0*(s1/n)*(s1/n)*(s1/n))
-        |      / pow(s2/n - (s1/n)*(s1/n), 1.5) END, 6) AS skewness,
-        |  round(CASE WHEN s2/n - (s1/n)*(s1/n) > 0 THEN
-        |    (s4/n - 4.0*(s1/n)*(s3/n) + 6.0*(s1/n)*(s1/n)*(s2/n)
-        |       - 3.0*(s1/n)*(s1/n)*(s1/n)*(s1/n))
-        |      / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3.0 END, 6) AS kurtosis
-        |FROM a""".stripMargin,
+    "q94_value_moments" -> momentsOracleSql,
+    // q251: identical full-scan recompute - the stream's additive
+    // power-sum merges must finish to the same profile
+    "q251_stream_moments" -> momentsOracleSql,
     "q95_cluster_best_rep" ->
       s"""$clusterChainSql,
          |scored AS (SELECT a.cluster_id, a.doc_id, length(d.text) AS len

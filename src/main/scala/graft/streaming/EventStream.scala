@@ -198,6 +198,53 @@ object EventStream {
       .start()
   }
 
+  /** Streaming maintenance of per-group distribution MOMENTS — the
+    * [[streamMartMerge]] pattern applied to [[graft.ops.Quality]]'s raw
+    * power sums: each micro-batch reduces to (group, n, Σv, Σv², Σv³,
+    * Σv⁴) partials in ONE hash-agg, which merge ADDITIVELY into the
+    * stored table (moments are algebraic in the power sums — the same
+    * merge law q149 pins for batch backfills, now held open across a
+    * stream). [[graft.ops.Quality.mergeMoments]] over the stored table
+    * yields mean/variance/skew/kurtosis at any point without touching
+    * history. Same committed-batch replay marker as [[streamToBronze]]. */
+  def streamMomentsMerge(stream: DataFrame, store: graft.sources.TableStore,
+                         table: String, checkpoint: String,
+                         groupCol: String, valueCol: String): StreamingQuery = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.{col, lit, sum}
+    val spark = stream.sparkSession
+    val markerPath = new Path(s"$checkpoint/graft-committed-batch")
+    def fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def lastCommitted: Long =
+      if (!fs.exists(markerPath)) -1L
+      else {
+        val in = fs.open(markerPath)
+        try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+        finally in.close()
+      }
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (batchId > lastCommitted && !batch.isEmpty) {
+          val delta = graft.ops.Quality
+            .momentPartials(batch.toDF(), groupCol, lit(0), valueCol)
+            .drop("part")
+          val merged =
+            (if (store.exists(table)) store.read(table).unionByName(delta)
+             else delta)
+              .groupBy(col(groupCol))
+              .agg(sum("n").as("n"), sum("s1").as("s1"), sum("s2").as("s2"),
+                sum("s3").as("s3"), sum("s4").as("s4"))
+          store.overwrite(table, merged)
+          val out = fs.create(markerPath, true)
+          try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+        }
+      }
+      .start()
+  }
+
   /** Streaming ingest with inline near-dup rejection — the ingestion-time
     * composition of [[streamToBronze]] and
     * [[graft.ops.Dedup.minHashLshPairsAcross]]: each micro-batch is checked

@@ -165,6 +165,52 @@ class EventStreamSpec extends SparkSpec {
       finalized(IncrementalMart.dailyPartials(orders))
   }
 
+  test("streamMomentsMerge: additive power-sum merges finish to the " +
+    "one-pass batch profile; replays no-op") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft-stream-mom")
+    val in = root.resolve("in").toFile; in.mkdirs()
+    val ckpt = root.resolve("ckpt").toString
+    val ev = Tables.table(spark, sf0001, "events")
+      .select("event_id", "event_type", "value")
+    def drop(df: org.apache.spark.sql.DataFrame, name: String, mod: Long): Unit = {
+      val stage = root.resolve(s"stage_$name").toString
+      df.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(in, s"$name.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mod)
+    }
+    drop(ev.where(pmod(col("event_id"), lit(2)) === 0), "b0", 1000000L)
+    drop(ev.where(pmod(col("event_id"), lit(2)) === 1), "b1", 2000000L)
+    def stream() = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("basePath", in.toString)
+      .parquet(s"$in/*.parquet")
+    val store = new graft.sources.TableStore(spark)
+    val table = root.resolve("tables/moments").toString
+    EventStream.streamMomentsMerge(stream(), store, table, ckpt,
+      "event_type", "value").awaitTermination()
+    val streamed = graft.ops.Quality.mergeMoments(store.read(table), "event_type")
+      .orderBy("event_type").collect().toSeq
+    val batch = graft.ops.Quality.momentProfile(ev, "event_type", "value")
+      .orderBy("event_type").collect().toSeq
+    streamed.map(_.getLong(1)) shouldBe batch.map(_.getLong(1))
+    // mean/variance agree to the shared 6 dp rounding; higher moments are
+    // merge-order sensitive in the last ulp, so compare within 1e-5
+    streamed.zip(batch).foreach { case (s, b) =>
+      s.getDouble(2) shouldBe b.getDouble(2) +- 1e-5
+      s.getDouble(3) shouldBe b.getDouble(3) +- 1e-5
+      s.getDouble(4) shouldBe b.getDouble(4) +- 1e-5
+      s.getDouble(5) shouldBe b.getDouble(5) +- 1e-5
+    }
+    val v = store.currentVersion(table).get
+    EventStream.streamMomentsMerge(stream(), store, table, ckpt,
+      "event_type", "value").awaitTermination()
+    store.currentVersion(table).get shouldBe v // replay is a no-op
+  }
+
   test("streamToSilverScd2 merges micro-batches with full SCD2 semantics; replays no-op") {
     val root = Files.createTempDirectory("graft-stream-scd2")
     val in = root.resolve("in").toString
