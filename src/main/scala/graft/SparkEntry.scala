@@ -1370,6 +1370,12 @@ object SparkEntry {
         .collect().map(r => (r.getString(0), r.getString(1))).toSeq
       graft.ops.Corpus.bpeRoundTrip(docs, "doc_id", "text", merges)
     }),
+    // per-key OLS daily trend: micro-integer daily totals + integer day
+    // index make every sufficient statistic an exact LONG sum; the
+    // classical twin of q220's global median-robust Theil-Sen
+    "q252_ols_trend" -> ((s, dir) =>
+      graft.ops.EventAnalytics.olsTrendByKey(
+        t(s, dir, "events"), "event_type", "ts", "value")),
     // streaming twin of q94/q149: per-group moments held open across
     // three micro-batches by additive power-sum merges - the drained
     // store must finish to the one-pass batch profile
@@ -5425,6 +5431,41 @@ object SparkEntry {
          |$cols
          |FROM events GROUP BY 1""".stripMargin
     },
+    // q252: HUGEINT-exact sufficient statistics, the closed form as one
+    // mirrored double expression over identical long-valued inputs
+    "q252_ols_trend" ->
+      """WITH daily AS (SELECT event_type AS k,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+        |    round(sum(CAST(value AS DOUBLE)), 6) AS v
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |m AS (SELECT k, d, CAST(round(v * 1000000.0) AS BIGINT) AS m
+        |  FROM daily),
+        |b AS (SELECT k, min(d) AS d0 FROM m GROUP BY 1),
+        |x AS (SELECT m.k, CAST(datediff('day', b.d0, m.d) AS BIGINT) AS x,
+        |    m.m FROM m JOIN b ON m.k = b.k),
+        |s AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(m) AS BIGINT) AS sy,
+        |    CAST(sum(x * m) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM x GROUP BY 1)
+        |SELECT k AS key, n AS n_days,
+        |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 THEN
+        |    round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) / 1000000.0, 6)
+        |  END AS slope,
+        |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 THEN
+        |    round(((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
+        |      / CAST(n AS DOUBLE)) / 1000000.0, 6)
+        |  END AS intercept
+        |FROM s""".stripMargin,
     "q94_value_moments" -> momentsOracleSql,
     // q251: identical full-scan recompute - the stream's additive
     // power-sum merges must finish to the same profile

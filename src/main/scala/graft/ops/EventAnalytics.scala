@@ -873,6 +873,49 @@ object EventAnalytics {
           .as("mase"))
   }
 
+  /** Per-key ordinary-least-squares daily trend — the classical twin of
+    * [[theilSenTrend]] (which is global and median-robust): for each key,
+    * the daily totals regress on the day index and the slope/intercept
+    * come from sufficient statistics. Daily totals snap to exact
+    * micro-integers first (the q237 device), and x is an integer day
+    * index, so n, Σx, Σy, Σxy, Σx² are all EXACT LONG sums — the
+    * closed-form `slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)` is then one
+    * double expression over identical inputs on any engine. Keys with a
+    * single day (zero x-variance) get NULL slope/intercept. Output:
+    * (key, n_days, slope, intercept) — per-day units, 6 dp.
+    *
+    * Scale shape: the event log reduces in ONE (key, day) hash-agg;
+    * the per-key base-day join and the sufficient-statistic agg run over
+    * |keys|·|days| rows. Nothing downstream of the first reduction
+    * touches raw events. */
+  def olsTrendByKey(events: DataFrame, keyCol: String, tsCol: String,
+                    valueCol: String): DataFrame = {
+    val daily = events
+      .where(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(keyCol).as("__k"), to_date(col(tsCol)).as("__d"))
+      .agg(round(sum(col(valueCol).cast("double")), 6).as("__v"))
+      .withColumn("__m", round(col("__v") * 1000000.0, 0).cast("long"))
+    val base = daily.groupBy("__k").agg(min("__d").as("__d0"))
+    val s = daily.join(base, Seq("__k"))
+      .select(col("__k"), datediff(col("__d"), col("__d0")).cast("long").as("__x"),
+        col("__m"))
+      .groupBy("__k")
+      .agg(count(lit(1)).as("n_days"), sum("__x").as("__sx"),
+        sum("__m").as("__sy"), sum(col("__x") * col("__m")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+    val nd = col("n_days").cast("double")
+    val sx = col("__sx").cast("double")
+    val sy = col("__sy").cast("double")
+    val sxy = col("__sxy").cast("double")
+    val sxx = col("__sxx").cast("double")
+    val den = nd * sxx - sx * sx
+    val num = nd * sxy - sx * sy
+    s.select(col("__k").as("key"), col("n_days"),
+      when(den > 0, round((num / den) / 1000000.0, 6)).as("slope"),
+      when(den > 0,
+        round(((sy - (num / den) * sx) / nd) / 1000000.0, 6)).as("intercept"))
+  }
+
   /** Sequential-pattern support over per-user event histories: for every
     * ordered type pair (a, b) with a ≠ b, in how many users does some `a`
     * occur strictly before some `b`? The existential "an a-occurrence

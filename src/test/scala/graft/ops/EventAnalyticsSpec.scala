@@ -562,6 +562,26 @@ class EventAnalyticsSpec extends SparkSpec {
     graft.core.CacheRegistry.drain()
   }
 
+  test("olsTrendByKey: exact line recovered, single-day key -> nulls, " +
+    "multiple events per day sum first") {
+    import java.sql.Timestamp
+    def ts(d: String) = Timestamp.valueOf(s"2024-01-0$d 10:00:00")
+    val ev = Seq(
+      ("a", ts("1"), 4.0), ("a", ts("1"), 6.5), // day 0 total 10.5
+      ("a", ts("2"), 20.5),                     // day 1
+      ("a", ts("3"), 30.5),                     // day 2 - exact line
+      ("b", ts("1"), 7.0))
+      .toDF("k", "ts", "v")
+    val r = EventAnalytics.olsTrendByKey(ev, "k", "ts", "v")
+      .collect().map(x => x.getString(0) -> x).toMap
+    r("a").getLong(1) shouldBe 3L
+    r("a").getDouble(2) shouldBe 10.0 // slope
+    r("a").getDouble(3) shouldBe 10.5 // intercept
+    r("b").getLong(1) shouldBe 1L
+    r("b").isNullAt(2) shouldBe true
+    r("b").isNullAt(3) shouldBe true
+  }
+
   test("sequentialPairs: existential precede via min/max reduction, " +
     "hand-computed supports") {
     import java.sql.Timestamp
