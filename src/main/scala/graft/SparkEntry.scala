@@ -1370,6 +1370,13 @@ object SparkEntry {
         .collect().map(r => (r.getString(0), r.getString(1))).toSeq
       graft.ops.Corpus.bpeRoundTrip(docs, "doc_id", "text", merges)
     }),
+    // in-engine multinomial naive Bayes langID: micro-long log-probs
+    // make every document score an exact integer sum; ~19% md5 holdout,
+    // confusion mart out
+    "q253_naive_bayes" -> ((s, dir) =>
+      graft.ops.Learn.naiveBayesEval(
+        t(s, dir, "documents"), "doc_id", "text", "lang",
+        substring(md5(col("doc_id").cast("string")), 1, 1) < "3")),
     // per-key OLS daily trend: micro-integer daily totals + integer day
     // index make every sufficient statistic an exact LONG sum; the
     // classical twin of q220's global median-robust Theil-Sen
@@ -5431,6 +5438,45 @@ object SparkEntry {
          |$cols
          |FROM events GROUP BY 1""".stripMargin
     },
+    // q253: full training replay - same smoothed grid, same micro-long
+    // snap (round-half-away matches on both engines), same integer
+    // score sums and DESC/label-ASC argmax
+    "q253_naive_bayes" ->
+      """WITH b AS (SELECT doc_id, text, lang,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '3' AS te
+        |  FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
+        |tr AS (SELECT * FROM b WHERE NOT te),
+        |tl AS (SELECT l, t, count(*) AS c FROM (
+        |    SELECT lang AS l, unnest(string_split(text, ' ')) AS t FROM tr)
+        |  WHERE len(t) > 0 GROUP BY 1, 2),
+        |cl AS (SELECT l, CAST(sum(c) AS BIGINT) AS clt FROM tl GROUP BY 1),
+        |vo AS (SELECT DISTINCT t FROM tl),
+        |vs AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vo),
+        |grid AS (SELECT cl.l, vo.t,
+        |    CAST(round(ln(CAST(coalesce(tl.c, 0) + 1 AS DOUBLE)
+        |      / CAST(cl.clt + vs.v AS DOUBLE)) * 1000000.0) AS BIGINT) AS lp
+        |  FROM vo CROSS JOIN cl
+        |    LEFT JOIN tl ON tl.l = cl.l AND tl.t = vo.t, vs),
+        |pr AS (SELECT l, CAST(round(ln(CAST(dl AS DOUBLE) / CAST(d AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) AS plp
+        |  FROM (SELECT lang AS l, count(*) AS dl FROM tr GROUP BY 1),
+        |       (SELECT count(*) AS d FROM tr)),
+        |dt AS (SELECT doc, tru, t, count(*) AS tf FROM (
+        |    SELECT doc_id AS doc, lang AS tru,
+        |      unnest(string_split(text, ' ')) AS t
+        |    FROM b WHERE te)
+        |  WHERE len(t) > 0 GROUP BY 1, 2, 3),
+        |sc AS (SELECT dt.doc, dt.tru, g.l,
+        |    CAST(sum(dt.tf * g.lp) AS BIGINT) AS s
+        |  FROM dt JOIN grid g ON dt.t = g.t GROUP BY 1, 2, 3),
+        |sc2 AS (SELECT sc.doc, sc.tru, sc.l, sc.s + pr.plp AS score
+        |  FROM sc JOIN pr ON sc.l = pr.l),
+        |w AS (SELECT doc, tru, l FROM sc2
+        |  QUALIFY row_number() OVER (PARTITION BY doc
+        |    ORDER BY score DESC, l ASC) = 1)
+        |SELECT tru AS true_label, l AS pred_label,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM w GROUP BY 1, 2""".stripMargin,
     // q252: HUGEINT-exact sufficient statistics, the closed form as one
     // mirrored double expression over identical long-valued inputs
     "q252_ols_trend" ->

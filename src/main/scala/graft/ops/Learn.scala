@@ -159,6 +159,73 @@ object Learn {
     * rank over the calibration split for the order statistic (groups
     * partition the exchange), and one holdout scan against the broadcast
     * (group, mu, qhat) table — nothing joins row×row. */
+  /** Multinomial naive Bayes trained and evaluated IN the engine — the
+    * fastText-tier text classifier next to [[logisticGd]]: term counts per
+    * label with add-one smoothing, `P(t|l) = (c(t,l)+1)/(c_l+V)` over the
+    * full train-vocabulary × label grid (absent cells smooth to
+    * `1/(c_l+V)` — skipping them would not be naive Bayes), priors from
+    * label document counts. Every log-probability is snapped to an exact
+    * MICRO-LONG (`round(ln(p)·10⁶)`) before any accumulation, so document
+    * scores are integer sums — engine-identical regardless of term order —
+    * and the argmax (ties to the smaller label) is replay-stable.
+    * Out-of-vocabulary test terms are skipped (the standard closed-vocab
+    * convention; they shift every label equally only under equal c_l, so
+    * the skip is a modeling choice, documented). Output: the holdout
+    * confusion mart (true_label, pred_label, n).
+    *
+    * Scale shape: training reduces the corpus in ONE (term, label)
+    * hash-agg; the grid is |V|·|labels| rows with label totals and V
+    * broadcast; scoring joins the test term stream against the grid on
+    * the term key — one shuffle each side — and the per-(doc, label)
+    * integer sum + argmax are two more hash-aggs. Nothing is ever
+    * |docs|². */
+  def naiveBayesEval(df: DataFrame, idCol: String, textCol: String,
+                     labelCol: String, testPred: Column): DataFrame = {
+    val isTest = coalesce(testPred, lit(false))
+    val base = df.where(col(labelCol).isNotNull && col(textCol).isNotNull)
+    val train = base.where(!isTest)
+    val test = base.where(isTest)
+    val tl = graft.core.CacheRegistry.persist(
+      train.select(col(labelCol).as("__l"),
+          explode(split(col(textCol), " ")).as("__t"))
+        .where(length(col("__t")) > 0)
+        .groupBy("__l", "__t").agg(count(lit(1)).as("__c")))
+    val cl = tl.groupBy("__l").agg(sum("__c").as("__cl"))
+    val vocab = tl.select("__t").distinct()
+    val vSize = vocab.agg(count(lit(1)).as("__v"))
+    val priors = train.groupBy(col(labelCol).as("__l"))
+      .agg(count(lit(1)).as("__dl"))
+    val total = train.agg(count(lit(1)).as("__d"))
+    val grid = vocab.crossJoin(cl)
+      .join(tl, Seq("__l", "__t"), "left")
+      .crossJoin(broadcast(vSize))
+      .select(col("__l"), col("__t"),
+        round(log((coalesce(col("__c"), lit(0L)) + 1).cast("double") /
+          (col("__cl") + col("__v")).cast("double")) * 1000000.0, 0)
+          .cast("long").as("__lp"))
+    val priorLp = priors.crossJoin(broadcast(total))
+      .select(col("__l"),
+        round(log(col("__dl").cast("double") / col("__d").cast("double")) *
+          1000000.0, 0).cast("long").as("__plp"))
+    val docTerms = test.select(col(idCol).as("__doc"),
+        col(labelCol).as("__true"),
+        explode(split(col(textCol), " ")).as("__t"))
+      .where(length(col("__t")) > 0)
+      .groupBy("__doc", "__true", "__t").agg(count(lit(1)).as("__tf"))
+    val scores = docTerms.join(grid, Seq("__t")) // inner: OOV terms skipped
+      .groupBy("__doc", "__true", "__l")
+      .agg(sum(col("__tf") * col("__lp")).as("__s"))
+      .join(priorLp, Seq("__l"))
+      .select(col("__doc"), col("__true"), col("__l"),
+        (col("__s") + col("__plp")).as("__score"))
+    scores.groupBy("__doc", "__true")
+      .agg(min(struct((-col("__score")).as("__neg"), col("__l").as("__lab")))
+        .as("__best"))
+      .groupBy(col("__true").as("true_label"),
+        col("__best.__lab").as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   def conformalCoverage(df: DataFrame, idCol: String, groupCol: String,
                         valueCol: String, alpha: Double,
                         holdModulo: Int): DataFrame = {

@@ -88,4 +88,26 @@ class LearnSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Learn.conformalCoverage(df, "id", "g", "v", 0.8, 1)
   }
+
+  test("naiveBayesEval: hand-computed smoothed scores, OOV-only docs " +
+    "drop out, ties break to the smaller label") {
+    import org.apache.spark.sql.functions.col
+    // train A: {x:3, y:2} cl=5; train B: {z:3, y:1} cl=4; V=3
+    // P(x|A)=4/8 P(y|A)=3/8 P(z|A)=1/8; P(x|B)=1/7 P(y|B)=2/7 P(z|B)=4/7
+    val docs = Seq(
+      (1L, "x x y", "A", false), (2L, "x y", "A", false),
+      (3L, "z z", "B", false), (4L, "z y", "B", false),
+      (10L, "x x z", "A", true), // A: ~-4.159 beats B: ~-5.145
+      (11L, "z y", "B", true),   // B: ~-2.506 beats A: ~-3.753
+      (12L, "x", "B", true),     // misclassified as A
+      (13L, "w w", "A", true))   // OOV-only: no prediction row
+      .toDF("doc_id", "text", "lang", "is_test")
+    val r = graft.core.CacheRegistry.scoped {
+      Learn.naiveBayesEval(docs, "doc_id", "text", "lang", col("is_test"))
+        .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2))
+        .toMap
+    }
+    r shouldBe Map(("A", "A") -> 1L, ("B", "B") -> 1L, ("B", "A") -> 1L)
+    graft.core.CacheRegistry.drain()
+  }
 }
