@@ -1370,6 +1370,15 @@ object SparkEntry {
         .collect().map(r => (r.getString(0), r.getString(1))).toSeq
       graft.ops.Corpus.bpeRoundTrip(docs, "doc_id", "text", merges)
     }),
+    // categorical MI / Theil's U between event type and day-of-week:
+    // micro-long cell terms over the exact contingency grid - the
+    // nonlinear dependence gauge next to q205's Pearson matrix
+    "q254_categorical_mi" -> ((s, dir) =>
+      graft.ops.Quality.categoricalMI(
+        t(s, dir, "events").where(col("ts").isNotNull)
+          .withColumn("dow", pmod(datediff(to_date(col("ts")),
+            lit("1970-01-01").cast("date")), lit(7))),
+        "event_type", "dow")),
     // in-engine multinomial naive Bayes langID: micro-long log-probs
     // make every document score an exact integer sum; ~19% md5 holdout,
     // confusion mart out
@@ -5438,6 +5447,42 @@ object SparkEntry {
          |$cols
          |FROM events GROUP BY 1""".stripMargin
     },
+    // q254: same epoch-anchored dow, same micro-long cell snap, null-
+    // safe marginal joins; integer sums carry no accumulation order
+    "q254_categorical_mi" ->
+      """WITH e AS (SELECT event_type AS a,
+        |    datediff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) % 7 AS b
+        |  FROM events WHERE ts IS NOT NULL),
+        |g AS (SELECT a, b, count(*) AS nij FROM e GROUP BY 1, 2),
+        |ma AS (SELECT a, CAST(sum(nij) AS BIGINT) AS ni FROM g GROUP BY 1),
+        |mb AS (SELECT b, CAST(sum(nij) AS BIGINT) AS nj FROM g GROUP BY 1),
+        |t AS (SELECT CAST(sum(nij) AS BIGINT) AS n FROM g),
+        |mi AS (SELECT CAST(sum(CAST(round((CAST(nij AS DOUBLE) / n)
+        |      * ln(n * CAST(nij AS DOUBLE)
+        |        / (CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE)))
+        |      * 1000000.0) AS BIGINT)) AS BIGINT) AS mim
+        |  FROM g JOIN ma ON g.a IS NOT DISTINCT FROM ma.a
+        |    JOIN mb ON g.b IS NOT DISTINCT FROM mb.b, t),
+        |ha AS (SELECT CAST(sum(CAST(round(-(CAST(ni AS DOUBLE) / n)
+        |      * ln(CAST(ni AS DOUBLE) / n) * 1000000.0) AS BIGINT))
+        |    AS BIGINT) AS ham FROM ma, t),
+        |hb AS (SELECT CAST(sum(CAST(round(-(CAST(nj AS DOUBLE) / n)
+        |      * ln(CAST(nj AS DOUBLE) / n) * 1000000.0) AS BIGINT))
+        |    AS BIGINT) AS hbm FROM mb, t),
+        |na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM ma),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM mb)
+        |SELECT t.n AS n, na.n_a, nb.n_b,
+        |  CAST(ham AS DOUBLE) / 1000000.0 AS h_a,
+        |  CAST(hbm AS DOUBLE) / 1000000.0 AS h_b,
+        |  CAST(mim AS DOUBLE) / 1000000.0 AS mi,
+        |  CASE WHEN ham > 0 THEN
+        |    round(CAST(mim AS DOUBLE) / CAST(ham AS DOUBLE), 6)
+        |  END AS u_a_given_b,
+        |  CASE WHEN hbm > 0 THEN
+        |    round(CAST(mim AS DOUBLE) / CAST(hbm AS DOUBLE), 6)
+        |  END AS u_b_given_a
+        |FROM t, mi, ha, hb, na, nb""".stripMargin,
     // q253: full training replay - same smoothed grid, same micro-long
     // snap (round-half-away matches on both engines), same integer
     // score sums and DESC/label-ASC argmax

@@ -947,6 +947,59 @@ object Quality {
             (col("n") * col("__pos")).cast("double"), 6)).as("lift"))
   }
 
+  /** Mutual information and Theil's uncertainty coefficient between two
+    * CATEGORICAL columns — the dependence diagnostic [[psiDrift]] (same
+    * column over time) and q205's Pearson matrix (linear, numeric) don't
+    * cover: does knowing A reduce uncertainty about B at all, linearly or
+    * not? From the exact integer contingency grid:
+    * `MI = Σᵢⱼ (nᵢⱼ/n)·ln(n·nᵢⱼ/(nᵢ·nⱼ))`, `H(A) = −Σᵢ (nᵢ/n)·ln(nᵢ/n)`,
+    * `U(A|B) = MI/H(A)` — every per-cell term is snapped to a micro-LONG
+    * before summation (the defined contract: cell terms are ratios of
+    * exact integers, so each micro value is engine-identical, and integer
+    * sums carry no accumulation order). Null categories form their own
+    * cohort (the [[kAnonymityAudit]] rule). One summary row:
+    * (n, n_a, n_b, h_a, h_b, mi, u_a_given_b, u_b_given_a), 6 dp.
+    *
+    * Scale shape: ONE (a, b) hash-agg reduces the scan to the grid;
+    * marginals and the three micro-sums are re-aggs over |A|·|B| rows
+    * with the total broadcast. */
+  def categoricalMI(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val grid = graft.core.CacheRegistry.persist(
+      df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+        .agg(count(lit(1)).as("__nij")))
+    val ma = grid.groupBy("__a").agg(sum("__nij").as("__ni"))
+    val mb = grid.groupBy("__b").agg(sum("__nij").as("__nj"))
+    val tot = grid.agg(sum("__nij").as("__n"))
+    def micro(term: Column): Column = round(term * 1000000.0, 0).cast("long")
+    val nD = col("__n").cast("double")
+    val miCell = micro((col("__nij").cast("double") / nD) *
+      log(nD * col("__nij").cast("double") /
+        (col("__ni").cast("double") * col("__nj").cast("double"))))
+    val mi = grid
+      .join(ma, grid("__a") <=> ma("__a")).drop(ma("__a"))
+      .join(mb, grid("__b") <=> mb("__b")).drop(mb("__b"))
+      .crossJoin(broadcast(tot))
+      .agg(sum(miCell).as("__mi"), max("__n").as("__n"))
+      .crossJoin(broadcast(ma.agg(count(lit(1)).as("n_a"))))
+      .crossJoin(broadcast(mb.agg(count(lit(1)).as("n_b"))))
+    def entropy(m: DataFrame, cnt: String): DataFrame =
+      m.crossJoin(broadcast(tot))
+        .agg(sum(micro(-(col(cnt).cast("double") / nD) *
+          log(col(cnt).cast("double") / nD))).as("__h"))
+    val ha = entropy(ma, "__ni")
+    val hb = entropy(mb, "__nj")
+    mi.crossJoin(broadcast(ha.select(col("__h").as("__ha"))))
+      .crossJoin(broadcast(hb.select(col("__h").as("__hb"))))
+      .select(col("__n").as("n"), col("n_a"), col("n_b"),
+        (col("__ha").cast("double") / 1000000.0).as("h_a"),
+        (col("__hb").cast("double") / 1000000.0).as("h_b"),
+        (col("__mi").cast("double") / 1000000.0).as("mi"),
+        when(col("__ha") > 0, round(col("__mi").cast("double") /
+          col("__ha").cast("double"), 6)).as("u_a_given_b"),
+        when(col("__hb") > 0, round(col("__mi").cast("double") /
+          col("__hb").cast("double"), 6)).as("u_b_given_a"))
+  }
+
   /** Benford first-digit audit over a positive numeric column — the
     * classic fabricated-data / broken-upstream detector: organically
     * grown magnitudes follow `P(d) = log10(1 + 1/d)`, while synthetic,

@@ -477,6 +477,32 @@ class QualitySpec extends SparkSpec {
     graft.core.CacheRegistry.drain()
   }
 
+  test("categoricalMI: independent -> 0, determined -> U = 1, nulls " +
+    "form their own cohort") {
+    val ind = Seq(("x", 1), ("x", 2), ("y", 1), ("y", 2),
+      ("x", 1), ("x", 2), ("y", 1), ("y", 2)).toDF("a", "b")
+    val ri = graft.core.CacheRegistry.scoped {
+      Quality.categoricalMI(ind, "a", "b").head()
+    }
+    ri.getDouble(5) shouldBe 0.0 // mi
+    ri.getDouble(6) shouldBe 0.0 // u_a_given_b
+    val dep = Seq(("x", 1), ("x", 1), ("y", 2), ("y", 2)).toDF("a", "b")
+    val rd = graft.core.CacheRegistry.scoped {
+      Quality.categoricalMI(dep, "a", "b").head()
+    }
+    rd.getDouble(5) shouldBe rd.getDouble(3) // mi == h_a (determined)
+    rd.getDouble(6) shouldBe 1.0
+    rd.getDouble(7) shouldBe 1.0
+    val withNull = Seq((Some("x"), 1), (None, 2), (None, 2))
+      .toDF("a", "b")
+    val rn = graft.core.CacheRegistry.scoped {
+      Quality.categoricalMI(withNull, "a", "b").head()
+    }
+    rn.getLong(1) shouldBe 2L // null is a category of A
+    rn.getDouble(6) shouldBe 1.0 // A determines B here
+    graft.core.CacheRegistry.drain()
+  }
+
   test("cohensKappa: hand contingency, constant raters -> null, " +
     "null ratings excluded") {
     val df = Seq(("A", "A"), ("A", "B"), ("B", "B"), ("B", "B"))
