@@ -1370,6 +1370,11 @@ object SparkEntry {
         .collect().map(r => (r.getString(0), r.getString(1))).toSeq
       graft.ops.Corpus.bpeRoundTrip(docs, "doc_id", "text", merges)
     }),
+    // per-key Spearman between daily value and daily count: strict-rank
+    // integers -> exact LONG sums -> one mirrored closed form
+    "q255_spearman_daily" -> ((s, dir) =>
+      graft.ops.EventAnalytics.spearmanDaily(
+        t(s, dir, "events"), "event_type", "ts", "value")),
     // categorical MI / Theil's U between event type and day-of-week:
     // micro-long cell terms over the exact contingency grid - the
     // nonlinear dependence gauge next to q205's Pearson matrix
@@ -5447,6 +5452,41 @@ object SparkEntry {
          |$cols
          |FROM events GROUP BY 1""".stripMargin
     },
+    // q255: identical micro-snapped dailies, row_number ranks under the
+    // same (metric, day) strict order, HUGEINT-exact sums
+    "q255_spearman_daily" ->
+      """WITH daily AS (SELECT event_type AS k,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+        |    CAST(round(round(sum(CAST(value AS DOUBLE)), 6) * 1000000.0)
+        |      AS BIGINT) AS m,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |r AS (SELECT k,
+        |    CAST(row_number() OVER (PARTITION BY k ORDER BY m, d)
+        |      AS BIGINT) AS rx,
+        |    CAST(row_number() OVER (PARTITION BY k ORDER BY c, d)
+        |      AS BIGINT) AS ry
+        |  FROM daily),
+        |s AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+        |    CAST(sum(rx * ry) AS BIGINT) AS sxy,
+        |    CAST(sum(rx * rx) AS BIGINT) AS sxx,
+        |    CAST(sum(ry * ry) AS BIGINT) AS syy
+        |  FROM r GROUP BY 1)
+        |SELECT k AS key, n AS n_days,
+        |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |    AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0 THEN
+        |    round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |  END AS rho
+        |FROM s""".stripMargin,
     // q254: same epoch-anchored dow, same micro-long cell snap, null-
     // safe marginal joins; integer sums carry no accumulation order
     "q254_categorical_mi" ->

@@ -916,6 +916,53 @@ object EventAnalytics {
         round(((sy - (num / den) * sx) / nd) / 1000000.0, 6)).as("intercept"))
   }
 
+  /** Per-key Spearman rank correlation between a key's daily VALUE total
+    * and its daily event COUNT — the monotone-invariant dependence gauge
+    * beside [[olsTrendByKey]] (linear, vs time) and q205's Pearson
+    * (linear, raw values): "do busy days pay more" without assuming
+    * linearity or caring about outlier days. Daily totals snap to exact
+    * micro-integers; both series rank under a STRICT total order
+    * (metric, then day — the documented deterministic tie policy), so the
+    * rank-Pearson reduces to exact LONG sufficient sums and one mirrored
+    * closed-form expression (the q252 device applied to ranks). Keys
+    * need ≥ 2 days with value variance; degenerate keys get NULL rho.
+    * Output: (key, n_days, rho), 6 dp.
+    *
+    * Scale shape: ONE (key, day) hash-agg reduces the log; the rank
+    * windows are PARTITIONED by key (days per key bounded by the
+    * calendar); the sufficient-statistic agg runs over |keys|·|days|
+    * rows. */
+  def spearmanDaily(events: DataFrame, keyCol: String, tsCol: String,
+                    valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .where(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(keyCol).as("__k"), to_date(col(tsCol)).as("__d"))
+      .agg(round(sum(col(valueCol).cast("double")), 6).as("__v"),
+        count(lit(1)).as("__c"))
+      .withColumn("__m", round(col("__v") * 1000000.0, 0).cast("long"))
+    val wv = Window.partitionBy("__k").orderBy(col("__m").asc, col("__d").asc)
+    val wc = Window.partitionBy("__k").orderBy(col("__c").asc, col("__d").asc)
+    val ranked = daily
+      .withColumn("__rx", row_number().over(wv).cast("long"))
+      .withColumn("__ry", row_number().over(wc).cast("long"))
+    val s = ranked.groupBy("__k").agg(
+      count(lit(1)).as("n_days"),
+      sum("__rx").as("__sx"), sum("__ry").as("__sy"),
+      sum(col("__rx") * col("__ry")).as("__sxy"),
+      sum(col("__rx") * col("__rx")).as("__sxx"),
+      sum(col("__ry") * col("__ry")).as("__syy"))
+    val nd = col("n_days").cast("double")
+    val sx = col("__sx").cast("double")
+    val sy = col("__sy").cast("double")
+    val num = nd * col("__sxy").cast("double") - sx * sy
+    val dx = nd * col("__sxx").cast("double") - sx * sx
+    val dy = nd * col("__syy").cast("double") - sy * sy
+    s.select(col("__k").as("key"), col("n_days"),
+      when(dx > 0 && dy > 0,
+        round(num / (sqrt(dx) * sqrt(dy)), 6)).as("rho"))
+  }
+
   /** Sequential-pattern support over per-user event histories: for every
     * ordered type pair (a, b) with a ≠ b, in how many users does some `a`
     * occur strictly before some `b`? The existential "an a-occurrence

@@ -562,6 +562,29 @@ class EventAnalyticsSpec extends SparkSpec {
     graft.core.CacheRegistry.drain()
   }
 
+  test("spearmanDaily: hand-ranked rho, monotone -> 1, degenerate -> null") {
+    import java.sql.Timestamp
+    def ts(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    val ev = Seq(
+      // key a - day1: v=1, c=3 evts; day2: v=2, c=1; day3: v=3, c=2
+      ("a", ts(1, 1), 0.4), ("a", ts(1, 2), 0.3), ("a", ts(1, 3), 0.3),
+      ("a", ts(2, 1), 2.0),
+      ("a", ts(3, 1), 1.5), ("a", ts(3, 2), 1.5),
+      // key b - counts rise with value: perfect monotone
+      ("b", ts(1, 1), 1.0),
+      ("b", ts(2, 1), 2.0), ("b", ts(2, 2), 2.0),
+      ("b", ts(3, 1), 3.0), ("b", ts(3, 2), 3.0), ("b", ts(3, 3), 3.0),
+      // key c - single day
+      ("c", ts(1, 1), 5.0))
+      .toDF("k", "ts", "v")
+    val r = EventAnalytics.spearmanDaily(ev, "k", "ts", "v")
+      .collect().map(x => x.getString(0) -> x).toMap
+    // a: rank pairs (1,3),(2,1),(3,2) -> rho = -0.5
+    r("a").getDouble(2) shouldBe -0.5
+    r("b").getDouble(2) shouldBe 1.0
+    r("c").isNullAt(2) shouldBe true
+  }
+
   test("olsTrendByKey: exact line recovered, single-day key -> nulls, " +
     "multiple events per day sum first") {
     import java.sql.Timestamp
