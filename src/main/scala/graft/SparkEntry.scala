@@ -1370,6 +1370,12 @@ object SparkEntry {
         .collect().map(r => (r.getString(0), r.getString(1))).toSeq
       graft.ops.Corpus.bpeRoundTrip(docs, "doc_id", "text", merges)
     }),
+    // funnel conversion latency: first-seen to first-seen per adjacent
+    // step pair, exact micro deltas, q45's exact-percentile summary
+    "q256_funnel_latency" -> ((s, dir) =>
+      graft.ops.EventAnalytics.funnelLatency(
+        t(s, dir, "events"), "user_id", "ts", "event_type",
+        Seq("view", "click", "signup", "purchase"))),
     // per-key Spearman between daily value and daily count: strict-rank
     // integers -> exact LONG sums -> one mirrored closed form
     "q255_spearman_daily" -> ((s, dir) =>
@@ -5451,6 +5457,31 @@ object SparkEntry {
       s"""SELECT CAST(ts AS DATE) AS event_date,
          |$cols
          |FROM events GROUP BY 1""".stripMargin
+    },
+    // q256: same first-seen reduction, strict-forward deltas, q45's
+    // quantile_cont convention
+    "q256_funnel_latency" -> {
+      val steps = Seq("view", "click", "signup", "purchase")
+      val pairs = steps.sliding(2).map { case Seq(a, b) =>
+        s"""SELECT '$a' AS step_from, '$b' AS step_to,
+           |    CAST(b.t - a.t AS DOUBLE) / 1000000.0 AS delta_s
+           |  FROM f a JOIN f b ON a.u = b.u
+           |    AND a.s = '$a' AND b.s = '$b' AND b.t > a.t""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH f AS (SELECT user_id AS u, event_type AS s,
+         |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS t
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |    AND event_type IN ('view', 'click', 'signup', 'purchase')
+         |  GROUP BY 1, 2),
+         |d AS (
+         |  $pairs)
+         |SELECT step_from, step_to, CAST(count(*) AS BIGINT) AS n,
+         |  round(avg(delta_s), 6) AS mean,
+         |  round(quantile_cont(delta_s, 0.5), 6) AS p50,
+         |  round(quantile_cont(delta_s, 0.9), 6) AS p90,
+         |  round(quantile_cont(delta_s, 0.99), 6) AS p99
+         |FROM d GROUP BY 1, 2""".stripMargin
     },
     // q255: identical micro-snapped dailies, row_number ranks under the
     // same (metric, day) strict order, HUGEINT-exact sums

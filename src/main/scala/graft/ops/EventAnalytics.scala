@@ -916,6 +916,44 @@ object EventAnalytics {
         round(((sy - (num / den) * sx) / nd) / 1000000.0, 6)).as("intercept"))
   }
 
+  /** Step-to-step conversion LATENCY distribution — the timing mart the
+    * funnel counts (q69/q158) don't give: for each adjacent step pair in
+    * `steps`, how long do users take to move forward? Latency is
+    * first-occurrence to first-occurrence (`min ts` per (user, step) —
+    * one reduction), counted only for users whose later step genuinely
+    * follows (`t₂ > t₁`), in exact micro difference before the seconds
+    * division. The per-pair summary reuses [[graft.ops.Sketches
+    * .percentilesExact]] (q45's oracled exact-percentile shape). Output:
+    * (step_from, step_to, n, mean, p50, p90, p99) — seconds, 6 dp.
+    *
+    * Scale shape: the event log reduces to |users|·|steps| first-seen
+    * rows in ONE hash-agg (persisted — every pair consumes it); each
+    * adjacent pair is a user-keyed self-join over that reduced table;
+    * the percentile agg runs per pair over converted users only. */
+  def funnelLatency(events: DataFrame, userCol: String, tsCol: String,
+                    typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, "funnelLatency: need at least two steps")
+    require(steps.distinct.size == steps.size,
+      "funnelLatency: steps must be distinct")
+    val first = graft.core.CacheRegistry.persist(
+      events.where(col(userCol).isNotNull && col(tsCol).isNotNull &&
+          col(typeCol).isin(steps: _*))
+        .groupBy(col(userCol).as("__u"), col(typeCol).as("__s"))
+        .agg(min(unix_micros(col(tsCol))).as("__t")))
+    val deltas = steps.sliding(2).map { case Seq(a, b) =>
+      first.where(col("__s") === a)
+        .select(col("__u"), col("__t").as("__t1"))
+        .join(first.where(col("__s") === b)
+          .select(col("__u"), col("__t").as("__t2")), Seq("__u"))
+        .where(col("__t2") > col("__t1"))
+        .select(lit(a).as("step_from"), lit(b).as("step_to"),
+          ((col("__t2") - col("__t1")).cast("double") / 1000000.0)
+            .as("delta_s"))
+    }.reduce(_ unionAll _)
+    graft.ops.Sketches.percentilesExact(deltas,
+      Seq("step_from", "step_to"), "delta_s")
+  }
+
   /** Per-key Spearman rank correlation between a key's daily VALUE total
     * and its daily event COUNT — the monotone-invariant dependence gauge
     * beside [[olsTrendByKey]] (linear, vs time) and q205's Pearson

@@ -562,6 +562,32 @@ class EventAnalyticsSpec extends SparkSpec {
     graft.core.CacheRegistry.drain()
   }
 
+  test("funnelLatency: first-seen deltas, backward users excluded, " +
+    "hand percentiles") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val ev = Seq(
+      (1L, ts(100), "a"), (1L, ts(400), "a"), (1L, ts(110), "b"), // 10s
+      (2L, ts(100), "a"), (2L, ts(130), "b"),                     // 30s
+      (3L, ts(100), "b"), (3L, ts(200), "a"),  // b BEFORE a: excluded
+      (4L, ts(50), "a"))                       // never converts
+      .toDF("user_id", "ts", "event_type")
+    val r = graft.core.CacheRegistry.scoped {
+      EventAnalytics.funnelLatency(ev, "user_id", "ts", "event_type",
+        Seq("a", "b")).head()
+    }
+    r.getLong(2) shouldBe 2L
+    r.getDouble(3) shouldBe 20.0 // mean
+    r.getDouble(4) shouldBe 20.0 // p50 interpolated between 10 and 30
+    an[IllegalArgumentException] should be thrownBy
+      EventAnalytics.funnelLatency(ev, "user_id", "ts", "event_type",
+        Seq("a"))
+    an[IllegalArgumentException] should be thrownBy
+      EventAnalytics.funnelLatency(ev, "user_id", "ts", "event_type",
+        Seq("a", "a"))
+    graft.core.CacheRegistry.drain()
+  }
+
   test("spearmanDaily: hand-ranked rho, monotone -> 1, degenerate -> null") {
     import java.sql.Timestamp
     def ts(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
