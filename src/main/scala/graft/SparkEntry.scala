@@ -1370,6 +1370,15 @@ object SparkEntry {
         .collect().map(r => (r.getString(0), r.getString(1))).toSeq
       graft.ops.Corpus.bpeRoundTrip(docs, "doc_id", "text", merges)
     }),
+    // point-lookup skip audit: what a per-file MEMBERSHIP index (bloom
+    // upper bound, measured exactly) buys on each layout - the q239/q241
+    // family's third number
+    "q257_pointskip_audit" -> ((s, dir) =>
+      graft.ops.Layout.pointSkipAudit(
+        t(s, dir, "lineitem").select(
+          (col("l_orderkey") * 8 + col("l_linenumber")).as("rid"),
+          col("l_partkey")),
+        "rid", "l_partkey", 64, Seq(100L, 1999L, 19999L))),
     // funnel conversion latency: first-seen to first-seen per adjacent
     // step pair, exact micro deltas, q45's exact-percentile summary
     "q256_funnel_latency" -> ((s, dir) =>
@@ -5458,6 +5467,32 @@ object SparkEntry {
          |$cols
          |FROM events GROUP BY 1""".stripMargin
     },
+    // q257: row_number file replay per layout, exact membership counts;
+    // absent probes skip everything
+    "q257_pointskip_audit" ->
+      """WITH base AS (SELECT l_orderkey * 8 + l_linenumber AS rid,
+        |    CAST(l_partkey AS BIGINT) AS k
+        |  FROM lineitem),
+        |nn AS (SELECT count(*) AS n FROM base),
+        |p AS (SELECT CAST(v AS BIGINT) AS probe
+        |  FROM (VALUES (100), (1999), (19999)) t(v)),
+        |s1 AS (SELECT k, ((row_number() OVER (ORDER BY k, rid) - 1) * 64)
+        |    // n AS f FROM base, nn),
+        |c1 AS (SELECT k AS probe, CAST(count(DISTINCT f) AS BIGINT) AS c
+        |  FROM s1 WHERE k IN (100, 1999, 19999) GROUP BY 1),
+        |s2 AS (SELECT k, ((row_number() OVER (ORDER BY rid) - 1) * 64)
+        |    // n AS f FROM base, nn),
+        |c2 AS (SELECT k AS probe, CAST(count(DISTINCT f) AS BIGINT) AS c
+        |  FROM s2 WHERE k IN (100, 1999, 19999) GROUP BY 1)
+        |SELECT 'sorted' AS layout, p.probe, CAST(64 AS BIGINT) AS n_files,
+        |  coalesce(c1.c, 0) AS n_containing,
+        |  CAST(64 - coalesce(c1.c, 0) AS DOUBLE) / 64.0 AS skip_ratio
+        |FROM p LEFT JOIN c1 ON p.probe = c1.probe
+        |UNION ALL
+        |SELECT 'natural', p.probe, CAST(64 AS BIGINT),
+        |  coalesce(c2.c, 0),
+        |  CAST(64 - coalesce(c2.c, 0) AS DOUBLE) / 64.0
+        |FROM p LEFT JOIN c2 ON p.probe = c2.probe""".stripMargin,
     // q256: same first-seen reduction, strict-forward deltas, q45's
     // quantile_cont convention
     "q256_funnel_latency" -> {

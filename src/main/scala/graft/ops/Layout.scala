@@ -208,6 +208,48 @@ object Layout {
       .sortWithinPartitions("zval")
   }
 
+  /** Point-lookup skip audit — the MEMBERSHIP-index counterpart of
+    * [[zoneMapAudit]]'s range zones: for `key = v` probes, a per-file
+    * membership structure (a bloom filter, at its no-false-positive upper
+    * bound measured here EXACTLY) skips every file that does not contain
+    * `v` — which pays on the NATURAL layout too, where min/max zones skip
+    * nothing. The sorted-vs-natural gap for point probes is therefore the
+    * value of SORTING; the natural-layout skip ratio is the value of a
+    * membership index WITHOUT re-sorting — the two numbers a storage-
+    * layout decision actually needs. Output: (layout, probe, n_files,
+    * n_containing, skip_ratio) — exact integer quotients; probes absent
+    * from the data skip everything.
+    *
+    * Scale shape: rows filter to the broadcast probe list BEFORE any
+    * shuffle (a |probes|-row broadcast join in the scan stage), so only
+    * matching rows reach the (probe, file) distinct; file assignment is
+    * [[globalRank]]'s exact `div` rule per layout. */
+  def pointSkipAudit(df: DataFrame, idCol: String, keyCol: String,
+                     nFiles: Int, probes: Seq[Long]): DataFrame = {
+    require(nFiles >= 2, s"pointSkipAudit: need nFiles >= 2, got $nFiles")
+    require(probes.nonEmpty, "pointSkipAudit: need at least one probe")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val probeDf = broadcast(probes.toDF("probe"))
+    val base = df.select(col(idCol), col(keyCol).cast("long").as("__key"))
+    def audit(layout: String, orderCol: String): DataFrame = {
+      val ranked = globalRank(base, orderCol, idCol, "__rank")
+      val total = base.agg(count(lit(1)).as("__n"))
+      val counts = ranked.crossJoin(broadcast(total))
+        .withColumn("__file", expr(s"((__rank - 1) * $nFiles) div __n"))
+        .join(probeDf, col("__key") === col("probe"))
+        .select("probe", "__file").distinct()
+        .groupBy("probe").agg(count(lit(1)).as("n_containing"))
+      probeDf.join(counts, Seq("probe"), "left")
+        .select(lit(layout).as("layout"), col("probe"),
+          lit(nFiles).cast("long").as("n_files"),
+          coalesce(col("n_containing"), lit(0L)).as("n_containing"),
+          ((lit(nFiles) - coalesce(col("n_containing"), lit(0L)))
+            .cast("double") / lit(nFiles).cast("double")).as("skip_ratio"))
+    }
+    audit("sorted", "__key").unionAll(audit("natural", idCol))
+  }
+
   /** Price EVERY candidate sort key against a probe workload before
     * paying for any re-sort: for each candidate layout (rows laid into
     * `nFiles` equal files in `(candidate, idCol)` order — [[zoneMapAudit]]'s

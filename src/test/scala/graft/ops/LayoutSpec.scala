@@ -137,6 +137,34 @@ class LayoutSpec extends SparkSpec {
     graft.core.CacheRegistry.drain()
   }
 
+  test("pointSkipAudit: sorted localizes a key to one file, scattered " +
+    "keys touch many; absent probes skip everything") {
+    // key = id div 10: values 0..9, ten copies each, CONSECUTIVE in id
+    // order - sorted and natural layouts coincide, each key in 1 file.
+    // key2 = id mod 10 scatters every value across all ten files.
+    val df = (0L until 100L).map(i => (i, i / 10, i % 10))
+      .toDF("id", "k1", "k2")
+    val r1 = graft.core.CacheRegistry.scoped {
+      Layout.pointSkipAudit(df.select($"id", $"k1"), "id", "k1", 10,
+        Seq(3L, 42L)).collect()
+        .map(x => (x.getString(0), x.getLong(1)) ->
+          ((x.getLong(3), x.getDouble(4)))).toMap
+    }
+    r1(("sorted", 3L)) shouldBe ((1L, 0.9))
+    r1(("natural", 3L)) shouldBe ((1L, 0.9)) // already clustered
+    r1(("sorted", 42L)) shouldBe ((0L, 1.0)) // absent: skip all
+    val r2 = graft.core.CacheRegistry.scoped {
+      Layout.pointSkipAudit(df.select($"id", $"k2"), "id", "k2", 10,
+        Seq(3L)).collect()
+        .map(x => x.getString(0) -> ((x.getLong(3), x.getDouble(4)))).toMap
+    }
+    r2("sorted") shouldBe ((1L, 0.9))   // re-sorting clusters the key
+    r2("natural") shouldBe ((10L, 0.0)) // scattered: index skips nothing
+    an[IllegalArgumentException] should be thrownBy
+      Layout.pointSkipAudit(df, "id", "k1", 1, Seq(1L))
+    graft.core.CacheRegistry.drain()
+  }
+
   test("sortKeyAdvisor: each layout prunes its own column exactly, " +
     "scattered cross-column probes prune (almost) nothing") {
     // a = 1..100 in id order; b = (id·37 mod 100) is a scattering
