@@ -913,6 +913,48 @@ class PlanSpec extends SparkSpec {
     graft.core.CacheRegistry.drain()
   }
 
+  test("naive bayes: scoring joins the grid on the term key, no " +
+    "sort-merge anywhere (q253)") {
+    graft.core.CacheRegistry.scoped {
+      val plan = planOf(SparkEntry.queries("q253_naive_bayes")(spark, sf0001))
+      plan should not include "SortMergeJoin"
+      plan should include("InMemoryTableScan") // (term,label) counts reused
+    }
+    graft.core.CacheRegistry.drain()
+  }
+
+  test("categorical MI reduces to one grid hash-agg with broadcast " +
+    "totals (q254)") {
+    graft.core.CacheRegistry.scoped {
+      val plan = planOf(SparkEntry.queries("q254_categorical_mi")(spark, sf0001))
+      plan should not include "CartesianProduct"
+      plan should not include "Exchange rangepartitioning"
+      plan should include("InMemoryTableScan") // grid built once
+    }
+    graft.core.CacheRegistry.drain()
+  }
+
+  test("funnel latency: one persisted first-seen reduction feeds every " +
+    "pair join (q256)") {
+    graft.core.CacheRegistry.scoped {
+      val plan = planOf(SparkEntry.queries("q256_funnel_latency")(spark, sf0001))
+      plan should not include "CartesianProduct"
+      plan should include("InMemoryTableScan")
+      plan should not include "Exchange SinglePartition"
+    }
+    graft.core.CacheRegistry.drain()
+  }
+
+  test("point-skip audit filters to the broadcast probe list before any " +
+    "shuffle (q257)") {
+    graft.core.CacheRegistry.scoped {
+      val plan = planOf(SparkEntry.queries("q257_pointskip_audit")(spark, sf0001))
+      plan should not include "CartesianProduct"
+      plan should include("BroadcastHashJoin") // the probe-list join
+    }
+    graft.core.CacheRegistry.drain()
+  }
+
   test("sort-key advisor: zones come from range exchanges, the predicate " +
     "grid joins broadcast (q241)") {
     graft.core.CacheRegistry.scoped {
