@@ -1820,6 +1820,20 @@ object SparkEntry {
     // question from plain versioned manifests): v1→v2 replaced the whole
     // table, so every v2 row diffs as insert and every v1 row as delete —
     // the oracle enumerates both sides explicitly
+    // key-aware change feed (Delta-CDF semantics): value changes become
+    // update pre/post pairs instead of unrelated delete+insert
+    "q258_change_feed" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+      val tmp = java.nio.file.Files.createTempDirectory("q258-cdf").toString + "/cust"
+      val store = new graft.sources.TableStore(s)
+      store.overwrite(tmp, cust.where(pmod(col("c_custkey"), lit(3)) < 2)) // v0
+      store.overwrite(tmp, // v1: drop %3=0, keep %3=1 (bump %6=1), add %3=2
+        cust.where(pmod(col("c_custkey"), lit(3)) >= 1)
+          .withColumn("c_acctbal",
+            when(pmod(col("c_custkey"), lit(6)) === 1,
+              col("c_acctbal") + 100.0).otherwise(col("c_acctbal"))))
+      store.changeFeed(tmp, 0, 1, Seq("c_custkey"))
+    }),
     "q130_version_diff" -> ((s, dir) => {
       val cust = t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
       val tmp = java.nio.file.Files.createTempDirectory("q130-diff").toString + "/cust"
@@ -6105,6 +6119,21 @@ object SparkEntry {
         |UNION ALL
         |SELECT c_custkey, c_name, c_acctbal, 'delete' AS change
         |FROM customer WHERE c_custkey % 3 <> 2""".stripMargin,
+    // q258: the expected feed derived directly from the same mod rules;
+    // +100.0 is the identical double addition on both engines
+    "q258_change_feed" ->
+      """SELECT c_custkey, c_name, c_acctbal, 'delete' AS change
+        |FROM customer WHERE c_custkey % 3 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal, 'insert' AS change
+        |FROM customer WHERE c_custkey % 3 = 2
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal, 'update_preimage' AS change
+        |FROM customer WHERE c_custkey % 6 = 1
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal + 100.0, 'update_postimage'
+        |  AS change
+        |FROM customer WHERE c_custkey % 6 = 1""".stripMargin,
     "q131_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS group_size,
         |  count(*) < 10 AS at_risk

@@ -221,6 +221,33 @@ class TableStoreSpec extends SparkSpec {
     e.getMessage should include("schema")
   }
 
+  test("changeFeed classifies keyed updates as pre/post pairs, drops " +
+    "unchanged rows, null payloads compare null-safely") {
+    val store = new TableStore(spark)
+    val t = tmp() + "/t"
+    store.append(t,
+      Seq((1, Some("a")), (2, Some("b")), (3, None), (4, Some("d")))
+        .toDF("id", "v"))                                          // v0
+    store.overwrite(t,
+      Seq((2, Some("B")), (3, None), (4, Some("d")), (5, Some("e")))
+        .toDF("id", "v"))                                          // v1
+    val feed = graft.core.CacheRegistry.scoped {
+      store.changeFeed(t, 0, 1, Seq("id"))
+        .as[(Int, Option[String], String)].collect().toSet
+    }
+    feed shouldBe Set(
+      (1, Some("a"), "delete"),
+      (5, Some("e"), "insert"),
+      (2, Some("b"), "update_preimage"),
+      (2, Some("B"), "update_postimage"))
+    // ids 3 (null payload, unchanged) and 4 (unchanged) are absent
+    an[IllegalArgumentException] should be thrownBy
+      store.changeFeed(t, 0, 1, Seq.empty)
+    an[IllegalArgumentException] should be thrownBy
+      store.changeFeed(t, 0, 1, Seq("missing"))
+    graft.core.CacheRegistry.drain()
+  }
+
   test("a crashed writer's orphan manifest never blocks later commits") {
     val store = new TableStore(spark)
     val t = tmp() + "/t"
