@@ -1820,6 +1820,26 @@ object SparkEntry {
     // question from plain versioned manifests): v1→v2 replaced the whole
     // table, so every v2 row diffs as insert and every v1 row as delete —
     // the oracle enumerates both sides explicitly
+    // incremental VIEW MAINTENANCE: the q258 change feed applied to the
+    // invertible daily mart (retract pre-images, add post-images) must
+    // equal a full recompute of the new version - no history rescan
+    "q259_ivm_apply" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      val tmp = java.nio.file.Files.createTempDirectory("q259-ivm").toString + "/orders"
+      val store = new graft.sources.TableStore(s)
+      val v0 = o.where(pmod(col("o_orderkey"), lit(3)) < 2)
+      store.overwrite(tmp, v0)
+      store.overwrite(tmp,
+        o.where(pmod(col("o_orderkey"), lit(3)) >= 1)
+          .withColumn("o_totalprice",
+            when(pmod(col("o_orderkey"), lit(6)) === 1,
+              col("o_totalprice") + 100.0).otherwise(col("o_totalprice"))))
+      val feed = store.changeFeed(tmp, 0, 1, Seq("o_orderkey"))
+      graft.etl.IncrementalMart.finalizeInvertible(
+        graft.etl.IncrementalMart.applyChangeFeed(
+          graft.etl.IncrementalMart.invertibleDailyPartials(v0), feed))
+    }),
     // key-aware change feed (Delta-CDF semantics): value changes become
     // update pre/post pairs instead of unrelated delete+insert
     "q258_change_feed" -> ((s, dir) => {
@@ -6119,6 +6139,22 @@ object SparkEntry {
         |UNION ALL
         |SELECT c_custkey, c_name, c_acctbal, 'delete' AS change
         |FROM customer WHERE c_custkey % 3 <> 2""".stripMargin,
+    // q259: the oracle recomputes the mart from the NEW version's rows
+    // (same mod rules) - any retraction error shows as a mismatch
+    "q259_ivm_apply" ->
+      """WITH v1 AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CASE WHEN o_orderkey % 6 = 1 THEN o_totalprice + 100.0
+        |      ELSE o_totalprice END AS p
+        |  FROM orders
+        |  WHERE o_orderdate IS NOT NULL AND o_orderkey % 3 >= 1),
+        |m AS (SELECT day, count(*) AS n_orders,
+        |    sum(CAST(round(p * 100.0) AS BIGINT)) AS cents
+        |  FROM v1 GROUP BY 1)
+        |SELECT day, CAST(n_orders AS BIGINT) AS n_orders,
+        |  CAST(cents AS DOUBLE) / 100.0 AS revenue,
+        |  CAST((cents * 10000) // n_orders AS DOUBLE) / 1000000.0
+        |    AS avg_order
+        |FROM m""".stripMargin,
     // q258: the expected feed derived directly from the same mod rules;
     // +100.0 is the identical double addition on both engines
     "q258_change_feed" ->

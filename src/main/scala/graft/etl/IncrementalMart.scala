@@ -74,6 +74,57 @@ object IncrementalMart {
         .as("avg_order"),
       hll_sketch_estimate(col("cust_sketch")).as("est_customers"))
 
+  /** INVERTIBLE per-day partials — the abelian-group subset of
+    * [[dailyPartials]] (counts and integer-cent sums support
+    * subtraction; min/max lattices and HLL sketches do NOT — a deletion
+    * there forces a rebuild, which is exactly why this mart carries only
+    * the invertible metrics). `sign = -1` negates a slice for
+    * retraction. */
+  def invertibleDailyPartials(orders: DataFrame, sign: Int = 1): DataFrame = {
+    require(sign == 1 || sign == -1,
+      s"invertibleDailyPartials: sign must be +-1, got $sign")
+    orders
+      .where(col("o_orderdate").isNotNull)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(
+        (count(lit(1)) * sign).as("n_orders"),
+        (sum(round(col("o_totalprice") * 100.0, 0).cast("long")) * sign)
+          .as("cents"))
+  }
+
+  /** Incremental VIEW MAINTENANCE: apply a [[graft.sources.TableStore
+    * .changeFeed]] delta to the stored invertible mart — deletions and
+    * update pre-images RETRACT (sign −1), insertions and post-images
+    * ADD (sign +1), and the merged mart must equal a full recompute of
+    * the new version (the q259 contract). This is the third freshness
+    * strategy next to merge-only partials (q240) and streaming merges
+    * (q245): when upstream can DELETE or UPDATE, a mart fed by a keyed
+    * change feed stays exact without ever rescanning history. Days whose
+    * count reaches zero drop out (fully retracted).
+    *
+    * Scale shape: two delta hash-aggs over the FEED (not the fact) plus
+    * one |days|-row merge. */
+  def applyChangeFeed(stored: DataFrame, feed: DataFrame,
+                      changeCol: String = "change"): DataFrame = {
+    val add = feed.where(col(changeCol).isin("insert", "update_postimage"))
+    val retract = feed.where(col(changeCol).isin("delete", "update_preimage"))
+    stored
+      .unionByName(invertibleDailyPartials(add, 1))
+      .unionByName(invertibleDailyPartials(retract, -1))
+      .groupBy("day")
+      .agg(sum("n_orders").as("n_orders"), sum("cents").as("cents"))
+      .where(col("n_orders") > 0)
+  }
+
+  /** Serving view of the invertible mart: exact revenue and the
+    * micro-integer average (the [[finalizeMart]] `div` rule). */
+  def finalizeInvertible(partials: DataFrame): DataFrame =
+    partials.select(
+      col("day"), col("n_orders"),
+      (col("cents").cast("double") / 100.0).as("revenue"),
+      (expr("(cents * 10000) div n_orders").cast("double") / 1000000.0)
+        .as("avg_order"))
+
   /** The q240 contract: orders split by `splitPred` into two slices, each
     * reduced to partials, merged, finalized — and the HLL estimate judged
     * against the exact per-day distinct within `sigmas` HLL relative

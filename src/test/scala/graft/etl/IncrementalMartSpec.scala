@@ -67,6 +67,33 @@ class IncrementalMartSpec extends SparkSpec {
     martTotal shouldBe direct
   }
 
+  test("applyChangeFeed: retractions + additions equal a full recompute; " +
+    "fully-retracted days drop out") {
+    import org.apache.spark.sql.functions.lit
+    val v0 = orders.where($"o_orderkey" <= 5) // days 1 and 2
+    // feed: delete order 1 (day1), update order 2 (+100), delete BOTH
+    // day-2 orders (4, 5), insert order 7 on a new day
+    val feed = Seq(
+      (1L, 10L, 100.10, ts("2024-01-01"), "delete"),
+      (2L, 11L, 200.20, ts("2024-01-01"), "update_preimage"),
+      (2L, 11L, 300.20, ts("2024-01-01"), "update_postimage"),
+      (4L, 12L, 999.99, ts("2024-01-02"), "delete"),
+      (5L, 12L, 0.01, ts("2024-01-02"), "delete"),
+      (7L, 14L, 50.00, ts("2024-01-04"), "insert"))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "change")
+    val after = IncrementalMart.finalizeInvertible(
+      IncrementalMart.applyChangeFeed(
+        IncrementalMart.invertibleDailyPartials(v0), feed))
+      .collect().map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    // day1: orders 3 (50.05) and updated 2 (300.20)
+    after("2024-01-01") shouldBe ((2L, 350.25))
+    after.get("2024-01-02") shouldBe None // fully retracted
+    after("2024-01-04") shouldBe ((1L, 50.0))
+    an[IllegalArgumentException] should be thrownBy
+      IncrementalMart.invertibleDailyPartials(orders, 0)
+  }
+
   test("null split predicate rows fall to the fresh side, nothing is lost") {
     val withNull = orders.withColumn("flag",
       when($"o_orderkey" === 1, lit(null).cast("boolean"))
