@@ -955,6 +955,30 @@ class PlanSpec extends SparkSpec {
     graft.core.CacheRegistry.drain()
   }
 
+  test("change feed: one persisted full-outer join feeds all four " +
+    "branches (q258)") {
+    graft.core.CacheRegistry.scoped {
+      val plan = planOf(SparkEntry.queries("q258_change_feed")(spark, sf0001))
+      plan should not include "CartesianProduct"
+      plan should include("InMemoryTableScan") // the joined pair reused
+      // the single full-outer join is inside the persisted frame; the
+      // four branches must NOT re-join on top of it
+      plan should not include "Join"
+    }
+    graft.core.CacheRegistry.drain()
+  }
+
+  test("ivm apply aggregates the FEED, not the fact - delta hash-aggs " +
+    "plus one mart-key merge (q259)") {
+    graft.core.CacheRegistry.scoped {
+      val plan = planOf(SparkEntry.queries("q259_ivm_apply")(spark, sf0001))
+      plan should not include "CartesianProduct"
+      plan should not include "Exchange rangepartitioning"
+      plan should not include "Exchange SinglePartition"
+    }
+    graft.core.CacheRegistry.drain()
+  }
+
   test("sort-key advisor: zones come from range exchanges, the predicate " +
     "grid joins broadcast (q241)") {
     graft.core.CacheRegistry.scoped {
