@@ -961,9 +961,11 @@ class PlanSpec extends SparkSpec {
       val plan = planOf(SparkEntry.queries("q258_change_feed")(spark, sf0001))
       plan should not include "CartesianProduct"
       plan should include("InMemoryTableScan") // the joined pair reused
-      // the single full-outer join is inside the persisted frame; the
-      // four branches must NOT re-join on top of it
-      plan should not include "Join"
+      plan should include("FullOuter")
+      // every join in the string is the ONE cached full-outer printed
+      // once per branch reference - no branch re-joins on top of it
+      "Join".r.findAllIn(plan).size shouldBe
+        "FullOuter".r.findAllIn(plan).size
     }
     graft.core.CacheRegistry.drain()
   }
