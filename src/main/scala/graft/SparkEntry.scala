@@ -4706,10 +4706,12 @@ object SparkEntry {
     // q242: digit from the value's decimal string (exact), Benford
     // shares via the same ln-ratio both engines round at 6 dp
     "q242_benford_audit" ->
-      """WITH d AS (SELECT substr(CAST(l_extendedprice AS VARCHAR), 1, 1)
-        |    AS digit
+      """WITH d AS (SELECT regexp_extract(CAST(l_extendedprice AS VARCHAR),
+        |      '[1-9]', 0) AS digit
         |  FROM lineitem
-        |  WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0),
+        |  WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0
+        |    AND regexp_extract(CAST(l_extendedprice AS VARCHAR),
+        |      '[1-9]', 0) <> ''),
         |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
         |t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM c),
         |s AS (SELECT digit, CAST(n AS BIGINT) AS n,

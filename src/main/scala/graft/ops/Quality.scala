@@ -1003,11 +1003,13 @@ object Quality {
   /** Benford first-digit audit over a positive numeric column — the
     * classic fabricated-data / broken-upstream detector: organically
     * grown magnitudes follow `P(d) = log10(1 + 1/d)`, while synthetic,
-    * truncated, or unit-mangled feeds pile onto a few digits. The first
-    * digit comes from the value's decimal string (not `log10` bucketing),
-    * so the digit grid is exact and engine-portable; only the shares are
-    * rounded (6 dp). Output: (digit, n, share, benford_share, abs_gap) —
-    * one row per observed leading digit.
+    * truncated, or unit-mangled feeds pile onto a few digits. The leading
+    * SIGNIFICANT digit is the first `[1-9]` character of the value's
+    * decimal string (not `log10` bucketing — exact and engine-portable,
+    * and correct for sub-unit values like 0.5 where the first CHARACTER
+    * would be the meaningless '0'); only the shares are rounded (6 dp).
+    * Output: (digit, n, share, benford_share, abs_gap) — one row per
+    * observed leading digit.
     *
     * Scale shape: ONE 9-bucket hash-agg with map-side combine over the
     * scan; the total rides in as a broadcast scalar. Nothing here grows
@@ -1015,7 +1017,8 @@ object Quality {
   def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
     val v = col(valueCol)
     val pos = df.where(v.isNotNull && v > 0)
-      .select(substring(v.cast("string"), 1, 1).as("digit"))
+      .select(regexp_extract(v.cast("string"), "[1-9]", 0).as("digit"))
+      .where(col("digit") =!= "") // 0-and-epsilon strings carry no digit
     val counts = pos.groupBy("digit").agg(count(lit(1)).as("n"))
     val tot = counts.agg(sum("n").cast("double").as("__tot"))
     counts.crossJoin(broadcast(tot))

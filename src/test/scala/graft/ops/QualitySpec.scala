@@ -549,9 +549,10 @@ class QualitySpec extends SparkSpec {
     graft.core.CacheRegistry.drain()
   }
 
-  test("benfordAudit: string-derived digits, nulls and non-positives " +
-    "dropped, hand-computed shares") {
-    val df = Seq(Some(1.5), Some(19.9), Some(12.0), Some(2.5), Some(900.0),
+  test("benfordAudit: leading SIGNIFICANT digit (sub-unit values " +
+    "included), nulls and non-positives dropped, hand-computed shares") {
+    // 0.25 contributes digit 2 - the first [1-9], not the character '0'
+    val df = Seq(Some(1.5), Some(19.9), Some(12.0), Some(0.25), Some(900.0),
       Some(-5.0), Some(0.0), None).toDF("v")
     val r = Quality.benfordAudit(df, "v").collect()
       .map(x => x.getString(0) ->
