@@ -1370,6 +1370,22 @@ object SparkEntry {
         .collect().map(r => (r.getString(0), r.getString(1))).toSeq
       graft.ops.Corpus.bpeRoundTrip(docs, "doc_id", "text", merges)
     }),
+    // z-order priced in the advisor: the Morton layout buys BOTH columns
+    // partial pruning where a single-column sort buys one column
+    // everything and the other nothing - the classic trade, as exact
+    // integer skip counts
+    "q260_zorder_audit" -> ((s, dir) => {
+      import graft.ops.Layout
+      val li = t(s, dir, "lineitem").select(
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("rid"),
+        col("l_partkey"), col("l_suppkey"))
+        .withColumn("zv", Layout.zValue(
+          Layout.rangeBucket(col("l_partkey").cast("double"), 0.0, 20000.0, 8),
+          Layout.rangeBucket(col("l_suppkey").cast("double"), 0.0, 1000.0, 8),
+          8))
+      Layout.sortKeyAdvisor(li, "rid", Seq("l_partkey", "zv"),
+        Seq(("l_partkey", 1000.0, 2000.0), ("l_suppkey", 100.0, 150.0)), 64)
+    }),
     // point-lookup skip audit: what a per-file MEMBERSHIP index (bloom
     // upper bound, measured exactly) buys on each layout - the q239/q241
     // family's third number
@@ -5502,6 +5518,50 @@ object SparkEntry {
       s"""SELECT CAST(ts AS DATE) AS event_date,
          |$cols
          |FROM events GROUP BY 1""".stripMargin
+    },
+    // q260: the Morton interleave replayed as 2*bits masked shifts over
+    // the same clamped buckets (powers-of-two widths are exact doubles);
+    // then q241's rank-div zone machinery per layout
+    "q260_zorder_audit" -> {
+      val zExpr = (0 until 8).map(i =>
+        s"((xb & ${1L << i}) << $i) | ((yb & ${1L << i}) << ${i + 1})")
+        .mkString(" | ")
+      s"""WITH raw AS (SELECT l_orderkey * 8 + l_linenumber AS rid,
+         |    CAST(l_partkey AS DOUBLE) AS c1,
+         |    CAST(l_suppkey AS DOUBLE) AS c2,
+         |    GREATEST(0, LEAST(255, CAST(floor(
+         |      (CAST(l_partkey AS DOUBLE) - 0.0) / 78.125) AS BIGINT))) AS xb,
+         |    GREATEST(0, LEAST(255, CAST(floor(
+         |      (CAST(l_suppkey AS DOUBLE) - 0.0) / 3.90625) AS BIGINT))) AS yb
+         |  FROM lineitem),
+         |base AS (SELECT rid, c1, c2, CAST($zExpr AS DOUBLE) AS zv FROM raw),
+         |nn AS (SELECT count(*) AS n FROM base),
+         |p AS (SELECT probe_col, CAST(lo AS DOUBLE) AS pred_lo,
+         |    CAST(hi AS DOUBLE) AS pred_hi
+         |  FROM (VALUES ('l_partkey', 1000.0, 2000.0),
+         |               ('l_suppkey', 100.0, 150.0)) t(probe_col, lo, hi)),
+         |z1 AS (SELECT ((row_number() OVER (ORDER BY c1, rid) - 1) * 64)
+         |    // n AS f, c1, c2 FROM base, nn),
+         |f1 AS (SELECT f, min(c1) AS mn1, max(c1) AS mx1,
+         |    min(c2) AS mn2, max(c2) AS mx2 FROM z1 GROUP BY 1),
+         |z2 AS (SELECT ((row_number() OVER (ORDER BY zv, rid) - 1) * 64)
+         |    // n AS f, c1, c2 FROM base, nn),
+         |f2 AS (SELECT f, min(c1) AS mn1, max(c1) AS mx1,
+         |    min(c2) AS mn2, max(c2) AS mx2 FROM z2 GROUP BY 1),
+         |mm AS (
+         |  SELECT 'l_partkey' AS sort_key, 'l_partkey' AS probe_col,
+         |    mn1 AS mn, mx1 AS mx FROM f1
+         |  UNION ALL SELECT 'l_partkey', 'l_suppkey', mn2, mx2 FROM f1
+         |  UNION ALL SELECT 'zv', 'l_partkey', mn1, mx1 FROM f2
+         |  UNION ALL SELECT 'zv', 'l_suppkey', mn2, mx2 FROM f2)
+         |SELECT sort_key, probe_col, pred_lo, pred_hi,
+         |  CAST(count(*) AS BIGINT) AS n_files,
+         |  CAST(sum(CASE WHEN mx < pred_lo OR mn > pred_hi THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_skipped,
+         |  CAST(sum(CASE WHEN mx < pred_lo OR mn > pred_hi THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS skip_ratio
+         |FROM mm JOIN p USING (probe_col)
+         |GROUP BY 1, 2, 3, 4""".stripMargin
     },
     // q257: row_number file replay per layout, exact membership counts;
     // absent probes skip everything

@@ -137,6 +137,26 @@ class LayoutSpec extends SparkSpec {
     graft.core.CacheRegistry.drain()
   }
 
+  test("z-order layout prices BOTH dimensions where a single-column " +
+    "sort prices one (the q260 composition)") {
+    val df = (0L until 256L).map(i => (i, i.toDouble, ((i * 37) % 256).toDouble))
+      .toDF("id", "x", "y")
+      .withColumn("zv", Layout.zValue(
+        Layout.rangeBucket($"x", 0, 256, 8),
+        Layout.rangeBucket($"y", 0, 256, 8), 8))
+    val r = graft.core.CacheRegistry.scoped {
+      Layout.sortKeyAdvisor(df, "id", Seq("x", "zv"),
+        Seq(("x", 10.0, 40.0), ("y", 10.0, 40.0)), 16)
+        .collect()
+        .map(o => (o.getString(0), o.getString(1)) -> o.getDouble(6)).toMap
+    }
+    r(("x", "x")) should be >= 0.8  // own column: near-full pruning
+    r(("x", "y")) should be <= 0.1  // scattered cross column: nothing
+    r(("zv", "x")) should be >= 0.2 // morton: PARTIAL pruning on both
+    r(("zv", "y")) should be >= 0.2
+    graft.core.CacheRegistry.drain()
+  }
+
   test("pointSkipAudit: sorted localizes a key to one file, scattered " +
     "keys touch many; absent probes skip everything") {
     // key = id div 10: values 0..9, ten copies each, CONSECUTIVE in id
