@@ -5736,7 +5736,7 @@ object SparkEntry {
         |  FROM daily),
         |b AS (SELECT k, min(d) AS d0 FROM m GROUP BY 1),
         |x AS (SELECT m.k, CAST(datediff('day', b.d0, m.d) AS BIGINT) AS x,
-        |    m.m FROM m JOIN b ON m.k = b.k),
+        |    m.m FROM m JOIN b ON m.k IS NOT DISTINCT FROM b.k),
         |s AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(m) AS BIGINT) AS sy,
         |    CAST(sum(x * m) AS BIGINT) AS sxy,

@@ -881,7 +881,8 @@ object EventAnalytics {
     * index, so n, Σx, Σy, Σxy, Σx² are all EXACT LONG sums — the
     * closed-form `slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)` is then one
     * double expression over identical inputs on any engine. Keys with a
-    * single day (zero x-variance) get NULL slope/intercept. Output:
+    * single day (zero x-variance) get NULL slope/intercept; a NULL key
+    * forms its own cohort (null-safe base-day join). Output:
     * (key, n_days, slope, intercept) — per-day units, 6 dp.
     *
     * Scale shape: the event log reduces in ONE (key, day) hash-agg;
@@ -895,8 +896,11 @@ object EventAnalytics {
       .groupBy(col(keyCol).as("__k"), to_date(col(tsCol)).as("__d"))
       .agg(round(sum(col(valueCol).cast("double")), 6).as("__v"))
       .withColumn("__m", round(col("__v") * 1000000.0, 0).cast("long"))
+    // null-safe base-day join: a null key forms its own cohort (the
+    // kAnonymityAudit rule) instead of silently vanishing
     val base = daily.groupBy("__k").agg(min("__d").as("__d0"))
-    val s = daily.join(base, Seq("__k"))
+      .withColumnRenamed("__k", "__bk")
+    val s = daily.join(base, col("__k") <=> col("__bk"))
       .select(col("__k"), datediff(col("__d"), col("__d0")).cast("long").as("__x"),
         col("__m"))
       .groupBy("__k")

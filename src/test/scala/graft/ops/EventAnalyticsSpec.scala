@@ -616,19 +616,22 @@ class EventAnalyticsSpec extends SparkSpec {
     import java.sql.Timestamp
     def ts(d: String) = Timestamp.valueOf(s"2024-01-0$d 10:00:00")
     val ev = Seq(
-      ("a", ts("1"), 4.0), ("a", ts("1"), 6.5), // day 0 total 10.5
-      ("a", ts("2"), 20.5),                     // day 1
-      ("a", ts("3"), 30.5),                     // day 2 - exact line
-      ("b", ts("1"), 7.0))
+      (Some("a"), ts("1"), 4.0), (Some("a"), ts("1"), 6.5), // day 0: 10.5
+      (Some("a"), ts("2"), 20.5),                           // day 1
+      (Some("a"), ts("3"), 30.5),                           // day 2 - line
+      (Some("b"), ts("1"), 7.0),
+      (None, ts("1"), 1.0), (None, ts("2"), 2.0)) // null-key cohort
       .toDF("k", "ts", "v")
     val r = EventAnalytics.olsTrendByKey(ev, "k", "ts", "v")
-      .collect().map(x => x.getString(0) -> x).toMap
-    r("a").getLong(1) shouldBe 3L
-    r("a").getDouble(2) shouldBe 10.0 // slope
-    r("a").getDouble(3) shouldBe 10.5 // intercept
-    r("b").getLong(1) shouldBe 1L
-    r("b").isNullAt(2) shouldBe true
-    r("b").isNullAt(3) shouldBe true
+      .collect().map(x => Option(x.getString(0)) -> x).toMap
+    r(Some("a")).getLong(1) shouldBe 3L
+    r(Some("a")).getDouble(2) shouldBe 10.0 // slope
+    r(Some("a")).getDouble(3) shouldBe 10.5 // intercept
+    r(Some("b")).getLong(1) shouldBe 1L
+    r(Some("b")).isNullAt(2) shouldBe true
+    r(Some("b")).isNullAt(3) shouldBe true
+    r(None).getLong(1) shouldBe 2L // null keys keep their own trend
+    r(None).getDouble(2) shouldBe 1.0
   }
 
   test("sequentialPairs: existential precede via min/max reduction, " +
