@@ -1370,6 +1370,16 @@ object SparkEntry {
         .collect().map(r => (r.getString(0), r.getString(1))).toSeq
       graft.ops.Corpus.bpeRoundTrip(docs, "doc_id", "text", merges)
     }),
+    // tokenizer fairness: per-language corpus-level fertility and parity
+    // vs the best-served language - q215's promised per-group aggregate
+    "q261_fertility_parity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.ops.Corpus.bpeTrain(docs, "text", 5)
+        .orderBy("step").select("left", "right")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      graft.ops.Corpus.bpeFertilityByGroup(docs, "doc_id", "text", "lang",
+        merges)
+    }),
     // z-order priced in the advisor: the Morton layout buys BOTH columns
     // partial pruning where a single-column sort buys one column
     // everything and the other nothing - the classic trade, as exact
@@ -5518,6 +5528,34 @@ object SparkEntry {
       s"""SELECT CAST(ts AS DATE) AS event_date,
          |$cols
          |FROM events GROUP BY 1""".stripMargin
+    },
+    // q261: the q215 training replay grouped by language; fertility is
+    // one division of HUGEINT-exact sums, parity divides by the window
+    // max of the same raw ratio
+    "q261_fertility_parity" -> {
+      val (ctes, nested, bestsFrom) = bpeOracleParts(5)
+      s"""WITH $ctes,
+         |wd AS (
+         |  SELECT doc_id, lang,
+         |    list_transform(generate_series(1, len(w)), i -> w[i:i]) AS chars
+         |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+         |        FROM documents) WHERE len(w) > 0),
+         |tok AS (
+         |  SELECT doc_id, lang, CAST(len(chars) AS BIGINT) AS nc,
+         |    CAST(len($nested) AS BIGINT) AS nt
+         |  FROM wd, $bestsFrom),
+         |per AS (SELECT doc_id, any_value(lang) AS lang,
+         |    CAST(sum(nc) AS BIGINT) AS nc, CAST(sum(nt) AS BIGINT) AS nt
+         |  FROM tok GROUP BY 1),
+         |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(nc) AS BIGINT) AS n_chars,
+         |    CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |    CAST(sum(nc) AS DOUBLE) / CAST(sum(nt) AS DOUBLE) AS r
+         |  FROM per GROUP BY 1)
+         |SELECT lang, n_docs, n_chars, n_tokens,
+         |  round(r, 6) AS chars_per_token,
+         |  round(r / max(r) OVER (), 6) AS parity
+         |FROM g""".stripMargin
     },
     // q260: the Morton interleave replayed as 2*bits masked shifts over
     // the same clamped buckets (powers-of-two widths are exact doubles);

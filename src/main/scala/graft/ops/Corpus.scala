@@ -992,6 +992,38 @@ object Corpus {
           .as("chars_per_token"))
   }
 
+  /** Tokenizer FAIRNESS mart — the per-group (per-language) aggregate
+    * [[bpeTokenStats]]'s scaladoc promises: corpus-level fertility
+    * `Σ chars / Σ tokens` per group (exact LONG sums, ONE division — not
+    * a mean of per-doc ratios, which would weight short docs up), and
+    * PARITY = own fertility / best fertility. A language the tokenizer
+    * fragments (parity ≪ 1) pays proportionally more sequence length —
+    * and therefore more training compute — for the same text; this mart
+    * is the number multilingual tokenizer work optimizes. NULL groups
+    * form their own cohort. Output: (group, n_docs, n_chars, n_tokens,
+    * chars_per_token, parity), 6 dp.
+    *
+    * Scale shape: the per-doc stats are [[bpeTokenStats]]'s scan-stage
+    * fold; one id-keyed join attaches the group, one group hash-agg
+    * reduces, and the best-fertility scalar rides back broadcast. */
+  def bpeFertilityByGroup(df: DataFrame, idCol: String, textCol: String,
+                          groupCol: String,
+                          merges: Seq[(String, String)]): DataFrame = {
+    val per = bpeTokenStats(df, idCol, textCol, merges)
+    val g = per.join(df.select(col(idCol), col(groupCol).as("__grp")),
+        Seq(idCol))
+      .groupBy("__grp")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"),
+        sum("n_tokens").as("n_tokens"))
+      .withColumn("__ratio",
+        col("n_chars").cast("double") / col("n_tokens").cast("double"))
+    val best = g.agg(max("__ratio").as("__best"))
+    g.crossJoin(broadcast(best))
+      .select(col("__grp").as(groupCol), col("n_docs"), col("n_chars"),
+        col("n_tokens"), round(col("__ratio"), 6).as("chars_per_token"),
+        round(col("__ratio") / col("__best"), 6).as("parity"))
+  }
+
   /** Tokenizer LOSSLESSNESS contract — [[bpeTokenStats]]'s round-trip
     * twin: for every word, the learned merges applied in training order
     * must concatenate back to the exact original word (BPE only ever

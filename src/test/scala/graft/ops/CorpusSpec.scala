@@ -523,6 +523,25 @@ class CorpusSpec extends SparkSpec {
       Corpus.bpeTokenStats(docs, "doc_id", "text", Seq.empty)
   }
 
+  test("bpeFertilityByGroup: corpus-level fertility per group, parity " +
+    "vs the best-served group, null group is its own cohort") {
+    // merges (a,a),(a,b): "aaab" -> [aa,ab] (4 chars, 2 tokens);
+    // "ab" -> [ab] (2/1); "cd" -> [c,d] (2/2)
+    val docs = Seq(
+      (1L, "aaab ab", Some("X")), // 6 chars / 3 tokens = 2.0
+      (2L, "cd cd", Some("Y")),   // 4 / 4 = 1.0
+      (3L, "ab", None))           // 2 / 1 = 2.0 - null cohort
+      .toDF("doc_id", "text", "lang")
+    val r = Corpus.bpeFertilityByGroup(docs, "doc_id", "text", "lang",
+        Seq(("a", "a"), ("a", "b")))
+      .collect().map(x => Option(x.getString(0)) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4),
+          x.getDouble(5)))).toMap
+    r(Some("X")) shouldBe ((1L, 6L, 3L, 2.0, 1.0))
+    r(Some("Y")) shouldBe ((1L, 4L, 4L, 1.0, 0.5))
+    r(None) shouldBe ((1L, 2L, 1L, 2.0, 1.0))
+  }
+
   test("bpeRoundTrip: every tokenization concatenates back to its word") {
     val docs = Seq((1L, "aaab ab ba"), (2L, "abcabc b")).toDF("doc_id", "text")
     val r = Corpus.bpeRoundTrip(docs, "doc_id", "text",
