@@ -1370,6 +1370,15 @@ object SparkEntry {
         .collect().map(r => (r.getString(0), r.getString(1))).toSeq
       graft.ops.Corpus.bpeRoundTrip(docs, "doc_id", "text", merges)
     }),
+    // dedup savings: what the LSH drop actually buys per source, in
+    // documents AND tokens - the curation run's budget line
+    "q262_dedup_savings" -> ((s, dir) => {
+      val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
+      val kept = Dedup.dropNearDuplicates(docs, "doc_id", "text", 3, 0.5,
+        pairGen = Some(Dedup.minHashLshPairs(docs, "doc_id", "text",
+          3, 4, 3, 0.5)))
+      Dedup.dedupSavings(docs, kept, "doc_id", "text", "source")
+    }),
     // tokenizer fairness: per-language corpus-level fertility and parity
     // vs the best-served language - q215's promised per-group aggregate
     "q261_fertility_parity" -> ((s, dir) => {
@@ -5529,6 +5538,35 @@ object SparkEntry {
          |$cols
          |FROM events GROUP BY 1""".stripMargin
     },
+    // q262: q43's LSH keep chain, then flag-and-aggregate per source
+    // (no source-key join, so null sources and emptied sources fall out)
+    "q262_dedup_savings" ->
+      s"""WITH RECURSIVE ${minhashCtes(3, 4, 3)},
+         |jpairs AS (
+         |  SELECT p.id_a, p.id_b
+         |  FROM pairs p JOIN sizes sa ON p.id_a = sa.doc_id
+         |    JOIN sizes sb ON p.id_b = sb.doc_id
+         |  WHERE CAST(p.n_common AS DOUBLE)
+         |    / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE) >= 0.5),
+         |${closureTailSql()},
+         |keep AS (SELECT doc_id FROM assign WHERE cluster_id = doc_id),
+         |d AS (SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+         |  FROM documents),
+         |f AS (SELECT d.source, d.tok,
+         |    CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS kept
+         |  FROM d LEFT JOIN keep k ON d.doc_id = k.doc_id)
+         |SELECT source, CAST(count(*) AS BIGINT) AS docs_before,
+         |  CAST(sum(kept) AS BIGINT) AS docs_after,
+         |  CAST(sum(tok) AS BIGINT) AS tokens_before,
+         |  CAST(sum(CASE WHEN kept = 1 THEN tok ELSE 0 END) AS BIGINT)
+         |    AS tokens_after,
+         |  round(CAST(count(*) - sum(kept) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 6) AS doc_drop_rate,
+         |  round(CAST(sum(tok) - sum(CASE WHEN kept = 1 THEN tok ELSE 0 END)
+         |      AS DOUBLE)
+         |    / CAST(sum(tok) AS DOUBLE), 6) AS token_drop_rate
+         |FROM f GROUP BY 1""".stripMargin,
     // q261: the q215 training replay grouped by language; fertility is
     // one division of HUGEINT-exact sums, parity divides by the window
     // max of the same raw ratio

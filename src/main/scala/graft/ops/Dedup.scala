@@ -893,4 +893,40 @@ object Dedup {
       }
     df.groupBy(col(clusterCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Deduplication SAVINGS report — the before/after budget line a
+    * curation run answers to: per source, documents and whitespace
+    * tokens before the near-dup drop vs after, with the drop rates as
+    * exact integer ratios. Token savings is the number that matters (a
+    * thousand dropped boilerplate pages ≠ a thousand dropped books);
+    * q224's dup RATES say how duplicated a source is, this says what
+    * removing them actually buys. A source can lose everything (its
+    * docs' cluster representatives may all live in OTHER sources), and
+    * NULL sources form their own cohort — both fall out of the
+    * flag-then-aggregate shape, which never joins on the source key.
+    * Output: (source, docs_before, docs_after, tokens_before,
+    * tokens_after, doc_drop_rate, token_drop_rate), 6 dp.
+    *
+    * Scale shape: ONE id-keyed left join marks survivors (ids are
+    * non-null by contract), then ONE source hash-agg carries both the
+    * before and after sums — the corpus is scanned once beyond the
+    * pair machinery that produced `kept`. */
+  def dedupSavings(all: DataFrame, kept: DataFrame, idCol: String,
+                   textCol: String, srcCol: String): DataFrame = {
+    val tok = size(split(col(textCol), " ")).cast("long")
+    val k = kept.select(col(idCol)).withColumn("__k", lit(1L))
+    all.join(k, Seq(idCol), "left")
+      .groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("docs_before"),
+        coalesce(sum(col("__k")), lit(0L)).as("docs_after"),
+        sum(tok).as("tokens_before"),
+        coalesce(sum(when(col("__k").isNotNull, tok).otherwise(lit(0L))),
+          lit(0L)).as("tokens_after"))
+      .select(col("source"), col("docs_before"), col("docs_after"),
+        col("tokens_before"), col("tokens_after"),
+        round((col("docs_before") - col("docs_after")).cast("double") /
+          col("docs_before").cast("double"), 6).as("doc_drop_rate"),
+        round((col("tokens_before") - col("tokens_after")).cast("double") /
+          col("tokens_before").cast("double"), 6).as("token_drop_rate"))
+  }
 }

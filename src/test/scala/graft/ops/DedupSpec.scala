@@ -384,4 +384,22 @@ class DedupSpec extends SparkSpec {
       Dedup.minHashEstimateContract(docs, "doc_id", "text", 3, 4, 3, 0.1)
     graft.core.CacheRegistry.drain()
   }
+
+  test("dedupSavings: per-source doc and token budgets, emptied and " +
+    "null sources survive the report") {
+    val all = Seq(
+      (1L, "a b c", Some("s1")),   // kept (cluster rep)
+      (2L, "a b c d", Some("s2")), // near-dup of 1, dropped -> s2 empties
+      (3L, "x y", Some("s1")),     // unique, kept
+      (4L, "p q r s", None))       // unique, null source
+      .toDF("doc_id", "text", "source")
+    val kept = Seq(1L, 3L, 4L).toDF("doc_id")
+    val r = Dedup.dedupSavings(all, kept, "doc_id", "text", "source")
+      .collect().map(x => Option(x.getString(0)) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4),
+          x.getDouble(5), x.getDouble(6)))).toMap
+    r(Some("s1")) shouldBe ((2L, 2L, 5L, 5L, 0.0, 0.0))
+    r(Some("s2")) shouldBe ((1L, 0L, 4L, 0L, 1.0, 1.0))
+    r(None) shouldBe ((1L, 1L, 4L, 4L, 0.0, 0.0))
+  }
 }
