@@ -1379,6 +1379,18 @@ object SparkEntry {
           3, 4, 3, 0.5)))
       Dedup.dedupSavings(docs, kept, "doc_id", "text", "source")
     }),
+    // bitext-style margin mining: banded LSH candidates across the
+    // parity-split pools, hubness-cancelling margin, mutual-argmax pairs
+    "q263_margin_mates" -> ((s, dir) =>
+      Similarity.marginMates(
+        t(s, dir, "embeddings").withColumn("side",
+          when(col("vec_id") % 2 === 0, "even").otherwise("odd")),
+        "vec_id", "embedding", "side", 3, 8, 3)),
+    // tokenizer-budget design curve: token coverage and OOV rate at each
+    // candidate vocab size, off one corpus scan + the bounded vocab rank
+    "q264_vocab_coverage" -> ((s, dir) =>
+      graft.ops.Corpus.vocabCoverage(t(s, dir, "documents"), "doc_id",
+        "text", Seq(100, 500, 1000, 2000, 4000))),
     // tokenizer fairness: per-language corpus-level fertility and parity
     // vs the best-served language - q215's promised per-group aggregate
     "q261_fertility_parity" -> ((s, dir) => {
@@ -5567,6 +5579,81 @@ object SparkEntry {
          |      AS DOUBLE)
          |    / CAST(sum(tok) AS DOUBLE), 6) AS token_drop_rate
          |FROM f GROUP BY 1""".stripMargin,
+    // q263: full banded-LSH replay (q34's bucket CTE), cross-side filter,
+    // micro-integer top-3 means, the margin division mirrored verbatim,
+    // mutual argmax via the (a,b)=(b,a) self-join of per-query rank-1 rows
+    "q263_margin_mates" -> {
+      def bucket(b: Int) = (b * 8 + 1 to b * 8 + 8).map(i =>
+        s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+      val bandRows = (0 until 3).map(b =>
+        s"SELECT vec_id, $b AS band, ${bucket(b)} AS bucket FROM embeddings")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH banded AS (
+         |  $bandRows),
+         |sided AS (SELECT vec_id,
+         |    CASE WHEN vec_id % 2 = 0 THEN 'even' ELSE 'odd' END AS side
+         |  FROM embeddings),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS cand_id
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |pc AS (
+         |  SELECT c.query_id, c.cand_id, sx.side AS sa, sy.side AS sb,
+         |    round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+         |      CAST(y.embedding AS DOUBLE[])), 6) AS cos
+         |  FROM cand c
+         |  JOIN embeddings x ON x.vec_id = c.query_id
+         |  JOIN embeddings y ON y.vec_id = c.cand_id
+         |  JOIN sided sx ON sx.vec_id = c.query_id
+         |  JOIN sided sy ON sy.vec_id = c.cand_id
+         |  WHERE sx.side <> sy.side),
+         |micro AS (SELECT *,
+         |    CAST(round(cos * 1000000.0, 0) AS BIGINT) AS m FROM pc),
+         |knn AS (
+         |  SELECT query_id, CAST(sum(m) AS BIGINT) AS s,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, cand_id ASC) AS rn FROM micro)
+         |  WHERE rn <= 3 GROUP BY 1),
+         |marg AS (
+         |  SELECT p.query_id, p.cand_id, p.sa, p.sb, p.cos,
+         |    round(p.cos / (((CAST(ka.s AS DOUBLE) / ka.n
+         |      + CAST(kb.s AS DOUBLE) / kb.n) / 2.0) / 1000000.0), 6) AS margin
+         |  FROM micro p
+         |  JOIN knn ka ON ka.query_id = p.query_id
+         |  JOIN knn kb ON kb.query_id = p.cand_id),
+         |best AS (
+         |  SELECT query_id, cand_id, sa, sb, cos, margin,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY margin DESC, cand_id ASC) AS rn
+         |  FROM marg)
+         |SELECT x.query_id AS id_a, x.cand_id AS id_b, x.cos, x.margin
+         |FROM best x JOIN best y
+         |  ON y.rn = 1 AND x.query_id = y.cand_id AND x.cand_id = y.query_id
+         |WHERE x.rn = 1 AND x.sa < x.sb""".stripMargin
+    },
+    // q264: q150's ranked dictionary, a sizes VALUES grid theta-joined on
+    // term_id <= vocab_size, coverage as one double division of exact sums
+    "q264_vocab_coverage" ->
+      """WITH dt AS (
+        |  SELECT doc_id, t.term AS term, count(*) AS tf
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+        |  GROUP BY 1, 2),
+        |ts AS (SELECT term, CAST(sum(tf) AS BIGINT) AS tf FROM dt GROUP BY 1),
+        |r AS (SELECT term, tf,
+        |    row_number() OVER (ORDER BY tf DESC, term) AS term_id FROM ts),
+        |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total_tokens FROM ts),
+        |sizes(vocab_size) AS (VALUES (100), (500), (1000), (2000), (4000))
+        |SELECT s.vocab_size,
+        |  CAST(coalesce(sum(r.tf), 0) AS BIGINT) AS covered_tokens,
+        |  (SELECT total_tokens FROM tot) AS total_tokens,
+        |  round(CAST(coalesce(sum(r.tf), 0) AS DOUBLE)
+        |    / CAST((SELECT total_tokens FROM tot) AS DOUBLE), 6) AS coverage,
+        |  round(CAST((SELECT total_tokens FROM tot) - coalesce(sum(r.tf), 0)
+        |      AS DOUBLE)
+        |    / CAST((SELECT total_tokens FROM tot) AS DOUBLE), 6) AS oov_rate
+        |FROM sizes s LEFT JOIN r ON r.term_id <= s.vocab_size
+        |GROUP BY 1""".stripMargin,
     // q261: the q215 training replay grouped by language; fertility is
     // one division of HUGEINT-exact sums, parity divides by the window
     // max of the same raw ratio

@@ -86,6 +86,44 @@ object Corpus {
       .select(col("term"), col("tf"), col("df_docs"), col("term_id"))
   }
 
+  /** Vocabulary coverage / OOV curve: for each candidate vocabulary size
+    * V, the share of ALL token occurrences the top-V term types cover
+    * ([[termIds]]' ordering: tf desc, ties on the term) and the
+    * out-of-vocabulary remainder. This is the tokenizer-budget design
+    * curve — pick V where the marginal coverage of the next thousand
+    * types stops paying for their embedding rows; an `oov_rate` that
+    * stays high at large V means the corpus tail is unbounded (shattered
+    * tokenization, or genuine open vocabulary that needs subword units).
+    * Sizes beyond the realized vocabulary simply report full coverage,
+    * so one fixed size grid serves every corpus scale.
+    *
+    * Scale shape: one [[termStats]] term-keyed hash-agg, [[termIds]]'
+    * range-exchange rank over the ≤ |vocab| stat rows, then a broadcast
+    * theta-join against the ≤ |sizes| grid (each term duplicated once
+    * per size it falls under) and one size-keyed hash-agg — the corpus
+    * text is scanned once and never rescanned per size. */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+                    sizes: Seq[Int]): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ >= 1),
+      s"vocabCoverage: need sizes >= 1, got $sizes")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ids = graft.core.CacheRegistry.persist(
+      termIds(df, idCol, textCol))
+    val tot = ids.agg(coalesce(sum("tf"), lit(0L)).cast("long")
+      .as("total_tokens"))
+    val sz = sizes.distinct.sorted.toDF("vocab_size")
+    ids.join(broadcast(sz), col("term_id") <= col("vocab_size"), "right")
+      .groupBy("vocab_size")
+      .agg(coalesce(sum("tf"), lit(0L)).cast("long").as("covered_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("vocab_size"), col("covered_tokens"), col("total_tokens"),
+        round(col("covered_tokens").cast("double") /
+          col("total_tokens").cast("double"), 6).as("coverage"),
+        round((col("total_tokens") - col("covered_tokens")).cast("double") /
+          col("total_tokens").cast("double"), 6).as("oov_rate"))
+  }
+
   /** Zipf tail index of the token-frequency distribution — the one-number
     * corpus-health check that catches template spam (alpha collapses
     * toward 1 as a few phrases dominate) and shattered tokenization

@@ -132,6 +132,76 @@ object Similarity {
       .select("query_id", "cand_id", "cos", "rank")
   }
 
+  /** Margin-based mutual mate mining — the bitext-mining shape (Artetxe
+    * & Schwenk 2019, "Margin-based Parallel Corpus Mining"): across two
+    * disjoint pools (`sideCol`, e.g. the two languages' embedding
+    * spaces), each vector's cross-pool candidates are scored not by raw
+    * cosine but by the MARGIN — cosine divided by the mean of the two
+    * endpoints' average top-`k` cross-pool cosines. The ratio cancels
+    * hubness: a vector that is close to *everything* inflates every raw
+    * cosine it touches, but inflates its own denominator just as much,
+    * so it stops winning ties it should not win. A pair is emitted only
+    * when each endpoint is the other's best margin mate (mutual argmax;
+    * ties on the mate id) — the standard precision filter for mined
+    * training pairs. One row per pair, oriented from the smaller side
+    * label. Rows with a NULL side are excluded (a pool must be
+    * declared). The top-k means ride as exact micro-integer sums (6-dp
+    * cosine × 10⁶ as LONG), so the denominator is a pure function of
+    * integers and the score replays bit-identically in any engine.
+    *
+    * Scale shape: candidates come from the banded sign-LSH self-join
+    * ([[bandedCandidatePairs]] — (band, bucket)-keyed shuffles, no N²
+    * stage anywhere), filtered to cross-side; then one id-keyed top-k
+    * window + hash-agg per endpoint and two id-keyed joins put the
+    * margin on every candidate edge; the mutual filter is one
+    * (a,b)=(b,a) self-join over the per-query argmax rows. Every
+    * exchange is keyed by id or (band, bucket); nothing global. */
+  def marginMates(emb: DataFrame, idCol: String, vecCol: String,
+                  sideCol: String, k: Int, bits: Int, bands: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"marginMates: need k >= 1, got $k")
+    val base = emb.where(col(sideCol).isNotNull)
+    val cand = bandedCandidatePairs(base, idCol, vecCol, bits, bands)
+    val vecs = base.select(col(idCol), col(vecCol),
+      normF(col(vecCol)).as("norm"), col(sideCol))
+    val pc = graft.core.CacheRegistry.persist(
+      cand
+        .join(vecs.toDF("query_id", "va", "na", "sa"), Seq("query_id"))
+        .join(vecs.toDF("cand_id", "vb", "nb", "sb"), Seq("cand_id"))
+        .where(col("sa") =!= col("sb"))
+        .select(col("query_id"), col("cand_id"), col("sa"), col("sb"),
+          round(dotF(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+            .as("cos"))
+        .withColumn("micro",
+          round(col("cos") * lit(1000000.0), 0).cast("long")))
+    val wk = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    val knn = pc.withColumn("__rn", row_number().over(wk))
+      .where(col("__rn") <= k)
+      .groupBy("query_id")
+      .agg(sum("micro").as("__s"), count(lit(1)).as("__n"))
+    val marg = pc
+      .join(knn, Seq("query_id"))
+      .join(knn.select(col("query_id").as("cand_id"),
+        col("__s").as("__s2"), col("__n").as("__n2")), Seq("cand_id"))
+      .withColumn("margin", round(col("cos") /
+        (((col("__s").cast("double") / col("__n") +
+          col("__s2").cast("double") / col("__n2")) / 2.0) / 1000000.0), 6))
+    val wb = Window.partitionBy("query_id")
+      .orderBy(col("margin").desc, col("cand_id").asc)
+    val best = graft.core.CacheRegistry.persist(
+      marg.withColumn("__rn", row_number().over(wb))
+        .where(col("__rn") === 1)
+        .select(col("query_id"), col("cand_id"), col("sa"), col("sb"),
+          col("cos"), col("margin")))
+    best.as("x")
+      .join(best.select(col("cand_id").as("query_id"),
+        col("query_id").as("cand_id")).as("y"), Seq("query_id", "cand_id"))
+      .where(col("sa") < col("sb"))
+      .select(col("query_id").as("id_a"), col("cand_id").as("id_b"),
+        col("cos"), col("margin"))
+  }
+
   /** IVF-style ANN with deterministically SAMPLED centroids: the `nCells`
     * vectors whose ids hash lowest (md5 of the id — the same engine-portable
     * device as [[Sampling.md5Bucket]]) act as coarse centroids. Hashing

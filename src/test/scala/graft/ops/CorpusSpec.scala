@@ -580,4 +580,23 @@ class CorpusSpec extends SparkSpec {
     pa should be > 0.5
     graft.core.CacheRegistry.drain()
   }
+
+  test("vocabCoverage: top-V coverage by tf-desc/term-asc rank, " +
+    "oversized V reports full coverage") {
+    // tf: a=4, b=2, c=1, z=1 -> ranks a=1, b=2, c=3, z=4 (tie c<z)
+    val docs = Seq((1L, "a a b"), (2L, "a b c"), (3L, "a z"))
+      .toDF("doc_id", "text")
+    val r = graft.core.CacheRegistry.scoped {
+      Corpus.vocabCoverage(docs, "doc_id", "text", Seq(2, 1, 3, 100))
+        .as[(Int, Long, Long, Double, Double)].collect().sortBy(_._1).toList
+    }
+    r shouldBe List(
+      (1, 4L, 8L, 0.5, 0.5),
+      (2, 6L, 8L, 0.75, 0.25),
+      (3, 7L, 8L, 0.875, 0.125),
+      (100, 8L, 8L, 1.0, 0.0))
+    an[IllegalArgumentException] should be thrownBy
+      Corpus.vocabCoverage(docs, "doc_id", "text", Seq.empty)
+    graft.core.CacheRegistry.drain()
+  }
 }

@@ -378,4 +378,30 @@ class SimilaritySpec extends SparkSpec {
       Similarity.silhouette(pts, "id", "v", 1, 2)
     graft.core.CacheRegistry.drain()
   }
+
+  test("marginMates: mutual cross-pool argmax pairs, self-mate margin " +
+    "1.0, null sides excluded") {
+    // two near-identical cross-side twins; all vectors share the sign
+    // bucket (bits=2, bands=1: everything positive), so the banded
+    // candidates cover every cross pair and the result is exact
+    val emb = Seq(
+      (1L, Seq(1f, 0.10f), Some("a")),
+      (3L, Seq(0.10f, 1f), Some("a")),
+      (2L, Seq(1f, 0.12f), Some("b")),
+      (4L, Seq(0.12f, 1f), Some("b")),
+      (9L, Seq(1f, 0.10f), None)) // null side: must not participate
+      .toDF("id", "v", "side")
+    val r = Similarity.marginMates(emb, "id", "v", "side", 1, 2, 1)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    // with k=1 each endpoint's denominator IS its best cosine, and the
+    // best-by-margin of a twin is the twin: margin = cos/cos = 1.0
+    r.map(x => (x._1, x._2)) shouldBe Array((1L, 2L), (3L, 4L))
+    r.foreach { x =>
+      x._3 should be > 0.9 // cos of the twin pair
+      x._4 shouldBe 1.0 // margin of a mutual top-1
+    }
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.marginMates(emb, "id", "v", "side", 0, 2, 1)
+    graft.core.CacheRegistry.drain()
+  }
 }
