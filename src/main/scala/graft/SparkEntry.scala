@@ -1391,6 +1391,18 @@ object SparkEntry {
     "q264_vocab_coverage" -> ((s, dir) =>
       graft.ops.Corpus.vocabCoverage(t(s, dir, "documents"), "doc_id",
         "text", Seq(100, 500, 1000, 2000, 4000))),
+    // unbiased pass@k over the event log: user = task, purchase =
+    // success; the combinatorial estimator, not the biased first-k cut
+    "q265_pass_at_k" -> ((s, dir) =>
+      graft.ops.Quality.passAtK(
+        t(s, dir, "events").withColumn("ok",
+          col("event_type") === "purchase"),
+        "user_id", "ok", Seq(1, 5, 10))),
+    // corpus-planning pair to q264: Chao1 richness floor + Good-Turing
+    // unseen mass off one frequency-of-frequencies reduce
+    "q266_vocab_richness" -> ((s, dir) =>
+      graft.ops.Corpus.vocabRichness(t(s, dir, "documents"), "doc_id",
+        "text")),
     // tokenizer fairness: per-language corpus-level fertility and parity
     // vs the best-served language - q215's promised per-group aggregate
     "q261_fertility_parity" -> ((s, dir) => {
@@ -5654,6 +5666,45 @@ object SparkEntry {
         |    / CAST((SELECT total_tokens FROM tot) AS DOUBLE), 6) AS oov_rate
         |FROM sizes s LEFT JOIN r ON r.term_id <= s.vocab_size
         |GROUP BY 1""".stripMargin,
+    // q265: per-task (n, c) reduce, then the unrolled product
+    // Pi (n-c-i)/(n-i) in the same left-to-right order per k
+    "q265_pass_at_k" -> {
+      val parts = Seq(1, 5, 10).map { k =>
+        val prod = (0 until k).foldLeft("1.0") { (e, i) =>
+          s"($e * (CAST(n - c - $i AS DOUBLE) / CAST(n - $i AS DOUBLE)))"
+        }
+        s"""SELECT $k AS k, CAST(count(*) AS BIGINT) AS n_tasks,
+           |  round(avg(1.0 - $prod), 6) AS mean_pass_at_k
+           |FROM per WHERE n >= $k""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH per AS (
+         |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS c
+         |  FROM events GROUP BY 1)
+         |$parts""".stripMargin
+    },
+    // q266: frequency-of-frequencies off q150's term stats; chao1 and
+    // Good-Turing mass as single divisions of exact integer sums
+    "q266_vocab_richness" ->
+      """WITH dt AS (
+        |  SELECT doc_id, t.term AS term, count(*) AS tf
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+        |  GROUP BY 1, 2),
+        |ts AS (SELECT term, CAST(sum(tf) AS BIGINT) AS tf FROM dt GROUP BY 1),
+        |sel AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+        |    CAST(sum(tf) AS BIGINT) AS total_tokens,
+        |    CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |    CAST(sum(CASE WHEN tf = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        |  FROM ts)
+        |SELECT vocab_size, total_tokens, f1, f2,
+        |  round(CAST(vocab_size AS DOUBLE)
+        |    + CAST(f1 * (f1 - 1) AS DOUBLE)
+        |      / (2.0 * CAST(f2 + 1 AS DOUBLE)), 6) AS chao1,
+        |  round(CAST(f1 AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
+        |    AS gt_unseen_mass
+        |FROM sel""".stripMargin,
     // q261: the q215 training replay grouped by language; fertility is
     // one division of HUGEINT-exact sums, parity divides by the window
     // max of the same raw ratio

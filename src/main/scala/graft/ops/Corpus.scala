@@ -124,6 +124,35 @@ object Corpus {
           col("total_tokens").cast("double"), 6).as("oov_rate"))
   }
 
+  /** Vocabulary richness / unseen-mass estimators — how much vocabulary
+    * the corpus has NOT shown yet, from the frequency-of-frequencies
+    * alone: Chao1's bias-corrected richness floor
+    * `V + F1·(F1−1) / (2·(F2+1))` (F1 = singleton types, F2 = doubleton
+    * types; the +1 keeps it defined when no doubletons exist) and the
+    * Good–Turing unseen probability mass `F1 / N` — the chance the NEXT
+    * token drawn is a type never seen. Together they answer the
+    * corpus-planning question behind [[vocabCoverage]]'s curve: a high
+    * unseen mass means more crawl genuinely buys new vocabulary, a
+    * chao1 close to the realized V means the type inventory is nearly
+    * exhausted. One row: (vocab_size, total_tokens, f1, f2, chao1,
+    * gt_unseen_mass), 6 dp.
+    *
+    * Scale shape: [[termStats]]' term-keyed hash-agg, then ONE
+    * partial-agg reduce over the ≤ |vocab| stat rows — the corpus text
+    * never shuffles and nothing is global. */
+  def vocabRichness(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    termStats(df, idCol, textCol)
+      .agg(count(lit(1)).as("vocab_size"),
+        coalesce(sum("tf"), lit(0L)).cast("long").as("total_tokens"),
+        sum(when(col("tf") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("tf") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("vocab_size"), col("total_tokens"), col("f1"), col("f2"),
+        round(col("vocab_size").cast("double") +
+          (col("f1") * (col("f1") - 1)).cast("double") /
+            (lit(2.0) * (col("f2") + 1).cast("double")), 6).as("chao1"),
+        round(col("f1").cast("double") /
+          col("total_tokens").cast("double"), 6).as("gt_unseen_mass"))
+
   /** Zipf tail index of the token-frequency distribution — the one-number
     * corpus-health check that catches template spam (alpha collapses
     * toward 1 as a few phrases dominate) and shattered tokenization

@@ -1029,4 +1029,42 @@ object Quality {
       .withColumn("abs_gap",
         round(abs(col("share") - col("benford_share")), 6))
   }
+
+  /** Unbiased pass@k (Chen et al. 2021, "Evaluating Large Language
+    * Models Trained on Code", eq. 1): per task with `n` attempts and
+    * `c` successes, `1 − C(n−c, k)/C(n, k)` — the probability that a
+    * uniformly drawn k-subset of the attempts contains a success. The
+    * naive "fraction of first-k that passed" is biased when n > k; the
+    * combinatorial form is exact for any n. Computed as the unrolled
+    * product `Π_{i<k} (n−c−i)/(n−i)` in a FIXED left-to-right order
+    * (when n−c < k a zero factor lands inside the product, so pass@k
+    * is exactly 1 — no branch needed), so the per-task value replays
+    * bit-identically in any engine. Tasks with fewer than k attempts
+    * are excluded from that k's mean (the standard protocol: the
+    * estimator is undefined for n < k). One output row per k:
+    * (k, n_tasks, mean_pass_at_k), 6 dp.
+    *
+    * Scale shape: ONE task-keyed hash-agg with map-side combine
+    * reduces the attempt log to (n, c) per task; each k then pays only
+    * a partial-agg reduce over the ≤ |tasks| rows (the per-task frame
+    * is persisted across the ks). Nothing joins, nothing is global. */
+  def passAtK(df: DataFrame, taskCol: String, successCol: String,
+              ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1),
+      s"passAtK: need ks >= 1, got $ks")
+    val per = graft.core.CacheRegistry.persist(
+      df.groupBy(col(taskCol))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col(successCol), 1L).otherwise(0L)).as("c")))
+    ks.distinct.sorted.map { k =>
+      val prod = (0 until k).foldLeft(lit(1.0)) { (e, i) =>
+        e * ((col("n") - col("c") - lit(i)).cast("double") /
+          (col("n") - lit(i)).cast("double"))
+      }
+      per.where(col("n") >= k)
+        .agg(count(lit(1)).as("n_tasks"),
+          round(avg(lit(1.0) - prod), 6).as("mean_pass_at_k"))
+        .select(lit(k).as("k"), col("n_tasks"), col("mean_pass_at_k"))
+    }.reduce(_ unionByName _)
+  }
 }

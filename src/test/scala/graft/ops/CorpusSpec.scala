@@ -599,4 +599,15 @@ class CorpusSpec extends SparkSpec {
       Corpus.vocabCoverage(docs, "doc_id", "text", Seq.empty)
     graft.core.CacheRegistry.drain()
   }
+
+  test("vocabRichness: chao1 floor and Good-Turing unseen mass from " +
+    "frequency-of-frequencies") {
+    // tf: a=4, b=2, c=1, z=1 -> V=4, N=8, F1=2, F2=1
+    // chao1 = 4 + 2*1/(2*2) = 4.5; gt = 2/8 = 0.25
+    val docs = Seq((1L, "a a b"), (2L, "a b c"), (3L, "a z"))
+      .toDF("doc_id", "text")
+    Corpus.vocabRichness(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toList shouldBe
+      List((4L, 8L, 2L, 1L, 4.5, 0.25))
+  }
 }

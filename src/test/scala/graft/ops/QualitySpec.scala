@@ -564,6 +564,25 @@ class QualitySpec extends SparkSpec {
     r("9")._3 shouldBe round6(math.log(1.0 + 1.0 / 9.0) / math.log(10.0))
   }
 
+  test("passAtK: unbiased combinatorial estimator, short tasks excluded " +
+    "per k, empty k reports zero tasks") {
+    // A: n=3 c=1 -> pass@1 = 1/3, pass@2 = 2/3
+    // B: n=2 c=0 -> 0, 0; C: n=1 c=1 -> pass@1 = 1, excluded at k=2
+    val df = Seq(("A", true), ("A", false), ("A", false),
+      ("B", false), ("B", false), ("C", true)).toDF("task", "ok")
+    val r = graft.core.CacheRegistry.scoped {
+      Quality.passAtK(df, "task", "ok", Seq(1, 2, 4))
+        .as[(Int, Long, Option[Double])].collect().sortBy(_._1).toList
+    }
+    r shouldBe List(
+      (1, 3L, Some(round6(4.0 / 9.0))),
+      (2, 2L, Some(round6(1.0 / 3.0))),
+      (4, 0L, None))
+    an[IllegalArgumentException] should be thrownBy
+      Quality.passAtK(df, "task", "ok", Seq(0))
+    graft.core.CacheRegistry.drain()
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
