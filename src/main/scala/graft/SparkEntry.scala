@@ -1403,6 +1403,46 @@ object SparkEntry {
     "q266_vocab_richness" -> ((s, dir) =>
       graft.ops.Corpus.vocabRichness(t(s, dir, "documents"), "doc_id",
         "text")),
+    // Fleiss' kappa over a deterministic 5-event panel per user (panel
+    // picked by event_id - a total order both engines replay; users with
+    // fewer than 5 events drop out inside the operator)
+    "q267_fleiss_kappa" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("event_id")
+      graft.ops.Quality.fleissKappa(
+        t(s, dir, "events")
+          .withColumn("__r", row_number().over(w)).where(col("__r") <= 5),
+        "user_id", "event_type", 5)
+    }),
+    // arena-style Bradley-Terry supplier ranking from within-order
+    // ship-speed duels (earlier l_shipdate wins; ties and same-supplier
+    // pairs excluded), 3 unrolled MM rounds with micro-integer sums
+    "q268_bradley_terry" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val a = li.select(col("l_orderkey"), col("l_linenumber").as("ln_a"),
+        col("l_suppkey").as("sup_a"), col("l_shipdate").as("d_a"))
+      val b = li.select(col("l_orderkey"), col("l_linenumber").as("ln_b"),
+        col("l_suppkey").as("sup_b"), col("l_shipdate").as("d_b"))
+      val duels = a.join(b, Seq("l_orderkey"))
+        .where(col("ln_a") < col("ln_b") && col("sup_a") =!= col("sup_b") &&
+          col("d_a") =!= col("d_b"))
+        .select(
+          when(col("d_a") < col("d_b"), col("sup_a")).otherwise(col("sup_b"))
+            .as("winner"),
+          when(col("d_a") < col("d_b"), col("sup_b")).otherwise(col("sup_a"))
+            .as("loser"))
+      graft.ops.Learn.bradleyTerry(duels, "winner", "loser", 3)
+    }),
+    // bin-composition diagnostics over the q56 pack: per-bin source
+    // entropy and majority share - the correlated-context-window check
+    "q269_bin_mixing" -> ((s, dir) => {
+      val counted = t(s, dir, "documents").select(col("doc_id"),
+        col("source"),
+        TextStats.bpeishTokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.ops.Packing.binMixing(
+        graft.ops.Packing.packGreedy(counted, "doc_id", "n_tokens", 512L, 4),
+        "source")
+    }),
     // tokenizer fairness: per-language corpus-level fertility and parity
     // vs the best-served language - q215's promised per-group aggregate
     "q261_fertility_parity" -> ((s, dir) => {
@@ -5705,6 +5745,165 @@ object SparkEntry {
         |  round(CAST(f1 AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
         |    AS gt_unseen_mass
         |FROM sel""".stripMargin,
+    // q267: the same exact-integer Fleiss reduction - P-bar and P_e are
+    // single divisions of integer sums (HUGEINT where the square can
+    // overflow), kappa uses the UNROUNDED ratios like the Spark side
+    "q267_fleiss_kappa" ->
+      """WITH panel AS (
+        |  SELECT user_id, event_type FROM (
+        |    SELECT user_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS r
+        |    FROM events) WHERE r <= 5),
+        |grid AS (
+        |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+        |  FROM panel WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        |kept AS (
+        |  SELECT * FROM (
+        |    SELECT user_id, event_type, c,
+        |      CAST(SUM(c) OVER (PARTITION BY user_id) AS BIGINT) AS tot
+        |    FROM grid) WHERE tot = 5),
+        |it AS (
+        |  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_items,
+        |    CAST(sum(c * c) AS BIGINT) AS sumsq
+        |  FROM kept),
+        |mg AS (
+        |  SELECT CAST(sum(cj * cj) AS HUGEINT) AS sumcj2 FROM
+        |    (SELECT CAST(sum(c) AS HUGEINT) AS cj FROM kept GROUP BY event_type)),
+        |vals AS (
+        |  SELECT n_items, sumcj2,
+        |    CAST(n_items * 5 AS HUGEINT) * CAST(n_items * 5 AS HUGEINT) AS nn2,
+        |    CAST(sumsq - n_items * 5 AS DOUBLE)
+        |      / CAST(n_items * 5 * 4 AS DOUBLE) AS pb,
+        |    CAST(sumcj2 AS DOUBLE)
+        |      / CAST(CAST(n_items * 5 AS HUGEINT)
+        |             * CAST(n_items * 5 AS HUGEINT) AS DOUBLE) AS pe
+        |  FROM it, mg WHERE n_items > 0)
+        |SELECT n_items, CAST(5 AS INTEGER) AS n_raters,
+        |  round(pb, 6) AS p_bar, round(pe, 6) AS p_e,
+        |  CASE WHEN CAST(sumcj2 AS DOUBLE) < CAST(nn2 AS DOUBLE)
+        |    THEN round((pb - pe) / (1.0 - pe), 6) END AS kappa
+        |FROM vals""".stripMargin,
+    // q268: the full 3-round MM replay - every order-sensitive sum rides
+    // as micro-integer BIGINTs, so each round's strengths are single
+    // divisions of exact integers in both engines
+    "q268_bradley_terry" ->
+      """WITH duels AS (
+        |  SELECT
+        |    CASE WHEN a.l_shipdate < b.l_shipdate THEN a.l_suppkey
+        |         ELSE b.l_suppkey END AS w,
+        |    CASE WHEN a.l_shipdate < b.l_shipdate THEN b.l_suppkey
+        |         ELSE a.l_suppkey END AS l
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_linenumber < b.l_linenumber
+        |   AND a.l_suppkey <> b.l_suppkey
+        |   AND a.l_shipdate <> b.l_shipdate),
+        |wins AS (
+        |  SELECT w AS a, l AS b, CAST(count(*) AS BIGINT) AS wab
+        |  FROM duels GROUP BY 1, 2),
+        |grid0 AS (
+        |  SELECT a, b, CAST(sum(w) AS BIGINT) AS w FROM (
+        |    SELECT a, b, wab AS w FROM wins
+        |    UNION ALL
+        |    SELECT b AS a, a AS b, 0 AS w FROM wins) GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT a, b, w,
+        |    CAST(SUM(w) OVER (PARTITION BY LEAST(a, b), GREATEST(a, b))
+        |      AS BIGINT) AS n
+        |  FROM grid0),
+        |tot AS (
+        |  SELECT a AS player, CAST(sum(n) AS BIGINT) AS games,
+        |    CAST(sum(w) AS BIGINT) AS wins
+        |  FROM grid GROUP BY 1),
+        |p0 AS (SELECT player, 1.0 AS p FROM tot),
+        |d1 AS (
+        |  SELECT g.a AS player,
+        |    CAST(sum(CAST(round(CAST(g.n AS DOUBLE) * 1000000.0
+        |      / (pa.p + pb.p)) AS BIGINT)) AS BIGINT) AS den
+        |  FROM grid g JOIN p0 pa ON g.a = pa.player
+        |              JOIN p0 pb ON g.b = pb.player GROUP BY 1),
+        |r1 AS (
+        |  SELECT t.player, GREATEST(round(CAST(t.wins AS DOUBLE) * 1000000.0
+        |    / CAST(d.den AS DOUBLE), 6), 0.000001) AS snap
+        |  FROM tot t JOIN d1 d USING (player)),
+        |n1 AS (
+        |  SELECT CAST(sum(CAST(round(snap * 1000000.0) AS BIGINT)) AS BIGINT)
+        |      AS s, CAST(count(*) AS BIGINT) AS c
+        |  FROM r1),
+        |p1 AS (
+        |  SELECT player, GREATEST(round(snap * CAST(c AS DOUBLE)
+        |    / (CAST(s AS DOUBLE) / 1000000.0), 6), 0.000001) AS p
+        |  FROM r1, n1),
+        |d2 AS (
+        |  SELECT g.a AS player,
+        |    CAST(sum(CAST(round(CAST(g.n AS DOUBLE) * 1000000.0
+        |      / (pa.p + pb.p)) AS BIGINT)) AS BIGINT) AS den
+        |  FROM grid g JOIN p1 pa ON g.a = pa.player
+        |              JOIN p1 pb ON g.b = pb.player GROUP BY 1),
+        |r2 AS (
+        |  SELECT t.player, GREATEST(round(CAST(t.wins AS DOUBLE) * 1000000.0
+        |    / CAST(d.den AS DOUBLE), 6), 0.000001) AS snap
+        |  FROM tot t JOIN d2 d USING (player)),
+        |n2 AS (
+        |  SELECT CAST(sum(CAST(round(snap * 1000000.0) AS BIGINT)) AS BIGINT)
+        |      AS s, CAST(count(*) AS BIGINT) AS c
+        |  FROM r2),
+        |p2 AS (
+        |  SELECT player, GREATEST(round(snap * CAST(c AS DOUBLE)
+        |    / (CAST(s AS DOUBLE) / 1000000.0), 6), 0.000001) AS p
+        |  FROM r2, n2),
+        |d3 AS (
+        |  SELECT g.a AS player,
+        |    CAST(sum(CAST(round(CAST(g.n AS DOUBLE) * 1000000.0
+        |      / (pa.p + pb.p)) AS BIGINT)) AS BIGINT) AS den
+        |  FROM grid g JOIN p2 pa ON g.a = pa.player
+        |              JOIN p2 pb ON g.b = pb.player GROUP BY 1),
+        |r3 AS (
+        |  SELECT t.player, GREATEST(round(CAST(t.wins AS DOUBLE) * 1000000.0
+        |    / CAST(d.den AS DOUBLE), 6), 0.000001) AS snap
+        |  FROM tot t JOIN d3 d USING (player)),
+        |n3 AS (
+        |  SELECT CAST(sum(CAST(round(snap * 1000000.0) AS BIGINT)) AS BIGINT)
+        |      AS s, CAST(count(*) AS BIGINT) AS c
+        |  FROM r3),
+        |p3 AS (
+        |  SELECT player, GREATEST(round(snap * CAST(c AS DOUBLE)
+        |    / (CAST(s AS DOUBLE) / 1000000.0), 6), 0.000001) AS p
+        |  FROM r3, n3)
+        |SELECT t.player, t.games, t.wins, p3.p AS strength,
+        |  CAST(row_number() OVER (ORDER BY p3.p DESC, t.player ASC)
+        |    AS INTEGER) AS rank
+        |FROM tot t JOIN p3 USING (player)""".stripMargin,
+    // q269: the q56 pack replay + per-bin source entropy; abs() folds the
+    // IEEE -0.0 a single-source bin produces on both sides
+    "q269_bin_mixing" ->
+      s"""WITH counted AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |sharded AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(${md5ModSql("doc_id", 4)} AS BIGINT) AS shard
+         |  FROM counted),
+         |packed AS (
+         |  SELECT doc_id, source, shard,
+         |    CAST((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+         |      - n_tokens) // 512 AS BIGINT) AS bin
+         |  FROM sharded),
+         |g AS (
+         |  SELECT shard, bin, source, CAST(count(*) AS BIGINT) AS c
+         |  FROM packed GROUP BY 1, 2, 3),
+         |sized AS (
+         |  SELECT shard, bin, source, c,
+         |    CAST(SUM(c) OVER (PARTITION BY shard, bin) AS BIGINT) AS n
+         |  FROM g)
+         |SELECT shard, bin, CAST(max(n) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_groups,
+         |  abs(round(-sum((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+         |    * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))), 6)) AS entropy,
+         |  round(CAST(max(c) AS DOUBLE) / CAST(max(n) AS DOUBLE), 6)
+         |    AS top_share
+         |FROM sized GROUP BY 1, 2""".stripMargin,
     // q261: the q215 training replay grouped by language; fertility is
     // one division of HUGEINT-exact sums, parity divides by the window
     // max of the same raw ratio

@@ -261,4 +261,84 @@ object Learn {
         col("coverage") >= lit(alpha) -
           lit(5.0) * sqrt(lit(alpha * (1.0 - alpha)) / col("n_hold")))
   }
+
+  /** Bradley–Terry strength ranking from pairwise duels — the
+    * arena-leaderboard estimator (model A beats model B → evidence for
+    * p_A > p_B; Hunter 2004's MM algorithm), re-expressed as a
+    * fixed-iteration relational program. Each MM round is
+    * `p_i ← W_i / Σ_j n_ij/(p_i + p_j)` followed by a mean-1
+    * renormalization. Determinism device: every order-sensitive double
+    * sum is snapped to micro-integers FIRST — the per-opponent term
+    * `round(n_ij·10⁶/(p_i+p_j))` and the normalizer's `round(p·10⁶)`
+    * accumulate as exact LONGs, so each round's strengths are single
+    * divisions of exact integers and the trajectory replays
+    * bit-identically in any engine (the [[logisticGd]] /
+    * [[Similarity.kmeansFit]] contract, integer-sum variant). Strengths
+    * floor at 10⁻⁶ so an all-losses player cannot zero a later round's
+    * denominator. Fixed iterations, not convergence — the plan is
+    * O(iters) joins, replay-stable.
+    *
+    * Output: one row per player — (player, games, wins, strength 6 dp,
+    * rank), rank by strength desc / player asc (a total order).
+    *
+    * Scale shape: ONE (winner, loser)-keyed hash-agg reduces the duel
+    * log to the directed pair grid (never rescanned); each iteration is
+    * two player-keyed broadcast-or-shuffle joins of the grid against the
+    * current strengths + one player-keyed hash-agg. The final rank is a
+    * single-partition window over one row per PLAYER — bounded by the
+    * player vocabulary (models/suppliers/annotators), not the data. */
+  def bradleyTerry(duels: DataFrame, winnerCol: String, loserCol: String,
+                   iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"bradleyTerry: need iters >= 1, got $iters")
+    val wins = duels
+      .where(col(winnerCol).isNotNull && col(loserCol).isNotNull &&
+        col(winnerCol) =!= col(loserCol))
+      .groupBy(col(winnerCol).as("__a"), col(loserCol).as("__b"))
+      .agg(count(lit(1)).as("__w"))
+    // directed grid: both orientations of every dueling pair, with that
+    // orientation's win count (0 when all duels went the other way)
+    val grid = graft.core.CacheRegistry.persist(
+      wins.select(col("__a"), col("__b"), col("__w"))
+        .unionByName(wins.select(col("__b").as("__a"), col("__a").as("__b"),
+          lit(0L).as("__w")))
+        .groupBy("__a", "__b")
+        .agg(sum("__w").as("__w"), count(lit(1)).cast("long").as("__dirs"))
+        .withColumn("__n", sum("__w").over(
+          org.apache.spark.sql.expressions.Window.partitionBy(
+            least(col("__a"), col("__b")), greatest(col("__a"), col("__b")))))
+        .drop("__dirs"))
+    val totals = graft.core.CacheRegistry.persist(
+      grid.groupBy(col("__a").as("player"))
+        .agg(sum("__n").as("games"), sum("__w").as("wins")))
+    var p = totals.select(col("player"), lit(1.0).as("strength"))
+    for (_ <- 1 to iters) {
+      val cur = graft.core.CacheRegistry.persist(p)
+      val den = grid
+        .join(cur.select(col("player").as("__a"), col("strength").as("__pa")),
+          Seq("__a"))
+        .join(cur.select(col("player").as("__b"), col("strength").as("__pb")),
+          Seq("__b"))
+        .groupBy(col("__a").as("player"))
+        .agg(sum(round(col("__n") * lit(1e6) / (col("__pa") + col("__pb")))
+          .cast("long")).as("__den"))
+      val raw = totals.join(den, Seq("player"))
+        .select(col("player"),
+          greatest(round(col("wins").cast("double") * lit(1e6) /
+            col("__den").cast("double"), 6), lit(1e-6)).as("__snap"))
+      val norm = raw.agg(
+        coalesce(sum(round(col("__snap") * lit(1e6)).cast("long")), lit(0L))
+          .as("__s"),
+        count(lit(1)).as("__c"))
+      p = raw.crossJoin(broadcast(norm))
+        .select(col("player"),
+          greatest(round(col("__snap") * col("__c").cast("double") /
+            (col("__s").cast("double") / lit(1e6)), 6), lit(1e-6))
+            .as("strength"))
+    }
+    val byStrength = org.apache.spark.sql.expressions.Window
+      .orderBy(col("strength").desc, col("player").asc)
+    totals.join(p, Seq("player"))
+      .select(col("player"), col("games"), col("wins"), col("strength"))
+      .withColumn("rank", row_number().over(byStrength))
+  }
 }

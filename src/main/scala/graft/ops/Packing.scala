@@ -116,4 +116,39 @@ object Packing {
           (col("max_tokens") * col("n_docs")).cast("double"), 6)
           .as("waste_ratio"))
   }
+
+  /** Bin-composition diagnostics for [[packGreedy]] — the training-order
+    * health check the packing literature warns about: a context window
+    * whose documents all come from one source trains on correlated text
+    * (the gradient sees a mini-domain, not the mixture), and id-ordered
+    * greedy packing can silently produce exactly that when ids cluster
+    * by source. Per (shard, bin): document count, distinct groups, the
+    * group entropy `−Σ (c/n)·ln(c/n)` (0 = single-source bin,
+    * ln(n_groups) = perfectly mixed), and the majority share. Null
+    * groups form their own cohort (consistent with the engine-wide
+    * convention). Read it next to [[materializeBins]]: bins with
+    * `top_share` ≈ 1 on a hot source are the signal to salt the pack
+    * order (shard on a different key) before materializing.
+    *
+    * Scale shape: one (shard, bin, group)-keyed hash-agg over the packed
+    * frame, then a (shard, bin)-partitioned window to attach bin totals
+    * (≤ |groups| rows per bin) and ONE re-agg — the documents never
+    * reshuffle after the pack's own window. */
+  def binMixing(packed: DataFrame, groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byBin = Window.partitionBy("shard", "bin")
+    packed.groupBy(col("shard"), col("bin"), col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__n", sum("__c").over(byBin))
+      .groupBy("shard", "bin")
+      .agg(max("__n").as("n_docs"),
+        count(lit(1)).as("n_groups"),
+        // abs() normalizes IEEE −0.0 from single-group bins (−Σ of one
+        // zero term) so both engines emit +0.0
+        abs(round(-sum((col("__c").cast("double") / col("__n").cast("double")) *
+          log(col("__c").cast("double") / col("__n").cast("double"))), 6))
+          .as("entropy"),
+        round(max("__c").cast("double") / max("__n").cast("double"), 6)
+          .as("top_share"))
+  }
 }

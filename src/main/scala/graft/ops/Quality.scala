@@ -1067,4 +1067,58 @@ object Quality {
         .select(lit(k).as("k"), col("n_tasks"), col("mean_pass_at_k"))
     }.reduce(_ unionByName _)
   }
+
+  /** Fleiss' κ — [[cohensKappa]]'s multi-rater generalization, the
+    * labeling-QA gate when each item is judged by a PANEL of `n` raters
+    * (human annotation rounds, LLM-jury scoring): observed per-item
+    * agreement `P_i = (Σ_j c_ij² − n) / (n(n−1))` averaged over items,
+    * discounted by the chance agreement of the pooled category marginals
+    * `P_e = Σ_j p_j²`. Both reduce to EXACT integer sums —
+    * `P̄ = (Σ_i Σ_j c_ij² − N·n) / (N·n·(n−1))` and
+    * `P_e = Σ_j C_j² / (N·n)²` where C_j is the pooled category count —
+    * so each is ONE division, no order-dependent double accumulation
+    * (the C_j² sum rides in decimal(38,0): at 100 TB, C_j ≤ N·n makes
+    * the square overflow a LONG). Null categories are excluded (an
+    * unrated slot is not a rating); items without exactly `n` remaining
+    * ratings are dropped — the estimator is defined for a fixed panel
+    * size. κ is NULL when P_e = 1 (every rating one category). One
+    * summary row: (n_items, n_raters, p_bar, p_e, kappa), 6 dp.
+    *
+    * Scale shape: ONE (item, category)-keyed hash-agg with map-side
+    * combine reduces the rating log to the c_ij grid; the item-size
+    * filter is an item-partitioned window over that grid (≤ |labels|
+    * rows per item), and the Σc² and category marginals are re-aggs.
+    * Nothing re-scans the ratings, nothing is global. */
+  def fleissKappa(df: DataFrame, itemCol: String, categoryCol: String,
+                  nRaters: Int): DataFrame = {
+    require(nRaters >= 2, s"fleissKappa: need nRaters >= 2, got $nRaters")
+    val grid = graft.core.CacheRegistry.persist(
+      df.where(col(categoryCol).isNotNull)
+        .groupBy(col(itemCol).as("__item"), col(categoryCol).as("__cat"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__tot",
+          sum("__c").over(org.apache.spark.sql.expressions.Window
+            .partitionBy("__item")))
+        .where(col("__tot") === nRaters))
+    val items = grid.agg(
+      countDistinct("__item").as("__n_items"),
+      coalesce(sum(col("__c") * col("__c")), lit(0L)).as("__sumsq"))
+    val marg = grid.groupBy("__cat")
+      .agg(sum("__c").cast("decimal(38,0)").as("__cj"))
+      .agg(coalesce(sum(col("__cj") * col("__cj")),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")).as("__sumcj2"))
+    val nn = col("__n_items") * lit(nRaters.toLong)
+    val pBar = (col("__sumsq") - nn).cast("double") /
+      (nn * lit(nRaters.toLong - 1L)).cast("double")
+    val pE = col("__sumcj2").cast("double") /
+      (nn.cast("decimal(38,0)") * nn.cast("decimal(38,0)")).cast("double")
+    items.crossJoin(broadcast(marg))
+      .where(col("__n_items") > 0)
+      .select(col("__n_items").as("n_items"),
+        lit(nRaters).as("n_raters"),
+        round(pBar, 6).as("p_bar"), round(pE, 6).as("p_e"),
+        when(col("__sumcj2").cast("double") <
+            (nn.cast("decimal(38,0)") * nn.cast("decimal(38,0)")).cast("double"),
+          round((pBar - pE) / (lit(1.0) - pE), 6)).as("kappa"))
+  }
 }

@@ -110,4 +110,39 @@ class LearnSpec extends SparkSpec {
     r shouldBe Map(("A", "A") -> 1L, ("B", "B") -> 1L, ("B", "A") -> 1L)
     graft.core.CacheRegistry.drain()
   }
+
+  test("bradleyTerry: two-player fixed point, micro-integer trajectory") {
+    // A beats B twice, B beats A once: W_A=2, W_B=1, n=3. Round 1 lands
+    // on (1.333333, 0.666667) and the mean-1 normalization holds it
+    // there - a hand-checkable fixed point of the snapped MM map.
+    val duels = Seq(("A", "B"), ("A", "B"), ("B", "A"))
+      .toDF("winner", "loser")
+    val r = graft.core.CacheRegistry.scoped {
+      Learn.bradleyTerry(duels, "winner", "loser", 3)
+        .as[(String, Long, Long, Double, Int)].collect().sortBy(_._5).toList
+    }
+    r shouldBe List(("A", 3L, 2L, 1.333333, 1), ("B", 3L, 1L, 0.666667, 2))
+    graft.core.CacheRegistry.drain()
+  }
+
+  test("bradleyTerry: chain orders transitively; all-losses player floors " +
+    "above zero; self-duels and nulls excluded") {
+    val duels = Seq(
+      (Some("A"), Some("B")), (Some("B"), Some("C")),
+      (Some("C"), Some("C")), (None, Some("A")), (Some("B"), None))
+      .toDF("winner", "loser")
+    val r = graft.core.CacheRegistry.scoped {
+      Learn.bradleyTerry(duels, "winner", "loser", 3)
+        .as[(String, Long, Long, Double, Int)].collect().sortBy(_._5).toList
+    }
+    r.map(_._1) shouldBe List("A", "B", "C")
+    r.map(_._2) shouldBe List(1L, 2L, 1L)
+    r.map(_._3) shouldBe List(1L, 1L, 0L)
+    all(r.map(_._4)) should be > 0.0
+    r(0)._4 should be > r(1)._4
+    r(1)._4 should be > r(2)._4
+    an[IllegalArgumentException] should be thrownBy
+      Learn.bradleyTerry(duels, "winner", "loser", 0)
+    graft.core.CacheRegistry.drain()
+  }
 }

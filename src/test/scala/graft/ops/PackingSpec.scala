@@ -93,4 +93,24 @@ class PackingSpec extends SparkSpec {
       Packing.sortedBatches(docs, "doc_id", "text", 0)
     graft.core.CacheRegistry.drain()
   }
+
+  test("binMixing: per-bin group entropy, null cohort, single-source bin " +
+    "emits +0.0") {
+    val packed = Seq(
+      (0L, 0L, Some("a")), (0L, 0L, Some("a")),
+      (0L, 0L, Some("b")), (0L, 0L, Some("b")),
+      (0L, 1L, Some("a")), (0L, 1L, Some("a")),
+      (1L, 0L, None), (1L, 0L, Some("a")))
+      .toDF("shard", "bin", "source")
+    val r = Packing.binMixing(packed, "source")
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+      .map(x => (x._1, x._2) -> ((x._3, x._4, x._5, x._6))).toMap
+    val ln2 = BigDecimal(math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    r((0L, 0L)) shouldBe ((4L, 2L, ln2, 0.5))
+    r((0L, 1L)) shouldBe ((2L, 1L, 0.0, 1.0))
+    // +0.0, not -0.0: the driver's repr-level compare distinguishes them
+    java.lang.Double.doubleToRawLongBits(r((0L, 1L))._3) shouldBe 0L
+    r((1L, 0L)) shouldBe ((2L, 2L, ln2, 0.5))
+  }
 }

@@ -583,6 +583,35 @@ class QualitySpec extends SparkSpec {
     graft.core.CacheRegistry.drain()
   }
 
+  test("fleissKappa: exact-integer reduction, off-size items and null " +
+    "ratings dropped, degenerate panel yields null kappa") {
+    // kept items (n=3): (a,a,a) (a,a,b) (b,b,b) ->
+    // p_bar = 7/9, p_e = 41/81, kappa = 22/40 = 0.55
+    val ratings = Seq(
+      ("i1", Some("a")), ("i1", Some("a")), ("i1", Some("a")),
+      ("i2", Some("a")), ("i2", Some("a")), ("i2", Some("b")),
+      ("i3", Some("b")), ("i3", Some("b")), ("i3", Some("b")),
+      ("i4", Some("a")), ("i4", None), ("i4", Some("a")), // null -> size 2
+      ("i5", Some("a")), ("i5", Some("a"))) // size 2 -> dropped
+      .toDF("item", "cat")
+    val r = graft.core.CacheRegistry.scoped {
+      Quality.fleissKappa(ratings, "item", "cat", 3)
+        .as[(Long, Int, Double, Double, Option[Double])].collect().toList
+    }
+    r shouldBe List((3L, 3, round6(7.0 / 9.0), round6(41.0 / 81.0),
+      Some(0.55)))
+    // every rating one category: p_e = 1 -> kappa null, not NaN
+    val flat = Seq(("i1", "x"), ("i1", "x"), ("i1", "x")).toDF("item", "cat")
+    val d = graft.core.CacheRegistry.scoped {
+      Quality.fleissKappa(flat, "item", "cat", 3)
+        .as[(Long, Int, Double, Double, Option[Double])].collect().toList
+    }
+    d shouldBe List((1L, 3, 1.0, 1.0, None))
+    an[IllegalArgumentException] should be thrownBy
+      Quality.fleissKappa(flat, "item", "cat", 1)
+    graft.core.CacheRegistry.drain()
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
