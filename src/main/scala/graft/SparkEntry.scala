@@ -1418,7 +1418,10 @@ object SparkEntry {
     // ship-speed duels (earlier l_shipdate wins; ties and same-supplier
     // pairs excluded), 3 unrolled MM rounds with micro-integer sums
     "q268_bradley_terry" -> ((s, dir) => {
+      // one ship-year of duels: the arena estimator needs a season, not
+      // the full history (the operator itself is O(pair-grid)/iteration)
       val li = t(s, dir, "lineitem")
+        .where(col("l_shipdate").between("1995-01-01", "1995-12-31"))
       val a = li.select(col("l_orderkey"), col("l_linenumber").as("ln_a"),
         col("l_suppkey").as("sup_a"), col("l_shipdate").as("d_a"))
       val b = li.select(col("l_orderkey"), col("l_linenumber").as("ln_b"),
@@ -1432,6 +1435,41 @@ object SparkEntry {
           when(col("d_a") < col("d_b"), col("sup_b")).otherwise(col("sup_a"))
             .as("loser"))
       graft.ops.Learn.bradleyTerry(duels, "winner", "loser", 3)
+    }),
+    // context-length design curve: docs cut and tokens lost at each
+    // candidate window - one scan, exact integer sums
+    "q270_truncation_loss" -> ((s, dir) =>
+      graft.ops.Chunking.truncationLoss(t(s, dir, "documents"), "doc_id",
+        "text", Seq(128, 256, 512, 1024, 2048))),
+    // Krippendorff's alpha over VARYING panel sizes (<= 7 events per
+    // user, any user with >= 2 pairable) - the missing-data agreement
+    // coefficient q267's fixed-panel Fleiss cannot express
+    "q271_krippendorff" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("event_id")
+      graft.ops.Quality.krippendorffAlpha(
+        t(s, dir, "events")
+          .withColumn("__r", row_number().over(w)).where(col("__r") <= 7),
+        "user_id", "event_type")
+    }),
+    // Murphy decomposition of the Brier score over the q173 forecast:
+    // calibration error vs discrimination vs base rate, residual
+    // within-bin variance emitted explicitly
+    "q272_brier_decomposition" -> ((s, dir) =>
+      graft.ops.Quality.brierDecomposition(
+        t(s, dir, "events")
+          .withColumn("score", least(lit(1.0), col("value") / 250.0))
+          .withColumn("converted", col("event_type") === "purchase"),
+        "score", "converted", 10)),
+    // Kish effective sample size of the q136 DSIR reweighting - the
+    // did-the-weights-collapse-the-corpus gauge
+    "q273_importance_ess" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Sampling.importanceEss(
+        Sampling.dsirWeights(docs,
+          docs.where(col("source").isin("src0", "src1", "src2")),
+          "doc_id", "text", 256),
+        "log_weight")
     }),
     // bin-composition diagnostics over the q56 pack: per-bin source
     // entropy and majority share - the correlated-context-window check
@@ -5793,7 +5831,10 @@ object SparkEntry {
         |         ELSE b.l_suppkey END AS w,
         |    CASE WHEN a.l_shipdate < b.l_shipdate THEN b.l_suppkey
         |         ELSE a.l_suppkey END AS l
-        |  FROM lineitem a JOIN lineitem b
+        |  FROM (SELECT * FROM lineitem
+        |        WHERE l_shipdate BETWEEN '1995-01-01' AND '1995-12-31') a
+        |  JOIN (SELECT * FROM lineitem
+        |        WHERE l_shipdate BETWEEN '1995-01-01' AND '1995-12-31') b
         |    ON a.l_orderkey = b.l_orderkey
         |   AND a.l_linenumber < b.l_linenumber
         |   AND a.l_suppkey <> b.l_suppkey
@@ -5904,6 +5945,159 @@ object SparkEntry {
          |  round(CAST(max(c) AS DOUBLE) / CAST(max(n) AS DOUBLE), 6)
          |    AS top_share
          |FROM sized GROUP BY 1, 2""".stripMargin,
+    // q270: one pass over doc lengths, conditional sums per grid length
+    "q270_truncation_loss" ->
+      """WITH d AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n) AS BIGINT) AS total_tokens
+        |  FROM d),
+        |g AS (SELECT unnest([128, 256, 512, 1024, 2048]) AS context_len),
+        |a AS (
+        |  SELECT g.context_len,
+        |    CAST(sum(CASE WHEN d.n > g.context_len THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS docs_truncated,
+        |    CAST(sum(CASE WHEN d.n > g.context_len THEN d.n - g.context_len
+        |      ELSE 0 END) AS BIGINT) AS tokens_lost
+        |  FROM g, d GROUP BY 1)
+        |SELECT a.context_len, tot.n_docs, a.docs_truncated,
+        |  round(CAST(a.docs_truncated AS DOUBLE) / CAST(tot.n_docs AS DOUBLE),
+        |    6) AS pct_docs_truncated,
+        |  tot.total_tokens, a.tokens_lost,
+        |  round(CAST(a.tokens_lost AS DOUBLE) / CAST(tot.total_tokens
+        |    AS DOUBLE), 6) AS pct_tokens_lost
+        |FROM a, tot WHERE tot.n_docs > 0""".stripMargin,
+    // q271: coincidence-matrix Krippendorff with the same micro-snapped
+    // per-item disagreement; category squares ride HUGEINT
+    "q271_krippendorff" ->
+      """WITH panel AS (
+        |  SELECT user_id, event_type FROM (
+        |    SELECT user_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS r
+        |    FROM events) WHERE r <= 7),
+        |grid AS (
+        |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+        |  FROM panel WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        |items AS (
+        |  SELECT user_id, CAST(sum(c) AS BIGINT) AS m,
+        |    CAST(sum(c * c) AS BIGINT) AS sq
+        |  FROM grid GROUP BY 1 HAVING CAST(sum(c) AS BIGINT) >= 2),
+        |obs AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(sum(m) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(CAST(m * m - sq AS DOUBLE) * 1000000.0
+        |      / CAST(m - 1 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS o
+        |  FROM items),
+        |marg AS (
+        |  SELECT CAST(sum(nc * nc) AS HUGEINT) AS sumnc2 FROM (
+        |    SELECT CAST(sum(g.c) AS HUGEINT) AS nc
+        |    FROM grid g JOIN items i USING (user_id) GROUP BY g.event_type)),
+        |vals AS (
+        |  SELECT n_items, n, o,
+        |    CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) - sumnc2 AS DOUBLE)
+        |      AS den,
+        |    CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) - 1) AS DOUBLE)
+        |      AS pairs
+        |  FROM obs, marg WHERE n > 0)
+        |SELECT n_items, n AS n_ratings,
+        |  round(CAST(o AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE), 6) AS d_o,
+        |  round(den / pairs, 6) AS d_e,
+        |  CASE WHEN den > 0.0 THEN
+        |    round(1.0 - CAST(o AS DOUBLE) / 1000000.0
+        |      * CAST(n - 1 AS DOUBLE) / den, 6) END AS alpha
+        |FROM vals""".stripMargin,
+    // q272: the q173 forecast, bin sums as exact integers (picto-exact
+    // per-row squares), per-bin terms micro-snapped like the Spark side
+    "q272_brier_decomposition" ->
+      """WITH rows0 AS (
+        |  SELECT round(least(1.0, CAST(value AS DOUBLE) / 250.0), 6) AS f,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events
+        |  WHERE least(1.0, CAST(value AS DOUBLE) / 250.0) IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |r2 AS (
+        |  SELECT greatest(0, least(CAST(floor(f * 10) AS BIGINT), 9)) AS b, y,
+        |    CAST(round(f * 1000000.0) AS BIGINT) AS fm,
+        |    CAST(round((f - y) * (f - y) * 1000000000000.0) AS HUGEINT) AS e
+        |  FROM rows0),
+        |bins AS (
+        |  SELECT b, CAST(count(*) AS BIGINT) AS nk, CAST(sum(y) AS BIGINT)
+        |      AS ok, CAST(sum(fm) AS BIGINT) AS fmk,
+        |    CAST(sum(e) AS HUGEINT) AS ek
+        |  FROM r2 GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(nk) AS BIGINT) AS n, CAST(sum(ok) AS BIGINT) AS o,
+        |    CAST(sum(ek) AS HUGEINT) AS e
+        |  FROM bins),
+        |terms AS (
+        |  SELECT
+        |    CAST(sum(CAST(round((CAST(fmk AS DOUBLE) / 1000000.0
+        |        - CAST(ok AS DOUBLE))
+        |      * (CAST(fmk AS DOUBLE) / 1000000.0 - CAST(ok AS DOUBLE))
+        |      * 1000000.0 / CAST(nk AS DOUBLE)) AS BIGINT)) AS BIGINT) AS rl,
+        |    CAST(sum(CAST(round((CAST(ok AS DOUBLE) - CAST(nk AS DOUBLE)
+        |        * CAST(tot.o AS DOUBLE) / CAST(tot.n AS DOUBLE))
+        |      * (CAST(ok AS DOUBLE) - CAST(nk AS DOUBLE)
+        |        * CAST(tot.o AS DOUBLE) / CAST(tot.n AS DOUBLE))
+        |      * 1000000.0 / CAST(nk AS DOUBLE)) AS BIGINT)) AS BIGINT) AS rs
+        |  FROM bins, tot)
+        |SELECT tot.n AS n,
+        |  round(CAST(tot.e AS DOUBLE) / 1000000000000.0
+        |    / CAST(tot.n AS DOUBLE), 6) AS brier,
+        |  round(CAST(terms.rl AS DOUBLE) / 1000000.0 / CAST(tot.n AS DOUBLE),
+        |    6) AS reliability,
+        |  round(CAST(terms.rs AS DOUBLE) / 1000000.0 / CAST(tot.n AS DOUBLE),
+        |    6) AS resolution,
+        |  round((CAST(tot.o AS DOUBLE) / CAST(tot.n AS DOUBLE))
+        |    * (1.0 - CAST(tot.o AS DOUBLE) / CAST(tot.n AS DOUBLE)), 6)
+        |    AS uncertainty,
+        |  round(CAST(tot.e AS DOUBLE) / 1000000000000.0
+        |      / CAST(tot.n AS DOUBLE)
+        |    - (CAST(terms.rl AS DOUBLE) / 1000000.0 / CAST(tot.n AS DOUBLE)
+        |      - CAST(terms.rs AS DOUBLE) / 1000000.0 / CAST(tot.n AS DOUBLE)
+        |      + (CAST(tot.o AS DOUBLE) / CAST(tot.n AS DOUBLE))
+        |        * (1.0 - CAST(tot.o AS DOUBLE) / CAST(tot.n AS DOUBLE))), 6)
+        |    + 0.0 AS within_bin_var
+        |FROM tot, terms WHERE tot.n > 0""".stripMargin,
+    // q273: the q136 chain re-derived, then Kish ESS off nano-snapped
+    // max-normalized weights (exact HUGEINT sums)
+    "q273_importance_ess" ->
+      s"""WITH rawterm AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |rawt AS (
+         |  SELECT doc_id, ${md5ModSql("term", 256)} AS b FROM rawterm),
+         |tgtt AS (
+         |  SELECT ${md5ModSql("term", 256)} AS b
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS term
+         |        FROM documents WHERE source IN ('src0', 'src1', 'src2'))),
+         |rb AS (SELECT b, count(*) AS rn FROM rawt GROUP BY 1),
+         |tb AS (SELECT b, count(*) AS tn FROM tgtt GROUP BY 1),
+         |tots AS (SELECT (SELECT sum(rn) FROM rb) AS rt, (SELECT sum(tn) FROM tb) AS tt),
+         |l AS (
+         |  SELECT rb.b,
+         |    ln((COALESCE(tb.tn, 0) + 1.0) / (tots.tt + 256.0))
+         |      - ln((rb.rn + 1.0) / (tots.rt + 256.0)) AS lr
+         |  FROM rb LEFT JOIN tb USING (b) CROSS JOIN tots),
+         |lw AS (
+         |  SELECT doc_id, round(sum(lr), 6) AS log_weight
+         |  FROM rawt JOIN l USING (b) GROUP BY doc_id),
+         |mx AS (SELECT max(log_weight) AS m FROM lw),
+         |nano AS (
+         |  SELECT CAST(round(exp(log_weight - mx.m) * 1000000000.0)
+         |    AS HUGEINT) AS w, mx.m AS m
+         |  FROM lw, mx WHERE log_weight IS NOT NULL),
+         |s AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n, max(m) AS m,
+         |    CAST(sum(w) AS HUGEINT) AS s1, CAST(sum(w * w) AS HUGEINT) AS s2
+         |  FROM nano)
+         |SELECT n, round(m, 6) AS max_log_weight,
+         |  round(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+         |    / CAST(s2 AS DOUBLE), 6) AS ess,
+         |  round(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+         |    / CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS ess_ratio
+         |FROM s WHERE n > 0 AND s2 > 0""".stripMargin,
     // q261: the q215 training replay grouped by language; fertility is
     // one division of HUGEINT-exact sums, parity divides by the window
     // max of the same raw ratio

@@ -98,4 +98,50 @@ object Chunking {
         col("__sp.s").as("span_start"), col("__sp.e").as("span_end"),
         (col("__sp.e") - col("__sp.s") + 1).as("span_tokens"))
   }
+
+  /** Context-length truncation loss curve — the design table for picking
+    * a training context window: for each candidate length L, how many
+    * documents get cut (`n > L`) and what fraction of the corpus' tokens
+    * a truncate-at-L policy throws away (`Σ max(0, n−L) / Σ n`). Read it
+    * against [[chunkByTokens]]: the tokens-lost column is exactly what
+    * chunking (instead of truncating) would recover at that L. All
+    * counts are exact LONG sums; the two ratios are single divisions,
+    * 6 dp. One row per L: (context_len, n_docs, docs_truncated,
+    * pct_docs_truncated, total_tokens, tokens_lost, pct_tokens_lost).
+    *
+    * Scale shape: ONE corpus scan computes every L's conditional
+    * aggregates side by side (no per-L rescan, no grid cross-join), then
+    * a literal-stack unpivot over the ≤ |lengths| result columns. */
+  def truncationLoss(df: DataFrame, idCol: String, textCol: String,
+                     lengths: Seq[Int]): DataFrame = {
+    require(lengths.nonEmpty && lengths.forall(_ >= 1),
+      s"truncationLoss: need lengths >= 1, got $lengths")
+    val ls = lengths.distinct.sorted
+    val n = size(split(col(textCol), " ")).cast("long")
+    val aggs = Seq(count(lit(1)).as("__d"),
+      coalesce(sum(col("__n")), lit(0L)).as("__t")) ++
+      ls.flatMap { l =>
+        Seq(sum(when(col("__n") > l, 1L).otherwise(0L)).as(s"__dt$l"),
+          coalesce(sum(when(col("__n") > l, col("__n") - l).otherwise(0L)),
+            lit(0L)).as(s"__tl$l"))
+      }
+    val wide = df.select(n.as("__n")).agg(aggs.head, aggs.tail: _*)
+    // explode-unpivot the single aggregate row: one scan total, not one
+    // per candidate length
+    val stacked = wide.select(col("__d").as("n_docs"),
+        col("__t").as("total_tokens"),
+        explode(array(ls.map(l => struct(lit(l).as("context_len"),
+          col(s"__dt$l").as("docs_truncated"),
+          col(s"__tl$l").as("tokens_lost"))): _*)).as("__x"))
+      .select(col("__x.context_len").as("context_len"), col("n_docs"),
+        col("__x.docs_truncated").as("docs_truncated"),
+        col("total_tokens"), col("__x.tokens_lost").as("tokens_lost"))
+    stacked.where(col("n_docs") > 0)
+      .select(col("context_len"), col("n_docs"), col("docs_truncated"),
+        round(col("docs_truncated").cast("double") /
+          col("n_docs").cast("double"), 6).as("pct_docs_truncated"),
+        col("total_tokens"), col("tokens_lost"),
+        round(col("tokens_lost").cast("double") /
+          col("total_tokens").cast("double"), 6).as("pct_tokens_lost"))
+  }
 }

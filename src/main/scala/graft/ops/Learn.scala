@@ -290,11 +290,13 @@ object Learn {
   def bradleyTerry(duels: DataFrame, winnerCol: String, loserCol: String,
                    iters: Int = 3): DataFrame = {
     require(iters >= 1, s"bradleyTerry: need iters >= 1, got $iters")
-    val wins = duels
+    // persisted: the union below scans it twice, and the duel log (the
+    // expensive upstream) must not be recomputed per orientation
+    val wins = graft.core.CacheRegistry.persist(duels
       .where(col(winnerCol).isNotNull && col(loserCol).isNotNull &&
         col(winnerCol) =!= col(loserCol))
       .groupBy(col(winnerCol).as("__a"), col(loserCol).as("__b"))
-      .agg(count(lit(1)).as("__w"))
+      .agg(count(lit(1)).as("__w")))
     // directed grid: both orientations of every dueling pair, with that
     // orientation's win count (0 when all duels went the other way)
     val grid = graft.core.CacheRegistry.persist(
@@ -321,10 +323,14 @@ object Learn {
         .groupBy(col("__a").as("player"))
         .agg(sum(round(col("__n") * lit(1e6) / (col("__pa") + col("__pb")))
           .cast("long")).as("__den"))
-      val raw = totals.join(den, Seq("player"))
-        .select(col("player"),
-          greatest(round(col("wins").cast("double") * lit(1e6) /
-            col("__den").cast("double"), 6), lit(1e-6)).as("__snap"))
+      // persisted: both the normalizer and the next strengths read it —
+      // unpersisted, each round would recompute the whole prior round
+      // twice and the lineage cost would compound per iteration
+      val raw = graft.core.CacheRegistry.persist(
+        totals.join(den, Seq("player"))
+          .select(col("player"),
+            greatest(round(col("wins").cast("double") * lit(1e6) /
+              col("__den").cast("double"), 6), lit(1e-6)).as("__snap")))
       val norm = raw.agg(
         coalesce(sum(round(col("__snap") * lit(1e6)).cast("long")), lit(0L))
           .as("__s"),

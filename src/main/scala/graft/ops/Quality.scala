@@ -1121,4 +1121,125 @@ object Quality {
             (nn.cast("decimal(38,0)") * nn.cast("decimal(38,0)")).cast("double"),
           round((pBar - pE) / (lit(1.0) - pE), 6)).as("kappa"))
   }
+
+  /** Krippendorff's α (nominal metric) — the agreement coefficient for
+    * MISSING data, where [[fleissKappa]]'s fixed-panel contract breaks:
+    * raters judge overlapping-but-different item subsets (the normal
+    * shape of a crowdsourced labeling run). Coincidence-matrix form:
+    * each item with m ≥ 2 ratings contributes its pairable disagreement
+    * `(m² − Σ_c c_c²)/(m − 1)`; the observed disagreement is the item
+    * sum over n total pairable ratings, the expected disagreement comes
+    * from the pooled category totals, and
+    * `α = 1 − (O/10⁶)·(n−1)/(n² − Σ_c n_c²)`. Determinism device: the
+    * only order-sensitive accumulation — the per-item rational O — is
+    * snapped to micro-integers before the LONG sum (the
+    * [[graft.ops.Learn.bradleyTerry]] contract); n, n_c, and the squares
+    * are exact (squares in decimal(38,0): n_c ≤ n overflows a LONG
+    * squared at 100 TB). Null categories are excluded; single-rating
+    * items are unpairable and drop (per the definition). α is NULL when
+    * every pairable rating is one category (expected disagreement 0).
+    * One row: (n_items, n_ratings, d_o, d_e, alpha), 6 dp.
+    *
+    * Scale shape: ONE (item, category)-keyed hash-agg, an item-keyed
+    * re-agg for the per-item disagreement, and two scalar reduces —
+    * nothing joins, nothing re-scans the ratings. */
+  def krippendorffAlpha(df: DataFrame, itemCol: String,
+                        categoryCol: String): DataFrame = {
+    val grid = graft.core.CacheRegistry.persist(
+      df.where(col(categoryCol).isNotNull)
+        .groupBy(col(itemCol).as("__item"), col(categoryCol).as("__cat"))
+        .agg(count(lit(1)).as("__c")))
+    val items = grid.groupBy("__item")
+      .agg(sum("__c").as("__m"), sum(col("__c") * col("__c")).as("__sq"))
+      .where(col("__m") >= 2)
+    val obs = items.agg(
+      count(lit(1)).as("__n_items"),
+      coalesce(sum("__m"), lit(0L)).as("__n"),
+      coalesce(sum(round((col("__m") * col("__m") - col("__sq"))
+          .cast("double") * lit(1e6) / (col("__m") - lit(1L)).cast("double"))
+        .cast("long")), lit(0L)).as("__o"))
+    // pooled category totals over the SAME pairable items
+    val marg = grid
+      .join(items.select(col("__item")), Seq("__item"), "left_semi")
+      .groupBy("__cat").agg(sum("__c").cast("decimal(38,0)").as("__nc"))
+      .agg(coalesce(sum(col("__nc") * col("__nc")),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")).as("__sumnc2"))
+    val nDec = col("__n").cast("decimal(38,0)")
+    val den = (nDec * nDec - col("__sumnc2")).cast("double")
+    val dO = col("__o").cast("double") / lit(1e6) / col("__n").cast("double")
+    val dE = den / (nDec * (nDec - lit(1).cast("decimal(38,0)"))).cast("double")
+    obs.crossJoin(broadcast(marg))
+      .where(col("__n") > 0)
+      .select(col("__n_items").as("n_items"), col("__n").as("n_ratings"),
+        round(dO, 6).as("d_o"), round(dE, 6).as("d_e"),
+        when(den > lit(0.0),
+          round(lit(1.0) - col("__o").cast("double") / lit(1e6) *
+            (col("__n") - lit(1L)).cast("double") / den, 6)).as("alpha"))
+  }
+
+  /** Murphy decomposition of the Brier score — [[calibrationBins]]'
+    * one-row verdict: `brier ≈ reliability − resolution + uncertainty`,
+    * where reliability is the calibration error you can fix by
+    * remapping scores, resolution is the discrimination you cannot add
+    * post-hoc, and uncertainty is the label base rate's entropy term.
+    * The identity is exact only for bin-constant forecasts; the residual
+    * `within_bin_var` (the forecast variance inside bins that binning
+    * hides) is emitted explicitly rather than silently folded in.
+    *
+    * Determinism: scores snap to 6 dp on entry, so the per-row
+    * `(f − y)²` has ≤ 12 decimal places and rides EXACTLY as a
+    * picto-integer decimal sum; per-bin reliability/resolution terms
+    * reduce to rationals of the bin's exact integer sums
+    * `(F_k/10⁶ − O_k)²/n_k`, micro-snapped before the LONG sum (the
+    * [[graft.ops.Learn.bradleyTerry]] device). Rows with a null score
+    * or label are excluded. One row: (n, brier, reliability,
+    * resolution, uncertainty, within_bin_var), 6 dp.
+    *
+    * Scale shape: ONE row scan → the nBins-row bin table (hash-agg,
+    * map-side combine); every output term is a re-agg over those ≤nBins
+    * rows. */
+  def brierDecomposition(df: DataFrame, scoreCol: String, labelCol: String,
+                         nBins: Int): DataFrame = {
+    require(nBins >= 2, s"brierDecomposition: need nBins >= 2, got $nBins")
+    val f6 = round(col(scoreCol).cast("double"), 6)
+    val y = when(col(labelCol).cast("boolean"), 1L).otherwise(0L)
+    val bin = greatest(lit(0L),
+      least(floor(f6 * nBins).cast("long"), lit(nBins.toLong - 1L)))
+    val e12 = round((f6 - y.cast("double")) * (f6 - y.cast("double")) *
+      lit(1e12)).cast("decimal(38,0)")
+    val bins = graft.core.CacheRegistry.persist(
+      df.where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+        .select(bin.as("__b"), y.as("__y"),
+          round(f6 * lit(1e6)).cast("long").as("__fm"), e12.as("__e"))
+        .groupBy("__b")
+        .agg(count(lit(1)).as("__nk"), sum("__y").as("__ok"),
+          sum("__fm").as("__fmk"), sum("__e").as("__ek")))
+    val tot = bins.agg(
+      coalesce(sum("__nk"), lit(0L)).as("__n"),
+      coalesce(sum("__ok"), lit(0L)).as("__o"),
+      coalesce(sum("__ek"), lit(java.math.BigDecimal.ZERO)
+        .cast("decimal(38,0)")).as("__e"))
+    val dvf = col("__fmk").cast("double") / lit(1e6) - col("__ok").cast("double")
+    val dvr = col("__ok").cast("double") -
+      col("__nk").cast("double") * col("__o").cast("double") /
+        col("__n").cast("double")
+    val terms = bins.crossJoin(broadcast(tot)).agg(
+      coalesce(sum(round(dvf * dvf * lit(1e6) / col("__nk").cast("double"))
+        .cast("long")), lit(0L)).as("__rel"),
+      coalesce(sum(round(dvr * dvr * lit(1e6) / col("__nk").cast("double"))
+        .cast("long")), lit(0L)).as("__res"))
+    val oBar = col("__o").cast("double") / col("__n").cast("double")
+    val brier = col("__e").cast("double") / lit(1e12) / col("__n").cast("double")
+    val rel = col("__rel").cast("double") / lit(1e6) / col("__n").cast("double")
+    val res = col("__res").cast("double") / lit(1e6) / col("__n").cast("double")
+    val unc = oBar * (lit(1.0) - oBar)
+    tot.crossJoin(broadcast(terms))
+      .where(col("__n") > 0)
+      .select(col("__n").as("n"), round(brier, 6).as("brier"),
+        round(rel, 6).as("reliability"), round(res, 6).as("resolution"),
+        round(unc, 6).as("uncertainty"),
+        // + 0.0 folds IEEE −0.0 (snapping can leave the residual a hair
+        // under zero) so both engines emit +0.0
+        (round(brier - (rel - res + unc), 6) + lit(0.0)).as("within_bin_var"))
+  }
 }

@@ -601,4 +601,41 @@ object Sampling {
         foldOf(col("__us")).as("fold"),
         (foldOf(col("__us") - e) =!= foldOf(col("__us") + e)).as("is_embargo"))
   }
+
+  /** Effective sample size of an importance-weighted corpus — the
+    * one-number sanity check on any reweighting ([[dsirWeights]],
+    * [[temperatureMixture]]): Kish's `ESS = (Σw)²/Σw²`. An `ess_ratio`
+    * near 1 means the weights barely move the mixture; near 1/n means a
+    * handful of documents dominate the gradient and the reweighting has
+    * effectively shrunk the corpus to them. Takes LOG weights (what
+    * [[dsirWeights]] emits — raw weights overflow doubles at corpus
+    * scale); weights are max-normalized first (ESS is scale-invariant),
+    * so `w' = exp(lw − max lw) ∈ (0, 1]`. Determinism device: each w'
+    * snaps to nano-integers before the sums — S₁ and S₂ accumulate as
+    * exact decimal(38,0) (S₂'s 10¹⁸-scale terms overflow a LONG), and
+    * the nano factors cancel in `ESS = S₁²/S₂·(still exact)`. Weights
+    * below 5·10⁻¹⁰ of the max snap to 0 — their true contribution is
+    * below the 6 dp output quantum. Null log-weights are excluded. One
+    * row: (n, max_log_weight, ess, ess_ratio), 6 dp.
+    *
+    * Scale shape: one max-reduce, one broadcast of the scalar, one
+    * sum-reduce — two scans, no shuffle beyond the partial-agg trees. */
+  def importanceEss(df: DataFrame, logWeightCol: String): DataFrame = {
+    val base = df.where(col(logWeightCol).isNotNull)
+      .select(col(logWeightCol).cast("double").as("__lw"))
+    val mx = base.agg(max("__lw").as("__mx"))
+    val nano = round(exp(col("__lw") - col("__mx")) * lit(1e9))
+      .cast("decimal(38,0)")
+    val sums = base.crossJoin(broadcast(mx))
+      .select(nano.as("__w"), col("__mx"))
+      .agg(count(lit(1)).as("__n"), max("__mx").as("__mx"),
+        sum(col("__w")).as("__s1"), sum(col("__w") * col("__w")).as("__s2"))
+    sums.where(col("__n") > 0 && col("__s2") > 0)
+      .select(col("__n").as("n"), round(col("__mx"), 6).as("max_log_weight"),
+        round(col("__s1").cast("double") * col("__s1").cast("double") /
+          col("__s2").cast("double"), 6).as("ess"),
+        round(col("__s1").cast("double") * col("__s1").cast("double") /
+          col("__s2").cast("double") / col("__n").cast("double"), 6)
+          .as("ess_ratio"))
+  }
 }

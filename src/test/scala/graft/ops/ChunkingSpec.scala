@@ -89,4 +89,26 @@ class ChunkingSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Chunking.spanCorruptionPlan(docs, "doc_id", "text", 1, 3)
   }
+
+  test("truncationLoss: exact per-length doc and token losses from one scan") {
+    // lengths 3, 1, 5; total 9 tokens
+    val docs = Seq((1L, "a b c"), (2L, "a"), (3L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val r = Chunking.truncationLoss(docs, "doc_id", "text", Seq(4, 2))
+      .as[(Int, Long, Long, Double, Long, Long, Double)]
+      .collect().sortBy(_._1).toList
+    r shouldBe List(
+      // L=2: docs 1,3 cut; lose (3-2)+(5-2)=4 of 9 tokens
+      (2, 3L, 2L, 0.666667, 9L, 4L, 0.444444),
+      // L=4: doc 3 cut; lose 1 of 9
+      (4, 3L, 1L, 0.333333, 9L, 1L, 0.111111))
+    // no doc exceeds the window -> zero-loss rows, not missing rows
+    val none = Chunking.truncationLoss(docs, "doc_id", "text", Seq(10))
+      .as[(Int, Long, Long, Double, Long, Long, Double)].collect().toList
+    none shouldBe List((10, 3L, 0L, 0.0, 9L, 0L, 0.0))
+    an[IllegalArgumentException] should be thrownBy
+      Chunking.truncationLoss(docs, "doc_id", "text", Seq.empty)
+    an[IllegalArgumentException] should be thrownBy
+      Chunking.truncationLoss(docs, "doc_id", "text", Seq(0))
+  }
 }

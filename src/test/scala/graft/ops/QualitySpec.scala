@@ -612,6 +612,60 @@ class QualitySpec extends SparkSpec {
     graft.core.CacheRegistry.drain()
   }
 
+  test("krippendorffAlpha: coincidence-matrix hand example, unpairable " +
+    "and null ratings dropped, degenerate pool yields null alpha") {
+    // pairable items: i1 (a,a) d=0; i2 (a,b) d=2; i3 (b,b,b) d=0
+    // n=7, O=2, n_a=3 n_b=4 -> den = 49-25 = 24
+    // d_o = 2/7, d_e = 24/42 = 4/7, alpha = 1 - 2*6/24 = 0.5
+    val ratings = Seq(
+      ("i1", Some("a")), ("i1", Some("a")),
+      ("i2", Some("a")), ("i2", Some("b")),
+      ("i3", Some("b")), ("i3", Some("b")), ("i3", Some("b")),
+      ("i4", Some("a")), // single rating -> unpairable, dropped
+      ("i5", Some("a")), ("i5", None)) // null drops -> i5 unpairable
+      .toDF("item", "cat")
+    val r = graft.core.CacheRegistry.scoped {
+      Quality.krippendorffAlpha(ratings, "item", "cat")
+        .as[(Long, Long, Double, Double, Option[Double])].collect().toList
+    }
+    r shouldBe List((3L, 7L, round6(2.0 / 7.0), round6(4.0 / 7.0),
+      Some(0.5)))
+    // every pairable rating one category: expected disagreement 0 -> null
+    val flat = Seq(("i1", "x"), ("i1", "x"), ("i2", "x"), ("i2", "x"))
+      .toDF("item", "cat")
+    val d = graft.core.CacheRegistry.scoped {
+      Quality.krippendorffAlpha(flat, "item", "cat")
+        .as[(Long, Long, Double, Double, Option[Double])].collect().toList
+    }
+    d shouldBe List((2L, 4L, 0.0, 0.0, None))
+    graft.core.CacheRegistry.drain()
+  }
+
+  test("brierDecomposition: Murphy identity exact for bin-constant " +
+    "forecasts; residual is the within-bin forecast variance") {
+    // nBins=2; bin 0 = {0.2 x2}, bin 1 = {0.8 x2} (bin-constant)
+    // brier = 0.76/4 = 0.19; rel = (0.18+0.08)/4 = 0.065
+    // res = (0.125+0.125)/4 = 0.0625; unc = 0.75*0.25 = 0.1875
+    val d1 = Seq((0.2, false), (0.2, true), (0.8, true), (0.8, true))
+      .toDF("score", "label")
+    val r1 = graft.core.CacheRegistry.scoped {
+      Quality.brierDecomposition(d1, "score", "label", 2)
+        .as[(Long, Double, Double, Double, Double, Double)].head()
+    }
+    r1 shouldBe ((4L, 0.19, 0.065, 0.0625, 0.1875, 0.0))
+    // varying forecasts inside one bin: residual = within-bin var of f
+    // brier = 0.05; rel = (0.4-0)^2/2/2 = 0.04; res = unc = 0
+    val d2 = Seq((0.1, false), (0.3, false)).toDF("score", "label")
+    val r2 = graft.core.CacheRegistry.scoped {
+      Quality.brierDecomposition(d2, "score", "label", 2)
+        .as[(Long, Double, Double, Double, Double, Double)].head()
+    }
+    r2 shouldBe ((2L, 0.05, 0.04, 0.0, 0.0, 0.01))
+    an[IllegalArgumentException] should be thrownBy
+      Quality.brierDecomposition(d1, "score", "label", 1)
+    graft.core.CacheRegistry.drain()
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

@@ -424,4 +424,24 @@ class SamplingSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Sampling.temporalFolds(df, "id", "ts", 1, 0L)
   }
+
+  test("importanceEss: Kish ESS — uniform weights keep the corpus, a " +
+    "dominant weight collapses it; nulls excluded") {
+    // equal log-weights: every w' = 1 -> ESS = n, ratio = 1
+    val eq = Seq(0.0, 0.0, 0.0, 0.0).toDF("log_weight")
+    Sampling.importanceEss(eq, "log_weight")
+      .as[(Long, Double, Double, Double)].head() shouldBe
+      ((4L, 0.0, 4.0, 1.0))
+    // one dominant weight: exp(-30) nano-snaps to 0 -> ESS = 1; the
+    // null row is excluded from n; max is shift-invariant (5.0 here)
+    val dom = Seq(Some(5.0), Some(-25.0), Some(-25.0), None)
+      .toDF("log_weight")
+    Sampling.importanceEss(dom, "log_weight")
+      .as[(Long, Double, Double, Double)].head() shouldBe
+      ((3L, 5.0, 1.0, 0.333333))
+    // empty / all-null input: zero rows out, not a divide-by-zero
+    Sampling.importanceEss(
+      Seq.empty[Option[Double]].toDF("log_weight"), "log_weight")
+      .count() shouldBe 0L
+  }
 }
