@@ -1471,6 +1471,40 @@ object SparkEntry {
           "doc_id", "text", 256),
         "log_weight")
     }),
+    // rank-based two-sample test: per-nation Mann-Whitney U of order
+    // totals, BUILDING vs MACHINERY segments (+ Cliff's delta effect size)
+    "q274_mann_whitney" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+      graft.ops.Quality.mannWhitneyU(
+        o.join(c, col("o_custkey") === col("c_custkey")),
+        "c_nationkey", "c_mktsegment", "o_totalprice",
+        "BUILDING", "MACHINERY")
+    }),
+    // distribution-free drift pair: per event type, KS D and Wasserstein-1
+    // between weekday and weekend value distributions
+    "q275_ecdf_distance" -> ((s, dir) =>
+      graft.ops.Quality.ecdfDistance(
+        t(s, dir, "events").withColumn("daytype",
+          when(dayofweek(col("ts")).isin(1, 7), "weekend")
+            .otherwise("weekday")),
+        "event_type", "daytype", "value", "weekday", "weekend")),
+    // PR-curve summary of the q173 forecast: threshold-free average
+    // precision (step integral over distinct scores, tie-exact)
+    "q276_average_precision" -> ((s, dir) =>
+      graft.ops.Quality.averagePrecision(
+        t(s, dir, "events")
+          .withColumn("score", least(lit(1.0), col("value") / 250.0))
+          .withColumn("converted", col("event_type") === "purchase"),
+        "score", "converted")),
+    // corpus-composition inequality: per-source Gini of document token
+    // counts - the long-doc concentration gauge before packing
+    "q277_token_gini" -> ((s, dir) =>
+      graft.ops.Quality.giniIndex(
+        t(s, dir, "documents").select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        "source", "n_tokens")),
     // bin-composition diagnostics over the q56 pack: per-bin source
     // entropy and majority share - the correlated-context-window check
     "q269_bin_mixing" -> ((s, dir) => {
@@ -6098,6 +6132,179 @@ object SparkEntry {
          |  round(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
          |    / CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS ess_ratio
          |FROM s WHERE n > 0 AND s2 > 0""".stripMargin,
+    // q274: the same micro-snapped rank-sum reduction — average ranks
+    // via the exclusive cumsum, tie-corrected sigma, exact HUGEINT 2R
+    "q274_mann_whitney" ->
+      """WITH j AS (
+        |  SELECT c.c_nationkey AS g, c.c_mktsegment AS var,
+        |    CAST(round(CAST(o.o_totalprice AS DOUBLE) * 1000000.0)
+        |      AS BIGINT) AS vm
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+        |    AND o.o_totalprice IS NOT NULL),
+        |grid AS (
+        |  SELECT g, vm,
+        |    CAST(count(*) FILTER (var = 'BUILDING') AS HUGEINT) AS ca,
+        |    CAST(count(*) FILTER (var = 'MACHINERY') AS HUGEINT) AS cb
+        |  FROM j GROUP BY 1, 2),
+        |win AS (
+        |  SELECT g, ca, cb, ca + cb AS t,
+        |    COALESCE(sum(ca + cb) OVER (PARTITION BY g ORDER BY vm
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS cum
+        |  FROM grid),
+        |red AS (
+        |  SELECT g, CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(cb) AS BIGINT) AS n_b,
+        |    CAST(sum(ca * (cum * 2 + t + 1)) AS HUGEINT) AS r2,
+        |    CAST(sum(t * t * t - t) AS HUGEINT) AS ties
+        |  FROM win GROUP BY 1),
+        |st AS (
+        |  SELECT g, n_a, n_b,
+        |    r2 - CAST(n_a AS HUGEINT) * (CAST(n_a AS HUGEINT) + 1) AS u2,
+        |    CAST(CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT) AS DOUBLE)
+        |      AS nm,
+        |    CAST(CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT) AS DOUBLE)
+        |      / 12.0 *
+        |      (CAST(CAST(n_a AS HUGEINT) + n_b + 1 AS DOUBLE)
+        |       - CAST(ties AS DOUBLE)
+        |         / CAST((CAST(n_a AS HUGEINT) + n_b)
+        |             * (CAST(n_a AS HUGEINT) + n_b - 1) AS DOUBLE))
+        |      AS sigma2
+        |  FROM red)
+        |SELECT g AS c_nationkey, n_a, n_b,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1
+        |       THEN CAST(u2 AS DOUBLE) / 2.0 END AS u_a,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1 AND sigma2 > 0
+        |       THEN round((CAST(u2 AS DOUBLE) - nm)
+        |         / (2.0 * sqrt(sigma2)), 6) END AS z,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1
+        |       THEN round(CAST(u2 AS DOUBLE) / nm - 1.0, 6)
+        |       END AS cliffs_delta,
+        |  COALESCE(CASE WHEN n_a >= 1 AND n_b >= 1 AND sigma2 > 0
+        |    THEN abs((CAST(u2 AS DOUBLE) - nm) / (2.0 * sqrt(sigma2)))
+        |      > 1.959964 END, FALSE) AS significant
+        |FROM st""".stripMargin,
+    // q275: one distinct-value grid feeds both statistics; exact HUGEINT
+    // numerators over the shared n_a*n_b denominator
+    "q275_ecdf_distance" ->
+      """WITH e AS (
+        |  SELECT event_type AS g,
+        |    CASE WHEN dayofweek(CAST(ts AS TIMESTAMP)) IN (0, 6)
+        |         THEN 'weekend' ELSE 'weekday' END AS var,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS vm
+        |  FROM events WHERE value IS NOT NULL),
+        |grid AS (
+        |  SELECT g, vm,
+        |    CAST(count(*) FILTER (var = 'weekday') AS HUGEINT) AS ca,
+        |    CAST(count(*) FILTER (var = 'weekend') AS HUGEINT) AS cb
+        |  FROM e GROUP BY 1, 2),
+        |win AS (
+        |  SELECT g, ca, cb, vm,
+        |    sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb,
+        |    sum(ca) OVER (PARTITION BY g) AS na,
+        |    sum(cb) OVER (PARTITION BY g) AS nb,
+        |    lead(vm) OVER w AS nxt
+        |  FROM grid WINDOW w AS (PARTITION BY g ORDER BY vm)),
+        |d AS (
+        |  SELECT g, ca, cb,
+        |    abs(cuma * nb - cumb * na) AS dn,
+        |    COALESCE(CAST(nxt - vm AS HUGEINT), 0)
+        |      * abs(cuma * nb - cumb * na) AS w1
+        |  FROM win),
+        |red AS (
+        |  SELECT g, CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(cb) AS BIGINT) AS n_b,
+        |    max(dn) AS dmax, CAST(sum(w1) AS HUGEINT) AS w1n
+        |  FROM d GROUP BY 1)
+        |SELECT g AS event_type, n_a, n_b,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1 THEN
+        |    round(CAST(dmax AS DOUBLE)
+        |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+        |    END AS ks_d,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1 THEN
+        |    round(sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+        |        / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+        |      * (CAST(dmax AS DOUBLE)
+        |        / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 6)
+        |    END AS ks_stat,
+        |  COALESCE(CASE WHEN n_a >= 1 AND n_b >= 1 THEN
+        |    round(sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+        |        / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+        |      * (CAST(dmax AS DOUBLE)
+        |        / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 6)
+        |      > 1.358102 END, FALSE) AS reject_95,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1 THEN
+        |    round(CAST(w1n AS DOUBLE) / 1000000.0
+        |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+        |    END AS wasserstein1
+        |FROM red""".stripMargin,
+    // q276: thresholds are the distinct snapped scores; each step term
+    // micro-snaps before the BIGINT sum (the bradleyTerry device)
+    "q276_average_precision" ->
+      """WITH e AS (
+        |  SELECT CAST(round(least(1.0, CAST(value AS DOUBLE) / 250.0)
+        |      * 1000000.0) AS BIGINT) AS sm,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events
+        |  WHERE least(1.0, CAST(value AS DOUBLE) / 250.0) IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |grid AS (
+        |  SELECT sm, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS np
+        |  FROM e GROUP BY 1),
+        |win AS (
+        |  SELECT n, np,
+        |    sum(n) OVER (ORDER BY sm DESC) AS cn,
+        |    sum(np) OVER (ORDER BY sm DESC) AS cp,
+        |    sum(np) OVER () AS npos
+        |  FROM grid),
+        |terms AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(max(npos) AS BIGINT) AS n_pos,
+        |    CAST(sum(CASE WHEN npos > 0 AND np > 0 THEN
+        |      CAST(round(CAST(np AS DOUBLE) * CAST(cp AS DOUBLE)
+        |        * 1000000.0
+        |        / (CAST(npos AS DOUBLE) * CAST(cn AS DOUBLE))) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS ap
+        |  FROM win)
+        |SELECT n, n_pos,
+        |  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS base_rate,
+        |  CASE WHEN n_pos > 0
+        |       THEN round(CAST(ap AS DOUBLE) / 1000000.0, 6)
+        |       END AS average_precision
+        |FROM terms WHERE n > 0""".stripMargin,
+    // q277: the rank-block identity 2*sum(i*x) = sum(v*(2*t*cum+t(t+1)))
+    // over the distinct-length histogram, exact HUGEINT
+    "q277_token_gini" ->
+      """WITH d AS (
+        |  SELECT source AS g,
+        |    CAST(round(CAST(len(string_split(text, ' ')) AS DOUBLE)
+        |      * 1000000.0) AS BIGINT) AS vm
+        |  FROM documents),
+        |grid AS (
+        |  SELECT g, vm, CAST(count(*) AS HUGEINT) AS t
+        |  FROM d GROUP BY 1, 2),
+        |win AS (
+        |  SELECT g, vm, t,
+        |    COALESCE(sum(t) OVER (PARTITION BY g ORDER BY vm
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS cum
+        |  FROM grid),
+        |red AS (
+        |  SELECT g, CAST(sum(t) AS BIGINT) AS n, min(vm) AS mn,
+        |    CAST(sum(CAST(vm AS HUGEINT) * (t * cum * 2 + t * (t + 1)))
+        |      AS HUGEINT) AS r,
+        |    CAST(sum(CAST(vm AS HUGEINT) * t) AS HUGEINT) AS s
+        |  FROM win GROUP BY 1)
+        |SELECT g AS source, n,
+        |  round(CAST(s AS DOUBLE) / 1000000.0, 6) AS total,
+        |  CASE WHEN mn >= 0 AND s > 0 THEN
+        |    round(CAST(r AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+        |      - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6)
+        |    END AS gini
+        |FROM red""".stripMargin,
     // q261: the q215 training replay grouped by language; fertility is
     // one division of HUGEINT-exact sums, parity divides by the window
     // max of the same raw ratio

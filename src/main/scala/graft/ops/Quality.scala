@@ -1242,4 +1242,232 @@ object Quality {
         // under zero) so both engines emit +0.0
         (round(brier - (rel - res + unc), 6) + lit(0.0)).as("within_bin_var"))
   }
+
+  /** Per-group Mann–Whitney U test — the rank-based two-sample test for
+    * "did cohort b's distribution shift vs cohort a" when [[welchAbTest]]'s
+    * mean-difference frame is wrong (heavy tails, outliers, ordinal
+    * scores: the normal shape of quality-score and latency comparisons).
+    * Tie-aware: tied values take the average rank, and the normal
+    * approximation uses the tie-corrected variance
+    * `σ² = n_a·n_b/12 · ((N+1) − Σ(t³−t)/(N(N−1)))`. Cliff's δ =
+    * 2U/(n_a·n_b) − 1 rides along as the distribution-free effect size.
+    *
+    * Determinism device: values snap to 6 dp on entry (micro-integers),
+    * so the rank sum accumulates EXACTLY — per distinct value,
+    * `2·R_a += cnt_a·(2·cum_before + t + 1)` in decimal(38,0) (2R ≤ N²
+    * overflows a LONG at corpus scale), and U, δ, z are single divisions
+    * of exact integers. All-tied groups yield a null z (σ = 0), not NaN;
+    * a group missing either cohort yields null test columns. Null values
+    * and variants outside {a, b} are excluded. Output: (group, n_a, n_b,
+    * u_a [exact half-integers], z, cliffs_delta, significant at 95%),
+    * 6 dp.
+    *
+    * Scale shape: ONE (group, value) hash-agg (map-side combine), then
+    * windows over each group's distinct-VALUE histogram — bounded by the
+    * 6 dp quantization, not the row count — and a final group hash-agg.
+    * The raw table is scanned once and shuffled once. */
+  def mannWhitneyU(df: DataFrame, groupCol: String, variantCol: String,
+                   valCol: String, a: String, b: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vm = round(col(valCol).cast("double") * lit(1e6)).cast("long")
+    val grid = df
+      .where(col(valCol).isNotNull && col(variantCol).isin(a, b))
+      .groupBy(col(groupCol), vm.as("__vm"))
+      .agg(count(when(col(variantCol) === a, 1)).as("__ca"),
+        count(when(col(variantCol) === b, 1)).as("__cb"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__vm"))
+    val t = (col("__ca") + col("__cb")).cast("decimal(38,0)")
+    val cumBefore = coalesce(
+      sum(col("__ca") + col("__cb"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+      .cast("decimal(38,0)")
+    val red = grid
+      .select(col(groupCol), col("__ca"), col("__cb"), t.as("__t"),
+        cumBefore.as("__cum"))
+      .groupBy(col(groupCol))
+      .agg(
+        sum("__ca").as("n_a"), sum("__cb").as("n_b"),
+        sum(col("__ca").cast("decimal(38,0)") *
+          (col("__cum") * 2 + col("__t") + 1)).as("__r2"),
+        sum(col("__t") * col("__t") * col("__t") - col("__t")).as("__ties"))
+    val na = col("n_a").cast("decimal(38,0)")
+    val nb = col("n_b").cast("decimal(38,0)")
+    val bigN = na + nb
+    // 2U_a = 2R_a − n_a(n_a+1); every term exact
+    val u2 = col("__r2") - na * (na + 1)
+    val nm = (na * nb).cast("double")
+    val sigma2 = nm / 12.0 *
+      ((bigN + 1).cast("double") -
+        col("__ties").cast("double") / (bigN * (bigN - 1)).cast("double"))
+    val z = (u2.cast("double") - nm) / (lit(2.0) * sqrt(sigma2))
+    val ok = col("n_a") >= 1 && col("n_b") >= 1
+    red.select(col(groupCol), col("n_a"), col("n_b"),
+      when(ok, u2.cast("double") / 2.0).as("u_a"),
+      when(ok && sigma2 > 0, round(z, 6)).as("z"),
+      when(ok, round(u2.cast("double") / nm - 1.0, 6)).as("cliffs_delta"),
+      coalesce(when(ok && sigma2 > 0, abs(z) > 1.959964), lit(false))
+        .as("significant"))
+  }
+
+  /** Per-group ECDF distance between two cohorts — the two-sample
+    * Kolmogorov–Smirnov D (worst-case vertical gap: detects ANY
+    * distributional change, the drift test [[psiDrift]]'s fixed bins can
+    * miss) and the 1-Wasserstein distance (area between the ECDFs: the
+    * magnitude of the shift in value units, where D only says "how
+    * separated"). Both from ONE distinct-value grid.
+    *
+    * Determinism device: values snap to 6 dp (micro-integers); the KS
+    * numerator `max |cumA·n_b − cumB·n_a|` and the Wasserstein numerator
+    * `Σ gap_micro·|cumA·n_b − cumB·n_a|` accumulate as exact
+    * decimal(38,0) (cum·n ≤ N² overflows a LONG at corpus scale), so
+    * both statistics are single divisions of exact integers. The 95%
+    * rejection uses the asymptotic critical value 1.358102 on
+    * `sqrt(n_a·n_b/N)·D`. A group missing either cohort yields null
+    * stats; null values and foreign variants are excluded. Output:
+    * (group, n_a, n_b, ks_d, ks_stat, reject_95, wasserstein1), 6 dp.
+    *
+    * Scale shape: the [[mannWhitneyU]] contract — one (group, value)
+    * hash-agg, windows over each group's quantization-bounded
+    * distinct-value histogram, one final group hash-agg; one scan, one
+    * shuffle. */
+  def ecdfDistance(df: DataFrame, groupCol: String, variantCol: String,
+                   valCol: String, a: String, b: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vm = round(col(valCol).cast("double") * lit(1e6)).cast("long")
+    val grid = df
+      .where(col(valCol).isNotNull && col(variantCol).isin(a, b))
+      .groupBy(col(groupCol), vm.as("__vm"))
+      .agg(count(when(col(variantCol) === a, 1)).as("__ca"),
+        count(when(col(variantCol) === b, 1)).as("__cb"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__vm"))
+    val all = Window.partitionBy(col(groupCol))
+    val cumA = sum("__ca").over(w).cast("decimal(38,0)")
+    val cumB = sum("__cb").over(w).cast("decimal(38,0)")
+    val na = sum("__ca").over(all).cast("decimal(38,0)")
+    val nb = sum("__cb").over(all).cast("decimal(38,0)")
+    // |F_a − F_b| at this value, scaled by the exact n_a·n_b denominator
+    val dnum = abs(cumA * nb - cumB * na)
+    val gap = (lead(col("__vm"), 1).over(w) - col("__vm"))
+      .cast("decimal(38,0)")
+    val red = grid
+      .select(col(groupCol), col("__ca"), col("__cb"), dnum.as("__d"),
+        (coalesce(gap, lit(0L).cast("decimal(38,0)")) * dnum).as("__w1"))
+      .groupBy(col(groupCol))
+      .agg(sum("__ca").as("n_a"), sum("__cb").as("n_b"),
+        max("__d").as("__dmax"), sum("__w1").as("__w1n"))
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val nm = naD * nbD
+    val ksD = col("__dmax").cast("double") / nm
+    val ksStat = sqrt(nm / (naD + nbD)) * ksD
+    val ok = col("n_a") >= 1 && col("n_b") >= 1
+    red.select(col(groupCol), col("n_a"), col("n_b"),
+      when(ok, round(ksD, 6)).as("ks_d"),
+      when(ok, round(ksStat, 6)).as("ks_stat"),
+      coalesce(when(ok, round(ksStat, 6) > 1.358102), lit(false))
+        .as("reject_95"),
+      when(ok, round(col("__w1n").cast("double") / lit(1e6) / nm, 6))
+        .as("wasserstein1"))
+  }
+
+  /** Threshold-free average precision of a scalar score against a binary
+    * label — the PR-curve summary (sklearn's `average_precision_score`
+    * step integral), the right headline number for rare-positive
+    * classifiers where [[rocAuc]]'s negatives-dominated denominator
+    * flatters everything: `AP = Σ_thresholds (ΔTP/n_pos)·(TP/N at the
+    * threshold)`, one term per distinct score, descending. Tie-exact by
+    * construction: thresholds ARE the distinct scores, so tied rows
+    * enter together and no within-tie order exists to disagree on.
+    *
+    * Determinism device: scores snap to 6 dp; each threshold's term
+    * `round(np·cumP·10⁶/(n_pos·cumN))` is micro-snapped before the LONG
+    * sum (the [[graft.ops.Learn.bradleyTerry]] device), so AP is an
+    * exact integer sum divided once. No positives → null AP. Null
+    * scores/labels excluded. One row: (n, n_pos, base_rate,
+    * average_precision), 6 dp.
+    *
+    * Scale shape: one score hash-agg to the distinct-score histogram
+    * (quantization-bounded), one descending cumsum window over it, one
+    * scalar reduce. */
+  def averagePrecision(df: DataFrame, scoreCol: String,
+                       labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sm = round(col(scoreCol).cast("double") * lit(1e6)).cast("long")
+    val y = when(col(labelCol).cast("boolean"), 1L).otherwise(0L)
+    val grid = df.where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(sm.as("__sm"))
+      .agg(count(lit(1)).as("__n"), sum(y).as("__np"))
+    val w = Window.orderBy(col("__sm").desc)
+    val cumN = sum("__n").over(w)
+    val cumP = sum("__np").over(w)
+    val tot = Window.partitionBy(lit(1))
+    val nPos = sum("__np").over(tot)
+    val term = round(col("__np").cast("double") * col("__cp").cast("double") *
+      lit(1e6) / (col("__npos").cast("double") * col("__cn").cast("double")))
+      .cast("long")
+    grid
+      .select(col("__n"), col("__np"), cumN.as("__cn"), cumP.as("__cp"),
+        nPos.as("__npos"))
+      .select(col("__n"), col("__np"), col("__npos"),
+        when(col("__npos") > 0 && col("__np") > 0, term).otherwise(lit(0L))
+          .as("__term"))
+      .agg(coalesce(sum("__n"), lit(0L)).as("n"),
+        coalesce(max("__npos"), lit(0L)).as("n_pos"),
+        coalesce(sum("__term"), lit(0L)).as("__ap"))
+      .where(col("n") > 0)
+      .select(col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("base_rate"),
+        when(col("n_pos") > 0,
+          round(col("__ap").cast("double") / lit(1e6), 6))
+          .as("average_precision"))
+  }
+
+  /** Per-group Gini concentration index over a non-negative value — the
+    * inequality gauge for corpus composition: how concentrated token
+    * mass is across a source's documents (G → 0: uniform lengths;
+    * G → 1: a few giants carry the source — the long-doc skew that
+    * breaks naive packing), or revenue across customers. Rank form over
+    * the distinct-value histogram: a block of t copies of value v at
+    * cumulative offset c contributes `v·(2·t·c + t(t+1))` to
+    * `2·Σ i·x₍ᵢ₎`, and `G = 2Σi·x/(n·Σx) − (n+1)/n`.
+    *
+    * Determinism device: values snap to 6 dp micro-integers; both sums
+    * accumulate as exact decimal(38,0) (the rank-weighted sum reaches
+    * N²·v_micro — far past LONG at corpus scale), so G is arithmetic on
+    * exact integers. Groups with any negative value yield a null gini
+    * (the index is undefined); an all-zero group yields null (0/0);
+    * null values are excluded. Output: (group, n, total [6 dp], gini
+    * [6 dp]).
+    *
+    * Scale shape: the [[mannWhitneyU]] contract — one (group, value)
+    * hash-agg, one cumsum window per group over the quantization-bounded
+    * histogram, one final group hash-agg. */
+  def giniIndex(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vm = round(col(valCol).cast("double") * lit(1e6)).cast("long")
+    val grid = df.where(col(valCol).isNotNull)
+      .groupBy(col(groupCol), vm.as("__vm"))
+      .agg(count(lit(1)).as("__t"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__vm"))
+    val cumBefore = coalesce(
+      sum("__t").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+      .cast("decimal(38,0)")
+    val t = col("__t").cast("decimal(38,0)")
+    val v = col("__vm").cast("decimal(38,0)")
+    val red = grid
+      .select(col(groupCol), col("__t"), col("__vm"),
+        (v * (t * cumBefore * 2 + t * (t + 1))).as("__ranked"),
+        (v * t).as("__s"))
+      .groupBy(col(groupCol))
+      .agg(sum("__t").as("n"), min("__vm").as("__min"),
+        sum("__ranked").as("__r"), sum("__s").as("__sum"))
+    val nD = col("n").cast("double")
+    val gini = col("__r").cast("double") /
+      (nD * col("__sum").cast("double")) - (nD + 1.0) / nD
+    red.select(col(groupCol), col("n"),
+      round(col("__sum").cast("double") / lit(1e6), 6).as("total"),
+      when(col("__min") >= 0 && col("__sum") > 0, round(gini, 6))
+        .as("gini"))
+  }
 }

@@ -666,6 +666,72 @@ class QualitySpec extends SparkSpec {
     graft.core.CacheRegistry.drain()
   }
 
+  test("mannWhitneyU: tie-averaged ranks, tie-corrected sigma, Cliff's " +
+    "delta; all-tied group yields null z; missing cohort yields nulls") {
+    // a = {1,2,2}, b = {2,3}: R_a = 1+3+3 = 7, U = 1, ties T = 24,
+    // sigma2 = 6/12*(6 - 24/20) = 2.4, z = -2/sqrt(2.4) = -1.290994
+    val d = Seq(
+      ("g", "a", 1.0), ("g", "a", 2.0), ("g", "a", 2.0),
+      ("g", "b", 2.0), ("g", "b", 3.0),
+      ("t", "a", 5.0), ("t", "a", 5.0), ("t", "b", 5.0), // all tied
+      ("m", "a", 1.0), ("m", "a", 2.0)) // missing cohort b
+      .toDF("grp", "variant", "v")
+    val r = Quality.mannWhitneyU(d, "grp", "variant", "v", "a", "b")
+      .as[(String, Long, Long, Option[Double], Option[Double],
+        Option[Double], Boolean)].collect().map(x => x._1 -> x).toMap
+    r("g") shouldBe (("g", 3L, 2L, Some(1.0), Some(-1.290994),
+      Some(-0.666667), false))
+    r("t") shouldBe (("t", 2L, 1L, Some(1.0), None, Some(0.0), false))
+    r("m") shouldBe (("m", 2L, 0L, None, None, None, false))
+  }
+
+  test("ecdfDistance: KS max gap and Wasserstein-1 area from one grid") {
+    // a = {1,2}, b = {2,4}: D = 0.5, W1 = 1*0.5 + 2*0.5 = 1.5
+    val d = Seq(
+      ("g", "a", 1.0), ("g", "a", 2.0), ("g", "b", 2.0), ("g", "b", 4.0),
+      ("i", "a", 3.0), ("i", "a", 7.0), ("i", "b", 3.0), ("i", "b", 7.0),
+      ("m", "b", 1.0)) // identical cohorts in i; missing cohort in m
+      .toDF("grp", "variant", "v")
+    val r = Quality.ecdfDistance(d, "grp", "variant", "v", "a", "b")
+      .as[(String, Long, Long, Option[Double], Option[Double], Boolean,
+        Option[Double])].collect().map(x => x._1 -> x).toMap
+    r("g") shouldBe (("g", 2L, 2L, Some(0.5), Some(0.5), false, Some(1.5)))
+    r("i") shouldBe (("i", 2L, 2L, Some(0.0), Some(0.0), false, Some(0.0)))
+    r("m") shouldBe (("m", 0L, 1L, None, None, false, None))
+  }
+
+  test("averagePrecision: step integral over distinct-score thresholds, " +
+    "tie-exact; no positives yields null") {
+    // desc blocks: (0.9: 1 pos of 1), (0.8: 1 pos of 2), (0.7: 0 of 1)
+    // AP = 1/2 + round6(1/3) = 0.833333
+    val d = Seq((0.9, true), (0.8, false), (0.8, true), (0.7, false))
+      .toDF("score", "label")
+    Quality.averagePrecision(d, "score", "label")
+      .as[(Long, Long, Double, Option[Double])].head() shouldBe
+      ((4L, 2L, 0.5, Some(0.833333)))
+    val neg = Seq((0.9, false), (0.1, false)).toDF("score", "label")
+    Quality.averagePrecision(neg, "score", "label")
+      .as[(Long, Long, Double, Option[Double])].head() shouldBe
+      ((2L, 0L, 0.0, None))
+  }
+
+  test("giniIndex: rank-block identity; uniform group scores 0; " +
+    "negative or all-zero groups yield null") {
+    // g = {1,1,2}: G = 2*9/(3*4) - 4/3 = 0.166667
+    val d = Seq(("g", 1.0), ("g", 1.0), ("g", 2.0),
+      ("u", 3.0), ("u", 3.0), ("u", 3.0),
+      ("neg", 1.0), ("neg", -1.0),
+      ("z", 0.0), ("z", 0.0))
+      .toDF("grp", "v")
+    val r = Quality.giniIndex(d, "grp", "v")
+      .as[(String, Long, Double, Option[Double])]
+      .collect().map(x => x._1 -> x).toMap
+    r("g") shouldBe (("g", 3L, 4.0, Some(0.166667)))
+    r("u") shouldBe (("u", 3L, 9.0, Some(0.0)))
+    r("neg")._4 shouldBe None
+    r("z") shouldBe (("z", 2L, 0.0, None))
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
