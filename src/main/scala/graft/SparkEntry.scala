@@ -1505,6 +1505,50 @@ object SparkEntry {
         t(s, dir, "documents").select(col("source"),
           size(split(col("text"), " ")).cast("long").as("n_tokens")),
         "source", "n_tokens")),
+    // paired classifier comparison: q189's md5-noise rater vs a
+    // value-threshold rater on the SAME events - only discordants count
+    "q278_mcnemar" -> ((s, dir) =>
+      graft.ops.Quality.mcNemar(
+        t(s, dir, "events")
+          .withColumn("pred_a",
+            when(substring(md5(col("event_id").cast("string")), 1, 1) < "3",
+              lit("click")).otherwise(col("event_type")))
+          .withColumn("pred_b",
+            when(col("value") > 125.0, lit("purchase"))
+              .otherwise(lit("click"))),
+        "event_type", "pred_a", "pred_b")),
+    // q187's AUC with the DeLong sampling-noise CI - placements exact
+    // off the distinct-score histogram
+    "q279_auc_delong" -> ((s, dir) =>
+      graft.ops.Quality.rocAucDelong(
+        t(s, dir, "events")
+          .withColumn("score", least(lit(1.0), col("value") / 250.0))
+          .withColumn("converted", col("event_type") === "purchase"),
+        "score", "converted")),
+    // experiment-planning readout: per-nation minimum detectable effect
+    // at the CURRENT cohort sizes (95% conf / 80% power)
+    "q280_mde" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+      graft.ops.Quality.mdePower(
+        o.join(c, col("o_custkey") === col("c_custkey")),
+        "c_nationkey", "c_mktsegment", "o_totalprice",
+        "BUILDING", "MACHINERY")
+    }),
+    // exact binomial sign test per supplier (monthly 1996-vs-1995 ship
+    // counts, n <= 12) -> Benjamini-Hochberg over the 1000-supplier family
+    "q281_sign_fdr" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .where(year(col("l_shipdate")).isin(1995, 1996))
+      val diffs = li
+        .groupBy(col("l_suppkey"), month(col("l_shipdate")).as("mo"))
+        .agg((count(when(year(col("l_shipdate")) === 1996, 1)) -
+          count(when(year(col("l_shipdate")) === 1995, 1))).as("diff"))
+      graft.ops.Quality.bhFdr(
+        graft.ops.Quality.signTest(diffs, "l_suppkey", "diff"),
+        "l_suppkey", "p", 0.1)
+    }),
     // bin-composition diagnostics over the q56 pack: per-bin source
     // entropy and majority share - the correlated-context-window check
     "q269_bin_mixing" -> ((s, dir) => {
@@ -6305,6 +6349,213 @@ object SparkEntry {
         |      - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6)
         |    END AS gini
         |FROM red""".stripMargin,
+    // q278: the same discordant-count reduction; chi2 one division of
+    // exact integers, continuity correction clamped at 0
+    "q278_mcnemar" ->
+      """WITH e AS (
+        |  SELECT event_type AS lab,
+        |    CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < '3'
+        |         THEN 'click' ELSE event_type END AS pa,
+        |    CASE WHEN value > 125.0 THEN 'purchase' ELSE 'click' END AS pb
+        |  FROM events WHERE event_type IS NOT NULL),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(*) FILTER (pa = lab AND pb = lab) AS BIGINT)
+        |      AS both_correct,
+        |    CAST(count(*) FILTER (pa = lab AND pb <> lab) AS BIGINT)
+        |      AS only_a,
+        |    CAST(count(*) FILTER (pa <> lab AND pb = lab) AS BIGINT)
+        |      AS only_b,
+        |    CAST(count(*) FILTER (pa <> lab AND pb <> lab) AS BIGINT)
+        |      AS both_wrong
+        |  FROM e)
+        |SELECT n, both_correct, only_a, only_b, both_wrong,
+        |  CASE WHEN only_a + only_b > 0 THEN
+        |    round(greatest(0.0, abs(CAST(only_a AS DOUBLE)
+        |        - CAST(only_b AS DOUBLE)) - 1.0)
+        |      * greatest(0.0, abs(CAST(only_a AS DOUBLE)
+        |        - CAST(only_b AS DOUBLE)) - 1.0)
+        |      / (CAST(only_a AS DOUBLE) + CAST(only_b AS DOUBLE)), 6)
+        |    END AS chi2_cc,
+        |  COALESCE(CASE WHEN only_a + only_b > 0 THEN
+        |    greatest(0.0, abs(CAST(only_a AS DOUBLE)
+        |        - CAST(only_b AS DOUBLE)) - 1.0)
+        |      * greatest(0.0, abs(CAST(only_a AS DOUBLE)
+        |        - CAST(only_b AS DOUBLE)) - 1.0)
+        |      / (CAST(only_a AS DOUBLE) + CAST(only_b AS DOUBLE))
+        |      > 3.841459 END, FALSE) AS significant
+        |FROM m WHERE n > 0""".stripMargin,
+    // q279: DeLong placements as exact integer numerators off the
+    // distinct-score histogram; variance terms in HUGEINT
+    "q279_auc_delong" ->
+      """WITH e AS (
+        |  SELECT CAST(round(least(1.0, CAST(value AS DOUBLE) / 250.0)
+        |      * 1000000.0) AS BIGINT) AS sm,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events
+        |  WHERE least(1.0, CAST(value AS DOUBLE) / 250.0) IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |grid AS (
+        |  SELECT sm, CAST(sum(y) AS BIGINT) AS np,
+        |    CAST(count(*) - sum(y) AS BIGINT) AS nn
+        |  FROM e GROUP BY 1),
+        |win AS (
+        |  SELECT np, nn,
+        |    COALESCE(sum(nn) OVER (ORDER BY sm
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS negb,
+        |    COALESCE(sum(np) OVER (ORDER BY sm
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+        |      0) AS posa
+        |  FROM grid),
+        |red AS (
+        |  SELECT CAST(sum(np) AS HUGEINT) AS p,
+        |    CAST(sum(nn) AS HUGEINT) AS m,
+        |    CAST(sum(CAST(np AS HUGEINT) * (negb * 2 + nn)) AS HUGEINT)
+        |      AS s1,
+        |    CAST(sum(CAST(np AS HUGEINT) * (negb * 2 + nn)
+        |      * (negb * 2 + nn)) AS HUGEINT) AS s2,
+        |    CAST(sum(CAST(nn AS HUGEINT) * (posa * 2 + np)) AS HUGEINT)
+        |      AS t1,
+        |    CAST(sum(CAST(nn AS HUGEINT) * (posa * 2 + np)
+        |      * (posa * 2 + np)) AS HUGEINT) AS t2
+        |  FROM win)
+        |SELECT CAST(p AS BIGINT) AS n_pos, CAST(m AS BIGINT) AS n_neg,
+        |  CASE WHEN p > 0 AND m > 0 THEN
+        |    round(CAST(s1 AS DOUBLE)
+        |      / (2.0 * CAST(m AS DOUBLE) * CAST(p AS DOUBLE)), 6)
+        |    END AS auc,
+        |  CASE WHEN p >= 2 AND m >= 2 THEN
+        |    round(sqrt(
+        |      ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |          / CAST(p AS DOUBLE)) / (CAST(p AS DOUBLE) - 1.0))
+        |        / (CAST(p AS DOUBLE) * (2.0 * CAST(m AS DOUBLE))
+        |          * (2.0 * CAST(m AS DOUBLE)))
+        |      + ((CAST(t2 AS DOUBLE) - CAST(t1 AS DOUBLE)
+        |          * CAST(t1 AS DOUBLE) / CAST(m AS DOUBLE))
+        |          / (CAST(m AS DOUBLE) - 1.0))
+        |        / (CAST(m AS DOUBLE) * (2.0 * CAST(p AS DOUBLE))
+        |          * (2.0 * CAST(p AS DOUBLE)))), 6)
+        |    END AS se,
+        |  CASE WHEN p >= 2 AND m >= 2 THEN
+        |    round(CAST(s1 AS DOUBLE)
+        |        / (2.0 * CAST(m AS DOUBLE) * CAST(p AS DOUBLE))
+        |      - 1.959964 * sqrt(
+        |      ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |          / CAST(p AS DOUBLE)) / (CAST(p AS DOUBLE) - 1.0))
+        |        / (CAST(p AS DOUBLE) * (2.0 * CAST(m AS DOUBLE))
+        |          * (2.0 * CAST(m AS DOUBLE)))
+        |      + ((CAST(t2 AS DOUBLE) - CAST(t1 AS DOUBLE)
+        |          * CAST(t1 AS DOUBLE) / CAST(m AS DOUBLE))
+        |          / (CAST(m AS DOUBLE) - 1.0))
+        |        / (CAST(m AS DOUBLE) * (2.0 * CAST(p AS DOUBLE))
+        |          * (2.0 * CAST(p AS DOUBLE)))), 6)
+        |    END AS ci_lo,
+        |  CASE WHEN p >= 2 AND m >= 2 THEN
+        |    round(CAST(s1 AS DOUBLE)
+        |        / (2.0 * CAST(m AS DOUBLE) * CAST(p AS DOUBLE))
+        |      + 1.959964 * sqrt(
+        |      ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |          / CAST(p AS DOUBLE)) / (CAST(p AS DOUBLE) - 1.0))
+        |        / (CAST(p AS DOUBLE) * (2.0 * CAST(m AS DOUBLE))
+        |          * (2.0 * CAST(m AS DOUBLE)))
+        |      + ((CAST(t2 AS DOUBLE) - CAST(t1 AS DOUBLE)
+        |          * CAST(t1 AS DOUBLE) / CAST(m AS DOUBLE))
+        |          / (CAST(m AS DOUBLE) - 1.0))
+        |        / (CAST(m AS DOUBLE) * (2.0 * CAST(p AS DOUBLE))
+        |          * (2.0 * CAST(p AS DOUBLE)))), 6)
+        |    END AS ci_hi
+        |FROM red WHERE p + m > 0""".stripMargin,
+    // q280: the welch moment pass re-pointed at planning - same pivot,
+    // (z_a + z_b) * welch SE
+    "q280_mde" ->
+      """WITH j AS (
+        |  SELECT c.c_nationkey AS g, c.c_mktsegment AS var,
+        |    CAST(o.o_totalprice AS DOUBLE) AS v
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+        |    AND o.o_totalprice IS NOT NULL),
+        |red AS (
+        |  SELECT g, var, CAST(count(*) AS BIGINT) AS n,
+        |    sum(v) AS s, sum(v * v) AS s2
+        |  FROM j GROUP BY 1, 2),
+        |piv AS (
+        |  SELECT g,
+        |    COALESCE(max(CASE WHEN var = 'BUILDING' THEN n END), 0) AS n_a,
+        |    COALESCE(max(CASE WHEN var = 'MACHINERY' THEN n END), 0) AS n_b,
+        |    max(CASE WHEN var = 'BUILDING' THEN s END) AS sa,
+        |    max(CASE WHEN var = 'MACHINERY' THEN s END) AS sb,
+        |    max(CASE WHEN var = 'BUILDING' THEN s2 END) AS sa2,
+        |    max(CASE WHEN var = 'MACHINERY' THEN s2 END) AS sb2
+        |  FROM red GROUP BY 1)
+        |SELECT g AS c_nationkey, n_a, n_b,
+        |  CASE WHEN n_a > 0 THEN round(sa / CAST(n_a AS DOUBLE), 6) END
+        |    AS mean_a,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+        |    round((1.959963984540054 + 0.8416212335729143) * sqrt(
+        |      ((sa2 - sa * sa / CAST(n_a AS DOUBLE))
+        |        / (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE)
+        |      + ((sb2 - sb * sb / CAST(n_b AS DOUBLE))
+        |        / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE)), 6)
+        |    END AS mde_abs,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2
+        |        AND sa / CAST(n_a AS DOUBLE) <> 0.0 THEN
+        |    round((1.959963984540054 + 0.8416212335729143) * sqrt(
+        |      ((sa2 - sa * sa / CAST(n_a AS DOUBLE))
+        |        / (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE)
+        |      + ((sb2 - sb * sb / CAST(n_b AS DOUBLE))
+        |        / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE))
+        |      / (sa / CAST(n_a AS DOUBLE)), 6)
+        |    END AS mde_rel
+        |FROM piv""".stripMargin,
+    // q281: the binomial CDF via the integer recurrence in a recursive
+    // CTE (exact in doubles for n <= 50), then the exact-integer BH cut
+    "q281_sign_fdr" ->
+      """WITH RECURSIVE pm AS (
+        |  SELECT l_suppkey AS k, month(l_shipdate) AS mo,
+        |    CAST(count(*) FILTER (year(l_shipdate) = 1996) AS BIGINT)
+        |      - CAST(count(*) FILTER (year(l_shipdate) = 1995) AS BIGINT)
+        |      AS diff
+        |  FROM lineitem WHERE year(l_shipdate) IN (1995, 1996)
+        |  GROUP BY 1, 2),
+        |sg AS (
+        |  SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(*) FILTER (diff > 0) AS BIGINT) AS np,
+        |    CAST(count(*) FILTER (diff < 0) AS BIGINT) AS nn
+        |  FROM pm WHERE diff <> 0 GROUP BY 1),
+        |r AS (
+        |  SELECT k, n, least(np, nn) AS kk, 0 AS i,
+        |    CAST(1.0 AS DOUBLE) AS c, CAST(1.0 AS DOUBLE) AS s
+        |  FROM sg WHERE n <= 50
+        |  UNION ALL
+        |  SELECT k, n, kk, i + 1,
+        |    c * (CAST(n AS DOUBLE) - i) / (i + 1),
+        |    s + c * (CAST(n AS DOUBLE) - i) / (i + 1)
+        |  FROM r WHERE i < kk),
+        |cdf AS (SELECT k, s FROM r WHERE i = kk),
+        |pv AS (
+        |  SELECT sg.k,
+        |    CASE WHEN sg.n >= 1 AND sg.n <= 50 THEN
+        |      round(least(1.0, 2.0 * (cdf.s
+        |        / pow(2.0, CAST(sg.n AS DOUBLE)))), 6) END AS p
+        |  FROM sg LEFT JOIN cdf ON sg.k = cdf.k),
+        |fam AS (
+        |  SELECT k, p, CAST(round(p * 1000000.0) AS BIGINT) AS pm6
+        |  FROM pv WHERE p IS NOT NULL),
+        |rk AS (
+        |  SELECT k, p, pm6,
+        |    CAST(row_number() OVER (ORDER BY pm6, k) AS INT) AS rank,
+        |    count(*) OVER () AS m
+        |  FROM fam),
+        |fl AS (
+        |  SELECT k, p, rank, pm6 * m <= rank * 100000 AS flag FROM rk),
+        |ct AS (
+        |  SELECT k, p, rank,
+        |    max(CASE WHEN flag THEN rank END) OVER () AS cutoff
+        |  FROM fl)
+        |SELECT k AS l_suppkey, p, rank,
+        |  rank <= COALESCE(cutoff, 0) AS rejected
+        |FROM ct""".stripMargin,
     // q261: the q215 training replay grouped by language; fertility is
     // one division of HUGEINT-exact sums, parity divides by the window
     // max of the same raw ratio

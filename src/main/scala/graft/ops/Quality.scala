@@ -1470,4 +1470,222 @@ object Quality {
       when(col("__min") >= 0 && col("__sum") > 0, round(gini, 6))
         .as("gini"))
   }
+
+  /** McNemar's test on PAIRED classifier predictions — the right test
+    * for "is model B actually better than model A on the same rows",
+    * where two separate accuracy CIs ([[bootstrapMeanCi]]) waste the
+    * pairing: only the discordant counts carry signal.
+    * `χ² = max(0, |b−c|−1)² / (b+c)` (continuity-corrected; the max(0,·)
+    * keeps the b = c case at 0 instead of 1/(b+c)), 1 df, 95% critical
+    * value 3.841459. All counts exact LONGs from one scan; χ² is one
+    * division of exact integers. No discordant pairs → null χ², not
+    * significant. Rows with a null label or prediction are excluded.
+    * One row: (n, both_correct, only_a, only_b, both_wrong, chi2_cc,
+    * significant).
+    *
+    * Scale shape: ONE scan ending in a single-row conditional-count
+    * aggregate (map-side partials) — no shuffle beyond the reduce. */
+  def mcNemar(df: DataFrame, labelCol: String, predACol: String,
+              predBCol: String): DataFrame = {
+    val okA = col(predACol) === col(labelCol)
+    val okB = col(predBCol) === col(labelCol)
+    val red = df
+      .where(col(labelCol).isNotNull && col(predACol).isNotNull &&
+        col(predBCol).isNotNull)
+      .agg(count(lit(1)).as("n"),
+        count(when(okA && okB, 1)).as("both_correct"),
+        count(when(okA && !okB, 1)).as("only_a"),
+        count(when(!okA && okB, 1)).as("only_b"),
+        count(when(!okA && !okB, 1)).as("both_wrong"))
+    val b = col("only_a").cast("double")
+    val c = col("only_b").cast("double")
+    val num = greatest(lit(0.0), abs(b - c) - 1.0)
+    val chi2 = num * num / (b + c)
+    red.where(col("n") > 0)
+      .select(col("n"), col("both_correct"), col("only_a"), col("only_b"),
+        col("both_wrong"),
+        when(col("only_a") + col("only_b") > 0, round(chi2, 6))
+          .as("chi2_cc"),
+        coalesce(when(col("only_a") + col("only_b") > 0,
+          chi2 > 3.841459), lit(false)).as("significant"))
+  }
+
+  /** ROC-AUC with the DeLong (1988) confidence interval — [[rocAuc]]'s
+    * point estimate plus the variance the paper derives from the
+    * two-sample U-statistic structure, so an AUC difference can be
+    * judged against sampling noise instead of eyeballed. Placements:
+    * each positive's `V10 = (#neg below + ½·#neg tied)/n_neg` (and
+    * symmetrically V01 per negative); `Var(AUC) = var(V10)/n_pos +
+    * var(V01)/n_neg`.
+    *
+    * Determinism device: scores snap to 6 dp; per distinct-score block
+    * the INTEGER placement numerator `2·cum_other + ties` is exact, and
+    * its weighted first/second moments accumulate as decimal(38,0)
+    * (second moments reach N³), so AUC, SE, and the CI are arithmetic
+    * on exact integers. Either cohort empty → null AUC; a cohort of
+    * size 1 → null SE/CI (the n−1 variance). Null scores/labels
+    * excluded. One row: (n_pos, n_neg, auc, se, ci_lo, ci_hi), 6 dp.
+    *
+    * Scale shape: the [[averagePrecision]] contract — one distinct-score
+    * hash-agg, one cumsum window over the quantization-bounded
+    * histogram, one scalar reduce. */
+  def rocAucDelong(df: DataFrame, scoreCol: String, labelCol: String,
+                   z: Double = 1.959964): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sm = round(col(scoreCol).cast("double") * lit(1e6)).cast("long")
+    val y = when(col(labelCol).cast("boolean"), 1L).otherwise(0L)
+    val grid = df.where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(sm.as("__sm"))
+      .agg(sum(y).as("__np"), sum(lit(1L) - y).as("__nn"))
+    val w = Window.orderBy(col("__sm"))
+    val negBefore = coalesce(
+      sum("__nn").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val posAfter = coalesce(
+      sum("__np").over(w.rowsBetween(1, Window.unboundedFollowing)), lit(0L))
+    // integer placement numerators, in 1/(2·n_other) units
+    val v10 = (negBefore * 2 + col("__nn")).cast("decimal(38,0)")
+    val v01 = (posAfter * 2 + col("__np")).cast("decimal(38,0)")
+    val red = grid
+      .select(col("__np").cast("decimal(38,0)").as("__npd"),
+        col("__nn").cast("decimal(38,0)").as("__nnd"),
+        v10.as("__v"), v01.as("__u"))
+      .agg(coalesce(sum("__npd"), lit(0L).cast("decimal(38,0)")).as("__p"),
+        coalesce(sum("__nnd"), lit(0L).cast("decimal(38,0)")).as("__m"),
+        sum(col("__npd") * col("__v")).as("__s1"),
+        sum(col("__npd") * col("__v") * col("__v")).as("__s2"),
+        sum(col("__nnd") * col("__u")).as("__t1"),
+        sum(col("__nnd") * col("__u") * col("__u")).as("__t2"))
+    val np = col("__p").cast("double")
+    val nn = col("__m").cast("double")
+    val s1 = col("__s1").cast("double")
+    val s2 = col("__s2").cast("double")
+    val t1 = col("__t1").cast("double")
+    val t2 = col("__t2").cast("double")
+    val auc = s1 / (lit(2.0) * nn * np)
+    val var10 = (s2 - s1 * s1 / np) / (np - 1.0)
+    val var01 = (t2 - t1 * t1 / nn) / (nn - 1.0)
+    val se = sqrt(var10 / (np * (lit(2.0) * nn) * (lit(2.0) * nn)) +
+      var01 / (nn * (lit(2.0) * np) * (lit(2.0) * np)))
+    val okAuc = col("__p") > 0 && col("__m") > 0
+    val okSe = col("__p") >= 2 && col("__m") >= 2
+    red.where(col("__p") + col("__m") > 0)
+      .select(col("__p").cast("long").as("n_pos"),
+        col("__m").cast("long").as("n_neg"),
+        when(okAuc, round(auc, 6)).as("auc"),
+        when(okSe, round(se, 6)).as("se"),
+        when(okSe, round(auc - lit(z) * se, 6)).as("ci_lo"),
+        when(okSe, round(auc + lit(z) * se, 6)).as("ci_hi"))
+  }
+
+  /** Per-group minimum detectable effect at the CURRENT sample sizes —
+    * the experiment-planning readout ([[welchAbTest]]'s prospective
+    * twin): with these cohorts and variances, how big a true difference
+    * would the test reliably see? `MDE = (z_{α/2}+z_β)·√(s_a²/n_a +
+    * s_b²/n_b)` — defaults are 95% confidence (1.959964) and 80% power
+    * (0.841621). Exact n−1 variances from one moment pass; the relative
+    * MDE divides by cohort a's mean (null when that mean is 0). A cohort
+    * under 2 rows → null MDEs. Output: (group, n_a, n_b, mean_a,
+    * mde_abs, mde_rel), 6 dp.
+    *
+    * Scale shape: identical to [[welchAbTest]] — one (group, variant)
+    * hash-agg of count/Σ/Σ² partials, pivoted by a second tiny agg. */
+  def mdePower(df: DataFrame, groupCol: String, variantCol: String,
+               valCol: String, a: String, bVariant: String,
+               zAlpha: Double = 1.959963984540054,
+               zBeta: Double = 0.8416212335729143): DataFrame = {
+    val v = col(valCol).cast("double")
+    val red = df.where(v.isNotNull && col(variantCol).isin(a, bVariant))
+      .groupBy(col(groupCol), col(variantCol).as("__var"))
+      .agg(count(lit(1)).as("__n"), sum(v).as("__s"), sum(v * v).as("__s2"))
+    def side(tag: String, c: Column): Column = max(when(col("__var") === tag, c))
+    val piv = red.groupBy(col(groupCol)).agg(
+      coalesce(side(a, col("__n")), lit(0L)).as("n_a"),
+      coalesce(side(bVariant, col("__n")), lit(0L)).as("n_b"),
+      side(a, col("__s")).as("__sa"), side(bVariant, col("__s")).as("__sb"),
+      side(a, col("__s2")).as("__sa2"), side(bVariant, col("__s2")).as("__sb2"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val ma = col("__sa") / na
+    val va = (col("__sa2") - col("__sa") * col("__sa") / na) / (na - 1.0)
+    val vb = (col("__sb2") - col("__sb") * col("__sb") / nb) / (nb - 1.0)
+    val mde = lit(zAlpha + zBeta) * sqrt(va / na + vb / nb)
+    val ok = col("n_a") >= 2 && col("n_b") >= 2
+    piv.select(col(groupCol), col("n_a"), col("n_b"),
+      when(col("n_a") > 0, round(ma, 6)).as("mean_a"),
+      when(ok, round(mde, 6)).as("mde_abs"),
+      when(ok && ma =!= 0.0, round(mde / ma, 6)).as("mde_rel"))
+  }
+
+  /** Per-key exact binomial sign test over paired differences — the
+    * small-panel paired test (monthly before/after per entity, judge
+    * A-vs-B per prompt) where normal approximations are indefensible:
+    * `p = min(1, 2·P(X ≤ min(k⁺,k⁻)))`, X ~ Bin(n, ½) over the n
+    * non-zero diffs. The binomial CDF unrolls the integer recurrence
+    * `C(n,i) = C(n,i−1)·(n−i+1)/i` inside a higher-order fold — every
+    * intermediate is an exact integer below 2⁵³, so the p-value is
+    * bit-identical in any engine. n > 50 → null p (the recurrence's
+    * exactness bound; use [[welchAbTest]]/[[mannWhitneyU]] there — the
+    * sign test is FOR small panels); n = 0 → null p. Zero diffs drop
+    * (the standard convention), null diffs are excluded. Output: (key,
+    * n, n_pos, n_neg, p), 6 dp.
+    *
+    * Scale shape: one key hash-agg; the CDF fold is a scan-stage
+    * expression over ≤ 25 iterations — no shuffle beyond the agg. */
+  def signTest(df: DataFrame, keyCol: String, diffCol: String): DataFrame = {
+    val d = col(diffCol).cast("double")
+    val red = df.where(d.isNotNull && d =!= 0.0)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        count(when(d > 0, 1)).as("n_pos"),
+        count(when(d < 0, 1)).as("n_neg"))
+    val k = least(col("n_pos"), col("n_neg"))
+    val nD = col("n").cast("double")
+    // Σ_{i=0..k} C(n,i): the fold carries (C(n,i), partial sum); i = 0
+    // seeds both at 1
+    val cdfSum = when(k === 0, lit(1.0)).otherwise(
+      aggregate(sequence(lit(1L), k.cast("long")),
+        struct(lit(1.0).as("c"), lit(1.0).as("s")),
+        (acc, i) => {
+          val c2 = acc.getField("c") * (nD - i.cast("double") + 1.0) /
+            i.cast("double")
+          struct(c2.as("c"), (acc.getField("s") + c2).as("s"))
+        }).getField("s"))
+    val p = least(lit(1.0), lit(2.0) * (cdfSum / pow(lit(2.0), nD)))
+    red.select(col(keyCol), col("n"), col("n_pos"), col("n_neg"),
+      when(col("n") >= 1 && col("n") <= 50, round(p, 6)).as("p"))
+  }
+
+  /** Benjamini–Hochberg FDR control over a family of p-values — the
+    * multiple-testing gate every per-key test family here ([[signTest]],
+    * [[welchAbTest]] grids) needs before anyone acts on "47 of 1000
+    * suppliers changed": rank p ascending, reject ranks ≤ the largest r
+    * with `p_(r) ≤ r·q/m`. The threshold compare runs on exact integers
+    * — `p_micro·m ≤ r·q_micro` — so the rejection set is replay-stable;
+    * ties in p break by key (a total order). Null p-values are excluded
+    * from the family (they don't count toward m). Output: (key, p,
+    * rank, rejected).
+    *
+    * Scale shape: one window pass over the p-value table — bounded by
+    * the HYPOTHESIS count (one row per key), not the data; the
+    * single-partition window is exact-by-contract like
+    * [[equiDepthHistogram]], sized m ≤ |keys|. */
+  def bhFdr(pvals: DataFrame, keyCol: String, pCol: String,
+            q: Double): DataFrame = {
+    require(q > 0 && q < 1, s"bhFdr: need 0 < q < 1, got $q")
+    import org.apache.spark.sql.expressions.Window
+    val qMicro = math.round(q * 1e6)
+    val base = pvals.where(col(pCol).isNotNull)
+      .select(col(keyCol), col(pCol).as("p"),
+        round(col(pCol).cast("double") * lit(1e6)).cast("long").as("__pm"))
+    val w = Window.orderBy(col("__pm"), col(keyCol))
+    val all = Window.partitionBy(lit(1))
+    val ranked = base
+      .withColumn("rank", row_number().over(w))
+      .withColumn("__m", count(lit(1)).over(all))
+      .withColumn("__flag",
+        col("__pm") * col("__m") <= col("rank") * lit(qMicro))
+    val cutoff = max(when(col("__flag"), col("rank"))).over(all)
+    ranked.withColumn("rejected", col("rank") <= coalesce(cutoff, lit(0)))
+      .select(col(keyCol), col("p"), col("rank"), col("rejected"))
+  }
 }

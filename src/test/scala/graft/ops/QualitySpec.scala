@@ -732,6 +732,120 @@ class QualitySpec extends SparkSpec {
     r("z") shouldBe (("z", 2L, 0.0, None))
   }
 
+  test("mcNemar: discordant counts only; continuity correction clamps " +
+    "at 0; no discordants yields null chi2") {
+    val d = Seq(("x", "x", "x"), ("x", "x", "y"), ("x", "y", "x"),
+      ("x", "y", "y"), ("x", "x", "y"),
+      ("x", null, "x")) // null prediction excluded
+      .toDF("lab", "pa", "pb")
+    // b=2, c=1 -> |b-c|-1 = 0 -> chi2 = 0
+    Quality.mcNemar(d, "lab", "pa", "pb")
+      .as[(Long, Long, Long, Long, Long, Option[Double], Boolean)]
+      .head() shouldBe ((5L, 1L, 2L, 1L, 1L, Some(0.0), false))
+    // b=10, c=1 -> chi2 = (|9|-1)^2/11 = 64/11 > 3.841459 -> significant
+    val skew = (Seq.fill(10)(("x", "x", "y")) :+ (("x", "y", "x")))
+      .toDF("lab", "pa", "pb")
+    val r = Quality.mcNemar(skew, "lab", "pa", "pb")
+      .as[(Long, Long, Long, Long, Long, Option[Double], Boolean)].head()
+    r._3 shouldBe 10L
+    r._6 shouldBe Some(round6(64.0 / 11.0))
+    r._7 shouldBe true
+    // concordant-only input: null chi2, not significant
+    val conc = Seq(("x", "x", "x"), ("x", "y", "y")).toDF("lab", "pa", "pb")
+    Quality.mcNemar(conc, "lab", "pa", "pb")
+      .as[(Long, Long, Long, Long, Long, Option[Double], Boolean)]
+      .head() shouldBe ((2L, 1L, 0L, 0L, 1L, None, false))
+  }
+
+  test("rocAucDelong: exact placements; perfect separation has zero SE; " +
+    "interleaved case matches the hand variance; singleton cohort null SE") {
+    val perfect = Seq((0.8, true), (0.6, true), (0.4, false), (0.2, false))
+      .toDF("score", "label")
+    Quality.rocAucDelong(perfect, "score", "label")
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double],
+        Option[Double])].head() shouldBe
+      ((2L, 2L, Some(1.0), Some(0.0), Some(1.0), Some(1.0)))
+    // pos {0.8, 0.4}, neg {0.6, 0.2}: placements 1.0/0.5 both sides ->
+    // AUC 0.75, var10 = var01 = 0.125, se = sqrt(0.125)
+    val mixed = Seq((0.8, true), (0.4, true), (0.6, false), (0.2, false))
+      .toDF("score", "label")
+    val se = math.sqrt(0.125)
+    Quality.rocAucDelong(mixed, "score", "label")
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double],
+        Option[Double])].head() shouldBe
+      ((2L, 2L, Some(0.75), Some(round6(se)),
+        Some(round6(0.75 - 1.959964 * se)),
+        Some(round6(0.75 + 1.959964 * se))))
+    // full tie: AUC 0.5 from the half-credit placement; n=1 -> null SE
+    val tie = Seq((0.5, true), (0.5, false)).toDF("score", "label")
+    Quality.rocAucDelong(tie, "score", "label")
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double],
+        Option[Double])].head() shouldBe
+      ((1L, 1L, Some(0.5), None, None, None))
+  }
+
+  test("mdePower: hand variances through the planning formula; " +
+    "undersized cohort yields null MDEs") {
+    // a = {10, 14}: mean 12, var 8; b = {1, 3}: var 2
+    // mde = (z_a + z_b) * sqrt(8/2 + 2/2)
+    val d = Seq(("g", "a", 10.0), ("g", "a", 14.0),
+      ("g", "b", 1.0), ("g", "b", 3.0),
+      ("s", "a", 5.0), ("s", "b", 1.0), ("s", "b", 2.0)) // n_a = 1
+      .toDF("grp", "variant", "v")
+    val mde = (1.959963984540054 + 0.8416212335729143) * math.sqrt(5.0)
+    val r = Quality.mdePower(d, "grp", "variant", "v", "a", "b")
+      .as[(String, Long, Long, Option[Double], Option[Double],
+        Option[Double])].collect().map(x => x._1 -> x).toMap
+    r("g") shouldBe (("g", 2L, 2L, Some(12.0), Some(round6(mde)),
+      Some(round6(mde / 12.0))))
+    r("s") shouldBe (("s", 1L, 2L, Some(5.0), None, None))
+  }
+
+  test("signTest: exact binomial p; zeros and nulls drop; cap at 1; " +
+    "n > 50 yields null p") {
+    val rows = Seq(("k1", 2.0), ("k1", 1.0), ("k1", 3.0), ("k1", -1.0),
+        ("k1", 0.0),
+        ("k4", 1.0), ("k4", -1.0)) ++
+      Seq(("k1", Double.NaN)).map(x => (x._1, x._2)) ++ // placeholder
+      (1 to 6).map(i => ("k2", 1.0)) ++
+      (1 to 51).map(i => ("k3", 1.0))
+    val d = rows.toDF("key", "diff")
+      .withColumn("diff", when(isnan($"diff"), lit(null)).otherwise($"diff"))
+    val r = Quality.signTest(d, "key", "diff")
+      .as[(String, Long, Long, Long, Option[Double])]
+      .collect().map(x => x._1 -> x).toMap
+    // k1: n=4, k=1 -> p = 2*(1+4)/16 = 0.625 (zero and null dropped)
+    r("k1") shouldBe (("k1", 4L, 3L, 1L, Some(0.625)))
+    // k2: n=6 one-sided sweep, k=0 -> p = 2/64
+    r("k2") shouldBe (("k2", 6L, 6L, 0L, Some(0.03125)))
+    // k3: n=51 past the exactness bound -> null p
+    r("k3") shouldBe (("k3", 51L, 51L, 0L, None))
+    // k4: n=2 balanced -> 2*(1+2)/4 = 1.5 capped at 1
+    r("k4") shouldBe (("k4", 2L, 1L, 1L, Some(1.0)))
+  }
+
+  test("bhFdr: step-up property rejects a non-flagged middle rank; " +
+    "null p-values leave the family") {
+    // m=4, q=0.05: thresholds r*q/m = .0125/.025/.0375/.05
+    // p=.031 fails its own threshold but rank 3 (.032) passes -> all 3 in
+    val d = Seq(("a", Some(0.011)), ("b", Some(0.031)), ("c", Some(0.032)),
+      ("d", Some(0.9)), ("e", None)).toDF("key", "p")
+    val r = Quality.bhFdr(d, "key", "p", 0.05)
+      .as[(String, Option[Double], Int, Boolean)]
+      .collect().map(x => x._1 -> x).toMap
+    r.keySet shouldBe Set("a", "b", "c", "d") // e's null p excluded
+    r("a") shouldBe (("a", Some(0.011), 1, true))
+    r("b") shouldBe (("b", Some(0.031), 2, true)) // step-up rescue
+    r("c") shouldBe (("c", Some(0.032), 3, true))
+    r("d") shouldBe (("d", Some(0.9), 4, false))
+    // nothing flagged -> empty rejection set, not a null comparison
+    val none = Seq(("a", 0.5), ("b", 0.9)).toDF("key", "p")
+    Quality.bhFdr(none, "key", "p", 0.05)
+      .where(col("rejected")).count() shouldBe 0L
+    an[IllegalArgumentException] should be thrownBy
+      Quality.bhFdr(none, "key", "p", 1.5)
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
