@@ -1536,6 +1536,12 @@ object SparkEntry {
         "c_nationkey", "c_mktsegment", "o_totalprice",
         "BUILDING", "MACHINERY")
     }),
+    // data attribution: leave-one-shard-out nearest-centroid accuracy
+    // deltas - which ingestion shard helps/hurts the label structure
+    "q282_source_influence" -> ((s, dir) =>
+      graft.ops.Learn.sourceInfluence(
+        t(s, dir, "embeddings").withColumn("shard", pmod(col("vec_id"), lit(4))),
+        "vec_id", "embedding", "label", "shard")),
     // exact binomial sign test per supplier (monthly 1996-vs-1995 ship
     // counts, n <= 12) -> Benjamini-Hochberg over the 1000-supplier family
     "q281_sign_fdr" -> ((s, dir) => {
@@ -6508,6 +6514,78 @@ object SparkEntry {
         |      / (sa / CAST(n_a AS DOUBLE)), 6)
         |    END AS mde_rel
         |FROM piv""".stripMargin,
+    // q282: the same leave-out algebra - micro-snapped per-(label,shard)
+    // partials, float-roundtripped centroids, argmax with smaller-label
+    // ties, accuracies as divisions of exact counts
+    "q282_source_influence" ->
+      """WITH b AS (
+        |  SELECT vec_id, CAST(vec_id % 4 AS VARCHAR) AS g, label,
+        |    CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+        |dims AS (
+        |  SELECT label, g, unnest(e) AS v,
+        |    unnest(generate_series(0, len(e) - 1)) AS dim
+        |  FROM b),
+        |lg AS (
+        |  SELECT label, g, dim,
+        |    CAST(round(sum(v) * 1000000.0) AS BIGINT) AS sm,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM dims GROUP BY 1, 2, 3),
+        |models AS (
+        |  SELECT DISTINCT g AS excl FROM b
+        |  UNION ALL SELECT '__full__'),
+        |cent AS (
+        |  SELECT m.excl, l.label, l.dim,
+        |    CAST(CAST(round(CAST(sum(l.sm) AS DOUBLE)
+        |      / (1000000.0 * CAST(sum(l.n) AS DOUBLE)), 6) AS FLOAT)
+        |      AS DOUBLE) AS cv
+        |  FROM models m JOIN lg l
+        |    ON m.excl = '__full__' OR l.g IS DISTINCT FROM m.excl
+        |  GROUP BY 1, 2, 3
+        |  HAVING sum(l.n) > 0),
+        |cvecs AS (
+        |  SELECT excl, label AS cent_label, list(cv ORDER BY dim) AS cvec
+        |  FROM cent GROUP BY 1, 2),
+        |cn AS (
+        |  SELECT excl, cent_label, cvec,
+        |    sqrt(list_reduce(list_prepend(0.0,
+        |      list_transform(cvec, x -> x * x)), (a, y) -> a + y)) AS cnorm
+        |  FROM cvecs),
+        |bn AS (
+        |  SELECT vec_id, g, label, e,
+        |    sqrt(list_reduce(list_prepend(0.0,
+        |      list_transform(e, x -> x * x)), (a, y) -> a + y)) AS enorm
+        |  FROM b),
+        |sim AS (
+        |  SELECT t.vec_id, t.label, c.excl, c.cent_label,
+        |    round(list_reduce(list_prepend(0.0,
+        |        list_transform(generate_series(1, len(t.e)),
+        |          k -> t.e[k] * c.cvec[k])), (a, y) -> a + y)
+        |      / (t.enorm * c.cnorm), 6) AS csim
+        |  FROM bn t CROSS JOIN cn c),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id, excl
+        |    ORDER BY csim DESC, cent_label ASC) AS rn
+        |  FROM sim),
+        |accs AS (
+        |  SELECT excl, CAST(count(*) AS BIGINT) AS ne,
+        |    CAST(count(*) FILTER (cent_label IS NOT DISTINCT FROM label)
+        |      AS BIGINT) AS nc
+        |  FROM r WHERE rn = 1 GROUP BY 1),
+        |af AS (
+        |  SELECT CAST(nc AS DOUBLE) / CAST(ne AS DOUBLE) AS v
+        |  FROM accs WHERE excl = '__full__'),
+        |sizes AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n_members FROM b GROUP BY 1)
+        |SELECT s.g AS shard, s.n_members,
+        |  round(af.v, 6) AS acc_full,
+        |  round(CAST(a.nc AS DOUBLE) / CAST(a.ne AS DOUBLE), 6) AS acc_loo,
+        |  round(af.v - CAST(a.nc AS DOUBLE) / CAST(a.ne AS DOUBLE), 6)
+        |    AS influence
+        |FROM sizes s
+        |LEFT JOIN accs a ON s.g IS NOT DISTINCT FROM a.excl
+        |CROSS JOIN af""".stripMargin,
     // q281: the binomial CDF via the integer recurrence in a recursive
     // CTE (exact in doubles for n <= 50), then the exact-integer BH cut
     "q281_sign_fdr" ->

@@ -351,4 +351,93 @@ object Learn {
       .select(col("player"), col("games"), col("wins"), col("strength"))
       .withColumn("rank", row_number().over(byStrength))
   }
+
+  /** Leave-one-group-out influence of each data shard/source on a
+    * nearest-centroid classifier — the cheap, EXACTLY decomposable member
+    * of the data-attribution family ("which source helps, which poisons"):
+    * centroid sums decompose over groups, so every leave-group-out model
+    * is algebra on the per-(label, group) partials — no retraining pass
+    * per group, one scan builds every model. For each group g:
+    * `influence = acc(full) − acc(without g)` over the FULL evaluation
+    * set (positive → the group was helping).
+    *
+    * Determinism: per-(label, group) vector sums snap to micro-integer
+    * LONGs, so each leave-out centroid is a single division of exact
+    * integers, 6 dp-rounded and float-roundtripped (the
+    * [[nearestCentroidEval]] centroid convention); cosines 6 dp-round
+    * before the argmax, ties to the smaller label. A label contributed
+    * ENTIRELY by the excluded group vanishes from that model (its rows
+    * can only be predicted as other labels); a model with no centroids
+    * at all (single-group input) reports null acc/influence. Null
+    * groups form their own cohort (null-safe keys throughout). Null
+    * vectors/labels excluded. Output per group: (group, n_members,
+    * acc_full, acc_loo, influence), 6 dp.
+    *
+    * Scale shape: ONE (label, group) hash-agg over the corpus (native
+    * vector-sum buffers); the leave-out algebra runs on the
+    * |labels|·|groups| partial table (exploded per dim — bounded by the
+    * model vocabulary, never the data); scoring is one scan
+    * cross-joined against the broadcast (model, label) centroid table
+    * with a per-(row, model) argmax window. Nothing is ever rows². */
+  def sourceInfluence(emb: DataFrame, idCol: String, vecCol: String,
+                      labelCol: String, groupCol: String): DataFrame = {
+    import graft.functions.VectorFunctions.{dotF, normF, vectorSumF}
+    import org.apache.spark.sql.expressions.Window
+    val full = "__full__"
+    val base = graft.core.CacheRegistry.persist(
+      emb.where(col(vecCol).isNotNull && col(labelCol).isNotNull)
+        .select(col(idCol).as("__id"), col(groupCol).cast("string").as("__g"),
+          col(labelCol).as("__l"), col(vecCol).as("__v")))
+    // per-(label, group) micro-snapped sum partials, exploded per dim:
+    // |labels|·|groups|·dim rows — model-vocabulary bounded
+    val gs = graft.core.CacheRegistry.persist(
+      base.groupBy(col("__l"), col("__g"))
+        .agg(count(lit(1)).as("__n"), vectorSumF(col("__v")).as("__s"))
+        .select(col("__l"), col("__g"), col("__n"),
+          posexplode(transform(col("__s"),
+            x => round(x * lit(1e6)).cast("long"))))
+        .withColumnRenamed("pos", "__dim").withColumnRenamed("col", "__sm"))
+    val models = gs.select(col("__g").as("__excl")).distinct()
+      .unionByName(gs.sparkSession.range(1).select(lit(full).as("__excl")))
+    // leave-out algebra: Σ over contributing groups of the exact partials
+    val cent = models.join(gs,
+        col("__excl") === full || !(col("__g") <=> col("__excl")))
+      .groupBy(col("__excl"), col("__l"), col("__dim"))
+      .agg(sum("__sm").as("__smsum"), sum("__n").as("__nsum"))
+      .where(col("__nsum") > 0)
+      .select(col("__excl"), col("__l"), col("__dim"),
+        round(col("__smsum").cast("double") /
+          (lit(1e6) * col("__nsum").cast("double")), 6).cast("float")
+          .as("__cv"))
+    val cents = broadcast(
+      cent.groupBy(col("__excl"), col("__l").as("cent_label"))
+        .agg(transform(array_sort(collect_list(struct(col("__dim"),
+          col("__cv")))), x => x.getField("__cv")).as("cvec"))
+        .withColumn("cnorm", normF(col("cvec"))))
+    val byVec = Window.partitionBy(col("__id"), col("__excl"))
+      .orderBy(col("csim").desc, col("cent_label").asc)
+    val preds = base.withColumn("__norm", normF(col("__v")))
+      .crossJoin(cents)
+      .withColumn("csim",
+        round(dotF(col("__v"), col("cvec")) / (col("__norm") * col("cnorm")),
+          6))
+      .withColumn("__r", row_number().over(byVec))
+      .where(col("__r") === 1)
+    val acc = graft.core.CacheRegistry.persist(
+      preds.groupBy(col("__excl"))
+        .agg(count(lit(1)).as("__ne"),
+          count(when(col("cent_label") <=> col("__l"), 1)).as("__nc")))
+    val accOf = col("__nc").cast("double") / col("__ne").cast("double")
+    val fullAcc = acc.where(col("__excl") === full)
+      .select(accOf.as("__af"))
+    val sizes = base.groupBy(col("__g")).agg(count(lit(1)).as("n_members"))
+    sizes
+      .join(acc.where(col("__excl") =!= full),
+        col("__g") <=> col("__excl"), "left")
+      .crossJoin(broadcast(fullAcc))
+      .select(col("__g").as(groupCol), col("n_members"),
+        round(col("__af"), 6).as("acc_full"),
+        round(accOf, 6).as("acc_loo"),
+        round(col("__af") - accOf, 6).as("influence"))
+  }
 }

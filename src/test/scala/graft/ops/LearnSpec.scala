@@ -145,4 +145,36 @@ class LearnSpec extends SparkSpec {
       Learn.bradleyTerry(duels, "winner", "loser", 0)
     graft.core.CacheRegistry.drain()
   }
+
+  test("sourceInfluence: leave-out algebra on hand centroids; a poison " +
+    "shard's removal shows as positive-vs-zero influence; vanished label " +
+    "and single-group edges") {
+    import org.apache.spark.sql.functions._
+    // shard a: clean axis-aligned labels; shard b: label-0 rows at -x
+    // full c0 = (-0.2, 0) -> a's label-0 rows flip wrong; acc 5/7
+    // without b: c0 = (1, 0) -> b's rows flip wrong; acc 4/7
+    // without a: only c0 = (-1, 0) survives (label 1 vanishes); acc 5/7
+    val d = Seq(
+      (1L, 0, "a", Seq(1f, 0f)), (2L, 0, "a", Seq(1f, 0f)),
+      (3L, 1, "a", Seq(0f, 1f)), (4L, 1, "a", Seq(0f, 1f)),
+      (5L, 0, "b", Seq(-1f, 0f)), (6L, 0, "b", Seq(-1f, 0f)),
+      (7L, 0, "b", Seq(-1f, 0f)))
+      .toDF("id", "label", "shard", "vec")
+    val r = graft.core.CacheRegistry.scoped {
+      Learn.sourceInfluence(d, "id", "vec", "label", "shard")
+        .as[(String, Long, Double, Double, Double)]
+        .collect().map(x => x._1 -> x).toMap
+    }
+    r("a") shouldBe (("a", 4L, 0.714286, 0.714286, 0.0))
+    r("b") shouldBe (("b", 3L, 0.714286, 0.571429, 0.142857))
+    // single group: the leave-out model is empty -> null acc/influence
+    val one = d.where(col("shard") === "a")
+    val s = graft.core.CacheRegistry.scoped {
+      Learn.sourceInfluence(one, "id", "vec", "label", "shard")
+        .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+        .head()
+    }
+    s shouldBe (("a", 4L, Some(1.0), None, None))
+    graft.core.CacheRegistry.drain()
+  }
 }
