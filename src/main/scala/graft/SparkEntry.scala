@@ -1536,6 +1536,17 @@ object SparkEntry {
         "c_nationkey", "c_mktsegment", "o_totalprice",
         "BUILDING", "MACHINERY")
     }),
+    // withWatermark sizing from history: micro-batch-faithful dropped-
+    // event counts per candidate allowed lateness, under a deterministic
+    // 0-30s md5 ingest jitter (the raw log is perfectly ordered)
+    "q283_watermark_plan" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      graft.ops.EventAnalytics.watermarkPlan(
+        e.withColumn("arr", unix_micros(col("ts")) +
+          Sampling.md5Mod(col("event_id"), 30000000L)),
+        "ts", "arr", 10000000L,
+        Seq(0L, 1000000L, 5000000L, 10000000L, 30000000L))
+    }),
     // data attribution: leave-one-shard-out nearest-centroid accuracy
     // deltas - which ingestion shard helps/hurts the label structure
     "q282_source_influence" -> ((s, dir) =>
@@ -6514,6 +6525,47 @@ object SparkEntry {
         |      / (sa / CAST(n_a AS DOUBLE)), 6)
         |    END AS mde_rel
         |FROM piv""".stripMargin,
+    // q283: same md5 jitter, integer floor-division batches, running max
+    // over the batch table, exact microsecond lateness
+    "q283_watermark_plan" ->
+      s"""WITH e AS (
+         |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         |    epoch_us(CAST(ts AS TIMESTAMP))
+         |      + ${md5ModSql("event_id", 30000000)} AS arr
+         |  FROM events WHERE ts IS NOT NULL),
+         |ev AS (SELECT us, arr // 10000000 AS b FROM e),
+         |wm AS (
+         |  SELECT b, max(bmax) OVER (ORDER BY b
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS w
+         |  FROM (SELECT b, max(us) AS bmax FROM ev GROUP BY 1)),
+         |late AS (
+         |  SELECT greatest(0, COALESCE(wm.w - ev.us, 0)) AS l
+         |  FROM ev JOIN wm USING (b)),
+         |wide AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(COALESCE(max(l), 0) AS BIGINT) AS mx,
+         |    CAST(sum(CASE WHEN l > 0 THEN 1 ELSE 0 END) AS BIGINT) AS d0,
+         |    CAST(sum(CASE WHEN l > 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS d1,
+         |    CAST(sum(CASE WHEN l > 5000000 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS d5,
+         |    CAST(sum(CASE WHEN l > 10000000 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS d10,
+         |    CAST(sum(CASE WHEN l > 30000000 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS d30
+         |  FROM late),
+         |g AS (
+         |  SELECT unnest([0, 1000000, 5000000, 10000000, 30000000])
+         |      AS delay_us,
+         |    unnest(['d0', 'd1', 'd5', 'd10', 'd30']) AS tag)
+         |SELECT CAST(g.delay_us AS BIGINT) AS delay_us, wide.n AS n_events,
+         |  CASE g.tag WHEN 'd0' THEN d0 WHEN 'd1' THEN d1 WHEN 'd5' THEN d5
+         |    WHEN 'd10' THEN d10 ELSE d30 END AS n_dropped,
+         |  round(CAST(CASE g.tag WHEN 'd0' THEN d0 WHEN 'd1' THEN d1
+         |      WHEN 'd5' THEN d5 WHEN 'd10' THEN d10 ELSE d30 END AS DOUBLE)
+         |    / CAST(wide.n AS DOUBLE), 6) AS pct_dropped,
+         |  wide.mx AS max_lateness_us
+         |FROM g, wide WHERE wide.n > 0""".stripMargin,
     // q282: the same leave-out algebra - micro-snapped per-(label,shard)
     // partials, float-roundtripped centroids, argmax with smaller-label
     // ties, accuracies as divisions of exact counts

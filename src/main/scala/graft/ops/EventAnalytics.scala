@@ -1033,4 +1033,59 @@ object EventAnalytics {
       .select(col("antecedent"), col("consequent"), col("n_users"),
         round(col("n_users").cast("double") / col("__users"), 6).as("support"))
   }
+
+  /** Watermark-delay design table for a disordered event stream — the
+    * `withWatermark` sizing question answered from history: for each
+    * candidate allowed-lateness D, how many events a streaming job would
+    * DROP. Micro-batch-faithful semantics (how Structured Streaming
+    * actually advances watermarks): arrivals bucket into `batchUs`-sized
+    * micro-batches, the watermark entering batch b is the max EVENT time
+    * seen in any earlier batch, and an event is late by
+    * `max(0, watermark − event_time)`. An event is dropped at delay D
+    * when its lateness exceeds D. All times are exact LONG microseconds.
+    * Null timestamps/arrivals excluded; the first batch is never late
+    * (no watermark yet). Output per D: (delay_us, n_events, n_dropped,
+    * pct_dropped, max_lateness_us), ratio 6 dp.
+    *
+    * Scale shape: one (batch) hash-agg for per-batch event-time maxes,
+    * ONE window over the batch table (bounded by the time span ÷
+    * batchUs, never the event count), a broadcast join back over the
+    * scan, and a single-row conditional-sum reduce unpivoted over the
+    * ≤ \|delays\| grid (the [[graft.ops.Chunking.truncationLoss]]
+    * shape). */
+  def watermarkPlan(df: DataFrame, tsCol: String, arrivalCol: String,
+                    batchUs: Long, delays: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(batchUs >= 1, s"watermarkPlan: need batchUs >= 1, got $batchUs")
+    require(delays.nonEmpty && delays.forall(_ >= 0),
+      s"watermarkPlan: need delays >= 0, got $delays")
+    val ds = delays.distinct.sorted
+    // exact floor division (subtract-pmod): a double `/` would round the
+    // quotient near batch boundaries at epoch-microsecond magnitudes
+    val arrL = col(arrivalCol).cast("long")
+    val ev = df
+      .where(col(tsCol).isNotNull && col(arrivalCol).isNotNull)
+      .select(unix_micros(col(tsCol)).as("__us"),
+        ((arrL - pmod(arrL, lit(batchUs))) / batchUs).cast("long").as("__b"))
+    val wmw = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wm = ev.groupBy("__b").agg(max("__us").as("__bmax"))
+      .select(col("__b"), max("__bmax").over(wmw).as("__wm"))
+    val late = ev.join(broadcast(wm), Seq("__b"))
+      .select(greatest(lit(0L), coalesce(col("__wm") - col("__us"), lit(0L)))
+        .as("__late"))
+    val aggs = Seq(count(lit(1)).as("__n"),
+      coalesce(max("__late"), lit(0L)).as("__mx")) ++
+      ds.map(d => sum(when(col("__late") > d, 1L).otherwise(0L)).as(s"__d$d"))
+    val wide = late.agg(aggs.head, aggs.tail: _*)
+    wide.select(col("__n").as("n_events"), col("__mx").as("max_lateness_us"),
+        explode(array(ds.map(d => struct(lit(d).as("delay_us"),
+          col(s"__d$d").as("n_dropped"))): _*)).as("__x"))
+      .where(col("n_events") > 0)
+      .select(col("__x.delay_us").as("delay_us"), col("n_events"),
+        col("__x.n_dropped").as("n_dropped"),
+        round(col("__x.n_dropped").cast("double") /
+          col("n_events").cast("double"), 6).as("pct_dropped"),
+        col("max_lateness_us"))
+  }
 }

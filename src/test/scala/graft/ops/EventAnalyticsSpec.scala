@@ -656,4 +656,32 @@ class EventAnalyticsSpec extends SparkSpec {
     r(("b", "a")) shouldBe ((1L, 0.333333))
     graft.core.CacheRegistry.drain()
   }
+
+  test("watermarkPlan: micro-batch watermark semantics by hand - first " +
+    "batch never late, per-delay drop counts exact") {
+    import org.apache.spark.sql.functions._
+    // batch 10us. b0 = {ts 100, ts 200} (no watermark), then wm = 200:
+    // lateness 150 / 90 / 95 for the three later events
+    val d = Seq((100L, 5L), (200L, 8L), (50L, 15L), (110L, 25L),
+      (105L, 35L)).toDF("tsus", "arr")
+      .withColumn("ts", timestamp_micros(col("tsus")))
+    val r = EventAnalytics.watermarkPlan(d, "ts", "arr", 10L,
+        Seq(0L, 90L, 100L, 200L))
+      .as[(Long, Long, Long, Double, Long)].collect().sortBy(_._1).toList
+    r shouldBe List(
+      (0L, 5L, 3L, 0.6, 150L),
+      (90L, 5L, 2L, 0.4, 150L),
+      (100L, 5L, 1L, 0.2, 150L),
+      (200L, 5L, 0L, 0.0, 150L))
+    // perfectly ordered arrivals: nothing is ever late
+    val ordered = Seq((100L, 1L), (200L, 2L), (300L, 3L))
+      .toDF("tsus", "arr").withColumn("ts", timestamp_micros(col("tsus")))
+    EventAnalytics.watermarkPlan(ordered, "ts", "arr", 1L, Seq(0L))
+      .as[(Long, Long, Long, Double, Long)].head() shouldBe
+      ((0L, 3L, 0L, 0.0, 0L))
+    an[IllegalArgumentException] should be thrownBy
+      EventAnalytics.watermarkPlan(d, "ts", "arr", 0L, Seq(0L))
+    an[IllegalArgumentException] should be thrownBy
+      EventAnalytics.watermarkPlan(d, "ts", "arr", 10L, Seq(-1L))
+  }
 }
