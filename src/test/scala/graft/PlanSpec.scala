@@ -993,4 +993,43 @@ class PlanSpec extends SparkSpec {
     }
     graft.core.CacheRegistry.drain()
   }
+
+  test("rank/ECDF statistics reduce to histogram hash-aggs + windows - " +
+    "no cartesian, no row-by-row join (q274/q275/q277/q281)") {
+    for (q <- Seq("q274_mann_whitney", "q275_ecdf_distance",
+        "q277_token_gini", "q281_sign_fdr")) {
+      graft.core.CacheRegistry.scoped {
+        val plan = planOf(SparkEntry.queries(q)(spark, sf0001))
+        withClue(q) {
+          plan should not include "CartesianProduct"
+          plan should not include "BroadcastNestedLoopJoin"
+        }
+      }
+      graft.core.CacheRegistry.drain()
+    }
+  }
+
+  test("source influence: the scoring fan-out is the BROADCAST centroid " +
+    "table, never a shuffled product; base scans from cache (q282)") {
+    graft.core.CacheRegistry.scoped {
+      val plan = planOf(
+        SparkEntry.queries("q282_source_influence")(spark, sf0001))
+      // model-vocabulary-bounded nested loop against a broadcast side is
+      // the intended shape; a shuffle cartesian would be the bug
+      plan should not include "CartesianProduct"
+      plan should include("BroadcastNestedLoopJoin")
+      plan should include("InMemoryTableScan")
+    }
+    graft.core.CacheRegistry.drain()
+  }
+
+  test("watermark plan: the batch table broadcasts back over the scan " +
+    "(q283)") {
+    graft.core.CacheRegistry.scoped {
+      val plan = planOf(SparkEntry.queries("q283_watermark_plan")(spark, sf0001))
+      plan should not include "CartesianProduct"
+      plan should include("BroadcastHashJoin")
+    }
+    graft.core.CacheRegistry.drain()
+  }
 }
