@@ -1536,6 +1536,34 @@ object SparkEntry {
         "c_nationkey", "c_mktsegment", "o_totalprice",
         "BUILDING", "MACHINERY")
     }),
+    // conversion-rate A/B: per-nation urgent-order share, BUILDING vs
+    // MACHINERY, pooled z + Wilson intervals off exact counts
+    "q284_conversion_ab" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey"),
+        (col("o_orderpriority") === "1-URGENT").as("urgent"))
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+      graft.ops.Quality.twoProportionTest(
+        o.join(c, col("o_custkey") === col("c_custkey")),
+        "c_nationkey", "c_mktsegment", "urgent", "BUILDING", "MACHINERY")
+    }),
+    // WHERE the distributions differ: exact per-quantile order statistics
+    // of order totals, BUILDING vs MACHINERY
+    "q285_qte" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      graft.ops.Quality.quantileTreatmentEffect(
+        o.join(c, col("o_custkey") === col("c_custkey")),
+        "c_mktsegment", "o_totalprice", "BUILDING", "MACHINERY",
+        Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
+    }),
+    // outlier-robust effect: 5%-trimmed mean difference of event values,
+    // click vs purchase, off the cumulative value histogram
+    "q286_trimmed_diff" -> ((s, dir) =>
+      graft.ops.Quality.trimmedMeanDiff(
+        t(s, dir, "events"), "event_type", "value", "click", "purchase",
+        0.05)),
     // withWatermark sizing from history: micro-batch-faithful dropped-
     // event counts per candidate allowed lateness, under a deterministic
     // 0-30s md5 ingest jitter (the raw log is perfectly ordered)
@@ -6525,6 +6553,157 @@ object SparkEntry {
         |      / (sa / CAST(n_a AS DOUBLE)), 6)
         |    END AS mde_rel
         |FROM piv""".stripMargin,
+    // q284: pooled z + Wilson, every statistic closed-form arithmetic on
+    // the same exact counts (z constants as in-engine products)
+    "q284_conversion_ab" ->
+      """WITH j AS (
+        |  SELECT c.c_nationkey AS g, c.c_mktsegment AS var,
+        |    CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+        |    AND o.o_orderpriority IS NOT NULL),
+        |red AS (
+        |  SELECT g, var, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS x
+        |  FROM j GROUP BY 1, 2),
+        |piv AS (
+        |  SELECT g,
+        |    COALESCE(max(CASE WHEN var = 'BUILDING' THEN n END), 0) AS n_a,
+        |    COALESCE(max(CASE WHEN var = 'BUILDING' THEN x END), 0) AS x_a,
+        |    COALESCE(max(CASE WHEN var = 'MACHINERY' THEN n END), 0) AS n_b,
+        |    COALESCE(max(CASE WHEN var = 'MACHINERY' THEN x END), 0) AS x_b
+        |  FROM red GROUP BY 1),
+        |d AS (
+        |  SELECT g, n_a, x_a, n_b, x_b,
+        |    CAST(n_a AS DOUBLE) AS na, CAST(x_a AS DOUBLE) AS xa,
+        |    CAST(n_b AS DOUBLE) AS nb, CAST(x_b AS DOUBLE) AS xb
+        |  FROM piv),
+        |s AS (
+        |  SELECT *,
+        |    (xa + xb) / (na + nb) AS pool,
+        |    xb / nb - xa / na AS diff
+        |  FROM d)
+        |SELECT g AS c_nationkey, n_a, x_a, n_b, x_b,
+        |  CASE WHEN n_a >= 1 THEN round(xa / na, 6) END AS p_a,
+        |  CASE WHEN n_a >= 1 THEN round(
+        |    ((xa + 1.959964 * 1.959964 / 2.0) - 1.959964 *
+        |      sqrt(xa * (na - xa) / na + 1.959964 * 1.959964 / 4.0))
+        |    / (na + 1.959964 * 1.959964), 6) END AS p_a_lo,
+        |  CASE WHEN n_a >= 1 THEN round(
+        |    ((xa + 1.959964 * 1.959964 / 2.0) + 1.959964 *
+        |      sqrt(xa * (na - xa) / na + 1.959964 * 1.959964 / 4.0))
+        |    / (na + 1.959964 * 1.959964), 6) END AS p_a_hi,
+        |  CASE WHEN n_b >= 1 THEN round(xb / nb, 6) END AS p_b,
+        |  CASE WHEN n_b >= 1 THEN round(
+        |    ((xb + 1.959964 * 1.959964 / 2.0) - 1.959964 *
+        |      sqrt(xb * (nb - xb) / nb + 1.959964 * 1.959964 / 4.0))
+        |    / (nb + 1.959964 * 1.959964), 6) END AS p_b_lo,
+        |  CASE WHEN n_b >= 1 THEN round(
+        |    ((xb + 1.959964 * 1.959964 / 2.0) + 1.959964 *
+        |      sqrt(xb * (nb - xb) / nb + 1.959964 * 1.959964 / 4.0))
+        |    / (nb + 1.959964 * 1.959964), 6) END AS p_b_hi,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1 THEN round(diff, 6) END AS diff,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1 AND x_a + x_b > 0
+        |        AND x_a + x_b < n_a + n_b THEN
+        |    round(diff / sqrt(pool * (1.0 - pool)
+        |      * (1.0 / na + 1.0 / nb)), 6) END AS z,
+        |  COALESCE(CASE WHEN n_a >= 1 AND n_b >= 1 AND x_a + x_b > 0
+        |        AND x_a + x_b < n_a + n_b THEN
+        |    abs(diff / sqrt(pool * (1.0 - pool)
+        |      * (1.0 / na + 1.0 / nb))) > 1.959964 END, FALSE)
+        |    AS significant
+        |FROM s""".stripMargin,
+    // q285: exact order statistics read off the cumulative histogram,
+    // rank = clamp(ceil(p*n)), quantile grid cast to DOUBLE
+    "q285_qte" ->
+      """WITH j AS (
+        |  SELECT c.c_mktsegment AS var,
+        |    CAST(round(CAST(o.o_totalprice AS DOUBLE) * 1000000.0)
+        |      AS BIGINT) AS vm
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+        |    AND o.o_totalprice IS NOT NULL),
+        |grid AS (
+        |  SELECT vm,
+        |    CAST(count(*) FILTER (var = 'BUILDING') AS BIGINT) AS ca,
+        |    CAST(count(*) FILTER (var = 'MACHINERY') AS BIGINT) AS cb
+        |  FROM j GROUP BY 1),
+        |cum AS (
+        |  SELECT vm,
+        |    sum(ca) OVER (ORDER BY vm) AS cuma,
+        |    sum(cb) OVER (ORDER BY vm) AS cumb,
+        |    sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+        |  FROM grid),
+        |q AS (
+        |  SELECT unnest([CAST(0.1 AS DOUBLE), CAST(0.25 AS DOUBLE),
+        |    CAST(0.5 AS DOUBLE), CAST(0.75 AS DOUBLE),
+        |    CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS quantile),
+        |hits AS (
+        |  SELECT q.quantile,
+        |    CAST(max(cum.na) AS BIGINT) AS n_a,
+        |    CAST(max(cum.nb) AS BIGINT) AS n_b,
+        |    min(CASE WHEN cum.cuma >= least(greatest(
+        |        CAST(ceil(q.quantile * CAST(cum.na AS DOUBLE)) AS BIGINT),
+        |        1), cum.na) THEN cum.vm END) AS qa,
+        |    min(CASE WHEN cum.cumb >= least(greatest(
+        |        CAST(ceil(q.quantile * CAST(cum.nb AS DOUBLE)) AS BIGINT),
+        |        1), cum.nb) THEN cum.vm END) AS qb
+        |  FROM q, cum GROUP BY 1)
+        |SELECT quantile, n_a, n_b,
+        |  CASE WHEN n_a >= 1
+        |       THEN round(CAST(qa AS DOUBLE) / 1000000.0, 6) END AS q_a,
+        |  CASE WHEN n_b >= 1
+        |       THEN round(CAST(qb AS DOUBLE) / 1000000.0, 6) END AS q_b,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1
+        |       THEN round(CAST(qb - qa AS DOUBLE) / 1000000.0, 6) END AS qte
+        |FROM hits""".stripMargin,
+    // q286: per value block, kept copies = overlap of its rank span with
+    // [t+1, n-t]; micro-sums exact in HUGEINT
+    "q286_trimmed_diff" ->
+      """WITH e AS (
+        |  SELECT event_type AS var,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS vm
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')),
+        |grid AS (
+        |  SELECT vm,
+        |    CAST(count(*) FILTER (var = 'click') AS BIGINT) AS ca,
+        |    CAST(count(*) FILTER (var = 'purchase') AS BIGINT) AS cb
+        |  FROM e GROUP BY 1),
+        |cum AS (
+        |  SELECT vm, ca, cb,
+        |    sum(ca) OVER (ORDER BY vm) AS cuma,
+        |    sum(cb) OVER (ORDER BY vm) AS cumb,
+        |    sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+        |  FROM grid),
+        |k AS (
+        |  SELECT vm, na, nb,
+        |    greatest(0, least(cuma, na - ta) - greatest(cuma - ca, ta))
+        |      AS ka,
+        |    greatest(0, least(cumb, nb - tb) - greatest(cumb - cb, tb))
+        |      AS kb
+        |  FROM (SELECT *,
+        |      CAST(floor(0.05 * CAST(na AS DOUBLE)) AS BIGINT) AS ta,
+        |      CAST(floor(0.05 * CAST(nb AS DOUBLE)) AS BIGINT) AS tb
+        |    FROM cum)),
+        |red AS (
+        |  SELECT CAST(max(na) AS BIGINT) AS n_a,
+        |    CAST(max(nb) AS BIGINT) AS n_b,
+        |    CAST(COALESCE(sum(ka), 0) AS BIGINT) AS kept_a,
+        |    CAST(COALESCE(sum(kb), 0) AS BIGINT) AS kept_b,
+        |    CAST(sum(CAST(ka AS HUGEINT) * vm) AS HUGEINT) AS sa,
+        |    CAST(sum(CAST(kb AS HUGEINT) * vm) AS HUGEINT) AS sb
+        |  FROM k)
+        |SELECT n_a, n_b, kept_a, kept_b,
+        |  CASE WHEN kept_a > 0 THEN round(CAST(sa AS DOUBLE)
+        |    / (1000000.0 * CAST(kept_a AS DOUBLE)), 6) END AS tmean_a,
+        |  CASE WHEN kept_b > 0 THEN round(CAST(sb AS DOUBLE)
+        |    / (1000000.0 * CAST(kept_b AS DOUBLE)), 6) END AS tmean_b,
+        |  CASE WHEN kept_a > 0 AND kept_b > 0 THEN
+        |    round(CAST(sb AS DOUBLE) / (1000000.0 * CAST(kept_b AS DOUBLE))
+        |      - CAST(sa AS DOUBLE) / (1000000.0 * CAST(kept_a AS DOUBLE)),
+        |      6) END AS diff
+        |FROM red WHERE n_a + n_b > 0""".stripMargin,
     // q283: same md5 jitter, integer floor-division batches, running max
     // over the batch table, exact microsecond lateness
     "q283_watermark_plan" ->

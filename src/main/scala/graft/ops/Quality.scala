@@ -1655,6 +1655,178 @@ object Quality {
       when(col("n") >= 1 && col("n") <= 50, round(p, 6)).as("p"))
   }
 
+  /** Per-group two-proportion z-test with Wilson score intervals — the
+    * conversion-rate A/B readout ([[welchAbTest]]'s binary-outcome twin):
+    * pooled-variance z on the rate difference, and per-cohort Wilson
+    * intervals (the small-n/extreme-p interval that never leaves [0,1],
+    * unlike the Wald CI). All counts exact LONGs from one conditional
+    * hash-agg; every statistic is closed-form double arithmetic on those
+    * integers, 6 dp. A missing cohort → null test columns; a degenerate
+    * pool (all success or all failure) → null z, not NaN. Null
+    * outcomes/foreign variants excluded. Output: (group, n_a, x_a, n_b,
+    * x_b, p_a, p_a_lo, p_a_hi, p_b, p_b_lo, p_b_hi, diff, z,
+    * significant).
+    *
+    * Scale shape: one (group, variant) hash-agg pivoted by a second
+    * tiny agg — the [[welchAbTest]] contract. */
+  def twoProportionTest(df: DataFrame, groupCol: String, variantCol: String,
+                        successCol: String, a: String, bVariant: String,
+                        z: Double = 1.959964): DataFrame = {
+    val y = when(col(successCol).cast("boolean"), 1L).otherwise(0L)
+    val red = df
+      .where(col(successCol).isNotNull && col(variantCol).isin(a, bVariant))
+      .groupBy(col(groupCol), col(variantCol).as("__var"))
+      .agg(count(lit(1)).as("__n"), sum(y).as("__x"))
+    def side(tag: String, c: Column): Column = max(when(col("__var") === tag, c))
+    val piv = red.groupBy(col(groupCol)).agg(
+      coalesce(side(a, col("__n")), lit(0L)).as("n_a"),
+      coalesce(side(a, col("__x")), lit(0L)).as("x_a"),
+      coalesce(side(bVariant, col("__n")), lit(0L)).as("n_b"),
+      coalesce(side(bVariant, col("__x")), lit(0L)).as("x_b"))
+    val na = col("n_a").cast("double")
+    val xa = col("x_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val xb = col("x_b").cast("double")
+    val z2 = z * z
+    def wilsonLo(x: Column, n: Column): Column =
+      ((x + lit(z2 / 2.0)) - lit(z) *
+        sqrt(x * (n - x) / n + lit(z2 / 4.0))) / (n + lit(z2))
+    def wilsonHi(x: Column, n: Column): Column =
+      ((x + lit(z2 / 2.0)) + lit(z) *
+        sqrt(x * (n - x) / n + lit(z2 / 4.0))) / (n + lit(z2))
+    val pool = (xa + xb) / (na + nb)
+    val se0 = sqrt(pool * (lit(1.0) - pool) * (lit(1.0) / na + lit(1.0) / nb))
+    val diff = xb / nb - xa / na
+    val zStat = diff / se0
+    val ok = col("n_a") >= 1 && col("n_b") >= 1
+    val okZ = ok && (col("x_a") + col("x_b") > 0) &&
+      (col("x_a") + col("x_b") < col("n_a") + col("n_b"))
+    piv.select(col(groupCol), col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+      when(col("n_a") >= 1, round(xa / na, 6)).as("p_a"),
+      when(col("n_a") >= 1, round(wilsonLo(xa, na), 6)).as("p_a_lo"),
+      when(col("n_a") >= 1, round(wilsonHi(xa, na), 6)).as("p_a_hi"),
+      when(col("n_b") >= 1, round(xb / nb, 6)).as("p_b"),
+      when(col("n_b") >= 1, round(wilsonLo(xb, nb), 6)).as("p_b_lo"),
+      when(col("n_b") >= 1, round(wilsonHi(xb, nb), 6)).as("p_b_hi"),
+      when(ok, round(diff, 6)).as("diff"),
+      when(okZ, round(zStat, 6)).as("z"),
+      coalesce(when(okZ, abs(zStat) > z), lit(false)).as("significant"))
+  }
+
+  /** Quantile treatment effects — WHERE in the distribution an A/B
+    * treatment moved outcomes, which the mean difference
+    * ([[welchAbTest]]) collapses away (a tail-only regression and a
+    * uniform shift can share a mean delta): for each requested quantile,
+    * the exact per-cohort order statistic (rank `min(max(⌈p·n⌉,1),n)`,
+    * the [[conformalCoverage]] rank convention) and their difference.
+    * Values snap to 6 dp on entry; order statistics are exact reads off
+    * the cumulative distinct-value histogram, so both quantiles and the
+    * QTE replay bit-identically. A missing cohort → null columns.
+    * Output per quantile: (quantile, n_a, n_b, q_a, q_b, qte), 6 dp.
+    *
+    * Scale shape: the [[mannWhitneyU]] contract — one (value) hash-agg,
+    * one cumsum window over the quantization-bounded histogram, then a
+    * broadcast theta-join against the ≤ \|quantiles\| grid and a
+    * min-reduce per quantile. */
+  def quantileTreatmentEffect(df: DataFrame, variantCol: String,
+                              valCol: String, a: String, bVariant: String,
+                              quantiles: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(quantiles.nonEmpty && quantiles.forall(p => p > 0 && p <= 1),
+      s"quantileTreatmentEffect: need 0 < p <= 1, got $quantiles")
+    val qs = quantiles.distinct.sorted
+    val vm = round(col(valCol).cast("double") * lit(1e6)).cast("long")
+    val grid = df
+      .where(col(valCol).isNotNull && col(variantCol).isin(a, bVariant))
+      .groupBy(vm.as("__vm"))
+      .agg(count(when(col(variantCol) === a, 1)).as("__ca"),
+        count(when(col(variantCol) === bVariant, 1)).as("__cb"))
+    val w = Window.orderBy(col("__vm"))
+    val all = Window.partitionBy(lit(1))
+    val cum = grid.select(col("__vm"),
+      sum("__ca").over(w).as("__cuma"), sum("__cb").over(w).as("__cumb"),
+      sum("__ca").over(all).as("__na"), sum("__cb").over(all).as("__nb"))
+    val qGrid = explode(array(qs.map(lit): _*)).as("quantile")
+    def rank(p: Column, n: Column): Column =
+      least(greatest(ceil(p * n.cast("double")).cast("long"), lit(1L)), n)
+    val hits = cum.select(col("*"), qGrid)
+      .groupBy(col("quantile"))
+      .agg(max("__na").as("n_a"), max("__nb").as("n_b"),
+        min(when(col("__cuma") >= rank(col("quantile"), col("__na")),
+          col("__vm"))).as("__qa"),
+        min(when(col("__cumb") >= rank(col("quantile"), col("__nb")),
+          col("__vm"))).as("__qb"))
+    hits.select(col("quantile"), col("n_a"), col("n_b"),
+      when(col("n_a") >= 1, round(col("__qa").cast("double") / lit(1e6), 6))
+        .as("q_a"),
+      when(col("n_b") >= 1, round(col("__qb").cast("double") / lit(1e6), 6))
+        .as("q_b"),
+      when(col("n_a") >= 1 && col("n_b") >= 1,
+        round((col("__qb") - col("__qa")).cast("double") / lit(1e6), 6))
+        .as("qte"))
+  }
+
+  /** Trimmed-mean difference — the robust A/B effect when
+    * [[welchAbTest]]'s mean is hostage to a handful of outliers: each
+    * cohort drops its lowest and highest ⌊trim·n⌋ values and means the
+    * rest. Runs off the cumulative distinct-value histogram: a value
+    * block spanning ranks (c_before, c] contributes
+    * `max(0, min(c, n−t) − max(c_before, t))` kept copies — no per-row
+    * rank, no sort of the raw data. Kept mass accumulates as exact
+    * decimal(38,0) micro-sums, so both trimmed means are single
+    * divisions of exact integers. A cohort left empty after trimming
+    * (n ≤ 2t) → null columns. Output: one row (n_a, n_b, kept_a,
+    * kept_b, tmean_a, tmean_b, diff), 6 dp.
+    *
+    * Scale shape: the [[mannWhitneyU]] contract — one value hash-agg,
+    * one cumsum window over the quantization-bounded histogram, one
+    * scalar reduce. */
+  def trimmedMeanDiff(df: DataFrame, variantCol: String, valCol: String,
+                      a: String, bVariant: String, trim: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(trim >= 0 && trim < 0.5,
+      s"trimmedMeanDiff: need 0 <= trim < 0.5, got $trim")
+    val vm = round(col(valCol).cast("double") * lit(1e6)).cast("long")
+    val grid = df
+      .where(col(valCol).isNotNull && col(variantCol).isin(a, bVariant))
+      .groupBy(vm.as("__vm"))
+      .agg(count(when(col(variantCol) === a, 1)).as("__ca"),
+        count(when(col(variantCol) === bVariant, 1)).as("__cb"))
+    val w = Window.orderBy(col("__vm"))
+    val all = Window.partitionBy(lit(1))
+    def kept(cum: Column, c: Column, n: Column, t: Column): Column =
+      greatest(lit(0L), least(cum, n - t) - greatest(cum - c, t))
+    val withCum = grid.select(col("__vm"), col("__ca"), col("__cb"),
+      sum("__ca").over(w).as("__cuma"), sum("__cb").over(w).as("__cumb"),
+      sum("__ca").over(all).as("__na"), sum("__cb").over(all).as("__nb"))
+    val ta = floor(lit(trim) * col("__na").cast("double")).cast("long")
+    val tb = floor(lit(trim) * col("__nb").cast("double")).cast("long")
+    val red = withCum.select(
+      col("__na"), col("__nb"),
+      (kept(col("__cuma"), col("__ca"), col("__na"), ta)
+        .cast("decimal(38,0)") * col("__vm").cast("decimal(38,0)"))
+        .as("__wa"),
+      kept(col("__cuma"), col("__ca"), col("__na"), ta).as("__ka"),
+      (kept(col("__cumb"), col("__cb"), col("__nb"), tb)
+        .cast("decimal(38,0)") * col("__vm").cast("decimal(38,0)"))
+        .as("__wb"),
+      kept(col("__cumb"), col("__cb"), col("__nb"), tb).as("__kb"))
+      .agg(max("__na").as("n_a"), max("__nb").as("n_b"),
+        coalesce(sum("__ka"), lit(0L)).as("kept_a"),
+        coalesce(sum("__kb"), lit(0L)).as("kept_b"),
+        sum("__wa").as("__sa"), sum("__wb").as("__sb"))
+    val ma = col("__sa").cast("double") /
+      (lit(1e6) * col("kept_a").cast("double"))
+    val mb = col("__sb").cast("double") /
+      (lit(1e6) * col("kept_b").cast("double"))
+    red.where(col("n_a") + col("n_b") > 0)
+      .select(col("n_a"), col("n_b"), col("kept_a"), col("kept_b"),
+        when(col("kept_a") > 0, round(ma, 6)).as("tmean_a"),
+        when(col("kept_b") > 0, round(mb, 6)).as("tmean_b"),
+        when(col("kept_a") > 0 && col("kept_b") > 0, round(mb - ma, 6))
+          .as("diff"))
+  }
+
   /** Benjamini–Hochberg FDR control over a family of p-values — the
     * multiple-testing gate every per-key test family here ([[signTest]],
     * [[welchAbTest]] grids) needs before anyone acts on "47 of 1000

@@ -846,6 +846,91 @@ class QualitySpec extends SparkSpec {
       Quality.bhFdr(none, "key", "p", 1.5)
   }
 
+  test("twoProportionTest: pooled z and Wilson bounds from exact counts; " +
+    "degenerate pool and missing cohort yield nulls") {
+    // a: 4/10, b: 8/10 -> pool 0.6, se = sqrt(0.048), z = 0.4/se
+    val rows = Seq.fill(4)(("g", "a", true)) ++ Seq.fill(6)(("g", "a", false)) ++
+      Seq.fill(8)(("g", "b", true)) ++ Seq.fill(2)(("g", "b", false)) ++
+      Seq.fill(3)(("z0", "a", false)) ++ Seq.fill(3)(("z0", "b", false)) ++
+      Seq.fill(2)(("m", "a", true))
+    val d = rows.toDF("grp", "variant", "ok")
+    val r = Quality.twoProportionTest(d, "grp", "variant", "ok", "a", "b")
+      .as[(String, Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double], Option[Double], Option[Double],
+        Option[Double], Option[Double], Boolean)]
+      .collect().map(x => x._1 -> x).toMap
+    val z = 1.959964; val z2 = z * z
+    def wilson(x: Double, n: Double): (Double, Double) = {
+      val h = z * math.sqrt(x * (n - x) / n + z2 / 4.0)
+      (round6(((x + z2 / 2.0) - h) / (n + z2)),
+        round6(((x + z2 / 2.0) + h) / (n + z2)))
+    }
+    val g = r("g")
+    (g._2, g._3, g._4, g._5) shouldBe ((10L, 4L, 10L, 8L))
+    g._6 shouldBe Some(0.4)
+    (g._7.get, g._8.get) shouldBe wilson(4.0, 10.0)
+    g._9 shouldBe Some(0.8)
+    (g._10.get, g._11.get) shouldBe wilson(8.0, 10.0)
+    g._12 shouldBe Some(round6(0.4))
+    g._13 shouldBe Some(round6(0.4 / math.sqrt(0.048)))
+    g._14 shouldBe false // 1.825742 < 1.959964
+    // all-failure pool: rates/CIs defined, z null
+    r("z0")._13 shouldBe None
+    r("z0")._14 shouldBe false
+    // missing cohort b: test columns null
+    r("m")._12 shouldBe None
+    r("m")._14 shouldBe false
+  }
+
+  test("quantileTreatmentEffect: exact order statistics per cohort; " +
+    "shifted cohort shows a constant QTE; missing cohort nulls") {
+    val d = (Seq(1.0, 2.0, 3.0, 4.0).map(v => ("a", v)) ++
+      Seq(11.0, 12.0, 13.0, 14.0).map(v => ("b", v)))
+      .toDF("variant", "v")
+    val r = Quality.quantileTreatmentEffect(d, "variant", "v", "a", "b",
+        Seq(0.25, 0.5, 1.0))
+      .as[(Double, Long, Long, Option[Double], Option[Double],
+        Option[Double])].collect().sortBy(_._1).toList
+    r shouldBe List(
+      (0.25, 4L, 4L, Some(1.0), Some(11.0), Some(10.0)),
+      (0.5, 4L, 4L, Some(2.0), Some(12.0), Some(10.0)),
+      (1.0, 4L, 4L, Some(4.0), Some(14.0), Some(10.0)))
+    val onlyA = d.where(col("variant") === "a")
+    Quality.quantileTreatmentEffect(onlyA, "variant", "v", "a", "b",
+        Seq(0.5))
+      .as[(Double, Long, Long, Option[Double], Option[Double],
+        Option[Double])].head() shouldBe
+      ((0.5, 4L, 0L, Some(2.0), None, None))
+    an[IllegalArgumentException] should be thrownBy
+      Quality.quantileTreatmentEffect(d, "variant", "v", "a", "b", Seq(0.0))
+  }
+
+  test("trimmedMeanDiff: rank-span overlap keeps the middle mass; the " +
+    "outlier vanishes; missing cohort nulls") {
+    // click {0,10,20,30,1000} trim 20% -> keep {10,20,30} mean 20
+    // purchase {5,6,7,8,9} -> keep {6,7,8} mean 7
+    val d = (Seq(0.0, 10.0, 20.0, 30.0, 1000.0).map(v => ("click", v)) ++
+      Seq(5.0, 6.0, 7.0, 8.0, 9.0).map(v => ("purchase", v)))
+      .toDF("variant", "v")
+    Quality.trimmedMeanDiff(d, "variant", "v", "click", "purchase", 0.2)
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double])].head() shouldBe
+      ((5L, 5L, 3L, 3L, Some(20.0), Some(7.0), Some(-13.0)))
+    // trim 0 keeps everything (plain means)
+    Quality.trimmedMeanDiff(d, "variant", "v", "click", "purchase", 0.0)
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double])].head() shouldBe
+      ((5L, 5L, 5L, 5L, Some(212.0), Some(7.0), Some(-205.0)))
+    val onlyA = d.where(col("variant") === "click")
+    val m = Quality.trimmedMeanDiff(onlyA, "variant", "v", "click",
+        "purchase", 0.2)
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double])].head()
+    m shouldBe ((5L, 0L, 3L, 0L, Some(20.0), None, None))
+    an[IllegalArgumentException] should be thrownBy
+      Quality.trimmedMeanDiff(d, "variant", "v", "click", "purchase", 0.5)
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
