@@ -1536,6 +1536,11 @@ object SparkEntry {
         "c_nationkey", "c_mktsegment", "o_totalprice",
         "BUILDING", "MACHINERY")
     }),
+    // capacity planning: Holt level+trend smoothing of daily value volume
+    // per event type, 7-day-ahead linear forecast
+    "q287_holt_forecast" -> ((s, dir) =>
+      graft.ops.EventAnalytics.holtForecast(
+        t(s, dir, "events"), "event_type", "ts", "value", 0.5, 0.3, 7)),
     // conversion-rate A/B: per-nation urgent-order share, BUILDING vs
     // MACHINERY, pooled z + Wilson intervals off exact counts
     "q284_conversion_ab" -> ((s, dir) => {
@@ -6553,6 +6558,54 @@ object SparkEntry {
         |      / (sa / CAST(n_a AS DOUBLE)), 6)
         |    END AS mde_rel
         |FROM piv""".stripMargin,
+    // q287: the same zero-filled calendar + the recurrence as a recursive
+    // CTE, state re-rounded to 6 dp each step exactly like the fold
+    "q287_holt_forecast" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type AS k, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+        |      AS day,
+        |    round(sum(CAST(value AS DOUBLE)), 6) AS y
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |span AS (
+        |  SELECT k, min(day) AS d0,
+        |    datediff('day', min(day), max(day)) AS nd
+        |  FROM daily GROUP BY 1),
+        |cal AS (
+        |  SELECT s.k, s.d0 + CAST(gs.g AS INT) AS day
+        |  FROM span s, LATERAL unnest(generate_series(0, s.nd)) AS gs(g)),
+        |series AS (
+        |  SELECT c.k,
+        |    row_number() OVER (PARTITION BY c.k ORDER BY c.day) AS t,
+        |    COALESCE(d.y, 0.0) AS y
+        |  FROM cal c LEFT JOIN daily d ON c.k = d.k AND c.day = d.day),
+        |nn AS (SELECT k, CAST(max(t) AS BIGINT) AS n FROM series GROUP BY 1),
+        |rec AS (
+        |  SELECT y2.k, 2 AS t, y2.y AS l, round(y2.y - y1.y, 6) AS b
+        |  FROM series y1 JOIN series y2 ON y1.k = y2.k
+        |  WHERE y1.t = 1 AND y2.t = 2
+        |  UNION ALL
+        |  SELECT k, t, l2 AS l, round(0.3 * (l2 - l) + 0.7 * b, 6) AS b
+        |  FROM (
+        |    SELECT r.k, r.t + 1 AS t, r.l, r.b,
+        |      round(0.5 * s.y + 0.5 * (r.l + r.b), 6) AS l2
+        |    FROM rec r JOIN series s ON s.k = r.k AND s.t = r.t + 1)),
+        |last AS (
+        |  SELECT rec.k, rec.l, rec.b FROM rec JOIN nn ON rec.k = nn.k
+        |  WHERE rec.t = nn.n),
+        |base AS (
+        |  SELECT nn.k, nn.n AS n_days,
+        |    CASE WHEN nn.n >= 2 THEN last.l
+        |         ELSE (SELECT y FROM series WHERE series.k = nn.k
+        |               AND series.t = 1) END AS level,
+        |    CASE WHEN nn.n >= 2 THEN last.b END AS trend
+        |  FROM nn LEFT JOIN last ON nn.k = last.k)
+        |SELECT b.k AS event_type, CAST(b.n_days AS INT) AS n_days,
+        |  b.level, b.trend, CAST(h.h AS INT) AS h,
+        |  CASE WHEN b.n_days >= 2 THEN
+        |    round(b.level + CAST(h.h AS DOUBLE) * b.trend, 6) END
+        |    AS forecast
+        |FROM base b, LATERAL unnest(generate_series(1, 7)) AS h(h)""".stripMargin,
     // q284: pooled z + Wilson, every statistic closed-form arithmetic on
     // the same exact counts (z constants as in-engine products)
     "q284_conversion_ab" ->

@@ -1034,6 +1034,75 @@ object EventAnalytics {
         round(col("n_users").cast("double") / col("__users"), 6).as("support"))
   }
 
+  /** Holt linear-trend forecast per key — double exponential smoothing,
+    * the next rung above the EWMA snapshot ([[ewmaSnapshot]] family):
+    * level AND trend held across the daily series, then an h-step-ahead
+    * linear forecast `ŷ = l_T + h·b_T` — the capacity-planning readout
+    * ("where is this source's volume going") a level-only smoother
+    * cannot give. Series = the key's calendar days from first to last
+    * observation, missing days as 0 (additive-volume semantics).
+    * Init `l₂ = y₂, b₂ = y₂ − y₁`; for t ≥ 3:
+    * `l_t = α·y_t + (1−α)(l+b)`, `b_t = β(l_t − l) + (1−β)b`.
+    *
+    * Determinism: daily totals snap to 6 dp, and the state re-snaps to
+    * 6 dp after EVERY update (the [[graft.ops.Learn.logisticGd]] device
+    * — per-step double ulps vanish into the quantum instead of
+    * compounding), so the whole trajectory and every forecast replay
+    * bit-identically. Keys with one observed day emit their level and
+    * null trend/forecasts. Output per (key, h ∈ 1..horizon): (key,
+    * n_days, level, trend, h, forecast), 6 dp.
+    *
+    * Scale shape: one (key, day) hash-agg; the calendar scaffold and
+    * the smoothing fold run per key over its DAY SPAN (a bounded
+    * scan-stage array fold, like the BPE merge fold) — the event log is
+    * read once and shuffled once; no per-iteration scan, no window over
+    * raw events. */
+  def holtForecast(df: DataFrame, keyCol: String, tsCol: String,
+                   valCol: String, alpha: Double, beta: Double,
+                   horizon: Int): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"holtForecast: need 0 < alpha <= 1, got $alpha")
+    require(beta >= 0 && beta <= 1, s"holtForecast: need 0 <= beta <= 1, got $beta")
+    require(horizon >= 1, s"holtForecast: need horizon >= 1, got $horizon")
+    val daily = df.where(col(tsCol).isNotNull && col(valCol).isNotNull)
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("__day"))
+      .agg(round(sum(col(valCol).cast("double")), 6).as("__y"))
+    val span = daily.groupBy(col(keyCol))
+      .agg(min("__day").as("__d0"), max("__day").as("__d1"))
+    val cal = span
+      .select(col(keyCol), col("__d0"),
+        explode(sequence(lit(0), datediff(col("__d1"), col("__d0"))))
+          .as("__t"))
+      .select(col(keyCol), date_add(col("__d0"), col("__t")).as("__day"))
+    val series = cal.join(daily, Seq(keyCol.toString, "__day"), "left")
+      .select(col(keyCol), col("__day"), coalesce(col("__y"), lit(0.0)).as("__y"))
+    val packed = series.groupBy(col(keyCol))
+      .agg(transform(array_sort(collect_list(struct(col("__day"), col("__y")))),
+        x => x.getField("__y")).as("__vals"))
+    val n = size(col("__vals"))
+    val y1 = element_at(col("__vals"), 1)
+    val y2 = element_at(col("__vals"), 2)
+    // fold y₃..y_T carrying (level, trend), re-snapped each step
+    val state = aggregate(slice(col("__vals"), lit(3), greatest(n - 2, lit(0))),
+      struct(y2.as("l"), round(y2 - y1, 6).as("b")),
+      (acc, y) => {
+        val l2 = round(lit(alpha) * y +
+          lit(1.0 - alpha) * (acc.getField("l") + acc.getField("b")), 6)
+        struct(l2.as("l"),
+          round(lit(beta) * (l2 - acc.getField("l")) +
+            lit(1.0 - beta) * acc.getField("b"), 6).as("b"))
+      })
+    packed
+      .select(col(keyCol), n.as("n_days"),
+        when(n >= 2, state.getField("l")).otherwise(y1).as("level"),
+        when(n >= 2, state.getField("b")).as("trend"),
+        explode(sequence(lit(1), lit(horizon))).as("h"))
+      .select(col(keyCol), col("n_days"), col("level"), col("trend"),
+        col("h"),
+        when(col("n_days") >= 2,
+          round(col("level") + col("h").cast("double") * col("trend"), 6))
+          .as("forecast"))
+  }
+
   /** Watermark-delay design table for a disordered event stream — the
     * `withWatermark` sizing question answered from history: for each
     * candidate allowed-lateness D, how many events a streaming job would

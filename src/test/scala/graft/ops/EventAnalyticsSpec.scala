@@ -684,4 +684,28 @@ class EventAnalyticsSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       EventAnalytics.watermarkPlan(d, "ts", "arr", 10L, Seq(-1L))
   }
+
+  test("holtForecast: hand-traced level/trend recurrence with a " +
+    "zero-filled gap day; single-day key yields null trend/forecast") {
+    import java.sql.Timestamp
+    // k daily series [10, 12, 0(gap), 20], alpha .5 beta .3:
+    // init (12, 2); t3: l=7, b=-0.1; t4: l=13.45, b=1.865
+    def ts(day: String) = Timestamp.valueOf(s"$day 12:00:00")
+    val d = Seq(
+      ("k", ts("2024-01-01"), 4.0), ("k", ts("2024-01-01"), 6.0),
+      ("k", ts("2024-01-02"), 12.0), ("k", ts("2024-01-04"), 20.0),
+      ("s", ts("2024-01-05"), 5.0))
+      .toDF("key", "ts", "v")
+    val r = EventAnalytics.holtForecast(d, "key", "ts", "v", 0.5, 0.3, 2)
+      .as[(String, Int, Double, Option[Double], Int, Option[Double])]
+      .collect().map(x => (x._1, x._5) -> x).toMap
+    r(("k", 1)) shouldBe (("k", 4, 13.45, Some(1.865), 1, Some(15.315)))
+    r(("k", 2)) shouldBe (("k", 4, 13.45, Some(1.865), 2, Some(17.18)))
+    r(("s", 1)) shouldBe (("s", 1, 5.0, None, 1, None))
+    r(("s", 2)) shouldBe (("s", 1, 5.0, None, 2, None))
+    an[IllegalArgumentException] should be thrownBy
+      EventAnalytics.holtForecast(d, "key", "ts", "v", 0.0, 0.3, 2)
+    an[IllegalArgumentException] should be thrownBy
+      EventAnalytics.holtForecast(d, "key", "ts", "v", 0.5, 0.3, 0)
+  }
 }
