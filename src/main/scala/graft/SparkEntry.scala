@@ -1536,6 +1536,12 @@ object SparkEntry {
         "c_nationkey", "c_mktsegment", "o_totalprice",
         "BUILDING", "MACHINERY")
     }),
+    // pre-flight join planning: exact output cardinality, key profiles,
+    // hottest-key share, and the broadcast/salt/shuffle verdict
+    "q288_join_advisor" -> ((s, dir) =>
+      graft.ops.Joins.joinSizeAdvisor(
+        t(s, dir, "orders"), t(s, dir, "customer"),
+        "o_custkey", "c_custkey", 1000L, 10.0)),
     // capacity planning: Holt level+trend smoothing of daily value volume
     // per event type, 7-day-ahead linear forecast
     "q287_holt_forecast" -> ((s, dir) =>
@@ -6558,6 +6564,51 @@ object SparkEntry {
         |      / (sa / CAST(n_a AS DOUBLE)), 6)
         |    END AS mde_rel
         |FROM piv""".stripMargin,
+    // q288: the same two key profiles + exact HUGEINT products; the
+    // verdict replays off identical integers
+    "q288_join_advisor" ->
+      """WITH ca AS (
+        |  SELECT CAST(o_custkey AS VARCHAR) AS k,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+        |cb AS (
+        |  SELECT CAST(c_custkey AS VARCHAR) AS k,
+        |    CAST(count(*) AS BIGINT) AS m
+        |  FROM customer WHERE c_custkey IS NOT NULL GROUP BY 1),
+        |sa AS (
+        |  SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) AS rows_a,
+        |    CAST(count(*) AS BIGINT) AS ndv_a,
+        |    CAST(COALESCE(max(n), 0) AS BIGINT) AS max_mult_a
+        |  FROM ca),
+        |sb AS (
+        |  SELECT CAST(COALESCE(sum(m), 0) AS BIGINT) AS rows_b,
+        |    CAST(count(*) AS BIGINT) AS ndv_b,
+        |    CAST(COALESCE(max(m), 0) AS BIGINT) AS max_mult_b
+        |  FROM cb),
+        |prod AS (
+        |  SELECT ca.k, CAST(ca.n AS HUGEINT) * cb.m AS p
+        |  FROM ca JOIN cb USING (k)),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS matched_keys,
+        |    CAST(COALESCE(sum(p), 0) AS HUGEINT) AS join_rows,
+        |    max(p) AS pmax
+        |  FROM prod),
+        |top AS (
+        |  SELECT min(prod.k) AS top_key FROM prod, tot
+        |  WHERE prod.p = tot.pmax)
+        |SELECT sa.rows_a, sa.ndv_a, sa.max_mult_a,
+        |  sb.rows_b, sb.ndv_b, sb.max_mult_b,
+        |  tot.matched_keys, CAST(tot.join_rows AS BIGINT) AS join_rows,
+        |  top.top_key,
+        |  CASE WHEN tot.matched_keys > 0 THEN
+        |    round(CAST(tot.pmax AS DOUBLE)
+        |      / CAST(tot.join_rows AS DOUBLE), 6) END AS top_share,
+        |  CASE WHEN sb.rows_b <= 1000 THEN 'broadcast'
+        |       WHEN tot.matched_keys > 0 AND CAST(tot.pmax AS DOUBLE)
+        |         > 10.0 * (CAST(tot.join_rows AS DOUBLE)
+        |           / CAST(tot.matched_keys AS DOUBLE)) THEN 'salted_shuffle'
+        |       ELSE 'shuffle' END AS strategy
+        |FROM sa, sb, tot, top""".stripMargin,
     // q287: the same zero-filled calendar + the recurrence as a recursive
     // CTE, state re-rounded to 6 dp each step exactly like the fold
     "q287_holt_forecast" ->

@@ -570,4 +570,73 @@ object Joins {
       .orderBy(col("cnt").desc, col(keyCol))
       .limit(topK)
   }
+
+  /** Exact join-size and strategy advisor — the cost-based-optimizer
+    * question answered from the data itself before a 100 TB join is
+    * launched: the EXACT output cardinality `Σ_k n_a(k)·n_b(k)` (what a
+    * CMS sketch like q216 estimates, priced exactly here), both sides'
+    * key profiles, the hottest key's output share, and a strategy
+    * verdict — `broadcast` when the small side fits the limit,
+    * `salted_shuffle` when one key's product exceeds `skewFactor×` the
+    * matched-key average (the straggler-task signature), else
+    * `shuffle`. Products and totals ride decimal(38,0) (a hot key's
+    * n_a·n_b overflows a LONG at corpus scale); the top key breaks ties
+    * to the smallest key string, so the verdict is replay-stable. Null
+    * keys never match (inner-join semantics) and are profiled out.
+    * Output: one row — (rows_a, ndv_a, max_mult_a, rows_b, ndv_b,
+    * max_mult_b, matched_keys, join_rows, top_key, top_share, strategy).
+    *
+    * Scale shape: one key hash-agg per side (map-side combine), one
+    * key-keyed join of the two NDV-sized count tables, two scalar
+    * reduces over that reduced table — the raw tables are each read
+    * once and never joined row×row. */
+  def joinSizeAdvisor(a: DataFrame, b: DataFrame, keyA: String, keyB: String,
+                      broadcastRowLimit: Long,
+                      skewFactor: Double = 10.0): DataFrame = {
+    require(broadcastRowLimit >= 1,
+      s"joinSizeAdvisor: need broadcastRowLimit >= 1, got $broadcastRowLimit")
+    require(skewFactor >= 1.0,
+      s"joinSizeAdvisor: need skewFactor >= 1, got $skewFactor")
+    def prof(df: DataFrame, key: String) = df.where(col(key).isNotNull)
+      .groupBy(col(key).cast("string").as("__k"))
+      .agg(count(lit(1)).as("__n"))
+    val ca = graft.core.CacheRegistry.persist(prof(a, keyA))
+    val cb = graft.core.CacheRegistry.persist(prof(b, keyB))
+    val sideA = ca.agg(coalesce(sum("__n"), lit(0L)).as("rows_a"),
+      count(lit(1)).as("ndv_a"),
+      coalesce(max("__n"), lit(0L)).as("max_mult_a"))
+    val sideB = cb.agg(coalesce(sum("__n"), lit(0L)).as("rows_b"),
+      count(lit(1)).as("ndv_b"),
+      coalesce(max("__n"), lit(0L)).as("max_mult_b"))
+    val prod = graft.core.CacheRegistry.persist(
+      ca.join(cb.select(col("__k"), col("__n").as("__m")), Seq("__k"))
+        .select(col("__k"),
+          (col("__n").cast("decimal(38,0)") * col("__m").cast("decimal(38,0)"))
+            .as("__p")))
+    val tot = prod.agg(count(lit(1)).as("matched_keys"),
+      coalesce(sum("__p"), lit(java.math.BigDecimal.ZERO)
+        .cast("decimal(38,0)")).as("join_rows"),
+      max("__p").as("__pmax"))
+    val top = prod.crossJoin(broadcast(tot))
+      .where(col("__p") === col("__pmax"))
+      .agg(min("__k").as("top_key"))
+    val avg = col("join_rows").cast("double") /
+      col("matched_keys").cast("double")
+    val strategy =
+      when(col("rows_b") <= broadcastRowLimit, lit("broadcast"))
+        .when(col("matched_keys") > 0 &&
+          col("__pmax").cast("double") > lit(skewFactor) * avg,
+          lit("salted_shuffle"))
+        .otherwise(lit("shuffle"))
+    sideA.crossJoin(broadcast(sideB)).crossJoin(broadcast(tot))
+      .crossJoin(broadcast(top))
+      .select(col("rows_a"), col("ndv_a"), col("max_mult_a"),
+        col("rows_b"), col("ndv_b"), col("max_mult_b"),
+        col("matched_keys"), col("join_rows").cast("long").as("join_rows"),
+        col("top_key"),
+        when(col("matched_keys") > 0,
+          round(col("__pmax").cast("double") /
+            col("join_rows").cast("double"), 6)).as("top_share"),
+        strategy.as("strategy"))
+  }
 }

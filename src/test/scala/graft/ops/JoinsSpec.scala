@@ -449,6 +449,36 @@ class JoinsSpec extends SparkSpec {
       Joins.linkageWeights(df, "id", "blk", Seq("f1"), 1.0)
   }
 
+  test("joinSizeAdvisor: exact output cardinality, hottest key, and the " +
+    "broadcast/salt/shuffle verdicts; null keys profiled out") {
+    val a = (Seq("x", "x", "x", "y", "z").map(Option(_)) :+ None)
+      .toDF("k")
+    val b = (Seq("x") ++ Seq.fill(10)("y") :+ "w").toDF("k")
+    // matched: x 3*1, y 1*10 -> 13 rows, top y at 10/13
+    def run(limit: Long, skew: Double) = graft.core.CacheRegistry.scoped {
+      Joins.joinSizeAdvisor(a, b, "k", "k", limit, skew)
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long,
+          Option[String], Option[Double], String)].head()
+    }
+    val r = run(5L, 10.0)
+    r shouldBe ((5L, 3L, 3L, 12L, 3L, 10L, 2L, 13L, Some("y"),
+      Some(0.769231), "shuffle"))
+    run(20L, 10.0)._11 shouldBe "broadcast"
+    run(5L, 1.0)._11 shouldBe "salted_shuffle" // 10 > 1.0 * 6.5
+    // disjoint keys: zero matches, null top, shuffle verdict
+    val c = Seq("q", "r").toDF("k")
+    val d = graft.core.CacheRegistry.scoped {
+      Joins.joinSizeAdvisor(a, c, "k", "k", 1L, 10.0)
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long,
+          Option[String], Option[Double], String)].head()
+    }
+    (d._7, d._8, d._9, d._10, d._11) shouldBe
+      ((0L, 0L, None, None, "shuffle"))
+    an[IllegalArgumentException] should be thrownBy
+      Joins.joinSizeAdvisor(a, b, "k", "k", 0L, 10.0)
+    graft.core.CacheRegistry.drain()
+  }
+
   private implicit class LetOps[A](a: A) {
     def let[B](f: A => B): B = f(a)
   }
