@@ -1536,6 +1536,14 @@ object SparkEntry {
         "c_nationkey", "c_mktsegment", "o_totalprice",
         "BUILDING", "MACHINERY")
     }),
+    // dataset-shift detector: can a logistic probe tell src0 from src1
+    // on (chars, tokens)? accuracy vs the binomial noise band around 0.5
+    "q289_c2st" -> ((s, dir) =>
+      graft.ops.Learn.c2st(
+        t(s, dir, "documents")
+          .withColumn("n_tokens",
+            size(split(col("text"), " ")).cast("double")),
+        Seq("n_chars", "n_tokens"), "source", "src0", "src1", 0.5, 3)),
     // pre-flight join planning: exact output cardinality, key profiles,
     // hottest-key share, and the broadcast/salt/shuffle verdict
     "q288_join_advisor" -> ((s, dir) =>
@@ -6564,6 +6572,51 @@ object SparkEntry {
         |      / (sa / CAST(n_a AS DOUBLE)), 6)
         |    END AS mde_rel
         |FROM piv""".stripMargin,
+    // q289: the q231 unrolled-GD replay over document features, plus the
+    // binomial noise band on the SAME rounded accuracy
+    "q289_c2st" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN source = 'src1' THEN 1.0 ELSE 0.0 END AS y,
+        |    CAST(n_chars AS DOUBLE) AS x0,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS x1
+        |  FROM documents WHERE source IN ('src0', 'src1')
+        |    AND n_chars IS NOT NULL AND text IS NOT NULL),
+        |st AS (SELECT round(avg(x0), 6) AS m0,
+        |    round(stddev_pop(x0), 6) AS s0,
+        |    round(avg(x1), 6) AS m1, round(stddev_pop(x1), 6) AS s1
+        |  FROM base),
+        |z AS (SELECT y, (x0 - m0) / s0 AS z0, (x1 - m1) / s1 AS z1
+        |  FROM base, st),
+        |w1 AS (SELECT round(0 - 0.5 * avg(0.5 - y), 6) AS b,
+        |    round(0 - 0.5 * avg((0.5 - y) * z0), 6) AS wa,
+        |    round(0 - 0.5 * avg((0.5 - y) * z1), 6) AS wb FROM z),
+        |p2 AS (SELECT z.*,
+        |    1.0 / (1.0 + exp(-(w1.b + w1.wa * z0 + w1.wb * z1))) AS p,
+        |    w1.b AS pb, w1.wa AS pwa, w1.wb AS pwb FROM z, w1),
+        |w2 AS (SELECT round(first(pb) - 0.5 * avg(p - y), 6) AS b,
+        |    round(first(pwa) - 0.5 * avg((p - y) * z0), 6) AS wa,
+        |    round(first(pwb) - 0.5 * avg((p - y) * z1), 6) AS wb FROM p2),
+        |p3 AS (SELECT z.*,
+        |    1.0 / (1.0 + exp(-(w2.b + w2.wa * z0 + w2.wb * z1))) AS p,
+        |    w2.b AS pb, w2.wa AS pwa, w2.wb AS pwb FROM z, w2),
+        |w3 AS (SELECT round(first(pb) - 0.5 * avg(p - y), 6) AS b,
+        |    round(first(pwa) - 0.5 * avg((p - y) * z0), 6) AS wa,
+        |    round(first(pwb) - 0.5 * avg((p - y) * z1), 6) AS wb FROM p3),
+        |sel AS (SELECT z.y, z.z0, z.z1,
+        |    w3.b + w3.wa * z0 + w3.wb * z1 AS zf,
+        |    w3.b AS b, w3.wa AS wa, w3.wb AS wb FROM z, w3),
+        |fit AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(3 AS BIGINT) AS n_iters,
+        |  first(b) AS bias, first(wa) AS w_n_chars, first(wb) AS w_n_tokens,
+        |  round(avg(greatest(zf, 0.0) - y * zf
+        |    + ln(1.0 + exp(-abs(zf)))), 6) AS log_loss,
+        |  round(avg(CASE WHEN (CASE WHEN zf >= 0 THEN 1.0 ELSE 0.0 END) = y
+        |    THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+        |FROM sel)
+        |SELECT *,
+        |  abs(accuracy - 0.5)
+        |    > 1.959964 * sqrt(0.25 / CAST(n_rows AS DOUBLE)) AS shifted
+        |FROM fit""".stripMargin,
     // q288: the same two key profiles + exact HUGEINT products; the
     // verdict replays off identical integers
     "q288_join_advisor" ->

@@ -352,6 +352,33 @@ object Learn {
       .withColumn("rank", row_number().over(byStrength))
   }
 
+  /** Classifier two-sample test (C2ST, Lopez-Paz & Oquab 2017) — the
+    * dataset-shift detector that catches what per-column drift tests
+    * miss: train [[logisticGd]] to TELL THE COHORTS APART on cheap
+    * features; if its training accuracy clears the binomial noise band
+    * around 0.5 (`|acc − ½| > z·√(¼/n)`), the two corpora are
+    * distinguishable — a crawl snapshot drifted, a new source leaks a
+    * template — even when every marginal looks unchanged. Inherits
+    * logisticGd's full determinism contract (6 dp moments, per-round
+    * weight re-round, z ≥ 0 predictions); the shift flag compares the
+    * same rounded accuracy in both engines. Output: the logisticGd row
+    * (n_rows, n_iters, bias, w_<feature>…, log_loss, accuracy) plus
+    * `shifted`.
+    *
+    * Scale shape: [[logisticGd]]'s — one standardization aggregate plus
+    * one full-scan gradient aggregate per iteration; the verdict is
+    * driver-free arithmetic on the result row. */
+  def c2st(df: DataFrame, featureCols: Seq[String], cohortCol: String,
+           a: String, bCohort: String, lr: Double, iters: Int,
+           z: Double = 1.959964): DataFrame = {
+    val base = df.where(col(cohortCol).isin(a, bCohort))
+      .withColumn("__is_b", (col(cohortCol) === bCohort).cast("int"))
+    logisticGd(base, featureCols, "__is_b", lr, iters)
+      .withColumn("shifted",
+        abs(col("accuracy") - 0.5) >
+          lit(z) * sqrt(lit(0.25) / col("n_rows").cast("double")))
+  }
+
   /** Leave-one-group-out influence of each data shard/source on a
     * nearest-centroid classifier — the cheap, EXACTLY decomposable member
     * of the data-attribution family ("which source helps, which poisons"):

@@ -146,6 +146,29 @@ class LearnSpec extends SparkSpec {
     graft.core.CacheRegistry.drain()
   }
 
+  test("c2st: separable cohorts clear the binomial noise band, identical " +
+    "cohorts do not") {
+    import org.apache.spark.sql.functions._
+    val sep = ((1 to 20).map(i => ("a", i.toDouble)) ++
+      (1 to 20).map(i => ("b", 100.0 + i))).toDF("cohort", "x")
+    val r = graft.core.CacheRegistry.scoped {
+      Learn.c2st(sep, Seq("x"), "cohort", "a", "b", 0.5, 3)
+        .select(col("n_rows"), col("accuracy"), col("shifted"))
+        .as[(Long, Double, Boolean)].head()
+    }
+    r shouldBe ((40L, 1.0, true))
+    // same distribution on both sides: the probe cannot tell them apart
+    val same = ((1 to 20).map(i => ("a", i.toDouble)) ++
+      (1 to 20).map(i => ("b", i.toDouble))).toDF("cohort", "x")
+    val s = graft.core.CacheRegistry.scoped {
+      Learn.c2st(same, Seq("x"), "cohort", "a", "b", 0.5, 3)
+        .select(col("accuracy"), col("shifted"))
+        .as[(Double, Boolean)].head()
+    }
+    s._2 shouldBe false
+    graft.core.CacheRegistry.drain()
+  }
+
   test("sourceInfluence: leave-out algebra on hand centroids; a poison " +
     "shard's removal shows as positive-vs-zero influence; vanished label " +
     "and single-group edges") {
