@@ -1536,6 +1536,21 @@ object SparkEntry {
         "c_nationkey", "c_mktsegment", "o_totalprice",
         "BUILDING", "MACHINERY")
     }),
+    // labeling-budget design: Neyman-optimal allocation of a 10k-doc
+    // sample across sources by token-count dispersion, largest-remainder
+    // integerization summing exactly to the budget
+    "q290_neyman_alloc" -> ((s, dir) =>
+      Sampling.neymanAllocation(
+        t(s, dir, "documents").select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        "source", "n_tokens", 10000L)),
+    // token-weighted length percentiles: the median TOKEN's document
+    // length - the budget-relevant number, not the median document
+    "q291_weighted_percentiles" -> ((s, dir) =>
+      graft.ops.Sketches.weightedPercentiles(
+        t(s, dir, "documents").select(
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        "n_tokens", "n_tokens", Seq(0.25, 0.5, 0.9, 0.99))),
     // dataset-shift detector: can a logistic probe tell src0 from src1
     // on (chars, tokens)? accuracy vs the binomial noise band around 0.5
     "q289_c2st" -> ((s, dir) =>
@@ -6572,6 +6587,74 @@ object SparkEntry {
         |      / (sa / CAST(n_a AS DOUBLE)), 6)
         |    END AS mde_rel
         |FROM piv""".stripMargin,
+    // q290: exact micro moments -> mirrored sd/weights, micro-snapped
+    // fractional parts, largest-remainder ranks tie to the smaller key
+    "q290_neyman_alloc" ->
+      """WITH d AS (
+        |  SELECT source AS st,
+        |    CAST(round(CAST(len(string_split(text, ' ')) AS DOUBLE)
+        |      * 1000000.0) AS BIGINT) AS vm
+        |  FROM documents),
+        |red AS (
+        |  SELECT st, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(vm) AS HUGEINT) AS s1,
+        |    CAST(sum(CAST(vm AS HUGEINT) * vm) AS HUGEINT) AS s2
+        |  FROM d GROUP BY 1),
+        |sdw AS (
+        |  SELECT st, n_rows,
+        |    sqrt(greatest((CAST(s2 AS DOUBLE) / 1000000000000.0
+        |      - (CAST(s1 AS DOUBLE) / 1000000.0)
+        |        * (CAST(s1 AS DOUBLE) / 1000000.0)
+        |        / CAST(n_rows AS DOUBLE))
+        |      / CAST(n_rows AS DOUBLE), 0.0)) AS sd
+        |  FROM red),
+        |w AS (
+        |  SELECT st, n_rows, sd, CAST(n_rows AS DOUBLE) * sd AS wgt,
+        |    (SELECT sum(CAST(n_rows AS DOUBLE) * sd) FROM sdw) AS wt
+        |  FROM sdw),
+        |calc AS (
+        |  SELECT *, 10000.0 * wgt / wt AS raw FROM w),
+        |fl AS (
+        |  SELECT *,
+        |    CASE WHEN wt > 0 THEN CAST(floor(raw) AS BIGINT) END AS flr,
+        |    CAST(round((raw - floor(raw)) * 1000000.0) AS BIGINT) AS fracm
+        |  FROM calc),
+        |rk AS (
+        |  SELECT *,
+        |    CAST(row_number() OVER (ORDER BY fracm DESC, st ASC)
+        |      AS BIGINT) AS r,
+        |    (SELECT 10000 - sum(flr) FROM fl) AS rem
+        |  FROM fl)
+        |SELECT st AS source, n_rows, round(sd, 6) AS sd,
+        |  CASE WHEN wt > 0 THEN round(wgt / wt, 6) END AS weight_share,
+        |  CASE WHEN wt > 0 THEN
+        |    flr + CASE WHEN r <= rem THEN 1 ELSE 0 END END AS alloc,
+        |  CASE WHEN wt > 0 THEN least(
+        |    flr + CASE WHEN r <= rem THEN 1 ELSE 0 END, n_rows) END
+        |    AS feasible_alloc
+        |FROM rk""".stripMargin,
+    // q291: the same weighted histogram cut at ceil(p*W) micro-units
+    "q291_weighted_percentiles" ->
+      """WITH d AS (
+        |  SELECT CAST(round(CAST(len(string_split(text, ' ')) AS DOUBLE)
+        |    * 1000000.0) AS BIGINT) AS vm
+        |  FROM documents
+        |  WHERE CAST(len(string_split(text, ' ')) AS DOUBLE) > 0),
+        |hist AS (
+        |  SELECT vm, CAST(sum(vm) AS HUGEINT) AS w FROM d GROUP BY 1),
+        |cum AS (
+        |  SELECT vm, sum(w) OVER (ORDER BY vm) AS cw,
+        |    sum(w) OVER () AS tw
+        |  FROM hist),
+        |g AS (SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+        |  CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS p)
+        |SELECT g.p,
+        |  round(CAST(max(cum.tw) AS DOUBLE) / 1000000.0, 6)
+        |    AS total_weight,
+        |  round(CAST(min(CASE WHEN CAST(cum.cw AS DOUBLE)
+        |      >= ceil(g.p * CAST(cum.tw AS DOUBLE)) THEN cum.vm END)
+        |    AS DOUBLE) / 1000000.0, 6) AS q
+        |FROM g, cum GROUP BY 1""".stripMargin,
     // q289: the q231 unrolled-GD replay over document features, plus the
     // binomial noise band on the SAME rounded accuracy
     "q289_c2st" ->

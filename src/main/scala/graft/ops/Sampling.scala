@@ -638,4 +638,69 @@ object Sampling {
           col("__s2").cast("double") / col("__n").cast("double"), 6)
           .as("ess_ratio"))
   }
+
+  /** Neyman-optimal stratified sample allocation — the survey-sampling
+    * answer to "I can afford n labeled docs; how many from each source":
+    * allocate `n_h ∝ N_h·σ_h` (minimizes the stratified-mean variance at
+    * fixed budget — big AND internally-varied strata earn more), then
+    * integerize by LARGEST REMAINDER so the allocations sum exactly to
+    * the budget. Determinism: values snap to 6 dp so the per-stratum
+    * population moments are exact decimal sums; σ, the weights, and the
+    * fractional parts are mirrored double arithmetic, and the remainder
+    * ranking snaps fractions to micro-integers (ties to the smaller
+    * stratum key). An allocation may exceed its stratum's size when the
+    * budget is large — `feasible_alloc` caps it (the excess is
+    * deliberately NOT redistributed; redistribution is iterative and
+    * belongs to the caller's loop). All-zero-σ inputs yield null
+    * allocations (no Neyman optimum exists; fall back to proportional).
+    * Null values are excluded. Output per stratum: (stratum, n_rows, sd,
+    * weight_share, alloc, feasible_alloc), 6 dp.
+    *
+    * Scale shape: ONE stratum hash-agg of count/Σ/Σ² micro-partials
+    * (map-side combine), then windows over the STRATUM table — bounded
+    * by the stratum vocabulary, never the data. */
+  def neymanAllocation(df: DataFrame, stratumCol: String, valCol: String,
+                       budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 1, s"neymanAllocation: need budget >= 1, got $budget")
+    val vm = round(col(valCol).cast("double") * lit(1e6)).cast("long")
+    val red = df.where(col(valCol).isNotNull)
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(vm).cast("decimal(38,0)").as("__s1"),
+        sum(vm.cast("decimal(38,0)") * vm.cast("decimal(38,0)")).as("__s2"))
+    val nD = col("n_rows").cast("double")
+    // population variance from the exact micro moments
+    val mean = col("__s1").cast("double") / lit(1e6) / nD
+    val varP = (col("__s2").cast("double") / lit(1e12) -
+      (col("__s1").cast("double") / lit(1e6)) *
+        (col("__s1").cast("double") / lit(1e6)) / nD) / nD
+    val sd = sqrt(greatest(varP, lit(0.0)))
+    val all = Window.partitionBy(lit(1))
+    val w = nD * sd
+    val staged = red.select(col(stratumCol), col("n_rows"), sd.as("__sd"),
+      w.as("__w"), sum(w).over(all).as("__wt"))
+    // when-guarded: ANSI mode turns the degenerate all-flat family
+    // (Σw = 0) into DIVIDE_BY_ZERO before the output guards ever run
+    val raw = when(col("__wt") > 0,
+      lit(budget.toDouble) * col("__w") / col("__wt")).otherwise(lit(0.0))
+    val fl = floor(raw).cast("long")
+    val fracM = round((raw - fl.cast("double")) * lit(1e6)).cast("long")
+    val ranked = staged
+      .withColumn("__fl", when(col("__wt") > 0, fl))
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(fracM.desc, col(stratumCol).asc)))
+      .withColumn("__rem", lit(budget) - sum("__fl").over(all))
+    ranked.select(col(stratumCol), col("n_rows"),
+      round(col("__sd"), 6).as("sd"),
+      when(col("__wt") > 0, round(col("__w") / col("__wt"), 6))
+        .as("weight_share"),
+      when(col("__wt") > 0,
+        col("__fl") + when(col("__rk") <= col("__rem"), 1L).otherwise(0L))
+        .as("alloc"),
+      when(col("__wt") > 0,
+        least(col("__fl") +
+          when(col("__rk") <= col("__rem"), 1L).otherwise(0L),
+          col("n_rows"))).as("feasible_alloc"))
+  }
 }

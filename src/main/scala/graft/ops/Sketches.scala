@@ -75,6 +75,51 @@ object Sketches {
         round(percentile(col(valueCol), lit(0.9)), 6).as("p90"),
         round(percentile(col(valueCol), lit(0.99)), 6).as("p99"))
 
+  /** Weighted exact percentiles — order statistics where each row counts
+    * with a WEIGHT, the corpus-planning form of [[percentilesExact]]:
+    * "the median TOKEN lives in a document of length X" (value = doc
+    * length, weight = tokens) is a different — and for budget questions,
+    * the right — number than the median document. For each p, the
+    * smallest value whose cumulative weight reaches `⌈p·W⌉` micro-units.
+    * Values AND weights snap to 6 dp micro-integers; cumulative weights
+    * are exact decimal(38,0), so every cut replays bit-identically.
+    * Rows with null values, or null/non-positive weights, are excluded
+    * (a zero-weight row cannot host a percentile). Output per p:
+    * (p, total_weight, q), 6 dp.
+    *
+    * Scale shape: the [[graft.ops.Quality.mannWhitneyU]] contract — one
+    * (value) hash-agg of weight partials, one cumsum window over the
+    * quantization-bounded histogram, one broadcast theta-join against
+    * the ≤ \|ps\| grid. */
+  def weightedPercentiles(df: DataFrame, valCol: String, weightCol: String,
+                          ps: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      s"weightedPercentiles: need 0 < p <= 1, got $ps")
+    val grid = ps.distinct.sorted
+    val vm = round(col(valCol).cast("double") * lit(1e6)).cast("long")
+    val wm = round(col(weightCol).cast("double") * lit(1e6)).cast("long")
+    val hist = df
+      .where(col(valCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol).cast("double") > 0)
+      .groupBy(vm.as("__vm"))
+      .agg(sum(wm).cast("decimal(38,0)").as("__w"))
+    val w = Window.orderBy(col("__vm"))
+    val all = Window.partitionBy(lit(1))
+    val cum = hist.select(col("__vm"),
+      sum("__w").over(w).as("__cw"), sum("__w").over(all).as("__tw"))
+    val pCol = explode(array(grid.map(lit): _*)).as("p")
+    cum.select(col("*"), pCol)
+      .groupBy(col("p"))
+      .agg(max("__tw").as("__twx"),
+        min(when(col("__cw").cast("double") >=
+          ceil(col("p") * col("__tw").cast("double")), col("__vm")))
+          .as("__q"))
+      .select(col("p"),
+        round(col("__twx").cast("double") / lit(1e6), 6).as("total_weight"),
+        round(col("__q").cast("double") / lit(1e6), 6).as("q"))
+  }
+
   /** Sketch-based cross-source overlap — the 100 TB path for
     * [[Dedup.sourceOverlap]], whose exact form self-joins the distinct
     * (source, shingle) table (fine until the distinct sets themselves

@@ -444,4 +444,28 @@ class SamplingSpec extends SparkSpec {
       Seq.empty[Option[Double]].toDF("log_weight"), "log_weight")
       .count() shouldBe 0L
   }
+
+  test("neymanAllocation: N*sigma weights, largest-remainder integers " +
+    "summing to the budget; zero-sigma stratum earns nothing; all-flat " +
+    "input yields null allocations") {
+    // a {0,10}: sd 5, w 10; b {4,6}: sd 1, w 2; c {7,7}: sd 0
+    // budget 7: raw 5.833/1.167/0 -> floors 5/1/0, remainder to a
+    val d = Seq(("a", 0.0), ("a", 10.0), ("b", 4.0), ("b", 6.0),
+      ("c", 7.0), ("c", 7.0)).toDF("st", "v")
+    val r = Sampling.neymanAllocation(d, "st", "v", 7L)
+      .as[(String, Long, Double, Option[Double], Option[Long],
+        Option[Long])].collect().map(x => x._1 -> x).toMap
+    r("a") shouldBe (("a", 2L, 5.0, Some(0.833333), Some(6L), Some(2L)))
+    r("b") shouldBe (("b", 2L, 1.0, Some(0.166667), Some(1L), Some(1L)))
+    r("c") shouldBe (("c", 2L, 0.0, Some(0.0), Some(0L), Some(0L)))
+    r.values.flatMap(_._5).sum shouldBe 7L
+    // every stratum constant: no Neyman optimum -> null allocations
+    val flat = Seq(("a", 1.0), ("a", 1.0), ("b", 2.0)).toDF("st", "v")
+    val f = Sampling.neymanAllocation(flat, "st", "v", 5L)
+      .as[(String, Long, Double, Option[Double], Option[Long],
+        Option[Long])].collect()
+    all(f.map(_._5)) shouldBe None
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.neymanAllocation(d, "st", "v", 0L)
+  }
 }

@@ -285,4 +285,18 @@ class SketchesSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       graft.ops.Sketches.rollingActiveContract(ev, "user_id", "ts", 0, 12, 5.0)
   }
+
+  test("weightedPercentiles: the cut lands where the WEIGHT mass says, " +
+    "not the row count; non-positive weights excluded") {
+    // values 1,2,10 with weights 1,1,8: median weight unit lives at 10
+    val d = Seq((1.0, 1.0), (2.0, 1.0), (10.0, 8.0), (5.0, 0.0),
+      (6.0, -2.0)).toDF("v", "w")
+    val r = graft.ops.Sketches.weightedPercentiles(d, "v", "w",
+        Seq(0.1, 0.2, 0.5, 1.0))
+      .as[(Double, Double, Double)].collect().sortBy(_._1).toList
+    r shouldBe List((0.1, 10.0, 1.0), (0.2, 10.0, 2.0),
+      (0.5, 10.0, 10.0), (1.0, 10.0, 10.0))
+    an[IllegalArgumentException] should be thrownBy
+      graft.ops.Sketches.weightedPercentiles(d, "v", "w", Seq(1.5))
+  }
 }
