@@ -1536,6 +1536,19 @@ object SparkEntry {
         "c_nationkey", "c_mktsegment", "o_totalprice",
         "BUILDING", "MACHINERY")
     }),
+    // is the per-(user,type) arrival process Poisson? one-sample KS of
+    // inter-arrival gaps vs the fitted exponential, per event type
+    "q292_exponential_gof" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      val gaps = t(s, dir, "events")
+        .withColumn("gap_s",
+          (unix_micros(col("ts")) -
+            unix_micros(lag(col("ts"), 1).over(w))).cast("double") / 1e6)
+        .where(col("gap_s").isNotNull)
+      graft.ops.Quality.exponentialGof(gaps, "event_type", "gap_s")
+    }),
     // labeling-budget design: Neyman-optimal allocation of a 10k-doc
     // sample across sources by token-count dispersion, largest-remainder
     // integerization summing exactly to the budget
@@ -6587,6 +6600,51 @@ object SparkEntry {
         |      / (sa / CAST(n_a AS DOUBLE)), 6)
         |    END AS mde_rel
         |FROM piv""".stripMargin,
+    // q292: the same step-edge KS against the fitted exponential; the
+    // transcendental F rides mirrored doubles under the 6dp quantum
+    "q292_exponential_gof" ->
+      """WITH g AS (
+        |  SELECT event_type AS grp,
+        |    CAST(round((CAST(epoch_us(CAST(ts AS TIMESTAMP))
+        |      - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+        |        (PARTITION BY user_id, event_type
+        |         ORDER BY CAST(ts AS TIMESTAMP), event_id) AS DOUBLE)
+        |      / 1000000.0) * 1000000.0) AS BIGINT) AS vm
+        |  FROM events),
+        |g2 AS (SELECT grp, vm FROM g WHERE vm IS NOT NULL AND vm >= 0),
+        |grid AS (
+        |  SELECT grp, vm, CAST(count(*) AS BIGINT) AS c
+        |  FROM g2 GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT grp, vm, c,
+        |    sum(c) OVER (PARTITION BY grp ORDER BY vm) AS cw,
+        |    sum(CAST(c AS HUGEINT) * vm) OVER (PARTITION BY grp) AS sv,
+        |    sum(c) OVER (PARTITION BY grp) AS n
+        |  FROM grid),
+        |t AS (
+        |  SELECT grp, n,
+        |    CAST(sv AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) AS mean,
+        |    CASE WHEN sv > 0 THEN greatest(
+        |      abs(CAST(cw AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - (1.0 - exp(-1.0 * (1.0 / (CAST(sv AS DOUBLE) / 1000000.0
+        |            / CAST(n AS DOUBLE)))
+        |          * (CAST(vm AS DOUBLE) / 1000000.0)))),
+        |      abs(CAST(cw - c AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - (1.0 - exp(-1.0 * (1.0 / (CAST(sv AS DOUBLE) / 1000000.0
+        |            / CAST(n AS DOUBLE)))
+        |          * (CAST(vm AS DOUBLE) / 1000000.0))))) END AS d
+        |  FROM cum),
+        |red AS (
+        |  SELECT grp, CAST(max(n) AS BIGINT) AS n, max(mean) AS mean,
+        |    max(d) AS dmax
+        |  FROM t GROUP BY 1)
+        |SELECT grp AS event_type, n, round(mean, 6) AS mean,
+        |  CASE WHEN mean > 0 THEN round(1.0 / mean, 6) END AS lambda,
+        |  CASE WHEN mean > 0 THEN round(dmax, 6) END AS ks_d,
+        |  COALESCE(CASE WHEN mean > 0 THEN
+        |    dmax > 1.358 / sqrt(CAST(n AS DOUBLE)) END, FALSE)
+        |    AS reject_95_conservative
+        |FROM red""".stripMargin,
     // q290: exact micro moments -> mirrored sd/weights, micro-snapped
     // fractional parts, largest-remainder ranks tie to the smaller key
     "q290_neyman_alloc" ->

@@ -1827,6 +1827,67 @@ object Quality {
           .as("diff"))
   }
 
+  /** Per-group exponential goodness-of-fit — the "is this arrival
+    * process actually Poisson" verdict over inter-arrival gaps (the
+    * modeling assumption behind every `rate × time` capacity estimate
+    * and the q88-style spike detectors): one-sample KS of the values
+    * against Exp(λ̂ = 1/mean), with the step function checked on BOTH
+    * sides of each jump (`max(|c/n − F|, |c_prev/n − F|)` — the sup of a
+    * càdlàg difference lives at a step edge). Values snap to 6 dp; the
+    * mean is a division of exact integers; F(v) = 1 − e^{−λv} is
+    * mirrored double arithmetic (the [[graft.ops.Learn.logisticGd]]
+    * transcendental convention: engine libm ulps are far below the 6 dp
+    * output quantum). The 95% rejection uses the standard one-sample
+    * critical value `1.358/√n` — CONSERVATIVE under an estimated λ
+    * (the Lilliefors-corrected threshold is smaller, so exceeding this
+    * one implies rejection under it too); a non-rejection is therefore
+    * weaker evidence than usual, documented by the column name.
+    * Negative values are excluded (gaps), all-zero groups → null λ.
+    * Output per group: (group, n, mean, lambda, ks_d,
+    * reject_95_conservative), 6 dp.
+    *
+    * Scale shape: the [[mannWhitneyU]] contract — one (group, value)
+    * hash-agg, one cumsum window per group over the
+    * quantization-bounded histogram, one group reduce. */
+  def exponentialGof(df: DataFrame, groupCol: String,
+                     valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vm = round(col(valCol).cast("double") * lit(1e6)).cast("long")
+    val grid = df
+      .where(col(valCol).isNotNull && col(valCol).cast("double") >= 0)
+      .groupBy(col(groupCol), vm.as("__vm"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__vm"))
+    val all = Window.partitionBy(col(groupCol))
+    val cum = grid.select(col(groupCol), col("__vm"), col("__c"),
+      sum("__c").over(w).as("__cw"),
+      sum(col("__c").cast("decimal(38,0)") * col("__vm")).over(all)
+        .as("__sv"),
+      sum("__c").over(all).as("__n"))
+    val nD = col("__n").cast("double")
+    val mean = col("__sv").cast("double") / lit(1e6) / nD
+    val lambda = lit(1.0) / mean
+    val fv = lit(1.0) - exp(lit(-1.0) * lambda *
+      (col("__vm").cast("double") / lit(1e6)))
+    val dRow = greatest(
+      abs(col("__cw").cast("double") / nD - fv),
+      abs((col("__cw") - col("__c")).cast("double") / nD - fv))
+    val red = cum
+      .select(col(groupCol), col("__n"), mean.as("__mean"),
+        when(col("__sv") > 0, dRow).as("__d"))
+      .groupBy(col(groupCol))
+      .agg(max("__n").as("n"), max("__mean").as("__mean"),
+        max("__d").as("__dmax"))
+    val ks = col("__dmax")
+    red.select(col(groupCol), col("n"), round(col("__mean"), 6).as("mean"),
+      when(col("__mean") > 0, round(lit(1.0) / col("__mean"), 6))
+        .as("lambda"),
+      when(col("__mean") > 0, round(ks, 6)).as("ks_d"),
+      coalesce(when(col("__mean") > 0,
+        ks > lit(1.358) / sqrt(col("n").cast("double"))), lit(false))
+        .as("reject_95_conservative"))
+  }
+
   /** Benjamini–Hochberg FDR control over a family of p-values — the
     * multiple-testing gate every per-key test family here ([[signTest]],
     * [[welchAbTest]] grids) needs before anyone acts on "47 of 1000

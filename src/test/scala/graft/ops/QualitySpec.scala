@@ -931,6 +931,20 @@ class QualitySpec extends SparkSpec {
       Quality.trimmedMeanDiff(d, "variant", "v", "click", "purchase", 0.5)
   }
 
+  test("exponentialGof: step-edge KS against the fitted exponential by " +
+    "hand; all-zero group yields null lambda; negatives excluded") {
+    // g = {1, 2}: mean 1.5, lambda 2/3; sup sits at the LOWER edge of
+    // the first step: |0 - F(1)| = 1 - exp(-2/3)
+    val d = Seq(("g", 1.0), ("g", 2.0), ("g", -5.0),
+      ("z", 0.0), ("z", 0.0)).toDF("grp", "v")
+    val r = Quality.exponentialGof(d, "grp", "v")
+      .as[(String, Long, Double, Option[Double], Option[Double], Boolean)]
+      .collect().map(x => x._1 -> x).toMap
+    r("g") shouldBe (("g", 2L, 1.5, Some(round6(1.0 / 1.5)),
+      Some(round6(1.0 - math.exp(-2.0 / 3.0))), false))
+    r("z") shouldBe (("z", 2L, 0.0, None, None, false))
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
