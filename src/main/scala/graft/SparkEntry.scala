@@ -1536,6 +1536,12 @@ object SparkEntry {
         "c_nationkey", "c_mktsegment", "o_totalprice",
         "BUILDING", "MACHINERY")
     }),
+    // in-engine regression: closed-form ridge of extended price on
+    // (quantity, discount) via 3x3 Cramer over exact micro moments
+    "q293_ridge" -> ((s, dir) =>
+      graft.ops.Learn.ridgeClosedForm(
+        t(s, dir, "lineitem"), "l_quantity", "l_discount",
+        "l_extendedprice", 1.0)),
     // is the per-(user,type) arrival process Poisson? one-sample KS of
     // inter-arrival gaps vs the fitted exponential, per event type
     "q292_exponential_gof" -> ((s, dir) => {
@@ -6600,6 +6606,79 @@ object SparkEntry {
         |      / (sa / CAST(n_a AS DOUBLE)), 6)
         |    END AS mde_rel
         |FROM piv""".stripMargin,
+    // q293: the same nine exact micro moments, the same fixed-order
+    // Cramer expansion, weights re-snapped before the residual pass
+    "q293_ridge" ->
+      """WITH b AS (
+        |  SELECT CAST(round(CAST(l_quantity AS DOUBLE) * 1000000.0)
+        |      AS BIGINT) AS x1,
+        |    CAST(round(CAST(l_discount AS DOUBLE) * 1000000.0)
+        |      AS BIGINT) AS x2,
+        |    CAST(round(CAST(l_extendedprice AS DOUBLE) * 1000000.0)
+        |      AS BIGINT) AS y
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_discount IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |mom AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x1) AS HUGEINT) AS s1, CAST(sum(x2) AS HUGEINT) AS s2,
+        |    CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS s11,
+        |    CAST(sum(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS s22,
+        |    CAST(sum(CAST(x1 AS HUGEINT) * x2) AS HUGEINT) AS s12,
+        |    CAST(sum(CAST(x1 AS HUGEINT) * y) AS HUGEINT) AS s1y,
+        |    CAST(sum(CAST(x2 AS HUGEINT) * y) AS HUGEINT) AS s2y,
+        |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        |  FROM b),
+        |d AS (
+        |  SELECT n, sy, syy,
+        |    CAST(n AS DOUBLE) AS nd,
+        |    CAST(s1 AS DOUBLE) / 1000000.0 AS s1d,
+        |    CAST(s2 AS DOUBLE) / 1000000.0 AS s2d,
+        |    CAST(sy AS DOUBLE) / 1000000.0 AS syd,
+        |    CAST(s11 AS DOUBLE) / 1000000000000.0 + 1.0 AS m11,
+        |    CAST(s22 AS DOUBLE) / 1000000000000.0 + 1.0 AS m22,
+        |    CAST(s12 AS DOUBLE) / 1000000000000.0 AS m12,
+        |    CAST(s1y AS DOUBLE) / 1000000000000.0 AS s1yd,
+        |    CAST(s2y AS DOUBLE) / 1000000000000.0 AS s2yd,
+        |    CAST(syy AS DOUBLE) / 1000000000000.0 AS syyd
+        |  FROM mom WHERE n > 0),
+        |fit AS (
+        |  SELECT n, nd, syd, syyd,
+        |    round((syd * (m11 * m22 - m12 * m12)
+        |      - s1d * (s1yd * m22 - m12 * s2yd)
+        |      + s2d * (s1yd * m12 - m11 * s2yd))
+        |      / (nd * (m11 * m22 - m12 * m12)
+        |        - s1d * (s1d * m22 - m12 * s2d)
+        |        + s2d * (s1d * m12 - m11 * s2d)), 6) AS bias,
+        |    round((nd * (s1yd * m22 - m12 * s2yd)
+        |      - syd * (s1d * m22 - m12 * s2d)
+        |      + s2d * (s1d * s2yd - s1yd * s2d))
+        |      / (nd * (m11 * m22 - m12 * m12)
+        |        - s1d * (s1d * m22 - m12 * s2d)
+        |        + s2d * (s1d * m12 - m11 * s2d)), 6) AS w1,
+        |    round((nd * (m11 * s2yd - s1yd * m12)
+        |      - s1d * (s1d * s2yd - s1yd * s2d)
+        |      + syd * (s1d * m12 - m11 * s2d))
+        |      / (nd * (m11 * m22 - m12 * m12)
+        |        - s1d * (s1d * m22 - m12 * s2d)
+        |        + s2d * (s1d * m12 - m11 * s2d)), 6) AS w2
+        |  FROM d),
+        |sse AS (
+        |  SELECT CAST(COALESCE(sum(CAST(round(
+        |      (CAST(b.y AS DOUBLE) / 1000000.0
+        |        - (fit.bias + fit.w1 * (CAST(b.x1 AS DOUBLE) / 1000000.0)
+        |          + fit.w2 * (CAST(b.x2 AS DOUBLE) / 1000000.0)))
+        |      * (CAST(b.y AS DOUBLE) / 1000000.0
+        |        - (fit.bias + fit.w1 * (CAST(b.x1 AS DOUBLE) / 1000000.0)
+        |          + fit.w2 * (CAST(b.x2 AS DOUBLE) / 1000000.0)))
+        |      * 1000000.0) AS HUGEINT)), 0) AS HUGEINT) AS ssem
+        |  FROM b, fit)
+        |SELECT fit.n AS n_rows, CAST(1.0 AS DOUBLE) AS lambda, fit.bias,
+        |  fit.w1 AS w_l_quantity, fit.w2 AS w_l_discount,
+        |  CASE WHEN syyd - syd * syd / nd > 0 THEN
+        |    round(1.0 - CAST(sse.ssem AS DOUBLE) / 1000000.0
+        |      / (syyd - syd * syd / nd), 6) END AS r2
+        |FROM fit, sse""".stripMargin,
     // q292: the same step-edge KS against the fitted exponential; the
     // transcendental F rides mirrored doubles under the 6dp quantum
     "q292_exponential_gof" ->

@@ -352,6 +352,84 @@ object Learn {
       .withColumn("rank", row_number().over(byStrength))
   }
 
+  /** Two-feature ridge regression in CLOSED FORM — the regression member
+    * of the in-engine model family ([[logisticGd]] classifies,
+    * [[bradleyTerry]] ranks): `(X'X + λI')w = X'y` solved by 3×3 Cramer
+    * over the intercept-augmented normal equations (λ penalizes the two
+    * slopes, never the intercept — the standard convention). Everything
+    * reduces to ONE moment aggregate: inputs snap to 6 dp micro-integers
+    * so all nine sufficient statistics are exact decimal(38,0) sums
+    * (cross-products ride pico scale), the determinants are mirrored
+    * double arithmetic in a FIXED expansion order, and the fitted
+    * weights re-snap to 6 dp before the residual pass — so R² is a sum
+    * of micro-snapped squared residuals of exact inputs against exact
+    * weights, bit-identical in any engine. Features are NOT standardized
+    * (λ is in raw feature units; standardize upstream if the scales
+    * differ wildly). λ > 0 keeps the system positive definite, so no
+    * singular-matrix branch exists. Rows with any null are excluded;
+    * SST = 0 (constant target) → null R². Output: one row — (n_rows,
+    * lambda, bias, w_<x1>, w_<x2>, r2), 6 dp.
+    *
+    * Scale shape: one full-scan moment aggregate (map-side partials),
+    * driver-free Cramer arithmetic on the 1-row result, one residual
+    * scan against the broadcast weight row. */
+  def ridgeClosedForm(df: DataFrame, x1Col: String, x2Col: String,
+                      yCol: String, lambda: Double): DataFrame = {
+    require(lambda > 0, s"ridgeClosedForm: need lambda > 0, got $lambda")
+    val x1m = round(col(x1Col).cast("double") * lit(1e6)).cast("long")
+    val x2m = round(col(x2Col).cast("double") * lit(1e6)).cast("long")
+    val ym = round(col(yCol).cast("double") * lit(1e6)).cast("long")
+    val base = graft.core.CacheRegistry.persist(
+      df.where(col(x1Col).isNotNull && col(x2Col).isNotNull &&
+          col(yCol).isNotNull)
+        .select(x1m.as("__x1"), x2m.as("__x2"), ym.as("__y")))
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val mom = base.agg(count(lit(1)).as("__n"),
+      sum("__x1").as("__s1"), sum("__x2").as("__s2"), sum("__y").as("__sy"),
+      sum(d38(col("__x1")) * col("__x1")).as("__s11"),
+      sum(d38(col("__x2")) * col("__x2")).as("__s22"),
+      sum(d38(col("__x1")) * col("__x2")).as("__s12"),
+      sum(d38(col("__x1")) * col("__y")).as("__s1y"),
+      sum(d38(col("__x2")) * col("__y")).as("__s2y"),
+      sum(d38(col("__y")) * col("__y")).as("__syy"))
+    val nD = col("__n").cast("double")
+    def u(c: String): Column = col(c).cast("double") / lit(1e6)
+    def uu(c: String): Column = col(c).cast("double") / lit(1e12)
+    val (s1, s2, sy) = (u("__s1"), u("__s2"), u("__sy"))
+    val (m11, m22, m12) = (uu("__s11") + lambda, uu("__s22") + lambda,
+      uu("__s12"))
+    val (s1y, s2y, syy) = (uu("__s1y"), uu("__s2y"), uu("__syy"))
+    val det = nD * (m11 * m22 - m12 * m12) - s1 * (s1 * m22 - m12 * s2) +
+      s2 * (s1 * m12 - m11 * s2)
+    val det0 = sy * (m11 * m22 - m12 * m12) - s1 * (s1y * m22 - m12 * s2y) +
+      s2 * (s1y * m12 - m11 * s2y)
+    val det1 = nD * (s1y * m22 - m12 * s2y) - sy * (s1 * m22 - m12 * s2) +
+      s2 * (s1 * s2y - s1y * s2)
+    val det2 = nD * (m11 * s2y - s1y * m12) - s1 * (s1 * s2y - s1y * s2) +
+      sy * (s1 * m12 - m11 * s2)
+    val fit = mom.where(col("__n") > 0)
+      .select(col("__n"), col("__sy"), col("__syy"),
+        round(det0 / det, 6).as("bias"),
+        round(det1 / det, 6).as("__w1"),
+        round(det2 / det, 6).as("__w2"))
+    val resid = col("__y").cast("double") / lit(1e6) -
+      (col("bias") + col("__w1") * (col("__x1").cast("double") / lit(1e6)) +
+        col("__w2") * (col("__x2").cast("double") / lit(1e6)))
+    // decimal accumulator: Σ r²·10⁶ clears a LONG at ~60k rows of
+    // price-scale residuals already
+    val sse = base.crossJoin(broadcast(fit))
+      .agg(coalesce(sum(round(resid * resid * lit(1e6))
+        .cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")).as("__ssem"))
+    val sst = uu("__syy") - u("__sy") * u("__sy") / nD
+    fit.crossJoin(broadcast(sse))
+      .select(col("__n").as("n_rows"), lit(lambda).as("lambda"),
+        col("bias"), col("__w1").as(s"w_$x1Col"), col("__w2").as(s"w_$x2Col"),
+        when(sst > 0,
+          round(lit(1.0) - col("__ssem").cast("double") / lit(1e6) / sst, 6))
+          .as("r2"))
+  }
+
   /** Classifier two-sample test (C2ST, Lopez-Paz & Oquab 2017) — the
     * dataset-shift detector that catches what per-column drift tests
     * miss: train [[logisticGd]] to TELL THE COHORTS APART on cheap

@@ -146,6 +146,28 @@ class LearnSpec extends SparkSpec {
     graft.core.CacheRegistry.drain()
   }
 
+  test("ridgeClosedForm: hand 3x3 Cramer solution; constant-zero feature " +
+    "gets weight 0; shrinkage pulls the OLS slope") {
+    // y = 2*x1 on {1,2,3}, lambda 1: normal equations give
+    // bias = w1 = 12/9 (OLS would be 0 and 2); SST = 8
+    val d = Seq((1.0, 0.0, 2.0), (2.0, 0.0, 4.0), (3.0, 0.0, 6.0))
+      .toDF("x1", "x2", "y")
+    val r = graft.core.CacheRegistry.scoped {
+      Learn.ridgeClosedForm(d, "x1", "x2", "y", 1.0)
+        .as[(Long, Double, Double, Double, Double, Option[Double])].head()
+    }
+    r shouldBe ((3L, 1.0, 1.333333, 1.333333, 0.0, Some(0.888889)))
+    // constant target: SST 0 -> null r2
+    val flat = Seq((1.0, 2.0, 5.0), (2.0, 1.0, 5.0)).toDF("x1", "x2", "y")
+    graft.core.CacheRegistry.scoped {
+      Learn.ridgeClosedForm(flat, "x1", "x2", "y", 1.0)
+        .as[(Long, Double, Double, Double, Double, Option[Double])].head()
+    }._6 shouldBe None
+    an[IllegalArgumentException] should be thrownBy
+      Learn.ridgeClosedForm(d, "x1", "x2", "y", 0.0)
+    graft.core.CacheRegistry.drain()
+  }
+
   test("c2st: separable cohorts clear the binomial noise band, identical " +
     "cohorts do not") {
     import org.apache.spark.sql.functions._
