@@ -1536,6 +1536,27 @@ object SparkEntry {
         "c_nationkey", "c_mktsegment", "o_totalprice",
         "BUILDING", "MACHINERY")
     }),
+    // is the daily stream bursty beyond Poisson? index-of-dispersion
+    // test on zero-filled daily counts per event type
+    "q294_overdispersion" -> ((s, dir) =>
+      graft.ops.EventAnalytics.overdispersionTest(
+        t(s, dir, "events"), "event_type", "ts")),
+    // periodicity as a number: daily-count ACF at lags 1/7/14 per type
+    // (r7 high = day-of-week structure, r1 high = burst carry-over)
+    "q295_autocorrelation" -> ((s, dir) =>
+      graft.ops.EventAnalytics.dailyAutocorrelation(
+        t(s, dir, "events"), "event_type", "ts", Seq(1, 7, 14))),
+    // mixture-bias alarm: does the pooled urgent-rate difference point
+    // the same way as every per-nation difference?
+    "q296_simpson_check" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey"),
+        (col("o_orderpriority") === "1-URGENT").as("urgent"))
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+      graft.ops.Quality.simpsonCheck(
+        o.join(c, col("o_custkey") === col("c_custkey")),
+        "c_nationkey", "c_mktsegment", "urgent", "BUILDING", "MACHINERY")
+    }),
     // in-engine regression: closed-form ridge of extended price on
     // (quantity, discount) via 3x3 Cramer over exact micro moments
     "q293_ridge" -> ((s, dir) =>
@@ -6606,6 +6627,157 @@ object SparkEntry {
         |      / (sa / CAST(n_a AS DOUBLE)), 6)
         |    END AS mde_rel
         |FROM piv""".stripMargin,
+    // q294: zero-filled calendar counts -> exact moments -> the
+    // chi-square normal approximation, mirrored
+    "q294_overdispersion" ->
+      """WITH daily AS (
+        |  SELECT event_type AS k, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+        |      AS day,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |span AS (
+        |  SELECT k, min(day) AS d0,
+        |    datediff('day', min(day), max(day)) AS nd
+        |  FROM daily GROUP BY 1),
+        |cal AS (
+        |  SELECT s.k, s.d0 + CAST(g.g AS INT) AS day
+        |  FROM span s, LATERAL unnest(generate_series(0, s.nd)) AS g(g)),
+        |series AS (
+        |  SELECT c.k, COALESCE(d.y, 0) AS y
+        |  FROM cal c LEFT JOIN daily d ON c.k = d.k AND c.day = d.day),
+        |red AS (
+        |  SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS s,
+        |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS s2
+        |  FROM series GROUP BY 1),
+        |m AS (
+        |  SELECT k, n, s,
+        |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |    (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS vr
+        |  FROM red)
+        |SELECT k AS event_type, n AS n_days, round(mean, 6) AS mean,
+        |  CASE WHEN n >= 2 THEN round(vr, 6) END AS variance,
+        |  CASE WHEN s > 0 AND n >= 2 THEN round(vr / mean, 6) END
+        |    AS dispersion,
+        |  CASE WHEN s > 0 AND n >= 2 THEN
+        |    round((vr / mean - 1.0)
+        |      * sqrt((CAST(n AS DOUBLE) - 1.0) / 2.0), 6) END AS z,
+        |  COALESCE(CASE WHEN s > 0 AND n >= 2 THEN
+        |    (vr / mean - 1.0) * sqrt((CAST(n AS DOUBLE) - 1.0) / 2.0)
+        |      > 1.644854 END, FALSE) AS overdispersed
+        |FROM m""".stripMargin,
+    // q295: one lag-window pass over the same calendar, the mean
+    // expansion on exact integer pieces
+    "q295_autocorrelation" ->
+      """WITH daily AS (
+        |  SELECT event_type AS k, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+        |      AS day,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |span AS (
+        |  SELECT k, min(day) AS d0,
+        |    datediff('day', min(day), max(day)) AS nd
+        |  FROM daily GROUP BY 1),
+        |cal AS (
+        |  SELECT s.k, CAST(g.g AS INT) AS t, s.d0 + CAST(g.g AS INT)
+        |      AS day
+        |  FROM span s, LATERAL unnest(generate_series(0, s.nd)) AS g(g)),
+        |series AS (
+        |  SELECT c.k, c.t, COALESCE(d.y, 0) AS y
+        |  FROM cal c LEFT JOIN daily d ON c.k = d.k AND c.day = d.day),
+        |lagged AS (
+        |  SELECT k, y,
+        |    lag(y, 1) OVER w AS l1, lag(y, 7) OVER w AS l7,
+        |    lag(y, 14) OVER w AS l14
+        |  FROM series WINDOW w AS (PARTITION BY k ORDER BY t)),
+        |red AS (
+        |  SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS s,
+        |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS s2,
+        |    CAST(sum(CAST(y AS HUGEINT) * l1) AS HUGEINT) AS xy1,
+        |    CAST(sum(y) FILTER (l1 IS NOT NULL) AS BIGINT) AS p1_1,
+        |    CAST(sum(l1) AS BIGINT) AS p2_1,
+        |    CAST(sum(CAST(y AS HUGEINT) * l7) AS HUGEINT) AS xy7,
+        |    CAST(sum(y) FILTER (l7 IS NOT NULL) AS BIGINT) AS p1_7,
+        |    CAST(sum(l7) AS BIGINT) AS p2_7,
+        |    CAST(sum(CAST(y AS HUGEINT) * l14) AS HUGEINT) AS xy14,
+        |    CAST(sum(y) FILTER (l14 IS NOT NULL) AS BIGINT) AS p1_14,
+        |    CAST(sum(l14) AS BIGINT) AS p2_14
+        |  FROM lagged GROUP BY 1),
+        |g AS (SELECT unnest([1, 7, 14]) AS lag),
+        |j AS (
+        |  SELECT red.k, CAST(g.lag AS INT) AS lag, red.n,
+        |    CAST(red.s AS DOUBLE) / CAST(red.n AS DOUBLE) AS mean,
+        |    CAST(red.s2 AS DOUBLE) - CAST(red.s AS DOUBLE)
+        |      * CAST(red.s AS DOUBLE) / CAST(red.n AS DOUBLE) AS denom,
+        |    CASE g.lag WHEN 1 THEN CAST(red.xy1 AS DOUBLE)
+        |      WHEN 7 THEN CAST(red.xy7 AS DOUBLE)
+        |      ELSE CAST(red.xy14 AS DOUBLE) END AS xy,
+        |    CASE g.lag WHEN 1 THEN CAST(red.p1_1 + red.p2_1 AS DOUBLE)
+        |      WHEN 7 THEN CAST(red.p1_7 + red.p2_7 AS DOUBLE)
+        |      ELSE CAST(red.p1_14 + red.p2_14 AS DOUBLE) END AS p12
+        |  FROM red, g)
+        |SELECT k AS event_type, lag, n AS n_days,
+        |  CASE WHEN denom > 0 AND n >= CAST(lag AS DOUBLE) + 2 THEN
+        |    round((xy - mean * p12
+        |      + (CAST(n AS DOUBLE) - CAST(lag AS DOUBLE)) * mean * mean)
+        |      / denom, 6) END AS acf
+        |FROM j""".stripMargin,
+    // q296: the q284 reduction re-aggregated into the per-group sign
+    // census vs the pooled sign
+    "q296_simpson_check" ->
+      """WITH j AS (
+        |  SELECT c.c_nationkey AS g, c.c_mktsegment AS var,
+        |    CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+        |    AND o.o_orderpriority IS NOT NULL),
+        |red AS (
+        |  SELECT g, var, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS x
+        |  FROM j GROUP BY 1, 2),
+        |piv AS (
+        |  SELECT g,
+        |    COALESCE(max(CASE WHEN var = 'BUILDING' THEN n END), 0) AS na,
+        |    COALESCE(max(CASE WHEN var = 'BUILDING' THEN x END), 0) AS xa,
+        |    COALESCE(max(CASE WHEN var = 'MACHINERY' THEN n END), 0) AS nb,
+        |    COALESCE(max(CASE WHEN var = 'MACHINERY' THEN x END), 0) AS xb
+        |  FROM red GROUP BY 1),
+        |d AS (
+        |  SELECT *, na >= 1 AND nb >= 1 AS hasboth,
+        |    CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE)
+        |      - CAST(xa AS DOUBLE) / CAST(na AS DOUBLE) AS gd
+        |  FROM piv),
+        |tot AS (
+        |  SELECT CAST(count(*) FILTER (hasboth) AS BIGINT) AS n_groups,
+        |    CAST(COALESCE(sum(na), 0) AS BIGINT) AS tna,
+        |    CAST(COALESCE(sum(xa), 0) AS BIGINT) AS txa,
+        |    CAST(COALESCE(sum(nb), 0) AS BIGINT) AS tnb,
+        |    CAST(COALESCE(sum(xb), 0) AS BIGINT) AS txb,
+        |    CAST(count(*) FILTER (hasboth AND gd > 0) AS BIGINT)
+        |      AS groups_b_better,
+        |    CAST(count(*) FILTER (hasboth AND gd < 0) AS BIGINT)
+        |      AS groups_a_better,
+        |    CAST(count(*) FILTER (hasboth AND gd = 0.0) AS BIGINT)
+        |      AS groups_tied
+        |  FROM d),
+        |p AS (
+        |  SELECT *,
+        |    CAST(txa AS DOUBLE) / CAST(tna AS DOUBLE) AS pa,
+        |    CAST(txb AS DOUBLE) / CAST(tnb AS DOUBLE) AS pb
+        |  FROM tot)
+        |SELECT n_groups,
+        |  CASE WHEN tna >= 1 THEN round(pa, 6) END AS pooled_p_a,
+        |  CASE WHEN tnb >= 1 THEN round(pb, 6) END AS pooled_p_b,
+        |  CASE WHEN tna >= 1 AND tnb >= 1 THEN round(pb - pa, 6) END
+        |    AS pooled_diff,
+        |  groups_b_better, groups_a_better, groups_tied,
+        |  COALESCE(CASE WHEN tna >= 1 AND tnb >= 1 AND n_groups > 0 THEN
+        |    (pb - pa > 0 AND groups_b_better = 0 AND groups_a_better > 0)
+        |    OR (pb - pa < 0 AND groups_a_better = 0
+        |      AND groups_b_better > 0) END, FALSE) AS reversal
+        |FROM p""".stripMargin,
     // q293: the same nine exact micro moments, the same fixed-order
     // Cramer expansion, weights re-snapped before the residual pass
     "q293_ridge" ->

@@ -1034,6 +1034,124 @@ object EventAnalytics {
         round(col("n_users").cast("double") / col("__users"), 6).as("support"))
   }
 
+  /** Index-of-dispersion (overdispersion) test on daily counts — "is
+    * this stream bursty beyond Poisson", the modeling gate BEFORE
+    * trusting a Poisson rate anywhere ([[graft.ops.Quality.exponentialGof]]
+    * asks the same of the gaps; this asks it of the counts): under
+    * Poisson, daily counts have variance = mean, so `D = s²/x̄` near 1;
+    * `(n−1)·D ~ χ²_{n−1}` gives the normal approximation
+    * `z = (D−1)·√((n−1)/2)`, one-sided 95% at 1.644854. The series is
+    * the key's zero-filled calendar (a day with no events is a
+    * zero-count observation, not a missing one). Counts are integers,
+    * so every moment is an exact LONG/decimal sum; D and z are mirrored
+    * double arithmetic. All-zero keys → null D; single-day keys → null
+    * z. Output per key: (key, n_days, mean, variance, dispersion, z,
+    * overdispersed), 6 dp.
+    *
+    * Scale shape: one (key, day) hash-agg, the bounded calendar
+    * scaffold, one key reduce — the [[holtForecast]] contract without
+    * the fold. */
+  def overdispersionTest(df: DataFrame, keyCol: String,
+                         tsCol: String): DataFrame = {
+    val daily = df.where(col(tsCol).isNotNull)
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("__day"))
+      .agg(count(lit(1)).as("__y"))
+    val span = daily.groupBy(col(keyCol))
+      .agg(min("__day").as("__d0"), max("__day").as("__d1"))
+    val cal = span
+      .select(col(keyCol), col("__d0"),
+        explode(sequence(lit(0), datediff(col("__d1"), col("__d0"))))
+          .as("__t"))
+      .select(col(keyCol), date_add(col("__d0"), col("__t")).as("__day"))
+    val series = cal.join(daily, Seq(keyCol, "__day"), "left")
+      .select(col(keyCol), coalesce(col("__y"), lit(0L)).as("__y"))
+    val red = series.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_days"),
+        sum("__y").as("__s"),
+        sum(col("__y").cast("decimal(38,0)") * col("__y")).as("__s2"))
+    val nD = col("n_days").cast("double")
+    val mean = col("__s").cast("double") / nD
+    val variance = (col("__s2").cast("double") -
+      col("__s").cast("double") * col("__s").cast("double") / nD) /
+      (nD - 1.0)
+    val disp = variance / mean
+    val z = (disp - 1.0) * sqrt((nD - 1.0) / 2.0)
+    val okD = col("__s") > 0
+    val okZ = okD && col("n_days") >= 2
+    red.select(col(keyCol), col("n_days"), round(mean, 6).as("mean"),
+      when(col("n_days") >= 2, round(variance, 6)).as("variance"),
+      when(okZ, round(disp, 6)).as("dispersion"),
+      when(okZ, round(z, 6)).as("z"),
+      coalesce(when(okZ, z > 1.644854), lit(false)).as("overdispersed"))
+  }
+
+  /** Autocorrelation of the daily series at chosen lags — the
+    * periodicity detector that turns "it looks weekly" into a number
+    * (r₇ high → day-of-week structure, the [[dowProfile]] signal as a
+    * statistic; r₁ high → momentum/burst carry-over): textbook ACF with
+    * the FULL-series mean, `r_L = Σ_{t>L}(y_t−ȳ)(y_{t−L}−ȳ) /
+    * Σ(y_t−ȳ)²`, over the key's zero-filled calendar. The lag products
+    * and partial sums are exact integer reductions (counts are
+    * integers; cross-products ride decimal(38,0)); the mean expansion
+    * `Σy_ty_{t−L} − ȳ(P₁+P₂) + (n−L)ȳ²` is mirrored double arithmetic.
+    * Keys with a constant series (zero variance) or fewer than L+2 days
+    * → null ACF. Output per (key, lag): (key, lag, n_days, acf), 6 dp.
+    *
+    * Scale shape: one (key, day) hash-agg, the bounded calendar, ONE
+    * window pass computing every requested lag column, one key reduce
+    * unpivoted over the ≤ \|lags\| grid. */
+  def dailyAutocorrelation(df: DataFrame, keyCol: String, tsCol: String,
+                           lags: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(lags.nonEmpty && lags.forall(_ >= 1),
+      s"dailyAutocorrelation: need lags >= 1, got $lags")
+    val ls = lags.distinct.sorted
+    val daily = df.where(col(tsCol).isNotNull)
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("__day"))
+      .agg(count(lit(1)).as("__y"))
+    val span = daily.groupBy(col(keyCol))
+      .agg(min("__day").as("__d0"), max("__day").as("__d1"))
+    val cal = span
+      .select(col(keyCol), col("__d0"),
+        explode(sequence(lit(0), datediff(col("__d1"), col("__d0"))))
+          .as("__t"))
+      .select(col(keyCol), col("__t"), date_add(col("__d0"), col("__t"))
+        .as("__day"))
+    val series = cal.join(daily, Seq(keyCol, "__day"), "left")
+      .select(col(keyCol), col("__t"), coalesce(col("__y"), lit(0L)).as("__y"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__t"))
+    val lagged = series.select(Seq(col(keyCol), col("__y")) ++ ls.map(l =>
+      lag(col("__y"), l).over(w).as(s"__lag$l")): _*)
+    val aggs = Seq(count(lit(1)).as("n_days"),
+      sum("__y").as("__s"),
+      sum(col("__y").cast("decimal(38,0)") * col("__y")).as("__s2")) ++
+      ls.flatMap { l =>
+        Seq(
+          sum(col("__y").cast("decimal(38,0)") * col(s"__lag$l"))
+            .as(s"__xy$l"),
+          sum(when(col(s"__lag$l").isNotNull, col("__y"))).as(s"__p1_$l"),
+          sum(when(col(s"__lag$l").isNotNull, col(s"__lag$l")))
+            .as(s"__p2_$l"))
+      }
+    val red = lagged.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+    val nD = col("n_days").cast("double")
+    val mean = col("__s").cast("double") / nD
+    val denom = col("__s2").cast("double") -
+      col("__s").cast("double") * col("__s").cast("double") / nD
+    val stacked = red.select(col(keyCol), col("n_days"),
+      col("__s"), col("__s2"),
+      explode(array(ls.map(l => struct(lit(l).as("lag"),
+        col(s"__xy$l").as("__xy"), col(s"__p1_$l").as("__p1"),
+        col(s"__p2_$l").as("__p2"))): _*)).as("__x"))
+    val lagD = col("__x.lag").cast("double")
+    val num = col("__x.__xy").cast("double") -
+      mean * (col("__x.__p1") + col("__x.__p2")).cast("double") +
+      (nD - lagD) * mean * mean
+    stacked.select(col(keyCol), col("__x.lag").as("lag"), col("n_days"),
+      when(denom > 0 && col("n_days") >= lagD + 2,
+        round(num / denom, 6)).as("acf"))
+  }
+
   /** Holt linear-trend forecast per key — double exponential smoothing,
     * the next rung above the EWMA snapshot ([[ewmaSnapshot]] family):
     * level AND trend held across the daily series, then an h-step-ahead

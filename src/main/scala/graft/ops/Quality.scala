@@ -1827,6 +1827,69 @@ object Quality {
           .as("diff"))
   }
 
+  /** Simpson's-paradox check on a two-cohort rate comparison — the
+    * mixture-bias alarm for every pooled dashboard number: does the
+    * POOLED rate difference point the same way as the per-group
+    * differences, or is the aggregate sign an artifact of group
+    * composition (the classic kidney-stone / admissions reversal)?
+    * `reversal` is strict: every group with both cohorts present
+    * disagrees with the pooled sign. All rates are divisions of exact
+    * LONG counts; signs compare on the unrounded quotients (identical
+    * integers → identical IEEE quotients in any engine). Groups missing
+    * a cohort are excluded from the verdict (no within-group comparison
+    * exists). Output: one row — (n_groups, pooled_p_a, pooled_p_b,
+    * pooled_diff, groups_b_better, groups_a_better, groups_tied,
+    * reversal), 6 dp.
+    *
+    * Scale shape: one (group, variant) hash-agg, one group-level pivot,
+    * one scalar reduce — the [[welchAbTest]] contract with a second
+    * tiny reduce. */
+  def simpsonCheck(df: DataFrame, groupCol: String, variantCol: String,
+                   successCol: String, a: String,
+                   bVariant: String): DataFrame = {
+    val y = when(col(successCol).cast("boolean"), 1L).otherwise(0L)
+    val red = df
+      .where(col(successCol).isNotNull && col(variantCol).isin(a, bVariant))
+      .groupBy(col(groupCol), col(variantCol).as("__var"))
+      .agg(count(lit(1)).as("__n"), sum(y).as("__x"))
+    def side(tag: String, c: Column): Column = max(when(col("__var") === tag, c))
+    val piv = red.groupBy(col(groupCol)).agg(
+      coalesce(side(a, col("__n")), lit(0L)).as("__na"),
+      coalesce(side(a, col("__x")), lit(0L)).as("__xa"),
+      coalesce(side(bVariant, col("__n")), lit(0L)).as("__nb"),
+      coalesce(side(bVariant, col("__x")), lit(0L)).as("__xb"))
+    val both = col("__na") >= 1 && col("__nb") >= 1
+    // when-guarded: ANSI mode turns the cohortless group's 0-denominator
+    // into DIVIDE_BY_ZERO before the count filters ever run
+    val gdiff = when(both,
+      col("__xb").cast("double") / col("__nb").cast("double") -
+        col("__xa").cast("double") / col("__na").cast("double"))
+    val tot = piv.agg(
+      count(when(both, 1)).as("n_groups"),
+      coalesce(sum("__na"), lit(0L)).as("__tna"),
+      coalesce(sum("__xa"), lit(0L)).as("__txa"),
+      coalesce(sum("__nb"), lit(0L)).as("__tnb"),
+      coalesce(sum("__xb"), lit(0L)).as("__txb"),
+      count(when(both && gdiff > 0, 1)).as("groups_b_better"),
+      count(when(both && gdiff < 0, 1)).as("groups_a_better"),
+      count(when(both && gdiff === 0.0, 1)).as("groups_tied"))
+    val pa = col("__txa").cast("double") / col("__tna").cast("double")
+    val pb = col("__txb").cast("double") / col("__tnb").cast("double")
+    val pooled = pb - pa
+    val okPool = col("__tna") >= 1 && col("__tnb") >= 1
+    val reversal = (pooled > 0 && col("groups_b_better") === 0 &&
+        col("groups_a_better") > 0) ||
+      (pooled < 0 && col("groups_a_better") === 0 &&
+        col("groups_b_better") > 0)
+    tot.select(col("n_groups"),
+      when(col("__tna") >= 1, round(pa, 6)).as("pooled_p_a"),
+      when(col("__tnb") >= 1, round(pb, 6)).as("pooled_p_b"),
+      when(okPool, round(pooled, 6)).as("pooled_diff"),
+      col("groups_b_better"), col("groups_a_better"), col("groups_tied"),
+      coalesce(when(okPool && col("n_groups") > 0, reversal), lit(false))
+        .as("reversal"))
+  }
+
   /** Per-group exponential goodness-of-fit — the "is this arrival
     * process actually Poisson" verdict over inter-arrival gaps (the
     * modeling assumption behind every `rate × time` capacity estimate

@@ -708,4 +708,48 @@ class EventAnalyticsSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       EventAnalytics.holtForecast(d, "key", "ts", "v", 0.5, 0.3, 0)
   }
+
+  test("overdispersionTest: zero-filled daily counts by hand; bursty key " +
+    "flags, Poisson-ish key does not, single day yields nulls") {
+    import java.sql.Timestamp
+    def ts(day: String) = Timestamp.valueOf(s"2024-01-$day 10:00:00")
+    // k: [4, 0, 2] -> mean 2, var 4, D 2, z = 1.0 (not over)
+    // b: [5, 0, 0, 0, 1] -> var 4.7, D = 4.7/1.2, z > 1.645
+    val rows = Seq.fill(4)(("k", ts("01"))) ++ Seq.fill(2)(("k", ts("03"))) ++
+      Seq.fill(5)(("b", ts("01"))) ++ Seq(("b", ts("05"))) ++
+      Seq.fill(3)(("s", ts("07")))
+    val d = rows.toDF("key", "ts")
+    val r = EventAnalytics.overdispersionTest(d, "key", "ts")
+      .as[(String, Long, Double, Option[Double], Option[Double],
+        Option[Double], Boolean)].collect().map(x => x._1 -> x).toMap
+    r("k") shouldBe (("k", 3L, 2.0, Some(4.0), Some(2.0), Some(1.0), false))
+    val disp = 4.7 / 1.2
+    val zb = (disp - 1.0) * math.sqrt((5.0 - 1.0) / 2.0)
+    r("b") shouldBe (("b", 5L, 1.2, Some(4.7), Some(round6(disp)),
+      Some(round6(zb)), true))
+    r("s") shouldBe (("s", 1L, 3.0, None, None, None, false))
+  }
+
+  test("dailyAutocorrelation: alternating series by hand - negative r1, " +
+    "positive r2; short-series and constant-series nulls") {
+    import java.sql.Timestamp
+    def ts(day: String) = Timestamp.valueOf(s"2024-01-$day 10:00:00")
+    // k: [1,2,1,2,1]: acf1 = -0.8, acf2 = 0.68/1.2, lag 4 too long
+    val rows = Seq(("k", "01", 1), ("k", "02", 2), ("k", "03", 1),
+      ("k", "04", 2), ("k", "05", 1), ("c", "01", 2), ("c", "02", 2))
+      .flatMap { case (k, day, n) => Seq.fill(n)((k, ts(day))) }
+    val d = rows.toDF("key", "ts")
+    val r = EventAnalytics.dailyAutocorrelation(d, "key", "ts", Seq(1, 2, 4))
+      .as[(String, Int, Long, Option[Double])]
+      .collect().map(x => (x._1, x._2) -> x).toMap
+    r(("k", 1)) shouldBe (("k", 1, 5L, Some(-0.8)))
+    r(("k", 2)) shouldBe (("k", 2, 5L, Some(round6(0.68 / 1.2))))
+    r(("k", 4)) shouldBe (("k", 4, 5L, None)) // needs lag+2 days
+    r(("c", 1))._4 shouldBe None // zero variance
+    an[IllegalArgumentException] should be thrownBy
+      EventAnalytics.dailyAutocorrelation(d, "key", "ts", Seq(0))
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

@@ -945,6 +945,29 @@ class QualitySpec extends SparkSpec {
     r("z") shouldBe (("z", 2L, 0.0, None, None, false))
   }
 
+  test("simpsonCheck: the classic reversal - every group favors b while " +
+    "the pooled rate favors a; cohortless groups leave the verdict") {
+    val rows =
+      Seq.fill(90)(("g1", "a", true)) ++ Seq.fill(10)(("g1", "a", false)) ++
+      Seq.fill(10)(("g1", "b", true)) ++
+      Seq.fill(1)(("g2", "a", true)) ++ Seq.fill(9)(("g2", "a", false)) ++
+      Seq.fill(30)(("g2", "b", true)) ++ Seq.fill(70)(("g2", "b", false)) ++
+      Seq.fill(3)(("g3", "a", true)) // no b cohort: excluded from verdict
+    val d = rows.toDF("grp", "variant", "ok")
+    val r = Quality.simpsonCheck(d, "grp", "variant", "ok", "a", "b")
+      .as[(Long, Option[Double], Option[Double], Option[Double], Long,
+        Long, Long, Boolean)].head()
+    r shouldBe ((2L, Some(round6(94.0 / 113.0)), Some(round6(40.0 / 110.0)),
+      Some(round6(40.0 / 110.0 - 94.0 / 113.0)), 2L, 0L, 0L, true))
+    // aligned signs: no reversal
+    val ok = (Seq.fill(2)(("g", "a", false)) :+ (("g", "a", true))) ++
+      Seq.fill(3)(("g", "b", true))
+    Quality.simpsonCheck(ok.toDF("grp", "variant", "ok"),
+        "grp", "variant", "ok", "a", "b")
+      .as[(Long, Option[Double], Option[Double], Option[Double], Long,
+        Long, Long, Boolean)].head()._8 shouldBe false
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
