@@ -559,4 +559,43 @@ object EventStream {
         ((unix_micros(col("session_end")) - unix_micros(col("session_start")))
           / lit(1000L)).cast("long"))
   }
+
+  /** Run a REAL watermarked windowed aggregation (append mode — the mode
+    * whose watermark actually FILTERS late data; update mode only evicts
+    * state) over a disordered stream and return the total
+    * `numRowsDroppedByWatermark` the state operators observed — the
+    * streaming half of the
+    * [[graft.ops.EventAnalytics.watermarkPlan]] convergence proof.
+    *
+    * The EXACT per-batch drop count is not replayable from first
+    * principles: whether a late row is dropped or absorbed depends on
+    * whether its window's state was already evicted, and the metric's
+    * batch attribution is scheduler-internal (measured here: rows late
+    * vs the CURRENT watermark but with live state are absorbed, not
+    * dropped). What IS analytic is the envelope — every row late vs the
+    * TWO-batch-lag watermark has provably lost its state, and no row
+    * can drop unless late vs the one-batch-lag watermark — so callers
+    * pin the observed total between those two exactly-replayable counts
+    * (the [[graft.ops.Sketches]] contract convention: guarantees, not
+    * internals). */
+  def streamWatermarkDropCount(stream: DataFrame, tsCol: String,
+                               delay: String, windowDur: String,
+                               checkpoint: String): Long = {
+    val agg = stream.withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), windowDur).as("__w"))
+      .agg(count(lit(1)).as("__n"))
+    val q = agg.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // a full count drives every partition: a no-op sink would leave
+        // the state stores uncommitted (STATE_STORE_COMMIT_VALIDATION)
+        batch.count(); ()
+      }
+      .start()
+    q.awaitTermination()
+    q.recentProgress.map(_.stateOperators.map(_.numRowsDroppedByWatermark)
+      .sum).sum
+  }
 }

@@ -471,4 +471,52 @@ class EventStreamSpec extends SparkSpec {
       r shouldBe Set((1L, 2L, 5 * 60 * 1000L), (2L, 1L, 0L))
     } finally q.stop()
   }
+
+  test("streamWatermarkDropCount: a real withWatermark over disordered " +
+    "drops lands inside the analytic envelope - drops happen, and never " +
+    "more than the one-batch-lag lateness bound") {
+    // the EXACT count is scheduler-internal (absorbed-vs-dropped depends
+    // on state-eviction timing and batch planning), so the pin is the
+    // envelope: > 0 under a jitter that skips whole batches, and <= the
+    // count of rows late vs the previous batch's max-event watermark
+    val tmp = Files.createTempDirectory("wm-audit").toString
+    val srcDir = new java.io.File(s"$tmp/drops"); srcDir.mkdirs()
+    val all = Tables.table(spark, "/root/testdata/sf0.01", "events")
+    val day0 = all.agg(min(to_date($"ts"))).head().getDate(0)
+    val ev = all.where(to_date($"ts") === lit(day0))
+      .select($"event_id", $"ts")
+      .withColumn("arr", unix_micros($"ts") +
+        graft.ops.Sampling.md5Mod($"event_id", 43200L) * 1000000L)
+    val b = ev.agg(min("arr"), max("arr")).head()
+    val (amin, amax) = (b.getLong(0), b.getLong(1))
+    val staged = ev.withColumn("__b", least(lit(5L),
+      floor(($"arr" - amin) * 6 / (amax - amin + 1)).cast("long")))
+    for (i <- 0 to 5) {
+      val stage = s"$tmp/stage_b$i"
+      staged.where($"__b" === i).select("event_id", "ts")
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, s"b$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1000000L * (i + 1))
+    }
+    val schema = spark.read.parquet(s"$srcDir/b0.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/*.parquet")
+    val observed = EventStream.streamWatermarkDropCount(stream, "ts",
+      "5 seconds", "5 minutes", s"$tmp/ckpt")
+    // one-batch-lag upper bound, ms-truncated watermark, 5-min windows
+    val wend = unix_micros($"ts") -
+      pmod(unix_micros($"ts"), lit(300000000L)) + 300000000L
+    val W = org.apache.spark.sql.expressions.Window
+    val wm1 = staged.groupBy("__b").agg(max(unix_micros($"ts")).as("mx"))
+      .select($"__b", max("mx").over(W.orderBy($"__b")
+        .rowsBetween(W.unboundedPreceding, -1)).as("w1"))
+    val upper = staged.join(wm1, Seq("__b"))
+      .where(wend <= (floor($"w1" / 1000) - 5000) * 1000)
+      .count()
+    observed should be > 0L
+    observed should be <= upper
+  }
 }
