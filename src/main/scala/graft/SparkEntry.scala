@@ -1541,6 +1541,16 @@ object SparkEntry {
     "q294_overdispersion" -> ((s, dir) =>
       graft.ops.EventAnalytics.overdispersionTest(
         t(s, dir, "events"), "event_type", "ts")),
+    // distribution-free median CI per type: binomial order-statistic
+    // ranks off the cumulative value histogram, no normality assumed
+    "q298_median_ci" -> ((s, dir) =>
+      graft.ops.Quality.medianCi(t(s, dir, "events"), "event_type",
+        "value")),
+    // normality gate per type: Jarque-Bera off one five-partial moment
+    // pass - the precondition audit for any z-interval on the column
+    "q299_jarque_bera" -> ((s, dir) =>
+      graft.ops.Quality.jarqueBera(t(s, dir, "events"), "event_type",
+        "value")),
     // periodicity as a number: daily-count ACF at lags 1/7/14 per type
     // (r7 high = day-of-week structure, r1 high = burst carry-over)
     "q295_autocorrelation" -> ((s, dir) =>
@@ -6627,6 +6637,83 @@ object SparkEntry {
         |      / (sa / CAST(n_a AS DOUBLE)), 6)
         |    END AS mde_rel
         |FROM piv""".stripMargin,
+    // q298: the same clamped binomial ranks read off the cumulative
+    // histogram as exact order statistics
+    "q298_median_ci" ->
+      """WITH g AS (
+        |  SELECT event_type AS grp,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS vm
+        |  FROM events WHERE value IS NOT NULL),
+        |grid AS (
+        |  SELECT grp, vm, CAST(count(*) AS BIGINT) AS c
+        |  FROM g GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT grp, vm,
+        |    sum(c) OVER (PARTITION BY grp ORDER BY vm) AS cw,
+        |    sum(c) OVER (PARTITION BY grp) AS n
+        |  FROM grid),
+        |k AS (
+        |  SELECT grp, vm, cw, n,
+        |    least(greatest(CAST(ceil(CAST(n AS DOUBLE) / 2.0) AS BIGINT),
+        |      1), n) AS km,
+        |    least(greatest(CAST(ceil(CAST(n AS DOUBLE) / 2.0
+        |      - 1.959964 * sqrt(CAST(n AS DOUBLE)) / 2.0) AS BIGINT),
+        |      1), n) AS kl,
+        |    least(greatest(CAST(floor(CAST(n AS DOUBLE) / 2.0 + 1.0
+        |      + 1.959964 * sqrt(CAST(n AS DOUBLE)) / 2.0) AS BIGINT),
+        |      1), n) AS kh
+        |  FROM cum)
+        |SELECT grp AS event_type, CAST(max(n) AS BIGINT) AS n,
+        |  round(CAST(min(CASE WHEN cw >= km THEN vm END) AS DOUBLE)
+        |    / 1000000.0, 6) AS median,
+        |  round(CAST(min(CASE WHEN cw >= kl THEN vm END) AS DOUBLE)
+        |    / 1000000.0, 6) AS ci_lo,
+        |  round(CAST(min(CASE WHEN cw >= kh THEN vm END) AS DOUBLE)
+        |    / 1000000.0, 6) AS ci_hi
+        |FROM k GROUP BY 1""".stripMargin,
+    // q299: the same five raw power sums and the same central-moment
+    // expansion, mirrored term order
+    "q299_jarque_bera" ->
+      """WITH red AS (
+        |  SELECT event_type AS grp, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(value AS DOUBLE)) AS s1,
+        |    sum(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)) AS s2,
+        |    sum(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
+        |      * CAST(value AS DOUBLE)) AS s3,
+        |    sum(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
+        |      * CAST(value AS DOUBLE) * CAST(value AS DOUBLE)) AS s4
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |m AS (
+        |  SELECT grp, n,
+        |    s2 / CAST(n AS DOUBLE)
+        |      - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) AS m2,
+        |    s3 / CAST(n AS DOUBLE)
+        |      - 3.0 * (s1 / CAST(n AS DOUBLE)) * (s2 / CAST(n AS DOUBLE))
+        |      + 2.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+        |        * (s1 / CAST(n AS DOUBLE)) AS m3,
+        |    s4 / CAST(n AS DOUBLE)
+        |      - 4.0 * (s1 / CAST(n AS DOUBLE)) * (s3 / CAST(n AS DOUBLE))
+        |      + 6.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+        |        * (s2 / CAST(n AS DOUBLE))
+        |      - 3.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+        |        * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) AS m4
+        |  FROM red)
+        |SELECT grp AS event_type, n,
+        |  CASE WHEN n >= 4 AND m2 > 0 THEN
+        |    round(m3 / sqrt(m2 * m2 * m2), 6) END AS skewness,
+        |  CASE WHEN n >= 4 AND m2 > 0 THEN
+        |    round(m4 / (m2 * m2), 6) END AS kurtosis,
+        |  CASE WHEN n >= 4 AND m2 > 0 THEN
+        |    round(CAST(n AS DOUBLE) / 6.0
+        |      * ((m3 / sqrt(m2 * m2 * m2)) * (m3 / sqrt(m2 * m2 * m2))
+        |        + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0) / 4.0),
+        |      6) END AS jb,
+        |  COALESCE(CASE WHEN n >= 4 AND m2 > 0 THEN
+        |    CAST(n AS DOUBLE) / 6.0
+        |      * ((m3 / sqrt(m2 * m2 * m2)) * (m3 / sqrt(m2 * m2 * m2))
+        |        + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0) / 4.0)
+        |      > 5.991465 END, FALSE) AS reject_normal
+        |FROM m""".stripMargin,
     // q294: zero-filled calendar counts -> exact moments -> the
     // chi-square normal approximation, mirrored
     "q294_overdispersion" ->

@@ -1827,6 +1827,89 @@ object Quality {
           .as("diff"))
   }
 
+  /** Distribution-free median confidence interval — the order-statistic
+    * CI (binomial argument: the number of observations below the true
+    * median is Bin(n, ½)) that needs NO normality or symmetry, the
+    * honest interval for the skewed latency/price/length columns every
+    * mean-based CI misrepresents: ranks `⌈n/2 ± z·√n/2⌉`-ish (lower
+    * `⌈n/2 − z√n/2⌉`, upper `⌊n/2 + 1 + z√n/2⌋`, clamped to [1, n]),
+    * read off the cumulative distinct-value histogram as exact order
+    * statistics. Values snap to 6 dp; rank arithmetic is mirrored
+    * double→⌈⌉/⌊⌋ on exact integers. Output per group: (group, n,
+    * median, ci_lo, ci_hi), 6 dp.
+    *
+    * Scale shape: the [[mannWhitneyU]] contract — one (group, value)
+    * hash-agg, one cumsum window per group over the
+    * quantization-bounded histogram, one group reduce. */
+  def medianCi(df: DataFrame, groupCol: String, valCol: String,
+               z: Double = 1.959964): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vm = round(col(valCol).cast("double") * lit(1e6)).cast("long")
+    val grid = df.where(col(valCol).isNotNull)
+      .groupBy(col(groupCol), vm.as("__vm"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__vm"))
+    val all = Window.partitionBy(col(groupCol))
+    val cum = grid.select(col(groupCol), col("__vm"),
+      sum("__c").over(w).as("__cw"), sum("__c").over(all).as("__n"))
+    val nD = col("__n").cast("double")
+    def clamp(r: Column): Column =
+      least(greatest(r, lit(1L)), col("__n"))
+    val kMed = clamp(ceil(nD / 2.0).cast("long"))
+    val kLo = clamp(ceil(nD / 2.0 - lit(z) * sqrt(nD) / 2.0).cast("long"))
+    val kHi = clamp(floor(nD / 2.0 + 1.0 + lit(z) * sqrt(nD) / 2.0)
+      .cast("long"))
+    cum.groupBy(col(groupCol))
+      .agg(max("__n").as("n"),
+        min(when(col("__cw") >= kMed, col("__vm"))).as("__med"),
+        min(when(col("__cw") >= kLo, col("__vm"))).as("__lo"),
+        min(when(col("__cw") >= kHi, col("__vm"))).as("__hi"))
+      .select(col(groupCol), col("n"),
+        round(col("__med").cast("double") / lit(1e6), 6).as("median"),
+        round(col("__lo").cast("double") / lit(1e6), 6).as("ci_lo"),
+        round(col("__hi").cast("double") / lit(1e6), 6).as("ci_hi"))
+  }
+
+  /** Jarque–Bera normality test per group — the gate BEFORE anyone
+    * trusts a z-interval or a ±2σ outlier rule on a column: from the
+    * population skewness S and kurtosis K,
+    * `JB = n/6·(S² + (K−3)²/4) ~ χ²₂` under normality (95% critical
+    * value 5.991465). Moments ride raw double power sums with the final
+    * statistics 6 dp-rounded (the [[welchAbTest]] sum-order convention —
+    * ulps vanish into the quantum); the rejection compares the unrounded
+    * JB identically in both engines. Groups under 4 rows or with zero
+    * variance → null statistics. Output per group: (group, n, skewness,
+    * kurtosis, jb, reject_normal), 6 dp.
+    *
+    * Scale shape: ONE (group) hash-agg of five power-sum partials
+    * (map-side combine, mergeable — the q94 moment family), closed-form
+    * arithmetic after. */
+  def jarqueBera(df: DataFrame, groupCol: String,
+                 valCol: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val red = df.where(v.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(v).as("__s1"),
+        sum(v * v).as("__s2"), sum(v * v * v).as("__s3"),
+        sum(v * v * v * v).as("__s4"))
+    val nD = col("n").cast("double")
+    val m = col("__s1") / nD
+    val m2 = col("__s2") / nD - m * m
+    val m3 = col("__s3") / nD - lit(3.0) * m * (col("__s2") / nD) +
+      lit(2.0) * m * m * m
+    val m4 = col("__s4") / nD - lit(4.0) * m * (col("__s3") / nD) +
+      lit(6.0) * m * m * (col("__s2") / nD) - lit(3.0) * m * m * m * m
+    val skew = m3 / sqrt(m2 * m2 * m2)
+    val kurt = m4 / (m2 * m2)
+    val jb = nD / 6.0 * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0)
+    val ok = col("n") >= 4 && m2 > 0
+    red.select(col(groupCol), col("n"),
+      when(ok, round(skew, 6)).as("skewness"),
+      when(ok, round(kurt, 6)).as("kurtosis"),
+      when(ok, round(jb, 6)).as("jb"),
+      coalesce(when(ok, jb > 5.991465), lit(false)).as("reject_normal"))
+  }
+
   /** Simpson's-paradox check on a two-cohort rate comparison — the
     * mixture-bias alarm for every pooled dashboard number: does the
     * POOLED rate difference point the same way as the per-group

@@ -968,6 +968,38 @@ class QualitySpec extends SparkSpec {
         Long, Long, Boolean)].head()._8 shouldBe false
   }
 
+  test("medianCi: binomial order-statistic ranks by hand; singleton " +
+    "group clamps to itself") {
+    // n=9: median rank 5 -> 5; kl = ceil(4.5-2.939946) = 2 -> 2;
+    // kh = floor(4.5+1+2.939946) = 8 -> 8
+    val d = ((1 to 9).map(v => ("g", v.toDouble)) :+ (("s", 7.0)))
+      .toDF("grp", "v")
+    val r = Quality.medianCi(d, "grp", "v")
+      .as[(String, Long, Double, Double, Double)]
+      .collect().map(x => x._1 -> x).toMap
+    r("g") shouldBe (("g", 9L, 5.0, 2.0, 8.0))
+    r("s") shouldBe (("s", 1L, 7.0, 7.0, 7.0))
+  }
+
+  test("jarqueBera: hand moments - symmetric sample keeps normality, " +
+    "the scaled skewed sample rejects; constant group yields nulls") {
+    // {1..5}: skew 0, kurt 1.7, jb = 5/6 * (1.3^2/4) = 0.352083
+    val sym = (1 to 5).map(v => ("sym", v.toDouble))
+    // 4:1 zeros/tens at n=250: skew 1.5, kurt 3.25, jb = 250/6*2.265625
+    val skewed = Seq.fill(200)(("sk", 0.0)) ++ Seq.fill(50)(("sk", 10.0))
+    val flat = Seq(("c", 5.0), ("c", 5.0), ("c", 5.0), ("c", 5.0))
+    val d = (sym ++ skewed ++ flat).toDF("grp", "v")
+    val r = Quality.jarqueBera(d, "grp", "v")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double],
+        Boolean)].collect().map(x => x._1 -> x).toMap
+    r("sym") shouldBe (("sym", 5L, Some(0.0), Some(1.7),
+      Some(round6(5.0 / 6.0 * (1.3 * 1.3 / 4.0))), false))
+    val jb = 250.0 / 6.0 * (1.5 * 1.5 + 0.25 * 0.25 / 4.0)
+    r("sk") shouldBe (("sk", 250L, Some(1.5), Some(3.25),
+      Some(round6(jb)), true))
+    r("c") shouldBe (("c", 4L, None, None, None, false))
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
