@@ -1541,6 +1541,17 @@ object SparkEntry {
     "q294_overdispersion" -> ((s, dir) =>
       graft.ops.EventAnalytics.overdispersionTest(
         t(s, dir, "events"), "event_type", "ts")),
+    // unit-free effect magnitude per nation: Hedges-corrected Cohen's d
+    // with the conventional small/medium/large bands
+    "q300_effect_size" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+      graft.ops.Quality.effectSize(
+        o.join(c, col("o_custkey") === col("c_custkey")),
+        "c_nationkey", "c_mktsegment", "o_totalprice",
+        "BUILDING", "MACHINERY")
+    }),
     // distribution-free median CI per type: binomial order-statistic
     // ranks off the cumulative value histogram, no normality assumed
     "q298_median_ci" -> ((s, dir) =>
@@ -6637,6 +6648,54 @@ object SparkEntry {
         |      / (sa / CAST(n_a AS DOUBLE)), 6)
         |    END AS mde_rel
         |FROM piv""".stripMargin,
+    // q300: the welch pivot re-read as a standardized magnitude; J
+    // correction and bands on the same mirrored doubles
+    "q300_effect_size" ->
+      """WITH j AS (
+        |  SELECT c.c_nationkey AS g, c.c_mktsegment AS var,
+        |    CAST(o.o_totalprice AS DOUBLE) AS v
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+        |    AND o.o_totalprice IS NOT NULL),
+        |red AS (
+        |  SELECT g, var, CAST(count(*) AS BIGINT) AS n,
+        |    sum(v) AS s, sum(v * v) AS s2
+        |  FROM j GROUP BY 1, 2),
+        |piv AS (
+        |  SELECT g,
+        |    COALESCE(max(CASE WHEN var = 'BUILDING' THEN n END), 0) AS n_a,
+        |    COALESCE(max(CASE WHEN var = 'MACHINERY' THEN n END), 0) AS n_b,
+        |    max(CASE WHEN var = 'BUILDING' THEN s END) AS sa,
+        |    max(CASE WHEN var = 'MACHINERY' THEN s END) AS sb,
+        |    max(CASE WHEN var = 'BUILDING' THEN s2 END) AS sa2,
+        |    max(CASE WHEN var = 'MACHINERY' THEN s2 END) AS sb2
+        |  FROM red GROUP BY 1),
+        |d AS (
+        |  SELECT g, n_a, n_b,
+        |    sb / CAST(n_b AS DOUBLE) - sa / CAST(n_a AS DOUBLE) AS diff,
+        |    sqrt(((sa2 - sa * sa / CAST(n_a AS DOUBLE))
+        |      + (sb2 - sb * sb / CAST(n_b AS DOUBLE)))
+        |      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0)) AS sp,
+        |    CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0 AS dfree
+        |  FROM piv)
+        |SELECT g AS c_nationkey, n_a, n_b,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1 THEN round(diff, 6) END AS diff,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 THEN round(sp, 6) END
+        |    AS pooled_sd,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND sp > 0 THEN
+        |    round(diff / sp, 6) END AS cohens_d,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND sp > 0 THEN
+        |    round((1.0 - 3.0 / (4.0 * dfree - 1.0)) * (diff / sp), 6) END
+        |    AS hedges_g,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND sp > 0 THEN
+        |    CASE WHEN abs((1.0 - 3.0 / (4.0 * dfree - 1.0)) * (diff / sp))
+        |           < 0.2 THEN 'negligible'
+        |         WHEN abs((1.0 - 3.0 / (4.0 * dfree - 1.0)) * (diff / sp))
+        |           < 0.5 THEN 'small'
+        |         WHEN abs((1.0 - 3.0 / (4.0 * dfree - 1.0)) * (diff / sp))
+        |           < 0.8 THEN 'medium'
+        |         ELSE 'large' END END AS magnitude
+        |FROM d""".stripMargin,
     // q298: the same clamped binomial ranks read off the cumulative
     // histogram as exact order statistics
     "q298_median_ci" ->

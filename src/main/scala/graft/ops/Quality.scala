@@ -1577,6 +1577,55 @@ object Quality {
         when(okSe, round(auc + lit(z) * se, 6)).as("ci_hi"))
   }
 
+  /** Per-group standardized effect size — Cohen's d with the Hedges
+    * small-sample correction `J = 1 − 3/(4·df − 1)`: the
+    * unit-free magnitude that makes effects COMPARABLE across metrics
+    * and experiments, where [[welchAbTest]]'s raw diff and z only say
+    * "nonzero" ("z = 8" on ten million rows can be a 0.01σ triviality).
+    * Pooled SD from the exact n−1 moment pass; thresholds 0.2/0.5/0.8
+    * label the conventional small/medium/large bands on the CORRECTED
+    * magnitude. A cohort under 2 rows or a zero pooled variance → null.
+    * Output: (group, n_a, n_b, diff, pooled_sd, cohens_d, hedges_g,
+    * magnitude), 6 dp.
+    *
+    * Scale shape: the [[welchAbTest]] contract — one (group, variant)
+    * hash-agg pivoted by a second tiny agg. */
+  def effectSize(df: DataFrame, groupCol: String, variantCol: String,
+                 valCol: String, a: String, bVariant: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val red = df.where(v.isNotNull && col(variantCol).isin(a, bVariant))
+      .groupBy(col(groupCol), col(variantCol).as("__var"))
+      .agg(count(lit(1)).as("__n"), sum(v).as("__s"), sum(v * v).as("__s2"))
+    def side(tag: String, c: Column): Column = max(when(col("__var") === tag, c))
+    val piv = red.groupBy(col(groupCol)).agg(
+      coalesce(side(a, col("__n")), lit(0L)).as("n_a"),
+      coalesce(side(bVariant, col("__n")), lit(0L)).as("n_b"),
+      side(a, col("__s")).as("__sa"), side(bVariant, col("__s")).as("__sb"),
+      side(a, col("__s2")).as("__sa2"), side(bVariant, col("__s2")).as("__sb2"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val ssa = col("__sa2") - col("__sa") * col("__sa") / na
+    val ssb = col("__sb2") - col("__sb") * col("__sb") / nb
+    val dfree = na + nb - 2.0
+    val sp = sqrt((ssa + ssb) / dfree)
+    val diff = col("__sb") / nb - col("__sa") / na
+    val d = diff / sp
+    val j = lit(1.0) - lit(3.0) / (lit(4.0) * dfree - 1.0)
+    val g = j * d
+    val ok = col("n_a") >= 2 && col("n_b") >= 2
+    val okSp = ok && sp > 0
+    piv.select(col(groupCol), col("n_a"), col("n_b"),
+      when(col("n_a") >= 1 && col("n_b") >= 1, round(diff, 6)).as("diff"),
+      when(ok, round(sp, 6)).as("pooled_sd"),
+      when(okSp, round(d, 6)).as("cohens_d"),
+      when(okSp, round(g, 6)).as("hedges_g"),
+      when(okSp,
+        when(abs(g) < 0.2, lit("negligible"))
+          .when(abs(g) < 0.5, lit("small"))
+          .when(abs(g) < 0.8, lit("medium"))
+          .otherwise(lit("large"))).as("magnitude"))
+  }
+
   /** Per-group minimum detectable effect at the CURRENT sample sizes —
     * the experiment-planning readout ([[welchAbTest]]'s prospective
     * twin): with these cohorts and variances, how big a true difference

@@ -968,6 +968,26 @@ class QualitySpec extends SparkSpec {
         Long, Long, Boolean)].head()._8 shouldBe false
   }
 
+  test("effectSize: hand pooled SD through the Hedges correction; " +
+    "zero-variance and undersized cohorts yield nulls") {
+    // a {10,14} ss=8, b {1,3} ss=2: sp = sqrt(5), d = -10/sqrt(5),
+    // J = 4/7
+    val d = Seq(("g", "a", 10.0), ("g", "a", 14.0),
+      ("g", "b", 1.0), ("g", "b", 3.0),
+      ("z", "a", 5.0), ("z", "a", 5.0), ("z", "b", 5.0), ("z", "b", 5.0),
+      ("m", "a", 1.0), ("m", "b", 2.0), ("m", "b", 3.0))
+      .toDF("grp", "variant", "v")
+    val r = Quality.effectSize(d, "grp", "variant", "v", "a", "b")
+      .as[(String, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double], Option[String])]
+      .collect().map(x => x._1 -> x).toMap
+    val cd = -10.0 / math.sqrt(5.0)
+    r("g") shouldBe (("g", 2L, 2L, Some(-10.0), Some(round6(math.sqrt(5.0))),
+      Some(round6(cd)), Some(round6(4.0 / 7.0 * cd)), Some("large")))
+    r("z") shouldBe (("z", 2L, 2L, Some(0.0), Some(0.0), None, None, None))
+    r("m") shouldBe (("m", 1L, 2L, Some(1.5), None, None, None, None))
+  }
+
   test("medianCi: binomial order-statistic ranks by hand; singleton " +
     "group clamps to itself") {
     // n=9: median rank 5 -> 5; kl = ceil(4.5-2.939946) = 2 -> 2;
