@@ -1032,4 +1032,22 @@ class PlanSpec extends SparkSpec {
     }
     graft.core.CacheRegistry.drain()
   }
+
+  test("statistics waves never plan a shuffle cartesian - every fan-out " +
+    "is a broadcast of a bounded reduction (q284-q300)") {
+    for (q <- Seq("q284_conversion_ab", "q285_qte", "q286_trimmed_diff",
+        "q287_holt_forecast", "q288_join_advisor", "q289_c2st",
+        "q290_neyman_alloc", "q291_weighted_percentiles",
+        "q292_exponential_gof", "q293_ridge", "q294_overdispersion",
+        "q295_autocorrelation", "q296_simpson_check", "q298_median_ci",
+        "q299_jarque_bera", "q300_effect_size")) {
+      graft.core.CacheRegistry.scoped {
+        withClue(q) {
+          planOf(SparkEntry.queries(q)(spark, sf0001)) should
+            not include "CartesianProduct"
+        }
+      }
+      graft.core.CacheRegistry.drain()
+    }
+  }
 }
