@@ -1541,6 +1541,14 @@ object SparkEntry {
     "q294_overdispersion" -> ((s, dir) =>
       graft.ops.EventAnalytics.overdispersionTest(
         t(s, dir, "events"), "event_type", "ts")),
+    // do the first eight users RANK event types the same way by spend?
+    // Kendall's W over strict (score desc, type asc) ranks
+    "q301_kendalls_w" -> ((s, dir) =>
+      graft.ops.Quality.kendallsW(
+        t(s, dir, "events").where(col("user_id") <= 8)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(round(sum("value"), 6).as("score")),
+        "user_id", "event_type", "score")),
     // unit-free effect magnitude per nation: Hedges-corrected Cohen's d
     // with the conventional small/medium/large bands
     "q300_effect_size" -> ((s, dir) => {
@@ -6648,6 +6656,44 @@ object SparkEntry {
         |      / (sa / CAST(n_a AS DOUBLE)), 6)
         |    END AS mde_rel
         |FROM piv""".stripMargin,
+    // q301: strict row_number ranks over the complete panel, exact
+    // integer rank sums, one mirrored division
+    "q301_kendalls_w" ->
+      """WITH sc0 AS (
+        |  SELECT user_id AS r, event_type AS i, round(sum(value), 6) AS s
+        |  FROM events
+        |  WHERE user_id <= 8 AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |sc AS (SELECT * FROM sc0 WHERE s IS NOT NULL),
+        |m AS (SELECT count(DISTINCT r) AS mm FROM sc),
+        |common AS (
+        |  SELECT i FROM sc GROUP BY i
+        |  HAVING count(*) = (SELECT mm FROM m)),
+        |rk AS (
+        |  SELECT sc.r, sc.i,
+        |    row_number() OVER (PARTITION BY sc.r
+        |      ORDER BY sc.s DESC, sc.i ASC) AS rnk
+        |  FROM sc JOIN common USING (i)),
+        |si AS (SELECT i, CAST(sum(rnk) AS HUGEINT) AS ri FROM rk GROUP BY 1),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(COALESCE(sum(ri * ri), 0) AS HUGEINT) AS ss
+        |  FROM si)
+        |SELECT (SELECT CAST(mm AS BIGINT) FROM m) AS n_raters,
+        |  n AS n_items,
+        |  CASE WHEN n >= 2 THEN
+        |    round((12.0 * CAST(ss AS DOUBLE)
+        |      - 3.0 * CAST((SELECT mm FROM m) AS DOUBLE)
+        |        * CAST((SELECT mm FROM m) AS DOUBLE)
+        |        * CAST(n AS DOUBLE)
+        |        * (CAST(n AS DOUBLE) + 1.0) * (CAST(n AS DOUBLE) + 1.0))
+        |      / (CAST((SELECT mm FROM m) AS DOUBLE)
+        |        * CAST((SELECT mm FROM m) AS DOUBLE)
+        |        * CAST(n AS DOUBLE)
+        |        * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0)), 6)
+        |    END AS w
+        |FROM agg""".stripMargin,
     // q300: the welch pivot re-read as a standardized magnitude; J
     // correction and bands on the same mirrored doubles
     "q300_effect_size" ->

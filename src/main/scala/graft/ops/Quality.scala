@@ -1876,6 +1876,52 @@ object Quality {
           .as("diff"))
   }
 
+  /** Kendall's W — concordance of RANKINGS across m raters (do the
+    * annotators/judges/models order the items the same way), the
+    * rank-based member of the agreement family beside [[fleissKappa]]'s
+    * categorical panel and [[krippendorffAlpha]]'s missing-data form:
+    * `W = (12S − 3m²n(n+1)²) / (m²n(n²−1))`, S = Σ_items (Σ ranks)².
+    * Strict ranks by (score desc, item asc) — the deterministic
+    * tie-break replaces midranks, so every quantity is an exact integer
+    * and W is one division of exact decimals (midrank ties would need
+    * the correction term and a replay-fragile average). Items are
+    * restricted to those scored by ALL m raters (the complete panel —
+    * W is undefined on ragged panels; use [[krippendorffAlpha]] there);
+    * duplicate (rater, item) rows reduce by max score. n < 2 common
+    * items → null W. Output: one row — (n_raters, n_items, w), 6 dp.
+    *
+    * Scale shape: one (rater, item) hash-agg, a rater-partitioned rank
+    * window over the common-item panel (bounded by the ITEM vocabulary
+    * per rater), one item hash-agg, one scalar reduce. */
+  def kendallsW(df: DataFrame, raterCol: String, itemCol: String,
+                scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.core.CacheRegistry.persist(
+      df.where(col(raterCol).isNotNull && col(itemCol).isNotNull &&
+          col(scoreCol).isNotNull)
+        .groupBy(col(raterCol).as("__r"), col(itemCol).as("__i"))
+        .agg(max(col(scoreCol).cast("double")).as("__s")))
+    val m = base.select(countDistinct("__r")).head().getLong(0)
+    val common = base.groupBy("__i").agg(count(lit(1)).as("__cnt"))
+      .where(col("__cnt") === m).select("__i")
+    val ranked = base.join(broadcast(common), Seq("__i"))
+      .withColumn("__rank", row_number().over(
+        Window.partitionBy(col("__r"))
+          .orderBy(col("__s").desc, col("__i").asc)))
+    val s = ranked.groupBy("__i")
+      .agg(sum("__rank").cast("decimal(38,0)").as("__ri"))
+      .agg(count(lit(1)).as("__n"),
+        coalesce(sum(col("__ri") * col("__ri")),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")).as("__ss"))
+    val nD = col("__n").cast("double")
+    val mD = lit(m.toDouble)
+    val w = (lit(12.0) * col("__ss").cast("double") -
+      lit(3.0) * mD * mD * nD * (nD + 1.0) * (nD + 1.0)) /
+      (mD * mD * nD * (nD * nD - 1.0))
+    s.select(lit(m).as("n_raters"), col("__n").as("n_items"),
+      when(col("__n") >= 2, round(w, 6)).as("w"))
+  }
+
   /** Distribution-free median confidence interval — the order-statistic
     * CI (binomial argument: the number of observations below the true
     * median is Bin(n, ½)) that needs NO normality or symmetry, the

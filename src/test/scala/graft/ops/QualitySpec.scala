@@ -988,6 +988,34 @@ class QualitySpec extends SparkSpec {
     r("m") shouldBe (("m", 1L, 2L, Some(1.5), None, None, None, None))
   }
 
+  test("kendallsW: perfect agreement scores 1, reversed rankings 0; " +
+    "ragged items leave the panel") {
+    // 3 raters, identical orderings over 3 items -> W = 1
+    val agree = for (r <- 1 to 3; (i, s) <- Seq(("a", 3.0), ("b", 2.0),
+      ("c", 1.0))) yield (r.toLong, i, s)
+    val w1 = graft.core.CacheRegistry.scoped {
+      Quality.kendallsW(agree.toDF("r", "i", "s"), "r", "i", "s")
+        .as[(Long, Long, Option[Double])].head()
+    }
+    w1 shouldBe ((3L, 3L, Some(1.0)))
+    // 2 raters with reversed orderings -> W = 0; item d rated by only
+    // one rater leaves the common panel
+    val rev = Seq((1L, "a", 3.0), (1L, "b", 2.0), (1L, "c", 1.0),
+      (2L, "a", 1.0), (2L, "b", 2.0), (2L, "c", 3.0), (2L, "d", 9.0))
+    val w0 = graft.core.CacheRegistry.scoped {
+      Quality.kendallsW(rev.toDF("r", "i", "s"), "r", "i", "s")
+        .as[(Long, Long, Option[Double])].head()
+    }
+    w0 shouldBe ((2L, 3L, Some(0.0)))
+    // one common item: W undefined
+    val one = Seq((1L, "a", 1.0), (2L, "a", 2.0), (2L, "b", 3.0))
+    graft.core.CacheRegistry.scoped {
+      Quality.kendallsW(one.toDF("r", "i", "s"), "r", "i", "s")
+        .as[(Long, Long, Option[Double])].head()
+    } shouldBe ((2L, 1L, None))
+    graft.core.CacheRegistry.drain()
+  }
+
   test("medianCi: binomial order-statistic ranks by hand; singleton " +
     "group clamps to itself") {
     // n=9: median rank 5 -> 5; kl = ceil(4.5-2.939946) = 2 -> 2;
