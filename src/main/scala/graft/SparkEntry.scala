@@ -1549,6 +1549,34 @@ object SparkEntry {
           .groupBy(col("user_id"), col("event_type"))
           .agg(round(sum("value"), 6).as("score")),
         "user_id", "event_type", "score")),
+    // does ANY market segment's mean order value differ, per nation? one
+    // F + eta-sq before 10 pairwise t-tests inflate the false-positive rate
+    "q302_anova_f" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+      graft.ops.Quality.anovaF(
+        o.join(c, col("o_custkey") === col("c_custkey")),
+        "c_nationkey", "c_mktsegment", "o_totalprice")
+    }),
+    // distribution-free day-of-week location test per event type: does
+    // value shift by weekday? (heavy-tail-safe twin of the ANOVA)
+    "q303_kruskal_wallis" -> ((s, dir) =>
+      graft.ops.Quality.kruskalWallis(
+        t(s, dir, "events").where(col("ts").isNotNull)
+          .select(col("event_type"), dayofweek(col("ts")).as("dow"),
+            col("value")),
+        "event_type", "dow", "value")),
+    // are segment spreads EQUAL within a nation? Brown-Forsythe on
+    // |value - segment median| - the q302 pooled-variance precondition
+    "q304_levene_bf" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+      graft.ops.Quality.brownForsythe(
+        o.join(c, col("o_custkey") === col("c_custkey")),
+        "c_nationkey", "c_mktsegment", "o_totalprice")
+    }),
     // unit-free effect magnitude per nation: Hedges-corrected Cohen's d
     // with the conventional small/medium/large bands
     "q300_effect_size" -> ((s, dir) => {
@@ -6656,6 +6684,169 @@ object SparkEntry {
         |      / (sa / CAST(n_a AS DOUBLE)), 6)
         |    END AS mde_rel
         |FROM piv""".stripMargin,
+    // q302: per-cohort mean/SS scalars snapped to micro^2 integers before
+    // the cohort sum, mirroring anovaTail's determinism device
+    "q302_anova_f" ->
+      """WITH j AS (
+        |  SELECT c.c_nationkey AS g, c.c_mktsegment AS coh,
+        |    CAST(round(CAST(o.o_totalprice AS DOUBLE) * 1000000.0)
+        |      AS BIGINT) AS vm
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE o.o_totalprice IS NOT NULL),
+        |p AS (
+        |  SELECT g, coh, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(vm AS DECIMAL(38,0))) AS s,
+        |    sum(CAST(vm AS DECIMAL(38,0)) * CAST(vm AS DECIMAL(38,0))) AS s2
+        |  FROM j GROUP BY 1, 2),
+        |w AS (
+        |  SELECT g, n, s, s2,
+        |    CAST(sum(s) OVER (PARTITION BY g) AS DOUBLE)
+        |      / CAST(sum(n) OVER (PARTITION BY g) AS DOUBLE) AS mall
+        |  FROM p),
+        |snap AS (
+        |  SELECT g, n,
+        |    CAST(round(CAST(n AS DOUBLE)
+        |      * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) - mall)
+        |      * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) - mall))
+        |      AS DECIMAL(38,0)) AS bt,
+        |    CAST(round(CAST(s2 AS DOUBLE)
+        |      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(s AS DOUBLE))
+        |      AS DECIMAL(38,0)) AS wt
+        |  FROM w),
+        |red AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS k_cohorts,
+        |    CAST(sum(n) AS BIGINT) AS n,
+        |    greatest(CAST(sum(bt) AS DOUBLE) / 1e12, 0.0) AS ssb,
+        |    greatest(CAST(sum(wt) AS DOUBLE) / 1e12, 0.0) AS ssw
+        |  FROM snap GROUP BY 1)
+        |SELECT g AS c_nationkey, k_cohorts, n,
+        |  round(ssb / 1e6, 6) AS ss_between_m,
+        |  round(ssw / 1e6, 6) AS ss_within_m,
+        |  CASE WHEN k_cohorts >= 2 AND n > k_cohorts AND ssw > 0 THEN
+        |    round((ssb / (CAST(k_cohorts AS DOUBLE) - 1.0))
+        |      / (ssw / (CAST(n AS DOUBLE) - CAST(k_cohorts AS DOUBLE))), 6)
+        |  END AS f_stat,
+        |  CASE WHEN k_cohorts >= 2 AND n > k_cohorts AND ssb + ssw > 0
+        |    THEN round(ssb / (ssb + ssw), 6) END AS eta_sq
+        |FROM red""".stripMargin,
+    // q303: doubled average ranks off the per-group distinct-value
+    // histogram; the tie term t^3-t rides exact decimals
+    "q303_kruskal_wallis" ->
+      """WITH e AS (
+        |  SELECT event_type AS g, dayofweek(ts) + 1 AS coh,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS vm
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |grid AS (
+        |  SELECT g, coh, vm, CAST(count(*) AS BIGINT) AS c
+        |  FROM e GROUP BY 1, 2, 3),
+        |w AS (
+        |  SELECT g, coh, c,
+        |    CAST(sum(c) OVER (PARTITION BY g ORDER BY vm)
+        |      AS DECIMAL(38,0)) AS cumincl,
+        |    CAST(sum(c) OVER (PARTITION BY g, vm) AS DECIMAL(38,0)) AS t,
+        |    row_number() OVER (PARTITION BY g, vm ORDER BY coh) AS rn
+        |  FROM grid),
+        |staged AS (
+        |  SELECT g, coh, c,
+        |    CAST(c AS DECIMAL(38,0)) * ((cumincl - t) * 2 + t + 1) AS r2,
+        |    CASE WHEN rn = 1 THEN t * t * t - t
+        |         ELSE CAST(0 AS DECIMAL(38,0)) END AS tie
+        |  FROM w),
+        |percoh AS (
+        |  SELECT g, coh, CAST(sum(c) AS BIGINT) AS n,
+        |    sum(r2) AS r2s, sum(tie) AS ties
+        |  FROM staged GROUP BY 1, 2),
+        |w2 AS (
+        |  SELECT g, n, ties, r2s,
+        |    CAST(sum(n) OVER (PARTITION BY g) AS DOUBLE) AS nn
+        |  FROM percoh),
+        |snap AS (
+        |  SELECT g, n, ties,
+        |    CAST(round(CAST(r2s AS DOUBLE) * CAST(r2s AS DOUBLE)
+        |      / (4.0 * CAST(n AS DOUBLE) * nn * (nn + 1.0)) * 1000000.0)
+        |      AS DECIMAL(38,0)) AS tt
+        |  FROM w2),
+        |red AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS k_cohorts,
+        |    CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(sum(tt) AS DOUBLE) AS tts,
+        |    CAST(sum(ties) AS DOUBLE) AS tiesum
+        |  FROM snap GROUP BY 1),
+        |fin AS (
+        |  SELECT g, k_cohorts, n,
+        |    12.0 * tts / 1000000.0 - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h,
+        |    1.0 - tiesum / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |      * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) AS corr
+        |  FROM red)
+        |SELECT g AS event_type, k_cohorts, n,
+        |  CASE WHEN k_cohorts >= 2 AND n > k_cohorts
+        |    THEN CAST(k_cohorts - 1 AS BIGINT) END AS df,
+        |  CASE WHEN k_cohorts >= 2 AND n > k_cohorts
+        |    THEN round(h, 6) END AS h,
+        |  CASE WHEN k_cohorts >= 2 AND n > k_cohorts AND corr > 0
+        |    THEN round(h / corr, 6) END AS h_corrected
+        |FROM fin""".stripMargin,
+    // q304: exact lower-median per cohort off the cumulative histogram,
+    // micro-integer absolute deviations through the q302 ANOVA tail
+    "q304_levene_bf" ->
+      """WITH j AS (
+        |  SELECT c.c_nationkey AS g, c.c_mktsegment AS coh,
+        |    CAST(round(CAST(o.o_totalprice AS DOUBLE) * 1000000.0)
+        |      AS BIGINT) AS vm
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE o.o_totalprice IS NOT NULL),
+        |grid AS (
+        |  SELECT g, coh, vm, CAST(count(*) AS BIGINT) AS c
+        |  FROM j GROUP BY 1, 2, 3),
+        |w AS (
+        |  SELECT g, coh, vm, c,
+        |    sum(c) OVER (PARTITION BY g, coh ORDER BY vm) AS cum,
+        |    sum(c) OVER (PARTITION BY g, coh) AS nc
+        |  FROM grid),
+        |m AS (
+        |  SELECT g, coh, vm, c,
+        |    min(CASE WHEN cum * 2 >= nc THEN vm END)
+        |      OVER (PARTITION BY g, coh) AS med
+        |  FROM w),
+        |p AS (
+        |  SELECT g, coh, CAST(sum(c) AS BIGINT) AS n,
+        |    sum(CAST(c AS DECIMAL(38,0))
+        |      * CAST(abs(vm - med) AS DECIMAL(38,0))) AS s,
+        |    sum(CAST(c AS DECIMAL(38,0))
+        |      * CAST(abs(vm - med) AS DECIMAL(38,0))
+        |      * CAST(abs(vm - med) AS DECIMAL(38,0))) AS s2
+        |  FROM m GROUP BY 1, 2),
+        |w2 AS (
+        |  SELECT g, n, s, s2,
+        |    CAST(sum(s) OVER (PARTITION BY g) AS DOUBLE)
+        |      / CAST(sum(n) OVER (PARTITION BY g) AS DOUBLE) AS mall
+        |  FROM p),
+        |snap AS (
+        |  SELECT g, n,
+        |    CAST(round(CAST(n AS DOUBLE)
+        |      * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) - mall)
+        |      * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) - mall))
+        |      AS DECIMAL(38,0)) AS bt,
+        |    CAST(round(CAST(s2 AS DOUBLE)
+        |      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(s AS DOUBLE))
+        |      AS DECIMAL(38,0)) AS wt
+        |  FROM w2),
+        |red AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS k_cohorts,
+        |    CAST(sum(n) AS BIGINT) AS n,
+        |    greatest(CAST(sum(bt) AS DOUBLE) / 1e12, 0.0) AS ssb,
+        |    greatest(CAST(sum(wt) AS DOUBLE) / 1e12, 0.0) AS ssw
+        |  FROM snap GROUP BY 1)
+        |SELECT g AS c_nationkey, k_cohorts, n,
+        |  round(ssb / 1e6, 6) AS ss_between_m,
+        |  round(ssw / 1e6, 6) AS ss_within_m,
+        |  CASE WHEN k_cohorts >= 2 AND n > k_cohorts AND ssw > 0 THEN
+        |    round((ssb / (CAST(k_cohorts AS DOUBLE) - 1.0))
+        |      / (ssw / (CAST(n AS DOUBLE) - CAST(k_cohorts AS DOUBLE))), 6)
+        |  END AS f_stat,
+        |  CASE WHEN k_cohorts >= 2 AND n > k_cohorts AND ssb + ssw > 0
+        |    THEN round(ssb / (ssb + ssw), 6) END AS eta_sq
+        |FROM red""".stripMargin,
     // q301: strict row_number ranks over the complete panel, exact
     // integer rank sums, one mirrored division
     "q301_kendalls_w" ->

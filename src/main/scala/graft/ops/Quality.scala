@@ -2162,4 +2162,177 @@ object Quality {
     ranked.withColumn("rejected", col("rank") <= coalesce(cutoff, lit(0)))
       .select(col(keyCol), col("p"), col("rank"), col("rejected"))
   }
+
+  // ---- k-group tests (the ≥3-cohort generalization of the pair tests) ----
+
+  /** Shared ANOVA tail over per-(group, cohort) micro-integer partials
+    * `(group, __n LONG, __s dec(38,0), __s2 dec(38,0))`: per group,
+    * between/within sums of squares, the F statistic, and η². SSB comes
+    * from per-cohort mean deviations against the window grand mean; SSW
+    * from `s2_c − s_c²/n_c`. Both are per-cohort IEEE scalars (identical
+    * in Spark and the oracle) SNAPPED to decimal(38,0) micro² integers
+    * before the order-sensitive cohort sum (the Bradley–Terry rule), so
+    * hash-agg ordering cannot move the 6th dp. Exact to the snap while
+    * per-cohort micro mass stays under 2^53 (~9·10⁹ value-units); beyond
+    * that, still deterministic, no longer bit-exact. SS is reported in
+    * MILLIONS of value-units² (`ss_*_m`): at raw SS magnitude (1e11+) a
+    * 6-dp round sits below the double's ulp, so engine-specific
+    * decimal→double cast differences would surface verbatim; at /1e6 the
+    * rounding grid (1e-6) is ~500× the ulp noise and absorbs them. */
+  private def anovaTail(partials: DataFrame, groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wg = Window.partitionBy(col(groupCol))
+    val nD = col("__n").cast("double")
+    val mCoh = col("__s").cast("double") / nD
+    val mAll = sum("__s").over(wg).cast("double") /
+      sum("__n").over(wg).cast("double")
+    val dev = mCoh - mAll
+    val staged = partials.select(col(groupCol), col("__n"),
+      round(nD * dev * dev).cast("decimal(38,0)").as("__bt"),
+      round(col("__s2").cast("double") - mCoh * col("__s").cast("double"))
+        .cast("decimal(38,0)").as("__wt"))
+    val red = staged.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("k_cohorts"), sum("__n").as("n"),
+        sum("__bt").as("__B"), sum("__wt").as("__W"))
+    val ssb = greatest(col("__B").cast("double") / lit(1e12), lit(0.0))
+    val ssw = greatest(col("__W").cast("double") / lit(1e12), lit(0.0))
+    val k = col("k_cohorts").cast("double")
+    val bigN = col("n").cast("double")
+    val f = (ssb / (k - 1.0)) / (ssw / (bigN - k))
+    val ok = col("k_cohorts") >= 2 && col("n") > col("k_cohorts")
+    red.select(col(groupCol), col("k_cohorts"), col("n"),
+      round(ssb / lit(1e6), 6).as("ss_between_m"),
+      round(ssw / lit(1e6), 6).as("ss_within_m"),
+      when(ok && ssw > 0, round(f, 6)).as("f_stat"),
+      when(ok && ssb + ssw > 0, round(ssb / (ssb + ssw), 6)).as("eta_sq"))
+  }
+
+  /** Per-group one-way ANOVA across ALL cohort levels — the k-sample
+    * generalization [[welchAbTest]] and [[effectSize]] stop short of: one
+    * F statistic answering "does ANY cohort mean differ?" before k·(k−1)/2
+    * pairwise tests inflate the false-positive rate, plus η² (SSB/SST),
+    * the share of variance the cohort labels explain. Values snap to 6 dp
+    * micro-integers; per-cohort Σ/Σ² ride decimal(38,0); a null cohort is
+    * its own cohort (house rule). Output: (group, k_cohorts, n,
+    * ss_between_m, ss_within_m, f_stat, eta_sq), 6 dp, SS in millions of
+    * value-units²; a group with one cohort or zero within-variance yields
+    * null F.
+    *
+    * Scale shape: one (group, cohort) hash-agg of count/Σ/Σ² partials →
+    * a cohort-count-bounded window + hash-agg. One scan, one shuffle on
+    * the data; everything after is bounded by |groups|·|cohorts|. */
+  def anovaF(df: DataFrame, groupCol: String, cohortCol: String,
+             valCol: String): DataFrame = {
+    val vm = round(col(valCol).cast("double") * lit(1e6)).cast("long")
+    val vd = vm.cast("decimal(38,0)")
+    val partials = df.where(col(valCol).isNotNull)
+      .groupBy(col(groupCol), col(cohortCol))
+      .agg(count(lit(1)).as("__n"), sum(vd).as("__s"),
+        sum(vd * vd).as("__s2"))
+    anovaTail(partials, groupCol)
+  }
+
+  /** Per-group Kruskal–Wallis H — the rank-based k-sample test
+    * ([[mannWhitneyU]]'s ≥3-cohort generalization, [[anovaF]]'s
+    * distribution-free twin): detects ANY location shift across cohorts
+    * without assuming normality or equal variances, which on heavy-tailed
+    * value columns (latencies, revenues) is the honest default. Average
+    * ranks come off the per-group distinct-value histogram: a value's
+    * doubled average rank `2·cumBefore + t + 1` is an exact integer, so
+    * per-cohort doubled rank sums R2_c accumulate as exact decimal(38,0);
+    * the per-cohort term `R2_c²/(4·n_c·N·(N+1))` is an IEEE scalar
+    * snapped to a micro-integer before the cohort sum (the [[anovaTail]]
+    * rule). The tie correction `1 − Σ(t³−t)/(N³−N)` uses exact integer
+    * numerators. Output: (group, k_cohorts, n, df, h, h_corrected), 6 dp;
+    * one-cohort groups and all-tied groups yield nulls.
+    *
+    * Scale shape: the [[mannWhitneyU]] contract — one (group, cohort,
+    * value) hash-agg, then windows over each group's
+    * quantization-bounded distinct-value histogram, then one hash-agg.
+    * One scan, one data shuffle. */
+  def kruskalWallis(df: DataFrame, groupCol: String, cohortCol: String,
+                    valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vm = round(col(valCol).cast("double") * lit(1e6)).cast("long")
+    val grid = df.where(col(valCol).isNotNull)
+      .groupBy(col(groupCol), col(cohortCol), vm.as("__vm"))
+      .agg(count(lit(1)).as("__c"))
+    val wv = Window.partitionBy(col(groupCol)).orderBy(col("__vm"))
+    val wVal = Window.partitionBy(col(groupCol), col("__vm"))
+    // default RANGE frame: cumIncl includes every cohort row tied at __vm
+    val cumIncl = sum("__c").over(wv).cast("decimal(38,0)")
+    val tAt = sum("__c").over(wVal).cast("decimal(38,0)")
+    val firstAt = row_number()
+      .over(wVal.orderBy(col(cohortCol).asc_nulls_first)) === 1
+    val staged = grid.select(col(groupCol), col(cohortCol), col("__c"),
+      (col("__c").cast("decimal(38,0)") *
+        ((cumIncl - tAt) * 2 + tAt + 1)).as("__r2"),
+      when(firstAt, tAt * tAt * tAt - tAt)
+        .otherwise(lit(0).cast("decimal(38,0)")).as("__tie"))
+    val perCoh = staged.groupBy(col(groupCol), col(cohortCol))
+      .agg(sum("__c").as("__n"), sum("__r2").as("__R2"),
+        sum("__tie").as("__T"))
+    val wg = Window.partitionBy(col(groupCol))
+    val bigN = sum("__n").over(wg).cast("double")
+    val r2d = col("__R2").cast("double")
+    val term = round(r2d * r2d /
+      (lit(4.0) * col("__n").cast("double") * bigN * (bigN + 1.0)) *
+      lit(1e6)).cast("decimal(38,0)")
+    val red = perCoh
+      .select(col(groupCol), col("__n"), col("__T"), term.as("__tt"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("k_cohorts"), sum("__n").as("n"),
+        sum("__tt").as("__TT"), sum("__T").as("__ties"))
+    val nD = col("n").cast("double")
+    val h = lit(12.0) * col("__TT").cast("double") / lit(1e6) -
+      lit(3.0) * (nD + 1.0)
+    val corr = lit(1.0) -
+      col("__ties").cast("double") / (nD * nD * nD - nD)
+    val ok = col("k_cohorts") >= 2 && col("n") > col("k_cohorts")
+    red.select(col(groupCol), col("k_cohorts"), col("n"),
+      when(ok, (col("k_cohorts") - 1).cast("long")).as("df"),
+      when(ok, round(h, 6)).as("h"),
+      when(ok && corr > 0, round(h / corr, 6)).as("h_corrected"))
+  }
+
+  /** Per-group Brown–Forsythe (median-based Levene) test — variance
+    * homogeneity across cohorts, the PRECONDITION audit for [[anovaF]]'s
+    * pooled within-variance and [[effectSize]]'s pooled SD: one-way
+    * ANOVA on |value − cohort median|, with the median (robust center)
+    * making the test itself heavy-tail-safe. The cohort median is the
+    * exact order statistic `min vm with 2·cum ≥ n` (lower median on even
+    * n) read off the cohort's cumulative distinct-value histogram;
+    * absolute deviations are exact micro-integers feeding the
+    * [[anovaTail]] snap rule. Output: (group, k_cohorts, n, ss_between_m,
+    * ss_within_m, f_stat, eta_sq) where F is on the deviations — large F
+    * = unequal spreads. 6 dp, SS in millions of deviation-units².
+    *
+    * Scale shape: one (group, cohort, value) hash-agg, windows over each
+    * cohort's quantization-bounded histogram (median + deviations on the
+    * grid, never a second data pass), one hash-agg. One scan, one data
+    * shuffle. */
+  def brownForsythe(df: DataFrame, groupCol: String, cohortCol: String,
+                    valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vm = round(col(valCol).cast("double") * lit(1e6)).cast("long")
+    val grid = df.where(col(valCol).isNotNull)
+      .groupBy(col(groupCol), col(cohortCol), vm.as("__vm"))
+      .agg(count(lit(1)).as("__c"))
+    val wc = Window.partitionBy(col(groupCol), col(cohortCol))
+      .orderBy(col("__vm"))
+    val staged = grid.select(col(groupCol), col(cohortCol), col("__vm"),
+      col("__c"), sum("__c").over(wc).as("__cum"),
+      sum("__c").over(Window.partitionBy(col(groupCol), col(cohortCol)))
+        .as("__nc"))
+    val med = min(when(col("__cum") * 2 >= col("__nc"), col("__vm")))
+      .over(Window.partitionBy(col(groupCol), col(cohortCol)))
+    val withMed = staged.select(col(groupCol), col(cohortCol), col("__c"),
+      abs(col("__vm") - med).cast("decimal(38,0)").as("__dev"))
+    val partials = withMed.groupBy(col(groupCol), col(cohortCol))
+      .agg(sum("__c").as("__n"),
+        sum(col("__c").cast("decimal(38,0)") * col("__dev")).as("__s"),
+        sum(col("__c").cast("decimal(38,0)") * col("__dev") * col("__dev"))
+          .as("__s2"))
+    anovaTail(partials, groupCol)
+  }
 }

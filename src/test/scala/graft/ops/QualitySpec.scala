@@ -1048,6 +1048,60 @@ class QualitySpec extends SparkSpec {
     r("c") shouldBe (("c", 4L, None, None, None, false))
   }
 
+  test("anovaF: hand-computed F and eta-sq; single-cohort group nulls " +
+    "F; a null cohort is its own level") {
+    val d = (Seq(1, 2, 3).map(v => ("g", Option("A"), v.toDouble)) ++
+      Seq(4, 5, 6).map(v => ("g", Option("B"), v.toDouble)) ++
+      Seq(("one", Option("A"), 1.0), ("one", Option("A"), 2.0)) ++
+      Seq(("nc", Option("A"), 1.0), ("nc", None: Option[String], 3.0),
+        ("nc", None: Option[String], 5.0))).toDF("grp", "coh", "v")
+    val r = Quality.anovaF(d, "grp", "coh", "v")
+      .as[(String, Long, Long, Double, Double, Option[Double],
+        Option[Double])].collect().map(x => x._1 -> x).toMap
+    // SSB = 3*(2-3.5)^2 + 3*(5-3.5)^2 = 13.5; SSW = 2+2 = 4;
+    // F = (13.5/1)/(4/4) = 13.5; eta = 13.5/17.5
+    r("g") shouldBe (("g", 2L, 6L, 0.000014, 0.000004, Some(13.5),
+      Some(round6(13.5 / 17.5))))
+    r("one") shouldBe (("one", 1L, 2L, 0.0, 0.000001, None, None))
+    r("nc")._2 shouldBe 2L // null cohort counted as its own level
+    r("nc")._6 shouldBe Some(3.0) // SSB=6 (means 1 vs 4), SSW=2
+  }
+
+  test("kruskalWallis: hand ranks with and without ties; all-tied " +
+    "group zeroes H and nulls the correction") {
+    val plain = Seq(("p", "A", 1.0), ("p", "A", 2.0), ("p", "B", 3.0),
+      ("p", "B", 4.0))
+    val tied = Seq(("t", "A", 1.0), ("t", "A", 1.0), ("t", "B", 1.0),
+      ("t", "B", 2.0))
+    val const = Seq(("c", "A", 5.0), ("c", "B", 5.0), ("c", "B", 5.0))
+    val r = Quality.kruskalWallis(
+      (plain ++ tied ++ const).toDF("grp", "coh", "v"), "grp", "coh", "v")
+      .as[(String, Long, Long, Option[Long], Option[Double],
+        Option[Double])].collect().map(x => x._1 -> x).toMap
+    // plain: R_A=3, R_B=7 -> H = 0.6*(9/2+49/2) - 15 = 2.4, no ties
+    r("p") shouldBe (("p", 2L, 4L, Some(1L), Some(2.4), Some(2.4)))
+    // tied {1,1,1,2}: avg rank 2 for the 1s -> H = 0.6, corr = 0.6
+    r("t") shouldBe (("t", 2L, 4L, Some(1L), Some(0.6), Some(1.0)))
+    // all tied: H = 0 and the correction divides by zero -> null
+    r("c") shouldBe (("c", 2L, 3L, Some(1L), Some(0.0), None))
+  }
+
+  test("brownForsythe: deviations from the exact lower median feed the " +
+    "ANOVA tail") {
+    val d = (Seq(1, 2, 3).map(v => ("g", "A", v.toDouble)) ++
+      Seq(10, 10, 14, 14).map(v => ("g", "B", v.toDouble)))
+      .toDF("grp", "coh", "v")
+    val r = Quality.brownForsythe(d, "grp", "coh", "v")
+      .as[(String, Long, Long, Double, Double, Option[Double],
+        Option[Double])].head()
+    // medians: A->2, B->10 (lower median on even n); devs A {1,0,1},
+    // B {0,0,4,4}; SSB = 64/21, SSW = 50/3, F = (64/21)/(50/15),
+    // eta = 64/414
+    r shouldBe (("g", 2L, 7L, 0.000003, 0.000017,
+      Some(round6(64.0 / 21.0 / (50.0 / 15.0))),
+      Some(round6(64.0 / 414.0))))
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
