@@ -1577,6 +1577,33 @@ object SparkEntry {
         o.join(c, col("o_custkey") === col("c_custkey")),
         "c_nationkey", "c_mktsegment", "o_totalprice")
     }),
+    // publish gate over lineitem: seven declarative expectations in one
+    // scan pass (+ one exact-distinct pass), mixed pass/fail on purpose
+    "q305_expectations" -> ((s, dir) => {
+      import graft.ops.Quality.Expect._
+      graft.ops.Quality.expectations(t(s, dir, "lineitem"), Seq(
+        Complete("l_orderkey"),
+        ValuesBetween("l_quantity", 1.0, 50.0),
+        ValuesBetween("l_discount", 0.0, 0.05, 0.9),
+        MatchesRegex("l_linestatus", "^[OF]$"),
+        ValuesIn("l_returnflag", Seq("A", "N", "R")),
+        Unique("l_orderkey"),
+        RowCountBetween(1L, 10000000L),
+        MeanBetween("l_extendedprice", 20000.0, 60000.0)))
+    }),
+    // vocabulary-growth planning: Heaps' V(n)=K*n^beta over 8 corpus
+    // checkpoints - "what does 10x more data buy the tokenizer?"
+    "q306_heaps_law" -> ((s, dir) =>
+      graft.ops.Corpus.heapsLaw(t(s, dir, "documents"), "doc_id", "text", 8)),
+    // rollout readout without random assignment: difference-in-
+    // differences per event type (even-user cohort treated, post Feb 1)
+    "q307_did" -> ((s, dir) =>
+      graft.ops.Quality.didEstimator(
+        t(s, dir, "events").where(col("ts").isNotNull)
+          .withColumn("treated", col("user_id") % 2 === 0)
+          .withColumn("post",
+            col("ts") >= to_timestamp(lit("2024-02-01 00:00:00"))),
+        "event_type", "treated", "post", "value")),
     // unit-free effect magnitude per nation: Hedges-corrected Cohen's d
     // with the conventional small/medium/large bands
     "q300_effect_size" -> ((s, dir) => {
@@ -6847,6 +6874,223 @@ object SparkEntry {
         |  CASE WHEN k_cohorts >= 2 AND n > k_cohorts AND ssb + ssw > 0
         |    THEN round(ssb / (ssb + ssw), 6) END AS eta_sq
         |FROM red""".stripMargin,
+    // q305: every scan-stage metric from ONE aggregate row; the unique
+    // check's exact distinct in the same CTE; passed on the raw metric
+    "q305_expectations" ->
+      """WITH s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(l_orderkey) AS BIGINT) AS p0,
+        |    CAST(count(l_quantity) AS BIGINT) AS p1,
+        |    CAST(count(CASE WHEN CAST(l_quantity AS DOUBLE)
+        |      BETWEEN 1.0 AND 50.0 THEN 1 END) AS BIGINT) AS q1,
+        |    CAST(count(l_discount) AS BIGINT) AS p2,
+        |    CAST(count(CASE WHEN CAST(l_discount AS DOUBLE)
+        |      BETWEEN 0.0 AND 0.05 THEN 1 END) AS BIGINT) AS q2,
+        |    CAST(count(l_linestatus) AS BIGINT) AS p3,
+        |    CAST(count(CASE WHEN regexp_matches(l_linestatus, '^[OF]$')
+        |      THEN 1 END) AS BIGINT) AS q3,
+        |    CAST(count(l_returnflag) AS BIGINT) AS p4,
+        |    CAST(count(CASE WHEN l_returnflag IN ('A','N','R')
+        |      THEN 1 END) AS BIGINT) AS q4,
+        |    CAST(count(l_orderkey) AS BIGINT) AS p5,
+        |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS q5,
+        |    CAST(count(l_extendedprice) AS BIGINT) AS p7,
+        |    sum(CAST(CAST(round(CAST(l_extendedprice AS DOUBLE)
+        |      * 1000000.0) AS BIGINT) AS DECIMAL(38,0))) AS s7
+        |  FROM lineitem)
+        |SELECT CAST(0 AS BIGINT) AS check_id,
+        |  'complete(l_orderkey)' AS check_name, 'l_orderkey' AS col_name,
+        |  round(CASE WHEN n > 0
+        |    THEN CAST(p0 AS DOUBLE) / CAST(n AS DOUBLE) END, 6) AS observed,
+        |  CAST(1.0 AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi,
+        |  coalesce(CASE WHEN n > 0
+        |    THEN CAST(p0 AS DOUBLE) / CAST(n AS DOUBLE) END >= 1.0,
+        |    false) AS passed
+        |FROM s
+        |UNION ALL SELECT CAST(1 AS BIGINT), 'between(l_quantity)',
+        |  'l_quantity',
+        |  round(CASE WHEN p1 > 0
+        |    THEN CAST(q1 AS DOUBLE) / CAST(p1 AS DOUBLE) END, 6),
+        |  CAST(1.0 AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  coalesce(CASE WHEN p1 > 0
+        |    THEN CAST(q1 AS DOUBLE) / CAST(p1 AS DOUBLE) END >= 1.0, false)
+        |FROM s
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'between(l_discount)',
+        |  'l_discount',
+        |  round(CASE WHEN p2 > 0
+        |    THEN CAST(q2 AS DOUBLE) / CAST(p2 AS DOUBLE) END, 6),
+        |  CAST(0.9 AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  coalesce(CASE WHEN p2 > 0
+        |    THEN CAST(q2 AS DOUBLE) / CAST(p2 AS DOUBLE) END >= 0.9, false)
+        |FROM s
+        |UNION ALL SELECT CAST(3 AS BIGINT), 'matches(l_linestatus)',
+        |  'l_linestatus',
+        |  round(CASE WHEN p3 > 0
+        |    THEN CAST(q3 AS DOUBLE) / CAST(p3 AS DOUBLE) END, 6),
+        |  CAST(1.0 AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  coalesce(CASE WHEN p3 > 0
+        |    THEN CAST(q3 AS DOUBLE) / CAST(p3 AS DOUBLE) END >= 1.0, false)
+        |FROM s
+        |UNION ALL SELECT CAST(4 AS BIGINT), 'in_set(l_returnflag)',
+        |  'l_returnflag',
+        |  round(CASE WHEN p4 > 0
+        |    THEN CAST(q4 AS DOUBLE) / CAST(p4 AS DOUBLE) END, 6),
+        |  CAST(1.0 AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  coalesce(CASE WHEN p4 > 0
+        |    THEN CAST(q4 AS DOUBLE) / CAST(p4 AS DOUBLE) END >= 1.0, false)
+        |FROM s
+        |UNION ALL SELECT CAST(5 AS BIGINT), 'unique(l_orderkey)',
+        |  'l_orderkey',
+        |  round(CASE WHEN p5 > 0
+        |    THEN CAST(q5 AS DOUBLE) / CAST(p5 AS DOUBLE) END, 6),
+        |  CAST(1.0 AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  coalesce(p5 > 0 AND q5 = p5, false)
+        |FROM s
+        |UNION ALL SELECT CAST(6 AS BIGINT), 'row_count',
+        |  CAST(NULL AS VARCHAR),
+        |  round(CAST(n AS DOUBLE), 6), CAST(1.0 AS DOUBLE),
+        |  CAST(10000000.0 AS DOUBLE),
+        |  coalesce(n >= 1 AND n <= 10000000, false)
+        |FROM s
+        |UNION ALL SELECT CAST(7 AS BIGINT), 'mean(l_extendedprice)',
+        |  'l_extendedprice',
+        |  round(CASE WHEN p7 > 0 THEN CAST(s7 AS DOUBLE)
+        |    / (1000000.0 * CAST(p7 AS DOUBLE)) END, 6),
+        |  CAST(20000.0 AS DOUBLE), CAST(60000.0 AS DOUBLE),
+        |  coalesce(CASE WHEN p7 > 0 THEN CAST(s7 AS DOUBLE)
+        |      / (1000000.0 * CAST(p7 AS DOUBLE)) END >= 20000.0
+        |    AND CASE WHEN p7 > 0 THEN CAST(s7 AS DOUBLE)
+        |      / (1000000.0 * CAST(p7 AS DOUBLE)) END <= 60000.0,
+        |    false)
+        |FROM s""".stripMargin,
+    // q306: row_number doc ranks, exact integer checkpoint buckets,
+    // first-occurrence bucket per term, micro-snapped log-log OLS
+    "q306_heaps_law" ->
+      """WITH ranked AS (
+        |  SELECT text, row_number() OVER (ORDER BY doc_id) AS r,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |meta AS (
+        |  SELECT d, least(8, d) AS cp
+        |  FROM (SELECT max(r) AS d FROM ranked)),
+        |b AS (
+        |  SELECT ranked.*, ((r * cp + d - 1) // d) AS j
+        |  FROM ranked, meta),
+        |pb AS (
+        |  SELECT j, CAST(count(*) AS BIGINT) AS docs,
+        |    CAST(sum(ntok) AS BIGINT) AS toks
+        |  FROM b GROUP BY 1),
+        |fb AS (
+        |  SELECT j, CAST(count(*) AS BIGINT) AS newterms FROM (
+        |    SELECT term, min(j) AS j FROM (
+        |      SELECT j, unnest(string_split(text, ' ')) AS term FROM b)
+        |    GROUP BY 1)
+        |  GROUP BY 1),
+        |pts AS (
+        |  SELECT pb.j AS ckpt,
+        |    CAST(sum(docs) OVER (ORDER BY pb.j) AS BIGINT) AS n_docs,
+        |    CAST(sum(toks) OVER (ORDER BY pb.j) AS BIGINT) AS n_tokens,
+        |    CAST(sum(coalesce(newterms, 0)) OVER (ORDER BY pb.j)
+        |      AS BIGINT) AS vocab
+        |  FROM pb LEFT JOIN fb ON pb.j = fb.j),
+        |xy AS (
+        |  SELECT
+        |    CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000.0)
+        |      AS BIGINT) AS x,
+        |    CAST(round(ln(CAST(vocab AS DOUBLE)) * 1000000.0)
+        |      AS BIGINT) AS y
+        |  FROM pts WHERE n_tokens > 0 AND vocab > 0),
+        |f AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM xy),
+        |fit AS (
+        |  SELECT k,
+        |    CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+        |    CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |    CAST(k AS DOUBLE) AS kd
+        |  FROM f)
+        |SELECT ckpt, n_docs, n_tokens, vocab,
+        |  CASE WHEN k >= 2 AND den > 0 THEN round(num / den, 6) END AS beta,
+        |  CASE WHEN k >= 2 AND den > 0 THEN
+        |    round(exp((syd - (num / den) * sxd) / kd / 1000000.0), 6)
+        |  END AS k_coef
+        |FROM pts, fit""".stripMargin,
+    // q307: four (treated, post) cell partials as exact micro decimals,
+    // Welch-style SE across the cells, one mirrored expression tail
+    "q307_did" ->
+      """WITH b AS (
+        |  SELECT event_type AS g, (user_id % 2 = 0) AS tr,
+        |    (CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-02-01 00:00:00')
+        |      AS post,
+        |    CAST(CAST(round(CAST(value AS DOUBLE) * 1000000.0) AS BIGINT)
+        |      AS DECIMAL(38,0)) AS vm
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND user_id IS NOT NULL),
+        |p AS (
+        |  SELECT g,
+        |    CAST(count(CASE WHEN tr AND post THEN 1 END) AS BIGINT) AS nt1,
+        |    sum(CASE WHEN tr AND post THEN vm END) AS st1,
+        |    sum(CASE WHEN tr AND post THEN vm * vm END) AS s2t1,
+        |    CAST(count(CASE WHEN tr AND NOT post THEN 1 END) AS BIGINT)
+        |      AS nt0,
+        |    sum(CASE WHEN tr AND NOT post THEN vm END) AS st0,
+        |    sum(CASE WHEN tr AND NOT post THEN vm * vm END) AS s2t0,
+        |    CAST(count(CASE WHEN NOT tr AND post THEN 1 END) AS BIGINT)
+        |      AS nc1,
+        |    sum(CASE WHEN NOT tr AND post THEN vm END) AS sc1,
+        |    sum(CASE WHEN NOT tr AND post THEN vm * vm END) AS s2c1,
+        |    CAST(count(CASE WHEN NOT tr AND NOT post THEN 1 END) AS BIGINT)
+        |      AS nc0,
+        |    sum(CASE WHEN NOT tr AND NOT post THEN vm END) AS sc0,
+        |    sum(CASE WHEN NOT tr AND NOT post THEN vm * vm END) AS s2c0
+        |  FROM b GROUP BY 1),
+        |e AS (
+        |  SELECT g, nt1, nt0, nc1, nc0,
+        |    CAST(st1 AS DOUBLE) / CAST(nt1 AS DOUBLE) / 1000000.0 AS mt1,
+        |    CAST(st0 AS DOUBLE) / CAST(nt0 AS DOUBLE) / 1000000.0 AS mt0,
+        |    CAST(sc1 AS DOUBLE) / CAST(nc1 AS DOUBLE) / 1000000.0 AS mc1,
+        |    CAST(sc0 AS DOUBLE) / CAST(nc0 AS DOUBLE) / 1000000.0 AS mc0,
+        |    (CAST(s2t1 AS DOUBLE) - CAST(st1 AS DOUBLE)
+        |      * CAST(st1 AS DOUBLE) / CAST(nt1 AS DOUBLE))
+        |      / (CAST(nt1 AS DOUBLE) - 1.0) / 1e12 AS vt1,
+        |    (CAST(s2t0 AS DOUBLE) - CAST(st0 AS DOUBLE)
+        |      * CAST(st0 AS DOUBLE) / CAST(nt0 AS DOUBLE))
+        |      / (CAST(nt0 AS DOUBLE) - 1.0) / 1e12 AS vt0,
+        |    (CAST(s2c1 AS DOUBLE) - CAST(sc1 AS DOUBLE)
+        |      * CAST(sc1 AS DOUBLE) / CAST(nc1 AS DOUBLE))
+        |      / (CAST(nc1 AS DOUBLE) - 1.0) / 1e12 AS vc1,
+        |    (CAST(s2c0 AS DOUBLE) - CAST(sc0 AS DOUBLE)
+        |      * CAST(sc0 AS DOUBLE) / CAST(nc0 AS DOUBLE))
+        |      / (CAST(nc0 AS DOUBLE) - 1.0) / 1e12 AS vc0
+        |  FROM p)
+        |SELECT g AS event_type, nt1 + nt0 + nc1 + nc0 AS n,
+        |  CASE WHEN nt0 > 0 THEN round(mt0, 6) END AS m_treat_pre,
+        |  CASE WHEN nt1 > 0 THEN round(mt1, 6) END AS m_treat_post,
+        |  CASE WHEN nc0 > 0 THEN round(mc0, 6) END AS m_ctrl_pre,
+        |  CASE WHEN nc1 > 0 THEN round(mc1, 6) END AS m_ctrl_post,
+        |  CASE WHEN nt1 > 0 AND nt0 > 0 AND nc1 > 0 AND nc0 > 0
+        |    THEN round((mt1 - mt0) - (mc1 - mc0), 6) END AS did,
+        |  CASE WHEN nt1 >= 2 AND nt0 >= 2 AND nc1 >= 2 AND nc0 >= 2
+        |      AND sqrt(vt1 / CAST(nt1 AS DOUBLE) + vt0 / CAST(nt0 AS DOUBLE)
+        |        + vc1 / CAST(nc1 AS DOUBLE) + vc0 / CAST(nc0 AS DOUBLE)) > 0
+        |    THEN round(sqrt(vt1 / CAST(nt1 AS DOUBLE)
+        |      + vt0 / CAST(nt0 AS DOUBLE) + vc1 / CAST(nc1 AS DOUBLE)
+        |      + vc0 / CAST(nc0 AS DOUBLE)), 6) END AS se,
+        |  CASE WHEN nt1 >= 2 AND nt0 >= 2 AND nc1 >= 2 AND nc0 >= 2
+        |      AND sqrt(vt1 / CAST(nt1 AS DOUBLE) + vt0 / CAST(nt0 AS DOUBLE)
+        |        + vc1 / CAST(nc1 AS DOUBLE) + vc0 / CAST(nc0 AS DOUBLE)) > 0
+        |    THEN round(((mt1 - mt0) - (mc1 - mc0))
+        |      / sqrt(vt1 / CAST(nt1 AS DOUBLE) + vt0 / CAST(nt0 AS DOUBLE)
+        |        + vc1 / CAST(nc1 AS DOUBLE) + vc0 / CAST(nc0 AS DOUBLE)), 6)
+        |  END AS z
+        |FROM e""".stripMargin,
     // q301: strict row_number ranks over the complete panel, exact
     // integer rank sums, one mirrored division
     "q301_kendalls_w" ->

@@ -1201,4 +1201,78 @@ object Corpus {
       .orderBy(col("c_pair").desc, col("pair"))
       .limit(k)
   }
+
+  /** Heaps'-law vocabulary-growth fit — the corpus-PLANNING curve beside
+    * [[zipfAlpha]]'s frequency tail: how many NEW token types appear as
+    * the corpus grows (`V(n) ≈ K·n^β`), i.e. "what does 10× more data
+    * buy the tokenizer?". Documents are totally ordered by `idCol` via
+    * the range-exchange rank (never a single-partition window); the
+    * corpus is cut at `checkpoints` evenly spaced document boundaries
+    * (`⌊j·D/cp⌋`, exact integer arithmetic) and each checkpoint reports
+    * its cumulative doc/token counts and vocabulary (a term counts from
+    * the bucket of its FIRST occurrence — min rank, since the bucket id
+    * is monotone in the rank). β and K come from log–log OLS over the
+    * checkpoint points: ln() values snap to 6-dp micro-integer LONGS
+    * before the order-sensitive sums (exact products < 2⁶³), so the
+    * closed-form slope is one double expression over identical inputs on
+    * any engine. Consume inside `CacheRegistry.scoped` (rank device).
+    * Output: one row per checkpoint — (ckpt, n_docs, n_tokens, vocab,
+    * beta, k_coef), the fit repeated on every row, 6 dp.
+    *
+    * Scale shape: one range exchange to rank the corpus (the same
+    * sampled-boundary shuffle a global sort pays), one token explode →
+    * (term) hash-agg for first-occurrence buckets, one doc-level
+    * hash-agg for per-bucket doc/token totals; everything after is
+    * bounded by `checkpoints` rows. */
+  def heapsLaw(df: DataFrame, idCol: String, textCol: String,
+               checkpoints: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(checkpoints >= 2,
+      s"heapsLaw: need checkpoints >= 2, got $checkpoints")
+    val docs = df.where(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), col(textCol).as("__t"),
+        size(split(col(textCol), " ")).cast("long").as("__ntok"))
+    val ranked = graft.core.CacheRegistry.persist(
+      graft.ops.Layout.globalRank(docs, "__id", "__id", rankCol = "__r"))
+    val d = ranked.agg(coalesce(max("__r"), lit(0L))).head().getLong(0)
+    require(d >= 1, "heapsLaw: no documents to fit")
+    val cp = math.min(checkpoints.toLong, d)
+    // bucket of rank r = ceil(r·cp/D): exact integer division both engines
+    val bucket = expr(s"(__r * $cp + $d - 1) div $d")
+    val perBucketDocs = ranked
+      .groupBy(bucket.as("__j"))
+      .agg(count(lit(1)).as("__docs"), sum("__ntok").as("__toks"))
+    val firstBucket = ranked
+      .select(bucket.as("__jj"), explode(split(col("__t"), " ")).as("__term"))
+      .groupBy("__term").agg(min("__jj").as("__fj"))
+      .groupBy(col("__fj").as("__j")).agg(count(lit(1)).as("__new"))
+    // ≤ cp rows from here on: the single-partition cumsum is bounded
+    val w = Window.orderBy(col("__j"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = perBucketDocs.join(firstBucket, Seq("__j"), "left")
+      .select(col("__j"), sum("__docs").over(w).as("n_docs"),
+        sum("__toks").over(w).as("n_tokens"),
+        sum(coalesce(col("__new"), lit(0L))).over(w).as("vocab"))
+    val xm = round(log(col("n_tokens").cast("double")) * lit(1e6))
+      .cast("long")
+    val ym = round(log(col("vocab").cast("double")) * lit(1e6)).cast("long")
+    val fit = pts.where(col("n_tokens") > 0 && col("vocab") > 0)
+      .select(xm.as("__x"), ym.as("__y"))
+      .agg(count(lit(1)).as("__k"), sum("__x").as("__sx"),
+        sum("__y").as("__sy"), sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+    val kD = col("__k").cast("double")
+    val sx = col("__sx").cast("double")
+    val sy = col("__sy").cast("double")
+    val num = kD * col("__sxy").cast("double") - sx * sy
+    val den = kD * col("__sxx").cast("double") - sx * sx
+    val beta = num / den
+    val fitRow = fit.select(
+      when(col("__k") >= 2 && den > 0, round(beta, 6)).as("beta"),
+      when(col("__k") >= 2 && den > 0,
+        round(exp((sy - beta * sx) / kD / lit(1e6)), 6)).as("k_coef"))
+    pts.select(col("__j").as("ckpt"), col("n_docs"), col("n_tokens"),
+        col("vocab"))
+      .crossJoin(broadcast(fitRow))
+  }
 }

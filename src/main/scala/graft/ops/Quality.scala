@@ -2335,4 +2335,186 @@ object Quality {
           .as("__s2"))
     anovaTail(partials, groupCol)
   }
+
+  // ---- declarative expectation suite (the metric/threshold form) ----
+
+  /** A verification-suite check: unlike [[Rule]] (a row-level predicate
+    * whose violations [[auditCounts]] counts), an `Expectation` compares
+    * an OBSERVED TABLE METRIC against a threshold — the Deequ-style
+    * contract a pipeline gates a publish on. */
+  sealed trait Expectation
+  object Expect {
+    /** Non-null rate of `colName` ≥ `minRate`. */
+    final case class Complete(colName: String, minRate: Double = 1.0)
+      extends Expectation
+    /** Share of NON-NULL values inside [lo, hi] ≥ `minRate`. */
+    final case class ValuesBetween(colName: String, lo: Double, hi: Double,
+                                   minRate: Double = 1.0) extends Expectation
+    /** Share of NON-NULL values matching `regex` (find-anywhere, Spark
+      * `rlike` semantics — anchor with ^$ for full match) ≥ `minRate`. */
+    final case class MatchesRegex(colName: String, regex: String,
+                                  minRate: Double = 1.0) extends Expectation
+    /** Share of NON-NULL values in `allowed` ≥ `minRate`. */
+    final case class ValuesIn(colName: String, allowed: Seq[String],
+                              minRate: Double = 1.0) extends Expectation
+    /** Exact distinct-to-present ratio must be 1 (no duplicate values;
+      * nulls don't count as duplicates). */
+    final case class Unique(colName: String) extends Expectation
+    /** Table row count inside [lo, hi]. */
+    final case class RowCountBetween(lo: Long, hi: Long) extends Expectation
+    /** Mean of `colName` (6-dp micro-snapped sums) inside [lo, hi]. */
+    final case class MeanBetween(colName: String, lo: Double, hi: Double)
+      extends Expectation
+  }
+
+  /** Declarative data-quality verification suite — evaluate a set of
+    * [[Expectation]]s against a table in as few passes as the checks
+    * allow and emit one row per check: `(check_id, check_name, col_name,
+    * observed, lo, hi, passed)`. This is the publish gate next to
+    * [[auditCounts]]' violation counter: `observed` is the metric
+    * (a rate, a ratio, a count, a mean), `lo`/`hi` the contract, and
+    * `passed` the boolean an orchestrator alerts on. Rates are exact
+    * integer counts through ONE IEEE division (engine-identical);
+    * means ride 6-dp micro-integer decimal sums; `passed` is decided on
+    * the UNROUNDED metric and a check whose metric is undefined (empty
+    * column) FAILS — a gate that can't observe its metric must not pass.
+    *
+    * Scale shape: every scan-stage check (completeness, range, regex,
+    * set, row count, mean) folds into ONE aggregate pass over the table
+    * (map-side partials, single-row result). Each [[Expect.Unique]]
+    * adds its own column-pruned `count distinct` pass (exact, its own
+    * hash-agg on that column — kept out of the shared pass so the
+    * shared pass never pays Expand). The single-row results cross-join
+    * (no data shuffle) and unpivot to ≤ |checks| literal rows. */
+  def expectations(df: DataFrame, checks: Seq[Expectation]): DataFrame = {
+    import Expect._
+    require(checks.nonEmpty, "expectations: provide at least one check")
+    val have = df.columns.toSet
+    def need(c: String): Unit = require(have.contains(c),
+      s"expectations: no such column '$c'")
+    val aggs = scala.collection.mutable.ArrayBuffer[Column]()
+    checks.zipWithIndex.foreach { case (e, i) => e match {
+      case Complete(c, _) => need(c)
+        aggs += count(col(c)).as(s"__p$i")
+      case ValuesBetween(c, lo, hi, _) => need(c)
+        aggs += count(col(c)).as(s"__p$i")
+        aggs += count(when(col(c).cast("double").between(lo, hi), 1))
+          .as(s"__q$i")
+      case MatchesRegex(c, re, _) => need(c)
+        aggs += count(col(c)).as(s"__p$i")
+        aggs += count(when(col(c).rlike(re), 1)).as(s"__q$i")
+      case ValuesIn(c, allowed, _) => need(c)
+        require(allowed.nonEmpty, s"expectations: empty allowed set for '$c'")
+        aggs += count(col(c)).as(s"__p$i")
+        aggs += count(when(col(c).isin(allowed: _*), 1)).as(s"__q$i")
+      case MeanBetween(c, _, _) => need(c)
+        aggs += count(col(c)).as(s"__p$i")
+        aggs += sum(round(col(c).cast("double") * lit(1e6))
+          .cast("decimal(38,0)")).as(s"__q$i")
+      case Unique(c) => need(c)
+      case RowCountBetween(lo, hi) =>
+        require(lo <= hi, s"expectations: row count lo $lo > hi $hi")
+    }}
+    val allAggs = count(lit(1)).as("__n") +: aggs.toSeq
+    val scan = df.agg(allAggs.head, allAggs.tail: _*)
+    val uniquePasses = checks.zipWithIndex.collect { case (Unique(c), i) =>
+      df.agg(count(col(c)).as(s"__p$i"), countDistinct(col(c)).as(s"__q$i"))
+    }
+    val combined = uniquePasses.foldLeft(scan)(_ crossJoin _)
+    def rate(i: Int): Column =
+      when(col(s"__p$i") > 0,
+        col(s"__q$i").cast("double") / col(s"__p$i").cast("double"))
+    def row(i: Int, name: String, colName: Option[String], obs: Column,
+            lo: Option[Double], hi: Option[Double], pass: Column) =
+      combined.select(lit(i.toLong).as("check_id"), lit(name).as("check_name"),
+        colName.map(lit(_)).getOrElse(lit(null)).cast("string").as("col_name"),
+        round(obs, 6).as("observed"),
+        lo.map(lit(_)).getOrElse(lit(null)).cast("double").as("lo"),
+        hi.map(lit(_)).getOrElse(lit(null)).cast("double").as("hi"),
+        coalesce(pass, lit(false)).as("passed"))
+    val rows = checks.zipWithIndex.map { case (e, i) => e match {
+      case Complete(c, r) =>
+        val obs = when(col("__n") > 0,
+          col(s"__p$i").cast("double") / col("__n").cast("double"))
+        row(i, s"complete($c)", Some(c), obs, Some(r), None, obs >= r)
+      case ValuesBetween(c, lo, hi, r) =>
+        row(i, s"between($c)", Some(c), rate(i), Some(r), None, rate(i) >= r)
+      case MatchesRegex(c, _, r) =>
+        row(i, s"matches($c)", Some(c), rate(i), Some(r), None, rate(i) >= r)
+      case ValuesIn(c, _, r) =>
+        row(i, s"in_set($c)", Some(c), rate(i), Some(r), None, rate(i) >= r)
+      case Unique(c) =>
+        val obs = rate(i)
+        row(i, s"unique($c)", Some(c), obs, Some(1.0), None,
+          col(s"__p$i") > 0 && col(s"__q$i") === col(s"__p$i"))
+      case RowCountBetween(lo, hi) =>
+        row(i, "row_count", None, col("__n").cast("double"),
+          Some(lo.toDouble), Some(hi.toDouble),
+          col("__n") >= lo && col("__n") <= hi)
+      case MeanBetween(c, lo, hi) =>
+        val m = when(col(s"__p$i") > 0, col(s"__q$i").cast("double") /
+          (lit(1e6) * col(s"__p$i").cast("double")))
+        row(i, s"mean($c)", Some(c), m, Some(lo), Some(hi),
+          m >= lo && m <= hi)
+    }}
+    rows.reduce(_ unionByName _)
+  }
+
+  /** Per-group difference-in-differences — the quasi-experimental
+    * estimator for a rollout WITHOUT random assignment (feature shipped
+    * to one cohort at a date; the control cohort absorbs the secular
+    * trend): `DiD = (m_t,post − m_t,pre) − (m_c,post − m_c,pre)` over the
+    * four (treated × post) cell means, with the Welch-style standard
+    * error `√Σ s²ᵢ/nᵢ` across the four cells and the z score —
+    * [[welchAbTest]]'s two-period generalization. Cell sums ride exact
+    * 6-dp micro-integer decimals (Σ and Σ², order-free), so every mean
+    * and variance is identical on any engine; the tail is one IEEE
+    * expression, 6 dp. A group missing any of the four cells, or with
+    * any cell n < 2 for the SE, reports null did/se/z. Null treat/post
+    * flags or values are dropped (they assign to no cell). Output:
+    * (group, n, m_treat_pre, m_treat_post, m_ctrl_pre, m_ctrl_post,
+    * did, se, z).
+    *
+    * Scale shape: ONE scan, one (group) hash-agg of 12 conditional
+    * partials (4 cells × n/Σ/Σ², map-side combine); nothing after the
+    * reduction touches raw rows. */
+  def didEstimator(df: DataFrame, groupCol: String, treatCol: String,
+                   postCol: String, valCol: String): DataFrame = {
+    val vm = round(col(valCol).cast("double") * lit(1e6))
+      .cast("decimal(38,0)")
+    val base = df.where(col(valCol).isNotNull && col(treatCol).isNotNull &&
+      col(postCol).isNotNull)
+    def cell(t: Boolean, p: Boolean): Column =
+      col(treatCol) === t && col(postCol) === p
+    def tag(t: Boolean, p: Boolean): String =
+      (if (t) "t" else "c") + (if (p) "1" else "0")
+    val cells = for { t <- Seq(true, false); p <- Seq(true, false) } yield (t, p)
+    val aggs = cells.flatMap { case (t, p) =>
+      val s = tag(t, p)
+      Seq(count(when(cell(t, p), 1)).as(s"__n$s"),
+        sum(when(cell(t, p), vm)).as(s"__s$s"),
+        sum(when(cell(t, p), vm * vm)).as(s"__s2$s"))
+    }
+    val red = base.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    def n(s: String): Column = col(s"__n$s").cast("double")
+    def m(s: String): Column = col(s"__s$s").cast("double") / n(s) / lit(1e6)
+    def v(s: String): Column =
+      (col(s"__s2$s").cast("double") -
+        col(s"__s$s").cast("double") * col(s"__s$s").cast("double") / n(s)) /
+        (n(s) - 1.0) / lit(1e12)
+    val tags = Seq("t1", "t0", "c1", "c0")
+    val allPresent = tags.map(s => col(s"__n$s") > 0).reduce(_ && _)
+    val seOk = tags.map(s => col(s"__n$s") >= 2).reduce(_ && _)
+    val did = (m("t1") - m("t0")) - (m("c1") - m("c0"))
+    val se = sqrt(tags.map(s => v(s) / n(s)).reduce(_ + _))
+    red.select(col(groupCol),
+      tags.map(s => col(s"__n$s")).reduce(_ + _).as("n"),
+      when(col("__nt0") > 0, round(m("t0"), 6)).as("m_treat_pre"),
+      when(col("__nt1") > 0, round(m("t1"), 6)).as("m_treat_post"),
+      when(col("__nc0") > 0, round(m("c0"), 6)).as("m_ctrl_pre"),
+      when(col("__nc1") > 0, round(m("c1"), 6)).as("m_ctrl_post"),
+      when(allPresent, round(did, 6)).as("did"),
+      when(seOk && se > 0, round(se, 6)).as("se"),
+      when(seOk && se > 0, round(did / se, 6)).as("z"))
+  }
 }

@@ -610,4 +610,40 @@ class CorpusSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Double, Double)].collect().toList shouldBe
       List((4L, 8L, 2L, 1L, 4.5, 0.25))
   }
+
+  test("heapsLaw: exact checkpoint buckets, first-occurrence vocab, " +
+    "log-log fit over the checkpoint points") {
+    // docs in id order: "a b", "a c", "c a", "d"; checkpoints=2 -> D=4,
+    // buckets {1,2}|{3,4}: ckpt1 (2 docs, 4 toks, vocab {a,b,c}=3),
+    // ckpt2 (4 docs, 7 toks, vocab 4)
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "c a"), (4L, "d"))
+      .toDF("doc_id", "text")
+    val r = graft.core.CacheRegistry.scoped {
+      Corpus.heapsLaw(docs, "doc_id", "text", 2)
+        .as[(Long, Long, Long, Long, Option[Double], Option[Double])]
+        .collect().sortBy(_._1).toList
+    }
+    graft.core.CacheRegistry.drain()
+    def mi(x: Double): Long = math.round(math.log(x) * 1e6)
+    val (x1, y1, x2, y2) = (mi(4), mi(3), mi(7), mi(4))
+    val beta = (2.0 * (x1 * y1 + x2 * y2) -
+      (x1 + x2).toDouble * (y1 + y2)) /
+      (2.0 * (x1 * x1 + x2 * x2) - (x1 + x2).toDouble * (x1 + x2))
+    val k = math.exp(((y1 + y2) - beta * (x1 + x2)) / 2.0 / 1e6)
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    r shouldBe List(
+      (1L, 2L, 4L, 3L, Some(r6(beta)), Some(r6(k))),
+      (2L, 4L, 7L, 4L, Some(r6(beta)), Some(r6(k))))
+    // more checkpoints than docs: one bucket per doc, fit still lands
+    val r2 = graft.core.CacheRegistry.scoped {
+      Corpus.heapsLaw(docs, "doc_id", "text", 99)
+        .as[(Long, Long, Long, Long, Option[Double], Option[Double])]
+        .collect().sortBy(_._1).toList
+    }
+    graft.core.CacheRegistry.drain()
+    r2.size shouldBe 4
+    r2.map(_._2) shouldBe List(1L, 2L, 3L, 4L)
+    r2.head._5.isDefined shouldBe true
+  }
 }

@@ -1102,6 +1102,67 @@ class QualitySpec extends SparkSpec {
       Some(round6(64.0 / 414.0))))
   }
 
+  test("expectations: metric vs threshold per check; empty metric fails; " +
+    "unique is exact; ordering by check_id is the declaration order") {
+    import Quality.Expect._
+    val d = Seq(
+      (Option(1L), Option(10.0), Option("ok")),
+      (Option(2L), Option(20.0), Option("ok")),
+      (Option(2L), Option(200.0), Option("bad")),
+      (Option(3L), None: Option[Double], None: Option[String]))
+      .toDF("k", "v", "s")
+    val r = Quality.expectations(d, Seq(
+      Complete("k"), // 4/4 -> pass
+      Complete("v", 0.5), // 3/4 -> pass at 0.5
+      ValuesBetween("v", 0.0, 100.0), // 2/3 of non-null -> fail at 1.0
+      MatchesRegex("s", "^ok$", 0.5), // 2/3 -> pass
+      ValuesIn("s", Seq("ok")), // 2/3 -> fail
+      Unique("k"), // dup 2 -> fail
+      Unique("s"), // "ok" twice -> fail
+      RowCountBetween(1L, 10L), // pass
+      MeanBetween("v", 0.0, 100.0))) // mean 76.67 -> pass
+      .as[(Long, String, Option[String], Option[Double], Option[Double],
+        Option[Double], Boolean)].collect().sortBy(_._1)
+    r.map(_._7).toSeq shouldBe Seq(true, true, false, true, false, false,
+      false, true, true)
+    r(0)._4 shouldBe Some(1.0)
+    r(2)._4 shouldBe Some(round6(2.0 / 3.0))
+    r(5)._4 shouldBe Some(0.75) // 3 distinct of 4 present
+    r(7)._4 shouldBe Some(4.0)
+    r(8)._4 shouldBe Some(round6(230.0 / 3.0))
+    // a check over an all-null column cannot observe its metric -> FAIL
+    val empty = Quality.expectations(
+      Seq((None: Option[Double], 1)).toDF("v", "x"),
+      Seq(ValuesBetween("v", 0.0, 1.0), Unique("v")))
+      .as[(Long, String, Option[String], Option[Double], Option[Double],
+        Option[Double], Boolean)].collect()
+    empty.map(_._4).toSeq shouldBe Seq(None, None)
+    empty.map(_._7).toSeq shouldBe Seq(false, false)
+  }
+
+  test("didEstimator: hand-computed DiD, SE, z; missing cell nulls did; " +
+    "null flags drop") {
+    // treated pre {1,3} post {6,8}; control pre {1,1} post {2,4}:
+    // did = (7-2) - (3-1) = 3; each cell var = 2 except control pre = 0
+    val d = (Seq((1.0, true, false), (3.0, true, false), (6.0, true, true),
+      (8.0, true, true), (1.0, false, false), (1.0, false, false),
+      (2.0, false, true), (4.0, false, true))
+      .map { case (v, t, p) => ("g", Option(t), p, v) } ++
+      Seq(("m", Option(true), true, 1.0), ("m", Option(true), false, 2.0),
+        ("m", None: Option[Boolean], true, 9.0)))
+      .toDF("grp", "tr", "post", "v")
+    val r = Quality.didEstimator(d, "grp", "tr", "post", "v")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double],
+        Option[Double], Option[Double], Option[Double], Option[Double])]
+      .collect().map(x => x._1 -> x).toMap
+    val se = math.sqrt(2.0 / 2 + 2.0 / 2 + 2.0 / 2 + 0.0 / 2)
+    r("g") shouldBe (("g", 8L, Some(2.0), Some(7.0), Some(1.0), Some(3.0),
+      Some(3.0), Some(round6(se)), Some(round6(3.0 / se))))
+    // "m": null-treat row dropped; control cells empty -> did/se/z null
+    r("m") shouldBe (("m", 2L, Some(2.0), Some(1.0), None, None, None,
+      None, None))
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
