@@ -1604,6 +1604,23 @@ object SparkEntry {
           .withColumn("post",
             col("ts") >= to_timestamp(lit("2024-02-01 00:00:00"))),
         "event_type", "treated", "post", "value")),
+    // causal readout when assignment wasn't random: propensity-weighted
+    // (Hajek) treatment-effect of the AUTOMOBILE segment on order value,
+    // controlling for account balance via the replayable GD propensity
+    "q308_ipw_ate" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
+      val c = t(s, dir, "customer").where(col("c_mktsegment").isNotNull)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      graft.ops.Learn.ipwAte(
+        o.join(c, col("o_custkey") === col("c_custkey"))
+          .withColumn("treated", col("c_mktsegment") === "AUTOMOBILE"),
+        Seq("c_acctbal"), "treated", "o_totalprice", 0.5, 3)
+    }),
+    // annotation-QA for SCORE-valued ratings: interval Krippendorff's
+    // alpha over each user's repeated event values (intra-user agreement)
+    "q309_krippendorff_interval" -> ((s, dir) =>
+      graft.ops.Quality.krippendorffAlphaInterval(
+        t(s, dir, "events"), "user_id", "value")),
     // unit-free effect magnitude per nation: Hedges-corrected Cohen's d
     // with the conventional small/medium/large bands
     "q300_effect_size" -> ((s, dir) => {
@@ -7091,6 +7108,112 @@ object SparkEntry {
         |        + vc1 / CAST(nc1 AS DOUBLE) + vc0 / CAST(nc0 AS DOUBLE)), 6)
         |  END AS z
         |FROM e""".stripMargin,
+    // q308: the q289 GD replay (per-round 6dp weight snaps) + clipped
+    // 6dp propensities -> micro-integer weighted sums, one mirrored tail
+    "q308_ipw_ate" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN c.c_mktsegment = 'AUTOMOBILE'
+        |      THEN 1.0 ELSE 0.0 END AS y,
+        |    CAST(o.o_totalprice AS DOUBLE) AS yout,
+        |    CAST(c.c_acctbal AS DOUBLE) AS x0
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_mktsegment IS NOT NULL AND c.c_acctbal IS NOT NULL
+        |    AND o.o_totalprice IS NOT NULL),
+        |st AS (SELECT round(avg(x0), 6) AS m0,
+        |    round(stddev_pop(x0), 6) AS s0 FROM base),
+        |z AS (SELECT y, yout, (x0 - m0) / s0 AS z0 FROM base, st),
+        |w1 AS (SELECT round(0 - 0.5 * avg(0.5 - y), 6) AS b,
+        |    round(0 - 0.5 * avg((0.5 - y) * z0), 6) AS wa FROM z),
+        |p2 AS (SELECT z.*,
+        |    1.0 / (1.0 + exp(-(w1.b + w1.wa * z0))) AS p,
+        |    w1.b AS pb, w1.wa AS pwa FROM z, w1),
+        |w2 AS (SELECT round(first(pb) - 0.5 * avg(p - y), 6) AS b,
+        |    round(first(pwa) - 0.5 * avg((p - y) * z0), 6) AS wa FROM p2),
+        |p3 AS (SELECT z.*,
+        |    1.0 / (1.0 + exp(-(w2.b + w2.wa * z0))) AS p,
+        |    w2.b AS pb, w2.wa AS pwa FROM z, w2),
+        |w3 AS (SELECT round(first(pb) - 0.5 * avg(p - y), 6) AS b,
+        |    round(first(pwa) - 0.5 * avg((p - y) * z0), 6) AS wa FROM p3),
+        |sel AS (SELECT z.y, z.yout, w3.b + w3.wa * z0 AS zf FROM z, w3),
+        |ww AS (SELECT y, yout,
+        |    round(CASE WHEN y = 1.0 THEN 1.0 / e
+        |      ELSE 1.0 / (1.0 - e) END, 6) AS w
+        |  FROM (SELECT y, yout,
+        |      round(least(greatest(1.0 / (1.0 + exp(-zf)), 0.05),
+        |        0.95), 6) AS e
+        |    FROM sel)),
+        |red AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(CASE WHEN y = 1.0 THEN 1 END) AS BIGINT) AS n_treat,
+        |    CAST(count(CASE WHEN y = 0.0 THEN 1 END) AS BIGINT) AS n_ctrl,
+        |    sum(CASE WHEN y = 1.0 THEN CAST(CAST(round(w * 1000000.0)
+        |      AS BIGINT) AS HUGEINT) END) AS wt1,
+        |    sum(CASE WHEN y = 1.0 THEN CAST(CAST(round(w * yout
+        |      * 1000000.0) AS BIGINT) AS HUGEINT) END) AS wy1,
+        |    sum(CASE WHEN y = 1.0 THEN CAST(CAST(round(w * w * 1000000.0)
+        |      AS BIGINT) AS HUGEINT) END) AS w21,
+        |    sum(CASE WHEN y = 0.0 THEN CAST(CAST(round(w * 1000000.0)
+        |      AS BIGINT) AS HUGEINT) END) AS wt0,
+        |    sum(CASE WHEN y = 0.0 THEN CAST(CAST(round(w * yout
+        |      * 1000000.0) AS BIGINT) AS HUGEINT) END) AS wy0,
+        |    sum(CASE WHEN y = 0.0 THEN CAST(CAST(round(w * w * 1000000.0)
+        |      AS BIGINT) AS HUGEINT) END) AS w20
+        |  FROM ww)
+        |SELECT n, n_treat, n_ctrl,
+        |  CASE WHEN n_treat > 0 THEN round(CAST(wt1 AS DOUBLE)
+        |    * CAST(wt1 AS DOUBLE) / CAST(w21 AS DOUBLE) / 1000000.0, 6)
+        |  END AS ess_treat,
+        |  CASE WHEN n_ctrl > 0 THEN round(CAST(wt0 AS DOUBLE)
+        |    * CAST(wt0 AS DOUBLE) / CAST(w20 AS DOUBLE) / 1000000.0, 6)
+        |  END AS ess_ctrl,
+        |  CASE WHEN n_treat > 0 THEN
+        |    round(CAST(wy1 AS DOUBLE) / CAST(wt1 AS DOUBLE), 6)
+        |  END AS mean_treat_w,
+        |  CASE WHEN n_ctrl > 0 THEN
+        |    round(CAST(wy0 AS DOUBLE) / CAST(wt0 AS DOUBLE), 6)
+        |  END AS mean_ctrl_w,
+        |  CASE WHEN n_treat > 0 AND n_ctrl > 0 THEN
+        |    round(CAST(wy1 AS DOUBLE) / CAST(wt1 AS DOUBLE)
+        |      - CAST(wy0 AS DOUBLE) / CAST(wt0 AS DOUBLE), 6)
+        |  END AS ate
+        |FROM red""".stripMargin,
+    // q309: exact pair-sum identities 2(m*Q - S^2) over HUGEINT micro
+    // values; the per-unit (m-1) division micro-snapped before the sum
+    "q309_krippendorff_interval" ->
+      """WITH v AS (
+        |  SELECT user_id AS item,
+        |    CAST(CAST(round(CAST(value AS DOUBLE) * 1000000.0) AS BIGINT)
+        |      AS HUGEINT) AS vm
+        |  FROM events WHERE value IS NOT NULL),
+        |per AS (
+        |  SELECT item, CAST(count(*) AS BIGINT) AS m,
+        |    sum(vm) AS s, sum(vm * vm) AS q
+        |  FROM v GROUP BY 1
+        |  HAVING count(*) >= 2),
+        |obs AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(coalesce(sum(m), 0) AS BIGINT) AS n,
+        |    coalesce(sum(CAST(round(
+        |      CAST(CAST(m AS HUGEINT) * q - s * s AS DOUBLE) * 2.0 / 1e12
+        |        / (CAST(m AS DOUBLE) - 1.0) * 1000000.0)
+        |      AS HUGEINT)), 0) AS o,
+        |    sum(s) AS sg, sum(q) AS qg
+        |  FROM per)
+        |SELECT n_items, n AS n_ratings,
+        |  round(CAST(o AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE), 6)
+        |    AS d_o,
+        |  round(CAST(CAST(n AS HUGEINT) * qg - sg * sg AS DOUBLE) * 2.0
+        |    / 1e12 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6)
+        |    AS d_e,
+        |  CASE WHEN CAST(CAST(n AS HUGEINT) * qg - sg * sg AS DOUBLE)
+        |      * 2.0 / 1e12 > 0 THEN
+        |    round(1.0 - (CAST(o AS DOUBLE) / 1000000.0
+        |        / CAST(n AS DOUBLE))
+        |      / (CAST(CAST(n AS HUGEINT) * qg - sg * sg AS DOUBLE) * 2.0
+        |        / 1e12 / (CAST(n AS DOUBLE)
+        |        * (CAST(n AS DOUBLE) - 1.0))), 6)
+        |  END AS alpha
+        |FROM obs
+        |WHERE n > 0""".stripMargin,
     // q301: strict row_number ranks over the complete panel, exact
     // integer rank sums, one mirrored division
     "q301_kendalls_w" ->

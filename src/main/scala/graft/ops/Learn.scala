@@ -86,6 +86,105 @@ object Learn {
           .as("accuracy")): _*)
   }
 
+  /** Inverse-propensity-weighted average treatment effect — the
+    * cross-sectional causal estimator when assignment was NOT random
+    * ([[graft.ops.Quality.didEstimator]]'s no-time-dimension sibling):
+    * fit a propensity model `e(x) = P(treated | x)` with the
+    * [[logisticGd]] trajectory (z-scored features, 6 dp weight snap per
+    * round — engine-exact), clip propensities into `[clip, 1−clip]`
+    * (standard positivity guard), weight treated rows by `1/e` and
+    * control rows by `1/(1−e)`, and report the Hájek (self-normalized)
+    * weighted outcome means and their difference. Per-row weights and
+    * weighted outcomes snap to 6 dp micro-integer decimals before the
+    * order-sensitive sums, so the estimate is identical on any engine.
+    * Also reports each arm's effective sample size `(Σw)²/Σw²` — the
+    * overlap diagnostic that says how much the weighting cost. Output:
+    * ONE row — (n, n_treat, n_ctrl, ess_treat, ess_ctrl, mean_treat_w,
+    * mean_ctrl_w, ate), 6 dp.
+    *
+    * Scale shape: [[logisticGd]]'s shape — one standardization
+    * aggregate, one full-scan gradient aggregate per iteration, then ONE
+    * weighted-sum aggregate; the driver holds only the weight vector.
+    * Every pass is a map-side-combined scan, no join, no window. */
+  def ipwAte(df: DataFrame, featureCols: Seq[String], treatCol: String,
+             outcomeCol: String, lr: Double, iters: Int,
+             clip: Double = 0.05): DataFrame = {
+    require(featureCols.nonEmpty, "ipwAte: need at least one feature")
+    require(lr > 0, s"ipwAte: need lr > 0, got $lr")
+    require(iters >= 1 && iters <= 50,
+      s"ipwAte: need 1 <= iters <= 50, got $iters")
+    require(clip > 0 && clip < 0.5, s"ipwAte: need 0 < clip < 0.5, got $clip")
+    val y = col(treatCol).cast("boolean").cast("double")
+    val out = col(outcomeCol).cast("double")
+    val raw = df.where(featureCols.map(c => col(c).isNotNull).reduce(_ && _)
+        && y.isNotNull && out.isNotNull)
+      .select(y.as("__y") +: out.as("__out") +:
+        featureCols.zipWithIndex.map { case (c, i) =>
+          col(c).cast("double").as(s"__x$i") }: _*)
+    val k = featureCols.size
+    val stats = raw.agg(
+      round(avg(col("__x0")), 6).as("m0"),
+      (Seq(round(stddev_pop(col("__x0")), 6).as("s0")) ++
+        (1 until k).flatMap(i => Seq(
+          round(avg(col(s"__x$i")), 6).as(s"m$i"),
+          round(stddev_pop(col(s"__x$i")), 6).as(s"s$i")))): _*).head()
+    val base = graft.core.CacheRegistry.persist(
+      raw.select(col("__y") +: col("__out") +: (0 until k).map { i =>
+        val m = stats.getAs[Double](s"m$i")
+        val s = stats.getAs[Double](s"s$i")
+        require(s > 0, s"ipwAte: feature ${featureCols(i)} has zero variance")
+        ((col(s"__x$i") - lit(m)) / lit(s)).as(s"__z$i")
+      }: _*))
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var w = Array.fill(k + 1)(0.0)
+    for (_ <- 1 to iters) {
+      val z = (0 until k).foldLeft(lit(w(0)): Column)((acc, i) =>
+        acc + lit(w(i + 1)) * col(s"__z$i"))
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val g = base.agg(
+        avg(p - col("__y")).as("g0"),
+        (0 until k).map(i =>
+          avg((p - col("__y")) * col(s"__z$i")).as(s"g${i + 1}")): _*).head()
+      w = w.zipWithIndex.map { case (wi, j) =>
+        r6(wi - lr * g.getAs[Double](s"g$j")) }
+    }
+    val zF = (0 until k).foldLeft(lit(w(0)): Column)((acc, i) =>
+      acc + lit(w(i + 1)) * col(s"__z$i"))
+    // 6 dp-snapped clipped propensity -> per-row weight, also snapped:
+    // every sum below runs over exact micro-integer decimals
+    val e = round(least(greatest(lit(1.0) / (lit(1.0) + exp(-zF)),
+      lit(clip)), lit(1.0 - clip)), 6)
+    val wt = round(when(col("__y") === 1.0, lit(1.0) / e)
+      .otherwise(lit(1.0) / (lit(1.0) - e)), 6)
+    val wm = round(wt * lit(1e6)).cast("decimal(38,0)")
+    val wym = round(wt * col("__out") * lit(1e6)).cast("decimal(38,0)")
+    val w2m = round(wt * wt * lit(1e6)).cast("decimal(38,0)")
+    def arm(t: Double, c: Column): Column = sum(when(col("__y") === t, c))
+    val red = base.agg(
+      count(lit(1)).as("n"),
+      count(when(col("__y") === 1.0, 1)).as("n_treat"),
+      count(when(col("__y") === 0.0, 1)).as("n_ctrl"),
+      arm(1.0, wm).as("__wt1"), arm(1.0, wym).as("__wy1"),
+      arm(1.0, w2m).as("__w21"),
+      arm(0.0, wm).as("__wt0"), arm(0.0, wym).as("__wy0"),
+      arm(0.0, w2m).as("__w20"))
+    def d(c: String): Column = col(c).cast("double")
+    val mt = d("__wy1") / d("__wt1")
+    val mc = d("__wy0") / d("__wt0")
+    red.select(col("n"), col("n_treat"), col("n_ctrl"),
+      when(col("n_treat") > 0,
+        round(d("__wt1") * d("__wt1") / d("__w21") / lit(1e6), 6))
+        .as("ess_treat"),
+      when(col("n_ctrl") > 0,
+        round(d("__wt0") * d("__wt0") / d("__w20") / lit(1e6), 6))
+        .as("ess_ctrl"),
+      when(col("n_treat") > 0, round(mt, 6)).as("mean_treat_w"),
+      when(col("n_ctrl") > 0, round(mc, 6)).as("mean_ctrl_w"),
+      when(col("n_treat") > 0 && col("n_ctrl") > 0, round(mt - mc, 6))
+        .as("ate"))
+  }
+
   /** Nearest-class-mean classification evaluated on a deterministic
     * holdout: rows with `id % holdModulo == 0` are the test split, the
     * rest train per-label centroids ([[graft.ops.Embeddings.labelCentroids]]'

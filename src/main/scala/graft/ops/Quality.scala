@@ -1177,6 +1177,57 @@ object Quality {
             (col("__n") - lit(1L)).cast("double") / den, 6)).as("alpha"))
   }
 
+  /** Krippendorff's alpha for INTERVAL (score-valued) ratings — the
+    * [[krippendorffAlpha]] twin when annotators assign NUMBERS (quality
+    * scores, Likert grades) rather than categories, so disagreement is
+    * the squared difference `δ² = (v_i − v_j)²` instead of 0/1. The
+    * pair sums collapse to exact integer identities — within a unit
+    * `Σ_{i≠j}δ² = 2(m·Σv² − (Σv)²)`, globally the same with N — over
+    * 6 dp micro-integer values riding decimal(38,0), so D_o and D_e are
+    * exact up to one per-unit division (micro-snapped before the unit
+    * sum, the [[krippendorffAlpha]] device) and one final expression.
+    * Items with one rating are unpairable and excluded from BOTH D_o
+    * and D_e (the pooled marginals use pairable units only); an
+    * all-equal panel has D_e = 0 → null alpha. Output: one row —
+    * (n_items, n_ratings, d_o, d_e, alpha), distances in value² units,
+    * 6 dp.
+    *
+    * Scale shape: one (item) hash-agg of count/Σ/Σ² partials, then a
+    * single-row reduce — no pair generation, no window, two scans of
+    * nothing bigger than the item table. */
+  def krippendorffAlphaInterval(df: DataFrame, itemCol: String,
+                                valueCol: String): DataFrame = {
+    val vm = round(col(valueCol).cast("double") * lit(1e6))
+      .cast("decimal(38,0)")
+    val items = df.where(col(valueCol).isNotNull)
+      .select(col(itemCol).as("__item"), vm.as("__vm"))
+      .groupBy("__item")
+      .agg(count(lit(1)).as("__m"), sum(col("__vm")).as("__s"),
+        sum(col("__vm") * col("__vm")).as("__q"))
+      .where(col("__m") >= 2)
+    val mD = col("__m").cast("decimal(38,0)")
+    // ordered-pair δ² sum within the unit, back in value² units, with
+    // the per-unit (m−1) division micro-snapped before the global sum
+    val tU = (mD * col("__q") - col("__s") * col("__s")).cast("double") *
+      lit(2.0) / lit(1e12) / (col("__m") - lit(1L)).cast("double")
+    val obs = items.agg(
+      count(lit(1)).as("n_items"),
+      coalesce(sum("__m"), lit(0L)).as("__n"),
+      coalesce(sum(round(tU * lit(1e6)).cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")).as("__o"),
+      sum(col("__s")).as("__sg"), sum(col("__q")).as("__qg"))
+    val nDec = col("__n").cast("decimal(38,0)")
+    val dO = col("__o").cast("double") / lit(1e6) / col("__n").cast("double")
+    val deNum = (nDec * col("__qg") - col("__sg") * col("__sg"))
+      .cast("double") * lit(2.0) / lit(1e12)
+    val dE = deNum /
+      (col("__n").cast("double") * (col("__n") - lit(1L)).cast("double"))
+    obs.where(col("__n") > 0)
+      .select(col("n_items"), col("__n").as("n_ratings"),
+        round(dO, 6).as("d_o"), round(dE, 6).as("d_e"),
+        when(deNum > 0, round(lit(1.0) - dO / dE, 6)).as("alpha"))
+  }
+
   /** Murphy decomposition of the Brier score — [[calibrationBins]]'
     * one-row verdict: `brier ≈ reliability − resolution + uncertainty`,
     * where reliability is the calibration error you can fix by

@@ -222,4 +222,31 @@ class LearnSpec extends SparkSpec {
     s shouldBe (("a", 4L, Some(1.0), None, None))
     graft.core.CacheRegistry.drain()
   }
+
+  test("ipwAte: symmetric propensity degenerates to weight-2 means; " +
+    "ate = weighted mean difference; bad inputs throw") {
+    // x is symmetric across arms -> every GD gradient is 0, w stays 0,
+    // e = 0.5, weight = 2 everywhere: plain arm means
+    val d = Seq((0.0, true, 10.0), (0.0, false, 8.0),
+      (1.0, true, 20.0), (1.0, false, 12.0)).toDF("x", "tr", "y")
+    val r = graft.core.CacheRegistry.scoped {
+      Learn.ipwAte(d, Seq("x"), "tr", "y", 0.5, 3)
+        .as[(Long, Long, Long, Option[Double], Option[Double],
+          Option[Double], Option[Double], Option[Double])].head()
+    }
+    graft.core.CacheRegistry.drain()
+    r shouldBe ((4L, 2L, 2L, Some(2.0), Some(2.0), Some(15.0), Some(10.0),
+      Some(5.0)))
+    an[IllegalArgumentException] should be thrownBy
+      Learn.ipwAte(d, Seq.empty, "tr", "y", 0.5, 3)
+    an[IllegalArgumentException] should be thrownBy
+      Learn.ipwAte(d, Seq("x"), "tr", "y", 0.5, 3, clip = 0.6)
+    // zero-variance feature is rejected like logisticGd
+    an[IllegalArgumentException] should be thrownBy
+      graft.core.CacheRegistry.scoped {
+        Learn.ipwAte(d.withColumn("c",
+          org.apache.spark.sql.functions.lit(1.0)), Seq("c"), "tr", "y",
+          0.5, 1).collect()
+      }
+  }
 }

@@ -1163,6 +1163,24 @@ class QualitySpec extends SparkSpec {
       None, None))
   }
 
+  test("krippendorffAlphaInterval: hand-computed D_o/D_e from the exact " +
+    "pair-sum identities; singleton items excluded; all-equal nulls alpha") {
+    // A: [1,2] -> pair sum 2, /(m-1)=2; B: [3,3,5] -> 2*(3*43-121)=16,
+    // /2 = 8; N=5, D_o = 10/5 = 2; global 2*(5*48-196)=88,
+    // D_e = 88/20 = 4.4; alpha = 1 - 2/4.4
+    val d = Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 3.0), ("B", 5.0),
+      ("C", 4.0)).toDF("item", "v")
+    val r = Quality.krippendorffAlphaInterval(d, "item", "v")
+      .as[(Long, Long, Double, Double, Option[Double])].head()
+    r shouldBe ((2L, 5L, 2.0, 4.4, Some(round6(1.0 - 2.0 / 4.4))))
+    // all-equal ratings: D_e = 0 -> alpha null
+    val const = Seq(("A", 2.0), ("A", 2.0), ("B", 2.0), ("B", 2.0))
+      .toDF("item", "v")
+    Quality.krippendorffAlphaInterval(const, "item", "v")
+      .as[(Long, Long, Double, Double, Option[Double])].head() shouldBe
+      ((2L, 4L, 0.0, 0.0, None))
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
