@@ -1050,4 +1050,20 @@ class PlanSpec extends SparkSpec {
       graft.core.CacheRegistry.drain()
     }
   }
+
+  test("k-group tests, expectation suite, causal estimators, Heaps fit: " +
+    "no shuffle cartesian; the fit/threshold fan-outs broadcast " +
+    "(q301-q309)") {
+    for (q <- Seq("q301_kendalls_w", "q302_anova_f", "q303_kruskal_wallis",
+        "q304_levene_bf", "q305_expectations", "q306_heaps_law",
+        "q307_did", "q308_ipw_ate", "q309_krippendorff_interval")) {
+      graft.core.CacheRegistry.scoped {
+        withClue(q) {
+          planOf(SparkEntry.queries(q)(spark, sf0001)) should
+            not include "CartesianProduct"
+        }
+      }
+      graft.core.CacheRegistry.drain()
+    }
+  }
 }
