@@ -936,8 +936,11 @@ object SparkEntry {
         .select(format_string("%d#%d", col("user_id"),
           unix_micros(col("session_start"))).as("sid"),
           col("session_start"), col("session_end"))
+      // band sized to the measured session-length profile (p50 < 1 min):
+      // 5 min keeps each session in 1-2 bands while holding band
+      // population ~10x lower than the 1 h band (pairs are band-invariant)
       Joins.intervalOverlapPairs(sess, "sid",
-        "session_start", "session_end", 3600000L)
+        "session_start", "session_end", 300000L)
     }),
     // exact per-group distribution mart (the sketch variant's oracle twin)
     "q45_percentiles" -> ((s, dir) =>
