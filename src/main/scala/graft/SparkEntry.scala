@@ -1624,6 +1624,25 @@ object SparkEntry {
     "q309_krippendorff_interval" -> ((s, dir) =>
       graft.ops.Quality.krippendorffAlphaInterval(
         t(s, dir, "events"), "user_id", "value")),
+    // binning-free distribution shift: each source's doc-length ECDF vs
+    // the corpus, as an exact earth-mover distance in chars
+    "q310_wasserstein_shift" -> ((s, dir) =>
+      graft.ops.Quality.wasserstein1(
+        t(s, dir, "documents"), "source", "n_chars")),
+    // is q152's training tape actually mixed? runs-test z over the
+    // scheduled source order (no global window - rank + adjacency join)
+    "q311_tape_mixing" -> ((s, dir) =>
+      Sampling.tapeMixingAudit(
+        Sampling.mixtureSchedule(
+          t(s, dir, "documents").select("doc_id", "source"), "doc_id",
+          "source",
+          Seq("src0" -> 3.0, "src1" -> 1.5, "src2" -> 1.0, "src3" -> 0.5)),
+        "sched_key", "doc_id", "source")),
+    // long-tail loss reweighting by effective sample count (Cui et al.):
+    // per label, eff_n and the k-normalized class weight
+    "q312_class_weights" -> ((s, dir) =>
+      graft.ops.Learn.classBalancedWeights(
+        t(s, dir, "embeddings"), "label", 0.999)),
     // unit-free effect magnitude per nation: Hedges-corrected Cohen's d
     // with the conventional small/medium/large bands
     "q300_effect_size" -> ((s, dir) => {
@@ -7217,6 +7236,127 @@ object SparkEntry {
         |  END AS alpha
         |FROM obs
         |WHERE n > 0""".stripMargin,
+    // q310: shared distinct-value grid, group-partitioned cumsums, exact
+    // integer cross-multiplied ECDF gaps, ONE division at the end
+    "q310_wasserstein_shift" ->
+      """WITH cells AS (
+        |  SELECT source AS g,
+        |    CAST(round(CAST(n_chars AS DOUBLE) * 1000000.0) AS BIGINT)
+        |      AS vm,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        |grid AS (SELECT vm, CAST(sum(c) AS BIGINT) AS cg
+        |  FROM cells GROUP BY 1),
+        |grp AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng
+        |  FROM cells GROUP BY 1),
+        |panel AS (
+        |  SELECT grp.g, grid.vm, grp.ng, grid.cg,
+        |    coalesce(cells.c, 0) AS cgrp
+        |  FROM grid CROSS JOIN grp
+        |  LEFT JOIN cells ON cells.g IS NOT DISTINCT FROM grp.g
+        |    AND cells.vm = grid.vm),
+        |w AS (
+        |  SELECT g, ng, vm,
+        |    sum(cgrp) OVER (PARTITION BY g ORDER BY vm) AS fg,
+        |    sum(cg) OVER (PARTITION BY g ORDER BY vm) AS f,
+        |    lead(vm) OVER (PARTITION BY g ORDER BY vm) - vm AS dx,
+        |    sum(cg) OVER (PARTITION BY g) AS n
+        |  FROM panel),
+        |red AS (
+        |  SELECT g, CAST(max(ng) AS BIGINT) AS n_group,
+        |    CAST(max(n) AS BIGINT) AS n_total,
+        |    coalesce(sum(abs(CAST(fg AS HUGEINT) * n
+        |      - CAST(f AS HUGEINT) * ng) * dx), 0) AS wsum
+        |  FROM w WHERE dx IS NOT NULL GROUP BY 1)
+        |SELECT g AS source, n_group, n_total,
+        |  round(CAST(wsum AS DOUBLE)
+        |    / (CAST(n_group AS DOUBLE) * CAST(n_total AS DOUBLE))
+        |    / 1000000.0, 6) AS w1
+        |FROM red""".stripMargin,
+    // q311: the q152 tape replayed, runs counted via lag over the same
+    // total order, Barton-David moments from exact integer sums
+    "q311_tape_mixing" ->
+      """WITH r0 AS (
+        |  SELECT doc_id, source, CAST(row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+        |    AS source_rank
+        |  FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+        |tape AS (
+        |  SELECT doc_id, source,
+        |    source_rank / (CASE source WHEN 'src0' THEN 3.0
+        |      WHEN 'src1' THEN 1.5 WHEN 'src2' THEN 1.0
+        |      ELSE 0.5 END) AS sk
+        |  FROM r0),
+        |seq AS (
+        |  SELECT source,
+        |    lag(source) OVER (ORDER BY sk, doc_id) AS prev
+        |  FROM tape),
+        |brk AS (
+        |  SELECT CAST(count(CASE WHEN prev IS NOT NULL
+        |    AND prev IS DISTINCT FROM source THEN 1 END) AS BIGINT) AS b
+        |  FROM seq),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(coalesce(sum(n), 0) AS BIGINT) AS nn,
+        |    CAST(coalesce(sum(n * n), 0) AS BIGINT) AS s2,
+        |    CAST(coalesce(sum(n * n * n), 0) AS BIGINT) AS s3
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS n
+        |    FROM tape GROUP BY source))
+        |SELECT nn AS n, k AS k_labels,
+        |  CASE WHEN nn > 0 THEN b + 1 END AS runs,
+        |  CASE WHEN nn >= 2 THEN
+        |    round(CAST(nn AS DOUBLE) + 1.0
+        |      - CAST(s2 AS DOUBLE) / CAST(nn AS DOUBLE), 6) END AS runs_exp,
+        |  CASE WHEN nn >= 2 THEN
+        |    round((CAST(s2 AS DOUBLE) * (CAST(s2 AS DOUBLE)
+        |        + CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0))
+        |      - 2.0 * CAST(nn AS DOUBLE) * CAST(s3 AS DOUBLE)
+        |      - CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+        |        * CAST(nn AS DOUBLE))
+        |      / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+        |        * (CAST(nn AS DOUBLE) - 1.0)), 6) END AS runs_var,
+        |  CASE WHEN nn >= 2 AND
+        |    (CAST(s2 AS DOUBLE) * (CAST(s2 AS DOUBLE)
+        |        + CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0))
+        |      - 2.0 * CAST(nn AS DOUBLE) * CAST(s3 AS DOUBLE)
+        |      - CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+        |        * CAST(nn AS DOUBLE))
+        |      / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+        |        * (CAST(nn AS DOUBLE) - 1.0)) > 0 THEN
+        |    round((CAST(b + 1 AS DOUBLE)
+        |      - (CAST(nn AS DOUBLE) + 1.0
+        |        - CAST(s2 AS DOUBLE) / CAST(nn AS DOUBLE)))
+        |      / sqrt((CAST(s2 AS DOUBLE) * (CAST(s2 AS DOUBLE)
+        |          + CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0))
+        |        - 2.0 * CAST(nn AS DOUBLE) * CAST(s3 AS DOUBLE)
+        |        - CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+        |          * CAST(nn AS DOUBLE))
+        |        / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+        |          * (CAST(nn AS DOUBLE) - 1.0))), 6) END AS z
+        |FROM m, brk""".stripMargin,
+    // q312: same unrounded eff-n expression both sides; the (1.0-0.999)
+    // subtraction is written out so both engines share the exact double
+    "q312_class_weights" ->
+      """WITH c AS (
+        |  SELECT label, CAST(count(*) AS BIGINT) AS n
+        |  FROM embeddings GROUP BY 1),
+        |r AS (
+        |  SELECT label, n,
+        |    round((1.0 - power(0.999, CAST(n AS DOUBLE)))
+        |      / (1.0 - 0.999), 6) AS eff_n,
+        |    CAST(round(1.0 / ((1.0 - power(0.999, CAST(n AS DOUBLE)))
+        |      / (1.0 - 0.999)) * 1000000.0) AS BIGINT) AS wm
+        |  FROM c),
+        |t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(coalesce(sum(wm), 0) AS BIGINT) AS sw
+        |  FROM r)
+        |SELECT label, n, eff_n,
+        |  round(CAST(wm AS DOUBLE) * CAST(k AS DOUBLE)
+        |    / CAST(sw AS DOUBLE), 6) AS weight
+        |FROM r, t""".stripMargin,
     // q301: strict row_number ranks over the complete panel, exact
     // integer rank sums, one mirrored division
     "q301_kendalls_w" ->

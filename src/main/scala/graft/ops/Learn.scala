@@ -185,6 +185,38 @@ object Learn {
         .as("ate"))
   }
 
+  /** Class-balanced loss weights by EFFECTIVE number of samples (Cui et
+    * al., CVPR 2019): near-duplicate samples add less marginal
+    * information, so class c's effective count is `(1−β^{n_c})/(1−β)`
+    * and its loss weight the inverse, normalized so the k weights sum
+    * to k — the principled replacement for raw 1/n_c reweighting on
+    * long-tailed label distributions (β → 0 recovers uniform, β → 1
+    * recovers 1/n_c). Per-label weights snap to 6 dp micro-integers
+    * before the normalization sum (k bounded label rows; the pow's
+    * sub-ulp engine wiggle vanishes in the snap). A null label is its
+    * own class. Output: (label, n, eff_n, weight), 6 dp.
+    *
+    * Scale shape: ONE label hash-agg (map-side combine) to counts; the
+    * weight algebra runs over k label rows with a broadcast scalar. */
+  def classBalancedWeights(df: DataFrame, labelCol: String,
+                           beta: Double): DataFrame = {
+    require(beta > 0 && beta < 1,
+      s"classBalancedWeights: need 0 < beta < 1, got $beta")
+    val counts = df.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n"))
+    val effN = (lit(1.0) - pow(lit(beta), col("n").cast("double"))) /
+      lit(1.0 - beta)
+    val raw = counts.select(col("label"), col("n"),
+      round(effN, 6).as("eff_n"),
+      round(lit(1.0) / effN * lit(1e6)).cast("long").as("__wm"))
+    val tot = raw.agg(count(lit(1)).as("__k"),
+      coalesce(sum("__wm"), lit(0L)).as("__sw"))
+    raw.crossJoin(broadcast(tot))
+      .select(col("label"), col("n"), col("eff_n"),
+        round(col("__wm").cast("double") * col("__k").cast("double") /
+          col("__sw").cast("double"), 6).as("weight"))
+  }
+
   /** Nearest-class-mean classification evaluated on a deterministic
     * holdout: rows with `id % holdModulo == 0` are the test split, the
     * rest train per-label centroids ([[graft.ops.Embeddings.labelCentroids]]'

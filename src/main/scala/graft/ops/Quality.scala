@@ -1177,6 +1177,65 @@ object Quality {
             (col("__n") - lit(1L)).cast("double") / den, 6)).as("alpha"))
   }
 
+  /** Exact 1-D Wasserstein-1 (earth-mover) distance of each group's
+    * value distribution from the pooled corpus — the binning-free twin
+    * of [[psiDrift]]: PSI depends on a bin grid and explodes on empty
+    * bins, while `W₁ = ∫|F_g − F|dx` is the actual metric distance in
+    * VALUE UNITS ("this source's length distribution sits 340 chars
+    * away from the corpus"). Both ECDFs ride the shared distinct-value
+    * grid: per grid step, `|cumᵍ·n − cum·nᵍ|·Δx` accumulates as an
+    * EXACT decimal (integer cross-multiplication instead of two
+    * divisions), and the single division by `nᵍ·n` happens once at the
+    * end — engine-identical to the 6 dp round. Null values drop; a null
+    * group is its own cohort. Output: (group, n_group, n_total, w1),
+    * value units, 6 dp.
+    *
+    * Scale shape: one (group, value) hash-agg, one (value) hash-agg,
+    * then each group's panel is the FULL value grid (|grid|·|groups|
+    * rows — bounded by the quantization grid times the group
+    * vocabulary) with group-partitioned cumsum windows; no window ever
+    * sees ungrouped data. */
+  def wasserstein1(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vm = round(col(valCol).cast("double") * lit(1e6)).cast("long")
+    val cells = graft.core.CacheRegistry.persist(
+      df.where(col(valCol).isNotNull)
+        .groupBy(col(groupCol).as("__g"), vm.as("__vm"))
+        .agg(count(lit(1)).as("__c")))
+    val grid = cells.groupBy("__vm").agg(sum("__c").as("__cg"))
+    val groups = cells.groupBy("__g").agg(sum("__c").as("__ng"))
+    // every group × every grid value (counts 0 where absent): the panel
+    // each group's ECDF needs; group count is small, the grid bounded
+    // null-safe group key: a null group is its own cohort and must
+    // attach its own counts (the termLabelMI rule)
+    val cellsR = cells.select(col("__g").as("__gc"), col("__vm").as("__vmc"),
+      col("__c"))
+    val panel = grid.crossJoin(broadcast(groups))
+      .join(cellsR,
+        col("__g") <=> col("__gc") && col("__vm") === col("__vmc"), "left")
+      .select(col("__g"), col("__vm"), col("__ng"), col("__cg"),
+        coalesce(col("__c"), lit(0L)).as("__cgrp"))
+    val wg = Window.partitionBy(col("__g")).orderBy(col("__vm"))
+    val staged = panel.select(col("__g"), col("__ng"),
+      sum("__cgrp").over(wg).cast("decimal(38,0)").as("__Fg"),
+      sum("__cg").over(wg).cast("decimal(38,0)").as("__F"),
+      (lead(col("__vm"), 1).over(wg) - col("__vm")).as("__dx"),
+      sum("__cg").over(Window.partitionBy(col("__g"))).as("__n"))
+    val nDec = col("__n").cast("decimal(38,0)")
+    val ngDec = col("__ng").cast("decimal(38,0)")
+    val term = abs(col("__Fg") * nDec - col("__F") * ngDec) *
+      col("__dx").cast("decimal(38,0)")
+    staged.where(col("__dx").isNotNull)
+      .groupBy(col("__g"))
+      .agg(max("__ng").as("n_group"), max("__n").as("n_total"),
+        coalesce(sum(term),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")).as("__w"))
+      .select(col("__g").as(groupCol), col("n_group"), col("n_total"),
+        round(col("__w").cast("double") /
+          (col("n_group").cast("double") * col("n_total").cast("double")) /
+          lit(1e6), 6).as("w1"))
+  }
+
   /** Krippendorff's alpha for INTERVAL (score-valued) ratings — the
     * [[krippendorffAlpha]] twin when annotators assign NUMBERS (quality
     * scores, Likert grades) rather than categories, so disagreement is

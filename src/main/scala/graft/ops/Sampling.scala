@@ -385,6 +385,60 @@ object Sampling {
       .withColumn("sched_key", col("source_rank") / weightExpr)
   }
 
+  /** Tape MIXING audit — is a proposed training order actually shuffled?
+    * A badly mixed tape (long single-source runs) trains on correlated
+    * batches; this is the acceptance test for [[mixtureSchedule]]'s
+    * output (or any ordered tape): the observed number of label RUNS
+    * against the Wald–Wolfowitz / Barton–David expectation under random
+    * arrangement, `E[R] = N + 1 − Σn_i²/N` with the k-category variance
+    * `Var[R] = [Σn_i²(Σn_i² + N(N+1)) − 2N·Σn_i³ − N³] / (N²(N−1))`,
+    * and the z score (z ≪ 0 = under-mixed/clumped, z ≫ 0 =
+    * over-alternating). Runs are counted WITHOUT a global-order window:
+    * rows are ranked by the range-exchange device and adjacent
+    * positions meet in an equi-join on `rank = rank+1`; every moment is
+    * an exact integer sum, the tail one IEEE expression. `(orderCol,
+    * tieCol)` must be a total order. Consume inside
+    * `CacheRegistry.scoped`. Output: one row — (n, k_labels, runs,
+    * runs_exp, runs_var, z), 6 dp; n < 2 or zero variance → null z.
+    *
+    * Scale shape: one range exchange to rank the tape, one rank-keyed
+    * self-join (shuffle on the rank — adjacent ranks co-locate), one
+    * label hash-agg for the moments, one scalar reduce. */
+  def tapeMixingAudit(df: DataFrame, orderCol: String, tieCol: String,
+                      labelCol: String): DataFrame = {
+    val ranked = graft.core.CacheRegistry.persist(
+      graft.ops.Layout.globalRank(
+        df.select(col(orderCol).as("__o"), col(tieCol).as("__t"),
+          col(labelCol).as("__l")),
+        "__o", "__t", rankCol = "__r"))
+    val a = ranked.select(col("__r"), col("__l"))
+    val b = ranked.select((col("__r") - 1L).as("__r"), col("__l").as("__ln"))
+    val breaks = a.join(b, Seq("__r"))
+      .agg(count(lit(1)).as("__adj"),
+        count(when(!(col("__l") <=> col("__ln")), 1)).as("__brk"))
+    val moments = ranked.groupBy("__l")
+      .agg(count(lit(1)).as("__n"))
+      .agg(count(lit(1)).as("k_labels"),
+        coalesce(sum("__n"), lit(0L)).as("__N"),
+        coalesce(sum(col("__n") * col("__n")), lit(0L)).as("__s2"),
+        coalesce(sum(col("__n") * col("__n") * col("__n")), lit(0L))
+          .as("__s3"))
+    val joined = moments.crossJoin(breaks)
+    val nD = col("__N").cast("double")
+    val s2 = col("__s2").cast("double")
+    val s3 = col("__s3").cast("double")
+    val runs = when(col("__N") > 0, col("__brk") + 1L)
+    val rExp = nD + 1.0 - s2 / nD
+    val rVar = (s2 * (s2 + nD * (nD + 1.0)) - lit(2.0) * nD * s3 -
+      nD * nD * nD) / (nD * nD * (nD - 1.0))
+    joined.select(col("__N").as("n"), col("k_labels"),
+      runs.as("runs"),
+      when(col("__N") >= 2, round(rExp, 6)).as("runs_exp"),
+      when(col("__N") >= 2, round(rVar, 6)).as("runs_var"),
+      when(col("__N") >= 2 && rVar > 0,
+        round((runs.cast("double") - rExp) / sqrt(rVar), 6)).as("z"))
+  }
+
   /** Deterministic negative sampling for implicit-feedback training:
     * for every user in `interactions`, `k` items they did NOT interact
     * with, drawn from a deterministic `poolSize`-item candidate pool

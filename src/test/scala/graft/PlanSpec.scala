@@ -1056,7 +1056,9 @@ class PlanSpec extends SparkSpec {
     "(q301-q309)") {
     for (q <- Seq("q301_kendalls_w", "q302_anova_f", "q303_kruskal_wallis",
         "q304_levene_bf", "q305_expectations", "q306_heaps_law",
-        "q307_did", "q308_ipw_ate", "q309_krippendorff_interval")) {
+        "q307_did", "q308_ipw_ate", "q309_krippendorff_interval",
+        "q310_wasserstein_shift", "q311_tape_mixing",
+        "q312_class_weights")) {
       graft.core.CacheRegistry.scoped {
         withClue(q) {
           planOf(SparkEntry.queries(q)(spark, sf0001)) should

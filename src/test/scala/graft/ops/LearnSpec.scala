@@ -249,4 +249,17 @@ class LearnSpec extends SparkSpec {
           0.5, 1).collect()
       }
   }
+
+  test("classBalancedWeights: effective numbers at beta=0.5 and the " +
+    "k-normalization; beta out of range throws") {
+    val d = Seq("a", "a", "a", "b").toDF("lbl")
+    val r = Learn.classBalancedWeights(d, "lbl", 0.5)
+      .as[(String, Long, Double, Double)].collect().map(x => x._1 -> x).toMap
+    // eff_a = (1-0.125)/0.5 = 1.75, eff_b = 1; raw 1/1.75 and 1;
+    // weights normalized so they sum to k=2
+    r("a") shouldBe (("a", 3L, 1.75, 0.727273))
+    r("b") shouldBe (("b", 1L, 1.0, 1.272727))
+    an[IllegalArgumentException] should be thrownBy
+      Learn.classBalancedWeights(d, "lbl", 1.0)
+  }
 }

@@ -1181,6 +1181,27 @@ class QualitySpec extends SparkSpec {
       ((2L, 4L, 0.0, 0.0, None))
   }
 
+  test("wasserstein1: hand ECDF integral vs the pooled corpus; a null " +
+    "group is its own cohort with its own counts") {
+    // global {1,2,3}: A={1,3} -> |1/2-1/3|+|1/2-2/3| = 1/3;
+    // B={2} -> |0-1/3|+|1-2/3| = 2/3
+    val d = Seq(("A", 1.0), ("A", 3.0), ("B", 2.0)).toDF("g", "v")
+    val r = Quality.wasserstein1(d, "g", "v")
+      .as[(String, Long, Long, Double)].collect().map(x => x._1 -> x).toMap
+    r("A") shouldBe (("A", 2L, 3L, round6(1.0 / 3.0)))
+    r("B") shouldBe (("B", 1L, 3L, round6(2.0 / 3.0)))
+    graft.core.CacheRegistry.drain()
+    // null group: grid {1,5}, dx=4; F_null(1)=0 vs 2/3 -> 8/3
+    val dn = Seq((Option("A"), 1.0), (Option("A"), 1.0),
+      (None: Option[String], 5.0)).toDF("g", "v")
+    val rn = Quality.wasserstein1(dn, "g", "v")
+      .as[(Option[String], Long, Long, Double)].collect()
+      .map(x => x._1 -> x).toMap
+    rn(Some("A")) shouldBe ((Some("A"), 2L, 3L, round6(4.0 / 3.0)))
+    rn(None) shouldBe ((None, 1L, 3L, round6(8.0 / 3.0)))
+    graft.core.CacheRegistry.drain()
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

@@ -468,4 +468,28 @@ class SamplingSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Sampling.neymanAllocation(d, "st", "v", 0L)
   }
+
+  test("tapeMixingAudit: runs, Barton-David expectation/variance, z on " +
+    "a hand tape") {
+    // order A,A,B,A: runs=3; n_A=3, n_B=1, N=4 -> E[R]=2.5, Var=0.25
+    val tape = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "A"))
+      .toDF("pos", "src")
+    val r = graft.core.CacheRegistry.scoped {
+      Sampling.tapeMixingAudit(tape, "pos", "pos", "src")
+        .as[(Long, Long, Option[Long], Option[Double], Option[Double],
+          Option[Double])].head()
+    }
+    graft.core.CacheRegistry.drain()
+    r shouldBe ((4L, 2L, Some(3L), Some(2.5), Some(0.25), Some(1.0)))
+    // single label: one run, zero variance -> null z
+    val mono = Seq((1L, "A"), (2L, "A")).toDF("pos", "src")
+    val m = graft.core.CacheRegistry.scoped {
+      Sampling.tapeMixingAudit(mono, "pos", "pos", "src")
+        .as[(Long, Long, Option[Long], Option[Double], Option[Double],
+          Option[Double])].head()
+    }
+    graft.core.CacheRegistry.drain()
+    m._3 shouldBe Some(1L)
+    m._6 shouldBe None
+  }
 }
