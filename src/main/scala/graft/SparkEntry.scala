@@ -1643,6 +1643,23 @@ object SparkEntry {
     "q312_class_weights" -> ((s, dir) =>
       graft.ops.Learn.classBalancedWeights(
         t(s, dir, "embeddings"), "label", 0.999)),
+    // which examples are easy/hard/ambiguous? training-dynamics map over
+    // the q289 GD trajectory's per-round snapshots (dataset cartography)
+    "q313_data_cartography" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .where(col("source").isin("src0", "src1") &&
+          col("n_chars").isNotNull && col("text").isNotNull)
+        .withColumn("is_src1",
+          (col("source") === "src1").cast("double"))
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("double"))
+      graft.ops.Learn.dataCartography(docs, Seq("n_chars", "n_tokens"),
+        "is_src1", 0.5, 3)
+    }),
+    // how much is 10x more data worth? centroid-model accuracy at nested
+    // md5 training fractions + the power-law error extrapolation
+    "q314_learning_curve" -> ((s, dir) =>
+      graft.ops.Learn.learningCurve(
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label", 5)),
     // unit-free effect magnitude per nation: Hedges-corrected Cohen's d
     // with the conventional small/medium/large bands
     "q300_effect_size" -> ((s, dir) => {
@@ -7357,6 +7374,170 @@ object SparkEntry {
         |  round(CAST(wm AS DOUBLE) * CAST(k AS DOUBLE)
         |    / CAST(sw AS DOUBLE), 6) AS weight
         |FROM r, t""".stripMargin,
+    // q313: the q289 GD replay with ALL THREE weight snapshots in scope;
+    // per-row confidence folds and bucket cuts mirrored expression-for-
+    // expression, bucket means over micro-integer sums
+    "q313_data_cartography" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN source = 'src1' THEN 1.0 ELSE 0.0 END AS y,
+        |    CAST(n_chars AS DOUBLE) AS x0,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS x1
+        |  FROM documents WHERE source IN ('src0', 'src1')
+        |    AND n_chars IS NOT NULL AND text IS NOT NULL),
+        |st AS (SELECT round(avg(x0), 6) AS m0,
+        |    round(stddev_pop(x0), 6) AS s0,
+        |    round(avg(x1), 6) AS m1, round(stddev_pop(x1), 6) AS s1
+        |  FROM base),
+        |z AS (SELECT y, (x0 - m0) / s0 AS z0, (x1 - m1) / s1 AS z1
+        |  FROM base, st),
+        |w1 AS (SELECT round(0 - 0.5 * avg(0.5 - y), 6) AS b,
+        |    round(0 - 0.5 * avg((0.5 - y) * z0), 6) AS wa,
+        |    round(0 - 0.5 * avg((0.5 - y) * z1), 6) AS wb FROM z),
+        |p2 AS (SELECT z.*,
+        |    1.0 / (1.0 + exp(-(w1.b + w1.wa * z0 + w1.wb * z1))) AS p,
+        |    w1.b AS pb, w1.wa AS pwa, w1.wb AS pwb FROM z, w1),
+        |w2 AS (SELECT round(first(pb) - 0.5 * avg(p - y), 6) AS b,
+        |    round(first(pwa) - 0.5 * avg((p - y) * z0), 6) AS wa,
+        |    round(first(pwb) - 0.5 * avg((p - y) * z1), 6) AS wb FROM p2),
+        |p3 AS (SELECT z.*,
+        |    1.0 / (1.0 + exp(-(w2.b + w2.wa * z0 + w2.wb * z1))) AS p,
+        |    w2.b AS pb, w2.wa AS pwa, w2.wb AS pwb FROM z, w2),
+        |w3 AS (SELECT round(first(pb) - 0.5 * avg(p - y), 6) AS b,
+        |    round(first(pwa) - 0.5 * avg((p - y) * z0), 6) AS wa,
+        |    round(first(pwb) - 0.5 * avg((p - y) * z1), 6) AS wb FROM p3),
+        |cr AS (SELECT z.y,
+        |    1.0 / (1.0 + exp(-(w1.b + w1.wa * z0 + w1.wb * z1))) AS q1,
+        |    1.0 / (1.0 + exp(-(w2.b + w2.wa * z0 + w2.wb * z1))) AS q2,
+        |    1.0 / (1.0 + exp(-(w3.b + w3.wa * z0 + w3.wb * z1))) AS q3
+        |  FROM z, w1, w2, w3),
+        |cc AS (SELECT
+        |    CASE WHEN y = 1.0 THEN q1 ELSE 1.0 - q1 END AS c1,
+        |    CASE WHEN y = 1.0 THEN q2 ELSE 1.0 - q2 END AS c2,
+        |    CASE WHEN y = 1.0 THEN q3 ELSE 1.0 - q3 END AS c3
+        |  FROM cr),
+        |mm AS (SELECT c1, c2, c3,
+        |    (0.0 + c1 + c2 + c3) / 3.0 AS m FROM cc),
+        |sn AS (SELECT
+        |    round(m, 6) AS conf6,
+        |    round(sqrt((0.0 + (c1 - m) * (c1 - m) + (c2 - m) * (c2 - m)
+        |      + (c3 - m) * (c3 - m)) / 3.0), 6) AS var6
+        |  FROM mm),
+        |bk0 AS (SELECT
+        |    CAST(round(conf6 * 1000000.0) AS BIGINT) AS cm,
+        |    CAST(round(var6 * 1000000.0) AS BIGINT) AS vm
+        |  FROM sn),
+        |mc AS (SELECT min(cm) AS medc FROM (
+        |    SELECT cm, sum(n) OVER (ORDER BY cm) AS cum,
+        |      sum(n) OVER () AS tot
+        |    FROM (SELECT cm, CAST(count(*) AS BIGINT) AS n
+        |      FROM bk0 GROUP BY 1))
+        |  WHERE cum * 2 >= tot),
+        |mv AS (SELECT min(vm) AS medv FROM (
+        |    SELECT vm, sum(n) OVER (ORDER BY vm) AS cum,
+        |      sum(n) OVER () AS tot
+        |    FROM (SELECT vm, CAST(count(*) AS BIGINT) AS n
+        |      FROM bk0 GROUP BY 1))
+        |  WHERE cum * 2 >= tot),
+        |bk AS (SELECT
+        |    CASE WHEN vm >= medv THEN 'ambiguous'
+        |      WHEN cm >= medc THEN 'easy_to_learn'
+        |      ELSE 'hard_to_learn' END AS bucket, cm, vm
+        |  FROM bk0, mc, mv)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(cm) AS DOUBLE)
+        |    / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS mean_conf,
+        |  round(CAST(sum(vm) AS DOUBLE)
+        |    / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS mean_var
+        |FROM bk GROUP BY 1""".stripMargin,
+    // q314: the q235 centroid pipeline replayed once per md5 training
+    // fraction (generated CTE chain), then the q306 micro-snapped
+    // log-log OLS and the 10x extrapolation, mirrored term-for-term
+    "q314_learning_curve" -> {
+      val hex = "0123456789abcdef"
+      def maskSql(f: Int): String =
+        if (f >= 16) ""
+        else s"""
+           |    AND substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '${hex.charAt(f)}'""".stripMargin
+      def perFrac(f: Int): String =
+        s"""tr$f AS (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+           |    unnest(generate_series(0, len(embedding) - 1)) AS dim
+           |  FROM embeddings
+           |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+           |    AND vec_id % 5 <> 0${maskSql(f)}),
+           |c$f AS (SELECT label AS cent_label, dim,
+           |    CAST(CAST(round(avg(v), 6) AS FLOAT) AS DOUBLE) AS cv
+           |  FROM tr$f GROUP BY 1, 2),
+           |cents$f AS (SELECT cent_label, list(cv ORDER BY dim) AS cvec
+           |  FROM c$f GROUP BY 1),
+           |cn$f AS (SELECT cent_label, cvec,
+           |    sqrt(list_reduce(list_prepend(0.0,
+           |      list_transform(cvec, x -> x * x)), (a, b) -> a + b))
+           |      AS cnorm
+           |  FROM cents$f),
+           |sim$f AS (SELECT t.vec_id, t.label, c.cent_label,
+           |    round(list_reduce(list_prepend(0.0,
+           |        list_transform(generate_series(1, len(t.e)),
+           |          k -> t.e[k] * c.cvec[k])), (a, b) -> a + b)
+           |      / (t.enorm * c.cnorm), 6) AS csim
+           |  FROM tn t CROSS JOIN cn$f c),
+           |r$f AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY csim DESC, cent_label ASC) AS rn FROM sim$f),
+           |a$f AS (SELECT
+           |    CAST(count(CASE WHEN label = cent_label THEN 1 END)
+           |      AS BIGINT) AS diag,
+           |    CAST(count(*) AS BIGINT) AS tot
+           |  FROM r$f WHERE rn = 1),
+           |t$f AS (SELECT CAST(count(*) AS BIGINT) AS n_train
+           |  FROM embeddings
+           |  WHERE vec_id % 5 <> 0 AND embedding IS NOT NULL
+           |    AND label IS NOT NULL${maskSql(f)})""".stripMargin
+      def pointSel(f: Int): String =
+        s"""SELECT CAST($f AS BIGINT) AS frac_16ths, t$f.n_train,
+           |  CASE WHEN a$f.tot > 0 THEN CAST(a$f.diag AS DOUBLE)
+           |    / CAST(a$f.tot AS DOUBLE) END AS acc
+           |FROM a$f, t$f""".stripMargin
+      val fracs = Seq(4, 8, 12, 16)
+      s"""WITH te AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings
+         |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+         |    AND vec_id % 5 = 0),
+         |tn AS (SELECT vec_id, label, e,
+         |    sqrt(list_reduce(list_prepend(0.0,
+         |      list_transform(e, x -> x * x)), (a, b) -> a + b)) AS enorm
+         |  FROM te),
+         |${fracs.map(perFrac).mkString(",\n")},
+         |pts AS (${fracs.map(pointSel).mkString("\nUNION ALL\n")}),
+         |pe AS (SELECT frac_16ths, n_train, acc, 1.0 - acc AS err
+         |  FROM pts),
+         |xy AS (SELECT
+         |    CAST(round(ln(CAST(n_train AS DOUBLE)) * 1000000.0)
+         |      AS BIGINT) AS x,
+         |    CAST(round(ln(err) * 1000000.0) AS BIGINT) AS y, n_train
+         |  FROM pe WHERE n_train > 0 AND err > 0),
+         |f AS (SELECT CAST(count(*) AS BIGINT) AS k,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(max(n_train) AS BIGINT) AS nfull
+         |  FROM xy),
+         |fit AS (SELECT k,
+         |    CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+         |    CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+         |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         |    CAST(k AS DOUBLE) AS kd, nfull
+         |  FROM f)
+         |SELECT pe.frac_16ths, pe.n_train, round(pe.acc, 6) AS accuracy,
+         |  round(pe.err, 6) AS err,
+         |  CASE WHEN k >= 2 AND den > 0
+         |    THEN round(-(num / den), 6) END AS decay_b,
+         |  CASE WHEN k >= 2 AND den > 0 THEN
+         |    round(exp((syd - (num / den) * sxd) / kd / 1000000.0
+         |      + (num / den)
+         |        * ln(10.0 * CAST(nfull AS DOUBLE))), 6) END AS err_at_10x
+         |FROM pe, fit""".stripMargin
+    },
     // q301: strict row_number ranks over the complete panel, exact
     // integer rank sums, one mirrored division
     "q301_kendalls_w" ->

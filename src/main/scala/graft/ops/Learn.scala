@@ -185,6 +185,189 @@ object Learn {
         .as("ate"))
   }
 
+  /** Dataset cartography (Swayamdipta et al., EMNLP 2020) — map every
+    * training example by its TRAINING DYNAMICS: mean correct-class
+    * confidence and confidence variability across the [[logisticGd]]
+    * trajectory's per-round weight snapshots (round-r confidence is
+    * `p_r` for positives, `1−p_r` for negatives). High-confidence
+    * low-variability examples are easy (learnable, possibly redundant);
+    * low-confidence low-variability ones are hard (often mislabeled);
+    * high-variability ones are ambiguous (the most informative band for
+    * curation). The region cuts are RELATIVE, as in the paper's map:
+    * the exact lower MEDIANS of the observed confidence and variability
+    * distributions (read off the 6 dp-quantized histograms — no fixed
+    * threshold survives a weak or strong signal equally). Per-row
+    * confidence/variability snap to 6 dp; the reduce sums ride
+    * micro-integer longs, so bucket counts and means are engine-exact.
+    * Output: one row per bucket — (bucket, n, mean_conf, mean_var),
+    * 6 dp.
+    *
+    * Scale shape: the GD fit is [[logisticGd]]'s O(iters) scans; the
+    * map itself is ONE more scan evaluating all `iters` snapshot
+    * sigmoids per row (scan-stage expressions, whole-stage codegen)
+    * into a bucket hash-agg. The median cuts come off the two
+    * quantization-bounded histograms (tiny hash-aggs + windows); only
+    * those two scalars reach the driver. */
+  def dataCartography(df: DataFrame, featureCols: Seq[String],
+                      labelCol: String, lr: Double, iters: Int): DataFrame = {
+    require(featureCols.nonEmpty, "dataCartography: need at least one feature")
+    require(lr > 0, s"dataCartography: need lr > 0, got $lr")
+    require(iters >= 2 && iters <= 50,
+      s"dataCartography: need 2 <= iters <= 50, got $iters")
+    val y = col(labelCol).cast("double")
+    val raw = df.where(featureCols.map(c => col(c).isNotNull).reduce(_ && _)
+        && y.isNotNull)
+      .select(y.as("__y") +: featureCols.zipWithIndex.map { case (c, i) =>
+        col(c).cast("double").as(s"__x$i") }: _*)
+    val k = featureCols.size
+    val stats = raw.agg(
+      round(avg(col("__x0")), 6).as("m0"),
+      (Seq(round(stddev_pop(col("__x0")), 6).as("s0")) ++
+        (1 until k).flatMap(i => Seq(
+          round(avg(col(s"__x$i")), 6).as(s"m$i"),
+          round(stddev_pop(col(s"__x$i")), 6).as(s"s$i")))): _*).head()
+    val base = graft.core.CacheRegistry.persist(
+      raw.select(col("__y") +: (0 until k).map { i =>
+        val m = stats.getAs[Double](s"m$i")
+        val s = stats.getAs[Double](s"s$i")
+        require(s > 0,
+          s"dataCartography: feature ${featureCols(i)} has zero variance")
+        ((col(s"__x$i") - lit(m)) / lit(s)).as(s"__z$i")
+      }: _*))
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var w = Array.fill(k + 1)(0.0)
+    val snapshots = (1 to iters).map { _ =>
+      val z = (0 until k).foldLeft(lit(w(0)): Column)((acc, i) =>
+        acc + lit(w(i + 1)) * col(s"__z$i"))
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val g = base.agg(
+        avg(p - col("__y")).as("g0"),
+        (0 until k).map(i =>
+          avg((p - col("__y")) * col(s"__z$i")).as(s"g${i + 1}")): _*).head()
+      w = w.zipWithIndex.map { case (wi, j) =>
+        r6(wi - lr * g.getAs[Double](s"g$j")) }
+      w.clone()
+    }
+    val confs = snapshots.map { ws =>
+      val z = (0 until k).foldLeft(lit(ws(0)): Column)((acc, i) =>
+        acc + lit(ws(i + 1)) * col(s"__z$i"))
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      when(col("__y") === 1.0, p).otherwise(lit(1.0) - p)
+    }
+    val mean = confs.foldLeft(lit(0.0): Column)(_ + _) / lit(iters.toDouble)
+    val variance = confs.map(c => (c - mean) * (c - mean))
+      .foldLeft(lit(0.0): Column)(_ + _) / lit(iters.toDouble)
+    val conf6 = round(mean, 6)
+    val var6 = round(sqrt(variance), 6)
+    val mapped = graft.core.CacheRegistry.persist(
+      base.select(round(conf6 * lit(1e6)).cast("long").as("__cm"),
+        round(var6 * lit(1e6)).cast("long").as("__vm")))
+    // exact lower median off the 6dp-quantized histogram (q304 device)
+    def median(c: String): Long = {
+      import org.apache.spark.sql.expressions.Window
+      val grid = mapped.groupBy(col(c)).agg(count(lit(1)).as("__n"))
+      val w = Window.orderBy(col(c))
+      val all = Window.partitionBy(lit(1))
+      grid.select(col(c), sum("__n").over(w).as("__cum"),
+          sum("__n").over(all).as("__tot"))
+        .where(col("__cum") * 2 >= col("__tot"))
+        .agg(min(col(c))).head().getLong(0)
+    }
+    val medC = median("__cm")
+    val medV = median("__vm")
+    val bucket = when(col("__vm") >= medV, lit("ambiguous"))
+      .when(col("__cm") >= medC, lit("easy_to_learn"))
+      .otherwise(lit("hard_to_learn"))
+    mapped.select(bucket.as("bucket"), col("__cm"), col("__vm"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("__cm").as("__sc"),
+        sum("__vm").as("__sv"))
+      .select(col("bucket"), col("n"),
+        round(col("__sc").cast("double") /
+          (col("n").cast("double") * lit(1e6)), 6).as("mean_conf"),
+        round(col("__sv").cast("double") /
+          (col("n").cast("double") * lit(1e6)), 6).as("mean_var"))
+  }
+
+  /** Learning-curve forecast — "how much more data buys how much more
+    * accuracy": train [[nearestCentroidEval]]'s class-centroid model on
+    * nested md5-deterministic fractions of the training split (hex
+    * sixteenths of the id hash space, so each subset CONTAINS the
+    * smaller ones), evaluate every model on the SAME fixed holdout
+    * (`id % holdModulo == 0`), and fit the classical power law
+    * `err(n) ≈ a·n^(−b)` by log–log OLS over the curve points (the
+    * [[graft.ops.Corpus.heapsLaw]] micro-snap device — exact integer
+    * sums, one double tail). `err_at_10x` extrapolates the fitted curve
+    * to 10× the full training size — the number a data-acquisition
+    * decision actually needs. Zero-error or empty points drop out of
+    * the fit; < 2 usable points → null fit. Output: one row per
+    * fraction — (frac_16ths, n_train, accuracy, err, decay_b,
+    * err_at_10x), the fit repeated on every row, 6 dp.
+    *
+    * Scale shape: |fractions| independent centroid pipelines (each ONE
+    * label hash-agg + broadcast scoring — [[nearestCentroidEval]]'s
+    * contract); the curve and fit live on ≤ |fractions| rows. */
+  def learningCurve(emb: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, holdModulo: Int,
+                    fracs: Seq[Int] = Seq(4, 8, 12, 16)): DataFrame = {
+    require(fracs.nonEmpty && fracs.forall(f => f >= 1 && f <= 16),
+      s"learningCurve: fractions are hex sixteenths in [1, 16], got $fracs")
+    require(fracs.distinct.size == fracs.size,
+      s"learningCurve: duplicate fractions in $fracs")
+    val hold = col(idCol) % holdModulo === 0
+    def mask(f: Int): Column =
+      if (f >= 16) lit(true)
+      else substring(md5(col(idCol).cast("string")), 1, 1) <
+        lit("0123456789abcdef".charAt(f).toString)
+    val points = fracs.map { f =>
+      val sub = emb.where(hold || mask(f))
+      val mart = nearestCentroidEval(sub, idCol, vecCol, labelCol,
+        holdModulo)
+      val acc = mart.agg(
+        coalesce(sum(when(col("label") <=> col("pred_label"), col("n"))),
+          lit(0L)).as("__diag"),
+        coalesce(sum(col("n")), lit(0L)).as("__tot"))
+      val cnt = emb.where(!hold && mask(f) && col(vecCol).isNotNull &&
+          col(labelCol).isNotNull)
+        .agg(count(lit(1)).as("n_train"))
+      acc.crossJoin(cnt).select(lit(f.toLong).as("frac_16ths"),
+        col("n_train"),
+        when(col("__tot") > 0, col("__diag").cast("double") /
+          col("__tot").cast("double")).as("__acc"))
+    }
+    val pts = graft.core.CacheRegistry.persist(
+      points.reduce(_ unionByName _)
+        .select(col("frac_16ths"), col("n_train"), col("__acc"),
+          (lit(1.0) - col("__acc")).as("__err")))
+    val xm = round(log(col("n_train").cast("double")) * lit(1e6))
+      .cast("long")
+    val ym = round(log(col("__err")) * lit(1e6)).cast("long")
+    val fit = pts.where(col("n_train") > 0 && col("__err") > 0)
+      .select(xm.as("__x"), ym.as("__y"), col("n_train"))
+      .agg(count(lit(1)).as("__k"), sum("__x").as("__sx"),
+        sum("__y").as("__sy"), sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        max("n_train").as("__nfull"))
+    val kD = col("__k").cast("double")
+    val sx = col("__sx").cast("double")
+    val sy = col("__sy").cast("double")
+    val num = kD * col("__sxy").cast("double") - sx * sy
+    val den = kD * col("__sxx").cast("double") - sx * sx
+    val slope = num / den
+    val icept = (sy - slope * sx) / kD / lit(1e6)
+    val ok = col("__k") >= 2 && den > 0
+    val fitRow = fit.select(
+      when(ok, round(-slope, 6)).as("decay_b"),
+      when(ok, round(exp(icept + slope *
+        log(lit(10.0) * col("__nfull").cast("double"))), 6))
+        .as("err_at_10x"))
+    pts.select(col("frac_16ths"), col("n_train"),
+        round(col("__acc"), 6).as("accuracy"),
+        round(col("__err"), 6).as("err"))
+      .crossJoin(broadcast(fitRow))
+  }
+
   /** Class-balanced loss weights by EFFECTIVE number of samples (Cui et
     * al., CVPR 2019): near-duplicate samples add less marginal
     * information, so class c's effective count is `(1−β^{n_c})/(1−β)`

@@ -1058,7 +1058,8 @@ class PlanSpec extends SparkSpec {
         "q304_levene_bf", "q305_expectations", "q306_heaps_law",
         "q307_did", "q308_ipw_ate", "q309_krippendorff_interval",
         "q310_wasserstein_shift", "q311_tape_mixing",
-        "q312_class_weights")) {
+        "q312_class_weights", "q313_data_cartography",
+        "q314_learning_curve")) {
       graft.core.CacheRegistry.scoped {
         withClue(q) {
           planOf(SparkEntry.queries(q)(spark, sf0001)) should

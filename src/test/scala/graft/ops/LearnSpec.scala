@@ -262,4 +262,61 @@ class LearnSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Learn.classBalancedWeights(d, "lbl", 1.0)
   }
+
+  test("dataCartography: symmetric signal collapses to one exact " +
+    "ambiguous bucket; buckets partition the rows; replay-identical") {
+    // x symmetric across labels -> every gradient 0, every snapshot
+    // p = 0.5 -> conf 0.5, var 0; medians equal the values, so every
+    // row lands in 'ambiguous' with exact means
+    val sym = Seq((0.0, 1), (0.0, 0), (1.0, 1), (1.0, 0)).toDF("x", "y")
+    val r = graft.core.CacheRegistry.scoped {
+      Learn.dataCartography(sym, Seq("x"), "y", 0.5, 3)
+        .as[(String, Long, Double, Double)].collect().toList
+    }
+    graft.core.CacheRegistry.drain()
+    r shouldBe List(("ambiguous", 4L, 0.5, 0.0))
+    // separable signal: buckets partition all rows, and the run replays
+    val sep = (1 to 24).map(i => (if (i % 2 == 1) 10.0 + i % 3
+      else -10.0 - i % 3, i % 2)).toDF("x", "y")
+    val a = graft.core.CacheRegistry.scoped {
+      Learn.dataCartography(sep, Seq("x"), "y", 0.5, 3)
+        .as[(String, Long, Double, Double)].collect().sortBy(_._1).toList
+    }
+    graft.core.CacheRegistry.drain()
+    a.map(_._2).sum shouldBe 24L
+    val b = graft.core.CacheRegistry.scoped {
+      Learn.dataCartography(sep, Seq("x"), "y", 0.5, 3)
+        .as[(String, Long, Double, Double)].collect().sortBy(_._1).toList
+    }
+    graft.core.CacheRegistry.drain()
+    b shouldBe a
+  }
+
+  test("learningCurve: perfect separable full-fraction point has " +
+    "accuracy 1 and no fit (zero error drops out); bad fractions throw") {
+    // class 0 along +x, class 1 along +y; ids 5,10,... held out
+    val rows = (1 to 30).map { i =>
+      val lab = if (i % 4 < 2) 0 else 1
+      val v = if (lab == 0) Array(1.0f, 0.1f * (i % 3))
+              else Array(0.1f * (i % 3), 1.0f)
+      (i.toLong, v, lab)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val r = graft.core.CacheRegistry.scoped {
+      Learn.learningCurve(emb, "vec_id", "embedding", "label", 5, Seq(16))
+        .as[(Long, Long, Option[Double], Option[Double], Option[Double],
+          Option[Double])].head()
+    }
+    graft.core.CacheRegistry.drain()
+    r._1 shouldBe 16L
+    r._2 shouldBe 24L // 30 minus the 6 held-out ids
+    r._3 shouldBe Some(1.0)
+    r._4 shouldBe Some(0.0)
+    r._5 shouldBe None // a zero-error point cannot anchor a log fit
+    an[IllegalArgumentException] should be thrownBy
+      Learn.learningCurve(emb, "vec_id", "embedding", "label", 5, Seq(0))
+    an[IllegalArgumentException] should be thrownBy
+      Learn.learningCurve(emb, "vec_id", "embedding", "label", 5,
+        Seq(4, 4))
+  }
 }
