@@ -1660,6 +1660,16 @@ object SparkEntry {
     "q314_learning_curve" -> ((s, dir) =>
       graft.ops.Learn.learningCurve(
         t(s, dir, "embeddings"), "vec_id", "embedding", "label", 5)),
+    // the q310 remediation: per-source decile <-> corpus decile map
+    // (quantile mapping / CDF matching), exact order statistics
+    "q315_quantile_mapping" -> ((s, dir) =>
+      graft.ops.Quality.quantileMapping(
+        t(s, dir, "documents"), "source", "n_chars", 10)),
+    // stylometry drift: Burrows' Delta over the top-50 terms - which
+    // source writes furthest from the house style
+    "q316_burrows_delta" -> ((s, dir) =>
+      graft.ops.Corpus.burrowsDelta(
+        t(s, dir, "documents"), "doc_id", "text", "source", 50)),
     // unit-free effect magnitude per nation: Hedges-corrected Cohen's d
     // with the conventional small/medium/large bands
     "q300_effect_size" -> ((s, dir) => {
@@ -7538,6 +7548,80 @@ object SparkEntry {
          |        * ln(10.0 * CAST(nfull AS DOUBLE))), 6) END AS err_at_10x
          |FROM pe, fit""".stripMargin
     },
+    // q315: exact lower order statistics off both cumulative histograms,
+    // all-integer rank comparisons, values back to units at the end
+    "q315_quantile_mapping" ->
+      """WITH cells AS (
+        |  SELECT source AS g,
+        |    CAST(round(CAST(n_chars AS DOUBLE) * 1000000.0) AS BIGINT)
+        |      AS vm,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        |qs AS (SELECT unnest(generate_series(1, 9)) AS q),
+        |sh AS (
+        |  SELECT g, vm, sum(c) OVER (PARTITION BY g ORDER BY vm) AS cum,
+        |    sum(c) OVER (PARTITION BY g) AS n
+        |  FROM cells),
+        |src AS (
+        |  SELECT g, q, CAST(max(n) AS BIGINT) AS n_group,
+        |    min(vm) AS sv
+        |  FROM sh CROSS JOIN qs WHERE cum * 10 >= q * n GROUP BY 1, 2),
+        |ch AS (
+        |  SELECT vm, sum(cc) OVER (ORDER BY vm) AS cum,
+        |    sum(cc) OVER () AS n
+        |  FROM (SELECT vm, sum(c) AS cc FROM cells GROUP BY 1)),
+        |corp AS (
+        |  SELECT q, min(vm) AS cv
+        |  FROM ch CROSS JOIN qs WHERE cum * 10 >= q * n GROUP BY 1)
+        |SELECT src.g AS source, CAST(src.q AS BIGINT) AS q, src.n_group,
+        |  round(CAST(sv AS DOUBLE) / 1000000.0, 6) AS src_value,
+        |  round(CAST(cv AS DOUBLE) / 1000000.0, 6) AS corpus_value,
+        |  round(CAST(sv - cv AS DOUBLE) / 1000000.0, 6) AS shift
+        |FROM src JOIN corp USING (q)""".stripMargin,
+    // q316: micro-snapped relative frequencies, exact per-term panel
+    // moments in term windows, |z| micro-snapped before the group mean
+    "q316_burrows_delta" ->
+      """WITH toks AS (
+        |  SELECT source AS g, unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE text IS NOT NULL),
+        |gt AS (SELECT g, term, CAST(count(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY 1, 2),
+        |vocab AS (SELECT term FROM (
+        |    SELECT term, sum(c) AS tf FROM gt GROUP BY 1)
+        |  ORDER BY tf DESC, term LIMIT 50),
+        |grp AS (SELECT g, CAST(sum(c) AS BIGINT) AS ntok
+        |  FROM gt GROUP BY 1),
+        |panel AS (
+        |  SELECT grp.g, vocab.term, grp.ntok, coalesce(gt.c, 0) AS c
+        |  FROM grp CROSS JOIN vocab
+        |  LEFT JOIN gt ON gt.g IS NOT DISTINCT FROM grp.g
+        |    AND gt.term = vocab.term),
+        |fmp AS (
+        |  SELECT g, term,
+        |    CAST(round(CAST(c AS DOUBLE) / CAST(ntok AS DOUBLE)
+        |      * 1000000.0) AS BIGINT) AS fm
+        |  FROM panel),
+        |st AS (
+        |  SELECT g, term, fm,
+        |    CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS k,
+        |    CAST(sum(fm) OVER (PARTITION BY term) AS BIGINT) AS sf,
+        |    CAST(sum(fm * fm) OVER (PARTITION BY term) AS BIGINT) AS sf2
+        |  FROM fmp),
+        |zz AS (
+        |  SELECT g,
+        |    CAST(round(abs((CAST(fm AS DOUBLE)
+        |        - CAST(sf AS DOUBLE) / CAST(k AS DOUBLE))
+        |      / sqrt(CAST(sf2 AS DOUBLE) / CAST(k AS DOUBLE)
+        |        - (CAST(sf AS DOUBLE) / CAST(k AS DOUBLE))
+        |          * (CAST(sf AS DOUBLE) / CAST(k AS DOUBLE))))
+        |      * 1000000.0) AS BIGINT) AS zm
+        |  FROM st
+        |  WHERE CAST(sf2 AS DOUBLE) * CAST(k AS DOUBLE)
+        |    > CAST(sf AS DOUBLE) * CAST(sf AS DOUBLE))
+        |SELECT g AS source, CAST(count(*) AS BIGINT) AS n_terms,
+        |  round(CAST(sum(zm) AS DOUBLE)
+        |    / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS delta
+        |FROM zz GROUP BY 1""".stripMargin,
     // q301: strict row_number ranks over the complete panel, exact
     // integer rank sums, one mirrored division
     "q301_kendalls_w" ->

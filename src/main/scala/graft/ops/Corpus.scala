@@ -1275,4 +1275,68 @@ object Corpus {
         col("vocab"))
       .crossJoin(broadcast(fitRow))
   }
+
+  /** Burrows' Delta — the STYLOMETRY drift gauge (Burrows 2002): over
+    * the corpus's `topK` most frequent terms, each group's relative
+    * term frequencies are z-scored against the across-group panel
+    * (population mean/SD per term, zero counts included via the full
+    * group×term panel), and a group's Delta is the mean |z| — the
+    * classic "whose style sits furthest from the house style" scalar
+    * (a shifted crawl, a template farm, machine-generated text).
+    * Relative frequencies snap to 6 dp micro-integer LONGS, so per-term
+    * panel moments are exact integer sums and every z is one IEEE
+    * expression; per-group |z| sums are micro-snapped before the final
+    * mean (the anovaTail rule). Terms with zero across-group variance
+    * carry no signal and are excluded from every group's mean. A null
+    * group is its own cohort (null-safe panel join). Output: (group,
+    * n_terms, delta), 6 dp.
+    *
+    * Scale shape: one token hash-agg for the vocabulary cut, one
+    * (group, term) hash-agg, then a |groups|×topK broadcast panel with
+    * term-keyed window moments — the corpus text is scanned once. */
+  def burrowsDelta(df: DataFrame, idCol: String, textCol: String,
+                   groupCol: String, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 2, s"burrowsDelta: need topK >= 2, got $topK")
+    val toks = df.where(col(textCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        explode(split(col(textCol), " ")).as("__term"))
+    val gt = graft.core.CacheRegistry.persist(
+      toks.groupBy(col("__g"), col("__term"))
+        .agg(count(lit(1)).as("__c")))
+    val vocab = gt.groupBy("__term").agg(sum("__c").as("__tf"))
+      .orderBy(col("__tf").desc, col("__term")).limit(topK)
+      .select(col("__term"))
+    val groups = gt.groupBy("__g").agg(sum("__c").as("__ntok"))
+    // full group x vocab panel, zero counts included; null-safe group key
+    val gtR = gt.select(col("__g").as("__gg"), col("__term").as("__tt"),
+      col("__c"))
+    val panel = groups.crossJoin(broadcast(vocab))
+      .join(gtR, col("__g") <=> col("__gg") && col("__term") === col("__tt"),
+        "left")
+      .select(col("__g"), col("__term"), col("__ntok"),
+        coalesce(col("__c"), lit(0L)).as("__c"))
+    // 6dp-snapped relative frequency: exact integer panel moments
+    val fm = round(col("__c").cast("double") / col("__ntok").cast("double")
+      * lit(1e6)).cast("long")
+    val wt = Window.partitionBy(col("__term"))
+    val staged = panel.select(col("__g"), col("__term"), fm.as("__fm"))
+      .select(col("__g"), col("__term"), col("__fm"),
+        count(lit(1)).over(wt).as("__k"),
+        sum("__fm").over(wt).as("__sf"),
+        sum(col("__fm") * col("__fm")).over(wt).as("__sf2"))
+    val kD = col("__k").cast("double")
+    val meanT = col("__sf").cast("double") / kD
+    val varT = col("__sf2").cast("double") / kD - meanT * meanT
+    val z = (col("__fm").cast("double") - meanT) / sqrt(varT)
+    staged.where(col("__sf2").cast("double") * kD >
+        col("__sf").cast("double") * col("__sf").cast("double"))
+      .select(col("__g"),
+        round(abs(z) * lit(1e6)).cast("long").as("__zm"))
+      .groupBy("__g")
+      .agg(count(lit(1)).as("n_terms"), sum("__zm").as("__sz"))
+      .select(col("__g").as(groupCol), col("n_terms"),
+        round(col("__sz").cast("double") /
+          (col("n_terms").cast("double") * lit(1e6)), 6).as("delta"))
+  }
 }

@@ -1236,6 +1236,57 @@ object Quality {
           lit(1e6), 6).as("w1"))
   }
 
+  /** Quantile-mapping normalization table — the REMEDIATION twin of
+    * [[wasserstein1]]: once a source is known to sit elsewhere in value
+    * space, this emits the per-quantile correspondence (source's exact
+    * q-th order statistic ↔ the pooled corpus's) that a normalizing
+    * transform interpolates — classic quantile mapping / CDF matching.
+    * Order statistics are exact lower quantiles off the 6 dp-quantized
+    * histograms (`min v with cum·nQ ≥ q·n`, all-integer comparisons —
+    * no interpolation, engine-identical). Null values drop; a null
+    * group is its own cohort. Output: (group, q, n_group, src_value,
+    * corpus_value, shift), one row per group × quantile 1..nQ−1, 6 dp.
+    *
+    * Scale shape: one (group, value) hash-agg; each group's cumulative
+    * histogram fans out ×(nQ−1) against a broadcast literal grid and
+    * reduces in a (group, q) hash-agg — bounded by the quantization
+    * grid times nQ. */
+  def quantileMapping(df: DataFrame, groupCol: String, valCol: String,
+                      nQ: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nQ >= 2, s"quantileMapping: need nQ >= 2, got $nQ")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vm = round(col(valCol).cast("double") * lit(1e6)).cast("long")
+    val cells = graft.core.CacheRegistry.persist(
+      df.where(col(valCol).isNotNull)
+        .groupBy(col(groupCol).as("__g"), vm.as("__vm"))
+        .agg(count(lit(1)).as("__c")))
+    val qs = broadcast((1 until nQ).map(_.toLong).toDF("q"))
+    def quantiles(hist: DataFrame, keyCols: Seq[Column],
+                  outVal: String): DataFrame = {
+      val w = Window.partitionBy(keyCols: _*).orderBy(col("__vm"))
+      val all = Window.partitionBy(keyCols: _*)
+      hist.select((keyCols :+ col("__vm") :+
+          sum("__c").over(w).as("__cum") :+
+          sum("__c").over(all).as("__n")): _*)
+        .crossJoin(qs)
+        .where(col("__cum") * nQ >= col("q") * col("__n"))
+        .groupBy((keyCols :+ col("q")): _*)
+        .agg(max("__n").as(s"${outVal}_n"), min("__vm").as(outVal))
+    }
+    val src = quantiles(cells, Seq(col("__g")), "__sv")
+    val corp = quantiles(cells.groupBy("__vm")
+      .agg(sum("__c").as("__c")), Seq(), "__cv")
+    src.join(broadcast(corp), Seq("q"))
+      .select(col("__g").as(groupCol), col("q"),
+        col("__sv_n").as("n_group"),
+        round(col("__sv").cast("double") / lit(1e6), 6).as("src_value"),
+        round(col("__cv").cast("double") / lit(1e6), 6).as("corpus_value"),
+        round((col("__sv") - col("__cv")).cast("double") / lit(1e6), 6)
+          .as("shift"))
+  }
+
   /** Krippendorff's alpha for INTERVAL (score-valued) ratings — the
     * [[krippendorffAlpha]] twin when annotators assign NUMBERS (quality
     * scores, Likert grades) rather than categories, so disagreement is

@@ -1059,7 +1059,8 @@ class PlanSpec extends SparkSpec {
         "q307_did", "q308_ipw_ate", "q309_krippendorff_interval",
         "q310_wasserstein_shift", "q311_tape_mixing",
         "q312_class_weights", "q313_data_cartography",
-        "q314_learning_curve")) {
+        "q314_learning_curve", "q315_quantile_mapping",
+        "q316_burrows_delta")) {
       graft.core.CacheRegistry.scoped {
         withClue(q) {
           planOf(SparkEntry.queries(q)(spark, sf0001)) should

@@ -646,4 +646,19 @@ class CorpusSpec extends SparkSpec {
     r2.map(_._2) shouldBe List(1L, 2L, 3L, 4L)
     r2.head._5.isDefined shouldBe true
   }
+
+  test("burrowsDelta: symmetric two-group panel gives |z| = 1 per term; " +
+    "zero-variance terms are excluded") {
+    // a: 1/2 vs 1/4, b: 1/4 vs 1/2 (|z| = 1 each); c: 1/4 in both ->
+    // zero across-group variance -> excluded from the mean
+    val docs = Seq((1L, "X", "a a b c"), (2L, "Y", "a b b c"))
+      .toDF("doc_id", "src", "text")
+    val r = graft.core.CacheRegistry.scoped {
+      Corpus.burrowsDelta(docs, "doc_id", "text", "src", 3)
+        .as[(String, Long, Double)].collect().sortBy(_._1).toList
+    }
+    graft.core.CacheRegistry.drain()
+    r shouldBe List(("X", 2L, 1.0), ("Y", 2L, 1.0))
+  }
+
 }

@@ -1204,4 +1204,25 @@ class QualitySpec extends SparkSpec {
 
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("quantileMapping: exact lower quartiles per group and corpus; " +
+    "shift is the integer difference") {
+    // A = {1,2,3,4}, B = {10,20}; corpus quartiles (lower) = 2,3,10
+    val d = (Seq(1, 2, 3, 4).map(v => ("A", v.toDouble)) ++
+      Seq(("B", 10.0), ("B", 20.0))).toDF("g", "v")
+    val r = graft.core.CacheRegistry.scoped {
+      Quality.quantileMapping(d, "g", "v", 4)
+        .as[(String, Long, Long, Double, Double, Double)]
+        .collect().sortBy(x => (x._1, x._2)).toList
+    }
+    graft.core.CacheRegistry.drain()
+    r shouldBe List(
+      ("A", 1L, 4L, 1.0, 2.0, -1.0), ("A", 2L, 4L, 2.0, 3.0, -1.0),
+      ("A", 3L, 4L, 3.0, 10.0, -7.0),
+      ("B", 1L, 2L, 10.0, 2.0, 8.0), ("B", 2L, 2L, 10.0, 3.0, 7.0),
+      ("B", 3L, 2L, 20.0, 10.0, 10.0))
+    an[IllegalArgumentException] should be thrownBy
+      Quality.quantileMapping(d, "g", "v", 1)
+  }
+
 }
