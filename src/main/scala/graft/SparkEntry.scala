@@ -1670,6 +1670,37 @@ object SparkEntry {
     "q316_burrows_delta" -> ((s, dir) =>
       graft.ops.Corpus.burrowsDelta(
         t(s, dir, "documents"), "doc_id", "text", "source", 50)),
+    // which labels are WRONG? confident-learning joint over out-of-sample
+    // centroid scores: off-diagonal rows are the estimated noise mass
+    "q317_label_noise" -> ((s, dir) =>
+      graft.ops.Learn.confidentLearning(
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label", 5)),
+    // assumption-free A/B p-value: 200 md5-deterministic re-randomizations
+    // of the q202 split, add-one tail share of |diff| re-reaches
+    "q318_permutation_test" -> ((s, dir) => {
+      val variant = when(pmod(conv(substring(md5(col("user_id").cast("string")),
+        1, 8), 16, 10).cast("long"), lit(2)) === 0, "a").otherwise("b")
+      graft.ops.Quality.permutationTest(
+        t(s, dir, "events").withColumn("variant", variant),
+        "event_id", "variant", "value", "a", "b", 200)
+    }),
+    // peek-safe daily experiment readout: mSPRT always-valid p over the
+    // day-ordered prefix, monotone significance
+    "q319_msprt" -> ((s, dir) => {
+      val variant = when(pmod(conv(substring(md5(col("user_id").cast("string")),
+        1, 8), 16, 10).cast("long"), lit(2)) === 0, "a").otherwise("b")
+      graft.ops.Quality.msprtSequential(
+        t(s, dir, "events").withColumn("variant", variant),
+        to_date(col("ts")), "variant", "value", "a", "b", 0.1)
+    }),
+    // do two quality signals pick the same corpus head? rank-biased
+    // overlap of the length-rank vs entropy-rank top-50 per source
+    "q320_rbo" -> ((s, dir) =>
+      graft.ops.Corpus.rboOverlap(
+        t(s, dir, "documents"), "source", "doc_id",
+        col("n_chars").cast("double"),
+        round(graft.functions.TextFunctions.charEntropy(col("text")), 6),
+        50)),
     // unit-free effect magnitude per nation: Hedges-corrected Cohen's d
     // with the conventional small/medium/large bands
     "q300_effect_size" -> ((s, dir) => {
@@ -7622,6 +7653,225 @@ object SparkEntry {
         |  round(CAST(sum(zm) AS DOUBLE)
         |    / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS delta
         |FROM zz GROUP BY 1""".stripMargin,
+    // q317: the q235 centroid/cosine replay extended with the confident
+    // joint — the threshold clear test cross-multiplies in HUGEINT, so
+    // the boundary is integer-exact on both engines
+    "q317_label_noise" ->
+      """WITH tr AS (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |    unnest(generate_series(0, len(embedding) - 1)) AS dim
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+        |    AND vec_id % 5 <> 0),
+        |c AS (SELECT label AS cent_label, dim,
+        |    CAST(CAST(round(avg(v), 6) AS FLOAT) AS DOUBLE) AS cv
+        |  FROM tr GROUP BY 1, 2),
+        |cents AS (SELECT cent_label, list(cv ORDER BY dim) AS cvec
+        |  FROM c GROUP BY 1),
+        |cn AS (SELECT cent_label, cvec,
+        |    sqrt(list_reduce(list_prepend(0.0,
+        |      list_transform(cvec, x -> x * x)), (a, b) -> a + b)) AS cnorm
+        |  FROM cents),
+        |te AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+        |    AND vec_id % 5 = 0),
+        |tv AS (SELECT vec_id, label, e,
+        |    sqrt(list_reduce(list_prepend(0.0,
+        |      list_transform(e, x -> x * x)), (a, b) -> a + b)) AS enorm
+        |  FROM te),
+        |sim AS (SELECT t.vec_id, t.label AS given_label, c.cent_label,
+        |    CAST(round(round(list_reduce(list_prepend(0.0,
+        |        list_transform(generate_series(1, len(t.e)),
+        |          k -> t.e[k] * c.cvec[k])), (a, b) -> a + b)
+        |      / (t.enorm * c.cnorm), 6) * 1000000.0) AS BIGINT) AS sm
+        |  FROM tv t CROSS JOIN cn c),
+        |thr AS (SELECT cent_label AS t_label, CAST(sum(sm) AS HUGEINT) AS tsum,
+        |    CAST(count(*) AS HUGEINT) AS tcnt
+        |  FROM sim WHERE given_label = cent_label GROUP BY 1),
+        |pass AS (SELECT s.vec_id, s.given_label, s.cent_label,
+        |    row_number() OVER (PARTITION BY s.vec_id
+        |      ORDER BY s.sm DESC, s.cent_label ASC) AS rn
+        |  FROM sim s JOIN thr t ON s.cent_label = t.t_label
+        |  WHERE CAST(s.sm AS HUGEINT) * t.tcnt >= t.tsum),
+        |joint AS (SELECT given_label, cent_label AS suspected_label,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM pass WHERE rn = 1 GROUP BY 1, 2)
+        |SELECT given_label, suspected_label, n,
+        |  round(CAST(n AS DOUBLE)
+        |    / sum(n) OVER (PARTITION BY given_label), 6) AS frac,
+        |  given_label <> suspected_label AS flagged
+        |FROM joint""".stripMargin,
+    // q318: the md5 block/slot draw chain replayed; the A-side cut
+    // cross-multiplies u·N < n_a·2³² in HUGEINT, each diff snaps to a
+    // micro-LONG before the tail count
+    "q318_permutation_test" -> {
+      val reps = 200
+      val blocks = (reps + 3) / 4
+      val nibSum = (1 to 8).map(k =>
+        s"(strpos('0123456789abcdef', substr(h, 8 * slot + $k, 1)) - 1) " +
+          s"* ${math.pow(16, 8 - k).toLong}").mkString(" + ")
+      s"""WITH base AS (
+         |  SELECT CAST(event_id AS VARCHAR) AS id,
+         |    CASE WHEN ${md5ModSql("user_id", 2)} = 0 THEN 'a' ELSE 'b' END
+         |      AS var,
+         |    CAST(round(CAST(value AS DOUBLE) * 1000000.0) AS BIGINT) AS vm
+         |  FROM events WHERE value IS NOT NULL),
+         |obs AS (SELECT
+         |    CAST(count(CASE WHEN var = 'a' THEN 1 END) AS BIGINT) AS n_a,
+         |    CAST(count(CASE WHEN var = 'b' THEN 1 END) AS BIGINT) AS n_b,
+         |    CAST(sum(CASE WHEN var = 'a' THEN vm END) AS BIGINT) AS sa,
+         |    CAST(sum(CASE WHEN var = 'b' THEN vm END) AS BIGINT) AS sb
+         |  FROM base),
+         |blks AS (SELECT unnest(generate_series(0, ${blocks - 1})) AS blk),
+         |slots AS (SELECT unnest(generate_series(0, 3)) AS slot),
+         |draws AS (SELECT blk * 4 + slot AS j, slot, b.vm,
+         |    md5('perm|' || blk || '|' || b.id) AS h
+         |  FROM base b CROSS JOIN blks CROSS JOIN slots
+         |  WHERE blk * 4 + slot < $reps),
+         |assigned AS (SELECT j, vm,
+         |    CAST($nibSum AS HUGEINT) * (o.n_a + o.n_b)
+         |      < CAST(o.n_a AS HUGEINT) * 4294967296 AS is_a
+         |  FROM draws CROSS JOIN obs o),
+         |rep AS (SELECT j,
+         |    count(CASE WHEN is_a THEN 1 END) AS pna,
+         |    CAST(sum(CASE WHEN is_a THEN vm END) AS BIGINT) AS psa,
+         |    count(CASE WHEN NOT is_a THEN 1 END) AS pnb,
+         |    CAST(sum(CASE WHEN NOT is_a THEN vm END) AS BIGINT) AS psb
+         |  FROM assigned GROUP BY 1),
+         |nulld AS (SELECT CAST(round(CAST(psa AS DOUBLE) / pna
+         |      - CAST(psb AS DOUBLE) / pnb) AS BIGINT) AS dm
+         |  FROM rep WHERE pna > 0 AND pnb > 0),
+         |od AS (SELECT n_a, n_b,
+         |    CAST(round(CAST(sa AS DOUBLE) / n_a
+         |      - CAST(sb AS DOUBLE) / n_b) AS BIGINT) AS dmo
+         |  FROM obs),
+         |fin AS (SELECT od.n_a, od.n_b,
+         |    round(CAST(od.dmo AS DOUBLE) / 1000000.0, 6) AS diff,
+         |    CAST(count(*) AS BIGINT) AS reps,
+         |    round((count(CASE WHEN abs(dm) >= abs(dmo) THEN 1 END) + 1.0)
+         |      / (count(*) + 1.0), 6) AS p_value
+         |  FROM nulld CROSS JOIN od GROUP BY 1, 2, 3)
+         |SELECT n_a, n_b, diff, reps, p_value, p_value <= 0.05 AS significant
+         |FROM fin""".stripMargin
+    },
+    // q319: cumulative exact micro partials over the day calendar, lnΛ
+    // snapped to a micro-LONG, the always-valid p as exp(−running max)
+    "q319_msprt" -> {
+      val tau2 = 0.1 * 0.1
+      s"""WITH e AS (
+         |  SELECT CAST(ts AS DATE) AS day,
+         |    CASE WHEN ${md5ModSql("user_id", 2)} = 0 THEN 'a' ELSE 'b' END
+         |      AS var,
+         |    CAST(round(CAST(value AS DOUBLE) * 1000000.0) AS BIGINT) AS vm
+         |  FROM events WHERE value IS NOT NULL),
+         |daily AS (SELECT day, var, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(vm) AS BIGINT) AS s,
+         |    CAST(sum(CAST(vm AS HUGEINT) * vm) AS HUGEINT) AS s2
+         |  FROM e GROUP BY 1, 2),
+         |byday AS (SELECT day,
+         |    coalesce(max(CASE WHEN var = 'a' THEN n END), 0) AS dna,
+         |    coalesce(max(CASE WHEN var = 'b' THEN n END), 0) AS dnb,
+         |    coalesce(max(CASE WHEN var = 'a' THEN s END), 0) AS dsa,
+         |    coalesce(max(CASE WHEN var = 'b' THEN s END), 0) AS dsb,
+         |    coalesce(max(CASE WHEN var = 'a' THEN s2 END),
+         |      CAST(0 AS HUGEINT)) AS dqa,
+         |    coalesce(max(CASE WHEN var = 'b' THEN s2 END),
+         |      CAST(0 AS HUGEINT)) AS dqb
+         |  FROM daily GROUP BY 1),
+         |cum AS (SELECT day,
+         |    CAST(sum(dna) OVER w AS BIGINT) AS n_a,
+         |    CAST(sum(dnb) OVER w AS BIGINT) AS n_b,
+         |    CAST(sum(dsa) OVER w AS BIGINT) AS sa,
+         |    CAST(sum(dsb) OVER w AS BIGINT) AS sb,
+         |    CAST(sum(dqa) OVER w AS HUGEINT) AS qa,
+         |    CAST(sum(dqb) OVER w AS HUGEINT) AS qb
+         |  FROM byday
+         |  WINDOW w AS (ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |st AS (SELECT day, n_a, n_b,
+         |    CAST(sa AS DOUBLE) / (CAST(n_a AS DOUBLE) * 1e6) AS ma,
+         |    CAST(sb AS DOUBLE) / (CAST(n_b AS DOUBLE) * 1e6) AS mb,
+         |    CAST(qa AS DOUBLE) / 1e12 AS qad,
+         |    CAST(qb AS DOUBLE) / 1e12 AS qbd
+         |  FROM cum),
+         |lam AS (SELECT day, n_a, n_b, ma, mb,
+         |    (qad - n_a * ma * ma + qbd - n_b * mb * mb)
+         |      / (n_a + n_b - 2.0) AS sig2
+         |  FROM st),
+         |ln1 AS (SELECT day, n_a, n_b, ma, mb, sig2,
+         |    sig2 * (1.0 / n_a + 1.0 / n_b) AS vn,
+         |    n_a >= 2 AND n_b >= 2 AND sig2 > 0 AS ok
+         |  FROM lam),
+         |ln2 AS (SELECT day, n_a, n_b, ma, mb, ok,
+         |    CASE WHEN ok THEN CAST(round(
+         |      (0.5 * ln(vn / (vn + CAST($tau2 AS DOUBLE)))
+         |        + (ma - mb) * (ma - mb) * CAST($tau2 AS DOUBLE)
+         |          / (2.0 * vn * (vn + CAST($tau2 AS DOUBLE))))
+         |      * 1000000.0) AS BIGINT) END AS lnm
+         |  FROM ln1),
+         |mx AS (SELECT *, max(lnm) OVER (ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max
+         |  FROM ln2)
+         |SELECT day, n_a, n_b,
+         |  CASE WHEN ok THEN round(ma - mb, 6) END AS diff,
+         |  CAST(lnm AS DOUBLE) / 1000000.0 AS ln_lambda,
+         |  CASE WHEN run_max IS NOT NULL THEN round(least(1.0,
+         |    exp(-CAST(run_max AS DOUBLE) / 1e6)), 6) END AS p_always_valid,
+         |  coalesce(CASE WHEN run_max IS NOT NULL THEN round(least(1.0,
+         |    exp(-CAST(run_max AS DOUBLE) / 1e6)), 6) <= 0.05 END, false)
+         |    AS significant
+         |FROM mx""".stripMargin
+    },
+    // q320: q119's entropy replay feeds the second ranking; the p^d/d
+    // terms snap to micro-LONGs per term, suffix-summed into c(m)
+    "q320_rbo" -> {
+      val k = 50
+      val p = 0.9
+      val coef = (1.0 - p) / p
+      s"""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+         |  FROM documents WHERE text IS NOT NULL),
+         |cc AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
+         |tot AS (SELECT doc_id, sum(n) AS tn FROM cc GROUP BY 1),
+         |ent AS (SELECT cc.doc_id,
+         |    round(-sum((CAST(n AS DOUBLE) / tn)
+         |      * log2(CAST(n AS DOUBLE) / tn)), 6) AS entropy
+         |  FROM cc JOIN tot USING (doc_id) GROUP BY cc.doc_id),
+         |base AS (SELECT d.source AS g, d.doc_id AS id,
+         |    CAST(round(CAST(d.n_chars AS DOUBLE) * 1000000.0) AS BIGINT)
+         |      AS am,
+         |    CAST(round(ent.entropy * 1000000.0) AS BIGINT) AS bm
+         |  FROM documents d JOIN ent ON d.doc_id = ent.doc_id
+         |  WHERE d.n_chars IS NOT NULL AND d.doc_id IS NOT NULL),
+         |rk AS (SELECT g, id, am, bm,
+         |    row_number() OVER (PARTITION BY g ORDER BY am DESC, id ASC)
+         |      AS ra,
+         |    row_number() OVER (PARTITION BY g ORDER BY bm DESC, id ASC)
+         |      AS rb
+         |  FROM base),
+         |terms AS (SELECT d,
+         |    CAST(round(pow(CAST($p AS DOUBLE), d) / d * 1000000.0)
+         |      AS BIGINT) AS t
+         |  FROM (SELECT unnest(generate_series(1, $k)) AS d)),
+         |coefs AS (SELECT d AS m, CAST(sum(t) OVER (ORDER BY d DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS c
+         |  FROM terms),
+         |common AS (SELECT rk.g, coefs.c
+         |  FROM rk JOIN coefs ON greatest(rk.ra, rk.rb) = coefs.m
+         |  WHERE rk.ra <= $k AND rk.rb <= $k),
+         |agg AS (SELECT g, CAST(count(*) AS BIGINT) AS n_common,
+         |    CAST(sum(c) AS BIGINT) AS csum FROM common GROUP BY 1),
+         |items AS (SELECT g, CAST(count(*) AS BIGINT) AS n_items
+         |  FROM base GROUP BY 1)
+         |SELECT items.g AS source, items.n_items,
+         |  coalesce(agg.n_common, 0) AS n_common,
+         |  round(CAST(coalesce(agg.n_common, 0) AS DOUBLE) / $k, 6)
+         |    AS overlap_at_k,
+         |  round(CAST($coef AS DOUBLE)
+         |    * CAST(coalesce(agg.csum, 0) AS DOUBLE) / 1000000.0, 6) AS rbo
+         |FROM items LEFT JOIN agg ON items.g IS NOT DISTINCT FROM agg.g"""
+        .stripMargin
+    },
     // q301: strict row_number ranks over the complete panel, exact
     // integer rank sums, one mirrored division
     "q301_kendalls_w" ->

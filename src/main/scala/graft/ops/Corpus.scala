@@ -942,6 +942,66 @@ object Corpus {
       .drop("__ndcg")
   }
 
+  /** Rank-biased overlap (Webber et al. 2010) between two rankings of the
+    * same items — "do two quality signals pick the same head of the
+    * corpus", the list-level agreement metric [[rankingMetrics]] can't
+    * express (it needs graded relevance; RBO compares two ORDERINGS
+    * directly, top-weighted by persistence `p`). Per group, items rank by
+    * `scoreA` and `scoreB` (desc, 6 dp micro-snapped, ties to the lower
+    * id); an item with ranks (ra, rb) both ≤ k first enters the overlap
+    * at depth m = max(ra, rb), so truncated RBO@k decomposes PER ITEM:
+    * `RBO = (1−p)/p · Σ_items c(m)` with `c(m) = Σ_{d=m..k} p^d/d`. Each
+    * `p^d/d` term snaps to a micro-LONG before the sum (both engines add
+    * identical integers in any order), making the decomposition
+    * replay-exact. Lists shorter than k contribute their actual depth —
+    * absent ranks simply never enter. Output per group: (group, n_items,
+    * n_common [items in both top-k], overlap_at_k, rbo), 6 dp.
+    *
+    * Scale shape: ONE shuffle on the group key — both row_number ranks
+    * are windows over the same exchange — then a filter to ≤ 2k rows per
+    * group, a bounded ≤ k-term literal fold per row (scan stage), and a
+    * group hash-agg. No list is collected and nothing joins item×item. */
+  def rboOverlap(df: DataFrame, groupCol: String, idCol: String,
+                 scoreA: Column, scoreB: Column, k: Int,
+                 p: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"rboOverlap: need k >= 1, got $k")
+    require(p > 0 && p < 1, s"rboOverlap: need 0 < p < 1, got $p")
+    val am = round(scoreA.cast("double") * lit(1000000.0)).cast("long")
+    val bm = round(scoreB.cast("double") * lit(1000000.0)).cast("long")
+    val base = df
+      .where(col(idCol).isNotNull && scoreA.isNotNull && scoreB.isNotNull)
+      .select(col(groupCol).as("g"), col(idCol).cast("long").as("__id"),
+        am.as("__am"), bm.as("__bm"))
+    val wa = Window.partitionBy("g").orderBy(col("__am").desc, col("__id").asc)
+    val wb = Window.partitionBy("g").orderBy(col("__bm").desc, col("__id").asc)
+    val ranked = base
+      .withColumn("__ra", row_number().over(wa))
+      .withColumn("__rb", row_number().over(wb))
+    val counts = ranked.groupBy("g").agg(count(lit(1)).as("n_items"))
+    val common = ranked
+      .where(col("__ra") <= k && col("__rb") <= k)
+      .withColumn("__m", greatest(col("__ra"), col("__rb")))
+      // c(m) = Σ_{d=m..k} round(p^d/d · 10⁶): a ≤ k-term literal fold,
+      // snapped per TERM so the integer sum is order-free on any engine
+      .withColumn("__c", expr(
+        s"""aggregate(sequence(CAST(__m AS INT), $k), CAST(0 AS BIGINT),
+           |  (acc, d) -> acc + CAST(round(pow(CAST($p AS DOUBLE), d) / d
+           |    * 1000000.0) AS BIGINT))""".stripMargin))
+      .groupBy(col("g").as("__cg"))
+      .agg(count(lit(1)).as("n_common"), sum("__c").as("__csum"))
+    // null-safe group key: a null source is its own cohort (the
+    // [[termLabelMI]] rule)
+    counts.join(common, col("g") <=> col("__cg"), "left")
+      .select(col("g").as(groupCol), col("n_items"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(coalesce(col("n_common"), lit(0L)).cast("double") / k, 6)
+          .as("overlap_at_k"),
+        round(lit((1.0 - p) / p) *
+          coalesce(col("__csum"), lit(0L)).cast("double") / lit(1000000.0), 6)
+          .as("rbo"))
+  }
+
   /** Full BPE tokenizer TRAINING (Sennrich et al. 2016) — the iterated
     * form of [[bpePairCounts]]' single step: collapse the corpus to word
     * types with frequencies ONCE, split each type to characters, then

@@ -455,6 +455,76 @@ object Learn {
           .cast("double") / (count(lit(1)) * lit(1000000.0))).as("mean_cos"))
   }
 
+  /** Confident-learning label-noise estimate (Northcutt et al. 2021) —
+    * "which labels are WRONG", the question [[nearestCentroidEval]]'s
+    * confusion mart only hints at. Out-of-sample scores come from the
+    * q235 device: rows with `id % holdModulo == 0` are scored by
+    * per-label centroids trained on the rest (6 dp-rounded FLOAT means,
+    * 6 dp cosines). Per class j the confidence threshold `t_j` is the
+    * mean score `s(x, j)` over holdout examples GIVEN label j; an example
+    * joins the confident joint `C[given][suspected]` when its score for
+    * `suspected` clears `t_suspected` and `suspected` is the
+    * highest-scoring class among those it clears (ties to the lower
+    * label). Off-diagonal mass is the estimated label-noise rate; rows
+    * clearing no threshold are counted per given label as `n_unconfident`
+    * (they are abstentions, not evidence). The threshold compare is
+    * EXACT: `t_j` is the rational `Σmicros_j / n_j`, and the test
+    * `micro·n_j ≥ Σmicros_j` cross-multiplies in decimal(38,0) — no
+    * division ever happens, so no engine can disagree at the boundary.
+    * Output: (given_label, suspected_label, n, frac [of the given
+    * label's confident rows], flagged = given ≠ suspected).
+    *
+    * Scale shape: the [[nearestCentroidEval]] contract — one label-keyed
+    * hash-agg to train, a broadcast |labels| centroid table against the
+    * holdout scan (bounded ×|labels| fan-out), ONE more |labels|-row
+    * broadcast for the thresholds, a per-id window argmax over ≤|labels|
+    * rows, and a final |labels|² hash-agg. Never row×row. */
+  def confidentLearning(emb: DataFrame, idCol: String, vecCol: String,
+                        labelCol: String, holdModulo: Int): DataFrame = {
+    import graft.functions.VectorFunctions.{dotF, normF, vectorSumF}
+    import org.apache.spark.sql.expressions.Window
+    require(holdModulo >= 2,
+      s"confidentLearning: need holdModulo >= 2, got $holdModulo")
+    val base = emb.where(col(vecCol).isNotNull && col(labelCol).isNotNull)
+    val isHold = pmod(col(idCol), lit(holdModulo)) === 0
+    val cents = broadcast(base.where(!isHold)
+      .groupBy(col(labelCol).as("cent_label"))
+      .agg(count(lit(1)).as("__n"), vectorSumF(col(vecCol)).as("__s"))
+      .select(col("cent_label"),
+        transform(col("__s"), x => round(x / col("__n"), 6).cast("float"))
+          .as("cvec"))
+      .withColumn("cnorm", normF(col("cvec"))))
+    val test = base.where(isHold)
+      .select(col(idCol).as("__id"), col(labelCol).as("given_label"),
+        col(vecCol).as("__v"), normF(col(vecCol)).as("__norm"))
+    val scored = graft.core.CacheRegistry.persist(test.crossJoin(cents)
+      .withColumn("csim",
+        round(dotF(col("__v"), col("cvec")) / (col("__norm") * col("cnorm")), 6))
+      .select(col("__id"), col("given_label"), col("cent_label"),
+        round(col("csim") * lit(1000000.0)).cast("long").as("__sm")))
+    // t_j as the exact rational (Σmicros_j, n_j): the clear test
+    // cross-multiplies, so the boundary is integer-exact on any engine
+    val thr = broadcast(scored
+      .where(col("given_label") === col("cent_label"))
+      .groupBy(col("cent_label").as("__t_label"))
+      .agg(sum(col("__sm")).cast("decimal(38,0)").as("__tsum"),
+        count(lit(1)).cast("decimal(38,0)").as("__tn")))
+    val byId = Window.partitionBy("__id")
+      .orderBy(col("__sm").desc, col("cent_label").asc)
+    val confident = scored
+      .join(thr, col("cent_label") === col("__t_label"))
+      .where(col("__sm").cast("decimal(38,0)") * col("__tn") >= col("__tsum"))
+      .withColumn("__r", row_number().over(byId))
+      .where(col("__r") === 1)
+    val joint = confident
+      .groupBy(col("given_label"), col("cent_label").as("suspected_label"))
+      .agg(count(lit(1)).as("n"))
+    val byGiven = Window.partitionBy("given_label")
+    joint.select(col("given_label"), col("suspected_label"), col("n"),
+      round(col("n").cast("double") / sum("n").over(byGiven), 6).as("frac"),
+      (col("given_label") =!= col("suspected_label")).as("flagged"))
+  }
+
   /** Split-conformal prediction-interval CONTRACT (Vovk et al.; the
     * distribution-free coverage guarantee as a driver-checked row, the
     * [[graft.ops.Sketches]] contract-family shape): rows with

@@ -712,6 +712,159 @@ object Quality {
         lit(false)).as("significant"))
   }
 
+  /** Approximate randomization (permutation) test for the difference in
+    * means — the assumption-free twin of [[welchAbTest]]: instead of a
+    * normal approximation, the null distribution is built by RE-ASSIGNING
+    * every row to a pseudo-cohort `reps` times and asking how often the
+    * shuffled |difference| reaches the observed one. Assignment is
+    * md5-deterministic (the [[graft.ops.Sampling]] replay contract): for
+    * replicate j, row id draws the 32-bit uniform `u = md5(seed|j|id)[1:8]`
+    * and lands in pseudo-A iff `u·N < n_a·2³²` — the cross-multiplied
+    * integer compare keeps the A-share exactly `n_a/N` with no float
+    * boundary, so any engine reproduces the identical assignment
+    * (Bernoulli(n_a/N) re-randomization — the standard approximate
+    * variant; exact label-permutation would need a global shuffle per
+    * replicate). Each diff snaps to a micro-LONG before comparison, and
+    * the p-value uses the add-one estimator `(1 + #{|d_j| ≥ |d_obs|}) /
+    * (reps + 1)` (Phipson–Smyth; never exactly zero). Output: ONE row —
+    * (n_a, n_b, diff, reps, p_value, significant at 5%).
+    *
+    * Scale shape: one cached scan, a bounded ×(reps/4) block explode
+    * (one md5 digest per FOUR replicates — the [[bootstrapMeanCi]]
+    * kernel-sharing device), a (replicate)-keyed hash-agg with map-side
+    * combine, and a `reps`-row reduce. Never row×row; replicate count is
+    * the only fan-out. */
+  def permutationTest(df: DataFrame, idCol: String, variantCol: String,
+                      valCol: String, a: String, b: String, reps: Int,
+                      seed: String = "perm"): DataFrame = {
+    require(reps >= 4, s"permutationTest: need reps >= 4, got $reps")
+    val base = graft.core.CacheRegistry.persist(
+      df.where(col(valCol).isNotNull && col(variantCol).isin(a, b))
+        .select(col(idCol).cast("string").as("__id"),
+          col(variantCol).as("__var"),
+          round(col(valCol).cast("double") * lit(1000000.0)).cast("long")
+            .as("__vm")))
+    val obs = base.agg(
+      count(when(col("__var") === a, 1)).as("n_a"),
+      count(when(col("__var") === b, 1)).as("n_b"),
+      sum(when(col("__var") === a, col("__vm"))).as("__sa"),
+      sum(when(col("__var") === b, col("__vm"))).as("__sb"))
+    // u·N < n_a·2³² in decimal(38,0): u < 2³² and N can both be large,
+    // so the product leaves LONG range at corpus scale
+    val u = conv(expr("substring(__h, 1 + 8 * __slot, 8)"), 16, 10)
+      .cast("decimal(38,0)")
+    val reassigned = base
+      .crossJoin(broadcast(obs.select(
+        (col("n_a") + col("n_b")).cast("decimal(38,0)").as("__nn"),
+        (col("n_a").cast("decimal(38,0)") * lit(4294967296L)).as("__cut"))))
+      .withColumn("__blk", explode(sequence(lit(0), lit((reps + 3) / 4 - 1))))
+      .withColumn("__h", md5(concat(lit(s"$seed|"), col("__blk").cast("string"),
+        lit("|"), col("__id"))))
+      .withColumn("__slot", explode(sequence(lit(0), lit(3))))
+      .withColumn("j", col("__blk") * 4 + col("__slot"))
+      .where(col("j") < reps)
+      .groupBy("j")
+      .agg(count(when(u * col("__nn") < col("__cut"), 1)).as("__pna"),
+        sum(when(u * col("__nn") < col("__cut"), col("__vm"))).as("__psa"),
+        count(when(u * col("__nn") >= col("__cut"), 1)).as("__pnb"),
+        sum(when(u * col("__nn") >= col("__cut"), col("__vm"))).as("__psb"))
+    def dMicro(sa: Column, na: Column, sb: Column, nb: Column): Column =
+      round(sa.cast("double") / na.cast("double")
+        - sb.cast("double") / nb.cast("double")).cast("long")
+    val nullDist = reassigned
+      .where(col("__pna") > 0 && col("__pnb") > 0)
+      .select(abs(dMicro(col("__psa"), col("__pna"),
+        col("__psb"), col("__pnb"))).as("__ad"))
+    val obsRow = obs.select(col("n_a"), col("n_b"),
+      abs(dMicro(col("__sa"), col("n_a"), col("__sb"), col("n_b")))
+        .as("__adObs"),
+      (dMicro(col("__sa"), col("n_a"), col("__sb"), col("n_b"))
+        .cast("double") / lit(1000000.0)).as("diff"))
+    nullDist.crossJoin(broadcast(obsRow))
+      .groupBy(col("n_a"), col("n_b"), col("diff"))
+      .agg(count(lit(1)).as("reps"),
+        round((count(when(col("__ad") >= col("__adObs"), 1)) + 1)
+          .cast("double") / (count(lit(1)) + 1).cast("double"), 6)
+          .as("p_value"))
+      .select(col("n_a"), col("n_b"), round(col("diff"), 6).as("diff"),
+        col("reps"),
+        col("p_value"), (col("p_value") <= 0.05).as("significant"))
+  }
+
+  /** Always-valid sequential A/B readout — the mixture sequential
+    * probability ratio test (mSPRT, Johari et al. 2017): the p-value you
+    * may PEEK at every day without inflating false positives, where
+    * [[welchAbTest]]'s fixed-horizon interval is only valid once. Per
+    * day-ordered prefix n: cohort counts/means from cumulative exact
+    * micro-LONG partials, pooled variance from cumulative square sums,
+    * `V_n = σ̂²(1/n_a + 1/n_b)`, and the normal-mixture likelihood ratio
+    * `Λ_n = √(V_n/(V_n+τ²)) · exp(δ̂²τ²/(2·V_n·(V_n+τ²)))`. `ln Λ` snaps
+    * to a micro-LONG (the [[graft.ops.Learn.naiveBayesEval]] log-space
+    * device), the always-valid p is `min(1, exp(−max_{k≤n} lnΛ_k))`, and
+    * significance at level α is `p ≤ α` — monotone by construction, so a
+    * decision never un-happens on a later day. Days before both cohorts
+    * have ≥ 2 rows report null test columns. Output: one row per day —
+    * (day, n_a, n_b, diff, ln_lambda, p_always_valid, significant), 6 dp.
+    *
+    * Scale shape: ONE (day, variant) hash-agg pre-reduces the log
+    * (map-side combine); every window after runs over the
+    * day-calendar-bounded daily table (hundreds of rows, documented
+    * exact-by-contract like [[graft.ops.EventAnalytics]]'s EWMA), never
+    * the raw events. */
+  def msprtSequential(df: DataFrame, dayCol: Column, variantCol: String,
+                      valCol: String, a: String, b: String,
+                      tau: Double, alpha: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tau > 0, s"msprtSequential: need tau > 0, got $tau")
+    val vm = round(col(valCol).cast("double") * lit(1000000.0)).cast("long")
+    val daily = df.where(col(valCol).isNotNull && col(variantCol).isin(a, b))
+      .groupBy(dayCol.as("day"), col(variantCol).as("__var"))
+      .agg(count(lit(1)).as("__n"), sum(vm).as("__s"),
+        sum(vm.cast("decimal(38,0)") * vm).as("__s2"))
+    def side(tag: String, c: Column): Column = max(when(col("__var") === tag, c))
+    val byDay = daily.groupBy("day").agg(
+      coalesce(side(a, col("__n")), lit(0L)).as("__dna"),
+      coalesce(side(b, col("__n")), lit(0L)).as("__dnb"),
+      coalesce(side(a, col("__s")), lit(0L)).as("__dsa"),
+      coalesce(side(b, col("__s")), lit(0L)).as("__dsb"),
+      coalesce(side(a, col("__s2")), lit(0).cast("decimal(38,0)")).as("__dqa"),
+      coalesce(side(b, col("__s2")), lit(0).cast("decimal(38,0)")).as("__dqb"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byDay.select(col("day"),
+      sum("__dna").over(w).as("n_a"), sum("__dnb").over(w).as("n_b"),
+      sum("__dsa").over(w).as("__sa"), sum("__dsb").over(w).as("__sb"),
+      sum("__dqa").over(w).as("__qa"), sum("__dqb").over(w).as("__qb"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    // micro-LONG sums → value-unit doubles; σ̂² pools the two exact
+    // (n−1)-form cohort square sums
+    val ma = col("__sa").cast("double") / (na * 1e6)
+    val mb = col("__sb").cast("double") / (nb * 1e6)
+    val ssa = col("__qa").cast("double") / 1e12 - na * ma * ma
+    val ssb = col("__qb").cast("double") / 1e12 - nb * mb * mb
+    val sig2 = (ssa + ssb) / (na + nb - 2.0)
+    val vn = sig2 * (lit(1.0) / na + lit(1.0) / nb)
+    val dHat = ma - mb
+    val t2 = lit(tau * tau)
+    val lnLambda = lit(0.5) * log(vn / (vn + t2)) +
+      dHat * dHat * t2 / (lit(2.0) * vn * (vn + t2))
+    val ok = col("n_a") >= 2 && col("n_b") >= 2 && sig2 > 0
+    val lnm = when(ok, round(lnLambda * lit(1000000.0)).cast("long"))
+    val runMax = max(col("__lnm")).over(w)
+    cum.withColumn("__lnm", lnm)
+      .withColumn("__mx", runMax)
+      .select(col("day"), col("n_a"), col("n_b"),
+        when(ok, round(dHat, 6)).as("diff"),
+        (col("__lnm").cast("double") / lit(1000000.0)).as("ln_lambda"),
+        when(col("__mx").isNotNull,
+          round(least(lit(1.0), exp(-col("__mx").cast("double") / lit(1e6))), 6))
+          .as("p_always_valid"),
+        coalesce(when(col("__mx").isNotNull,
+          round(least(lit(1.0), exp(-col("__mx").cast("double") / lit(1e6))), 6)
+            <= alpha), lit(false)).as("significant"))
+  }
+
   /** Leave-one-out smoothed target encoding: replace a categorical key
     * with the mean of `valCol` over the OTHER rows sharing the key,
     * shrunk toward the global prior — `te = (Σ_g − v + m·prior) /

@@ -319,4 +319,29 @@ class LearnSpec extends SparkSpec {
       Learn.learningCurve(emb, "vec_id", "embedding", "label", 5,
         Seq(4, 4))
   }
+  test("confidentLearning: mislabeled holdout example lands off-diagonal " +
+    "with the right suspected label; clean rows stay diagonal") {
+    // train rows pin centroid a = +x, centroid b = +y; holdout (id % 5
+    // == 0): ids 5, 20 correctly labeled, id 10 labeled a but sits on b's
+    // axis -> the confident joint should flag exactly (a -> b)
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f), "a"), (2L, Array(1.0f, 0.0f), "a"),
+      (3L, Array(0.0f, 1.0f), "b"), (4L, Array(0.0f, 1.0f), "b"),
+      (5L, Array(1.0f, 0.0f), "a"),
+      (10L, Array(0.0f, 1.0f), "a"), // the planted label error
+      (15L, Array(0.0f, 1.0f), "b"), (20L, Array(0.0f, 1.0f), "b"))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = Learn.confidentLearning(emb, "vec_id", "embedding", "label", 5)
+      .collect().map(r => (r.getAs[String]("given_label"),
+        r.getAs[String]("suspected_label"), r.getAs[Long]("n"),
+        r.getAs[Boolean]("flagged"))).toSet
+    out should contain (("a", "b", 1L, true))
+    out should contain (("b", "b", 2L, false))
+    // id 5 scores 1.0 on a (>= t_a = mean(1.0, 0.0)) and 0.0 on b -> (a, a)
+    out should contain (("a", "a", 1L, false))
+    out.size shouldBe 3
+    an[IllegalArgumentException] should be thrownBy
+      Learn.confidentLearning(emb, "vec_id", "embedding", "label", 1)
+    graft.core.CacheRegistry.drain()
+  }
 }
