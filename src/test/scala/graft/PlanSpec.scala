@@ -1070,4 +1070,18 @@ class PlanSpec extends SparkSpec {
       graft.core.CacheRegistry.drain()
     }
   }
+
+  test("confident learning, permutation test, mSPRT, RBO: no shuffle " +
+    "cartesian - centroid/observed-cut fan-outs broadcast (q317-q320)") {
+    for (q <- Seq("q317_label_noise", "q318_permutation_test",
+        "q319_msprt", "q320_rbo")) {
+      graft.core.CacheRegistry.scoped {
+        withClue(q) {
+          planOf(SparkEntry.queries(q)(spark, sf0001)) should
+            not include "CartesianProduct"
+        }
+      }
+      graft.core.CacheRegistry.drain()
+    }
+  }
 }
