@@ -1701,6 +1701,34 @@ object SparkEntry {
         col("n_chars").cast("double"),
         round(graft.functions.TextFunctions.charEntropy(col("text")), 6),
         50)),
+    // monotone recalibration MAP (not just the q173 diagnosis): closed-
+    // form PAV minimax over the same clamped bins
+    "q321_isotonic_calibration" -> ((s, dir) =>
+      graft.ops.Quality.isotonicCalibration(
+        t(s, dir, "events")
+          .withColumn("score", least(lit(1.0), col("value") / 250.0))
+          .withColumn("converted", col("event_type") === "purchase"),
+        "score", "converted", 10)),
+    // which 20 examples get labeled next: smallest best-vs-second-best
+    // centroid margin, at most 5 per nearest-centroid cell
+    "q322_active_learning" -> ((s, dir) =>
+      graft.ops.Learn.activeLearningBatch(
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label", 5, 20, 5)),
+    // is duplication within-source or cross-source? Newman modularity of
+    // the LSH near-dup pair graph under the source partition
+    "q323_dup_modularity" -> ((s, dir) => {
+      val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
+      graft.ops.Graph.modularity(
+        Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 4, 3, 0.5),
+        "id_a", "id_b", docs.select("doc_id", "source"), "doc_id", "source")
+    }),
+    // homogeneity-attack audit: k-anonymous cohorts (q131) can still
+    // leak when < 3 distinct balance bands appear inside them
+    "q324_l_diversity" -> ((s, dir) =>
+      graft.ops.Quality.lDiversityAudit(
+        t(s, dir, "customer").withColumn("bal_band",
+          floor(col("c_acctbal") / 1000).cast("long")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_band", 3L)),
     // unit-free effect magnitude per nation: Hedges-corrected Cohen's d
     // with the conventional small/medium/large bands
     "q300_effect_size" -> ((s, dir) => {
@@ -7872,6 +7900,148 @@ object SparkEntry {
          |FROM items LEFT JOIN agg ON items.g IS NOT DISTINCT FROM agg.g"""
         .stripMargin
     },
+    // q321: the q173 bins replayed; every block mean is one division of
+    // exact integer prefix-sum differences, so the minimax folds over
+    // identical IEEE doubles on both engines
+    "q321_isotonic_calibration" ->
+      """WITH e AS (SELECT least(1.0, CAST(value AS DOUBLE) / 250.0) AS score,
+        |    event_type = 'purchase' AS conv FROM events
+        |  WHERE value IS NOT NULL),
+        |b AS (SELECT greatest(0, least(9,
+        |      CAST(floor(score * 10) AS BIGINT))) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN coalesce(conv, false) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS pos,
+        |    round(avg(score), 6) AS mean_score
+        |  FROM e GROUP BY 1),
+        |c AS (SELECT bin, n, pos, mean_score,
+        |    CAST(sum(n) OVER w AS BIGINT) AS cn,
+        |    CAST(sum(pos) OVER w AS BIGINT) AS cp
+        |  FROM b WINDOW w AS (ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |pm AS (SELECT j.bin AS jb, kk.bin AS kb,
+        |    CAST(kk.cp - (j.cp - j.pos) AS DOUBLE)
+        |      / CAST(kk.cn - (j.cn - j.n) AS DOUBLE) AS m
+        |  FROM c j JOIN c kk ON j.bin <= kk.bin),
+        |innr AS (SELECT i.bin AS ib, pm.jb, min(pm.m) AS minm
+        |  FROM c i JOIN pm ON pm.jb <= i.bin AND pm.kb >= i.bin
+        |  GROUP BY 1, 2),
+        |iso AS (SELECT ib AS bin, round(max(minm), 6) AS iso_rate
+        |  FROM innr GROUP BY 1)
+        |SELECT b.bin, b.n, b.mean_score,
+        |  round(CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE), 6)
+        |    AS outcome_rate,
+        |  iso.iso_rate,
+        |  coalesce(iso.iso_rate >= lag(iso.iso_rate) OVER (ORDER BY b.bin),
+        |    true) AS monotone_ok
+        |FROM b JOIN iso ON b.bin = iso.bin""".stripMargin,
+    // q322: the q317 centroid/cosine replay, then margins between the
+    // micro-snapped top-2 scores and the two deterministic pick windows
+    "q322_active_learning" ->
+      """WITH tr AS (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |    unnest(generate_series(0, len(embedding) - 1)) AS dim
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+        |    AND vec_id % 5 <> 0),
+        |c AS (SELECT label AS cent_label, dim,
+        |    CAST(CAST(round(avg(v), 6) AS FLOAT) AS DOUBLE) AS cv
+        |  FROM tr GROUP BY 1, 2),
+        |cents AS (SELECT cent_label, list(cv ORDER BY dim) AS cvec
+        |  FROM c GROUP BY 1),
+        |cn AS (SELECT cent_label, cvec,
+        |    sqrt(list_reduce(list_prepend(0.0,
+        |      list_transform(cvec, x -> x * x)), (a, b) -> a + b)) AS cnorm
+        |  FROM cents),
+        |te AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+        |    AND vec_id % 5 = 0),
+        |tv AS (SELECT vec_id, e,
+        |    sqrt(list_reduce(list_prepend(0.0,
+        |      list_transform(e, x -> x * x)), (a, b) -> a + b)) AS enorm
+        |  FROM te),
+        |sim AS (SELECT t.vec_id, c.cent_label,
+        |    CAST(round(round(list_reduce(list_prepend(0.0,
+        |        list_transform(generate_series(1, len(t.e)),
+        |          k -> t.e[k] * c.cvec[k])), (a, b) -> a + b)
+        |      / (t.enorm * c.cnorm), 6) * 1000000.0) AS BIGINT) AS sm
+        |  FROM tv t CROSS JOIN cn c),
+        |r AS (SELECT vec_id, cent_label, sm,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sm DESC, cent_label ASC) AS rn
+        |  FROM sim),
+        |t2 AS (SELECT vec_id,
+        |    max(CASE WHEN rn = 1 THEN cent_label END) AS nearest_label,
+        |    max(CASE WHEN rn = 2 THEN cent_label END) AS second_label,
+        |    max(CASE WHEN rn = 1 THEN sm END) AS sm1,
+        |    max(CASE WHEN rn = 2 THEN sm END) AS sm2
+        |  FROM r WHERE rn <= 2 GROUP BY 1),
+        |mg AS (SELECT *, sm1 - sm2 AS margin FROM t2 WHERE sm2 IS NOT NULL),
+        |cap AS (SELECT *, row_number() OVER (PARTITION BY nearest_label
+        |    ORDER BY margin ASC, vec_id ASC) AS cr FROM mg),
+        |pick AS (SELECT *, row_number() OVER
+        |    (ORDER BY margin ASC, vec_id ASC) AS pick_rank
+        |  FROM cap WHERE cr <= 5)
+        |SELECT vec_id, nearest_label, second_label,
+        |  round(CAST(sm1 AS DOUBLE) / 1000000.0, 6) AS sim,
+        |  round(CAST(margin AS DOUBLE) / 1000000.0, 6) AS margin,
+        |  CAST(pick_rank AS BIGINT) AS pick_rank
+        |FROM pick WHERE pick_rank <= 20""".stripMargin,
+    // q323: the q22 LSH pair replay feeds the edge list; every count is
+    // an exact LONG and each cell's Q term is two mirrored divisions
+    "q323_dup_modularity" ->
+      s"""WITH ${minhashCtes(3, 4, 3)},
+         |ep AS (SELECT p.id_a, p.id_b FROM pairs p
+         |  JOIN sizes sa ON p.id_a = sa.doc_id
+         |  JOIN sizes sb ON p.id_b = sb.doc_id
+         |  WHERE CAST(p.n_common AS DOUBLE)
+         |    / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE) >= 0.5),
+         |canon AS (SELECT DISTINCT least(id_a, id_b) AS a,
+         |    greatest(id_a, id_b) AS b FROM ep WHERE id_a <> id_b),
+         |tagged AS (SELECT cc.a, cc.b,
+         |    coalesce(da.source, '__node:' || cc.a) AS ca,
+         |    coalesce(db.source, '__node:' || cc.b) AS cb
+         |  FROM canon cc LEFT JOIN documents da ON cc.a = da.doc_id
+         |  LEFT JOIN documents db ON cc.b = db.doc_id),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM tagged),
+         |wth AS (SELECT ca AS c, CAST(count(*) AS BIGINT) AS within_edges
+         |  FROM tagged WHERE ca IS NOT DISTINCT FROM cb GROUP BY 1),
+         |deg AS (SELECT c, CAST(count(*) AS BIGINT) AS degree_sum,
+         |    CAST(count(DISTINCT node) AS BIGINT) AS n_nodes
+         |  FROM (SELECT a AS node, ca AS c FROM tagged
+         |        UNION ALL SELECT b, cb FROM tagged) GROUP BY 1),
+         |cells AS (SELECT deg.c AS community, n_nodes, degree_sum,
+         |    coalesce(w.within_edges, 0) AS within_edges,
+         |    round(CAST(coalesce(w.within_edges, 0) AS DOUBLE)
+         |        / CAST(m.m AS DOUBLE)
+         |      - (CAST(degree_sum AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
+         |        * (CAST(degree_sum AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE))),
+         |      6) AS q_contrib
+         |  FROM deg LEFT JOIN wth w ON deg.c IS NOT DISTINCT FROM w.c
+         |  CROSS JOIN m)
+         |SELECT cells.*, t.modularity FROM cells CROSS JOIN
+         |  (SELECT round(sum(q_contrib), 6) AS modularity FROM cells) t"""
+        .stripMargin,
+    // q324: one (quasi × band) grid, the dominant share from the same
+    // deterministic argmax window (ties to the lowest band, nulls last)
+    "q324_l_diversity" ->
+      """WITH b AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+        |  FROM customer),
+        |cells AS (SELECT c_nationkey, c_mktsegment, bal_band,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM b GROUP BY 1, 2, 3),
+        |r AS (SELECT *, row_number() OVER
+        |    (PARTITION BY c_nationkey, c_mktsegment
+        |     ORDER BY n DESC, bal_band ASC NULLS LAST) AS rn
+        |  FROM cells)
+        |SELECT c_nationkey, c_mktsegment,
+        |  CAST(sum(n) AS BIGINT) AS group_size,
+        |  CAST(count(*) AS BIGINT) AS distinct_sensitive,
+        |  round(CAST(max(CASE WHEN rn = 1 THEN n END) AS DOUBLE)
+        |    / CAST(sum(n) AS DOUBLE), 6) AS dominant_share,
+        |  count(*) < 3 AS at_risk
+        |FROM r GROUP BY 1, 2""".stripMargin,
     // q301: strict row_number ranks over the complete panel, exact
     // integer rank sums, one mirrored division
     "q301_kendalls_w" ->

@@ -242,4 +242,65 @@ object Graph {
     live.groupBy(col("__a").as("node"))
       .agg(count(lit(1)).as("degree"))
   }
+
+  /** Newman modularity of a node partition over an undirected edge list —
+    * "is duplication (or similarity) WITHIN the partition cells or across
+    * them", the one-number verdict on a community assignment
+    * ([[Dedup.clusters]] labels, or a metadata cut like `source`).
+    * `Q = Σ_c [ e_c/m − (d_c/2m)² ]`: e_c = edges with both endpoints in
+    * c, d_c = degree sum of c's nodes, m = total undirected edges. Every
+    * count is an exact LONG; each cell's contribution is two divisions of
+    * those integers (bit-identical IEEE on any engine), 6 dp-snapped.
+    * Edges are canonicalized (self-loops dropped, both orientations
+    * collapse to one undirected edge); a node missing from `communities`
+    * — and a NULL community — forms its own cohort (the null-safe rule).
+    * Output per community: (community, n_nodes, degree_sum, within_edges,
+    * q_contrib) + the total `modularity` repeated on every row.
+    *
+    * Scale shape: one distinct over canonical edges, two node-keyed
+    * equi-joins to attach communities (broadcast-able when the mapping is
+    * a reduction), two hash-aggs, and a single-row total broadcast back.
+    * Never node×node. */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 communities: DataFrame, nodeCol: String,
+                 commCol: String): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("__a"),
+        greatest(col(srcCol), col(dstCol)).as("__b"))
+      .where(col("__a") =!= col("__b"))
+      .distinct()
+    val cm = communities.select(col(nodeCol).as("__node"),
+      col(commCol).as("__comm"))
+    val tagged = graft.core.CacheRegistry.persist(canon
+      .join(cm.select(col("__node").as("__a"), col("__comm").as("__ca")),
+        Seq("__a"), "left")
+      .join(cm.select(col("__node").as("__b"), col("__comm").as("__cb")),
+        Seq("__b"), "left")
+      // an unmapped node is its own singleton cohort, keyed by the node
+      .select(col("__a"), col("__b"),
+        coalesce(col("__ca"), concat(lit("__node:"), col("__a"))).as("__ca"),
+        coalesce(col("__cb"), concat(lit("__node:"), col("__b"))).as("__cb")))
+    val m = tagged.agg(count(lit(1)).as("__m"))
+    val within = tagged.where(col("__ca") <=> col("__cb"))
+      .groupBy(col("__ca").as("__wc"))
+      .agg(count(lit(1)).as("within_edges"))
+    val degrees = tagged.select(col("__a").as("__node"), col("__ca").as("__c"))
+      .unionAll(tagged.select(col("__b").as("__node"), col("__cb").as("__c")))
+      .groupBy("__c")
+      .agg(count(lit(1)).as("degree_sum"),
+        count_distinct(col("__node")).as("n_nodes"))
+    val cells = degrees
+      .join(within, col("__c") <=> col("__wc"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("__c").as("community"), col("n_nodes"), col("degree_sum"),
+        coalesce(col("within_edges"), lit(0L)).as("within_edges"),
+        round(coalesce(col("within_edges"), lit(0L)).cast("double")
+            / col("__m").cast("double")
+          - (col("degree_sum").cast("double")
+              / (lit(2.0) * col("__m").cast("double")))
+            * (col("degree_sum").cast("double")
+              / (lit(2.0) * col("__m").cast("double"))), 6).as("q_contrib"))
+    cells.crossJoin(broadcast(
+        cells.agg(round(sum("q_contrib"), 6).as("modularity"))))
+  }
 }

@@ -525,6 +525,76 @@ object Learn {
       (col("given_label") =!= col("suspected_label")).as("flagged"))
   }
 
+  /** Margin-uncertainty active-learning batch with cluster diversity —
+    * "which k examples should a human label NEXT", the acquisition step
+    * [[confidentLearning]]'s noise audit feeds. Pool rows (`id %
+    * holdModulo == 0`, the standing unlabeled-pool device) score against
+    * the labeled rows' per-class centroids (6 dp-rounded FLOAT means,
+    * 6 dp cosines snapped to micro-LONGs); per example the margin is the
+    * EXACT integer gap between its best and second-best class score —
+    * small margin = the model can't decide = most informative. Diversity
+    * guard: at most `perCluster` picks per nearest-centroid cell (pure
+    * uncertainty sampling floods the batch from one boundary), then the
+    * global batch is the k smallest margins (ties to the lower id).
+    * Output: (vec_id, nearest_label, second_label, sim, margin,
+    * pick_rank), pick_rank 1..k.
+    *
+    * Scale shape: the [[nearestCentroidEval]] contract — broadcast
+    * |labels| centroids against the pool scan, a per-id window over
+    * ≤ |labels| rows, a per-CLUSTER capped window, and ONE final window
+    * over the ≤ perCluster·|labels| capped candidates (bounded by
+    * construction, the documented exact-by-contract rule). Needs at
+    * least 2 distinct labels (a margin needs a runner-up). */
+  def activeLearningBatch(emb: DataFrame, idCol: String, vecCol: String,
+                          labelCol: String, holdModulo: Int, k: Int,
+                          perCluster: Int): DataFrame = {
+    import graft.functions.VectorFunctions.{dotF, normF, vectorSumF}
+    import org.apache.spark.sql.expressions.Window
+    require(holdModulo >= 2,
+      s"activeLearningBatch: need holdModulo >= 2, got $holdModulo")
+    require(k >= 1 && perCluster >= 1,
+      s"activeLearningBatch: need k >= 1 and perCluster >= 1, got $k/$perCluster")
+    val base = emb.where(col(vecCol).isNotNull && col(labelCol).isNotNull)
+    val isPool = pmod(col(idCol), lit(holdModulo)) === 0
+    val cents = broadcast(base.where(!isPool)
+      .groupBy(col(labelCol).as("cent_label"))
+      .agg(count(lit(1)).as("__n"), vectorSumF(col(vecCol)).as("__s"))
+      .select(col("cent_label"),
+        transform(col("__s"), x => round(x / col("__n"), 6).cast("float"))
+          .as("cvec"))
+      .withColumn("cnorm", normF(col("cvec"))))
+    val pool = base.where(isPool)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("__v"),
+        normF(col(vecCol)).as("__norm"))
+    val byId = Window.partitionBy("vec_id")
+      .orderBy(col("__sm").desc, col("cent_label").asc)
+    val top2 = pool.crossJoin(cents)
+      .withColumn("__sm", round(round(dotF(col("__v"), col("cvec"))
+        / (col("__norm") * col("cnorm")), 6) * lit(1000000.0)).cast("long"))
+      .withColumn("__r", row_number().over(byId))
+      .where(col("__r") <= 2)
+      .groupBy("vec_id")
+      .agg(max(when(col("__r") === 1, col("cent_label"))).as("nearest_label"),
+        max(when(col("__r") === 2, col("cent_label"))).as("second_label"),
+        max(when(col("__r") === 1, col("__sm"))).as("__sm1"),
+        max(when(col("__r") === 2, col("__sm"))).as("__sm2"))
+      .where(col("__sm2").isNotNull)
+      .withColumn("__margin", col("__sm1") - col("__sm2"))
+    val byCell = Window.partitionBy("nearest_label")
+      .orderBy(col("__margin").asc, col("vec_id").asc)
+    // global pick window runs over ≤ perCluster·|labels| capped rows
+    val globalW = Window.orderBy(col("__margin").asc, col("vec_id").asc)
+    top2.withColumn("__cr", row_number().over(byCell))
+      .where(col("__cr") <= perCluster)
+      .withColumn("pick_rank", row_number().over(globalW))
+      .where(col("pick_rank") <= k)
+      .select(col("vec_id"), col("nearest_label"), col("second_label"),
+        round(col("__sm1").cast("double") / lit(1000000.0), 6).as("sim"),
+        round(col("__margin").cast("double") / lit(1000000.0), 6)
+          .as("margin"),
+        col("pick_rank").cast("long").as("pick_rank"))
+  }
+
   /** Split-conformal prediction-interval CONTRACT (Vovk et al.; the
     * distribution-free coverage guarantee as a driver-checked row, the
     * [[graft.ops.Sketches]] contract-family shape): rows with

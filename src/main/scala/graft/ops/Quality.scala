@@ -87,6 +87,42 @@ object Quality {
       .withColumn("at_risk", col("group_size") < k)
   }
 
+  /** Distinct l-diversity audit (Machanavajjhala et al. 2007) — the
+    * attack [[kAnonymityAudit]] misses: a cohort can be large yet leak
+    * its members' SENSITIVE attribute when every row in it shares one
+    * value (homogeneity attack). Per quasi-identifier cohort: row count,
+    * distinct sensitive values (exact), the dominant sensitive value's
+    * share (6 dp; ties break to the lowest value — the deterministic
+    * rule), and `at_risk` = fewer than `l` distinct sensitive values.
+    * NULL sensitive values count as one distinct value of their own (a
+    * null is still a disclosure). Release gates should require BOTH
+    * audits green: k-anonymous AND l-diverse.
+    *
+    * Scale shape: one (quasi × sensitive) hash-agg with map-side
+    * partials, then a cohort-keyed window argmax over the REDUCED
+    * (cohort, value) table — never the raw rows twice. */
+  def lDiversityAudit(df: DataFrame, quasiCols: Seq[String],
+                      sensitiveCol: String, l: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(quasiCols.nonEmpty, "lDiversityAudit: need quasi-identifier columns")
+    require(l >= 2, s"lDiversityAudit: l < 2 flags nothing, got $l")
+    val cells = df.groupBy(
+        (quasiCols.map(col) :+ col(sensitiveCol).as("__sv")): _*)
+      .agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(quasiCols.map(col): _*)
+      .orderBy(col("__n").desc, col("__sv").asc_nulls_last)
+    cells.withColumn("__r", row_number().over(w))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(sum("__n").as("group_size"),
+        count(lit(1)).as("distinct_sensitive"),
+        max(when(col("__r") === 1, col("__n"))).as("__top"))
+      .select((quasiCols.map(col) ++ Seq(
+        col("group_size"), col("distinct_sensitive"),
+        round(col("__top").cast("double") / col("group_size").cast("double"),
+          6).as("dominant_share"),
+        (col("distinct_sensitive") < l).as("at_risk"))): _*)
+  }
+
   /** Fixed-width histogram of a numeric column over [lo, hi): bucket
     * index, row count, and observed min/max per bucket. Out-of-range
     * values saturate into the edge buckets (so the histogram always
@@ -329,6 +365,71 @@ object Quality {
         withE.agg(round(sum("__contrib"), 6).as("ece"))))
       .select(col("bin"), col("n"), col("mean_score"), col("outcome_rate"),
         col("gap"), col("ece"))
+  }
+
+  /** Isotonic (monotone non-decreasing) calibration over equal-width
+    * score bins — the non-parametric recalibration map
+    * [[calibrationBins]] only diagnoses: PAV's fit without PAV's
+    * sequential pooling, via the closed-form MINIMAX identity
+    * `iso(i) = max_{j≤i} min_{k≥i} mean(outcome over bins j..k)`
+    * (Ayer et al. 1955; block means of the isotonic regression). Binning
+    * first makes the fit replay-exact: per-bin positives and counts are
+    * exact LONGs, every block mean is ONE division of those integer
+    * prefix-sum differences (bit-identical IEEE doubles on any engine),
+    * and the min/max fold runs over ≤ B³ bounded triples. Output per
+    * OBSERVED bin (empty bins have no mass and no fit value — callers
+    * interpolate): (bin, n, mean_score, outcome_rate, iso_rate,
+    * monotone_ok) — `monotone_ok` pins the defining invariant
+    * iso(i) ≥ iso(i−1) as a driver-checked TRUE. 6 dp rounds.
+    *
+    * Scale shape: ONE clamped-bin hash-agg reduces the corpus to ≤ B
+    * rows (map-side partials); everything after — prefix windows, the
+    * j≤i≤k broadcast fan-out, two hash-aggs — runs over the bounded bin
+    * table (documented exact-by-contract, the [[graft.ops.Sketches]]
+    * family rule). Never row×row on the raw data. */
+  def isotonicCalibration(df: DataFrame, scoreCol: String,
+                          outcomeCol: String, nBins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBins > 0, s"isotonicCalibration: need nBins > 0, got $nBins")
+    val s = col(scoreCol).cast("double")
+    val bin = greatest(lit(0L), least(lit(nBins - 1L),
+      floor(s * nBins).cast("long")))
+    val bins = graft.core.CacheRegistry.persist(df.where(s.isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col(outcomeCol), lit(false)).cast("long")).as("__pos"),
+        round(avg(s), 6).as("mean_score")))
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bins.select(col("bin"), col("n"), col("__pos"),
+      col("mean_score"),
+      sum("n").over(w).as("__cn"), sum("__pos").over(w).as("__cp"))
+    // block mean over bins [j..k] = one division of exact integer
+    // prefix-sum differences — identical IEEE doubles on both engines
+    val js = cum.select(col("bin").as("__jb"),
+      (col("__cn") - col("n")).as("__cnj"),
+      (col("__cp") - col("__pos")).as("__cpj"))
+    val ks = cum.select(col("bin").as("__kb"),
+      col("__cn").as("__cnk"), col("__cp").as("__cpk"))
+    val pairMeans = js.join(broadcast(ks), col("__jb") <= col("__kb"))
+      .select(col("__jb"), col("__kb"),
+        ((col("__cpk") - col("__cpj")).cast("double")
+          / (col("__cnk") - col("__cnj")).cast("double")).as("__m"))
+    val inner = cum.select(col("bin").as("__ib"))
+      .join(broadcast(pairMeans),
+        col("__jb") <= col("__ib") && col("__kb") >= col("__ib"))
+      .groupBy("__ib", "__jb").agg(min("__m").as("__minm"))
+    val iso = inner.groupBy(col("__ib").as("__fb"))
+      .agg(round(max("__minm"), 6).as("iso_rate"))
+    val wl = Window.orderBy("bin")
+    bins.join(broadcast(iso), col("bin") === col("__fb"))
+      .withColumn("__prev", lag(col("iso_rate"), 1).over(wl))
+      .select(col("bin"), col("n"), col("mean_score"),
+        round(col("__pos").cast("double") / col("n").cast("double"), 6)
+          .as("outcome_rate"),
+        col("iso_rate"),
+        coalesce(col("iso_rate") >= col("__prev"), lit(true))
+          .as("monotone_ok"))
   }
 
   /** Exact grouped ROC-AUC with tie correction — the threshold-free

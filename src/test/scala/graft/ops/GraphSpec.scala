@@ -172,4 +172,29 @@ class GraphSpec extends SparkSpec {
       Graph.kCorePeel(edges, "src", "dst", 0, 2)
     graft.core.CacheRegistry.drain()
   }
+
+  test("modularity: two cliques split by community score high; an " +
+    "unmapped node is its own cohort; duplicates and self-loops drop") {
+    import spark.implicits._
+    // cliques {1,2,3} (X) and {4,5,6} (Y), bridge 3-4, pendant 6-7 with
+    // node 7 missing from the mapping; (2,1) duplicates (1,2); (5,5)
+    // self-loop must vanish -> m = 8 canonical edges
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L), (6L, 7L), (2L, 1L), (5L, 5L)).toDF("src", "dst")
+    val comm = Seq((1L, "X"), (2L, "X"), (3L, "X"),
+      (4L, "Y"), (5L, "Y"), (6L, "Y")).toDF("node", "comm")
+    val r = graft.core.CacheRegistry.scoped {
+      Graph.modularity(edges, "src", "dst", comm, "node", "comm")
+        .collect().map(x => x.getAs[String]("community") ->
+          ((x.getAs[Long]("n_nodes"), x.getAs[Long]("degree_sum"),
+            x.getAs[Long]("within_edges"), x.getAs[Double]("q_contrib"),
+            x.getAs[Double]("modularity")))).toMap
+    }
+    graft.core.CacheRegistry.drain()
+    // Q_X = 3/8 - (7/16)^2, Q_Y = 3/8 - (8/16)^2, Q_7 = 0 - (1/16)^2
+    r("X") shouldBe ((3L, 7L, 3L, 0.183594, 0.304688))
+    r("Y") shouldBe ((3L, 8L, 3L, 0.125, 0.304688))
+    r("__node:7") shouldBe ((1L, 1L, 0L, -0.003906, 0.304688))
+    r.size shouldBe 3
+  }
 }

@@ -344,4 +344,30 @@ class LearnSpec extends SparkSpec {
       Learn.confidentLearning(emb, "vec_id", "embedding", "label", 1)
     graft.core.CacheRegistry.drain()
   }
+
+  test("activeLearningBatch: smallest margins picked first, per-cluster " +
+    "cap enforces diversity, ties break to the lower label") {
+    // train pins centroid a = +x, b = +y; pool: id 5 is a clear 'a'
+    // (margin 1.0), id 10 sits on the diagonal (margin 0, tie -> a),
+    // id 15 is a clear 'b'. perCluster=1 drops id 5 (second in cell a).
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f), "a"), (2L, Array(1.0f, 0.0f), "a"),
+      (3L, Array(0.0f, 1.0f), "b"), (4L, Array(0.0f, 1.0f), "b"),
+      (5L, Array(1.0f, 0.0f), "a"),
+      (10L, Array(0.7f, 0.7f), "a"),
+      (15L, Array(0.1f, 0.9f), "b"))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = Learn.activeLearningBatch(
+        emb, "vec_id", "embedding", "label", 5, 2, 1)
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[String]("nearest_label"), r.getAs[String]("second_label"),
+        r.getAs[Double]("sim"), r.getAs[Double]("margin"),
+        r.getAs[Long]("pick_rank"))).toList
+    out shouldBe List(
+      (10L, "a", "b", 0.707107, 0.0, 1L),
+      (15L, "b", "a", 0.993884, 0.883452, 2L))
+    an[IllegalArgumentException] should be thrownBy
+      Learn.activeLearningBatch(emb, "vec_id", "embedding", "label", 5, 0, 1)
+    graft.core.CacheRegistry.drain()
+  }
 }

@@ -1225,4 +1225,45 @@ class QualitySpec extends SparkSpec {
       Quality.quantileMapping(d, "g", "v", 1)
   }
 
+  test("isotonicCalibration: PAV pools the non-monotone middle bins; " +
+    "fit is non-decreasing and matches the minimax by hand") {
+    // 4 bins x 5 rows, positives 0/3/1/5 -> raw rates 0,.6,.2,1;
+    // isotonic fit pools bins 1-2 to 4/10 = .4
+    val rows = for {
+      b <- 0 to 3; i <- 0 until 5
+      pos = Seq(0, 3, 1, 5)(b)
+    } yield (b * 0.25 + 0.1, i < pos)
+    val d = rows.toDF("score", "y")
+    val r = graft.core.CacheRegistry.scoped {
+      Quality.isotonicCalibration(d, "score", "y", 4)
+        .collect().map(x => x.getAs[Long]("bin") ->
+          ((x.getAs[Double]("outcome_rate"), x.getAs[Double]("iso_rate"),
+            x.getAs[Boolean]("monotone_ok")))).toMap
+    }
+    graft.core.CacheRegistry.drain()
+    r(0L) shouldBe ((0.0, 0.0, true))
+    r(1L) shouldBe ((0.6, 0.4, true))
+    r(2L) shouldBe ((0.2, 0.4, true))
+    r(3L) shouldBe ((1.0, 1.0, true))
+    an[IllegalArgumentException] should be thrownBy
+      Quality.isotonicCalibration(d, "score", "y", 0)
+  }
+
+  test("lDiversityAudit: null sensitive values are their own distinct " +
+    "value; dominant share ties break to the lowest value") {
+    val d = Seq(
+      ("g1", Some("A")), ("g1", Some("A")), ("g1", Some("B")),
+      ("g2", Some("A")), ("g2", Some("B")), ("g2", Some("C")), ("g2", None))
+      .toDF("quasi", "sv")
+    val r = Quality.lDiversityAudit(d, Seq("quasi"), "sv", 3L)
+      .collect().map(x => x.getAs[String]("quasi") ->
+        ((x.getAs[Long]("group_size"), x.getAs[Long]("distinct_sensitive"),
+          x.getAs[Double]("dominant_share"), x.getAs[Boolean]("at_risk"))))
+      .toMap
+    r("g1") shouldBe ((3L, 2L, 0.666667, true))
+    r("g2") shouldBe ((4L, 4L, 0.25, false))
+    an[IllegalArgumentException] should be thrownBy
+      Quality.lDiversityAudit(d, Seq("quasi"), "sv", 1L)
+  }
+
 }
