@@ -1729,6 +1729,21 @@ object SparkEntry {
         t(s, dir, "customer").withColumn("bal_band",
           floor(col("c_acctbal") / 1000).cast("long")),
         Seq("c_nationkey", "c_mktsegment"), "bal_band", 3L)),
+    // duplication-aware split: near-dup CLUSTERS are the split unit, so
+    // zero pairs straddle train/test (the naive leak count shows what a
+    // per-doc split would have contaminated)
+    "q325_cluster_safe_split" -> ((s, dir) => {
+      val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
+      graft.ops.Sampling.clusterSafeSplit(
+        docs.select("doc_id"), "doc_id",
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5),
+        "id_a", "id_b", 0.2)
+    }),
+    // is the corpus big enough for the budget? Chinchilla-optimal
+    // params/tokens per FLOP budget vs the exact corpus token count
+    "q326_chinchilla_plan" -> ((s, dir) =>
+      graft.ops.Corpus.chinchillaPlan(t(s, dir, "documents"), "text",
+        Seq(1e18, 1e19, 1e20, 1e21, 1e22, 1e23))),
     // unit-free effect magnitude per nation: Hedges-corrected Cohen's d
     // with the conventional small/medium/large bands
     "q300_effect_size" -> ((s, dir) => {
@@ -7756,10 +7771,13 @@ object SparkEntry {
          |    md5('perm|' || blk || '|' || b.id) AS h
          |  FROM base b CROSS JOIN blks CROSS JOIN slots
          |  WHERE blk * 4 + slot < $reps),
+         |cut AS (SELECT CAST((aa - aa % nn) // nn
+         |      + CASE WHEN aa % nn <> 0 THEN 1 ELSE 0 END AS BIGINT) AS cut
+         |  FROM (SELECT CAST(n_a AS HUGEINT) * 4294967296 AS aa,
+         |      CAST(n_a + n_b AS HUGEINT) AS nn FROM obs)),
          |assigned AS (SELECT j, vm,
-         |    CAST($nibSum AS HUGEINT) * (o.n_a + o.n_b)
-         |      < CAST(o.n_a AS HUGEINT) * 4294967296 AS is_a
-         |  FROM draws CROSS JOIN obs o),
+         |    CAST($nibSum AS BIGINT) < c.cut AS is_a
+         |  FROM draws CROSS JOIN cut c),
          |rep AS (SELECT j,
          |    count(CASE WHEN is_a THEN 1 END) AS pna,
          |    CAST(sum(CASE WHEN is_a THEN vm END) AS BIGINT) AS psa,
@@ -8042,6 +8060,46 @@ object SparkEntry {
         |    / CAST(sum(n) AS DOUBLE), 6) AS dominant_share,
         |  count(*) < 3 AS at_risk
         |FROM r GROUP BY 1, 2""".stripMargin,
+    // q325: the q33 closure replay labels clusters, both split devices
+    // are the same exact-integer md5 cut, leak counts re-walk jpairs
+    "q325_cluster_safe_split" -> {
+      val cut = math.floor(0.2 * 4294967296.0).toLong
+      s"""$clusterChainSql,
+         |lab AS (SELECT doc_id, cluster_id,
+         |    CASE WHEN (${md5PrefixSql("'split|' || cluster_id")}) < $cut
+         |      THEN 'test' ELSE 'train' END AS split,
+         |    CASE WHEN (${md5PrefixSql("'split|' || doc_id")}) < $cut
+         |      THEN 'test' ELSE 'train' END AS naive
+         |  FROM assign),
+         |leaks AS (SELECT
+         |    CAST(coalesce(sum(CASE WHEN la.naive <> lb.naive THEN 1 END),
+         |      0) AS BIGINT) AS naive_leaked_pairs,
+         |    CAST(coalesce(sum(CASE WHEN la.split <> lb.split THEN 1 END),
+         |      0) AS BIGINT) AS cluster_leaked_pairs
+         |  FROM jpairs j JOIN lab la ON j.id_a = la.doc_id
+         |  JOIN lab lb ON j.id_b = lb.doc_id)
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+         |  naive_leaked_pairs, cluster_leaked_pairs
+         |FROM lab CROSS JOIN leaks GROUP BY 1, 4, 5""".stripMargin
+    },
+    // q326: exact whitespace-token total, closed-form grid — sqrt is
+    // IEEE-correctly-rounded on both engines
+    "q326_chinchilla_plan" ->
+      """WITH t AS (SELECT CAST(coalesce(sum(len(string_split(text, ' '))),
+        |    0) AS BIGINT) AS corpus_tokens
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT unnest([1e18, 1e19, 1e20,
+        |    1e21, 1e22, 1e23]) AS flops_budget)
+        |SELECT flops_budget, corpus_tokens,
+        |  CAST(round(sqrt(flops_budget / 120.0)) AS BIGINT) AS opt_params,
+        |  CAST(round(sqrt(flops_budget / 120.0) * 20.0) AS BIGINT)
+        |    AS opt_tokens,
+        |  round(sqrt(flops_budget / 120.0) * 20.0
+        |    / CAST(corpus_tokens AS DOUBLE), 6) AS epochs_needed,
+        |  round(sqrt(flops_budget / 120.0) * 20.0)
+        |    > CAST(corpus_tokens AS DOUBLE) AS data_limited
+        |FROM g CROSS JOIN t""".stripMargin,
     // q301: strict row_number ranks over the complete panel, exact
     // integer rank sums, one mirrored division
     "q301_kendalls_w" ->

@@ -942,6 +942,44 @@ object Corpus {
       .drop("__ndcg")
   }
 
+  /** Compute-optimal data-budget plan (Hoffmann et al. 2022, "Chinchilla")
+    * — "is this corpus big enough for the model the budget buys": for
+    * each training FLOP budget C, the compute-optimal parameter count
+    * `Nopt = √(C/120)` and token count `Dopt = 20·Nopt` (from C ≈ 6·N·D
+    * and the measured D/N ≈ 20 optimum), compared against the corpus's
+    * ACTUAL whitespace-token count T (one exact LONG sum). `epochs_needed
+    * = Dopt / T` and `data_limited = Dopt > T` tell the pipeline whether
+    * curation must GROW the corpus before that budget is spendable —
+    * the planning row the q306 Heaps-law and q314 learning-curve
+    * forecasts feed into. All derived values are closed-form doubles of
+    * (budget literal, exact T), 6 dp / integer-rounded.
+    *
+    * Scale shape: ONE corpus scan ending in a single-row sum, then a
+    * ≤|budgets| literal grid cross-joined against the broadcast total.
+    * Nothing else touches the data. */
+  def chinchillaPlan(df: DataFrame, textCol: String,
+                     budgetsFlops: Seq[Double]): DataFrame = {
+    require(budgetsFlops.nonEmpty, "chinchillaPlan: provide FLOP budgets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val t = df.where(col(textCol).isNotNull)
+      .agg(sum(TextStats.tokenCount(col(textCol)).cast("long"))
+        .as("corpus_tokens"))
+    val grid = budgetsFlops.map(c => (c, math.sqrt(c / 120.0)))
+      .toDF("flops_budget", "__nstar")
+    grid.crossJoin(broadcast(t))
+      .select(col("flops_budget"),
+        coalesce(col("corpus_tokens"), lit(0L)).as("corpus_tokens"),
+        round(col("__nstar")).cast("long").as("opt_params"),
+        round(col("__nstar") * 20.0).cast("long").as("opt_tokens"),
+        round(col("__nstar") * 20.0
+          / coalesce(col("corpus_tokens"), lit(0L)).cast("double"), 6)
+          .as("epochs_needed"),
+        (round(col("__nstar") * 20.0)
+          > coalesce(col("corpus_tokens"), lit(0L)).cast("double"))
+          .as("data_limited"))
+  }
+
   /** Rank-biased overlap (Webber et al. 2010) between two rankings of the
     * same items — "do two quality signals pick the same head of the
     * corpus", the list-level agreement metric [[rankingMetrics]] can't

@@ -850,25 +850,64 @@ object Quality {
       count(when(col("__var") === b, 1)).as("n_b"),
       sum(when(col("__var") === a, col("__vm"))).as("__sa"),
       sum(when(col("__var") === b, col("__vm"))).as("__sb"))
-    // u·N < n_a·2³² in decimal(38,0): u < 2³² and N can both be large,
-    // so the product leaves LONG range at corpus scale
-    val u = conv(expr("substring(__h, 1 + 8 * __slot, 8)"), 16, 10)
-      .cast("decimal(38,0)")
-    val reassigned = base
-      .crossJoin(broadcast(obs.select(
-        (col("n_a") + col("n_b")).cast("decimal(38,0)").as("__nn"),
-        (col("n_a").cast("decimal(38,0)") * lit(4294967296L)).as("__cut"))))
+    // u·N < n_a·2³² ⟺ u < ceil(n_a·2³²/N) for integers; the boundary is
+    // ONE bounded driver-side number (exact BigInt ceil over the cohort
+    // counts — the kmeans-centroid precedent), inlined as a LITERAL so
+    // the hot stage stays a single whole-stage-codegen span. Joining the
+    // single-row obs frame in instead planted a BroadcastNestedLoopJoin
+    // BEFORE the explode and de-codegen'd the entire 30M-row stage
+    // (13 s → ~1 s at sf0.1).
+    val Array(naL, nbL) = obs.select(col("n_a"), col("n_b")).head() match {
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    val nTot = naL + nbL
+    val cutLit = if (nTot == 0L) 0L
+      else ((BigInt(naL) * BigInt(4294967296L) + BigInt(nTot) - 1)
+        / BigInt(nTot)).toLong
+    // the 4 slots pivot into COLUMNS of one (row × block) hash-agg —
+    // exploding them to rows first quadrupled the materialized volume
+    // (120M rows at sf0.1) for the same arithmetic. The slot test is a
+    // fixed-width HEX STRING comparison: for lowercase 8-char hex,
+    // lexicographic order IS numeric order, so `u < cut` needs no
+    // conv() at all — the 4-per-row conv parses (plus their
+    // re-evaluation inside every agg expression before the bits were
+    // projected out) were ~7 of the 13 s this query used to cost.
+    val cutHex = f"$cutLit%08x"
+    val slotBits = (0 until 4).map { s =>
+      (if (cutLit >= 4294967296L) lit(true)
+       else if (cutLit <= 0L) lit(false)
+       else substring(col("__h"), 1 + 8 * s, 8) < lit(cutHex)).as(s"__a$s")
+    }
+    val withBits = base
       .withColumn("__blk", explode(sequence(lit(0), lit((reps + 3) / 4 - 1))))
       .withColumn("__h", md5(concat(lit(s"$seed|"), col("__blk").cast("string"),
         lit("|"), col("__id"))))
-      .withColumn("__slot", explode(sequence(lit(0), lit(3))))
-      .withColumn("j", col("__blk") * 4 + col("__slot"))
+      .select((Seq(col("__vm"), col("__blk")) ++ slotBits): _*)
+    // per slot only the A-side pair aggregates: the B side is algebra —
+    // pnb = n − pna, psb = Σvm − psa (totals are replicate-invariant),
+    // which halves the per-row aggregate-buffer updates
+    val slotAggs = (0 until 4).flatMap { s =>
+      val isA = col(s"__a$s")
+      Seq(count(when(isA, 1)).as(s"__pna$s"),
+        sum(when(isA, col("__vm"))).as(s"__psa$s"))
+    }
+    val allAggs = Seq(count(lit(1)).as("__n"),
+      sum(col("__vm")).as("__s")) ++ slotAggs
+    val byBlk = withBits
+      .groupBy("__blk")
+      .agg(allAggs.head, allAggs.tail: _*)
+    val reassigned = byBlk
+      .select(explode(array((0 until 4).map(s => struct(
+        (col("__blk") * 4 + s).as("j"),
+        col(s"__pna$s").as("__pna"),
+        coalesce(col(s"__psa$s"), lit(0L)).as("__psa"),
+        (col("__n") - col(s"__pna$s")).as("__pnb"),
+        (col("__s") - coalesce(col(s"__psa$s"), lit(0L))).as("__psb"))): _*))
+        .as("__e"))
+      .select(col("__e.j").as("j"), col("__e.__pna").as("__pna"),
+        col("__e.__psa").as("__psa"), col("__e.__pnb").as("__pnb"),
+        col("__e.__psb").as("__psb"))
       .where(col("j") < reps)
-      .groupBy("j")
-      .agg(count(when(u * col("__nn") < col("__cut"), 1)).as("__pna"),
-        sum(when(u * col("__nn") < col("__cut"), col("__vm"))).as("__psa"),
-        count(when(u * col("__nn") >= col("__cut"), 1)).as("__pnb"),
-        sum(when(u * col("__nn") >= col("__cut"), col("__vm"))).as("__psb"))
     def dMicro(sa: Column, na: Column, sb: Column, nb: Column): Column =
       round(sa.cast("double") / na.cast("double")
         - sb.cast("double") / nb.cast("double")).cast("long")

@@ -757,4 +757,61 @@ object Sampling {
           when(col("__rk") <= col("__rem"), 1L).otherwise(0L),
           col("n_rows"))).as("feasible_alloc"))
   }
+
+  /** Duplication-aware train/test split — the assignment a naive per-row
+    * split gets WRONG: near-duplicate documents must land on the same
+    * side, or the test set silently contains paraphrases of training
+    * rows (split contamination, the within-corpus twin of
+    * [[graft.ops.Dedup.decontaminate]]). Connected near-dup components
+    * ([[graft.ops.Dedup.clusters]] over `pairs`) are the split unit: a
+    * CLUSTER goes to test iff `md5(salt|cluster_id)`'s 32-bit prefix
+    * clears `⌊testFrac·2³²⌋` (the exact-integer cut — any engine
+    * reproduces the assignment bit-for-bit). Output: one row per split
+    * with (split, n_docs, n_clusters) plus two global audit numbers
+    * repeated on each row — `naive_leaked_pairs` (near-dup pairs a
+    * per-DOC md5 split at the same fraction would have straddled) and
+    * `cluster_leaked_pairs` (straddling pairs under the cluster split —
+    * ZERO by construction, the driver-checked contract).
+    *
+    * Scale shape: the [[graft.ops.Dedup.clusters]] propagation (one
+    * shuffle per round over dup-involved nodes only), one cluster-keyed
+    * hash-agg, and two broadcast-able id-keyed joins tagging the pair
+    * endpoints. The pair table is never squared. */
+  def clusterSafeSplit(ids: DataFrame, idCol: String, pairs: DataFrame,
+                       pairACol: String, pairBCol: String, testFrac: Double,
+                       salt: String = "split"): DataFrame = {
+    require(testFrac > 0 && testFrac < 1,
+      s"clusterSafeSplit: need 0 < testFrac < 1, got $testFrac")
+    val cut = math.floor(testFrac * 4294967296.0).toLong
+    def u(c: Column): Column =
+      conv(substring(md5(concat(lit(s"$salt|"), c.cast("string"))), 1, 8),
+        16, 10).cast("long")
+    def splitOf(c: Column): Column =
+      when(u(c) < cut, "test").otherwise("train")
+    val p = graft.core.CacheRegistry.persist(
+      pairs.select(col(pairACol).as("__pa"), col(pairBCol).as("__pb")))
+    val assigned = graft.core.CacheRegistry.persist(
+      Dedup.clusters(p, "__pa", "__pb", ids.select(col(idCol)), idCol)
+        .select(col(idCol).as("__doc"), col("cluster_id"),
+          splitOf(col("cluster_id")).as("split"),
+          splitOf(col(idCol)).as("__naive")))
+    val sides = assigned.select(col("__doc"),
+      col("split").as("__cs"), col("__naive").as("__ns"))
+    val tagged = p
+      .join(sides.toDF("__pa", "__ca", "__na"), Seq("__pa"))
+      .join(sides.toDF("__pb", "__cb", "__nb"), Seq("__pb"))
+    val leaks = tagged.agg(
+      sum(when(col("__na") =!= col("__nb"), 1L).otherwise(0L))
+        .as("naive_leaked_pairs"),
+      sum(when(col("__ca") =!= col("__cb"), 1L).otherwise(0L))
+        .as("cluster_leaked_pairs"))
+    assigned.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("cluster_id")).as("n_clusters"))
+      .crossJoin(broadcast(leaks.select(
+        coalesce(col("naive_leaked_pairs"), lit(0L))
+          .as("naive_leaked_pairs"),
+        coalesce(col("cluster_leaked_pairs"), lit(0L))
+          .as("cluster_leaked_pairs"))))
+  }
 }

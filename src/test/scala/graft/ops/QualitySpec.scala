@@ -1249,6 +1249,46 @@ class QualitySpec extends SparkSpec {
       Quality.isotonicCalibration(d, "score", "y", 0)
   }
 
+  test("permutationTest: add-one p stays in (0,1], significance mirrors " +
+    "the 5% rule, and the replicate count is bounded by reps") {
+    val rows = (1 to 40).map(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b", i.toDouble % 7))
+    val d = rows.toDF("id", "v", "value")
+    val r = graft.core.CacheRegistry.scoped {
+      Quality.permutationTest(d, "id", "v", "value", "a", "b", 8).head()
+    }
+    graft.core.CacheRegistry.drain()
+    r.getAs[Long]("n_a") shouldBe 20L
+    r.getAs[Long]("n_b") shouldBe 20L
+    val p = r.getAs[Double]("p_value")
+    p should be > 0.0
+    p should be <= 1.0
+    r.getAs[Long]("reps") should be <= 8L
+    r.getAs[Boolean]("significant") shouldBe (p <= 0.05)
+    an[IllegalArgumentException] should be thrownBy
+      Quality.permutationTest(d, "id", "v", "value", "a", "b", 3)
+  }
+
+  test("msprtSequential: always-valid p is monotone non-increasing over " +
+    "days and a decision never un-happens") {
+    val rows = (1 to 60).flatMap { i =>
+      val day = java.sql.Date.valueOf(f"2024-01-${i % 3 + 1}%02d")
+      Seq((day, "a", 10.0 + (i % 5)), (day, "b", 2.0 + (i % 3)))
+    }
+    val d = rows.toDF("day", "v", "value")
+    val out = Quality.msprtSequential(d, col("day"), "v", "value",
+      "a", "b", 0.5).orderBy("day").collect()
+    out.length shouldBe 3
+    // 6 dp rounding can floor a vanishing always-valid p to exactly 0
+    val ps = out.map(_.getAs[Double]("p_always_valid"))
+    ps.foreach { p => p should be >= 0.0; p should be <= 1.0 }
+    ps.sliding(2).foreach { w => w(1) should be <= w(0) }
+    val sig = out.map(_.getAs[Boolean]("significant"))
+    sig.sliding(2).foreach { w => if (w(0)) w(1) shouldBe true }
+    an[IllegalArgumentException] should be thrownBy
+      Quality.msprtSequential(d, col("day"), "v", "value", "a", "b", 0.0)
+  }
+
   test("lDiversityAudit: null sensitive values are their own distinct " +
     "value; dominant share ties break to the lowest value") {
     val d = Seq(

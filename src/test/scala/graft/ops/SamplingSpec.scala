@@ -492,4 +492,43 @@ class SamplingSpec extends SparkSpec {
     m._3 shouldBe Some(1L)
     m._6 shouldBe None
   }
+
+  test("clusterSafeSplit: clusters stay whole (zero leaked pairs), split " +
+    "assignment matches an independent md5 replay, naive leaks counted") {
+    // clusters: {1,2,3} (pairs 1-2, 2-3), {5,6}; 4 is a singleton
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = graft.core.CacheRegistry.scoped {
+      Sampling.clusterSafeSplit(ids, "doc_id", pairs, "id_a", "id_b", 0.2)
+        .collect().map(r => r.getAs[String]("split") ->
+          ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_clusters"),
+            r.getAs[Long]("naive_leaked_pairs"),
+            r.getAs[Long]("cluster_leaked_pairs")))).toMap
+    }
+    graft.core.CacheRegistry.drain()
+    // independent replay of the md5 cut (cluster ids are min labels 1, 5;
+    // 4 is its own cluster)
+    val cut = math.floor(0.2 * 4294967296.0).toLong
+    def u32(x: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split|$x".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    def side(x: Long): String = if (u32(x) < cut) "test" else "train"
+    val docCluster = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L)
+    val expDocs = docCluster.groupBy { case (_, c) => side(c) }
+    val expNaiveLeaks = Seq((1L, 2L), (2L, 3L), (5L, 6L))
+      .count { case (a, b) => side(a) != side(b) }
+    for ((sp, rows) <- expDocs) {
+      val (nDocs, nClusters, naive, leaked) = out(sp)
+      nDocs shouldBe rows.size.toLong
+      nClusters shouldBe rows.values.toSet.size.toLong
+      naive shouldBe expNaiveLeaks.toLong
+      leaked shouldBe 0L
+    }
+    out.values.map(_._1).sum shouldBe 6L
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.clusterSafeSplit(ids, "doc_id", pairs, "id_a", "id_b", 0.0)
+  }
 }
