@@ -1744,6 +1744,30 @@ object SparkEntry {
     "q326_chinchilla_plan" -> ((s, dir) =>
       graft.ops.Corpus.chinchillaPlan(t(s, dir, "documents"), "text",
         Seq(1e18, 1e19, 1e20, 1e21, 1e22, 1e23))),
+    // label-free embedding outliers: 1 - (3rd-NN cosine) within the
+    // vector's IVF cell - the q83 cell machinery, pointed at isolation
+    "q327_knn_outliers" -> ((s, dir) =>
+      Similarity.ivfKthNnOutliers(
+        t(s, dir, "embeddings"), "vec_id", "embedding", 8, 2, 3)),
+    // how heavy is the value tail per event type? Hill index over the
+    // top-50 order statistics; alpha < 2 means infinite variance
+    "q328_hill_tail" -> ((s, dir) =>
+      graft.ops.Quality.hillTailIndex(
+        t(s, dir, "events"), "event_type", "value", 50)),
+    // which Jaccard cut to dedup at: one pair table generated at 0.1,
+    // swept across the whole threshold grid as a broadcast re-filter
+    "q329_threshold_sweep" -> ((s, dir) => {
+      val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
+      Dedup.thresholdSweep(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.1),
+        "id_a", "id_b", "jaccard",
+        Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))
+    }),
+    // trend + weekly seasonal + residual split of the daily value series,
+    // anomalies gated at 3x the residual MAD
+    "q330_seasonal_decompose" -> ((s, dir) =>
+      graft.ops.EventAnalytics.seasonalDecompose(
+        t(s, dir, "events"), "ts", "value", 3.0)),
     // unit-free effect magnitude per nation: Hedges-corrected Cohen's d
     // with the conventional small/medium/large bands
     "q300_effect_size" -> ((s, dir) => {
@@ -3120,10 +3144,10 @@ object SparkEntry {
        |FROM sc
        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id ASC) <= 10""".stripMargin
 
-  /** q83 oracle: the trained cents2 (same FLOAT round-trip as the Spark
-    * side), a third assignment pass, then within-cell pairs with rounded
-    * cosine ≥ 0.3. */
-  private def semanticDedupSql: String =
+  /** Shared q83/q327 scaffold: trained cents2 (same FLOAT round-trip as
+    * the Spark side), a third assignment pass (`a3`), then ALL
+    * within-cell pairs with rounded cosine as CTE `pc`. */
+  private def withinCellPairsPrefix: String =
     s"""$kmeansTwoIterPrefix,
        |c2 AS (
        |  SELECT cell, dim, CAST(CAST(round(avg(v), 6) AS FLOAT) AS DOUBLE) AS cv
@@ -3136,7 +3160,11 @@ object SparkEntry {
        |      CAST(eb.embedding AS DOUBLE[])), 6) AS cos
        |  FROM a3 x JOIN a3 y ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id
        |  JOIN embeddings ea ON ea.vec_id = x.vec_id
-       |  JOIN embeddings eb ON eb.vec_id = y.vec_id)
+       |  JOIN embeddings eb ON eb.vec_id = y.vec_id)""".stripMargin
+
+  /** q83 oracle: the shared within-cell scaffold filtered at ≥ 0.3. */
+  private def semanticDedupSql: String =
+    s"""$withinCellPairsPrefix
        |SELECT cell, id_a, id_b, cos FROM pc WHERE cos >= 0.3""".stripMargin
 
   /** q62 oracle: the same range-bucket + Morton-interleave arithmetic as
@@ -8100,6 +8128,105 @@ object SparkEntry {
         |  round(sqrt(flops_budget / 120.0) * 20.0)
         |    > CAST(corpus_tokens AS DOUBLE) AS data_limited
         |FROM g CROSS JOIN t""".stripMargin,
+    // q327: the q83 within-cell scaffold, symmetrized, kth-cosine via
+    // the same deterministic window; missing kth (cell too small) stays
+    // NULL through the left join
+    "q327_knn_outliers" ->
+      s"""$withinCellPairsPrefix,
+         |sym AS (SELECT id_a AS id, id_b AS nbr, cos FROM pc
+         |        UNION ALL SELECT id_b, id_a, cos FROM pc),
+         |kth AS (SELECT id, cos AS kth_cos FROM (
+         |    SELECT id, cos, row_number() OVER (PARTITION BY id
+         |      ORDER BY cos DESC, nbr ASC) AS r FROM sym)
+         |  WHERE r = 3),
+         |sizes AS (SELECT cent_id AS cell, CAST(count(*) AS BIGINT)
+         |    AS n_in_cell
+         |  FROM a3 GROUP BY 1)
+         |SELECT a3.vec_id, a3.cent_id AS cell, s.n_in_cell, k.kth_cos,
+         |  round(1.0 - k.kth_cos, 6) AS outlier_score
+         |FROM a3 JOIN sizes s ON a3.cent_id = s.cell
+         |LEFT JOIN kth k ON a3.vec_id = k.id""".stripMargin,
+    // q328: same top-(k+1) multiset (tie-order-invariant), ln on
+    // identical doubles, one mirrored division
+    "q328_hill_tail" ->
+      """WITH base AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL AND value > 0),
+        |cnt AS (SELECT g, CAST(count(*) AS BIGINT) AS n_pos
+        |  FROM base GROUP BY 1),
+        |r AS (SELECT g, v,
+        |    row_number() OVER (PARTITION BY g ORDER BY v DESC) AS rn
+        |  FROM base),
+        |top AS (SELECT g, max(CASE WHEN rn = 51 THEN v END) AS xk1,
+        |    sum(CASE WHEN rn <= 50 THEN ln(v) END) AS lnsum
+        |  FROM r WHERE rn <= 51 GROUP BY 1)
+        |SELECT cnt.g AS event_type, cnt.n_pos,
+        |  round(top.xk1, 6) AS x_kplus1,
+        |  round(50.0 / (top.lnsum - 50.0 * ln(top.xk1)), 6) AS alpha,
+        |  coalesce(round(50.0 / (top.lnsum - 50.0 * ln(top.xk1)), 6) < 2.0,
+        |    false) AS heavy_tail
+        |FROM cnt JOIN top ON cnt.g = top.g""".stripMargin,
+    // q329: one exact pair table at the floor threshold, the grid
+    // re-filter and both counts mirrored
+    "q329_threshold_sweep" -> {
+      val gridSql = Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+        .map(t => s"CAST($t AS DOUBLE)").mkString(", ")
+      s"""WITH sh AS (${shingleSql(3)}),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |jf AS (SELECT p.id_a, p.id_b,
+         |    CAST(p.n_common AS DOUBLE)
+         |      / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE) AS j
+         |  FROM pairs p JOIN sizes sa ON p.id_a = sa.doc_id
+         |  JOIN sizes sb ON p.id_b = sb.doc_id
+         |  WHERE CAST(p.n_common AS DOUBLE)
+         |    / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE) >= 0.1),
+         |g AS (SELECT unnest([$gridSql]) AS threshold),
+         |k AS (SELECT g.threshold, jf.id_a, jf.id_b
+         |  FROM g JOIN jf ON jf.j >= g.threshold),
+         |pc AS (SELECT threshold, CAST(count(*) AS BIGINT) AS pairs_kept
+         |  FROM k GROUP BY 1),
+         |dc AS (SELECT threshold, CAST(count(DISTINCT d) AS BIGINT)
+         |    AS docs_involved
+         |  FROM (SELECT threshold, id_a AS d FROM k
+         |        UNION ALL SELECT threshold, id_b AS d FROM k) GROUP BY 1)
+         |SELECT g.threshold, coalesce(pc.pairs_kept, 0) AS pairs_kept,
+         |  coalesce(dc.docs_involved, 0) AS docs_involved
+         |FROM g LEFT JOIN pc ON g.threshold = pc.threshold
+         |LEFT JOIN dc ON g.threshold = dc.threshold""".stripMargin
+    },
+    // q330: micro-LONG daily totals, mirrored integer re-snaps between
+    // stages; the dow key differs numerically per engine (Spark 1-7 vs
+    // DuckDB 0-6) but induces the identical partition of days
+    "q330_seasonal_decompose" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(round(coalesce(value, 0) * 1000000.0) AS BIGINT))
+        |      AS BIGINT) AS tm
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |tr AS (SELECT day, tm,
+        |    CAST(round(CAST(sum(tm) OVER w AS DOUBLE)
+        |      / CAST(count(*) OVER w AS DOUBLE)) AS BIGINT) AS trm
+        |  FROM daily WINDOW w AS (ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |dt AS (SELECT day, tm, trm, tm - trm AS dtm,
+        |    dayofweek(day) AS dow FROM tr),
+        |se AS (SELECT dow, CAST(round(CAST(sum(dtm) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE)) AS BIGINT) AS sm
+        |  FROM dt GROUP BY 1),
+        |rs AS (SELECT day, tm, trm, sm, dtm - sm AS rm
+        |  FROM dt JOIN se USING (dow)),
+        |gate AS (SELECT quantile_cont(CAST(abs(rm) AS DOUBLE), 0.5) AS mad
+        |  FROM rs)
+        |SELECT day,
+        |  round(CAST(tm AS DOUBLE) / 1e6, 6) AS total,
+        |  round(CAST(trm AS DOUBLE) / 1e6, 6) AS trend,
+        |  round(CAST(sm AS DOUBLE) / 1e6, 6) AS seasonal,
+        |  round(CAST(rm AS DOUBLE) / 1e6, 6) AS residual,
+        |  CAST(abs(rm) AS DOUBLE) > 3.0 * gate.mad AS anomaly
+        |FROM rs CROSS JOIN gate""".stripMargin,
     // q301: strict row_number ranks over the complete panel, exact
     // integer rank sums, one mirrored division
     "q301_kendalls_w" ->

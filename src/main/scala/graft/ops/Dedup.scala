@@ -929,4 +929,43 @@ object Dedup {
         round((col("tokens_before") - col("tokens_after")).cast("double") /
           col("tokens_before").cast("double"), 6).as("token_drop_rate"))
   }
+
+  /** Similarity-threshold sweep — "which Jaccard cut should this corpus
+    * dedup at": for every candidate threshold, how many verified pairs
+    * survive and how many distinct documents they touch, from ONE pair
+    * table (generate candidates once at the LOWEST threshold, then the
+    * grid is a broadcast re-filter — never re-shingle per threshold).
+    * The pair count falls smoothly with the cut while docs_involved
+    * shows the affected-population cliff; the knee picks the threshold
+    * the q35/q53 pipelines then run at. Output per threshold:
+    * (threshold, pairs_kept, docs_involved), zero-filled.
+    *
+    * Scale shape: the pair table is persisted once; the sweep is a
+    * ≤|grid| broadcast fan-out over it, one hash-agg per metric (the
+    * distinct is per (threshold, doc) — map-side partials). Pair
+    * generation itself inherits the caller's generator contract
+    * ([[ngramJaccardPairs]] exact, or banded [[minHashLshPairs]]). */
+  def thresholdSweep(pairs: DataFrame, aCol: String, bCol: String,
+                     simCol: String, thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "thresholdSweep: provide thresholds")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val grid = thresholds.toDF("threshold")
+    val p = graft.core.CacheRegistry.persist(pairs.select(
+      col(aCol).as("__a"), col(bCol).as("__b"),
+      col(simCol).cast("double").as("__s")))
+    val keyed = p.crossJoin(broadcast(grid))
+      .where(col("__s") >= col("threshold"))
+    val pairCounts = keyed.groupBy("threshold")
+      .agg(count(lit(1)).as("pairs_kept"))
+    val docCounts = keyed.select(col("threshold"), col("__a").as("__d"))
+      .unionAll(keyed.select(col("threshold"), col("__b").as("__d")))
+      .groupBy("threshold")
+      .agg(count_distinct(col("__d")).as("docs_involved"))
+    grid.join(pairCounts, Seq("threshold"), "left")
+      .join(docCounts, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("pairs_kept"), lit(0L)).as("pairs_kept"),
+        coalesce(col("docs_involved"), lit(0L)).as("docs_involved"))
+  }
 }

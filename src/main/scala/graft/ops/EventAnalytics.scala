@@ -1275,4 +1275,56 @@ object EventAnalytics {
           col("n_events").cast("double"), 6).as("pct_dropped"),
         col("max_lateness_us"))
   }
+
+  /** Classical seasonal decomposition of the daily value series with a
+    * robust anomaly flag — total = trend + weekly seasonal + residual,
+    * the structured view [[dowProfile]]'s variance split only summarizes
+    * and [[cusum]]/EWMA monitor one component of. Trend is the centered
+    * 7-day moving average (edge days average their available window —
+    * documented, mirrored); weekly seasonal is the day-of-week mean of
+    * the detrended series; the anomaly gate is MAD-based:
+    * |residual| > k · median(|residual|) (a level shift can't drag its
+    * own threshold the way a σ-gate lets it). Replay-exact: daily
+    * totals are micro-LONG sums, the trend division is exact-integer
+    * sum / count, and each derived series re-snaps to micro-LONGs
+    * before the next stage, so both engines subtract identical
+    * integers. Output per day: (day, total, trend, seasonal, residual,
+    * anomaly). 6 dp.
+    *
+    * Scale shape: ONE (day) hash-agg pre-reduces the log (map-side
+    * combine); every window and percentile after runs over the
+    * day-calendar-bounded daily table — the [[ewmaDaily]] family's
+    * documented exact-by-contract rule. */
+  def seasonalDecompose(events: DataFrame, tsCol: String, valCol: String,
+                        madK: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(madK > 0, s"seasonalDecompose: need madK > 0, got $madK")
+    val vm = round(coalesce(col(valCol), lit(0.0)).cast("double")
+      * lit(1000000.0)).cast("long")
+    val daily = events.where(col(tsCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(sum(vm).as("__tm"))
+    val wTrend = Window.orderBy("day").rowsBetween(-3, 3)
+    val withTrend = daily
+      .withColumn("__trm",
+        round(sum("__tm").over(wTrend).cast("double")
+          / count(lit(1)).over(wTrend).cast("double")).cast("long"))
+      .withColumn("__dtm", col("__tm") - col("__trm"))
+      .withColumn("__dow", dayofweek(col("day")))
+    val seasonal = withTrend.groupBy("__dow")
+      .agg(round(sum("__dtm").cast("double")
+        / count(lit(1)).cast("double")).cast("long").as("__sm"))
+    val resid = withTrend.join(broadcast(seasonal), Seq("__dow"))
+      .withColumn("__rm", col("__dtm") - col("__sm"))
+    val gate = resid.agg(
+      percentile(abs(col("__rm")).cast("double"), lit(0.5)).as("__mad"))
+    resid.crossJoin(broadcast(gate))
+      .select(col("day"),
+        round(col("__tm").cast("double") / 1e6, 6).as("total"),
+        round(col("__trm").cast("double") / 1e6, 6).as("trend"),
+        round(col("__sm").cast("double") / 1e6, 6).as("seasonal"),
+        round(col("__rm").cast("double") / 1e6, 6).as("residual"),
+        (abs(col("__rm")).cast("double") > lit(madK) * col("__mad"))
+          .as("anomaly"))
+  }
 }

@@ -1005,6 +1005,46 @@ object Quality {
             <= alpha), lit(false)).as("significant"))
   }
 
+  /** Hill tail-index estimate per group — "how heavy is this value
+    * column's tail", the number that decides whether mean-based
+    * statistics are even meaningful (α ≤ 2 ⇒ infinite variance: spend
+    * estimates, token-count planning, and Σ-based marts all need the
+    * robust path). Over the k largest POSITIVE values x₍₁₎ ≥ … ≥ x₍ₖ₎
+    * and the (k+1)-th order statistic:
+    * `α̂ = k / Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎)` (Hill 1975). Duplicated boundary
+    * values make the chosen multiset — and therefore the estimate —
+    * tie-order-invariant. Groups with fewer than k+1 positive rows
+    * report NULL α (not enough tail to estimate). Output: (group,
+    * n_pos, x_kplus1, alpha, heavy_tail = α̂ < 2). 6 dp.
+    *
+    * Scale shape: the rank filter is a per-group TOP-(k+1) — Spark
+    * plans `row_number ≤ k+1` as a WindowGroupLimit heap (no global
+    * sort), then one group hash-agg over ≤ k+1 rows per group. */
+  def hillTailIndex(df: DataFrame, groupCol: String, valCol: String,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"hillTailIndex: need k >= 2, got $k")
+    val v = col(valCol).cast("double")
+    val base = df.where(v.isNotNull && v > 0)
+      .select(col(groupCol).as("g"), v.as("__v"))
+    val w = Window.partitionBy("g").orderBy(col("__v").desc)
+    val top = base.withColumn("__r", row_number().over(w))
+      .where(col("__r") <= k + 1)
+    val counts = base.groupBy("g").agg(count(lit(1)).as("n_pos"))
+    val fit = top.groupBy("g").agg(
+      max(when(col("__r") === k + 1, col("__v"))).as("__xk1"),
+      sum(when(col("__r") <= k, log(col("__v")))).as("__lnsum"))
+    counts.join(fit, Seq("g"))
+      .select(col("g").as(groupCol), col("n_pos"),
+        round(col("__xk1"), 6).as("x_kplus1"),
+        round(lit(k.toDouble)
+          / (col("__lnsum") - lit(k.toDouble) * log(col("__xk1"))), 6)
+          .as("alpha"),
+        coalesce(round(lit(k.toDouble)
+          / (col("__lnsum") - lit(k.toDouble) * log(col("__xk1"))), 6) < 2.0,
+          lit(false)).as("heavy_tail"))
+  }
+
   /** Leave-one-out smoothed target encoding: replace a categorical key
     * with the mean of `valCol` over the OTHER rows sharing the key,
     * shrunk toward the global prior — `te = (Σ_g − v + m·prior) /

@@ -471,6 +471,56 @@ object Similarity {
       .where(col("cos") >= threshold)
   }
 
+  /** Unlabeled embedding-space outlier score — distance to the kNN-th
+    * nearest neighbor WITHIN the vector's IVF cell (the distance-based
+    * outlier definition of Ramaswamy et al. 2000, bucketed the SemDeDup
+    * way so no global N² ever forms): isolated vectors have a low kth
+    * cosine even to their closest cell-mates. Complements
+    * [[graft.ops.Embeddings]]' per-LABEL outliers (which need labels)
+    * — this one needs nothing but the vectors. Per id: its cell, the
+    * cell's population, the kNN-th highest within-cell cosine (ties to
+    * the lower neighbor id; NULL when the cell has ≤ kNN other members
+    * — too small to rank, callers treat as "cannot judge"), and
+    * `outlier_score = 1 − kth_cos`. 6 dp.
+    *
+    * Scale shape: [[semanticNearDupPairs]]' contract — trained cells,
+    * one persisted assignment, within-cell pairs only (quadratic
+    * strictly bounded by cell size), then a per-id window over the
+    * cell-bounded neighbor list. Cell count k trades recall for the
+    * within-cell bound exactly as in [[ivfTopK]]. */
+  def ivfKthNnOutliers(emb: DataFrame, idCol: String, vecCol: String,
+                       k: Int, iters: Int, kNn: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(kNn >= 1, s"ivfKthNnOutliers: need kNn >= 1, got $kNn")
+    val cents = kmeansCentroids(emb, idCol, vecCol, k, iters)
+    val assigned = graft.core.CacheRegistry.persist(
+      nearestCentroid(emb, idCol, vecCol, cents)
+        .select(col(idCol), col("cent_id").as("cell"), col(vecCol),
+          col("norm")))
+    val a = assigned.toDF("id_a", "cell", "va", "na")
+    val b = assigned.toDF("id_b", "cell", "vb", "nb")
+    val pairs = a.join(b, Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("cell"), col("id_a"), col("id_b"),
+        round(dotF(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("cos"))
+    val sym = pairs
+      .select(col("id_a").as("__id"), col("id_b").as("__nbr"), col("cos"))
+      .unionAll(pairs
+        .select(col("id_b").as("__id"), col("id_a").as("__nbr"), col("cos")))
+    val w = Window.partitionBy("__id")
+      .orderBy(col("cos").desc, col("__nbr").asc)
+    val kth = sym.withColumn("__r", row_number().over(w))
+      .where(col("__r") === kNn)
+      .select(col("__id"), col("cos").as("kth_cos"))
+    val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("n_in_cell"))
+    assigned.select(col(idCol), col("cell"))
+      .join(broadcast(sizes), Seq("cell"))
+      .join(kth, col(idCol) === col("__id"), "left")
+      .select(col(idCol), col("cell"), col("n_in_cell"), col("kth_cos"),
+        round(lit(1.0) - col("kth_cos"), 6).as("outlier_score"))
+  }
+
   /** Simplified silhouette over [[kmeansFit]]'s cells (the centroid-based
     * silhouette of Hruschka et al. — `a` = cosine distance to the OWN
     * centroid, `b` = distance to the nearest OTHER centroid,

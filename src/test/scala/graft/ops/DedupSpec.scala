@@ -402,4 +402,25 @@ class DedupSpec extends SparkSpec {
     r(Some("s2")) shouldBe ((1L, 0L, 4L, 0L, 1.0, 1.0))
     r(None) shouldBe ((1L, 1L, 4L, 4L, 0.0, 0.0))
   }
+
+  test("thresholdSweep: counts fall with the cut, involved docs are " +
+    "distinct endpoints, unreachable thresholds zero-fill") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L, 0.95), (2L, 3L, 0.5), (4L, 5L, 0.3))
+      .toDF("id_a", "id_b", "jaccard")
+    val r = graft.core.CacheRegistry.scoped {
+      Dedup.thresholdSweep(pairs, "id_a", "id_b", "jaccard",
+        Seq(0.3, 0.4, 0.9, 0.99))
+        .collect().map(x => x.getAs[Double]("threshold") ->
+          ((x.getAs[Long]("pairs_kept"), x.getAs[Long]("docs_involved"))))
+        .toMap
+    }
+    graft.core.CacheRegistry.drain()
+    r(0.3) shouldBe ((3L, 5L))
+    r(0.4) shouldBe ((2L, 3L))
+    r(0.9) shouldBe ((1L, 2L))
+    r(0.99) shouldBe ((0L, 0L))
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.thresholdSweep(pairs, "id_a", "id_b", "jaccard", Seq.empty)
+  }
 }

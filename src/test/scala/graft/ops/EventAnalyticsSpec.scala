@@ -750,6 +750,27 @@ class EventAnalyticsSpec extends SparkSpec {
       EventAnalytics.dailyAutocorrelation(d, "key", "ts", Seq(0))
   }
 
+  test("seasonalDecompose: a flat series decomposes to trend=total, " +
+    "zero seasonal/residual, no anomalies; a mid-series spike is flagged") {
+    def day(i: Int) = java.sql.Timestamp.valueOf(f"2024-03-$i%02d 12:00:00")
+    val flat = (1 to 14).map(i => (day(i), 10.0)).toDF("ts", "value")
+    val rf = EventAnalytics.seasonalDecompose(flat, "ts", "value")
+      .collect().map(x => (x.getAs[Double]("total"),
+        x.getAs[Double]("trend"), x.getAs[Double]("seasonal"),
+        x.getAs[Double]("residual"), x.getAs[Boolean]("anomaly")))
+    rf.length shouldBe 14
+    rf.foreach(_ shouldBe ((10.0, 10.0, 0.0, 0.0, false)))
+    val spiked = (1 to 21).map(i =>
+      (day(i), if (i == 11) 1000.0 else 10.0)).toDF("ts", "value")
+    val rs = EventAnalytics.seasonalDecompose(spiked, "ts", "value")
+      .collect().map(x => x.getAs[java.sql.Date]("day").toString ->
+        x.getAs[Boolean]("anomaly")).toMap
+    rs("2024-03-11") shouldBe true
+    rs.values.count(identity) should be <= 7
+    an[IllegalArgumentException] should be thrownBy
+      EventAnalytics.seasonalDecompose(flat, "ts", "value", 0.0)
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

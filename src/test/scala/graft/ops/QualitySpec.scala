@@ -1249,6 +1249,22 @@ class QualitySpec extends SparkSpec {
       Quality.isotonicCalibration(d, "score", "y", 0)
   }
 
+  test("hillTailIndex: exact alpha on a log-spaced tail; too-small " +
+    "groups report null alpha") {
+    // g1: values e^3, e^2, e^1 with k=2 -> alpha = 2/(5 - 2*1) = 2/3
+    val d = (Seq(("g1", math.exp(3)), ("g1", math.exp(2)),
+      ("g1", math.exp(1))) ++ Seq(("g2", 5.0), ("g2", 1.0)))
+      .toDF("g", "v")
+    val r = Quality.hillTailIndex(d, "g", "v", 2)
+      .collect().map(x => x.getAs[String]("g") ->
+        ((x.getAs[Long]("n_pos"), x.getAs[java.lang.Double]("alpha"),
+          x.getAs[Boolean]("heavy_tail")))).toMap
+    r("g1") shouldBe ((3L, 0.666667, true))
+    r("g2") shouldBe ((2L, null, false))
+    an[IllegalArgumentException] should be thrownBy
+      Quality.hillTailIndex(d, "g", "v", 1)
+  }
+
   test("permutationTest: add-one p stays in (0,1], significance mirrors " +
     "the 5% rule, and the replicate count is bounded by reps") {
     val rows = (1 to 40).map(i =>

@@ -404,4 +404,31 @@ class SimilaritySpec extends SparkSpec {
       Similarity.marginMates(emb, "id", "v", "side", 0, 2, 1)
     graft.core.CacheRegistry.drain()
   }
+
+  test("ivfKthNnOutliers: isolated vector scores 1, duplicated pair " +
+    "scores 0; a cell smaller than kNn+1 reports null") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val r = graft.core.CacheRegistry.scoped {
+      Similarity.ivfKthNnOutliers(emb, "vec_id", "embedding", 1, 1, 1)
+        .collect().map(x => x.getAs[Long]("vec_id") ->
+          ((x.getAs[Long]("n_in_cell"), x.getAs[java.lang.Double]("kth_cos"),
+            x.getAs[java.lang.Double]("outlier_score")))).toMap
+    }
+    graft.core.CacheRegistry.drain()
+    r(1L) shouldBe ((3L, 1.0, 0.0))
+    r(2L) shouldBe ((3L, 1.0, 0.0))
+    r(3L) shouldBe ((3L, 0.0, 1.0))
+    // kNn larger than any cell population: every kth_cos is null
+    val rBig = graft.core.CacheRegistry.scoped {
+      Similarity.ivfKthNnOutliers(emb, "vec_id", "embedding", 1, 1, 5)
+        .collect().map(_.getAs[java.lang.Double]("kth_cos")).toList
+    }
+    graft.core.CacheRegistry.drain()
+    rBig shouldBe List(null, null, null)
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.ivfKthNnOutliers(emb, "vec_id", "embedding", 1, 1, 0)
+  }
 }
