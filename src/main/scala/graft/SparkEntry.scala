@@ -1768,6 +1768,16 @@ object SparkEntry {
     "q330_seasonal_decompose" -> ((s, dir) =>
       graft.ops.EventAnalytics.seasonalDecompose(
         t(s, dir, "events"), "ts", "value", 3.0)),
+    // is the recorded lang column trustworthy? per-source confusion grid
+    // of recorded vs detected language + source purity
+    "q331_lang_purity" -> ((s, dir) =>
+      TextStats.langPurity(t(s, dir, "documents"), "text", "lang", "source")),
+    // data-driven credit: Markov removal effects over the touch chain
+    // (12 unrolled absorption rounds on one pivoted row)
+    "q332_markov_attribution" -> ((s, dir) =>
+      graft.ops.EventAnalytics.markovAttribution(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+        "purchase", Seq("view", "click", "signup"), 12)),
     // unit-free effect magnitude per nation: Hedges-corrected Cohen's d
     // with the conventional small/medium/large bands
     "q300_effect_size" -> ((s, dir) => {
@@ -8227,6 +8237,111 @@ object SparkEntry {
         |  round(CAST(rm AS DOUBLE) / 1e6, 6) AS residual,
         |  CAST(abs(rm) AS DOUBLE) > 3.0 * gate.mad AS anomaly
         |FROM rs CROSS JOIN gate""".stripMargin,
+    // q331: the q27 marker-score argmax replayed, then one grid +
+    // null-safe agreement reduce
+    "q331_lang_purity" ->
+      s"""WITH sc AS (SELECT source, lang AS recorded_lang,
+         |    $langScoreSql
+         |  FROM documents WHERE text IS NOT NULL),
+         |d AS (SELECT source, recorded_lang,
+         |    CASE
+         |      WHEN score_en >= greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'en'
+         |      WHEN score_de >= greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'de'
+         |      WHEN score_es >= greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'es'
+         |      WHEN score_fr >= greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'fr'
+         |      ELSE 'zh' END AS detected_lang
+         |  FROM sc),
+         |grid AS (SELECT source, recorded_lang, detected_lang,
+         |    CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1, 2, 3),
+         |tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS t,
+         |    CAST(coalesce(sum(CASE WHEN recorded_lang IS NOT DISTINCT FROM
+         |      detected_lang THEN n END), 0) AS BIGINT) AS agr
+         |  FROM grid GROUP BY 1)
+         |SELECT g.source, g.recorded_lang, g.detected_lang, g.n,
+         |  round(CAST(g.n AS DOUBLE) / CAST(t.t AS DOUBLE), 6)
+         |    AS share_of_source,
+         |  g.recorded_lang IS NOT DISTINCT FROM g.detected_lang AS agree,
+         |  round(CAST(t.agr AS DOUBLE) / CAST(t.t AS DOUBLE), 6)
+         |    AS source_purity
+         |FROM grid g JOIN tot t ON g.source = t.source""".stripMargin,
+    // q332: the journey/transition chain mirrored, then the 12 absorption
+    // rounds unrolled as REPLACE CTEs — every term in the same fixed
+    // channel order as the Spark expression tree
+    "q332_markov_attribution" -> {
+      val channels = Seq("view", "click", "signup")
+      val iters = 12
+      val srcs = "START" +: channels
+      def vn(scen: Int, i: Int) =
+        s"v_${if (scen < 0) "m1" else scen.toString}_$i"
+      def pr(i: Int, j: Int) =
+        s"(CASE WHEN d_$i > 0 THEN CAST(n_${i}_$j AS DOUBLE) / CAST(d_$i AS DOUBLE) ELSE 0.0 END)"
+      def pc(i: Int) =
+        s"(CASE WHEN d_$i > 0 THEN CAST(nc_$i AS DOUBLE) / CAST(d_$i AS DOUBLE) ELSE 0.0 END)"
+      val scenarios = -1 +: channels.indices.toSeq
+      val live = for (scen <- scenarios; i <- srcs.indices
+                      if !(scen >= 0 && i == scen + 1)) yield (scen, i)
+      val pivotCols = ((for {
+          (s, i) <- srcs.zipWithIndex; (d, j) <- channels.zipWithIndex
+        } yield s"CAST(coalesce(sum(CASE WHEN src = '$s' AND dst = '$d' THEN n END), 0) AS BIGINT) AS n_${i}_$j") ++
+        srcs.zipWithIndex.map { case (s, i) =>
+          s"CAST(coalesce(sum(CASE WHEN src = '$s' AND dst = 'CONV' THEN n END), 0) AS BIGINT) AS nc_$i" } ++
+        srcs.zipWithIndex.map { case (s, i) =>
+          s"CAST(coalesce(sum(CASE WHEN src = '$s' THEN n END), 0) AS BIGINT) AS d_$i" } :+
+        "CAST(coalesce(sum(CASE WHEN dst = 'CONV' THEN n END), 0) AS BIGINT) AS nconv")
+        .mkString(",\n    ")
+      val zeros = live.map { case (s, i) => s"0.0 AS ${vn(s, i)}" }
+        .mkString(", ")
+      val rounds = (1 to iters).map { t =>
+        val reps = live.map { case (scen, i) =>
+          val terms = channels.indices
+            .filter(j => !(scen >= 0 && j == scen))
+            .map(j => s" + ${pr(i, j)} * ${vn(scen, j + 1)}").mkString
+          s"round(${pc(i)}$terms, 6) AS ${vn(scen, i)}"
+        }.mkString(", ")
+        s"r$t AS (SELECT * REPLACE ($reps) FROM r${t - 1})"
+      }.mkString(",\n")
+      def eff(k: Int) = s"round(v_m1_0 - v_${k}_0, 6)"
+      val effTot = channels.indices.map(eff).mkString(" + ")
+      val chanRows = channels.zipWithIndex.map { case (ch, k) =>
+        s"SELECT '$ch' AS channel, ${eff(k)} AS removal_effect, ($effTot) AS tot, v_m1_0 AS base, nconv FROM r$iters"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH conv AS (SELECT u, cts, cid FROM (
+         |    SELECT user_id AS u, ts AS cts, event_id AS cid,
+         |      row_number() OVER (PARTITION BY user_id
+         |        ORDER BY ts, event_id) AS rn
+         |    FROM events WHERE event_type = 'purchase') WHERE rn = 1),
+         |tch AS (SELECT e.user_id AS u, e.ts, e.event_id AS id,
+         |    e.event_type AS ch, c.cts IS NOT NULL AS cv
+         |  FROM events e LEFT JOIN conv c ON e.user_id = c.u
+         |  WHERE e.event_type IN ('view', 'click', 'signup')
+         |    AND (c.cts IS NULL OR e.ts < c.cts
+         |      OR (e.ts = c.cts AND e.event_id < c.cid))),
+         |sq AS (SELECT u, ch, cv,
+         |    lead(ch) OVER (PARTITION BY u ORDER BY ts, id) AS nxt,
+         |    row_number() OVER (PARTITION BY u ORDER BY ts, id) AS rn
+         |  FROM tch),
+         |mid AS (SELECT ch AS src, coalesce(nxt,
+         |    CASE WHEN cv THEN 'CONV' ELSE 'NULL' END) AS dst FROM sq),
+         |st AS (SELECT 'START' AS src, ch AS dst FROM sq WHERE rn = 1),
+         |nt AS (SELECT 'START' AS src, 'CONV' AS dst FROM conv c
+         |  WHERE NOT EXISTS (SELECT 1 FROM tch t WHERE t.u = c.u)),
+         |tr AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM
+         |  (SELECT * FROM mid UNION ALL SELECT * FROM st
+         |   UNION ALL SELECT * FROM nt) GROUP BY 1, 2),
+         |r0 AS (SELECT
+         |    $pivotCols,
+         |    $zeros
+         |  FROM tr),
+         |$rounds
+         |SELECT channel, removal_effect,
+         |  round(CASE WHEN tot > 0 THEN removal_effect / tot
+         |    ELSE 0.0 END, 6) AS share,
+         |  round((CASE WHEN tot > 0 THEN removal_effect / tot
+         |    ELSE 0.0 END) * CAST(nconv AS DOUBLE), 6)
+         |    AS credited_conversions,
+         |  round(base, 6) AS base_conv_prob
+         |FROM ($chanRows)""".stripMargin
+    },
     // q301: strict row_number ranks over the complete panel, exact
     // integer rank sums, one mirrored division
     "q301_kendalls_w" ->

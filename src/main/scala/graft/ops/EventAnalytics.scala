@@ -1276,6 +1276,133 @@ object EventAnalytics {
         col("max_lateness_us"))
   }
 
+  /** Markov removal-effect attribution (Anderl et al. 2014) — the
+    * data-driven credit split [[attribution]]'s positional rules only
+    * approximate: build the first-order channel-transition chain over
+    * each user's touch journey (START → touches ordered by (ts, id) → CONV
+    * on the user's FIRST conversion, NULL otherwise), then credit each
+    * channel by its REMOVAL EFFECT — how much P(CONV | START) drops when
+    * that channel's state is deleted (transitions into it become lost
+    * mass; nothing renormalizes, the standard convention). Absorption
+    * probabilities come from `iters` unrolled fixed-point rounds
+    * `p(s) ← round₆(P(s→CONV) + Σ_c P(s→c)·p(c))` — the [[Graph.pageRank]]
+    * fixed-iteration device, with every term in a FIXED channel order on
+    * a single pivoted row, so both engines evaluate the identical
+    * expression tree (no sum-order ambiguity at all). Transition
+    * probabilities are single divisions of exact LONG counts. Output per
+    * channel: (channel, removal_effect, share [of Σ effects],
+    * credited_conversions, base_conv_prob). 6 dp.
+    *
+    * Scale shape: one (user)-keyed conversion reduce, one journey window
+    * over each user's own touches, ONE (src, dst) hash-agg — then the
+    * whole chain solve happens on a single pivoted row whose width is
+    * (|channels|+1)·(|channels|+2): the state space rides in the plan as
+    * literals (`channels` must be small — the enum of touch types, not a
+    * data-driven set). */
+  def markovAttribution(events: DataFrame, userCol: String, tsCol: String,
+                        idCol: String, typeCol: String, convType: String,
+                        channels: Seq[String], iters: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(channels.nonEmpty && channels.size <= 8,
+      s"markovAttribution: need 1..8 channels, got ${channels.size}")
+    require(!channels.contains(convType),
+      "markovAttribution: convType cannot also be a channel")
+    require(iters >= 1 && iters <= 30,
+      s"markovAttribution: need 1 <= iters <= 30, got $iters")
+    val convTs = events.where(col(typeCol) === convType)
+      .groupBy(col(userCol).as("__u"))
+      .agg(min(struct(col(tsCol).as("t"), col(idCol).as("i"))).as("__c"))
+      .select(col("__u"), col("__c.t").as("__cts"), col("__c.i").as("__cid"))
+    val touches = events.where(col(typeCol).isin(channels: _*))
+      .select(col(userCol).as("__u"), col(tsCol).as("__ts"),
+        col(idCol).as("__id"), col(typeCol).as("__ch"))
+      .join(convTs, Seq("__u"), "left")
+      .where(col("__cts").isNull || col("__ts") < col("__cts")
+        || (col("__ts") === col("__cts") && col("__id") < col("__cid")))
+    val w = Window.partitionBy("__u")
+      .orderBy(col("__ts").asc, col("__id").asc)
+    val seqd = touches
+      .withColumn("__nxt", lead(col("__ch"), 1).over(w))
+      .withColumn("__rn", row_number().over(w))
+    val mid = seqd.select(col("__ch").as("src"),
+      coalesce(col("__nxt"),
+        when(col("__cts").isNotNull, lit("CONV")).otherwise(lit("NULL")))
+        .as("dst"))
+    val start = seqd.where(col("__rn") === 1)
+      .select(lit("START").as("src"), col("__ch").as("dst"))
+    val noTouch = convTs
+      .join(seqd.select("__u").distinct(), Seq("__u"), "left_anti")
+      .select(lit("START").as("src"), lit("CONV").as("dst"))
+    val trans = mid.unionAll(start).unionAll(noTouch)
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+    // single-row pivot: exact counts per (src, dst) literal pair, plus
+    // per-src denominators (NULL transitions count in the denominator)
+    val srcs = "START" +: channels
+    val cnt = (s: String, d: String) =>
+      coalesce(sum(when(col("src") === s && col("dst") === d, col("n"))),
+        lit(0L))
+    val pivotAggs =
+      (for { (s, i) <- srcs.zipWithIndex; (d, j) <- channels.zipWithIndex }
+        yield cnt(s, d).as(s"__n_${i}_$j")) ++
+      srcs.zipWithIndex.map { case (s, i) => cnt(s, "CONV").as(s"__nc_$i") } ++
+      srcs.zipWithIndex.map { case (s, i) =>
+        coalesce(sum(when(col("src") === s, col("n"))), lit(0L))
+          .as(s"__d_$i") } :+
+      coalesce(sum(when(col("dst") === "CONV", col("n"))), lit(0L))
+        .as("__nconv")
+    val pivoted = trans.agg(pivotAggs.head, pivotAggs.tail: _*)
+    def prob(i: Int, j: Int): Column =
+      when(col(s"__d_$i") > 0,
+        col(s"__n_${i}_$j").cast("double") / col(s"__d_$i").cast("double"))
+        .otherwise(lit(0.0))
+    def probConv(i: Int): Column =
+      when(col(s"__d_$i") > 0,
+        col(s"__nc_$i").cast("double") / col(s"__d_$i").cast("double"))
+        .otherwise(lit(0.0))
+    // scenarios: -1 = baseline, k = channel k removed (its state's value
+    // pinned to 0 by never updating it; terms into it are skipped — the
+    // lost-mass convention). p starts at 0 everywhere.
+    val scenarios = -1 +: channels.indices
+    // a (scenario, state) value participates unless the state IS the
+    // removed channel (START is state 0, channel k is state k + 1)
+    val live = for (scen <- scenarios; i <- srcs.indices
+                    if !(scen >= 0 && i == scen + 1)) yield (scen, i)
+    val keep = pivoted.columns.toSeq.map(col)
+    var cur = pivoted.select(
+      (keep ++ live.map { case (scen, i) =>
+        lit(0.0).as(s"__v_${scen}_$i") }): _*)
+    for (_ <- 1 to iters) {
+      val upd = live.map { case (scen, i) =>
+        val terms = channels.indices
+          .filter(j => !(scen >= 0 && j == scen))
+          .map(j => prob(i, j) * col(s"__v_${scen}_${j + 1}"))
+        round(terms.foldLeft(probConv(i))(_ + _), 6)
+          .as(s"__v_${scen}_$i")
+      }
+      cur = cur.select((keep ++ upd): _*)
+    }
+    val base = col("__v_-1_0")
+    val out = channels.zipWithIndex.map { case (ch, k) =>
+      struct(lit(ch).as("channel"),
+        round(base - col(s"__v_${k}_0"), 6).as("removal_effect"))
+    }
+    val effTotal = channels.indices
+      .map(k => round(base - col(s"__v_${k}_0"), 6))
+      .reduce(_ + _)
+    cur.select(explode(array(out: _*)).as("__e"),
+        effTotal.as("__tot"), base.as("base_conv_prob"),
+        col("__nconv"))
+      .select(col("__e.channel").as("channel"),
+        col("__e.removal_effect").as("removal_effect"),
+        round(when(col("__tot") > 0,
+          col("__e.removal_effect") / col("__tot")).otherwise(lit(0.0)), 6)
+          .as("share"),
+        round(when(col("__tot") > 0,
+          col("__e.removal_effect") / col("__tot")).otherwise(lit(0.0))
+          * col("__nconv").cast("double"), 6).as("credited_conversions"),
+        round(col("base_conv_prob"), 6).as("base_conv_prob"))
+  }
+
   /** Classical seasonal decomposition of the daily value series with a
     * robust anomaly flag — total = trend + weekly seasonal + residual,
     * the structured view [[dowProfile]]'s variance split only summarizes

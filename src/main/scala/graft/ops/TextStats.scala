@@ -131,6 +131,38 @@ object TextStats {
       detectedLangFrom(scores.map { case (l, _) => l -> col(s"score_$l") }))
   }
 
+  /** Language-metadata purity audit — does the corpus's RECORDED `lang`
+    * column agree with what the text actually looks like? Per source, the
+    * (recorded, detected) confusion grid with each cell's share of the
+    * source and the source-level purity (agreeing share) repeated — the
+    * audit that catches a scraper writing the site default into `lang`
+    * (a mislabeled slice silently poisons per-language sampling weights
+    * and tokenizer fairness numbers downstream). Detection is the
+    * [[detectedLang]] scan-stage kernel; NULL recorded and NULL detected
+    * agree only with each other (the null-safe rule).
+    *
+    * Scale shape: ONE (source, recorded, detected) hash-agg over the scan
+    * (the detector is a pure Column — no join back), then a source-keyed
+    * reduce broadcast back onto the ≤ |sources|·|langs|² grid. */
+  def langPurity(df: DataFrame, textCol: String, langCol: String,
+                 srcCol: String): DataFrame = {
+    val grid = df.where(col(textCol).isNotNull)
+      .groupBy(col(srcCol).as("source"), col(langCol).as("recorded_lang"),
+        detectedLang(col(textCol)).as("detected_lang"))
+      .agg(count(lit(1)).as("n"))
+    val tot = grid.groupBy("source").agg(sum("n").as("__t"),
+      coalesce(sum(when(col("recorded_lang") <=> col("detected_lang"),
+        col("n"))), lit(0L)).as("__agree"))
+    grid.join(broadcast(tot), Seq("source"))
+      .select(col("source"), col("recorded_lang"), col("detected_lang"),
+        col("n"),
+        round(col("n").cast("double") / col("__t").cast("double"), 6)
+          .as("share_of_source"),
+        (col("recorded_lang") <=> col("detected_lang")).as("agree"),
+        round(col("__agree").cast("double") / col("__t").cast("double"), 6)
+          .as("source_purity"))
+  }
+
   /** Repetition score: distinct word n-grams / total word n-grams, the
     * standard boilerplate/looping-text detector (a doc that repeats itself
     * has far fewer distinct n-grams than slots). 1.0 = no repetition; docs

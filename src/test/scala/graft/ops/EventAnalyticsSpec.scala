@@ -750,6 +750,35 @@ class EventAnalyticsSpec extends SparkSpec {
       EventAnalytics.dailyAutocorrelation(d, "key", "ts", Seq(0))
   }
 
+  test("markovAttribution: hand-solved two-channel chain — removal " +
+    "effects, equal shares, credited conversions, direct START->CONV") {
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-03-01 10:$i%02d:00")
+    // u1 view->purchase, u2 view->nothing, u3 click->purchase,
+    // u4 purchase with no touches (START->CONV direct)
+    val ev = Seq(
+      (1L, ts(1), 101L, "view"), (1L, ts(2), 102L, "purchase"),
+      (2L, ts(1), 201L, "view"),
+      (3L, ts(1), 301L, "click"), (3L, ts(2), 302L, "purchase"),
+      (4L, ts(1), 401L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val r = EventAnalytics.markovAttribution(ev, "user_id", "ts",
+        "event_id", "event_type", "purchase", Seq("view", "click"), 12)
+      .collect().map(x => x.getAs[String]("channel") ->
+        ((x.getAs[Double]("removal_effect"), x.getAs[Double]("share"),
+          x.getAs[Double]("credited_conversions"),
+          x.getAs[Double]("base_conv_prob")))).toMap
+    // P(S->v)=.5 P(S->c)=.25 P(S->CONV)=.25, p(v)=.5, p(c)=1
+    // base p(START)=.75; remove either channel -> .5 -> effect .25 each
+    r("view") shouldBe ((0.25, 0.5, 1.5, 0.75))
+    r("click") shouldBe ((0.25, 0.5, 1.5, 0.75))
+    an[IllegalArgumentException] should be thrownBy
+      EventAnalytics.markovAttribution(ev, "user_id", "ts", "event_id",
+        "event_type", "purchase", Seq.empty, 12)
+    an[IllegalArgumentException] should be thrownBy
+      EventAnalytics.markovAttribution(ev, "user_id", "ts", "event_id",
+        "event_type", "purchase", Seq("view", "purchase"), 12)
+  }
+
   test("seasonalDecompose: a flat series decomposes to trend=total, " +
     "zero seasonal/residual, no anomalies; a mid-series spike is flagged") {
     def day(i: Int) = java.sql.Timestamp.valueOf(f"2024-03-$i%02d 12:00:00")
