@@ -1778,6 +1778,26 @@ object SparkEntry {
       graft.ops.EventAnalytics.markovAttribution(
         t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
         "purchase", Seq("view", "click", "signup"), 12)),
+    // the privacy triad's third leg: each cohort's balance distribution
+    // vs the table's, rank-grid EMD in [0,1], flagged over t = 0.2
+    "q333_t_closeness" -> ((s, dir) =>
+      graft.ops.Quality.tCloseness(
+        t(s, dir, "customer").withColumn("cohort",
+          concat_ws("|", col("c_nationkey"), col("c_mktsegment"))),
+        "cohort", "c_acctbal", 0.2)),
+    // corpus keywords: PageRank centrality over the +-2-token word
+    // co-occurrence graph (TextRank), top 50
+    "q334_textrank" -> ((s, dir) =>
+      graft.ops.Corpus.textRank(t(s, dir, "documents"), "text", 2,
+        0.85, 3, 50)),
+    // contrastive (anchor, positive, negative) pairs with the
+    // dup-cluster false-negative guard on the md5-drawn negatives
+    "q335_contrastive_pairs" -> ((s, dir) => {
+      val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
+      Sampling.contrastivePairs(docs.select("doc_id"), "doc_id",
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5),
+        "id_a", "id_b", 50, 3)
+    }),
     // unit-free effect magnitude per nation: Hedges-corrected Cohen's d
     // with the conventional small/medium/large bands
     "q300_effect_size" -> ((s, dir) => {
@@ -8342,6 +8362,103 @@ object SparkEntry {
          |  round(base, 6) AS base_conv_prob
          |FROM ($chanRows)""".stripMargin
     },
+    // q333: the q310 panel with Δx = one rank step and the (m−1)
+    // normalizer; integer cross-products in HUGEINT
+    "q333_t_closeness" ->
+      """WITH cells AS (SELECT
+        |    CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment AS g,
+        |    CAST(round(CAST(c_acctbal AS DOUBLE) * 1000000.0) AS BIGINT)
+        |      AS vm,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM customer WHERE c_acctbal IS NOT NULL GROUP BY 1, 2),
+        |grid AS (SELECT vm, CAST(sum(c) AS BIGINT) AS cg
+        |  FROM cells GROUP BY 1),
+        |grp AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng
+        |  FROM cells GROUP BY 1),
+        |panel AS (SELECT grp.g, grid.vm, grp.ng, grid.cg,
+        |    coalesce(cells.c, 0) AS cgrp
+        |  FROM grid CROSS JOIN grp
+        |  LEFT JOIN cells ON cells.g IS NOT DISTINCT FROM grp.g
+        |    AND cells.vm = grid.vm),
+        |w AS (SELECT g, ng, vm,
+        |    sum(cgrp) OVER (PARTITION BY g ORDER BY vm) AS fg,
+        |    sum(cg) OVER (PARTITION BY g ORDER BY vm) AS f,
+        |    lead(vm) OVER (PARTITION BY g ORDER BY vm) AS nxt,
+        |    sum(cg) OVER (PARTITION BY g) AS n,
+        |    count(*) OVER (PARTITION BY g) AS m
+        |  FROM panel),
+        |red AS (SELECT g, CAST(max(ng) AS BIGINT) AS n_cohort,
+        |    CAST(max(n) AS BIGINT) AS nt, CAST(max(m) AS BIGINT) AS m_values,
+        |    coalesce(sum(CASE WHEN nxt IS NOT NULL THEN
+        |      abs(CAST(fg AS HUGEINT) * n - CAST(f AS HUGEINT) * ng) END),
+        |      0) AS wsum
+        |  FROM w GROUP BY 1)
+        |SELECT g AS cohort, n_cohort, m_values,
+        |  CASE WHEN m_values > 1 THEN round(CAST(wsum AS DOUBLE)
+        |    / (CAST(n_cohort AS DOUBLE) * CAST(nt AS DOUBLE)
+        |      * CAST(m_values - 1 AS DOUBLE)), 6) END AS t_value,
+        |  coalesce(CASE WHEN m_values > 1 THEN round(CAST(wsum AS DOUBLE)
+        |    / (CAST(n_cohort AS DOUBLE) * CAST(nt AS DOUBLE)
+        |      * CAST(m_values - 1 AS DOUBLE)), 6) > 0.2 END, false)
+        |    AS at_risk
+        |FROM red""".stripMargin,
+    // q334: the q84 pair chain symmetrized into edges, then the q163
+    // unrolled PageRank rounds and a bounded top-k window
+    "q334_textrank" -> {
+      val rounds = (1 to 3).map { t =>
+        s"""c$t AS (SELECT e.dst AS node, sum(e.w / outw.ow * r${t - 1}.rank) AS s
+           |  FROM e JOIN outw ON e.src = outw.src
+           |  JOIN r${t - 1} ON e.src = r${t - 1}.node GROUP BY 1),
+           |r$t AS (SELECT nodes.node,
+           |  round((1 - 0.85) / nn.cnt + 0.85 * coalesce(c$t.s, 0), 6) AS rank
+           |  FROM nodes CROSS JOIN nn
+           |  LEFT JOIN c$t ON nodes.node = c$t.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents),
+         |pr AS (SELECT unnest(flatten(list_transform(generate_series(1, len(ts) - 1),
+         |        i -> list_transform(generate_series(i + 1, least(i + 2, len(ts))),
+         |        j -> CASE WHEN ts[i] <= ts[j] THEN ts[i] || ' ' || ts[j]
+         |                  ELSE ts[j] || ' ' || ts[i] END)))) AS pair
+         |      FROM t WHERE len(ts) >= 2),
+         |pc AS (SELECT pair, CAST(count(*) AS BIGINT) AS n_ab FROM pr GROUP BY 1),
+         |pp AS (SELECT split_part(pair, ' ', 1) AS a,
+         |    split_part(pair, ' ', 2) AS b, n_ab FROM pc),
+         |e AS (SELECT a AS src, b AS dst, CAST(n_ab AS DOUBLE) AS w
+         |      FROM pp WHERE a <> b
+         |      UNION ALL SELECT b, a, CAST(n_ab AS DOUBLE) FROM pp WHERE a <> b),
+         |outw AS (SELECT src, sum(w) AS ow FROM e GROUP BY 1),
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM nodes),
+         |r0 AS (SELECT node, round(1.0 / cnt, 6) AS rank FROM nodes, nn),
+         |$rounds
+         |SELECT node AS term, rank,
+         |  CAST(row_number() OVER (ORDER BY rank DESC, node ASC) AS BIGINT)
+         |    AS kw_rank
+         |FROM r3
+         |QUALIFY row_number() OVER (ORDER BY rank DESC, node ASC) <= 50"""
+        .stripMargin
+    },
+    // q335: the q33 closure labels guard the q164-style md5 pool draw;
+    // positives rank by partner id
+    "q335_contrastive_pairs" ->
+      s"""$clusterChainSql,
+         |pool AS (SELECT doc_id AS cand, cluster_id AS cc FROM assign
+         |  ORDER BY md5('neg|pool|' || doc_id), doc_id LIMIT 50),
+         |anch AS (SELECT DISTINCT j.id_a AS anchor FROM jpairs j),
+         |alab AS (SELECT anch.anchor, a.cluster_id AS ac
+         |  FROM anch JOIN assign a ON anch.anchor = a.doc_id),
+         |negs AS (SELECT anchor AS id_a, cand AS id_b, FALSE AS is_positive,
+         |    CAST(row_number() OVER (PARTITION BY anchor
+         |      ORDER BY md5('neg|' || anchor || '|' || cand), cand)
+         |      AS BIGINT) AS pair_rank
+         |  FROM alab JOIN pool ON ac <> cc
+         |  QUALIFY pair_rank <= 3),
+         |pos AS (SELECT id_a, id_b, TRUE AS is_positive,
+         |    CAST(row_number() OVER (PARTITION BY id_a ORDER BY id_b)
+         |      AS BIGINT) AS pair_rank
+         |  FROM jpairs)
+         |SELECT * FROM pos UNION ALL SELECT * FROM negs""".stripMargin,
     // q301: strict row_number ranks over the complete panel, exact
     // integer rank sums, one mirrored division
     "q301_kendalls_w" ->

@@ -942,6 +942,47 @@ object Corpus {
       .drop("__ndcg")
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004) — corpus-level
+    * keywords as PageRank centrality over the word co-occurrence graph:
+    * the [[cooccurrence]] pair kernel builds the edges (±`window` token
+    * pairs, weight = pair count), [[graft.ops.Graph.pageRank]] runs the
+    * fixed-iteration rank (6 dp per-round snaps — the deterministic
+    * replay device), and the top-`topK` terms by rank are the keyword
+    * list. Degree alone over-rewards raw frequency; centrality rewards
+    * terms that co-occur with OTHER central terms — the difference
+    * between "the" and an actual topic word once stopwords are stripped
+    * upstream. Ties break to the lexicographically smaller term.
+    * Output: (term, rank, kw_rank 1..topK).
+    *
+    * Scale shape: one scan-stage pair explode + hash-agg builds the
+    * edge list; each PageRank round is ONE destination-keyed hash-agg;
+    * the final top-k is a single bounded window over the vocabulary-
+    * sized rank table. */
+  def textRank(df: DataFrame, textCol: String, window: Int,
+               damping: Double, iters: Int, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    require(topK >= 1, s"textRank: need topK >= 1, got $topK")
+    val pairs = df.where(size(split(col(textCol), " ")) >= 2)
+      .select(explode(
+        graft.functions.TextFunctions.coocPairs(col(textCol), window))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n_ab"))
+      .select(substring_index(col("pair"), " ", 1).as("term_a"),
+        substring_index(col("pair"), " ", -1).as("term_b"), col("n_ab"))
+    // pair strings are canonically sorted, so one union symmetrizes
+    val edges = pairs.select(col("term_a").as("src"),
+        col("term_b").as("dst"), col("n_ab").cast("double").as("w"))
+      .unionAll(pairs.select(col("term_b").as("src"),
+        col("term_a").as("dst"), col("n_ab").cast("double").as("w")))
+      .where(col("src") =!= col("dst"))
+    val ranked = Graph.pageRank(edges, "src", "dst", "w", damping, iters)
+    ranked.withColumn("__r",
+        row_number().over(W.orderBy(col("rank").desc, col("node").asc)))
+      .where(col("__r") <= topK)
+      .select(col("node").as("term"), col("rank"),
+        col("__r").cast("long").as("kw_rank"))
+  }
+
   /** Compute-optimal data-budget plan (Hoffmann et al. 2022, "Chinchilla")
     * — "is this corpus big enough for the model the budget buys": for
     * each training FLOP budget C, the compute-optimal parameter count

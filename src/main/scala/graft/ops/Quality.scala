@@ -1510,6 +1510,67 @@ object Quality {
             (col("__n") - lit(1L)).cast("double") / den, 6)).as("alpha"))
   }
 
+  /** t-closeness audit (Li et al. 2007) — the third leg of the privacy
+    * triad after [[kAnonymityAudit]] and [[lDiversityAudit]]: a cohort
+    * can be k-anonymous AND l-diverse yet still leak when its sensitive
+    * DISTRIBUTION sits far from the table's (e.g. one cohort holds only
+    * the top balance bands). Distance is the canonical ordered-distance
+    * EMD on the RANK grid of the global distinct values: per grid step,
+    * `|F_cohort·n − F·n_c|` accumulates exactly (integer
+    * cross-multiplication, the [[wasserstein1]] device with Δx = one
+    * rank step), normalized by `n_c·n·(m−1)` into [0, 1]. `at_risk` =
+    * t_value > t. A single-distinct-value table (m = 1) reports NULL
+    * t_value (no ordering to be far along) and is never at risk.
+    * Output: (cohort, n_cohort, m_values, t_value, at_risk). 6 dp.
+    *
+    * Scale shape: identical to [[wasserstein1]] — one (cohort, value)
+    * hash-agg, the bounded grid×cohorts panel, cohort-partitioned
+    * cumsums; no window over ungrouped data. */
+  def tCloseness(df: DataFrame, cohortCol: String, sensitiveCol: String,
+                 t: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(t > 0 && t < 1, s"tCloseness: need 0 < t < 1, got $t")
+    val vm = round(col(sensitiveCol).cast("double") * lit(1e6)).cast("long")
+    val cells = graft.core.CacheRegistry.persist(
+      df.where(col(sensitiveCol).isNotNull)
+        .groupBy(col(cohortCol).as("__g"), vm.as("__vm"))
+        .agg(count(lit(1)).as("__c")))
+    val grid = cells.groupBy("__vm").agg(sum("__c").as("__cg"))
+    val groups = cells.groupBy("__g").agg(sum("__c").as("__ng"))
+    val cellsR = cells.select(col("__g").as("__gc"), col("__vm").as("__vmc"),
+      col("__c"))
+    val panel = grid.crossJoin(broadcast(groups))
+      .join(cellsR,
+        col("__g") <=> col("__gc") && col("__vm") === col("__vmc"), "left")
+      .select(col("__g"), col("__vm"), col("__ng"), col("__cg"),
+        coalesce(col("__c"), lit(0L)).as("__cgrp"))
+    val wg = Window.partitionBy(col("__g")).orderBy(col("__vm"))
+    val staged = panel.select(col("__g"), col("__ng"),
+      sum("__cgrp").over(wg).cast("decimal(38,0)").as("__Fg"),
+      sum("__cg").over(wg).cast("decimal(38,0)").as("__F"),
+      lead(col("__vm"), 1).over(wg).as("__nxt"),
+      sum("__cg").over(Window.partitionBy(col("__g"))).as("__n"),
+      count(lit(1)).over(Window.partitionBy(col("__g"))).as("__m"))
+    val nDec = col("__n").cast("decimal(38,0)")
+    val ngDec = col("__ng").cast("decimal(38,0)")
+    val tv = round(col("__w").cast("double")
+      / (col("n_cohort").cast("double") * col("__nt").cast("double")
+        * (col("m_values") - lit(1L)).cast("double")), 6)
+    // a conditional sum (not a filter): an m = 1 cohort has ONLY the
+    // last grid row and must still reach the output with a NULL t
+    staged
+      .groupBy(col("__g"))
+      .agg(max("__ng").as("n_cohort"), max("__n").as("__nt"),
+        max("__m").as("m_values"),
+        coalesce(sum(when(col("__nxt").isNotNull,
+          abs(col("__Fg") * nDec - col("__F") * ngDec))),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")).as("__w"))
+      .select(col("__g").as(cohortCol), col("n_cohort"), col("m_values"),
+        when(col("m_values") > 1, tv).as("t_value"),
+        coalesce(when(col("m_values") > 1, tv > t), lit(false))
+          .as("at_risk"))
+  }
+
   /** Exact 1-D Wasserstein-1 (earth-mover) distance of each group's
     * value distribution from the pooled corpus — the binning-free twin
     * of [[psiDrift]]: PSI depends on a bin grid and explodes on empty

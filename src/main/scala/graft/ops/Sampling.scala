@@ -758,6 +758,56 @@ object Sampling {
           col("n_rows"))).as("feasible_alloc"))
   }
 
+  /** Contrastive training-pair builder — positives from the verified
+    * near-dup pairs, negatives md5-drawn from OUTSIDE the anchor's dup
+    * cluster: the (anchor, positive, negatives) structure an embedding
+    * model trains on, where the cluster guard keeps an unnoticed
+    * duplicate from becoming a false negative (the same failure
+    * [[clusterSafeSplit]] guards in splits). Negatives draw from a
+    * `poolSize` md5-lowest candidate pool ([[graft.ops]]' q164 device —
+    * pool-bounded, never anchor×corpus), ranked per anchor by
+    * `md5(seed|anchor|cand)` with ties to the lower id, top `negPerPos`
+    * kept. Positives rank per anchor by the partner id. Output:
+    * (id_a, id_b, is_positive, pair_rank) — replay-exact on any engine.
+    *
+    * Scale shape: the [[graft.ops.Dedup.clusters]] propagation labels
+    * the corpus once; the candidate fan-out is anchors × the BROADCAST
+    * bounded pool (a non-equi guard against the tiny pool, not a
+    * corpus cross join), then one per-anchor window over ≤ poolSize
+    * rows. */
+  def contrastivePairs(ids: DataFrame, idCol: String, pairs: DataFrame,
+                       pairACol: String, pairBCol: String, poolSize: Int,
+                       negPerPos: Int, seed: String = "neg"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(poolSize >= 2 && negPerPos >= 1,
+      s"contrastivePairs: need poolSize >= 2, negPerPos >= 1; got $poolSize/$negPerPos")
+    val p = graft.core.CacheRegistry.persist(
+      pairs.select(col(pairACol).as("__pa"), col(pairBCol).as("__pb")))
+    val labels = graft.core.CacheRegistry.persist(
+      Dedup.clusters(p, "__pa", "__pb", ids.select(col(idCol)), idCol))
+    val pool = labels
+      .orderBy(md5(concat(lit(s"$seed|pool|"), col(idCol).cast("string"))),
+        col(idCol))
+      .limit(poolSize)
+      .select(col(idCol).as("__cand"), col("cluster_id").as("__cc"))
+    val anchors = p.select(col("__pa").as("__anchor")).distinct()
+      .join(labels.select(col(idCol).as("__anchor"),
+        col("cluster_id").as("__ac")), Seq("__anchor"))
+    val byAnchor = Window.partitionBy("__anchor").orderBy(
+      md5(concat(lit(s"$seed|"), col("__anchor").cast("string"), lit("|"),
+        col("__cand").cast("string"))), col("__cand"))
+    val negs = anchors.join(broadcast(pool), col("__ac") =!= col("__cc"))
+      .withColumn("__rk", row_number().over(byAnchor))
+      .where(col("__rk") <= negPerPos)
+      .select(col("__anchor").as("id_a"), col("__cand").as("id_b"),
+        lit(false).as("is_positive"), col("__rk").cast("long").as("pair_rank"))
+    val posW = Window.partitionBy("id_a").orderBy(col("id_b"))
+    val pos = p.select(col("__pa").as("id_a"), col("__pb").as("id_b"),
+        lit(true).as("is_positive"))
+      .withColumn("pair_rank", row_number().over(posW).cast("long"))
+    pos.unionByName(negs)
+  }
+
   /** Duplication-aware train/test split — the assignment a naive per-row
     * split gets WRONG: near-duplicate documents must land on the same
     * side, or the test set silently contains paraphrases of training

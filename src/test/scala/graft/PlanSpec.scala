@@ -1072,14 +1072,15 @@ class PlanSpec extends SparkSpec {
   }
 
   test("confident learning, permutation test, mSPRT, RBO: no shuffle " +
-    "cartesian - centroid/observed-cut fan-outs broadcast (q317-q332)") {
+    "cartesian - centroid/observed-cut fan-outs broadcast (q317-q335)") {
     for (q <- Seq("q317_label_noise", "q318_permutation_test",
         "q319_msprt", "q320_rbo", "q321_isotonic_calibration",
         "q322_active_learning", "q323_dup_modularity", "q324_l_diversity",
         "q325_cluster_safe_split", "q326_chinchilla_plan",
         "q327_knn_outliers", "q328_hill_tail", "q329_threshold_sweep",
         "q330_seasonal_decompose", "q331_lang_purity",
-        "q332_markov_attribution")) {
+        "q332_markov_attribution", "q333_t_closeness", "q334_textrank",
+        "q335_contrastive_pairs")) {
       graft.core.CacheRegistry.scoped {
         withClue(q) {
           planOf(SparkEntry.queries(q)(spark, sf0001)) should

@@ -661,6 +661,30 @@ class CorpusSpec extends SparkSpec {
     r shouldBe List(("X", 2L, 1.0), ("Y", 2L, 1.0))
   }
 
+  test("textRank: the hub term ranks first, topK bounds the list, " +
+    "ranks are a probability-like score") {
+    // 'a' co-occurs with both 'b' and 'c'; b/c only with 'a'
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a c"))
+      .toDF("doc_id", "text")
+    val r = graft.core.CacheRegistry.scoped {
+      Corpus.textRank(docs, "text", 2, 0.85, 3, 3)
+        .collect().map(x => (x.getAs[String]("term"),
+          x.getAs[Double]("rank"), x.getAs[Long]("kw_rank"))).toList
+    }
+    graft.core.CacheRegistry.drain()
+    r.length shouldBe 3
+    r.head._1 shouldBe "a"
+    r.map(_._3) shouldBe List(1L, 2L, 3L)
+    r.foreach { case (_, rank, _) => rank should (be > 0.0 and be <= 1.0) }
+    val top2 = graft.core.CacheRegistry.scoped {
+      Corpus.textRank(docs, "text", 2, 0.85, 3, 2).collect().length
+    }
+    graft.core.CacheRegistry.drain()
+    top2 shouldBe 2
+    an[IllegalArgumentException] should be thrownBy
+      Corpus.textRank(docs, "text", 2, 0.85, 3, 0)
+  }
+
   test("chinchillaPlan: exact token total, closed-form optimum, " +
     "data_limited flips with the budget") {
     val docs = Seq((1L, "a b c"), (2L, "d e")).toDF("doc_id", "text")

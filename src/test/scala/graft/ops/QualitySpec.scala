@@ -1249,6 +1249,33 @@ class QualitySpec extends SparkSpec {
       Quality.isotonicCalibration(d, "score", "y", 0)
   }
 
+  test("tCloseness: extreme cohorts hit 0.5 on a two-value table, the " +
+    "balanced cohort is 0; a single-value table reports null") {
+    val d = Seq(("A", 1.0), ("A", 1.0), ("B", 2.0), ("B", 2.0),
+      ("C", 1.0), ("C", 2.0)).toDF("cohort", "v")
+    val r = graft.core.CacheRegistry.scoped {
+      Quality.tCloseness(d, "cohort", "v", 0.2)
+        .collect().map(x => x.getAs[String]("cohort") ->
+          ((x.getAs[Long]("n_cohort"), x.getAs[Long]("m_values"),
+            x.getAs[java.lang.Double]("t_value"),
+            x.getAs[Boolean]("at_risk")))).toMap
+    }
+    graft.core.CacheRegistry.drain()
+    r("A") shouldBe ((2L, 2L, 0.5, true))
+    r("B") shouldBe ((2L, 2L, 0.5, true))
+    r("C") shouldBe ((2L, 2L, 0.0, false))
+    val mono = Seq(("X", 5.0), ("Y", 5.0)).toDF("cohort", "v")
+    val rm = graft.core.CacheRegistry.scoped {
+      Quality.tCloseness(mono, "cohort", "v", 0.2)
+        .collect().map(x => (x.getAs[java.lang.Double]("t_value"),
+          x.getAs[Boolean]("at_risk"))).toList
+    }
+    graft.core.CacheRegistry.drain()
+    rm shouldBe List((null, false), (null, false))
+    an[IllegalArgumentException] should be thrownBy
+      Quality.tCloseness(d, "cohort", "v", 0.0)
+  }
+
   test("hillTailIndex: exact alpha on a log-spaced tail; too-small " +
     "groups report null alpha") {
     // g1: values e^3, e^2, e^1 with k=2 -> alpha = 2/(5 - 2*1) = 2/3

@@ -493,6 +493,29 @@ class SamplingSpec extends SparkSpec {
     m._6 shouldBe None
   }
 
+  test("contrastivePairs: positives pass through ranked, negatives " +
+    "never come from the anchor's own cluster") {
+    val ids = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val out = graft.core.CacheRegistry.scoped {
+      Sampling.contrastivePairs(ids, "doc_id", pairs, "id_a", "id_b", 5, 2)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Boolean]("is_positive"), r.getAs[Long]("pair_rank")))
+        .toList
+    }
+    graft.core.CacheRegistry.drain()
+    out.filter(_._3) shouldBe List((1L, 2L, true, 1L))
+    val negs = out.filterNot(_._3)
+    negs.length shouldBe 2
+    negs.foreach { case (a, b, _, _) =>
+      a shouldBe 1L
+      Set(3L, 4L, 5L) should contain(b) // never 1 or 2 (own cluster)
+    }
+    negs.map(_._4).sorted shouldBe List(1L, 2L)
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.contrastivePairs(ids, "doc_id", pairs, "id_a", "id_b", 1, 2)
+  }
+
   test("clusterSafeSplit: clusters stay whole (zero leaked pairs), split " +
     "assignment matches an independent md5 replay, naive leaks counted") {
     // clusters: {1,2,3} (pairs 1-2, 2-3), {5,6}; 4 is a singleton
