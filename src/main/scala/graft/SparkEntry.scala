@@ -7796,12 +7796,22 @@ object SparkEntry {
         |  WHERE CAST(s.sm AS HUGEINT) * t.tcnt >= t.tsum),
         |joint AS (SELECT given_label, cent_label AS suspected_label,
         |    CAST(count(*) AS BIGINT) AS n
-        |  FROM pass WHERE rn = 1 GROUP BY 1, 2)
+        |  FROM pass WHERE rn = 1 GROUP BY 1, 2),
+        |tot AS (SELECT given_label,
+        |    CAST(count(DISTINCT vec_id) AS BIGINT) AS tot
+        |  FROM sim GROUP BY 1),
+        |conf AS (SELECT given_label, CAST(sum(n) AS BIGINT) AS c
+        |  FROM joint GROUP BY 1)
         |SELECT given_label, suspected_label, n,
         |  round(CAST(n AS DOUBLE)
         |    / sum(n) OVER (PARTITION BY given_label), 6) AS frac,
         |  given_label <> suspected_label AS flagged
-        |FROM joint""".stripMargin,
+        |FROM joint
+        |UNION ALL
+        |SELECT t.given_label, NULL AS suspected_label,
+        |  t.tot - coalesce(c.c, 0) AS n, NULL AS frac, false AS flagged
+        |FROM tot t LEFT JOIN conf c USING (given_label)
+        |WHERE t.tot - coalesce(c.c, 0) > 0""".stripMargin,
     // q318: the md5 block/slot draw chain replayed; the A-side cut
     // cross-multiplies u·N < n_a·2³² in HUGEINT, each diff snaps to a
     // micro-LONG before the tail count
@@ -7816,7 +7826,7 @@ object SparkEntry {
          |    CASE WHEN ${md5ModSql("user_id", 2)} = 0 THEN 'a' ELSE 'b' END
          |      AS var,
          |    CAST(round(CAST(value AS DOUBLE) * 1000000.0) AS BIGINT) AS vm
-         |  FROM events WHERE value IS NOT NULL),
+         |  FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL),
          |obs AS (SELECT
          |    CAST(count(CASE WHEN var = 'a' THEN 1 END) AS BIGINT) AS n_a,
          |    CAST(count(CASE WHEN var = 'b' THEN 1 END) AS BIGINT) AS n_b,
@@ -8191,8 +8201,11 @@ object SparkEntry {
         |  FROM r WHERE rn <= 51 GROUP BY 1)
         |SELECT cnt.g AS event_type, cnt.n_pos,
         |  round(top.xk1, 6) AS x_kplus1,
-        |  round(50.0 / (top.lnsum - 50.0 * ln(top.xk1)), 6) AS alpha,
-        |  coalesce(round(50.0 / (top.lnsum - 50.0 * ln(top.xk1)), 6) < 2.0,
+        |  CASE WHEN top.lnsum - 50.0 * ln(top.xk1) > 0
+        |    THEN round(50.0 / (top.lnsum - 50.0 * ln(top.xk1)), 6) END
+        |    AS alpha,
+        |  coalesce(CASE WHEN top.lnsum - 50.0 * ln(top.xk1) > 0
+        |    THEN round(50.0 / (top.lnsum - 50.0 * ln(top.xk1)), 6) END < 2.0,
         |    false) AS heavy_tail
         |FROM cnt JOIN top ON cnt.g = top.g""".stripMargin,
     // q329: one exact pair table at the floor threshold, the grid
@@ -8232,10 +8245,15 @@ object SparkEntry {
     // stages; the dow key differs numerically per engine (Spark 1-7 vs
     // DuckDB 0-6) but induces the identical partition of days
     "q330_seasonal_decompose" ->
-      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+      """WITH obs AS (SELECT CAST(ts AS DATE) AS day,
         |    CAST(sum(CAST(round(coalesce(value, 0) * 1000000.0) AS BIGINT))
-        |      AS BIGINT) AS tm
+        |      AS BIGINT) AS om
         |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |cal AS (SELECT CAST(unnest(generate_series(
+        |      CAST(min(day) AS TIMESTAMP), CAST(max(day) AS TIMESTAMP),
+        |      INTERVAL 1 DAY)) AS DATE) AS day FROM obs),
+        |daily AS (SELECT c.day, coalesce(o.om, 0) AS tm
+        |  FROM cal c LEFT JOIN obs o USING (day)),
         |tr AS (SELECT day, tm,
         |    CAST(round(CAST(sum(tm) OVER w AS DOUBLE)
         |      / CAST(count(*) OVER w AS DOUBLE)) AS BIGINT) AS trm

@@ -1132,7 +1132,7 @@ object Corpus {
           merges += ((step, l, r, l + r, cnt))
           // single left-to-right merge pass: the sentinel keeps the
           // last-element probe total on the empty accumulator
-          val sentinel = array(lit(" "))
+          val sentinel = array(lit("\u0000"))
           val applied = aggregate(col("__syms"),
             array().cast("array<string>"),
             (acc, s) => {

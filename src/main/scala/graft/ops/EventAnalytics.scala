@@ -1406,7 +1406,11 @@ object EventAnalytics {
   /** Classical seasonal decomposition of the daily value series with a
     * robust anomaly flag — total = trend + weekly seasonal + residual,
     * the structured view [[dowProfile]]'s variance split only summarizes
-    * and [[cusum]]/EWMA monitor one component of. Trend is the centered
+    * and [[cusum]]/EWMA monitor one component of. The day calendar is
+    * DENSIFIED first (every day from min to max observed, absent days
+    * zero-filled and present in the output) so a calendar gap cannot
+    * silently widen the "7-day" window across weeks and skew both the
+    * trend and the day-of-week seasonal means. Trend is the centered
     * 7-day moving average (edge days average their available window —
     * documented, mirrored); weekly seasonal is the day-of-week mean of
     * the detrended series; the anomaly gate is MAD-based:
@@ -1428,9 +1432,17 @@ object EventAnalytics {
     require(madK > 0, s"seasonalDecompose: need madK > 0, got $madK")
     val vm = round(coalesce(col(valCol), lit(0.0)).cast("double")
       * lit(1000000.0)).cast("long")
-    val daily = events.where(col(tsCol).isNotNull)
+    val observed = events.where(col(tsCol).isNotNull)
       .groupBy(to_date(col(tsCol)).as("day"))
-      .agg(sum(vm).as("__tm"))
+      .agg(sum(vm).as("__om"))
+    // densify: rowsBetween(-3,3) over observed days only would let a
+    // calendar gap widen the "7-day" window across weeks; a zero-filled
+    // day grid keeps the window a true centered week everywhere
+    val bounds = observed.agg(min("day").as("__d0"), max("day").as("__d1"))
+    val daily = bounds
+      .select(explode(sequence(col("__d0"), col("__d1"))).as("day"))
+      .join(observed, Seq("day"), "left")
+      .select(col("day"), coalesce(col("__om"), lit(0L)).as("__tm"))
     val wTrend = Window.orderBy("day").rowsBetween(-3, 3)
     val withTrend = daily
       .withColumn("__trm",

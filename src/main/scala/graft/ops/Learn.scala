@@ -466,8 +466,11 @@ object Learn {
     * `suspected` clears `t_suspected` and `suspected` is the
     * highest-scoring class among those it clears (ties to the lower
     * label). Off-diagonal mass is the estimated label-noise rate; rows
-    * clearing no threshold are counted per given label as `n_unconfident`
-    * (they are abstentions, not evidence). The threshold compare is
+    * clearing no threshold ABSTAIN and surface as one row per given
+    * label with `suspected_label` NULL carrying their count (frac NULL,
+    * flagged false; emitted only when the count is > 0) — abstentions
+    * are not evidence, but their mass must be visible or the frac
+    * denominators exclude them invisibly. The threshold compare is
     * EXACT: `t_j` is the rational `Σmicros_j / n_j`, and the test
     * `micro·n_j ≥ Σmicros_j` cross-multiplies in decimal(38,0) — no
     * division ever happens, so no engine can disagree at the boundary.
@@ -520,9 +523,27 @@ object Learn {
       .groupBy(col("given_label"), col("cent_label").as("suspected_label"))
       .agg(count(lit(1)).as("n"))
     val byGiven = Window.partitionBy("given_label")
-    joint.select(col("given_label"), col("suspected_label"), col("n"),
-      round(col("n").cast("double") / sum("n").over(byGiven), 6).as("frac"),
-      (col("given_label") =!= col("suspected_label")).as("flagged"))
+    val confidentRows =
+      joint.select(col("given_label"), col("suspected_label"), col("n"),
+        round(col("n").cast("double") / sum("n").over(byGiven), 6).as("frac"),
+        (col("given_label") =!= col("suspected_label")).as("flagged"))
+    // abstentions: holdout rows clearing NO threshold never reach `joint`
+    // — count them per given label off the persisted scored frame
+    // (countDistinct, since scored carries |labels| rows per id) so the
+    // caller can see how much of the holdout the estimate ignores
+    val totals = scored.groupBy(col("given_label"))
+      .agg(countDistinct(col("__id")).as("__tot"))
+    val confTotals = joint.groupBy(col("given_label"))
+      .agg(sum(col("n")).as("__conf"))
+    val labelType = confidentRows.schema("suspected_label").dataType
+    val abstained = totals.join(confTotals, Seq("given_label"), "left")
+      .select(col("given_label"),
+        lit(null).cast(labelType).as("suspected_label"),
+        (col("__tot") - coalesce(col("__conf"), lit(0L))).as("n"),
+        lit(null).cast("double").as("frac"),
+        lit(false).as("flagged"))
+      .where(col("n") > 0)
+    confidentRows.unionByName(abstained)
   }
 
   /** Margin-uncertainty active-learning batch with cluster diversity —

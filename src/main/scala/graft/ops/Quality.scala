@@ -839,8 +839,13 @@ object Quality {
                       valCol: String, a: String, b: String, reps: Int,
                       seed: String = "perm"): DataFrame = {
     require(reps >= 4, s"permutationTest: need reps >= 4, got $reps")
+    // idCol drives the md5 draw: a NULL id would make the digest NULL and
+    // silently route the row to pseudo-B via the n−pna algebra while an
+    // external replay (count CASE WHEN NOT is_a) skips it — filter NULL
+    // ids out of BOTH cohorts so every engine sees the same population
     val base = graft.core.CacheRegistry.persist(
-      df.where(col(valCol).isNotNull && col(variantCol).isin(a, b))
+      df.where(col(idCol).isNotNull && col(valCol).isNotNull &&
+          col(variantCol).isin(a, b))
         .select(col(idCol).cast("string").as("__id"),
           col(variantCol).as("__var"),
           round(col(valCol).cast("double") * lit(1000000.0)).cast("long")
@@ -1014,7 +1019,10 @@ object Quality {
     * `α̂ = k / Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎)` (Hill 1975). Duplicated boundary
     * values make the chosen multiset — and therefore the estimate —
     * tie-order-invariant. Groups with fewer than k+1 positive rows
-    * report NULL α (not enough tail to estimate). Output: (group,
+    * report NULL α (not enough tail to estimate), as do degenerate
+    * groups whose top k+1 values are all EQUAL (Σln = 0 — a constant
+    * "tail" has no index, and +∞ would read as heavy_tail=false).
+    * Output: (group,
     * n_pos, x_kplus1, alpha, heavy_tail = α̂ < 2). 6 dp.
     *
     * Scale shape: the rank filter is a per-group TOP-(k+1) — Spark
@@ -1034,15 +1042,17 @@ object Quality {
     val fit = top.groupBy("g").agg(
       max(when(col("__r") === k + 1, col("__v"))).as("__xk1"),
       sum(when(col("__r") <= k, log(col("__v")))).as("__lnsum"))
+    // Σln(x_i/x_{k+1}) is exactly 0 when all top k+1 values are equal —
+    // an unguarded division would report alpha = +Infinity and heavy_tail
+    // = false, silently masking the degenerate group; report NULL alpha
+    // instead (no tail to estimate)
+    val denom = col("__lnsum") - lit(k.toDouble) * log(col("__xk1"))
+    val alpha = when(denom > 0, round(lit(k.toDouble) / denom, 6))
     counts.join(fit, Seq("g"))
       .select(col("g").as(groupCol), col("n_pos"),
         round(col("__xk1"), 6).as("x_kplus1"),
-        round(lit(k.toDouble)
-          / (col("__lnsum") - lit(k.toDouble) * log(col("__xk1"))), 6)
-          .as("alpha"),
-        coalesce(round(lit(k.toDouble)
-          / (col("__lnsum") - lit(k.toDouble) * log(col("__xk1"))), 6) < 2.0,
-          lit(false)).as("heavy_tail"))
+        alpha.as("alpha"),
+        coalesce(alpha < 2.0, lit(false)).as("heavy_tail"))
   }
 
   /** Leave-one-out smoothed target encoding: replace a categorical key

@@ -766,8 +766,15 @@ object Sampling {
     * [[clusterSafeSplit]] guards in splits). Negatives draw from a
     * `poolSize` md5-lowest candidate pool ([[graft.ops]]' q164 device —
     * pool-bounded, never anchor×corpus), ranked per anchor by
-    * `md5(seed|anchor|cand)` with ties to the lower id, top `negPerPos`
-    * kept. Positives rank per anchor by the partner id. Output:
+    * `md5(seed|anchor|cand)` with ties to the lower id, top
+    * `negPerAnchor` kept — the cap is per ANCHOR, not per positive: an
+    * anchor with three positives still gets `negPerAnchor` negatives
+    * total (scale the argument yourself for a per-positive budget).
+    * Anchors are drawn from the pair table's A column only — a doc
+    * appearing only as `pairBCol` shows up as a positive PARTNER but
+    * never anchors negatives of its own; pass a symmetrized pair table
+    * (union of both orientations) to anchor both sides. Positives rank
+    * per anchor by the partner id. Output:
     * (id_a, id_b, is_positive, pair_rank) — replay-exact on any engine.
     *
     * Scale shape: the [[graft.ops.Dedup.clusters]] propagation labels
@@ -777,10 +784,10 @@ object Sampling {
     * rows. */
   def contrastivePairs(ids: DataFrame, idCol: String, pairs: DataFrame,
                        pairACol: String, pairBCol: String, poolSize: Int,
-                       negPerPos: Int, seed: String = "neg"): DataFrame = {
+                       negPerAnchor: Int, seed: String = "neg"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(poolSize >= 2 && negPerPos >= 1,
-      s"contrastivePairs: need poolSize >= 2, negPerPos >= 1; got $poolSize/$negPerPos")
+    require(poolSize >= 2 && negPerAnchor >= 1,
+      s"contrastivePairs: need poolSize >= 2, negPerAnchor >= 1; got $poolSize/$negPerAnchor")
     val p = graft.core.CacheRegistry.persist(
       pairs.select(col(pairACol).as("__pa"), col(pairBCol).as("__pb")))
     val labels = graft.core.CacheRegistry.persist(
@@ -798,7 +805,7 @@ object Sampling {
         col("__cand").cast("string"))), col("__cand"))
     val negs = anchors.join(broadcast(pool), col("__ac") =!= col("__cc"))
       .withColumn("__rk", row_number().over(byAnchor))
-      .where(col("__rk") <= negPerPos)
+      .where(col("__rk") <= negPerAnchor)
       .select(col("__anchor").as("id_a"), col("__cand").as("id_b"),
         lit(false).as("is_positive"), col("__rk").cast("long").as("pair_rank"))
     val posW = Window.partitionBy("id_a").orderBy(col("id_b"))

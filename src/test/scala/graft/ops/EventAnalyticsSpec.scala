@@ -796,6 +796,16 @@ class EventAnalyticsSpec extends SparkSpec {
         x.getAs[Boolean]("anomaly")).toMap
     rs("2024-03-11") shouldBe true
     rs.values.count(identity) should be <= 7
+    // calendar gap: day 8 has no events -> densified to a zero-filled row
+    // (without it the centered window silently widens across the gap)
+    val gapped = (1 to 14).filter(_ != 8)
+      .map(i => (day(i), 10.0)).toDF("ts", "value")
+    val rg = EventAnalytics.seasonalDecompose(gapped, "ts", "value")
+      .collect().map(x => x.getAs[java.sql.Date]("day").toString ->
+        x.getAs[Double]("total")).toMap
+    rg.size shouldBe 14
+    rg("2024-03-08") shouldBe 0.0
+    rg("2024-03-07") shouldBe 10.0
     an[IllegalArgumentException] should be thrownBy
       EventAnalytics.seasonalDecompose(flat, "ts", "value", 0.0)
   }

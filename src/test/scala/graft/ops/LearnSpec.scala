@@ -329,7 +329,11 @@ class LearnSpec extends SparkSpec {
       (3L, Array(0.0f, 1.0f), "b"), (4L, Array(0.0f, 1.0f), "b"),
       (5L, Array(1.0f, 0.0f), "a"),
       (10L, Array(0.0f, 1.0f), "a"), // the planted label error
-      (15L, Array(0.0f, 1.0f), "b"), (20L, Array(0.0f, 1.0f), "b"))
+      (15L, Array(0.0f, 1.0f), "b"), (20L, Array(0.0f, 1.0f), "b"),
+      // abstainer: cos 0.4 to a < t_a = 0.5 and cos 0.9165 to b < t_b
+      // (the mean over given-b holdout, dragged up by 15/20's 1.0s) ->
+      // clears NO threshold, must surface as (b, NULL, 1)
+      (25L, Array(0.4f, 0.9165151f), "b"))
     val emb = rows.toDF("vec_id", "embedding", "label")
     val out = Learn.confidentLearning(emb, "vec_id", "embedding", "label", 5)
       .collect().map(r => (r.getAs[String]("given_label"),
@@ -339,7 +343,9 @@ class LearnSpec extends SparkSpec {
     out should contain (("b", "b", 2L, false))
     // id 5 scores 1.0 on a (>= t_a = mean(1.0, 0.0)) and 0.0 on b -> (a, a)
     out should contain (("a", "a", 1L, false))
-    out.size shouldBe 3
+    // id 25's abstention is visible, not silently dropped
+    out should contain (("b", null, 1L, false))
+    out.size shouldBe 4
     an[IllegalArgumentException] should be thrownBy
       Learn.confidentLearning(emb, "vec_id", "embedding", "label", 1)
     graft.core.CacheRegistry.drain()

@@ -1288,6 +1288,12 @@ class QualitySpec extends SparkSpec {
           x.getAs[Boolean]("heavy_tail")))).toMap
     r("g1") shouldBe ((3L, 0.666667, true))
     r("g2") shouldBe ((2L, null, false))
+    // degenerate tail: all top k+1 values equal -> Σln = 0; alpha must be
+    // NULL (not +Infinity, which would read heavy_tail=false silently)
+    val flat = Seq.fill(5)(("g3", 7.0)).toDF("g", "v")
+    val rf = Quality.hillTailIndex(flat, "g", "v", 2).head()
+    rf.getAs[java.lang.Double]("alpha") shouldBe null
+    rf.getAs[Boolean]("heavy_tail") shouldBe false
     an[IllegalArgumentException] should be thrownBy
       Quality.hillTailIndex(d, "g", "v", 1)
   }
@@ -1303,6 +1309,17 @@ class QualitySpec extends SparkSpec {
     graft.core.CacheRegistry.drain()
     r.getAs[Long]("n_a") shouldBe 20L
     r.getAs[Long]("n_b") shouldBe 20L
+    // NULL ids are excluded from BOTH cohorts (an md5 of NULL would
+    // otherwise silently route the row to pseudo-B)
+    val withNull = rows.map { case (id, v, x) => (Option(id), v, x) } :+
+      ((Option.empty[Long], "a", 3.0))
+    val rn = graft.core.CacheRegistry.scoped {
+      Quality.permutationTest(withNull.toDF("id", "v", "value"),
+        "id", "v", "value", "a", "b", 8).head()
+    }
+    graft.core.CacheRegistry.drain()
+    rn.getAs[Long]("n_a") shouldBe 20L
+    rn.getAs[Long]("n_b") shouldBe 20L
     val p = r.getAs[Double]("p_value")
     p should be > 0.0
     p should be <= 1.0
