@@ -7,10 +7,187 @@ import org.apache.spark.sql.SparkSession
   * gate to one executor-heartbeat death near the end of the suite). Every
   * emitted line is complete and self-contained; the last one covers the
   * full run. Failed queries report -1 seconds and log the error to stderr.
+  *
+  * SHARDED by default: one long-lived local[32] JVM accumulates
+  * broadcast/codegen/shuffle residue across hundreds of queries that no
+  * per-query cache drain fully releases — round 4 measured 4× inflation
+  * on isolated 1–11 s queries at 193 queries under 8 g, round 5 still
+  * 1.6× on the slowest at 332 queries under 32 g, and the gap widens as
+  * the suite grows. The orchestrator (this main, when
+  * SPARK_GRAFT_SHARD is unset) splits the name-sorted query list into
+  * SPARK_GRAFT_SHARDS (default 4) contiguous groups and runs each group
+  * in its OWN child JVM, sequentially, merging the children's emitted
+  * per-query lines into the same cumulative JSON protocol. Each child
+  * pays its own untimed warmup; isolation resets suite pressure at every
+  * shard boundary. If spawning fails (classpath not visible), the
+  * orchestrator falls back to the single-JVM path.
   */
 object Bench {
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c    => c.toString
+    } + "\""
+
+  private val mirror = new java.io.File("bench_results.json").getAbsoluteFile
+  // children must not write the mirror: their partial (group-only) lines
+  // would race the parent's merged writes over the same file
+  private val isChild = sys.env.contains("SPARK_GRAFT_SHARD")
+
+  private def emitLine(results: collection.Map[String, Double], sfDir: String): Unit = {
+    val qs = results.map { case (k, v) => jsonStr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jsonStr(sfDir)}}"""
+    // one complete JSON line per finished query; stdout flushed so the
+    // driver sees it even if a later query kills the JVM. Mirrored to
+    // bench_results.json as a second channel in case a logger wrapper
+    // mangles stdout (rounds 1-2: driver parsed=null).
+    println(line)
+    Console.out.flush()
+    if (!isChild) {
+      val w = new java.io.PrintWriter(mirror, "UTF-8")
+      try w.println(line) finally w.close()
+    }
+  }
+
+  // The driver keeps only the LAST 2000 chars of stdout and parses a JSON
+  // line out of that window (BENCH_r01-r04: "tail" is exactly 2000 chars
+  // and starts mid-line). A 296-query line is ~9 KB, so its opening brace
+  // never survives the cut — four rounds of parsed=null. Final answer is
+  // therefore a COMPACT line, printed last, sized to fit the window whole:
+  // same shape, "queries" restricted to the slowest entries that fit in
+  // ~1800 bytes. Full per-query data remains in the long lines above and
+  // in bench_results.json.
+  private def emitCompactFinal(results: collection.Map[String, Double],
+                               sfDir: String): Unit = {
+    val total = results.values.filter(_ >= 0).sum
+    val slowest = results.toSeq.sortBy(-_._2)
+    val budget = 1800
+    val head =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":${jsonStr(sfDir)},"n_queries":${results.size},"queries":{"""
+    val sb = new StringBuilder(head)
+    var first = true
+    slowest.foreach { case (k, v) =>
+      val entry = (if (first) "" else ",") + jsonStr(k) + ":" + v
+      if (sb.length + entry.length + 2 <= budget) { sb.append(entry); first = false }
+    }
+    sb.append("}}")
+    println(sb.toString)
+    Console.out.flush()
+  }
+
+  /** The name-sorted benchmark query list, after the SPARK_GRAFT_QUERIES
+    * prefix filter (local profiling) and the SPARK_GRAFT_QUERY_LIST exact
+    * filter (the orchestrator→child shard assignment). Name-sorted so
+    * per-query numbers are comparable ACROSS rounds — Map iteration order
+    * is hash-order and silently shifts whenever a query is added (round
+    * 3: q48 was 7th, in round 2 it ran elsewhere). */
+  private def selectedQueries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = {
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val exact = sys.env.get("SPARK_GRAFT_QUERY_LIST")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    (SparkEntry.queries ++ SparkEntry.benchExtras).toSeq
+      .filter { case (name, _) => only.forall(f => f.exists(name.startsWith)) }
+      .filter { case (name, _) => exact.forall(_.contains(name)) }
+      .sortBy(_._1)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val shards = sys.env.getOrElse("SPARK_GRAFT_SHARDS", "4").toInt
+    val selected = selectedQueries
+    // child mode, explicit single-shard, or a list too small to amortize a
+    // JVM per shard: run everything in this process
+    if (isChild || shards <= 1 || selected.size < 4 * shards)
+      runSuite(sfDir, selected.map(_._1), inProcessEmit = !isChild)
+    else orchestrate(sfDir, selected.map(_._1), shards)
+  }
+
+  /** Parent: split `names` into `shards` contiguous groups, run each in a
+    * fresh child JVM (same classpath, same JDK, same module opens as
+    * build.sbt's forked run), merge the children's per-query results into
+    * the cumulative emit protocol. Children inherit the environment plus
+    * SPARK_GRAFT_SHARD (marks child mode) and SPARK_GRAFT_QUERY_LIST
+    * (exact shard assignment). */
+  private def orchestrate(sfDir: String, names: Seq[String], shards: Int): Unit = {
+    val cp = System.getProperty("java.class.path")
+    val canSpawn = cp != null && cp.contains(java.io.File.pathSeparator)
+    if (!canSpawn) {
+      System.err.println("[bench] classpath not spawnable; single-JVM fallback")
+      runSuite(sfDir, names, inProcessEmit = true); return
+    }
+    val javaBin = new java.io.File(
+      new java.io.File(System.getProperty("java.home"), "bin"), "java")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val xmx = s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}"
+    val groups = {
+      val per = math.ceil(names.size.toDouble / shards).toInt
+      names.grouped(per).toSeq
+    }
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val qv = """"(q[A-Za-z0-9_]+)":(-?[0-9][0-9.eE+-]*)""".r
+    groups.zipWithIndex.foreach { case (group, gi) =>
+      System.err.println(s"[bench] shard ${gi + 1}/${groups.size}: " +
+        s"${group.size} queries (${group.head}..${group.last})")
+      val cmd: Seq[String] = Seq(javaBin.getAbsolutePath, xmx) ++ addOpens ++ Seq(
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "-cp", cp, "graft.Bench")
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_SHARD", (gi + 1).toString)
+      pb.environment().put("SPARK_GRAFT_QUERY_LIST", group.mkString(","))
+      pb.redirectErrorStream(false)
+      val proc = pb.start()
+      // child stderr → parent stderr (Spark logs, failure diagnostics)
+      val errPump = new Thread(() => {
+        val es = scala.io.Source.fromInputStream(proc.getErrorStream, "UTF-8")
+        try es.getLines().foreach(System.err.println) finally es.close()
+      })
+      errPump.setDaemon(true); errPump.start()
+      // each child stdout line is a complete cumulative JSON for ITS group;
+      // fold every (query, secs) pair into the merged map and re-emit, so
+      // the parent's own stdout keeps the crash-resilient line-per-query
+      // protocol across shard boundaries
+      val out = scala.io.Source.fromInputStream(proc.getInputStream, "UTF-8")
+      try out.getLines().foreach { line =>
+        if (line.startsWith("{")) {
+          var changed = false
+          qv.findAllMatchIn(line).foreach { m =>
+            val (k, v) = (m.group(1), m.group(2).toDouble)
+            if (k != "queries" && !results.get(k).contains(v)) {
+              results(k) = v; changed = true
+            }
+          }
+          if (changed) emitLine(results, sfDir)
+        }
+      } finally out.close()
+      val rc = proc.waitFor()
+      if (rc != 0)
+        System.err.println(s"[bench] shard ${gi + 1} exited rc=$rc " +
+          s"(finished queries were already merged)")
+      // a query the child never reported (crash mid-query) records -1
+      group.filterNot(results.contains).foreach(results(_) = -1.0)
+    }
+    emitLine(results, sfDir)
+    emitCompactFinal(results, sfDir)
+  }
+
+  /** Run `names` in THIS JVM (child mode / fallback / small local runs). */
+  private def runSuite(sfDir: String, names: Seq[String],
+                       inProcessEmit: Boolean): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // shuffle/spill scratch: tmpfs avoids the bench box's multi-second
     // virtio dirty-page-flush stalls, but competes with the JVM heap for
@@ -35,49 +212,18 @@ object Bench {
       .config("spark.executor.heartbeatInterval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // SPARK_GRAFT_QUERIES=q24,q26 restricts the run (local profiling only;
-    // the driver always runs the full set)
-    val only = sys.env.get("SPARK_GRAFT_QUERIES")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    // name-sorted so per-query numbers are comparable ACROSS rounds — Map
-    // iteration order is hash-order and silently shifts whenever a query is
-    // added (round 3: q48 was 7th, in round 2 it ran elsewhere)
-    val selected = (SparkEntry.queries ++ SparkEntry.benchExtras).toSeq
-      .filter { case (name, _) => only.forall(f => f.exists(name.startsWith)) }
-      .sortBy(_._1)
+    val byName = (SparkEntry.queries ++ SparkEntry.benchExtras)
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    def jsonStr(s: String): String =
-      "\"" + s.flatMap {
-        case '"'  => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => "\\u%04x".format(c.toInt)
-        case c    => c.toString
-      } + "\""
-    val mirror = new java.io.File("bench_results.json").getAbsoluteFile
-    def emit(): Unit = {
-      val qs = results.map { case (k, v) => jsonStr(k) + ":" + v }
-        .mkString("{", ",", "}")
-      val total = results.values.filter(_ >= 0).sum
-      val line =
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jsonStr(sfDir)}}"""
-      // one complete JSON line per finished query; stdout flushed so the
-      // driver sees it even if a later query kills the JVM. Mirrored to
-      // bench_results.json as a second channel in case a logger wrapper
-      // mangles stdout (rounds 1-2: driver parsed=null).
-      println(line)
-      Console.out.flush()
-      val w = new java.io.PrintWriter(mirror, "UTF-8")
-      try w.println(line) finally w.close()
-    }
-    // untimed warmup: the star-fact and staged-SCD2 memoized caches are
-    // cross-query by design (the reference caches them once per pipeline
-    // run); building them here keeps their one-time cost out of whichever
-    // query alphabetically hits them first
+    // untimed warmup: the star-fact, staged-SCD2 and postings memoized
+    // caches are cross-query by design (the reference caches them once per
+    // pipeline run); building them here keeps their one-time cost out of
+    // whichever query alphabetically hits them first
     try SparkEntry.warmCaches(spark, sfDir)
     catch { case e: Throwable =>
       System.err.println(s"[bench] warmup FAILED: ${e.getClass.getName}: ${e.getMessage}")
     }
-    selected.foreach { case (name, fn) =>
+    names.foreach { name =>
+      val fn = byName(name)
       // elapsed measured around build+consume only: the scope's unpersist
       // and the safety-net drain are harness bookkeeping, not query cost
       var secs = -1.0
@@ -91,7 +237,7 @@ object Bench {
       }
       graft.core.CacheRegistry.drain()
       results(name) = secs
-      emit()
+      emitLine(results, sfDir)
     }
     SparkEntry.clearCaches(spark)
     spark.stop()
@@ -99,28 +245,7 @@ object Bench {
     // build.sbt's showSuccess := false, the final JSON is the last stdout
     // line of the whole sbt invocation (rounds 1-3: driver parsed=null
     // despite valid per-query lines in the tail)
-    emit()
-    // The driver keeps only the LAST 2000 chars of stdout and parses a JSON
-    // line out of that window (BENCH_r01-r04: "tail" is exactly 2000 chars
-    // and starts mid-line). A 296-query line is ~9 KB, so its opening brace
-    // never survives the cut — four rounds of parsed=null. Final answer is
-    // therefore a COMPACT line, printed last, sized to fit the window whole:
-    // same shape, "queries" restricted to the slowest entries that fit in
-    // ~1800 bytes. Full per-query data remains in the long lines above and
-    // in bench_results.json.
-    val total = results.values.filter(_ >= 0).sum
-    val slowest = results.toSeq.sortBy(-_._2)
-    val budget = 1800
-    val head =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":${jsonStr(sfDir)},"n_queries":${results.size},"queries":{"""
-    val sb = new StringBuilder(head)
-    var first = true
-    slowest.foreach { case (k, v) =>
-      val entry = (if (first) "" else ",") + jsonStr(k) + ":" + v
-      if (sb.length + entry.length + 2 <= budget) { sb.append(entry); first = false }
-    }
-    sb.append("}}")
-    println(sb.toString)
-    Console.out.flush()
+    emitLine(results, sfDir)
+    if (inProcessEmit) emitCompactFinal(results, sfDir)
   }
 }

@@ -270,11 +270,30 @@ object Corpus {
   def moreLikeThis(df: DataFrame, idCol: String, textCol: String,
                    queryIds: Seq[Long], topK: Int,
                    maxDfShare: Double = 0.5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(queryIds.nonEmpty, "moreLikeThis: need at least one query id")
-    require(topK >= 1, s"moreLikeThis: need topK >= 1, got $topK")
     require(maxDfShare > 0 && maxDfShare <= 1,
       s"moreLikeThis: need 0 < maxDfShare <= 1, got $maxDfShare")
+    moreLikeThisOn(
+      graft.core.CacheRegistry.persist(
+        tfidfPostings(df, idCol, textCol, maxDfShare)),
+      queryIds, topK)
+  }
+
+  /** The TF-IDF weighted postings table (doc, term, w) [[moreLikeThis]]
+    * and [[lateInteractionRerank]]'s retrieval stage rank through —
+    * smoothed-idf weights `tf · (ln((N+1)/(df+1)) + 1)`, stop-tokens
+    * with document frequency above `maxDfShare·N` pruned. Exposed so a
+    * caller serving MANY retrieval queries can build (and persist) the
+    * index ONCE and pass it to [[moreLikeThisOn]] per request — the
+    * production shape, where the postings index is a maintained
+    * artifact, not a per-query rebuild.
+    *
+    * Scale shape: one corpus explode into a (doc, term) hash-agg with
+    * map-side combine, a term-keyed df join, and a broadcast 1-row
+    * total — no Expand, no window. */
+  def tfidfPostings(df: DataFrame, idCol: String, textCol: String,
+                    maxDfShare: Double = 0.5): DataFrame = {
+    require(maxDfShare > 0 && maxDfShare <= 1,
+      s"tfidfPostings: need 0 < maxDfShare <= 1, got $maxDfShare")
     // persisted: dfT and the weight build both consume the postings —
     // without the cut the corpus explode + hash-agg runs twice in one plan
     val tf = graft.core.CacheRegistry.persist(
@@ -283,14 +302,22 @@ object Corpus {
         .groupBy("doc", "term").agg(count(lit(1)).as("tf")))
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df_docs"))
     val nTot = df.agg(count(lit(1)).as("n"))
-    // persisted: norms and both join sides consume the weighted postings
-    val w = graft.core.CacheRegistry.persist(
-      tf.join(dfT, "term").crossJoin(broadcast(nTot))
-        .where(col("df_docs").cast("double") <= lit(maxDfShare) * col("n"))
-        .select(col("doc"), col("term"),
-          (col("tf").cast("double") *
-            (log((col("n").cast("double") + 1.0) /
-              (col("df_docs").cast("double") + 1.0)) + 1.0)).as("w")))
+    tf.join(dfT, "term").crossJoin(broadcast(nTot))
+      .where(col("df_docs").cast("double") <= lit(maxDfShare) * col("n"))
+      .select(col("doc"), col("term"),
+        (col("tf").cast("double") *
+          (log((col("n").cast("double") + 1.0) /
+            (col("df_docs").cast("double") + 1.0)) + 1.0)).as("w"))
+  }
+
+  /** [[moreLikeThis]] over a prebuilt (and ideally persisted)
+    * [[tfidfPostings]] frame `w` — same ranking, same output; the
+    * caller owns the index's lifetime. */
+  def moreLikeThisOn(w: DataFrame, queryIds: Seq[Long],
+                     topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queryIds.nonEmpty, "moreLikeThis: need at least one query id")
+    require(topK >= 1, s"moreLikeThis: need topK >= 1, got $topK")
     val norms = w.groupBy("doc").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     val q = w.where(col("doc").isin(queryIds: _*))
       .select(col("doc").as("query_id"), col("term"), col("w").as("wq"))
@@ -407,9 +434,11 @@ object Corpus {
     * Scale shape: the corpus prunes to the pair docs via a semi-join
     * BEFORE tokenization; work is \|pairs\| · \|q tokens\| · \|d
     * tokens\| distinct-token rows — rerank-bounded (a top-k candidate
-    * list, not a corpus product); the token dictionary is cached and
-    * the two-level max/mean are hash-aggs on the pair key.
-    * Output: (query_id, cand_id, maxsim). */
+    * list, not a corpus product). ONE persisted pruned-postings frame
+    * carries tf + token vector + norm; both MaxSim join sides broadcast
+    * it (candidate-bounded by contract), so the fan-out runs inside a
+    * single codegen span and the two-level max/mean are hash-aggs on
+    * the pair key. Output: (query_id, cand_id, maxsim). */
   def lateInteractionRerank(df: DataFrame, idCol: String, textCol: String,
                             pairs: DataFrame, queryCol: String,
                             candCol: String, dim: Int = 8): DataFrame = {
@@ -420,35 +449,35 @@ object Corpus {
         col(candCol).cast("long").as("__c")))
     val ids = p.select(col("__q").as("__id"))
       .union(p.select(col("__c"))).distinct()
-    // persisted: the token dictionary build and BOTH join sides consume
-    // the pruned postings — without the cut the pair-doc scan + explode
-    // + hash-agg runs three times
-    val tf = graft.core.CacheRegistry.persist(
+    val nib = (k: Int) =>
+      (conv(substring(md5(col("__tok")), k, 1), 16, 10).cast("double") - 8.0) / 8.0
+    // ONE persisted frame carries tf AND the token pseudo-vector: the
+    // vector is a pure function of the token, so computing it per
+    // (doc, token) row costs one md5 per posting instead of a distinct +
+    // two more materializations + two token-keyed joins (this used to be
+    // three persists and a 4-join chain — each stage tiny but paying
+    // full scheduling/exchange cost). Values are float-exact halves of
+    // eighths, so the native codegen dot accumulates the SAME doubles in
+    // the SAME index order — oracle-unchanged.
+    val tfv = graft.core.CacheRegistry.persist(
       df.join(ids, col(idCol) === col("__id"), "left_semi")
         .select(col(idCol).cast("long").as("__doc"),
           explode(split(col(textCol), " ")).as("__tok"))
-        .groupBy("__doc", "__tok").agg(count(lit(1)).as("__tf")))
-    val nib = (k: Int) =>
-      (conv(substring(md5(col("__tok")), k, 1), 16, 10).cast("double") - 8.0) / 8.0
-    // float-exact values ((nibble−8)/8 are halves of eighths), so the
-    // native codegen dot accumulates the SAME doubles in the SAME index
-    // order as the interpreted HOF fold it replaces — oracle-unchanged,
-    // ~6× less per-row cost at the |pairs|·|q|·|d| token fan-out
-    val tokv = graft.core.CacheRegistry.persist(
-      tf.select("__tok").distinct()
-        .select(col("__tok"),
-          array((1 to dim).map(nib): _*).cast("array<float>").as("__v"))
+        .groupBy("__doc", "__tok").agg(count(lit(1)).as("__tf"))
+        .withColumn("__v", array((1 to dim).map(nib): _*).cast("array<float>"))
         .withColumn("__n2",
           graft.functions.VectorFunctions.dotF(col("__v"), col("__v"))))
+    // both sides BROADCAST: the rerank is candidate-bounded by contract
+    // (|pairs| ≤ |queries|·topK, so pair-doc postings stay tiny no matter
+    // the corpus size) — the MaxSim fan-out then runs as two broadcast
+    // hash joins inside one codegen span, no exchange until the final agg
     val qSide = p
-      .join(tf.select(col("__doc").as("__q"), col("__tok").as("__qtok"),
-        col("__tf").as("__qtf")), "__q")
-      .join(tokv.select(col("__tok").as("__qtok"), col("__v").as("__qv"),
-        col("__n2").as("__qn2")), "__qtok")
+      .join(broadcast(tfv.select(col("__doc").as("__q"),
+        col("__tok").as("__qtok"), col("__tf").as("__qtf"),
+        col("__v").as("__qv"), col("__n2").as("__qn2"))), "__q")
     val tokPairs = qSide
-      .join(tf.select(col("__doc").as("__c"), col("__tok").as("__ctok")), "__c")
-      .join(tokv.select(col("__tok").as("__ctok"), col("__v").as("__cv"),
-        col("__n2").as("__cn2")), "__ctok")
+      .join(broadcast(tfv.select(col("__doc").as("__c"),
+        col("__v").as("__cv"), col("__n2").as("__cn2"))), "__c")
     val dot = graft.functions.VectorFunctions.dotF(col("__qv"), col("__cv"))
     val cos = when(col("__qn2") === 0.0 || col("__cn2") === 0.0, lit(0.0))
       .otherwise(round(dot / sqrt(col("__qn2") * col("__cn2")), 6))

@@ -95,12 +95,17 @@ object Similarity {
     * 1-p^bits), and no single skewed bucket dominates the join. Shuffle
     * keys are (band, bucket); the candidate dedup is one exchange on the
     * pair — still no N² stage anywhere. */
-  /** Candidate pairs sharing at least one band bucket (both orientations,
-    * deduped) — the shared fan-in of [[multiBandLshTopK]] and
-    * [[lshNearDupPairs]]. Shuffle keys are (band, bucket); one exchange for
-    * the dedup; no N² stage. */
+  /** Candidate pairs sharing at least one band bucket, deduped — the
+    * shared fan-in of [[multiBandLshTopK]] and [[lshNearDupPairs]].
+    * `ordered = true` keeps only the query_id < cand_id orientation
+    * INSIDE the bucket self-join — for symmetric consumers (near-dup
+    * pair sets) this halves the volume entering the dedup exchange; the
+    * per-query consumers (top-k, hard negatives) need both orientations.
+    * Shuffle keys are (band, bucket); one exchange for the dedup; no N²
+    * stage. */
   private def bandedCandidatePairs(emb: DataFrame, idCol: String, vecCol: String,
-                                   bits: Int, bands: Int): DataFrame = {
+                                   bits: Int, bands: Int,
+                                   ordered: Boolean = false): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"), signBucket(col(vecCol), bits, b * bits).as("bucket"))
     }
@@ -111,7 +116,8 @@ object Similarity {
         .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket")))
     banded.toDF("query_id", "band", "bucket")
       .join(banded.toDF("cand_id", "band", "bucket"), Seq("band", "bucket"))
-      .where(col("query_id") =!= col("cand_id"))
+      .where(if (ordered) col("query_id") < col("cand_id")
+             else col("query_id") =!= col("cand_id"))
       .select("query_id", "cand_id").distinct()
   }
 
@@ -590,8 +596,7 @@ object Similarity {
   def lshNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, bits: Int, bands: Int): DataFrame = {
     val vecs = emb.select(col(idCol), col(vecCol), normF(col(vecCol)).as("norm"))
-    bandedCandidatePairs(emb, idCol, vecCol, bits, bands)
-      .where(col("query_id") < col("cand_id"))
+    bandedCandidatePairs(emb, idCol, vecCol, bits, bands, ordered = true)
       .join(vecs.toDF("query_id", "va", "na"), Seq("query_id"))
       .join(vecs.toDF("cand_id", "vb", "nb"), Seq("cand_id"))
       .select(col("query_id").as("id_a"), col("cand_id").as("id_b"),
