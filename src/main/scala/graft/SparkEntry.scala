@@ -699,6 +699,50 @@ object SparkEntry {
     "q41_sessionize" -> ((s, dir) =>
       graft.streaming.EventStream.sessionizeBatch(
         t(s, dir, "events").select("user_id", "ts"), 1800000L)),
+    // REAL event-time streaming sessionize (flatMapGroupsWithState +
+    // watermark timeout), reduced to its FINAL state: update-mode output
+    // re-emits an open session once per micro-batch it grows in, so the
+    // driver-checkable surface is the last snapshot per (user, session
+    // start) — closed rows are final by construction, open rows grow
+    // monotonically under the source's per-user event-time order. The
+    // reduced table must equal q41's batch fold exactly (the streaming
+    // CONTRACT: replay/batch parity, not just rows>0)
+    "q90_stream_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.EventStream
+      val name = "bench_stream_sessions"
+      val ev = EventStream.readEventsStream(s, dir)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .withWatermark("ts", "1 hour")
+        .as[EventStream.Event]
+      withStatePartitions(s, 8) {
+        val q = EventStream.sessionizeEventTime(ev, 1800000L)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("update")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("bench-sess-ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.table(name)
+        .groupBy(col("user_id"), col("sessionStartMs").as("session_start_ms"))
+        .agg(max("nEvents").as("n_events"), max("durationMs").as("duration_ms"))
+    }),
+    // KMV-sketch cross-source overlap: the q82 scale twin. The k-minimum-
+    // values estimator is a pure function of the input SET (k smallest
+    // distinct md5s — merge-order invariant by construction), so the
+    // estimates themselves are oracle-replayable, not just their bounds
+    "q105_source_overlap_kmv" -> ((s, dir) =>
+      graft.ops.Sketches.sourceOverlapKmv(
+        graft.core.Tables.table(s, dir, "documents"), "source", "text", 3, 256)),
+    // Misra–Gries at the q120 scale point (k=100): the summary CONTENT is
+    // partitioning-dependent by nature, so the driver-checked row is the
+    // CONTRACT form (presence + undercount theorems as booleans) at the
+    // same k — the raw top-terms surface stays topTermsApprox (spec-pinned)
+    "q120_heavy_hitters_mg" -> ((s, dir) =>
+      graft.ops.Sketches.heavyHittersContract(
+        graft.core.Tables.table(s, dir, "documents"), "source", "text", 100)),
     // the q40 as-of lookup bounded by a 7-day staleness tolerance
     // (pandas merge_asof semantics): older matches null out, rows stay
     "q126_asof_tolerance" -> ((s, dir) => {
@@ -2915,6 +2959,20 @@ object SparkEntry {
   private def md5ModSql(idExpr: String, m: Int): String =
     s"((${md5PrefixSql(idExpr)}) % $m)"
 
+  /** q197/q120: the Misra–Gries presence + undercount theorems pinned TRUE
+    * at summary size `k` (threshold N/(k+1)); exact counts replayed. */
+  private def mgBoundSql(k: Int): String =
+    s"""WITH tok AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+       |ex AS (SELECT source, term, count(*) AS cnt FROM tok GROUP BY 1, 2),
+       |tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens
+       |        FROM ex GROUP BY 1)
+       |SELECT e.source, max(t.n_tokens) AS n_tokens,
+       |  CAST(sum(CASE WHEN e.cnt > CAST(t.n_tokens AS DOUBLE) / ${k + 1}.0
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy,
+       |  TRUE AS all_heavy_present, TRUE AS est_within_bound
+       |FROM ex e JOIN tot t USING (source) GROUP BY 1""".stripMargin
+
   /** The raw 32-bit md5 prefix (no modulus) as a uniform in [0, 1) —
     * [[graft.ops.Sampling.weightedSample]]'s `u`. */
   private def md5UniformSql(idExpr: String): String =
@@ -3341,41 +3399,11 @@ object SparkEntry {
     * flatMapGroupsWithState → AvailableNow) so the bench exercises the
     * stateful streaming path, not just its batch shape (q41). The memory
     * sink is bench plumbing; production writes parquet/kafka. */
-  def benchExtras: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // KMV-sketch cross-source overlap: the q82 scale twin — approximate by
-    // design, so no SQL oracle; SketchesSpec pins estimates on controlled
-    // overlap and the exact operator remains the correctness anchor
-    "q105_source_overlap_kmv" -> ((s, dir) =>
-      graft.ops.Sketches.sourceOverlapKmv(
-        graft.core.Tables.table(s, dir, "documents"), "source", "text", 3, 256)),
-    // Misra–Gries per-source top terms: the bounded-shuffle frequency twin
-    // of the exact vocabulary (q58) — summary content is partitioning-
-    // dependent by nature, so no SQL oracle; SketchesSpec pins the
-    // presence + undercount guarantees against exact counts
-    "q120_heavy_hitters_mg" -> ((s, dir) =>
-      graft.ops.Sketches.topTermsApprox(
-        graft.core.Tables.table(s, dir, "documents"), Seq("source"), "text", 100)),
-    "q90_stream_sessionize" -> ((s, dir) => {
-      import s.implicits._
-      import graft.streaming.EventStream
-      val name = "bench_stream_sessions"
-      val ev = EventStream.readEventsStream(s, dir)
-        .select(col("user_id"), col("ts"), col("event_type"))
-        .withWatermark("ts", "1 hour")
-        .as[EventStream.Event]
-      withStatePartitions(s, 8) {
-        val q = EventStream.sessionizeEventTime(ev, 1800000L)
-          .writeStream.format("memory").queryName(name)
-          .outputMode("update")
-          .option("checkpointLocation",
-            java.nio.file.Files.createTempDirectory("bench-sess-ckpt").toString)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-      s.table(name)
-    })
-  )
+  /** Formerly the bench-only rows (no oracle); all three were promoted to
+    * oracle-checked forms in [[queries]] in round 6, so the bench list is
+    * now exactly the driver-verified list. Kept as an (empty) extension
+    * point for genuinely unverifiable probes. */
+  def benchExtras: Map[String, (SparkSession, String) => DataFrame] = Map.empty
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -4575,17 +4603,52 @@ object SparkEntry {
     },
     // q197: exact token totals + heavy count; the MG theorems pinned TRUE
     // (a merge-order bug in the aggregate becomes a hash mismatch)
-    "q197_mg_bound" ->
-      """WITH tok AS (
-        |  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
-        |ex AS (SELECT source, term, count(*) AS cnt FROM tok GROUP BY 1, 2),
-        |tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens
-        |        FROM ex GROUP BY 1)
-        |SELECT e.source, max(t.n_tokens) AS n_tokens,
-        |  CAST(sum(CASE WHEN e.cnt > CAST(t.n_tokens AS DOUBLE) / 6.0
-        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy,
-        |  TRUE AS all_heavy_present, TRUE AS est_within_bound
-        |FROM ex e JOIN tot t USING (source) GROUP BY 1""".stripMargin,
+    "q197_mg_bound" -> mgBoundSql(5),
+    // q120: the same contract at the benchmark's scale point k=100
+    "q120_heavy_hitters_mg" -> mgBoundSql(100),
+    // q105: the KMV estimator replayed VALUE-exact — per source the k
+    // smallest distinct md5(shingle)s, then the same union-slice /
+    // common-minima / (k−1)/frac(kth) arithmetic as the Scala array
+    // expressions; merge-order cannot move a set's k minima, so the
+    // estimates (not just their bounds) hash-match
+    "q105_source_overlap_kmv" -> {
+      val k = 256
+      val nibSum = (1 to 12).map(i =>
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${BigInt(16).pow(12 - i)}").mkString(" + ")
+      def fracOf(expr: String) =
+        s"(CAST((SELECT $nibSum FROM (SELECT $expr AS h)) AS DOUBLE) / ${math.pow(16, 12)})"
+      def cardOf(lst: String) =
+        s"(CASE WHEN len($lst) < $k THEN CAST(len($lst) AS DOUBLE) " +
+          s"ELSE ${k - 1}.0 / ${fracOf(s"$lst[$k]")} END)"
+      s"""WITH sh AS (
+         |  SELECT DISTINCT source AS src, md5(shingle) AS h FROM (
+         |    SELECT source, unnest(list_distinct(list_transform(
+         |      generate_series(1, len(ts) - 2),
+         |      i -> array_to_string(ts[i:i+2], ' ')))) AS shingle
+         |    FROM (SELECT source, string_split(text, ' ') AS ts FROM documents))),
+         |rk AS (SELECT src, h,
+         |    row_number() OVER (PARTITION BY src ORDER BY h) AS rn FROM sh),
+         |sk AS (SELECT src, list(h ORDER BY h) AS kmv
+         |  FROM rk WHERE rn <= $k GROUP BY src),
+         |pairs AS (SELECT a.src AS src_a, a.kmv AS kmv_a,
+         |    b.src AS src_b, b.kmv AS kmv_b
+         |  FROM sk a CROSS JOIN sk b WHERE a.src < b.src),
+         |comb AS (SELECT src_a, src_b, kmv_a, kmv_b,
+         |    (list_sort(list_distinct(kmv_a || kmv_b)))[1:$k] AS combined
+         |  FROM pairs),
+         |scored AS (SELECT src_a, src_b, kmv_a, kmv_b, combined,
+         |    CASE WHEN len(combined) = 0 THEN 0.0
+         |      ELSE CAST(len(list_filter(combined,
+         |          x -> list_contains(kmv_a, x) AND list_contains(kmv_b, x)))
+         |        AS DOUBLE) / CAST(len(combined) AS DOUBLE) END AS jac
+         |  FROM comb)
+         |SELECT src_a, src_b, round(jac, 2) AS est_jaccard,
+         |  round(CASE WHEN jac = 0.0 THEN 0.0
+         |    ELSE jac * ${cardOf("combined")}
+         |      / least(${cardOf("kmv_a")}, ${cardOf("kmv_b")}) END, 2)
+         |    AS est_containment
+         |FROM scored""".stripMargin
+    },
     "q195_bigram_entropy" ->
       """WITH t AS (SELECT source, string_split(text, ' ') AS ts FROM documents),
         |p AS (SELECT source, unnest(list_transform(
@@ -5600,6 +5663,27 @@ object SparkEntry {
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.order_ts""".stripMargin,
     // same default RANGE-to-current-row window frame as the Spark side;
     // gaps in exact integer microseconds (epoch_us ↔ unix_micros)
+    // q90: the streaming sessionize's final-state reduction must equal the
+    // batch gap fold — q41's CTE chain, re-keyed to the stream's surface
+    // (start in epoch-ms via getTime, duration as ms-diff of ms-snapped
+    // endpoints — NOT the µs-diff // 1000 of q41, which differs when
+    // sub-ms precision exists)
+    "q90_stream_sessionize" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |s AS (SELECT user_id, ts,
+        |        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+        |      FROM marked)
+        |SELECT user_id,
+        |  min(epoch_us(ts) // 1000) AS session_start_ms,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  max(epoch_us(ts) // 1000) - min(epoch_us(ts) // 1000) AS duration_ms
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
     "q41_sessionize" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |marked AS (
