@@ -1085,6 +1085,12 @@ object SparkEntry {
     "q32_multimodal_decode" -> ((s, dir) =>
       Multimodal.fakeDecode(s, Multimodal.asMediaTable(
         t(s, dir, "documents"), "doc_id", "text", "text")).toDF()),
+    // perceptual near-dup over the BINARY column: decode (stub) → SimHash-64
+    // over content 4-grams → 8-band bucket join → Hamming ≤ 12 verify —
+    // the image-dedup shape with the media dropped in at the decode slot
+    "q336_perceptual_neardup" -> ((s, dir) =>
+      Multimodal.perceptualNearDupPairs(s, Multimodal.asMediaTable(
+        t(s, dir, "documents"), "doc_id", "text", "text"), 8, 12)),
     // ---- write-side / streaming operators, driver-visible (§7.6) ----
     // JSONL export round-trip: write the corpus as content-sharded JSONL,
     // read the shards BACK, and oracle every (shard, row) against the md5
@@ -10104,6 +10110,54 @@ object SparkEntry {
         |  md5(text) AS content_hash, 'text' AS kind
         |FROM documents""".stripMargin,
     "q32_multimodal_decode" -> decodeSql,
+    // q336: every fingerprint BIT replayed — per content 4-gram the first
+    // 16 md5 hex chars form the 64-bit vote word (char c, nibble bit b ↔
+    // bit 64−4c+b); the (c, value) count grid folds the votes, nibbles
+    // reassemble via a 16-row multiplier table in HUGEINT with a two's-
+    // complement wrap to BIGINT, then the same 8-band bucket join +
+    // Hamming ≤ 12 verify as the Scala plan
+    "q336_perceptual_neardup" -> {
+      val multipliers = (1 to 16)
+        .map(c => s"($c, CAST('${BigInt(16).pow(16 - c)}' AS HUGEINT))")
+        .mkString(", ")
+      s"""WITH sh AS (SELECT doc_id,
+         |    substr(md5(unnest(list_transform(
+         |      generate_series(1, len(text) - 3),
+         |      i -> substr(text, i, 4)))), 1, 16) AS h
+         |  FROM documents WHERE text IS NOT NULL),
+         |cs AS (SELECT unnest(generate_series(1, 16)) AS c),
+         |grid AS (SELECT doc_id, c,
+         |    strpos('0123456789abcdef', substr(h, c, 1)) - 1 AS v,
+         |    count(*) AS n
+         |  FROM sh CROSS JOIN cs GROUP BY 1, 2, 3),
+         |bs AS (SELECT unnest(generate_series(0, 3)) AS b),
+         |bits AS (SELECT doc_id, c, b,
+         |    CASE WHEN sum(n * (2 * ((v >> b) & 1) - 1)) > 0
+         |         THEN 1 ELSE 0 END AS bit
+         |  FROM grid CROSS JOIN bs GROUP BY 1, 2, 3),
+         |nibs AS (SELECT doc_id, c, CAST(sum(bit << b) AS HUGEINT) AS nv
+         |  FROM bits GROUP BY 1, 2),
+         |m(c, mult) AS (VALUES $multipliers),
+         |fpu AS (SELECT doc_id, sum(nv * mult) AS u
+         |  FROM nibs JOIN m USING (c) GROUP BY 1),
+         |fps AS (SELECT d.doc_id AS id, CAST(CASE
+         |      WHEN f.u IS NULL THEN 0
+         |      WHEN f.u >= CAST('9223372036854775808' AS HUGEINT)
+         |        THEN f.u - CAST('18446744073709551616' AS HUGEINT)
+         |      ELSE f.u END AS BIGINT) AS fp
+         |  FROM documents d LEFT JOIN fpu f USING (doc_id)),
+         |bands AS (SELECT unnest(generate_series(0, 7)) AS band),
+         |bt AS (SELECT id, band, (fp >> (band * 8)) & 255 AS bucket
+         |  FROM fps CROSS JOIN bands),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bt a JOIN bt b ON a.band = b.band AND a.bucket = b.bucket
+         |    AND a.id < b.id)
+         |SELECT c.id_a, c.id_b,
+         |  CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS hamming
+         |FROM cand c JOIN fps fa ON c.id_a = fa.id
+         |JOIN fps fb ON c.id_b = fb.id
+         |WHERE bit_count(xor(fa.fp, fb.fp)) <= 12""".stripMargin
+    },
     // q106: the read-back shard rows must equal the md5 shard assignment —
     // membership is a pure function of the id, independent of how the
     // writer was partitioned

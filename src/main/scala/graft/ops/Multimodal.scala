@@ -116,4 +116,106 @@ object Multimodal {
   def metadataOnly(media: DataFrame): DataFrame =
     media.select(col("id"), col("meta.byteLen").as("byte_len"),
       col("meta.contentHash").as("content_hash"), col("meta.kind").as("kind"))
+
+  /** 64-bit PERCEPTUAL fingerprint of each payload — the per-item half of
+    * media near-dup detection ([[perceptualNearDupPairs]]). The pipeline is
+    * the standard image-dedup shape: decode the blob to canonical content,
+    * derive locality-sensitive features, SimHash them to 64 bits. Decode
+    * runs in the [[fakeDecode]] `mapPartitions` slot (one decoder per
+    * partition, streaming, payloads pruned until this stage); the STUB
+    * decode is utf-8 (this container has no image codecs — a real decoder
+    * would emit a luma-grid string here and nothing downstream changes).
+    * Features are sliding code-point 4-grams of the decoded content —
+    * locality-sensitive over local edits, unlike the payload's md5, which
+    * flips entirely on any byte change. Per shingle, the first 64 bits of
+    * its md5 vote ±1 per bit position; fingerprint bit p is 1 iff the vote
+    * sum is strictly positive. Deterministic and engine-replayable
+    * (md5 + nibble arithmetic — the oracle recomputes every bit).
+    * Output: (id, phash64); empty/NULL payloads fingerprint to 0.
+    *
+    * Scale shape: one payload scan, zero shuffle — the fingerprint is a
+    * per-row kernel, and only the 8-byte hash (never the blob) flows into
+    * the pair stage. */
+  def perceptualHash64(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, payload) =>
+          // ??? — real decode goes here (blob → luma-grid string); the
+          // deterministic stub decodes utf-8
+          val content =
+            if (payload == null) ""
+            else new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+          val cps = content.codePoints.toArray
+          val votes = new Array[Int](64)
+          var i = 0
+          while (i + 3 < cps.length) {
+            val sh = new String(cps, i, 4)
+            md.reset()
+            val d = md.digest(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            // first 8 digest bytes, big-endian — bit p is hex-char (15-p)/4's
+            // nibble bit (p%4), the exact grid the SQL replay walks
+            var h = 0L
+            var b = 0
+            while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+            var p = 0
+            while (p < 64) {
+              votes(p) += (if (((h >>> p) & 1L) == 1L) 1 else -1)
+              p += 1
+            }
+            i += 1
+          }
+          var fp = 0L
+          var p = 0
+          while (p < 64) { if (votes(p) > 0) fp |= 1L << p; p += 1 }
+          (id, fp)
+        }
+      }.toDF("id", "phash64")
+  }
+
+  /** Perceptual near-duplicate pairs over the media table — the missing
+    * modality of the dedup family: [[graft.ops.Dedup]] near-dups TEXT,
+    * this near-dups the BINARY column through its perceptual fingerprint
+    * (in production: pHash-style over decoded pixels; here over the
+    * documented stub decode). Banded exactly like the text LSH paths
+    * (q43): the 64-bit [[perceptualHash64]] splits into `bands` bit
+    * slices, candidates share at least one slice verbatim, and candidates
+    * verify by full Hamming distance ≤ `maxHamming` (bit_count of xor).
+    * A true near-dup is missed only if every band differs — the standard
+    * LSH recall trade, tuned by `bands`. Output: (id_a, id_b, hamming),
+    * a < b.
+    *
+    * Scale shape: one fingerprint scan (zero shuffle), a (band, bucket)-
+    * keyed self-join over 8-byte keys — never blob×blob, never N² (the
+    * q43 contract; plan-gated against cartesians) — one pair-dedup
+    * exchange, and an id-keyed fingerprint fetch per side for the
+    * verify. */
+  def perceptualNearDupPairs(spark: SparkSession, media: DataFrame,
+                             bands: Int, maxHamming: Int): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0,
+      s"perceptualNearDupPairs: bands must divide 64, got $bands")
+    require(maxHamming >= 0 && maxHamming <= 64,
+      s"perceptualNearDupPairs: need 0 <= maxHamming <= 64, got $maxHamming")
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    val fps = graft.core.CacheRegistry.persist(
+      perceptualHash64(spark, media))
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        (shiftright(col("phash64"), b * width).bitwiseAND(lit(mask))).as("bucket"))
+    }
+    val banded = fps.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cands = banded.toDF("id_a", "band", "bucket")
+      .join(banded.toDF("id_b", "band", "bucket"), Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(fps.toDF("id_a", "fa"), Seq("id_a"))
+      .join(fps.toDF("id_b", "fb"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
 }

@@ -84,7 +84,8 @@ class PlanSpec extends SparkSpec {
     graft.core.CacheRegistry.scoped {
       for (q <- Seq("q25_ann_lsh_topk", "q34_ann_multiband",
         "q43_dedup_drop_lsh", "q44_embed_neardup_lsh", "q141_dup_weights",
-        "q200_embed_dedup_across", "q263_margin_mates")) {
+        "q200_embed_dedup_across", "q263_margin_mates",
+        "q336_perceptual_neardup")) {
         val plan = planOf(SparkEntry.queries(q)(spark, sf0001))
         withClue(s"$q: ") {
           plan should not include "CartesianProduct"

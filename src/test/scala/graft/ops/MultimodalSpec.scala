@@ -43,6 +43,53 @@ class MultimodalSpec extends SparkSpec {
     d1(1).width shouldBe 16 + (java.lang.Long.parseLong(he.substring(0, 4), 16) % 240).toInt
   }
 
+  test("perceptualHash64: deterministic, locality-sensitive over small " +
+    "edits, 0 for empty/short content") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      // one-word edit of doc 1: most 4-gram shingles survive
+      (2L, "the quick brown fox jumps over the lazy cat again and again"),
+      // unrelated content
+      (3L, "completely different text with nothing shared at all here"),
+      (4L, ""), (5L, "abc")).toDF("id", "content")
+    val m = Multimodal.asMediaTable(docs, "id", "content", "text")
+    val fp = Multimodal.perceptualHash64(spark, m)
+      .as[(Long, Long)].collect().toMap
+    fp(4L) shouldBe 0L // no 4-grams
+    fp(5L) shouldBe 0L // 3 chars < one shingle
+    // rerun: bit-identical (pure function of content)
+    Multimodal.perceptualHash64(spark, m).as[(Long, Long)]
+      .collect().toMap shouldBe fp
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // near-dup pair is much closer than either is to the unrelated doc
+    ham(fp(1L), fp(2L)) should be < 16
+    ham(fp(1L), fp(3L)) should be > ham(fp(1L), fp(2L))
+  }
+
+  test("perceptualNearDupPairs: banded Hamming join finds the planted " +
+    "near-dup, excludes the unrelated doc, a < b, exact dups at 0") {
+    val base = "the quick brown fox jumps over the lazy dog " * 6
+    val docs = Seq(
+      (1L, base + "and then it sleeps"),
+      (2L, base + "and then it snores"), // small suffix edit of doc 1
+      (3L, "completely different text with nothing shared at all here"),
+      (6L, base + "and then it sleeps")) // exact dup of doc 1
+      .toDF("id", "content")
+    val m = Multimodal.asMediaTable(docs, "id", "content", "text")
+    val pairs = graft.core.CacheRegistry.scoped {
+      Multimodal.perceptualNearDupPairs(spark, m, 8, 12)
+        .as[(Long, Long, Long)].collect().toSet
+    }
+    graft.core.CacheRegistry.drain()
+    pairs should contain ((1L, 6L, 0L)) // exact dup: identical fingerprint
+    pairs.map(p => (p._1, p._2)) should contain ((1L, 2L))
+    all(pairs.map(_._3)) should be <= 12L
+    pairs.foreach { case (a, b, _) => a should be < b }
+    pairs.map(p => (p._1, p._2)) should not contain ((1L, 3L))
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.perceptualNearDupPairs(spark, m, 7, 12)
+  }
+
   test("orphanAudit: byte accounting over the reference set, empty refs") {
     val m = Multimodal.asMediaTable(
       Seq((1L, "hello"), (2L, "abc"), (3L, "xy")).toDF("id", "content"),
