@@ -1088,9 +1088,13 @@ object SparkEntry {
     // perceptual near-dup over the BINARY column: decode (stub) → SimHash-64
     // over content 4-grams → 8-band bucket join → Hamming ≤ 12 verify —
     // the image-dedup shape with the media dropped in at the decode slot
+    // tableRebalanced: the fingerprint kernel is the CPU hot spot and a
+    // single-file corpus arrives as ONE scan partition (the documented
+    // single-core pitfall; no-op at real scale)
     "q336_perceptual_neardup" -> ((s, dir) =>
       Multimodal.perceptualNearDupPairs(s, Multimodal.asMediaTable(
-        t(s, dir, "documents"), "doc_id", "text", "text"), 8, 12)),
+        graft.core.Tables.tableRebalanced(s, dir, "documents"),
+        "doc_id", "text", "text"), 8, 12)),
     // ---- write-side / streaming operators, driver-visible (§7.6) ----
     // JSONL export round-trip: write the corpus as content-sharded JSONL,
     // read the shards BACK, and oracle every (shard, row) against the md5

@@ -190,7 +190,11 @@ object Multimodal {
     * keyed self-join over 8-byte keys — never blob×blob, never N² (the
     * q43 contract; plan-gated against cartesians) — one pair-dedup
     * exchange, and an id-keyed fingerprint fetch per side for the
-    * verify. */
+    * verify. GRANULARITY RULE (measured, SCALE10X.md): per-bucket
+    * occupancy drives the candidate join quadratically, so band WIDTH
+    * grows with the corpus (fewer, wider bands: 8×8-bit at 5k items,
+    * 4×16-bit at 50k) — recall drops as bands shrink, the usual LSH
+    * trade. */
   def perceptualNearDupPairs(spark: SparkSession, media: DataFrame,
                              bands: Int, maxHamming: Int): DataFrame = {
     require(bands >= 1 && 64 % bands == 0,

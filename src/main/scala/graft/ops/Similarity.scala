@@ -592,7 +592,13 @@ object Similarity {
     * Same banded shuffle shape as [[multiBandLshTopK]] — no N² stage; a true
     * near-dup is missed only if it disagrees with its twin in every band.
     * Feeds [[graft.ops.Dedup.dropNearDuplicates]]'s `pairGen` for the full
-    * drop pipeline over embeddings. */
+    * drop pipeline over embeddings.
+    *
+    * GRANULARITY RULE (measured, SCALE10X.md): the candidate join is
+    * quadratic in per-bucket occupancy, so `bits` must GROW with the
+    * corpus — `bits ≈ log2(N / target_bucket_size)`. Frozen 4-bit buckets
+    * ran 77× (not 10×) slower on a 10× corpus; bits = 8 restored
+    * near-linear (5.9× for 10× rows). */
   def lshNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, bits: Int, bands: Int): DataFrame = {
     val vecs = emb.select(col(idCol), col(vecCol), normF(col(vecCol)).as("norm"))
