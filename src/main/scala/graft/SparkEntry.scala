@@ -9930,7 +9930,8 @@ object SparkEntry {
         |          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us
         |  FROM events)
         |SELECT event_type, count(*) AS n,
-        |  round(avg(CAST(gap_us AS DOUBLE)), 6) AS mean_gap_us,
+        |  CAST(CAST(sum(gap_us) AS BIGINT) AS DOUBLE) / count(*)
+        |    AS mean_gap_us,
         |  round(quantile_cont(CAST(gap_us AS DOUBLE), 0.5), 6) AS p50_gap_us,
         |  round(quantile_cont(CAST(gap_us AS DOUBLE), 0.9), 6) AS p90_gap_us
         |FROM g WHERE gap_us IS NOT NULL GROUP BY 1""".stripMargin,

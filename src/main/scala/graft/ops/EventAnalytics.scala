@@ -158,7 +158,15 @@ object EventAnalytics {
     gapped.groupBy(col(typeCol).as("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        round(avg(col("__gap_us").cast("double")), 6).as("mean_gap_us"),
+        // mean from the EXACT integer-µs sum, divided once and left
+        // UNROUNDED: avg(double) accumulates in partition order and
+        // drifted an ulp from the sequential replay at sf0.1 row counts
+        // (measured), and round(·, 6) at 1e10 µs magnitude maps to
+        // different ulps per engine — identical integer operands with no
+        // post-rounding make the quotient bit-identical anywhere (the
+        // confidentLearning mean_cos device)
+        (sum(col("__gap_us")).cast("double") / count(lit(1)))
+          .as("mean_gap_us"),
         round(percentile(col("__gap_us").cast("double"), lit(0.5)), 6).as("p50_gap_us"),
         round(percentile(col("__gap_us").cast("double"), lit(0.9)), 6).as("p90_gap_us"))
   }

@@ -397,8 +397,8 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("bench extra q90 drains the events file through event-time sessionization") {
-    val out = graft.SparkEntry.benchExtras("q90_stream_sessionize")(spark, sf0001)
+  test("q90 drains the events file through event-time sessionization") {
+    val out = graft.SparkEntry.queries("q90_stream_sessionize")(spark, sf0001)
     out.count() should be > 0L
     // every user seen by the stream sessionized; ids match the batch table
     val streamUsers = out.select($"user_id").distinct().as[Long].collect().toSet
