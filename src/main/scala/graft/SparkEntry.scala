@@ -1095,6 +1095,25 @@ object SparkEntry {
       Multimodal.perceptualNearDupPairs(s, Multimodal.asMediaTable(
         graft.core.Tables.tableRebalanced(s, dir, "documents"),
         "doc_id", "text", "text"), 8, 12)),
+    // the banded perceptual path's recall vs the exact Hamming pair set,
+    // driver-checked (the q217 contract device for the media tier)
+    "q337_perceptual_recall" -> ((s, dir) =>
+      Multimodal.perceptualRecallContract(s, Multimodal.asMediaTable(
+        graft.core.Tables.tableRebalanced(s, dir, "documents"),
+        "doc_id", "text", "text"), 8, 12)),
+    // paired-modality consensus: text near-dups x perceptual near-dups on
+    // the normalized pair key - both-agree is the high-confidence drop set
+    "q338_crossmodal_consensus" -> ((s, dir) => {
+      val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
+      Multimodal.crossModalConsensus(
+        // jaccard rides UNROUNDED: both engines divide identical integer
+        // operands (the q21 parity device), so the doubles already match
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5),
+        "id_a", "id_b", "jaccard",
+        Multimodal.perceptualNearDupPairs(s, Multimodal.asMediaTable(
+          docs, "doc_id", "text", "text"), 8, 12),
+        "id_a", "id_b", "hamming")
+    }),
     // ---- write-side / streaming operators, driver-visible (§7.6) ----
     // JSONL export round-trip: write the corpus as content-sharded JSONL,
     // read the shards BACK, and oracle every (shard, row) against the md5
@@ -2772,6 +2791,55 @@ object SparkEntry {
        |  generate_series(1, len(ts) - ${n - 1}),
        |  i -> array_to_string(ts[i:i+${n - 1}], ' ')))) AS shingle
        |FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM $rel)""".stripMargin
+
+  /** q336/q337/q338: the 64-bit perceptual fingerprint replayed bit-exact
+    * — per content 4-gram the first 16 md5 hex chars form the vote word
+    * (char c, nibble bit b ↔ bit 64−4c+b); the (c, value) count grid
+    * folds the votes, nibbles reassemble via a 16-row HUGEINT multiplier
+    * table with a two's-complement wrap to BIGINT. CTEs are `p`-prefixed
+    * so the chain composes with the shingle/jaccard CTEs (q338). Ends at
+    * `pfps(id, fp)`. */
+  private val perceptualFpsCtes: String = {
+    val multipliers = (1 to 16)
+      .map(c => s"($c, CAST('${BigInt(16).pow(16 - c)}' AS HUGEINT))")
+      .mkString(", ")
+    s"""psh AS (SELECT doc_id,
+       |    substr(md5(unnest(list_transform(
+       |      generate_series(1, len(text) - 3),
+       |      i -> substr(text, i, 4)))), 1, 16) AS h
+       |  FROM documents WHERE text IS NOT NULL),
+       |pcs AS (SELECT unnest(generate_series(1, 16)) AS c),
+       |pgrid AS (SELECT doc_id, c,
+       |    strpos('0123456789abcdef', substr(h, c, 1)) - 1 AS v,
+       |    count(*) AS n
+       |  FROM psh CROSS JOIN pcs GROUP BY 1, 2, 3),
+       |pbs AS (SELECT unnest(generate_series(0, 3)) AS b),
+       |pbits AS (SELECT doc_id, c, b,
+       |    CASE WHEN sum(n * (2 * ((v >> b) & 1) - 1)) > 0
+       |         THEN 1 ELSE 0 END AS bit
+       |  FROM pgrid CROSS JOIN pbs GROUP BY 1, 2, 3),
+       |pnibs AS (SELECT doc_id, c, CAST(sum(bit << b) AS HUGEINT) AS nv
+       |  FROM pbits GROUP BY 1, 2),
+       |pm(c, mult) AS (VALUES $multipliers),
+       |pfpu AS (SELECT doc_id, sum(nv * mult) AS u
+       |  FROM pnibs JOIN pm USING (c) GROUP BY 1),
+       |pfps AS (SELECT d.doc_id AS id, CAST(CASE
+       |      WHEN f.u IS NULL THEN 0
+       |      WHEN f.u >= CAST('9223372036854775808' AS HUGEINT)
+       |        THEN f.u - CAST('18446744073709551616' AS HUGEINT)
+       |      ELSE f.u END AS BIGINT) AS fp
+       |  FROM documents d LEFT JOIN pfpu f USING (doc_id))""".stripMargin
+  }
+
+  /** The 8×8-bit band bucket join over `pfps` — ends at
+    * `pcand(id_a, id_b)` (deduped, a < b). */
+  private val perceptualBandTailCtes: String =
+    """pbands AS (SELECT unnest(generate_series(0, 7)) AS band),
+      |pbt AS (SELECT id, band, (fp >> (band * 8)) & 255 AS bucket
+      |  FROM pfps CROSS JOIN pbands),
+      |pcand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM pbt a JOIN pbt b ON a.band = b.band AND a.bucket = b.bucket
+      |    AND a.id < b.id)""".stripMargin
 
   private val jaccardTailSql: String =
     """pairs AS (
@@ -10121,48 +10189,66 @@ object SparkEntry {
     // reassemble via a 16-row multiplier table in HUGEINT with a two's-
     // complement wrap to BIGINT, then the same 8-band bucket join +
     // Hamming ≤ 12 verify as the Scala plan
-    "q336_perceptual_neardup" -> {
-      val multipliers = (1 to 16)
-        .map(c => s"($c, CAST('${BigInt(16).pow(16 - c)}' AS HUGEINT))")
-        .mkString(", ")
-      s"""WITH sh AS (SELECT doc_id,
-         |    substr(md5(unnest(list_transform(
-         |      generate_series(1, len(text) - 3),
-         |      i -> substr(text, i, 4)))), 1, 16) AS h
-         |  FROM documents WHERE text IS NOT NULL),
-         |cs AS (SELECT unnest(generate_series(1, 16)) AS c),
-         |grid AS (SELECT doc_id, c,
-         |    strpos('0123456789abcdef', substr(h, c, 1)) - 1 AS v,
-         |    count(*) AS n
-         |  FROM sh CROSS JOIN cs GROUP BY 1, 2, 3),
-         |bs AS (SELECT unnest(generate_series(0, 3)) AS b),
-         |bits AS (SELECT doc_id, c, b,
-         |    CASE WHEN sum(n * (2 * ((v >> b) & 1) - 1)) > 0
-         |         THEN 1 ELSE 0 END AS bit
-         |  FROM grid CROSS JOIN bs GROUP BY 1, 2, 3),
-         |nibs AS (SELECT doc_id, c, CAST(sum(bit << b) AS HUGEINT) AS nv
-         |  FROM bits GROUP BY 1, 2),
-         |m(c, mult) AS (VALUES $multipliers),
-         |fpu AS (SELECT doc_id, sum(nv * mult) AS u
-         |  FROM nibs JOIN m USING (c) GROUP BY 1),
-         |fps AS (SELECT d.doc_id AS id, CAST(CASE
-         |      WHEN f.u IS NULL THEN 0
-         |      WHEN f.u >= CAST('9223372036854775808' AS HUGEINT)
-         |        THEN f.u - CAST('18446744073709551616' AS HUGEINT)
-         |      ELSE f.u END AS BIGINT) AS fp
-         |  FROM documents d LEFT JOIN fpu f USING (doc_id)),
-         |bands AS (SELECT unnest(generate_series(0, 7)) AS band),
-         |bt AS (SELECT id, band, (fp >> (band * 8)) & 255 AS bucket
-         |  FROM fps CROSS JOIN bands),
-         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-         |  FROM bt a JOIN bt b ON a.band = b.band AND a.bucket = b.bucket
-         |    AND a.id < b.id)
+    "q336_perceptual_neardup" ->
+      s"""WITH $perceptualFpsCtes,
+         |$perceptualBandTailCtes
          |SELECT c.id_a, c.id_b,
          |  CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS hamming
-         |FROM cand c JOIN fps fa ON c.id_a = fa.id
-         |JOIN fps fb ON c.id_b = fb.id
-         |WHERE bit_count(xor(fa.fp, fb.fp)) <= 12""".stripMargin
-    },
+         |FROM pcand c JOIN pfps fa ON c.id_a = fa.id
+         |JOIN pfps fb ON c.id_b = fb.id
+         |WHERE bit_count(xor(fa.fp, fb.fp)) <= 12""".stripMargin,
+    // q337: the q217 recall-contract device for the perceptual tier —
+    // exact Hamming pair count vs the banded set's; subset pinned TRUE
+    // (the banded path verifies with the same exact filter)
+    "q337_perceptual_recall" ->
+      s"""WITH $perceptualFpsCtes,
+         |$perceptualBandTailCtes,
+         |banded AS (SELECT c.id_a, c.id_b
+         |  FROM pcand c JOIN pfps fa ON c.id_a = fa.id
+         |  JOIN pfps fb ON c.id_b = fb.id
+         |  WHERE bit_count(xor(fa.fp, fb.fp)) <= 12),
+         |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM pfps a JOIN pfps b ON a.id < b.id
+         |  WHERE bit_count(xor(a.fp, b.fp)) <= 12),
+         |bn AS (SELECT CAST(count(*) AS BIGINT) AS n_banded FROM banded)
+         |SELECT n_exact, n_banded,
+         |  CASE WHEN n_exact = 0 THEN 1.0
+         |    ELSE round(CAST(n_banded AS DOUBLE) / n_exact, 6) END AS recall,
+         |  TRUE AS banded_subset_exact
+         |FROM ex CROSS JOIN bn""".stripMargin,
+    // q338: both modality pair oracles composed on the normalized pair key
+    "q338_crossmodal_consensus" ->
+      s"""WITH sh AS (${shingleSql(3)}),
+         |tpairs AS (
+         |  SELECT * FROM (
+         |    WITH pairs AS (
+         |      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+         |      FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |        AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2),
+         |    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)
+         |    SELECT p.id_a, p.id_b,
+         |      CAST(p.n_common AS DOUBLE)
+         |        / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE) AS text_score
+         |    FROM pairs p JOIN sizes sa ON p.id_a = sa.doc_id
+         |    JOIN sizes sb ON p.id_b = sb.doc_id
+         |    WHERE CAST(p.n_common AS DOUBLE)
+         |      / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE) >= 0.5)),
+         |$perceptualFpsCtes,
+         |$perceptualBandTailCtes,
+         |mpairs AS (SELECT c.id_a, c.id_b,
+         |    CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS media_hamming
+         |  FROM pcand c JOIN pfps fa ON c.id_a = fa.id
+         |  JOIN pfps fb ON c.id_b = fb.id
+         |  WHERE bit_count(xor(fa.fp, fb.fp)) <= 12)
+         |SELECT coalesce(t.id_a, m.id_a) AS id_a,
+         |  coalesce(t.id_b, m.id_b) AS id_b,
+         |  t.text_score, m.media_hamming,
+         |  t.id_a IS NOT NULL AS in_text,
+         |  m.id_a IS NOT NULL AS in_media,
+         |  t.id_a IS NOT NULL AND m.id_a IS NOT NULL AS consensus
+         |FROM tpairs t FULL OUTER JOIN mpairs m
+         |  ON t.id_a = m.id_a AND t.id_b = m.id_b""".stripMargin,
     // q106: the read-back shard rows must equal the md5 shard assignment —
     // membership is a pure function of the id, independent of how the
     // writer was partitioned

@@ -195,6 +195,71 @@ object Multimodal {
     * grows with the corpus (fewer, wider bands: 8×8-bit at 5k items,
     * 4×16-bit at 50k) — recall drops as bands shrink, the usual LSH
     * trade. */
+  /** Recall CONTRACT for [[perceptualNearDupPairs]] — the q217 device for
+    * the perceptual tier: the banded pair set is compared against the
+    * EXACT Hamming-threshold pair set (an O(N²) fingerprint self-join —
+    * 8-byte keys only, the priced exact-judge shape every recall contract
+    * here pays at bench scale; never blob×blob). One row:
+    * (n_exact, n_banded, recall, banded_subset_exact) — subset is TRUE by
+    * construction (the banded path verifies with the same exact Hamming
+    * filter), so a false reading means the band join corrupted a pair;
+    * recall is the LSH trade made measurable, driver-checked instead of
+    * scaladoc prose. */
+  def perceptualRecallContract(spark: SparkSession, media: DataFrame,
+                               bands: Int, maxHamming: Int): DataFrame = {
+    val fps = graft.core.CacheRegistry.persist(perceptualHash64(spark, media))
+    val ham = bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long")
+    val exact = fps.toDF("id_a", "fa")
+      .crossJoin(fps.toDF("id_b", "fb"))
+      .where(col("id_a") < col("id_b") && ham <= maxHamming)
+      .select(col("id_a"), col("id_b"))
+    val banded = perceptualNearDupPairs(spark, media, bands, maxHamming)
+      .select("id_a", "id_b")
+    val e = exact.agg(count(lit(1)).as("n_exact"))
+    val b = graft.core.CacheRegistry.persist(banded)
+    val nb = b.agg(count(lit(1)).as("n_banded"))
+    val inExact = b.join(exact, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("__n_in"))
+    e.crossJoin(nb).crossJoin(inExact)
+      .select(col("n_exact"), col("n_banded"),
+        when(col("n_exact") === 0L, lit(1.0))
+          .otherwise(round(col("n_banded").cast("double") / col("n_exact"), 6))
+          .as("recall"),
+        (col("__n_in") === col("n_banded")).as("banded_subset_exact"))
+  }
+
+  /** Cross-modal near-dup consensus — the paired-dataset curation step
+    * (image+caption corpora): an item PAIR is a high-confidence duplicate
+    * when BOTH modalities agree, and a modality-mismatch (text near-dup
+    * whose media differ, or near-identical media with different captions)
+    * is its own signal — template captions over distinct images, or
+    * re-encoded images with rewritten alt text. Takes the two modalities'
+    * verified pair tables (e.g. [[graft.ops.Dedup.ngramJaccardPairs]] and
+    * [[perceptualNearDupPairs]]) and full-outer-joins them on the
+    * normalized (a < b) pair key. Output: (id_a, id_b, text_score,
+    * media_hamming, in_text, in_media, consensus = both).
+    *
+    * Scale shape: one exchange on the pair key over two ALREADY-bounded
+    * banded pair tables (never row×row here — the inputs did the LSH
+    * work); a full-outer hash join and scan-stage flags. */
+  def crossModalConsensus(textPairs: DataFrame, tA: String, tB: String,
+                          textScoreCol: String,
+                          mediaPairs: DataFrame, mA: String, mB: String,
+                          mediaScoreCol: String): DataFrame = {
+    def norm(df: DataFrame, a: String, b: String, s: String, out: String) =
+      df.select(least(col(a), col(b)).as("id_a"),
+        greatest(col(a), col(b)).as("id_b"), col(s).as(out))
+    val t = norm(textPairs, tA, tB, textScoreCol, "text_score")
+    val m = norm(mediaPairs, mA, mB, mediaScoreCol, "media_hamming")
+    t.withColumn("in_text", lit(true))
+      .join(m.withColumn("in_media", lit(true)), Seq("id_a", "id_b"), "full_outer")
+      .select(col("id_a"), col("id_b"), col("text_score"), col("media_hamming"),
+        coalesce(col("in_text"), lit(false)).as("in_text"),
+        coalesce(col("in_media"), lit(false)).as("in_media"),
+        (coalesce(col("in_text"), lit(false)) &&
+          coalesce(col("in_media"), lit(false))).as("consensus"))
+  }
+
   def perceptualNearDupPairs(spark: SparkSession, media: DataFrame,
                              bands: Int, maxHamming: Int): DataFrame = {
     require(bands >= 1 && 64 % bands == 0,

@@ -90,6 +90,39 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.perceptualNearDupPairs(spark, m, 7, 12)
   }
 
+  test("perceptualRecallContract: banded is a subset of exact, recall in " +
+    "(0, 1], counts consistent") {
+    val base = "the quick brown fox jumps over the lazy dog " * 6
+    val docs = (1L to 8L).map(i => (i, base + s"tail word $i")).toDF("id", "content")
+    val m = Multimodal.asMediaTable(docs, "id", "content", "text")
+    val r = graft.core.CacheRegistry.scoped {
+      Multimodal.perceptualRecallContract(spark, m, 8, 12).head()
+    }
+    graft.core.CacheRegistry.drain()
+    val (nExact, nBanded) = (r.getAs[Long]("n_exact"), r.getAs[Long]("n_banded"))
+    nExact should be > 0L
+    nBanded should be <= nExact
+    r.getAs[Boolean]("banded_subset_exact") shouldBe true
+    r.getAs[Double]("recall") shouldBe
+      (BigDecimal(nBanded.toDouble / nExact)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("crossModalConsensus: pair keys normalize (a < b), flags and " +
+    "consensus reflect membership") {
+    val text = Seq((2L, 1L, 0.8), (3L, 4L, 0.6)).toDF("ta", "tb", "score")
+    val med = Seq((1L, 2L, 3L), (5L, 6L, 0L)).toDF("ma", "mb", "ham")
+    val out = Multimodal.crossModalConsensus(
+        text, "ta", "tb", "score", med, "ma", "mb", "ham")
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Option[Double], Option[Long], Boolean, Boolean, Boolean)]
+      .collect().toList
+    out shouldBe List(
+      (1L, 2L, Some(0.8), Some(3L), true, true, true),   // (2,1) normalized
+      (3L, 4L, Some(0.6), None, true, false, false),
+      (5L, 6L, None, Some(0L), false, true, false))
+  }
+
   test("orphanAudit: byte accounting over the reference set, empty refs") {
     val m = Multimodal.asMediaTable(
       Seq((1L, "hello"), (2L, "abc"), (3L, "xy")).toDF("id", "content"),
