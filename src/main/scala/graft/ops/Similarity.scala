@@ -28,6 +28,27 @@ import org.apache.spark.sql.functions._
 object Similarity {
   import graft.functions.VectorFunctions.{dotF, normF}
 
+  /** The SCALE10X granularity rule as code: sign-LSH bits so that the
+    * EXPECTED bucket occupancy is ≤ `targetBucketSize` at `n` rows —
+    * `bits = ⌈log2(n / target)⌉`, clamped to [2, 24]. The banded
+    * candidate join is quadratic in occupancy, so this is the knob that
+    * keeps [[lshNearDupPairs]]/[[multiBandLshTopK]] linear as the corpus
+    * grows (measured: frozen 4-bit buckets ran 77× — not 10× — slower on
+    * a 10× corpus; re-derived bits restored near-linear). */
+  def recommendedBits(n: Long, targetBucketSize: Int = 150): Int = {
+    require(n >= 1 && targetBucketSize >= 1,
+      s"recommendedBits: need n >= 1 and target >= 1, got $n/$targetBucketSize")
+    val raw = math.ceil(math.log(n.toDouble / targetBucketSize) / math.log(2.0)).toInt
+    math.min(24, math.max(2, raw))
+  }
+
+  /** IVF cell count per the √N rule (the [[ivfTopK]] scaladoc's claim,
+    * measured in SCALE10X.md), clamped to [4, 65536]. */
+  def recommendedCells(n: Long): Int = {
+    require(n >= 1, s"recommendedCells: need n >= 1, got $n")
+    math.min(65536, math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt))
+  }
+
   /** Σ aᵢ·bᵢ in double (codegen'd native expression). */
   def dot(a: Column, b: Column): Column = dotF(a, b)
 

@@ -431,4 +431,22 @@ class SimilaritySpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Similarity.ivfKthNnOutliers(emb, "vec_id", "embedding", 1, 1, 0)
   }
+
+  test("recommendedBits/recommendedCells: the SCALE10X granularity rule, " +
+    "monotone in n, clamped") {
+    // occupancy n / 2^bits stays at or below the target
+    for (n <- Seq(2000L, 20000L, 200000L, 2000000L)) {
+      val bits = Similarity.recommendedBits(n, 150)
+      (n.toDouble / (1L << bits)) should be <= 150.0
+    }
+    Similarity.recommendedBits(2000, 150) shouldBe 4   // the q44 1x point
+    Similarity.recommendedBits(20000, 150) shouldBe 8  // the SCALE10X remedy
+    Similarity.recommendedBits(1, 150) shouldBe 2      // clamp floor
+    Similarity.recommendedBits(Long.MaxValue, 1) shouldBe 24 // clamp ceiling
+    Similarity.recommendedCells(10000) shouldBe 100    // sqrt rule
+    Similarity.recommendedCells(1) shouldBe 4
+    (Similarity.recommendedCells(20000) * Similarity.recommendedCells(20000)).toLong should be >= 20000L
+    an[IllegalArgumentException] should be thrownBy Similarity.recommendedBits(0)
+    an[IllegalArgumentException] should be thrownBy Similarity.recommendedCells(0)
+  }
 }
