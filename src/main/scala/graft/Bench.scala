@@ -81,6 +81,18 @@ object Bench {
     Console.out.flush()
   }
 
+  /** Extract (query, seconds) pairs from one emitted bench JSON line —
+    * the orchestrator's merge step, factored out for its spec: every
+    * value key starts with `q` (query names), so the pattern cannot
+    * match `"value"`/`"sf"`/the `"queries"` object key (followed by
+    * `{`, not a number). */
+  private[graft] def parseQueryTimes(line: String): Seq[(String, Double)] = {
+    val qv = """"(q[A-Za-z0-9_]+)":(-?[0-9][0-9.eE+-]*)""".r
+    qv.findAllMatchIn(line)
+      .map(m => (m.group(1), m.group(2).toDouble))
+      .filter(_._1 != "queries").toSeq
+  }
+
   /** The name-sorted benchmark query list, after the SPARK_GRAFT_QUERIES
     * prefix filter (local profiling) and the SPARK_GRAFT_QUERY_LIST exact
     * filter (the orchestrator→child shard assignment). Name-sorted so
@@ -139,7 +151,6 @@ object Bench {
       names.grouped(per).toSeq
     }
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val qv = """"(q[A-Za-z0-9_]+)":(-?[0-9][0-9.eE+-]*)""".r
     groups.zipWithIndex.foreach { case (group, gi) =>
       System.err.println(s"[bench] shard ${gi + 1}/${groups.size}: " +
         s"${group.size} queries (${group.head}..${group.last})")
@@ -165,11 +176,8 @@ object Bench {
       try out.getLines().foreach { line =>
         if (line.startsWith("{")) {
           var changed = false
-          qv.findAllMatchIn(line).foreach { m =>
-            val (k, v) = (m.group(1), m.group(2).toDouble)
-            if (k != "queries" && !results.get(k).contains(v)) {
-              results(k) = v; changed = true
-            }
+          parseQueryTimes(line).foreach { case (k, v) =>
+            if (!results.get(k).contains(v)) { results(k) = v; changed = true }
           }
           if (changed) emitLine(results, sfDir)
         }

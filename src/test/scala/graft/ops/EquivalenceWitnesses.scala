@@ -66,4 +66,34 @@ object EquivalenceWitnesses {
         .otherwise(transform(sequence(lit(1), length(t) - lit(7)),
           i => md5(t.substr(i, lit(8)))))).as("min_gram_md5"))
   }
+
+  /** Aggregation formulation of [[Multimodal.perceptualHash64]]'s
+    * mapPartitions kernel: decode the payload, explode code-point
+    * 4-grams, md5 each, vote per bit of the first 64 digest bits (bit p
+    * lives at hex char (63−p)/4 + 1, nibble bit p%4), fold bits back to
+    * a signed long. Shuffles O(shingles)·64 — witness only. Spark's
+    * `substring`/`length` count code points, matching the kernel's
+    * codePoints walk. */
+  def perceptualHash64Agg(media: DataFrame): DataFrame = {
+    val content = coalesce(decode(col("payload"), "utf-8"), lit(""))
+    val base = media.select(col("id"), content.as("__c"))
+    val sh = base
+      .where(length(col("__c")) >= 4)
+      .select(col("id"), explode(transform(
+        sequence(lit(1), length(col("__c")) - lit(3)),
+        i => substring(md5(col("__c").substr(i, lit(4))), 1, 16))).as("h"))
+    val votes = (0 until 64).map { p =>
+      val c = (63 - p) / 4 + 1
+      val v = conv(substring(col("h"), c, 1), 16, 10).cast("int")
+      sum(when(shiftright(v, p % 4).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"v_$p")
+    }
+    val voted = sh.groupBy("id").agg(votes.head, votes.tail: _*)
+    val sig = (0 until 64).map { p =>
+      when(col(s"v_$p") > 0, lit(1L) * lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    base.select(col("id")).join(voted, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(sig, lit(0L)).as("phash64"))
+  }
 }

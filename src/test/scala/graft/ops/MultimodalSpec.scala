@@ -66,6 +66,26 @@ class MultimodalSpec extends SparkSpec {
     ham(fp(1L), fp(3L)) should be > ham(fp(1L), fp(2L))
   }
 
+  test("perceptualHash64 kernel == aggregation witness, incl. multibyte " +
+    "code points and degenerate content") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "héllo wörld — naïve façade über café"),
+      (3L, "中文文本去重测试 一二三四五六七八九十"),
+      (4L, "mixed 中en文 and ascii ümlauts"),
+      (5L, ""), (6L, "abc"), (7L, "abcd"),
+      (8L, "aaaaaaaaaaaaaaaaaaaaaaaa")).toDF("id", "content")
+    val m = Multimodal.asMediaTable(docs, "id", "content", "text")
+    val kernel = Multimodal.perceptualHash64(spark, m)
+      .as[(Long, Long)].collect().toMap
+    val witness = EquivalenceWitnesses.perceptualHash64Agg(m)
+      .as[(Long, Long)].collect().toMap
+    witness shouldBe kernel
+    kernel(5L) shouldBe 0L
+    kernel(6L) shouldBe 0L
+    kernel(7L) should not be 0L // exactly one shingle: its own bits
+  }
+
   test("perceptualNearDupPairs: banded Hamming join finds the planted " +
     "near-dup, excludes the unrelated doc, a < b, exact dups at 0") {
     val base = "the quick brown fox jumps over the lazy dog " * 6
