@@ -1826,7 +1826,9 @@ object SparkEntry {
       val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
       graft.ops.Sampling.clusterSafeSplit(
         docs.select("doc_id"), "doc_id",
-        Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5),
+        // banded LSH pairGen: the benched composition consumes the scale
+        // path's pair table (q141 precedent; exact stays oracle-reachable)
+        Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 4, 3, 0.5),
         "id_a", "id_b", 0.2)
     }),
     // is the corpus big enough for the budget? Chinchilla-optimal
@@ -1885,7 +1887,9 @@ object SparkEntry {
     "q335_contrastive_pairs" -> ((s, dir) => {
       val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
       Sampling.contrastivePairs(docs.select("doc_id"), "doc_id",
-        Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5),
+        // banded LSH pairGen (q141 precedent): positives come from the
+        // scale path's verified pair table
+        Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 4, 3, 0.5),
         "id_a", "id_b", 50, 3)
     }),
     // unit-free effect magnitude per nation: Hedges-corrected Cohen's d
@@ -2991,6 +2995,18 @@ object SparkEntry {
        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |jpairs AS (
+       |  SELECT p.id_a, p.id_b
+       |  FROM pairs p JOIN sizes sa ON p.id_a = sa.doc_id JOIN sizes sb ON p.id_b = sb.doc_id
+       |  WHERE CAST(p.n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE) >= 0.5),
+       |${closureTailSql()}""".stripMargin
+
+  /** [[clusterChainSql]]'s LSH twin: `jpairs`/`assign` built from the
+    * BANDED MinHash candidate chain (q43's shape) instead of the exact
+    * shingle self-join — for the benched compositions that consume the
+    * scale path's pair table (q325/q335, the q141 precedent). */
+  private val lshClusterChainSql: String =
+    s"""WITH RECURSIVE ${minhashCtes(3, 4, 3)},
        |jpairs AS (
        |  SELECT p.id_a, p.id_b
        |  FROM pairs p JOIN sizes sa ON p.id_a = sa.doc_id JOIN sizes sb ON p.id_b = sb.doc_id
@@ -8310,7 +8326,7 @@ object SparkEntry {
     // are the same exact-integer md5 cut, leak counts re-walk jpairs
     "q325_cluster_safe_split" -> {
       val cut = math.floor(0.2 * 4294967296.0).toLong
-      s"""$clusterChainSql,
+      s"""$lshClusterChainSql,
          |lab AS (SELECT doc_id, cluster_id,
          |    CASE WHEN (${md5PrefixSql("'split|' || cluster_id")}) < $cut
          |      THEN 'test' ELSE 'train' END AS split,
@@ -8638,7 +8654,7 @@ object SparkEntry {
     // q335: the q33 closure labels guard the q164-style md5 pool draw;
     // positives rank by partner id
     "q335_contrastive_pairs" ->
-      s"""$clusterChainSql,
+      s"""$lshClusterChainSql,
          |pool AS (SELECT doc_id AS cand, cluster_id AS cc FROM assign
          |  ORDER BY md5('neg|pool|' || doc_id), doc_id LIMIT 50),
          |anch AS (SELECT DISTINCT j.id_a AS anchor FROM jpairs j),

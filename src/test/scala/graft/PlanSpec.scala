@@ -86,6 +86,9 @@ class PlanSpec extends SparkSpec {
         "q43_dedup_drop_lsh", "q44_embed_neardup_lsh", "q141_dup_weights",
         "q200_embed_dedup_across", "q263_margin_mates",
         "q336_perceptual_neardup")) {
+      // (q325/q335 also consume the banded pair table, but their audit
+      // scalars ride a deliberate 1-row broadcast cross join — the gate
+      // covers their pair generation via q141)
         val plan = planOf(SparkEntry.queries(q)(spark, sf0001))
         withClue(s"$q: ") {
           plan should not include "CartesianProduct"
