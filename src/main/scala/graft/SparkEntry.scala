@@ -618,6 +618,19 @@ object SparkEntry {
     "q102_novelty" -> ((s, dir) =>
       Dedup.ngramNovelty(
         t(s, dir, "documents").select("doc_id", "text"), "doc_id", "text", 3)),
+    // corpus version diff: old drops %11 ids, new drops %5 ids, edits %3
+    // texts, and re-keys %13 docs under shifted ids - the release-notes
+    // mart (added/removed/changed + id-churn-vs-data-churn audit)
+    "q339_corpus_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val old = docs.where(col("doc_id") % 11 =!= 0)
+      val edited = docs.where(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 3 === 0,
+          concat(lit("edited "), col("text"))).otherwise(col("text")))
+      val rekeyed = docs.where(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Dedup.corpusDiff(old, edited.unionByName(rekeyed), "doc_id", "text")
+    }),
     // equi-depth price histogram: 10 equal-count buckets with ranges —
     // the skew-proof twin of the fixed-width q61
     "q103_equidepth" -> ((s, dir) =>
@@ -9959,6 +9972,34 @@ object SparkEntry {
          |r AS (SELECT *, row_number() OVER (PARTITION BY source
          |        ORDER BY wkey DESC, doc_id) AS rn FROM ky)
          |SELECT doc_id, source, n_chars, wkey FROM r WHERE rn <= 10""".stripMargin,
+    // q339: the same %-derived old/new snapshots, id-keyed full outer on
+    // content hashes, rekey audit via distinct-hash membership
+    "q339_corpus_diff" ->
+      """WITH o AS (SELECT doc_id AS id, md5(coalesce(text, '')) AS h
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |base_new AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'edited ' || text ELSE text END
+        |      AS text
+        |  FROM documents WHERE doc_id % 5 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS id, text FROM documents
+        |  WHERE doc_id % 13 = 0),
+        |n AS (SELECT id, md5(coalesce(text, '')) AS h FROM base_new),
+        |j AS (SELECT o.h AS ho, n.h AS hn
+        |  FROM o FULL OUTER JOIN n ON o.id = n.id),
+        |st AS (SELECT CASE WHEN ho IS NULL THEN 'added'
+        |    WHEN hn IS NULL THEN 'removed'
+        |    WHEN ho = hn THEN 'unchanged' ELSE 'changed' END AS status,
+        |    ho, hn FROM j),
+        |oh AS (SELECT DISTINCT h FROM o),
+        |nh AS (SELECT DISTINCT h FROM n)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(sum(CASE
+        |    WHEN status = 'added' AND hn IN (SELECT h FROM oh) THEN 1
+        |    WHEN status = 'removed' AND ho IN (SELECT h FROM nh) THEN 1
+        |    ELSE 0 END), 0) AS BIGINT) AS n_content_rekeyed
+        |FROM st GROUP BY 1""".stripMargin,
     "q102_novelty" ->
       s"""WITH sh AS (${shingleSql(3)}),
          |dfc AS (SELECT shingle, CAST(count(*) AS BIGINT) AS dfn FROM sh GROUP BY 1)

@@ -968,4 +968,45 @@ object Dedup {
         coalesce(col("pairs_kept"), lit(0L)).as("pairs_kept"),
         coalesce(col("docs_involved"), lit(0L)).as("docs_involved"))
   }
+
+  /** Corpus snapshot diff — "what changed between corpus v1 and v2", the
+    * release-notes mart every dataset version bump needs before anyone
+    * retrains on it. Rows key by id, compare by content hash
+    * (md5 of `textCol`, NULL text hashing like empty):
+    * `added` (id only in new), `removed` (id only in old), `changed`
+    * (same id, different hash), `unchanged`. `n_content_rekeyed` audits
+    * id-churn masquerading as data-churn: added docs whose exact content
+    * already existed in old (re-keyed in — the version bump renamed, it
+    * did not add), and removed docs whose content survives in new under
+    * another id (re-keyed out). Statuses with zero rows are omitted.
+    * Output: (status, n_docs, n_content_rekeyed).
+    *
+    * Scale shape: each side reduces to (id, hash) in its scan; one
+    * id-keyed full-outer hash join, two hash-keyed left joins against
+    * the distinct-hash sides for the rekey flags, one 4-row hash-agg.
+    * Content never moves — only 16-byte hashes shuffle. */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
+                 idCol: String, textCol: String): DataFrame = {
+    def hashed(df: DataFrame) = df.select(col(idCol).as("__id"),
+      md5(coalesce(col(textCol), lit(""))).as("__h"))
+    val o = graft.core.CacheRegistry.persist(hashed(oldDf))
+    val n = graft.core.CacheRegistry.persist(hashed(newDf))
+    val j = o.toDF("__id", "__ho")
+      .join(n.toDF("__id", "__hn"), Seq("__id"), "full_outer")
+    val status = when(col("__ho").isNull, "added")
+      .when(col("__hn").isNull, "removed")
+      .when(col("__ho") === col("__hn"), "unchanged")
+      .otherwise("changed")
+    j.select(status.as("status"), col("__ho"), col("__hn"))
+      .join(o.select(col("__h").as("__hn")).distinct()
+        .withColumn("__hn_in_old", lit(true)), Seq("__hn"), "left")
+      .join(n.select(col("__h").as("__ho")).distinct()
+        .withColumn("__ho_in_new", lit(true)), Seq("__ho"), "left")
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(
+          when(col("status") === "added" && col("__hn_in_old"), 1L)
+            .when(col("status") === "removed" && col("__ho_in_new"), 1L)
+            .otherwise(0L)), lit(0L)).as("n_content_rekeyed"))
+  }
 }

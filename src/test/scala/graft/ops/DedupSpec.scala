@@ -423,4 +423,31 @@ class DedupSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Dedup.thresholdSweep(pairs, "id_a", "id_b", "jaccard", Seq.empty)
   }
+
+  test("corpusDiff: added/removed/changed/unchanged by content hash; " +
+    "rekey audit separates id-churn from data-churn") {
+    val old = Seq(
+      (1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta"),
+      (5L, Option.empty[String].orNull)).toDF("doc_id", "text")
+    val neu = Seq(
+      (1L, "alpha"),          // unchanged
+      (2L, "beta EDITED"),    // changed
+      (3L, "gamma"),          // unchanged
+      // 4 removed, but its content survives under a new id -> rekeyed out
+      (40L, "delta"),         // added, content existed in old -> rekeyed in
+      (6L, "epsilon"),        // genuinely added
+      (5L, Option.empty[String].orNull)) // NULL text: hashes like '' both sides
+      .toDF("doc_id", "text")
+    val r = graft.core.CacheRegistry.scoped {
+      Dedup.corpusDiff(old, neu, "doc_id", "text")
+        .collect().map(x => x.getAs[String]("status") ->
+          ((x.getAs[Long]("n_docs"), x.getAs[Long]("n_content_rekeyed"))))
+        .toMap
+    }
+    graft.core.CacheRegistry.drain()
+    r("unchanged") shouldBe ((3L, 0L)) // 1, 3, and the NULL-text 5
+    r("changed") shouldBe ((1L, 0L))
+    r("added") shouldBe ((2L, 1L))     // 40 rekeyed, 6 genuinely new
+    r("removed") shouldBe ((1L, 1L))   // 4's content survives as 40
+  }
 }
