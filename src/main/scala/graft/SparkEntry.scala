@@ -259,17 +259,50 @@ object SparkEntry {
     "q26_embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)),
     // scale path for q26: banded LSH candidates instead of the N² cross
-    // join. Short bands (4 bits), many of them (8): at the moderate 0.4
-    // threshold the per-band collision probability is ~0.63^bits, so long
-    // bands would collapse recall (8-bit x 3 measured 0.15; 4-bit x 8
-    // measures ~0.8 — SimilaritySpec pins the bound)
-    "q44_embed_neardup_lsh" -> ((s, dir) =>
-      Similarity.lshNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-        0.4, 4, 8)),
+    // join. Calibration is SCALE-ADAPTIVE as registered (the SCALE10X
+    // lesson: the frozen 4-bit sf0.1 calibration ran 77× on a 10× corpus):
+    // bits = recommendedBits(count) keeps expected bucket occupancy ≤ 150,
+    // bands = as many as the 64 dims still fit (capped at 8). At sf0.1
+    // (n=2000) this derives the same 4-bit × 8-band plan the frozen entry
+    // shipped; at 10×/100× it widens to 8/11 bits on its own. The oracle
+    // CTE mirrors the identical integer arithmetic from count(*), so the
+    // candidate sets replay exactly at every scale.
+    "q44_embed_neardup_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val n = emb.count()
+      Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 0.4,
+        Similarity.recommendedBits(n), Similarity.recommendedBands(n, 64))
+    }),
+    // the granularity rule's recall COST, driver-checked at the NEXT
+    // decade's calibration (VERDICT r6 #3): bits/bands derived for a
+    // 10× corpus, measured against today's exact pair set — wider bands
+    // buy occupancy with recall, and the floor is an oracle-pinned TRUE
+    // so a recall collapse is a hash mismatch, not scaladoc prose.
+    // The floor is LOW (0.1) and that is the honest number: this corpus's
+    // exact pairs sit at cos ≈ 0.4–0.5 (no planted high-cosine dups), and
+    // the sign-LSH collision curve p = 1 − θ/π gives p^8 ≈ 0.03 per band
+    // there — measured recall 0.47 (sf0.01) / 0.20 (sf0.1). Strong dups
+    // (cos ≥ 0.8, p^8 ≈ 0.3) keep high recall at the same calibration;
+    // a corpus needing high TAIL recall at a weak threshold buys it with
+    // more bands (cost ∝ bands), not narrower buckets (cost ∝ N²/2^bits).
+    "q340_lsh_recall_scaled" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val n10 = 10L * emb.count()
+      Similarity.lshRecallContract(emb, "vec_id", "embedding", 0.4,
+        Similarity.recommendedBits(n10), Similarity.recommendedBands(n10, 64),
+        0.1)
+    }),
     "q34_ann_multiband" -> ((s, dir) =>
       Similarity.multiBandLshTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 3, 8, 3)),
-    "q38_ivf_topk" -> ((s, dir) =>
-      Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 3, 8, 2)),
+    // IVF cell count is SCALE-ADAPTIVE as registered: nCells = ⌈√N⌉ (the
+    // SCALE10X remedy for the frozen 8-cell calibration that ran 13× on a
+    // 10× corpus — candidates per query are N·nProbe/nCells, so cells must
+    // grow with N). The oracle derives the same ⌈√count⌉ in SQL.
+    "q38_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, "vec_id", "embedding", 3,
+        Similarity.recommendedCells(emb.count()), 2)
+    }),
     // product quantization (Jégou et al. 2011): m=2 subspaces × k=8 codes,
     // one Lloyd iteration — codebook training + encode, engine-exact via
     // the reduced-L2 ranking key (see Embeddings.nearestCode)
@@ -1099,21 +1132,32 @@ object SparkEntry {
       Multimodal.fakeDecode(s, Multimodal.asMediaTable(
         t(s, dir, "documents"), "doc_id", "text", "text")).toDF()),
     // perceptual near-dup over the BINARY column: decode (stub) → SimHash-64
-    // over content 4-grams → 8-band bucket join → Hamming ≤ 12 verify —
-    // the image-dedup shape with the media dropped in at the decode slot
+    // over content 4-grams → banded bucket join → Hamming ≤ 12 verify —
+    // the image-dedup shape with the media dropped in at the decode slot.
+    // Band count is SCALE-ADAPTIVE as registered (Multimodal.
+    // recommendedBands: width from the occupancy rule rounded to a
+    // power of two, bands = 64/width ∈ {16,8,4}) — the SCALE10X remedy
+    // for the frozen 8-band calibration that ran 22.5× on a 10× corpus.
+    // At sf0.1 (5k docs) this derives the same 8×8-bit plan the frozen
+    // entry shipped; the oracle mirrors the arithmetic from count(*).
     // tableRebalanced: the fingerprint kernel is the CPU hot spot and a
     // single-file corpus arrives as ONE scan partition (the documented
     // single-core pitfall; no-op at real scale)
-    "q336_perceptual_neardup" -> ((s, dir) =>
-      Multimodal.perceptualNearDupPairs(s, Multimodal.asMediaTable(
-        graft.core.Tables.tableRebalanced(s, dir, "documents"),
-        "doc_id", "text", "text"), 8, 12)),
+    "q336_perceptual_neardup" -> ((s, dir) => {
+      val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
+      Multimodal.perceptualNearDupPairs(s,
+        Multimodal.asMediaTable(docs, "doc_id", "text", "text"),
+        Multimodal.recommendedBands(docs.count()), 12)
+    }),
     // the banded perceptual path's recall vs the exact Hamming pair set,
-    // driver-checked (the q217 contract device for the media tier)
-    "q337_perceptual_recall" -> ((s, dir) =>
-      Multimodal.perceptualRecallContract(s, Multimodal.asMediaTable(
-        graft.core.Tables.tableRebalanced(s, dir, "documents"),
-        "doc_id", "text", "text"), 8, 12)),
+    // driver-checked (the q217 contract device for the media tier), at
+    // the same adaptive band count q336 registers
+    "q337_perceptual_recall" -> ((s, dir) => {
+      val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
+      Multimodal.perceptualRecallContract(s,
+        Multimodal.asMediaTable(docs, "doc_id", "text", "text"),
+        Multimodal.recommendedBands(docs.count()), 12)
+    }),
     // paired-modality consensus: text near-dups x perceptual near-dups on
     // the normalized pair key - both-agree is the high-confidence drop set
     "q338_crossmodal_consensus" -> ((s, dir) => {
@@ -1124,7 +1168,8 @@ object SparkEntry {
         Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5),
         "id_a", "id_b", "jaccard",
         Multimodal.perceptualNearDupPairs(s, Multimodal.asMediaTable(
-          docs, "doc_id", "text", "text"), 8, 12),
+          docs, "doc_id", "text", "text"),
+          Multimodal.recommendedBands(docs.count()), 12),
         "id_a", "id_b", "hamming")
     }),
     // ---- write-side / streaming operators, driver-visible (§7.6) ----
@@ -2848,11 +2893,21 @@ object SparkEntry {
        |  FROM documents d LEFT JOIN pfpu f USING (doc_id))""".stripMargin
   }
 
-  /** The 8×8-bit band bucket join over `pfps` — ends at
-    * `pcand(id_a, id_b)` (deduped, a < b). */
+  /** The SCALE-ADAPTIVE band bucket join over `pfps` — ends at
+    * `pcand(id_a, id_b)` (deduped, a < b). Band WIDTH mirrors
+    * `Multimodal.recommendedBands`: the smallest b in [2,24] with
+    * 150·2^b ≥ count(documents) (integer ⌈log2(n/150)⌉), rounded up to a
+    * power of two and clamped to {4, 8, 16}; bands = 64 / width. Masked
+    * extraction `(fp >> s) & (2^w − 1)` reads bits s..s+w−1 identically
+    * under DuckDB's shift and Spark's `shiftright` + AND. */
   private val perceptualBandTailCtes: String =
-    """pbands AS (SELECT unnest(generate_series(0, 7)) AS band),
-      |pbt AS (SELECT id, band, (fp >> (band * 8)) & 255 AS bucket
+    """pnn AS (SELECT count(*) AS n FROM documents),
+      |pwb AS (SELECT CASE WHEN bb <= 4 THEN 4 WHEN bb <= 8 THEN 8 ELSE 16 END AS w FROM (
+      |  SELECT greatest(2, coalesce((SELECT min(b) FROM generate_series(2, 24) g(b), pnn
+      |           WHERE 150 * (CAST(1 AS BIGINT) << b) >= pnn.n), 24)) AS bb)),
+      |pbands AS (SELECT unnest(generate_series(0, (64 // (SELECT w FROM pwb)) - 1)) AS band),
+      |pbt AS (SELECT id, band,
+      |    (fp >> (band * (SELECT w FROM pwb))) & ((CAST(1 AS BIGINT) << (SELECT w FROM pwb)) - 1) AS bucket
       |  FROM pfps CROSS JOIN pbands),
       |pcand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
       |  FROM pbt a JOIN pbt b ON a.band = b.band AND a.bucket = b.bucket
@@ -5817,10 +5872,17 @@ object SparkEntry {
         |  round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.9), 6) AS p90,
         |  round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.99), 6) AS p99
         |FROM lineitem GROUP BY 1""".stripMargin,
+    // q38: SCALE-ADAPTIVE cell count mirrored in SQL — nCells = ⌈√count⌉
+    // clamped to [4, 65536] (IEEE sqrt/ceil are exact at perfect squares,
+    // so the two engines can't ulp-diverge); centroid seed unchanged
+    // (lowest md5-of-id rows)
     "q38_ivf_topk" ->
-      """WITH cents AS (
+      """WITH p AS (SELECT least(65536, greatest(4,
+        |    CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS INTEGER))) AS cells FROM embeddings),
+        |cents AS (
         |  SELECT vec_id AS cent_id, embedding AS cvec
-        |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        |  FROM embeddings CROSS JOIN p
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= p.cells),
         |sim AS (
         |  SELECT e.vec_id, c.cent_id,
         |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])), 6) AS csim
@@ -10143,26 +10205,71 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS INTEGER) AS rank
         |FROM pc
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) <= 5""".stripMargin,
-    "q44_embed_neardup_lsh" -> {
-      def bucket(b: Int) = (b * 4 + 1 to b * 4 + 4).map(i =>
-        s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
-      val bandRows = (0 until 8).map(b =>
-        s"SELECT vec_id, $b AS band, ${bucket(b)} AS bucket FROM embeddings")
-        .mkString("\n  UNION ALL\n  ")
-      s"""WITH banded AS (
-         |  $bandRows),
+    // q44: SCALE-ADAPTIVE calibration mirrored in SQL — bits is the
+    // smallest b in [2,24] with 150·2^b ≥ count(*) (the integer form of
+    // ⌈log2(n/150)⌉, exact at power-of-two boundaries on both engines),
+    // bands = min(8, 64 // bits); band b buckets on the sign pattern of
+    // dims [b·bits, (b+1)·bits), built dynamically via list_transform
+    "q44_embed_neardup_lsh" ->
+      """WITH nn AS (SELECT count(*) AS n FROM embeddings),
+        |p AS (SELECT bits, greatest(1, least(8, 64 // bits)) AS bands FROM (
+        |  SELECT greatest(2, coalesce((SELECT min(b) FROM generate_series(2, 24) g(b), nn
+        |           WHERE 150 * (CAST(1 AS BIGINT) << b) >= nn.n), 24)) AS bits)),
+        |banded AS (
+        |  SELECT vec_id, band,
+        |    array_to_string(list_transform(generate_series(band * bits + 1, band * bits + bits),
+        |      i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
+        |  FROM (SELECT e.vec_id, e.embedding, p.bits,
+        |          unnest(generate_series(0, p.bands - 1)) AS band
+        |        FROM embeddings e CROSS JOIN p)),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |pc AS (
+        |  SELECT c.id_a, c.id_b,
+        |    round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), 6) AS cos
+        |  FROM cand c
+        |  JOIN embeddings x ON x.vec_id = c.id_a
+        |  JOIN embeddings y ON y.vec_id = c.id_b)
+        |SELECT id_a, id_b, cos FROM pc WHERE cos >= 0.4""".stripMargin,
+    // q340: the q44 banded candidate machinery re-derived at 10·count(*)
+    // (the NEXT decade's calibration), judged against the exact
+    // cosine-threshold pair set; subset + floor pinned as literal TRUE
+    "q340_lsh_recall_scaled" ->
+      s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
+         |p AS (SELECT bits, greatest(1, least(8, 64 // bits)) AS bands FROM (
+         |  SELECT greatest(2, coalesce((SELECT min(b) FROM generate_series(2, 24) g(b), nn
+         |           WHERE 150 * (CAST(1 AS BIGINT) << b) >= 10 * nn.n), 24)) AS bits)),
+         |banded AS (
+         |  SELECT vec_id, band,
+         |    array_to_string(list_transform(generate_series(band * bits + 1, band * bits + bits),
+         |      i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
+         |  FROM (SELECT e.vec_id, e.embedding, p.bits,
+         |          unnest(generate_series(0, p.bands - 1)) AS band
+         |        FROM embeddings e CROSS JOIN p)),
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM banded a JOIN banded b
          |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-         |pc AS (
-         |  SELECT c.id_a, c.id_b,
-         |    round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), 6) AS cos
+         |bp AS (
+         |  SELECT c.id_a, c.id_b
          |  FROM cand c
          |  JOIN embeddings x ON x.vec_id = c.id_a
-         |  JOIN embeddings y ON y.vec_id = c.id_b)
-         |SELECT id_a, id_b, cos FROM pc WHERE cos >= 0.4""".stripMargin
-    },
+         |  JOIN embeddings y ON y.vec_id = c.id_b
+         |  WHERE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), 6) >= 0.4),
+         |pc AS ($cosineSql),
+         |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM pc
+         |  WHERE query_id < cand_id AND cos >= 0.4),
+         |bn AS (SELECT CAST(count(*) AS BIGINT) AS n_banded FROM bp)
+         |SELECT CAST((SELECT bits FROM p) AS INTEGER) AS bits,
+         |  CAST((SELECT bands FROM p) AS INTEGER) AS bands,
+         |  n_exact, n_banded,
+         |  CASE WHEN n_exact = 0 THEN 1.0
+         |    ELSE round(CAST(n_banded AS DOUBLE) / n_exact, 6) END AS recall,
+         |  TRUE AS banded_subset_exact,
+         |  TRUE AS meets_floor
+         |FROM ex CROSS JOIN bn""".stripMargin,
     "q34_ann_multiband" -> {
       def bucket(b: Int) = (b * 8 + 1 to b * 8 + 8).map(i =>
         s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
@@ -10244,7 +10351,8 @@ object SparkEntry {
     // 16 md5 hex chars form the 64-bit vote word (char c, nibble bit b ↔
     // bit 64−4c+b); the (c, value) count grid folds the votes, nibbles
     // reassemble via a 16-row multiplier table in HUGEINT with a two's-
-    // complement wrap to BIGINT, then the same 8-band bucket join +
+    // complement wrap to BIGINT, then the same SCALE-ADAPTIVE band bucket
+    // join (width from count(documents), perceptualBandTailCtes) +
     // Hamming ≤ 12 verify as the Scala plan
     "q336_perceptual_neardup" ->
       s"""WITH $perceptualFpsCtes,

@@ -1160,8 +1160,13 @@ object Corpus {
         case Some((l, r, cnt)) =>
           merges += ((step, l, r, l + r, cnt))
           // single left-to-right merge pass: the sentinel keeps the
-          // last-element probe total on the empty accumulator
-          val sentinel = array(lit("\u0000"))
+          // last-element probe total on the empty accumulator. The value
+          // must be one no symbol can ever equal — words come from split
+          // on ' ', so a space can never appear INSIDE a symbol (a NUL
+          // can), making " " the only collision-free choice; it is also
+          // exactly what the apply side (bpeMergePass) uses, keeping
+          // train and apply pinned to the same fold.
+          val sentinel = array(lit(" "))
           val applied = aggregate(col("__syms"),
             array().cast("array<string>"),
             (acc, s) => {

@@ -143,8 +143,11 @@ object EventAnalytics {
   /** Inter-arrival gap statistics per event type: for each event, the
     * time since the same USER's previous event (any type), aggregated to
     * count / mean / exact p50 / p90 per the event's type. Gaps are exact
-    * integer MICROSECONDS (no float time arithmetic); means and
-    * percentiles are rounded to 6 dp for engine-exact comparison. Same
+    * integer MICROSECONDS (no float time arithmetic); the mean is emitted
+    * UNROUNDED as the exact-integer-sum quotient (one division of
+    * identical integer operands is bit-identical on every engine, while
+    * round(·, 6) at 1e10 µs magnitude maps to different ulps per engine);
+    * only the percentiles are rounded to 6 dp. Same
     * window shuffle as [[transitionCounts]]; swap `percentile` for
     * `percentile_approx` at unbounded scale. */
   def interArrivalStats(events: DataFrame, userCol: String, tsCol: String,

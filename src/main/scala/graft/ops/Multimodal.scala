@@ -213,17 +213,24 @@ object Multimodal {
       .crossJoin(fps.toDF("id_b", "fb"))
       .where(col("id_a") < col("id_b") && ham <= maxHamming)
       .select(col("id_a"), col("id_b"))
-    val banded = perceptualNearDupPairs(spark, media, bands, maxHamming)
+    // the banded stage reuses the SAME persisted fingerprint frame as the
+    // exact judge — the payload scan + SimHash kernel (the CPU hot spot)
+    // runs exactly once per contract invocation
+    val banded = perceptualNearDupPairsOn(fps, bands, maxHamming)
       .select("id_a", "id_b")
     val e = exact.agg(count(lit(1)).as("n_exact"))
     val b = graft.core.CacheRegistry.persist(banded)
     val nb = b.agg(count(lit(1)).as("n_banded"))
     val inExact = b.join(exact, Seq("id_a", "id_b"), "left_semi")
       .agg(count(lit(1)).as("__n_in"))
+    // recall counts only banded pairs that ARE exact pairs (__n_in): while
+    // the subset invariant holds __n_in == n_banded, but if the band join
+    // ever corrupted a pair the metric must not overstate (or exceed 1) in
+    // precisely the failure mode banded_subset_exact exists to flag
     e.crossJoin(nb).crossJoin(inExact)
       .select(col("n_exact"), col("n_banded"),
         when(col("n_exact") === 0L, lit(1.0))
-          .otherwise(round(col("n_banded").cast("double") / col("n_exact"), 6))
+          .otherwise(round(col("__n_in").cast("double") / col("n_exact"), 6))
           .as("recall"),
         (col("__n_in") === col("n_banded")).as("banded_subset_exact"))
   }
@@ -261,15 +268,26 @@ object Multimodal {
   }
 
   def perceptualNearDupPairs(spark: SparkSession, media: DataFrame,
-                             bands: Int, maxHamming: Int): DataFrame = {
+                             bands: Int, maxHamming: Int): DataFrame =
+    perceptualNearDupPairsOn(
+      graft.core.CacheRegistry.persist(perceptualHash64(spark, media)),
+      bands, maxHamming)
+
+  /** The banded pair stage of [[perceptualNearDupPairs]] over an
+    * ALREADY-computed (and ideally persisted) `(id, phash64)` frame —
+    * the shared fan-in of the pair query and [[perceptualRecallContract]],
+    * so a caller holding fingerprints never pays the payload scan +
+    * SimHash kernel twice. Same semantics, same plan shape: (band,
+    * bucket)-keyed self-join over 8-byte keys, pair dedup, exact Hamming
+    * verify. */
+  def perceptualNearDupPairsOn(fps: DataFrame,
+                               bands: Int, maxHamming: Int): DataFrame = {
     require(bands >= 1 && 64 % bands == 0,
-      s"perceptualNearDupPairs: bands must divide 64, got $bands")
+      s"perceptualNearDupPairsOn: bands must divide 64, got $bands")
     require(maxHamming >= 0 && maxHamming <= 64,
-      s"perceptualNearDupPairs: need 0 <= maxHamming <= 64, got $maxHamming")
+      s"perceptualNearDupPairsOn: need 0 <= maxHamming <= 64, got $maxHamming")
     val width = 64 / bands
     val mask = (1L << width) - 1
-    val fps = graft.core.CacheRegistry.persist(
-      perceptualHash64(spark, media))
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         (shiftright(col("phash64"), b * width).bitwiseAND(lit(mask))).as("bucket"))
@@ -286,5 +304,23 @@ object Multimodal {
       .select(col("id_a"), col("id_b"),
         bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
+  }
+
+  /** Band count for the 64-bit perceptual Hamming LSH, derived from the
+    * corpus size by the SCALE10X occupancy rule: per-band bucket space is
+    * 2^width, the candidate join is quadratic in per-bucket occupancy, so
+    * width follows [[graft.ops.Similarity.recommendedBits]] rounded UP to
+    * a power of two (bands must divide 64), clamped to width ∈ [4, 16]
+    * (bands ∈ {16, 8, 4} — never fewer than 4 bands, so recall keeps at
+    * least four independent chances). Measured (SCALE10X.md): frozen
+    * 8-band calibration ran 22.5× on a 10× corpus; width re-derived from
+    * N restored near-linear. 5 k docs → 8×8-bit, 50 k → 4×16-bit. */
+  def recommendedBands(n: Long, targetBucketSize: Int = 150): Int = {
+    val bits = graft.ops.Similarity.recommendedBits(n, targetBucketSize)
+    val width =
+      if (bits <= 4) 4
+      else if (bits <= 8) 8
+      else 16
+    64 / width
   }
 }

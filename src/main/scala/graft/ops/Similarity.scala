@@ -38,8 +38,25 @@ object Similarity {
   def recommendedBits(n: Long, targetBucketSize: Int = 150): Int = {
     require(n >= 1 && targetBucketSize >= 1,
       s"recommendedBits: need n >= 1 and target >= 1, got $n/$targetBucketSize")
-    val raw = math.ceil(math.log(n.toDouble / targetBucketSize) / math.log(2.0)).toInt
-    math.min(24, math.max(2, raw))
+    // integer form of ⌈log2(n / target)⌉ — the smallest b with
+    // target·2^b ≥ n. Exact at power-of-two boundaries, so a SQL oracle
+    // mirroring the rule can never ulp-diverge from this the way paired
+    // float log2 computations can.
+    var b = 0
+    while (b < 24 && (targetBucketSize.toLong << b) < n) b += 1
+    math.min(24, math.max(2, b))
+  }
+
+  /** Companion to [[recommendedBits]] for FIXED-dimension sign-LSH (band b
+    * buckets on dims [b·bits, (b+1)·bits)): the most bands that still fit
+    * the vector — `min(maxBands, dim / bits)`, at least 1. More bands =
+    * higher recall; as [[recommendedBits]] grows with the corpus the band
+    * count yields dimensions to bucket width. */
+  def recommendedBands(n: Long, dim: Int, maxBands: Int = 8,
+                       targetBucketSize: Int = 150): Int = {
+    require(dim >= 1 && maxBands >= 1,
+      s"recommendedBands: need dim >= 1 and maxBands >= 1, got $dim/$maxBands")
+    math.max(1, math.min(maxBands, dim / recommendedBits(n, targetBucketSize)))
   }
 
   /** IVF cell count per the √N rule (the [[ivfTopK]] scaladoc's claim,
@@ -629,6 +646,40 @@ object Similarity {
       .select(col("query_id").as("id_a"), col("cand_id").as("id_b"),
         round(dotF(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
       .where(col("cos") >= threshold)
+  }
+
+  /** Recall CONTRACT for [[lshNearDupPairs]] — the q217/q337 device for
+    * the sign-LSH tier, built to certify the GRANULARITY RULE's recall
+    * cost at a calibration of the caller's choosing (in particular the
+    * NEXT decade's: `recommendedBits(10·n)` — wider bands mean lower
+    * recall, and that trade must be driver-checked, not scaladoc prose).
+    * Compares the banded pair set at (bits, bands) against the EXACT
+    * cosine-threshold pair set (the priced O(N²) judge every recall
+    * contract here pays at bench scale). One row: (bits, bands, n_exact,
+    * n_banded, recall, banded_subset_exact, meets_floor). Recall counts
+    * only banded∩exact pairs, so it stays honest even if the subset
+    * invariant ever broke; `meets_floor` is the oracle-pinned guarantee
+    * (the oracle hardcodes TRUE — a recall regression below the floor is
+    * a driver-visible hash mismatch, not a silent number drift). */
+  def lshRecallContract(emb: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, bits: Int, bands: Int,
+                        recallFloor: Double): DataFrame = {
+    val exact = graft.core.CacheRegistry.persist(
+      nearDupPairs(emb, idCol, vecCol, threshold).select("id_a", "id_b"))
+    val banded = graft.core.CacheRegistry.persist(
+      lshNearDupPairs(emb, idCol, vecCol, threshold, bits, bands)
+        .select("id_a", "id_b"))
+    val e = exact.agg(count(lit(1)).as("n_exact"))
+    val nb = banded.agg(count(lit(1)).as("n_banded"))
+    val inExact = banded.join(exact, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("__n_in"))
+    val recall = when(col("n_exact") === 0L, lit(1.0))
+      .otherwise(round(col("__n_in").cast("double") / col("n_exact"), 6))
+    e.crossJoin(nb).crossJoin(inExact)
+      .select(lit(bits).as("bits"), lit(bands).as("bands"),
+        col("n_exact"), col("n_banded"), recall.as("recall"),
+        (col("__n_in") === col("n_banded")).as("banded_subset_exact"),
+        (recall >= lit(recallFloor)).as("meets_floor"))
   }
 
   /** Incremental (batch-vs-corpus) EMBEDDING near-dup detection — the

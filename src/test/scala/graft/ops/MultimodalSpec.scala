@@ -128,6 +128,38 @@ class MultimodalSpec extends SparkSpec {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("recommendedBands: occupancy-rule width rounded to a power of two, " +
+    "bands in {16, 8, 4}, the SCALE10X calibration points") {
+    Multimodal.recommendedBands(500) shouldBe 16   // width 4 (sf0.01 docs)
+    Multimodal.recommendedBands(5000) shouldBe 8   // width 8 (sf0.1 docs — the frozen plan)
+    Multimodal.recommendedBands(50000) shouldBe 4  // width 16 (the 10× remedy)
+    Multimodal.recommendedBands(5000000) shouldBe 4 // width clamps at 16
+    Multimodal.recommendedBands(1) shouldBe 16      // bits clamps at 2 → width 4
+    // every output divides 64 (the perceptualNearDupPairs precondition)
+    for (n <- Seq(1L, 100L, 1000L, 10000L, 100000L, 10000000L))
+      64 % Multimodal.recommendedBands(n) shouldBe 0
+  }
+
+  test("perceptualNearDupPairsOn: identical pairs to the media-frame " +
+    "entry point when handed the same fingerprints") {
+    val base = "the quick brown fox jumps over the lazy dog " * 6
+    val docs = (1L to 6L).map(i => (i, base + s"suffix $i")).toDF("id", "content")
+    val m = Multimodal.asMediaTable(docs, "id", "content", "text")
+    val (viaMedia, viaFps) = graft.core.CacheRegistry.scoped {
+      val a = Multimodal.perceptualNearDupPairs(spark, m, 8, 12)
+        .as[(Long, Long, Long)].collect().toSet
+      val fps = graft.core.CacheRegistry.persist(
+        Multimodal.perceptualHash64(spark, m))
+      val b = Multimodal.perceptualNearDupPairsOn(fps, 8, 12)
+        .as[(Long, Long, Long)].collect().toSet
+      (a, b)
+    }
+    graft.core.CacheRegistry.drain()
+    viaFps shouldBe viaMedia
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.perceptualNearDupPairsOn(Seq((1L, 0L)).toDF("id", "phash64"), 7, 12)
+  }
+
   test("crossModalConsensus: pair keys normalize (a < b), flags and " +
     "consensus reflect membership") {
     val text = Seq((2L, 1L, 0.8), (3L, 4L, 0.6)).toDF("ta", "tb", "score")

@@ -448,5 +448,15 @@ class SimilaritySpec extends SparkSpec {
     (Similarity.recommendedCells(20000) * Similarity.recommendedCells(20000)).toLong should be >= 20000L
     an[IllegalArgumentException] should be thrownBy Similarity.recommendedBits(0)
     an[IllegalArgumentException] should be thrownBy Similarity.recommendedCells(0)
+    // integer form is exact at power-of-two boundaries: n = 150·2^b
+    // derives exactly b (a float log2 pairing could ulp-drift to b±1)
+    Similarity.recommendedBits(150L * 16, 150) shouldBe 4
+    Similarity.recommendedBits(150L * 16 + 1, 150) shouldBe 5
+    // bands yield dimensions to bucket width as bits grows, capped at 8
+    Similarity.recommendedBands(2000, 64) shouldBe 8   // bits 4 → 16 dims free
+    Similarity.recommendedBands(20000, 64) shouldBe 8  // bits 8 → exactly fits
+    Similarity.recommendedBands(200000, 64) shouldBe 5 // bits 11 → 64/11
+    Similarity.recommendedBands(1, 4) shouldBe 2       // dim-bound: 4/2
+    an[IllegalArgumentException] should be thrownBy Similarity.recommendedBands(1, 0)
   }
 }
