@@ -1,23 +1,25 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
 
 /** Scale-validation runner (not part of the driver contract): times the
-  * dedup/ANN family's SCALED parameterizations against an arbitrary data
-  * dir — the measurement half of SCALE10X.md.
+  * dedup/ANN family against an arbitrary data dir and reports output ROWS
+  * alongside seconds — the measurement half of SCALE10X.md.
   *
-  * The oracle-pinned benchmark queries freeze their LSH/IVF granularity
-  * parameters at values calibrated for the benchmark's row counts (the
-  * oracle replays the exact candidate sets, so the parameters are part of
-  * the query identity). Those parameters are the knob that keeps the
-  * banded paths linear: bucket/cell COUNT must grow with N so per-bucket
-  * occupancy stays bounded. This main measures the same operators at the
-  * granularity a 10× corpus calls for, proving the operator SHAPE scales
-  * when the parameters do.
+  * Since round 7 the registered q44/q38/q336 derive their LSH/IVF
+  * granularity from a deterministic `count()` of the input
+  * ([[graft.ops.Similarity.recommendedBits]]/`recommendedCells`,
+  * [[graft.ops.Multimodal.recommendedBands]]), so this probe simply runs
+  * the REGISTERED queries — what a user copies is what gets measured.
+  * q43 rides along as the text-shingle reference point. Row counts matter
+  * as much as seconds here: on the heavily templated synthetic corpus the
+  * near-dup ANSWER volume within each replicated sub-corpus is quadratic
+  * in family size (a data property, not a plan defect), and wall-clock
+  * can only be judged against the rows the operator was asked to emit.
   *
-  * Usage: `sbt "runMain graft.ScaleProbe /tmp/scale10x"` — prints one JSON
-  * line of per-probe seconds.
+  * Usage: `sbt "runMain graft.ScaleProbe /tmp/scale10x"` — one JSON line
+  * of per-probe {sec, rows}. Generate fixtures with
+  * `tools/make_scale_fixture.py <src_sf> <out> <reps>`.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -31,27 +33,15 @@ object ScaleProbe {
       .config("spark.local.dir", System.getProperty("java.io.tmpdir"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def docs = graft.core.Tables.tableRebalanced(spark, dir, "documents")
-    def emb = graft.core.Tables.tableRebalanced(spark, dir, "embeddings")
-    // scaled granularity: 10× rows → ~3–4 more bucket bits / 8× more IVF
-    // cells keep per-bucket occupancy at the 1× operating point
-    val probes: Seq[(String, () => DataFrame)] = Seq(
-      "q44_shape_bits8_bands8" -> (() =>
-        graft.ops.Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
-          0.4, 8, 8)),
-      "q38_shape_cells64" -> (() =>
-        graft.ops.Similarity.ivfTopK(emb, "vec_id", "embedding", 3, 64, 2)),
-      "q336_shape_bands4x16" -> (() =>
-        graft.ops.Multimodal.perceptualNearDupPairs(spark,
-          graft.ops.Multimodal.asMediaTable(docs, "doc_id", "text", "text"),
-          4, 12)),
-    )
-    val out = probes.map { case (name, fn) =>
+    val probes = Seq("q43_dedup_drop_lsh", "q44_embed_neardup_lsh",
+      "q38_ivf_topk", "q336_perceptual_neardup")
+    val out = probes.map { name =>
+      val fn = SparkEntry.queries(name)
       var secs = -1.0
       var rows = -1L
       try graft.core.CacheRegistry.scoped {
         val t0 = System.nanoTime()
-        rows = fn().count()
+        rows = fn(spark, dir).count()
         secs = (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
         System.err.println(s"[probe] $name FAILED: ${e.getMessage}")
