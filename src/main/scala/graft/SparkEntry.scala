@@ -249,8 +249,14 @@ object SparkEntry {
     // ---- similarity search (§7.6) ----
     "q24_cosine_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 5)),
-    "q25_ann_lsh_topk" -> ((s, dir) =>
-      Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 3, 8)),
+    // single-band didactic form; bits SCALE-ADAPTIVE as registered (the
+    // occupancy rule, mirrored from count(*) in the oracle) so even the
+    // fragile single-prefix shape never freezes a quadratic bucket size
+    "q25_ann_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, "vec_id", "embedding", 3,
+        Similarity.recommendedBits(emb.count()))
+    }),
     // contrastive hard negatives: nearest wrong-label neighbors (exact
     // baseline; hardNegativesLsh is the banded scale path, spec-pinned)
     "q139_hard_negatives" -> ((s, dir) =>
@@ -292,8 +298,35 @@ object SparkEntry {
         Similarity.recommendedBits(n10), Similarity.recommendedBands(n10, 64),
         0.1)
     }),
-    "q34_ann_multiband" -> ((s, dir) =>
-      Similarity.multiBandLshTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 3, 8, 3)),
+    // RANDOM-HYPERPLANE sign-LSH (Charikar 2002), md5-derandomized so the
+    // oracle replays every bucket bit: bands UNBOUNDED by the vector's 64
+    // dims — 16 bands at the adaptive bit width, where the raw-dim path
+    // structurally caps at 64/bits. The answer to q340's measured recall
+    // cost: same occupancy (same bits), recall 0.94 at sf0.1 vs 0.75 for
+    // the dim-capped 8-band q44 calibration.
+    "q341_rplsh_neardup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.rpLshNearDupPairs(emb, "vec_id", "embedding", 0.4,
+        Similarity.recommendedBits(emb.count()), 16, 64)
+    }),
+    // the recall contract certifying the bands-buy-recall claim at the
+    // same adaptive bits q44 runs (floor oracle-pinned TRUE; measured
+    // 1.0 at sf0.01 / 0.94 at sf0.1)
+    "q342_rplsh_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.rpLshRecallContract(emb, "vec_id", "embedding", 0.4,
+        Similarity.recommendedBits(emb.count()), 16, 64, 0.7)
+    }),
+    // 3-band ANN top-k; bits SCALE-ADAPTIVE as registered — per-query
+    // candidate volume stays ≈ bands × target_occupancy at every corpus
+    // size instead of N/2^8 per band (bands yield to bucket width only
+    // past 21 bits: greatest(1, least(3, 64/bits)))
+    "q34_ann_multiband" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val bits = Similarity.recommendedBits(emb.count())
+      Similarity.multiBandLshTopK(emb, "vec_id", "embedding", 3, bits,
+        math.max(1, math.min(3, 64 / bits)))
+    }),
     // IVF cell count is SCALE-ADAPTIVE as registered: nCells = ⌈√N⌉ (the
     // SCALE10X remedy for the frozen 8-cell calibration that ran 13× on a
     // 10× corpus — candidates per query are N·nProbe/nCells, so cells must
@@ -333,8 +366,13 @@ object SparkEntry {
     "q118_ivfpq_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val cb = graft.ops.Embeddings.pqTrain(emb, "vec_id", "embedding", 64, 2, 8, 1)
-      Similarity.ivfPqTopK(emb.where(col("vec_id") % 50 =!= 0), "vec_id", "embedding",
-        emb.where(col("vec_id") % 50 === 0), "vec_id", cb, 64, 2, 10, 8, 2)
+      // coarse cells SCALE-ADAPTIVE from the corpus count (⌈√N⌉, the q38
+      // rule — candidates per query are N·nProbe/nCells); PQ codebook
+      // size (m=2, k=8) is a MODEL choice and stays
+      val corpus = emb.where(col("vec_id") % 50 =!= 0)
+      Similarity.ivfPqTopK(corpus, "vec_id", "embedding",
+        emb.where(col("vec_id") % 50 === 0), "vec_id", cb, 64, 2, 10,
+        Similarity.recommendedCells(corpus.count()), 2)
     }),
     // ADC top-10 per held-out query (every 50th vector) over PQ codes:
     // the query meets full-precision centroids, the corpus only its codes
@@ -554,9 +592,14 @@ object SparkEntry {
         graft.core.Tables.tableRebalanced(s, dir, "documents"),
         "source", "text", 3, exact = true)),
     // SemDeDup: k-means cells, then near-dup pairs WITHIN a cell only
-    "q83_semantic_dedup" -> ((s, dir) =>
-      Similarity.semanticNearDupPairs(
-        t(s, dir, "embeddings"), "vec_id", "embedding", 8, 2, 0.3)),
+    // SemDeDup cell count SCALE-ADAPTIVE as registered (⌈√N⌉ like q38 —
+    // the within-cell pair stage is quadratic in cell size); 2 Lloyd
+    // iterations and the 0.3 threshold unchanged, oracle mirrors the count
+    "q83_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.semanticNearDupPairs(emb, "vec_id", "embedding",
+        Similarity.recommendedCells(emb.count()), 2, 0.3)
+    }),
     // ±2-token co-occurrence with PMI-style lift (ratio form, engine-exact)
     "q84_cooccurrence" -> ((s, dir) =>
       graft.ops.Corpus.cooccurrence(t(s, dir, "documents"), "text", 2, 300)),
@@ -1284,11 +1327,18 @@ object SparkEntry {
     // incremental batch-vs-corpus EMBEDDING near-dup (the semantic twin
     // of q49's text version): even vec_ids are the standing corpus, odd
     // the arriving batch; sign-LSH banded candidates, exact-cosine verify
+    // bits SCALE-ADAPTIVE from the STANDING CORPUS's count (the side whose
+    // band table persists and whose occupancy the candidate join pays;
+    // the batch is transient) — mirrored in the oracle from the same
+    // even-id filter
     "q200_embed_dedup_across" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") % 2 === 0)
+      val n = corpus.count()
       Similarity.lshNearDupPairsAcross(
-        emb.where(col("vec_id") % 2 === 0), emb.where(col("vec_id") % 2 === 1),
-        "vec_id", "embedding", 0.3, 4, 8)
+        corpus, emb.where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", 0.3,
+        Similarity.recommendedBits(n), Similarity.recommendedBands(n, 64))
     }),
     // directional containment pairs: short docs covered ≥80% by another
     // doc's shingles — the quote/excerpt detector Jaccard misses
@@ -1896,9 +1946,11 @@ object SparkEntry {
         Seq(1e18, 1e19, 1e20, 1e21, 1e22, 1e23))),
     // label-free embedding outliers: 1 - (3rd-NN cosine) within the
     // vector's IVF cell - the q83 cell machinery, pointed at isolation
-    "q327_knn_outliers" -> ((s, dir) =>
-      Similarity.ivfKthNnOutliers(
-        t(s, dir, "embeddings"), "vec_id", "embedding", 8, 2, 3)),
+    "q327_knn_outliers" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfKthNnOutliers(emb, "vec_id", "embedding",
+        Similarity.recommendedCells(emb.count()), 2, 3)
+    }),
     // how heavy is the value tail per event type? Hill index over the
     // top-50 order statistics; alpha < 2 means infinite variance
     "q328_hill_tail" -> ((s, dir) =>
@@ -3102,6 +3154,54 @@ object SparkEntry {
       |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos
       |FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id""".stripMargin
 
+  /** `Similarity.recommendedBits` mirrored in SQL: the smallest b in
+    * [2, 24] with 150·2^b ≥ n (integer form of ⌈log2(n/150)⌉ — exact at
+    * power-of-two boundaries on both engines). `nFrom` is a relation
+    * whose single row/column is the corpus count, e.g.
+    * `(SELECT count(*) AS n FROM embeddings)`. */
+  private def bitsSqlFrom(nFrom: String): String =
+    s"greatest(2, coalesce((SELECT min(b) FROM generate_series(2, 24) g(b), $nFrom nn " +
+      "WHERE 150 * (CAST(1 AS BIGINT) << b) >= nn.n), 24))"
+
+  /** q341/q342 shared CTE chain: md5-derandomized ±1 hyperplanes (the
+    * exact `Similarity.rpPlanes` derivation — first md5 nibble of
+    * "rp:b:j:d" even → +1), per-(vec, band) bucket strings via
+    * left-to-right double inner products (list_inner_product accumulates
+    * like the dotF kernel), and the deduped candidate pairs. Ends at
+    * `cand(id_a, id_b)`. */
+  private def rpBandedCtes(bands: Int): String =
+    s"""p AS (SELECT ${bitsSqlFrom("(SELECT count(*) AS n FROM embeddings)")} AS bits),
+       |planes AS (
+       |  SELECT band, bit,
+       |    list_transform(generate_series(0, 63),
+       |      d -> CASE WHEN (strpos('0123456789abcdef', substr(md5('rp:' || band || ':' || bit || ':' || d), 1, 1)) - 1) % 2 = 0
+       |           THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS pl
+       |  FROM (SELECT unnest(generate_series(0, ${bands - 1})) AS band)
+       |  CROSS JOIN (SELECT unnest(generate_series(0, (SELECT bits FROM p) - 1)) AS bit)),
+       |rbb AS (
+       |  SELECT e.vec_id, pl.band, pl.bit,
+       |    CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), pl.pl) >= 0 THEN '1' ELSE '0' END AS bch
+       |  FROM embeddings e CROSS JOIN planes pl),
+       |banded AS (
+       |  SELECT vec_id, band, string_agg(bch, '' ORDER BY bit) AS bucket
+       |  FROM rbb GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)""".stripMargin
+
+  /** Sign-LSH band-table CTE body over `rel`, bucketing band b on dims
+    * [b·bits, (b+1)·bits) with bits/bands read from CTE `p(bits, bands)` —
+    * the dynamic twin of the frozen per-band UNION ALL the adaptive
+    * queries replaced. */
+  private def dynamicBandedSql(rel: String): String =
+    s"""SELECT vec_id, band,
+       |    array_to_string(list_transform(generate_series(band * bits + 1, band * bits + bits),
+       |      i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
+       |  FROM (SELECT e.vec_id, e.embedding, p.bits,
+       |          unnest(generate_series(0, p.bands - 1)) AS band
+       |        FROM $rel e CROSS JOIN p)""".stripMargin
+
   private val langScoreSql: String = TextStats.langMarkers.map { case (lang, ms) =>
     val set = ms.map(m => s"'$m'").mkString(", ")
     s"CAST(len(list_filter(string_split(text, ' '), w -> w IN ($set))) AS INTEGER) AS score_$lang"
@@ -3165,10 +3265,16 @@ object SparkEntry {
 
   /** Two Lloyd iterations ending at the m2 member/element block — shared
     * WITH-clause prefix of the q65 fit oracle and the q83 SemDeDup oracle. */
-  private def kmeansTwoIterPrefix: String =
+  /** Two Lloyd iterations from the md5-seeded centroids. `cells` is a SQL
+    * expression for the seed count: the model-choice consumers (q65 fit,
+    * q232 silhouette) keep the literal 8; the OCCUPANCY-sensitive
+    * consumers (q83 semantic dedup, q327 outliers — their within-cell
+    * pair stage is quadratic in cell size) derive ⌈√count⌉ like q38. */
+  private def kmeansTwoIterPrefix(cells: String = "8"): String =
     s"""WITH cents0 AS (
        |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cvec
-       |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+       |  FROM embeddings
+       |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= ($cells)),
        |${kmeansStepSql(1, "cents0")},
        |c1 AS (
        |  SELECT cell, dim, CAST(CAST(round(avg(v), 6) AS FLOAT) AS DOUBLE) AS cv
@@ -3177,7 +3283,7 @@ object SparkEntry {
        |${kmeansStepSql(2, "cents1")}""".stripMargin
 
   private def kmeansFitSql: String =
-    s"""$kmeansTwoIterPrefix
+    s"""${kmeansTwoIterPrefix()}
        |SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
        |  CAST(dim AS INTEGER) AS dim, round(avg(v), 6) AS mean_val
        |FROM m2 GROUP BY cell, dim""".stripMargin
@@ -3246,10 +3352,14 @@ object SparkEntry {
   private def ivfPqTopKSql: String =
     s"""WITH ${pqSubspaceCtes(0)},
        |${pqSubspaceCtes(1)},
+       |pcells AS (
+       |  SELECT least(65536, greatest(4, CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS INTEGER))) AS cells
+       |  FROM embeddings WHERE vec_id % 50 <> 0),
        |cents AS (
        |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cvec
-       |  FROM embeddings WHERE vec_id % 50 <> 0 AND embedding IS NOT NULL
-       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+       |  FROM embeddings CROSS JOIN pcells
+       |  WHERE vec_id % 50 <> 0 AND embedding IS NOT NULL
+       |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= pcells.cells),
        |asim AS (
        |  SELECT e.vec_id, c.cent_id,
        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6) AS csim
@@ -3412,9 +3522,13 @@ object SparkEntry {
 
   /** Shared q83/q327 scaffold: trained cents2 (same FLOAT round-trip as
     * the Spark side), a third assignment pass (`a3`), then ALL
-    * within-cell pairs with rounded cosine as CTE `pc`. */
+    * within-cell pairs with rounded cosine as CTE `pc`. Cell count is the
+    * SCALE-ADAPTIVE ⌈√count⌉ (clamped like `Similarity.recommendedCells`)
+    * — the within-cell pair stage is quadratic in cell size, so these two
+    * consumers must not freeze k the way the model-choice queries do. */
   private def withinCellPairsPrefix: String =
-    s"""$kmeansTwoIterPrefix,
+    s"""${kmeansTwoIterPrefix("SELECT least(65536, greatest(4, " +
+         "CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS INTEGER))) FROM embeddings")},
        |c2 AS (
        |  SELECT cell, dim, CAST(CAST(round(avg(v), 6) AS FLOAT) AS DOUBLE) AS cv
        |  FROM m2 GROUP BY 1, 2),
@@ -4193,7 +4307,7 @@ object SparkEntry {
     // q232: the q83 trained cents2, a third assignment-style cosine pass,
     // a/b off the SAME rounded cosines, per-cell rollup
     "q232_silhouette" ->
-      s"""$kmeansTwoIterPrefix,
+      s"""${kmeansTwoIterPrefix()},
          |c2 AS (
          |  SELECT cell, dim, CAST(CAST(round(avg(v), 6) AS FLOAT) AS DOUBLE) AS cv
          |  FROM m2 GROUP BY 1, 2),
@@ -4739,18 +4853,17 @@ object SparkEntry {
          |FROM base, b""".stripMargin
     },
     // q200: the q44 sign-band replay split corpus/batch, verified cosines
+    // q200: adaptive bits/bands from the STANDING CORPUS's count (the
+    // even-id side), both band tables built from the same p CTE
     "q200_embed_dedup_across" -> {
-      def bucket(b: Int) = (b * 4 + 1 to b * 4 + 4).map(i =>
-        s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
-      def bandRows(rel: String) = (0 until 8).map(b =>
-        s"SELECT vec_id, $b AS band, ${bucket(b)} AS bucket FROM $rel")
-        .mkString("\n  UNION ALL\n  ")
       s"""WITH emb_c AS (SELECT * FROM embeddings WHERE vec_id % 2 = 0),
          |emb_b AS (SELECT * FROM embeddings WHERE vec_id % 2 = 1),
+         |p AS (SELECT bits, greatest(1, least(8, 64 // bits)) AS bands FROM (
+         |  SELECT ${bitsSqlFrom("(SELECT count(*) AS n FROM emb_c)")} AS bits)),
          |bc AS (
-         |  ${bandRows("emb_c")}),
+         |  ${dynamicBandedSql("emb_c")}),
          |bd AS (
-         |  ${bandRows("emb_b")}),
+         |  ${dynamicBandedSql("emb_b")}),
          |cand AS (
          |  SELECT DISTINCT c.vec_id AS corpus_id, d.vec_id AS batch_id
          |  FROM bc c JOIN bd d ON c.band = d.band AND c.bucket = d.bucket),
@@ -10176,10 +10289,15 @@ object SparkEntry {
          |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS INTEGER) AS rank
          |FROM pc
          |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) <= 5""".stripMargin,
-    "q25_ann_lsh_topk" -> {
-      val bucket = (1 to 8).map(i =>
-        s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
-      s"""WITH bucketed AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+    // q25: adaptive single-band bucket — the leading `bits` dims' sign
+    // pattern, bits derived from count(*) exactly like the Scala side
+    "q25_ann_lsh_topk" ->
+      s"""WITH p AS (SELECT ${bitsSqlFrom("(SELECT count(*) AS n FROM embeddings)")} AS bits),
+         |bucketed AS (
+         |  SELECT vec_id, embedding,
+         |    array_to_string(list_transform(generate_series(1, p.bits),
+         |      i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
+         |  FROM embeddings CROSS JOIN p),
          |pc AS (
          |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
          |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos
@@ -10187,8 +10305,7 @@ object SparkEntry {
          |SELECT query_id, cand_id, cos,
          |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS INTEGER) AS rank
          |FROM pc
-         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) <= 3""".stripMargin
-    },
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) <= 3""".stripMargin,
     "q26_embed_neardup" ->
       s"""WITH pc AS ($cosineSql)
          |SELECT query_id AS id_a, cand_id AS id_b, cos
@@ -10211,17 +10328,10 @@ object SparkEntry {
     // bands = min(8, 64 // bits); band b buckets on the sign pattern of
     // dims [b·bits, (b+1)·bits), built dynamically via list_transform
     "q44_embed_neardup_lsh" ->
-      """WITH nn AS (SELECT count(*) AS n FROM embeddings),
-        |p AS (SELECT bits, greatest(1, least(8, 64 // bits)) AS bands FROM (
-        |  SELECT greatest(2, coalesce((SELECT min(b) FROM generate_series(2, 24) g(b), nn
-        |           WHERE 150 * (CAST(1 AS BIGINT) << b) >= nn.n), 24)) AS bits)),
+      s"""WITH p AS (SELECT bits, greatest(1, least(8, 64 // bits)) AS bands FROM (
+        |  SELECT ${bitsSqlFrom("(SELECT count(*) AS n FROM embeddings)")} AS bits)),
         |banded AS (
-        |  SELECT vec_id, band,
-        |    array_to_string(list_transform(generate_series(band * bits + 1, band * bits + bits),
-        |      i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
-        |  FROM (SELECT e.vec_id, e.embedding, p.bits,
-        |          unnest(generate_series(0, p.bands - 1)) AS band
-        |        FROM embeddings e CROSS JOIN p)),
+        |  ${dynamicBandedSql("embeddings")}),
         |cand AS (
         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
         |  FROM banded a JOIN banded b
@@ -10237,17 +10347,10 @@ object SparkEntry {
     // (the NEXT decade's calibration), judged against the exact
     // cosine-threshold pair set; subset + floor pinned as literal TRUE
     "q340_lsh_recall_scaled" ->
-      s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
-         |p AS (SELECT bits, greatest(1, least(8, 64 // bits)) AS bands FROM (
-         |  SELECT greatest(2, coalesce((SELECT min(b) FROM generate_series(2, 24) g(b), nn
-         |           WHERE 150 * (CAST(1 AS BIGINT) << b) >= 10 * nn.n), 24)) AS bits)),
+      s"""WITH p AS (SELECT bits, greatest(1, least(8, 64 // bits)) AS bands FROM (
+         |  SELECT ${bitsSqlFrom("(SELECT 10 * count(*) AS n FROM embeddings)")} AS bits)),
          |banded AS (
-         |  SELECT vec_id, band,
-         |    array_to_string(list_transform(generate_series(band * bits + 1, band * bits + bits),
-         |      i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
-         |  FROM (SELECT e.vec_id, e.embedding, p.bits,
-         |          unnest(generate_series(0, p.bands - 1)) AS band
-         |        FROM embeddings e CROSS JOIN p)),
+         |  ${dynamicBandedSql("embeddings")}),
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM banded a JOIN banded b
@@ -10270,14 +10373,47 @@ object SparkEntry {
          |  TRUE AS banded_subset_exact,
          |  TRUE AS meets_floor
          |FROM ex CROSS JOIN bn""".stripMargin,
-    "q34_ann_multiband" -> {
-      def bucket(b: Int) = (b * 8 + 1 to b * 8 + 8).map(i =>
-        s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
-      val bandRows = (0 until 3).map(b =>
-        s"SELECT vec_id, $b AS band, ${bucket(b)} AS bucket FROM embeddings")
-        .mkString("\n  UNION ALL\n  ")
-      s"""WITH banded AS (
-         |  $bandRows),
+    // q341: every md5-derived plane sign and bucket bit replayed; then
+    // the standard candidate→exact-cosine verify tail
+    "q341_rplsh_neardup" ->
+      s"""WITH ${rpBandedCtes(16)},
+         |pc AS (
+         |  SELECT c.id_a, c.id_b,
+         |    round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), 6) AS cos
+         |  FROM cand c
+         |  JOIN embeddings x ON x.vec_id = c.id_a
+         |  JOIN embeddings y ON y.vec_id = c.id_b)
+         |SELECT id_a, id_b, cos FROM pc WHERE cos >= 0.4""".stripMargin,
+    // q342: the q341 machinery judged against the exact pair set; subset
+    // + floor pinned as literal TRUE (floor 0.7: measured 1.0 at sf0.01,
+    // 0.94 at sf0.1 — the 16-band recall the dim-capped tier cannot reach)
+    "q342_rplsh_recall" ->
+      s"""WITH ${rpBandedCtes(16)},
+         |bp AS (
+         |  SELECT c.id_a, c.id_b
+         |  FROM cand c
+         |  JOIN embeddings x ON x.vec_id = c.id_a
+         |  JOIN embeddings y ON y.vec_id = c.id_b
+         |  WHERE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), 6) >= 0.4),
+         |pcx AS ($cosineSql),
+         |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM pcx
+         |  WHERE query_id < cand_id AND cos >= 0.4),
+         |bn AS (SELECT CAST(count(*) AS BIGINT) AS n_banded FROM bp)
+         |SELECT CAST((SELECT bits FROM p) AS INTEGER) AS bits,
+         |  CAST(16 AS INTEGER) AS bands,
+         |  n_exact, n_banded,
+         |  CASE WHEN n_exact = 0 THEN 1.0
+         |    ELSE round(CAST(n_banded AS DOUBLE) / n_exact, 6) END AS recall,
+         |  TRUE AS banded_subset_exact,
+         |  TRUE AS meets_floor
+         |FROM ex CROSS JOIN bn""".stripMargin,
+    // q34: adaptive bits, bands = greatest(1, least(3, 64 // bits)) —
+    // identical arithmetic to the Scala registration
+    "q34_ann_multiband" ->
+      s"""WITH p AS (SELECT bits, greatest(1, least(3, 64 // bits)) AS bands FROM (
+         |  SELECT ${bitsSqlFrom("(SELECT count(*) AS n FROM embeddings)")} AS bits)),
+         |banded AS (
+         |  ${dynamicBandedSql("embeddings")}),
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS cand_id
          |  FROM banded a JOIN banded b
@@ -10291,8 +10427,7 @@ object SparkEntry {
          |SELECT query_id, cand_id, cos,
          |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS INTEGER) AS rank
          |FROM pc
-         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) <= 3""".stripMargin
-    },
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) <= 3""".stripMargin,
     "q27_lang_id" ->
       s"""SELECT doc_id,
          |  $langScoreSql,

@@ -682,6 +682,101 @@ object Similarity {
         (recall >= lit(recallFloor)).as("meets_floor"))
   }
 
+  /** Deterministic ±1 random-hyperplane matrix: plane (band b, bit j)'s
+    * sign for dimension d is +1 iff the first md5 nibble of
+    * `"rp:$b:$j:$d"` is even — derandomized so any engine with md5
+    * rebuilds the identical matrix (the oracle replays every bucket bit),
+    * yet sign patterns are i.i.d.-uniform across (b, j, d). */
+  private[graft] def rpPlanes(bands: Int, bits: Int, dim: Int): Array[Array[Float]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(bands * bits) { p =>
+      val b = p / bits
+      val j = p % bits
+      Array.tabulate(dim) { d =>
+        md.reset()
+        val h = md.digest(s"rp:$b:$j:$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if ((((h(0) >> 4) & 0xF) & 1) == 0) 1f else -1f
+      }
+    }
+  }
+
+  /** RANDOM-HYPERPLANE sign-LSH near-dup pairs (Charikar 2002) — the
+    * scale path past [[lshNearDupPairs]]'s structural cap: raw-dimension
+    * sign bands can never exceed dim/bits disjoint bands (64 dims cap 8
+    * bands at 8 bits), and the granularity rule widens bits with the
+    * corpus, so tail recall at a weak threshold eventually has nowhere to
+    * come from. Projecting onto md5-derandomized ±1 hyperplanes
+    * ([[rpPlanes]]) makes `bands` UNBOUNDED: every (band, bit) gets its
+    * own plane, miss probability (1−p^bits)^bands falls geometrically in
+    * bands at cost ∝ bands (linear — one more band is one more shuffle
+    * key per row), while bits keeps per-bucket occupancy at the
+    * [[recommendedBits]] operating point. Same candidate shape as every
+    * banded path here: (band, bucket)-keyed self-join, pair dedup, exact
+    * rounded-cosine verify ≥ threshold; a < b.
+    *
+    * Scale shape: bucket bits are `bands × bits` codegen'd [[dot]]
+    * kernels against literal plane vectors in the scan stage (no shuffle
+    * until the band exchange); candidates are bounded by occupancy
+    * exactly as the raw-dim path. Engine-parity: the plane signs and the
+    * left-to-right double accumulation replay identically in SQL, so the
+    * bucket of every row — and therefore the exact candidate set — is
+    * oracle-checkable, not just the verified output. */
+  def rpLshNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, bits: Int, bands: Int,
+                        dim: Int): DataFrame = {
+    require(bits >= 1 && bands >= 1 && dim >= 1,
+      s"rpLshNearDupPairs: need bits/bands/dim >= 1, got $bits/$bands/$dim")
+    val planes = rpPlanes(bands, bits, dim)
+    def bucket(b: Int): Column = concat_ws("", (0 until bits).map { j =>
+      val plane = typedLit(planes(b * bits + j).toSeq)
+      when(dotF(col(vecCol), plane) >= 0d, "1").otherwise("0")
+    }: _*)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"), bucket(b).as("bucket"))
+    }
+    val banded = graft.core.CacheRegistry.persist(
+      emb.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+        .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket")))
+    val cands = banded.toDF("id_a", "band", "bucket")
+      .join(banded.toDF("id_b", "band", "bucket"), Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val vecs = emb.select(col(idCol), col(vecCol), normF(col(vecCol)).as("norm"))
+    cands
+      .join(vecs.toDF("id_a", "va", "na"), Seq("id_a"))
+      .join(vecs.toDF("id_b", "vb", "nb"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dotF(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  /** Recall CONTRACT for [[rpLshNearDupPairs]] — [[lshRecallContract]]'s
+    * twin for the random-hyperplane tier, certifying the claim that bands
+    * buy back the recall the granularity rule spends: same exact
+    * cosine-threshold judge, same (bits, bands, n_exact, n_banded,
+    * recall, banded_subset_exact, meets_floor) row, floor oracle-pinned
+    * TRUE. */
+  def rpLshRecallContract(emb: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double, bits: Int, bands: Int, dim: Int,
+                          recallFloor: Double): DataFrame = {
+    val exact = graft.core.CacheRegistry.persist(
+      nearDupPairs(emb, idCol, vecCol, threshold).select("id_a", "id_b"))
+    val banded = graft.core.CacheRegistry.persist(
+      rpLshNearDupPairs(emb, idCol, vecCol, threshold, bits, bands, dim)
+        .select("id_a", "id_b"))
+    val e = exact.agg(count(lit(1)).as("n_exact"))
+    val nb = banded.agg(count(lit(1)).as("n_banded"))
+    val inExact = banded.join(exact, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("__n_in"))
+    val recall = when(col("n_exact") === 0L, lit(1.0))
+      .otherwise(round(col("__n_in").cast("double") / col("n_exact"), 6))
+    e.crossJoin(nb).crossJoin(inExact)
+      .select(lit(bits).as("bits"), lit(bands).as("bands"),
+        col("n_exact"), col("n_banded"), recall.as("recall"),
+        (col("__n_in") === col("n_banded")).as("banded_subset_exact"),
+        (recall >= lit(recallFloor)).as("meets_floor"))
+  }
+
   /** Incremental (batch-vs-corpus) EMBEDDING near-dup detection — the
     * semantic twin of [[graft.ops.Dedup.minHashLshPairsAcross]] and the
     * shape an embedding-indexed ingest actually runs at 100 TB: the

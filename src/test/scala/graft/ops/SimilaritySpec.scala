@@ -459,4 +459,42 @@ class SimilaritySpec extends SparkSpec {
     Similarity.recommendedBands(1, 4) shouldBe 2       // dim-bound: 4/2
     an[IllegalArgumentException] should be thrownBy Similarity.recommendedBands(1, 0)
   }
+
+  test("rpPlanes: deterministic ±1 from the md5 nibble parity, i.i.d.-ish " +
+    "balance; rpLshNearDupPairs is a subset of exact with higher recall " +
+    "headroom than the dim-capped band count") {
+    val planes = Similarity.rpPlanes(16, 4, 64)
+    planes.length shouldBe 64
+    all(planes.flatten.toSeq) should (be(1f) or be(-1f))
+    // pinned derivation: md5("rp:1:3:17") = fb14... → nibble 15, odd → -1
+    planes(1 * 4 + 3)(17) shouldBe -1f
+    // md5("rp:0:0:0") = 0551... → nibble 0, even → +1
+    planes(0)(0) shouldBe 1f
+    // deterministic across invocations
+    Similarity.rpPlanes(16, 4, 64)(7)(13) shouldBe planes(7)(13)
+    // rough balance: a 4096-coin md5 flip stays within ±10% of half
+    val pos = planes.flatten.count(_ == 1f)
+    pos should be > 1640
+    pos should be < 2460
+
+    // tiny geometric fixture: two near-identical vectors + one opposite
+    val mk = (s: Double) => Array.tabulate(64)(d => (s * math.sin(d + 1)).toFloat)
+    val emb = Seq(
+      (1L, mk(1.0).toSeq), (2L, mk(0.99).toSeq), (3L, mk(-1.0).toSeq))
+      .toDF("vec_id", "embedding")
+    val pairs = graft.core.CacheRegistry.scoped {
+      Similarity.rpLshNearDupPairs(emb, "vec_id", "embedding", 0.9, 2, 16, 64)
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    graft.core.CacheRegistry.drain()
+    pairs.map(p => (p._1, p._2)) shouldBe Set((1L, 2L)) // opposite vector excluded
+    val contract = graft.core.CacheRegistry.scoped {
+      Similarity.rpLshRecallContract(emb, "vec_id", "embedding", 0.9, 2, 16, 64, 0.5).head()
+    }
+    graft.core.CacheRegistry.drain()
+    contract.getAs[Long]("n_exact") shouldBe 1L
+    contract.getAs[Double]("recall") shouldBe 1.0
+    contract.getAs[Boolean]("banded_subset_exact") shouldBe true
+    contract.getAs[Boolean]("meets_floor") shouldBe true
+  }
 }
