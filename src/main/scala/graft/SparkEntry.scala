@@ -317,6 +317,36 @@ object SparkEntry {
       Similarity.rpLshRecallContract(emb, "vec_id", "embedding", 0.4,
         Similarity.recommendedBits(emb.count()), 16, 64, 0.7)
     }),
+    // MULTI-PROBE sign-LSH (Lv et al. 2007): each vector also probes the
+    // bucket at its least-confident bit flipped — the third LSH knob
+    // (bits=occupancy, bands=recall @ cost ∝ bands, probes=recall with NO
+    // new hash tables). Same adaptive (bits, bands) as q44; candidates
+    // are a structural superset of q44's.
+    "q344_lsh_multiprobe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val n = emb.count()
+      Similarity.lshMultiProbeNearDupPairs(emb, "vec_id", "embedding", 0.4,
+        Similarity.recommendedBits(n), Similarity.recommendedBands(n, 64))
+    }),
+    // the gain contract: multiprobe vs base recall at identical params,
+    // superset + nonneg-gain oracle-pinned TRUE (structural laws)
+    "q345_multiprobe_gain" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val n = emb.count()
+      Similarity.lshMultiProbeGainContract(emb, "vec_id", "embedding", 0.4,
+        Similarity.recommendedBits(n), Similarity.recommendedBands(n, 64))
+    }),
+    // the RP tier's ingestion-time shape (q200's twin with unbounded
+    // bands): standing corpus = even vec_ids, arriving batch = odd; bits
+    // from the CORPUS count, 16 bands
+    "q343_rplsh_dedup_across" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") % 2 === 0)
+      Similarity.rpLshNearDupPairsAcross(
+        corpus, emb.where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", 0.3,
+        Similarity.recommendedBits(corpus.count()), 16, 64)
+    }),
     // 3-band ANN top-k; bits SCALE-ADAPTIVE as registered — per-query
     // candidate volume stays ≈ bands × target_occupancy at every corpus
     // size instead of N/2^8 per band (bands yield to bucket width only
@@ -3163,28 +3193,35 @@ object SparkEntry {
     s"greatest(2, coalesce((SELECT min(b) FROM generate_series(2, 24) g(b), $nFrom nn " +
       "WHERE 150 * (CAST(1 AS BIGINT) << b) >= nn.n), 24))"
 
-  /** q341/q342 shared CTE chain: md5-derandomized ±1 hyperplanes (the
-    * exact `Similarity.rpPlanes` derivation — first md5 nibble of
-    * "rp:b:j:d" even → +1), per-(vec, band) bucket strings via
-    * left-to-right double inner products (list_inner_product accumulates
-    * like the dotF kernel), and the deduped candidate pairs. Ends at
-    * `cand(id_a, id_b)`. */
-  private def rpBandedCtes(bands: Int): String =
-    s"""p AS (SELECT ${bitsSqlFrom("(SELECT count(*) AS n FROM embeddings)")} AS bits),
+  /** md5-derandomized ±1 hyperplane CTEs (the exact `Similarity.rpPlanes`
+    * derivation — first md5 nibble of "rp:b:j:d" even → +1): `p(bits)`
+    * derived from `nFrom`, and `planes(band, bit, pl)`. */
+  private def rpPlanesCtes(bands: Int, nFrom: String): String =
+    s"""p AS (SELECT ${bitsSqlFrom(nFrom)} AS bits),
        |planes AS (
        |  SELECT band, bit,
        |    list_transform(generate_series(0, 63),
        |      d -> CASE WHEN (strpos('0123456789abcdef', substr(md5('rp:' || band || ':' || bit || ':' || d), 1, 1)) - 1) % 2 = 0
        |           THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS pl
        |  FROM (SELECT unnest(generate_series(0, ${bands - 1})) AS band)
-       |  CROSS JOIN (SELECT unnest(generate_series(0, (SELECT bits FROM p) - 1)) AS bit)),
-       |rbb AS (
-       |  SELECT e.vec_id, pl.band, pl.bit,
-       |    CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), pl.pl) >= 0 THEN '1' ELSE '0' END AS bch
-       |  FROM embeddings e CROSS JOIN planes pl),
+       |  CROSS JOIN (SELECT unnest(generate_series(0, (SELECT bits FROM p) - 1)) AS bit))""".stripMargin
+
+  /** Per-(vec, band) RP bucket-string table over `rel` — left-to-right
+    * double inner products (list_inner_product accumulates like the dotF
+    * kernel), bits concatenated in bit order. */
+  private def rpBucketSql(rel: String): String =
+    s"""SELECT vec_id, band, string_agg(bch, '' ORDER BY bit) AS bucket FROM (
+       |    SELECT e.vec_id, pl.band, pl.bit,
+       |      CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), pl.pl) >= 0 THEN '1' ELSE '0' END AS bch
+       |    FROM $rel e CROSS JOIN planes pl)
+       |  GROUP BY 1, 2""".stripMargin
+
+  /** q341/q342 shared CTE chain: planes + self-join bucket table + the
+    * deduped candidate pairs. Ends at `cand(id_a, id_b)`. */
+  private def rpBandedCtes(bands: Int): String =
+    s"""${rpPlanesCtes(bands, "(SELECT count(*) AS n FROM embeddings)")},
        |banded AS (
-       |  SELECT vec_id, band, string_agg(bch, '' ORDER BY bit) AS bucket
-       |  FROM rbb GROUP BY 1, 2),
+       |  ${rpBucketSql("embeddings")}),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
        |  FROM banded a JOIN banded b
@@ -10407,6 +10444,131 @@ object SparkEntry {
          |  TRUE AS banded_subset_exact,
          |  TRUE AS meets_floor
          |FROM ex CROSS JOIN bn""".stripMargin,
+    // q344/q345: multi-probe machinery in SQL — the flip position is the
+    // row_number-1 bit by (rounded |value| in DOUBLE space, bit), the
+    // probe bucket is substr surgery on the base bucket, and candidates
+    // join (base ∪ probed) × base
+    "q344_lsh_multiprobe" ->
+      s"""WITH p AS (SELECT bits, greatest(1, least(8, 64 // bits)) AS bands FROM (
+         |  SELECT ${bitsSqlFrom("(SELECT count(*) AS n FROM embeddings)")} AS bits)),
+         |banded AS (
+         |  ${dynamicBandedSql("embeddings")}),
+         |bandgrid AS (
+         |  SELECT e.vec_id, e.embedding, p.bits,
+         |    unnest(generate_series(0, p.bands - 1)) AS band
+         |  FROM embeddings e CROSS JOIN p),
+         |bitgrid AS (
+         |  SELECT vec_id, band, bits, embedding,
+         |    unnest(generate_series(0, bits - 1)) AS bit
+         |  FROM bandgrid),
+         |jst AS (
+         |  SELECT vec_id, band, bit AS jstar FROM (
+         |    SELECT vec_id, band, bit,
+         |      row_number() OVER (PARTITION BY vec_id, band
+         |        ORDER BY round(abs(CAST(embedding[band * bits + bit + 1] AS DOUBLE)), 6), bit) AS r
+         |    FROM bitgrid) WHERE r = 1),
+         |probed AS (
+         |  SELECT b.vec_id, b.band,
+         |    substr(b.bucket, 1, j.jstar) ||
+         |    CASE WHEN substr(b.bucket, j.jstar + 1, 1) = '1' THEN '0' ELSE '1' END ||
+         |    substr(b.bucket, j.jstar + 2) AS bucket
+         |  FROM banded b JOIN jst j ON b.vec_id = j.vec_id AND b.band = j.band),
+         |allp AS (SELECT * FROM banded UNION ALL SELECT * FROM probed),
+         |cand AS (
+         |  SELECT DISTINCT least(x.vec_id, y.vec_id) AS id_a,
+         |    greatest(x.vec_id, y.vec_id) AS id_b
+         |  FROM allp x JOIN banded y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+         |pc AS (
+         |  SELECT c.id_a, c.id_b,
+         |    round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), 6) AS cos
+         |  FROM cand c
+         |  JOIN embeddings x ON x.vec_id = c.id_a
+         |  JOIN embeddings y ON y.vec_id = c.id_b)
+         |SELECT id_a, id_b, cos FROM pc WHERE cos >= 0.4""".stripMargin,
+    // q345: base (q44 tail) and multiprobe (q344 tail) pair sets against
+    // the exact judge; superset and nonneg gain pinned TRUE
+    "q345_multiprobe_gain" ->
+      s"""WITH p AS (SELECT bits, greatest(1, least(8, 64 // bits)) AS bands FROM (
+         |  SELECT ${bitsSqlFrom("(SELECT count(*) AS n FROM embeddings)")} AS bits)),
+         |banded AS (
+         |  ${dynamicBandedSql("embeddings")}),
+         |bandgrid AS (
+         |  SELECT e.vec_id, e.embedding, p.bits,
+         |    unnest(generate_series(0, p.bands - 1)) AS band
+         |  FROM embeddings e CROSS JOIN p),
+         |bitgrid AS (
+         |  SELECT vec_id, band, bits, embedding,
+         |    unnest(generate_series(0, bits - 1)) AS bit
+         |  FROM bandgrid),
+         |jst AS (
+         |  SELECT vec_id, band, bit AS jstar FROM (
+         |    SELECT vec_id, band, bit,
+         |      row_number() OVER (PARTITION BY vec_id, band
+         |        ORDER BY round(abs(CAST(embedding[band * bits + bit + 1] AS DOUBLE)), 6), bit) AS r
+         |    FROM bitgrid) WHERE r = 1),
+         |probed AS (
+         |  SELECT b.vec_id, b.band,
+         |    substr(b.bucket, 1, j.jstar) ||
+         |    CASE WHEN substr(b.bucket, j.jstar + 1, 1) = '1' THEN '0' ELSE '1' END ||
+         |    substr(b.bucket, j.jstar + 2) AS bucket
+         |  FROM banded b JOIN jst j ON b.vec_id = j.vec_id AND b.band = j.band),
+         |allp AS (SELECT * FROM banded UNION ALL SELECT * FROM probed),
+         |bcand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |mcand AS (
+         |  SELECT DISTINCT least(x.vec_id, y.vec_id) AS id_a,
+         |    greatest(x.vec_id, y.vec_id) AS id_b
+         |  FROM allp x JOIN banded y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+         |bp AS (
+         |  SELECT c.id_a, c.id_b FROM bcand c
+         |  JOIN embeddings x ON x.vec_id = c.id_a
+         |  JOIN embeddings y ON y.vec_id = c.id_b
+         |  WHERE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), 6) >= 0.4),
+         |mp AS (
+         |  SELECT c.id_a, c.id_b FROM mcand c
+         |  JOIN embeddings x ON x.vec_id = c.id_a
+         |  JOIN embeddings y ON y.vec_id = c.id_b
+         |  WHERE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), 6) >= 0.4),
+         |pcx AS ($cosineSql),
+         |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM pcx
+         |  WHERE query_id < cand_id AND cos >= 0.4),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_base FROM bp),
+         |nm AS (SELECT CAST(count(*) AS BIGINT) AS n_multiprobe FROM mp)
+         |SELECT CAST((SELECT bits FROM p) AS INTEGER) AS bits,
+         |  CAST((SELECT bands FROM p) AS INTEGER) AS bands,
+         |  n_exact, n_base, n_multiprobe,
+         |  CASE WHEN n_exact = 0 THEN 1.0
+         |    ELSE round(CAST(n_base AS DOUBLE) / n_exact, 6) END AS recall_base,
+         |  CASE WHEN n_exact = 0 THEN 1.0
+         |    ELSE round(CAST(n_multiprobe AS DOUBLE) / n_exact, 6) END AS recall_multiprobe,
+         |  TRUE AS multiprobe_superset,
+         |  TRUE AS gain_nonneg
+         |FROM ex CROSS JOIN nb CROSS JOIN nm""".stripMargin,
+    // q343: the two-sided RP bucket tables from the same plane CTEs; bits
+    // from the standing corpus's count, exactly like the Scala side
+    "q343_rplsh_dedup_across" ->
+      s"""WITH emb_c AS (SELECT * FROM embeddings WHERE vec_id % 2 = 0),
+         |emb_b AS (SELECT * FROM embeddings WHERE vec_id % 2 = 1),
+         |${rpPlanesCtes(16, "(SELECT count(*) AS n FROM emb_c)")},
+         |bc AS (
+         |  ${rpBucketSql("emb_c")}),
+         |bd AS (
+         |  ${rpBucketSql("emb_b")}),
+         |cand AS (
+         |  SELECT DISTINCT c.vec_id AS corpus_id, d.vec_id AS batch_id
+         |  FROM bc c JOIN bd d ON c.band = d.band AND c.bucket = d.bucket),
+         |pc AS (
+         |  SELECT c.corpus_id, c.batch_id,
+         |    round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+         |      CAST(y.embedding AS DOUBLE[])), 6) AS cos
+         |  FROM cand c
+         |  JOIN emb_c x ON x.vec_id = c.corpus_id
+         |  JOIN emb_b y ON y.vec_id = c.batch_id)
+         |SELECT corpus_id, batch_id, cos FROM pc WHERE cos >= 0.3""".stripMargin,
     // q34: adaptive bits, bands = greatest(1, least(3, 64 // bits)) —
     // identical arithmetic to the Scala registration
     "q34_ann_multiband" ->

@@ -750,6 +750,159 @@ object Similarity {
       .where(col("cos") >= threshold)
   }
 
+  /** MULTI-PROBE sign-LSH near-dup pairs (Lv et al. 2007, simplified to
+    * one probe per band): besides its base bucket, every vector also
+    * probes the bucket reached by flipping its LEAST-CONFIDENT bit — the
+    * band dimension with the smallest |value| (rounded to 6 dp, ties to
+    * the lower bit), i.e. the sign most likely to differ on a true
+    * neighbor. Candidates are (probe ∪ base) × base bucket matches, so
+    * the candidate set is a strict SUPERSET of [[lshNearDupPairs]]' at
+    * identical (bits, bands): recall can only rise, and the cost is one
+    * extra shuffle row per (vector, band) — the third knob of the LSH
+    * cost model (bits buys occupancy, bands buy recall at cost ∝ bands,
+    * probes buy recall at cost ∝ probes WITHOUT new hash tables; a
+    * production index probes T ≫ 1 buckets of a few wide tables instead
+    * of maintaining many narrow ones). Verified by exact rounded cosine
+    * ≥ `threshold`; a < b. Engine-parity: the flip position is an argmin
+    * over rounded |values| — deterministic and SQL-replayable, so the
+    * exact candidate set is oracle-checkable. */
+  def lshMultiProbeNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                                threshold: Double, bits: Int,
+                                bands: Int): DataFrame = {
+    require(bits >= 1 && bands >= 1,
+      s"lshMultiProbeNearDupPairs: need bits/bands >= 1, got $bits/$bands")
+    // two-stage: project every band's base bucket and flip position ONCE
+    // per row (one sign/argmin evaluation each), then explode cheap
+    // string surgery over the projected columns — a single mega-expression
+    // under the explode re-evaluated the sign kernels per struct element
+    // and overflowed whole-stage codegen into the interpreter (measured
+    // 7.5 s → this shape 2-3 s at sf0.1)
+    val projCols = col(idCol) +: (0 until bands).flatMap { b =>
+      val conf = array((0 until bits).map { j =>
+        // confidence rounds in DOUBLE space: float-typed round could land
+        // on a different nearest-float than the oracle's double round and
+        // flip the argmin tie
+        struct(round(abs(element_at(col(vecCol), b * bits + j + 1)
+          .cast("double")), 6).as("v"), lit(j).as("j"))
+      }: _*)
+      Seq(signBucket(col(vecCol), bits, b * bits).as(s"__b$b"),
+        (array_min(conf).getField("j") + 1).as(s"__p$b")) // 1-based flip pos
+    }
+    val projected = graft.core.CacheRegistry.persist(emb.select(projCols: _*))
+    def probeBucket(b: Int): Column = {
+      val base = col(s"__b$b")
+      val pos = col(s"__p$b")
+      concat(base.substr(lit(1), pos - 1),
+        when(base.substr(pos, lit(1)) === "1", lit("0")).otherwise(lit("1")),
+        base.substr(pos + 1, lit(bits)))
+    }
+    val baseCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"), col(s"__b$b").as("bucket"))
+    }
+    val probeCols = (0 until bands).flatMap { b =>
+      Seq(struct(lit(b).as("band"), col(s"__b$b").as("bucket")),
+        struct(lit(b).as("band"), probeBucket(b).as("bucket")))
+    }
+    val base = graft.core.CacheRegistry.persist(
+      projected.select(col(idCol), explode(array(baseCols: _*)).as("bb"))
+        .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket")))
+    val probes = projected.select(col(idCol), explode(array(probeCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cands = probes.toDF("id_x", "band", "bucket")
+      .join(base.toDF("id_y", "band", "bucket"), Seq("band", "bucket"))
+      .where(col("id_x") =!= col("id_y"))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+      .distinct()
+    val vecs = emb.select(col(idCol), col(vecCol), normF(col(vecCol)).as("norm"))
+    cands
+      .join(vecs.toDF("id_a", "va", "na"), Seq("id_a"))
+      .join(vecs.toDF("id_b", "vb", "nb"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dotF(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  /** Multi-probe GAIN contract: [[lshMultiProbeNearDupPairs]] vs
+    * [[lshNearDupPairs]] at identical (bits, bands) against the exact
+    * cosine-threshold judge. One row: (bits, bands, n_exact, n_base,
+    * n_multiprobe, recall_base, recall_multiprobe, multiprobe_superset,
+    * gain_nonneg) — superset and gain are STRUCTURAL (the probe table
+    * contains the base table), so both are oracle-pinned TRUE: a probe
+    * bucket that lost a base pair is a hash mismatch, not a quiet recall
+    * dip. */
+  def lshMultiProbeGainContract(emb: DataFrame, idCol: String, vecCol: String,
+                                threshold: Double, bits: Int,
+                                bands: Int): DataFrame = {
+    val exact = graft.core.CacheRegistry.persist(
+      nearDupPairs(emb, idCol, vecCol, threshold).select("id_a", "id_b"))
+    val base = graft.core.CacheRegistry.persist(
+      lshNearDupPairs(emb, idCol, vecCol, threshold, bits, bands)
+        .select("id_a", "id_b"))
+    val multi = graft.core.CacheRegistry.persist(
+      lshMultiProbeNearDupPairs(emb, idCol, vecCol, threshold, bits, bands)
+        .select("id_a", "id_b"))
+    val e = exact.agg(count(lit(1)).as("n_exact"))
+    val nb = base.agg(count(lit(1)).as("n_base"))
+    val nm = multi.agg(count(lit(1)).as("n_multiprobe"))
+    val baseInMulti = base.join(multi, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("__n_base_in"))
+    def recallOf(n: Column): Column =
+      when(col("n_exact") === 0L, lit(1.0))
+        .otherwise(round(n.cast("double") / col("n_exact"), 6))
+    e.crossJoin(nb).crossJoin(nm).crossJoin(baseInMulti)
+      .select(lit(bits).as("bits"), lit(bands).as("bands"),
+        col("n_exact"), col("n_base"), col("n_multiprobe"),
+        recallOf(col("n_base")).as("recall_base"),
+        recallOf(col("n_multiprobe")).as("recall_multiprobe"),
+        (col("__n_base_in") === col("n_base")).as("multiprobe_superset"),
+        (col("n_multiprobe") >= col("n_base")).as("gain_nonneg"))
+  }
+
+  /** Incremental (batch-vs-corpus) RP-LSH near-dup detection — the
+    * random-hyperplane twin of [[lshNearDupPairsAcross]], and the shape
+    * an embedding-indexed ingest runs when it needs BOTH scale-adaptive
+    * occupancy AND high recall (bands unbounded by dim): the standing
+    * corpus is never self-compared; each arriving batch's vectors bucket
+    * on the same md5-derandomized planes, candidates are (corpus, batch)
+    * pairs sharing at least one band bucket, verified by exact rounded
+    * cosine ≥ `threshold`. Returns (corpus_id, batch_id, cos).
+    *
+    * Scale shape: identical to [[lshNearDupPairsAcross]] — output bounded
+    * by the batch's collisions, never corpus²; in production the corpus
+    * bucket table is precomputed and appended to, so each run pays only
+    * the batch's plane projections. */
+  def rpLshNearDupPairsAcross(corpus: DataFrame, batch: DataFrame,
+                              idCol: String, vecCol: String,
+                              threshold: Double, bits: Int, bands: Int,
+                              dim: Int): DataFrame = {
+    require(bits >= 1 && bands >= 1 && dim >= 1,
+      s"rpLshNearDupPairsAcross: need bits/bands/dim >= 1, got $bits/$bands/$dim")
+    val planes = rpPlanes(bands, bits, dim)
+    def bucket(b: Int): Column = concat_ws("", (0 until bits).map { j =>
+      val plane = typedLit(planes(b * bits + j).toSeq)
+      when(dotF(col(vecCol), plane) >= 0d, "1").otherwise("0")
+    }: _*)
+    def bandTable(df: DataFrame): DataFrame = {
+      val bandCols = (0 until bands).map { b =>
+        struct(lit(b).as("band"), bucket(b).as("bucket"))
+      }
+      df.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+        .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    }
+    val cands = bandTable(corpus).toDF("corpus_id", "band", "bucket")
+      .join(bandTable(batch).toDF("batch_id", "band", "bucket"), Seq("band", "bucket"))
+      .select("corpus_id", "batch_id").distinct()
+    val cv = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("va"),
+      normF(col(vecCol)).as("na"))
+    val bv = batch.select(col(idCol).as("batch_id"), col(vecCol).as("vb"),
+      normF(col(vecCol)).as("nb"))
+    cands.join(cv, Seq("corpus_id")).join(bv, Seq("batch_id"))
+      .select(col("corpus_id"), col("batch_id"),
+        round(dotF(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
   /** Recall CONTRACT for [[rpLshNearDupPairs]] — [[lshRecallContract]]'s
     * twin for the random-hyperplane tier, certifying the claim that bands
     * buy back the recall the granularity rule spends: same exact

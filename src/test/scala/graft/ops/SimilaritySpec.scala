@@ -460,6 +460,35 @@ class SimilaritySpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy Similarity.recommendedBands(1, 0)
   }
 
+  test("lshMultiProbeNearDupPairs: flipping the least-confident bit finds " +
+    "the pair single-probe misses; candidates are a superset (contract " +
+    "laws pinned)") {
+    // two vectors that agree in sign everywhere EXCEPT dim 2, where both
+    // are tiny (the least-confident bit of band 0 at bits=4): single-probe
+    // separates them into different buckets, the flip probe reunites them
+    val a = Array(1f, 1f, 0.001f, 1f, 1f, 1f, 1f, 1f) ++ Array.fill(56)(1f)
+    val b = Array(1f, 1f, -0.001f, 1f, 1f, 1f, 1f, 1f) ++ Array.fill(56)(1f)
+    val c = Array.fill(64)(-1f) // unrelated
+    val emb = Seq((1L, a.toSeq), (2L, b.toSeq), (3L, c.toSeq))
+      .toDF("vec_id", "embedding")
+    val (single, multi, contract) = graft.core.CacheRegistry.scoped {
+      val s0 = Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 0.9, 4, 1)
+        .as[(Long, Long, Double)].collect().toSet
+      val m0 = Similarity.lshMultiProbeNearDupPairs(emb, "vec_id", "embedding", 0.9, 4, 1)
+        .as[(Long, Long, Double)].collect().toSet
+      val c0 = Similarity.lshMultiProbeGainContract(emb, "vec_id", "embedding", 0.9, 4, 1).head()
+      (s0, m0, c0)
+    }
+    graft.core.CacheRegistry.drain()
+    single shouldBe empty // signs differ at dim 2 → different 4-bit buckets
+    multi.map(p => (p._1, p._2)) shouldBe Set((1L, 2L))
+    contract.getAs[Long]("n_exact") shouldBe 1L
+    contract.getAs[Double]("recall_base") shouldBe 0.0
+    contract.getAs[Double]("recall_multiprobe") shouldBe 1.0
+    contract.getAs[Boolean]("multiprobe_superset") shouldBe true
+    contract.getAs[Boolean]("gain_nonneg") shouldBe true
+  }
+
   test("rpPlanes: deterministic ±1 from the md5 nibble parity, i.i.d.-ish " +
     "balance; rpLshNearDupPairs is a subset of exact with higher recall " +
     "headroom than the dim-capped band count") {
