@@ -85,7 +85,12 @@ class PlanSpec extends SparkSpec {
       for (q <- Seq("q25_ann_lsh_topk", "q34_ann_multiband",
         "q43_dedup_drop_lsh", "q44_embed_neardup_lsh", "q141_dup_weights",
         "q200_embed_dedup_across", "q263_margin_mates",
-        "q336_perceptual_neardup")) {
+        "q336_perceptual_neardup",
+        // round 7: random-hyperplane and multi-probe tiers obey the same
+        // law — plane projections and probe buckets are scan-stage, the
+        // candidate stage is a (band, bucket) equi-join
+        "q341_rplsh_neardup", "q343_rplsh_dedup_across",
+        "q344_lsh_multiprobe")) {
       // (q325/q335 also consume the banded pair table, but their audit
       // scalars ride a deliberate 1-row broadcast cross join — the gate
       // covers their pair generation via q141)
