@@ -1222,6 +1222,25 @@ object SparkEntry {
         Multimodal.asMediaTable(docs, "doc_id", "text", "text"),
         Multimodal.recommendedBands(docs.count()), 12)
     }),
+    // REAL container decode in the decode slot (not the md5-feature stub):
+    // synthesize byte-correct RIFF/WAVE PCM16 payloads (samples from the
+    // row's md5 chain so the oracle replays them WITHOUT byte parsing),
+    // then parse them back with an actual RIFF parser — magic checks,
+    // little-endian header fields, a sample fold to exact-integer
+    // features. MP3/FLAC decoders drop into the same mapPartitions slot.
+    "q346_wav_decode" -> ((s, dir) => {
+      val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
+      Multimodal.decodeWav(s,
+        Multimodal.synthesizeWav(s, docs, "doc_id", "text", 32, 16000))
+    }),
+    // the image twin: byte-correct binary Netpbm P6 payloads (ASCII
+    // header + md5-chain RGB planes), decoded by a real header parser +
+    // channel-sum fold; JPEG/PNG decoders drop into the same slot
+    "q347_ppm_decode" -> ((s, dir) => {
+      val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
+      Multimodal.decodePpm(s,
+        Multimodal.synthesizePpm(s, docs, "doc_id", "text", 4, 4))
+    }),
     // the banded perceptual path's recall vs the exact Hamming pair set,
     // driver-checked (the q217 contract device for the media tier), at
     // the same adaptive band count q336 registers
@@ -10644,6 +10663,34 @@ object SparkEntry {
         |  md5(text) AS content_hash, 'text' AS kind
         |FROM documents""".stripMargin,
     "q32_multimodal_decode" -> decodeSql,
+    // q346: every PCM sample replayed from the md5 chain — block j's 16
+    // digest bytes are 8 little-endian int16s (high hex pair || low), the
+    // features are exact integer folds
+    "q346_wav_decode" ->
+      """WITH bl AS (SELECT doc_id, text, unnest(generate_series(0, 3)) AS j FROM documents),
+        |hx AS (SELECT doc_id, j, md5(text || ':' || j) AS h FROM bl),
+        |smp AS (SELECT doc_id,
+        |    CAST(('0x' || substr(h, 4 * s + 3, 2) || substr(h, 4 * s + 1, 2)) AS INTEGER) AS u
+        |  FROM hx CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s)),
+        |sv AS (SELECT doc_id, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v FROM smp)
+        |SELECT doc_id AS id, CAST(16000 AS INTEGER) AS sample_rate,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS sum_sq,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak
+        |FROM sv GROUP BY 1""".stripMargin,
+    // q347: the 48 pixel bytes (4×4 RGB) replayed bytewise from the
+    // ':img:' md5 chain; channel = byte index mod 3
+    "q347_ppm_decode" ->
+      """WITH bl AS (SELECT doc_id, text, unnest(generate_series(0, 2)) AS j FROM documents),
+        |hx AS (SELECT doc_id, j, md5(text || ':img:' || j) AS h FROM bl),
+        |bytes AS (SELECT doc_id, j * 16 + m AS k,
+        |    CAST(('0x' || substr(h, 2 * m + 1, 2)) AS INTEGER) AS v
+        |  FROM hx CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS m))
+        |SELECT doc_id AS id, CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+        |  CAST(sum(CASE WHEN k % 3 = 0 THEN v END) AS BIGINT) AS sum_r,
+        |  CAST(sum(CASE WHEN k % 3 = 1 THEN v END) AS BIGINT) AS sum_g,
+        |  CAST(sum(CASE WHEN k % 3 = 2 THEN v END) AS BIGINT) AS sum_b
+        |FROM bytes GROUP BY 1""".stripMargin,
     // q336: every fingerprint BIT replayed — per content 4-gram the first
     // 16 md5 hex chars form the 64-bit vote word (char c, nibble bit b ↔
     // bit 64−4c+b); the (c, value) count grid folds the votes, nibbles

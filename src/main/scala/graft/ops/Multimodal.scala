@@ -306,6 +306,174 @@ object Multimodal {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Synthesize a REAL RIFF/WAVE payload (PCM16 mono little-endian) per
+    * row — the audio-modality fixture generator: sample bytes derive from
+    * the row's md5 chain (block j's 16 digest bytes of `md5(s"$text:$j")`
+    * are 8 consecutive little-endian int16 samples), so an engine with
+    * md5 can replay every sample value WITHOUT parsing bytes, while the
+    * payload itself is a byte-correct WAV any audio tool accepts. Output:
+    * (id, payload). */
+  def synthesizeWav(spark: SparkSession, docs: DataFrame, idCol: String,
+                    textCol: String, nSamples: Int,
+                    sampleRate: Int): DataFrame = {
+    require(nSamples >= 1 && sampleRate >= 1,
+      s"synthesizeWav: need nSamples/sampleRate >= 1, got $nSamples/$sampleRate")
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, text) =>
+          val dataSize = nSamples * 2
+          val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+            .put("WAVE".getBytes("US-ASCII"))
+            .put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1).putShort(1) // PCM, mono
+            .putInt(sampleRate).putInt(sampleRate * 2)
+            .putShort(2).putShort(16) // block align, bits
+            .put("data".getBytes("US-ASCII")).putInt(dataSize)
+          var k = 0
+          var j = 0
+          while (k < dataSize) {
+            md.reset()
+            val d = md.digest(s"$text:$j".getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+            var b = 0
+            while (b < 16 && k < dataSize) { bb.put(d(b)); k += 1; b += 1 }
+            j += 1
+          }
+          (id, bb.array())
+        }
+      }.toDF("id", "payload")
+  }
+
+  /** REAL audio decode in the [[fakeDecode]] slot — a byte-level RIFF/WAVE
+    * PCM16 parser (magic checks, little-endian header fields, a sample
+    * fold), NOT a stub: this is the proof the decode slot runs actual
+    * container parsing in-sandbox; heavyweight codecs (MP3/FLAC) drop
+    * into the same mapPartitions with a library call replacing the PCM
+    * branch. Emits exact-integer features so the oracle replays them to
+    * the bit: (id, sample_rate, n_samples, sum_sq, peak). Malformed
+    * payloads fail loudly (corrupt media should stop a pipeline, not
+    * silently zero its features). */
+  def decodeWav(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val bb = java.nio.ByteBuffer.wrap(payload)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          def magic(expect: String): Unit = {
+            val a = new Array[Byte](4); bb.get(a)
+            val got = new String(a, "US-ASCII")
+            require(got == expect, s"decodeWav[$id]: expected '$expect', got '$got'")
+          }
+          magic("RIFF"); bb.getInt; magic("WAVE")
+          magic("fmt ")
+          require(bb.getInt == 16, s"decodeWav[$id]: non-PCM fmt chunk")
+          require(bb.getShort == 1, s"decodeWav[$id]: not PCM")
+          require(bb.getShort == 1, s"decodeWav[$id]: not mono")
+          val rate = bb.getInt
+          bb.getInt; bb.getShort // byte rate, block align
+          require(bb.getShort == 16, s"decodeWav[$id]: not 16-bit")
+          magic("data")
+          val dataSize = bb.getInt
+          require(dataSize % 2 == 0 && bb.remaining() >= dataSize,
+            s"decodeWav[$id]: truncated data chunk")
+          var n = 0L
+          var sumSq = 0L
+          var peak = 0L
+          while (n * 2 < dataSize) {
+            val s = bb.getShort.toLong
+            sumSq += s * s
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            n += 1
+          }
+          (id, rate, n, sumSq, peak)
+        }
+      }.toDF("id", "sample_rate", "n_samples", "sum_sq", "peak")
+  }
+
+  /** Synthesize a REAL binary Netpbm P6 image per row — the image-modality
+    * twin of [[synthesizeWav]]: an ASCII "P6\n<w> <h>\n255\n" header
+    * followed by w·h RGB byte triples from the row's md5 chain (block j =
+    * `md5(s"$text:img:$j")`, bytes consumed in digest order). Output:
+    * (id, payload). */
+  def synthesizePpm(spark: SparkSession, docs: DataFrame, idCol: String,
+                    textCol: String, width: Int, height: Int): DataFrame = {
+    require(width >= 1 && height >= 1,
+      s"synthesizePpm: need width/height >= 1, got $width/$height")
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, text) =>
+          val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
+          val nBytes = width * height * 3
+          val out = new Array[Byte](header.length + nBytes)
+          System.arraycopy(header, 0, out, 0, header.length)
+          var k = 0
+          var j = 0
+          while (k < nBytes) {
+            md.reset()
+            val d = md.digest(s"$text:img:$j".getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+            var b = 0
+            while (b < 16 && k < nBytes) {
+              out(header.length + k) = d(b); k += 1; b += 1
+            }
+            j += 1
+          }
+          (id, out)
+        }
+      }.toDF("id", "payload")
+  }
+
+  /** REAL image decode in the [[fakeDecode]] slot — parses the variable-
+    * length ASCII P6 header (magic, whitespace-delimited dims, maxval)
+    * and folds the RGB planes to exact integer channel sums: (id, width,
+    * height, sum_r, sum_g, sum_b). Same contract as [[decodeWav]]:
+    * malformed payloads fail loudly; JPEG/PNG decoders drop into the same
+    * slot with a library call replacing the header parse. */
+  def decodePpm(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          var pos = 0
+          def token(): String = {
+            while (pos < payload.length && payload(pos).toChar.isWhitespace) pos += 1
+            val start = pos
+            while (pos < payload.length && !payload(pos).toChar.isWhitespace) pos += 1
+            new String(payload, start, pos - start, "US-ASCII")
+          }
+          require(token() == "P6", s"decodePpm[$id]: not a P6 payload")
+          val w = token().toInt
+          val h = token().toInt
+          require(token() == "255", s"decodePpm[$id]: unsupported maxval")
+          pos += 1 // single whitespace after maxval, per the P6 grammar
+          require(payload.length - pos >= w * h * 3,
+            s"decodePpm[$id]: truncated pixel data")
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var k = 0
+          val n = w * h
+          while (k < n) {
+            sr += payload(pos + 3 * k) & 0xff
+            sg += payload(pos + 3 * k + 1) & 0xff
+            sb += payload(pos + 3 * k + 2) & 0xff
+            k += 1
+          }
+          (id, w, h, sr, sg, sb)
+        }
+      }.toDF("id", "width", "height", "sum_r", "sum_g", "sum_b")
+  }
+
   /** Band count for the 64-bit perceptual Hamming LSH, derived from the
     * corpus size by the SCALE10X occupancy rule: per-band bucket space is
     * 2^width, the candidate join is quadratic in per-bucket occupancy, so

@@ -175,6 +175,73 @@ class MultimodalSpec extends SparkSpec {
       (5L, 6L, None, Some(0L), false, true, false))
   }
 
+  test("decodeWav: parses a hand-built RIFF payload byte-for-byte, " +
+    "round-trips the synthesizer, rejects corrupt magic") {
+    // golden fixture: 3 samples (100, -200, 32767) at 8 kHz, built by hand
+    val samples = Seq[Short](100, -200, 32767)
+    val bb = java.nio.ByteBuffer.allocate(44 + 6)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(42).put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(6)
+    samples.foreach(bb.putShort)
+    val media = Seq((7L, bb.array())).toDF("id", "payload")
+    val r = Multimodal.decodeWav(spark, media).head()
+    r.getAs[Int]("sample_rate") shouldBe 8000
+    r.getAs[Long]("n_samples") shouldBe 3L
+    r.getAs[Long]("sum_sq") shouldBe (100L * 100 + 200L * 200 + 32767L * 32767)
+    r.getAs[Long]("peak") shouldBe 32767L
+
+    // synth → decode round trip: features recompute from the md5 chain
+    val docs = Seq((1L, "hello"), (2L, "other words")).toDF("doc_id", "text")
+    val wavs = Multimodal.synthesizeWav(spark, docs, "doc_id", "text", 32, 16000)
+    val out = Multimodal.decodeWav(spark, wavs)
+      .orderBy("id").collect()
+    out.map(_.getAs[Long]("n_samples")).toSeq shouldBe Seq(32L, 32L)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val data = (0 until 4).flatMap { j =>
+      md.reset(); md.digest(s"hello:$j".getBytes("UTF-8")).toSeq
+    }.toArray
+    val sb = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val expect = (0 until 32).map(_ => sb.getShort.toLong)
+    out.head.getAs[Long]("sum_sq") shouldBe expect.map(s => s * s).sum
+    out.head.getAs[Long]("peak") shouldBe expect.map(math.abs).max
+
+    val corrupt = Seq((9L, "JUNK".getBytes("US-ASCII") ++ bb.array().drop(4)))
+      .toDF("id", "payload")
+    an[Exception] should be thrownBy Multimodal.decodeWav(spark, corrupt).head()
+  }
+
+  test("decodePpm: parses the variable-length ASCII header (multi-digit " +
+    "dims), exact channel sums, rejects non-P6") {
+    // 2x1 image: pixels (1,2,3) and (250, 0, 128), header built by hand
+    val header = "P6\n2 1\n255\n".getBytes("US-ASCII")
+    val px = Array[Byte](1, 2, 3, 250.toByte, 0, 128.toByte)
+    val media = Seq((3L, header ++ px)).toDF("id", "payload")
+    val r = Multimodal.decodePpm(spark, media).head()
+    r.getAs[Int]("width") shouldBe 2
+    r.getAs[Int]("height") shouldBe 1
+    (r.getAs[Long]("sum_r"), r.getAs[Long]("sum_g"), r.getAs[Long]("sum_b")) shouldBe
+      ((251L, 2L, 131L))
+
+    // multi-digit dims exercise the tokenizer: 12x10 from the synthesizer
+    val docs = Seq((1L, "hello")).toDF("doc_id", "text")
+    val img = Multimodal.synthesizePpm(spark, docs, "doc_id", "text", 12, 10)
+    val d = Multimodal.decodePpm(spark, img).head()
+    d.getAs[Int]("width") shouldBe 12
+    d.getAs[Int]("height") shouldBe 10
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bytes = (0 until 23).flatMap { j =>
+      md.reset(); md.digest(s"hello:img:$j".getBytes("UTF-8")).toSeq
+    }.take(12 * 10 * 3).map(_ & 0xff)
+    d.getAs[Long]("sum_r") shouldBe bytes.zipWithIndex.collect { case (v, k) if k % 3 == 0 => v.toLong }.sum
+    d.getAs[Long]("sum_b") shouldBe bytes.zipWithIndex.collect { case (v, k) if k % 3 == 2 => v.toLong }.sum
+
+    val notP6 = Seq((4L, "P5\n2 1\n255\n".getBytes("US-ASCII") ++ px)).toDF("id", "payload")
+    an[Exception] should be thrownBy Multimodal.decodePpm(spark, notP6).head()
+  }
+
   test("orphanAudit: byte accounting over the reference set, empty refs") {
     val m = Multimodal.asMediaTable(
       Seq((1L, "hello"), (2L, "abc"), (3L, "xy")).toDF("id", "content"),
