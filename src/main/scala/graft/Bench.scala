@@ -40,9 +40,30 @@ object Bench {
   private val mirror = new java.io.File(
     if (isFiltered) "bench_results.partial.json" else "bench_results.json")
     .getAbsoluteFile
+  // in-progress lines land in a temp mirror; only a COMPLETED run renames
+  // it over the real mirror (atomic). A run killed mid-suite must not
+  // leave its partial per-query map looking like the committed baseline —
+  // round 6's baseline was clobbered exactly that way, poisoning the next
+  // run's timeout/outlier history (the same failure mode the FILTERED
+  // split fixes for profiling runs).
+  private val mirrorInProgress =
+    new java.io.File(mirror.getPath + ".inprogress").getAbsoluteFile
   // children must not write the mirror: their partial (group-only) lines
   // would race the parent's merged writes over the same file
   private val isChild = sys.env.contains("SPARK_GRAFT_SHARD")
+
+  /** Atomically promote the in-progress mirror to the real one — called
+    * exactly once, after the final complete line of a finished run. */
+  private def finalizeMirror(): Unit =
+    if (!isChild && mirrorInProgress.isFile) {
+      try java.nio.file.Files.move(mirrorInProgress.toPath, mirror.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch { case _: Throwable =>
+        java.nio.file.Files.move(mirrorInProgress.toPath, mirror.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
 
   private def emitLine(results: collection.Map[String, Double], sfDir: String): Unit = {
     val qs = results.map { case (k, v) => jsonStr(k) + ":" + v }
@@ -57,7 +78,7 @@ object Bench {
     println(line)
     Console.out.flush()
     if (!isChild) {
-      val w = new java.io.PrintWriter(mirror, "UTF-8")
+      val w = new java.io.PrintWriter(mirrorInProgress, "UTF-8")
       try w.println(line) finally w.close()
     }
   }
@@ -128,9 +149,9 @@ object Bench {
     else orchestrate(sfDir, selected.map(_._1), shards)
   }
 
-  /** Per-query times from the LAST committed bench_results.json — read
-    * ONCE at orchestrator start, before the first emitLine overwrites the
-    * mirror. Used for (a) child wall-clock timeouts (3× the shard's
+  /** Per-query times from the LAST committed bench_results.json (which,
+    * since the atomic-rename split, only ever holds COMPLETED runs).
+    * Used for (a) child wall-clock timeouts (3× the shard's
     * historical total) and (b) outlier detection (> 2.5× the committed
     * time). Missing file / unparseable → empty (no timeouts beyond the
     * floor, no outlier pass). */
@@ -246,9 +267,13 @@ object Bench {
       // timeout: 3× the shard's committed historical total (unknown
       // queries budgeted 3 s each), floored at 900 s — generous enough
       // for cold JIT + documented host noise, bounded enough that one
-      // hung child can never block the round's perf gate
+      // hung child can never block the round's perf gate. With NO history
+      // at this scale factor (first run at a new SF) the 3 s default
+      // would under-budget a legitimately slow shard and record its
+      // queries as -1 — effectively disable the timeout instead (24 h).
       val histSum = group.map(q => hist.getOrElse(q, 3.0).max(0.0)).sum
-      val timeout = math.max(900L, (3 * histSum).toLong)
+      val timeout =
+        if (hist.isEmpty) 86400L else math.max(900L, (3 * histSum).toLong)
       System.err.println(s"[bench] shard ${gi + 1}/${groups.size}: " +
         s"${group.size} queries (${group.head}..${group.last}), " +
         f"historical ${histSum}%.1f s, timeout $timeout s")
@@ -298,6 +323,7 @@ object Bench {
         })
     }
     emitLine(results, sfDir)
+    finalizeMirror()
     emitCompactFinal(results, sfDir)
   }
 
@@ -362,6 +388,7 @@ object Bench {
     // line of the whole sbt invocation (rounds 1-3: driver parsed=null
     // despite valid per-query lines in the tail)
     emitLine(results, sfDir)
+    finalizeMirror()
     if (inProcessEmit) emitCompactFinal(results, sfDir)
   }
 }

@@ -10667,7 +10667,8 @@ object SparkEntry {
     // digest bytes are 8 little-endian int16s (high hex pair || low), the
     // features are exact integer folds
     "q346_wav_decode" ->
-      """WITH bl AS (SELECT doc_id, text, unnest(generate_series(0, 3)) AS j FROM documents),
+      """WITH bl AS (SELECT doc_id, text, unnest(generate_series(0, 3)) AS j
+        |  FROM documents WHERE text IS NOT NULL),
         |hx AS (SELECT doc_id, j, md5(text || ':' || j) AS h FROM bl),
         |smp AS (SELECT doc_id,
         |    CAST(('0x' || substr(h, 4 * s + 3, 2) || substr(h, 4 * s + 1, 2)) AS INTEGER) AS u
@@ -10681,7 +10682,8 @@ object SparkEntry {
     // q347: the 48 pixel bytes (4×4 RGB) replayed bytewise from the
     // ':img:' md5 chain; channel = byte index mod 3
     "q347_ppm_decode" ->
-      """WITH bl AS (SELECT doc_id, text, unnest(generate_series(0, 2)) AS j FROM documents),
+      """WITH bl AS (SELECT doc_id, text, unnest(generate_series(0, 2)) AS j
+        |  FROM documents WHERE text IS NOT NULL),
         |hx AS (SELECT doc_id, j, md5(text || ':img:' || j) AS h FROM bl),
         |bytes AS (SELECT doc_id, j * 16 + m AS k,
         |    CAST(('0x' || substr(h, 2 * m + 1, 2)) AS INTEGER) AS v

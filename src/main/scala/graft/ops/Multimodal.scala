@@ -311,15 +311,19 @@ object Multimodal {
     * the row's md5 chain (block j's 16 digest bytes of `md5(s"$text:$j")`
     * are 8 consecutive little-endian int16 samples), so an engine with
     * md5 can replay every sample value WITHOUT parsing bytes, while the
-    * payload itself is a byte-correct WAV any audio tool accepts. Output:
-    * (id, payload). */
+    * payload itself is a byte-correct WAV any audio tool accepts. NULL
+    * texts are filtered out (a NULL has no md5 chain: the Scala
+    * interpolation would otherwise coin the literal string "null" while
+    * any SQL replay NULL-propagates — a silent engine divergence).
+    * Output: (id, payload). */
   def synthesizeWav(spark: SparkSession, docs: DataFrame, idCol: String,
                     textCol: String, nSamples: Int,
                     sampleRate: Int): DataFrame = {
     require(nSamples >= 1 && sampleRate >= 1,
       s"synthesizeWav: need nSamples/sampleRate >= 1, got $nSamples/$sampleRate")
     import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol))
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -381,6 +385,10 @@ object Multimodal {
           require(bb.getShort == 16, s"decodeWav[$id]: not 16-bit")
           magic("data")
           val dataSize = bb.getInt
+          // dataSize >= 0 first: a corrupt negative size passes both the
+          // parity and the remaining() checks (-2 % 2 == 0; remaining >=
+          // negative is vacuously true) and would silently zero the fold
+          require(dataSize >= 0, s"decodeWav[$id]: negative data chunk size")
           require(dataSize % 2 == 0 && bb.remaining() >= dataSize,
             s"decodeWav[$id]: truncated data chunk")
           var n = 0L
@@ -401,14 +409,16 @@ object Multimodal {
   /** Synthesize a REAL binary Netpbm P6 image per row — the image-modality
     * twin of [[synthesizeWav]]: an ASCII "P6\n<w> <h>\n255\n" header
     * followed by w·h RGB byte triples from the row's md5 chain (block j =
-    * `md5(s"$text:img:$j")`, bytes consumed in digest order). Output:
+    * `md5(s"$text:img:$j")`, bytes consumed in digest order). NULL texts
+    * are filtered out, same contract as [[synthesizeWav]]. Output:
     * (id, payload). */
   def synthesizePpm(spark: SparkSession, docs: DataFrame, idCol: String,
                     textCol: String, width: Int, height: Int): DataFrame = {
     require(width >= 1 && height >= 1,
       s"synthesizePpm: need width/height >= 1, got $width/$height")
     import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol))
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -458,7 +468,10 @@ object Multimodal {
           val h = token().toInt
           require(token() == "255", s"decodePpm[$id]: unsupported maxval")
           pos += 1 // single whitespace after maxval, per the P6 grammar
-          require(payload.length - pos >= w * h * 3,
+          require(w >= 1 && h >= 1, s"decodePpm[$id]: invalid dims ${w}x$h")
+          // w*h*3 in LONG: adversarial large dims overflow Int and could
+          // wrap the length check positive-and-small
+          require(payload.length.toLong - pos >= w.toLong * h * 3,
             s"decodePpm[$id]: truncated pixel data")
           var (sr, sg, sb) = (0L, 0L, 0L)
           var k = 0

@@ -847,14 +847,23 @@ object Similarity {
     val nm = multi.agg(count(lit(1)).as("n_multiprobe"))
     val baseInMulti = base.join(multi, Seq("id_a", "id_b"), "left_semi")
       .agg(count(lit(1)).as("__n_base_in"))
+    // recall columns count only pairs that ARE exact pairs (∩ exact),
+    // mirroring lshRecallContract's 'stays honest' rule: while the verify
+    // filter holds the intersections equal the raw counts, but if it ever
+    // broke the metric must not overstate in exactly that failure mode
+    val baseInExact = base.join(exact, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("__n_base_x"))
+    val multiInExact = multi.join(exact, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("__n_multi_x"))
     def recallOf(n: Column): Column =
       when(col("n_exact") === 0L, lit(1.0))
         .otherwise(round(n.cast("double") / col("n_exact"), 6))
     e.crossJoin(nb).crossJoin(nm).crossJoin(baseInMulti)
+      .crossJoin(baseInExact).crossJoin(multiInExact)
       .select(lit(bits).as("bits"), lit(bands).as("bands"),
         col("n_exact"), col("n_base"), col("n_multiprobe"),
-        recallOf(col("n_base")).as("recall_base"),
-        recallOf(col("n_multiprobe")).as("recall_multiprobe"),
+        recallOf(col("__n_base_x")).as("recall_base"),
+        recallOf(col("__n_multi_x")).as("recall_multiprobe"),
         (col("__n_base_in") === col("n_base")).as("multiprobe_superset"),
         (col("n_multiprobe") >= col("n_base")).as("gain_nonneg"))
   }
