@@ -306,19 +306,23 @@ object SparkEntry {
     // 10× corpus, measured against today's exact pair set — wider bands
     // buy occupancy with recall, and the floor is an oracle-pinned TRUE
     // so a recall collapse is a hash mismatch, not scaladoc prose.
-    // The floor is LOW (0.1) and that is the honest number: this corpus's
-    // exact pairs sit at cos ≈ 0.4–0.5 (no planted high-cosine dups), and
-    // the sign-LSH collision curve p = 1 − θ/π gives p^8 ≈ 0.03 per band
-    // there — measured recall 0.47 (sf0.01) / 0.20 (sf0.1). Strong dups
-    // (cos ≥ 0.8, p^8 ≈ 0.3) keep high recall at the same calibration;
-    // a corpus needing high TAIL recall at a weak threshold buys it with
-    // more bands (cost ∝ bands), not narrower buckets (cost ∝ N²/2^bits).
+    // The floor is MODEL-DERIVED (VERDICT r7 #2): half the closed-form
+    // sign-LSH collision curve at this (threshold, bits, bands) — it
+    // falls with the derived calibration exactly as measured recall does
+    // (0.47/0.20/0.032 measured vs 0.41/0.18/0.031 model across three
+    // decades), so the contract holds at EVERY scale instead of failing
+    // off-gate at 10× the way the old SF-pinned 0.1 did. This corpus's
+    // exact pairs sit at cos ≈ 0.4–0.5 (no planted high-cosine dups) —
+    // the worst case for sign-LSH; a corpus needing high TAIL recall at
+    // a weak threshold buys it with more bands (cost ∝ bands), not
+    // narrower buckets (cost ∝ N²/2^bits).
     "q340_lsh_recall_scaled" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val n10 = 10L * cachedCount(s, dir, "embeddings")(emb)
+      val bits = Similarity.recommendedBits(n10)
+      val bands = Similarity.recommendedBands(n10, 64)
       Similarity.lshRecallContract(emb, "vec_id", "embedding", 0.4,
-        Similarity.recommendedBits(n10), Similarity.recommendedBands(n10, 64),
-        0.1)
+        bits, bands, Similarity.modelRecallFloor(0.4, bits, bands))
     }),
     // RANDOM-HYPERPLANE sign-LSH (Charikar 2002), md5-derandomized so the
     // oracle replays every bucket bit: bands UNBOUNDED by the vector's 64
@@ -333,11 +337,16 @@ object SparkEntry {
     }),
     // the recall contract certifying the bands-buy-recall claim at the
     // same adaptive bits q44 runs (floor oracle-pinned TRUE; measured
-    // 1.0 at sf0.01 / 0.94 at sf0.1)
+    // 1.0 at sf0.01 / 0.94 at sf0.1). Floor MODEL-DERIVED like q340's:
+    // half the closed-form curve at (0.4, bits, 16) — RP planes ARE the
+    // i.i.d. hyperplanes the model assumes, so it tracks tightly (model
+    // 0.94 at sf0.1 vs measured 0.94) and travels to any scale where the
+    // old SF-pinned 0.7 was gate-only.
     "q342_rplsh_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      val bits = Similarity.recommendedBits(cachedCount(s, dir, "embeddings")(emb))
       Similarity.rpLshRecallContract(emb, "vec_id", "embedding", 0.4,
-        Similarity.recommendedBits(cachedCount(s, dir, "embeddings")(emb)), 16, 64, 0.7)
+        bits, 16, 64, Similarity.modelRecallFloor(0.4, bits, 16))
     }),
     // MULTI-PROBE sign-LSH (Lv et al. 2007): each vector also probes the
     // bucket at its least-confident bit flipped — the third LSH knob
@@ -10465,8 +10474,9 @@ object SparkEntry {
          |  JOIN embeddings y ON y.vec_id = c.id_b)
          |SELECT id_a, id_b, cos FROM pc WHERE cos >= 0.4""".stripMargin,
     // q342: the q341 machinery judged against the exact pair set; subset
-    // + floor pinned as literal TRUE (floor 0.7: measured 1.0 at sf0.01,
-    // 0.94 at sf0.1 — the 16-band recall the dim-capped tier cannot reach)
+    // + floor pinned as literal TRUE (floor = half the closed-form model
+    // at (0.4, bits, 16): measured 1.0 at sf0.01 / 0.94 at sf0.1 — the
+    // 16-band recall the dim-capped tier cannot reach)
     "q342_rplsh_recall" ->
       s"""WITH ${rpBandedCtes(16)},
          |bp AS (
