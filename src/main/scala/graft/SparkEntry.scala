@@ -1274,6 +1274,36 @@ object SparkEntry {
       Multimodal.decodePpm(s,
         Multimodal.synthesizePpm(s, docs, "doc_id", "text", 4, 4))
     }),
+    // CONTAINER-TRUE perceptual near-dup (VERDICT r7 #1): the fingerprint
+    // input is REAL DECODED PIXELS, not the utf-8 stub — synthesize a
+    // binary Netpbm P6 per row whose 16-byte pixel blocks sample the
+    // text's words (block j keys md5 on word ⌊j·nWords/12⌋, so texts
+    // differing in a few words decode to images differing in a few
+    // blocks — the local-edit structure a perceptual hash exists to
+    // capture), parse it back with the real P6 parser, fingerprint the
+    // decoded per-pixel luma grid, band-join on the 64-bit SimHash
+    // exactly like q336. The md5-chain synthesis keeps every pixel
+    // byte — and therefore every fingerprint bit — oracle-replayable
+    // WITHOUT byte parsing (the q346/q347 device).
+    "q348_ppm_neardup_real" -> ((s, dir) => {
+      val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
+      val media = Multimodal.synthesizePpmFromWords(s, docs, "doc_id", "text", 8, 8)
+      val fps = graft.core.CacheRegistry.persist(
+        Multimodal.perceptualHash64Content(s, Multimodal.ppmLumaContent(s, media)))
+      Multimodal.perceptualNearDupPairsOn(fps,
+        Multimodal.recommendedBands(cachedCount(s, dir, "documents")(docs)), 12)
+    }),
+    // the container-true chain's recall contract (q337's device over real
+    // decoded pixels): banded pairs vs the exact Hamming pair set at the
+    // same adaptive band count, subset pinned TRUE
+    "q349_ppm_recall_real" -> ((s, dir) => {
+      val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
+      val media = Multimodal.synthesizePpmFromWords(s, docs, "doc_id", "text", 8, 8)
+      val fps = graft.core.CacheRegistry.persist(
+        Multimodal.perceptualHash64Content(s, Multimodal.ppmLumaContent(s, media)))
+      Multimodal.perceptualRecallContractOn(fps,
+        Multimodal.recommendedBands(cachedCount(s, dir, "documents")(docs)), 12)
+    }),
     // the banded perceptual path's recall vs the exact Hamming pair set,
     // driver-checked (the q217 contract device for the media tier), at
     // the same adaptive band count q336 registers
@@ -2988,14 +3018,15 @@ object SparkEntry {
        |  i -> array_to_string(ts[i:i+${n - 1}], ' ')))) AS shingle
        |FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM $rel)""".stripMargin
 
-  /** q336/q337/q338: the 64-bit perceptual fingerprint replayed bit-exact
-    * — per content 4-gram the first 16 md5 hex chars form the vote word
-    * (char c, nibble bit b ↔ bit 64−4c+b); the (c, value) count grid
-    * folds the votes, nibbles reassemble via a 16-row HUGEINT multiplier
-    * table with a two's-complement wrap to BIGINT. CTEs are `p`-prefixed
-    * so the chain composes with the shingle/jaccard CTEs (q338). Ends at
-    * `pfps(id, fp)`. */
-  private val perceptualFpsCtes: String = {
+  /** q336/q337/q338 (and, over the decoded-luma relation, q348/q349): the
+    * 64-bit perceptual fingerprint replayed bit-exact — per content 4-gram
+    * the first 16 md5 hex chars form the vote word (char c, nibble bit b ↔
+    * bit 64−4c+b); the (c, value) count grid folds the votes, nibbles
+    * reassemble via a 16-row HUGEINT multiplier table with a
+    * two's-complement wrap to BIGINT. `rel` is any relation with
+    * (doc_id, text). CTEs are `p`-prefixed so the chain composes with the
+    * shingle/jaccard CTEs (q338). Ends at `pfps(id, fp)`. */
+  private def perceptualFpsCtesOver(rel: String): String = {
     val multipliers = (1 to 16)
       .map(c => s"($c, CAST('${BigInt(16).pow(16 - c)}' AS HUGEINT))")
       .mkString(", ")
@@ -3003,7 +3034,7 @@ object SparkEntry {
        |    substr(md5(unnest(list_transform(
        |      generate_series(1, len(text) - 3),
        |      i -> substr(text, i, 4)))), 1, 16) AS h
-       |  FROM documents WHERE text IS NOT NULL),
+       |  FROM $rel WHERE text IS NOT NULL),
        |pcs AS (SELECT unnest(generate_series(1, 16)) AS c),
        |pgrid AS (SELECT doc_id, c,
        |    strpos('0123456789abcdef', substr(h, c, 1)) - 1 AS v,
@@ -3024,8 +3055,33 @@ object SparkEntry {
        |      WHEN f.u >= CAST('9223372036854775808' AS HUGEINT)
        |        THEN f.u - CAST('18446744073709551616' AS HUGEINT)
        |      ELSE f.u END AS BIGINT) AS fp
-       |  FROM documents d LEFT JOIN pfpu f USING (doc_id))""".stripMargin
+       |  FROM $rel d LEFT JOIN pfpu f USING (doc_id))""".stripMargin
   }
+
+  private val perceptualFpsCtes: String = perceptualFpsCtesOver("documents")
+
+  /** q348/q349: the CONTAINER-TRUE decoded-luma content replayed WITHOUT
+    * byte parsing — pixel block j of the word-sampled P6 synthesis
+    * ([[graft.ops.Multimodal.synthesizePpmFromWords]], 8×8 = 12 blocks)
+    * is `md5(word_{⌊j·nWords/12⌋} || ':pximg:' || j)`, its 16 digest
+    * bytes are consecutive hex pairs, and per-pixel luma is the sum of 3
+    * consecutive bytes — exactly what the real P6 parser emits after
+    * walking the actual payload. Ends at `rdocs(doc_id, text)`, the
+    * (id, decoded-content) relation the fingerprint grid then consumes. */
+  private val ppmRealContentCtes: String =
+    """rwords AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |  FROM documents WHERE text IS NOT NULL),
+      |rblk AS (SELECT doc_id, j,
+      |    md5(ws[(j * len(ws)) // 12 + 1] || ':pximg:' || j) AS h
+      |  FROM rwords CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS j)),
+      |rbytes AS (SELECT doc_id, j * 16 + m AS k,
+      |    CAST(('0x' || substr(h, 2 * m + 1, 2)) AS INTEGER) AS v
+      |  FROM rblk CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS m)),
+      |rluma AS (SELECT doc_id, k // 3 AS px, CAST(sum(v) AS BIGINT) AS luma
+      |  FROM rbytes GROUP BY 1, 2),
+      |rdocs AS (SELECT doc_id,
+      |    string_agg(CAST(luma AS VARCHAR), ' ' ORDER BY px) AS text
+      |  FROM rluma GROUP BY 1)""".stripMargin
 
   /** The SCALE-ADAPTIVE band bucket join over `pfps` — ends at
     * `pcand(id_a, id_b)` (deduped, a < b). Band WIDTH mirrors
@@ -10742,6 +10798,38 @@ object SparkEntry {
          |FROM pcand c JOIN pfps fa ON c.id_a = fa.id
          |JOIN pfps fb ON c.id_b = fb.id
          |WHERE bit_count(xor(fa.fp, fb.fp)) <= 12""".stripMargin,
+    // q348: the container-true chain — decoded-luma content (rdocs)
+    // replayed from the word-sampled md5 chain, then the SAME fingerprint
+    // grid + scale-adaptive band tail as q336 (pnn still counts documents,
+    // the corpus the Scala side calibrates on)
+    "q348_ppm_neardup_real" ->
+      s"""WITH $ppmRealContentCtes,
+         |${perceptualFpsCtesOver("rdocs")},
+         |$perceptualBandTailCtes
+         |SELECT c.id_a, c.id_b,
+         |  CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS hamming
+         |FROM pcand c JOIN pfps fa ON c.id_a = fa.id
+         |JOIN pfps fb ON c.id_b = fb.id
+         |WHERE bit_count(xor(fa.fp, fb.fp)) <= 12""".stripMargin,
+    // q349: q337's recall-contract tail over the container-true
+    // fingerprints; subset pinned TRUE
+    "q349_ppm_recall_real" ->
+      s"""WITH $ppmRealContentCtes,
+         |${perceptualFpsCtesOver("rdocs")},
+         |$perceptualBandTailCtes,
+         |banded AS (SELECT c.id_a, c.id_b
+         |  FROM pcand c JOIN pfps fa ON c.id_a = fa.id
+         |  JOIN pfps fb ON c.id_b = fb.id
+         |  WHERE bit_count(xor(fa.fp, fb.fp)) <= 12),
+         |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM pfps a JOIN pfps b ON a.id < b.id
+         |  WHERE bit_count(xor(a.fp, b.fp)) <= 12),
+         |bn AS (SELECT CAST(count(*) AS BIGINT) AS n_banded FROM banded)
+         |SELECT n_exact, n_banded,
+         |  CASE WHEN n_exact = 0 THEN 1.0
+         |    ELSE round(CAST(n_banded AS DOUBLE) / n_exact, 6) END AS recall,
+         |  TRUE AS banded_subset_exact
+         |FROM ex CROSS JOIN bn""".stripMargin,
     // q337: the q217 recall-contract device for the perceptual tier —
     // exact Hamming pair count vs the banded set's; subset pinned TRUE
     // (the banded path verifies with the same exact filter)

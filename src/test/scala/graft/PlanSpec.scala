@@ -90,7 +90,10 @@ class PlanSpec extends SparkSpec {
         // law — plane projections and probe buckets are scan-stage, the
         // candidate stage is a (band, bucket) equi-join
         "q341_rplsh_neardup", "q343_rplsh_dedup_across",
-        "q344_lsh_multiprobe")) {
+        "q344_lsh_multiprobe",
+        // round 8: the container-true chain bands the same 8-byte
+        // fingerprints — real P6 decode is scan-stage, never join-stage
+        "q348_ppm_neardup_real")) {
       // (q325/q335 also consume the banded pair table, but their audit
       // scalars ride a deliberate 1-row broadcast cross join — the gate
       // covers their pair generation via q141)

@@ -242,6 +242,67 @@ class MultimodalSpec extends SparkSpec {
     an[Exception] should be thrownBy Multimodal.decodePpm(spark, notP6).head()
   }
 
+  test("synthesizePpmFromWords + ppmLumaContent: real P6 round trip, " +
+    "luma values replay from the word-sampled md5 chain") {
+    val docs = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val media = Multimodal.synthesizePpmFromWords(spark, docs, "doc_id", "text", 8, 8)
+    // the payload is a byte-correct P6 the real parser accepts
+    val dec = Multimodal.decodePpm(spark, media).head()
+    dec.getAs[Int]("width") shouldBe 8
+    dec.getAs[Int]("height") shouldBe 8
+    // luma content = r+g+b per pixel over the md5-chain bytes, in raster
+    // order: recompute by hand from the sampled words
+    val words = "alpha beta gamma delta".split(" ", -1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bytes = (0 until 12).flatMap { j =>
+      md.reset()
+      md.digest(s"${words((j * words.length) / 12)}:pximg:$j".getBytes("UTF-8")).toSeq
+    }.map(_ & 0xff)
+    val expect = bytes.grouped(3).map(_.sum).mkString(" ")
+    Multimodal.ppmLumaContent(spark, media)
+      .as[(Long, String)].head()._2 shouldBe expect
+    // block alignment guard: 4x4x3 = 48 is a multiple of 16, 5x5x3 is not
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.synthesizePpmFromWords(spark, docs, "doc_id", "text", 5, 5)
+    // NULL texts are filtered, not coined as the string "null"
+    val withNull = Seq((1L, Option("alpha beta")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    Multimodal.synthesizePpmFromWords(spark, withNull, "doc_id", "text", 8, 8)
+      .count() shouldBe 1L
+  }
+
+  test("container-true perceptual chain: word-level edits decode to " +
+    "nearby images, unrelated texts to far ones") {
+    val base = (1 to 24).map(i => s"w$i").mkString(" ")
+    val oneEdit = base.replace("w7", "zz") // one word of 24 substituted
+    val unrelated = (1 to 24).map(i => s"v$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, oneEdit), (3L, unrelated), (4L, base))
+      .toDF("doc_id", "text")
+    val media = Multimodal.synthesizePpmFromWords(spark, docs, "doc_id", "text", 8, 8)
+    val fp = Multimodal.perceptualHash64Content(
+        spark, Multimodal.ppmLumaContent(spark, media))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    ham(fp(1L), fp(4L)) shouldBe 0 // exact dup: identical image
+    // one substituted word changes ~1 of 12 pixel blocks: small Hamming
+    ham(fp(1L), fp(2L)) should be < 13
+    // unrelated words change every block: pseudo-random distance
+    ham(fp(1L), fp(3L)) should be > 13
+    // the composed pair query finds exactly the planted structure
+    val pairs = graft.core.CacheRegistry.scoped {
+      val fps = graft.core.CacheRegistry.persist(
+        Multimodal.perceptualHash64Content(
+          spark, Multimodal.ppmLumaContent(spark, media)))
+      Multimodal.perceptualNearDupPairsOn(fps, 16, 12)
+        .as[(Long, Long, Long)].collect().toSet
+    }
+    graft.core.CacheRegistry.drain()
+    pairs.map(p => (p._1, p._2)) should contain allOf ((1L, 4L), (1L, 2L), (2L, 4L))
+    pairs.map(p => (p._1, p._2)).foreach { case (a, b) =>
+      Set(a, b) should not contain 3L
+    }
+  }
+
   test("orphanAudit: byte accounting over the reference set, empty refs") {
     val m = Multimodal.asMediaTable(
       Seq((1L, "hello"), (2L, "abc"), (3L, "xy")).toDF("id", "content"),
