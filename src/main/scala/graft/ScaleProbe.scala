@@ -19,8 +19,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Usage: `sbt "runMain graft.ScaleProbe /tmp/scale10x"` — one JSON line
   * of per-probe {sec, rows}. Generate fixtures with
-  * `tools/make_scale_fixture.py <src_sf> <out> <reps>`.
-  */
+  * `tools/make_scale_fixture.py <src_sf> <out> <reps> [--plant-strong]`.
+  * SPARK_GRAFT_PROBES overrides the probe list (comma-separated exact
+  * names) — e.g. the recall tiers against the planted-strong-pair
+  * fixture. */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
@@ -33,10 +35,32 @@ object ScaleProbe {
       .config("spark.local.dir", System.getProperty("java.io.tmpdir"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val probes = Seq("q43_dedup_drop_lsh", "q44_embed_neardup_lsh",
-      "q38_ivf_topk", "q336_perceptual_neardup")
+    val probes = sys.env.get("SPARK_GRAFT_PROBES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq("q43_dedup_drop_lsh", "q44_embed_neardup_lsh",
+        "q38_ivf_topk", "q336_perceptual_neardup"))
+    // ad-hoc probes beyond the registry: the strong-threshold (cos 0.8)
+    // PAIR operators alone — without the O(N²) exact judge their recall
+    // contracts carry — so the planted-strong-pair fixture can measure
+    // the operator's wall, not the judge's (SCALE10X round-8 rows)
+    def strongPairProbes(name: String): Option[(SparkSession, String) => DataFrame] =
+      name match {
+        case "rplsh_pairs_strong" => Some((s, d) => {
+          val emb = graft.core.Tables.table(s, d, "embeddings")
+          graft.ops.Similarity.rpLshNearDupPairs(emb, "vec_id", "embedding",
+            0.8, graft.ops.Similarity.recommendedBits(emb.count()), 16, 64)
+        })
+        case "multiprobe_pairs_strong" => Some((s, d) => {
+          val emb = graft.core.Tables.table(s, d, "embeddings")
+          val n = emb.count()
+          graft.ops.Similarity.lshMultiProbeNearDupPairs(emb, "vec_id",
+            "embedding", 0.8, graft.ops.Similarity.recommendedBits(n),
+            graft.ops.Similarity.recommendedBands(n, 64))
+        })
+        case _ => None
+      }
     val out = probes.map { name =>
-      val fn = SparkEntry.queries(name)
+      val fn = strongPairProbes(name).getOrElse(SparkEntry.queries(name))
       var secs = -1.0
       var rows = -1L
       try graft.core.CacheRegistry.scoped {

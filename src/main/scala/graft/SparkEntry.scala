@@ -348,6 +348,30 @@ object SparkEntry {
       Similarity.rpLshRecallContract(emb, "vec_id", "embedding", 0.4,
         bits, 16, 64, Similarity.modelRecallFloor(0.4, bits, 16))
     }),
+    // the STRONG-THRESHOLD recall contract (cos ≥ 0.8 — where LSH dedup
+    // is actually deployed): on the driver fixtures no pair reaches 0.8
+    // (n_exact = 0 → recall 1.0 by convention), so this row's teeth are
+    // the planted-strong-pair scale fixture (tools/make_scale_fixture.py
+    // --plant-strong), where it measures the RP tier against pairs the
+    // operator is deployed to catch; the floor is the same closed-form
+    // model, which at 0.8 predicts near-1 recall at every derived
+    // calibration (p = 0.795: 1−(1−p^8)^16 ≈ 0.94 even at 10× bits)
+    "q350_rplsh_recall_strong" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val bits = Similarity.recommendedBits(cachedCount(s, dir, "embeddings")(emb))
+      Similarity.rpLshRecallContract(emb, "vec_id", "embedding", 0.8,
+        bits, 16, 64, Similarity.modelRecallFloor(0.8, bits, 16))
+    }),
+    // multi-probe at the deployment threshold: the q345 gain laws
+    // (structural superset, nonneg gain) certified where near-dups are
+    // strong; recall_base/recall_multiprobe measure on the planted
+    // fixture what one extra probe buys at cos 0.8
+    "q351_multiprobe_strong" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val n = cachedCount(s, dir, "embeddings")(emb)
+      Similarity.lshMultiProbeGainContract(emb, "vec_id", "embedding", 0.8,
+        Similarity.recommendedBits(n), Similarity.recommendedBands(n, 64))
+    }),
     // MULTI-PROBE sign-LSH (Lv et al. 2007): each vector also probes the
     // bucket at its least-confident bit flipped — the third LSH knob
     // (bits=occupancy, bands=recall @ cost ∝ bands, probes=recall with NO
@@ -3334,6 +3358,97 @@ object SparkEntry {
        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
        |  FROM banded a JOIN banded b
        |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)""".stripMargin
+
+  /** q342/q350 oracle: the RP-LSH recall contract at cosine threshold
+    * `thr` — the q341 candidate machinery judged against the exact pair
+    * set, subset + floor pinned TRUE (the Scala side derives the floor
+    * from the closed-form model; the oracle pins only the boolean). */
+  private def rpRecallSql(thr: String): String =
+    s"""WITH ${rpBandedCtes(16)},
+       |bp AS (
+       |  SELECT c.id_a, c.id_b
+       |  FROM cand c
+       |  JOIN embeddings x ON x.vec_id = c.id_a
+       |  JOIN embeddings y ON y.vec_id = c.id_b
+       |  WHERE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), 6) >= $thr),
+       |pcx AS ($cosineSql),
+       |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM pcx
+       |  WHERE query_id < cand_id AND cos >= $thr),
+       |bn AS (SELECT CAST(count(*) AS BIGINT) AS n_banded FROM bp)
+       |SELECT CAST((SELECT bits FROM p) AS INTEGER) AS bits,
+       |  CAST(16 AS INTEGER) AS bands,
+       |  n_exact, n_banded,
+       |  CASE WHEN n_exact = 0 THEN 1.0
+       |    ELSE round(CAST(n_banded AS DOUBLE) / n_exact, 6) END AS recall,
+       |  TRUE AS banded_subset_exact,
+       |  TRUE AS meets_floor
+       |FROM ex CROSS JOIN bn""".stripMargin
+
+  /** q345/q351 oracle: the multi-probe gain contract at cosine threshold
+    * `thr` — flip position is the row_number-1 bit by (rounded |value| in
+    * DOUBLE space, bit), the probe bucket is substr surgery on the base
+    * bucket, candidates join (base ∪ probed) × base; superset and nonneg
+    * gain pinned TRUE (structural laws). */
+  private def multiProbeGainSql(thr: String): String =
+    s"""WITH p AS (SELECT bits, greatest(1, least(8, 64 // bits)) AS bands FROM (
+       |  SELECT ${bitsSqlFrom("(SELECT count(*) AS n FROM embeddings)")} AS bits)),
+       |banded AS (
+       |  ${dynamicBandedSql("embeddings")}),
+       |bandgrid AS (
+       |  SELECT e.vec_id, e.embedding, p.bits,
+       |    unnest(generate_series(0, p.bands - 1)) AS band
+       |  FROM embeddings e CROSS JOIN p),
+       |bitgrid AS (
+       |  SELECT vec_id, band, bits, embedding,
+       |    unnest(generate_series(0, bits - 1)) AS bit
+       |  FROM bandgrid),
+       |jst AS (
+       |  SELECT vec_id, band, bit AS jstar FROM (
+       |    SELECT vec_id, band, bit,
+       |      row_number() OVER (PARTITION BY vec_id, band
+       |        ORDER BY round(abs(CAST(embedding[band * bits + bit + 1] AS DOUBLE)), 6), bit) AS r
+       |    FROM bitgrid) WHERE r = 1),
+       |probed AS (
+       |  SELECT b.vec_id, b.band,
+       |    substr(b.bucket, 1, j.jstar) ||
+       |    CASE WHEN substr(b.bucket, j.jstar + 1, 1) = '1' THEN '0' ELSE '1' END ||
+       |    substr(b.bucket, j.jstar + 2) AS bucket
+       |  FROM banded b JOIN jst j ON b.vec_id = j.vec_id AND b.band = j.band),
+       |allp AS (SELECT * FROM banded UNION ALL SELECT * FROM probed),
+       |bcand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |mcand AS (
+       |  SELECT DISTINCT least(x.vec_id, y.vec_id) AS id_a,
+       |    greatest(x.vec_id, y.vec_id) AS id_b
+       |  FROM allp x JOIN banded y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+       |bp AS (
+       |  SELECT c.id_a, c.id_b FROM bcand c
+       |  JOIN embeddings x ON x.vec_id = c.id_a
+       |  JOIN embeddings y ON y.vec_id = c.id_b
+       |  WHERE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), 6) >= $thr),
+       |mp AS (
+       |  SELECT c.id_a, c.id_b FROM mcand c
+       |  JOIN embeddings x ON x.vec_id = c.id_a
+       |  JOIN embeddings y ON y.vec_id = c.id_b
+       |  WHERE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), 6) >= $thr),
+       |pcx AS ($cosineSql),
+       |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM pcx
+       |  WHERE query_id < cand_id AND cos >= $thr),
+       |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_base FROM bp),
+       |nm AS (SELECT CAST(count(*) AS BIGINT) AS n_multiprobe FROM mp)
+       |SELECT CAST((SELECT bits FROM p) AS INTEGER) AS bits,
+       |  CAST((SELECT bands FROM p) AS INTEGER) AS bands,
+       |  n_exact, n_base, n_multiprobe,
+       |  CASE WHEN n_exact = 0 THEN 1.0
+       |    ELSE round(CAST(n_base AS DOUBLE) / n_exact, 6) END AS recall_base,
+       |  CASE WHEN n_exact = 0 THEN 1.0
+       |    ELSE round(CAST(n_multiprobe AS DOUBLE) / n_exact, 6) END AS recall_multiprobe,
+       |  TRUE AS multiprobe_superset,
+       |  TRUE AS gain_nonneg
+       |FROM ex CROSS JOIN nb CROSS JOIN nm""".stripMargin
 
   /** Sign-LSH band-table CTE body over `rel`, bucketing band b on dims
     * [b·bits, (b+1)·bits) with bits/bands read from CTE `p(bits, bands)` —
@@ -10529,30 +10644,15 @@ object SparkEntry {
          |  JOIN embeddings x ON x.vec_id = c.id_a
          |  JOIN embeddings y ON y.vec_id = c.id_b)
          |SELECT id_a, id_b, cos FROM pc WHERE cos >= 0.4""".stripMargin,
-    // q342: the q341 machinery judged against the exact pair set; subset
-    // + floor pinned as literal TRUE (floor = half the closed-form model
-    // at (0.4, bits, 16): measured 1.0 at sf0.01 / 0.94 at sf0.1 — the
-    // 16-band recall the dim-capped tier cannot reach)
-    "q342_rplsh_recall" ->
-      s"""WITH ${rpBandedCtes(16)},
-         |bp AS (
-         |  SELECT c.id_a, c.id_b
-         |  FROM cand c
-         |  JOIN embeddings x ON x.vec_id = c.id_a
-         |  JOIN embeddings y ON y.vec_id = c.id_b
-         |  WHERE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), 6) >= 0.4),
-         |pcx AS ($cosineSql),
-         |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM pcx
-         |  WHERE query_id < cand_id AND cos >= 0.4),
-         |bn AS (SELECT CAST(count(*) AS BIGINT) AS n_banded FROM bp)
-         |SELECT CAST((SELECT bits FROM p) AS INTEGER) AS bits,
-         |  CAST(16 AS INTEGER) AS bands,
-         |  n_exact, n_banded,
-         |  CASE WHEN n_exact = 0 THEN 1.0
-         |    ELSE round(CAST(n_banded AS DOUBLE) / n_exact, 6) END AS recall,
-         |  TRUE AS banded_subset_exact,
-         |  TRUE AS meets_floor
-         |FROM ex CROSS JOIN bn""".stripMargin,
+    // q342/q350: the q341 machinery judged against the exact pair set;
+    // subset + floor pinned as literal TRUE (the floor is half the
+    // closed-form model at (threshold, bits, 16), computed Scala-side
+    // only — the oracle pins the boolean)
+    "q342_rplsh_recall" -> rpRecallSql("0.4"),
+    // q350: the same contract at the deployment threshold (no driver-SF
+    // pair reaches 0.8, so n_exact = 0 → recall 1.0 here; the planted
+    // scale fixture is where this row measures)
+    "q350_rplsh_recall_strong" -> rpRecallSql("0.8"),
     // q344/q345: multi-probe machinery in SQL — the flip position is the
     // row_number-1 bit by (rounded |value| in DOUBLE space, bit), the
     // probe bucket is substr surgery on the base bucket, and candidates
@@ -10595,68 +10695,13 @@ object SparkEntry {
          |  JOIN embeddings x ON x.vec_id = c.id_a
          |  JOIN embeddings y ON y.vec_id = c.id_b)
          |SELECT id_a, id_b, cos FROM pc WHERE cos >= 0.4""".stripMargin,
-    // q345: base (q44 tail) and multiprobe (q344 tail) pair sets against
-    // the exact judge; superset and nonneg gain pinned TRUE
-    "q345_multiprobe_gain" ->
-      s"""WITH p AS (SELECT bits, greatest(1, least(8, 64 // bits)) AS bands FROM (
-         |  SELECT ${bitsSqlFrom("(SELECT count(*) AS n FROM embeddings)")} AS bits)),
-         |banded AS (
-         |  ${dynamicBandedSql("embeddings")}),
-         |bandgrid AS (
-         |  SELECT e.vec_id, e.embedding, p.bits,
-         |    unnest(generate_series(0, p.bands - 1)) AS band
-         |  FROM embeddings e CROSS JOIN p),
-         |bitgrid AS (
-         |  SELECT vec_id, band, bits, embedding,
-         |    unnest(generate_series(0, bits - 1)) AS bit
-         |  FROM bandgrid),
-         |jst AS (
-         |  SELECT vec_id, band, bit AS jstar FROM (
-         |    SELECT vec_id, band, bit,
-         |      row_number() OVER (PARTITION BY vec_id, band
-         |        ORDER BY round(abs(CAST(embedding[band * bits + bit + 1] AS DOUBLE)), 6), bit) AS r
-         |    FROM bitgrid) WHERE r = 1),
-         |probed AS (
-         |  SELECT b.vec_id, b.band,
-         |    substr(b.bucket, 1, j.jstar) ||
-         |    CASE WHEN substr(b.bucket, j.jstar + 1, 1) = '1' THEN '0' ELSE '1' END ||
-         |    substr(b.bucket, j.jstar + 2) AS bucket
-         |  FROM banded b JOIN jst j ON b.vec_id = j.vec_id AND b.band = j.band),
-         |allp AS (SELECT * FROM banded UNION ALL SELECT * FROM probed),
-         |bcand AS (
-         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM banded a JOIN banded b
-         |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-         |mcand AS (
-         |  SELECT DISTINCT least(x.vec_id, y.vec_id) AS id_a,
-         |    greatest(x.vec_id, y.vec_id) AS id_b
-         |  FROM allp x JOIN banded y
-         |    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id <> y.vec_id),
-         |bp AS (
-         |  SELECT c.id_a, c.id_b FROM bcand c
-         |  JOIN embeddings x ON x.vec_id = c.id_a
-         |  JOIN embeddings y ON y.vec_id = c.id_b
-         |  WHERE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), 6) >= 0.4),
-         |mp AS (
-         |  SELECT c.id_a, c.id_b FROM mcand c
-         |  JOIN embeddings x ON x.vec_id = c.id_a
-         |  JOIN embeddings y ON y.vec_id = c.id_b
-         |  WHERE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), 6) >= 0.4),
-         |pcx AS ($cosineSql),
-         |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM pcx
-         |  WHERE query_id < cand_id AND cos >= 0.4),
-         |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_base FROM bp),
-         |nm AS (SELECT CAST(count(*) AS BIGINT) AS n_multiprobe FROM mp)
-         |SELECT CAST((SELECT bits FROM p) AS INTEGER) AS bits,
-         |  CAST((SELECT bands FROM p) AS INTEGER) AS bands,
-         |  n_exact, n_base, n_multiprobe,
-         |  CASE WHEN n_exact = 0 THEN 1.0
-         |    ELSE round(CAST(n_base AS DOUBLE) / n_exact, 6) END AS recall_base,
-         |  CASE WHEN n_exact = 0 THEN 1.0
-         |    ELSE round(CAST(n_multiprobe AS DOUBLE) / n_exact, 6) END AS recall_multiprobe,
-         |  TRUE AS multiprobe_superset,
-         |  TRUE AS gain_nonneg
-         |FROM ex CROSS JOIN nb CROSS JOIN nm""".stripMargin,
+    // q345/q351: base (q44 tail) and multiprobe (q344 tail) pair sets
+    // against the exact judge; superset and nonneg gain pinned TRUE
+    "q345_multiprobe_gain" -> multiProbeGainSql("0.4"),
+    // q351: the gain laws at the deployment threshold (driver-SF
+    // n_exact = 0; the planted scale fixture measures what one extra
+    // probe buys on strong pairs)
+    "q351_multiprobe_strong" -> multiProbeGainSql("0.8"),
     // q343: the two-sided RP bucket tables from the same plane CTEs; bits
     // from the standing corpus's count, exactly like the Scala side
     "q343_rplsh_dedup_across" ->

@@ -27,7 +27,17 @@ Disjointness must hold at EVERY granularity an operator fingerprints:
 ids: id' = id + r * 10_000_000. Other tables are hard-linked (fallback:
 copied) from the source dir so the validator's view creation works.
 
-Usage: python3 tools/make_scale_fixture.py <src_sf_dir> <out_dir> <reps>
+--plant-strong additionally plants STRONG embedding pairs (every 20th
+vector per rep gets a companion at id + 5_000_000 whose vector is the
+transformed original nudged by 0.1*norm along one dimension — angle
+<= asin(0.1), cosine >= 0.995): the disjoint-rep corpus has no pairs
+above cos 0.6, so without planting, a recall contract at the cos 0.8
+deployment threshold measures nothing, and 10x wall-clock for the
+high-recall tiers measures the fixture's weak-threshold background
+rather than the operator (SCALE10X round-7 lesson: q341 read 8.5x
+because its ANSWER grew 16x).
+
+Usage: python3 tools/make_scale_fixture.py <src_sf_dir> <out_dir> <reps> [--plant-strong]
 """
 import os, shutil, string, sys
 
@@ -58,8 +68,13 @@ def transform_text(text, r, table, tag):
     return " ".join(w + tag if w else w for w in text.split(" ")).translate(table)
 
 
+PLANT_OFFSET = 5_000_000
+PLANT_EVERY = 20
+
+
 def main():
     src, out, reps = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    plant = "--plant-strong" in sys.argv[4:]
     os.makedirs(out, exist_ok=True)
 
     docs = pq.read_table(f"{src}/documents.parquet")
@@ -105,10 +120,13 @@ def main():
                          ("embedding", pa.list_(pa.float32())),
                          ("label", pa.int32())])
     nvecs = 0
+    nplanted = 0
     with pq.ParquetWriter(f"{out}/embeddings.parquet", eschema) as w:
         for r in range(reps):
             shift, flip = r % 64, (r // 64) % 2
             ev = []
+            out_ids = [i + r * OFFSET for i in vec_ids]
+            out_labels = list(labels)
             for v in vecs:
                 if v is None:
                     ev.append(None); continue
@@ -116,10 +134,27 @@ def main():
                 if flip:
                     x = [e if (d % 2 == 0) else -e for d, e in enumerate(x)]
                 ev.append(x)
+            if plant:
+                # companion = transformed vector nudged by 0.1*norm along
+                # dim (id % 64): angle <= asin(0.1), cos >= 0.995 — a
+                # strong pair by construction, deterministic per id
+                for i, x, lb in list(zip(vec_ids, ev, labels)):
+                    if x is None or i % PLANT_EVERY != 0:
+                        continue
+                    norm = sum(e * e for e in x) ** 0.5
+                    if norm == 0:
+                        continue
+                    k = i % 64
+                    y = list(x)
+                    y[k] = y[k] + 0.1 * norm
+                    out_ids.append(i + r * OFFSET + PLANT_OFFSET)
+                    ev.append(y)
+                    out_labels.append(lb)
+                    nplanted += 1
             w.write_table(pa.table(
-                {"vec_id": pa.array([i + r * OFFSET for i in vec_ids], pa.int64()),
+                {"vec_id": pa.array(out_ids, pa.int64()),
                  "embedding": pa.array(ev, pa.list_(pa.float32())),
-                 "label": pa.array(labels, pa.int32())}, schema=eschema))
+                 "label": pa.array(out_labels, pa.int32())}, schema=eschema))
             nvecs += len(ev)
 
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -131,7 +166,9 @@ def main():
             os.link(s, d)
         except OSError:
             shutil.copyfile(s, d)
-    print(f"[fixture] {out}: documents={ndocs} embeddings={nvecs} (reps={reps})")
+    planted = f" planted={nplanted}" if plant else ""
+    print(f"[fixture] {out}: documents={ndocs} embeddings={nvecs}"
+          f" (reps={reps}){planted}")
 
 
 if __name__ == "__main__":
