@@ -33,12 +33,18 @@ object Verify {
     // the driver always runs the full set)
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // single-file dumps keep the driver's row-level comparator simple; at
+    // scale-fixture volumes (q336 at 100x: 454 M rows) one writer task
+    // becomes the bottleneck — SPARK_GRAFT_VERIFY_COALESCE=0 keeps the
+    // parallel writers (validate_scale.py globs the directory either way)
+    val singleFile = sys.env.getOrElse("SPARK_GRAFT_VERIFY_COALESCE", "1") != "0"
     SparkEntry.queries
       .filter { case (name, _) => only.forall(f => f.exists(name.startsWith)) }
       .foreach { case (name, fn) =>
       try graft.core.CacheRegistry.scoped {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        val df = fn(spark, sfDir)
+        (if (singleFile) df.coalesce(1) else df)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
