@@ -1328,6 +1328,27 @@ object SparkEntry {
       Multimodal.perceptualRecallContractOn(fps,
         Multimodal.recommendedBands(cachedCount(s, dir, "documents")(docs)), 12)
     }),
+    // the audio twin of q348 (VERDICT r7 #1 asked for "luma grid / PCM
+    // samples" — this is the PCM half): word-sampled RIFF/WAVE PCM16
+    // synthesis, REAL RIFF parse back to the signed sample stream,
+    // SimHash-64 over the decoded samples, banded Hamming pairs
+    "q352_wav_neardup_real" -> ((s, dir) => {
+      val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
+      val media = Multimodal.synthesizeWavFromWords(s, docs, "doc_id", "text", 96, 16000)
+      val fps = graft.core.CacheRegistry.persist(
+        Multimodal.perceptualHash64Content(s, Multimodal.wavSampleContent(s, media)))
+      Multimodal.perceptualNearDupPairsOn(fps,
+        Multimodal.recommendedBands(cachedCount(s, dir, "documents")(docs)), 12)
+    }),
+    // its recall contract (q349's device over decoded PCM)
+    "q353_wav_recall_real" -> ((s, dir) => {
+      val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
+      val media = Multimodal.synthesizeWavFromWords(s, docs, "doc_id", "text", 96, 16000)
+      val fps = graft.core.CacheRegistry.persist(
+        Multimodal.perceptualHash64Content(s, Multimodal.wavSampleContent(s, media)))
+      Multimodal.perceptualRecallContractOn(fps,
+        Multimodal.recommendedBands(cachedCount(s, dir, "documents")(docs)), 12)
+    }),
     // the banded perceptual path's recall vs the exact Hamming pair set,
     // driver-checked (the q217 contract device for the media tier), at
     // the same adaptive band count q336 registers
@@ -3041,6 +3062,27 @@ object SparkEntry {
        |  generate_series(1, len(ts) - ${n - 1}),
        |  i -> array_to_string(ts[i:i+${n - 1}], ' ')))) AS shingle
        |FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM $rel)""".stripMargin
+
+  /** q352/q353: the decoded-PCM content replayed WITHOUT byte parsing —
+    * the audio twin of [[ppmRealContentCtes]]: sample block j of the
+    * word-sampled WAV synthesis (96 samples = 12 blocks) is
+    * `md5(word_{⌊j·nWords/12⌋} || ':pxwav:' || j)`, each block's 16
+    * digest bytes are 8 little-endian int16 frames (high hex pair ||
+    * low, two's-complement wrap), space-joined in stream order — exactly
+    * what the real RIFF parser emits. Ends at `wdocs(doc_id, text)`. */
+  private val wavRealContentCtes: String =
+    """wwords AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |  FROM documents WHERE text IS NOT NULL),
+      |wblk AS (SELECT doc_id, j,
+      |    md5(ws[(j * len(ws)) // 12 + 1] || ':pxwav:' || j) AS h
+      |  FROM wwords CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS j)),
+      |wsmp AS (SELECT doc_id, j * 8 + s AS k,
+      |    CAST(('0x' || substr(h, 4 * s + 3, 2) || substr(h, 4 * s + 1, 2)) AS INTEGER) AS u
+      |  FROM wblk CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s)),
+      |wdocs AS (SELECT doc_id,
+      |    string_agg(CAST(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS VARCHAR),
+      |      ' ' ORDER BY k) AS text
+      |  FROM wsmp GROUP BY 1)""".stripMargin
 
   /** q336/q337/q338 (and, over the decoded-luma relation, q348/q349): the
     * 64-bit perceptual fingerprint replayed bit-exact — per content 4-gram
@@ -10861,6 +10903,36 @@ object SparkEntry {
     "q349_ppm_recall_real" ->
       s"""WITH $ppmRealContentCtes,
          |${perceptualFpsCtesOver("rdocs")},
+         |$perceptualBandTailCtes,
+         |banded AS (SELECT c.id_a, c.id_b
+         |  FROM pcand c JOIN pfps fa ON c.id_a = fa.id
+         |  JOIN pfps fb ON c.id_b = fb.id
+         |  WHERE bit_count(xor(fa.fp, fb.fp)) <= 12),
+         |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM pfps a JOIN pfps b ON a.id < b.id
+         |  WHERE bit_count(xor(a.fp, b.fp)) <= 12),
+         |bn AS (SELECT CAST(count(*) AS BIGINT) AS n_banded FROM banded)
+         |SELECT n_exact, n_banded,
+         |  CASE WHEN n_exact = 0 THEN 1.0
+         |    ELSE round(CAST(n_banded AS DOUBLE) / n_exact, 6) END AS recall,
+         |  TRUE AS banded_subset_exact
+         |FROM ex CROSS JOIN bn""".stripMargin,
+    // q352: the audio container-true chain — decoded-PCM content (wdocs)
+    // replayed from the word-sampled md5 chain, then the SAME fingerprint
+    // grid + scale-adaptive band tail as q336/q348
+    "q352_wav_neardup_real" ->
+      s"""WITH $wavRealContentCtes,
+         |${perceptualFpsCtesOver("wdocs")},
+         |$perceptualBandTailCtes
+         |SELECT c.id_a, c.id_b,
+         |  CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS hamming
+         |FROM pcand c JOIN pfps fa ON c.id_a = fa.id
+         |JOIN pfps fb ON c.id_b = fb.id
+         |WHERE bit_count(xor(fa.fp, fb.fp)) <= 12""".stripMargin,
+    // q353: the recall-contract tail over the decoded-PCM fingerprints
+    "q353_wav_recall_real" ->
+      s"""WITH $wavRealContentCtes,
+         |${perceptualFpsCtesOver("wdocs")},
          |$perceptualBandTailCtes,
          |banded AS (SELECT c.id_a, c.id_b
          |  FROM pcand c JOIN pfps fa ON c.id_a = fa.id

@@ -233,6 +233,100 @@ object Multimodal {
       }.toDF("id", "content")
   }
 
+  /** Canonical decoded-content string of a RIFF/WAVE PCM16 payload — the
+    * audio twin of [[ppmLumaContent]] and the other container-true front
+    * half (q352/q353): the same byte-level RIFF parse as [[decodeWav]]
+    * (magic checks, little-endian header fields, loud failure on
+    * malformed payloads), emitting one space-joined signed int16 sample
+    * value per frame in stream order. Feeding this into
+    * [[perceptualHash64Content]] fingerprints what the audio CONTAINS.
+    * Output: (id, content). */
+  def wavSampleContent(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val bb = java.nio.ByteBuffer.wrap(payload)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          def magic(expect: String): Unit = {
+            val a = new Array[Byte](4); bb.get(a)
+            val got = new String(a, "US-ASCII")
+            require(got == expect,
+              s"wavSampleContent[$id]: expected '$expect', got '$got'")
+          }
+          magic("RIFF"); bb.getInt; magic("WAVE")
+          magic("fmt ")
+          require(bb.getInt == 16, s"wavSampleContent[$id]: non-PCM fmt chunk")
+          require(bb.getShort == 1, s"wavSampleContent[$id]: not PCM")
+          require(bb.getShort == 1, s"wavSampleContent[$id]: not mono")
+          bb.getInt; bb.getInt; bb.getShort // rate, byte rate, block align
+          require(bb.getShort == 16, s"wavSampleContent[$id]: not 16-bit")
+          magic("data")
+          val dataSize = bb.getInt
+          require(dataSize >= 0, s"wavSampleContent[$id]: negative data chunk size")
+          require(dataSize % 2 == 0 && bb.remaining() >= dataSize,
+            s"wavSampleContent[$id]: truncated data chunk")
+          val n = dataSize / 2
+          val sb = new java.lang.StringBuilder(n * 7)
+          var k = 0
+          while (k < n) {
+            if (k > 0) sb.append(' ')
+            sb.append(bb.getShort.toInt)
+            k += 1
+          }
+          (id, sb.toString)
+        }
+      }.toDF("id", "content")
+  }
+
+  /** Synthesize a REAL RIFF/WAVE PCM16 per row whose sample blocks SAMPLE
+    * THE TEXT'S WORDS — the audio twin of [[synthesizePpmFromWords]] and
+    * the locality-preserving variant of [[synthesizeWav]] (whose
+    * whole-text chain scrambles on any edit): 16-byte block j (8
+    * little-endian int16 frames) derives from `md5(s"$word:pxwav:$j")`
+    * with `word` the text's word ⌊j·nWords/nBlocks⌋, so word-level edits
+    * decode to audio differing in a few sample blocks. Every sample
+    * stays md5-replayable without byte parsing. NULL texts filtered;
+    * `nSamples` must be a multiple of 8 so blocks align. Output:
+    * (id, payload). */
+  def synthesizeWavFromWords(spark: SparkSession, docs: DataFrame, idCol: String,
+                             textCol: String, nSamples: Int,
+                             sampleRate: Int): DataFrame = {
+    require(nSamples >= 8 && nSamples % 8 == 0 && sampleRate >= 1,
+      s"synthesizeWavFromWords: need nSamples a positive multiple of 8 and sampleRate >= 1, got $nSamples/$sampleRate")
+    import spark.implicits._
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, text) =>
+          val words = text.split(" ", -1) // keep trailing empties (SQL parity)
+          val dataSize = nSamples * 2
+          val nBlocks = dataSize / 16
+          val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+            .put("WAVE".getBytes("US-ASCII"))
+            .put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1).putShort(1) // PCM, mono
+            .putInt(sampleRate).putInt(sampleRate * 2)
+            .putShort(2).putShort(16) // block align, bits
+            .put("data".getBytes("US-ASCII")).putInt(dataSize)
+          var j = 0
+          while (j < nBlocks) {
+            md.reset()
+            val wj = words((j * words.length) / nBlocks)
+            bb.put(md.digest(s"$wj:pxwav:$j".getBytes(
+              java.nio.charset.StandardCharsets.UTF_8)))
+            j += 1
+          }
+          (id, bb.array())
+        }
+      }.toDF("id", "payload")
+  }
+
   /** Synthesize a REAL binary Netpbm P6 per row whose pixel blocks SAMPLE
     * THE TEXT'S WORDS — the locality-preserving twin of [[synthesizePpm]]
     * (whose whole-text md5 chain scrambles on any edit): 16-byte pixel

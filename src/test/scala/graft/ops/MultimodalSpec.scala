@@ -303,6 +303,38 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("synthesizeWavFromWords + wavSampleContent: real RIFF round trip, " +
+    "samples replay from the word-sampled md5 chain, locality holds") {
+    val base = (1 to 24).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base.replace("w7", "zz")),
+      (3L, (1 to 24).map(i => s"v$i").mkString(" "))).toDF("doc_id", "text")
+    val media = Multimodal.synthesizeWavFromWords(spark, docs, "doc_id", "text", 96, 16000)
+    // a byte-correct WAV the real parser accepts, 96 frames
+    val dec = Multimodal.decodeWav(spark, media).where($"id" === 1L).head()
+    dec.getAs[Long]("n_samples") shouldBe 96L
+    // content = signed int16 stream recomputed by hand from sampled words
+    val words = base.split(" ", -1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val data = (0 until 12).flatMap { j =>
+      md.reset()
+      md.digest(s"${words((j * words.length) / 12)}:pxwav:$j".getBytes("UTF-8")).toSeq
+    }.toArray
+    val sb = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val expect = (0 until 96).map(_ => sb.getShort.toInt).mkString(" ")
+    Multimodal.wavSampleContent(spark, media).where($"id" === 1L)
+      .as[(Long, String)].head()._2 shouldBe expect
+    // one substituted word changes ~1 of 12 sample blocks: small Hamming
+    val fp = Multimodal.perceptualHash64Content(
+        spark, Multimodal.wavSampleContent(spark, media))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    ham(fp(1L), fp(2L)) should be < 13
+    ham(fp(1L), fp(3L)) should be > 13
+    // block alignment guard
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.synthesizeWavFromWords(spark, docs, "doc_id", "text", 20, 16000)
+  }
+
   test("orphanAudit: byte accounting over the reference set, empty refs") {
     val m = Multimodal.asMediaTable(
       Seq((1L, "hello"), (2L, "abc"), (3L, "xy")).toDF("id", "content"),
