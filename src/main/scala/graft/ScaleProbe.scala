@@ -57,8 +57,42 @@ object ScaleProbe {
             "embedding", 0.8, graft.ops.Similarity.recommendedBits(n),
             graft.ops.Similarity.recommendedBands(n, 64))
         })
+        // the streaming-floor decomposition (VERDICT r7 #6): the q251
+        // moments-merge shape with the SAME total data split into 1 vs 3
+        // micro-batch drops — the wall difference divided by 2 is the
+        // marginal cost of one micro-batch (offset/commit-log + replan +
+        // merge job), separating the fixed engine floor from data work
+        case "stream_moments_drops1" => Some((s, d) => streamMomentsProbe(s, d, 1))
+        case "stream_moments_drops3" => Some((s, d) => streamMomentsProbe(s, d, 3))
         case _ => None
       }
+    def streamMomentsProbe(s: SparkSession, d: String, nDrops: Int): DataFrame = {
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      val ev = graft.core.Tables.table(s, d, "events")
+        .select("event_id", "event_type", "value")
+      val tmp = java.nio.file.Files.createTempDirectory(s"probe-mom$nDrops").toString
+      val srcDir = new java.io.File(s"$tmp/drops"); srcDir.mkdirs()
+      (0 until nDrops).foreach { i =>
+        val stage = s"$tmp/stage_b$i"
+        ev.where(pmod(col("event_id"), lit(nDrops)) === i).coalesce(1)
+          .write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(srcDir, s"b$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified((i + 1) * 1000000L)
+      }
+      val schema = s.read.parquet(s"$srcDir/b0.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("basePath", srcDir.toString)
+        .parquet(s"$srcDir/*.parquet")
+      val store = new graft.sources.TableStore(s)
+      val q = graft.streaming.EventStream.streamMomentsMerge(stream, store,
+        s"$tmp/moments", s"$tmp/ckpt", "event_type", "value")
+      q.awaitTermination()
+      graft.ops.Quality.mergeMoments(store.read(s"$tmp/moments"), "event_type")
+    }
     val out = probes.map { name =>
       val fn = strongPairProbes(name).getOrElse(SparkEntry.queries(name))
       var secs = -1.0

@@ -1349,6 +1349,41 @@ object SparkEntry {
       Multimodal.perceptualRecallContractOn(fps,
         Multimodal.recommendedBands(cachedCount(s, dir, "documents")(docs)), 12)
     }),
+    // REAL frame-sampled VIDEO decode — the temporal member of the
+    // container-true family (q346 audio, q347 image): synthesize a real
+    // YUV4MPEG2 C444 stream per row (8 frames of 4×4, word-sampled
+    // md5-chain planes), parse it back with the byte-level Y4M parser
+    // sampling every 2nd frame, and emit each sampled frame's decoded
+    // luma grid — every plane byte oracle-replayable without byte parsing
+    "q354_y4m_frame_sample" -> ((s, dir) => {
+      val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
+      Multimodal.y4mLumaFrames(s,
+        Multimodal.synthesizeY4mFromWords(s, docs, "doc_id", "text", 4, 4, 8), 2)
+    }),
+    // FRAME-ALIGNED video near-dup: per-sampled-frame SimHash-64 over the
+    // REAL decoded luma grids, banded Hamming join with the frame index
+    // in the band key (a frame only vouches for its temporal
+    // counterpart), then videos pair when ≥ 2 of their 4 sampled frames
+    // match — the temporal composition of the q348 chain; band width
+    // derives from the sampled-frame row count (4·|documents|)
+    "q355_y4m_neardup_real" -> ((s, dir) => {
+      val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
+      val media = Multimodal.synthesizeY4mFromWords(s, docs, "doc_id", "text", 4, 4, 8)
+      val fps = graft.core.CacheRegistry.persist(
+        Multimodal.videoFrameFingerprints(s, Multimodal.y4mLumaFrames(s, media, 2)))
+      Multimodal.videoNearDupPairs(fps,
+        Multimodal.recommendedBands(4L * cachedCount(s, dir, "documents")(docs)), 12, 2)
+    }),
+    // scene-change (shot-boundary) detection: Hamming delta between
+    // consecutive sampled-frame fingerprints of the same video, cut when
+    // > 16 of 64 bits flip — composes with the same fingerprint frame
+    "q356_y4m_scene_change" -> ((s, dir) => {
+      val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
+      val media = Multimodal.synthesizeY4mFromWords(s, docs, "doc_id", "text", 4, 4, 8)
+      val fps = graft.core.CacheRegistry.persist(
+        Multimodal.videoFrameFingerprints(s, Multimodal.y4mLumaFrames(s, media, 2)))
+      Multimodal.videoSceneChanges(fps, 2, 16)
+    }),
     // the banded perceptual path's recall vs the exact Hamming pair set,
     // driver-checked (the q217 contract device for the media tier), at
     // the same adaptive band count q336 registers
@@ -3083,6 +3118,54 @@ object SparkEntry {
       |    string_agg(CAST(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS VARCHAR),
       |      ' ' ORDER BY k) AS text
       |  FROM wsmp GROUP BY 1)""".stripMargin
+
+  /** q354–q356: the frame-sampled decoded-luma content of the Y4M
+    * synthesis replayed WITHOUT byte parsing — the video member of the
+    * md5-chain device: with 4×4 C444 frames (48 plane bytes = 3 blocks
+    * per frame, 8 frames) the Y plane of frame f is exactly block j=0,
+    * i.e. the 16 digest bytes of
+    * `md5(word_{⌊f·3·nWords/24⌋} || ':pxvid:' || f || ':0')`, one luma
+    * value per byte in raster order — exactly what the real Y4M parser
+    * emits for sampled frames 0,2,4,6. Ends at `vdocs(doc_id, text)`
+    * over COMPOSITE ids `doc_id·64 + frame` (the
+    * [[graft.ops.Multimodal.videoFrameFingerprints]] radix). */
+  private val y4mRealContentCtes: String =
+    """vwords AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |  FROM documents WHERE text IS NOT NULL),
+      |vfrm AS (SELECT unnest(generate_series(0, 6, 2)) AS f),
+      |vblk AS (SELECT doc_id, f,
+      |    md5(ws[((f * 3) * len(ws)) // 24 + 1] || ':pxvid:' || f || ':0') AS h
+      |  FROM vwords CROSS JOIN vfrm),
+      |vbytes AS (SELECT doc_id, f, m AS k,
+      |    CAST(('0x' || substr(h, 2 * m + 1, 2)) AS INTEGER) AS v
+      |  FROM vblk CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS m)),
+      |vdocs AS (SELECT doc_id * 64 + f AS doc_id,
+      |    string_agg(CAST(v AS VARCHAR), ' ' ORDER BY k) AS text
+      |  FROM vbytes GROUP BY 1)""".stripMargin
+
+  /** q355: the scale-adaptive band tail over PER-FRAME fingerprints —
+    * width derives from the sampled-frame row count (4 frames per doc:
+    * count(documents)·4, mirroring `recommendedBands(4·count)` on the
+    * Scala side), and the band join key carries the frame index
+    * (`id % 64`), so a frame can only vouch for its temporal
+    * counterpart. Ends at `vver(id_a, id_b)` over composite ids
+    * (verified Hamming ≤ 12). */
+  private val videoBandTailCtes: String =
+    """vnn AS (SELECT count(*) * 4 AS n FROM documents),
+      |vwb AS (SELECT CASE WHEN bb <= 4 THEN 4 WHEN bb <= 8 THEN 8 ELSE 16 END AS w FROM (
+      |  SELECT greatest(2, coalesce((SELECT min(b) FROM generate_series(2, 24) g(b), vnn
+      |           WHERE 150 * (CAST(1 AS BIGINT) << b) >= vnn.n), 24)) AS bb)),
+      |vbands AS (SELECT unnest(generate_series(0, (64 // (SELECT w FROM vwb)) - 1)) AS band),
+      |vbt AS (SELECT id, band,
+      |    (fp >> (band * (SELECT w FROM vwb))) & ((CAST(1 AS BIGINT) << (SELECT w FROM vwb)) - 1) AS bucket
+      |  FROM pfps CROSS JOIN vbands),
+      |vcand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM vbt a JOIN vbt b ON a.band = b.band AND a.bucket = b.bucket
+      |    AND a.id % 64 = b.id % 64 AND a.id < b.id),
+      |vver AS (SELECT c.id_a, c.id_b
+      |  FROM vcand c JOIN pfps fa ON c.id_a = fa.id
+      |  JOIN pfps fb ON c.id_b = fb.id
+      |  WHERE bit_count(xor(fa.fp, fb.fp)) <= 12)""".stripMargin
 
   /** q336/q337/q338 (and, over the decoded-luma relation, q348/q349): the
     * 64-bit perceptual fingerprint replayed bit-exact — per content 4-gram
@@ -10947,6 +11030,36 @@ object SparkEntry {
          |    ELSE round(CAST(n_banded AS DOUBLE) / n_exact, 6) END AS recall,
          |  TRUE AS banded_subset_exact
          |FROM ex CROSS JOIN bn""".stripMargin,
+    // q354: every SAMPLED frame's decoded luma grid replayed byte-exact
+    // from the word-sampled ':pxvid:' md5 chain — frames 0,2,4,6, one
+    // content row per (video, frame)
+    "q354_y4m_frame_sample" ->
+      s"""WITH $y4mRealContentCtes
+         |SELECT doc_id AS id, CAST(f AS BIGINT) AS frame,
+         |  string_agg(CAST(v AS VARCHAR), ' ' ORDER BY k) AS content
+         |FROM vbytes GROUP BY 1, 2""".stripMargin,
+    // q355: the frame-aligned video near-dup — per-frame fingerprint grid
+    // over composite ids (doc·64+frame), scale-adaptive band tail with
+    // the frame index in the join key, then ≥ 2 matched sampled frames
+    // per video pair
+    "q355_y4m_neardup_real" ->
+      s"""WITH $y4mRealContentCtes,
+         |${perceptualFpsCtesOver("vdocs")},
+         |$videoBandTailCtes
+         |SELECT id_a // 64 AS id_a, id_b // 64 AS id_b,
+         |  CAST(count(*) AS BIGINT) AS n_frames
+         |FROM vver GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+    // q356: shot-boundary detection — Hamming delta between consecutive
+    // sampled-frame fingerprints (composite ids two apart within a video)
+    "q356_y4m_scene_change" ->
+      s"""WITH $y4mRealContentCtes,
+         |${perceptualFpsCtesOver("vdocs")}
+         |SELECT a.id // 64 AS id, CAST(a.id % 64 AS BIGINT) AS frame_from,
+         |  CAST(b.id % 64 AS BIGINT) AS frame_to,
+         |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming,
+         |  bit_count(xor(a.fp, b.fp)) > 16 AS is_cut
+         |FROM pfps a JOIN pfps b
+         |  ON a.id // 64 = b.id // 64 AND b.id % 64 = a.id % 64 + 2""".stripMargin,
     // q337: the q217 recall-contract device for the perceptual tier —
     // exact Hamming pair count vs the banded set's; subset pinned TRUE
     // (the banded path verifies with the same exact filter)

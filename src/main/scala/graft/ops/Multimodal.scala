@@ -699,6 +699,230 @@ object Multimodal {
       }.toDF("id", "width", "height", "sum_r", "sum_g", "sum_b")
   }
 
+  /** Synthesize a REAL YUV4MPEG2 (Y4M) multi-frame video per row whose
+    * pixel blocks SAMPLE THE TEXT'S WORDS — the video member of the
+    * container-true family ([[synthesizePpmFromWords]] is the image twin,
+    * [[synthesizeWavFromWords]] the audio twin). Y4M is the standard
+    * uncompressed interchange container (mplayer/ffmpeg-readable): an
+    * ASCII stream header `YUV4MPEG2 W<w> H<h> F25:1 Ip A1:1 C444`, then
+    * per frame a `FRAME` marker line followed by w·h bytes each of raw
+    * Y, U, V planes (C444 = no chroma subsampling, so plane sizes are
+    * equal and no codec is involved — the video analog of P6's raw RGB).
+    *
+    * 16-byte block j of frame f's 3·w·h plane bytes derives from
+    * `md5(s"$word:pxvid:$f:$j")` where `word` is the text's word
+    * ⌊(f·nb+j)·nWords/(nFrames·nb)⌋ (nb = blocks per frame) — word-level
+    * edits decode to videos differing in a few frames' blocks, the
+    * temporal-locality structure frame-level perceptual dedup exists to
+    * capture, and every plane byte stays md5-replayable by an engine
+    * that never parses bytes (the q346/q347 oracle device). NULL texts
+    * filtered; `width·height·3` must be a multiple of 16 so blocks align.
+    * Output: (id, payload). */
+  def synthesizeY4mFromWords(spark: SparkSession, docs: DataFrame, idCol: String,
+                             textCol: String, width: Int, height: Int,
+                             nFrames: Int): DataFrame = {
+    require(width >= 1 && height >= 1 && nFrames >= 1,
+      s"synthesizeY4mFromWords: need width/height/nFrames >= 1, got $width/$height/$nFrames")
+    require(width * height * 3 % 16 == 0,
+      s"synthesizeY4mFromWords: width*height*3 must be a multiple of 16, got ${width * height * 3}")
+    import spark.implicits._
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val header = s"YUV4MPEG2 W$width H$height F25:1 Ip A1:1 C444\n"
+          .getBytes("US-ASCII")
+        val frameMark = "FRAME\n".getBytes("US-ASCII")
+        val frameBytes = width * height * 3
+        val nb = frameBytes / 16
+        rows.map { case (id, text) =>
+          // split with -1: KEEP trailing empty words (SQL string_split parity)
+          val words = text.split(" ", -1)
+          val out = new Array[Byte](
+            header.length + nFrames * (frameMark.length + frameBytes))
+          System.arraycopy(header, 0, out, 0, header.length)
+          var pos = header.length
+          var f = 0
+          while (f < nFrames) {
+            System.arraycopy(frameMark, 0, out, pos, frameMark.length)
+            pos += frameMark.length
+            var j = 0
+            while (j < nb) {
+              md.reset()
+              val wj = words(((f * nb + j) * words.length) / (nFrames * nb))
+              val d = md.digest(s"$wj:pxvid:$f:$j".getBytes(
+                java.nio.charset.StandardCharsets.UTF_8))
+              System.arraycopy(d, 0, out, pos, 16)
+              pos += 16
+              j += 1
+            }
+            f += 1
+          }
+          (id, out)
+        }
+      }.toDF("id", "payload")
+  }
+
+  /** REAL frame-sampled video decode — the temporal half of the
+    * multimodal plumbing: byte-level Y4M parse (stream-header magic +
+    * W/H/C params, per-frame FRAME markers — malformed payloads fail
+    * loudly, the [[decodeWav]] contract) emitting, for every `every`-th
+    * frame, the decoded LUMA (Y-plane) grid as one space-joined
+    * exact-integer string per sampled frame — the video analog of
+    * [[ppmLumaContent]], ready for [[perceptualHash64Content]] via
+    * [[videoFrameFingerprints]]. Frame sampling is the standard
+    * video-curation move: fingerprint every Nth frame, not every frame,
+    * so cost scales with duration/N while temporal alignment is kept by
+    * carrying the frame index. Only C444 streams are supported (what
+    * [[synthesizeY4mFromWords]] writes; subsampled chroma would need a
+    * codec-free upsample this slot doesn't model). Output:
+    * (id, frame, content) — one row per sampled frame.
+    *
+    * Scale shape: one payload scan with bounded per-row fan-out
+    * (⌈nFrames/every⌉ rows per video), zero shuffle — the blob never
+    * leaves the scan. */
+  def y4mLumaFrames(spark: SparkSession, media: DataFrame, every: Int): DataFrame = {
+    require(every >= 1, s"y4mLumaFrames: need every >= 1, got $every")
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          var pos = 0
+          def line(): String = {
+            val start = pos
+            while (pos < payload.length && payload(pos) != '\n') pos += 1
+            require(pos < payload.length, s"y4mLumaFrames[$id]: unterminated header line")
+            pos += 1
+            new String(payload, start, pos - 1 - start, "US-ASCII")
+          }
+          val header = line().split(" ")
+          require(header.headOption.contains("YUV4MPEG2"),
+            s"y4mLumaFrames[$id]: not a YUV4MPEG2 stream")
+          def param(tag: Char): Option[String] =
+            header.iterator.drop(1).find(_.startsWith(tag.toString)).map(_.drop(1))
+          val w = param('W').getOrElse(
+            sys.error(s"y4mLumaFrames[$id]: missing W param")).toInt
+          val h = param('H').getOrElse(
+            sys.error(s"y4mLumaFrames[$id]: missing H param")).toInt
+          require(w >= 1 && h >= 1, s"y4mLumaFrames[$id]: invalid dims ${w}x$h")
+          require(param('C').contains("444"),
+            s"y4mLumaFrames[$id]: only C444 (no chroma subsampling) is supported")
+          val planeBytes = w * h
+          val frameBytes = 3 * planeBytes
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+          var f = 0L
+          while (pos < payload.length) {
+            require(line().split(" ").headOption.contains("FRAME"),
+              s"y4mLumaFrames[$id]: missing FRAME marker at frame $f")
+            require(payload.length - pos >= frameBytes,
+              s"y4mLumaFrames[$id]: truncated frame $f")
+            if (f % every == 0) {
+              val sb = new java.lang.StringBuilder(planeBytes * 4)
+              var k = 0
+              while (k < planeBytes) {
+                if (k > 0) sb.append(' ')
+                sb.append(payload(pos + k) & 0xff)
+                k += 1
+              }
+              out += ((id, f, sb.toString))
+            }
+            pos += frameBytes
+            f += 1
+          }
+          out
+        }
+      }.toDF("id", "frame", "content")
+  }
+
+  /** Per-frame 64-bit perceptual fingerprints over a frame-sampled
+    * `(id, frame, content)` relation ([[y4mLumaFrames]]'s output) — the
+    * [[perceptualHash64Content]] kernel keyed by (video, frame): the
+    * composite id `id·64 + frame` rides through the kernel and splits
+    * back with shift/mask, so the SimHash stays a zero-shuffle per-row
+    * scan. Videos are capped at 64 frames (the composite radix; frame
+    * sampling upstream is how longer videos fit). Output:
+    * (id, frame, phash64). */
+  def videoFrameFingerprints(spark: SparkSession, frames: DataFrame): DataFrame =
+    perceptualHash64Content(spark,
+      frames.select(
+        (col("id").cast("long") * 64 + col("frame").cast("long")).as("id"),
+        col("content")))
+      .select(shiftright(col("id"), 6).as("id"),
+        col("id").bitwiseAND(lit(63L)).as("frame"),
+        col("phash64"))
+
+  /** FRAME-ALIGNED video near-duplicate pairs — the temporal composition
+    * of the perceptual tier: two videos are near-dups when at least
+    * `minFrames` of their SAMPLED frames are pairwise perceptual
+    * near-dups AT THE SAME FRAME INDEX. Candidates come from the same
+    * banded Hamming LSH as [[perceptualNearDupPairsOn]] with the frame
+    * index added to the band join key (so a frame can only vouch for its
+    * temporal counterpart — re-ordered or time-shifted content does not
+    * match, the standard frame-aligned video-dedup semantics), verify by
+    * full Hamming ≤ `maxHamming` per frame pair, then aggregate matched
+    * frames per video pair. Output: (id_a, id_b, n_frames), a < b.
+    *
+    * Scale shape: (frame, band, bucket)-keyed self-join over 8-byte
+    * fingerprints — never blob×blob, never N² — one pair-dedup exchange,
+    * an id-keyed fingerprint fetch per side, one count aggregate. The
+    * frame key multiplies the bucket space by the sampled-frame count,
+    * so occupancy per bucket is BELOW the single-image tier at the same
+    * band width. */
+  def videoNearDupPairs(fps: DataFrame, bands: Int, maxHamming: Int,
+                        minFrames: Int): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0,
+      s"videoNearDupPairs: bands must divide 64, got $bands")
+    require(maxHamming >= 0 && maxHamming <= 64,
+      s"videoNearDupPairs: need 0 <= maxHamming <= 64, got $maxHamming")
+    require(minFrames >= 1, s"videoNearDupPairs: need minFrames >= 1, got $minFrames")
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        (shiftright(col("phash64"), b * width).bitwiseAND(lit(mask))).as("bucket"))
+    }
+    val banded = fps.select(col("id"), col("frame"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("frame"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cands = banded.toDF("id_a", "frame", "band", "bucket")
+      .join(banded.toDF("id_b", "frame", "band", "bucket"), Seq("frame", "band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "frame").distinct()
+    cands
+      .join(fps.toDF("id_a", "frame", "fa"), Seq("id_a", "frame"))
+      .join(fps.toDF("id_b", "frame", "fb"), Seq("id_b", "frame"))
+      .where(bit_count(col("fa").bitwiseXOR(col("fb"))) <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_frames"))
+      .where(col("n_frames") >= minFrames)
+  }
+
+  /** Scene-change (shot-boundary) detection over the sampled frame
+    * fingerprints: for each consecutive sampled-frame pair (f, f+step)
+    * within a video, the full 64-bit Hamming distance between their
+    * perceptual fingerprints, flagged a cut when it exceeds
+    * `cutHamming` — the classic fingerprint-delta shot detector, here as
+    * a self-join on (id, frame) so it composes with the SAME persisted
+    * fingerprint frame the dedup pair stage uses. Output:
+    * (id, frame_from, frame_to, hamming, is_cut).
+    *
+    * Scale shape: one equi-join on (id, frame+step) over 8-byte keys —
+    * linear in sampled frames, no windows, no blobs. */
+  def videoSceneChanges(fps: DataFrame, step: Int, cutHamming: Int): DataFrame = {
+    require(step >= 1, s"videoSceneChanges: need step >= 1, got $step")
+    require(cutHamming >= 0 && cutHamming <= 64,
+      s"videoSceneChanges: need 0 <= cutHamming <= 64, got $cutHamming")
+    val a = fps.select(col("id"), col("frame").as("frame_from"),
+      col("phash64").as("fa"))
+    val b = fps.select(col("id"), (col("frame") - step).as("frame_from"),
+      col("frame").as("frame_to"), col("phash64").as("fb"))
+    a.join(b, Seq("id", "frame_from"))
+      .select(col("id"), col("frame_from"), col("frame_to"),
+        bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long").as("hamming"))
+      .withColumn("is_cut", col("hamming") > cutHamming)
+  }
+
   /** Band count for the 64-bit perceptual Hamming LSH, derived from the
     * corpus size by the SCALE10X occupancy rule: per-band bucket space is
     * 2^width, the candidate join is quadratic in per-bucket occupancy, so

@@ -93,7 +93,11 @@ class PlanSpec extends SparkSpec {
         "q344_lsh_multiprobe",
         // round 8: the container-true chain bands the same 8-byte
         // fingerprints — real P6 decode is scan-stage, never join-stage
-        "q348_ppm_neardup_real")) {
+        "q348_ppm_neardup_real",
+        // the video tier adds the frame index to the band key; the Y4M
+        // decode + per-frame SimHash are scan-stage, candidates remain a
+        // (frame, band, bucket) equi-join
+        "q355_y4m_neardup_real")) {
       // (q325/q335 also consume the banded pair table, but their audit
       // scalars ride a deliberate 1-row broadcast cross join — the gate
       // covers their pair generation via q141)

@@ -335,6 +335,100 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.synthesizeWavFromWords(spark, docs, "doc_id", "text", 20, 16000)
   }
 
+  test("synthesizeY4mFromWords + y4mLumaFrames: real Y4M round trip, " +
+    "frame sampling, luma replays from the word-sampled md5 chain") {
+    val text = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq((7L, text)).toDF("doc_id", "text")
+    val media = Multimodal.synthesizeY4mFromWords(spark, docs, "doc_id", "text", 4, 4, 8)
+    // container shape: stream header + 8 × (FRAME marker + 48 plane bytes)
+    val payload = media.as[(Long, Array[Byte])].head()._2
+    val headerLen = "YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C444\n".length
+    payload.length shouldBe headerLen + 8 * (6 + 48)
+    new String(payload, 0, 9, "US-ASCII") shouldBe "YUV4MPEG2"
+    // every 2nd frame sampled: frames 0,2,4,6, one luma row each
+    val frames = Multimodal.y4mLumaFrames(spark, media, 2)
+      .as[(Long, Long, String)].collect().sortBy(_._2)
+    frames.map(_._2).toSeq shouldBe Seq(0L, 2L, 4L, 6L)
+    frames.foreach(_._1 shouldBe 7L)
+    // luma of frame f = the 16 bytes of md5(word:pxvid:f:0) — the Y plane
+    // is exactly block 0 of the frame's 3 blocks at 4x4 C444
+    val words = text.split(" ", -1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def expectLuma(f: Int): String = {
+      md.reset()
+      val wj = words(((f * 3) * words.length) / 24)
+      md.digest(s"$wj:pxvid:$f:0".getBytes("UTF-8"))
+        .map(_ & 0xff).mkString(" ")
+    }
+    frames.foreach { case (_, f, content) =>
+      content shouldBe expectLuma(f.toInt)
+    }
+    // every=1 keeps all 8 frames
+    Multimodal.y4mLumaFrames(spark, media, 1).count() shouldBe 8L
+    // malformed payloads fail loudly: wrong magic, unsupported chroma
+    val bogus = Seq((1L, "not a y4m stream\n".getBytes("US-ASCII")))
+      .toDF("id", "payload")
+    an[Exception] should be thrownBy
+      Multimodal.y4mLumaFrames(spark, bogus, 1).collect()
+    val c420 = Seq((1L, "YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C420\nFRAME\n"
+      .getBytes("US-ASCII"))).toDF("id", "payload")
+    an[Exception] should be thrownBy
+      Multimodal.y4mLumaFrames(spark, c420, 1).collect()
+    // block alignment guard (4x4x3 = 48 ok; 3x3x3 = 27 is not)
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.synthesizeY4mFromWords(spark, docs, "doc_id", "text", 3, 3, 8)
+    // NULL texts filtered (the synthesizeWavFromWords contract)
+    val withNull = Seq((1L, Option("alpha beta")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    Multimodal.synthesizeY4mFromWords(spark, withNull, "doc_id", "text", 4, 4, 8)
+      .count() shouldBe 1L
+  }
+
+  test("video frame fingerprints + frame-aligned near-dup + scene changes: " +
+    "planted temporal structure found, unrelated excluded") {
+    val base = (1 to 24).map(i => s"w$i").mkString(" ")
+    val oneEdit = base.replace("w7", "zz") // early words → early frames differ
+    val unrelated = (1 to 24).map(i => s"v$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, oneEdit), (3L, unrelated), (4L, base))
+      .toDF("doc_id", "text")
+    val media = Multimodal.synthesizeY4mFromWords(spark, docs, "doc_id", "text", 4, 4, 8)
+    graft.core.CacheRegistry.scoped {
+      val fps = graft.core.CacheRegistry.persist(
+        Multimodal.videoFrameFingerprints(spark,
+          Multimodal.y4mLumaFrames(spark, media, 2)))
+      // composite id round trip: 4 videos × 4 sampled frames
+      fps.count() shouldBe 16L
+      fps.select("frame").distinct().as[Long].collect().toSet shouldBe
+        Set(0L, 2L, 4L, 6L)
+      val pairs = Multimodal.videoNearDupPairs(fps, 16, 12, 2)
+        .as[(Long, Long, Long)].collect()
+        .map(t => ((t._1, t._2), t._3)).toMap
+      // identical videos: all 4 sampled frames match
+      pairs((1L, 4L)) shouldBe 4L
+      // one-word edit perturbs one frame's blocks; ≥ 2 frames still match
+      pairs.keySet should contain((1L, 2L))
+      // unrelated video pairs with nobody
+      pairs.keySet.foreach { case (a, b) => Set(a, b) should not contain 3L }
+      // scene changes: exactly 3 transitions per video (0→2, 2→4, 4→6);
+      // the synthesis keys blocks on (word, frame, block), so consecutive
+      // frames differ by design — assert the structural contract: cut
+      // flag ≡ hamming > threshold, and identical-text videos (1 and 4)
+      // replay identical transition profiles
+      val cuts = Multimodal.videoSceneChanges(fps, 2, 16)
+        .as[(Long, Long, Long, Long, Boolean)].collect()
+      cuts.length shouldBe 12 // 4 videos × 3 transitions
+      cuts.groupBy(_._1).values.foreach { perVid =>
+        perVid.map(c => (c._2, c._3)).sortBy(_._1).toSeq shouldBe
+          Seq((0L, 2L), (2L, 4L), (4L, 6L))
+      }
+      cuts.foreach { c => c._5 shouldBe (c._4 > 16L) }
+      val prof1 = cuts.filter(_._1 == 1L).map(c => (c._2, c._4)).sortBy(_._1).toSeq
+      val prof4 = cuts.filter(_._1 == 4L).map(c => (c._2, c._4)).sortBy(_._1).toSeq
+      prof1 shouldBe prof4
+    }
+    graft.core.CacheRegistry.drain()
+  }
+
   test("orphanAudit: byte accounting over the reference set, empty refs") {
     val m = Multimodal.asMediaTable(
       Seq((1L, "hello"), (2L, "abc"), (3L, "xy")).toDF("id", "content"),
