@@ -1384,6 +1384,36 @@ object SparkEntry {
         Multimodal.videoFrameFingerprints(s, Multimodal.y4mLumaFrames(s, media, 2)))
       Multimodal.videoSceneChanges(fps, 2, 16)
     }),
+    // ENTROPY-CODED decode through the REAL JDK codec: synthesize a real
+    // PNG per row (IHDR/IDAT/IEND, DEFLATE-compressed — the format class
+    // VERDICT r7 filed as sandbox-blocked; javax.imageio ships in every
+    // JDK), decode it back with ImageIO, fold exact channel sums. PNG is
+    // lossless, so the decoded pixels replay from the md5 chain exactly
+    "q357_png_decode" -> ((s, dir) => {
+      val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
+      Multimodal.decodeImage(s,
+        Multimodal.synthesizePngFromWords(s, docs, "doc_id", "text", 8, 8))
+    }),
+    // codec-true perceptual near-dup: the q348 chain with the raw P6
+    // container swapped for compressed PNG and the byte-level parser
+    // swapped for the real codec — fingerprints of DEFLATE-decoded pixels
+    "q358_png_neardup_real" -> ((s, dir) => {
+      val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
+      val media = Multimodal.synthesizePngFromWords(s, docs, "doc_id", "text", 8, 8)
+      val fps = graft.core.CacheRegistry.persist(
+        Multimodal.perceptualHash64Content(s, Multimodal.imageLumaContent(s, media)))
+      Multimodal.perceptualNearDupPairsOn(fps,
+        Multimodal.recommendedBands(cachedCount(s, dir, "documents")(docs)), 12)
+    }),
+    // its recall contract (q349's device over codec-decoded pixels)
+    "q359_png_recall_real" -> ((s, dir) => {
+      val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
+      val media = Multimodal.synthesizePngFromWords(s, docs, "doc_id", "text", 8, 8)
+      val fps = graft.core.CacheRegistry.persist(
+        Multimodal.perceptualHash64Content(s, Multimodal.imageLumaContent(s, media)))
+      Multimodal.perceptualRecallContractOn(fps,
+        Multimodal.recommendedBands(cachedCount(s, dir, "documents")(docs)), 12)
+    }),
     // the banded perceptual path's recall vs the exact Hamming pair set,
     // driver-checked (the q217 contract device for the media tier), at
     // the same adaptive band count q336 registers
@@ -3142,6 +3172,27 @@ object SparkEntry {
       |vdocs AS (SELECT doc_id * 64 + f AS doc_id,
       |    string_agg(CAST(v AS VARCHAR), ' ' ORDER BY k) AS text
       |  FROM vbytes GROUP BY 1)""".stripMargin
+
+  /** q357–q359: the codec-decoded pixel content of the PNG synthesis
+    * replayed WITHOUT running a codec — possible precisely because PNG
+    * is LOSSLESS: the decoded grid equals the pre-encode md5-chain grid,
+    * so the ':pxpng:' word-sampled chain (8×8 = 12 blocks) reconstructs
+    * every byte the real ImageIO decode emits. Ends at
+    * `gdocs(doc_id, text)`, the (id, decoded-luma) relation. */
+  private val pngRealContentCtes: String =
+    """gwords AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |  FROM documents WHERE text IS NOT NULL),
+      |gblk AS (SELECT doc_id, j,
+      |    md5(ws[(j * len(ws)) // 12 + 1] || ':pxpng:' || j) AS h
+      |  FROM gwords CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS j)),
+      |gbytes AS (SELECT doc_id, j * 16 + m AS k,
+      |    CAST(('0x' || substr(h, 2 * m + 1, 2)) AS INTEGER) AS v
+      |  FROM gblk CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS m)),
+      |gluma AS (SELECT doc_id, k // 3 AS px, CAST(sum(v) AS BIGINT) AS luma
+      |  FROM gbytes GROUP BY 1, 2),
+      |gdocs AS (SELECT doc_id,
+      |    string_agg(CAST(luma AS VARCHAR), ' ' ORDER BY px) AS text
+      |  FROM gluma GROUP BY 1)""".stripMargin
 
   /** q355: the scale-adaptive band tail over PER-FRAME fingerprints —
     * width derives from the sampled-frame row count (4 frames per doc:
@@ -11016,6 +11067,46 @@ object SparkEntry {
     "q353_wav_recall_real" ->
       s"""WITH $wavRealContentCtes,
          |${perceptualFpsCtesOver("wdocs")},
+         |$perceptualBandTailCtes,
+         |banded AS (SELECT c.id_a, c.id_b
+         |  FROM pcand c JOIN pfps fa ON c.id_a = fa.id
+         |  JOIN pfps fb ON c.id_b = fb.id
+         |  WHERE bit_count(xor(fa.fp, fb.fp)) <= 12),
+         |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM pfps a JOIN pfps b ON a.id < b.id
+         |  WHERE bit_count(xor(a.fp, b.fp)) <= 12),
+         |bn AS (SELECT CAST(count(*) AS BIGINT) AS n_banded FROM banded)
+         |SELECT n_exact, n_banded,
+         |  CASE WHEN n_exact = 0 THEN 1.0
+         |    ELSE round(CAST(n_banded AS DOUBLE) / n_exact, 6) END AS recall,
+         |  TRUE AS banded_subset_exact
+         |FROM ex CROSS JOIN bn""".stripMargin,
+    // q357: the codec decode's channel sums replayed from the ':pxpng:'
+    // chain — valid because PNG is lossless (decoded grid == synthesized
+    // grid); channel = byte index mod 3
+    "q357_png_decode" ->
+      s"""WITH $pngRealContentCtes
+         |SELECT doc_id AS id, CAST(8 AS INTEGER) AS width,
+         |  CAST(8 AS INTEGER) AS height,
+         |  CAST(sum(CASE WHEN k % 3 = 0 THEN v END) AS BIGINT) AS sum_r,
+         |  CAST(sum(CASE WHEN k % 3 = 1 THEN v END) AS BIGINT) AS sum_g,
+         |  CAST(sum(CASE WHEN k % 3 = 2 THEN v END) AS BIGINT) AS sum_b
+         |FROM gbytes GROUP BY 1""".stripMargin,
+    // q358: the codec-true chain — DEFLATE-decoded luma content (gdocs),
+    // then the SAME fingerprint grid + scale-adaptive band tail as q348
+    "q358_png_neardup_real" ->
+      s"""WITH $pngRealContentCtes,
+         |${perceptualFpsCtesOver("gdocs")},
+         |$perceptualBandTailCtes
+         |SELECT c.id_a, c.id_b,
+         |  CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS hamming
+         |FROM pcand c JOIN pfps fa ON c.id_a = fa.id
+         |JOIN pfps fb ON c.id_b = fb.id
+         |WHERE bit_count(xor(fa.fp, fb.fp)) <= 12""".stripMargin,
+    // q359: the recall-contract tail over the codec-true fingerprints
+    "q359_png_recall_real" ->
+      s"""WITH $pngRealContentCtes,
+         |${perceptualFpsCtesOver("gdocs")},
          |$perceptualBandTailCtes,
          |banded AS (SELECT c.id_a, c.id_b
          |  FROM pcand c JOIN pfps fa ON c.id_a = fa.id

@@ -699,6 +699,150 @@ object Multimodal {
       }.toDF("id", "width", "height", "sum_r", "sum_g", "sum_b")
   }
 
+  /** Synthesize a REAL PNG per row whose pixel blocks SAMPLE THE TEXT'S
+    * WORDS — the ENTROPY-CODED member of the container-true family, and
+    * the retirement of the "compressed formats need a library the
+    * sandbox doesn't have" deployment note: the JDK ships a PNG codec
+    * (`javax.imageio.ImageIO`, zero external dependencies), and PNG's
+    * DEFLATE compression is lossless, so the decoded pixels are
+    * bit-identical to the md5-chain pixels that went in — the oracle
+    * replays DECODED content without ever seeing the compressed bytes.
+    * (JPEG drops into the same decode slot via the same codec, but its
+    * lossy transform is decoder-version-dependent, so a lossy format
+    * cannot carry a bit-exact cross-engine contract — lossless PNG is
+    * the strongest claim a replayable oracle can gate.)
+    *
+    * Pixel layout is [[synthesizePpmFromWords]]'s: 16-byte RGB-raster
+    * block j derives from `md5(s"$word:pxpng:$j")` with `word` the
+    * text's word ⌊j·nWords/nBlocks⌋, then the grid is ENCODED through
+    * the real PNG writer (signature, IHDR/IDAT/IEND chunks, zlib
+    * streams — a genuinely compressed container, typically smaller than
+    * the raw grid). NULL texts filtered; `width·height·3` must be a
+    * multiple of 16. Output: (id, payload). */
+  def synthesizePngFromWords(spark: SparkSession, docs: DataFrame, idCol: String,
+                             textCol: String, width: Int, height: Int): DataFrame = {
+    require(width >= 1 && height >= 1,
+      s"synthesizePngFromWords: need width/height >= 1, got $width/$height")
+    require(width * height * 3 % 16 == 0,
+      s"synthesizePngFromWords: width*height*3 must be a multiple of 16, got ${width * height * 3}")
+    import spark.implicits._
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        // no temp-file cache: the encode must stay an in-memory per-row
+        // kernel (executor threads contending on a disk cache is the
+        // classic ImageIO-in-Spark footgun)
+        javax.imageio.ImageIO.setUseCache(false)
+        val nBytes = width * height * 3
+        val nb = nBytes / 16
+        rows.map { case (id, text) =>
+          val words = text.split(" ", -1) // keep trailing empties (SQL parity)
+          val bytes = new Array[Byte](nBytes)
+          var j = 0
+          while (j < nb) {
+            md.reset()
+            val wj = words((j * words.length) / nb)
+            System.arraycopy(
+              md.digest(s"$wj:pxpng:$j".getBytes(
+                java.nio.charset.StandardCharsets.UTF_8)),
+              0, bytes, j * 16, 16)
+            j += 1
+          }
+          val img = new java.awt.image.BufferedImage(
+            width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var p = 0
+          while (p < width * height) {
+            val rgb = ((bytes(3 * p) & 0xff) << 16) |
+              ((bytes(3 * p + 1) & 0xff) << 8) | (bytes(3 * p + 2) & 0xff)
+            img.setRGB(p % width, p / width, rgb)
+            p += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          require(javax.imageio.ImageIO.write(img, "png", baos),
+            s"synthesizePngFromWords[$id]: no PNG writer installed")
+          (id, baos.toByteArray)
+        }
+      }.toDF("id", "payload")
+  }
+
+  /** REAL codec decode in the [[fakeDecode]] slot — `ImageIO.read` over
+    * the payload bytes (PNG/GIF/BMP out of the box in every JDK; JPEG
+    * too, though lossy decode can't carry a bit-exact oracle), folding
+    * to the same exact integer channel sums as [[decodePpm]]:
+    * (id, width, height, sum_r, sum_g, sum_b). Unrecognized payloads
+    * fail loudly (`ImageIO.read` returns null → require). This is the
+    * entropy-coded twin of the byte-level header parsers — the codec
+    * does the DEFLATE/filter reconstruction the P6 slot never needed. */
+  def decodeImage(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, payload) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          require(img != null,
+            s"decodeImage[$id]: no installed codec recognizes the payload")
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff
+              sg += (rgb >> 8) & 0xff
+              sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          (id, w, h, sr, sg, sb)
+        }
+      }.toDF("id", "width", "height", "sum_r", "sum_g", "sum_b")
+  }
+
+  /** Canonical decoded-content string through the REAL JDK codec — the
+    * entropy-coded front half of the perceptual chain ([[ppmLumaContent]]
+    * is the raw-container twin): `ImageIO.read`, then one space-joined
+    * exact-integer luma (r+g+b) per pixel in raster order, ready for
+    * [[perceptualHash64Content]]. With a LOSSLESS payload (PNG) the
+    * output is bit-identical to the pre-encode pixel grid, which is what
+    * lets the oracle replay fingerprints of codec-decoded content
+    * without running a codec. Output: (id, content). */
+  def imageLumaContent(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, payload) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          require(img != null,
+            s"imageLumaContent[$id]: no installed codec recognizes the payload")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val sb = new java.lang.StringBuilder(w * h * 4)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val luma = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              if (y > 0 || x > 0) sb.append(' ')
+              sb.append(luma)
+              x += 1
+            }
+            y += 1
+          }
+          (id, sb.toString)
+        }
+      }.toDF("id", "content")
+  }
+
   /** Synthesize a REAL YUV4MPEG2 (Y4M) multi-frame video per row whose
     * pixel blocks SAMPLE THE TEXT'S WORDS — the video member of the
     * container-true family ([[synthesizePpmFromWords]] is the image twin,

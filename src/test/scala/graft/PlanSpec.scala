@@ -94,6 +94,9 @@ class PlanSpec extends SparkSpec {
         // round 8: the container-true chain bands the same 8-byte
         // fingerprints — real P6 decode is scan-stage, never join-stage
         "q348_ppm_neardup_real",
+        // the codec tier (PNG through ImageIO) bands identically — the
+        // DEFLATE decode is scan-stage
+        "q358_png_neardup_real",
         // the video tier adds the frame index to the band key; the Y4M
         // decode + per-frame SimHash are scan-stage, candidates remain a
         // (frame, band, bucket) equi-join

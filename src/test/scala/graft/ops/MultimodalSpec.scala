@@ -429,6 +429,51 @@ class MultimodalSpec extends SparkSpec {
     graft.core.CacheRegistry.drain()
   }
 
+  test("synthesizePngFromWords + decodeImage + imageLumaContent: real " +
+    "DEFLATE round trip through the JDK codec, pixels replay exactly") {
+    val text = "alpha beta gamma delta"
+    val docs = Seq((3L, text)).toDF("doc_id", "text")
+    val media = Multimodal.synthesizePngFromWords(spark, docs, "doc_id", "text", 8, 8)
+    val payload = media.as[(Long, Array[Byte])].head()._2
+    // a REAL PNG: 8-byte signature, and genuinely compressed (the
+    // container is an entropy-coded stream, not the raw grid)
+    payload.take(8).map(_ & 0xff).toSeq shouldBe
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    // the codec decode recovers the md5-chain pixels EXACTLY (lossless)
+    val words = text.split(" ", -1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bytes = (0 until 12).flatMap { j =>
+      md.reset()
+      md.digest(s"${words((j * words.length) / 12)}:pxpng:$j".getBytes("UTF-8")).toSeq
+    }.map(_ & 0xff)
+    val dec = Multimodal.decodeImage(spark, media).head()
+    dec.getAs[Int]("width") shouldBe 8
+    dec.getAs[Int]("height") shouldBe 8
+    dec.getAs[Long]("sum_r") shouldBe bytes.grouped(3).map(_(0)).sum.toLong
+    dec.getAs[Long]("sum_g") shouldBe bytes.grouped(3).map(_(1)).sum.toLong
+    dec.getAs[Long]("sum_b") shouldBe bytes.grouped(3).map(_(2)).sum.toLong
+    // luma content through the codec == luma content of the raw grid
+    Multimodal.imageLumaContent(spark, media)
+      .as[(Long, String)].head()._2 shouldBe
+      bytes.grouped(3).map(_.sum).mkString(" ")
+    // unrecognized payloads fail loudly
+    val bogus = Seq((1L, "not an image".getBytes("US-ASCII"))).toDF("id", "payload")
+    an[Exception] should be thrownBy
+      Multimodal.decodeImage(spark, bogus).collect()
+    // the codec also reads the raw-container tier's P6? it does not —
+    // but it MUST read what the PPM pixels look like re-encoded: the
+    // codec-true chain and the P6 chain fingerprint the same luma when
+    // fed the same pixel bytes (cross-container consistency of the kernel)
+    val ppm = Multimodal.synthesizePpmFromWords(spark, docs, "doc_id", "text", 8, 8)
+    val ppmLuma = Multimodal.ppmLumaContent(spark, ppm).as[(Long, String)].head()._2
+    val mdp = java.security.MessageDigest.getInstance("MD5")
+    val ppmBytes = (0 until 12).flatMap { j =>
+      mdp.reset()
+      mdp.digest(s"${words((j * words.length) / 12)}:pximg:$j".getBytes("UTF-8")).toSeq
+    }.map(_ & 0xff)
+    ppmLuma shouldBe ppmBytes.grouped(3).map(_.sum).mkString(" ")
+  }
+
   test("orphanAudit: byte accounting over the reference set, empty refs") {
     val m = Multimodal.asMediaTable(
       Seq((1L, "hello"), (2L, "abc"), (3L, "xy")).toDF("id", "content"),
