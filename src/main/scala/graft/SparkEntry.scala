@@ -1384,6 +1384,19 @@ object SparkEntry {
         Multimodal.videoFrameFingerprints(s, Multimodal.y4mLumaFrames(s, media, 2)))
       Multimodal.videoSceneChanges(fps, 2, 16)
     }),
+    // compressed-TEXT ingestion: gzip every document into a real RFC-1952
+    // blob, inflate it back through the JDK codec, and run the first
+    // curation steps (char/word counts) on the DECODED content — the
+    // oracle reads the original text directly, so the row hashing pins
+    // the decompress-then-curate chain lossless end to end
+    "q360_gzip_ingest" -> ((s, dir) => {
+      val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
+      Multimodal.gunzipContent(s,
+          Multimodal.gzipPayloads(s, docs, "doc_id", "text"))
+        .select(col("id"), col("content"),
+          length(col("content")).cast("long").as("n_chars"),
+          size(split(col("content"), " ", -1)).cast("long").as("n_words"))
+    }),
     // ENTROPY-CODED decode through the REAL JDK codec: synthesize a real
     // PNG per row (IHDR/IDAT/IEND, DEFLATE-compressed — the format class
     // VERDICT r7 filed as sandbox-blocked; javax.imageio ships in every
@@ -11081,6 +11094,14 @@ object SparkEntry {
          |    ELSE round(CAST(n_banded AS DOUBLE) / n_exact, 6) END AS recall,
          |  TRUE AS banded_subset_exact
          |FROM ex CROSS JOIN bn""".stripMargin,
+    // q360: the gzip round trip is lossless, so the oracle IS the
+    // original text — any divergence in content or the counts derived
+    // from it means the compress/inflate chain corrupted a byte
+    "q360_gzip_ingest" ->
+      """SELECT doc_id AS id, text AS content,
+        |  CAST(len(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
     // q357: the codec decode's channel sums replayed from the ':pxpng:'
     // chain — valid because PNG is lossless (decoded grid == synthesized
     // grid); channel = byte index mod 3

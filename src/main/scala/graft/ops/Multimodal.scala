@@ -767,6 +767,55 @@ object Multimodal {
       }.toDF("id", "payload")
   }
 
+  /** Gzip-compress each row's text into a REAL RFC-1952 payload
+    * (`java.util.zip.GZIPOutputStream` — DEFLATE entropy coding, in
+    * every JDK) — the compressed-TEXT member of the container family:
+    * web-scale corpora arrive as gzip blobs, and the ingestion question
+    * is whether the decompress-then-curate chain is lossless. It is, and
+    * [[gunzipContent]] + the oracle (which reads the original text
+    * directly) make that a driver-checked contract rather than an
+    * assumption. NULL texts filtered. Output: (id, payload). */
+  def gzipPayloads(spark: SparkSession, docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    import spark.implicits._
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val baos = new java.io.ByteArrayOutputStream()
+          val gz = new java.util.zip.GZIPOutputStream(baos)
+          gz.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          gz.close()
+          (id, baos.toByteArray)
+        }
+      }.toDF("id", "payload")
+  }
+
+  /** REAL gzip decode in the media slot: inflate the payload back to the
+    * utf-8 text (`GZIPInputStream`; malformed streams fail loudly with
+    * the codec's own ZipException). One scan, zero shuffle — the
+    * decompressed content feeds tokenizers/fingerprints exactly like an
+    * uncompressed text column. Output: (id, content). */
+  def gunzipContent(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val in = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          val out = new java.io.ByteArrayOutputStream(payload.length * 4)
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          in.close()
+          (id, new String(out.toByteArray,
+            java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }.toDF("id", "content")
+  }
+
   /** REAL codec decode in the [[fakeDecode]] slot — `ImageIO.read` over
     * the payload bytes (PNG/GIF/BMP out of the box in every JDK; JPEG
     * too, though lossy decode can't carry a bit-exact oracle), folding

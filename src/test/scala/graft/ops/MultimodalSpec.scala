@@ -474,6 +474,34 @@ class MultimodalSpec extends SparkSpec {
     ppmLuma shouldBe ppmBytes.grouped(3).map(_.sum).mkString(" ")
   }
 
+  test("gzipPayloads + gunzipContent: real RFC-1952 round trip, lossless " +
+    "including multibyte content; malformed streams fail loudly") {
+    val texts = Seq((1L, "plain ascii words"), (2L, "ünïcödé — 普通话 🚀"),
+      (3L, ""))
+    val docs = texts.toDF("doc_id", "text")
+    val media = Multimodal.gzipPayloads(spark, docs, "doc_id", "text")
+    // a REAL gzip member: RFC-1952 magic + deflate method byte
+    val payload = media.where($"id" === 1L).as[(Long, Array[Byte])].head()._2
+    (payload(0) & 0xff) shouldBe 0x1f
+    (payload(1) & 0xff) shouldBe 0x8b
+    payload(2).toInt shouldBe 8
+    // the payload is genuinely compressed framing, not the raw text
+    new String(payload, "UTF-8") should not include "plain ascii"
+    val back = Multimodal.gunzipContent(spark, media)
+      .as[(Long, String)].collect().toMap
+    texts.foreach { case (id, t) => back(id) shouldBe t }
+    // NULL texts filtered (the family contract)
+    val withNull = Seq((1L, Option("x")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    Multimodal.gzipPayloads(spark, withNull, "doc_id", "text")
+      .count() shouldBe 1L
+    // a corrupt stream raises the codec's own error, not silent garbage
+    val bogus = Seq((9L, Array[Byte](0x1f.toByte, 0x8b.toByte, 8, 0, 0)))
+      .toDF("id", "payload")
+    an[Exception] should be thrownBy
+      Multimodal.gunzipContent(spark, bogus).collect()
+  }
+
   test("orphanAudit: byte accounting over the reference set, empty refs") {
     val m = Multimodal.asMediaTable(
       Seq((1L, "hello"), (2L, "abc"), (3L, "xy")).toDF("id", "content"),
