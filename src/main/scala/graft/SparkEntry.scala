@@ -1384,6 +1384,34 @@ object SparkEntry {
         Multimodal.videoFrameFingerprints(s, Multimodal.y4mLumaFrames(s, media, 2)))
       Multimodal.videoSceneChanges(fps, 2, 16)
     }),
+    // TRIMODAL consensus dedup — the capstone of the container-true
+    // family: the image (real P6 decode, q348), audio (real RIFF parse,
+    // q352), and video (frame-sampled Y4M, q355) near-dup pair sets vote;
+    // a pair is a consensus duplicate when ≥ 2 of the 3 REAL-decoded
+    // modalities agree, and single-modality hits stay visible as the
+    // curation signal (re-encode, caption swap) they are
+    "q361_trimodal_consensus" -> ((s, dir) => {
+      val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
+      val bands = Multimodal.recommendedBands(cachedCount(s, dir, "documents")(docs))
+      val img = Multimodal.perceptualNearDupPairsOn(
+        graft.core.CacheRegistry.persist(Multimodal.perceptualHash64Content(s,
+          Multimodal.ppmLumaContent(s,
+            Multimodal.synthesizePpmFromWords(s, docs, "doc_id", "text", 8, 8)))),
+        bands, 12).select("id_a", "id_b")
+      val aud = Multimodal.perceptualNearDupPairsOn(
+        graft.core.CacheRegistry.persist(Multimodal.perceptualHash64Content(s,
+          Multimodal.wavSampleContent(s,
+            Multimodal.synthesizeWavFromWords(s, docs, "doc_id", "text", 96, 16000)))),
+        bands, 12).select("id_a", "id_b")
+      val vid = Multimodal.videoNearDupPairs(
+        graft.core.CacheRegistry.persist(Multimodal.videoFrameFingerprints(s,
+          Multimodal.y4mLumaFrames(s,
+            Multimodal.synthesizeY4mFromWords(s, docs, "doc_id", "text", 4, 4, 8), 2))),
+        Multimodal.recommendedBands(4L * cachedCount(s, dir, "documents")(docs)),
+        12, 2).select("id_a", "id_b")
+      Multimodal.modalityVote(
+        Seq("image" -> img, "audio" -> aud, "video" -> vid), 2)
+    }),
     // compressed-TEXT ingestion: gzip every document into a real RFC-1952
     // blob, inflate it back through the JDK codec, and run the first
     // curation steps (char/word counts) on the DECODED content — the
@@ -11094,6 +11122,41 @@ object SparkEntry {
          |    ELSE round(CAST(n_banded AS DOUBLE) / n_exact, 6) END AS recall,
          |  TRUE AS banded_subset_exact
          |FROM ex CROSS JOIN bn""".stripMargin,
+    // q361: the three REAL-decoded modality pair chains (each a nested
+    // WITH so the shared CTE names stay isolated, the q338 device),
+    // composed on the normalized pair key by an N-way vote
+    "q361_trimodal_consensus" ->
+      s"""WITH ipairs AS (SELECT id_a, id_b FROM (
+         |  WITH $ppmRealContentCtes,
+         |  ${perceptualFpsCtesOver("rdocs")},
+         |  $perceptualBandTailCtes
+         |  SELECT c.id_a, c.id_b FROM pcand c
+         |  JOIN pfps fa ON c.id_a = fa.id JOIN pfps fb ON c.id_b = fb.id
+         |  WHERE bit_count(xor(fa.fp, fb.fp)) <= 12)),
+         |apairs AS (SELECT id_a, id_b FROM (
+         |  WITH $wavRealContentCtes,
+         |  ${perceptualFpsCtesOver("wdocs")},
+         |  $perceptualBandTailCtes
+         |  SELECT c.id_a, c.id_b FROM pcand c
+         |  JOIN pfps fa ON c.id_a = fa.id JOIN pfps fb ON c.id_b = fb.id
+         |  WHERE bit_count(xor(fa.fp, fb.fp)) <= 12)),
+         |vpairs AS (SELECT id_a, id_b FROM (
+         |  WITH $y4mRealContentCtes,
+         |  ${perceptualFpsCtesOver("vdocs")},
+         |  $videoBandTailCtes
+         |  SELECT id_a // 64 AS id_a, id_b // 64 AS id_b
+         |  FROM vver GROUP BY 1, 2 HAVING count(*) >= 2)),
+         |allm AS (
+         |  SELECT id_a, id_b, 'image' AS m FROM ipairs
+         |  UNION ALL SELECT id_a, id_b, 'audio' AS m FROM apairs
+         |  UNION ALL SELECT id_a, id_b, 'video' AS m FROM vpairs)
+         |SELECT id_a, id_b,
+         |  bool_or(m = 'image') AS in_image,
+         |  bool_or(m = 'audio') AS in_audio,
+         |  bool_or(m = 'video') AS in_video,
+         |  CAST(count(DISTINCT m) AS BIGINT) AS n_modalities,
+         |  count(DISTINCT m) >= 2 AS consensus
+         |FROM allm GROUP BY 1, 2""".stripMargin,
     // q360: the gzip round trip is lossless, so the oracle IS the
     // original text — any divergence in content or the counts derived
     // from it means the compress/inflate chain corrupted a byte

@@ -1116,6 +1116,37 @@ object Multimodal {
       .withColumn("is_cut", col("hamming") > cutHamming)
   }
 
+  /** N-way modality VOTE over per-modality near-dup pair sets — the
+    * generalization of [[crossModalConsensus]] from 2 to N modalities: an
+    * item pair is a consensus duplicate when at least `minVotes` of the
+    * supplied modality pair sets agree. Input: (name, pairs) where each
+    * pairs frame has DISTINCT normalized (id_a, id_b) rows (a < b, the
+    * family convention). Output: (id_a, id_b, in_<name>..., n_modalities,
+    * consensus) — one row per pair flagged by ANY modality, so modality
+    * DISAGREEMENT (1 vote) stays visible as the curation signal it is
+    * (e.g. re-encoded image, different caption).
+    *
+    * Scale shape: a union of pair sets (already occupancy-bounded by
+    * their banded generators) and ONE (id_a, id_b) aggregate — no new
+    * join against item tables, no blobs. */
+  def modalityVote(pairSets: Seq[(String, DataFrame)], minVotes: Int): DataFrame = {
+    require(pairSets.nonEmpty, "modalityVote: need at least one modality")
+    require(pairSets.map(_._1).distinct.size == pairSets.size,
+      "modalityVote: modality names must be distinct")
+    require(minVotes >= 1 && minVotes <= pairSets.size,
+      s"modalityVote: need 1 <= minVotes <= ${pairSets.size}, got $minVotes")
+    val tagged = pairSets.map { case (name, df) =>
+      df.select(col("id_a"), col("id_b"), lit(name).as("__m"))
+    }.reduce(_.unionByName(_))
+    val flags = pairSets.map { case (name, _) =>
+      bool_or(col("__m") === name).as(s"in_$name")
+    }
+    tagged.groupBy(col("id_a"), col("id_b"))
+      .agg(flags.head,
+        (flags.tail :+ count_distinct(col("__m")).as("n_modalities")): _*)
+      .withColumn("consensus", col("n_modalities") >= minVotes)
+  }
+
   /** Band count for the 64-bit perceptual Hamming LSH, derived from the
     * corpus size by the SCALE10X occupancy rule: per-band bucket space is
     * 2^width, the candidate join is quadratic in per-bucket occupancy, so

@@ -502,6 +502,28 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.gunzipContent(spark, bogus).collect()
   }
 
+  test("modalityVote: N-way vote, disagreement stays visible, guards") {
+    val img = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val aud = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val vid = Seq((1L, 2L), (7L, 8L)).toDF("id_a", "id_b")
+    val out = Multimodal.modalityVote(
+        Seq("image" -> img, "audio" -> aud, "video" -> vid), 2)
+      .as[(Long, Long, Boolean, Boolean, Boolean, Long, Boolean)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    out((1L, 2L)) shouldBe ((1L, 2L, true, true, true, 3L, true))
+    out((3L, 4L)) shouldBe ((3L, 4L, true, true, false, 2L, true))
+    // single-modality hits survive with consensus=false (the signal)
+    out((5L, 6L)) shouldBe ((5L, 6L, true, false, false, 1L, false))
+    out((7L, 8L)) shouldBe ((7L, 8L, false, false, true, 1L, false))
+    out.size shouldBe 4
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.modalityVote(Seq.empty, 1)
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.modalityVote(Seq("a" -> img, "a" -> aud), 1)
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.modalityVote(Seq("a" -> img), 2)
+  }
+
   test("orphanAudit: byte accounting over the reference set, empty refs") {
     val m = Multimodal.asMediaTable(
       Seq((1L, "hello"), (2L, "abc"), (3L, "xy")).toDF("id", "content"),
