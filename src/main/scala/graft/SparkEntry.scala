@@ -1384,6 +1384,15 @@ object SparkEntry {
         Multimodal.videoFrameFingerprints(s, Multimodal.y4mLumaFrames(s, media, 2)))
       Multimodal.videoSceneChanges(fps, 2, 16)
     }),
+    // image RESIZE (the decode/feature-extract/resize/frame-sample
+    // quartet's last member): real P6 parse, then 2×2 box-sum downsample
+    // to a 4×4 grid in exact integer arithmetic — every output cell
+    // replayed by the oracle from the ':pximg:' chain
+    "q362_image_resize" -> ((s, dir) => {
+      val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
+      Multimodal.resizePpmLuma(s,
+        Multimodal.synthesizePpmFromWords(s, docs, "doc_id", "text", 8, 8), 2)
+    }),
     // TRIMODAL consensus dedup — the capstone of the container-true
     // family: the image (real P6 decode, q348), audio (real RIFF parse,
     // q352), and video (frame-sampled Y4M, q355) near-dup pair sets vote;
@@ -11122,6 +11131,15 @@ object SparkEntry {
          |    ELSE round(CAST(n_banded AS DOUBLE) / n_exact, 6) END AS recall,
          |  TRUE AS banded_subset_exact
          |FROM ex CROSS JOIN bn""".stripMargin,
+    // q362: the box-sum pyramid cell (x, y) sums the lumas of pixels
+    // px with (px%8)//2 = x and (px//8)//2 = y — integer-exact, replayed
+    // from the same ':pximg:' chain as q348
+    "q362_image_resize" ->
+      s"""WITH $ppmRealContentCtes
+         |SELECT doc_id AS id, CAST((px % 8) // 2 AS BIGINT) AS x,
+         |  CAST((px // 8) // 2 AS BIGINT) AS y,
+         |  CAST(sum(luma) AS BIGINT) AS luma
+         |FROM rluma GROUP BY 1, 2, 3""".stripMargin,
     // q361: the three REAL-decoded modality pair chains (each a nested
     // WITH so the shared CTE names stay isolated, the q338 device),
     // composed on the normalized pair key by an N-way vote

@@ -233,6 +233,63 @@ object Multimodal {
       }.toDF("id", "content")
   }
 
+  /** RESIZE (box-sum downsample) over a decoded P6 image — the remaining
+    * member of the decode / feature-extract / resize / frame-sample
+    * multimodal quartet: the same byte-level P6 parse as
+    * [[ppmLumaContent]], then each `factor`×`factor` pixel block folds to
+    * ONE output cell whose value is the EXACT INTEGER SUM of the block's
+    * per-pixel luma (a box-sum pyramid level — sum, not mean, so no
+    * division semantics can diverge between engines; the mean is
+    * `luma / factor²` for any consumer that wants it). `factor` must
+    * divide both dimensions; malformed payloads fail loudly. Output:
+    * (id, x, y, luma) — one row per downsampled cell, raster order
+    * recoverable from (x, y).
+    *
+    * Scale shape: one payload scan with bounded fan-out
+    * ((w/factor)·(h/factor) rows per image), zero shuffle. */
+  def resizePpmLuma(spark: SparkSession, media: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, s"resizePpmLuma: need factor >= 1, got $factor")
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          var pos = 0
+          def token(): String = {
+            while (pos < payload.length && payload(pos).toChar.isWhitespace) pos += 1
+            val start = pos
+            while (pos < payload.length && !payload(pos).toChar.isWhitespace) pos += 1
+            new String(payload, start, pos - start, "US-ASCII")
+          }
+          require(token() == "P6", s"resizePpmLuma[$id]: not a P6 payload")
+          val w = token().toInt
+          val h = token().toInt
+          require(token() == "255", s"resizePpmLuma[$id]: unsupported maxval")
+          pos += 1 // single whitespace after maxval, per the P6 grammar
+          require(w >= 1 && h >= 1, s"resizePpmLuma[$id]: invalid dims ${w}x$h")
+          require(w % factor == 0 && h % factor == 0,
+            s"resizePpmLuma[$id]: factor $factor must divide ${w}x$h")
+          require(payload.length.toLong - pos >= w.toLong * h * 3,
+            s"resizePpmLuma[$id]: truncated pixel data")
+          val ow = w / factor
+          val oh = h / factor
+          val acc = new Array[Long](ow * oh)
+          var k = 0
+          val n = w * h
+          while (k < n) {
+            val luma = (payload(pos + 3 * k) & 0xff) +
+              (payload(pos + 3 * k + 1) & 0xff) +
+              (payload(pos + 3 * k + 2) & 0xff)
+            acc(((k / w) / factor) * ow + ((k % w) / factor)) += luma
+            k += 1
+          }
+          (0 until ow * oh).iterator.map { i =>
+            (id, (i % ow).toLong, (i / ow).toLong, acc(i))
+          }
+        }
+      }.toDF("id", "x", "y", "luma")
+  }
+
   /** Canonical decoded-content string of a RIFF/WAVE PCM16 payload — the
     * audio twin of [[ppmLumaContent]] and the other container-true front
     * half (q352/q353): the same byte-level RIFF parse as [[decodeWav]]

@@ -502,6 +502,36 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.gunzipContent(spark, bogus).collect()
   }
 
+  test("resizePpmLuma: 2x2 box-sum downsample matches the hand fold; " +
+    "factor must divide dims; malformed payloads rejected") {
+    val text = "alpha beta gamma delta"
+    val docs = Seq((5L, text)).toDF("doc_id", "text")
+    val media = Multimodal.synthesizePpmFromWords(spark, docs, "doc_id", "text", 8, 8)
+    // hand-fold: md5-chain bytes → per-pixel luma → 2x2 block sums
+    val words = text.split(" ", -1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val luma = (0 until 12).flatMap { j =>
+      md.reset()
+      md.digest(s"${words((j * words.length) / 12)}:pximg:$j".getBytes("UTF-8")).toSeq
+    }.map(_ & 0xff).grouped(3).map(_.sum.toLong).toArray
+    val expect = (for (y <- 0 until 4; x <- 0 until 4) yield {
+      (x.toLong, y.toLong,
+        luma(2 * y * 8 + 2 * x) + luma(2 * y * 8 + 2 * x + 1) +
+          luma((2 * y + 1) * 8 + 2 * x) + luma((2 * y + 1) * 8 + 2 * x + 1))
+    }).toSet
+    val got = Multimodal.resizePpmLuma(spark, media, 2)
+      .as[(Long, Long, Long, Long)].collect()
+    got.length shouldBe 16
+    got.map(r => (r._2, r._3, r._4)).toSet shouldBe expect
+    // factor 1 is the identity grid; factor 3 does not divide 8
+    Multimodal.resizePpmLuma(spark, media, 1).count() shouldBe 64L
+    an[Exception] should be thrownBy
+      Multimodal.resizePpmLuma(spark, media, 3).collect()
+    val bogus = Seq((1L, "P5 bogus".getBytes("US-ASCII"))).toDF("id", "payload")
+    an[Exception] should be thrownBy
+      Multimodal.resizePpmLuma(spark, bogus, 2).collect()
+  }
+
   test("modalityVote: N-way vote, disagreement stays visible, guards") {
     val img = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
     val aud = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
