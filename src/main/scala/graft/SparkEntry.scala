@@ -1384,6 +1384,24 @@ object SparkEntry {
         Multimodal.videoFrameFingerprints(s, Multimodal.y4mLumaFrames(s, media, 2)))
       Multimodal.videoSceneChanges(fps, 2, 16)
     }),
+    // PII redaction (the C4/CCNet scrub step): every 5th document gains
+    // a deterministic md5-derived email + IPv4 (so the oracle plants the
+    // IDENTICAL bytes), then emails and IPs are replaced with typed
+    // placeholders and counted — every replacement and count replayed
+    "q363_pii_redact" -> ((s, dir) => {
+      val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
+        .where(col("text").isNotNull)
+      val hEmail = md5(concat(col("doc_id").cast("string"), lit(":pii")))
+      val hIp = md5(concat(col("doc_id").cast("string"), lit(":pip")))
+      def oct(i: Int) = conv(substring(hIp, 2 * i + 1, 2), 16, 10)
+      val planted = docs.select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" contact "),
+            substring(hEmail, 1, 8), lit("@example.com from "),
+            concat_ws(".", oct(0), oct(1), oct(2), oct(3))))
+          .otherwise(col("text")).as("text"))
+      graft.ops.TextStats.piiRedact(planted, "doc_id", "text")
+    }),
     // image RESIZE (the decode/feature-extract/resize/frame-sample
     // quartet's last member): real P6 parse, then 2×2 box-sum downsample
     // to a 4×4 grid in exact integer arithmetic — every output cell
@@ -11131,6 +11149,32 @@ object SparkEntry {
          |    ELSE round(CAST(n_banded AS DOUBLE) / n_exact, 6) END AS recall,
          |  TRUE AS banded_subset_exact
          |FROM ex CROSS JOIN bn""".stripMargin,
+    // q363: identical planted bytes (md5-derived email + dotted quad),
+    // identical RE2-portable patterns, global replace + match counts —
+    // n_emails on the original text, n_ips on the email-scrubbed text,
+    // exactly the Spark operator's scan order
+    "q363_pii_redact" -> {
+      // DuckDB standard strings pass backslashes through verbatim, so the
+      // shared Scala pattern constants interpolate unchanged
+      val emailRe = graft.ops.TextStats.EmailRe
+      val ipRe = graft.ops.TextStats.Ipv4Re
+      def octSql(i: Int) =
+        s"CAST(CAST(('0x' || substr(md5(doc_id || ':pip'), ${2 * i + 1}, 2)) AS INTEGER) AS VARCHAR)"
+      s"""WITH planted AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || ' contact ' ||
+         |      substr(md5(doc_id || ':pii'), 1, 8) || '@example.com from ' ||
+         |      ${octSql(0)} || '.' || ${octSql(1)} || '.' || ${octSql(2)} || '.' || ${octSql(3)}
+         |    ELSE text END AS text
+         |  FROM documents WHERE text IS NOT NULL),
+         |scrub AS (SELECT doc_id, text,
+         |    regexp_replace(text, '$emailRe', '<EMAIL>', 'g') AS no_email
+         |  FROM planted)
+         |SELECT doc_id AS id,
+         |  regexp_replace(no_email, '$ipRe', '<IP>', 'g') AS redacted,
+         |  CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(no_email, '$ipRe')) AS BIGINT) AS n_ips
+         |FROM scrub""".stripMargin
+    },
     // q362: the box-sum pyramid cell (x, y) sums the lumas of pixels
     // px with (px%8)//2 = x and (px//8)//2 = y — integer-exact, replayed
     // from the same ':pximg:' chain as q348

@@ -14,6 +14,36 @@ object TextStats {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(split(text, " "))
 
+  /** Email pattern shared by [[piiRedact]] and its oracle: explicit
+    * character classes only (no \d/\w/\b), so Java regex and RE2 agree
+    * byte-for-byte on every match. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** IPv4-shaped pattern for [[piiRedact]] — same RE2/Java-portable
+    * discipline (dotted quads; semantic range checks are a later pass). */
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII redaction over the text column — the C4/CCNet curation step the
+    * privacy AUDITS (k-anonymity/l-diversity/ε-DP over structured
+    * columns) don't cover: emails then IPv4 literals are replaced with
+    * typed placeholder tokens, and per-document match counts ride along
+    * as the scrubbing ledger. Emails are scrubbed FIRST so an address's
+    * host part can never be double-counted as an IP-shaped string; both
+    * counts are taken on the text the pattern actually scanned
+    * (n_emails on the original, n_ips on the email-scrubbed text).
+    * Built-in regexp functions only (codegen'd, no UDFs); patterns are
+    * RE2-portable so the DuckDB oracle replays every replacement.
+    * Output: (id, redacted, n_emails, n_ips). */
+  def piiRedact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val emailScrubbed =
+      regexp_replace(col(textCol), EmailRe, "<EMAIL>")
+    df.where(col(textCol).isNotNull).select(
+      col(idCol).as("id"),
+      regexp_replace(emailScrubbed, Ipv4Re, "<IP>").as("redacted"),
+      regexp_count(col(textCol), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(emailScrubbed, lit(Ipv4Re)).cast("long").as("n_ips"))
+  }
+
   /** BPE-ish subword count: alpha runs split from digit/punctuation singles —
     * a cheap, deterministic proxy for tokenizer cost estimation. */
   def bpeishTokenCount(text: Column): Column =

@@ -100,7 +100,10 @@ class PlanSpec extends SparkSpec {
         // the video tier adds the frame index to the band key; the Y4M
         // decode + per-frame SimHash are scan-stage, candidates remain a
         // (frame, band, bucket) equi-join
-        "q355_y4m_neardup_real")) {
+        "q355_y4m_neardup_real",
+        // the trimodal vote unions three banded pair sets and aggregates —
+        // no new join against item tables anywhere in the composite
+        "q361_trimodal_consensus")) {
       // (q325/q335 also consume the banded pair table, but their audit
       // scalars ride a deliberate 1-row broadcast cross join — the gate
       // covers their pair generation via q141)
