@@ -64,8 +64,28 @@ object ScaleProbe {
         // merge job), separating the fixed engine floor from data work
         case "stream_moments_drops1" => Some((s, d) => streamMomentsProbe(s, d, 1))
         case "stream_moments_drops3" => Some((s, d) => streamMomentsProbe(s, d, 3))
+        // the width-cap demonstration (SCALE10X round 8): the perceptual
+        // PAIR stage alone over the utf-8 content fingerprints, 64-bit
+        // tier at its 16-bit width cap vs the 128-bit tier at the 32-bit
+        // width only it can reach — on the templated corpus the hot
+        // (band, bucket) cells drive the candidate join quadratically,
+        // and bucket SPACE is the knob that splits them
+        case "p64_pairs_w16" => Some((s, d) => {
+          val fps = graft.core.CacheRegistry.persist(
+            graft.ops.Multimodal.perceptualHash64Content(s, contentOf(s, d)))
+          graft.ops.Multimodal.perceptualNearDupPairsOn(fps, 4, 12)
+        })
+        case "p128_pairs_w32" => Some((s, d) => {
+          val fps = graft.core.CacheRegistry.persist(
+            graft.ops.Multimodal.perceptualHash128Content(s, contentOf(s, d)))
+          graft.ops.Multimodal.perceptualNearDupPairs128On(fps, 32, 24)
+        })
         case _ => None
       }
+    def contentOf(s: SparkSession, d: String): DataFrame =
+      graft.core.Tables.tableRebalanced(s, d, "documents")
+        .select(org.apache.spark.sql.functions.col("doc_id").as("id"),
+          org.apache.spark.sql.functions.col("text").as("content"))
     def streamMomentsProbe(s: SparkSession, d: String, nDrops: Int): DataFrame = {
       import org.apache.spark.sql.functions.{col, pmod, lit}
       val ev = graft.core.Tables.table(s, d, "events")

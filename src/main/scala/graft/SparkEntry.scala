@@ -1397,6 +1397,30 @@ object SparkEntry {
     // > 16 of 64 bits flip — composes with the same fingerprint frame
     "q356_y4m_scene_change" -> ((s, dir) =>
       Multimodal.videoSceneChanges(tierFps(s, dir, "y4m"), 2, 16)),
+    // 128-BIT perceptual near-dup — the measured width-cap remedy: the
+    // 64-bit tier's bands max out at 16-bit buckets (q336 read 18×/decade
+    // at 100×, q355 25× — occupancy grows past ~10⁶ items), while 128
+    // bits admit 32-bit bands whose occupancy stays bounded through ~10⁹
+    // items at the same ≥ 4-band recall floor. Same SimHash votes, same
+    // md5 (the full 16-byte digest instead of half), every bit replayed
+    "q364_perceptual128_neardup" -> ((s, dir) => {
+      val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
+      val fps = graft.core.CacheRegistry.persist(
+        Multimodal.perceptualHash128Content(s,
+          docs.select(col("doc_id").as("id"), col("text").as("content"))))
+      Multimodal.perceptualNearDupPairs128On(fps,
+        Multimodal.recommendedWidth128(cachedCount(s, dir, "documents")(docs)), 24)
+    }),
+    // its recall contract (q337's device at 128 bits, threshold 24/128 —
+    // the same 3/16 proportional Hamming radius as the 64-bit 12/64)
+    "q365_perceptual128_recall" -> ((s, dir) => {
+      val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
+      val fps = graft.core.CacheRegistry.persist(
+        Multimodal.perceptualHash128Content(s,
+          docs.select(col("doc_id").as("id"), col("text").as("content"))))
+      Multimodal.perceptualRecallContract128On(fps,
+        Multimodal.recommendedWidth128(cachedCount(s, dir, "documents")(docs)), 24)
+    }),
     // PII redaction (the C4/CCNet scrub step): every 5th document gains
     // a deterministic md5-derived email + IPv4 (so the oracle plants the
     // IDENTICAL bytes), then emails and IPs are replaced with typed
@@ -3325,6 +3349,72 @@ object SparkEntry {
   }
 
   private val perceptualFpsCtes: String = perceptualFpsCtesOver("documents")
+
+  /** q364/q365: the 128-BIT fingerprint replayed bit-exact — the 64-bit
+    * nibble-grid device run over all 32 md5 hex chars: chars 1–16
+    * reassemble to `fph`, chars 17–32 to `fpl` (each a big-endian 64-bit
+    * number via a per-half multiplier table, two's-complement wrapped).
+    * Ends at `pfps(id, fph, fpl)`. */
+  private def perceptual128FpsCtesOver(rel: String): String = {
+    val multipliers = ((1 to 16).map(c =>
+      s"($c, CAST('${BigInt(16).pow(16 - c)}' AS HUGEINT))") ++
+      (17 to 32).map(c =>
+        s"($c, CAST('${BigInt(16).pow(32 - c)}' AS HUGEINT))")).mkString(", ")
+    val wrap = (u: String) =>
+      s"""CAST(CASE
+         |      WHEN $u IS NULL THEN 0
+         |      WHEN $u >= CAST('9223372036854775808' AS HUGEINT)
+         |        THEN $u - CAST('18446744073709551616' AS HUGEINT)
+         |      ELSE $u END AS BIGINT)""".stripMargin
+    s"""psh AS (SELECT doc_id,
+       |    md5(unnest(list_transform(
+       |      generate_series(1, len(text) - 3),
+       |      i -> substr(text, i, 4)))) AS h
+       |  FROM $rel WHERE text IS NOT NULL),
+       |pcs AS (SELECT unnest(generate_series(1, 32)) AS c),
+       |pgrid AS (SELECT doc_id, c,
+       |    strpos('0123456789abcdef', substr(h, c, 1)) - 1 AS v,
+       |    count(*) AS n
+       |  FROM psh CROSS JOIN pcs GROUP BY 1, 2, 3),
+       |pbs AS (SELECT unnest(generate_series(0, 3)) AS b),
+       |pbits AS (SELECT doc_id, c, b,
+       |    CASE WHEN sum(n * (2 * ((v >> b) & 1) - 1)) > 0
+       |         THEN 1 ELSE 0 END AS bit
+       |  FROM pgrid CROSS JOIN pbs GROUP BY 1, 2, 3),
+       |pnibs AS (SELECT doc_id, c, CAST(sum(bit << b) AS HUGEINT) AS nv
+       |  FROM pbits GROUP BY 1, 2),
+       |pm(c, mult) AS (VALUES $multipliers),
+       |pfpu AS (SELECT doc_id,
+       |    sum(CASE WHEN c <= 16 THEN nv * mult END) AS uh,
+       |    sum(CASE WHEN c >= 17 THEN nv * mult END) AS ul
+       |  FROM pnibs JOIN pm USING (c) GROUP BY 1),
+       |pfps AS (SELECT d.doc_id AS id,
+       |    ${wrap("f.uh")} AS fph,
+       |    ${wrap("f.ul")} AS fpl
+       |  FROM $rel d LEFT JOIN pfpu f USING (doc_id))""".stripMargin
+  }
+
+  /** The 128-bit scale-adaptive band tail: width mirrors
+    * `Multimodal.recommendedWidth128` (clamp {4,8,16,32} — the 32-bit
+    * cap the 64-bit tier cannot reach), bands = 128/width, the first
+    * 64/width bands read `fph`, the rest `fpl`. Ends at
+    * `pcand(id_a, id_b)`. */
+  private val perceptual128BandTailCtes: String =
+    """pnn AS (SELECT count(*) AS n FROM documents),
+      |pwb AS (SELECT CASE WHEN bb <= 4 THEN 4 WHEN bb <= 8 THEN 8
+      |               WHEN bb <= 16 THEN 16 ELSE 32 END AS w FROM (
+      |  SELECT greatest(2, coalesce((SELECT min(b) FROM generate_series(2, 24) g(b), pnn
+      |           WHERE 150 * (CAST(1 AS BIGINT) << b) >= pnn.n), 24)) AS bb)),
+      |pbands AS (SELECT unnest(generate_series(0, (128 // (SELECT w FROM pwb)) - 1)) AS band),
+      |pbt AS (SELECT id, band,
+      |    (CASE WHEN band < 64 // (SELECT w FROM pwb) THEN fph ELSE fpl END
+      |      >> ((band % (64 // (SELECT w FROM pwb))) * (SELECT w FROM pwb)))
+      |      & (CASE WHEN (SELECT w FROM pwb) = 64 THEN -1
+      |         ELSE ((CAST(1 AS BIGINT) << (SELECT w FROM pwb)) - 1) END) AS bucket
+      |  FROM pfps CROSS JOIN pbands),
+      |pcand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM pbt a JOIN pbt b ON a.band = b.band AND a.bucket = b.bucket
+      |    AND a.id < b.id)""".stripMargin
 
   /** q348/q349: the CONTAINER-TRUE decoded-luma content replayed WITHOUT
     * byte parsing — pixel block j of the word-sampled P6 synthesis
@@ -11141,6 +11231,33 @@ object SparkEntry {
          |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact
          |  FROM pfps a JOIN pfps b ON a.id < b.id
          |  WHERE bit_count(xor(a.fp, b.fp)) <= 12),
+         |bn AS (SELECT CAST(count(*) AS BIGINT) AS n_banded FROM banded)
+         |SELECT n_exact, n_banded,
+         |  CASE WHEN n_exact = 0 THEN 1.0
+         |    ELSE round(CAST(n_banded AS DOUBLE) / n_exact, 6) END AS recall,
+         |  TRUE AS banded_subset_exact
+         |FROM ex CROSS JOIN bn""".stripMargin,
+    // q364: the 128-bit grid (chars 1–32 → fph/fpl), the {4,8,16,32}
+    // width rule, and the two-half Hamming verify — every bit replayed
+    "q364_perceptual128_neardup" ->
+      s"""WITH ${perceptual128FpsCtesOver("documents")},
+         |$perceptual128BandTailCtes
+         |SELECT c.id_a, c.id_b,
+         |  CAST(bit_count(xor(fa.fph, fb.fph)) + bit_count(xor(fa.fpl, fb.fpl)) AS BIGINT) AS hamming
+         |FROM pcand c JOIN pfps fa ON c.id_a = fa.id
+         |JOIN pfps fb ON c.id_b = fb.id
+         |WHERE bit_count(xor(fa.fph, fb.fph)) + bit_count(xor(fa.fpl, fb.fpl)) <= 24""".stripMargin,
+    // q365: the recall-contract tail at 128 bits
+    "q365_perceptual128_recall" ->
+      s"""WITH ${perceptual128FpsCtesOver("documents")},
+         |$perceptual128BandTailCtes,
+         |banded AS (SELECT c.id_a, c.id_b
+         |  FROM pcand c JOIN pfps fa ON c.id_a = fa.id
+         |  JOIN pfps fb ON c.id_b = fb.id
+         |  WHERE bit_count(xor(fa.fph, fb.fph)) + bit_count(xor(fa.fpl, fb.fpl)) <= 24),
+         |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM pfps a JOIN pfps b ON a.id < b.id
+         |  WHERE bit_count(xor(a.fph, b.fph)) + bit_count(xor(a.fpl, b.fpl)) <= 24),
          |bn AS (SELECT CAST(count(*) AS BIGINT) AS n_banded FROM banded)
          |SELECT n_exact, n_banded,
          |  CASE WHEN n_exact = 0 THEN 1.0

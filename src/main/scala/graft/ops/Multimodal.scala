@@ -756,6 +756,133 @@ object Multimodal {
       }.toDF("id", "width", "height", "sum_r", "sum_g", "sum_b")
   }
 
+  /** 128-bit SimHash kernel over an already-decoded `(id, content)`
+    * frame — the WIDTH-CAP remedy for the 64-bit perceptual tier: a
+    * 64-bit fingerprint caps banded buckets at 16 bits (the bands ≥ 4
+    * recall floor), so past ~10⁶ items per-bucket occupancy — and with
+    * it the candidate join — grows again (measured: q336 18×/decade at
+    * 100×, q355 25×). 128 bits admit 32-bit bands: bucket space 2³² per
+    * band keeps occupancy ≈ n/2³² bounded through ~10⁹ items at the
+    * same ≥ 4-band recall floor. Same votes, same md5: each gram's full
+    * 16-byte digest votes — bytes 0–7 (hex chars 1–16) fold to `fph`,
+    * bytes 8–15 (chars 17–32) to `fpl` — so the oracle replays every
+    * bit with the existing nibble-grid device run twice. Output:
+    * (id, fph, fpl); empty/short content fingerprints to (0, 0). */
+  def perceptualHash128Content(spark: SparkSession, content: DataFrame): DataFrame = {
+    import spark.implicits._
+    content.select(col("id").cast("long"), col("content")).as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, raw) =>
+          val cps = (if (raw == null) "" else raw).codePoints.toArray
+          val hv = new Array[Int](64)
+          val lv = new Array[Int](64)
+          var i = 0
+          while (i + 3 < cps.length) {
+            md.reset()
+            val d = md.digest(new String(cps, i, 4)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            var h = 0L; var l = 0L
+            var b = 0
+            while (b < 8) {
+              h = (h << 8) | (d(b) & 0xffL)
+              l = (l << 8) | (d(b + 8) & 0xffL)
+              b += 1
+            }
+            var p = 0
+            while (p < 64) {
+              hv(p) += (if (((h >>> p) & 1L) == 1L) 1 else -1)
+              lv(p) += (if (((l >>> p) & 1L) == 1L) 1 else -1)
+              p += 1
+            }
+            i += 1
+          }
+          var fph = 0L; var fpl = 0L
+          var p = 0
+          while (p < 64) {
+            if (hv(p) > 0) fph |= 1L << p
+            if (lv(p) > 0) fpl |= 1L << p
+            p += 1
+          }
+          (id, fph, fpl)
+        }
+      }.toDF("id", "fph", "fpl")
+  }
+
+  /** Band width for the 128-bit tier: the same occupancy rule as
+    * [[recommendedBands]] but with the cap lifted to 32-bit buckets —
+    * width ∈ {4, 8, 16, 32}, bands = 128/width ∈ {32, 16, 8, 4}, so the
+    * recall floor stays ≥ 4 independent bands while bucket space scales
+    * to 2³². */
+  def recommendedWidth128(n: Long, targetBucketSize: Int = 150): Int = {
+    val bits = graft.ops.Similarity.recommendedBits(n, targetBucketSize)
+    if (bits <= 4) 4 else if (bits <= 8) 8 else if (bits <= 16) 16 else 32
+  }
+
+  /** Banded Hamming pairs over 128-bit fingerprints `(id, fph, fpl)` —
+    * [[perceptualNearDupPairsOn]] widened: band b reads bits
+    * [b·w, (b+1)·w) of the 128-bit word (the first 64/w bands from
+    * `fph`, the rest from `fpl`; w divides 64 so no band straddles the
+    * halves), candidates share a (band, bucket), verify by full 128-bit
+    * Hamming (sum of the two halves' xor popcounts) ≤ `maxHamming`.
+    * Output: (id_a, id_b, hamming), a < b. Same plan law: 16-byte keys,
+    * never content×content, never N². */
+  def perceptualNearDupPairs128On(fps: DataFrame, width: Int,
+                                  maxHamming: Int): DataFrame = {
+    require(width >= 1 && width <= 64 && 64 % width == 0,
+      s"perceptualNearDupPairs128On: width must divide 64, got $width")
+    require(maxHamming >= 0 && maxHamming <= 128,
+      s"perceptualNearDupPairs128On: need 0 <= maxHamming <= 128, got $maxHamming")
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val perHalf = 64 / width
+    val bandCols = (0 until 2 * perHalf).map { b =>
+      val src = if (b < perHalf) col("fph") else col("fpl")
+      val shift = (b % perHalf) * width
+      struct(lit(b).as("band"),
+        (shiftright(src, shift).bitwiseAND(lit(mask))).as("bucket"))
+    }
+    val banded = fps.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cands = banded.toDF("id_a", "band", "bucket")
+      .join(banded.toDF("id_b", "band", "bucket"), Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val ham = (bit_count(col("ah").bitwiseXOR(col("bh"))) +
+      bit_count(col("al").bitwiseXOR(col("bl")))).cast("long")
+    cands
+      .join(fps.toDF("id_a", "ah", "al"), Seq("id_a"))
+      .join(fps.toDF("id_b", "bh", "bl"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), ham.as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Recall contract for the 128-bit tier — [[perceptualRecallContractOn]]
+    * widened: banded pairs vs the exact 128-bit Hamming pair set (the
+    * priced O(N²) judge over 16-byte keys). One row:
+    * (n_exact, n_banded, recall, banded_subset_exact). */
+  def perceptualRecallContract128On(fps: DataFrame, width: Int,
+                                    maxHamming: Int): DataFrame = {
+    val ham = (bit_count(col("ah").bitwiseXOR(col("bh"))) +
+      bit_count(col("al").bitwiseXOR(col("bl")))).cast("long")
+    val exact = fps.toDF("id_a", "ah", "al")
+      .crossJoin(fps.toDF("id_b", "bh", "bl"))
+      .where(col("id_a") < col("id_b") && ham <= maxHamming)
+      .select(col("id_a"), col("id_b"))
+    val banded = perceptualNearDupPairs128On(fps, width, maxHamming)
+      .select("id_a", "id_b")
+    val e = exact.agg(count(lit(1)).as("n_exact"))
+    val b = graft.core.CacheRegistry.persist(banded)
+    val nb = b.agg(count(lit(1)).as("n_banded"))
+    val inExact = b.join(exact, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("__n_in"))
+    e.crossJoin(nb).crossJoin(inExact)
+      .select(col("n_exact"), col("n_banded"),
+        when(col("n_exact") === 0L, lit(1.0))
+          .otherwise(round(col("__n_in").cast("double") / col("n_exact"), 6))
+          .as("recall"),
+        (col("__n_in") === col("n_banded")).as("banded_subset_exact"))
+  }
+
   /** Synthesize a REAL PNG per row whose pixel blocks SAMPLE THE TEXT'S
     * WORDS — the ENTROPY-CODED member of the container-true family, and
     * the retirement of the "compressed formats need a library the

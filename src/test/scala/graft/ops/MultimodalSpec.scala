@@ -554,6 +554,57 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.modalityVote(Seq("a" -> img), 2)
   }
 
+  test("perceptualHash128Content: the 64-bit tier is exactly the high " +
+    "half; locality; banded pairs + recall contract at width 32") {
+    val base = (1 to 24).map(i => s"w$i").mkString(" ")
+    val oneEdit = base.replace("w7", "zz")
+    val unrelated = (1 to 24).map(i => s"v$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, oneEdit), (3L, unrelated), (4L, base),
+      (5L, ""), (6L, "abc")).toDF("id", "content")
+    val fp128 = Multimodal.perceptualHash128Content(spark, docs)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // law: fph == the 64-bit kernel's fingerprint (same votes over the
+    // digest's first 8 bytes), so the 128-bit tier strictly extends it
+    val fp64 = Multimodal.perceptualHash64Content(spark, docs)
+      .as[(Long, Long)].collect().toMap
+    fp128.foreach { case (id, (hi, _)) => hi shouldBe fp64(id) }
+    // short/empty content → (0, 0)
+    fp128(5L) shouldBe ((0L, 0L))
+    fp128(6L) shouldBe ((0L, 0L))
+    def ham(a: (Long, Long), b: (Long, Long)) =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    ham(fp128(1L), fp128(4L)) shouldBe 0
+    ham(fp128(1L), fp128(2L)) should be < 25 // one-word edit: local
+    ham(fp128(1L), fp128(3L)) should be > 25 // unrelated: ~64 expected
+    graft.core.CacheRegistry.scoped {
+      val real = docs.where($"id" <= 4L)
+      val fps = graft.core.CacheRegistry.persist(
+        Multimodal.perceptualHash128Content(spark, real))
+      // width 8 → 16 bands: the one-word-edit pair (≈15 flipped bits of
+      // 128) has ≥ 1 clean 8-bit band w.h.p. — the recall configuration
+      val pairs8 = Multimodal.perceptualNearDupPairs128On(fps, 8, 24)
+        .as[(Long, Long, Long)].collect().map(t => (t._1, t._2)).toSet
+      pairs8 should contain allOf ((1L, 4L), (1L, 2L), (2L, 4L))
+      pairs8.foreach { case (a, b) => Set(a, b) should not contain 3L }
+      // width 32 → 4 bands: the occupancy configuration — exact dups
+      // (hamming 0: every band clean) are ALWAYS found; the edit pair
+      // usually is not (P(one 32-bit quarter clean) ≈ 3% here) — the
+      // standard LSH width/recall trade, here made visible
+      val pairs32 = Multimodal.perceptualNearDupPairs128On(fps, 32, 24)
+        .as[(Long, Long, Long)].collect().map(t => (t._1, t._2)).toSet
+      pairs32 should contain((1L, 4L))
+      pairs32.foreach { case (a, b) => Set(a, b) should not contain 3L }
+      val c = Multimodal.perceptualRecallContract128On(fps, 32, 24)
+        .as[(Long, Long, Double, Boolean)].head()
+      c._4 shouldBe true // banded ⊆ exact
+      c._2 should be <= c._1
+      // width guards
+      an[IllegalArgumentException] should be thrownBy
+        Multimodal.perceptualNearDupPairs128On(fps, 24, 24)
+    }
+    graft.core.CacheRegistry.drain()
+  }
+
   test("orphanAudit: byte accounting over the reference set, empty refs") {
     val m = Multimodal.asMediaTable(
       Seq((1L, "hello"), (2L, "abc"), (3L, "xy")).toDF("id", "content"),
