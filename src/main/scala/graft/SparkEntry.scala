@@ -1397,6 +1397,45 @@ object SparkEntry {
     // > 16 of 64 bits flip — composes with the same fingerprint frame
     "q356_y4m_scene_change" -> ((s, dir) =>
       Multimodal.videoSceneChanges(tierFps(s, dir, "y4m"), 2, 16)),
+    // streaming EMBEDDING ingest with inline ANN rejection (q110's
+    // embedding twin): two ordered micro-batches of vectors, each
+    // sign-LSH-checked against the standing side (fixed even-id corpus
+    // plus batch-1 survivors when batch 2 arrives), exact-cosine verify,
+    // survivors appended exactly once — the ingestion-time semantic-dedup
+    // composition, oracled as the same two-stage chain in SQL
+    "q366_stream_ann_ingest" -> ((s, dir) => {
+      import graft.streaming.EventStream
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val corpus = emb.where(col("vec_id") % 2 === 0)
+      val n = cachedCount(s, dir, "embeddings_even")(corpus)
+      val tmp = java.nio.file.Files.createTempDirectory("q366-ann").toString
+      val srcDir = new java.io.File(s"$tmp/drops"); srcDir.mkdirs()
+      def drop(df: DataFrame, name: String, modTime: Long): Unit = {
+        val stage = s"$tmp/stage_$name"
+        df.coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(srcDir, s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(modTime)
+      }
+      drop(emb.where(pmod(col("vec_id"), lit(4)) === 1), "b0", 1000000L)
+      drop(emb.where(pmod(col("vec_id"), lit(4)) === 3), "b1", 2000000L)
+      val schema = s.read.parquet(s"$srcDir/b0.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("basePath", srcDir.toString)
+        .parquet(s"$srcDir/*.parquet")
+      val store = new graft.sources.TableStore(s)
+      withStatePartitions(s, 8) {
+        val q = EventStream.streamAnnDedupedIngest(stream, corpus, store,
+          s"$tmp/vectors", "vec_id", "embedding", 0.3,
+          graft.ops.Similarity.recommendedBits(n),
+          graft.ops.Similarity.recommendedBands(n, 64), s"$tmp/ckpt")
+        q.awaitTermination()
+      }
+      store.read(s"$tmp/vectors").select("vec_id")
+    }),
     // 128-BIT perceptual near-dup — the measured width-cap remedy: the
     // 64-bit tier's bands max out at 16-bit buckets (q336 read 18×/decade
     // at 100×, q355 25× — occupancy grows past ~10⁶ items), while 128
@@ -11237,6 +11276,41 @@ object SparkEntry {
          |    ELSE round(CAST(n_banded AS DOUBLE) / n_exact, 6) END AS recall,
          |  TRUE AS banded_subset_exact
          |FROM ex CROSS JOIN bn""".stripMargin,
+    // q366: the two-stage incremental ANN semantics spelled out — batch 1
+    // checked against the fixed even-id corpus; batch 2 against corpus ∪
+    // batch-1 survivors; ONE calibration CTE (bits/bands from the
+    // standing corpus's count, the Scala side's pinned parameters)
+    "q366_stream_ann_ingest" -> {
+      def annCross(corpusRel: String, batchRel: String, sfx: String): String =
+        s"""bc_$sfx AS (
+           |  ${dynamicBandedSql(corpusRel)}),
+           |bb_$sfx AS (
+           |  ${dynamicBandedSql(batchRel)}),
+           |vp_$sfx AS (
+           |  SELECT DISTINCT c.batch_id FROM (
+           |    SELECT DISTINCT x.vec_id AS corpus_id, y.vec_id AS batch_id
+           |    FROM bc_$sfx x JOIN bb_$sfx y
+           |      ON x.band = y.band AND x.bucket = y.bucket) c
+           |  JOIN $corpusRel a ON a.vec_id = c.corpus_id
+           |  JOIN $batchRel b ON b.vec_id = c.batch_id
+           |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+           |    CAST(b.embedding AS DOUBLE[])), 6) >= 0.3)""".stripMargin
+      s"""WITH emb_c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+         |b1 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 1),
+         |b2 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 3),
+         |p AS (SELECT bits, greatest(1, least(8, 64 // bits)) AS bands FROM (
+         |  SELECT ${bitsSqlFrom("(SELECT count(*) AS n FROM emb_c)")} AS bits)),
+         |${annCross("emb_c", "b1", "s1")},
+         |surv1 AS (SELECT vec_id, embedding FROM b1
+         |          WHERE vec_id NOT IN (SELECT batch_id FROM vp_s1)),
+         |standing2 AS (SELECT * FROM emb_c UNION ALL SELECT * FROM surv1),
+         |${annCross("standing2", "b2", "s2")},
+         |surv2 AS (SELECT vec_id, embedding FROM b2
+         |          WHERE vec_id NOT IN (SELECT batch_id FROM vp_s2))
+         |SELECT vec_id FROM surv1
+         |UNION ALL
+         |SELECT vec_id FROM surv2""".stripMargin
+    },
     // q364: the 128-bit grid (chars 1–32 → fph/fpl), the {4,8,16,32}
     // width rule, and the two-half Hamming verify — every bit replayed
     "q364_perceptual128_neardup" ->

@@ -318,6 +318,64 @@ object EventStream {
       .start()
   }
 
+  /** Streaming EMBEDDING ingest with inline ANN near-dup rejection — the
+    * embedding twin of [[streamDedupedIngest]]: each micro-batch of
+    * vectors is sign-LSH bucket-joined (via
+    * [[graft.ops.Similarity.lshNearDupPairsAcross]]) against the STANDING
+    * side — the fixed corpus plus everything this stream has already
+    * admitted — and rows with an exact-cosine-verified near-duplicate
+    * (cos ≥ `threshold`) are dropped before the survivors append. The
+    * ingestion-time semantic-dedup composition: corpus² pairs are never
+    * generated, each batch pays only batch×standing candidates at the
+    * occupancy the (bits, bands) calibration bounds. `bits`/`bands` are
+    * pinned by the caller from the STANDING CORPUS's count (the side
+    * whose occupancy the candidate join pays; the batch is transient).
+    * Replay-safe via the committed-batch marker ([[streamToBronze]]'s
+    * device): a re-delivered batch is a no-op. */
+  def streamAnnDedupedIngest(stream: DataFrame, corpus: DataFrame,
+                             store: graft.sources.TableStore, table: String,
+                             idCol: String, vecCol: String,
+                             threshold: Double, bits: Int, bands: Int,
+                             checkpoint: String): StreamingQuery = {
+    import org.apache.hadoop.fs.Path
+    val spark = stream.sparkSession
+    val markerPath = new Path(s"$checkpoint/graft-committed-batch")
+    def fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def lastCommitted: Long =
+      if (!fs.exists(markerPath)) -1L
+      else {
+        val in = fs.open(markerPath)
+        try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+        finally in.close()
+      }
+    val corpusSlim = corpus.select(col(idCol), col(vecCol))
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (batchId > lastCommitted && !batch.isEmpty) {
+          val df = batch.toDF().select(col(idCol), col(vecCol))
+          val vsCorpus = graft.ops.Similarity.lshNearDupPairsAcross(
+            corpusSlim, df, idCol, vecCol, threshold, bits, bands)
+          val vsAppended =
+            if (store.exists(table))
+              Some(graft.ops.Similarity.lshNearDupPairsAcross(
+                store.read(table).select(col(idCol), col(vecCol)), df,
+                idCol, vecCol, threshold, bits, bands))
+            else None
+          val dups = vsAppended.fold(vsCorpus)(vsCorpus.unionByName(_))
+            .select(col("batch_id").as(idCol)).distinct()
+          val survivors = df.join(dups, Seq(idCol), "left_anti")
+          if (store.exists(table)) store.append(table, survivors)
+          else store.overwrite(table, survivors)
+          val out = fs.create(markerPath, true)
+          try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+        }
+      }
+      .start()
+  }
+
   /** Streaming SCD2 upsert — the streaming form of
     * [[graft.etl.SilverScd2]]: every micro-batch is staged (full-outer
     * hash-diff against the current slice, per-pk batch dedup) and merged

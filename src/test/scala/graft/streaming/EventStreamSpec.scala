@@ -451,6 +451,47 @@ class EventStreamSpec extends SparkSpec {
     store.read(bronze).select("doc_id").as[Long].collect().toSet shouldBe Set(2L, 4L)
   }
 
+  test("streamAnnDedupedIngest drops cosine near-dups vs the standing side, " +
+    "keeps novel vectors, replays no-op") {
+    val root = Files.createTempDirectory("graft-stream-ann")
+    val in = root.resolve("in").toString
+    val ckpt = root.resolve("ckpt").toString
+    val table = root.resolve("tables/vectors").toString
+    val store = new graft.sources.TableStore(spark)
+    def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val corpus = Seq(
+      (100L, vec(1, 0.1, 0, 0, 0, 0, 0, 0)),
+      (101L, vec(0, 1, 0.1, 0, 0, 0, 0, 0))
+    ).toDF("vec_id", "embedding")
+    val schema = corpus.schema
+    def drop(rows: Seq[(Long, Array[Float])]): Unit =
+      rows.toDF("vec_id", "embedding").write.mode("append").parquet(in)
+    def ingest(): Unit = {
+      EventStream.streamAnnDedupedIngest(
+        spark.readStream.schema(schema).parquet(in), corpus, store, table,
+        "vec_id", "embedding", 0.8, 2, 4, ckpt).awaitTermination()
+      graft.core.CacheRegistry.drain()
+    }
+
+    // batch 1: one corpus near-dup (cos ≈ 0.99 vs v100), one orthogonal
+    drop(Seq((1L, vec(0.9, 0.12, 0, 0, 0, 0, 0, 0)),
+      (2L, vec(0, 0, 0, 1, 0.1, 0, 0, 0))))
+    ingest()
+    store.read(table).select("vec_id").as[Long].collect().toSet shouldBe Set(2L)
+
+    // restart with no new files: replay is a no-op version-wise
+    val v1 = store.currentVersion(table).get
+    ingest()
+    store.currentVersion(table).get shouldBe v1
+
+    // batch 2: a near-dup of batch 1's SURVIVOR (the standing side grew)
+    // and a fresh orthogonal vector — only the fresh one lands
+    drop(Seq((3L, vec(0, 0, 0, 0.95, 0.11, 0, 0, 0)),
+      (4L, vec(0, 0, 0, 0, 0, 0, 1, 0.1))))
+    ingest()
+    store.read(table).select("vec_id").as[Long].collect().toSet shouldBe Set(2L, 4L)
+  }
+
   test("sessionize (mapGroupsWithState) matches batch sessionization on a drained stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
