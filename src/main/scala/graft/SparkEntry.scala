@@ -92,28 +92,51 @@ object SparkEntry {
                          (df: => DataFrame): Long =
     countCache.getOrElseUpdate((s, dir, key), df.count())
 
+  // the exact O(N²) cosine judge is SHARED across the recall/gain contract
+  // family (VERDICT r8 #3: q340/q342/q345 at threshold 0.4, q350/q351 at
+  // 0.8 each rebuilt overlapping exact pair sets): ONE judge pass at the
+  // family's lowest threshold is memoized per (session, dir) with its
+  // ROUNDED cosine kept, and each contract filters it to its own
+  // threshold — set-identical to a per-row judge (the judge itself filters
+  // on the same 6-dp rounded cosine), at one N² pass instead of five
+  private val exactJudgeCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def exactJudgePairs(s: SparkSession, dir: String,
+                              threshold: Double): DataFrame = {
+    require(threshold >= 0.4,
+      s"exactJudgePairs: memoized base covers thresholds >= 0.4, got $threshold")
+    exactJudgeCache.getOrElseUpdate((s, dir),
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .where(col("cos") >= threshold).select("id_a", "id_b")
+  }
+
   // the container-true perceptual fingerprint frames are MAINTAINED
   // ARTIFACTS (the production shape: one perceptual index serves the pair
   // query, its recall audit, and the consensus vote — it is not rebuilt
   // per query), so like the star fact and the postings index they are
-  // built + persisted once per (session, dir, tier): ppm/wav/png are
-  // (id, phash64), y4m is the per-frame (id, frame, phash64)
+  // built + persisted once per (session, dir, tier). All tiers ride the
+  // 128-BIT kernel (VERDICT r8 #1 — the measured width-cap remedy: at
+  // 100× the 64-bit tier's 16-bit bucket cap emitted 453.9 M noise pairs
+  // in the video chain; 32-bit-capable bands keep occupancy bounded
+  // through ~10⁹ items): ppm/wav/png are (id, fph, fpl), y4m is the
+  // per-frame (id, frame, fph, fpl)
   private val fpsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
   private def tierFps(s: SparkSession, dir: String, tier: String): DataFrame =
     fpsCache.getOrElseUpdate((s, dir, tier), {
       val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
       val fps = tier match {
-        case "ppm" => Multimodal.perceptualHash64Content(s,
+        case "ppm" => Multimodal.perceptualHash128Content(s,
           Multimodal.ppmLumaContent(s,
             Multimodal.synthesizePpmFromWords(s, docs, "doc_id", "text", 8, 8)))
-        case "wav" => Multimodal.perceptualHash64Content(s,
+        case "wav" => Multimodal.perceptualHash128Content(s,
           Multimodal.wavSampleContent(s,
             Multimodal.synthesizeWavFromWords(s, docs, "doc_id", "text", 96, 16000)))
-        case "png" => Multimodal.perceptualHash64Content(s,
+        case "png" => Multimodal.perceptualHash128Content(s,
           Multimodal.imageLumaContent(s,
             Multimodal.synthesizePngFromWords(s, docs, "doc_id", "text", 8, 8)))
-        case "y4m" => Multimodal.videoFrameFingerprints(s,
+        case "y4m" => Multimodal.videoFrameFingerprints128(s,
           Multimodal.y4mLumaFrames(s,
             Multimodal.synthesizeY4mFromWords(s, docs, "doc_id", "text", 4, 4, 8), 2))
         case other => sys.error(s"tierFps: unknown tier $other")
@@ -138,6 +161,7 @@ object SparkEntry {
     cachedCount(s, dir, "embeddings_mod50")(
       t(s, dir, "embeddings").where(col("vec_id") % 50 =!= 0))
     Seq("ppm", "wav", "png", "y4m").foreach(tierFps(s, dir, _).count())
+    exactJudgePairs(s, dir, 0.4).count()
   }
 
   /** Release every cross-query memoized cache held for `s` — the harness
@@ -153,6 +177,9 @@ object SparkEntry {
     countCache.keys.filter(_._1 eq s).foreach(countCache.remove)
     fpsCache.keys.filter(_._1 eq s).foreach { k =>
       fpsCache.remove(k).foreach(_.unpersist())
+    }
+    exactJudgeCache.keys.filter(_._1 eq s).foreach { k =>
+      exactJudgeCache.remove(k).foreach(_.unpersist())
     }
     StarSchema.clearCache(s)
   }
@@ -355,7 +382,8 @@ object SparkEntry {
       val bits = Similarity.recommendedBits(n10)
       val bands = Similarity.recommendedBands(n10, 64)
       Similarity.lshRecallContract(emb, "vec_id", "embedding", 0.4,
-        bits, bands, Similarity.modelRecallFloor(0.4, bits, bands))
+        bits, bands, Similarity.modelRecallFloor(0.4, bits, bands),
+        Some(exactJudgePairs(s, dir, 0.4)))
     }),
     // RANDOM-HYPERPLANE sign-LSH (Charikar 2002), md5-derandomized so the
     // oracle replays every bucket bit: bands UNBOUNDED by the vector's 64
@@ -379,7 +407,8 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val bits = Similarity.recommendedBits(cachedCount(s, dir, "embeddings")(emb))
       Similarity.rpLshRecallContract(emb, "vec_id", "embedding", 0.4,
-        bits, 16, 64, Similarity.modelRecallFloor(0.4, bits, 16))
+        bits, 16, 64, Similarity.modelRecallFloor(0.4, bits, 16),
+        Some(exactJudgePairs(s, dir, 0.4)))
     }),
     // the STRONG-THRESHOLD recall contract (cos ≥ 0.8 — where LSH dedup
     // is actually deployed): on the driver fixtures no pair reaches 0.8
@@ -393,7 +422,8 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val bits = Similarity.recommendedBits(cachedCount(s, dir, "embeddings")(emb))
       Similarity.rpLshRecallContract(emb, "vec_id", "embedding", 0.8,
-        bits, 16, 64, Similarity.modelRecallFloor(0.8, bits, 16))
+        bits, 16, 64, Similarity.modelRecallFloor(0.8, bits, 16),
+        Some(exactJudgePairs(s, dir, 0.8)))
     }),
     // multi-probe at the deployment threshold: the q345 gain laws
     // (structural superset, nonneg gain) certified where near-dups are
@@ -403,7 +433,8 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val n = cachedCount(s, dir, "embeddings")(emb)
       Similarity.lshMultiProbeGainContract(emb, "vec_id", "embedding", 0.8,
-        Similarity.recommendedBits(n), Similarity.recommendedBands(n, 64))
+        Similarity.recommendedBits(n), Similarity.recommendedBands(n, 64),
+        Some(exactJudgePairs(s, dir, 0.8)))
     }),
     // MULTI-PROBE sign-LSH (Lv et al. 2007): each vector also probes the
     // bucket at its least-confident bit flipped — the third LSH knob
@@ -422,7 +453,8 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val n = cachedCount(s, dir, "embeddings")(emb)
       Similarity.lshMultiProbeGainContract(emb, "vec_id", "embedding", 0.4,
-        Similarity.recommendedBits(n), Similarity.recommendedBands(n, 64))
+        Similarity.recommendedBits(n), Similarity.recommendedBands(n, 64),
+        Some(exactJudgePairs(s, dir, 0.4)))
     }),
     // the RP tier's ingestion-time shape (q200's twin with unbounded
     // bands): standing corpus = even vec_ids, arriving batch = odd; bits
@@ -1338,37 +1370,39 @@ object SparkEntry {
     // differing in a few words decode to images differing in a few
     // blocks — the local-edit structure a perceptual hash exists to
     // capture), parse it back with the real P6 parser, fingerprint the
-    // decoded per-pixel luma grid, band-join on the 64-bit SimHash
-    // exactly like q336. The md5-chain synthesis keeps every pixel
-    // byte — and therefore every fingerprint bit — oracle-replayable
-    // WITHOUT byte parsing (the q346/q347 device).
+    // decoded per-pixel luma grid, band-join on the SimHash. Since r9 the
+    // chain rides the 128-BIT tier (VERDICT r8 #1: the measured width-cap
+    // remedy — threshold 24/128, the same 3/16 proportional radius as the
+    // old 12/64; width derived by the {4,8,16,32} rule). The md5-chain
+    // synthesis keeps every pixel byte — and therefore every fingerprint
+    // bit — oracle-replayable WITHOUT byte parsing (the q346/q347 device).
     "q348_ppm_neardup_real" -> ((s, dir) => {
       val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
-      Multimodal.perceptualNearDupPairsOn(tierFps(s, dir, "ppm"),
-        Multimodal.recommendedBands(cachedCount(s, dir, "documents")(docs)), 12)
+      Multimodal.perceptualNearDupPairs128On(tierFps(s, dir, "ppm"),
+        Multimodal.recommendedWidth128(cachedCount(s, dir, "documents")(docs)), 24)
     }),
     // the container-true chain's recall contract (q337's device over real
-    // decoded pixels): banded pairs vs the exact Hamming pair set at the
-    // same adaptive band count, subset pinned TRUE
+    // decoded pixels, at 128 bits): banded pairs vs the exact Hamming
+    // pair set at the same adaptive width, subset pinned TRUE
     "q349_ppm_recall_real" -> ((s, dir) => {
       val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
-      Multimodal.perceptualRecallContractOn(tierFps(s, dir, "ppm"),
-        Multimodal.recommendedBands(cachedCount(s, dir, "documents")(docs)), 12)
+      Multimodal.perceptualRecallContract128On(tierFps(s, dir, "ppm"),
+        Multimodal.recommendedWidth128(cachedCount(s, dir, "documents")(docs)), 24)
     }),
     // the audio twin of q348 (VERDICT r7 #1 asked for "luma grid / PCM
     // samples" — this is the PCM half): word-sampled RIFF/WAVE PCM16
     // synthesis, REAL RIFF parse back to the signed sample stream,
-    // SimHash-64 over the decoded samples, banded Hamming pairs
+    // SimHash-128 over the decoded samples, banded Hamming pairs
     "q352_wav_neardup_real" -> ((s, dir) => {
       val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
-      Multimodal.perceptualNearDupPairsOn(tierFps(s, dir, "wav"),
-        Multimodal.recommendedBands(cachedCount(s, dir, "documents")(docs)), 12)
+      Multimodal.perceptualNearDupPairs128On(tierFps(s, dir, "wav"),
+        Multimodal.recommendedWidth128(cachedCount(s, dir, "documents")(docs)), 24)
     }),
     // its recall contract (q349's device over decoded PCM)
     "q353_wav_recall_real" -> ((s, dir) => {
       val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
-      Multimodal.perceptualRecallContractOn(tierFps(s, dir, "wav"),
-        Multimodal.recommendedBands(cachedCount(s, dir, "documents")(docs)), 12)
+      Multimodal.perceptualRecallContract128On(tierFps(s, dir, "wav"),
+        Multimodal.recommendedWidth128(cachedCount(s, dir, "documents")(docs)), 24)
     }),
     // REAL frame-sampled VIDEO decode — the temporal member of the
     // container-true family (q346 audio, q347 image): synthesize a real
@@ -1381,22 +1415,25 @@ object SparkEntry {
       Multimodal.y4mLumaFrames(s,
         Multimodal.synthesizeY4mFromWords(s, docs, "doc_id", "text", 4, 4, 8), 2)
     }),
-    // FRAME-ALIGNED video near-dup: per-sampled-frame SimHash-64 over the
-    // REAL decoded luma grids, banded Hamming join with the frame index
-    // in the band key (a frame only vouches for its temporal
+    // FRAME-ALIGNED video near-dup: per-sampled-frame SimHash-128 over
+    // the REAL decoded luma grids, banded Hamming join with the frame
+    // index in the band key (a frame only vouches for its temporal
     // counterpart), then videos pair when ≥ 2 of their 4 sampled frames
     // match — the temporal composition of the q348 chain; band width
-    // derives from the sampled-frame row count (4·|documents|)
+    // derives from the sampled-frame row count (4·|documents|). THE
+    // query VERDICT r8 measured the 64-bit width cap on (306.7 s /
+    // 453.9 M noise pairs at 100×): it now rides the 128-bit tier
     "q355_y4m_neardup_real" -> ((s, dir) => {
       val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
-      Multimodal.videoNearDupPairs(tierFps(s, dir, "y4m"),
-        Multimodal.recommendedBands(4L * cachedCount(s, dir, "documents")(docs)), 12, 2)
+      Multimodal.videoNearDupPairs128(tierFps(s, dir, "y4m"),
+        Multimodal.recommendedWidth128(4L * cachedCount(s, dir, "documents")(docs)), 24, 2)
     }),
     // scene-change (shot-boundary) detection: Hamming delta between
     // consecutive sampled-frame fingerprints of the same video, cut when
-    // > 16 of 64 bits flip — composes with the same fingerprint frame
+    // > 32 of 128 bits flip (the old 16/64 radius, proportionally) —
+    // composes with the same fingerprint frame
     "q356_y4m_scene_change" -> ((s, dir) =>
-      Multimodal.videoSceneChanges(tierFps(s, dir, "y4m"), 2, 16)),
+      Multimodal.videoSceneChanges128(tierFps(s, dir, "y4m"), 2, 32)),
     // streaming EMBEDDING ingest with inline ANN rejection (q110's
     // embedding twin): two ordered micro-batches of vectors, each
     // sign-LSH-checked against the standing side (fixed even-id corpus
@@ -1460,6 +1497,33 @@ object SparkEntry {
       Multimodal.perceptualRecallContract128On(fps,
         Multimodal.recommendedWidth128(cachedCount(s, dir, "documents")(docs)), 24)
     }),
+    // the VIDEO tier's recall ledger (VERDICT r8 task 6 — the width
+    // rule's recall price contract-checked on the modality where the
+    // 64-bit cap actually bound): frame-aligned banded pairs at the
+    // derived width vs the exact frame-aligned judge, both on the
+    // deterministic 1-in-5 video subsample (the production shape of a
+    // recall audit — the exact judge shrinks 25×, the ratio estimate
+    // stands); subset pinned TRUE
+    "q367_video128_recall" -> ((s, dir) => {
+      val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
+      Multimodal.videoRecallContract128(tierFps(s, dir, "y4m"),
+        Multimodal.recommendedWidth128(4L * cachedCount(s, dir, "documents")(docs)),
+        24, 2, 5)
+    }),
+    // LOSSY-codec (JPEG) ingest contract — the format class whose decode
+    // CANNOT be SQL-replayed (DCT output is decoder-defined): real JDK
+    // JPEG encode of the md5-chain grid, then the dual-decode device —
+    // dims preserved, two independent encode+decode lineages
+    // bit-identical, and mean |decoded − reference| per channel ≤ 72 —
+    // measured 40.5–60.25 (avg 48.2) on md5-noise images, JPEG's
+    // worst-case content, vs 85 for DECODE-PRODUCED-GARBAGE (mean |Δ| of
+    // two independent uniform bytes), so the bound separates a working
+    // codec from a broken one with margin on both sides — all
+    // engine-measured, oracle-pinned booleans
+    "q368_jpeg_lossy_contract" -> ((s, dir) => {
+      val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
+      Multimodal.jpegLossyContract(s, docs, "doc_id", "text", 8, 8, 72.0)
+    }),
     // PII redaction (the C4/CCNet scrub step): every 5th document gains
     // a deterministic md5-derived email + IPv4 (so the oracle plants the
     // IDENTICAL bytes), then emails and IPs are replaced with typed
@@ -1495,14 +1559,14 @@ object SparkEntry {
     // curation signal (re-encode, caption swap) they are
     "q361_trimodal_consensus" -> ((s, dir) => {
       val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
-      val bands = Multimodal.recommendedBands(cachedCount(s, dir, "documents")(docs))
-      val img = Multimodal.perceptualNearDupPairsOn(tierFps(s, dir, "ppm"),
-        bands, 12).select("id_a", "id_b")
-      val aud = Multimodal.perceptualNearDupPairsOn(tierFps(s, dir, "wav"),
-        bands, 12).select("id_a", "id_b")
-      val vid = Multimodal.videoNearDupPairs(tierFps(s, dir, "y4m"),
-        Multimodal.recommendedBands(4L * cachedCount(s, dir, "documents")(docs)),
-        12, 2).select("id_a", "id_b")
+      val width = Multimodal.recommendedWidth128(cachedCount(s, dir, "documents")(docs))
+      val img = Multimodal.perceptualNearDupPairs128On(tierFps(s, dir, "ppm"),
+        width, 24).select("id_a", "id_b")
+      val aud = Multimodal.perceptualNearDupPairs128On(tierFps(s, dir, "wav"),
+        width, 24).select("id_a", "id_b")
+      val vid = Multimodal.videoNearDupPairs128(tierFps(s, dir, "y4m"),
+        Multimodal.recommendedWidth128(4L * cachedCount(s, dir, "documents")(docs)),
+        24, 2).select("id_a", "id_b")
       Multimodal.modalityVote(
         Seq("image" -> img, "audio" -> aud, "video" -> vid), 2)
     }),
@@ -1531,17 +1595,18 @@ object SparkEntry {
     }),
     // codec-true perceptual near-dup: the q348 chain with the raw P6
     // container swapped for compressed PNG and the byte-level parser
-    // swapped for the real codec — fingerprints of DEFLATE-decoded pixels
+    // swapped for the real codec — 128-bit fingerprints of
+    // DEFLATE-decoded pixels
     "q358_png_neardup_real" -> ((s, dir) => {
       val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
-      Multimodal.perceptualNearDupPairsOn(tierFps(s, dir, "png"),
-        Multimodal.recommendedBands(cachedCount(s, dir, "documents")(docs)), 12)
+      Multimodal.perceptualNearDupPairs128On(tierFps(s, dir, "png"),
+        Multimodal.recommendedWidth128(cachedCount(s, dir, "documents")(docs)), 24)
     }),
     // its recall contract (q349's device over codec-decoded pixels)
     "q359_png_recall_real" -> ((s, dir) => {
       val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
-      Multimodal.perceptualRecallContractOn(tierFps(s, dir, "png"),
-        Multimodal.recommendedBands(cachedCount(s, dir, "documents")(docs)), 12)
+      Multimodal.perceptualRecallContract128On(tierFps(s, dir, "png"),
+        Multimodal.recommendedWidth128(cachedCount(s, dir, "documents")(docs)), 24)
     }),
     // the banded perceptual path's recall vs the exact Hamming pair set,
     // driver-checked (the q217 contract device for the media tier), at
@@ -3323,31 +3388,8 @@ object SparkEntry {
       |    string_agg(CAST(luma AS VARCHAR), ' ' ORDER BY px) AS text
       |  FROM gluma GROUP BY 1)""".stripMargin
 
-  /** q355: the scale-adaptive band tail over PER-FRAME fingerprints —
-    * width derives from the sampled-frame row count (4 frames per doc:
-    * count(documents)·4, mirroring `recommendedBands(4·count)` on the
-    * Scala side), and the band join key carries the frame index
-    * (`id % 64`), so a frame can only vouch for its temporal
-    * counterpart. Ends at `vver(id_a, id_b)` over composite ids
-    * (verified Hamming ≤ 12). */
-  private val videoBandTailCtes: String =
-    """vnn AS (SELECT count(*) * 4 AS n FROM documents),
-      |vwb AS (SELECT CASE WHEN bb <= 4 THEN 4 WHEN bb <= 8 THEN 8 ELSE 16 END AS w FROM (
-      |  SELECT greatest(2, coalesce((SELECT min(b) FROM generate_series(2, 24) g(b), vnn
-      |           WHERE 150 * (CAST(1 AS BIGINT) << b) >= vnn.n), 24)) AS bb)),
-      |vbands AS (SELECT unnest(generate_series(0, (64 // (SELECT w FROM vwb)) - 1)) AS band),
-      |vbt AS (SELECT id, band,
-      |    (fp >> (band * (SELECT w FROM vwb))) & ((CAST(1 AS BIGINT) << (SELECT w FROM vwb)) - 1) AS bucket
-      |  FROM pfps CROSS JOIN vbands),
-      |vcand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      |  FROM vbt a JOIN vbt b ON a.band = b.band AND a.bucket = b.bucket
-      |    AND a.id % 64 = b.id % 64 AND a.id < b.id),
-      |vver AS (SELECT c.id_a, c.id_b
-      |  FROM vcand c JOIN pfps fa ON c.id_a = fa.id
-      |  JOIN pfps fb ON c.id_b = fb.id
-      |  WHERE bit_count(xor(fa.fp, fb.fp)) <= 12)""".stripMargin
-
-  /** q336/q337/q338 (and, over the decoded-luma relation, q348/q349): the
+  /** q336/q337/q338 (the utf-8 text tier — the container-true chains ride
+    * the 128-bit grid since r9): the
     * 64-bit perceptual fingerprint replayed bit-exact — per content 4-gram
     * the first 16 md5 hex chars form the vote word (char c, nibble bit b ↔
     * bit 64−4c+b); the (c, value) count grid folds the votes, nibbles
@@ -3454,6 +3496,64 @@ object SparkEntry {
       |pcand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
       |  FROM pbt a JOIN pbt b ON a.band = b.band AND a.bucket = b.bucket
       |    AND a.id < b.id)""".stripMargin
+
+  /** q355/q356/q361: the 128-bit scale-adaptive band tail over PER-FRAME
+    * fingerprints — [[perceptual128BandTailCtes]] with the video tier's
+    * two deltas: width derives from the SAMPLED-FRAME row count
+    * (count(documents)·4, mirroring `recommendedWidth128(4·count)`), and
+    * the band join key carries the frame index (`id % 64`) so a frame
+    * vouches only for its temporal counterpart. Ends at
+    * `vver(id_a, id_b)` over composite ids (verified 128-bit
+    * Hamming ≤ 24). */
+  private def video128BandTailCtesOver(rel: String): String =
+    s"""vnn AS (SELECT count(*) * 4 AS n FROM documents),
+      |vwb AS (SELECT CASE WHEN bb <= 4 THEN 4 WHEN bb <= 8 THEN 8
+      |               WHEN bb <= 16 THEN 16 ELSE 32 END AS w FROM (
+      |  SELECT greatest(2, coalesce((SELECT min(b) FROM generate_series(2, 24) g(b), vnn
+      |           WHERE 150 * (CAST(1 AS BIGINT) << b) >= vnn.n), 24)) AS bb)),
+      |vbands AS (SELECT unnest(generate_series(0, (128 // (SELECT w FROM vwb)) - 1)) AS band),
+      |vbt AS (SELECT id, band,
+      |    (CASE WHEN band < 64 // (SELECT w FROM vwb) THEN fph ELSE fpl END
+      |      >> ((band % (64 // (SELECT w FROM vwb))) * (SELECT w FROM vwb)))
+      |      & (CASE WHEN (SELECT w FROM vwb) = 64 THEN -1
+      |         ELSE ((CAST(1 AS BIGINT) << (SELECT w FROM vwb)) - 1) END) AS bucket
+      |  FROM $rel CROSS JOIN vbands),
+      |vcand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM vbt a JOIN vbt b ON a.band = b.band AND a.bucket = b.bucket
+      |    AND a.id % 64 = b.id % 64 AND a.id < b.id),
+      |vver AS (SELECT c.id_a, c.id_b
+      |  FROM vcand c JOIN pfps fa ON c.id_a = fa.id
+      |  JOIN pfps fb ON c.id_b = fb.id
+      |  WHERE bit_count(xor(fa.fph, fb.fph)) + bit_count(xor(fa.fpl, fb.fpl)) <= 24)""".stripMargin
+
+  private val video128BandTailCtes: String = video128BandTailCtesOver("pfps")
+
+  /** The 128-bit banded pair SELECT over `pcand`/`pfps` — shared final
+    * stage of q348/q352/q358/q364 (threshold 24/128, the same 3/16
+    * proportional radius as the 64-bit tier's 12/64). */
+  private val perceptual128PairSelect: String =
+    """SELECT c.id_a, c.id_b,
+      |  CAST(bit_count(xor(fa.fph, fb.fph)) + bit_count(xor(fa.fpl, fb.fpl)) AS BIGINT) AS hamming
+      |FROM pcand c JOIN pfps fa ON c.id_a = fa.id
+      |JOIN pfps fb ON c.id_b = fb.id
+      |WHERE bit_count(xor(fa.fph, fb.fph)) + bit_count(xor(fa.fpl, fb.fpl)) <= 24""".stripMargin
+
+  /** The 128-bit recall-contract tail (banded vs exact Hamming ≤ 24,
+    * subset pinned TRUE) — shared by q349/q353/q359/q365. */
+  private val perceptual128RecallTail: String =
+    """banded AS (SELECT c.id_a, c.id_b
+      |  FROM pcand c JOIN pfps fa ON c.id_a = fa.id
+      |  JOIN pfps fb ON c.id_b = fb.id
+      |  WHERE bit_count(xor(fa.fph, fb.fph)) + bit_count(xor(fa.fpl, fb.fpl)) <= 24),
+      |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact
+      |  FROM pfps a JOIN pfps b ON a.id < b.id
+      |  WHERE bit_count(xor(a.fph, b.fph)) + bit_count(xor(a.fpl, b.fpl)) <= 24),
+      |bn AS (SELECT CAST(count(*) AS BIGINT) AS n_banded FROM banded)
+      |SELECT n_exact, n_banded,
+      |  CASE WHEN n_exact = 0 THEN 1.0
+      |    ELSE round(CAST(n_banded AS DOUBLE) / n_exact, 6) END AS recall,
+      |  TRUE AS banded_subset_exact
+      |FROM ex CROSS JOIN bn""".stripMargin
 
   /** q348/q349: the CONTAINER-TRUE decoded-luma content replayed WITHOUT
     * byte parsing — pixel block j of the word-sampled P6 synthesis
@@ -11215,67 +11315,35 @@ object SparkEntry {
          |JOIN pfps fb ON c.id_b = fb.id
          |WHERE bit_count(xor(fa.fp, fb.fp)) <= 12""".stripMargin,
     // q348: the container-true chain — decoded-luma content (rdocs)
-    // replayed from the word-sampled md5 chain, then the SAME fingerprint
-    // grid + scale-adaptive band tail as q336 (pnn still counts documents,
-    // the corpus the Scala side calibrates on)
+    // replayed from the word-sampled md5 chain, then the 128-BIT
+    // fingerprint grid + {4,8,16,32}-width band tail (q364's device; pnn
+    // still counts documents, the corpus the Scala side calibrates on)
     "q348_ppm_neardup_real" ->
       s"""WITH $ppmRealContentCtes,
-         |${perceptualFpsCtesOver("rdocs")},
-         |$perceptualBandTailCtes
-         |SELECT c.id_a, c.id_b,
-         |  CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS hamming
-         |FROM pcand c JOIN pfps fa ON c.id_a = fa.id
-         |JOIN pfps fb ON c.id_b = fb.id
-         |WHERE bit_count(xor(fa.fp, fb.fp)) <= 12""".stripMargin,
-    // q349: q337's recall-contract tail over the container-true
+         |${perceptual128FpsCtesOver("rdocs")},
+         |$perceptual128BandTailCtes
+         |$perceptual128PairSelect""".stripMargin,
+    // q349: q365's recall-contract tail over the container-true
     // fingerprints; subset pinned TRUE
     "q349_ppm_recall_real" ->
       s"""WITH $ppmRealContentCtes,
-         |${perceptualFpsCtesOver("rdocs")},
-         |$perceptualBandTailCtes,
-         |banded AS (SELECT c.id_a, c.id_b
-         |  FROM pcand c JOIN pfps fa ON c.id_a = fa.id
-         |  JOIN pfps fb ON c.id_b = fb.id
-         |  WHERE bit_count(xor(fa.fp, fb.fp)) <= 12),
-         |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact
-         |  FROM pfps a JOIN pfps b ON a.id < b.id
-         |  WHERE bit_count(xor(a.fp, b.fp)) <= 12),
-         |bn AS (SELECT CAST(count(*) AS BIGINT) AS n_banded FROM banded)
-         |SELECT n_exact, n_banded,
-         |  CASE WHEN n_exact = 0 THEN 1.0
-         |    ELSE round(CAST(n_banded AS DOUBLE) / n_exact, 6) END AS recall,
-         |  TRUE AS banded_subset_exact
-         |FROM ex CROSS JOIN bn""".stripMargin,
+         |${perceptual128FpsCtesOver("rdocs")},
+         |$perceptual128BandTailCtes,
+         |$perceptual128RecallTail""".stripMargin,
     // q352: the audio container-true chain — decoded-PCM content (wdocs)
-    // replayed from the word-sampled md5 chain, then the SAME fingerprint
-    // grid + scale-adaptive band tail as q336/q348
+    // replayed from the word-sampled md5 chain, then the SAME 128-bit
+    // grid + band tail as q348
     "q352_wav_neardup_real" ->
       s"""WITH $wavRealContentCtes,
-         |${perceptualFpsCtesOver("wdocs")},
-         |$perceptualBandTailCtes
-         |SELECT c.id_a, c.id_b,
-         |  CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS hamming
-         |FROM pcand c JOIN pfps fa ON c.id_a = fa.id
-         |JOIN pfps fb ON c.id_b = fb.id
-         |WHERE bit_count(xor(fa.fp, fb.fp)) <= 12""".stripMargin,
+         |${perceptual128FpsCtesOver("wdocs")},
+         |$perceptual128BandTailCtes
+         |$perceptual128PairSelect""".stripMargin,
     // q353: the recall-contract tail over the decoded-PCM fingerprints
     "q353_wav_recall_real" ->
       s"""WITH $wavRealContentCtes,
-         |${perceptualFpsCtesOver("wdocs")},
-         |$perceptualBandTailCtes,
-         |banded AS (SELECT c.id_a, c.id_b
-         |  FROM pcand c JOIN pfps fa ON c.id_a = fa.id
-         |  JOIN pfps fb ON c.id_b = fb.id
-         |  WHERE bit_count(xor(fa.fp, fb.fp)) <= 12),
-         |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact
-         |  FROM pfps a JOIN pfps b ON a.id < b.id
-         |  WHERE bit_count(xor(a.fp, b.fp)) <= 12),
-         |bn AS (SELECT CAST(count(*) AS BIGINT) AS n_banded FROM banded)
-         |SELECT n_exact, n_banded,
-         |  CASE WHEN n_exact = 0 THEN 1.0
-         |    ELSE round(CAST(n_banded AS DOUBLE) / n_exact, 6) END AS recall,
-         |  TRUE AS banded_subset_exact
-         |FROM ex CROSS JOIN bn""".stripMargin,
+         |${perceptual128FpsCtesOver("wdocs")},
+         |$perceptual128BandTailCtes,
+         |$perceptual128RecallTail""".stripMargin,
     // q366: the two-stage incremental ANN semantics spelled out — batch 1
     // checked against the fixed even-id corpus; batch 2 against corpus ∪
     // batch-1 survivors; ONE calibration CTE (bits/bands from the
@@ -11316,28 +11384,43 @@ object SparkEntry {
     "q364_perceptual128_neardup" ->
       s"""WITH ${perceptual128FpsCtesOver("documents")},
          |$perceptual128BandTailCtes
-         |SELECT c.id_a, c.id_b,
-         |  CAST(bit_count(xor(fa.fph, fb.fph)) + bit_count(xor(fa.fpl, fb.fpl)) AS BIGINT) AS hamming
-         |FROM pcand c JOIN pfps fa ON c.id_a = fa.id
-         |JOIN pfps fb ON c.id_b = fb.id
-         |WHERE bit_count(xor(fa.fph, fb.fph)) + bit_count(xor(fa.fpl, fb.fpl)) <= 24""".stripMargin,
+         |$perceptual128PairSelect""".stripMargin,
     // q365: the recall-contract tail at 128 bits
     "q365_perceptual128_recall" ->
       s"""WITH ${perceptual128FpsCtesOver("documents")},
          |$perceptual128BandTailCtes,
-         |banded AS (SELECT c.id_a, c.id_b
-         |  FROM pcand c JOIN pfps fa ON c.id_a = fa.id
-         |  JOIN pfps fb ON c.id_b = fb.id
-         |  WHERE bit_count(xor(fa.fph, fb.fph)) + bit_count(xor(fa.fpl, fb.fpl)) <= 24),
-         |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact
-         |  FROM pfps a JOIN pfps b ON a.id < b.id
-         |  WHERE bit_count(xor(a.fph, b.fph)) + bit_count(xor(a.fpl, b.fpl)) <= 24),
-         |bn AS (SELECT CAST(count(*) AS BIGINT) AS n_banded FROM banded)
-         |SELECT n_exact, n_banded,
+         |$perceptual128RecallTail""".stripMargin,
+    // q367: the video recall ledger — the 128-bit frame grid over the
+    // 1-in-5 video subsample (sfps), the SAME width derivation as q355
+    // (vnn counts the FULL sampled-frame corpus — the registered
+    // calibration), banded video pairs (vver → ≥ 2 frames) vs the exact
+    // frame-aligned judge; subset pinned TRUE
+    "q367_video128_recall" ->
+      s"""WITH $y4mRealContentCtes,
+         |${perceptual128FpsCtesOver("vdocs")},
+         |sfps AS (SELECT * FROM pfps WHERE (id // 64) % 5 = 0),
+         |${video128BandTailCtesOver("sfps")},
+         |vband AS (SELECT id_a // 64 AS id_a, id_b // 64 AS id_b
+         |  FROM vver GROUP BY 1, 2 HAVING count(*) >= 2),
+         |vex AS (SELECT a.id // 64 AS id_a, b.id // 64 AS id_b
+         |  FROM sfps a JOIN sfps b
+         |    ON a.id % 64 = b.id % 64 AND a.id // 64 < b.id // 64
+         |  WHERE bit_count(xor(a.fph, b.fph)) + bit_count(xor(a.fpl, b.fpl)) <= 24
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |e AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM vex),
+         |bn AS (SELECT CAST(count(*) AS BIGINT) AS n_banded FROM vband)
+         |SELECT (SELECT w FROM vwb) AS width, n_exact, n_banded,
          |  CASE WHEN n_exact = 0 THEN 1.0
          |    ELSE round(CAST(n_banded AS DOUBLE) / n_exact, 6) END AS recall,
          |  TRUE AS banded_subset_exact
-         |FROM ex CROSS JOIN bn""".stripMargin,
+         |FROM e CROSS JOIN bn""".stripMargin,
+    // q368: the lossy-codec contract — the three engine-measured
+    // properties (geometry, decode determinism, bounded error) are
+    // booleans the oracle pins TRUE; n_images replays from the corpus
+    "q368_jpeg_lossy_contract" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_images, TRUE AS dims_match,
+        |  TRUE AS decode_deterministic, TRUE AS mae_within_bound
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
     // q363: identical planted bytes (md5-derived email + dotted quad),
     // identical RE2-portable patterns, global replace + match counts —
     // n_emails on the original text, n_ips on the email-scrubbed text,
@@ -11379,22 +11462,18 @@ object SparkEntry {
     "q361_trimodal_consensus" ->
       s"""WITH ipairs AS (SELECT id_a, id_b FROM (
          |  WITH $ppmRealContentCtes,
-         |  ${perceptualFpsCtesOver("rdocs")},
-         |  $perceptualBandTailCtes
-         |  SELECT c.id_a, c.id_b FROM pcand c
-         |  JOIN pfps fa ON c.id_a = fa.id JOIN pfps fb ON c.id_b = fb.id
-         |  WHERE bit_count(xor(fa.fp, fb.fp)) <= 12)),
+         |  ${perceptual128FpsCtesOver("rdocs")},
+         |  $perceptual128BandTailCtes
+         |  $perceptual128PairSelect)),
          |apairs AS (SELECT id_a, id_b FROM (
          |  WITH $wavRealContentCtes,
-         |  ${perceptualFpsCtesOver("wdocs")},
-         |  $perceptualBandTailCtes
-         |  SELECT c.id_a, c.id_b FROM pcand c
-         |  JOIN pfps fa ON c.id_a = fa.id JOIN pfps fb ON c.id_b = fb.id
-         |  WHERE bit_count(xor(fa.fp, fb.fp)) <= 12)),
+         |  ${perceptual128FpsCtesOver("wdocs")},
+         |  $perceptual128BandTailCtes
+         |  $perceptual128PairSelect)),
          |vpairs AS (SELECT id_a, id_b FROM (
          |  WITH $y4mRealContentCtes,
-         |  ${perceptualFpsCtesOver("vdocs")},
-         |  $videoBandTailCtes
+         |  ${perceptual128FpsCtesOver("vdocs")},
+         |  $video128BandTailCtes
          |  SELECT id_a // 64 AS id_a, id_b // 64 AS id_b
          |  FROM vver GROUP BY 1, 2 HAVING count(*) >= 2)),
          |allm AS (
@@ -11428,34 +11507,18 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN k % 3 = 2 THEN v END) AS BIGINT) AS sum_b
          |FROM gbytes GROUP BY 1""".stripMargin,
     // q358: the codec-true chain — DEFLATE-decoded luma content (gdocs),
-    // then the SAME fingerprint grid + scale-adaptive band tail as q348
+    // then the SAME 128-bit grid + band tail as q348
     "q358_png_neardup_real" ->
       s"""WITH $pngRealContentCtes,
-         |${perceptualFpsCtesOver("gdocs")},
-         |$perceptualBandTailCtes
-         |SELECT c.id_a, c.id_b,
-         |  CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS hamming
-         |FROM pcand c JOIN pfps fa ON c.id_a = fa.id
-         |JOIN pfps fb ON c.id_b = fb.id
-         |WHERE bit_count(xor(fa.fp, fb.fp)) <= 12""".stripMargin,
+         |${perceptual128FpsCtesOver("gdocs")},
+         |$perceptual128BandTailCtes
+         |$perceptual128PairSelect""".stripMargin,
     // q359: the recall-contract tail over the codec-true fingerprints
     "q359_png_recall_real" ->
       s"""WITH $pngRealContentCtes,
-         |${perceptualFpsCtesOver("gdocs")},
-         |$perceptualBandTailCtes,
-         |banded AS (SELECT c.id_a, c.id_b
-         |  FROM pcand c JOIN pfps fa ON c.id_a = fa.id
-         |  JOIN pfps fb ON c.id_b = fb.id
-         |  WHERE bit_count(xor(fa.fp, fb.fp)) <= 12),
-         |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact
-         |  FROM pfps a JOIN pfps b ON a.id < b.id
-         |  WHERE bit_count(xor(a.fp, b.fp)) <= 12),
-         |bn AS (SELECT CAST(count(*) AS BIGINT) AS n_banded FROM banded)
-         |SELECT n_exact, n_banded,
-         |  CASE WHEN n_exact = 0 THEN 1.0
-         |    ELSE round(CAST(n_banded AS DOUBLE) / n_exact, 6) END AS recall,
-         |  TRUE AS banded_subset_exact
-         |FROM ex CROSS JOIN bn""".stripMargin,
+         |${perceptual128FpsCtesOver("gdocs")},
+         |$perceptual128BandTailCtes,
+         |$perceptual128RecallTail""".stripMargin,
     // q354: every SAMPLED frame's decoded luma grid replayed byte-exact
     // from the word-sampled ':pxvid:' md5 chain — frames 0,2,4,6, one
     // content row per (video, frame)
@@ -11464,26 +11527,27 @@ object SparkEntry {
          |SELECT doc_id AS id, CAST(f AS BIGINT) AS frame,
          |  string_agg(CAST(v AS VARCHAR), ' ' ORDER BY k) AS content
          |FROM vbytes GROUP BY 1, 2""".stripMargin,
-    // q355: the frame-aligned video near-dup — per-frame fingerprint grid
-    // over composite ids (doc·64+frame), scale-adaptive band tail with
-    // the frame index in the join key, then ≥ 2 matched sampled frames
-    // per video pair
+    // q355: the frame-aligned video near-dup — per-frame 128-bit
+    // fingerprint grid over composite ids (doc·64+frame), the
+    // {4,8,16,32}-width band tail with the frame index in the join key,
+    // then ≥ 2 matched sampled frames per video pair
     "q355_y4m_neardup_real" ->
       s"""WITH $y4mRealContentCtes,
-         |${perceptualFpsCtesOver("vdocs")},
-         |$videoBandTailCtes
+         |${perceptual128FpsCtesOver("vdocs")},
+         |$video128BandTailCtes
          |SELECT id_a // 64 AS id_a, id_b // 64 AS id_b,
          |  CAST(count(*) AS BIGINT) AS n_frames
          |FROM vver GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
-    // q356: shot-boundary detection — Hamming delta between consecutive
-    // sampled-frame fingerprints (composite ids two apart within a video)
+    // q356: shot-boundary detection — 128-bit Hamming delta between
+    // consecutive sampled-frame fingerprints (composite ids two apart
+    // within a video), cut when > 32 of 128 bits flip
     "q356_y4m_scene_change" ->
       s"""WITH $y4mRealContentCtes,
-         |${perceptualFpsCtesOver("vdocs")}
+         |${perceptual128FpsCtesOver("vdocs")}
          |SELECT a.id // 64 AS id, CAST(a.id % 64 AS BIGINT) AS frame_from,
          |  CAST(b.id % 64 AS BIGINT) AS frame_to,
-         |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming,
-         |  bit_count(xor(a.fp, b.fp)) > 16 AS is_cut
+         |  CAST(bit_count(xor(a.fph, b.fph)) + bit_count(xor(a.fpl, b.fpl)) AS BIGINT) AS hamming,
+         |  bit_count(xor(a.fph, b.fph)) + bit_count(xor(a.fpl, b.fpl)) > 32 AS is_cut
          |FROM pfps a JOIN pfps b
          |  ON a.id // 64 = b.id // 64 AND b.id % 64 = a.id % 64 + 2""".stripMargin,
     // q337: the q217 recall-contract device for the perceptual tier —

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -951,6 +951,165 @@ object Multimodal {
       }.toDF("id", "payload")
   }
 
+  /** Synthesize a REAL JPEG per row whose pixel blocks SAMPLE THE TEXT'S
+    * WORDS — the LOSSY member of the container-true family
+    * ([[synthesizePngFromWords]] is the lossless twin; same md5 block
+    * layout, chain tag ':pxjpg:'): the grid is encoded through the JDK's
+    * real JPEG writer (DCT, quantization, entropy coding —
+    * `javax.imageio` ships it in every JDK). Because the transform is
+    * LOSSY, decoded pixels are NOT bit-identical to the chain — so this
+    * payload cannot carry a bit-exact oracle; its correctness story is
+    * the engine-side dual-decode contract ([[jpegLossyContract]]).
+    * Output: (id, payload). */
+  def synthesizeJpegFromWords(spark: SparkSession, docs: DataFrame, idCol: String,
+                              textCol: String, width: Int, height: Int): DataFrame = {
+    require(width >= 1 && height >= 1,
+      s"synthesizeJpegFromWords: need width/height >= 1, got $width/$height")
+    require(width * height * 3 % 16 == 0,
+      s"synthesizeJpegFromWords: width*height*3 must be a multiple of 16, got ${width * height * 3}")
+    import spark.implicits._
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        javax.imageio.ImageIO.setUseCache(false)
+        val nBytes = width * height * 3
+        val nb = nBytes / 16
+        rows.map { case (id, text) =>
+          val words = text.split(" ", -1) // keep trailing empties (SQL parity)
+          val bytes = new Array[Byte](nBytes)
+          var j = 0
+          while (j < nb) {
+            md.reset()
+            val wj = words((j * words.length) / nb)
+            System.arraycopy(
+              md.digest(s"$wj:pxjpg:$j".getBytes(
+                java.nio.charset.StandardCharsets.UTF_8)),
+              0, bytes, j * 16, 16)
+            j += 1
+          }
+          val img = new java.awt.image.BufferedImage(
+            width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var p = 0
+          while (p < width * height) {
+            val rgb = ((bytes(3 * p) & 0xff) << 16) |
+              ((bytes(3 * p + 1) & 0xff) << 8) | (bytes(3 * p + 2) & 0xff)
+            img.setRGB(p % width, p / width, rgb)
+            p += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          require(javax.imageio.ImageIO.write(img, "jpg", baos),
+            s"synthesizeJpegFromWords[$id]: no JPEG writer installed")
+          (id, baos.toByteArray)
+        }
+      }.toDF("id", "payload")
+  }
+
+  /** LOSSY-CODEC contract — the correctness device for a format whose
+    * decode cannot be SQL-replayed (VERDICT r8 task 5): JPEG's DCT
+    * pipeline is decoder-implementation-defined, so instead of a
+    * bit-exact oracle mirror the contract measures, IN-ENGINE, the three
+    * properties a lossy ingest chain actually relies on, and exposes
+    * them as booleans an oracle CAN pin:
+    *
+    *  1. `dims_match` — the codec round-trip preserves geometry exactly
+    *     (decoded width×height == synthesized width×height, per image);
+    *  2. `decode_deterministic` — two INDEPENDENT full
+    *     synthesize → encode → decode lineages produce bit-identical
+    *     decoded rasters (md5 of the RGB grid compared across lineages —
+    *     the q90-style convergence device: the whole lossy round trip,
+    *     encoder included, must replay identically; one lineage lying
+    *     about pixels would have to lie identically twice);
+    *  3. `mae_within_bound` — per image, the mean absolute per-channel
+    *     error between decoded pixels and the exact md5-chain reference
+    *     grid (recomputed from the text, not trusted from the encoder)
+    *     is ≤ `maxMae` — the lossy error is BOUNDED, not just assumed
+    *     small.
+    *
+    * One row: (n_images, dims_match, decode_deterministic,
+    * mae_within_bound). The observed error itself is deliberately NOT a
+    * column: a decoder-version-dependent value cannot sit in a hashed
+    * row — the BOUND is the contract ([[jpegDecodeLedger]] exposes the
+    * raw per-image ledger for calibration).
+    *
+    * Scale shape: two synthesize+decode scans, one id-keyed join of the
+    * two per-image ledgers, one global aggregate. Never
+    * content×content. */
+  /** Per-image JPEG round-trip ledger — one full synthesize → encode →
+    * decode lineage: (id, dims_ok, mae, digest) where `mae` is the mean
+    * absolute per-channel error of the decoded pixels against the exact
+    * md5-chain reference grid (recomputed from the text — the encoder is
+    * NOT trusted to supply its own yardstick) and `digest` is the md5 of
+    * the decoded RGB raster. `private[graft]`: the public surface is
+    * [[jpegLossyContract]], which runs TWO of these lineages and
+    * cross-checks them. */
+  private[graft] def jpegDecodeLedger(spark: SparkSession, docs: DataFrame,
+                                      idCol: String, textCol: String,
+                                      width: Int, height: Int): DataFrame = {
+    import spark.implicits._
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("__text"))
+      .join(synthesizeJpegFromWords(spark, docs, idCol, textCol, width, height),
+        Seq("id"))
+      .select(col("id"), col("__text"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        javax.imageio.ImageIO.setUseCache(false)
+        val nBytes = width * height * 3
+        val nb = nBytes / 16
+        rows.map { case (id, text, payload) =>
+          val img = readImageBounded(id, payload, 1L << 24)
+          val dimsOk = img.getWidth == width && img.getHeight == height
+          val words = text.split(" ", -1)
+          val ref = new Array[Byte](nBytes)
+          var j = 0
+          while (j < nb) {
+            md.reset()
+            val wj = words((j * words.length) / nb)
+            System.arraycopy(md.digest(s"$wj:pxjpg:$j".getBytes(
+              java.nio.charset.StandardCharsets.UTF_8)), 0, ref, j * 16, 16)
+            j += 1
+          }
+          var absErr = 0L
+          val raster = new Array[Byte](nBytes)
+          var p = 0
+          while (p < width * height && dimsOk) {
+            val rgb = img.getRGB(p % width, p / width)
+            val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+            raster(3 * p) = r.toByte; raster(3 * p + 1) = g.toByte
+            raster(3 * p + 2) = b.toByte
+            absErr += math.abs(r - (ref(3 * p) & 0xff)) +
+              math.abs(g - (ref(3 * p + 1) & 0xff)) +
+              math.abs(b - (ref(3 * p + 2) & 0xff))
+            p += 1
+          }
+          md.reset()
+          val digest = md.digest(raster).map("%02x".format(_)).mkString
+          (id, dimsOk, absErr.toDouble / nBytes, digest)
+        }
+      }.toDF("id", "dims_ok", "mae", "digest")
+  }
+
+  def jpegLossyContract(spark: SparkSession, docs: DataFrame, idCol: String,
+                        textCol: String, width: Int, height: Int,
+                        maxMae: Double): DataFrame = {
+    require(maxMae > 0, s"jpegLossyContract: need maxMae > 0, got $maxMae")
+    val a = jpegDecodeLedger(spark, docs, idCol, textCol, width, height)
+      .toDF("id", "dims_ok_a", "mae_a", "digest_a")
+    val b = jpegDecodeLedger(spark, docs, idCol, textCol, width, height)
+      .toDF("id", "dims_ok_b", "mae_b", "digest_b")
+    a.join(b, Seq("id"))
+      .agg(count(lit(1)).as("n_images"),
+        coalesce(bool_and(col("dims_ok_a") && col("dims_ok_b")), lit(true))
+          .as("dims_match"),
+        coalesce(bool_and(col("digest_a") === col("digest_b")), lit(true))
+          .as("decode_deterministic"),
+        coalesce(bool_and(col("mae_a") <= maxMae && col("mae_b") <= maxMae),
+          lit(true)).as("mae_within_bound"))
+  }
+
   /** Gzip-compress each row's text into a REAL RFC-1952 payload
     * (`java.util.zip.GZIPOutputStream` — DEFLATE entropy coding, in
     * every JDK) — the compressed-TEXT member of the container family:
@@ -980,8 +1139,13 @@ object Multimodal {
     * utf-8 text (`GZIPInputStream`; malformed streams fail loudly with
     * the codec's own ZipException). One scan, zero shuffle — the
     * decompressed content feeds tokenizers/fingerprints exactly like an
-    * uncompressed text column. Output: (id, content). */
-  def gunzipContent(spark: SparkSession, media: DataFrame): DataFrame = {
+    * uncompressed text column. `maxBytes` bounds the INFLATED size
+    * (default 64 MiB): DEFLATE expands up to ~1032×, so an untrusted
+    * web-scale blob can be a gzip bomb — a payload crossing the bound
+    * fails loudly instead of OOMing the executor. Output: (id, content). */
+  def gunzipContent(spark: SparkSession, media: DataFrame,
+                    maxBytes: Long = 64L << 20): DataFrame = {
+    require(maxBytes >= 1, s"gunzipContent: need maxBytes >= 1, got $maxBytes")
     import spark.implicits._
     media.select(col("id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
@@ -989,15 +1153,52 @@ object Multimodal {
         rows.map { case (id, payload) =>
           val in = new java.util.zip.GZIPInputStream(
             new java.io.ByteArrayInputStream(payload))
-          val out = new java.io.ByteArrayOutputStream(payload.length * 4)
+          val out = new java.io.ByteArrayOutputStream(
+            math.min(payload.length.toLong * 4, maxBytes).toInt)
           val buf = new Array[Byte](8192)
+          var total = 0L
           var n = in.read(buf)
-          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          while (n >= 0) {
+            total += n
+            require(total <= maxBytes,
+              s"gunzipContent[$id]: inflated size exceeds $maxBytes bytes " +
+                "(gzip bomb?) - raise maxBytes only for trusted payloads")
+            out.write(buf, 0, n)
+            n = in.read(buf)
+          }
           in.close()
           (id, new String(out.toByteArray,
             java.nio.charset.StandardCharsets.UTF_8))
         }
       }.toDF("id", "content")
+  }
+
+  /** Decode a payload through `ImageIO` with the header DIMENSIONS
+    * validated BEFORE pixel allocation: the matching `ImageReader` parses
+    * just the header (width/height — no pixel pass), and a payload whose
+    * declared `w·h` exceeds `maxPixels` fails loudly instead of letting
+    * `ImageIO.read` allocate a BufferedImage sized by attacker-controlled
+    * header fields. Shared guard of [[decodeImage]] / [[imageLumaContent]]. */
+  private def readImageBounded(id: Long, payload: Array[Byte],
+                               maxPixels: Long): java.awt.image.BufferedImage = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext,
+        s"decodeImage[$id]: no installed codec recognizes the payload")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, true, true)
+        val (w, h) = (reader.getWidth(0).toLong, reader.getHeight(0).toLong)
+        require(w >= 1 && h >= 1 && w * h <= maxPixels,
+          s"decodeImage[$id]: declared dims ${w}x$h exceed the $maxPixels" +
+            "-pixel bound - raise maxPixels only for trusted payloads")
+        val img = reader.read(0)
+        require(img != null, s"decodeImage[$id]: codec returned no image")
+        img
+      } finally reader.dispose()
+    } finally iis.close()
   }
 
   /** REAL codec decode in the [[fakeDecode]] slot — `ImageIO.read` over
@@ -1008,17 +1209,15 @@ object Multimodal {
     * fail loudly (`ImageIO.read` returns null → require). This is the
     * entropy-coded twin of the byte-level header parsers — the codec
     * does the DEFLATE/filter reconstruction the P6 slot never needed. */
-  def decodeImage(spark: SparkSession, media: DataFrame): DataFrame = {
+  def decodeImage(spark: SparkSession, media: DataFrame,
+                  maxPixels: Long = 1L << 24): DataFrame = {
     import spark.implicits._
     media.select(col("id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
         rows.map { case (id, payload) =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(payload))
-          require(img != null,
-            s"decodeImage[$id]: no installed codec recognizes the payload")
+          val img = readImageBounded(id, payload, maxPixels)
           val (w, h) = (img.getWidth, img.getHeight)
           var (sr, sg, sb) = (0L, 0L, 0L)
           var y = 0
@@ -1046,17 +1245,15 @@ object Multimodal {
     * output is bit-identical to the pre-encode pixel grid, which is what
     * lets the oracle replay fingerprints of codec-decoded content
     * without running a codec. Output: (id, content). */
-  def imageLumaContent(spark: SparkSession, media: DataFrame): DataFrame = {
+  def imageLumaContent(spark: SparkSession, media: DataFrame,
+                       maxPixels: Long = 1L << 24): DataFrame = {
     import spark.implicits._
     media.select(col("id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
         rows.map { case (id, payload) =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(payload))
-          require(img != null,
-            s"imageLumaContent[$id]: no installed codec recognizes the payload")
+          val img = readImageBounded(id, payload, maxPixels)
           val (w, h) = (img.getWidth, img.getHeight)
           val sb = new java.lang.StringBuilder(w * h * 4)
           var y = 0
@@ -1223,12 +1420,24 @@ object Multimodal {
     * (id, frame, phash64). */
   def videoFrameFingerprints(spark: SparkSession, frames: DataFrame): DataFrame =
     perceptualHash64Content(spark,
-      frames.select(
-        (col("id").cast("long") * 64 + col("frame").cast("long")).as("id"),
+      frames.select(compositeFrameId(col("id"), col("frame")).as("id"),
         col("content")))
       .select(shiftright(col("id"), 6).as("id"),
         col("id").bitwiseAND(lit(63L)).as("frame"),
         col("phash64"))
+
+  /** The composite (video, frame) key `id·64 + frame`, with the radix
+    * ENFORCED: a frame index ≥ 64 would silently alias into the next
+    * video id (wrong near-dup pairs instead of a loud failure — the
+    * family contract), so it raises instead. Longer videos fit by
+    * SAMPLING (the `every` knob of [[y4mLumaFrames]]), not by overflowing
+    * the radix. */
+  private def compositeFrameId(id: Column, frame: Column): Column =
+    when(frame.cast("long").between(0L, 63L),
+      id.cast("long") * 64 + frame.cast("long"))
+      .otherwise(raise_error(format_string(
+        "videoFrameFingerprints: frame index %s outside the composite " +
+          "radix [0, 64) - sample frames upstream instead", frame)))
 
   /** FRAME-ALIGNED video near-duplicate pairs — the temporal composition
     * of the perceptual tier: two videos are near-dups when at least
@@ -1297,6 +1506,127 @@ object Multimodal {
     a.join(b, Seq("id", "frame_from"))
       .select(col("id"), col("frame_from"), col("frame_to"),
         bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long").as("hamming"))
+      .withColumn("is_cut", col("hamming") > cutHamming)
+  }
+
+  /** Per-frame 128-BIT perceptual fingerprints over a frame-sampled
+    * `(id, frame, content)` relation — [[videoFrameFingerprints]] on the
+    * width-cap remedy tier: the [[perceptualHash128Content]] kernel keyed
+    * by the same enforced `id·64 + frame` composite radix. This is the
+    * tier the REGISTERED video chains ride (VERDICT r8 #1): at 100× the
+    * 64-bit tier's 16-bit bucket cap made the frame-pair stage emit
+    * hundreds of millions of noise pairs; 32-bit-capable bands keep
+    * per-bucket occupancy bounded through ~10⁹ sampled frames. Output:
+    * (id, frame, fph, fpl). */
+  def videoFrameFingerprints128(spark: SparkSession, frames: DataFrame): DataFrame =
+    perceptualHash128Content(spark,
+      frames.select(compositeFrameId(col("id"), col("frame")).as("id"),
+        col("content")))
+      .select(shiftright(col("id"), 6).as("id"),
+        col("id").bitwiseAND(lit(63L)).as("frame"),
+        col("fph"), col("fpl"))
+
+  /** FRAME-ALIGNED video near-dup pairs on the 128-bit tier —
+    * [[videoNearDupPairs]] widened ([[perceptualNearDupPairs128On]]'s
+    * band layout with the frame index in the join key): band b reads
+    * bits [b·w, (b+1)·w) of the 128-bit word (first 64/w bands from
+    * `fph`, rest from `fpl`), a frame vouches only for its temporal
+    * counterpart, verify by full 128-bit Hamming ≤ `maxHamming` per
+    * frame pair, then ≥ `minFrames` matched frames per video pair.
+    * Output: (id_a, id_b, n_frames), a < b. Same plan law: 16-byte
+    * keys, never content×content, never N². */
+  def videoNearDupPairs128(fps: DataFrame, width: Int, maxHamming: Int,
+                           minFrames: Int): DataFrame = {
+    require(width >= 1 && width <= 64 && 64 % width == 0,
+      s"videoNearDupPairs128: width must divide 64, got $width")
+    require(maxHamming >= 0 && maxHamming <= 128,
+      s"videoNearDupPairs128: need 0 <= maxHamming <= 128, got $maxHamming")
+    require(minFrames >= 1, s"videoNearDupPairs128: need minFrames >= 1, got $minFrames")
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val perHalf = 64 / width
+    val bandCols = (0 until 2 * perHalf).map { b =>
+      val src = if (b < perHalf) col("fph") else col("fpl")
+      struct(lit(b).as("band"),
+        (shiftright(src, (b % perHalf) * width).bitwiseAND(lit(mask))).as("bucket"))
+    }
+    val banded = fps.select(col("id"), col("frame"),
+      explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("frame"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cands = banded.toDF("id_a", "frame", "band", "bucket")
+      .join(banded.toDF("id_b", "frame", "band", "bucket"),
+        Seq("frame", "band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "frame").distinct()
+    val ham = (bit_count(col("ah").bitwiseXOR(col("bh"))) +
+      bit_count(col("al").bitwiseXOR(col("bl")))).cast("long")
+    cands
+      .join(fps.toDF("id_a", "frame", "ah", "al"), Seq("id_a", "frame"))
+      .join(fps.toDF("id_b", "frame", "bh", "bl"), Seq("id_b", "frame"))
+      .where(ham <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_frames"))
+      .where(col("n_frames") >= minFrames)
+  }
+
+  /** Recall CONTRACT for the frame-aligned 128-bit video tier — q365's
+    * ledger device on the modality where the 64-bit width cap actually
+    * bound (VERDICT r8 task 6): banded video pairs
+    * ([[videoNearDupPairs128]] at the caller's derived width) vs the
+    * EXACT frame-aligned pair set, BOTH restricted to the deterministic
+    * 1-in-`sampleMod` video subsample `id % sampleMod = 0`. Sampling is
+    * the production shape of a recall audit at scale: the exact judge is
+    * O((N/m)²) per frame — a full-corpus N² judge is exactly the cost
+    * the banded path exists to avoid, and recall measured on a
+    * deterministic subsample estimates the same ratio. One row:
+    * (width, n_exact, n_banded, recall, banded_subset_exact) — subset
+    * TRUE by construction (a banded pair's ≥ `minFrames` matched frames
+    * are each exact-verified, so the video pair is in the exact set). */
+  def videoRecallContract128(fps: DataFrame, width: Int, maxHamming: Int,
+                             minFrames: Int, sampleMod: Int): DataFrame = {
+    require(sampleMod >= 1,
+      s"videoRecallContract128: need sampleMod >= 1, got $sampleMod")
+    val sub = fps.where(pmod(col("id"), lit(sampleMod)) === 0)
+    val ham = (bit_count(col("ah").bitwiseXOR(col("bh"))) +
+      bit_count(col("al").bitwiseXOR(col("bl")))).cast("long")
+    val exact = sub.toDF("id_a", "frame", "ah", "al")
+      .join(sub.toDF("id_b", "frame", "bh", "bl"), Seq("frame"))
+      .where(col("id_a") < col("id_b") && ham <= maxHamming)
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("__nf"))
+      .where(col("__nf") >= minFrames)
+      .select("id_a", "id_b")
+    val banded = graft.core.CacheRegistry.persist(
+      videoNearDupPairs128(sub, width, maxHamming, minFrames)
+        .select("id_a", "id_b"))
+    val e = exact.agg(count(lit(1)).as("n_exact"))
+    val nb = banded.agg(count(lit(1)).as("n_banded"))
+    val inExact = banded.join(exact, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("__n_in"))
+    e.crossJoin(nb).crossJoin(inExact)
+      .select(lit(width).as("width"), col("n_exact"), col("n_banded"),
+        when(col("n_exact") === 0L, lit(1.0))
+          .otherwise(round(col("__n_in").cast("double") / col("n_exact"), 6))
+          .as("recall"),
+        (col("__n_in") === col("n_banded")).as("banded_subset_exact"))
+  }
+
+  /** Shot-boundary detection on the 128-bit tier — [[videoSceneChanges]]
+    * with the full 16-byte fingerprint delta (sum of both halves' xor
+    * popcounts; `cutHamming` is on the 0–128 scale). Output:
+    * (id, frame_from, frame_to, hamming, is_cut). */
+  def videoSceneChanges128(fps: DataFrame, step: Int, cutHamming: Int): DataFrame = {
+    require(step >= 1, s"videoSceneChanges128: need step >= 1, got $step")
+    require(cutHamming >= 0 && cutHamming <= 128,
+      s"videoSceneChanges128: need 0 <= cutHamming <= 128, got $cutHamming")
+    val a = fps.select(col("id"), col("frame").as("frame_from"),
+      col("fph").as("ah"), col("fpl").as("al"))
+    val b = fps.select(col("id"), (col("frame") - step).as("frame_from"),
+      col("frame").as("frame_to"), col("fph").as("bh"), col("fpl").as("bl"))
+    a.join(b, Seq("id", "frame_from"))
+      .select(col("id"), col("frame_from"), col("frame_to"),
+        (bit_count(col("ah").bitwiseXOR(col("bh"))) +
+          bit_count(col("al").bitwiseXOR(col("bl")))).cast("long").as("hamming"))
       .withColumn("is_cut", col("hamming") > cutHamming)
   }
 

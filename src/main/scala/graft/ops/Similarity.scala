@@ -690,9 +690,14 @@ object Similarity {
     * a driver-visible hash mismatch, not a silent number drift). */
   def lshRecallContract(emb: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, bits: Int, bands: Int,
-                        recallFloor: Double): DataFrame = {
-    val exact = graft.core.CacheRegistry.persist(
-      nearDupPairs(emb, idCol, vecCol, threshold).select("id_a", "id_b"))
+                        recallFloor: Double,
+                        exactPairs: Option[DataFrame] = None): DataFrame = {
+    // exactPairs: an ALREADY-computed (id_a, id_b) exact pair set at this
+    // threshold — the judge-sharing hook (VERDICT r8 #3): the O(N²) judge
+    // backs several contract rows per corpus, so callers memoize ONE
+    // judge pass and filter it per threshold instead of paying N² per row
+    val exact = exactPairs.getOrElse(graft.core.CacheRegistry.persist(
+      nearDupPairs(emb, idCol, vecCol, threshold).select("id_a", "id_b")))
     val banded = graft.core.CacheRegistry.persist(
       lshNearDupPairs(emb, idCol, vecCol, threshold, bits, bands)
         .select("id_a", "id_b"))
@@ -859,10 +864,10 @@ object Similarity {
     * bucket that lost a base pair is a hash mismatch, not a quiet recall
     * dip. */
   def lshMultiProbeGainContract(emb: DataFrame, idCol: String, vecCol: String,
-                                threshold: Double, bits: Int,
-                                bands: Int): DataFrame = {
-    val exact = graft.core.CacheRegistry.persist(
-      nearDupPairs(emb, idCol, vecCol, threshold).select("id_a", "id_b"))
+                                threshold: Double, bits: Int, bands: Int,
+                                exactPairs: Option[DataFrame] = None): DataFrame = {
+    val exact = exactPairs.getOrElse(graft.core.CacheRegistry.persist(
+      nearDupPairs(emb, idCol, vecCol, threshold).select("id_a", "id_b")))
     val base = graft.core.CacheRegistry.persist(
       lshNearDupPairs(emb, idCol, vecCol, threshold, bits, bands)
         .select("id_a", "id_b"))
@@ -947,9 +952,10 @@ object Similarity {
     * TRUE. */
   def rpLshRecallContract(emb: DataFrame, idCol: String, vecCol: String,
                           threshold: Double, bits: Int, bands: Int, dim: Int,
-                          recallFloor: Double): DataFrame = {
-    val exact = graft.core.CacheRegistry.persist(
-      nearDupPairs(emb, idCol, vecCol, threshold).select("id_a", "id_b"))
+                          recallFloor: Double,
+                          exactPairs: Option[DataFrame] = None): DataFrame = {
+    val exact = exactPairs.getOrElse(graft.core.CacheRegistry.persist(
+      nearDupPairs(emb, idCol, vecCol, threshold).select("id_a", "id_b")))
     val banded = graft.core.CacheRegistry.persist(
       rpLshNearDupPairs(emb, idCol, vecCol, threshold, bits, bands, dim)
         .select("id_a", "id_b"))
@@ -984,18 +990,49 @@ object Similarity {
     * storage-free and oracle-checkable while planning the same join. */
   def lshNearDupPairsAcross(corpus: DataFrame, batch: DataFrame,
                             idCol: String, vecCol: String, threshold: Double,
-                            bits: Int, bands: Int): DataFrame = {
-    def bandTable(df: DataFrame): DataFrame = {
-      val bandCols = (0 until bands).map { b =>
-        struct(lit(b).as("band"), signBucket(col(vecCol), bits, b * bits).as("bucket"))
-      }
-      df.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
-        .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+                            bits: Int, bands: Int): DataFrame =
+    lshNearDupPairsIndexed(signBandTable(corpus, idCol, vecCol, bits, bands),
+      corpus, batch, idCol, vecCol, threshold, bits, bands)
+
+  /** The sign-LSH `(id, band, bucket)` SIGNATURE TABLE of a vector
+    * frame — the indexable half of [[lshNearDupPairsAcross]]. At 100 TB a
+    * standing corpus's signatures are a MAINTAINED ARTIFACT: computed
+    * once, persisted, appended per admitted batch — so ingestion pays
+    * only the arriving batch's projections plus a (band, bucket) join
+    * against the stored index, never a per-trigger re-fingerprint of the
+    * whole standing side ([[graft.streaming.EventStream.streamAnnDedupedIngest]]
+    * maintains exactly this table). */
+  def signBandTable(df: DataFrame, idCol: String, vecCol: String,
+                    bits: Int, bands: Int): DataFrame = {
+    require(bits >= 1 && bands >= 1,
+      s"signBandTable: need bits/bands >= 1, got $bits/$bands")
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"), signBucket(col(vecCol), bits, b * bits).as("bucket"))
     }
-    val cands = bandTable(corpus).toDF("corpus_id", "band", "bucket")
-      .join(bandTable(batch).toDF("batch_id", "band", "bucket"), Seq("band", "bucket"))
+    df.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Batch-vs-standing near-dup detection against a PRECOMPUTED signature
+    * index — the maintained-artifact form of [[lshNearDupPairsAcross]]
+    * (set-identical when `standingSigs` is exactly
+    * `signBandTable(standingVecs, …)` at the same calibration, which the
+    * delegation above makes structural): candidates are (standing, batch)
+    * id pairs sharing a (band, bucket) between the INDEX and the batch's
+    * freshly-banded signatures; verify fetches vectors by id from
+    * `standingVecs` — an id-keyed join bounded by the candidate set, so
+    * the standing side's vectors are touched only where a bucket
+    * collided, and its signatures not at all. Returns
+    * (corpus_id, batch_id, cos ≥ threshold). */
+  def lshNearDupPairsIndexed(standingSigs: DataFrame, standingVecs: DataFrame,
+                             batch: DataFrame, idCol: String, vecCol: String,
+                             threshold: Double, bits: Int, bands: Int): DataFrame = {
+    val cands = standingSigs.select(col(idCol), col("band"), col("bucket"))
+      .toDF("corpus_id", "band", "bucket")
+      .join(signBandTable(batch, idCol, vecCol, bits, bands)
+        .toDF("batch_id", "band", "bucket"), Seq("band", "bucket"))
       .select("corpus_id", "batch_id").distinct()
-    val cv = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("va"),
+    val cv = standingVecs.select(col(idCol).as("corpus_id"), col(vecCol).as("va"),
       normF(col(vecCol)).as("na"))
     val bv = batch.select(col(idCol).as("batch_id"), col(vecCol).as("vb"),
       normF(col(vecCol)).as("nb"))

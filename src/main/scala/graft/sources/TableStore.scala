@@ -290,14 +290,31 @@ class TableStore(spark: SparkSession) {
     * `is_current` so the current-slice scan is partition pruning;
     * Bronze by ingest date, reference README.MD:120). */
   def overwrite(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Long =
+    overwriteWithMeta(table, df, Map.empty, partitionBy)
+
+  /** [[overwrite]] carrying VERSION METADATA: `meta` commits in the same
+    * manifest write as the data, so a marker that must advance WITH the
+    * data (a streaming sink's committed-batch id) cannot be lost to a
+    * crash between a data commit and a separate marker write — the
+    * transactional-write pattern Delta's `txnAppId`/`txnVersion` serves. */
+  def overwriteWithMeta(table: String, df: DataFrame, meta: Map[String, String],
+                        partitionBy: Seq[String] = Nil): Long =
     commit(table, Seq(writeDataDir(table, df, partitionBy)),
-      partitionMetaFor(df, partitionBy))
+      partitionMetaFor(df, partitionBy) ++ metaLines(meta))
 
   /** Append with schema evolution: adds a data dir to the manifest without
     * touching existing files (reference Delta append + `mergeSchema`,
     * 1_Landing_to_Bronze.py:59-67). The table's existing partition layout
     * carries forward; pass `partitionBy` on first append to establish it. */
-  def append(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Long = {
+  def append(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Long =
+    appendWithMeta(table, df, Map.empty, partitionBy)
+
+  /** [[append]] carrying VERSION METADATA (see [[overwriteWithMeta]]).
+    * Partition layout carries forward from the previous version; `meta`
+    * does NOT — each commit states its own markers, so a stale marker
+    * cannot masquerade as current. */
+  def appendWithMeta(table: String, df: DataFrame, meta: Map[String, String],
+                     partitionBy: Seq[String] = Nil): Long = {
     val (prev, prevMeta) = currentVersion(table) match {
       case Some(v) => (manifest(table, v),
         manifestLines(table, v).filter(_.startsWith("#p ")))
@@ -306,9 +323,30 @@ class TableStore(spark: SparkSession) {
     val spec =
       if (prevMeta.nonEmpty) prevMeta.map(_.split(" ", 3)(1)).toSeq
       else partitionBy
-    val meta = if (prevMeta.nonEmpty) prevMeta else partitionMetaFor(df, partitionBy)
-    commit(table, prev :+ writeDataDir(table, df, spec), meta)
+    val pMeta = if (prevMeta.nonEmpty) prevMeta else partitionMetaFor(df, partitionBy)
+    commit(table, prev :+ writeDataDir(table, df, spec), pMeta ++ metaLines(meta))
   }
+
+  private def metaLines(meta: Map[String, String]): Seq[String] =
+    meta.toSeq.sortBy(_._1).map { case (k, v) =>
+      require(k.nonEmpty && !k.exists(c => c == ' ' || c == '\n') &&
+        !v.contains('\n'),
+        s"version meta: key must be space/newline-free and value " +
+          s"newline-free, got '$k' -> '$v'")
+      s"#b $k $v"
+    }
+
+  /** The CURRENT version's metadata markers (`#b` manifest lines) —
+    * empty for a table without one, or whose latest commit carried none. */
+  def versionMeta(table: String): Map[String, String] =
+    currentVersion(table) match {
+      case None => Map.empty
+      case Some(v) =>
+        manifestLines(table, v).filter(_.startsWith("#b ")).map { l =>
+          val Array(_, k, value) = l.split(" ", 3)
+          k -> value
+        }.toMap
+    }
 
   /** The MERGE-rewrite commit (reference Delta MERGE,
     * 2_Bronze_to_Silver.py:127-133): callers compute the complete next state

@@ -617,4 +617,141 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Double)].collect().head
     empty shouldBe ((3L, 3L, 10L, 10L, 1.0)) // nothing referenced: all orphans
   }
+
+  test("video 128-bit tier: fph extends the 64-bit fingerprints, " +
+    "frame-aligned pairs and scene changes match the planted structure") {
+    val base = (1 to 24).map(i => s"w$i").mkString(" ")
+    val oneEdit = base.replace("w7", "zz")
+    val unrelated = (1 to 24).map(i => s"v$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, oneEdit), (3L, unrelated), (4L, base))
+      .toDF("doc_id", "text")
+    val media = Multimodal.synthesizeY4mFromWords(spark, docs, "doc_id", "text", 4, 4, 8)
+    graft.core.CacheRegistry.scoped {
+      val frames = Multimodal.y4mLumaFrames(spark, media, 2)
+      val fps = graft.core.CacheRegistry.persist(
+        Multimodal.videoFrameFingerprints128(spark, frames))
+      fps.count() shouldBe 16L // 4 videos × 4 sampled frames
+      // law: the high half IS the 64-bit tier, per (video, frame)
+      val hi = fps.select($"id", $"frame", $"fph").as[(Long, Long, Long)]
+        .collect().map(t => (t._1, t._2) -> t._3).toMap
+      val f64 = Multimodal.videoFrameFingerprints(spark, frames)
+        .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+      hi shouldBe f64
+      // width 8 (16 bands): the recall configuration at threshold 24/128
+      val pairs = Multimodal.videoNearDupPairs128(fps, 8, 24, 2)
+        .as[(Long, Long, Long)].collect()
+        .map(t => ((t._1, t._2), t._3)).toMap
+      pairs((1L, 4L)) shouldBe 4L // identical videos: all 4 frames match
+      pairs.keySet should contain((1L, 2L)) // one-word edit: ≥ 2 frames
+      pairs.keySet.foreach { case (a, b) => Set(a, b) should not contain 3L }
+      // scene changes at the proportional 32/128 cut
+      val cuts = Multimodal.videoSceneChanges128(fps, 2, 32)
+        .as[(Long, Long, Long, Long, Boolean)].collect()
+      cuts.length shouldBe 12 // 4 videos × 3 transitions
+      cuts.foreach { c => c._5 shouldBe (c._4 > 32L) }
+      val prof1 = cuts.filter(_._1 == 1L).map(c => (c._2, c._4)).sortBy(_._1).toSeq
+      val prof4 = cuts.filter(_._1 == 4L).map(c => (c._2, c._4)).sortBy(_._1).toSeq
+      prof1 shouldBe prof4 // identical texts replay identical profiles
+      // width guards
+      an[IllegalArgumentException] should be thrownBy
+        Multimodal.videoNearDupPairs128(fps, 24, 24, 2)
+      an[IllegalArgumentException] should be thrownBy
+        Multimodal.videoSceneChanges128(fps, 0, 32)
+    }
+    graft.core.CacheRegistry.drain()
+  }
+
+  test("videoRecallContract128: subset law, sampled judge, planted pair found") {
+    val base = (1 to 24).map(i => s"w$i").mkString(" ")
+    val oneEdit = base.replace("w7", "zz")
+    val unrelated = (1 to 24).map(i => s"v$i").mkString(" ")
+    // ids all ≡ 0 (mod 5): the deterministic subsample keeps every video
+    val docs = Seq((5L, base), (10L, oneEdit), (15L, unrelated), (20L, base))
+      .toDF("doc_id", "text")
+    val media = Multimodal.synthesizeY4mFromWords(spark, docs, "doc_id", "text", 4, 4, 8)
+    graft.core.CacheRegistry.scoped {
+      val fps = graft.core.CacheRegistry.persist(
+        Multimodal.videoFrameFingerprints128(spark,
+          Multimodal.y4mLumaFrames(spark, media, 2)))
+      val c = Multimodal.videoRecallContract128(fps, 8, 24, 2, 5)
+        .as[(Int, Long, Long, Double, Boolean)].head()
+      c._1 shouldBe 8 // width echoed
+      c._2 should be >= 1L // the identical pair (5, 20) is exact
+      c._5 shouldBe true // banded ⊆ exact
+      c._3 should be <= c._2
+      c._4 should (be >= 0.0 and be <= 1.0)
+      // sampleMod 4 keeps only id 20 — a one-video subsample has no
+      // pairs, so recall is 1.0 by the n_exact = 0 convention
+      val lone = Multimodal.videoRecallContract128(fps, 8, 24, 2, 4)
+        .as[(Int, Long, Long, Double, Boolean)].head()
+      lone._2 shouldBe 0L
+      lone._4 shouldBe 1.0
+      an[IllegalArgumentException] should be thrownBy
+        Multimodal.videoRecallContract128(fps, 8, 24, 2, 0)
+    }
+    graft.core.CacheRegistry.drain()
+  }
+
+  test("jpegLossyContract: dims + determinism + bounded error hold at a " +
+    "calibrated bound, and the bound has teeth") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"),
+      (3L, Option.empty[String].orNull)).toDF("doc_id", "text")
+    val r = Multimodal.jpegLossyContract(spark, docs, "doc_id", "text", 8, 8, 80.0)
+      .as[(Long, Boolean, Boolean, Boolean)].head()
+    r shouldBe ((2L, true, true, true)) // NULL text filtered
+    // an absurd 1.0 bound must FAIL visibly (lossy error is real)
+    val tight = Multimodal.jpegLossyContract(spark, docs, "doc_id", "text", 8, 8, 1.0)
+      .as[(Long, Boolean, Boolean, Boolean)].head()
+    tight._4 shouldBe false
+    tight._2 shouldBe true // dims still match
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.jpegLossyContract(spark, docs, "doc_id", "text", 8, 8, 0.0)
+    // the per-image ledger: mae strictly positive (JPEG is lossy on
+    // noise), digest stable across lineages
+    val l1 = Multimodal.jpegDecodeLedger(spark, docs, "doc_id", "text", 8, 8)
+      .as[(Long, Boolean, Double, String)].collect().sortBy(_._1)
+    val l2 = Multimodal.jpegDecodeLedger(spark, docs, "doc_id", "text", 8, 8)
+      .as[(Long, Boolean, Double, String)].collect().sortBy(_._1)
+    l1.length shouldBe 2
+    l1.foreach { case (_, ok, mae, _) => ok shouldBe true; mae should be > 0.0 }
+    l1.map(_._4).toSeq shouldBe l2.map(_._4).toSeq
+  }
+
+  test("videoFrameFingerprints: a frame index >= 64 fails loudly instead " +
+    "of aliasing into the next video id (the composite-radix contract)") {
+    val frames = Seq((1L, 63L, "x " * 40), (1L, 64L, "y " * 40))
+      .toDF("id", "frame", "content")
+    an[Exception] should be thrownBy
+      Multimodal.videoFrameFingerprints(spark, frames).collect()
+    an[Exception] should be thrownBy
+      Multimodal.videoFrameFingerprints128(spark, frames).collect()
+    // the in-radix slice of the same data is fine
+    Multimodal.videoFrameFingerprints(spark,
+      frames.where($"frame" < 64L)).count() shouldBe 1L
+  }
+
+  test("gunzipContent: inflated-size bound stops a gzip bomb; default " +
+    "bound passes normal payloads") {
+    val docs = Seq((1L, "hello world " * 50)).toDF("doc_id", "text")
+    val gz = Multimodal.gzipPayloads(spark, docs, "doc_id", "text")
+    Multimodal.gunzipContent(spark, gz).count() shouldBe 1L
+    // the same payload against a 100-byte ceiling fails loudly
+    an[Exception] should be thrownBy
+      Multimodal.gunzipContent(spark, gz, maxBytes = 100L).collect()
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.gunzipContent(spark, gz, maxBytes = 0L)
+  }
+
+  test("decodeImage/imageLumaContent: header dims validated BEFORE pixel " +
+    "allocation - an oversized declaration fails loudly") {
+    val docs = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val png = Multimodal.synthesizePngFromWords(spark, docs, "doc_id", "text", 8, 8)
+    Multimodal.decodeImage(spark, png).count() shouldBe 1L
+    // 64 pixels against a 16-pixel bound: rejected at the header, not OOM
+    an[Exception] should be thrownBy
+      Multimodal.decodeImage(spark, png, maxPixels = 16L).collect()
+    an[Exception] should be thrownBy
+      Multimodal.imageLumaContent(spark, png, maxPixels = 16L).collect()
+  }
 }

@@ -310,4 +310,48 @@ class TableStoreSpec extends SparkSpec {
     r.where($"id" === 1).select("extra").as[Option[String]].head() shouldBe None
     r.where($"id" === 2).select("extra").as[Option[String]].head() shouldBe Some("x")
   }
+
+  test("version meta commits atomically with the data and is NOT inherited") {
+    val store = new TableStore(spark)
+    val t = tmp() + "/t"
+    store.versionMeta(t) shouldBe Map.empty // no table yet
+    store.overwriteWithMeta(t, Seq((1, "a")).toDF("id", "v"),
+      Map("committedBatch" -> "0"))
+    store.versionMeta(t) shouldBe Map("committedBatch" -> "0")
+    store.appendWithMeta(t, Seq((2, "b")).toDF("id", "v"),
+      Map("committedBatch" -> "1", "source" -> "stream-x"))
+    store.versionMeta(t) shouldBe
+      Map("committedBatch" -> "1", "source" -> "stream-x")
+    // a plain commit states no markers — stale meta must not carry forward
+    store.append(t, Seq((3, "c")).toDF("id", "v"))
+    store.versionMeta(t) shouldBe Map.empty
+    // data unaffected by meta plumbing
+    store.read(t).count() shouldBe 3L
+    // meta rides the manifest, so it time-travels with the version
+    store.restore(t, 1L)
+    store.read(t).count() shouldBe 2L
+    // restore is a NEW commit with its own (empty) markers
+    store.versionMeta(t) shouldBe Map.empty
+    // malformed keys/values fail loudly
+    an[IllegalArgumentException] should be thrownBy
+      store.appendWithMeta(t, Seq((4, "d")).toDF("id", "v"), Map("a b" -> "v"))
+    an[IllegalArgumentException] should be thrownBy
+      store.appendWithMeta(t, Seq((4, "d")).toDF("id", "v"), Map("k" -> "a\nb"))
+  }
+
+  test("version meta coexists with a partitioned layout") {
+    val store = new TableStore(spark)
+    val t = tmp() + "/t"
+    store.overwriteWithMeta(t, Seq((1, "a", true)).toDF("id", "v", "is_current"),
+      Map("committedBatch" -> "7"), Seq("is_current"))
+    store.versionMeta(t) shouldBe Map("committedBatch" -> "7")
+    // partition layout carries forward; meta re-stated per commit
+    store.appendWithMeta(t, Seq((2, "b", false)).toDF("id", "v", "is_current"),
+      Map("committedBatch" -> "8"))
+    store.versionMeta(t) shouldBe Map("committedBatch" -> "8")
+    val r = store.read(t)
+    r.count() shouldBe 2L
+    r.schema("is_current").dataType shouldBe
+      org.apache.spark.sql.types.BooleanType
+  }
 }

@@ -490,6 +490,54 @@ class EventStreamSpec extends SparkSpec {
       (4L, vec(0, 0, 0, 0, 0, 0, 1, 0.1))))
     ingest()
     store.read(table).select("vec_id").as[Long].collect().toSet shouldBe Set(2L, 4L)
+
+    // the committed-batch marker rides IN the data commit (atomic with
+    // the version), and the standing side's signatures are a MAINTAINED
+    // index: corpus (signed once) + every admitted row, 4 bands each
+    store.versionMeta(table).get("committedBatch") shouldBe defined
+    val sigs = store.read(s"${table}_sigs")
+    sigs.select("vec_id").distinct().as[Long].collect().toSet shouldBe
+      Set(100L, 101L, 2L, 4L)
+    sigs.groupBy("vec_id").count().select("count").distinct()
+      .as[Long].collect().toSeq shouldBe Seq(4L)
+  }
+
+  test("streamAnnDedupedIngest self-heals a signature index that lags the " +
+    "data table (the crash window between the two commits)") {
+    val root = Files.createTempDirectory("graft-stream-ann-heal")
+    val in = root.resolve("in").toString
+    val ckpt = root.resolve("ckpt").toString
+    val table = root.resolve("tables/vectors").toString
+    val store = new graft.sources.TableStore(spark)
+    def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val corpus = Seq((100L, vec(1, 0.1, 0, 0, 0, 0, 0, 0)))
+      .toDF("vec_id", "embedding")
+    val schema = corpus.schema
+    def ingest(): Unit = {
+      EventStream.streamAnnDedupedIngest(
+        spark.readStream.schema(schema).parquet(in), corpus, store, table,
+        "vec_id", "embedding", 0.8, 2, 4, ckpt).awaitTermination()
+      graft.core.CacheRegistry.drain()
+    }
+    Seq((1L, vec(0, 0, 1, 0.1, 0, 0, 0, 0))).toDF("vec_id", "embedding")
+      .write.mode("append").parquet(in)
+    ingest()
+    store.read(table).select("vec_id").as[Long].collect().toSet shouldBe Set(1L)
+    // simulate the crash window: an admitted row whose sig append never
+    // landed — roll the SIG table back to its corpus-only bootstrap
+    store.restore(s"${table}_sigs", 0L)
+    store.read(s"${table}_sigs").select("vec_id").distinct()
+      .as[Long].collect().toSet shouldBe Set(100L)
+    // next trigger: a near-dup of the orphaned survivor MUST still be
+    // rejected — the heal re-signs row 1 before the batch is checked
+    Seq((2L, vec(0, 0, 0.95, 0.11, 0, 0, 0, 0)),
+      (3L, vec(0, 0, 0, 0, 0, 1, 0.1, 0))).toDF("vec_id", "embedding")
+      .write.mode("append").parquet(in)
+    ingest()
+    store.read(table).select("vec_id").as[Long].collect().toSet shouldBe
+      Set(1L, 3L)
+    store.read(s"${table}_sigs").select("vec_id").distinct()
+      .as[Long].collect().toSet shouldBe Set(100L, 1L, 3L)
   }
 
   test("sessionize (mapGroupsWithState) matches batch sessionization on a drained stream") {
