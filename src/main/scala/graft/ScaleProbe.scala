@@ -80,8 +80,101 @@ object ScaleProbe {
             graft.ops.Multimodal.perceptualHash128Content(s, contentOf(s, d)))
           graft.ops.Multimodal.perceptualNearDupPairs128On(fps, 32, 24)
         })
+        // the maintained-signature-index flatness claim (VERDICT r8 #2):
+        // ONE streaming ANN micro-batch against an empty admitted history
+        // vs the SAME batch against a pre-admitted history 2× the corpus
+        // (sig table pre-seeded, as the maintained index leaves it). With
+        // the per-trigger standing-side re-fingerprint gone, the warm
+        // batch pays the batch's own projections + a bucket join against
+        // the stored index — near the cold wall, not O(history)
+        case "ann_batch_cold" => Some((s, d) => annBatchProbe(s, d, preAdmit = false))
+        case "ann_batch_warm" => Some((s, d) => annBatchProbe(s, d, preAdmit = true))
+        // the join-stage isolation of the same claim, streaming plumbing
+        // removed: one batch against corpus + 2×-corpus admitted history,
+        // (a) via the maintained signature index vs (b) re-fingerprinting
+        // the standing side per trigger (the r8 shape). The delta is the
+        // per-trigger O(standing) banding compute the index retires; the
+        // shared remainder (bucket-join + exact-cosine verify) scales
+        // with COLLISIONS, which no index can remove
+        case "ann_join_indexed" => Some((s, d) => annJoinProbe(s, d, indexed = true))
+        case "ann_join_refingerprint" => Some((s, d) => annJoinProbe(s, d, indexed = false))
         case _ => None
       }
+    def annJoinProbe(s: SparkSession, d: String, indexed: Boolean): DataFrame = {
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      import graft.ops.Similarity
+      val emb = graft.core.Tables.table(s, d, "embeddings")
+        .select("vec_id", "embedding")
+      val corpus = emb.where(pmod(col("vec_id"), lit(4)) === 0)
+      val hist = emb.where(pmod(col("vec_id"), lit(4)) === 1 ||
+        pmod(col("vec_id"), lit(4)) === 2)
+      val batch = emb.where(pmod(col("vec_id"), lit(4)) === 3)
+      val n = corpus.count()
+      val bits = Similarity.recommendedBits(n)
+      val bands = Similarity.recommendedBands(n, 64)
+      val tmp = java.nio.file.Files.createTempDirectory("probe-annjoin").toString
+      val store = new graft.sources.TableStore(s)
+      store.overwrite(s"$tmp/vectors", hist)
+      store.overwrite(s"$tmp/vectors_sigs",
+        Similarity.signBandTable(corpus, "vec_id", "embedding", bits, bands)
+          .unionByName(Similarity.signBandTable(hist, "vec_id", "embedding",
+            bits, bands)))
+      // both shapes read the admitted side from the store, as the sink does
+      val admitted = store.read(s"$tmp/vectors")
+      val dups =
+        if (indexed)
+          Similarity.lshNearDupPairsIndexed(store.read(s"$tmp/vectors_sigs"),
+            corpus.unionByName(admitted), batch,
+            "vec_id", "embedding", 0.3, bits, bands)
+        else
+          Similarity.lshNearDupPairsAcross(corpus, batch,
+            "vec_id", "embedding", 0.3, bits, bands)
+            .unionByName(Similarity.lshNearDupPairsAcross(admitted, batch,
+              "vec_id", "embedding", 0.3, bits, bands))
+      batch.join(dups.select(col("batch_id").as("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti")
+    }
+    def annBatchProbe(s: SparkSession, d: String, preAdmit: Boolean): DataFrame = {
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      import graft.ops.Similarity
+      val emb = graft.core.Tables.table(s, d, "embeddings")
+        .select("vec_id", "embedding")
+      val corpus = emb.where(pmod(col("vec_id"), lit(4)) === 0)
+      val n = corpus.count()
+      val bits = Similarity.recommendedBits(n)
+      val bands = Similarity.recommendedBands(n, 64)
+      val tmp = java.nio.file.Files.createTempDirectory(
+        s"probe-ann-${if (preAdmit) "warm" else "cold"}").toString
+      val store = new graft.sources.TableStore(s)
+      val table = s"$tmp/vectors"
+      if (preAdmit) {
+        // admitted history = 2× the corpus, with its maintained sig index
+        val hist = emb.where(pmod(col("vec_id"), lit(4)) === 1 ||
+          pmod(col("vec_id"), lit(4)) === 2)
+        store.overwrite(table, hist)
+        store.overwrite(s"${table}_sigs",
+          Similarity.signBandTable(corpus, "vec_id", "embedding", bits, bands)
+            .unionByName(Similarity.signBandTable(hist, "vec_id", "embedding",
+              bits, bands)))
+      }
+      val srcDir = new java.io.File(s"$tmp/drops"); srcDir.mkdirs()
+      val stage = s"$tmp/stage_b0"
+      emb.where(pmod(col("vec_id"), lit(4)) === 3).coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(srcDir, "b0.parquet").toPath)
+      val schema = s.read.parquet(s"$srcDir/b0.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("basePath", srcDir.toString)
+        .parquet(s"$srcDir/*.parquet")
+      graft.streaming.EventStream.streamAnnDedupedIngest(stream, corpus, store,
+        table, "vec_id", "embedding", 0.3, bits, bands, s"$tmp/ckpt")
+        .awaitTermination()
+      // rows reported = the batch's survivors (same magnitude both probes)
+      store.read(table).where(pmod(col("vec_id"), lit(4)) === 3)
+    }
     def contentOf(s: SparkSession, d: String): DataFrame =
       graft.core.Tables.tableRebalanced(s, d, "documents")
         .select(org.apache.spark.sql.functions.col("doc_id").as("id"),

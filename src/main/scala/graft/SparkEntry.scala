@@ -3329,9 +3329,9 @@ object SparkEntry {
     * digest bytes are 8 little-endian int16 frames (high hex pair ||
     * low, two's-complement wrap), space-joined in stream order — exactly
     * what the real RIFF parser emits. Ends at `wdocs(doc_id, text)`. */
-  private val wavRealContentCtes: String =
-    """wwords AS (SELECT doc_id, string_split(text, ' ') AS ws
-      |  FROM documents WHERE text IS NOT NULL),
+  private def wavRealContentCtesOver(rel: String): String =
+    s"""wwords AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |  FROM $rel WHERE text IS NOT NULL),
       |wblk AS (SELECT doc_id, j,
       |    md5(ws[(j * len(ws)) // 12 + 1] || ':pxwav:' || j) AS h
       |  FROM wwords CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS j)),
@@ -3343,6 +3343,8 @@ object SparkEntry {
       |      ' ' ORDER BY k) AS text
       |  FROM wsmp GROUP BY 1)""".stripMargin
 
+  private val wavRealContentCtes: String = wavRealContentCtesOver("documents")
+
   /** q354–q356: the frame-sampled decoded-luma content of the Y4M
     * synthesis replayed WITHOUT byte parsing — the video member of the
     * md5-chain device: with 4×4 C444 frames (48 plane bytes = 3 blocks
@@ -3353,9 +3355,9 @@ object SparkEntry {
     * emits for sampled frames 0,2,4,6. Ends at `vdocs(doc_id, text)`
     * over COMPOSITE ids `doc_id·64 + frame` (the
     * [[graft.ops.Multimodal.videoFrameFingerprints]] radix). */
-  private val y4mRealContentCtes: String =
-    """vwords AS (SELECT doc_id, string_split(text, ' ') AS ws
-      |  FROM documents WHERE text IS NOT NULL),
+  private def y4mRealContentCtesOver(rel: String): String =
+    s"""vwords AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |  FROM $rel WHERE text IS NOT NULL),
       |vfrm AS (SELECT unnest(generate_series(0, 6, 2)) AS f),
       |vblk AS (SELECT doc_id, f,
       |    md5(ws[((f * 3) * len(ws)) // 24 + 1] || ':pxvid:' || f || ':0') AS h
@@ -3367,15 +3369,17 @@ object SparkEntry {
       |    string_agg(CAST(v AS VARCHAR), ' ' ORDER BY k) AS text
       |  FROM vbytes GROUP BY 1)""".stripMargin
 
+  private val y4mRealContentCtes: String = y4mRealContentCtesOver("documents")
+
   /** q357–q359: the codec-decoded pixel content of the PNG synthesis
     * replayed WITHOUT running a codec — possible precisely because PNG
     * is LOSSLESS: the decoded grid equals the pre-encode md5-chain grid,
     * so the ':pxpng:' word-sampled chain (8×8 = 12 blocks) reconstructs
     * every byte the real ImageIO decode emits. Ends at
     * `gdocs(doc_id, text)`, the (id, decoded-luma) relation. */
-  private val pngRealContentCtes: String =
-    """gwords AS (SELECT doc_id, string_split(text, ' ') AS ws
-      |  FROM documents WHERE text IS NOT NULL),
+  private def pngRealContentCtesOver(rel: String): String =
+    s"""gwords AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |  FROM $rel WHERE text IS NOT NULL),
       |gblk AS (SELECT doc_id, j,
       |    md5(ws[(j * len(ws)) // 12 + 1] || ':pxpng:' || j) AS h
       |  FROM gwords CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS j)),
@@ -3387,6 +3391,8 @@ object SparkEntry {
       |gdocs AS (SELECT doc_id,
       |    string_agg(CAST(luma AS VARCHAR), ' ' ORDER BY px) AS text
       |  FROM gluma GROUP BY 1)""".stripMargin
+
+  private val pngRealContentCtes: String = pngRealContentCtesOver("documents")
 
   /** q336/q337/q338 (the utf-8 text tier — the container-true chains ride
     * the 128-bit grid since r9): the
@@ -3563,9 +3569,9 @@ object SparkEntry {
     * consecutive bytes — exactly what the real P6 parser emits after
     * walking the actual payload. Ends at `rdocs(doc_id, text)`, the
     * (id, decoded-content) relation the fingerprint grid then consumes. */
-  private val ppmRealContentCtes: String =
-    """rwords AS (SELECT doc_id, string_split(text, ' ') AS ws
-      |  FROM documents WHERE text IS NOT NULL),
+  private def ppmRealContentCtesOver(rel: String): String =
+    s"""rwords AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |  FROM $rel WHERE text IS NOT NULL),
       |rblk AS (SELECT doc_id, j,
       |    md5(ws[(j * len(ws)) // 12 + 1] || ':pximg:' || j) AS h
       |  FROM rwords CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS j)),
@@ -3577,6 +3583,8 @@ object SparkEntry {
       |rdocs AS (SELECT doc_id,
       |    string_agg(CAST(luma AS VARCHAR), ' ' ORDER BY px) AS text
       |  FROM rluma GROUP BY 1)""".stripMargin
+
+  private val ppmRealContentCtes: String = ppmRealContentCtesOver("documents")
 
   /** The SCALE-ADAPTIVE band bucket join over `pfps` — ends at
     * `pcand(id_a, id_b)` (deduped, a < b). Band WIDTH mirrors
@@ -4411,6 +4419,103 @@ object SparkEntry {
     * now exactly the driver-verified list. Kept as an (empty) extension
     * point for genuinely unverifiable probes. */
   def benchExtras: Map[String, (SparkSession, String) => DataFrame] = Map.empty
+
+  /** One stage of a CHUNKED oracle replay ([[chunkedOracle]]): materialize
+    * `table` from `sql`. When `chunked` is true, `sql` carries the
+    * `<<NCHUNKS>>`/`<<CHUNK>>` placeholders and the runner unions one
+    * pass per chunk (CREATE then INSERT) — the per-document fingerprint
+    * grid partitions cleanly on `doc_id % NCHUNKS`, so each pass builds
+    * 1/N of the vote grid instead of the whole ~2–8 B-row intermediate
+    * that exceeded the sandbox at 100× (VERDICT r8 task 4). */
+  case class ChunkStage(table: String, sql: String, chunked: Boolean)
+  case class ChunkedOracle(stages: Seq[ChunkStage], finalSql: String)
+
+  /** CHUNKED DuckDB replays for the vote-grid oracle family — the
+    * queries whose single-statement replay explodes on the
+    * (documents × grams × hex-chars) fingerprint grid at 100×. Semantics
+    * are IDENTICAL to the [[oracleSql]] entries: the fps CTE chain is
+    * per-document, so unioning doc-modulo chunks reproduces the exact
+    * pfps relation, and the band tail then runs over the materialized
+    * table (the CTE name `pfps` resolves to it unchanged). Run by
+    * `tools/validate_grid_chunked.py`; [[graft.Verify]] dumps this map as
+    * `oracle_chunked.json`. */
+  def chunkedOracle: Map[String, ChunkedOracle] = {
+    val chunkSrc = "(SELECT * FROM documents WHERE doc_id % <<NCHUNKS>> = <<CHUNK>>)"
+    def fps64(contentCtes: Option[String], rel: String): String =
+      (contentCtes.map(c => s"WITH $c,\n").getOrElse("WITH ")) +
+        s"${perceptualFpsCtesOver(rel)}\nSELECT id, fp FROM pfps"
+    def fps128(contentCtes: Option[String], rel: String): String =
+      (contentCtes.map(c => s"WITH $c,\n").getOrElse("WITH ")) +
+        s"${perceptual128FpsCtesOver(rel)}\nSELECT id, fph, fpl FROM pfps"
+    val pairs128 = s"WITH $perceptual128BandTailCtes\n$perceptual128PairSelect"
+    val pairs128IdOnly =
+      s"SELECT id_a, id_b FROM (\n$pairs128)"
+    val videoPairs =
+      s"""WITH $video128BandTailCtes
+         |SELECT id_a // 64 AS id_a, id_b // 64 AS id_b,
+         |  CAST(count(*) AS BIGINT) AS n_frames
+         |FROM vver GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+    Map(
+      "q336_perceptual_neardup" -> ChunkedOracle(
+        Seq(ChunkStage("pfps", fps64(None, chunkSrc), chunked = true)),
+        s"""WITH $perceptualBandTailCtes
+           |SELECT c.id_a, c.id_b,
+           |  CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS hamming
+           |FROM pcand c JOIN pfps fa ON c.id_a = fa.id
+           |JOIN pfps fb ON c.id_b = fb.id
+           |WHERE bit_count(xor(fa.fp, fb.fp)) <= 12""".stripMargin),
+      "q364_perceptual128_neardup" -> ChunkedOracle(
+        Seq(ChunkStage("pfps", fps128(None, chunkSrc), chunked = true)),
+        pairs128),
+      "q348_ppm_neardup_real" -> ChunkedOracle(
+        Seq(ChunkStage("pfps",
+          fps128(Some(ppmRealContentCtesOver(chunkSrc)), "rdocs"), chunked = true)),
+        pairs128),
+      "q352_wav_neardup_real" -> ChunkedOracle(
+        Seq(ChunkStage("pfps",
+          fps128(Some(wavRealContentCtesOver(chunkSrc)), "wdocs"), chunked = true)),
+        pairs128),
+      "q358_png_neardup_real" -> ChunkedOracle(
+        Seq(ChunkStage("pfps",
+          fps128(Some(pngRealContentCtesOver(chunkSrc)), "gdocs"), chunked = true)),
+        pairs128),
+      "q355_y4m_neardup_real" -> ChunkedOracle(
+        Seq(ChunkStage("pfps",
+          fps128(Some(y4mRealContentCtesOver(chunkSrc)), "vdocs"), chunked = true)),
+        videoPairs),
+      "q356_y4m_scene_change" -> ChunkedOracle(
+        Seq(ChunkStage("pfps",
+          fps128(Some(y4mRealContentCtesOver(chunkSrc)), "vdocs"), chunked = true)),
+        """SELECT a.id // 64 AS id, CAST(a.id % 64 AS BIGINT) AS frame_from,
+          |  CAST(b.id % 64 AS BIGINT) AS frame_to,
+          |  CAST(bit_count(xor(a.fph, b.fph)) + bit_count(xor(a.fpl, b.fpl)) AS BIGINT) AS hamming,
+          |  bit_count(xor(a.fph, b.fph)) + bit_count(xor(a.fpl, b.fpl)) > 32 AS is_cut
+          |FROM pfps a JOIN pfps b
+          |  ON a.id // 64 = b.id // 64 AND b.id % 64 = a.id % 64 + 2""".stripMargin),
+      "q361_trimodal_consensus" -> ChunkedOracle(
+        Seq(
+          ChunkStage("pfps",
+            fps128(Some(ppmRealContentCtesOver(chunkSrc)), "rdocs"), chunked = true),
+          ChunkStage("ipairs", pairs128IdOnly, chunked = false),
+          ChunkStage("pfps",
+            fps128(Some(wavRealContentCtesOver(chunkSrc)), "wdocs"), chunked = true),
+          ChunkStage("apairs", pairs128IdOnly, chunked = false),
+          ChunkStage("pfps",
+            fps128(Some(y4mRealContentCtesOver(chunkSrc)), "vdocs"), chunked = true),
+          ChunkStage("vpairs",
+            s"SELECT id_a, id_b FROM (\n$videoPairs)", chunked = false)),
+        """WITH allm AS (
+          |  SELECT id_a, id_b, 'image' AS m FROM ipairs
+          |  UNION ALL SELECT id_a, id_b, 'audio' AS m FROM apairs
+          |  UNION ALL SELECT id_a, id_b, 'video' AS m FROM vpairs)
+          |SELECT id_a, id_b,
+          |  bool_or(m = 'image') AS in_image,
+          |  bool_or(m = 'audio') AS in_audio,
+          |  bool_or(m = 'video') AS in_video,
+          |  CAST(count(DISTINCT m) AS BIGINT) AS n_modalities,
+          |  count(DISTINCT m) >= 2 AS consensus
+          |FROM allm GROUP BY 1, 2""".stripMargin))
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->

@@ -67,6 +67,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // chunked replays for the vote-grid family (tools/validate_grid_chunked.py)
+    val cjson = SparkEntry.chunkedOracle.map { case (k, v) =>
+      val stages = v.stages.map { st =>
+        s"""{"table": ${q(st.table)}, "sql": ${q(st.sql)}, "chunked": ${st.chunked}}"""
+      }.mkString("[", ",", "]")
+      s"""${q(k)}: {"stages": $stages, "final": ${q(v.finalSql)}}"""
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_chunked.json"), cjson)
     spark.stop()
   }
 }

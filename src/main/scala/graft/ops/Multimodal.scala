@@ -445,11 +445,15 @@ object Multimodal {
     * LSH recall trade, tuned by `bands`. Output: (id_a, id_b, hamming),
     * a < b.
     *
-    * Scale shape: one fingerprint scan (zero shuffle), a (band, bucket)-
-    * keyed self-join over 8-byte keys — never blob×blob, never N² (the
-    * q43 contract; plan-gated against cartesians) — one pair-dedup
-    * exchange, and an id-keyed fingerprint fetch per side for the
-    * verify. GRANULARITY RULE (measured, SCALE10X.md): per-bucket
+    * Scale shape: one fingerprint scan (zero shuffle), then VALUE-LEVEL
+    * banding (round 9, measured at 100×): DISTINCT fingerprints band and
+    * pair on (band, bucket) — never blob×blob, never N² (the q43
+    * contract; plan-gated against cartesians) — the Hamming verify runs
+    * once per value pair, and the expansion back to id pairs is two
+    * output-proportional equi-joins (equal-fingerprint pairs ride a
+    * direct fingerprint equi-join at Hamming 0). On a duplicate-heavy
+    * corpus the hot-bucket quadratic counts unique CONTENT, not repeated
+    * items. GRANULARITY RULE (measured, SCALE10X.md): per-bucket
     * occupancy drives the candidate join quadratically, so band WIDTH
     * grows with the corpus (fewer, wider bands: 8×8-bit at 5k items,
     * 4×16-bit at 50k) — recall drops as bands shrink, the usual LSH
@@ -557,22 +561,39 @@ object Multimodal {
       s"perceptualNearDupPairsOn: need 0 <= maxHamming <= 64, got $maxHamming")
     val width = 64 / bands
     val mask = (1L << width) - 1
+    // VALUE-LEVEL banding (measured at 100×, SCALE10X round 9): a dedup
+    // corpus is duplicate-heavy BY DEFINITION, so hot (band, bucket)
+    // cells are mostly the SAME fingerprint repeated — banding distinct
+    // VALUES makes the quadratic candidate term count unique
+    // fingerprints, and the expansion back to id pairs is
+    // output-proportional (it IS the answer). Identical semantics:
+    // equal-fingerprint pairs share every band trivially (emitted by the
+    // value→ids equi-join at hamming 0), unequal pairs surface iff their
+    // VALUES share a band bucket — exactly the id-level candidate rule.
+    val vals = fps.select(col("phash64")).distinct()
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         (shiftright(col("phash64"), b * width).bitwiseAND(lit(mask))).as("bucket"))
     }
-    val banded = fps.select(col("id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val cands = banded.toDF("id_a", "band", "bucket")
-      .join(banded.toDF("id_b", "band", "bucket"), Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    cands
-      .join(fps.toDF("id_a", "fa"), Seq("id_a"))
-      .join(fps.toDF("id_b", "fb"), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long").as("hamming"))
+    val banded = vals.select(col("phash64"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("phash64"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val valPairs = banded.toDF("fa", "band", "bucket")
+      .join(banded.toDF("fb", "band", "bucket"), Seq("band", "bucket"))
+      .where(col("fa") < col("fb"))
+      .select("fa", "fb").distinct()
+      .withColumn("hamming",
+        bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
       .where(col("hamming") <= maxHamming)
+    val cross = valPairs
+      .join(fps.select(col("id").as("__ia"), col("phash64").as("fa")), Seq("fa"))
+      .join(fps.select(col("id").as("__ib"), col("phash64").as("fb")), Seq("fb"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("hamming"))
+    val exactDups = fps.toDF("id_a", "f")
+      .join(fps.toDF("id_b", "f"), Seq("f"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0L).as("hamming"))
+    cross.unionByName(exactDups)
   }
 
   /** Synthesize a REAL RIFF/WAVE payload (PCM16 mono little-endian) per
@@ -835,25 +856,42 @@ object Multimodal {
       s"perceptualNearDupPairs128On: need 0 <= maxHamming <= 128, got $maxHamming")
     val mask = if (width == 64) -1L else (1L << width) - 1
     val perHalf = 64 / width
+    // VALUE-LEVEL banding — see [[perceptualNearDupPairsOn]]: distinct
+    // (fph, fpl) values band and pair; the value→ids expansion is
+    // output-proportional; equal-value id pairs ride the exact
+    // fingerprint equi-join at hamming 0. Identical pair set.
+    val vals = fps.select(col("fph"), col("fpl")).distinct()
     val bandCols = (0 until 2 * perHalf).map { b =>
       val src = if (b < perHalf) col("fph") else col("fpl")
       val shift = (b % perHalf) * width
       struct(lit(b).as("band"),
         (shiftright(src, shift).bitwiseAND(lit(mask))).as("bucket"))
     }
-    val banded = fps.select(col("id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val cands = banded.toDF("id_a", "band", "bucket")
-      .join(banded.toDF("id_b", "band", "bucket"), Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val banded = vals.select(col("fph"), col("fpl"),
+      explode(array(bandCols: _*)).as("bb"))
+      .select(col("fph"), col("fpl"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val ham = (bit_count(col("ah").bitwiseXOR(col("bh"))) +
       bit_count(col("al").bitwiseXOR(col("bl")))).cast("long")
-    cands
-      .join(fps.toDF("id_a", "ah", "al"), Seq("id_a"))
-      .join(fps.toDF("id_b", "bh", "bl"), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), ham.as("hamming"))
+    val valPairs = banded.toDF("ah", "al", "band", "bucket")
+      .join(banded.toDF("bh", "bl", "band", "bucket"), Seq("band", "bucket"))
+      .where(col("ah") < col("bh") ||
+        (col("ah") === col("bh") && col("al") < col("bl")))
+      .select("ah", "al", "bh", "bl").distinct()
+      .withColumn("hamming", ham)
       .where(col("hamming") <= maxHamming)
+    val cross = valPairs
+      .join(fps.select(col("id").as("__ia"), col("fph").as("ah"),
+        col("fpl").as("al")), Seq("ah", "al"))
+      .join(fps.select(col("id").as("__ib"), col("fph").as("bh"),
+        col("fpl").as("bl")), Seq("bh", "bl"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("hamming"))
+    val exactDups = fps.toDF("id_a", "h", "l")
+      .join(fps.toDF("id_b", "h", "l"), Seq("h", "l"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0L).as("hamming"))
+    cross.unionByName(exactDups)
   }
 
   /** Recall contract for the 128-bit tier — [[perceptualRecallContractOn]]
@@ -1465,20 +1503,34 @@ object Multimodal {
     require(minFrames >= 1, s"videoNearDupPairs: need minFrames >= 1, got $minFrames")
     val width = 64 / bands
     val mask = (1L << width) - 1
+    // value-level banding, as in [[videoNearDupPairs128]]
+    val vals = fps.select(col("frame"), col("phash64")).distinct()
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         (shiftright(col("phash64"), b * width).bitwiseAND(lit(mask))).as("bucket"))
     }
-    val banded = fps.select(col("id"), col("frame"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("frame"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val cands = banded.toDF("id_a", "frame", "band", "bucket")
-      .join(banded.toDF("id_b", "frame", "band", "bucket"), Seq("frame", "band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "frame").distinct()
-    cands
-      .join(fps.toDF("id_a", "frame", "fa"), Seq("id_a", "frame"))
-      .join(fps.toDF("id_b", "frame", "fb"), Seq("id_b", "frame"))
+    val banded = vals.select(col("frame"), col("phash64"),
+      explode(array(bandCols: _*)).as("bb"))
+      .select(col("frame"), col("phash64"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val valPairs = banded.toDF("frame", "fa", "band", "bucket")
+      .join(banded.toDF("frame", "fb", "band", "bucket"),
+        Seq("frame", "band", "bucket"))
+      .where(col("fa") < col("fb"))
+      .select("frame", "fa", "fb").distinct()
       .where(bit_count(col("fa").bitwiseXOR(col("fb"))) <= maxHamming)
+    val crossFrames = valPairs
+      .join(fps.select(col("id").as("__ia"), col("frame"),
+        col("phash64").as("fa")), Seq("frame", "fa"))
+      .join(fps.select(col("id").as("__ib"), col("frame"),
+        col("phash64").as("fb")), Seq("frame", "fb"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("frame"))
+    val exactFrames = fps.toDF("id_a", "frame", "f")
+      .join(fps.toDF("id_b", "frame", "f"), Seq("frame", "f"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "frame")
+    crossFrames.unionByName(exactFrames)
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_frames"))
       .where(col("n_frames") >= minFrames)
@@ -1544,26 +1596,43 @@ object Multimodal {
     require(minFrames >= 1, s"videoNearDupPairs128: need minFrames >= 1, got $minFrames")
     val mask = if (width == 64) -1L else (1L << width) - 1
     val perHalf = 64 / width
+    // VALUE-LEVEL banding with the frame index in the value key — see
+    // [[perceptualNearDupPairsOn]]: a templated video corpus repeats
+    // identical frames across videos, so the hot-bucket quadratic counts
+    // distinct (frame, fingerprint) VALUES; matched-frame expansion is
+    // output-proportional. Identical frame-pair set, then the same
+    // per-video-pair aggregate.
+    val vals = fps.select(col("frame"), col("fph"), col("fpl")).distinct()
     val bandCols = (0 until 2 * perHalf).map { b =>
       val src = if (b < perHalf) col("fph") else col("fpl")
       struct(lit(b).as("band"),
         (shiftright(src, (b % perHalf) * width).bitwiseAND(lit(mask))).as("bucket"))
     }
-    val banded = fps.select(col("id"), col("frame"),
+    val banded = vals.select(col("frame"), col("fph"), col("fpl"),
       explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("frame"),
+      .select(col("frame"), col("fph"), col("fpl"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val cands = banded.toDF("id_a", "frame", "band", "bucket")
-      .join(banded.toDF("id_b", "frame", "band", "bucket"),
-        Seq("frame", "band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "frame").distinct()
     val ham = (bit_count(col("ah").bitwiseXOR(col("bh"))) +
       bit_count(col("al").bitwiseXOR(col("bl")))).cast("long")
-    cands
-      .join(fps.toDF("id_a", "frame", "ah", "al"), Seq("id_a", "frame"))
-      .join(fps.toDF("id_b", "frame", "bh", "bl"), Seq("id_b", "frame"))
+    val valPairs = banded.toDF("frame", "ah", "al", "band", "bucket")
+      .join(banded.toDF("frame", "bh", "bl", "band", "bucket"),
+        Seq("frame", "band", "bucket"))
+      .where(col("ah") < col("bh") ||
+        (col("ah") === col("bh") && col("al") < col("bl")))
+      .select("frame", "ah", "al", "bh", "bl").distinct()
       .where(ham <= maxHamming)
+    val crossFrames = valPairs
+      .join(fps.select(col("id").as("__ia"), col("frame"),
+        col("fph").as("ah"), col("fpl").as("al")), Seq("frame", "ah", "al"))
+      .join(fps.select(col("id").as("__ib"), col("frame"),
+        col("fph").as("bh"), col("fpl").as("bl")), Seq("frame", "bh", "bl"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("frame"))
+    val exactFrames = fps.toDF("id_a", "frame", "h", "l")
+      .join(fps.toDF("id_b", "frame", "h", "l"), Seq("frame", "h", "l"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "frame")
+    crossFrames.unionByName(exactFrames)
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_frames"))
       .where(col("n_frames") >= minFrames)

@@ -103,7 +103,12 @@ class PlanSpec extends SparkSpec {
         "q355_y4m_neardup_real",
         // the trimodal vote unions three banded pair sets and aggregates —
         // no new join against item tables anywhere in the composite
-        "q361_trimodal_consensus")) {
+        "q361_trimodal_consensus",
+        // round 9: the 128-bit text tier bands 16-byte fingerprints the
+        // same way (q367's recall LEDGER is exempt like q325/q335 — its
+        // single-row metric attaches are deliberate 1-row broadcast
+        // cross joins; its pair generation is gated via q355)
+        "q364_perceptual128_neardup")) {
       // (q325/q335 also consume the banded pair table, but their audit
       // scalars ride a deliberate 1-row broadcast cross join — the gate
       // covers their pair generation via q141)
