@@ -754,4 +754,73 @@ class MultimodalSpec extends SparkSpec {
     an[Exception] should be thrownBy
       Multimodal.imageLumaContent(spark, png, maxPixels = 16L).collect()
   }
+
+  test("value-level banding: randomized duplicate-heavy corpus matches " +
+    "the brute-force id-level band-join reference (64-bit, 128-bit, video)") {
+    // The round-9 rewrite bands DISTINCT fingerprint values and expands
+    // back to id pairs; this pins the claimed equivalence in-repo on a
+    // seeded corpus where most ids repeat a small value pool (the shape
+    // the rewrite exists for), including near-miss mutated neighbors.
+    val rnd = new scala.util.Random(42)
+    val base = Seq.fill(25)(rnd.nextLong())
+    val near = base.take(10).map(v =>
+      v ^ (1L << rnd.nextInt(64)) ^ (1L << rnd.nextInt(64)))
+    val pool = base ++ near
+    def pick(): Long = pool(rnd.nextInt(pool.size))
+
+    val bands = 8; val width64 = 64 / bands; val maxH = 12
+    def buckets(v: Long, w: Int, nb: Int, bandOff: Int = 0): Set[(Int, Long)] = {
+      val mask = if (w == 64) -1L else (1L << w) - 1
+      (0 until nb).map(b => (b + bandOff, (v >> (b * w)) & mask)).toSet
+    }
+
+    // 64-bit scalar tier
+    val rows64 = (1L to 120L).map(i => (i, pick()))
+    val ref64 = (for {
+      (ia, va) <- rows64; (ib, vb) <- rows64
+      if ia < ib && buckets(va, width64, bands).intersect(buckets(vb, width64, bands)).nonEmpty
+      h = java.lang.Long.bitCount(va ^ vb).toLong
+      if h <= maxH
+    } yield (ia, ib, h)).toSet
+    val got64 = Multimodal.perceptualNearDupPairsOn(
+      rows64.toDF("id", "phash64"), bands, maxH)
+      .as[(Long, Long, Long)].collect()
+    got64.length shouldBe got64.toSet.size // no duplicate pair rows
+    got64.toSet shouldBe ref64
+    ref64.count(_._3 == 0L) should be > 50 // the duplicate-heavy regime is exercised
+
+    // 128-bit tier (width 16 -> 8 bands across both halves)
+    val w128 = 16; val perHalf = 64 / w128; val maxH128 = 24
+    val rows128 = (1L to 120L).map(i => (i, pick(), pick()))
+    def buckets128(h: Long, l: Long): Set[(Int, Long)] =
+      buckets(h, w128, perHalf) ++ buckets(l, w128, perHalf, bandOff = perHalf)
+    val ref128 = (for {
+      (ia, ha, la) <- rows128; (ib, hb, lb) <- rows128
+      if ia < ib && buckets128(ha, la).intersect(buckets128(hb, lb)).nonEmpty
+      h = (java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb)).toLong
+      if h <= maxH128
+    } yield (ia, ib, h)).toSet
+    val got128 = Multimodal.perceptualNearDupPairs128On(
+      rows128.toDF("id", "fph", "fpl"), w128, maxH128)
+      .as[(Long, Long, Long)].collect()
+    got128.length shouldBe got128.toSet.size
+    got128.toSet shouldBe ref128
+
+    // video tier: per-frame match rule, then the >= minFrames aggregate
+    val minFrames = 2
+    val vrows = for { id <- 1L to 30L; f <- 0L to 3L } yield (id, f, pick())
+    val matched = for {
+      (ia, fa, va) <- vrows; (ib, fb, vb) <- vrows
+      if ia < ib && fa == fb
+      if buckets(va, width64, bands).intersect(buckets(vb, width64, bands)).nonEmpty
+      if java.lang.Long.bitCount(va ^ vb) <= maxH
+    } yield ((ia, ib), fa)
+    val refVid = matched.groupBy(_._1).map { case ((a, b), fs) => (a, b, fs.size.toLong) }
+      .filter(_._3 >= minFrames).toSet
+    val gotVid = Multimodal.videoNearDupPairs(
+      vrows.toDF("id", "frame", "phash64"), bands, maxH, minFrames)
+      .as[(Long, Long, Long)].collect()
+    gotVid.length shouldBe gotVid.toSet.size
+    gotVid.toSet shouldBe refVid
+  }
 }
