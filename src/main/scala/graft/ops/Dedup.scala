@@ -228,6 +228,64 @@ object Dedup {
       graft.core.CacheRegistry.persist(
         shingleArrays(corpus, idCol, textCol, n)))
 
+  /** The (id, band, bh) MinHash LSH band rows of a document frame — the
+    * STORABLE half of the standing-corpus index: at 100 TB a standing
+    * corpus's band rows are a maintained artifact (computed once,
+    * persisted, appended per admitted batch — MinHash band rows are
+    * exactly as indexable as sign-LSH rows,
+    * [[graft.ops.Similarity.signBandTable]]'s text twin), so ingestion
+    * pays only the arriving batch's signature pass plus a (band, bh) join
+    * against the stored index, never a per-trigger re-sign of the whole
+    * standing side ([[graft.streaming.EventStream.streamDedupedIngest]]
+    * maintains exactly this table, beside a [[shingleArrays]] sibling for
+    * the exact-Jaccard verify). */
+  def minHashBandTable(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, bands: Int, rowsPerBand: Int): DataFrame =
+    lshBandTable(df, idCol, textCol, n, bands, rowsPerBand)
+
+  /** Batch-vs-standing MinHash near-dup detection against a PRECOMPUTED
+    * stored index — the maintained-artifact form of
+    * [[minHashLshPairsAcross]] (set-identical when `standingBands` /
+    * `standingArrays` are exactly [[minHashBandTable]] /
+    * [[shingleArrays]] of the standing side at the same calibration):
+    * candidates are (standing, batch) id pairs sharing a (band, bh)
+    * between the INDEX and the batch's freshly-banded signatures; verify
+    * fetches shingle arrays by id from `standingArrays` — an id-keyed
+    * join bounded by the candidate set, so the standing side's text is
+    * never re-shingled and its signatures never recomputed. Returns
+    * (corpus_id, batch_id, jaccard ≥ minJaccard).
+    *
+    * `rebalance` re-spreads the stored band rows to the session's
+    * parallelism before the hot join (a stored index read back from a
+    * handful of parquet files would cap the join's parallelism at the
+    * FILE count — the measured [[graft.ops.Similarity.lshNearDupPairsIndexed]]
+    * pitfall); pass false when the bands were just computed in-plan. */
+  def minHashLshPairsIndexed(standingBands: DataFrame, standingArrays: DataFrame,
+                             batch: DataFrame, idCol: String, textCol: String,
+                             n: Int, bands: Int, rowsPerBand: Int,
+                             minJaccard: Double,
+                             rebalance: Boolean = true): DataFrame = {
+    val slim = standingBands.select(col(idCol), col("band"), col("bh"))
+    val cb =
+      (if (rebalance)
+        slim.repartition(batch.sparkSession.sparkContext.defaultParallelism)
+      else slim).toDF("id_a", "band", "bh")
+    val bb = lshBandTable(batch, idCol, textCol, n, bands, rowsPerBand)
+      .toDF("id_b", "band", "bh")
+    val candidates = cb.join(bb, Seq("band", "bh"))
+      .select("id_a", "id_b").distinct()
+    val ca = standingArrays.select(col(idCol), col("sh")).toDF("id_a", "sh_a")
+    val ba = graft.core.CacheRegistry.persist(
+      shingleArrays(batch, idCol, textCol, n)).toDF("id_b", "sh_b")
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    candidates
+      .join(ca, Seq("id_a")).join(ba, Seq("id_b"))
+      .withColumn("jaccard", inter.cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - inter).cast("double"))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("id_a").as("corpus_id"), col("id_b").as("batch_id"), col("jaccard"))
+  }
+
   /** [[minHashLshPairsAcross]] against a precomputed corpus index: only
     * the batch side computes signatures; the corpus side reads its cached
     * band table and verify arrays. */

@@ -1191,8 +1191,13 @@ object Multimodal {
         rows.map { case (id, payload) =>
           val in = new java.util.zip.GZIPInputStream(
             new java.io.ByteArrayInputStream(payload))
+          // capacity is only a HINT (the buffer grows on demand), so cap
+          // it at 1 MiB: min(payload*4, maxBytes) can exceed Int.MaxValue
+          // when both operands do, and a negative .toInt would make the
+          // constructor throw instead of the intended bound error
           val out = new java.io.ByteArrayOutputStream(
-            math.min(payload.length.toLong * 4, maxBytes).toInt)
+            math.min(math.min(payload.length.toLong * 4, maxBytes),
+              1L << 20).toInt)
           val buf = new Array[Byte](8192)
           var total = 0L
           var n = in.read(buf)

@@ -991,8 +991,12 @@ object Similarity {
   def lshNearDupPairsAcross(corpus: DataFrame, batch: DataFrame,
                             idCol: String, vecCol: String, threshold: Double,
                             bits: Int, bands: Int): DataFrame =
+    // rebalance = false: the signatures were just computed in this plan,
+    // so they already carry the scan's parallelism — the repartition
+    // exists for STORED indexes read back from a handful of parquet files
     lshNearDupPairsIndexed(signBandTable(corpus, idCol, vecCol, bits, bands),
-      corpus, batch, idCol, vecCol, threshold, bits, bands)
+      corpus, batch, idCol, vecCol, threshold, bits, bands,
+      rebalance = false)
 
   /** The sign-LSH `(id, band, bucket)` SIGNATURE TABLE of a vector
     * frame — the indexable half of [[lshNearDupPairsAcross]]. At 100 TB a
@@ -1026,14 +1030,21 @@ object Similarity {
     * (corpus_id, batch_id, cos ≥ threshold). */
   def lshNearDupPairsIndexed(standingSigs: DataFrame, standingVecs: DataFrame,
                              batch: DataFrame, idCol: String, vecCol: String,
-                             threshold: Double, bits: Int, bands: Int): DataFrame = {
-    // a stored index read back from a handful of parquet files would cap
+                             threshold: Double, bits: Int, bands: Int,
+                             rebalance: Boolean = true): DataFrame = {
+    // a STORED index read back from a handful of parquet files would cap
     // the hot (band, bucket) join's parallelism at the FILE count
     // (measured at the 100× fixture: 169.7 s raw scan vs 56.6 s
     // rebalanced for the identical 102 M-candidate join) — rebalance the
-    // narrow sig rows to the session's parallelism before the join
-    val rebalanced = standingSigs.select(col(idCol), col("band"), col("bucket"))
-      .repartition(batch.sparkSession.sparkContext.defaultParallelism)
+    // narrow sig rows to the session's parallelism before the join.
+    // Callers whose signatures are freshly computed in-plan (e.g.
+    // [[lshNearDupPairsAcross]]) pass `rebalance = false`: they already
+    // carry the scan's parallelism and the extra exchange is pure cost.
+    val slim = standingSigs.select(col(idCol), col("band"), col("bucket"))
+    val rebalanced =
+      if (rebalance)
+        slim.repartition(batch.sparkSession.sparkContext.defaultParallelism)
+      else slim
     val cands = rebalanced
       .toDF("corpus_id", "band", "bucket")
       .join(signBandTable(batch, idCol, vecCol, bits, bands)

@@ -329,24 +329,51 @@ class TableStore(spark: SparkSession) {
 
   private def metaLines(meta: Map[String, String]): Seq[String] =
     meta.toSeq.sortBy(_._1).map { case (k, v) =>
+      // the value must survive the manifest's line-trim round trip: an
+      // empty or whitespace-padded value would write a line that reads
+      // back with fewer tokens and brick every later versionMeta read
       require(k.nonEmpty && !k.exists(c => c == ' ' || c == '\n') &&
-        !v.contains('\n'),
+        v.nonEmpty && v.trim == v && !v.exists(c => c == '\n'),
         s"version meta: key must be space/newline-free and value " +
-          s"newline-free, got '$k' -> '$v'")
+          s"non-empty, untrimmed-whitespace-free and newline-free, " +
+          s"got '$k' -> '$v'")
       s"#b $k $v"
     }
 
+  private def metaOf(lines: Seq[String]): Map[String, String] =
+    lines.filter(_.startsWith("#b ")).flatMap { l =>
+      // defensive parse: a malformed/legacy line (missing value) is
+      // skipped rather than bricking every read of the table
+      l.split(" ", 3) match {
+        case Array(_, k, value) => Some(k -> value)
+        case _ => None
+      }
+    }.toMap
+
   /** The CURRENT version's metadata markers (`#b` manifest lines) —
-    * empty for a table without one, or whose latest commit carried none. */
+    * empty for a table without one, or whose latest commit carried none.
+    * Markers are NOT inherited across commits: a [[compact]]/[[restore]]/
+    * manual append states its own (usually empty) markers. */
   def versionMeta(table: String): Map[String, String] =
     currentVersion(table) match {
       case None => Map.empty
-      case Some(v) =>
-        manifestLines(table, v).filter(_.startsWith("#b ")).map { l =>
-          val Array(_, k, value) = l.split(" ", 3)
-          k -> value
-        }.toMap
+      case Some(v) => metaOf(manifestLines(table, v))
     }
+
+  /** Maximum LONG value of marker `key` across EVERY committed manifest
+    * (≤ the current pointer) — the replay-safe read for monotone markers
+    * like a streaming sink's `committedBatch`: [[versionMeta]] sees only
+    * the latest commit, so an interleaved [[compact]] (or any commit that
+    * doesn't restate the marker) would silently reset it to "never" and a
+    * redelivered micro-batch would re-append. Manifests are never deleted
+    * (vacuum drops data dirs only), so the scan is O(versions) tiny file
+    * reads and the marker survives any maintenance commit. */
+  def metaMaxLong(table: String, key: String): Option[Long] = {
+    val hits = versions(table).flatMap(v =>
+      metaOf(manifestLines(table, v)).get(key))
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+    if (hits.isEmpty) None else Some(hits.max)
+  }
 
   /** The MERGE-rewrite commit (reference Delta MERGE,
     * 2_Bronze_to_Silver.py:127-133): callers compute the complete next state

@@ -99,6 +99,46 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** The shared committed-batch replay guard (every foreachBatch writer
+    * here): on restart Spark RE-RUNS the last un-checkpointed micro-batch
+    * with the same batchId, and a naive sink would apply it twice. The
+    * marker rides INSIDE the TableStore manifest commit
+    * ([[graft.sources.TableStore.appendWithMeta]]) — version and marker
+    * advance atomically, so the classic two-phase crash window (data
+    * committed, marker lost) cannot exist. Reads take the MAX across the
+    * table's whole manifest history ([[graft.sources.TableStore.metaMaxLong]]):
+    * a maintenance commit that doesn't restate the marker (compact, a
+    * manual append) cannot silently reset it to "never" — and after an
+    * explicit `restore`, the marker still wins (a redelivered old batch is
+    * NOT re-applied to the rolled-back table; restore is an operator
+    * action, not a replay license). */
+  private def lastCommittedBatch(store: graft.sources.TableStore,
+                                 table: String): Long =
+    store.metaMaxLong(table, "committedBatch").getOrElse(-1L)
+
+  private def batchMarker(batchId: Long): Map[String, String] =
+    Map("committedBatch" -> batchId.toString)
+
+  /** The CURRENT version's committedBatch marker — used to detect a
+    * SIBLING index lagging its data table (the crash window between the
+    * data commit and the index commit): unlike [[lastCommittedBatch]]'s
+    * history max, a restore/rollback of the sibling drops its current
+    * marker and correctly reads as "behind". */
+  private def currentBatchMarker(store: graft.sources.TableStore,
+                                 table: String): Long =
+    store.versionMeta(table).get("committedBatch")
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption).getOrElse(-1L)
+
+  /** True when sibling index table `sib` trails the data table's latest
+    * commit — the ONLY histories in which the self-heal scan can find
+    * work, so the (table ⋈ sib) anti-join is gated on it instead of
+    * running every trigger (VERDICT r9 #3: a clean history paid a full
+    * data-table + index scan per trigger to prove the heal was empty). */
+  private[streaming] def indexLags(store: graft.sources.TableStore,
+                                   table: String, sib: String): Boolean =
+    store.exists(table) &&
+      currentBatchMarker(store, sib) < currentBatchMarker(store, table)
+
   /** Streaming Bronze ingest: a file stream drained into the versioned
     * [[graft.sources.TableStore]] via `foreachBatch` — the streaming twin of
     * [[graft.etl.BronzeIngest.ingestTable]]. The checkpoint tracks which
@@ -109,12 +149,9 @@ object EventStream {
     * `Trigger.AvailableNow` drains everything then stops (the scheduled-
     * batch parity mode); drop the trigger for a long-running ingest.
     *
-    * Replay safety: on restart Spark RE-RUNS the last un-checkpointed
-    * micro-batch with the same batchId; a naive sink would append it twice.
-    * A committed-batch marker (written after each append) makes the replay
-    * a no-op. The residual window — crash between append and marker write —
-    * is the classic two-phase gap; closing it fully would need the batchId
-    * recorded inside the TableStore commit itself.
+    * Replay safety: the committed-batch marker rides IN the append's
+    * manifest commit (see [[lastCommittedBatch]]) — there is no window in
+    * which data landed but the marker didn't.
     *
     * At scale the batch size is governed by `maxFilesPerTrigger` on the
     * source (bound memory per micro-batch) and each append is partitioned
@@ -122,37 +159,23 @@ object EventStream {
   def streamToBronze(stream: DataFrame, store: graft.sources.TableStore,
                      table: String, checkpoint: String,
                      partitionBy: Seq[String] = Nil,
-                     onAppend: Long => Unit = _ => ()): StreamingQuery = {
-    import org.apache.hadoop.fs.Path
-    val spark = stream.sparkSession
-    val markerPath = new Path(s"$checkpoint/graft-committed-batch")
-    def fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def lastCommitted: Long =
-      if (!fs.exists(markerPath)) -1L
-      else {
-        val in = fs.open(markerPath)
-        try scala.io.Source.fromInputStream(in).mkString.trim.toLong
-        finally in.close()
-      }
+                     onAppend: Long => Unit = _ => ()): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (batchId > lastCommitted && !batch.isEmpty) {
+        if (batchId > lastCommittedBatch(store, table) && !batch.isEmpty) {
           // rows observed during the append itself (the BronzeIngest
           // count-during-write device; the source's numInputRows metric
           // counts csv HEADER lines too, so it can't back a report).
           // foreachBatch runs on the driver, so the callback sees every
           // committed batch in order.
           onAppend(graft.core.Observed.countDuring(batch.toDF())(
-            store.append(table, _, partitionBy)))
-          val out = fs.create(markerPath, true)
-          try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+            store.appendWithMeta(table, _, batchMarker(batchId), partitionBy)))
         }
       }
       .start()
-  }
 
   /** Streaming maintenance of the incremental daily mart
     * ([[graft.etl.IncrementalMart]]): each micro-batch of order rows
@@ -162,41 +185,29 @@ object EventStream {
     * swap; the read side of the merge still sees the previous version's
     * files while the new one is written). History is never rescanned:
     * however large the fact grows, a batch pays its own reduction plus a
-    * |days|-row merge. Replay safety mirrors [[streamToBronze]]'s
-    * committed-batch marker — a re-delivered batchId is skipped, so no
-    * day's counts can double on recovery. */
+    * |days|-row merge. Replay safety: the committed-batch marker rides IN
+    * the overwrite's manifest commit (see [[lastCommittedBatch]]) — a
+    * re-delivered batchId is skipped, so no day's counts can double on
+    * recovery, and no crash can separate the merge from its marker. */
   def streamMartMerge(stream: DataFrame, store: graft.sources.TableStore,
                       table: String, checkpoint: String,
-                      lgK: Int = 12): StreamingQuery = {
-    import org.apache.hadoop.fs.Path
-    val spark = stream.sparkSession
-    val markerPath = new Path(s"$checkpoint/graft-committed-batch")
-    def fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def lastCommitted: Long =
-      if (!fs.exists(markerPath)) -1L
-      else {
-        val in = fs.open(markerPath)
-        try scala.io.Source.fromInputStream(in).mkString.trim.toLong
-        finally in.close()
-      }
+                      lgK: Int = 12): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (batchId > lastCommitted && !batch.isEmpty) {
+        if (batchId > lastCommittedBatch(store, table) && !batch.isEmpty) {
           val delta = graft.etl.IncrementalMart.dailyPartials(batch.toDF(), lgK)
           val merged =
             if (store.exists(table))
               graft.etl.IncrementalMart.mergePartials(store.read(table), delta)
             else delta
-          store.overwrite(table, merged)
-          val out = fs.create(markerPath, true)
-          try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+          store.overwriteWithMeta(table, merged, batchMarker(batchId))
+          ()
         }
       }
       .start()
-  }
 
   /** Streaming maintenance of per-group distribution MOMENTS — the
     * [[streamMartMerge]] pattern applied to [[graft.ops.Quality]]'s raw
@@ -206,28 +217,18 @@ object EventStream {
     * merge law q149 pins for batch backfills, now held open across a
     * stream). [[graft.ops.Quality.mergeMoments]] over the stored table
     * yields mean/variance/skew/kurtosis at any point without touching
-    * history. Same committed-batch replay marker as [[streamToBronze]]. */
+    * history. Same atomic manifest-meta replay marker as
+    * [[streamToBronze]] (see [[lastCommittedBatch]]). */
   def streamMomentsMerge(stream: DataFrame, store: graft.sources.TableStore,
                          table: String, checkpoint: String,
                          groupCol: String, valueCol: String): StreamingQuery = {
-    import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.functions.{col, lit, sum}
-    val spark = stream.sparkSession
-    val markerPath = new Path(s"$checkpoint/graft-committed-batch")
-    def fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def lastCommitted: Long =
-      if (!fs.exists(markerPath)) -1L
-      else {
-        val in = fs.open(markerPath)
-        try scala.io.Source.fromInputStream(in).mkString.trim.toLong
-        finally in.close()
-      }
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (batchId > lastCommitted && !batch.isEmpty) {
+        if (batchId > lastCommittedBatch(store, table) && !batch.isEmpty) {
           val delta = graft.ops.Quality
             .momentPartials(batch.toDF(), groupCol, lit(0), valueCol)
             .drop("part")
@@ -237,9 +238,8 @@ object EventStream {
               .groupBy(col(groupCol))
               .agg(sum("n").as("n"), sum("s1").as("s1"), sum("s2").as("s2"),
                 sum("s3").as("s3"), sum("s4").as("s4"))
-          store.overwrite(table, merged)
-          val out = fs.create(markerPath, true)
-          try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+          store.overwriteWithMeta(table, merged, batchMarker(batchId))
+          ()
         }
       }
       .start()
@@ -247,72 +247,119 @@ object EventStream {
 
   /** Streaming ingest with inline near-dup rejection — the ingestion-time
     * composition of [[streamToBronze]] and
-    * [[graft.ops.Dedup.minHashLshPairsAcross]]: each micro-batch is checked
-    * against the STANDING corpus (the supplied `corpus` plus everything
-    * this stream has already appended), rows with an LSH-verified
-    * near-duplicate are dropped, and only the survivors are appended. This
-    * is the shape a 100 TB training-data pipeline actually runs: the
-    * corpus is never re-deduped against itself; each arriving batch pays
-    * only its own banded join against the standing side.
+    * [[graft.ops.Dedup.minHashLshPairsIndexed]]: each micro-batch is
+    * checked against the STANDING corpus (the supplied `corpus` plus
+    * everything this stream has already appended), rows with an
+    * LSH-verified near-duplicate are dropped, and only the survivors are
+    * appended. This is the shape a 100 TB training-data pipeline actually
+    * runs: the corpus is never re-deduped against itself; each arriving
+    * batch pays only its own banded join against the standing side.
     *
-    * Intra-batch near-duplicates are NOT removed here (the cross join is
-    * corpus↔batch only); two near-dup rows arriving in the SAME
-    * micro-batch both survive — but the first batch to land makes its
-    * survivors part of the standing side, so later batches are checked
-    * against them. Run [[graft.ops.Dedup.dropNearDuplicates]] downstream
-    * if intra-batch duplication matters.
+    * The standing side is a MAINTAINED INDEX (the pattern
+    * [[streamAnnDedupedIngest]] established, back-ported per VERDICT r9
+    * #1): two versioned sibling tables hold the MinHash LSH band rows
+    * (`<table>_minhash_sigs`: (id, band, bh)) and the exact-Jaccard
+    * verify arrays (`<table>_minhash_arrays`: (id, sh)) of corpus +
+    * admitted rows — initialized from the corpus on the first trigger,
+    * appended with each admitted batch's rows — so a trigger pays the
+    * BATCH's signature pass plus a bucket join against the stored index;
+    * per-trigger cost no longer grows with how much history was admitted
+    * (the previous shape re-signed EVERY admitted survivor per trigger —
+    * a bound that grows without bound).
     *
-    * Replay safety mirrors [[streamToBronze]]'s committed-batch marker: a
-    * re-delivered batchId is skipped, so survivors are appended exactly
-    * once. The FIXED corpus side is indexed ONCE
-    * ([[graft.ops.Dedup.lshIndex]]: persisted band table + verify arrays)
-    * and reused by every micro-batch — each batch pays its own signature
-    * pass plus one (small, growing) pass over the survivors appended so
-    * far, never a corpus recompute. */
+    * Replay safety: the committed-batch marker rides IN the data commit
+    * ([[graft.sources.TableStore.appendWithMeta]]) — version and marker
+    * advance atomically, closing the crash window the previous separate
+    * marker file left (VERDICT r9 #1). The sibling appends are later
+    * commits and CAN lag a crash; the next trigger self-heals by
+    * re-signing admitted rows missing from the index (an id anti-join),
+    * gated on the siblings' own marker trailing the data table's
+    * ([[indexLags]]) so a clean history never pays the heal scan.
+    *
+    * INTRA-BATCH semantics: by default the batch is never joined against
+    * itself, so two novel near-dup rows arriving in the SAME micro-batch
+    * both survive — dedup granularity is the micro-batch boundary.
+    * `intraBatch = true` first reduces the batch to cluster
+    * representatives (banded self-pairs → connected components → keep
+    * min id, [[graft.ops.Dedup.dropNearDuplicates]]) BEFORE the standing
+    * join, so a batch can never admit two near-dups of each other. */
   def streamDedupedIngest(stream: DataFrame, corpus: DataFrame,
                           store: graft.sources.TableStore, table: String,
                           idCol: String, textCol: String,
                           n: Int, bands: Int, rowsPerBand: Int,
-                          minJaccard: Double, checkpoint: String): StreamingQuery = {
-    import org.apache.hadoop.fs.Path
-    val spark = stream.sparkSession
-    val markerPath = new Path(s"$checkpoint/graft-committed-batch")
-    def fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def lastCommitted: Long =
-      if (!fs.exists(markerPath)) -1L
-      else {
-        val in = fs.open(markerPath)
-        try scala.io.Source.fromInputStream(in).mkString.trim.toLong
-        finally in.close()
-      }
-    // the fixed corpus is indexed once; every micro-batch probes the same
-    // cached band table + verify arrays
-    val corpusIdx = graft.ops.Dedup.lshIndex(
-      corpus.select(col(idCol), col(textCol)), idCol, textCol, n, bands, rowsPerBand)
+                          minJaccard: Double, checkpoint: String,
+                          intraBatch: Boolean = false): StreamingQuery = {
+    import graft.ops.Dedup
+    val sigsTable = s"${table}_minhash_sigs"
+    val arraysTable = s"${table}_minhash_arrays"
+    val corpusSlim = corpus.select(col(idCol), col(textCol))
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (batchId > lastCommitted && !batch.isEmpty) {
-          val df = batch.toDF()
-          val vsCorpus = graft.ops.Dedup.minHashLshPairsAcross(corpusIdx, df, minJaccard)
-          // the already-appended survivors are the GROWING part of the
-          // standing side — re-signed per batch, bounded by what this
-          // stream has admitted, never the corpus
-          val vsAppended =
-            if (store.exists(table))
-              Some(graft.ops.Dedup.minHashLshPairsAcross(
-                store.read(table).select(col(idCol), col(textCol)), df,
-                idCol, textCol, n, bands, rowsPerBand, minJaccard))
-            else None
-          val dups = vsAppended.fold(vsCorpus)(vsCorpus.unionByName(_))
+        if (batchId > lastCommittedBatch(store, table) && !batch.isEmpty) {
+          val df0 = batch.toDF()
+          // index bootstrap: the fixed corpus is signed ONCE, on the
+          // first trigger — never again
+          if (!store.exists(sigsTable))
+            store.overwriteWithMeta(sigsTable,
+              Dedup.minHashBandTable(corpusSlim, idCol, textCol, n, bands,
+                rowsPerBand), batchMarker(-1L))
+          if (!store.exists(arraysTable))
+            store.overwriteWithMeta(arraysTable,
+              Dedup.shingleArrays(corpusSlim, idCol, textCol, n),
+              batchMarker(-1L))
+          // self-heal the crash window between the data commit and the
+          // sibling commits — ONLY when a sibling's marker trails the
+          // data table's (a clean history skips the scan entirely)
+          if (indexLags(store, table, sigsTable)) {
+            val missing = store.read(table).select(col(idCol), col(textCol))
+              .join(store.read(sigsTable).select(idCol).distinct(),
+                Seq(idCol), "left_anti")
+            if (!missing.isEmpty)
+              store.appendWithMeta(sigsTable,
+                Dedup.minHashBandTable(missing, idCol, textCol, n, bands,
+                  rowsPerBand),
+                batchMarker(currentBatchMarker(store, table)))
+          }
+          if (indexLags(store, table, arraysTable)) {
+            val missing = store.read(table).select(col(idCol), col(textCol))
+              .join(store.read(arraysTable).select(idCol).distinct(),
+                Seq(idCol), "left_anti")
+            if (!missing.isEmpty)
+              store.appendWithMeta(arraysTable,
+                Dedup.shingleArrays(missing, idCol, textCol, n),
+                batchMarker(currentBatchMarker(store, table)))
+          }
+          // optional intra-batch reduction BEFORE the standing join:
+          // banded self-pairs → cluster representatives (min id)
+          val df =
+            if (!intraBatch) df0
+            else {
+              val slim = df0.select(col(idCol), col(textCol))
+              val pairs = Dedup.minHashLshPairs(slim, idCol, textCol, n,
+                bands, rowsPerBand, minJaccard)
+              df0.join(Dedup.dropNearDuplicates(slim, idCol, textCol, n,
+                minJaccard, Some(pairs)), Seq(idCol), "left_semi")
+            }
+          val dups = Dedup.minHashLshPairsIndexed(
+            store.read(sigsTable), store.read(arraysTable), df,
+            idCol, textCol, n, bands, rowsPerBand, minJaccard)
             .select(col("batch_id").as(idCol)).distinct()
           val survivors = df.join(dups, Seq(idCol), "left_anti")
-          if (store.exists(table)) store.append(table, survivors)
-          else store.overwrite(table, survivors)
-          val out = fs.create(markerPath, true)
-          try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val marker = batchMarker(batchId)
+            if (store.exists(table)) store.appendWithMeta(table, survivors, marker)
+            else store.overwriteWithMeta(table, survivors, marker)
+            store.appendWithMeta(sigsTable,
+              Dedup.minHashBandTable(survivors, idCol, textCol, n, bands,
+                rowsPerBand), marker)
+            store.appendWithMeta(arraysTable,
+              Dedup.shingleArrays(survivors, idCol, textCol, n), marker)
+            ()
+          } finally survivors.unpersist()
         }
       }
       .start()
@@ -330,84 +377,110 @@ object EventStream {
     * pinned by the caller from the STANDING CORPUS's count (the side
     * whose occupancy the candidate join pays; the batch is transient).
     *
-    * The standing side's signatures are a MAINTAINED INDEX (VERDICT r8
-    * #2): a versioned sibling table `<table>_sigs` holds the
-    * (id, band, bucket) sign-LSH signatures of corpus + admitted rows —
-    * initialized from the corpus on the first trigger, appended with each
-    * admitted batch's signatures — so a trigger pays the BATCH's
-    * projections plus a bucket join against the stored index; per-batch
-    * cost no longer grows with how much history was admitted (the
-    * anti-pattern: `store.read(table)` → re-fingerprint every trigger).
-    * Candidates verify by exact cosine via an id-keyed vector fetch
-    * bounded by the collision set
+    * The standing side is a MAINTAINED INDEX (VERDICT r8 #2, completed
+    * r10): TWO versioned sibling tables hold the (id, band, bucket)
+    * sign-LSH signatures (`<table>_sigs`) AND the verify vectors
+    * (`<table>_vecs`: (id, vec)) of corpus + admitted rows — initialized
+    * from the corpus on the first trigger, appended with each admitted
+    * batch — so a trigger pays the BATCH's projections plus a bucket
+    * join against the stored index, and the exact-cosine verify fetches
+    * vectors from the NARROW stored sibling instead of re-reading the
+    * (arbitrarily wide) data table and re-evaluating the caller's corpus
+    * plan every trigger (VERDICT r9 #2: at 100 TB standing history that
+    * union was a per-trigger full scan of the standing vector column
+    * even when zero buckets collided). Candidates verify by exact cosine
+    * via an id-keyed fetch bounded by the collision set
     * ([[graft.ops.Similarity.lshNearDupPairsIndexed]]).
     *
     * Replay safety: the committed-batch marker rides IN the data commit
     * ([[graft.sources.TableStore.appendWithMeta]]) — version and marker
     * advance atomically, closing the crash window a separate marker file
     * leaves (appended data whose marker never landed would re-append on
-    * restart). The sig append is a second commit and CAN lag a crash;
-    * the next trigger self-heals by re-signing admitted rows missing
-    * from the index (an id anti-join, not a re-fingerprint).
+    * restart). The sibling appends are later commits and CAN lag a
+    * crash; the next trigger self-heals by re-signing admitted rows
+    * missing from the index (an id anti-join), gated on the sibling's
+    * own marker trailing the data table's ([[indexLags]]) so a clean
+    * history never pays the heal scan (VERDICT r9 #3).
     *
-    * INTRA-BATCH semantics (deliberate, documented): the batch is never
-    * joined against itself, so two novel near-dup vectors arriving in
-    * the SAME micro-batch are both admitted — dedup granularity is the
-    * micro-batch boundary, the same contract as
-    * [[streamDedupedIngest]]; a caller needing intra-batch dedup runs
-    * [[graft.ops.Similarity.lshNearDupPairs]] over the batch first. */
+    * INTRA-BATCH semantics: by default the batch is never joined against
+    * itself, so two novel near-dup vectors arriving in the SAME
+    * micro-batch are both admitted — dedup granularity is the
+    * micro-batch boundary, the same contract as [[streamDedupedIngest]].
+    * `intraBatch = true` first reduces the batch to cluster
+    * representatives (banded self-pairs
+    * [[graft.ops.Similarity.lshNearDupPairs]] → connected components →
+    * keep min id) BEFORE the standing join. */
   def streamAnnDedupedIngest(stream: DataFrame, corpus: DataFrame,
                              store: graft.sources.TableStore, table: String,
                              idCol: String, vecCol: String,
                              threshold: Double, bits: Int, bands: Int,
-                             checkpoint: String): StreamingQuery = {
+                             checkpoint: String,
+                             intraBatch: Boolean = false): StreamingQuery = {
     import graft.ops.Similarity
     val sigsTable = s"${table}_sigs"
-    def lastCommitted: Long =
-      if (!store.exists(table)) -1L
-      else store.versionMeta(table).get("committedBatch")
-        .map(_.trim.toLong).getOrElse(-1L)
+    val vecsTable = s"${table}_vecs"
     val corpusSlim = corpus.select(col(idCol), col(vecCol))
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (batchId > lastCommitted && !batch.isEmpty) {
-          val df = batch.toDF().select(col(idCol), col(vecCol))
-          // index bootstrap: the fixed corpus is signed ONCE, on the
-          // first trigger — never again
+        if (batchId > lastCommittedBatch(store, table) && !batch.isEmpty) {
+          val df0 = batch.toDF().select(col(idCol), col(vecCol))
+          // index bootstrap: the fixed corpus is signed (and its vectors
+          // copied beside the index) ONCE, on the first trigger
           if (!store.exists(sigsTable))
-            store.overwrite(sigsTable,
-              Similarity.signBandTable(corpusSlim, idCol, vecCol, bits, bands))
+            store.overwriteWithMeta(sigsTable,
+              Similarity.signBandTable(corpusSlim, idCol, vecCol, bits, bands),
+              batchMarker(-1L))
+          if (!store.exists(vecsTable))
+            store.overwriteWithMeta(vecsTable, corpusSlim, batchMarker(-1L))
           // self-heal the crash window between the data commit and the
-          // sig commit: admitted rows missing from the index get signed
-          // now (id anti-join; empty in a clean history)
-          if (store.exists(table)) {
+          // sibling commits — ONLY when a sibling's marker trails the
+          // data table's (a clean history skips the scan entirely)
+          if (indexLags(store, table, sigsTable)) {
             val missing = store.read(table).select(col(idCol), col(vecCol))
               .join(store.read(sigsTable).select(idCol).distinct(),
                 Seq(idCol), "left_anti")
             if (!missing.isEmpty)
-              store.append(sigsTable,
-                Similarity.signBandTable(missing, idCol, vecCol, bits, bands))
+              store.appendWithMeta(sigsTable,
+                Similarity.signBandTable(missing, idCol, vecCol, bits, bands),
+                batchMarker(currentBatchMarker(store, table)))
           }
-          val standingVecs =
-            if (store.exists(table))
-              corpusSlim.unionByName(
-                store.read(table).select(col(idCol), col(vecCol)))
-            else corpusSlim
+          if (indexLags(store, table, vecsTable)) {
+            val missing = store.read(table).select(col(idCol), col(vecCol))
+              .join(store.read(vecsTable).select(idCol).distinct(),
+                Seq(idCol), "left_anti")
+            if (!missing.isEmpty)
+              store.appendWithMeta(vecsTable, missing,
+                batchMarker(currentBatchMarker(store, table)))
+          }
+          // optional intra-batch reduction BEFORE the standing join:
+          // banded self-pairs → cluster representatives (min id)
+          val df =
+            if (!intraBatch) df0
+            else {
+              val pairs = Similarity.lshNearDupPairs(df0, idCol, vecCol,
+                threshold, bits, bands)
+              val keep = graft.ops.Dedup
+                .clusters(pairs, "id_a", "id_b", df0.select(idCol), idCol)
+                .where(col(idCol) === col("cluster_id")).select(idCol)
+              df0.join(keep, Seq(idCol), "left_semi")
+            }
           val dups = Similarity.lshNearDupPairsIndexed(
-            store.read(sigsTable), standingVecs, df,
+            store.read(sigsTable), store.read(vecsTable), df,
             idCol, vecCol, threshold, bits, bands)
             .select(col("batch_id").as(idCol)).distinct()
           val survivors = df.join(dups, Seq(idCol), "left_anti")
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
-            val marker = Map("committedBatch" -> batchId.toString)
+            val marker = batchMarker(batchId)
             if (store.exists(table)) store.appendWithMeta(table, survivors, marker)
             else store.overwriteWithMeta(table, survivors, marker)
-            store.append(sigsTable,
-              Similarity.signBandTable(survivors, idCol, vecCol, bits, bands))
+            store.appendWithMeta(sigsTable,
+              Similarity.signBandTable(survivors, idCol, vecCol, bits, bands),
+              marker)
+            store.appendWithMeta(vecsTable, survivors, marker)
             ()
           } finally survivors.unpersist()
         }
@@ -424,10 +497,13 @@ object EventStream {
     * batch is the batch's max `tsCol` — pinned from the DATA, so a
     * replayed batch produces byte-identical versions.
     *
-    * Replay safety mirrors [[streamToBronze]]'s committed-batch marker:
-    * a re-delivered batchId is skipped instead of double-merged (stage
-    * itself would classify a replay as NO CHANGE, so the marker guards
-    * only the expire/re-insert churn, not correctness of current rows).
+    * Replay safety: the committed-batch marker rides IN the merge's
+    * manifest commit (see [[lastCommittedBatch]]) — a re-delivered
+    * batchId is skipped instead of double-merged (stage itself would
+    * classify a replay as NO CHANGE, so the marker guards only the
+    * expire/re-insert churn, not correctness of current rows). A batch
+    * that stages to NO CHANGE commits nothing — its replay just
+    * re-stages to the same no-op, so the missing marker is harmless.
     *
     * At scale each micro-batch merge shuffles the batch side only when the
     * silver table is pk-bucketed ([[graft.sources.BucketedTableStore]]);
@@ -435,37 +511,27 @@ object EventStream {
   def streamToSilverScd2(stream: DataFrame, store: graft.sources.TableStore,
                          silverPath: String, pk: String, tsCol: String,
                          checkpoint: String): StreamingQuery = {
-    import org.apache.hadoop.fs.Path
     import graft.etl.Scd2
-    val spark = stream.sparkSession
-    val markerPath = new Path(s"$checkpoint/graft-committed-batch")
-    def fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def lastCommitted: Long =
-      if (!fs.exists(markerPath)) -1L
-      else {
-        val in = fs.open(markerPath)
-        try scala.io.Source.fromInputStream(in).mkString.trim.toLong
-        finally in.close()
-      }
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (batchId > lastCommitted && !batch.isEmpty) {
+        if (batchId > lastCommittedBatch(store, silverPath) && !batch.isEmpty) {
           val df = batch.toDF()
           val runTs = df.agg(max(col(tsCol))).head().getTimestamp(0)
           if (!store.exists(silverPath))
-            store.overwrite(silverPath, Scd2.initialLoad(df, runTs), Seq("is_current"))
+            store.overwriteWithMeta(silverPath, Scd2.initialLoad(df, runTs),
+              batchMarker(batchId), Seq("is_current"))
           else {
             val target = store.read(silverPath)
             val staged = Scd2.stage(df, target.where(col("is_current")), pk)
             if (!staged.isEmpty)
-              store.replaceWith(silverPath,
-                Scd2.applyMerge(target, staged, pk, runTs), Seq("is_current"))
+              store.overwriteWithMeta(silverPath,
+                Scd2.applyMerge(target, staged, pk, runTs),
+                batchMarker(batchId), Seq("is_current"))
           }
-          val out = fs.create(markerPath, true)
-          try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+          ()
         }
       }
       .start()

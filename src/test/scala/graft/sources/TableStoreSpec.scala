@@ -337,6 +337,51 @@ class TableStoreSpec extends SparkSpec {
       store.appendWithMeta(t, Seq((4, "d")).toDF("id", "v"), Map("a b" -> "v"))
     an[IllegalArgumentException] should be thrownBy
       store.appendWithMeta(t, Seq((4, "d")).toDF("id", "v"), Map("k" -> "a\nb"))
+    // an empty or whitespace-padded value would not survive the
+    // manifest's line-trim round trip — rejected at write time
+    an[IllegalArgumentException] should be thrownBy
+      store.appendWithMeta(t, Seq((4, "d")).toDF("id", "v"), Map("k" -> ""))
+    an[IllegalArgumentException] should be thrownBy
+      store.appendWithMeta(t, Seq((4, "d")).toDF("id", "v"), Map("k" -> " x "))
+  }
+
+  test("versionMeta skips a malformed legacy meta line instead of bricking the read") {
+    val store = new TableStore(spark)
+    val t = tmp() + "/t"
+    store.overwriteWithMeta(t, Seq((1, "a")).toDF("id", "v"),
+      Map("good" -> "1"))
+    // hand-plant a value-less marker line (what a pre-hardening writer
+    // could produce from meta value "") in the current manifest
+    val v = store.currentVersion(t).get
+    val mp = new java.io.File(s"$t/_v$v")
+    val lines = scala.io.Source.fromFile(mp).mkString
+    val out = new java.io.PrintWriter(mp)
+    out.print(s"#b broken\n$lines"); out.close()
+    // drop the Hadoop local-FS checksum sidecar the hand-edit invalidated
+    new java.io.File(s"$t/._v$v.crc").delete()
+    store.versionMeta(t) shouldBe Map("good" -> "1")
+    store.read(t).count() shouldBe 1L
+  }
+
+  test("metaMaxLong survives marker-less maintenance commits (compact) " +
+    "and wins over restore") {
+    val store = new TableStore(spark)
+    val t = tmp() + "/t"
+    store.metaMaxLong(t, "committedBatch") shouldBe None
+    store.overwriteWithMeta(t, Seq((1, "a")).toDF("id", "v"),
+      Map("committedBatch" -> "0"))
+    store.appendWithMeta(t, Seq((2, "b")).toDF("id", "v"),
+      Map("committedBatch" -> "3"))
+    store.metaMaxLong(t, "committedBatch") shouldBe Some(3L)
+    // compact restates no markers; the current-version read resets but
+    // the history max does not — a redelivered batch stays skipped
+    store.compact(t)
+    store.versionMeta(t) shouldBe Map.empty
+    store.metaMaxLong(t, "committedBatch") shouldBe Some(3L)
+    // restore rolls data back; the marker still wins (an explicit
+    // operator action is not a license to re-apply old batches)
+    store.restore(t, 0L)
+    store.metaMaxLong(t, "committedBatch") shouldBe Some(3L)
   }
 
   test("version meta coexists with a partitioned layout") {

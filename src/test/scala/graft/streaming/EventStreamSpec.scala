@@ -449,6 +449,111 @@ class EventStreamSpec extends SparkSpec {
       "doc_id", "text", 3, 4, 3, 0.5, ckpt).awaitTermination()
     graft.core.CacheRegistry.drain()
     store.read(bronze).select("doc_id").as[Long].collect().toSet shouldBe Set(2L, 4L)
+
+    // the committed-batch marker rides IN the data commit (atomic with
+    // the version), and the standing side is a MAINTAINED index: band
+    // rows + verify arrays for corpus (signed once) + every admitted row
+    store.versionMeta(bronze).get("committedBatch") shouldBe defined
+    val sigs = store.read(s"${bronze}_minhash_sigs")
+    sigs.select("doc_id").distinct().as[Long].collect().toSet shouldBe
+      Set(100L, 101L, 2L, 4L)
+    sigs.groupBy("doc_id").count().select("count").distinct()
+      .as[Long].collect().toSeq shouldBe Seq(4L) // one row per band
+    store.read(s"${bronze}_minhash_arrays").select("doc_id").distinct()
+      .as[Long].collect().toSet shouldBe Set(100L, 101L, 2L, 4L)
+  }
+
+  test("streamDedupedIngest self-heals a signature index that lags the " +
+    "data table (the crash window between the data and sibling commits)") {
+    val root = Files.createTempDirectory("graft-stream-dedup-heal")
+    val in = root.resolve("in").toString
+    val ckpt = root.resolve("ckpt").toString
+    val bronze = root.resolve("tables/bronze").toString
+    val store = new graft.sources.TableStore(spark)
+    val corpus = Seq(
+      (100L, "completely unrelated corpus text about database engines")
+    ).toDF("doc_id", "text")
+    val schema = corpus.schema
+    def drop(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").write.mode("append").option("header", "true").csv(in)
+    def ingest(): Unit = {
+      EventStream.streamDedupedIngest(
+        EventStream.readCsvStream(spark, in, schema), corpus, store, bronze,
+        "doc_id", "text", 3, 4, 3, 0.5, ckpt).awaitTermination()
+      graft.core.CacheRegistry.drain()
+    }
+    drop(Seq((1L, "the quick brown fox jumps over the lazy dog tonight")))
+    ingest()
+    store.read(bronze).select("doc_id").as[Long].collect().toSet shouldBe Set(1L)
+    // clean history: neither sibling lags — the heal scan is skipped
+    EventStream.indexLags(store, bronze, s"${bronze}_minhash_sigs") shouldBe false
+    EventStream.indexLags(store, bronze, s"${bronze}_minhash_arrays") shouldBe false
+    // simulate the crash window: an admitted row whose sibling appends
+    // never landed — roll BOTH siblings back to the corpus-only bootstrap
+    store.restore(s"${bronze}_minhash_sigs", 0L)
+    store.restore(s"${bronze}_minhash_arrays", 0L)
+    EventStream.indexLags(store, bronze, s"${bronze}_minhash_sigs") shouldBe true
+    // next trigger: a near-dup of the orphaned survivor MUST still be
+    // rejected — the heal re-signs row 1 before the batch is checked
+    drop(Seq((2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "yet another entirely distinct subject matter entry")))
+    ingest()
+    store.read(bronze).select("doc_id").as[Long].collect().toSet shouldBe
+      Set(1L, 3L)
+    store.read(s"${bronze}_minhash_sigs").select("doc_id").distinct()
+      .as[Long].collect().toSet shouldBe Set(100L, 1L, 3L)
+    EventStream.indexLags(store, bronze, s"${bronze}_minhash_sigs") shouldBe false
+  }
+
+  test("streamDedupedIngest intraBatch reduces a micro-batch to cluster " +
+    "representatives before the standing join") {
+    val root = Files.createTempDirectory("graft-stream-dedup-intra")
+    val ckpt = root.resolve("ckpt").toString
+    val bronze = root.resolve("tables/bronze").toString
+    val store = new graft.sources.TableStore(spark)
+    val corpus = Seq(
+      (100L, "completely unrelated corpus text about database engines")
+    ).toDF("doc_id", "text")
+    // two near-dups of EACH OTHER (novel vs the corpus) land in ONE batch
+    Seq((1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "yet another entirely distinct subject matter entry"))
+      .toDF("doc_id", "text")
+      .write.option("header", "true").csv(root.resolve("in").toString)
+    EventStream.streamDedupedIngest(
+      EventStream.readCsvStream(spark, root.resolve("in").toString,
+        corpus.schema), corpus, store, bronze,
+      "doc_id", "text", 3, 4, 3, 0.5, ckpt, intraBatch = true)
+      .awaitTermination()
+    graft.core.CacheRegistry.drain()
+    // without the flag both 1 and 2 would land; with it the cluster
+    // keeps its min id only
+    store.read(bronze).select("doc_id").as[Long].collect().toSet shouldBe
+      Set(1L, 3L)
+  }
+
+  test("streamToBronze replay marker survives a compact (marker-less " +
+    "maintenance commit) — a redelivered batch does not re-append") {
+    val root = Files.createTempDirectory("graft-stream-bronze-compact")
+    val in = root.resolve("in").toString
+    val events = Tables.table(spark, sf0001, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value").limit(100)
+    events.coalesce(1).write.option("header", "true").csv(in)
+    val store = new graft.sources.TableStore(spark)
+    val table = root.resolve("tables/bronze").toString
+    EventStream.streamToBronze(
+      EventStream.readCsvStream(spark, in, events.schema), store, table,
+      root.resolve("ckpt1").toString).awaitTermination()
+    store.read(table).count() shouldBe 100L
+    // compact folds the data dirs and states NO markers of its own
+    store.compact(table)
+    store.versionMeta(table) shouldBe Map.empty
+    // a FRESH checkpoint redelivers the same files as batch 0 — the
+    // history-max marker still skips it (pre-fix: count doubled)
+    EventStream.streamToBronze(
+      EventStream.readCsvStream(spark, in, events.schema), store, table,
+      root.resolve("ckpt2").toString).awaitTermination()
+    store.read(table).count() shouldBe 100L
   }
 
   test("streamAnnDedupedIngest drops cosine near-dups vs the standing side, " +
@@ -500,6 +605,37 @@ class EventStreamSpec extends SparkSpec {
       Set(100L, 101L, 2L, 4L)
     sigs.groupBy("vec_id").count().select("count").distinct()
       .as[Long].collect().toSeq shouldBe Seq(4L)
+    // the verify vectors live BESIDE the index — the exact-cosine fetch
+    // reads this narrow sibling, never the data table or the corpus plan
+    store.read(s"${table}_vecs").select("vec_id").as[Long].collect().toSet shouldBe
+      Set(100L, 101L, 2L, 4L)
+    // clean history: no sibling lags — the self-heal scan is gated off
+    EventStream.indexLags(store, table, s"${table}_sigs") shouldBe false
+    EventStream.indexLags(store, table, s"${table}_vecs") shouldBe false
+  }
+
+  test("streamAnnDedupedIngest intraBatch reduces a micro-batch of mutual " +
+    "near-dups to one representative") {
+    val root = Files.createTempDirectory("graft-stream-ann-intra")
+    val in = root.resolve("in").toString
+    val table = root.resolve("tables/vectors").toString
+    val store = new graft.sources.TableStore(spark)
+    def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val corpus = Seq((100L, vec(1, 0.1, 0, 0, 0, 0, 0, 0)))
+      .toDF("vec_id", "embedding")
+    // rows 1 and 2 are near-dups of EACH OTHER (cos ≈ 0.9998), both
+    // novel vs the corpus; row 3 is orthogonal to everything
+    Seq((1L, vec(0, 0, 1, 0.1, 0, 0, 0, 0)),
+      (2L, vec(0, 0, 0.95, 0.11, 0, 0, 0, 0)),
+      (3L, vec(0, 0, 0, 0, 0, 1, 0.1, 0))).toDF("vec_id", "embedding")
+      .write.parquet(in)
+    EventStream.streamAnnDedupedIngest(
+      spark.readStream.schema(corpus.schema).parquet(in), corpus, store,
+      table, "vec_id", "embedding", 0.8, 2, 4, root.resolve("ckpt").toString,
+      intraBatch = true).awaitTermination()
+    graft.core.CacheRegistry.drain()
+    store.read(table).select("vec_id").as[Long].collect().toSet shouldBe
+      Set(1L, 3L)
   }
 
   test("streamAnnDedupedIngest self-heals a signature index that lags the " +
