@@ -144,6 +144,51 @@ object SparkEntry {
       fps.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
+  // DERIVED verify radius per perceptual tier (VERDICT r9 #4), memoized
+  // per (session, dir, tier) like the corpus counts: the radius is a pure
+  // function of the tier's fingerprint frame (Multimodal.
+  // recommendedRadius128 — largest grid radius whose banded pair density
+  // stays within 16 pairs per fingerprint row, the rule the oracle
+  // replays in SQL via the psw/prad CTEs), and one density sweep serves
+  // the pair query, its recall contract, and the consensus vote. On the
+  // bench corpora the rule lands at the cap 24 (the historical 3/16
+  // default); on the 100× templated fixture it binds — the 736.7 M-row
+  // answer the fixed default emitted becomes a CHOSEN operating point.
+  private val radiusCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), Int]
+  private def tierRadius(s: SparkSession, dir: String, tier: String): Int =
+    radiusCache.getOrElseUpdate((s, dir, tier), tier match {
+      case "text" =>
+        val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
+        val n = cachedCount(s, dir, "documents")(docs)
+        val fps = graft.core.CacheRegistry.persist(
+          Multimodal.perceptualHash128Content(s,
+            docs.select(col("doc_id").as("id"), col("text").as("content"))))
+        Multimodal.recommendedRadius128(fps, Multimodal.recommendedWidth128(n), n)
+      case "y4m" =>
+        val fps = tierFps(s, dir, "y4m")
+        val width = Multimodal.recommendedWidth128(
+          4L * cachedCount(s, dir, "documents")(
+            graft.core.Tables.tableRebalanced(s, dir, "documents")))
+        Multimodal.recommendedRadiusVideo128(fps, width, fps.count())
+      case "y4m_sub5" =>
+        // q367's deterministic 1-in-5 recall subsample derives ITS OWN
+        // radius (the oracle's vrad runs over sfps)
+        val sub = tierFps(s, dir, "y4m").where(pmod(col("id"), lit(5)) === 0)
+        val width = Multimodal.recommendedWidth128(
+          4L * cachedCount(s, dir, "documents")(
+            graft.core.Tables.tableRebalanced(s, dir, "documents")))
+        Multimodal.recommendedRadiusVideo128(sub, width, sub.count())
+      case t =>
+        val fps = tierFps(s, dir, t)
+        val width = Multimodal.recommendedWidth128(
+          cachedCount(s, dir, "documents")(
+            graft.core.Tables.tableRebalanced(s, dir, "documents")))
+        // n = the fingerprint ROW count (what the oracle's prad counts):
+        // container tiers synthesize only non-NULL-text documents
+        Multimodal.recommendedRadius128(fps, width, fps.count())
+    })
+
   /** Materialize the cross-query memoized caches (star fact, staged SCD2
     * diff, postings, adaptive-calibration corpus counts) so a bench harness
     * can pay their one-time build cost OUTSIDE its timing loop. Without
@@ -1379,7 +1424,8 @@ object SparkEntry {
     "q348_ppm_neardup_real" -> ((s, dir) => {
       val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
       Multimodal.perceptualNearDupPairs128On(tierFps(s, dir, "ppm"),
-        Multimodal.recommendedWidth128(cachedCount(s, dir, "documents")(docs)), 24)
+        Multimodal.recommendedWidth128(cachedCount(s, dir, "documents")(docs)),
+        tierRadius(s, dir, "ppm"))
     }),
     // the container-true chain's recall contract (q337's device over real
     // decoded pixels, at 128 bits): banded pairs vs the exact Hamming
@@ -1387,7 +1433,8 @@ object SparkEntry {
     "q349_ppm_recall_real" -> ((s, dir) => {
       val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
       Multimodal.perceptualRecallContract128On(tierFps(s, dir, "ppm"),
-        Multimodal.recommendedWidth128(cachedCount(s, dir, "documents")(docs)), 24)
+        Multimodal.recommendedWidth128(cachedCount(s, dir, "documents")(docs)),
+        tierRadius(s, dir, "ppm"))
     }),
     // the audio twin of q348 (VERDICT r7 #1 asked for "luma grid / PCM
     // samples" — this is the PCM half): word-sampled RIFF/WAVE PCM16
@@ -1396,13 +1443,15 @@ object SparkEntry {
     "q352_wav_neardup_real" -> ((s, dir) => {
       val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
       Multimodal.perceptualNearDupPairs128On(tierFps(s, dir, "wav"),
-        Multimodal.recommendedWidth128(cachedCount(s, dir, "documents")(docs)), 24)
+        Multimodal.recommendedWidth128(cachedCount(s, dir, "documents")(docs)),
+        tierRadius(s, dir, "wav"))
     }),
     // its recall contract (q349's device over decoded PCM)
     "q353_wav_recall_real" -> ((s, dir) => {
       val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
       Multimodal.perceptualRecallContract128On(tierFps(s, dir, "wav"),
-        Multimodal.recommendedWidth128(cachedCount(s, dir, "documents")(docs)), 24)
+        Multimodal.recommendedWidth128(cachedCount(s, dir, "documents")(docs)),
+        tierRadius(s, dir, "wav"))
     }),
     // REAL frame-sampled VIDEO decode — the temporal member of the
     // container-true family (q346 audio, q347 image): synthesize a real
@@ -1426,7 +1475,8 @@ object SparkEntry {
     "q355_y4m_neardup_real" -> ((s, dir) => {
       val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
       Multimodal.videoNearDupPairs128(tierFps(s, dir, "y4m"),
-        Multimodal.recommendedWidth128(4L * cachedCount(s, dir, "documents")(docs)), 24, 2)
+        Multimodal.recommendedWidth128(4L * cachedCount(s, dir, "documents")(docs)),
+        tierRadius(s, dir, "y4m"), 2)
     }),
     // scene-change (shot-boundary) detection: Hamming delta between
     // consecutive sampled-frame fingerprints of the same video, cut when
@@ -1485,17 +1535,19 @@ object SparkEntry {
         Multimodal.perceptualHash128Content(s,
           docs.select(col("doc_id").as("id"), col("text").as("content"))))
       Multimodal.perceptualNearDupPairs128On(fps,
-        Multimodal.recommendedWidth128(cachedCount(s, dir, "documents")(docs)), 24)
+        Multimodal.recommendedWidth128(cachedCount(s, dir, "documents")(docs)),
+        tierRadius(s, dir, "text"))
     }),
-    // its recall contract (q337's device at 128 bits, threshold 24/128 —
-    // the same 3/16 proportional Hamming radius as the 64-bit 12/64)
+    // its recall contract (q337's device at 128 bits, at the SAME
+    // derived radius as q364 — cap 24, the 3/16 proportional default)
     "q365_perceptual128_recall" -> ((s, dir) => {
       val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
       val fps = graft.core.CacheRegistry.persist(
         Multimodal.perceptualHash128Content(s,
           docs.select(col("doc_id").as("id"), col("text").as("content"))))
       Multimodal.perceptualRecallContract128On(fps,
-        Multimodal.recommendedWidth128(cachedCount(s, dir, "documents")(docs)), 24)
+        Multimodal.recommendedWidth128(cachedCount(s, dir, "documents")(docs)),
+        tierRadius(s, dir, "text"))
     }),
     // the VIDEO tier's recall ledger (VERDICT r8 task 6 — the width
     // rule's recall price contract-checked on the modality where the
@@ -1508,7 +1560,7 @@ object SparkEntry {
       val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
       Multimodal.videoRecallContract128(tierFps(s, dir, "y4m"),
         Multimodal.recommendedWidth128(4L * cachedCount(s, dir, "documents")(docs)),
-        24, 2, 5)
+        tierRadius(s, dir, "y4m_sub5"), 2, 5)
     }),
     // LOSSY-codec (JPEG) ingest contract — the format class whose decode
     // CANNOT be SQL-replayed (DCT output is decoder-defined): real JDK
@@ -1523,6 +1575,27 @@ object SparkEntry {
     "q368_jpeg_lossy_contract" -> ((s, dir) => {
       val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
       Multimodal.jpegLossyContract(s, docs, "doc_id", "text", 8, 8, 72.0)
+    }),
+    // the RADIUS DECISION made auditable (VERDICT r9 #4): the banded
+    // pair-density sweep behind the derived verify radius — exact
+    // id-pair counts per grid radius from ONE banded join over DISTINCT
+    // fingerprints (multiplicity products, no expansion), with the
+    // chosen operating point flagged. The oracle replays rule and
+    // counts (psw/prad), so a drifting radius is a hash mismatch
+    "q369_hamming_radius_sweep" -> ((s, dir) => {
+      val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
+      val n = cachedCount(s, dir, "documents")(docs)
+      val fps = graft.core.CacheRegistry.persist(
+        Multimodal.perceptualHash128Content(s,
+          docs.select(col("doc_id").as("id"), col("text").as("content"))))
+      val sweep = graft.core.CacheRegistry.persist(
+        Multimodal.hammingRadiusSweep128(fps,
+          Multimodal.recommendedWidth128(n), Seq(8, 12, 16, 20, 24)))
+      val rr = sweep.agg(coalesce(
+        max(when(col("n_pairs") <= lit(16.0 * n), col("radius"))),
+        lit(8)).as("__rr"))
+      sweep.crossJoin(rr).select(col("radius"), col("n_pairs"),
+        (col("radius") === col("__rr")).as("chosen"))
     }),
     // PII redaction (the C4/CCNet scrub step): every 5th document gains
     // a deterministic md5-derived email + IPv4 (so the oracle plants the
@@ -1561,12 +1634,12 @@ object SparkEntry {
       val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
       val width = Multimodal.recommendedWidth128(cachedCount(s, dir, "documents")(docs))
       val img = Multimodal.perceptualNearDupPairs128On(tierFps(s, dir, "ppm"),
-        width, 24).select("id_a", "id_b")
+        width, tierRadius(s, dir, "ppm")).select("id_a", "id_b")
       val aud = Multimodal.perceptualNearDupPairs128On(tierFps(s, dir, "wav"),
-        width, 24).select("id_a", "id_b")
+        width, tierRadius(s, dir, "wav")).select("id_a", "id_b")
       val vid = Multimodal.videoNearDupPairs128(tierFps(s, dir, "y4m"),
         Multimodal.recommendedWidth128(4L * cachedCount(s, dir, "documents")(docs)),
-        24, 2).select("id_a", "id_b")
+        tierRadius(s, dir, "y4m"), 2).select("id_a", "id_b")
       Multimodal.modalityVote(
         Seq("image" -> img, "audio" -> aud, "video" -> vid), 2)
     }),
@@ -1600,13 +1673,15 @@ object SparkEntry {
     "q358_png_neardup_real" -> ((s, dir) => {
       val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
       Multimodal.perceptualNearDupPairs128On(tierFps(s, dir, "png"),
-        Multimodal.recommendedWidth128(cachedCount(s, dir, "documents")(docs)), 24)
+        Multimodal.recommendedWidth128(cachedCount(s, dir, "documents")(docs)),
+        tierRadius(s, dir, "png"))
     }),
     // its recall contract (q349's device over codec-decoded pixels)
     "q359_png_recall_real" -> ((s, dir) => {
       val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
       Multimodal.perceptualRecallContract128On(tierFps(s, dir, "png"),
-        Multimodal.recommendedWidth128(cachedCount(s, dir, "documents")(docs)), 24)
+        Multimodal.recommendedWidth128(cachedCount(s, dir, "documents")(docs)),
+        tierRadius(s, dir, "png"))
     }),
     // the banded perceptual path's recall vs the exact Hamming pair set,
     // driver-checked (the q217 contract device for the media tier), at
@@ -3484,8 +3559,13 @@ object SparkEntry {
   /** The 128-bit scale-adaptive band tail: width mirrors
     * `Multimodal.recommendedWidth128` (clamp {4,8,16,32} — the 32-bit
     * cap the 64-bit tier cannot reach), bands = 128/width, the first
-    * 64/width bands read `fph`, the rest `fpl`. Ends at
-    * `pcand(id_a, id_b)`. */
+    * 64/width bands read `fph`, the rest `fpl`. Since r10 the tail also
+    * DERIVES THE VERIFY RADIUS (`Multimodal.recommendedRadius128`'s SQL
+    * twin): `pham` holds banded id pairs with their Hamming distance at
+    * the cap 24, `psw` counts them per grid radius {8,12,16,20,24}, and
+    * `prad` picks the largest radius whose pair count stays within 16
+    * pairs per fingerprint row (budget = 16·count(pfps)), falling back
+    * to the smallest. Ends at `pham(id_a, id_b, ham)` + `prad(rr)`. */
   private val perceptual128BandTailCtes: String =
     """pnn AS (SELECT count(*) AS n FROM documents),
       |pwb AS (SELECT CASE WHEN bb <= 4 THEN 4 WHEN bb <= 8 THEN 8
@@ -3501,7 +3581,17 @@ object SparkEntry {
       |  FROM pfps CROSS JOIN pbands),
       |pcand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
       |  FROM pbt a JOIN pbt b ON a.band = b.band AND a.bucket = b.bucket
-      |    AND a.id < b.id)""".stripMargin
+      |    AND a.id < b.id),
+      |pham AS (SELECT c.id_a, c.id_b,
+      |    CAST(bit_count(xor(fa.fph, fb.fph)) + bit_count(xor(fa.fpl, fb.fpl)) AS BIGINT) AS ham
+      |  FROM pcand c JOIN pfps fa ON c.id_a = fa.id
+      |  JOIN pfps fb ON c.id_b = fb.id
+      |  WHERE bit_count(xor(fa.fph, fb.fph)) + bit_count(xor(fa.fpl, fb.fpl)) <= 24),
+      |psw AS (SELECT g.r, CAST(count(h.ham) AS BIGINT) AS n
+      |  FROM (VALUES (8), (12), (16), (20), (24)) g(r)
+      |  LEFT JOIN pham h ON h.ham <= g.r GROUP BY g.r),
+      |prad AS (SELECT coalesce(max(r) FILTER (WHERE n <= 16 * (SELECT count(*) FROM pfps)), 8) AS rr
+      |  FROM psw)""".stripMargin
 
   /** q355/q356/q361: the 128-bit scale-adaptive band tail over PER-FRAME
     * fingerprints — [[perceptual128BandTailCtes]] with the video tier's
@@ -3527,33 +3617,38 @@ object SparkEntry {
       |vcand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
       |  FROM vbt a JOIN vbt b ON a.band = b.band AND a.bucket = b.bucket
       |    AND a.id % 64 = b.id % 64 AND a.id < b.id),
-      |vver AS (SELECT c.id_a, c.id_b
+      |vham AS (SELECT c.id_a, c.id_b,
+      |    CAST(bit_count(xor(fa.fph, fb.fph)) + bit_count(xor(fa.fpl, fb.fpl)) AS BIGINT) AS ham
       |  FROM vcand c JOIN pfps fa ON c.id_a = fa.id
       |  JOIN pfps fb ON c.id_b = fb.id
-      |  WHERE bit_count(xor(fa.fph, fb.fph)) + bit_count(xor(fa.fpl, fb.fpl)) <= 24)""".stripMargin
+      |  WHERE bit_count(xor(fa.fph, fb.fph)) + bit_count(xor(fa.fpl, fb.fpl)) <= 24),
+      |vsw AS (SELECT g.r, CAST(count(h.ham) AS BIGINT) AS n
+      |  FROM (VALUES (8), (12), (16), (20), (24)) g(r)
+      |  LEFT JOIN vham h ON h.ham <= g.r GROUP BY g.r),
+      |vrad AS (SELECT coalesce(max(r) FILTER (WHERE n <= 16 * (SELECT count(*) FROM $rel)), 8) AS rr
+      |  FROM vsw),
+      |vver AS (SELECT id_a, id_b FROM vham WHERE ham <= (SELECT rr FROM vrad))""".stripMargin
 
   private val video128BandTailCtes: String = video128BandTailCtesOver("pfps")
 
-  /** The 128-bit banded pair SELECT over `pcand`/`pfps` — shared final
-    * stage of q348/q352/q358/q364 (threshold 24/128, the same 3/16
-    * proportional radius as the 64-bit tier's 12/64). */
+  /** The 128-bit banded pair SELECT over `pham`/`prad` — shared final
+    * stage of q348/q352/q358/q364: pairs at the DERIVED radius (≤ the
+    * cap 24, the 3/16 proportional default the rule falls back to when
+    * density is affordable). */
   private val perceptual128PairSelect: String =
-    """SELECT c.id_a, c.id_b,
-      |  CAST(bit_count(xor(fa.fph, fb.fph)) + bit_count(xor(fa.fpl, fb.fpl)) AS BIGINT) AS hamming
-      |FROM pcand c JOIN pfps fa ON c.id_a = fa.id
-      |JOIN pfps fb ON c.id_b = fb.id
-      |WHERE bit_count(xor(fa.fph, fb.fph)) + bit_count(xor(fa.fpl, fb.fpl)) <= 24""".stripMargin
+    """SELECT id_a, id_b, ham AS hamming
+      |FROM pham WHERE ham <= (SELECT rr FROM prad)""".stripMargin
 
-  /** The 128-bit recall-contract tail (banded vs exact Hamming ≤ 24,
-    * subset pinned TRUE) — shared by q349/q353/q359/q365. */
+  /** The 128-bit recall-contract tail (banded vs exact Hamming, BOTH at
+    * the derived radius `prad.rr`, subset pinned TRUE) — shared by
+    * q349/q353/q359/q365. */
   private val perceptual128RecallTail: String =
-    """banded AS (SELECT c.id_a, c.id_b
-      |  FROM pcand c JOIN pfps fa ON c.id_a = fa.id
-      |  JOIN pfps fb ON c.id_b = fb.id
-      |  WHERE bit_count(xor(fa.fph, fb.fph)) + bit_count(xor(fa.fpl, fb.fpl)) <= 24),
+    """banded AS (SELECT id_a, id_b
+      |  FROM pham WHERE ham <= (SELECT rr FROM prad)),
       |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact
       |  FROM pfps a JOIN pfps b ON a.id < b.id
-      |  WHERE bit_count(xor(a.fph, b.fph)) + bit_count(xor(a.fpl, b.fpl)) <= 24),
+      |  WHERE bit_count(xor(a.fph, b.fph)) + bit_count(xor(a.fpl, b.fpl))
+      |    <= (SELECT rr FROM prad)),
       |bn AS (SELECT CAST(count(*) AS BIGINT) AS n_banded FROM banded)
       |SELECT n_exact, n_banded,
       |  CASE WHEN n_exact = 0 THEN 1.0
@@ -11495,6 +11590,15 @@ object SparkEntry {
       s"""WITH ${perceptual128FpsCtesOver("documents")},
          |$perceptual128BandTailCtes,
          |$perceptual128RecallTail""".stripMargin,
+    // q369: the radius decision's ledger — the per-radius banded pair
+    // counts (psw) and the rule's pick (prad), replayed by the same
+    // CTEs every 128-bit pair oracle now derives its radius from
+    "q369_hamming_radius_sweep" ->
+      s"""WITH ${perceptual128FpsCtesOver("documents")},
+         |$perceptual128BandTailCtes
+         |SELECT r AS radius, n AS n_pairs,
+         |  r = (SELECT rr FROM prad) AS chosen
+         |FROM psw""".stripMargin,
     // q367: the video recall ledger — the 128-bit frame grid over the
     // 1-in-5 video subsample (sfps), the SAME width derivation as q355
     // (vnn counts the FULL sampled-frame corpus — the registered
@@ -11510,7 +11614,8 @@ object SparkEntry {
          |vex AS (SELECT a.id // 64 AS id_a, b.id // 64 AS id_b
          |  FROM sfps a JOIN sfps b
          |    ON a.id % 64 = b.id % 64 AND a.id // 64 < b.id // 64
-         |  WHERE bit_count(xor(a.fph, b.fph)) + bit_count(xor(a.fpl, b.fpl)) <= 24
+         |  WHERE bit_count(xor(a.fph, b.fph)) + bit_count(xor(a.fpl, b.fpl))
+         |    <= (SELECT rr FROM vrad)
          |  GROUP BY 1, 2 HAVING count(*) >= 2),
          |e AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM vex),
          |bn AS (SELECT CAST(count(*) AS BIGINT) AS n_banded FROM vband)

@@ -848,18 +848,22 @@ object Multimodal {
     * Hamming (sum of the two halves' xor popcounts) ≤ `maxHamming`.
     * Output: (id_a, id_b, hamming), a < b. Same plan law: 16-byte keys,
     * never content×content, never N². */
-  def perceptualNearDupPairs128On(fps: DataFrame, width: Int,
-                                  maxHamming: Int): DataFrame = {
+  /** DISTINCT-fingerprint banded candidate VALUE pairs with their full
+    * 128-bit Hamming distance, capped at `capRadius` — the shared core
+    * of the 128-bit pair family: VALUE-LEVEL banding (see
+    * [[perceptualNearDupPairsOn]]) makes the hot-bucket quadratic scale
+    * with unique CONTENT, and the value→ids expansion
+    * ([[expandValuePairs128]]) is output-proportional. Equal-value pairs
+    * are NOT emitted here (they ride the exact equi-join at expansion).
+    * Output: (ah, al, bh, bl, hamming), value-ordered. */
+  private def valuePairs128(fps: DataFrame, width: Int,
+                            capRadius: Int): DataFrame = {
     require(width >= 1 && width <= 64 && 64 % width == 0,
-      s"perceptualNearDupPairs128On: width must divide 64, got $width")
-    require(maxHamming >= 0 && maxHamming <= 128,
-      s"perceptualNearDupPairs128On: need 0 <= maxHamming <= 128, got $maxHamming")
+      s"valuePairs128: width must divide 64, got $width")
+    require(capRadius >= 0 && capRadius <= 128,
+      s"valuePairs128: need 0 <= capRadius <= 128, got $capRadius")
     val mask = if (width == 64) -1L else (1L << width) - 1
     val perHalf = 64 / width
-    // VALUE-LEVEL banding — see [[perceptualNearDupPairsOn]]: distinct
-    // (fph, fpl) values band and pair; the value→ids expansion is
-    // output-proportional; equal-value id pairs ride the exact
-    // fingerprint equi-join at hamming 0. Identical pair set.
     val vals = fps.select(col("fph"), col("fpl")).distinct()
     val bandCols = (0 until 2 * perHalf).map { b =>
       val src = if (b < perHalf) col("fph") else col("fpl")
@@ -873,13 +877,20 @@ object Multimodal {
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val ham = (bit_count(col("ah").bitwiseXOR(col("bh"))) +
       bit_count(col("al").bitwiseXOR(col("bl")))).cast("long")
-    val valPairs = banded.toDF("ah", "al", "band", "bucket")
+    banded.toDF("ah", "al", "band", "bucket")
       .join(banded.toDF("bh", "bl", "band", "bucket"), Seq("band", "bucket"))
       .where(col("ah") < col("bh") ||
         (col("ah") === col("bh") && col("al") < col("bl")))
       .select("ah", "al", "bh", "bl").distinct()
       .withColumn("hamming", ham)
-      .where(col("hamming") <= maxHamming)
+      .where(col("hamming") <= capRadius)
+  }
+
+  /** The value→ids expansion half of the 128-bit pair family: each
+    * distinct-value pair fans out to its id pairs (output-proportional),
+    * and equal-value id pairs ride an exact fingerprint equi-join at
+    * hamming 0. Output: (id_a, id_b, hamming), a < b. */
+  private def expandValuePairs128(fps: DataFrame, valPairs: DataFrame): DataFrame = {
     val cross = valPairs
       .join(fps.select(col("id").as("__ia"), col("fph").as("ah"),
         col("fpl").as("al")), Seq("ah", "al"))
@@ -892,6 +903,96 @@ object Multimodal {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), lit(0L).as("hamming"))
     cross.unionByName(exactDups)
+  }
+
+  def perceptualNearDupPairs128On(fps: DataFrame, width: Int,
+                                  maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 128,
+      s"perceptualNearDupPairs128On: need 0 <= maxHamming <= 128, got $maxHamming")
+    expandValuePairs128(fps, valuePairs128(fps, width, maxHamming))
+  }
+
+  /** Banded id-pair DENSITY sweep over the 128-bit tier — the Hamming
+    * twin of the q329 cosine threshold sweep: for each candidate radius,
+    * the EXACT number of id pairs the banded pair query would emit at
+    * that radius, computed WITHOUT expanding a single id pair — the
+    * candidate join runs once at `radii.max` over DISTINCT fingerprints,
+    * id counts come from value multiplicity products (mA·mB per
+    * distinct-value pair, C(m,2) per repeated value at hamming 0). This
+    * is what makes a radius a DECISION rather than a default: at the
+    * 100× templated fixture the 24/128 default emits 736.7 M true-by-
+    * radius pairs; the sweep prices every operating point first.
+    * Output: (radius, n_pairs), ascending. */
+  def hammingRadiusSweep128(fps: DataFrame, width: Int,
+                            radii: Seq[Int]): DataFrame = {
+    require(radii.nonEmpty && radii == radii.sorted && radii.distinct == radii,
+      s"hammingRadiusSweep128: radii must be sorted and distinct, got $radii")
+    sweepFrom(fps, valuePairs128(fps, width, radii.max), radii)
+  }
+
+  /** The sweep tail over a prebuilt value-pair frame: multiplicity
+    * products per distinct-value pair, C(m,2) per repeated value at
+    * hamming 0 (inside every radius), cumulative per grid radius. */
+  private def sweepFrom(fps: DataFrame, vp: DataFrame,
+                        radii: Seq[Int]): DataFrame = {
+    val spark = fps.sparkSession
+    import spark.implicits._
+    val vcnt = graft.core.CacheRegistry.persist(
+      fps.groupBy(col("fph"), col("fpl")).agg(count(lit(1)).as("m")))
+    val counted = vp
+      .join(vcnt.toDF("ah", "al", "ma"), Seq("ah", "al"))
+      .join(vcnt.toDF("bh", "bl", "mb"), Seq("bh", "bl"))
+      .select(col("hamming"), (col("ma") * col("mb")).as("np"))
+    val exact0 = vcnt.agg(coalesce(
+      sum(col("m") * (col("m") - 1) / 2), lit(0L)).cast("long").as("np0"))
+    radii.toDF("radius")
+      .join(counted, col("hamming") <= col("radius"), "left")
+      .groupBy("radius")
+      .agg(coalesce(sum("np"), lit(0L)).as("__nb"))
+      .crossJoin(exact0)
+      .select(col("radius"), (col("__nb") + col("np0")).cast("long").as("n_pairs"))
+      .orderBy("radius")
+  }
+
+  /** DERIVED verify radius for the 128-bit tier — the Hamming twin of
+    * [[recommendedWidth128]] (VERDICT r9 #4): the fixed 3/16 default
+    * (24/128) is an operating point someone chose once, and on a
+    * dup-dense corpus it can be an answer too big to want. The rule:
+    * the LARGEST radius in `radii` whose banded id-pair count stays
+    * within `maxPairsPerItem` pairs per fingerprint row — the widest
+    * radius whose answer is still output-affordable; when even the
+    * smallest radius exceeds the budget (irreducible exact-duplicate
+    * structure), the smallest is returned. `n` is the fingerprint row
+    * count (the calibration count the width rule already uses), so the
+    * budget scales with the corpus. Deterministic in the data — the
+    * oracle replays the identical rule in SQL. */
+  def recommendedRadius128(fps: DataFrame, width: Int, n: Long,
+                           radii: Seq[Int] = Seq(8, 12, 16, 20, 24),
+                           maxPairsPerItem: Double = 16.0): Int =
+    pickRadius(hammingRadiusSweep128(fps, width, radii), n, radii,
+      maxPairsPerItem)
+
+  private def pickRadius(sweep: DataFrame, n: Long, radii: Seq[Int],
+                         maxPairsPerItem: Double): Int = {
+    val rows = sweep.collect() // |radii| rows — model-bounded
+    val affordable = rows.filter(_.getLong(1) <= maxPairsPerItem * n)
+      .map(_.getInt(0))
+    if (affordable.isEmpty) radii.min else affordable.max
+  }
+
+  /** [[perceptualNearDupPairs128On]] at the DERIVED radius: ONE banded
+    * value join at `radii.max` (persisted) feeds both the density sweep
+    * and — after the radius decision — the output-proportional
+    * expansion; the sweep is not a second candidate pass. */
+  def perceptualNearDupPairs128Auto(fps: DataFrame, width: Int, n: Long,
+                                    radii: Seq[Int] = Seq(8, 12, 16, 20, 24),
+                                    maxPairsPerItem: Double = 16.0): DataFrame = {
+    require(radii.nonEmpty && radii == radii.sorted && radii.distinct == radii,
+      s"perceptualNearDupPairs128Auto: radii must be sorted and distinct, got $radii")
+    val vp = graft.core.CacheRegistry.persist(
+      valuePairs128(fps, width, radii.max))
+    val radius = pickRadius(sweepFrom(fps, vp, radii), n, radii, maxPairsPerItem)
+    expandValuePairs128(fps, vp.where(col("hamming") <= radius))
   }
 
   /** Recall contract for the 128-bit tier — [[perceptualRecallContractOn]]
@@ -1592,21 +1693,20 @@ object Multimodal {
     * frame pair, then ≥ `minFrames` matched frames per video pair.
     * Output: (id_a, id_b, n_frames), a < b. Same plan law: 16-byte
     * keys, never content×content, never N². */
-  def videoNearDupPairs128(fps: DataFrame, width: Int, maxHamming: Int,
-                           minFrames: Int): DataFrame = {
+  /** DISTINCT (frame, fingerprint) banded candidate VALUE pairs with the
+    * frame index in the value key, capped at `capRadius` — the video
+    * core: a templated video corpus repeats identical frames across
+    * videos, so the hot-bucket quadratic counts distinct VALUES;
+    * matched-frame expansion is output-proportional. Output:
+    * (frame, ah, al, bh, bl, hamming). */
+  private def videoValuePairs128(fps: DataFrame, width: Int,
+                                 capRadius: Int): DataFrame = {
     require(width >= 1 && width <= 64 && 64 % width == 0,
-      s"videoNearDupPairs128: width must divide 64, got $width")
-    require(maxHamming >= 0 && maxHamming <= 128,
-      s"videoNearDupPairs128: need 0 <= maxHamming <= 128, got $maxHamming")
-    require(minFrames >= 1, s"videoNearDupPairs128: need minFrames >= 1, got $minFrames")
+      s"videoValuePairs128: width must divide 64, got $width")
+    require(capRadius >= 0 && capRadius <= 128,
+      s"videoValuePairs128: need 0 <= capRadius <= 128, got $capRadius")
     val mask = if (width == 64) -1L else (1L << width) - 1
     val perHalf = 64 / width
-    // VALUE-LEVEL banding with the frame index in the value key — see
-    // [[perceptualNearDupPairsOn]]: a templated video corpus repeats
-    // identical frames across videos, so the hot-bucket quadratic counts
-    // distinct (frame, fingerprint) VALUES; matched-frame expansion is
-    // output-proportional. Identical frame-pair set, then the same
-    // per-video-pair aggregate.
     val vals = fps.select(col("frame"), col("fph"), col("fpl")).distinct()
     val bandCols = (0 until 2 * perHalf).map { b =>
       val src = if (b < perHalf) col("fph") else col("fpl")
@@ -1619,13 +1719,22 @@ object Multimodal {
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val ham = (bit_count(col("ah").bitwiseXOR(col("bh"))) +
       bit_count(col("al").bitwiseXOR(col("bl")))).cast("long")
-    val valPairs = banded.toDF("frame", "ah", "al", "band", "bucket")
+    banded.toDF("frame", "ah", "al", "band", "bucket")
       .join(banded.toDF("frame", "bh", "bl", "band", "bucket"),
         Seq("frame", "band", "bucket"))
       .where(col("ah") < col("bh") ||
         (col("ah") === col("bh") && col("al") < col("bl")))
       .select("frame", "ah", "al", "bh", "bl").distinct()
-      .where(ham <= maxHamming)
+      .withColumn("hamming", ham)
+      .where(col("hamming") <= capRadius)
+  }
+
+  /** The value→ids expansion + matched-frame aggregate of the video pair
+    * family: frame-aligned id fan-out, equal-fingerprint frames via an
+    * exact equi-join, then ≥ `minFrames` matched frames per video pair.
+    * Output: (id_a, id_b, n_frames), a < b. */
+  private def expandVideoValuePairs128(fps: DataFrame, valPairs: DataFrame,
+                                       minFrames: Int): DataFrame = {
     val crossFrames = valPairs
       .join(fps.select(col("id").as("__ia"), col("frame"),
         col("fph").as("ah"), col("fpl").as("al")), Seq("frame", "ah", "al"))
@@ -1641,6 +1750,76 @@ object Multimodal {
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_frames"))
       .where(col("n_frames") >= minFrames)
+  }
+
+  def videoNearDupPairs128(fps: DataFrame, width: Int, maxHamming: Int,
+                           minFrames: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 128,
+      s"videoNearDupPairs128: need 0 <= maxHamming <= 128, got $maxHamming")
+    require(minFrames >= 1, s"videoNearDupPairs128: need minFrames >= 1, got $minFrames")
+    expandVideoValuePairs128(fps,
+      videoValuePairs128(fps, width, maxHamming), minFrames)
+  }
+
+  /** [[hammingRadiusSweep128]]'s video twin: exact FRAME-pair counts per
+    * candidate radius from frame-keyed value multiplicities — one banded
+    * join at `radii.max`, no id expansion. Output: (radius, n_pairs). */
+  def videoRadiusSweep128(fps: DataFrame, width: Int,
+                          radii: Seq[Int]): DataFrame = {
+    require(radii.nonEmpty && radii == radii.sorted && radii.distinct == radii,
+      s"videoRadiusSweep128: radii must be sorted and distinct, got $radii")
+    videoSweepFrom(fps, videoValuePairs128(fps, width, radii.max), radii)
+  }
+
+  private def videoSweepFrom(fps: DataFrame, vp: DataFrame,
+                             radii: Seq[Int]): DataFrame = {
+    val spark = fps.sparkSession
+    import spark.implicits._
+    val vcnt = graft.core.CacheRegistry.persist(
+      fps.groupBy(col("frame"), col("fph"), col("fpl"))
+        .agg(count(lit(1)).as("m")))
+    val counted = vp
+      .join(vcnt.toDF("frame", "ah", "al", "ma"), Seq("frame", "ah", "al"))
+      .join(vcnt.toDF("frame", "bh", "bl", "mb"), Seq("frame", "bh", "bl"))
+      .select(col("hamming"), (col("ma") * col("mb")).as("np"))
+    val exact0 = vcnt.agg(coalesce(
+      sum(col("m") * (col("m") - 1) / 2), lit(0L)).cast("long").as("np0"))
+    radii.toDF("radius")
+      .join(counted, col("hamming") <= col("radius"), "left")
+      .groupBy("radius")
+      .agg(coalesce(sum("np"), lit(0L)).as("__nb"))
+      .crossJoin(exact0)
+      .select(col("radius"), (col("__nb") + col("np0")).cast("long").as("n_pairs"))
+      .orderBy("radius")
+  }
+
+  /** DERIVED frame-verify radius for the video tier —
+    * [[recommendedRadius128]] over frame-aligned pair density: `n` is
+    * the SAMPLED-FRAME row count (the same count the video width rule
+    * calibrates on), the budget `maxPairsPerItem`·n bounds FRAME pairs
+    * (the quantity the expansion actually pays; video pairs are the
+    * ≥ minFrames aggregate of it). */
+  def recommendedRadiusVideo128(fps: DataFrame, width: Int, n: Long,
+                                radii: Seq[Int] = Seq(8, 12, 16, 20, 24),
+                                maxPairsPerItem: Double = 16.0): Int =
+    pickRadius(videoRadiusSweep128(fps, width, radii), n, radii,
+      maxPairsPerItem)
+
+  /** [[videoNearDupPairs128]] at the DERIVED radius — one banded value
+    * join at `radii.max` (persisted) feeds the sweep and the filtered
+    * expansion. */
+  def videoNearDupPairs128Auto(fps: DataFrame, width: Int, n: Long,
+                               minFrames: Int,
+                               radii: Seq[Int] = Seq(8, 12, 16, 20, 24),
+                               maxPairsPerItem: Double = 16.0): DataFrame = {
+    require(radii.nonEmpty && radii == radii.sorted && radii.distinct == radii,
+      s"videoNearDupPairs128Auto: radii must be sorted and distinct, got $radii")
+    val vp = graft.core.CacheRegistry.persist(
+      videoValuePairs128(fps, width, radii.max))
+    val radius = pickRadius(videoSweepFrom(fps, vp, radii), n, radii,
+      maxPairsPerItem)
+    expandVideoValuePairs128(fps, vp.where(col("hamming") <= radius),
+      minFrames)
   }
 
   /** Recall CONTRACT for the frame-aligned 128-bit video tier — q365's

@@ -823,4 +823,71 @@ class MultimodalSpec extends SparkSpec {
     gotVid.length shouldBe gotVid.toSet.size
     gotVid.toSet shouldBe refVid
   }
+
+  test("hammingRadiusSweep128 counts exact banded id-pair density per " +
+    "radius; recommendedRadius128 picks the largest affordable radius") {
+    // same duplicate-heavy seeded pool as the banding-equivalence spec:
+    // the sweep must count id pairs (multiplicity products + C(m,2)
+    // equal-value pairs) without ever expanding them
+    val rnd = new scala.util.Random(7)
+    val base = Seq.fill(20)(rnd.nextLong())
+    val near = base.take(8).map(v =>
+      v ^ (1L << rnd.nextInt(64)) ^ (1L << rnd.nextInt(64)))
+    val pool = base ++ near
+    def pick(): Long = pool(rnd.nextInt(pool.size))
+    val w = 16; val perHalf = 64 / w
+    val radii = Seq(8, 12, 16, 20, 24)
+    def buckets(v: Long, off: Int): Set[(Int, Long)] =
+      (0 until perHalf).map(b => (b + off, (v >> (b * w)) & 0xffffL)).toSet
+    val rows = (1L to 100L).map(i => (i, pick(), pick()))
+    val fps = rows.toDF("id", "fph", "fpl")
+    def ref(r: Int): Long = (for {
+      (ia, ha, la) <- rows; (ib, hb, lb) <- rows
+      if ia < ib
+      if (buckets(ha, 0) ++ buckets(la, perHalf))
+        .intersect(buckets(hb, 0) ++ buckets(lb, perHalf)).nonEmpty
+      if java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb) <= r
+    } yield 1L).sum
+    val sweep = Multimodal.hammingRadiusSweep128(fps, w, radii)
+      .as[(Int, Long)].collect().toMap
+    radii.foreach(r => sweep(r) shouldBe ref(r))
+
+    // the rule: cap when everything is affordable, floor when nothing is
+    val n = rows.size.toLong
+    Multimodal.recommendedRadius128(fps, w, n,
+      maxPairsPerItem = 1e9) shouldBe 24
+    Multimodal.recommendedRadius128(fps, w, n,
+      maxPairsPerItem = 0.0) shouldBe 8
+    // mid budget: exactly the largest radius whose count fits
+    val budget = (sweep(16) + 0.5) / n
+    Multimodal.recommendedRadius128(fps, w, n,
+      maxPairsPerItem = budget) shouldBe
+      radii.filter(r => sweep(r) <= budget * n).max
+
+    // Auto == On at the radius the rule picks (shared value-pair frame)
+    val picked = Multimodal.recommendedRadius128(fps, w, n)
+    Multimodal.perceptualNearDupPairs128Auto(fps, w, n)
+      .as[(Long, Long, Long)].collect().toSet shouldBe
+      Multimodal.perceptualNearDupPairs128On(fps, w, picked)
+        .as[(Long, Long, Long)].collect().toSet
+
+    // video twin: frame-keyed density, frame-pair counts
+    val vrows = for { id <- 1L to 40L; f <- 0L to 3L } yield (id, f, pick(), pick())
+    val vfps = vrows.toDF("id", "frame", "fph", "fpl")
+    def vref(r: Int): Long = (for {
+      (ia, fa, ha, la) <- vrows; (ib, fb, hb, lb) <- vrows
+      if ia < ib && fa == fb
+      if (buckets(ha, 0) ++ buckets(la, perHalf))
+        .intersect(buckets(hb, 0) ++ buckets(lb, perHalf)).nonEmpty
+      if java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb) <= r
+    } yield 1L).sum
+    val vsweep = Multimodal.videoRadiusSweep128(vfps, w, radii)
+      .as[(Int, Long)].collect().toMap
+    radii.foreach(r => vsweep(r) shouldBe vref(r))
+    val vPicked = Multimodal.recommendedRadiusVideo128(vfps, w, vrows.size.toLong)
+    Multimodal.videoNearDupPairs128Auto(vfps, w, vrows.size.toLong, 2)
+      .as[(Long, Long, Long)].collect().toSet shouldBe
+      Multimodal.videoNearDupPairs128(vfps, w, vPicked, 2)
+        .as[(Long, Long, Long)].collect().toSet
+  }
 }
