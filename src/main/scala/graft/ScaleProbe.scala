@@ -98,8 +98,176 @@ object ScaleProbe {
         // with COLLISIONS, which no index can remove
         case "ann_join_indexed" => Some((s, d) => annJoinProbe(s, d, indexed = true))
         case "ann_join_refingerprint" => Some((s, d) => annJoinProbe(s, d, indexed = false))
+        // the text-side flatness claim (VERDICT r9 #1): ONE streaming
+        // text micro-batch via streamDedupedIngest against a pre-admitted
+        // history of R fixture reps, maintained minhash sig/array index
+        // pre-seeded as the sink leaves it. The harness second includes
+        // the (history-sized) setup writes, so the probe ALSO prints
+        // setup/trigger split to stderr — the trigger term is the claim
+        case "text_batch_hist5" => Some((s, d) => textBatchProbe(s, d, histReps = 5))
+        case "text_batch_hist50" => Some((s, d) => textBatchProbe(s, d, histReps = 50))
+        // the join-stage isolation of the same claim, streaming plumbing
+        // removed: one batch against corpus + R-rep admitted history,
+        // (a) via the stored minhash index vs (b) re-signing the standing
+        // side per trigger (the r9 shape). Setup writes are identical in
+        // both arms, so the harness-second DELTA is the per-trigger
+        // standing re-sign the index retires
+        case "text_join_indexed" => Some((s, d) => textJoinProbe(s, d, indexed = true))
+        case "text_join_resign" => Some((s, d) => textJoinProbe(s, d, indexed = false))
+        // the ANN verify-term isolation (VERDICT r9 #2): identical
+        // candidate stage, exact-cosine verify fetching vectors from
+        // (a) the narrow stored <table>_vecs sibling the r10 sink
+        // maintains vs (b) re-evaluating the caller's corpus plan plus a
+        // full admitted-table read per trigger (the r9 shape)
+        case "ann_verify_stored" => Some((s, d) => annVerifyProbe(s, d, stored = true))
+        case "ann_verify_replan" => Some((s, d) => annVerifyProbe(s, d, stored = false))
+        // pricing value-level banding on a duplicate-POOR corpus
+        // (VERDICT r9 #7): fingerprints = xxhash64(doc_id) — every value
+        // distinct, ZERO duplicate structure, so the distinct+expand
+        // exchanges value-level banding adds are pure overhead and the
+        // id-level twin is the floor. Same bands (4×16-bit), radius 12
+        case "p64_unique_valuelevel" => Some((s, d) =>
+          graft.ops.Multimodal.perceptualNearDupPairsOn(uniqueFps(s, d), 4, 12))
+        case "p64_unique_idlevel" => Some((s, d) => idLevelPairs(uniqueFps(s, d), 4, 12))
+        // the same two arms on the duplicate-HEAVY bench corpus (the
+        // real SimHash fingerprints value-level banding was built for) —
+        // the other half of the trade being priced
+        case "p64_heavy_valuelevel" => Some((s, d) =>
+          graft.ops.Multimodal.perceptualNearDupPairsOn(graft.core.CacheRegistry.persist(
+            graft.ops.Multimodal.perceptualHash64Content(s, contentOf(s, d))), 4, 12))
+        case "p64_heavy_idlevel" => Some((s, d) => idLevelPairs(graft.core.CacheRegistry.persist(
+          graft.ops.Multimodal.perceptualHash64Content(s, contentOf(s, d))), 4, 12))
         case _ => None
       }
+    // the pre-value-level-banding (round-8) id-level pair plan, inlined
+    // here as the measurement twin: band (id, phash64) rows directly,
+    // candidate pairs at id grain, exact Hamming verify
+    def idLevelPairs(fps: DataFrame, bands: Int, maxHamming: Int): DataFrame = {
+      import org.apache.spark.sql.functions._
+      val width = 64 / bands
+      val mask = (1L << width) - 1
+      val bandCols = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          (shiftright(col("phash64"), b * width).bitwiseAND(lit(mask))).as("bucket"))
+      }
+      val banded = fps.select(col("id"), col("phash64"),
+          explode(array(bandCols: _*)).as("bb"))
+        .select(col("id"), col("phash64"),
+          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      banded.toDF("id_a", "fa", "band", "bucket")
+        .join(banded.toDF("id_b", "fb", "band", "bucket"), Seq("band", "bucket"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "fa", "fb").distinct()
+        .withColumn("hamming",
+          bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
+        .where(col("hamming") <= maxHamming)
+        .select("id_a", "id_b", "hamming")
+    }
+    def uniqueFps(s: SparkSession, d: String): DataFrame =
+      graft.core.Tables.tableRebalanced(s, d, "documents")
+        .select(org.apache.spark.sql.functions.col("doc_id").as("id"),
+          org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.col("doc_id")).as("phash64"))
+    def textBatchProbe(s: SparkSession, d: String, histReps: Int): DataFrame = {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      import graft.ops.Dedup
+      val rep = 10000000L
+      val docs = graft.core.Tables.table(s, d, "documents").select("doc_id", "text")
+      val rep0 = docs.where(col("doc_id") < lit(rep))
+      val corpus = rep0.where(pmod(col("doc_id"), lit(2)) === 0)
+      val batch = rep0.where(pmod(col("doc_id"), lit(4)) === 3)
+      val hist = docs.where(col("doc_id") >= lit(rep) &&
+        col("doc_id") < lit((histReps + 1) * rep))
+      val tmp = java.nio.file.Files.createTempDirectory(
+        s"probe-text$histReps").toString
+      val store = new graft.sources.TableStore(s)
+      val table = s"$tmp/bronze"
+      val m = Map("committedBatch" -> "-1")
+      val t0 = System.nanoTime()
+      store.overwriteWithMeta(table, hist, m)
+      val standing = corpus.unionByName(hist)
+      store.overwriteWithMeta(s"${table}_minhash_sigs",
+        Dedup.minHashBandTable(standing, "doc_id", "text", 3, 4, 3), m)
+      store.overwriteWithMeta(s"${table}_minhash_arrays",
+        Dedup.shingleArrays(standing, "doc_id", "text", 3), m)
+      val srcDir = new java.io.File(s"$tmp/drops"); srcDir.mkdirs()
+      val stage = s"$tmp/stage_b0"
+      batch.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(srcDir, "b0.parquet").toPath)
+      val schema = s.read.parquet(s"$srcDir/b0.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("basePath", srcDir.toString)
+        .parquet(s"$srcDir/*.parquet")
+      val t1 = System.nanoTime()
+      graft.streaming.EventStream.streamDedupedIngest(stream, corpus, store,
+        table, "doc_id", "text", 3, 4, 3, 0.5, s"$tmp/ckpt")
+        .awaitTermination()
+      val t2 = System.nanoTime()
+      System.err.println(f"[probe] text_batch_hist$histReps setup_sec=${(t1 - t0) / 1e9}%.3f trigger_sec=${(t2 - t1) / 1e9}%.3f")
+      store.read(table).where(pmod(col("doc_id"), lit(4)) === 3)
+    }
+    def textJoinProbe(s: SparkSession, d: String, indexed: Boolean): DataFrame = {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      import graft.ops.Dedup
+      val rep = 10000000L
+      val docs = graft.core.Tables.table(s, d, "documents").select("doc_id", "text")
+      val rep0 = docs.where(col("doc_id") < lit(rep))
+      val corpus = rep0.where(pmod(col("doc_id"), lit(2)) === 0)
+      val batch = rep0.where(pmod(col("doc_id"), lit(4)) === 3)
+      val hist = docs.where(col("doc_id") >= lit(rep) &&
+        col("doc_id") < lit(11L * rep))
+      val tmp = java.nio.file.Files.createTempDirectory("probe-textjoin").toString
+      val store = new graft.sources.TableStore(s)
+      store.overwrite(s"$tmp/bronze", hist)
+      val standing = corpus.unionByName(hist)
+      store.overwrite(s"$tmp/sigs",
+        Dedup.minHashBandTable(standing, "doc_id", "text", 3, 4, 3))
+      store.overwrite(s"$tmp/arrays",
+        Dedup.shingleArrays(standing, "doc_id", "text", 3))
+      val admitted = store.read(s"$tmp/bronze")
+      val dups =
+        if (indexed)
+          Dedup.minHashLshPairsIndexed(store.read(s"$tmp/sigs"),
+            store.read(s"$tmp/arrays"), batch, "doc_id", "text", 3, 4, 3, 0.5)
+        else
+          Dedup.minHashLshPairsAcross(corpus.unionByName(admitted), batch,
+            "doc_id", "text", 3, 4, 3, 0.5)
+      batch.join(dups.select(col("batch_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+    }
+    def annVerifyProbe(s: SparkSession, d: String, stored: Boolean): DataFrame = {
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      import graft.ops.Similarity
+      val emb = graft.core.Tables.table(s, d, "embeddings")
+        .select("vec_id", "embedding")
+      val corpus = emb.where(pmod(col("vec_id"), lit(4)) === 0)
+      val hist = emb.where(pmod(col("vec_id"), lit(4)) === 1 ||
+        pmod(col("vec_id"), lit(4)) === 2)
+      val batch = emb.where(pmod(col("vec_id"), lit(4)) === 3)
+      val n = corpus.count()
+      val bits = Similarity.recommendedBits(n)
+      val bands = Similarity.recommendedBands(n, 64)
+      val tmp = java.nio.file.Files.createTempDirectory(
+        s"probe-annverify-$stored").toString
+      val store = new graft.sources.TableStore(s)
+      store.overwrite(s"$tmp/vectors", hist)
+      store.overwrite(s"$tmp/vectors_sigs",
+        Similarity.signBandTable(corpus.unionByName(hist), "vec_id", "embedding",
+          bits, bands))
+      store.overwrite(s"$tmp/vectors_vecs", corpus.unionByName(hist))
+      val verifySide =
+        if (stored) store.read(s"$tmp/vectors_vecs")
+        else corpus.unionByName(store.read(s"$tmp/vectors"))
+      val dups = Similarity.lshNearDupPairsIndexed(
+        store.read(s"$tmp/vectors_sigs"), verifySide, batch,
+        "vec_id", "embedding", 0.3, bits, bands)
+      batch.join(dups.select(col("batch_id").as("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti")
+    }
     def annJoinProbe(s: SparkSession, d: String, indexed: Boolean): DataFrame = {
       import org.apache.spark.sql.functions.{col, pmod, lit}
       import graft.ops.Similarity

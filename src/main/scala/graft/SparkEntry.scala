@@ -1523,6 +1523,41 @@ object SparkEntry {
       }
       store.read(s"$tmp/vectors").select("vec_id")
     }),
+    // the ANN gate's INTRA-BATCH flag demonstrated (q370's embedding
+    // twin): ONE micro-batch of vectors with mutual near-dups,
+    // intraBatch = true — banded self-pairs → connected components →
+    // min-id representatives BEFORE the standing join. Oracled as the
+    // same chain (recursive closure over cosine-verified self-pairs,
+    // then the corpus cross-check over reps only)
+    "q371_stream_ann_intra_batch" -> ((s, dir) => {
+      import graft.streaming.EventStream
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val corpus = emb.where(col("vec_id") % 2 === 0)
+      val n = cachedCount(s, dir, "embeddings_even")(corpus)
+      val tmp = java.nio.file.Files.createTempDirectory("q371-intra").toString
+      val srcDir = new java.io.File(s"$tmp/drops"); srcDir.mkdirs()
+      val stage = s"$tmp/stage_b0"
+      emb.where(col("vec_id") % 2 === 1).coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(srcDir, "b0.parquet").toPath)
+      val schema = s.read.parquet(s"$srcDir/b0.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("basePath", srcDir.toString)
+        .parquet(s"$srcDir/*.parquet")
+      val store = new graft.sources.TableStore(s)
+      withStatePartitions(s, 8) {
+        val q = EventStream.streamAnnDedupedIngest(stream, corpus, store,
+          s"$tmp/vectors", "vec_id", "embedding", 0.3,
+          graft.ops.Similarity.recommendedBits(n),
+          graft.ops.Similarity.recommendedBands(n, 64), s"$tmp/ckpt",
+          intraBatch = true)
+        q.awaitTermination()
+      }
+      store.read(s"$tmp/vectors").select("vec_id")
+    }),
     // 128-BIT perceptual near-dup — the measured width-cap remedy: the
     // 64-bit tier's bands max out at 16-bit buckets (q336 read 18×/decade
     // at 100×, q355 25× — occupancy grows past ~10⁶ items), while 128
@@ -3215,6 +3250,40 @@ object SparkEntry {
       withStatePartitions(s, 8) {
         val q = EventStream.streamDedupedIngest(stream, corpus, store,
           s"$tmp/bronze", "doc_id", "text", 3, 4, 3, 0.5, s"$tmp/ckpt")
+        q.awaitTermination()
+      }
+      store.read(s"$tmp/bronze").select("doc_id", "text")
+    }),
+    // the INTRA-BATCH flag demonstrated (VERDICT r9 #6): ONE micro-batch
+    // containing mutual near-dups, intraBatch = true — the batch first
+    // reduces to cluster representatives (banded self-pairs → connected
+    // components → min id, the q43 chain) BEFORE the standing join, so
+    // two near-dups arriving together can no longer both be admitted.
+    // Oracled as the same two-stage chain: reps via the recursive
+    // closure, then the corpus cross-check over reps only
+    "q370_stream_intra_batch" -> ((s, dir) => {
+      import graft.streaming.EventStream
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("q370-intra").toString
+      val srcDir = new java.io.File(s"$tmp/drops"); srcDir.mkdirs()
+      val stage = s"$tmp/stage_b0"
+      docs.where(col("doc_id") % 2 === 1).select("doc_id", "text")
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(srcDir, "b0.parquet").toPath)
+      val schema = s.read.parquet(s"$srcDir/b0.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("basePath", srcDir.toString)
+        .parquet(s"$srcDir/*.parquet")
+      val corpus = docs.where(col("doc_id") % 4 === 0).select("doc_id", "text")
+      val store = new graft.sources.TableStore(s)
+      withStatePartitions(s, 8) {
+        val q = EventStream.streamDedupedIngest(stream, corpus, store,
+          s"$tmp/bronze", "doc_id", "text", 3, 4, 3, 0.5, s"$tmp/ckpt",
+          intraBatch = true)
         q.awaitTermination()
       }
       store.read(s"$tmp/bronze").select("doc_id", "text")
@@ -11579,6 +11648,45 @@ object SparkEntry {
          |UNION ALL
          |SELECT vec_id FROM surv2""".stripMargin
     },
+    // q371: the ANN gate's intra-batch reduction spelled out — banded
+    // self-pairs within the batch (cosine-verified), the recursive
+    // min-label closure, representatives = own cluster id, then the
+    // corpus cross-check over the representatives only (q366's chain)
+    "q371_stream_ann_intra_batch" ->
+      s"""WITH RECURSIVE emb_c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+         |b1 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+         |p AS (SELECT bits, greatest(1, least(8, 64 // bits)) AS bands FROM (
+         |  SELECT ${bitsSqlFrom("(SELECT count(*) AS n FROM emb_c)")} AS bits)),
+         |bb_i AS (
+         |  ${dynamicBandedSql("b1")}),
+         |jpairs AS (
+         |  SELECT c.id_a, c.id_b FROM (
+         |    SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |    FROM bb_i x JOIN bb_i y
+         |      ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id) c
+         |  JOIN b1 a ON a.vec_id = c.id_a
+         |  JOIN b1 b ON b.vec_id = c.id_b
+         |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |    CAST(b.embedding AS DOUBLE[])), 6) >= 0.3),
+         |bdocs AS (SELECT vec_id AS doc_id FROM b1),
+         |${closureTailSql("bdocs")},
+         |reps AS (SELECT b.vec_id, b.embedding FROM b1 b
+         |         JOIN assign a ON a.doc_id = b.vec_id AND a.cluster_id = b.vec_id),
+         |bc_x AS (
+         |  ${dynamicBandedSql("emb_c")}),
+         |bb_x AS (
+         |  ${dynamicBandedSql("reps")}),
+         |vp_x AS (
+         |  SELECT DISTINCT c.batch_id FROM (
+         |    SELECT DISTINCT x.vec_id AS corpus_id, y.vec_id AS batch_id
+         |    FROM bc_x x JOIN bb_x y
+         |      ON x.band = y.band AND x.bucket = y.bucket) c
+         |  JOIN emb_c a ON a.vec_id = c.corpus_id
+         |  JOIN reps b ON b.vec_id = c.batch_id
+         |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |    CAST(b.embedding AS DOUBLE[])), 6) >= 0.3)
+         |SELECT vec_id FROM reps
+         |WHERE vec_id NOT IN (SELECT batch_id FROM vp_x)""".stripMargin,
     // q364: the 128-bit grid (chars 1–32 → fph/fpl), the {4,8,16,32}
     // width rule, and the two-half Hamming verify — every bit replayed
     "q364_perceptual128_neardup" ->
@@ -12024,6 +12132,24 @@ object SparkEntry {
          |SELECT doc_id, text FROM surv1
          |UNION ALL
          |SELECT doc_id, text FROM surv2""".stripMargin,
+    // q370: the intra-batch reduction spelled out — the batch's own
+    // banded pairs (q22's chain), the recursive min-label closure (q43's
+    // chain), representatives = docs that are their own cluster id, then
+    // the corpus cross-check over the representatives only
+    "q370_stream_intra_batch" ->
+      s"""WITH RECURSIVE corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+         |batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+         |${minhashCtes(3, 4, 3, "batch")},
+         |jpairs AS (
+         |  SELECT p.id_a, p.id_b
+         |  FROM pairs p JOIN sizes sa ON p.id_a = sa.doc_id JOIN sizes sb ON p.id_b = sb.doc_id
+         |  WHERE CAST(p.n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE) >= 0.5),
+         |${closureTailSql("batch")},
+         |reps AS (SELECT b.doc_id, b.text FROM batch b
+         |         JOIN assign a ON a.doc_id = b.doc_id AND a.cluster_id = b.doc_id),
+         |${minhashCrossCtes(3, 4, 3, 0.5, "corpus", "reps", "x")}
+         |SELECT doc_id, text FROM reps
+         |WHERE doc_id NOT IN (SELECT id_b FROM vp_x)""".stripMargin,
     // q108: the drained two-batch streaming upsert must equal the batch
     // merge — q15's oracle verbatim
     "q108_stream_scd2_upsert" ->
