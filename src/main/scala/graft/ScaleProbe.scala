@@ -114,6 +114,17 @@ object ScaleProbe {
         // standing re-sign the index retires
         case "text_join_indexed" => Some((s, d) => textJoinProbe(s, d, indexed = true))
         case "text_join_resign" => Some((s, d) => textJoinProbe(s, d, indexed = false))
+        // stage decomposition of the indexed text trigger: candidate
+        // stage (batch bands ⋈ stored sigs) timed apart from the full
+        // verify (candidates ⋈ stored arrays ⋈ batch arrays), setup
+        // untimed — where does per-trigger wall go as history grows?
+        case "text_stages_hist5" => Some((s, d) => textStagesProbe(s, d, 5))
+        case "text_stages_hist50" => Some((s, d) => textStagesProbe(s, d, 50))
+        // the trigger body replayed OUTSIDE streaming, each sub-step
+        // timed: marker reads, dup join + survivor materialization,
+        // the three appends — which term grows with history?
+        case "text_sink_hist5" => Some((s, d) => textSinkProbe(s, d, 5))
+        case "text_sink_hist50" => Some((s, d) => textSinkProbe(s, d, 50))
         // the ANN verify-term isolation (VERDICT r9 #2): identical
         // candidate stage, exact-cosine verify fetching vectors from
         // (a) the narrow stored <table>_vecs sibling the r10 sink
@@ -164,10 +175,14 @@ object ScaleProbe {
         .select("id_a", "id_b", "hamming")
     }
     def uniqueFps(s: SparkSession, d: String): DataFrame =
-      graft.core.Tables.tableRebalanced(s, d, "documents")
-        .select(org.apache.spark.sql.functions.col("doc_id").as("id"),
-          org.apache.spark.sql.functions.xxhash64(
-            org.apache.spark.sql.functions.col("doc_id")).as("phash64"))
+      // persisted like every registered pair query persists its
+      // fingerprint frame — the comparison prices the PAIR STAGE plans,
+      // not how many times each re-reads an unpersisted input
+      graft.core.CacheRegistry.persist(
+        graft.core.Tables.tableRebalanced(s, d, "documents")
+          .select(org.apache.spark.sql.functions.col("doc_id").as("id"),
+            org.apache.spark.sql.functions.xxhash64(
+              org.apache.spark.sql.functions.col("doc_id")).as("phash64")))
     def textBatchProbe(s: SparkSession, d: String, histReps: Int): DataFrame = {
       import org.apache.spark.sql.functions.{col, lit, pmod}
       import graft.ops.Dedup
@@ -203,11 +218,14 @@ object ScaleProbe {
         .option("basePath", srcDir.toString)
         .parquet(s"$srcDir/*.parquet")
       val t1 = System.nanoTime()
-      graft.streaming.EventStream.streamDedupedIngest(stream, corpus, store,
-        table, "doc_id", "text", 3, 4, 3, 0.5, s"$tmp/ckpt")
-        .awaitTermination()
+      val q = graft.streaming.EventStream.streamDedupedIngest(stream, corpus,
+        store, table, "doc_id", "text", 3, 4, 3, 0.5, s"$tmp/ckpt")
+      q.awaitTermination()
       val t2 = System.nanoTime()
       System.err.println(f"[probe] text_batch_hist$histReps setup_sec=${(t1 - t0) / 1e9}%.3f trigger_sec=${(t2 - t1) / 1e9}%.3f")
+      q.recentProgress.foreach(p => System.err.println(
+        s"[probe] text_batch_hist$histReps progress batch=${p.batchId} " +
+          s"durationMs=${p.durationMs}"))
       store.read(table).where(pmod(col("doc_id"), lit(4)) === 3)
     }
     def textJoinProbe(s: SparkSession, d: String, indexed: Boolean): DataFrame = {
@@ -238,6 +256,91 @@ object ScaleProbe {
             "doc_id", "text", 3, 4, 3, 0.5)
       batch.join(dups.select(col("batch_id").as("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")
+    }
+    def textStagesProbe(s: SparkSession, d: String, histReps: Int): DataFrame = {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      import graft.ops.Dedup
+      val rep = 10000000L
+      val docs = graft.core.Tables.table(s, d, "documents").select("doc_id", "text")
+      val rep0 = docs.where(col("doc_id") < lit(rep))
+      val corpus = rep0.where(pmod(col("doc_id"), lit(2)) === 0)
+      val batch = rep0.where(pmod(col("doc_id"), lit(4)) === 3)
+      val hist = docs.where(col("doc_id") >= lit(rep) &&
+        col("doc_id") < lit((histReps + 1) * rep))
+      val tmp = java.nio.file.Files.createTempDirectory(
+        s"probe-stages$histReps").toString
+      val store = new graft.sources.TableStore(s)
+      val standing = corpus.unionByName(hist)
+      store.overwrite(s"$tmp/sigs",
+        Dedup.minHashBandTable(standing, "doc_id", "text", 3, 4, 3))
+      store.overwrite(s"$tmp/arrays",
+        Dedup.shingleArrays(standing, "doc_id", "text", 3))
+      val t0 = System.nanoTime()
+      val cands = store.read(s"$tmp/sigs")
+        .repartition(s.sparkContext.defaultParallelism)
+        .toDF("id_a", "band", "bh")
+        .join(Dedup.minHashBandTable(batch, "doc_id", "text", 3, 4, 3)
+          .toDF("id_b", "band", "bh"), Seq("band", "bh"))
+        .select("id_a", "id_b").distinct()
+      val nCands = cands.count()
+      val t1 = System.nanoTime()
+      val pairs = Dedup.minHashLshPairsIndexed(store.read(s"$tmp/sigs"),
+        store.read(s"$tmp/arrays"), batch, "doc_id", "text", 3, 4, 3, 0.5)
+      val nPairs = pairs.count()
+      val t2 = System.nanoTime()
+      System.err.println(f"[probe] text_stages_hist$histReps n_cands=$nCands " +
+        f"n_pairs=$nPairs cand_sec=${(t1 - t0) / 1e9}%.3f full_sec=${(t2 - t1) / 1e9}%.3f")
+      pairs
+    }
+    def textSinkProbe(s: SparkSession, d: String, histReps: Int): DataFrame = {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      import graft.ops.Dedup
+      val rep = 10000000L
+      val docs = graft.core.Tables.table(s, d, "documents").select("doc_id", "text")
+      val rep0 = docs.where(col("doc_id") < lit(rep))
+      val corpus = rep0.where(pmod(col("doc_id"), lit(2)) === 0)
+      val batch = rep0.where(pmod(col("doc_id"), lit(4)) === 3)
+      val hist = docs.where(col("doc_id") >= lit(rep) &&
+        col("doc_id") < lit((histReps + 1) * rep))
+      val tmp = java.nio.file.Files.createTempDirectory(
+        s"probe-sink$histReps").toString
+      val store = new graft.sources.TableStore(s)
+      val table = s"$tmp/bronze"
+      val m = Map("committedBatch" -> "-1")
+      store.overwriteWithMeta(table, hist, m)
+      val standing = corpus.unionByName(hist)
+      store.overwriteWithMeta(s"${table}_minhash_sigs",
+        Dedup.minHashBandTable(standing, "doc_id", "text", 3, 4, 3), m)
+      store.overwriteWithMeta(s"${table}_minhash_arrays",
+        Dedup.shingleArrays(standing, "doc_id", "text", 3), m)
+      def tt[A](label: String)(body: => A): A = {
+        val t0 = System.nanoTime()
+        val r = body
+        System.err.println(
+          f"[probe] text_sink_hist$histReps $label=${(System.nanoTime() - t0) / 1e9}%.3f")
+        r
+      }
+      val mk = Map("committedBatch" -> "0")
+      tt("markers") {
+        store.metaMaxLong(table, "committedBatch")
+        store.versionMeta(s"${table}_minhash_sigs")
+        store.versionMeta(s"${table}_minhash_arrays")
+        store.versionMeta(table)
+      }
+      val dups = Dedup.minHashLshPairsIndexed(
+        store.read(s"${table}_minhash_sigs"),
+        store.read(s"${table}_minhash_arrays"), batch,
+        "doc_id", "text", 3, 4, 3, 0.5)
+        .select(col("batch_id").as("doc_id")).distinct()
+      val survivors = batch.join(dups, Seq("doc_id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      tt("append_data") { store.appendWithMeta(table, survivors, mk) }
+      tt("append_sigs") { store.appendWithMeta(s"${table}_minhash_sigs",
+        Dedup.minHashBandTable(survivors, "doc_id", "text", 3, 4, 3), mk) }
+      tt("append_arrays") { store.appendWithMeta(s"${table}_minhash_arrays",
+        Dedup.shingleArrays(survivors, "doc_id", "text", 3), mk) }
+      survivors.unpersist()
+      store.read(table).where(pmod(col("doc_id"), lit(4)) === 3)
     }
     def annVerifyProbe(s: SparkSession, d: String, stored: Boolean): DataFrame = {
       import org.apache.spark.sql.functions.{col, pmod, lit}

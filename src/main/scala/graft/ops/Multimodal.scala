@@ -570,6 +570,19 @@ object Multimodal {
     // equal-fingerprint pairs share every band trivially (emitted by the
     // value→ids equi-join at hamming 0), unequal pairs surface iff their
     // VALUES share a band bucket — exactly the id-level candidate rule.
+    //
+    // THE TRADE, priced on both corpus classes (SCALE10X round 10): on a
+    // duplicate-POOR corpus (distinct fingerprints ≈ rows) the distinct +
+    // two expansion joins are pure overhead — measured 1.8–3.7× slower
+    // than id-level banding at 500 k unique fingerprints — and on a
+    // duplicate-heavy corpus whose ANSWER is itself huge the two forms
+    // converge (504 vs 582 s on a 453.9 M-pair answer; both output-
+    // bound). Value-level stays the default because its downside is
+    // bounded (≤ ~2× of extra exchanges on the answer) while id-level's
+    // is not: hot buckets make its candidate term quadratic in
+    // MULTIPLICITY, the regime where the 128-bit tier measured 4.6–6.5×
+    // wins for value-level (and growing with scale). Callers with a
+    // known near-unique fingerprint column can band ids directly.
     val vals = fps.select(col("phash64")).distinct()
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),

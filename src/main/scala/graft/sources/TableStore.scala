@@ -327,6 +327,20 @@ class TableStore(spark: SparkSession) {
     commit(table, prev :+ writeDataDir(table, df, spec), pMeta ++ metaLines(meta))
   }
 
+  /** Metadata-only commit: re-commit the CURRENT manifest with `meta`
+    * stated — the same data dirs, no bytes written or moved. The remedy
+    * when a maintenance commit ([[compact]], [[restore]], a manual
+    * append) dropped a marker a reader gates on (markers are not
+    * inherited by design): stamping is one tiny manifest write, where
+    * re-deriving the marker's consequences (e.g. a streaming sink's
+    * sibling-index heal scan) can cost a full table scan per trigger. */
+  def stampMeta(table: String, meta: Map[String, String]): Long = {
+    val v = currentVersion(table).getOrElse(throw new IllegalStateException(
+      s"stampMeta: no committed version at $table"))
+    commit(table, manifest(table, v),
+      manifestLines(table, v).filter(_.startsWith("#p ")) ++ metaLines(meta))
+  }
+
   private def metaLines(meta: Map[String, String]): Seq[String] =
     meta.toSeq.sortBy(_._1).map { case (k, v) =>
       // the value must survive the manifest's line-trim round trip: an

@@ -139,6 +139,29 @@ object EventStream {
     store.exists(table) &&
       currentBatchMarker(store, sib) < currentBatchMarker(store, table)
 
+  /** Repair a sibling index that trails its data table: re-derive index
+    * rows (via `sign`) for data-table ids missing from the sibling and
+    * append them under the data table's current marker. Runs ONLY when
+    * [[indexLags]] says the sibling trails. When the sibling trails but
+    * NOTHING is missing — a [[graft.sources.TableStore.compact]] of the
+    * sibling dropped its marker (maintenance commits state their own,
+    * usually empty, meta), the expected shape after compacting an index
+    * that accumulates one data dir per trigger — the marker is
+    * re-stamped with a metadata-only commit
+    * ([[graft.sources.TableStore.stampMeta]]): without it every future
+    * trigger would re-pay the full data ⋈ sibling heal scan to
+    * re-discover that nothing is missing. */
+  private def healSibling(store: graft.sources.TableStore, table: String,
+                          sib: String, idCol: String, cols: Seq[String])
+                         (sign: DataFrame => DataFrame): Unit =
+    if (indexLags(store, table, sib)) {
+      val marker = batchMarker(currentBatchMarker(store, table))
+      val missing = store.read(table).select(cols.map(col): _*)
+        .join(store.read(sib).select(idCol).distinct(), Seq(idCol), "left_anti")
+      if (!missing.isEmpty) store.appendWithMeta(sib, sign(missing), marker)
+      else store.stampMeta(sib, marker)
+    }
+
   /** Streaming Bronze ingest: a file stream drained into the versioned
     * [[graft.sources.TableStore]] via `foreachBatch` — the streaming twin of
     * [[graft.etl.BronzeIngest.ingestTable]]. The checkpoint tracks which
@@ -313,25 +336,11 @@ object EventStream {
           // self-heal the crash window between the data commit and the
           // sibling commits — ONLY when a sibling's marker trails the
           // data table's (a clean history skips the scan entirely)
-          if (indexLags(store, table, sigsTable)) {
-            val missing = store.read(table).select(col(idCol), col(textCol))
-              .join(store.read(sigsTable).select(idCol).distinct(),
-                Seq(idCol), "left_anti")
-            if (!missing.isEmpty)
-              store.appendWithMeta(sigsTable,
-                Dedup.minHashBandTable(missing, idCol, textCol, n, bands,
-                  rowsPerBand),
-                batchMarker(currentBatchMarker(store, table)))
-          }
-          if (indexLags(store, table, arraysTable)) {
-            val missing = store.read(table).select(col(idCol), col(textCol))
-              .join(store.read(arraysTable).select(idCol).distinct(),
-                Seq(idCol), "left_anti")
-            if (!missing.isEmpty)
-              store.appendWithMeta(arraysTable,
-                Dedup.shingleArrays(missing, idCol, textCol, n),
-                batchMarker(currentBatchMarker(store, table)))
-          }
+          healSibling(store, table, sigsTable, idCol, Seq(idCol, textCol))(
+            missing => Dedup.minHashBandTable(missing, idCol, textCol, n,
+              bands, rowsPerBand))
+          healSibling(store, table, arraysTable, idCol, Seq(idCol, textCol))(
+            missing => Dedup.shingleArrays(missing, idCol, textCol, n))
           // optional intra-batch reduction BEFORE the standing join:
           // banded self-pairs → cluster representatives (min id)
           val df =
@@ -438,23 +447,11 @@ object EventStream {
           // self-heal the crash window between the data commit and the
           // sibling commits — ONLY when a sibling's marker trails the
           // data table's (a clean history skips the scan entirely)
-          if (indexLags(store, table, sigsTable)) {
-            val missing = store.read(table).select(col(idCol), col(vecCol))
-              .join(store.read(sigsTable).select(idCol).distinct(),
-                Seq(idCol), "left_anti")
-            if (!missing.isEmpty)
-              store.appendWithMeta(sigsTable,
-                Similarity.signBandTable(missing, idCol, vecCol, bits, bands),
-                batchMarker(currentBatchMarker(store, table)))
-          }
-          if (indexLags(store, table, vecsTable)) {
-            val missing = store.read(table).select(col(idCol), col(vecCol))
-              .join(store.read(vecsTable).select(idCol).distinct(),
-                Seq(idCol), "left_anti")
-            if (!missing.isEmpty)
-              store.appendWithMeta(vecsTable, missing,
-                batchMarker(currentBatchMarker(store, table)))
-          }
+          healSibling(store, table, sigsTable, idCol, Seq(idCol, vecCol))(
+            missing => Similarity.signBandTable(missing, idCol, vecCol,
+              bits, bands))
+          healSibling(store, table, vecsTable, idCol, Seq(idCol, vecCol))(
+            identity)
           // optional intra-batch reduction BEFORE the standing join:
           // banded self-pairs → cluster representatives (min id)
           val df =

@@ -384,6 +384,37 @@ class TableStoreSpec extends SparkSpec {
     store.metaMaxLong(t, "committedBatch") shouldBe Some(3L)
   }
 
+  test("stampMeta re-states a marker without touching data (metadata-only " +
+    "commit after a compact dropped it)") {
+    val store = new TableStore(spark)
+    val t = tmp() + "/t"
+    intercept[IllegalStateException] { store.stampMeta(t, Map("k" -> "1")) }
+    store.overwriteWithMeta(t, Seq((1, "a")).toDF("id", "v"),
+      Map("committedBatch" -> "5"))
+    store.compact(t)
+    store.versionMeta(t) shouldBe Map.empty
+    val before = store.read(t).collect().toSet
+    val v = store.stampMeta(t, Map("committedBatch" -> "5"))
+    // a new version exists whose CURRENT meta carries the marker again,
+    // the data is byte-identical, and time travel still sees history
+    store.versionMeta(t) shouldBe Map("committedBatch" -> "5")
+    store.read(t).collect().toSet shouldBe before
+    store.readVersion(t, v - 1).collect().toSet shouldBe before
+  }
+
+  test("stampMeta preserves a partitioned layout's partition meta") {
+    val store = new TableStore(spark)
+    val t = tmp() + "/t"
+    store.overwriteWithMeta(t, Seq((1, "a", true)).toDF("id", "v", "is_current"),
+      Map.empty, Seq("is_current"))
+    store.stampMeta(t, Map("committedBatch" -> "2"))
+    store.versionMeta(t) shouldBe Map("committedBatch" -> "2")
+    val r = store.read(t)
+    r.count() shouldBe 1L
+    r.schema("is_current").dataType shouldBe
+      org.apache.spark.sql.types.BooleanType
+  }
+
   test("version meta coexists with a partitioned layout") {
     val store = new TableStore(spark)
     val t = tmp() + "/t"

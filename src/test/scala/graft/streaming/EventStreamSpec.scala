@@ -676,6 +676,46 @@ class EventStreamSpec extends SparkSpec {
       .as[Long].collect().toSet shouldBe Set(100L, 1L, 3L)
   }
 
+  test("a compacted sibling index (marker-less maintenance commit) is " +
+    "re-stamped by the next trigger's heal, not re-scanned forever") {
+    val root = Files.createTempDirectory("graft-stream-ann-compact")
+    val in = root.resolve("in").toString
+    val ckpt = root.resolve("ckpt").toString
+    val table = root.resolve("tables/vectors").toString
+    val store = new graft.sources.TableStore(spark)
+    def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val corpus = Seq((100L, vec(1, 0.1, 0, 0, 0, 0, 0, 0)))
+      .toDF("vec_id", "embedding")
+    val schema = corpus.schema
+    def ingest(): Unit = {
+      EventStream.streamAnnDedupedIngest(
+        spark.readStream.schema(schema).parquet(in), corpus, store, table,
+        "vec_id", "embedding", 0.8, 2, 4, ckpt).awaitTermination()
+      graft.core.CacheRegistry.drain()
+    }
+    Seq((1L, vec(0, 0, 1, 0.1, 0, 0, 0, 0))).toDF("vec_id", "embedding")
+      .write.mode("append").parquet(in)
+    ingest()
+    // maintenance: compact the sig sibling (it accumulates one data dir
+    // per trigger — compacting it is the expected operator action). The
+    // compact commit states no markers, so the sibling now TRAILS
+    store.compact(s"${table}_sigs")
+    EventStream.indexLags(store, table, s"${table}_sigs") shouldBe true
+    // next trigger: correctness holds (near-dup of the admitted row is
+    // rejected — nothing was actually missing from the index)...
+    Seq((2L, vec(0, 0, 0.95, 0.11, 0, 0, 0, 0)),
+      (3L, vec(0, 0, 0, 0, 0, 1, 0.1, 0))).toDF("vec_id", "embedding")
+      .write.mode("append").parquet(in)
+    ingest()
+    store.read(table).select("vec_id").as[Long].collect().toSet shouldBe
+      Set(1L, 3L)
+    // ...and the heal RE-STAMPED the marker instead of leaving the lag
+    // in place, so later triggers skip the heal scan again
+    EventStream.indexLags(store, table, s"${table}_sigs") shouldBe false
+    store.read(s"${table}_sigs").select("vec_id").distinct()
+      .as[Long].collect().toSet shouldBe Set(100L, 1L, 3L)
+  }
+
   test("sessionize (mapGroupsWithState) matches batch sessionization on a drained stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
