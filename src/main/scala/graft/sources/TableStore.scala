@@ -51,12 +51,20 @@ class TableStore(spark: SparkSession) {
     }
   }
 
+  /** Manifest-file reads since construction — a TEST OBSERVABILITY hook:
+    * the marker fast path's contract is "O(1) manifest reads on the
+    * common path" ([[metaMaxLong]]), and a spec can only pin that by
+    * counting, not timing. Not part of the store's public surface. */
+  private[sources] val manifestReadCount =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Manifest = data-dir lines plus optional `#p <name> <ddl-type>` lines
     * recording the physical partition columns. The type is load-bearing:
     * Spark's partition-value inference has no boolean (an
     * `is_current=true` dir would read back as string), so [[read]] casts
     * each recorded partition column back to its declared type. */
   private def manifestLines(table: String, v: Long): Seq[String] = {
+    manifestReadCount.incrementAndGet()
     val mp = new Path(table, s"_v$v")
     val f = fs(mp)
     val in = f.open(mp)
@@ -327,18 +335,23 @@ class TableStore(spark: SparkSession) {
     commit(table, prev :+ writeDataDir(table, df, spec), pMeta ++ metaLines(meta))
   }
 
-  /** Metadata-only commit: re-commit the CURRENT manifest with `meta`
-    * stated — the same data dirs, no bytes written or moved. The remedy
-    * when a maintenance commit ([[compact]], [[restore]], a manual
-    * append) dropped a marker a reader gates on (markers are not
+  /** Metadata-only commit: re-commit the CURRENT manifest with the
+    * current version's markers MERGED with `meta` (`meta` wins on key
+    * collision) — the same data dirs, no bytes written or moved. The
+    * remedy when a maintenance commit ([[compact]], [[restore]], a
+    * manual append) dropped a marker a reader gates on (markers are not
     * inherited by design): stamping is one tiny manifest write, where
     * re-deriving the marker's consequences (e.g. a streaming sink's
-    * sibling-index heal scan) can cost a full table scan per trigger. */
+    * sibling-index heal scan) can cost a full table scan per trigger.
+    * Merging (rather than replacing) means stamping one marker cannot
+    * silently drop an unrelated marker the same version carries — e.g.
+    * a calibration marker beside a committed-batch marker. */
   def stampMeta(table: String, meta: Map[String, String]): Long = {
     val v = currentVersion(table).getOrElse(throw new IllegalStateException(
       s"stampMeta: no committed version at $table"))
     commit(table, manifest(table, v),
-      manifestLines(table, v).filter(_.startsWith("#p ")) ++ metaLines(meta))
+      manifestLines(table, v).filter(_.startsWith("#p ")) ++
+        metaLines(metaOf(manifestLines(table, v)) ++ meta))
   }
 
   private def metaLines(meta: Map[String, String]): Seq[String] =
@@ -374,19 +387,63 @@ class TableStore(spark: SparkSession) {
       case Some(v) => metaOf(manifestLines(table, v))
     }
 
-  /** Maximum LONG value of marker `key` across EVERY committed manifest
-    * (≤ the current pointer) — the replay-safe read for monotone markers
-    * like a streaming sink's `committedBatch`: [[versionMeta]] sees only
-    * the latest commit, so an interleaved [[compact]] (or any commit that
-    * doesn't restate the marker) would silently reset it to "never" and a
-    * redelivered micro-batch would re-append. Manifests are never deleted
-    * (vacuum drops data dirs only), so the scan is O(versions) tiny file
-    * reads and the marker survives any maintenance commit. */
+  /** Maximum LONG value of marker `key` across the table's manifest
+    * history — the replay-safe read for MONOTONE markers like a
+    * streaming sink's `committedBatch`: [[versionMeta]] sees only the
+    * latest commit, so an interleaved [[compact]] (or any commit that
+    * doesn't restate the marker) would silently reset it to "never" and
+    * a redelivered micro-batch would re-append.
+    *
+    * FAST PATH (VERDICT r10 #2): when the CURRENT version carries the
+    * key, its value IS the answer — one manifest read, O(1) however
+    * long the history. This leans on the monotone-writer contract the
+    * marker class is defined by (every data commit restates a
+    * non-decreasing value; [[graft.streaming.EventStream]]'s writers
+    * all do): a streaming table at 10⁵ triggers would otherwise pay
+    * 10⁵ tiny driver-side manifest reads PER TRIGGER — O(T²) over the
+    * stream's lifetime. Commits that cannot vouch for the marker
+    * ([[compact]], [[restore]], a manual append) state no markers at
+    * all, so they fall through to the history scan rather than
+    * answering wrongly. The scan also folds in [[vacuum]]'s
+    * folded-marker sidecar, so the max survives manifest retention. */
   def metaMaxLong(table: String, key: String): Option[Long] = {
-    val hits = versions(table).flatMap(v =>
-      metaOf(manifestLines(table, v)).get(key))
-      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
-    if (hits.isEmpty) None else Some(hits.max)
+    val parse = (v: String) => scala.util.Try(v.trim.toLong).toOption
+    versionMeta(table).get(key).flatMap(parse) match {
+      case fast @ Some(_) => fast
+      case None =>
+        val hits = versions(table).flatMap(v =>
+          metaOf(manifestLines(table, v)).get(key)).flatMap(parse) ++
+          foldedMeta(table).get(key)
+        if (hits.isEmpty) None else Some(hits.max)
+    }
+  }
+
+  private def foldedMetaPath(table: String) = new Path(table, "_meta_folded")
+  private def foldedMetaTmpPath(table: String) = new Path(table, "_meta_folded.tmp")
+
+  /** Monotone markers preserved from manifests [[vacuum]] deleted —
+    * `key value` lines, max-long per key. Recovery rule: the final file
+    * wins; a crash between [[vacuum]]'s delete and rename leaves only
+    * the tmp file, whose content is complete (written fully before the
+    * final was touched), so it is read as the fallback. */
+  private def foldedMeta(table: String): Map[String, Long] = {
+    val finalP = foldedMetaPath(table)
+    val tmpP = foldedMetaTmpPath(table)
+    val f = fs(finalP)
+    val p = if (f.exists(finalP)) Some(finalP)
+            else if (f.exists(tmpP)) Some(tmpP) else None
+    p.map { path =>
+      val in = f.open(path)
+      val lines =
+        try new String(in.readAllBytes(), "UTF-8").split("\n").toSeq
+        finally in.close()
+      lines.map(_.trim).filter(_.nonEmpty).flatMap { l =>
+        l.split(" ", 2) match {
+          case Array(k, v) => scala.util.Try(v.trim.toLong).toOption.map(k -> _)
+          case _ => None
+        }
+      }.toMap
+    }.getOrElse(Map.empty)
   }
 
   /** The MERGE-rewrite commit (reference Delta MERGE,
@@ -429,23 +486,64 @@ class TableStore(spark: SparkSession) {
     * committed manifests (Delta `VACUUM`'s retention window, counted in
     * versions instead of hours — deterministic for tests and replays).
     * The default keeps only the current snapshot; pass more to retain a
-    * [[readVersion]]/[[restore]] horizon. Manifests are never deleted
-    * (Delta keeps its whole log too): an out-of-window version stays in
-    * [[versions]] and fails LOUDLY on read, and any version whose dirs
-    * are all inside the window — e.g. every ancestor in an append-only
-    * history — stays readable for free. */
-  def vacuum(table: String, keepVersions: Int = 1): Unit = {
+    * [[readVersion]]/[[restore]] horizon. An out-of-window version is
+    * gone from [[versions]] and fails LOUDLY on read — never partially.
+    *
+    * MANIFEST FOLDING (VERDICT r10 task 4): with `foldManifests` (the
+    * default), manifests below the retention window are deleted too —
+    * a high-frequency streaming table commits up to 3 manifest versions
+    * per trigger (data + index siblings), so "manifests are never
+    * deleted" made [[versions]] listings and time-travel metadata grow
+    * forever even after their data dirs were reclaimed. Monotone LONG
+    * markers from folded manifests are preserved in the `_meta_folded`
+    * sidecar (max per key, merged with any prior sidecar) so
+    * [[metaMaxLong]]'s replay guarantee survives retention; non-long
+    * marker values fold away with their manifests (the monotone-long
+    * class is exactly what the history-max read serves). The sidecar
+    * swap is crash-safe: content is fully written to `.tmp` first, and
+    * folded manifests are deleted only after the rename — at every
+    * crash point either the old sidecar + the manifests, the complete
+    * tmp, or the complete final file carries the folded maxes.
+    * Pass `foldManifests = false` for the old keep-all-manifests
+    * behavior (a forensic log). */
+  def vacuum(table: String, keepVersions: Int = 1,
+             foldManifests: Boolean = true): Unit = {
     require(keepVersions >= 1,
       s"vacuum: need keepVersions >= 1, got $keepVersions")
     val tp = new Path(table)
     val f = fs(tp)
     currentVersion(table).foreach { _ =>
-      val live = versions(table).takeRight(keepVersions)
+      val vs = versions(table)
+      val live = vs.takeRight(keepVersions)
         .flatMap(v => manifest(table, v)).toSet
       f.listStatus(tp).foreach { st =>
         val n = st.getPath.getName
         if (n.startsWith("data-") && !live.contains(n))
           f.delete(st.getPath, true)
+      }
+      val folded = vs.dropRight(keepVersions)
+      if (foldManifests && folded.nonEmpty) {
+        val foldedMax: Map[String, Long] = folded
+          .flatMap(v => metaOf(manifestLines(table, v)).toSeq)
+          .flatMap { case (k, v) =>
+            scala.util.Try(v.trim.toLong).toOption.map(k -> _)
+          }
+          .groupBy(_._1).map { case (k, kvs) => k -> kvs.map(_._2).max }
+        val merged = (foldedMeta(table).toSeq ++ foldedMax.toSeq)
+          .groupBy(_._1).map { case (k, kvs) => k -> kvs.map(_._2).max }
+        if (merged.nonEmpty) {
+          val tmpP = foldedMetaTmpPath(table)
+          val finalP = foldedMetaPath(table)
+          writeFile(tmpP, merged.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"$k $v" }.mkString("\n"))
+          f.delete(finalP, false)
+          if (!f.rename(tmpP, finalP))
+            throw new IllegalStateException(
+              s"vacuum: could not swap folded-marker sidecar at $table")
+        }
+        folded.foreach { v =>
+          f.delete(new Path(table, s"_v$v"), false)
+        }
       }
     }
   }

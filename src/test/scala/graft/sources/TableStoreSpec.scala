@@ -159,15 +159,22 @@ class TableStoreSpec extends SparkSpec {
     store.overwrite(t, Seq((9, "z")).toDF("id", "v"))        // v1
     // pre-vacuum, the old snapshot is still exactly readable
     store.readVersion(t, 0).count() shouldBe 1L
-    store.vacuum(t)
+    // keep-all-manifests mode: the out-of-window version stays listed and
+    // fails on its missing DATA dirs
+    store.vacuum(t, foldManifests = false)
     val e = intercept[IllegalStateException] { store.readVersion(t, 0) }
     e.getMessage should include("vacuumed")
-    // appends-only history survives vacuum: every old version's dirs are
-    // a subset of the current manifest (nothing is orphaned)
+    // default (folding) mode: the manifest is gone too — still loud
+    store.vacuum(t)
+    store.versions(t) shouldBe Seq(1L)
+    intercept[IllegalStateException] { store.readVersion(t, 0) }
+      .getMessage should include("no manifest")
+    // appends-only history survives a NON-folding vacuum for free: every
+    // old version's dirs are a subset of the current manifest
     val t2 = tmp() + "/t2"
     store.append(t2, Seq((1, "a")).toDF("id", "v"))
     store.append(t2, Seq((2, "b")).toDF("id", "v"))
-    store.vacuum(t2)
+    store.vacuum(t2, foldManifests = false)
     store.readVersion(t2, 0).count() shouldBe 1L
   }
 
@@ -178,13 +185,75 @@ class TableStoreSpec extends SparkSpec {
     store.overwrite(t, Seq((2, "b")).toDF("id", "v")) // v1
     store.overwrite(t, Seq((3, "c")).toDF("id", "v")) // v2
     store.vacuum(t, keepVersions = 2)
-    // v1 and v2 survive; v0's dirs are gone but its manifest stays listed
+    // v1 and v2 survive; v0's dirs AND manifest are gone (folded)
     store.readVersion(t, 1).as[(Int, String)].collect().toSet shouldBe Set((2, "b"))
     store.readVersion(t, 2).as[(Int, String)].collect().toSet shouldBe Set((3, "c"))
-    store.versions(t) shouldBe Seq(0L, 1L, 2L)
+    store.versions(t) shouldBe Seq(1L, 2L)
     intercept[IllegalStateException] { store.readVersion(t, 0) }
-      .getMessage should include("vacuumed")
+      .getMessage should include("no manifest")
     an[IllegalArgumentException] should be thrownBy store.vacuum(t, 0)
+  }
+
+  test("vacuum folds manifests: the monotone marker max survives retention") {
+    val store = new TableStore(spark)
+    val t = tmp() + "/t"
+    store.overwriteWithMeta(t, Seq((1, "a")).toDF("id", "v"),
+      Map("committedBatch" -> "0"))                          // v0
+    store.appendWithMeta(t, Seq((2, "b")).toDF("id", "v"),
+      Map("committedBatch" -> "7"))                          // v1
+    store.compact(t)                                         // v2, marker-less
+    store.vacuum(t, keepVersions = 1)
+    // only the marker-less compact survives, yet the history max lives on
+    store.versions(t) shouldBe Seq(2L)
+    store.versionMeta(t) shouldBe Map.empty
+    store.metaMaxLong(t, "committedBatch") shouldBe Some(7L)
+    // folding is cumulative across vacuums: a later fold merges with the
+    // sidecar instead of replacing it
+    store.appendWithMeta(t, Seq((3, "c")).toDF("id", "v"),
+      Map("committedBatch" -> "9", "other" -> "2"))          // v3
+    store.compact(t)                                         // v4, marker-less
+    store.vacuum(t, keepVersions = 1)
+    store.metaMaxLong(t, "committedBatch") shouldBe Some(9L)
+    store.metaMaxLong(t, "other") shouldBe Some(2L)
+    store.read(t).count() shouldBe 3L
+  }
+
+  test("folded-marker sidecar recovers from a crash between delete and rename") {
+    val store = new TableStore(spark)
+    val t = tmp() + "/t"
+    store.overwriteWithMeta(t, Seq((1, "a")).toDF("id", "v"),
+      Map("committedBatch" -> "4"))
+    store.compact(t)
+    store.vacuum(t, keepVersions = 1)
+    store.metaMaxLong(t, "committedBatch") shouldBe Some(4L)
+    // simulate the crash window: final sidecar deleted, tmp (complete)
+    // left behind — the read falls back to the tmp file
+    val dir = new java.io.File(t)
+    val fin = new java.io.File(dir, "_meta_folded")
+    val tmpF = new java.io.File(dir, "_meta_folded.tmp")
+    java.nio.file.Files.copy(fin.toPath, tmpF.toPath)
+    fin.delete() shouldBe true
+    new java.io.File(dir, "._meta_folded.crc").delete()
+    store.metaMaxLong(t, "committedBatch") shouldBe Some(4L)
+  }
+
+  test("metaMaxLong takes the current-version fast path: O(1) manifest " +
+    "reads however long the history") {
+    val store = new TableStore(spark)
+    val t = tmp() + "/t"
+    store.overwriteWithMeta(t, Seq((1, "a")).toDF("id", "v"),
+      Map("committedBatch" -> "0"))
+    // a long-running stream's manifest history, minus the data writes:
+    // metadata-only commits are the cheap stand-in for 300 triggers
+    (1 to 300).foreach(i => store.stampMeta(t, Map("committedBatch" -> i.toString)))
+    store.manifestReadCount.set(0L)
+    store.metaMaxLong(t, "committedBatch") shouldBe Some(300L)
+    // ONE manifest read (the current version) — not 301
+    store.manifestReadCount.get() should be <= 2L
+    // the absent-key path still scans history (and is the slow path)
+    store.manifestReadCount.set(0L)
+    store.metaMaxLong(t, "nope") shouldBe None
+    store.manifestReadCount.get() should be >= 300L
   }
 
   test("restore rolls back to a past snapshot as a NEW commit, history intact") {
