@@ -1017,6 +1017,31 @@ object Similarity {
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
+  /** Banded SELF-pairs + exact-cosine verify from a PRECOMPUTED
+    * [[signBandTable]] — the sign-once hook for callers that already
+    * hold the frame's signatures (the streaming gate's intra-batch
+    * reduction signs the batch once and feeds the same table here, into
+    * the standing-index join, and into the sibling-index append —
+    * VERDICT r10 #3 measured the previous shape signing every
+    * intra-batch trigger twice). Set-identical to [[lshNearDupPairs]]
+    * when `sigs` is exactly `signBandTable(emb, …)`. Caller owns the
+    * persistence of `sigs` (both sides of the self-join consume it). */
+  def lshNearDupPairsOn(sigs: DataFrame, emb: DataFrame, idCol: String,
+                        vecCol: String, threshold: Double): DataFrame = {
+    val slim = sigs.select(col(idCol), col("band"), col("bucket"))
+    val candidates = slim.toDF("id_a", "band", "bucket")
+      .join(slim.toDF("id_b", "band", "bucket"), Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val vecs = emb.select(col(idCol), col(vecCol), normF(col(vecCol)).as("norm"))
+    candidates
+      .join(vecs.toDF("id_a", "va", "na"), Seq("id_a"))
+      .join(vecs.toDF("id_b", "vb", "nb"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dotF(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
   /** Batch-vs-standing near-dup detection against a PRECOMPUTED signature
     * index — the maintained-artifact form of [[lshNearDupPairsAcross]]
     * (set-identical when `standingSigs` is exactly
@@ -1027,11 +1052,16 @@ object Similarity {
     * `standingVecs` — an id-keyed join bounded by the candidate set, so
     * the standing side's vectors are touched only where a bucket
     * collided, and its signatures not at all. Returns
-    * (corpus_id, batch_id, cos ≥ threshold). */
+    * (corpus_id, batch_id, cos ≥ threshold).
+    *
+    * `batchSigs`: a PRECOMPUTED [[signBandTable]] of the batch
+    * (caller-persisted) — the sign-once hook; must be at the SAME
+    * (bits, bands) calibration as the standing index. */
   def lshNearDupPairsIndexed(standingSigs: DataFrame, standingVecs: DataFrame,
                              batch: DataFrame, idCol: String, vecCol: String,
                              threshold: Double, bits: Int, bands: Int,
-                             rebalance: Boolean = true): DataFrame = {
+                             rebalance: Boolean = true,
+                             batchSigs: Option[DataFrame] = None): DataFrame = {
     // a STORED index read back from a handful of parquet files would cap
     // the hot (band, bucket) join's parallelism at the FILE count
     // (measured at the 100× fixture: 169.7 s raw scan vs 56.6 s
@@ -1047,7 +1077,8 @@ object Similarity {
       else slim
     val cands = rebalanced
       .toDF("corpus_id", "band", "bucket")
-      .join(signBandTable(batch, idCol, vecCol, bits, bands)
+      .join(batchSigs.map(_.select(col(idCol), col("band"), col("bucket")))
+        .getOrElse(signBandTable(batch, idCol, vecCol, bits, bands))
         .toDF("batch_id", "band", "bucket"), Seq("band", "bucket"))
       .select("corpus_id", "batch_id").distinct()
     val cv = standingVecs.select(col(idCol).as("corpus_id"), col(vecCol).as("va"),

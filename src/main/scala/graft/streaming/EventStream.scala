@@ -156,10 +156,16 @@ object EventStream {
                          (sign: DataFrame => DataFrame): Unit =
     if (indexLags(store, table, sib)) {
       val marker = batchMarker(currentBatchMarker(store, table))
+      // persisted: the heal scan (a data ⋈ sibling anti-join) feeds both
+      // the emptiness probe and the append — unpersisted it would run
+      // twice per lagging sibling
       val missing = store.read(table).select(cols.map(col): _*)
         .join(store.read(sib).select(idCol).distinct(), Seq(idCol), "left_anti")
-      if (!missing.isEmpty) store.appendWithMeta(sib, sign(missing), marker)
-      else store.stampMeta(sib, marker)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (!missing.isEmpty) store.appendWithMeta(sib, sign(missing), marker)
+        else store.stampMeta(sib, marker)
+      } finally missing.unpersist()
     }
 
   /** Streaming Bronze ingest: a file stream drained into the versioned
@@ -341,34 +347,49 @@ object EventStream {
               bands, rowsPerBand))
           healSibling(store, table, arraysTable, idCol, Seq(idCol, textCol))(
             missing => Dedup.shingleArrays(missing, idCol, textCol, n))
-          // optional intra-batch reduction BEFORE the standing join:
-          // banded self-pairs → cluster representatives (min id)
-          val df =
-            if (!intraBatch) df0
-            else {
-              val slim = df0.select(col(idCol), col(textCol))
-              val pairs = Dedup.minHashLshPairs(slim, idCol, textCol, n,
-                bands, rowsPerBand, minJaccard)
-              df0.join(Dedup.dropNearDuplicates(slim, idCol, textCol, n,
-                minJaccard, Some(pairs)), Seq(idCol), "left_semi")
-            }
-          val dups = Dedup.minHashLshPairsIndexed(
-            store.read(sigsTable), store.read(arraysTable), df,
-            idCol, textCol, n, bands, rowsPerBand, minJaccard)
-            .select(col("batch_id").as(idCol)).distinct()
-          val survivors = df.join(dups, Seq(idCol), "left_anti")
+          // ONE signature pass per trigger (VERDICT r10 #3): the batch's
+          // band + shingle-array tables are computed once, persisted,
+          // and reused by the intra-batch reduction, the standing-index
+          // join, AND the sibling-index appends (the previous shape
+          // signed the intra path twice and survivors a third time)
+          val slim0 = df0.select(col(idCol), col(textCol))
+          val batchBands = Dedup.minHashBandTable(slim0, idCol, textCol,
+            n, bands, rowsPerBand)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val batchArrays = Dedup.shingleArrays(slim0, idCol, textCol, n)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
-            val marker = batchMarker(batchId)
-            if (store.exists(table)) store.appendWithMeta(table, survivors, marker)
-            else store.overwriteWithMeta(table, survivors, marker)
-            store.appendWithMeta(sigsTable,
-              Dedup.minHashBandTable(survivors, idCol, textCol, n, bands,
-                rowsPerBand), marker)
-            store.appendWithMeta(arraysTable,
-              Dedup.shingleArrays(survivors, idCol, textCol, n), marker)
-            ()
-          } finally survivors.unpersist()
+            // optional intra-batch reduction BEFORE the standing join:
+            // banded self-pairs → cluster representatives (min id)
+            val df =
+              if (!intraBatch) df0
+              else {
+                val pairs = Dedup.minHashLshPairsOn(batchBands, batchArrays,
+                  idCol, minJaccard)
+                df0.join(Dedup.dropNearDuplicates(slim0, idCol, textCol, n,
+                  minJaccard, Some(pairs)), Seq(idCol), "left_semi")
+              }
+            val keep = df.select(idCol)
+            val dups = Dedup.minHashLshPairsIndexed(
+              store.read(sigsTable), store.read(arraysTable), df,
+              idCol, textCol, n, bands, rowsPerBand, minJaccard,
+              batchBands = Some(batchBands.join(keep, Seq(idCol), "left_semi")),
+              batchArrays = Some(batchArrays.join(keep, Seq(idCol), "left_semi")))
+              .select(col("batch_id").as(idCol)).distinct()
+            val survivors = df.join(dups, Seq(idCol), "left_anti")
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              val marker = batchMarker(batchId)
+              if (store.exists(table)) store.appendWithMeta(table, survivors, marker)
+              else store.overwriteWithMeta(table, survivors, marker)
+              val survivorIds = survivors.select(idCol)
+              store.appendWithMeta(sigsTable,
+                batchBands.join(survivorIds, Seq(idCol), "left_semi"), marker)
+              store.appendWithMeta(arraysTable,
+                batchArrays.join(survivorIds, Seq(idCol), "left_semi"), marker)
+              ()
+            } finally survivors.unpersist()
+          } finally { batchBands.unpersist(); batchArrays.unpersist() }
         }
       }
       .start()
@@ -452,34 +473,46 @@ object EventStream {
               bits, bands))
           healSibling(store, table, vecsTable, idCol, Seq(idCol, vecCol))(
             identity)
-          // optional intra-batch reduction BEFORE the standing join:
-          // banded self-pairs → cluster representatives (min id)
-          val df =
-            if (!intraBatch) df0
-            else {
-              val pairs = Similarity.lshNearDupPairs(df0, idCol, vecCol,
-                threshold, bits, bands)
-              val keep = graft.ops.Dedup
-                .clusters(pairs, "id_a", "id_b", df0.select(idCol), idCol)
-                .where(col(idCol) === col("cluster_id")).select(idCol)
-              df0.join(keep, Seq(idCol), "left_semi")
-            }
-          val dups = Similarity.lshNearDupPairsIndexed(
-            store.read(sigsTable), store.read(vecsTable), df,
-            idCol, vecCol, threshold, bits, bands)
-            .select(col("batch_id").as(idCol)).distinct()
-          val survivors = df.join(dups, Seq(idCol), "left_anti")
+          // ONE signature pass per trigger (VERDICT r10 #3): the batch's
+          // sign-LSH band table is computed once, persisted, and reused
+          // by the intra-batch reduction, the standing-index join, AND
+          // the sigs-sibling append (the previous shape signed the intra
+          // path twice and survivors a third time)
+          val batchSigs = Similarity.signBandTable(df0, idCol, vecCol,
+            bits, bands)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
-            val marker = batchMarker(batchId)
-            if (store.exists(table)) store.appendWithMeta(table, survivors, marker)
-            else store.overwriteWithMeta(table, survivors, marker)
-            store.appendWithMeta(sigsTable,
-              Similarity.signBandTable(survivors, idCol, vecCol, bits, bands),
-              marker)
-            store.appendWithMeta(vecsTable, survivors, marker)
-            ()
-          } finally survivors.unpersist()
+            // optional intra-batch reduction BEFORE the standing join:
+            // banded self-pairs → cluster representatives (min id)
+            val df =
+              if (!intraBatch) df0
+              else {
+                val pairs = Similarity.lshNearDupPairsOn(batchSigs, df0,
+                  idCol, vecCol, threshold)
+                val keep = graft.ops.Dedup
+                  .clusters(pairs, "id_a", "id_b", df0.select(idCol), idCol)
+                  .where(col(idCol) === col("cluster_id")).select(idCol)
+                df0.join(keep, Seq(idCol), "left_semi")
+              }
+            val keepIds = df.select(idCol)
+            val dups = Similarity.lshNearDupPairsIndexed(
+              store.read(sigsTable), store.read(vecsTable), df,
+              idCol, vecCol, threshold, bits, bands,
+              batchSigs = Some(batchSigs.join(keepIds, Seq(idCol), "left_semi")))
+              .select(col("batch_id").as(idCol)).distinct()
+            val survivors = df.join(dups, Seq(idCol), "left_anti")
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              val marker = batchMarker(batchId)
+              if (store.exists(table)) store.appendWithMeta(table, survivors, marker)
+              else store.overwriteWithMeta(table, survivors, marker)
+              store.appendWithMeta(sigsTable,
+                batchSigs.join(survivors.select(idCol), Seq(idCol), "left_semi"),
+                marker)
+              store.appendWithMeta(vecsTable, survivors, marker)
+              ()
+            } finally survivors.unpersist()
+          } finally batchSigs.unpersist()
         }
       }
       .start()
