@@ -1527,10 +1527,15 @@ object SparkEntry {
         .parquet(s"$srcDir/*.parquet")
       val store = new graft.sources.TableStore(s)
       withStatePartitions(s, 8) {
+        // recalib: the library's own occupancy rule, re-applied at
+        // decade milestones of the STANDING count (VERDICT r10 #1 —
+        // bootstrap-pinned calibration drifts under-banded forever)
         val q = EventStream.streamAnnDedupedIngest(stream, corpus, store,
           s"$tmp/vectors", "vec_id", "embedding", 0.3,
           graft.ops.Similarity.recommendedBits(n),
-          graft.ops.Similarity.recommendedBands(n, 64), s"$tmp/ckpt")
+          graft.ops.Similarity.recommendedBands(n, 64), s"$tmp/ckpt",
+          recalib = Some(m => (graft.ops.Similarity.recommendedBits(m),
+            graft.ops.Similarity.recommendedBands(m, 64))))
         q.awaitTermination()
       }
       store.read(s"$tmp/vectors").select("vec_id")
@@ -1565,7 +1570,9 @@ object SparkEntry {
           s"$tmp/vectors", "vec_id", "embedding", 0.3,
           graft.ops.Similarity.recommendedBits(n),
           graft.ops.Similarity.recommendedBands(n, 64), s"$tmp/ckpt",
-          intraBatch = true)
+          intraBatch = true,
+          recalib = Some(m => (graft.ops.Similarity.recommendedBits(m),
+            graft.ops.Similarity.recommendedBands(m, 64))))
         q.awaitTermination()
       }
       store.read(s"$tmp/vectors").select("vec_id")
@@ -3258,10 +3265,15 @@ object SparkEntry {
         .option("basePath", srcDir.toString)
         .parquet(s"$srcDir/*.parquet")
       val corpus = docs.where(col("doc_id") % 2 === 0).select("doc_id", "text")
+      val n0 = cachedCount(s, dir, "documents_even")(corpus)
       val store = new graft.sources.TableStore(s)
       withStatePartitions(s, 8) {
+        // recalib: the standing index re-bands at decade milestones (the
+        // bench corpus never leaves the bootstrap decade, so the oracle's
+        // fixed-banding replay is exact)
         val q = EventStream.streamDedupedIngest(stream, corpus, store,
-          s"$tmp/bronze", "doc_id", "text", 3, 4, 3, 0.5, s"$tmp/ckpt")
+          s"$tmp/bronze", "doc_id", "text", 3, 4, 3, 0.5, s"$tmp/ckpt",
+          recalib = Some(m => graft.ops.Dedup.recommendedBanding(m, n0, 4, 3)))
         q.awaitTermination()
       }
       store.read(s"$tmp/bronze").select("doc_id", "text")
@@ -3291,11 +3303,13 @@ object SparkEntry {
         .option("basePath", srcDir.toString)
         .parquet(s"$srcDir/*.parquet")
       val corpus = docs.where(col("doc_id") % 4 === 0).select("doc_id", "text")
+      val n0 = cachedCount(s, dir, "documents_mod4")(corpus)
       val store = new graft.sources.TableStore(s)
       withStatePartitions(s, 8) {
         val q = EventStream.streamDedupedIngest(stream, corpus, store,
           s"$tmp/bronze", "doc_id", "text", 3, 4, 3, 0.5, s"$tmp/ckpt",
-          intraBatch = true)
+          intraBatch = true,
+          recalib = Some(m => graft.ops.Dedup.recommendedBanding(m, n0, 4, 3)))
         q.awaitTermination()
       }
       store.read(s"$tmp/bronze").select("doc_id", "text")

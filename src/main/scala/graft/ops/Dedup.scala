@@ -150,14 +150,68 @@ object Dedup {
     * (MinHashSig): no explode, no h-way min groupBy — byte-identical to the
     * min-over-exploded-shingles formulation (TextFunctionsSpec pins it). */
   private def lshBandTable(df: DataFrame, idCol: String, textCol: String,
-                           n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
-    val sigs = minHashSignatures(df, idCol, textCol, n, bands * rowsPerBand)
+                           n: Int, bands: Int, rowsPerBand: Int): DataFrame =
+    bandsFromSigs(minHashSignatures(df, idCol, textCol, n, bands * rowsPerBand),
+      idCol, bands, rowsPerBand)
+
+  private def bandsFromSigs(sigs: DataFrame, idCol: String,
+                            bands: Int, rowsPerBand: Int): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       val slots = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), md5(concat_ws("|", slots: _*)).as("bh"))
     }
     sigs.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  /** [[minHashBandTable]] recomputed from STORED shingle arrays (id, sh)
+    * instead of raw text — the milestone-re-banding rebuild path
+    * ([[graft.streaming.EventStream.streamDedupedIngest]]): when a
+    * maintained index re-derives its banding, the signatures must be
+    * recomputed at the new (bands, rowsPerBand), and the arrays sibling
+    * already holds every standing row's shingles — so the rebuild never
+    * touches the standing side's TEXT (which the index tables don't
+    * store). Byte-identical to [[minHashBandTable]] over the original
+    * text at the same calibration: MinHash mins are invariant under the
+    * arrays' `array_distinct` (duplicates cannot change a min). */
+  def minHashBandTableFromArrays(arrays: DataFrame, idCol: String,
+                                 bands: Int, rowsPerBand: Int): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = graft.functions.TextFunctions.minHashSig(col("sh"), numHashes)
+    val sigs = arrays.select(col(idCol), sig.as("sig")).where(col("sig").isNotNull)
+      .select((col(idCol) +: (0 until numHashes).map(i =>
+        element_at(col("sig"), i + 1).as(s"sig_$i"))): _*)
+    bandsFromSigs(sigs, idCol, bands, rowsPerBand)
+  }
+
+  /** COUNT-TRACKING MinHash banding — the constant-threshold family
+    * (Leskovec/Rajaraman/Ullman ch. 3): the bootstrap calibration
+    * (bands0, rows0) fixes the S-curve midpoint t = (1/bands0)^(1/rows0);
+    * each DECADE of corpus growth past `n0` adds one signature row per
+    * band (r = rows0 + decades) and re-derives the band count that holds
+    * the midpoint fixed (b = round(t^-r)) — so recall at the operating
+    * threshold is preserved while a sub-threshold pair's band-collision
+    * probability b·s^r falls geometrically in r (at s = t/2 each step
+    * cuts it ~2^rows0×), countering the n× growth in standing rows each
+    * collision is paid against. Cost is the signature width b·r,
+    * growing ~(1/t)× per decade — clamped at `maxHashes`, past which
+    * the calibration freezes (the documented ceiling of the family).
+    * At n ≤ n0 this returns exactly (bands0, rows0) — the gate's bench
+    * fixtures never leave the bootstrap decade, so their banding (and
+    * their oracle replays) are bit-stable. */
+  def recommendedBanding(n: Long, n0: Long, bands0: Int, rows0: Int,
+                         maxHashes: Int = 512): (Int, Int) = {
+    require(n >= 1 && n0 >= 1 && bands0 >= 1 && rows0 >= 1,
+      s"recommendedBanding: need n/n0/bands0/rows0 >= 1, got $n/$n0/$bands0/$rows0")
+    val decades =
+      if (n <= n0) 0
+      else math.floor(math.log10(n.toDouble / n0.toDouble)).toInt
+    val t = math.pow(1.0 / bands0, 1.0 / rows0)
+    def bandsFor(r: Int): Int =
+      math.max(1, math.round(math.pow(t, -r.toDouble)).toInt)
+    var r = rows0 + decades
+    while (r > rows0 && bandsFor(r) * r > maxHashes) r -= 1
+    (bandsFor(r), r)
   }
 
   /** MinHash + LSH banding: candidate pairs = documents sharing at least one

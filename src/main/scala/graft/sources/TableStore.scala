@@ -387,6 +387,15 @@ class TableStore(spark: SparkSession) {
       case Some(v) => metaOf(manifestLines(table, v))
     }
 
+  /** The metadata markers a SPECIFIC committed version carries — the
+    * history read behind latest-marker recovery: a maintenance commit
+    * ([[compact]], [[restore]]) states no markers, but the version
+    * before it still does, and for markers describing table CONTENT a
+    * compact did not change (an index sibling's calibration), the
+    * latest historical value is the correct one. */
+  def versionMetaAt(table: String, version: Long): Map[String, String] =
+    metaOf(manifestLines(table, version))
+
   /** Maximum LONG value of marker `key` across the table's manifest
     * history — the replay-safe read for MONOTONE markers like a
     * streaming sink's `committedBatch`: [[versionMeta]] sees only the

@@ -141,7 +141,9 @@ object EventStream {
 
   /** Repair a sibling index that trails its data table: re-derive index
     * rows (via `sign`) for data-table ids missing from the sibling and
-    * append them under the data table's current marker. Runs ONLY when
+    * append them under the data table's current marker (plus
+    * `extraMeta` — the sigs siblings' calibration markers, which every
+    * commit must restate because meta is not inherited). Runs ONLY when
     * [[indexLags]] says the sibling trails. When the sibling trails but
     * NOTHING is missing — a [[graft.sources.TableStore.compact]] of the
     * sibling dropped its marker (maintenance commits state their own,
@@ -150,23 +152,73 @@ object EventStream {
     * re-stamped with a metadata-only commit
     * ([[graft.sources.TableStore.stampMeta]]): without it every future
     * trigger would re-pay the full data ⋈ sibling heal scan to
-    * re-discover that nothing is missing. */
+    * re-discover that nothing is missing.
+    *
+    * Returns the number of healed rows, so the caller can fold them into
+    * the index's standing-count marker (a crash between the data commit
+    * and the sibling append would otherwise leave those rows permanently
+    * uncounted by the milestone-re-banding bookkeeping). */
   private def healSibling(store: graft.sources.TableStore, table: String,
-                          sib: String, idCol: String, cols: Seq[String])
-                         (sign: DataFrame => DataFrame): Unit =
-    if (indexLags(store, table, sib)) {
+                          sib: String, idCol: String, cols: Seq[String],
+                          extraMeta: Map[String, String] = Map.empty)
+                         (sign: DataFrame => DataFrame): Long =
+    if (!indexLags(store, table, sib)) 0L
+    else {
       val marker = batchMarker(currentBatchMarker(store, table))
       // persisted: the heal scan (a data ⋈ sibling anti-join) feeds both
-      // the emptiness probe and the append — unpersisted it would run
-      // twice per lagging sibling
+      // the count probe and the append — unpersisted it would run twice
+      // per lagging sibling
       val missing = store.read(table).select(cols.map(col): _*)
         .join(store.read(sib).select(idCol).distinct(), Seq(idCol), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        if (!missing.isEmpty) store.appendWithMeta(sib, sign(missing), marker)
-        else store.stampMeta(sib, marker)
+        val healed = missing.count()
+        if (healed > 0L)
+          store.appendWithMeta(sib, sign(missing), marker ++ extraMeta)
+        else store.stampMeta(sib, marker ++ extraMeta)
+        healed
       } finally missing.unpersist()
     }
+
+  /** The sigs siblings' calibration markers (see the milestone-re-banding
+    * notes on [[streamDedupedIngest]]/[[streamAnnDedupedIngest]]): the
+    * two calibration knobs under gate-specific keys, the standing count
+    * at the last calibration decision, and the current standing count. */
+  private def calibMeta(keyA: String, a: Int, keyB: String, b: Int,
+                        calibCount: Long, standingCount: Long): Map[String, String] =
+    Map(keyA -> a.toString, keyB -> b.toString,
+      "calibCount" -> calibCount.toString,
+      "standingCount" -> standingCount.toString)
+
+  /** Parse the four calibration markers: the CURRENT version's first,
+    * then the LATEST historical version carrying all four — a compact of
+    * the sigs sibling (the expected maintenance action: it accumulates a
+    * data dir per trigger) states no markers but changes no signatures,
+    * so the newest historical calibration still describes the content
+    * exactly, at the cost of a manifest-history walk instead of a full
+    * index rebuild. (The count markers can be one heal behind after a
+    * restore — they are milestone-pacing bookkeeping, not a correctness
+    * input, and the sigs heal folds missing rows back in.) None only
+    * when NO version ever carried them (a legacy or vacuum-folded
+    * index) — the caller's recovery path rebuilds from scratch then.
+    * CAVEAT, documented on both gates: restoring a sigs sibling ACROSS a
+    * re-banding boundary leaves content at the old calibration under
+    * newer history markers — delete the sibling instead (bootstrap
+    * rebuilds it); an index is a derived artifact, not a table to roll
+    * back. */
+  private def readCalib(store: graft.sources.TableStore, sib: String,
+                        keyA: String, keyB: String): Option[(Int, Int, Long, Long)] = {
+    def parse(m: Map[String, String]): Option[(Int, Int, Long, Long)] = for {
+      a <- m.get(keyA).flatMap(v => scala.util.Try(v.toInt).toOption)
+      b <- m.get(keyB).flatMap(v => scala.util.Try(v.toInt).toOption)
+      cc <- m.get("calibCount").flatMap(v => scala.util.Try(v.toLong).toOption)
+      sc <- m.get("standingCount").flatMap(v => scala.util.Try(v.toLong).toOption)
+    } yield (a, b, cc, sc)
+    parse(store.versionMeta(sib)).orElse(
+      store.versions(sib).reverse.iterator
+        .map(v => parse(store.versionMetaAt(sib, v)))
+        .collectFirst { case Some(c) => c })
+  }
 
   /** Streaming Bronze ingest: a file stream drained into the versioned
     * [[graft.sources.TableStore]] via `foreachBatch` — the streaming twin of
@@ -311,17 +363,39 @@ object EventStream {
     * `intraBatch = true` first reduces the batch to cluster
     * representatives (banded self-pairs → connected components → keep
     * min id, [[graft.ops.Dedup.dropNearDuplicates]]) BEFORE the standing
-    * join, so a batch can never admit two near-dups of each other. */
+    * join, so a batch can never admit two near-dups of each other.
+    *
+    * MILESTONE RE-BANDING (VERDICT r10 #1): the caller's (bands,
+    * rowsPerBand) is the BOOTSTRAP calibration only — the sigs sibling
+    * carries its own calibration markers (`calibBands`/`calibRows`) plus
+    * the standing count they were derived at (`calibCount`) and the
+    * current standing count (`standingCount`), all committed atomically
+    * with every signature write. With `recalib` set, each decade of
+    * standing growth past the last calibration decision re-derives the
+    * banding from the CURRENT standing count
+    * ([[graft.ops.Dedup.recommendedBanding]] is the intended rule) and
+    * rebuilds the sigs sibling from the stored shingle arrays in one
+    * atomic overwrite — so the index calibration tracks n forever
+    * instead of freezing at the bootstrap corpus, at amortized O(1)
+    * re-signs per admitted row. `recalib = None` pins the bootstrap
+    * calibration (the previous behavior). A maintenance commit that
+    * drops the calibration markers triggers the RECOVERY path: recount
+    * the standing side, re-derive, rebuild — the index is never trusted
+    * at an unknown calibration. */
   def streamDedupedIngest(stream: DataFrame, corpus: DataFrame,
                           store: graft.sources.TableStore, table: String,
                           idCol: String, textCol: String,
                           n: Int, bands: Int, rowsPerBand: Int,
                           minJaccard: Double, checkpoint: String,
-                          intraBatch: Boolean = false): StreamingQuery = {
+                          intraBatch: Boolean = false,
+                          recalib: Option[Long => (Int, Int)] = None): StreamingQuery = {
     import graft.ops.Dedup
     val sigsTable = s"${table}_minhash_sigs"
     val arraysTable = s"${table}_minhash_arrays"
     val corpusSlim = corpus.select(col(idCol), col(textCol))
+    // seeds the standing-count marker at bootstrap and backs the
+    // meta-loss recovery; computed at most once per gate instance
+    lazy val corpusN = corpusSlim.count()
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -330,23 +404,79 @@ object EventStream {
         if (batchId > lastCommittedBatch(store, table) && !batch.isEmpty) {
           val df0 = batch.toDF()
           // index bootstrap: the fixed corpus is signed ONCE, on the
-          // first trigger — never again
-          if (!store.exists(sigsTable))
+          // first trigger — never again; the calibration + standing-count
+          // markers commit WITH the signatures
+          if (!store.exists(sigsTable)) {
+            val n0 = corpusN
             store.overwriteWithMeta(sigsTable,
               Dedup.minHashBandTable(corpusSlim, idCol, textCol, n, bands,
-                rowsPerBand), batchMarker(-1L))
+                rowsPerBand),
+              batchMarker(-1L) ++
+                calibMeta("calibBands", bands, "calibRows", rowsPerBand, n0, n0))
+          }
           if (!store.exists(arraysTable))
             store.overwriteWithMeta(arraysTable,
               Dedup.shingleArrays(corpusSlim, idCol, textCol, n),
               batchMarker(-1L))
           // self-heal the crash window between the data commit and the
           // sibling commits — ONLY when a sibling's marker trails the
-          // data table's (a clean history skips the scan entirely)
-          healSibling(store, table, sigsTable, idCol, Seq(idCol, textCol))(
-            missing => Dedup.minHashBandTable(missing, idCol, textCol, n,
-              bands, rowsPerBand))
+          // data table's (a clean history skips the scan entirely). The
+          // CALIBRATION-INDEPENDENT arrays sibling heals first: it is
+          // the re-banding rebuild source, so it must be complete before
+          // any sigs rebuild below reads it.
           healSibling(store, table, arraysTable, idCol, Seq(idCol, textCol))(
             missing => Dedup.shingleArrays(missing, idCol, textCol, n))
+          // ACTIVE calibration: the sigs sibling's stored markers govern
+          // this trigger's banding (NOT the caller's bootstrap values —
+          // a milestone may have re-banded the index); when a
+          // maintenance commit dropped the markers, RECOVER by
+          // recounting the standing side and rebuilding the sigs from
+          // the arrays sibling in one atomic overwrite
+          var (curBands, curRows, calibCount, standingCount) =
+            readCalib(store, sigsTable, "calibBands", "calibRows").getOrElse {
+              val sc = corpusN +
+                (if (store.exists(table)) store.read(table).count() else 0L)
+              val (b, r) = recalib.map(_(sc)).getOrElse((bands, rowsPerBand))
+              store.overwriteWithMeta(sigsTable,
+                Dedup.minHashBandTableFromArrays(store.read(arraysTable),
+                  idCol, b, r),
+                batchMarker(currentBatchMarker(store, table)) ++
+                  calibMeta("calibBands", b, "calibRows", r, sc, sc))
+              (b, r, sc, sc)
+            }
+          // heal the sigs sibling at its ACTIVE calibration (restating
+          // the calibration markers the heal commit would otherwise
+          // drop), folding healed rows into the standing count
+          standingCount += healSibling(store, table, sigsTable, idCol,
+            Seq(idCol, textCol),
+            calibMeta("calibBands", curBands, "calibRows", curRows,
+              calibCount, standingCount))(
+            missing => Dedup.minHashBandTable(missing, idCol, textCol, n,
+              curBands, curRows))
+          // MILESTONE RE-BANDING (VERDICT r10 #1): when the standing
+          // side has grown a DECADE past the last calibration decision,
+          // re-derive the banding from the standing count and rebuild
+          // the sigs sibling from the arrays sibling in ONE atomic
+          // overwrite — the LSM-style milestone that keeps collision
+          // volume tracking n instead of drifting under-banded forever.
+          // Amortized O(1) per admitted row (each row is re-signed at
+          // most once per decade); a crash mid-rebuild leaves the old
+          // sigs version intact (pointer-swap commit).
+          recalib.foreach { rule =>
+            if (standingCount >= 10L * calibCount) {
+              val (nb, nr) = rule(standingCount)
+              calibCount = standingCount
+              if (nb != curBands || nr != curRows) {
+                curBands = nb; curRows = nr
+                store.overwriteWithMeta(sigsTable,
+                  Dedup.minHashBandTableFromArrays(store.read(arraysTable),
+                    idCol, nb, nr),
+                  batchMarker(currentBatchMarker(store, sigsTable)) ++
+                    calibMeta("calibBands", nb, "calibRows", nr,
+                      calibCount, standingCount))
+              }
+            }
+          }
           // ONE signature pass per trigger (VERDICT r10 #3): the batch's
           // band + shingle-array tables are computed once, persisted,
           // and reused by the intra-batch reduction, the standing-index
@@ -354,7 +484,7 @@ object EventStream {
           // signed the intra path twice and survivors a third time)
           val slim0 = df0.select(col(idCol), col(textCol))
           val batchBands = Dedup.minHashBandTable(slim0, idCol, textCol,
-            n, bands, rowsPerBand)
+            n, curBands, curRows)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val batchArrays = Dedup.shingleArrays(slim0, idCol, textCol, n)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -372,7 +502,7 @@ object EventStream {
             val keep = df.select(idCol)
             val dups = Dedup.minHashLshPairsIndexed(
               store.read(sigsTable), store.read(arraysTable), df,
-              idCol, textCol, n, bands, rowsPerBand, minJaccard,
+              idCol, textCol, n, curBands, curRows, minJaccard,
               batchBands = Some(batchBands.join(keep, Seq(idCol), "left_semi")),
               batchArrays = Some(batchArrays.join(keep, Seq(idCol), "left_semi")))
               .select(col("batch_id").as(idCol)).distinct()
@@ -384,7 +514,9 @@ object EventStream {
               else store.overwriteWithMeta(table, survivors, marker)
               val survivorIds = survivors.select(idCol)
               store.appendWithMeta(sigsTable,
-                batchBands.join(survivorIds, Seq(idCol), "left_semi"), marker)
+                batchBands.join(survivorIds, Seq(idCol), "left_semi"),
+                marker ++ calibMeta("calibBands", curBands, "calibRows", curRows,
+                  calibCount, standingCount + survivors.count()))
               store.appendWithMeta(arraysTable,
                 batchArrays.join(survivorIds, Seq(idCol), "left_semi"), marker)
               ()
@@ -439,17 +571,39 @@ object EventStream {
     * `intraBatch = true` first reduces the batch to cluster
     * representatives (banded self-pairs
     * [[graft.ops.Similarity.lshNearDupPairs]] → connected components →
-    * keep min id) BEFORE the standing join. */
+    * keep min id) BEFORE the standing join.
+    *
+    * MILESTONE RE-BANDING (VERDICT r10 #1): the caller's (bits, bands)
+    * is the BOOTSTRAP calibration only — the sigs sibling carries its
+    * own calibration markers (`calibBits`/`calibBands`, plus
+    * `calibCount`/`standingCount`), committed atomically with every
+    * signature write. With `recalib` set (the intended rule: `m =>
+    * (recommendedBits(m), recommendedBands(m, dim))`), each decade of
+    * standing growth past the last calibration decision re-derives
+    * (bits, bands) from the CURRENT standing count and rebuilds the
+    * sigs sibling from the vecs sibling in one atomic overwrite — the
+    * occupancy rule is an explicit function of n, and without this the
+    * stored index drifts under-banded as admitted history grows and
+    * collision-bound verify work grows superlinearly (the dominant
+    * per-trigger term at the 100× probe). `recalib = None` pins the
+    * bootstrap calibration (the previous behavior). Calibration-marker
+    * loss (a maintenance commit) RECOVERS by recounting the standing
+    * side and rebuilding — the index is never trusted at an unknown
+    * calibration. */
   def streamAnnDedupedIngest(stream: DataFrame, corpus: DataFrame,
                              store: graft.sources.TableStore, table: String,
                              idCol: String, vecCol: String,
                              threshold: Double, bits: Int, bands: Int,
                              checkpoint: String,
-                             intraBatch: Boolean = false): StreamingQuery = {
+                             intraBatch: Boolean = false,
+                             recalib: Option[Long => (Int, Int)] = None): StreamingQuery = {
     import graft.ops.Similarity
     val sigsTable = s"${table}_sigs"
     val vecsTable = s"${table}_vecs"
     val corpusSlim = corpus.select(col(idCol), col(vecCol))
+    // seeds the standing-count marker at bootstrap and backs the
+    // meta-loss recovery; computed at most once per gate instance
+    lazy val corpusN = corpusSlim.count()
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -458,28 +612,83 @@ object EventStream {
         if (batchId > lastCommittedBatch(store, table) && !batch.isEmpty) {
           val df0 = batch.toDF().select(col(idCol), col(vecCol))
           // index bootstrap: the fixed corpus is signed (and its vectors
-          // copied beside the index) ONCE, on the first trigger
-          if (!store.exists(sigsTable))
+          // copied beside the index) ONCE, on the first trigger; the
+          // calibration + standing-count markers commit WITH the sigs
+          if (!store.exists(sigsTable)) {
+            val n0 = corpusN
             store.overwriteWithMeta(sigsTable,
               Similarity.signBandTable(corpusSlim, idCol, vecCol, bits, bands),
-              batchMarker(-1L))
+              batchMarker(-1L) ++
+                calibMeta("calibBits", bits, "calibBands", bands, n0, n0))
+          }
           if (!store.exists(vecsTable))
             store.overwriteWithMeta(vecsTable, corpusSlim, batchMarker(-1L))
           // self-heal the crash window between the data commit and the
           // sibling commits — ONLY when a sibling's marker trails the
-          // data table's (a clean history skips the scan entirely)
-          healSibling(store, table, sigsTable, idCol, Seq(idCol, vecCol))(
-            missing => Similarity.signBandTable(missing, idCol, vecCol,
-              bits, bands))
+          // data table's (a clean history skips the scan entirely). The
+          // CALIBRATION-INDEPENDENT vecs sibling heals first: it is the
+          // re-banding rebuild source, so it must be complete before
+          // any sigs rebuild below reads it.
           healSibling(store, table, vecsTable, idCol, Seq(idCol, vecCol))(
             identity)
+          // ACTIVE calibration: the sigs sibling's stored markers govern
+          // this trigger's banding (a milestone may have re-banded past
+          // the caller's bootstrap values); meta loss RECOVERS by
+          // recounting the standing side and rebuilding from the vecs
+          // sibling in one atomic overwrite
+          var (curBits, curBands, calibCount, standingCount) =
+            readCalib(store, sigsTable, "calibBits", "calibBands").getOrElse {
+              val sc = corpusN +
+                (if (store.exists(table)) store.read(table).count() else 0L)
+              val (nb, nba) = recalib.map(_(sc)).getOrElse((bits, bands))
+              store.overwriteWithMeta(sigsTable,
+                Similarity.signBandTable(store.read(vecsTable), idCol, vecCol,
+                  nb, nba),
+                batchMarker(currentBatchMarker(store, table)) ++
+                  calibMeta("calibBits", nb, "calibBands", nba, sc, sc))
+              (nb, nba, sc, sc)
+            }
+          // heal the sigs sibling at its ACTIVE calibration (restating
+          // the calibration markers the heal commit would otherwise
+          // drop), folding healed rows into the standing count
+          standingCount += healSibling(store, table, sigsTable, idCol,
+            Seq(idCol, vecCol),
+            calibMeta("calibBits", curBits, "calibBands", curBands,
+              calibCount, standingCount))(
+            missing => Similarity.signBandTable(missing, idCol, vecCol,
+              curBits, curBands))
+          // MILESTONE RE-BANDING (VERDICT r10 #1): when the standing
+          // side has grown a DECADE past the last calibration decision,
+          // re-derive (bits, bands) from the standing count — the
+          // occupancy rule [[graft.ops.Similarity.recommendedBits]] is
+          // an explicit function of n, so a bootstrap-pinned calibration
+          // drifts under-banded and collision volume grows
+          // superlinearly — and rebuild the sigs sibling from the vecs
+          // sibling in ONE atomic overwrite. Amortized O(1) re-signs
+          // per admitted row; a crash mid-rebuild leaves the old sigs
+          // version intact (pointer-swap commit).
+          recalib.foreach { rule =>
+            if (standingCount >= 10L * calibCount) {
+              val (nb, nba) = rule(standingCount)
+              calibCount = standingCount
+              if (nb != curBits || nba != curBands) {
+                curBits = nb; curBands = nba
+                store.overwriteWithMeta(sigsTable,
+                  Similarity.signBandTable(store.read(vecsTable), idCol,
+                    vecCol, nb, nba),
+                  batchMarker(currentBatchMarker(store, sigsTable)) ++
+                    calibMeta("calibBits", nb, "calibBands", nba,
+                      calibCount, standingCount))
+              }
+            }
+          }
           // ONE signature pass per trigger (VERDICT r10 #3): the batch's
           // sign-LSH band table is computed once, persisted, and reused
           // by the intra-batch reduction, the standing-index join, AND
           // the sigs-sibling append (the previous shape signed the intra
           // path twice and survivors a third time)
           val batchSigs = Similarity.signBandTable(df0, idCol, vecCol,
-            bits, bands)
+            curBits, curBands)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
             // optional intra-batch reduction BEFORE the standing join:
@@ -497,7 +706,7 @@ object EventStream {
             val keepIds = df.select(idCol)
             val dups = Similarity.lshNearDupPairsIndexed(
               store.read(sigsTable), store.read(vecsTable), df,
-              idCol, vecCol, threshold, bits, bands,
+              idCol, vecCol, threshold, curBits, curBands,
               batchSigs = Some(batchSigs.join(keepIds, Seq(idCol), "left_semi")))
               .select(col("batch_id").as(idCol)).distinct()
             val survivors = df.join(dups, Seq(idCol), "left_anti")
@@ -508,7 +717,8 @@ object EventStream {
               else store.overwriteWithMeta(table, survivors, marker)
               store.appendWithMeta(sigsTable,
                 batchSigs.join(survivors.select(idCol), Seq(idCol), "left_semi"),
-                marker)
+                marker ++ calibMeta("calibBits", curBits, "calibBands", curBands,
+                  calibCount, standingCount + survivors.count()))
               store.appendWithMeta(vecsTable, survivors, marker)
               ()
             } finally survivors.unpersist()

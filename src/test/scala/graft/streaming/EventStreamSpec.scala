@@ -716,6 +716,165 @@ class EventStreamSpec extends SparkSpec {
       .as[Long].collect().toSet shouldBe Set(100L, 1L, 3L)
   }
 
+  test("streamAnnDedupedIngest milestone re-bands the sigs index when the " +
+    "standing side grows a decade past the bootstrap calibration") {
+    val root = Files.createTempDirectory("graft-stream-ann-reband")
+    val in = root.resolve("in").toString
+    val ckpt = root.resolve("ckpt").toString
+    val table = root.resolve("tables/vectors").toString
+    val store = new graft.sources.TableStore(spark)
+    def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    def basis(j: Int, sign: Double): Array[Float] = {
+      val a = Array.fill(8)(0f); a(j) = sign.toFloat; a
+    }
+    val corpus = Seq((100L, vec(1, 0.1, 0, 0, 0, 0, 0, 0)))
+      .toDF("vec_id", "embedding")
+    // the calibration rule of the test universe: past a standing count
+    // of 10, widen buckets (2→3 bits) and re-fit bands to the 8-dim
+    // vectors (4→2) — the shape recommendedBits/recommendedBands take
+    // at real scale
+    val rule: Long => (Int, Int) =
+      m => if (m >= 10L) (3, 2) else (2, 4)
+    def ingest(): Unit = {
+      EventStream.streamAnnDedupedIngest(
+        spark.readStream.schema(corpus.schema).parquet(in), corpus, store,
+        table, "vec_id", "embedding", 0.8, 2, 4, ckpt,
+        recalib = Some(rule)).awaitTermination()
+      graft.core.CacheRegistry.drain()
+    }
+    // batch 1: nine pairwise-far novel vectors — standing grows 1 → 10
+    val novel = (2 to 7).map(j => (j.toLong, basis(j, 1.0))) ++
+      (2 to 4).map(j => (j + 10L, basis(j, -1.0)))
+    novel.toDF("vec_id", "embedding").write.mode("append").parquet(in)
+    ingest()
+    store.read(table).count() shouldBe 9L
+    // bootstrap calibration still governs (the milestone fires on the
+    // NEXT trigger — the decade was crossed by this batch's append)
+    store.versionMeta(s"${table}_sigs").get("calibBits") shouldBe Some("2")
+    store.versionMeta(s"${table}_sigs").get("standingCount") shouldBe Some("10")
+    // batch 2: one novel + one near-dup of an ADMITTED row (cos ≈ 0.99
+    // vs vec 2) — the trigger must first re-band, then still reject the
+    // near-dup against the REBUILT index
+    Seq((50L, vec(0, -1, 0.1, 0, 0, 0, 0, 0)),
+      (51L, vec(0, 0, 0.95, 0.11, 0, 0, 0, 0)))
+      .toDF("vec_id", "embedding").write.mode("append").parquet(in)
+    ingest()
+    store.read(table).select("vec_id").as[Long].collect().toSet should
+      (contain(50L) and not contain 51L)
+    // the sigs sibling was rebuilt at the re-derived calibration: new
+    // markers, 2 band rows per id, every standing id present
+    val meta = store.versionMeta(s"${table}_sigs")
+    meta.get("calibBits") shouldBe Some("3")
+    meta.get("calibBands") shouldBe Some("2")
+    meta.get("calibCount") shouldBe Some("10")
+    val sigs = store.read(s"${table}_sigs")
+    sigs.groupBy("vec_id").count().select("count").distinct()
+      .as[Long].collect().toSeq shouldBe Seq(2L)
+    sigs.select("vec_id").distinct().count() shouldBe 11L // corpus + 10 admitted
+    // replay safety across the milestone: a fresh checkpoint redelivers
+    // both batches; the data marker skips them and versions stand still
+    val v = store.currentVersion(table).get
+    EventStream.streamAnnDedupedIngest(
+      spark.readStream.schema(corpus.schema).parquet(in), corpus, store,
+      table, "vec_id", "embedding", 0.8, 2, 4,
+      root.resolve("ckpt2").toString, recalib = Some(rule)).awaitTermination()
+    graft.core.CacheRegistry.drain()
+    store.currentVersion(table).get shouldBe v
+  }
+
+  test("streamDedupedIngest milestone re-bands from the stored shingle " +
+    "arrays — the rebuilt index still rejects near-dups of admitted rows") {
+    val root = Files.createTempDirectory("graft-stream-text-reband")
+    val in = root.resolve("in").toString
+    val ckpt = root.resolve("ckpt").toString
+    val bronze = root.resolve("tables/bronze").toString
+    val store = new graft.sources.TableStore(spark)
+    val corpus = Seq(
+      (100L, "corpus zero anchors the standing side before any batch"))
+      .toDF("doc_id", "text")
+    val schema = corpus.schema
+    // past a standing count of 10, add one signature row per band (the
+    // recommendedBanding step at one decade, with bands re-fit)
+    val rule: Long => (Int, Int) = m => if (m >= 10L) (6, 4) else (4, 3)
+    def doc(i: Int): String =
+      (0 until 8).map(w => s"tok${i}w$w").mkString(" ")
+    def drop(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").write.mode("append")
+        .option("header", "true").csv(in)
+    def ingest(): Unit = {
+      EventStream.streamDedupedIngest(
+        EventStream.readCsvStream(spark, in, schema), corpus, store, bronze,
+        "doc_id", "text", 3, 4, 3, 0.5, ckpt,
+        recalib = Some(rule)).awaitTermination()
+      graft.core.CacheRegistry.drain()
+    }
+    // batch 1: nine disjoint-vocabulary docs — standing grows 1 → 10
+    drop((1 to 9).map(i => (i.toLong, doc(i))))
+    ingest()
+    store.read(bronze).count() shouldBe 9L
+    store.versionMeta(s"${bronze}_minhash_sigs")
+      .get("calibRows") shouldBe Some("3")
+    // batch 2: one novel + one EXACT duplicate of ADMITTED doc 3 (same
+    // shingle set → identical signature at ANY calibration, so the
+    // candidate collision is deterministic) — the trigger re-bands
+    // (rebuilding the sigs from the stored arrays sibling, no text
+    // re-shingling) and must still reject the duplicate against the
+    // REBUILT index
+    drop(Seq((50L, doc(77)), (51L, doc(3))))
+    ingest()
+    store.read(bronze).select("doc_id").as[Long].collect().toSet should
+      (contain(50L) and not contain 51L)
+    val meta = store.versionMeta(s"${bronze}_minhash_sigs")
+    meta.get("calibBands") shouldBe Some("6")
+    meta.get("calibRows") shouldBe Some("4")
+    meta.get("calibCount") shouldBe Some("10")
+    val sigs = store.read(s"${bronze}_minhash_sigs")
+    sigs.groupBy("doc_id").count().select("count").distinct()
+      .as[Long].collect().toSeq shouldBe Seq(6L)
+    sigs.select("doc_id").distinct().count() shouldBe 11L
+    // the rebuilt-from-arrays signatures are BYTE-IDENTICAL to signing
+    // the original text at the new calibration (MinHash mins are
+    // invariant under the arrays' distinct)
+    val direct = graft.ops.Dedup.minHashBandTable(
+      store.read(bronze).select("doc_id", "text").unionByName(corpus),
+      "doc_id", "text", 3, 6, 4)
+    sigs.exceptAll(direct).count() shouldBe 0L
+    direct.exceptAll(sigs).count() shouldBe 0L
+  }
+
+  test("a legacy index without calibration markers recovers: the gate " +
+    "recounts the standing side and rebuilds the sigs sibling") {
+    val root = Files.createTempDirectory("graft-stream-ann-legacy")
+    val in = root.resolve("in").toString
+    val table = root.resolve("tables/vectors").toString
+    val store = new graft.sources.TableStore(spark)
+    def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val corpus = Seq((100L, vec(1, 0.1, 0, 0, 0, 0, 0, 0)))
+      .toDF("vec_id", "embedding")
+    // a round-10-era index: bootstrap marker only, NO calibration meta
+    store.overwriteWithMeta(s"${table}_sigs",
+      graft.ops.Similarity.signBandTable(corpus, "vec_id", "embedding", 2, 4),
+      Map("committedBatch" -> "-1"))
+    store.overwriteWithMeta(s"${table}_vecs", corpus,
+      Map("committedBatch" -> "-1"))
+    // one batch: a corpus near-dup and a novel vector
+    Seq((1L, vec(0.9, 0.12, 0, 0, 0, 0, 0, 0)),
+      (2L, vec(0, 0, 0, 1, 0.1, 0, 0, 0))).toDF("vec_id", "embedding")
+      .write.parquet(in)
+    EventStream.streamAnnDedupedIngest(
+      spark.readStream.schema(corpus.schema).parquet(in), corpus, store,
+      table, "vec_id", "embedding", 0.8, 2, 4,
+      root.resolve("ckpt").toString).awaitTermination()
+    graft.core.CacheRegistry.drain()
+    // dedup held (the rebuilt index covered the corpus), and the sigs
+    // sibling now carries the full calibration protocol
+    store.read(table).select("vec_id").as[Long].collect().toSet shouldBe Set(2L)
+    val meta = store.versionMeta(s"${table}_sigs")
+    meta.get("calibBits") shouldBe Some("2")
+    meta.get("calibBands") shouldBe Some("4")
+    meta.get("standingCount") shouldBe Some("2") // corpus + 1 admitted
+  }
+
   test("sessionize (mapGroupsWithState) matches batch sessionization on a drained stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
