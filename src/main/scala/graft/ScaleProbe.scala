@@ -120,6 +120,11 @@ object ScaleProbe {
         // untimed — where does per-trigger wall go as history grows?
         case "text_stages_hist5" => Some((s, d) => textStagesProbe(s, d, 5))
         case "text_stages_hist50" => Some((s, d) => textStagesProbe(s, d, 50))
+        // milestone re-banding price/benefit at a decade of standing
+        // growth: stale = bootstrap calibration frozen, tracked =
+        // re-derived from the standing count (run each in its own JVM)
+        case "ann_reband_stale" => Some((s, d) => annRebandProbe(s, d, tracked = false))
+        case "ann_reband_tracked" => Some((s, d) => annRebandProbe(s, d, tracked = true))
         // the trigger body replayed OUTSIDE streaming, each sub-step
         // timed: marker reads, dup join + survivor materialization,
         // the three appends — which term grows with history?
@@ -288,8 +293,68 @@ object ScaleProbe {
         store.read(s"$tmp/arrays"), batch, "doc_id", "text", 3, 4, 3, 0.5)
       val nPairs = pairs.count()
       val t2 = System.nanoTime()
+      // full_sec is the WHOLE indexed pipeline (it re-plans the candidate
+      // join internally), not a verify-only term: verify-only ≈ full_sec
+      // − cand_sec, since the candidate stage was also timed alone above
       System.err.println(f"[probe] text_stages_hist$histReps n_cands=$nCands " +
         f"n_pairs=$nPairs cand_sec=${(t1 - t0) / 1e9}%.3f full_sec=${(t2 - t1) / 1e9}%.3f")
+      pairs
+    }
+    /** The milestone-re-banding price/benefit isolation (VERDICT r10 #1):
+      * standing side = bootstrap corpus (1/16 of the table) + admitted
+      * history (14/16) — 15× the bootstrap count, a decade past the
+      * bootstrap calibration. `stale` keeps the index at the BOOTSTRAP
+      * calibration (what a never-re-banded gate degrades to); `tracked`
+      * re-derives (bits, bands) from the standing count (what the
+      * milestone rebuild produces). sign_sec is the one-off rebuild
+      * price (amortized over the decade); cand/full are the per-trigger
+      * stages whose collision volume the calibration bounds. full_sec is
+      * the whole indexed pipeline (it re-plans the candidate join), not
+      * verify-only. */
+    def annRebandProbe(s: SparkSession, d: String, tracked: Boolean): DataFrame = {
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      import graft.ops.Similarity
+      val emb = graft.core.Tables.table(s, d, "embeddings")
+        .select("vec_id", "embedding")
+      val corpus = emb.where(pmod(col("vec_id"), lit(16)) === 0)
+      val hist = emb.where(pmod(col("vec_id"), lit(16)).between(1, 14))
+      val batch = emb.where(pmod(col("vec_id"), lit(16)) === 15)
+      val n0 = corpus.count()
+      val standing = corpus.unionByName(hist)
+      val nStanding = standing.count()
+      val (bits, bands) =
+        if (tracked)
+          (Similarity.recommendedBits(nStanding),
+            Similarity.recommendedBands(nStanding, 64))
+        else
+          (Similarity.recommendedBits(n0), Similarity.recommendedBands(n0, 64))
+      val tmp = java.nio.file.Files.createTempDirectory(
+        s"probe-reband-$tracked").toString
+      val store = new graft.sources.TableStore(s)
+      val t0 = System.nanoTime()
+      store.overwrite(s"$tmp/sigs",
+        Similarity.signBandTable(standing, "vec_id", "embedding", bits, bands))
+      val tSign = System.nanoTime()
+      store.overwrite(s"$tmp/vecs", standing)
+      val t1 = System.nanoTime()
+      val cands = store.read(s"$tmp/sigs")
+        .repartition(s.sparkContext.defaultParallelism)
+        .toDF("corpus_id", "band", "bucket")
+        .join(Similarity.signBandTable(batch, "vec_id", "embedding", bits, bands)
+          .toDF("batch_id", "band", "bucket"), Seq("band", "bucket"))
+        .select("corpus_id", "batch_id").distinct()
+      val nCands = cands.count()
+      val t2 = System.nanoTime()
+      val pairs = Similarity.lshNearDupPairsIndexed(store.read(s"$tmp/sigs"),
+        store.read(s"$tmp/vecs"), batch, "vec_id", "embedding", 0.3, bits, bands)
+      val nPairs = pairs.count()
+      val t3 = System.nanoTime()
+      System.err.println(
+        f"[probe] ann_reband_${if (tracked) "tracked" else "stale"}%s " +
+        f"n0=$n0 n_standing=$nStanding bits=$bits bands=$bands " +
+        f"sign_sec=${(tSign - t0) / 1e9}%.3f n_cands=$nCands " +
+        f"cand_sec=${(t2 - t1) / 1e9}%.3f n_pairs=$nPairs " +
+        f"full_sec=${(t3 - t2) / 1e9}%.3f")
       pairs
     }
     def textSinkProbe(s: SparkSession, d: String, histReps: Int): DataFrame = {
