@@ -165,6 +165,17 @@ object SparkEntry {
           Multimodal.perceptualHash128Content(s,
             docs.select(col("doc_id").as("id"), col("text").as("content"))))
         Multimodal.recommendedRadius128(fps, Multimodal.recommendedWidth128(n), n)
+      case "text64" =>
+        // the LEGACY 64-bit tier joins the derived-radius rule (VERDICT
+        // r10 task 5): grid {4..12} brackets the historical 12/64
+        // operating point, so where density is affordable the rule
+        // REPRODUCES 12 as a chosen point; on dup-dense fixtures it binds
+        val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
+        val n = cachedCount(s, dir, "documents")(docs)
+        val fps = graft.core.CacheRegistry.persist(
+          Multimodal.perceptualHash64(s,
+            Multimodal.asMediaTable(docs, "doc_id", "text", "text")))
+        Multimodal.recommendedRadius64(fps, Multimodal.recommendedBands(n), n)
       case "y4m" =>
         val fps = tierFps(s, dir, "y4m")
         val width = Multimodal.recommendedWidth128(
@@ -215,7 +226,7 @@ object SparkEntry {
     // memory-hungry query in the suite (measured: q366 5.9 → 33.5 s,
     // q53 2.9 → 15.1 s with the scratch left resident)
     graft.core.CacheRegistry.scoped {
-      Seq("text", "ppm", "wav", "png", "y4m", "y4m_sub5")
+      Seq("text", "text64", "ppm", "wav", "png", "y4m", "y4m_sub5")
         .foreach(tierRadius(s, dir, _))
     }
     exactJudgePairs(s, dir, 0.4).count()
@@ -1397,9 +1408,13 @@ object SparkEntry {
     // single-core pitfall; no-op at real scale)
     "q336_perceptual_neardup" -> ((s, dir) => {
       val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
+      // radius DERIVED since r11 (tierRadius "text64" — the legacy tier
+      // joins the rule the 128-bit family carries; lands at the
+      // historical 12 wherever density is affordable)
       Multimodal.perceptualNearDupPairs(s,
         Multimodal.asMediaTable(docs, "doc_id", "text", "text"),
-        Multimodal.recommendedBands(cachedCount(s, dir, "documents")(docs)), 12)
+        Multimodal.recommendedBands(cachedCount(s, dir, "documents")(docs)),
+        tierRadius(s, dir, "text64"))
     }),
     // REAL container decode in the decode slot (not the md5-feature stub):
     // synthesize byte-correct RIFF/WAVE PCM16 payloads (samples from the
@@ -1744,7 +1759,8 @@ object SparkEntry {
       val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
       Multimodal.perceptualRecallContract(s,
         Multimodal.asMediaTable(docs, "doc_id", "text", "text"),
-        Multimodal.recommendedBands(cachedCount(s, dir, "documents")(docs)), 12)
+        Multimodal.recommendedBands(cachedCount(s, dir, "documents")(docs)),
+        tierRadius(s, dir, "text64"))
     }),
     // paired-modality consensus: text near-dups x perceptual near-dups on
     // the normalized pair key - both-agree is the high-confidence drop set
@@ -1757,7 +1773,8 @@ object SparkEntry {
         "id_a", "id_b", "jaccard",
         Multimodal.perceptualNearDupPairs(s, Multimodal.asMediaTable(
           docs, "doc_id", "text", "text"),
-          Multimodal.recommendedBands(cachedCount(s, dir, "documents")(docs)), 12),
+          Multimodal.recommendedBands(cachedCount(s, dir, "documents")(docs)),
+          tierRadius(s, dir, "text64")),
         "id_a", "id_b", "hamming")
     }),
     // ---- write-side / streaming operators, driver-visible (§7.6) ----
@@ -3796,6 +3813,27 @@ object SparkEntry {
       |  FROM pbt a JOIN pbt b ON a.band = b.band AND a.bucket = b.bucket
       |    AND a.id < b.id)""".stripMargin
 
+  /** The 64-bit DERIVED-RADIUS tail (VERDICT r10 task 5 — the legacy
+    * tier joins the rule the 128-bit family carries): `p64ham` holds
+    * banded id pairs with their Hamming distance at the cap 12 (the
+    * historical fixed default), `p64sw` counts them per grid radius
+    * {4,6,8,10,12}, `p64rad` picks the largest radius whose pair count
+    * stays within 16 pairs per fingerprint row (fallback: the
+    * smallest) — `Multimodal.recommendedRadius64`'s SQL twin, so the
+    * rule reproduces 12 wherever density is affordable and a drifting
+    * radius is a hash mismatch. Shared by q336/q337/q338. */
+  private val perceptual64SweepTailCtes: String =
+    """p64ham AS (SELECT c.id_a, c.id_b,
+      |    CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS ham
+      |  FROM pcand c JOIN pfps fa ON c.id_a = fa.id
+      |  JOIN pfps fb ON c.id_b = fb.id
+      |  WHERE bit_count(xor(fa.fp, fb.fp)) <= 12),
+      |p64sw AS (SELECT g.r, CAST(count(h.ham) AS BIGINT) AS n
+      |  FROM (VALUES (4), (6), (8), (10), (12)) g(r)
+      |  LEFT JOIN p64ham h ON h.ham <= g.r GROUP BY g.r),
+      |p64rad AS (SELECT coalesce(max(r) FILTER (WHERE n <= 16 * (SELECT count(*) FROM pfps)), 4) AS rr
+      |  FROM p64sw)""".stripMargin
+
   private val jaccardTailSql: String =
     """pairs AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
@@ -4648,12 +4686,10 @@ object SparkEntry {
     Map(
       "q336_perceptual_neardup" -> ChunkedOracle(
         Seq(ChunkStage("pfps", fps64(None, chunkSrc), chunked = true)),
-        s"""WITH $perceptualBandTailCtes
-           |SELECT c.id_a, c.id_b,
-           |  CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS hamming
-           |FROM pcand c JOIN pfps fa ON c.id_a = fa.id
-           |JOIN pfps fb ON c.id_b = fb.id
-           |WHERE bit_count(xor(fa.fp, fb.fp)) <= 12""".stripMargin),
+        s"""WITH $perceptualBandTailCtes,
+           |$perceptual64SweepTailCtes
+           |SELECT id_a, id_b, ham AS hamming
+           |FROM p64ham WHERE ham <= (SELECT rr FROM p64rad)""".stripMargin),
       "q364_perceptual128_neardup" -> ChunkedOracle(
         Seq(ChunkStage("pfps", fps128(None, chunkSrc), chunked = true)),
         pairs128),
@@ -11603,12 +11639,10 @@ object SparkEntry {
     // Hamming ≤ 12 verify as the Scala plan
     "q336_perceptual_neardup" ->
       s"""WITH $perceptualFpsCtes,
-         |$perceptualBandTailCtes
-         |SELECT c.id_a, c.id_b,
-         |  CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS hamming
-         |FROM pcand c JOIN pfps fa ON c.id_a = fa.id
-         |JOIN pfps fb ON c.id_b = fb.id
-         |WHERE bit_count(xor(fa.fp, fb.fp)) <= 12""".stripMargin,
+         |$perceptualBandTailCtes,
+         |$perceptual64SweepTailCtes
+         |SELECT id_a, id_b, ham AS hamming
+         |FROM p64ham WHERE ham <= (SELECT rr FROM p64rad)""".stripMargin,
     // q348: the container-true chain — decoded-luma content (rdocs)
     // replayed from the word-sampled md5 chain, then the 128-BIT
     // fingerprint grid + {4,8,16,32}-width band tail (q364's device; pnn
@@ -11900,13 +11934,12 @@ object SparkEntry {
     "q337_perceptual_recall" ->
       s"""WITH $perceptualFpsCtes,
          |$perceptualBandTailCtes,
-         |banded AS (SELECT c.id_a, c.id_b
-         |  FROM pcand c JOIN pfps fa ON c.id_a = fa.id
-         |  JOIN pfps fb ON c.id_b = fb.id
-         |  WHERE bit_count(xor(fa.fp, fb.fp)) <= 12),
+         |$perceptual64SweepTailCtes,
+         |banded AS (SELECT id_a, id_b
+         |  FROM p64ham WHERE ham <= (SELECT rr FROM p64rad)),
          |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact
          |  FROM pfps a JOIN pfps b ON a.id < b.id
-         |  WHERE bit_count(xor(a.fp, b.fp)) <= 12),
+         |  WHERE bit_count(xor(a.fp, b.fp)) <= (SELECT rr FROM p64rad)),
          |bn AS (SELECT CAST(count(*) AS BIGINT) AS n_banded FROM banded)
          |SELECT n_exact, n_banded,
          |  CASE WHEN n_exact = 0 THEN 1.0
@@ -11933,11 +11966,9 @@ object SparkEntry {
          |      / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE) >= 0.5)),
          |$perceptualFpsCtes,
          |$perceptualBandTailCtes,
-         |mpairs AS (SELECT c.id_a, c.id_b,
-         |    CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS media_hamming
-         |  FROM pcand c JOIN pfps fa ON c.id_a = fa.id
-         |  JOIN pfps fb ON c.id_b = fb.id
-         |  WHERE bit_count(xor(fa.fp, fb.fp)) <= 12)
+         |$perceptual64SweepTailCtes,
+         |mpairs AS (SELECT id_a, id_b, ham AS media_hamming
+         |  FROM p64ham WHERE ham <= (SELECT rr FROM p64rad))
          |SELECT coalesce(t.id_a, m.id_a) AS id_a,
          |  coalesce(t.id_b, m.id_b) AS id_b,
          |  t.text_score, m.media_hamming,

@@ -583,6 +583,19 @@ object Multimodal {
     // MULTIPLICITY, the regime where the 128-bit tier measured 4.6–6.5×
     // wins for value-level (and growing with scale). Callers with a
     // known near-unique fingerprint column can band ids directly.
+    expandValuePairs64(fps, valuePairs64(fps, bands, maxHamming))
+  }
+
+  /** DISTINCT-fingerprint banded candidate VALUE pairs with their full
+    * 64-bit Hamming distance, capped at `capRadius` — the 64-bit twin of
+    * [[valuePairs128]] and the shared core of the 64-bit pair family
+    * (the pair query, its recall contract, and the radius sweep all ride
+    * ONE candidate join). Equal-value pairs are not emitted here (they
+    * ride the exact equi-join at expansion). */
+  private def valuePairs64(fps: DataFrame, bands: Int,
+                           capRadius: Int): DataFrame = {
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val vals = fps.select(col("phash64")).distinct()
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -590,13 +603,20 @@ object Multimodal {
     }
     val banded = vals.select(col("phash64"), explode(array(bandCols: _*)).as("bb"))
       .select(col("phash64"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val valPairs = banded.toDF("fa", "band", "bucket")
+    banded.toDF("fa", "band", "bucket")
       .join(banded.toDF("fb", "band", "bucket"), Seq("band", "bucket"))
       .where(col("fa") < col("fb"))
       .select("fa", "fb").distinct()
       .withColumn("hamming",
         bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
-      .where(col("hamming") <= maxHamming)
+      .where(col("hamming") <= capRadius)
+  }
+
+  /** The value→ids expansion half of the 64-bit pair family (the 64-bit
+    * twin of [[expandValuePairs128]]): each distinct-value pair fans out
+    * to its id pairs, equal-value id pairs ride an exact equi-join at
+    * hamming 0. Output: (id_a, id_b, hamming), a < b. */
+  private def expandValuePairs64(fps: DataFrame, valPairs: DataFrame): DataFrame = {
     val cross = valPairs
       .join(fps.select(col("id").as("__ia"), col("phash64").as("fa")), Seq("fa"))
       .join(fps.select(col("id").as("__ib"), col("phash64").as("fb")), Seq("fb"))
@@ -608,6 +628,57 @@ object Multimodal {
       .select(col("id_a"), col("id_b"), lit(0L).as("hamming"))
     cross.unionByName(exactDups)
   }
+
+  /** Banded id-pair DENSITY sweep over the 64-bit tier — the 64-bit twin
+    * of [[hammingRadiusSweep128]] (VERDICT r10 task 5: the 128-bit
+    * family's verify radius is DERIVED while the legacy 64-bit tier
+    * still rode the fixed 12/64 default): exact id-pair counts per grid
+    * radius from ONE banded join over DISTINCT fingerprints, id counts
+    * from multiplicity products (mA·mB per value pair, C(m,2) per
+    * repeated value) — never an id-pair expansion.
+    * Output: (radius, n_pairs), ascending. */
+  def hammingRadiusSweep64(fps: DataFrame, bands: Int,
+                           radii: Seq[Int]): DataFrame = {
+    require(radii.nonEmpty && radii == radii.sorted && radii.distinct == radii,
+      s"hammingRadiusSweep64: radii must be sorted and distinct, got $radii")
+    sweepFrom64(fps, valuePairs64(fps, bands, radii.max), radii)
+  }
+
+  private def sweepFrom64(fps: DataFrame, vp: DataFrame,
+                          radii: Seq[Int]): DataFrame = {
+    val spark = fps.sparkSession
+    import spark.implicits._
+    val vcnt = graft.core.CacheRegistry.persist(
+      fps.groupBy(col("phash64")).agg(count(lit(1)).as("m")))
+    val counted = vp
+      .join(vcnt.toDF("fa", "ma"), Seq("fa"))
+      .join(vcnt.toDF("fb", "mb"), Seq("fb"))
+      .select(col("hamming"), (col("ma") * col("mb")).as("np"))
+    val exact0 = vcnt.agg(coalesce(
+      sum(col("m") * (col("m") - 1) / 2), lit(0L)).cast("long").as("np0"))
+    radii.toDF("radius")
+      .join(counted, col("hamming") <= col("radius"), "left")
+      .groupBy("radius")
+      .agg(coalesce(sum("np"), lit(0L)).as("__nb"))
+      .crossJoin(exact0)
+      .select(col("radius"), (col("__nb") + col("np0")).cast("long").as("n_pairs"))
+      .orderBy("radius")
+  }
+
+  /** DERIVED verify radius for the 64-bit tier — the same rule as
+    * [[recommendedRadius128]] at the legacy width: the LARGEST radius in
+    * `radii` whose banded id-pair count stays within `maxPairsPerItem`
+    * pairs per fingerprint row (the smallest when even that exceeds the
+    * budget). The default grid brackets the historical 12/64 operating
+    * point (the 3/16 proportional default), so on corpora where 12 was
+    * affordable the rule REPRODUCES it as a chosen point rather than an
+    * inherited one. Deterministic in the data — the oracle replays the
+    * identical rule in SQL. */
+  def recommendedRadius64(fps: DataFrame, bands: Int, n: Long,
+                          radii: Seq[Int] = Seq(4, 6, 8, 10, 12),
+                          maxPairsPerItem: Double = 16.0): Int =
+    pickRadius(hammingRadiusSweep64(fps, bands, radii), n, radii,
+      maxPairsPerItem)
 
   /** Synthesize a REAL RIFF/WAVE payload (PCM16 mono little-endian) per
     * row — the audio-modality fixture generator: sample bytes derive from
