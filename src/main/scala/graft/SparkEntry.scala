@@ -1666,6 +1666,51 @@ object SparkEntry {
       sweep.crossJoin(rr).select(col("radius"), col("n_pairs"),
         (col("radius") === col("__rr")).as("chosen"))
     }),
+    // the TEXT GATE'S JACCARD FLOOR priced the way the verify radius was
+    // (VERDICT r10 task 6): ONE banded candidate pass over the q110
+    // corpus/batch split (MinHash 4×3, unthresholded verify), then pairs
+    // kept and DISTINCT batch rows dropped per candidate floor — the
+    // gate's 0.5 operating point flagged as the chosen row. A drifting
+    // floor (or drifting pair density under it) is a hash mismatch
+    "q372_text_threshold_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val corpus = docs.where(col("doc_id") % 2 === 0).select("doc_id", "text")
+      val batch = docs.where(pmod(col("doc_id"), lit(4)) === 1)
+        .select("doc_id", "text")
+      val cand = graft.core.CacheRegistry.persist(
+        Dedup.minHashLshPairsAcross(corpus, batch, "doc_id", "text",
+          3, 4, 3, 0.0))
+      val grid = Seq(0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9).toDF("threshold")
+      grid.join(cand, col("jaccard") >= col("threshold"), "left")
+        .groupBy("threshold")
+        .agg(count(col("jaccard")).as("n_pairs"),
+          countDistinct(col("batch_id")).as("n_dropped"))
+        .select(col("threshold"), col("n_pairs"), col("n_dropped"),
+          (col("threshold") === lit(0.5)).as("chosen"))
+    }),
+    // the ANN GATE'S COSINE THRESHOLD priced the same way: ONE sign-LSH
+    // candidate pass at the gate's own calibration (bits/bands from the
+    // corpus count) over the q366 corpus/batch-1 split, exact cosines
+    // computed once, then pairs kept and batch rows dropped per
+    // threshold cut — the 0.3 operating point flagged
+    "q373_ann_threshold_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val corpus = emb.where(col("vec_id") % 2 === 0)
+      val batch = emb.where(pmod(col("vec_id"), lit(4)) === 1)
+      val n = cachedCount(s, dir, "embeddings_even")(corpus)
+      val cand = graft.core.CacheRegistry.persist(
+        Similarity.lshNearDupPairsAcross(corpus, batch, "vec_id", "embedding",
+          -1.0, Similarity.recommendedBits(n), Similarity.recommendedBands(n, 64)))
+      val grid = Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9).toDF("threshold")
+      grid.join(cand, col("cos") >= col("threshold"), "left")
+        .groupBy("threshold")
+        .agg(count(col("cos")).as("n_pairs"),
+          countDistinct(col("batch_id")).as("n_dropped"))
+        .select(col("threshold"), col("n_pairs"), col("n_dropped"),
+          (col("threshold") === lit(0.3)).as("chosen"))
+    }),
     // PII redaction (the C4/CCNet scrub step): every 5th document gains
     // a deterministic md5-derived email + IPv4 (so the oracle plants the
     // IDENTICAL bytes), then emails and IPs are replaced with typed
@@ -11747,6 +11792,46 @@ object SparkEntry {
          |    CAST(b.embedding AS DOUBLE[])), 6) >= 0.3)
          |SELECT vec_id FROM reps
          |WHERE vec_id NOT IN (SELECT batch_id FROM vp_x)""".stripMargin,
+    // q372: the text gate's Jaccard floor priced — the q110 banded
+    // corpus↔batch chain UNthresholded (minJ = 0), then pair / dropped-row
+    // counts per grid floor; the 0.5 operating point flagged
+    "q372_text_threshold_sweep" ->
+      s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+         |batch AS (SELECT * FROM documents WHERE doc_id % 4 = 1),
+         |${minhashCrossCtes(3, 4, 3, 0.0, "corpus", "batch", "x")},
+         |grid(threshold) AS (VALUES (0.2), (0.3), (0.4), (0.5), (0.6), (0.7), (0.8), (0.9))
+         |SELECT CAST(g.threshold AS DOUBLE) AS threshold,
+         |  CAST(count(v.jaccard) AS BIGINT) AS n_pairs,
+         |  CAST(count(DISTINCT v.id_b) AS BIGINT) AS n_dropped,
+         |  CAST(g.threshold AS DOUBLE) = 0.5 AS chosen
+         |FROM grid g LEFT JOIN vp_x v ON v.jaccard >= CAST(g.threshold AS DOUBLE)
+         |GROUP BY 1""".stripMargin,
+    // q373: the ANN gate's cosine threshold priced — q366's banded
+    // candidate chain at the gate's own calibration, exact cosines
+    // computed once, counts per grid cut; the 0.3 operating point flagged
+    "q373_ann_threshold_sweep" ->
+      s"""WITH emb_c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+         |b1 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 1),
+         |p AS (SELECT bits, greatest(1, least(8, 64 // bits)) AS bands FROM (
+         |  SELECT ${bitsSqlFrom("(SELECT count(*) AS n FROM emb_c)")} AS bits)),
+         |bc_x AS (
+         |  ${dynamicBandedSql("emb_c")}),
+         |bb_x AS (
+         |  ${dynamicBandedSql("b1")}),
+         |cand AS (SELECT DISTINCT x.vec_id AS corpus_id, y.vec_id AS batch_id
+         |  FROM bc_x x JOIN bb_x y ON x.band = y.band AND x.bucket = y.bucket),
+         |vc AS (SELECT c.batch_id,
+         |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |      CAST(b.embedding AS DOUBLE[])), 6) AS cos
+         |  FROM cand c JOIN emb_c a ON a.vec_id = c.corpus_id
+         |  JOIN b1 b ON b.vec_id = c.batch_id),
+         |grid(threshold) AS (VALUES (0.1), (0.2), (0.3), (0.4), (0.5), (0.6), (0.7), (0.8), (0.9))
+         |SELECT CAST(g.threshold AS DOUBLE) AS threshold,
+         |  CAST(count(v.cos) AS BIGINT) AS n_pairs,
+         |  CAST(count(DISTINCT v.batch_id) AS BIGINT) AS n_dropped,
+         |  CAST(g.threshold AS DOUBLE) = 0.3 AS chosen
+         |FROM grid g LEFT JOIN vc v ON v.cos >= CAST(g.threshold AS DOUBLE)
+         |GROUP BY 1""".stripMargin,
     // q364: the 128-bit grid (chars 1–32 → fph/fpl), the {4,8,16,32}
     // width rule, and the two-half Hamming verify — every bit replayed
     "q364_perceptual128_neardup" ->
