@@ -884,12 +884,18 @@ object Dedup {
     * (id_a < id_b) pair key. */
   def lshRecallContract(df: DataFrame, idCol: String, textCol: String,
                         n: Int, bands: Int, rowsPerBand: Int,
-                        minJaccard: Double): DataFrame = {
+                        minJaccard: Double,
+                        exactGen: Option[DataFrame] = None,
+                        lshGen: Option[DataFrame] = None): DataFrame = {
+    // exactGen/lshGen: callers holding maintained pair indexes (the same
+    // frames this contract would build) pass them in instead of paying
+    // both signature passes again — the pairGen convention of
+    // [[dropNearDuplicates]], applied to both sides of the contract
     val exact = graft.core.CacheRegistry.persist(
-      ngramJaccardPairs(df, idCol, textCol, n, minJaccard)
+      exactGen.getOrElse(ngramJaccardPairs(df, idCol, textCol, n, minJaccard))
         .select(col("id_a"), col("id_b")))
-    val lsh = minHashLshPairs(df, idCol, textCol, n, bands, rowsPerBand,
-      minJaccard).select(col("id_a"), col("id_b"))
+    val lsh = lshGen.getOrElse(minHashLshPairs(df, idCol, textCol, n, bands,
+      rowsPerBand, minJaccard)).select(col("id_a"), col("id_b"))
     val found = exact.join(lsh, Seq("id_a", "id_b"))
     exact.agg(count(lit(1)).as("n_exact_pairs"))
       .crossJoin(found.agg(count(lit(1)).as("n_lsh_found")))

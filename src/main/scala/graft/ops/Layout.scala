@@ -283,13 +283,18 @@ object Layout {
     val keep = (candidates ++ probeCols).distinct
     val base = df.select(col(idCol) +:
       keep.map(c => col(c).cast("double").as(c)): _*)
+    // ONE count for every candidate, inlined as a literal: the total is
+    // candidate-independent, but as a crossJoined single-row frame it was
+    // re-executed inside EVERY candidate's plan (a full input scan each at
+    // scale); one bounded driver-side long is the permutationTest-cut
+    // precedent and keeps the zone stage a single codegen span
+    val nTotal = base.count()
     candidates.map { cand =>
       val ranked = globalRank(base, cand, idCol, "__rank")
-      val total = base.agg(count(lit(1)).as("__n"))
       val aggs = probeCols.flatMap(p => Seq(
         min(col(p)).as(s"__mn_$p"), max(col(p)).as(s"__mx_$p")))
-      val zones = ranked.crossJoin(broadcast(total))
-        .withColumn("__file", expr(s"((__rank - 1) * $nFiles) div __n"))
+      val zones = ranked
+        .withColumn("__file", expr(s"((__rank - 1) * $nFiles) div $nTotal"))
         .groupBy(col("__file"))
         .agg(aggs.head, aggs.tail: _*)
       val zonesLong = probeCols.map { p =>

@@ -650,14 +650,18 @@ object Multimodal {
     import spark.implicits._
     val vcnt = graft.core.CacheRegistry.persist(
       fps.groupBy(col("phash64")).agg(count(lit(1)).as("m")))
-    val counted = vp
+    // aggregated BY HAMMING before the radius theta join — see
+    // [[sweepFrom]]: ≤ capRadius+1 rows meet the grid instead of the
+    // whole value-pair frame replicated |radii|×
+    val byHam = vp
       .join(vcnt.toDF("fa", "ma"), Seq("fa"))
       .join(vcnt.toDF("fb", "mb"), Seq("fb"))
-      .select(col("hamming"), (col("ma") * col("mb")).as("np"))
+      .groupBy(col("hamming"))
+      .agg(sum(col("ma") * col("mb")).as("np"))
     val exact0 = vcnt.agg(coalesce(
       sum(col("m") * (col("m") - 1) / 2), lit(0L)).cast("long").as("np0"))
     radii.toDF("radius")
-      .join(counted, col("hamming") <= col("radius"), "left")
+      .join(byHam, col("hamming") <= col("radius"), "left")
       .groupBy("radius")
       .agg(coalesce(sum("np"), lit(0L)).as("__nb"))
       .crossJoin(exact0)
@@ -1016,21 +1020,30 @@ object Multimodal {
 
   /** The sweep tail over a prebuilt value-pair frame: multiplicity
     * products per distinct-value pair, C(m,2) per repeated value at
-    * hamming 0 (inside every radius), cumulative per grid radius. */
+    * hamming 0 (inside every radius), cumulative per grid radius.
+    *
+    * The per-pair products are first hash-aggregated BY HAMMING DISTANCE
+    * (≤ capRadius+1 groups, map-side partials) and only that tiny frame
+    * meets the |radii| theta join — the earlier shape joined every
+    * value-pair row against the radius grid, replicating the whole pair
+    * frame |radii|× through a BroadcastNestedLoopJoin before aggregating
+    * (guide §2.3 aggregate-before-the-join / §3.3 exploding joins). Sums
+    * are exact longs grouped differently, so n_pairs is unchanged. */
   private def sweepFrom(fps: DataFrame, vp: DataFrame,
                         radii: Seq[Int]): DataFrame = {
     val spark = fps.sparkSession
     import spark.implicits._
     val vcnt = graft.core.CacheRegistry.persist(
       fps.groupBy(col("fph"), col("fpl")).agg(count(lit(1)).as("m")))
-    val counted = vp
+    val byHam = vp
       .join(vcnt.toDF("ah", "al", "ma"), Seq("ah", "al"))
       .join(vcnt.toDF("bh", "bl", "mb"), Seq("bh", "bl"))
-      .select(col("hamming"), (col("ma") * col("mb")).as("np"))
+      .groupBy(col("hamming"))
+      .agg(sum(col("ma") * col("mb")).as("np"))
     val exact0 = vcnt.agg(coalesce(
       sum(col("m") * (col("m") - 1) / 2), lit(0L)).cast("long").as("np0"))
     radii.toDF("radius")
-      .join(counted, col("hamming") <= col("radius"), "left")
+      .join(byHam, col("hamming") <= col("radius"), "left")
       .groupBy("radius")
       .agg(coalesce(sum("np"), lit(0L)).as("__nb"))
       .crossJoin(exact0)
@@ -1862,14 +1875,18 @@ object Multimodal {
     val vcnt = graft.core.CacheRegistry.persist(
       fps.groupBy(col("frame"), col("fph"), col("fpl"))
         .agg(count(lit(1)).as("m")))
-    val counted = vp
+    // aggregated BY HAMMING before the radius theta join — see
+    // [[sweepFrom]]: ≤ capRadius+1 rows meet the grid instead of the
+    // whole frame-pair frame replicated |radii|×
+    val byHam = vp
       .join(vcnt.toDF("frame", "ah", "al", "ma"), Seq("frame", "ah", "al"))
       .join(vcnt.toDF("frame", "bh", "bl", "mb"), Seq("frame", "bh", "bl"))
-      .select(col("hamming"), (col("ma") * col("mb")).as("np"))
+      .groupBy(col("hamming"))
+      .agg(sum(col("ma") * col("mb")).as("np"))
     val exact0 = vcnt.agg(coalesce(
       sum(col("m") * (col("m") - 1) / 2), lit(0L)).cast("long").as("np0"))
     radii.toDF("radius")
-      .join(counted, col("hamming") <= col("radius"), "left")
+      .join(byHam, col("hamming") <= col("radius"), "left")
       .groupBy("radius")
       .agg(coalesce(sum("np"), lit(0L)).as("__nb"))
       .crossJoin(exact0)

@@ -487,6 +487,17 @@ object Similarity {
                       k: Int, iters: Int): DataFrame =
     kmeansLoop(emb, idCol, vecCol, k, iters)._2
 
+  /** The trained cell ASSIGNMENT of [[kmeansFit]] — `(idCol, cell, vecCol,
+    * norm)` per vector, the exact frame [[semanticNearDupPairs]] and
+    * [[ivfKthNnOutliers]] build internally: the public builder for
+    * callers that maintain the fitted index as a shared artifact and
+    * pass it back via their `assignedGen` hooks. */
+  def kmeansAssignment(emb: DataFrame, idCol: String, vecCol: String,
+                       k: Int, iters: Int): DataFrame =
+    nearestCentroid(emb, idCol, vecCol,
+      kmeansCentroids(emb, idCol, vecCol, k, iters))
+      .select(col(idCol), col("cent_id").as("cell"), col(vecCol), col("norm"))
+
   private def kmeansLoop(emb: DataFrame, idCol: String, vecCol: String,
                          k: Int, iters: Int): (DataFrame, DataFrame) = {
     require(k > 0 && iters > 0, s"kmeansFit: need k > 0, iters > 0; got k=$k iters=$iters")
@@ -525,14 +536,23 @@ object Similarity {
     * the price every IVF-family method pays; raise k and iters for purer
     * cells, or run [[lshNearDupPairs]] alongside as a second recall net. */
   def semanticNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-                           k: Int, iters: Int, threshold: Double): DataFrame = {
-    val cents = kmeansCentroids(emb, idCol, vecCol, k, iters)
-    // persisted: both self-join sides consume the assignment, which is
-    // itself a broadcast-NLJ + window argmax over every vector — without
-    // the persist that dominant stage executes twice
-    val assigned = graft.core.CacheRegistry.persist(
+                           k: Int, iters: Int, threshold: Double,
+                           assignedGen: Option[DataFrame] = None): DataFrame = {
+    // assignedGen: an already-computed (id, cell, vec, norm) cell
+    // assignment at this (k, iters) — a fitted IVF index is a maintained
+    // artifact, so callers holding one pass it instead of re-training.
+    // The caller's frame is NOT re-persisted here: it owns its lifecycle
+    // (a scope-exit unpersist of a shared memoized frame would evict it
+    // for every later consumer).
+    val assigned = assignedGen.getOrElse(graft.core.CacheRegistry.persist {
+      val cents = kmeansCentroids(emb, idCol, vecCol, k, iters)
+      // both self-join sides consume the assignment, which is itself a
+      // broadcast-NLJ + window argmax over every vector — without the
+      // persist that dominant stage executes twice
       nearestCentroid(emb, idCol, vecCol, cents)
-        .select(col(idCol), col("cent_id").as("cell"), col(vecCol), col("norm")))
+        .select(col(idCol), col("cent_id").as("cell"), col(vecCol),
+          col("norm"))
+    })
     val a = assigned.toDF("id_a", "cell", "va", "na")
     val b = assigned.toDF("id_b", "cell", "vb", "nb")
     a.join(b, Seq("cell"))
@@ -560,14 +580,19 @@ object Similarity {
     * cell-bounded neighbor list. Cell count k trades recall for the
     * within-cell bound exactly as in [[ivfTopK]]. */
   def ivfKthNnOutliers(emb: DataFrame, idCol: String, vecCol: String,
-                       k: Int, iters: Int, kNn: Int): DataFrame = {
+                       k: Int, iters: Int, kNn: Int,
+                       assignedGen: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(kNn >= 1, s"ivfKthNnOutliers: need kNn >= 1, got $kNn")
-    val cents = kmeansCentroids(emb, idCol, vecCol, k, iters)
-    val assigned = graft.core.CacheRegistry.persist(
+    // assignedGen: see [[semanticNearDupPairs]] — the maintained fitted-
+    // index hook; the frame must be the same (id, cell, vec, norm) shape
+    // and, as there, is not re-persisted (the caller owns its lifecycle)
+    val assigned = assignedGen.getOrElse(graft.core.CacheRegistry.persist {
+      val cents = kmeansCentroids(emb, idCol, vecCol, k, iters)
       nearestCentroid(emb, idCol, vecCol, cents)
         .select(col(idCol), col("cent_id").as("cell"), col(vecCol),
-          col("norm")))
+          col("norm"))
+    })
     val a = assigned.toDF("id_a", "cell", "va", "na")
     val b = assigned.toDF("id_b", "cell", "vb", "nb")
     val pairs = a.join(b, Seq("cell"))
@@ -865,15 +890,22 @@ object Similarity {
     * dip. */
   def lshMultiProbeGainContract(emb: DataFrame, idCol: String, vecCol: String,
                                 threshold: Double, bits: Int, bands: Int,
-                                exactPairs: Option[DataFrame] = None): DataFrame = {
+                                exactPairs: Option[DataFrame] = None,
+                                baseGen: Option[DataFrame] = None,
+                                multiGen: Option[DataFrame] = None): DataFrame = {
+    // baseGen/multiGen: already-computed pair frames at this (threshold,
+    // bits, bands) — the judge-sharing hook extended to both banded
+    // sides, so a caller holding maintained pair indexes (or a filtered
+    // stronger-threshold view of them: candidates are threshold-
+    // independent, the verify cut composes) pays neither LSH pass again
     val exact = exactPairs.getOrElse(graft.core.CacheRegistry.persist(
       nearDupPairs(emb, idCol, vecCol, threshold).select("id_a", "id_b")))
     val base = graft.core.CacheRegistry.persist(
-      lshNearDupPairs(emb, idCol, vecCol, threshold, bits, bands)
-        .select("id_a", "id_b"))
+      baseGen.getOrElse(lshNearDupPairs(emb, idCol, vecCol, threshold, bits,
+        bands)).select("id_a", "id_b"))
     val multi = graft.core.CacheRegistry.persist(
-      lshMultiProbeNearDupPairs(emb, idCol, vecCol, threshold, bits, bands)
-        .select("id_a", "id_b"))
+      multiGen.getOrElse(lshMultiProbeNearDupPairs(emb, idCol, vecCol,
+        threshold, bits, bands)).select("id_a", "id_b"))
     val e = exact.agg(count(lit(1)).as("n_exact"))
     val nb = base.agg(count(lit(1)).as("n_base"))
     val nm = multi.agg(count(lit(1)).as("n_multiprobe"))
@@ -953,12 +985,17 @@ object Similarity {
   def rpLshRecallContract(emb: DataFrame, idCol: String, vecCol: String,
                           threshold: Double, bits: Int, bands: Int, dim: Int,
                           recallFloor: Double,
-                          exactPairs: Option[DataFrame] = None): DataFrame = {
+                          exactPairs: Option[DataFrame] = None,
+                          bandedGen: Option[DataFrame] = None): DataFrame = {
+    // bandedGen: an already-computed RP-LSH pair frame at this
+    // (threshold, bits, bands, dim) — the judge-sharing hook extended to
+    // the banded side (filtered stronger-threshold views compose, since
+    // candidates are threshold-independent and the verify cut is a WHERE)
     val exact = exactPairs.getOrElse(graft.core.CacheRegistry.persist(
       nearDupPairs(emb, idCol, vecCol, threshold).select("id_a", "id_b")))
     val banded = graft.core.CacheRegistry.persist(
-      rpLshNearDupPairs(emb, idCol, vecCol, threshold, bits, bands, dim)
-        .select("id_a", "id_b"))
+      bandedGen.getOrElse(rpLshNearDupPairs(emb, idCol, vecCol, threshold,
+        bits, bands, dim)).select("id_a", "id_b"))
     val e = exact.agg(count(lit(1)).as("n_exact"))
     val nb = banded.agg(count(lit(1)).as("n_banded"))
     val inExact = banded.join(exact, Seq("id_a", "id_b"), "left_semi")

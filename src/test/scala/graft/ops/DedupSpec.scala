@@ -317,6 +317,15 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Option[Double])].head()
     graft.core.CacheRegistry.drain()
     empty shouldBe ((0L, 0L, None))
+    // pairGen form (round 11): a caller holding the maintained pair
+    // indexes passes both sides in — the contract row must be identical
+    // to the direct build
+    val viaGen = Dedup.lshRecallContract(docs, "doc_id", "text", 3, 4, 3, 0.5,
+      exactGen = Some(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)),
+      lshGen = Some(Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 4, 3, 0.5)))
+      .as[(Long, Long, Option[Double])].head()
+    graft.core.CacheRegistry.drain()
+    viaGen shouldBe r
   }
 
   test("sourceDedupRates: per-source attribution incl. cross-source drops") {

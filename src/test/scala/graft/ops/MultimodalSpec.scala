@@ -871,6 +871,25 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.perceptualNearDupPairs128On(fps, w, picked)
         .as[(Long, Long, Long)].collect().toSet
 
+    // 64-bit twin (the legacy tier's sweep — exercised here because its
+    // aggregate-by-hamming tail was restructured in round 11): id-pair
+    // density per radius against the same brute-force reference
+    val rows64 = (1L to 100L).map(i => (i, pick()))
+    val fps64 = rows64.toDF("id", "phash64")
+    val bands64 = 4; val w64 = 64 / bands64
+    def buckets64(v: Long): Set[(Int, Long)] =
+      (0 until bands64).map(b => (b, (v >> (b * w64)) & ((1L << w64) - 1))).toSet
+    val radii64 = Seq(4, 6, 8, 10, 12)
+    def ref64(r: Int): Long = (for {
+      (ia, fa) <- rows64; (ib, fb) <- rows64
+      if ia < ib
+      if buckets64(fa).intersect(buckets64(fb)).nonEmpty
+      if java.lang.Long.bitCount(fa ^ fb) <= r
+    } yield 1L).sum
+    val sweep64 = Multimodal.hammingRadiusSweep64(fps64, bands64, radii64)
+      .as[(Int, Long)].collect().toMap
+    radii64.foreach(r => sweep64(r) shouldBe ref64(r))
+
     // video twin: frame-keyed density, frame-pair counts
     val vrows = for { id <- 1L to 40L; f <- 0L to 3L } yield (id, f, pick(), pick())
     val vfps = vrows.toDF("id", "frame", "fph", "fpl")

@@ -232,6 +232,19 @@ class SimilaritySpec extends SparkSpec {
     // the k-means bucketing must retain a usable share of the true pairs
     // (cells are meaning-adjacent, so near-dups mostly co-locate)
     sem.size.toDouble / exact.size.toDouble should be >= 0.3
+    // assignedGen form (round 11): passing the fitted assignment frame in
+    // must reproduce the direct result exactly — same rows, and the same
+    // holds for the outlier audit sharing that frame
+    val assigned = Similarity.kmeansAssignment(e, "vec_id", "embedding", 8, 2)
+    val semGen = Similarity.semanticNearDupPairs(e, "vec_id", "embedding",
+        8, 2, 0.3, assignedGen = Some(assigned))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    semGen shouldBe sem
+    val outDirect = Similarity.ivfKthNnOutliers(e, "vec_id", "embedding", 8, 2, 3)
+      .collect().map(_.toSeq).toSet
+    val outGen = Similarity.ivfKthNnOutliers(e, "vec_id", "embedding", 8, 2, 3,
+        assignedGen = Some(assigned)).collect().map(_.toSeq).toSet
+    outGen shouldBe outDirect
     graft.core.CacheRegistry.drain()
   }
 
@@ -487,6 +500,17 @@ class SimilaritySpec extends SparkSpec {
     contract.getAs[Double]("recall_multiprobe") shouldBe 1.0
     contract.getAs[Boolean]("multiprobe_superset") shouldBe true
     contract.getAs[Boolean]("gain_nonneg") shouldBe true
+    // baseGen/multiGen form (round 11): passing the maintained pair
+    // frames in must reproduce the direct contract row exactly
+    val viaGen = graft.core.CacheRegistry.scoped {
+      Similarity.lshMultiProbeGainContract(emb, "vec_id", "embedding", 0.9, 4, 1,
+        baseGen = Some(
+          Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 0.9, 4, 1)),
+        multiGen = Some(Similarity.lshMultiProbeNearDupPairs(
+          emb, "vec_id", "embedding", 0.9, 4, 1))).head()
+    }
+    graft.core.CacheRegistry.drain()
+    viaGen shouldBe contract
   }
 
   test("rpPlanes: deterministic ±1 from the md5 nibble parity, i.i.d.-ish " +
@@ -525,5 +549,14 @@ class SimilaritySpec extends SparkSpec {
     contract.getAs[Double]("recall") shouldBe 1.0
     contract.getAs[Boolean]("banded_subset_exact") shouldBe true
     contract.getAs[Boolean]("meets_floor") shouldBe true
+    // bandedGen form (round 11): a maintained RP-LSH pair frame passed in
+    // must reproduce the direct contract row exactly
+    val viaGen = graft.core.CacheRegistry.scoped {
+      Similarity.rpLshRecallContract(emb, "vec_id", "embedding", 0.9, 2, 16, 64, 0.5,
+        bandedGen = Some(Similarity.rpLshNearDupPairs(
+          emb, "vec_id", "embedding", 0.9, 2, 16, 64))).head()
+    }
+    graft.core.CacheRegistry.drain()
+    viaGen shouldBe contract
   }
 }
