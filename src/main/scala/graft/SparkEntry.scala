@@ -228,6 +228,30 @@ object SparkEntry {
       Similarity.rpLshNearDupPairs(emb, "vec_id", "embedding", 0.4,
         Similarity.recommendedBits(n), 16, 64)
     }
+  /** Per-tier banded near-dup PAIR frames at each tier's derived radius —
+    * the modality curation artifact itself: the pair query, its recall
+    * contract, and the consensus votes all consume the SAME pair table
+    * (q348+q349+q361 for ppm, q352+q353+q361 for wav, q358+q359 for png,
+    * q364+q365 for text-128, q336+q337+q338 for text64, q355+q361 for
+    * video), each of which re-ran the band join per query before round
+    * 11. Correctness is untouched: the contracts' banded side is the
+    * identical frame (bandedGen hooks), and the consensus votes already
+    * took these pair sets as inputs. */
+  private def tierPairs(s: SparkSession, dir: String, tier: String): DataFrame =
+    cachedFrame(s, dir, s"pairs_$tier") {
+      val n = cachedCount(s, dir, "documents")(
+        graft.core.Tables.tableRebalanced(s, dir, "documents"))
+      tier match {
+        case "text64" => Multimodal.perceptualNearDupPairsOn(
+          tierFps(s, dir, "text64"), Multimodal.recommendedBands(n),
+          tierRadius(s, dir, "text64"))
+        case "y4m" => Multimodal.videoNearDupPairs128(tierFps(s, dir, "y4m"),
+          Multimodal.recommendedWidth128(4L * n), tierRadius(s, dir, "y4m"), 2)
+        case t128 => Multimodal.perceptualNearDupPairs128On(
+          tierFps(s, dir, t128), Multimodal.recommendedWidth128(n),
+          tierRadius(s, dir, t128))
+      }
+    }
   /** The FITTED IVF index at the session calibration (⌈√N⌉ cells, 2 Lloyd
     * iterations): the (id, cell, vec, norm) assignment SemDeDup (q83) and
     * the kNN outlier audit (q327) both train per query today — a fitted
@@ -317,6 +341,8 @@ object SparkEntry {
       eligibleDocs(s, dir); lshPairsEligible(s, dir)
       signPairs04(s, dir); mpPairs04(s, dir); rpPairs04(s, dir)
       kmeansAssigned(s, dir)
+      Seq("text", "text64", "ppm", "wav", "png", "y4m")
+        .foreach(tierPairs(s, dir, _))
     }
     // the derived verify radii (round 10): one banded density sweep per
     // tier, memoized across every 128-bit pair/recall query — the same
@@ -1496,9 +1522,7 @@ object SparkEntry {
       // radius DERIVED since r11 (tierRadius "text64" — the legacy tier
       // joins the rule the 128-bit family carries; lands at the
       // historical 12 wherever density is affordable)
-      Multimodal.perceptualNearDupPairsOn(tierFps(s, dir, "text64"),
-        Multimodal.recommendedBands(cachedCount(s, dir, "documents")(docs)),
-        tierRadius(s, dir, "text64"))
+      tierPairs(s, dir, "text64")
     }),
     // REAL container decode in the decode slot (not the md5-feature stub):
     // synthesize byte-correct RIFF/WAVE PCM16 payloads (samples from the
@@ -1532,12 +1556,7 @@ object SparkEntry {
     // old 12/64; width derived by the {4,8,16,32} rule). The md5-chain
     // synthesis keeps every pixel byte — and therefore every fingerprint
     // bit — oracle-replayable WITHOUT byte parsing (the q346/q347 device).
-    "q348_ppm_neardup_real" -> ((s, dir) => {
-      val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
-      Multimodal.perceptualNearDupPairs128On(tierFps(s, dir, "ppm"),
-        Multimodal.recommendedWidth128(cachedCount(s, dir, "documents")(docs)),
-        tierRadius(s, dir, "ppm"))
-    }),
+    "q348_ppm_neardup_real" -> ((s, dir) => tierPairs(s, dir, "ppm")),
     // the container-true chain's recall contract (q337's device over real
     // decoded pixels, at 128 bits): banded pairs vs the exact Hamming
     // pair set at the same adaptive width, subset pinned TRUE
@@ -1545,24 +1564,21 @@ object SparkEntry {
       val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
       Multimodal.perceptualRecallContract128On(tierFps(s, dir, "ppm"),
         Multimodal.recommendedWidth128(cachedCount(s, dir, "documents")(docs)),
-        tierRadius(s, dir, "ppm"))
+        tierRadius(s, dir, "ppm"),
+        bandedGen = Some(tierPairs(s, dir, "ppm")))
     }),
     // the audio twin of q348 (VERDICT r7 #1 asked for "luma grid / PCM
     // samples" — this is the PCM half): word-sampled RIFF/WAVE PCM16
     // synthesis, REAL RIFF parse back to the signed sample stream,
     // SimHash-128 over the decoded samples, banded Hamming pairs
-    "q352_wav_neardup_real" -> ((s, dir) => {
-      val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
-      Multimodal.perceptualNearDupPairs128On(tierFps(s, dir, "wav"),
-        Multimodal.recommendedWidth128(cachedCount(s, dir, "documents")(docs)),
-        tierRadius(s, dir, "wav"))
-    }),
+    "q352_wav_neardup_real" -> ((s, dir) => tierPairs(s, dir, "wav")),
     // its recall contract (q349's device over decoded PCM)
     "q353_wav_recall_real" -> ((s, dir) => {
       val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
       Multimodal.perceptualRecallContract128On(tierFps(s, dir, "wav"),
         Multimodal.recommendedWidth128(cachedCount(s, dir, "documents")(docs)),
-        tierRadius(s, dir, "wav"))
+        tierRadius(s, dir, "wav"),
+        bandedGen = Some(tierPairs(s, dir, "wav")))
     }),
     // REAL frame-sampled VIDEO decode — the temporal member of the
     // container-true family (q346 audio, q347 image): synthesize a real
@@ -1583,12 +1599,7 @@ object SparkEntry {
     // derives from the sampled-frame row count (4·|documents|). THE
     // query VERDICT r8 measured the 64-bit width cap on (306.7 s /
     // 453.9 M noise pairs at 100×): it now rides the 128-bit tier
-    "q355_y4m_neardup_real" -> ((s, dir) => {
-      val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
-      Multimodal.videoNearDupPairs128(tierFps(s, dir, "y4m"),
-        Multimodal.recommendedWidth128(4L * cachedCount(s, dir, "documents")(docs)),
-        tierRadius(s, dir, "y4m"), 2)
-    }),
+    "q355_y4m_neardup_real" -> ((s, dir) => tierPairs(s, dir, "y4m")),
     // scene-change (shot-boundary) detection: Hamming delta between
     // consecutive sampled-frame fingerprints of the same video, cut when
     // > 32 of 128 bits flip (the old 16/64 radius, proportionally) —
@@ -1682,19 +1693,15 @@ object SparkEntry {
     // bits admit 32-bit bands whose occupancy stays bounded through ~10⁹
     // items at the same ≥ 4-band recall floor. Same SimHash votes, same
     // md5 (the full 16-byte digest instead of half), every bit replayed
-    "q364_perceptual128_neardup" -> ((s, dir) => {
-      val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
-      Multimodal.perceptualNearDupPairs128On(tierFps(s, dir, "text"),
-        Multimodal.recommendedWidth128(cachedCount(s, dir, "documents")(docs)),
-        tierRadius(s, dir, "text"))
-    }),
+    "q364_perceptual128_neardup" -> ((s, dir) => tierPairs(s, dir, "text")),
     // its recall contract (q337's device at 128 bits, at the SAME
     // derived radius as q364 — cap 24, the 3/16 proportional default)
     "q365_perceptual128_recall" -> ((s, dir) => {
       val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
       Multimodal.perceptualRecallContract128On(tierFps(s, dir, "text"),
         Multimodal.recommendedWidth128(cachedCount(s, dir, "documents")(docs)),
-        tierRadius(s, dir, "text"))
+        tierRadius(s, dir, "text"),
+        bandedGen = Some(tierPairs(s, dir, "text")))
     }),
     // the VIDEO tier's recall ledger (VERDICT r8 task 6 — the width
     // rule's recall price contract-checked on the modality where the
@@ -1820,15 +1827,9 @@ object SparkEntry {
     // modalities agree, and single-modality hits stay visible as the
     // curation signal (re-encode, caption swap) they are
     "q361_trimodal_consensus" -> ((s, dir) => {
-      val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
-      val width = Multimodal.recommendedWidth128(cachedCount(s, dir, "documents")(docs))
-      val img = Multimodal.perceptualNearDupPairs128On(tierFps(s, dir, "ppm"),
-        width, tierRadius(s, dir, "ppm")).select("id_a", "id_b")
-      val aud = Multimodal.perceptualNearDupPairs128On(tierFps(s, dir, "wav"),
-        width, tierRadius(s, dir, "wav")).select("id_a", "id_b")
-      val vid = Multimodal.videoNearDupPairs128(tierFps(s, dir, "y4m"),
-        Multimodal.recommendedWidth128(4L * cachedCount(s, dir, "documents")(docs)),
-        tierRadius(s, dir, "y4m"), 2).select("id_a", "id_b")
+      val img = tierPairs(s, dir, "ppm").select("id_a", "id_b")
+      val aud = tierPairs(s, dir, "wav").select("id_a", "id_b")
+      val vid = tierPairs(s, dir, "y4m").select("id_a", "id_b")
       Multimodal.modalityVote(
         Seq("image" -> img, "audio" -> aud, "video" -> vid), 2)
     }),
@@ -1859,18 +1860,14 @@ object SparkEntry {
     // container swapped for compressed PNG and the byte-level parser
     // swapped for the real codec — 128-bit fingerprints of
     // DEFLATE-decoded pixels
-    "q358_png_neardup_real" -> ((s, dir) => {
-      val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
-      Multimodal.perceptualNearDupPairs128On(tierFps(s, dir, "png"),
-        Multimodal.recommendedWidth128(cachedCount(s, dir, "documents")(docs)),
-        tierRadius(s, dir, "png"))
-    }),
+    "q358_png_neardup_real" -> ((s, dir) => tierPairs(s, dir, "png")),
     // its recall contract (q349's device over codec-decoded pixels)
     "q359_png_recall_real" -> ((s, dir) => {
       val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
       Multimodal.perceptualRecallContract128On(tierFps(s, dir, "png"),
         Multimodal.recommendedWidth128(cachedCount(s, dir, "documents")(docs)),
-        tierRadius(s, dir, "png"))
+        tierRadius(s, dir, "png"),
+        bandedGen = Some(tierPairs(s, dir, "png")))
     }),
     // the banded perceptual path's recall vs the exact Hamming pair set,
     // driver-checked (the q217 contract device for the media tier), at
@@ -1879,7 +1876,8 @@ object SparkEntry {
       val docs = graft.core.Tables.tableRebalanced(s, dir, "documents")
       Multimodal.perceptualRecallContractOn(tierFps(s, dir, "text64"),
         Multimodal.recommendedBands(cachedCount(s, dir, "documents")(docs)),
-        tierRadius(s, dir, "text64"))
+        tierRadius(s, dir, "text64"),
+        bandedGen = Some(tierPairs(s, dir, "text64")))
     }),
     // paired-modality consensus: text near-dups x perceptual near-dups on
     // the normalized pair key - both-agree is the high-confidence drop set
@@ -1890,9 +1888,7 @@ object SparkEntry {
         // operands (the q21 parity device), so the doubles already match
         jacPairs05(s, dir),
         "id_a", "id_b", "jaccard",
-        Multimodal.perceptualNearDupPairsOn(tierFps(s, dir, "text64"),
-          Multimodal.recommendedBands(cachedCount(s, dir, "documents")(docs)),
-          tierRadius(s, dir, "text64")),
+        tierPairs(s, dir, "text64"),
         "id_a", "id_b", "hamming")
     }),
     // ---- write-side / streaming operators, driver-visible (§7.6) ----

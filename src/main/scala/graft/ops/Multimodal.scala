@@ -480,7 +480,8 @@ object Multimodal {
     * [[perceptualHash64Content]]) certifies its banded recall with the
     * same machinery as the utf-8 tier. */
   def perceptualRecallContractOn(fps: DataFrame,
-                                 bands: Int, maxHamming: Int): DataFrame = {
+                                 bands: Int, maxHamming: Int,
+                                 bandedGen: Option[DataFrame] = None): DataFrame = {
     val ham = bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long")
     val exact = fps.toDF("id_a", "fa")
       .crossJoin(fps.toDF("id_b", "fb"))
@@ -488,8 +489,10 @@ object Multimodal {
       .select(col("id_a"), col("id_b"))
     // the banded stage reuses the SAME persisted fingerprint frame as the
     // exact judge — the payload scan + SimHash kernel (the CPU hot spot)
-    // runs exactly once per contract invocation
-    val banded = perceptualNearDupPairsOn(fps, bands, maxHamming)
+    // runs exactly once per contract invocation. bandedGen: as in the
+    // 128-bit contract, a maintained banded pair frame skips even that.
+    val banded = bandedGen
+      .getOrElse(perceptualNearDupPairsOn(fps, bands, maxHamming))
       .select("id_a", "id_b")
     val e = exact.agg(count(lit(1)).as("n_exact"))
     val b = graft.core.CacheRegistry.persist(banded)
@@ -1097,14 +1100,20 @@ object Multimodal {
     * priced O(N²) judge over 16-byte keys). One row:
     * (n_exact, n_banded, recall, banded_subset_exact). */
   def perceptualRecallContract128On(fps: DataFrame, width: Int,
-                                    maxHamming: Int): DataFrame = {
+                                    maxHamming: Int,
+                                    bandedGen: Option[DataFrame] = None): DataFrame = {
     val ham = (bit_count(col("ah").bitwiseXOR(col("bh"))) +
       bit_count(col("al").bitwiseXOR(col("bl")))).cast("long")
     val exact = fps.toDF("id_a", "ah", "al")
       .crossJoin(fps.toDF("id_b", "bh", "bl"))
       .where(col("id_a") < col("id_b") && ham <= maxHamming)
       .select(col("id_a"), col("id_b"))
-    val banded = perceptualNearDupPairs128On(fps, width, maxHamming)
+    // bandedGen: the maintained banded pair frame at this (width,
+    // maxHamming) — callers holding one (the pair query's own output)
+    // skip the second band join; the .select below projects a NEW frame,
+    // so the contract's scoped persist never unpersists the caller's
+    val banded = bandedGen
+      .getOrElse(perceptualNearDupPairs128On(fps, width, maxHamming))
       .select("id_a", "id_b")
     val e = exact.agg(count(lit(1)).as("n_exact"))
     val b = graft.core.CacheRegistry.persist(banded)

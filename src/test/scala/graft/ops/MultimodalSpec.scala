@@ -119,6 +119,17 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.perceptualRecallContract(spark, m, 8, 12).head()
     }
     graft.core.CacheRegistry.drain()
+    // bandedGen form (round 11): the maintained banded pair frame passed
+    // into the On-variant must reproduce the direct contract row
+    val rGen = graft.core.CacheRegistry.scoped {
+      val fps = graft.core.CacheRegistry.persist(
+        Multimodal.perceptualHash64(spark, m))
+      Multimodal.perceptualRecallContractOn(fps, 8, 12,
+        bandedGen = Some(Multimodal.perceptualNearDupPairsOn(fps, 8, 12)))
+        .head()
+    }
+    graft.core.CacheRegistry.drain()
+    rGen shouldBe r
     val (nExact, nBanded) = (r.getAs[Long]("n_exact"), r.getAs[Long]("n_banded"))
     nExact should be > 0L
     nBanded should be <= nExact
@@ -598,6 +609,11 @@ class MultimodalSpec extends SparkSpec {
         .as[(Long, Long, Double, Boolean)].head()
       c._4 shouldBe true // banded ⊆ exact
       c._2 should be <= c._1
+      // bandedGen form (round 11): passing the maintained banded pair
+      // frame in must reproduce the direct contract row exactly
+      Multimodal.perceptualRecallContract128On(fps, 32, 24,
+        bandedGen = Some(Multimodal.perceptualNearDupPairs128On(fps, 32, 24)))
+        .as[(Long, Long, Double, Boolean)].head() shouldBe c
       // width guards
       an[IllegalArgumentException] should be thrownBy
         Multimodal.perceptualNearDupPairs128On(fps, 24, 24)
