@@ -16,15 +16,22 @@ class CacheLifecycleSpec extends SparkSpec {
     val baseline = spark.sparkContext.getPersistentRDDs.size
 
     // the three heaviest cache users: shingle tables, LSH candidates,
-    // label-propagation rounds
+    // label-propagation rounds. Since round 11 their PAIR TABLES are
+    // memoized cross-query artifacts (released by clearCaches, not the
+    // per-query drain), so the post-drain contract is: the global queue
+    // is empty, and storage holds ONLY memoized frames — stable across a
+    // repeat of the same query (no per-invocation growth).
     Seq("q21_dedup_ngram_jaccard", "q22_dedup_minhash_lsh", "q33_dedup_clusters")
       .foreach { name =>
         SparkEntry.queries(name)(spark, sf0001).count()
-        CacheRegistry.size should be > 0
         CacheRegistry.drain()
-        withClue(s"after draining $name: ") {
-          spark.sparkContext.getPersistentRDDs.size shouldBe baseline
+        val afterFirst = spark.sparkContext.getPersistentRDDs.size
+        SparkEntry.queries(name)(spark, sf0001).count()
+        CacheRegistry.drain()
+        withClue(s"repeat of $name must not grow storage: ") {
+          spark.sparkContext.getPersistentRDDs.size shouldBe afterFirst
         }
+        CacheRegistry.size shouldBe 0
       }
 
     // memoized cross-query caches release at suite end
