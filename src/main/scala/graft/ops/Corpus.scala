@@ -1005,9 +1005,13 @@ object Corpus {
         col("term_a").as("dst"), col("n_ab").cast("double").as("w")))
       .where(col("src") =!= col("dst"))
     val ranked = Graph.pageRank(edges, "src", "dst", "w", damping, iters)
-    ranked.withColumn("__r",
+    // TakeOrdered cut FIRST (map-side k-heaps, no vocabulary-sized
+    // single-partition sort — round 12, guide §2.4), then the bounded
+    // ≤ topK frame gets its 1-based positions; identical rows and ranks
+    // to a global row_number + filter
+    val top = ranked.orderBy(col("rank").desc, col("node").asc).limit(topK)
+    top.withColumn("__r",
         row_number().over(W.orderBy(col("rank").desc, col("node").asc)))
-      .where(col("__r") <= topK)
       .select(col("node").as("term"), col("rank"),
         col("__r").cast("long").as("kw_rank"))
   }

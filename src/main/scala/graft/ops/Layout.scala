@@ -68,7 +68,19 @@ object Layout {
     * rank to be deterministic; NULL ordering follows Spark (nulls first
     * ascending). */
   def globalRank(df: DataFrame, orderCol: String, tieBreak: String,
-                 rankCol: String = "rank", numRanges: Int = 32): DataFrame = {
+                 rankCol: String = "rank", numRanges: Int = 32): DataFrame =
+    globalRankWithCount(df, orderCol, tieBreak, rankCol, numRanges)._1
+
+  /** [[globalRank]] plus the input's EXACT row count — the sum of the
+    * per-range counts the rank already collects, so callers that also
+    * need N (the zone/point audits' `div __n` file rule) get it for free
+    * instead of paying a separate count scan per layout/candidate
+    * (round 12, guide §2.4: q241 ran one extra serial count job; the
+    * zone audits re-scanned the input through a crossJoined single-row
+    * count subquery per layout). */
+  private[graft] def globalRankWithCount(df: DataFrame, orderCol: String,
+      tieBreak: String, rankCol: String = "rank",
+      numRanges: Int = 32): (DataFrame, Long) = {
     import org.apache.spark.sql.expressions.Window
     require(numRanges > 0, s"globalRank: need numRanges > 0, got $numRanges")
     require(!df.columns.contains(rankCol),
@@ -89,8 +101,51 @@ object Layout {
     }
     val w = Window.partitionBy(col("__range"))
       .orderBy(col(orderCol).asc, col(tieBreak).asc)
-    ranged.withColumn(rankCol, row_number().over(w).cast("long") + offExpr)
-      .drop("__range")
+    (ranged.withColumn(rankCol, row_number().over(w).cast("long") + offExpr)
+      .drop("__range"), acc)
+  }
+
+  /** Exact global INCLUSIVE prefix sum of `weightCol` in `(orderCol,
+    * tieBreak)` order WITHOUT a single-partition window, plus the grand
+    * total — the weighted sibling of [[globalRank]] and the remedy for
+    * every `Window.orderBy(...).rowsBetween(unboundedPreceding,
+    * currentRow)` cumsum whose frame grows with the data: range-
+    * repartition on the order key (sampled boundaries, the global-sort
+    * machinery), cumsum within each range partition, then add each
+    * partition's cumulative weight offset (collected per range —
+    * `numRanges` longs on the driver, the [[globalRank]] counts device).
+    * Weights must be integral (exact longs; quantize upstream — the
+    * micro-LONG convention every caller here already uses).
+    *
+    * `(orderCol, tieBreak)` must totally order the rows for the prefix
+    * to be deterministic; consume inside `CacheRegistry.scoped { ... }`
+    * (same persist contract as [[globalRank]]). */
+  private[graft] def globalCumSum(df: DataFrame, orderCol: String,
+      tieBreak: String, weightCol: String, outCol: String,
+      numRanges: Int = 32): (DataFrame, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    require(numRanges > 0, s"globalCumSum: need numRanges > 0, got $numRanges")
+    require(!df.columns.contains(outCol),
+      s"globalCumSum: output column '$outCol' already exists - pick another name")
+    val ranged = graft.core.CacheRegistry.persist(
+      df.repartitionByRange(numRanges, col(orderCol).asc, col(tieBreak).asc)
+        .withColumn("__cs_range", spark_partition_id()))
+    val sums = ranged.groupBy(col("__cs_range"))
+      .agg(sum(col(weightCol).cast("long")).as("w")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = sums.map { case (pid, w) =>
+      val o = pid -> acc; acc += w; o
+    }
+    val offExpr = offsets.foldLeft(lit(0L)) { case (e, (pid, off)) =>
+      when(col("__cs_range") === pid, lit(off)).otherwise(e)
+    }
+    val w = Window.partitionBy(col("__cs_range"))
+      .orderBy(col(orderCol).asc, col(tieBreak).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    (ranged.withColumn(outCol,
+        sum(col(weightCol).cast("long")).over(w) + offExpr)
+      .drop("__cs_range"), acc)
   }
 
   /** Top `k` rows per group by `orderCol` (descending by default, ties on
@@ -171,11 +226,12 @@ object Layout {
     import spark.implicits._
     val preds = broadcast(predicates.toDF("pred_lo", "pred_hi"))
     def audit(layout: String, orderCol: String): DataFrame = {
-      val ranked = globalRank(df.select(col(idCol), col(sortCol)),
-        orderCol, idCol, "__rank")
-      val total = df.agg(count(lit(1)).as("__n"))
-      val zones = ranked.crossJoin(broadcast(total))
-        .withColumn("__file", expr(s"((__rank - 1) * $nFiles) div __n"))
+      // the row count N comes from the rank's own per-range counts — a
+      // crossJoined count subquery here re-scanned the input per layout
+      val (ranked, nTotal) = globalRankWithCount(
+        df.select(col(idCol), col(sortCol)), orderCol, idCol, "__rank")
+      val zones = ranked
+        .withColumn("__file", expr(s"((__rank - 1) * $nFiles) div ${nTotal}L"))
         .groupBy(col("__file"))
         .agg(min(col(sortCol)).as("__mn"), max(col(sortCol)).as("__mx"))
       zones.crossJoin(preds)
@@ -233,10 +289,9 @@ object Layout {
     val probeDf = broadcast(probes.toDF("probe"))
     val base = df.select(col(idCol), col(keyCol).cast("long").as("__key"))
     def audit(layout: String, orderCol: String): DataFrame = {
-      val ranked = globalRank(base, orderCol, idCol, "__rank")
-      val total = base.agg(count(lit(1)).as("__n"))
-      val counts = ranked.crossJoin(broadcast(total))
-        .withColumn("__file", expr(s"((__rank - 1) * $nFiles) div __n"))
+      val (ranked, nTotal) = globalRankWithCount(base, orderCol, idCol, "__rank")
+      val counts = ranked
+        .withColumn("__file", expr(s"((__rank - 1) * $nFiles) div ${nTotal}L"))
         .join(probeDf, col("__key") === col("probe"))
         .select("probe", "__file").distinct()
         .groupBy("probe").agg(count(lit(1)).as("n_containing"))
@@ -283,18 +338,17 @@ object Layout {
     val keep = (candidates ++ probeCols).distinct
     val base = df.select(col(idCol) +:
       keep.map(c => col(c).cast("double").as(c)): _*)
-    // ONE count for every candidate, inlined as a literal: the total is
-    // candidate-independent, but as a crossJoined single-row frame it was
-    // re-executed inside EVERY candidate's plan (a full input scan each at
-    // scale); one bounded driver-side long is the permutationTest-cut
-    // precedent and keeps the zone stage a single codegen span
-    val nTotal = base.count()
+    // the total is candidate-independent; as a crossJoined single-row
+    // frame it was re-executed inside EVERY candidate's plan (a full input
+    // scan each at scale). Round 12: the literal comes from the FIRST
+    // candidate's own range counts (globalRankWithCount) — no separate
+    // serial count job at all (the round-11 eager base.count() added one)
     candidates.map { cand =>
-      val ranked = globalRank(base, cand, idCol, "__rank")
+      val (ranked, nTotal) = globalRankWithCount(base, cand, idCol, "__rank")
       val aggs = probeCols.flatMap(p => Seq(
         min(col(p)).as(s"__mn_$p"), max(col(p)).as(s"__mx_$p")))
       val zones = ranked
-        .withColumn("__file", expr(s"((__rank - 1) * $nFiles) div $nTotal"))
+        .withColumn("__file", expr(s"((__rank - 1) * $nFiles) div ${nTotal}L"))
         .groupBy(col("__file"))
         .agg(aggs.head, aggs.tail: _*)
       val zonesLong = probeCols.map { p =>

@@ -148,25 +148,49 @@ object Quality {
     * counts, each with its observed [min, max] and count — the
     * value-distribution summary [[histogram]]'s fixed-width buckets
     * cannot give when the data is skewed (one hot bucket, the rest
-    * empty). Bucket assignment is `ntile` over the value order (ties may
-    * straddle buckets — ntile splits equal values to keep depths equal;
-    * use [[graft.ops.Sampling.keepTopQuantile]] when ties must stick
-    * together). NULLs are excluded.
+    * empty). Bucket assignment is `ntile` semantics over the value order
+    * (ties may straddle buckets — ntile splits equal values to keep
+    * depths equal; use [[graft.ops.Sampling.keepTopQuantile]] when ties
+    * must stick together). NULLs are excluded.
     *
-    * Scale shape: ntile needs a TOTAL order — one single-partition sort
-    * of the (value) column, the honest cost of exact equi-depth; at
-    * unbounded scale swap for `approx_percentile` cut points + the
-    * fixed-width assignment of [[histogram]] (sketch merge, no global
-    * sort). */
+    * Scale shape (round 12, guide §2.4): the raw corpus never enters a
+    * window — ONE value hash-agg (map-side partials) reduces it to the
+    * distinct-value histogram, [[graft.ops.Layout.globalCumSum]] ranks
+    * that histogram with a range exchange (no single-partition sort; the
+    * old `ntile` over raw rows was the suite's one data-proportional
+    * `Window.orderBy`), and each bucket's (n, min, max) is recovered by
+    * intersecting value rank-blocks with ntile's exact rank spans — a
+    * broadcast join against a ≤ nBuckets literal grid. The per-bucket
+    * value multiset is tie-permutation-invariant, so the result is
+    * bit-identical to engine ntile. Multi-action (the cumsum offsets):
+    * consume inside `CacheRegistry.scoped { ... }`. */
   def equiDepthHistogram(df: DataFrame, valueCol: String, nBuckets: Int): DataFrame = {
     require(nBuckets > 0, s"equiDepthHistogram: need nBuckets > 0, got $nBuckets")
-    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
     val v = col(valueCol).cast("double")
-    df.where(v.isNotNull)
-      .withColumn("bucket",
-        ntile(nBuckets).over(Window.orderBy(v)).cast("long") - 1L)
+    val hist = df.where(v.isNotNull)
+      .groupBy(v.as("__v")).agg(count(lit(1)).as("__n"))
+    val (cum, total) =
+      graft.ops.Layout.globalCumSum(hist, "__v", "__v", "__n", "__c")
+    // ntile's exact rank spans: bucket k (0-based) holds ranks
+    // [k·q + min(k,rem) + 1 .. +size], size = q + (k < rem ? 1 : 0)
+    val q = total / nBuckets
+    val rem = total % nBuckets
+    val grid = (0L until nBuckets.toLong).flatMap { k =>
+      val lo = k * q + math.min(k, rem) + 1
+      val size = q + (if (k < rem) 1L else 0L)
+      if (size > 0) Some((k, lo, lo + size - 1)) else None
+    }
+    val buckets = broadcast(grid.toDF("bucket", "__lo", "__hi"))
+    // a value with count n and inclusive cum c occupies ranks
+    // [c-n+1, c]; its overlap with each intersecting bucket is exact
+    cum.join(buckets,
+        col("__c") - col("__n") + 1 <= col("__hi") && col("__c") >= col("__lo"))
       .groupBy("bucket")
-      .agg(count(lit(1)).as("n"), min(v).as("min_val"), max(v).as("max_val"))
+      .agg(sum(least(col("__c"), col("__hi"))
+          - greatest(col("__c") - col("__n") + 1, col("__lo")) + 1).as("n"),
+        min(col("__v")).as("min_val"), max(col("__v")).as("max_val"))
   }
 
   /** Robust outlier detection: flag rows whose value deviates from the

@@ -32,6 +32,16 @@ class BenchParseSpec extends AnyFunSuite with Matchers {
     Bench.parseQueryTimes("""{"metric":"total","value":0.0,"unit":"sec","queries":{},"sf":"d"}""") shouldBe empty
   }
 
+  test("parseWarmSec reads the warm_sec field and ignores lines without one") {
+    val line =
+      """{"metric":"total","value":12.69,"unit":"sec","warm_sec":3.25,""" +
+        """"queries":{"q100_quantile_filter":0.2},"sf":"/d"}"""
+    Bench.parseWarmSec(line) shouldBe Some(3.25)
+    // warm_sec never matches a query pair, and legacy lines parse as before
+    Bench.parseQueryTimes(line) shouldBe Seq(("q100_quantile_filter", 0.2))
+    Bench.parseWarmSec("""{"metric":"total","value":1.0,"queries":{}}""") shouldBe None
+  }
+
   test("a round-trip through the emitted format is lossless") {
     val in = Seq(("q01_pricing_summary", 0.52), ("q336_perceptual_neardup", 2.08),
       ("q90_stream_sessionize", -1.0))

@@ -16,6 +16,34 @@ class SparkEntrySpec extends SparkSpec {
     (q -- o) shouldBe empty
   }
 
+  test("artifact consumer lists name only registered queries") {
+    val q = SparkEntry.queries.keySet
+    val bad = SparkEntry.artifactConsumers.toSeq.flatMap { case (art, consumers) =>
+      (consumers -- q).map(c => s"$art -> $c")
+    }
+    bad shouldBe empty
+  }
+
+  test("warmCachesFor warms only consumed artifacts, and release is by last consumer") {
+    SparkEntry.clearCaches(spark)
+    // a query family with no maintained artifacts warms nothing
+    SparkEntry.warmCachesFor(spark, sf0001,
+      Seq("q01_pricing_summary", "q61_histogram")) shouldBe empty
+    // the pair-index family warms exactly its closure
+    val warmed = SparkEntry.warmCachesFor(spark, sf0001,
+      Seq("q22_dedup_minhash_lsh")).map(_._1)
+    warmed shouldBe Seq("lsh_pairs")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    before should be >= 1
+    // q22 still pending: release keeps the frame
+    SparkEntry.releaseSpentCaches(spark, sf0001, Seq("q22_dedup_minhash_lsh"))
+    spark.sparkContext.getPersistentRDDs.size shouldBe before
+    // last consumer done: release drops it
+    SparkEntry.releaseSpentCaches(spark, sf0001, Seq("q01_pricing_summary"))
+    spark.sparkContext.getPersistentRDDs.size should be < before
+    SparkEntry.clearCaches(spark)
+  }
+
   test("all queries run and return rows at sf0.001") {
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try { if (fn(spark, sf0001).count() > 0) None else Some(s"$name: 0 rows") }
