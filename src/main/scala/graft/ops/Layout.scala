@@ -105,49 +105,6 @@ object Layout {
       .drop("__range"), acc)
   }
 
-  /** Exact global INCLUSIVE prefix sum of `weightCol` in `(orderCol,
-    * tieBreak)` order WITHOUT a single-partition window, plus the grand
-    * total — the weighted sibling of [[globalRank]] and the remedy for
-    * every `Window.orderBy(...).rowsBetween(unboundedPreceding,
-    * currentRow)` cumsum whose frame grows with the data: range-
-    * repartition on the order key (sampled boundaries, the global-sort
-    * machinery), cumsum within each range partition, then add each
-    * partition's cumulative weight offset (collected per range —
-    * `numRanges` longs on the driver, the [[globalRank]] counts device).
-    * Weights must be integral (exact longs; quantize upstream — the
-    * micro-LONG convention every caller here already uses).
-    *
-    * `(orderCol, tieBreak)` must totally order the rows for the prefix
-    * to be deterministic; consume inside `CacheRegistry.scoped { ... }`
-    * (same persist contract as [[globalRank]]). */
-  private[graft] def globalCumSum(df: DataFrame, orderCol: String,
-      tieBreak: String, weightCol: String, outCol: String,
-      numRanges: Int = 32): (DataFrame, Long) = {
-    import org.apache.spark.sql.expressions.Window
-    require(numRanges > 0, s"globalCumSum: need numRanges > 0, got $numRanges")
-    require(!df.columns.contains(outCol),
-      s"globalCumSum: output column '$outCol' already exists - pick another name")
-    val ranged = graft.core.CacheRegistry.persist(
-      df.repartitionByRange(numRanges, col(orderCol).asc, col(tieBreak).asc)
-        .withColumn("__cs_range", spark_partition_id()))
-    val sums = ranged.groupBy(col("__cs_range"))
-      .agg(sum(col(weightCol).cast("long")).as("w")).collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    var acc = 0L
-    val offsets = sums.map { case (pid, w) =>
-      val o = pid -> acc; acc += w; o
-    }
-    val offExpr = offsets.foldLeft(lit(0L)) { case (e, (pid, off)) =>
-      when(col("__cs_range") === pid, lit(off)).otherwise(e)
-    }
-    val w = Window.partitionBy(col("__cs_range"))
-      .orderBy(col(orderCol).asc, col(tieBreak).asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    (ranged.withColumn(outCol,
-        sum(col(weightCol).cast("long")).over(w) + offExpr)
-      .drop("__cs_range"), acc)
-  }
-
   /** Top `k` rows per group by `orderCol` (descending by default, ties on
     * `tieBreak` ascending), with the 1-based position as `grp_rank` —
     * best-k-docs-per-source, top-k-features-per-label, any bounded

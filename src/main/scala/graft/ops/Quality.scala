@@ -153,44 +153,35 @@ object Quality {
     * depths equal; use [[graft.ops.Sampling.keepTopQuantile]] when ties
     * must stick together). NULLs are excluded.
     *
-    * Scale shape (round 12, guide §2.4): the raw corpus never enters a
-    * window — ONE value hash-agg (map-side partials) reduces it to the
-    * distinct-value histogram, [[graft.ops.Layout.globalCumSum]] ranks
-    * that histogram with a range exchange (no single-partition sort; the
+    * Scale shape (round 12, guide §2.4): no single-partition sort — the
     * old `ntile` over raw rows was the suite's one data-proportional
-    * `Window.orderBy`), and each bucket's (n, min, max) is recovered by
-    * intersecting value rank-blocks with ntile's exact rank spans — a
-    * broadcast join against a ≤ nBuckets literal grid. The per-bucket
-    * value multiset is tie-permutation-invariant, so the result is
-    * bit-identical to engine ntile. Multi-action (the cumsum offsets):
+    * `Window.orderBy`. Rows get exact global ranks from
+    * [[graft.ops.Layout.globalRankWithCount]] (range exchange +
+    * per-range windows + driver offsets), and the bucket is LITERAL
+    * integer arithmetic on the rank: ntile's spans are fixed by (N,
+    * nBuckets) alone — bucket k (0-based) holds ranks (k·q + min(k,rem),
+    * k·q + min(k,rem) + size], size = q + (k < rem). The per-bucket
+    * value multiset is tie-permutation-invariant (equal values straddle
+    * a boundary identically however ranked), so the result is
+    * bit-identical to engine ntile. Multi-action (the rank offsets):
     * consume inside `CacheRegistry.scoped { ... }`. */
   def equiDepthHistogram(df: DataFrame, valueCol: String, nBuckets: Int): DataFrame = {
     require(nBuckets > 0, s"equiDepthHistogram: need nBuckets > 0, got $nBuckets")
-    val spark = df.sparkSession
-    import spark.implicits._
     val v = col(valueCol).cast("double")
-    val hist = df.where(v.isNotNull)
-      .groupBy(v.as("__v")).agg(count(lit(1)).as("__n"))
-    val (cum, total) =
-      graft.ops.Layout.globalCumSum(hist, "__v", "__v", "__n", "__c")
-    // ntile's exact rank spans: bucket k (0-based) holds ranks
-    // [k·q + min(k,rem) + 1 .. +size], size = q + (k < rem ? 1 : 0)
+    val (ranked, total) = graft.ops.Layout.globalRankWithCount(
+      df.where(v.isNotNull).select(v.as("__v")), "__v", "__v", "__rk")
     val q = total / nBuckets
     val rem = total % nBuckets
-    val grid = (0L until nBuckets.toLong).flatMap { k =>
-      val lo = k * q + math.min(k, rem) + 1
-      val size = q + (if (k < rem) 1L else 0L)
-      if (size > 0) Some((k, lo, lo + size - 1)) else None
-    }
-    val buckets = broadcast(grid.toDF("bucket", "__lo", "__hi"))
-    // a value with count n and inclusive cum c occupies ranks
-    // [c-n+1, c]; its overlap with each intersecting bucket is exact
-    cum.join(buckets,
-        col("__c") - col("__n") + 1 <= col("__hi") && col("__c") >= col("__lo"))
-      .groupBy("bucket")
-      .agg(sum(least(col("__c"), col("__hi"))
-          - greatest(col("__c") - col("__n") + 1, col("__lo")) + 1).as("n"),
-        min(col("__v")).as("min_val"), max(col("__v")).as("max_val"))
+    // first `rem` buckets take q+1 rows, the rest q (ntile's remainder
+    // rule); qS guards the never-taken ELSE branch when q == 0 (then
+    // every rank is <= rem·(q+1) = N) against ANSI div-by-zero
+    val qS = math.max(q, 1L)
+    val bucket = expr(
+      s"CASE WHEN __rk <= ${rem * (q + 1)}L THEN (__rk - 1) div ${q + 1}L " +
+        s"ELSE ${rem}L + (__rk - 1 - ${rem * (q + 1)}L) div ${qS}L END")
+    ranked.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("__v")).as("min_val"),
+        max(col("__v")).as("max_val"))
   }
 
   /** Robust outlier detection: flag rows whose value deviates from the
